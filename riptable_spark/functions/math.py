@@ -1,0 +1,113 @@
+"""Elementwise scalar function surface (SURVEY §2.8).
+
+Reference catalog: MATH_OPERATION enum /root/reference/riptable/rt_enum.py:
+193-284, dispatched via FastArray.__array_ufunc__ (rt_fastarray.py:4676).
+Every kernel here maps to a built-in Column expression so it stays inside
+whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# -- arithmetic (rt_enum.py:202-213) ------------------------------------
+add = lambda a, b: a + b
+sub = lambda a, b: a - b
+mul = lambda a, b: a * b
+div = lambda a, b: a / b
+floordiv = lambda a, b: F.floor(a / b)
+mod = lambda a, b: a % b
+power = F.pow
+minimum = F.least  # elementwise MIN
+maximum = F.greatest  # elementwise MAX
+
+
+def nanmin2(a: Column, b: Column) -> Column:
+    """NANMIN (rt_enum.py): prefer the non-invalid operand."""
+    return F.coalesce(F.least(a, b), a, b)
+
+
+def nanmax2(a: Column, b: Column) -> Column:
+    return F.coalesce(F.greatest(a, b), a, b)
+
+
+# -- unary (rt_enum.py:222-249) -----------------------------------------
+abs_ = F.abs
+neg = lambda a: -a
+floor = F.floor
+ceil = F.ceil
+def trunc(a: Column) -> Column:
+    return F.when(a >= 0, F.floor(a)).otherwise(F.ceil(a))
+round_ = F.round
+sign = F.signum
+rint = F.rint
+exp = F.exp
+exp2 = lambda a: F.pow(F.lit(2.0), a)
+sqrt = F.sqrt
+cbrt = F.cbrt
+log = F.log
+log2 = F.log2
+log10 = F.log10
+expm1 = F.expm1
+log1p = F.log1p
+square = lambda a: a * a
+reciprocal = lambda a: F.lit(1.0) / a
+
+
+# -- predicates (rt_enum.py:273-284) ------------------------------------
+def isfinite(col: Column) -> Column:
+    return ~F.isnan(col) & ~isinf(col)
+
+
+def isinf(col: Column) -> Column:
+    return (col == F.lit(float("inf"))) | (col == F.lit(float("-inf")))
+
+
+def isnormal(col: Column) -> Column:
+    # normal = finite, nonzero, not subnormal; subnormal threshold for f64
+    return isfinite(col) & (col != 0) & (F.abs(col) >= F.lit(2.2250738585072014e-308))
+
+
+def signbit(col: Column) -> Column:
+    return col < 0
+
+
+# -- bitwise (rt_enum.py:262-271) ---------------------------------------
+bitwise_and = lambda a, b: a.bitwiseAND(b)
+bitwise_or = lambda a, b: a.bitwiseOR(b)
+bitwise_xor = lambda a, b: a.bitwiseXOR(b)
+shiftleft = F.shiftleft
+shiftright = F.shiftright
+bit_count = F.bit_count
+invert = F.bitwise_not
+
+
+# -- clip / rounding helpers (rt_fastarray.py:2472-2477) ----------------
+def clip(col: Column, lower=None, upper=None) -> Column:
+    out = col
+    if lower is not None:
+        out = F.greatest(out, F.lit(lower))
+    if upper is not None:
+        out = F.least(out, F.lit(upper))
+    return out
+
+
+clip_lower = lambda c, lo: F.greatest(c, F.lit(lo))
+clip_upper = lambda c, hi: F.least(c, F.lit(hi))
+
+# -- hashes (rt_numpy.py:2489-2514 crc32c/crc64, :5438 bitcount) --------
+crc32 = F.crc32
+xxhash64 = F.xxhash64  # 64-bit hash analogue of crc64
+
+
+def interp(x: Column, xp_col: Column, fp_col: Column) -> Column:
+    """Linear interpolation y = fp0 + (x-xp0)*(fp1-fp0)/(xp1-xp0) given the
+    bracketing sample points already aligned on the row (rt_numpy.py:5333
+    interp; alignment itself is an as-of join, see operators.merge_asof)."""
+    return fp_col + (x - xp_col)
+
+
+def where(cond: Column, x, y) -> Column:
+    """rt_numpy.py:2917 np.where analogue."""
+    return F.when(cond, x).otherwise(y)

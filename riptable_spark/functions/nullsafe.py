@@ -1,0 +1,87 @@
+"""Invalid/sentinel ↔ NULL bridge.
+
+The reference uses per-dtype sentinel invalids instead of masks
+(/root/reference/riptable/rt_enum.py:88-116 INVALID_DICT: int8→-128,
+int32→INT32_MIN, float→NaN, str→""). On Spark the idiomatic model is real
+NULLs; this module provides (a) ingest-time sentinel→NULL normalization,
+(b) the isna/fillna/replacena API (rt_fastarray.py:4322/4413/4354), and
+(c) the sum-vs-nansum split: SQL aggregates are null-skipping (= riptable's
+nan* variants); the non-nan variants propagate invalids, reproduced with a
+null-count guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Sentinel invalids per Spark type, mirroring INVALID_DICT (rt_enum.py:88-116).
+SENTINELS: dict[type, object] = {
+    T.ByteType: -128,
+    T.ShortType: -32768,
+    T.IntegerType: -(2**31),
+    T.LongType: -(2**63),
+    T.StringType: "",
+    T.BinaryType: b"",
+}
+
+
+def sentinel_to_null(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Ingest normalization: map sentinel invalids (and float NaN) to NULL."""
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    out = []
+    for c in df.columns:
+        if c not in cols:
+            out.append(F.col(c))
+            continue
+        dt = schema[c]
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            out.append(F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)).alias(c))
+        elif type(dt) in SENTINELS:
+            out.append(
+                F.when(F.col(c) == F.lit(SENTINELS[type(dt)]), F.lit(None)).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
+
+
+def isna(col: Column) -> Column:
+    """rt_fastarray.py:4322 — invalid test. NULL or NaN (floats).
+    try_cast keeps the NaN probe type-safe for strings/dates."""
+    d = col.try_cast("double")
+    return col.isNull() | F.when(d.isNotNull(), F.isnan(d)).otherwise(F.lit(False))
+
+
+def isnotna(col: Column) -> Column:
+    return ~isna(col)
+
+
+def isnanorzero(col: Column) -> Column:
+    """rt_fastarray.py predicate ISNANORZERO (rt_enum.py:273-284)."""
+    return isna(col) | (col == F.lit(0))
+
+
+def fillna(col: Column, value) -> Column:
+    """rt_fastarray.py:4413 — replace invalids with a constant."""
+    return F.when(isna(col), F.lit(value)).otherwise(col)
+
+
+def replacena(df: DataFrame, value, columns: list[str] | None = None) -> DataFrame:
+    """rt_fastarray.py:4354 — Dataset-wide fillna."""
+    cols = columns or df.columns
+    return df.select(*[fillna(F.col(c), value).alias(c) if c in cols else F.col(c) for c in df.columns])
+
+
+def strict_sum(col: Column) -> Column:
+    """riptable ``sum`` (invalid-PROPAGATING, unlike SQL SUM): NULL if any
+    element of the group is invalid. SURVEY §1.2 'the single biggest
+    semantic translation'."""
+    return F.when(F.count(F.when(isna(col), 1)) > 0, F.lit(None)).otherwise(F.sum(col))
+
+
+def strict_agg(aggfn, col: Column) -> Column:
+    """Generic invalid-propagating wrapper for mean/min/max/var/std."""
+    return F.when(F.count(F.when(isna(col), 1)) > 0, F.lit(None)).otherwise(aggfn(col))

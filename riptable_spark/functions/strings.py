@@ -1,0 +1,69 @@
+"""FAString surface (SURVEY §2.8 strings).
+
+Reference: /root/reference/riptable/rt_str.py:122 (FAString accessor, numba
+byte-matrix kernels). Here every op is a built-in Column function —
+JVM-side, codegen-friendly. ``apply_unique`` (rt_str.py:93-113), which runs
+the kernel on Categorical uniques only, is unnecessary on Spark: Catalyst
+evaluates per-row inside codegen and dictionary-encoded parquet pages
+already amortize storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+upper = F.upper  # rt_str.py:519
+lower = F.lower  # rt_str.py:534
+strlen = F.length  # rt_str.py:609
+reverse = F.reverse  # rt_str.py:564
+removetrailing = F.rtrim  # rt_str.py:591
+
+
+def contains(col: Column, sub: str) -> Column:  # rt_str.py:674 strstr
+    return col.contains(sub)
+
+
+def startswith(col: Column, prefix: str) -> Column:  # rt_str.py:811
+    return col.startswith(prefix)
+
+
+def endswith(col: Column, suffix: str) -> Column:  # rt_str.py:859
+    return col.endswith(suffix)
+
+
+def index(col: Column, sub: str) -> Column:
+    """rt_str.py:647 — 0-based index of first occurrence, -1 if absent
+    (riptable returns sentinel; we use -1 pre-null-bridge)."""
+    return F.instr(col, sub) - F.lit(1)
+
+
+def replace(col: Column, old: str, new: str) -> Column:  # rt_str.py:773 literal
+    return F.replace(col, F.lit(old), F.lit(new))
+
+
+def regex_match(col: Column, pattern: str) -> Column:  # rt_str.py:907
+    return col.rlike(pattern)
+
+
+def regex_replace(col: Column, pattern: str, repl: str) -> Column:  # rt_str.py:963
+    return F.regexp_replace(col, pattern, repl)
+
+
+def extract(col: Column, pattern: str, group: int = 1) -> Column:  # rt_str.py:1030
+    return F.regexp_extract(col, pattern, group)
+
+
+def substr(col: Column, start: int, length: int | None = None) -> Column:
+    """rt_str.py:1229 — 0-based start (riptable convention) → 1-based SQL."""
+    if length is None:
+        return F.substring(col, start + 1, 2**30)
+    return F.substring(col, start + 1, length)
+
+
+def char(col: Column, position: int) -> Column:  # rt_str.py:1278
+    return F.substring(col, position + 1, 1)
+
+
+def str_append(col: Column, other) -> Column:  # rt_fastarray.py:2266
+    return F.concat(col, other if isinstance(other, Column) else F.lit(other))

@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash-groupBy; near-dup comes in three flavors —
+MinHash+LSH, SimHash, and n-gram Jaccard — all expressed as DataFrame
+pipelines whose only shuffles are keyed on (band, signature) buckets, so
+they scale horizontally: no pairwise O(n²) comparison ever leaves a
+bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 for the universal-hash family used by MinHash:
+# with h, a, b < p the product h*a fits in int64 (< 2^62), so the math is
+# exact under Spark ANSI mode — no overflow, no UDF.
+_MERSENNE = (1 << 31) - 1
+# Deterministic (a, b) parameters derived from a fixed seed — reproducible
+# across runs/executors without RNG state.
+def _hash_params(num_perm: int) -> list[tuple[int, int]]:
+    params = []
+    x = 0x9E3779B9
+    for i in range(num_perm):
+        a = (x * (2 * i + 1) + 0x632BE59B) % _MERSENNE
+        b = (x * (i + 7) * 0x01000193 + 11) % _MERSENNE
+        params.append((a | 1, b))
+    return params
+
+
+def normalize_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def shingles(col: Column, n: int = 5, mode: str = "word") -> Column:
+    """n-gram shingle array. word mode: n-token sliding windows built with
+    ``transform`` over the token array (JVM-side, no UDF)."""
+    if mode == "char":
+        txt = normalize_text(col)
+        idx = F.sequence(F.lit(0), F.greatest(F.length(txt) - n, F.lit(0)))
+        return F.array_distinct(F.transform(idx, lambda i: txt.substr(i + 1, F.lit(n))))
+    toks = F.split(normalize_text(col), " ")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), cnt - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal on normalized text; keeps the smallest id
+    per duplicate cluster (deterministic). One hash-shuffle on the
+    fingerprint — at 100 TB the 64-bit fingerprint (8 bytes) shuffles, not
+    the document text."""
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
+    w = Window.partitionBy("__fp__").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp__", fp)
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__fp__", "__rn__")
+    )
+
+
+def duplicate_clusters_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates: (fingerprint, n_docs, min_id)."""
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# -------------------------------------------------------------- minhash
+def minhash_signature(col: Column, num_perm: int = 64, shingle_n: int = 5) -> Column:
+    """MinHash signature as an array<long>: h_i = min over shingles of
+    (a_i * xxhash64(s) + b_i mod p). All in `transform`/`aggregate` array
+    exprs — JVM-side, no UDF, no shuffle."""
+    sh = shingles(col, n=shingle_n)
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE).cast("long")))
+    sig_parts = []
+    for a, b in _hash_params(num_perm):
+        sig_parts.append(
+            F.array_min(F.transform(hashes, lambda h: (h * a + b) % _MERSENNE))
+        )
+    return F.array(*sig_parts)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: signature → `bands` band
+    hashes → self-join within (band_idx, band_hash) buckets.
+
+    Scale shape: the only shuffle key is the band hash; bucket sizes are
+    the skew risk (pathological all-identical corpora) — cap with a bucket
+    count guard if needed. Returns (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_n=shingle_n)
+    with_sig = df.select(F.col(id_col), sig.alias("__sig__"))
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[F.element_at("__sig__", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)]))
+            for b in range(bands)
+        ]
+    )
+    banded = with_sig.select(
+        id_col, F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Remove near-duplicates: keep the min-id representative of each
+    connected candidate component (single-link via min-id propagation —
+    one iteration covers star-shaped clusters; iterate to fixpoint for
+    chains if required)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands, shingle_n)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+# -------------------------------------------------------------- simhash
+def simhash(col: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+    """SimHash: sign-aggregate of per-shingle hash bits. Implemented with
+    array exprs: for each bit, sum(+1/-1 over shingles) > 0. Returns the
+    64-bit fingerprint as a long."""
+    sh = shingles(col, n=shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    out = F.lit(0).cast("long")
+    for bit in range(bits):
+        # shiftleft builds the mask JVM-side (a Python literal 1<<63 would
+        # overflow LongType); bitwiseOR accumulation cannot overflow
+        mask = F.shiftleft(F.lit(1).cast("long"), bit)
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        out = out.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket by 4 16-bit chunks (pigeonhole —
+    any pair within hamming ≤3 of 64 bits shares at least one exact
+    16-bit chunk when split into 4), join within buckets, verify exact
+    hamming distance."""
+    sh = simhash(F.col(text_col))
+    base = df.select(F.col(id_col), sh.alias("__sh__"))
+    chunks = F.array(*[F.shiftrightunsigned(F.col("__sh__"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+    banded = base.select(id_col, "__sh__", F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .where(hamming_distance(F.col("a.__sh__"), F.col("b.__sh__")) <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    explode shingles → self-join on shingle → count shared → Jaccard via
+    |A∩B| / (|A|+|B|−|A∩B|). The shuffle key is the shingle hash; rare
+    shingles keep buckets small (stopword-only shingles are the skew
+    hazard — mitigate with a document-frequency cap upstream)."""
+    sh = shingles(F.col(text_col), n=n)
+    base = df.select(F.col(id_col), sh.alias("__sh__")).withColumn("__size__", F.size("__sh__"))
+    exploded = base.select(id_col, "__size__", F.explode("__sh__").alias("shingle")).withColumn(
+        "shingle_h", F.xxhash64("shingle")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[F.col("a.shingle_h") == F.col("b.shingle_h"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__size__").alias("size_a"),
+            F.col("b.__size__").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).where(F.col("jaccard") >= threshold)

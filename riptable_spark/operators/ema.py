@@ -1,0 +1,97 @@
+"""Time-decay EMA family (SURVEY §2.5 / §4.2 item 2).
+
+Reference formulas (/root/reference/riptable/rt_groupbyops.py):
+- ema_decay (:3314-3363):  out_i = x_i + last * exp(-rate * Δt_i)
+- ema_normal (:3366-3435): w = exp(-rate * Δt_i); last = x_i*(1-w) + last*w
+- ema_weighted (:3438):    fixed α, ignores time.
+
+These are sequential per-group recurrences — not expressible as a Spark
+window aggregate. Implementation: ``applyInPandas`` with a vectorized
+numpy scan per group. One shuffle on the group keys; each group is scanned
+in Arrow batches on the executor — the honest distributed form. Skewed
+giant groups are the scale hazard; mitigate upstream by splitting on a
+coarser time bucket when a resume-carry is acceptable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ema_decay_scan(x: np.ndarray, t: np.ndarray, rate: float) -> np.ndarray:
+    out = np.empty(len(x), dtype=np.float64)
+    last = 0.0
+    prev_t = t[0] if len(t) else 0.0
+    for i in range(len(x)):
+        decay = np.exp(-rate * (t[i] - prev_t))
+        last = x[i] + last * decay
+        out[i] = last
+        prev_t = t[i]
+    return out
+
+
+def _ema_normal_scan(x: np.ndarray, t: np.ndarray, rate: float) -> np.ndarray:
+    out = np.empty(len(x), dtype=np.float64)
+    last = x[0] if len(x) else 0.0
+    prev_t = t[0] if len(t) else 0.0
+    for i in range(len(x)):
+        w = np.exp(-rate * (t[i] - prev_t))
+        last = x[i] * (1 - w) + last * w
+        out[i] = last
+        prev_t = t[i]
+    return out
+
+
+def _ema_weighted_scan(x: np.ndarray, alpha: float) -> np.ndarray:
+    out = np.empty(len(x), dtype=np.float64)
+    last = x[0] if len(x) else 0.0
+    for i in range(len(x)):
+        last = x[i] * alpha + last * (1 - alpha)
+        out[i] = last
+    return out
+
+
+def _make_applier(kind: str, valcol: str, timecol: str | None, rate: float, out_col: str, sort_cols: list[str]):
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[valcol].to_numpy(dtype=np.float64)
+        if kind == "decay":
+            t = pdf[timecol].to_numpy(dtype=np.float64)
+            pdf[out_col] = _ema_decay_scan(x, t, rate)
+        elif kind == "normal":
+            t = pdf[timecol].to_numpy(dtype=np.float64)
+            pdf[out_col] = _ema_normal_scan(x, t, rate)
+        else:
+            pdf[out_col] = _ema_weighted_scan(x, rate)
+        return pdf
+
+    return apply_fn
+
+
+def _run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | None, rate: float, out_col: str, order_col: str) -> DataFrame:
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
+    # time column arrives as numeric seconds for the scan
+    work = df
+    sort_cols = [order_col]
+    fn = _make_applier(kind, valcol, timecol, rate, out_col, sort_cols)
+    return work.groupBy(*keys).applyInPandas(fn, schema=out_schema)
+
+
+def ema_decay(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None) -> DataFrame:
+    """rt_groupbyops.py:3314 — decaying running sum. ``timecol`` must be
+    numeric (epoch seconds / ns); cast timestamps upstream."""
+    return _run(df, keys, "decay", valcol, timecol, rate, out_col, order_col or timecol)
+
+
+def ema_normal(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None) -> DataFrame:
+    """rt_groupbyops.py:3366 — true time-decay EWMA."""
+    return _run(df, keys, "normal", valcol, timecol, rate, out_col, order_col or timecol)
+
+
+def ema_weighted(df: DataFrame, keys: list[str], valcol: str, alpha: float, order_col: str, out_col: str = "ema") -> DataFrame:
+    """rt_groupbyops.py:3438 — fixed-α EWMA in row order."""
+    return _run(df, keys, "weighted", valcol, None, alpha, out_col, order_col)

@@ -1,0 +1,174 @@
+"""GroupByOps reduce surface (SURVEY §2.4).
+
+Reference: /root/reference/riptable/rt_groupbyops.py:34 (GroupByOps shared
+by GroupBy/Categorical/Accum2); dispatch machinery rt_grouping.py:3277.
+On Spark the whole iKey/pack pipeline collapses into ``groupBy().agg()`` —
+Catalyst plans a partial (map-side) + final hash aggregate around one
+shuffle on the keys, which is the scale-correct physical shape.
+
+The fused-filter idiom (bin-0 trick, rt_grouping.py:3319-3327) is exposed
+as a ``filter`` argument compiled to ``F.x(F.when(filter, col))`` so the
+filter rides inside the same single aggregation pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.nullsafe import isna
+
+
+def _maybe_filter(col: Column, flt: Column | None) -> Column:
+    return F.when(flt, col) if flt is not None else col
+
+
+# --- the named reduce set (rt_groupbyops.py; kernel enums rt_enum.py:486-532)
+def nansum(col, flt=None):
+    return F.sum(_maybe_filter(col, flt))  # GB_NANSUM=50
+
+
+def nanmean(col, flt=None):
+    return F.avg(_maybe_filter(col, flt))  # GB_MEAN(nan)=51
+
+
+def nanmin(col, flt=None):
+    return F.min(_maybe_filter(col, flt))
+
+
+def nanmax(col, flt=None):
+    return F.max(_maybe_filter(col, flt))
+
+
+def nanvar(col, flt=None):
+    return F.var_samp(_maybe_filter(col, flt))  # ddof=1, rt_groupbyops.py:2871
+
+
+def nanstd(col, flt=None):
+    return F.stddev_samp(_maybe_filter(col, flt))
+
+
+def strict(aggfn, col, flt=None):
+    """riptable's non-nan aggs propagate invalids (SURVEY §1.2): NULL out
+    the group if it contains any invalid."""
+    c = _maybe_filter(col, flt)
+    return F.when(F.count(F.when(isna(c), 1)) > 0, F.lit(None)).otherwise(aggfn(c))
+
+
+def count(flt=None):
+    return F.count(F.when(flt, 1)) if flt is not None else F.count(F.lit(1))
+
+
+def median(col, flt=None):
+    return F.median(_maybe_filter(col, flt))  # GB_MEDIAN=103, exact
+
+
+def mode(col, flt=None):
+    return F.mode(_maybe_filter(col, flt))  # GB_MODE=104
+
+
+def quantile(col, q, flt=None):
+    """GB_QUANTILE_MULT=106 — exact linear-interpolation percentile,
+    matching the reference kernel's interpolation (rt_groupbyops.py:1502)."""
+    c = _maybe_filter(col, flt)
+    if isinstance(q, (list, tuple)):
+        return F.percentile(c, F.array(*[F.lit(float(p)) for p in q]))
+    return F.percentile(c, F.lit(float(q)))
+
+
+def sem(col, flt=None):
+    """rt_groupbyops.py:3500 — stddev/sqrt(count)."""
+    c = _maybe_filter(col, flt)
+    return F.stddev_samp(c) / F.sqrt(F.count(c))
+
+
+def count_uniques(col, flt=None):
+    return F.count_distinct(_maybe_filter(col, flt))  # rt_groupbyops.py:1037
+
+
+def first(col, order: Column):
+    """GB_FIRST=100 — first by explicit order; min_by keeps it a plain
+    hash-agg (no window/sort)."""
+    return F.min_by(col, order)
+
+
+def last(col, order: Column):
+    return F.max_by(col, order)  # GB_LAST=102
+
+
+def ohlc(col, order: Column):
+    """rt_groupbyops.py:3514 — returns the 4 exprs; caller aliases."""
+    return [
+        F.min_by(col, order).alias("open"),
+        F.max(col).alias("high"),
+        F.min(col).alias("low"),
+        F.max_by(col, order).alias("close"),
+    ]
+
+
+def trimbr_exprs(col: Column, lo: float = 0.1, hi: float = 0.9):
+    """GB_TRIMBR=105 trimmed mean (rt_groupbyops.py:1366): mean of values
+    within the [lo, hi] percentile band. Single-pass formulation: compute
+    band edges and the banded mean in ONE aggregation using percentile +
+    a conditional re-aggregation via a self-join-free two-stage agg.
+    Returns (stage1_exprs, stage2_builder); see trimbr()."""
+    return (
+        F.percentile(col, F.lit(lo)).alias("__trim_lo__"),
+        F.percentile(col, F.lit(hi)).alias("__trim_hi__"),
+    )
+
+
+def trimbr(df: DataFrame, keys: list[str], valcol: str, lo: float = 0.1, hi: float = 0.9, alias: str = "trimbr") -> DataFrame:
+    """Trimmed mean per group. Two hash-aggs over the same shuffle key —
+    AQE reuses the exchange, so it is one shuffle of the fact table plus a
+    broadcast-sized join of per-group edges."""
+    edges = df.groupBy(*keys).agg(*trimbr_exprs(F.col(valcol), lo, hi))
+    joined = df.join(F.broadcast(edges), on=keys)
+    return (
+        joined.where((F.col(valcol) >= F.col("__trim_lo__")) & (F.col(valcol) <= F.col("__trim_hi__")))
+        .groupBy(*keys)
+        .agg(F.avg(valcol).alias(alias))
+    )
+
+
+def describe(df: DataFrame, keys: list[str], valcol: str) -> DataFrame:
+    """rt_groupbyops.py:3524 — count/mean/std/min/quantiles/max per group,
+    one aggregation pass."""
+    c = F.col(valcol)
+    return df.groupBy(*keys).agg(
+        F.count(c).alias("count"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("std"),
+        F.min(c).alias("min"),
+        F.percentile(c, F.lit(0.25)).alias("p25"),
+        F.percentile(c, F.lit(0.50)).alias("p50"),
+        F.percentile(c, F.lit(0.75)).alias("p75"),
+        F.max(c).alias("max"),
+    )
+
+
+def agg_dict(df: DataFrame, keys: list[str], spec: dict[str, list[str]], flt: Column | None = None) -> DataFrame:
+    """GroupByOps.agg({col: [fn,...]}) (rt_groupbyops.py:890) → one
+    groupBy().agg() with `{col}_{fn}` aliases (Multiset flattened)."""
+    fns = {
+        "sum": nansum,
+        "mean": nanmean,
+        "min": nanmin,
+        "max": nanmax,
+        "var": nanvar,
+        "std": nanstd,
+        "median": median,
+        "mode": mode,
+        "sem": sem,
+        "count_uniques": count_uniques,
+    }
+    exprs = []
+    for colname, fnames in spec.items():
+        for fname in fnames:
+            exprs.append(fns[fname](F.col(colname), flt).alias(f"{colname}_{fname}"))
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def null_result(df: DataFrame, keys: list[str]) -> DataFrame:
+    """GroupByOps.null (rt_groupbyops.py:1014): keys-only distinct table."""
+    return df.groupBy(*keys).agg().select(*keys)

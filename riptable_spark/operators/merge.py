@@ -1,0 +1,310 @@
+"""Join surface: merge2 / merge_lookup / merge_asof (SURVEY §2.3).
+
+Reference: /root/reference/riptable/rt_merge.py:2293 (merge2 signature:
+how, on, keep, suffixes, indicator, validate, high_card/hint_size),
+:3229 (merge_lookup), :3572 (merge_asof; kernel alignmk rt_utils.py:503).
+
+Spark-first mapping:
+- merge2 → ``df.join`` (Catalyst/AQE picks broadcast vs sort-merge vs
+  shuffled-hash; the reference's high_card/hint_size perf hints become an
+  optional ``broadcast=`` flag).
+- keep='first'/'last' → per-side ``min_by/max_by``-style dedup *before*
+  the join, shrinking the shuffle instead of exploding it.
+- indicator → presence flags computed from a full-outer join.
+- validate → one count-aggregation over each side's keys (fails fast
+  before shuffling the fact table).
+- merge_asof → sort-merge on (by, on) expressed as union + window
+  ``last(ignorenulls)`` — a single shuffle, no point-in-time explosion;
+  equivalent to the reference's two-pointer MultiKeyAlign32 scan.
+
+Invalid keys never match (rt_merge.py:2320) — SQL NULL join semantics give
+this for free.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalize_on(on, left_on, right_on) -> tuple[list[str], list[str]]:
+    if on is not None:
+        if isinstance(on, str):
+            on = [on]
+        pairs = [(c, c) if isinstance(c, str) else (c[0], c[1]) for c in on]
+        return [p[0] for p in pairs], [p[1] for p in pairs]
+    lo = [left_on] if isinstance(left_on, str) else list(left_on)
+    ro = [right_on] if isinstance(right_on, str) else list(right_on)
+    return lo, ro
+
+
+def _dedupe_side(df: DataFrame, keys: list[str], keep: str, order_col) -> DataFrame:
+    """keep='first'|'last' (rt_merge.py keep=): reduce to one row per key.
+    ``order_col`` may be a name, a list of names (lexicographic), or a
+    Column; without it the winner is arbitrary (riptable's physical-order
+    semantics need an explicit order on Spark)."""
+    if keep is None:
+        return df
+    if order_col is None:
+        order = F.monotonically_increasing_id()
+    elif isinstance(order_col, str):
+        order = F.col(order_col)
+    elif isinstance(order_col, (list, tuple)):
+        order = F.struct(*[F.col(c) for c in order_col])
+    else:
+        order = order_col
+    if keep == "last":
+        order = order.desc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    return df.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1).drop("__rn__")
+
+
+def validate_join(left: DataFrame, right: DataFrame, left_keys: list[str], right_keys: list[str], validate: str) -> None:
+    """rt_merge.py validate= ('1:1','1:m','m:1','m:m'): key-uniqueness
+    check via one tiny count-agg per constrained side."""
+    lspec, rspec = validate.split(":")
+    if lspec == "1":
+        dup = left.groupBy(*left_keys).count().where(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError(f"merge2 validate={validate}: left keys are not unique")
+    if rspec == "1":
+        dup = right.groupBy(*right_keys).count().where(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError(f"merge2 validate={validate}: right keys are not unique")
+
+
+def merge2(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    how: str = "left",
+    left_on=None,
+    right_on=None,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    indicator: bool = False,
+    validate: str | None = None,
+    keep: str | tuple[str | None, str | None] | None = None,
+    columns_left: Sequence[str] | None = None,
+    columns_right: Sequence[str] | None = None,
+    broadcast_right: bool = False,
+    left_order_col: str | None = None,
+    right_order_col: str | None = None,
+) -> DataFrame:
+    """rt_merge.py:2293 merge2 on Spark. how ∈ left|right|inner|outer."""
+    lk, rk = _normalize_on(on, left_on, right_on)
+
+    if validate:
+        validate_join(left, right, lk, rk, validate)
+
+    if keep is not None:
+        lkeep, rkeep = keep if isinstance(keep, tuple) else (keep, keep)
+        left = _dedupe_side(left, lk, lkeep, left_order_col) if lkeep else left
+        right = _dedupe_side(right, rk, rkeep, right_order_col) if rkeep else right
+
+    if columns_left is not None:
+        left = left.select(*dict.fromkeys([*lk, *columns_left]))
+    if columns_right is not None:
+        right = right.select(*dict.fromkeys([*rk, *columns_right]))
+
+    # suffix non-key overlapping columns (rt_merge.py _construct_colname_mapping :382)
+    overlap = (set(left.columns) & set(right.columns)) - (set(lk) & set(rk))
+    for c in overlap:
+        left = left.withColumnRenamed(c, c + suffixes[0])
+        right = right.withColumnRenamed(c, c + suffixes[1])
+
+    if indicator:
+        left = left.withColumn("__l__", F.lit(1))
+        right = right.withColumn("__r__", F.lit(1))
+
+    r = F.broadcast(right) if broadcast_right else right
+    if lk == rk:
+        joined = left.join(r, on=lk, how={"outer": "full_outer"}.get(how, how))
+    else:
+        cond = None
+        for a, b in zip(lk, rk):
+            c = left[a] == r[b]
+            cond = c if cond is None else (cond & c)
+        joined = left.join(r, on=cond, how={"outer": "full_outer"}.get(how, how))
+
+    if indicator:
+        joined = joined.withColumn(
+            "merge_indicator",
+            F.when(F.col("__l__").isNotNull() & F.col("__r__").isNotNull(), F.lit("both"))
+            .when(F.col("__l__").isNotNull(), F.lit("left_only"))
+            .otherwise(F.lit("right_only")),
+        ).drop("__l__", "__r__")
+    return joined
+
+
+def merge_lookup(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    require_match: bool = False,
+    keep: str = "first",
+    right_order_col: str | None = None,
+    broadcast_right: bool = True,
+    **kw,
+) -> DataFrame:
+    """rt_merge.py:3229 — left join where each left row uses ≤1 right match.
+    Lookup tables are small by construction → broadcast by default (no
+    shuffle of the fact side at all)."""
+    out = merge2(
+        left,
+        right,
+        on=on,
+        how="left",
+        keep=(None, keep),
+        right_order_col=right_order_col,
+        broadcast_right=broadcast_right,
+        **kw,
+    )
+    if require_match:
+        lk, rk = _normalize_on(on, None, None)
+        rcols = [c for c in right.columns if c not in rk]
+        if rcols:
+            probe = rcols[0] if rcols[0] in out.columns else rcols[0] + "_y"
+            missing = out.where(F.col(probe).isNull()).limit(1).count()
+            if missing:
+                raise ValueError("merge_lookup: unmatched left rows with require_match=True")
+    return out
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """ismember-mask filter idiom (rt_numpy.py:1186) → native left_semi."""
+    on = [on] if isinstance(on, str) else list(on)
+    return left.join(right.select(*on).dropDuplicates(on), on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    on = [on] if isinstance(on, str) else list(on)
+    return left.join(right.select(*on).dropDuplicates(on), on=on, how="left_anti")
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """docs cross_join_using_merge2 recipe → native crossJoin."""
+    return left.crossJoin(right)
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance=None,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    matched_on: str | None = None,
+) -> DataFrame:
+    """rt_merge.py:3572 merge_asof / rt_merge_asof.py merge_asof2 on Spark.
+
+    Physical plan: tag both sides, unionByName, ONE shuffle+sort on
+    (by, on, side-order), then ``last(col, ignorenulls=True)`` over the
+    running window carries the most recent right-side values onto each
+    left row — the distributed equivalent of the reference's two-pointer
+    MultiKeyAlign32 scan (rt_utils.py:503-587). 'forward' flips the order;
+    'nearest' = coalesce(backward, forward) by min distance.
+
+    Scale: cost is one shuffle of |L|+|R| rows keyed on ``by`` — no
+    range-explosion, skew handled by AQE. This beats a range-join rewrite
+    (which duplicates right rows per band) at 100 TB.
+    """
+    if direction == "nearest":
+        # unique row id so the backward/forward halves re-join 1:1 even
+        # when left has fully-duplicate rows
+        left = left.withColumn("__nid__", F.monotonically_increasing_id())
+        b = _asof_one_direction(left, right, on, by, "backward", allow_exact_matches, suffixes, "__t_b__")
+        f = _asof_one_direction(left, right, on, by, "forward", allow_exact_matches, suffixes, "__t_f__")
+        lcols = [c for c in left.columns]
+        rcols = [c for c in b.columns if c not in lcols and c != "__t_b__"]
+        f = f.select(*lcols, "__t_f__", *[F.col(c).alias(c + "__fwd") for c in rcols])
+        m = b.join(f, on=lcols, how="inner")
+        use_fwd = F.when(
+            F.col("__t_b__").isNull(), F.lit(True)
+        ).when(F.col("__t_f__").isNull(), F.lit(False)).otherwise(
+            (F.col("__t_f__").cast("double") - F.col(on).cast("double"))
+            < (F.col(on).cast("double") - F.col("__t_b__").cast("double"))
+        )
+        out = m.select(
+            *lcols,
+            *[F.when(use_fwd, F.col(c + "__fwd")).otherwise(F.col(c)).alias(c) for c in rcols],
+            F.when(use_fwd, F.col("__t_f__")).otherwise(F.col("__t_b__")).alias("__matched_on__"),
+        ).drop("__nid__")
+    else:
+        out = _asof_one_direction(left, right, on, by, direction, allow_exact_matches, suffixes, "__matched_on__")
+
+    if tolerance is not None:
+        dist = F.abs(F.col(on).cast("double") - F.col("__matched_on__").cast("double"))
+        rcols = [c for c in out.columns if c not in left.columns and c != "__matched_on__"]
+        for c in rcols:
+            out = out.withColumn(c, F.when(dist <= F.lit(tolerance), F.col(c)))
+        out = out.withColumn("__matched_on__", F.when(dist <= F.lit(tolerance), F.col("__matched_on__")))
+
+    if matched_on:
+        out = out.withColumnRenamed("__matched_on__", matched_on)
+    else:
+        out = out.drop("__matched_on__")
+    return out
+
+
+def _asof_one_direction(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by,
+    direction: str,
+    allow_exact: bool,
+    suffixes: tuple[str, str],
+    matched_col: str,
+) -> DataFrame:
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+
+    overlap = (set(left.columns) & set(right.columns)) - set(by_cols) - {on}
+    right_r = right
+    for c in overlap:
+        right_r = right_r.withColumnRenamed(c, c + suffixes[1])
+    left_r = left
+    for c in overlap:
+        left_r = left_r.withColumnRenamed(c, c + suffixes[0])
+
+    payload = [c for c in right_r.columns if c not in by_cols and c != on]
+    lid = "__asof_lid__"
+    left_tag = left_r.withColumn(lid, F.monotonically_increasing_id()).withColumn("__side__", F.lit(1))
+    right_tag = (
+        right_r.withColumn(matched_col, F.col(on))
+        .withColumn(lid, F.lit(None).cast("long"))
+        .withColumn("__side__", F.lit(0))
+    )
+    unioned = left_tag.unionByName(right_tag, allowMissingColumns=True)
+
+    # Order: for backward+allow_exact a right row at t sorts BEFORE a left
+    # row at t (side 0 first) so last() sees it; for allow_exact=False it
+    # sorts after (side desc puts left first at equal on).
+    if direction == "backward":
+        side_order = F.col("__side__").asc() if allow_exact else F.col("__side__").desc()
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).asc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    elif direction == "forward":
+        side_order = F.col("__side__").asc() if allow_exact else F.col("__side__").desc()
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).desc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction}")
+
+    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload + [matched_col]]
+    keep_cols = [c for c in left_tag.columns if c not in ("__side__",)]
+    result = (
+        unioned.select(*keep_cols, F.col("__side__"), *carried)
+        .where(F.col("__side__") == 1)
+        .drop("__side__", lid)
+    )
+    return result

@@ -1,0 +1,72 @@
+"""Reshape / set operations (SURVEY §2.7): concat, pivot, melt, one-hot.
+
+Reference: /root/reference/riptable/rt_dataset.py:6867 (concat_rows with
+schema unification), :7987 (pivot, errors on dup combos), :6781 (melt),
+:2888 (one_hot_encode); rt_hstack.py:15 (hstack_any).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def concat_rows(dfs: list[DataFrame]) -> DataFrame:
+    """rt_dataset.py:6867 — union-all with column alignment: missing
+    columns become NULL (riptable fills per-dtype invalids). Pure metadata
+    op — no shuffle."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def concat_columns(dfs: list[DataFrame], rowid: str = "__rowid__") -> DataFrame:
+    """rt_dataset.py:6995 — horizontal concat; aligned by the rowid
+    discipline (join on __rowid__)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        dup = [c for c in d.columns if c in out.columns and c != rowid]
+        out = out.join(d.drop(*dup) if dup else d, on=rowid, how="outer")
+    return out
+
+
+def pivot_strict(df: DataFrame, labels: str, columns: str, values: str) -> DataFrame:
+    """Dataset.pivot (rt_dataset.py:7987): reshape WITHOUT aggregation —
+    raises if any (labels, columns) combo has >1 row, then pivots first()."""
+    dup = (
+        df.groupBy(labels, columns).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError("pivot: duplicate (label, column) combinations")
+    return df.groupBy(labels).pivot(columns).agg(F.first(values))
+
+
+def melt(df: DataFrame, id_vars: list[str], value_vars: list[str], var_name: str = "variable", value_name: str = "value") -> DataFrame:
+    """rt_dataset.py:6781 wide→long → native unpivot (no shuffle)."""
+    return df.unpivot(id_vars, value_vars, var_name, value_name)
+
+
+def one_hot_encode(df: DataFrame, colname: str, values: list | None = None, prefix: str | None = None) -> DataFrame:
+    """rt_dataset.py:2888 — indicator column per category. ``values``
+    supplied = scale-safe (no distinct scan)."""
+    if values is None:
+        values = [r[0] for r in df.select(colname).distinct().orderBy(colname).collect()]
+    p = prefix if prefix is not None else colname
+    cols = [
+        F.when(F.col(colname) == F.lit(v), F.lit(1)).otherwise(F.lit(0)).alias(f"{p}_{v}")
+        for v in values
+    ]
+    return df.select("*", *cols)
+
+
+def unique_values(df: DataFrame, cols: list[str], with_counts: bool = False) -> DataFrame:
+    """rt_numpy.py:755 unique (+counts variant via groupBy)."""
+    if with_counts:
+        return df.groupBy(*cols).count().orderBy(*cols)
+    return df.select(*cols).distinct().orderBy(*cols)
+
+
+def sample_exact(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """rt_dataset.py:5978 sample — exact k rows. orderBy(rand).limit(k) is
+    a TakeOrdered (no full sort materialization)."""
+    return df.orderBy(F.rand(seed)).limit(k)

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with pure array expressions
+(F.zip_with dot product — JVM-side, no UDF). Scale path: LSH via random
+hyperplanes (sign-bit bucketing) so candidate generation shuffles only
+(bucket, id) pairs, plus an IVF-style coarse quantizer for cluster-local
+search.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    return F.sqrt(F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query. Queries are broadcast (queries ≪
+    corpus always holds in ANN serving); the corpus never shuffles — each
+    partition scores its vectors against all queries, then a per-query
+    top-k window reduces. At 1000 executors this is the right plan: the
+    100 TB side stays put."""
+    crossed = vectors.crossJoin(F.broadcast(queries))
+    score = (
+        cosine(F.col(vec_col), F.col(query_vec_col))
+        if metric == "cosine"
+        else -euclidean(F.col(vec_col), F.col(query_vec_col))
+    )
+    scored = crossed.select(
+        F.col(query_id_col), F.col(id_col), score.alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG — no numpy RNG
+    state, reproducible across driver/executors)."""
+    state = seed * 6364136223846793005 + 1442695040888963407
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # Box-Muller-free: map to (-1, 1) uniformly; fine for LSH signs
+            v.append((state >> 11) / float(1 << 53) * 2 - 1)
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · plane_i) → long."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        out = out + F.when(dot(vec, plane) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature, score only within the query's bucket. One shuffle keyed on
+    the bucket id; recall tuned by n_planes (fewer planes → bigger
+    buckets → higher recall, more compute)."""
+    planes = _hyperplanes(dim, n_planes)
+    v = vectors.withColumn("__bucket__", lsh_bucket(F.col(vec_col), planes))
+    q = queries.withColumn("__bucket__", lsh_bucket(F.col(query_vec_col), planes))
+    joined = v.join(F.broadcast(q), on="__bucket__")
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), cosine(F.col(vec_col), F.col(query_vec_col)).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", centroid_id: str = "centroid_id", centroid_vec: str = "centroid_vec") -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (centroids broadcast). Write the result partitioned by centroid_id and
+    ANN queries read only the probed partitions — partition pruning IS the
+    index at 100 TB."""
+    crossed = vectors.crossJoin(F.broadcast(centroids))
+    d = euclidean(F.col(vec_col), F.col(centroid_vec))
+    scored = crossed.select(id_col, vec_col, F.col(centroid_id), d.alias("__d__"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__d__"), F.col(centroid_id))
+    return scored.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1).drop("__rn__", "__d__")
+
+
+def pairwise_cosine(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above threshold (the
+    embedding-dedup flavor). Brute-force within — use lsh buckets first at
+    scale; kept exact here as the oracle-checkable baseline."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    pairs = a.join(b, on=F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

@@ -1,0 +1,120 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All operators are pure Column expressions (JVM-side, codegen) over the
+``documents`` table — no Python in the hot path, so they scan at parquet
+speed and scale linearly with executors. No shuffle unless aggregated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language-ID. Deliberately small: the point is a cheap codegen-able
+# discriminator, not a model.
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " in "],
+    "de": [" der ", " die ", " und ", " das ", " nicht "],
+    "fr": [" le ", " la ", " les ", " et ", " est "],
+    "es": [" el ", " la ", " los ", " que ", " y "],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: counts word pieces + digits + punctuation runs with
+    one regexp pass (the standard GPT-2-style pre-tokenizer shape)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are English stopwords (quality signal)."""
+    sw = stopwords or ["the", "and", "of", "to", "in", "a", "is", "that", "it", "for"]
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    no_punct = F.regexp_replace(col, r"[^\w\s]", "")
+    return (F.length(col) - F.length(no_punct)) / F.greatest(F.length(col), F.lit(1))
+
+
+def upper_ratio(col: Column) -> Column:
+    no_upper = F.regexp_replace(col, r"[A-Z]", "")
+    return (F.length(col) - F.length(no_upper)) / F.greatest(F.length(col), F.lit(1))
+
+
+def digit_ratio(col: Column) -> Column:
+    no_digit = F.regexp_replace(col, r"[0-9]", "")
+    return (F.length(col) - F.length(no_digit)) / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = F.split(F.trim(col), r"\s+")
+    return F.length(F.regexp_replace(col, r"\s+", "")) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite heuristic quality score in [0, 1]: rewards sane length,
+    low punctuation/digit density, presence of stopwords (prose-ness)."""
+    n = F.length(col)
+    length_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.least(n.cast("double") / 50.0, F.lit(1.0))
+    )
+    p = 1.0 - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    d = 1.0 - F.least(digit_ratio(col) * 4, F.lit(1.0))
+    s = F.least(stopword_ratio(col) * 3, F.lit(1.0))
+    return (length_ok + p + d + s) / 4
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-based language ID: pick the language with the most stopword
+    marker hits in the (lowercased, padded) text; 'und' when nothing hits.
+    One pass of literal `contains` — fully codegen."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            hit = F.when(padded.contains(m), 1).otherwise(0)
+            score = hit if score is None else score + hit
+        scores.append((lang, score))
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, score in reversed(scores):
+        out = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: 64-bit hash of the whitespace/case-normalized
+    text (rolling-hash analogue; xxhash64 is the JVM-side primitive)."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile of a documents table: all signals as extra columns."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        char_count(c).alias("n_chars_computed"),
+        punct_ratio(c).alias("punct_ratio"),
+        digit_ratio(c).alias("digit_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,273 @@
+"""Ordered / windowed operators (SURVEY §2.5, §2.6).
+
+Reference: the 200/300-series GB_FUNCTIONS (/root/reference/riptable/
+rt_enum.py:511-532) — rolling_*, cum*, shift/diff, rank, fills, EMA — all
+defined over *physical row order within group* (rt_groupbyops.py:2941-3435).
+
+Spark mapping: ``Window.partitionBy(keys).orderBy(order)`` frames. The
+order column is explicit (a timestamp or ``__rowid__``) because Spark rows
+have no physical order. Time-distance windows (timewindow_sum,
+rt_fastarray.py:2629) use ``rangeBetween`` — the native fit.
+
+EMA recurrences (ema_decay/normal/weighted, rt_groupbyops.py:3314-3438)
+are sequential scans — implemented in operators/ema.py via applyInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def group_window(keys: list[str] | None, order: str | Column) -> WindowSpec:
+    ocol = F.col(order) if isinstance(order, str) else order
+    if keys:
+        return Window.partitionBy(*keys).orderBy(ocol)
+    return Window.orderBy(ocol)
+
+
+# --- shift / diff (rt_groupbyops.py:3660, 3551; rt_fastarray.py:4046/4251)
+def shift(col: Column, n: int, w: WindowSpec) -> Column:
+    return F.lag(col, n).over(w) if n >= 0 else F.lead(col, -n).over(w)
+
+
+def diff(col: Column, n: int, w: WindowSpec) -> Column:
+    return col - shift(col, n, w)
+
+
+def differs(col: Column, w: WindowSpec) -> Column:
+    """rt_fastarray.py:4153 — element != previous element."""
+    prev = F.lag(col).over(w)
+    return ~(col.eqNullSafe(prev))
+
+
+def transitions(col: Column, w: WindowSpec) -> Column:
+    """rt_fastarray.py:4220 — 1 where a run starts (first row counts)."""
+    return differs(col, w).cast("int")
+
+
+# --- cumulative (rt_groupbyops.py:3158-3239)
+def _cum_frame(w: WindowSpec) -> WindowSpec:
+    return w.rowsBetween(Window.unboundedPreceding, 0)
+
+
+def cumsum(col: Column, w: WindowSpec) -> Column:
+    return F.sum(col).over(_cum_frame(w))
+
+
+def cummax(col: Column, w: WindowSpec) -> Column:
+    return F.max(col).over(_cum_frame(w))
+
+
+def cummin(col: Column, w: WindowSpec) -> Column:
+    return F.min(col).over(_cum_frame(w))
+
+
+def cumcount(w: WindowSpec) -> Column:
+    return F.count(F.lit(1)).over(_cum_frame(w))
+
+
+def cumprod(col: Column, w: WindowSpec) -> Column:
+    """No SQL cumulative product → exp(cumsum(ln|x|)) with sign tracking;
+    exact for positive inputs, sign-correct generally (0 handled)."""
+    frame = _cum_frame(w)
+    anyzero = F.max(F.when(col == 0, 1).otherwise(0)).over(frame) == 1
+    negcount = F.sum(F.when(col < 0, 1).otherwise(0)).over(frame)
+    magnitude = F.exp(F.sum(F.log(F.abs(col))).over(frame))
+    sign = F.when(negcount % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return F.when(anyzero, F.lit(0.0)).otherwise(sign * magnitude)
+
+
+def cumsum_reset(col: Column, reset: Column, keys: list[str], order) -> Column:
+    """cum* with reset_filter (rt_groupbyops.py:3158 filter/reset_filter):
+    segment-id trick — cumsum of reset flags becomes an extra partition
+    key, so each reset starts a fresh running sum."""
+    ocol = F.col(order) if isinstance(order, str) else order
+    base = Window.partitionBy(*keys).orderBy(ocol).rowsBetween(Window.unboundedPreceding, 0)
+    seg = F.sum(reset.cast("int")).over(base)
+    w2 = Window.partitionBy(*keys, seg).orderBy(ocol).rowsBetween(Window.unboundedPreceding, 0)
+    return F.sum(col).over(w2)
+
+
+# --- rolling, row-count frames (rt_groupbyops.py:2941-3115)
+def _roll_frame(w: WindowSpec, window: int) -> WindowSpec:
+    return w.rowsBetween(-(window - 1), 0)
+
+
+def rolling_sum(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    """riptable rolling_* emits invalid for the first window-1 rows of each
+    group (full windows only) — reproduce with a row_number guard."""
+    full = F.row_number().over(w) >= window
+    return F.when(full, F.sum(col).over(_roll_frame(w, window)))
+
+
+def rolling_mean(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    full = F.row_number().over(w) >= window
+    return F.when(full, F.avg(col).over(_roll_frame(w, window)))
+
+
+def rolling_nansum(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    return F.sum(col).over(_roll_frame(w, window))
+
+
+def rolling_nanmean(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    return F.avg(col).over(_roll_frame(w, window))
+
+
+def rolling_count(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    return F.count(col).over(_roll_frame(w, window))
+
+
+def rolling_min(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    return F.min(col).over(_roll_frame(w, window))
+
+
+def rolling_max(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    return F.max(col).over(_roll_frame(w, window))
+
+
+def rolling_std(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    return F.stddev_samp(col).over(_roll_frame(w, window))
+
+
+def rolling_var(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    return F.var_samp(col).over(_roll_frame(w, window))
+
+
+def rolling_median(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    return F.median(col).over(_roll_frame(w, window))
+
+
+def rolling_quantile(col: Column, q: float, w: WindowSpec, window: int = 3) -> Column:
+    return F.percentile(col, F.lit(q)).over(_roll_frame(w, window))
+
+
+# --- time-distance windows (rt_fastarray.py:2629 timewindow_sum)
+def timewindow_sum(col: Column, keys: list[str], time_col: str, dist, unit_expr: str | None = None) -> Column:
+    """Sum over trailing *time* window — rangeBetween is the native fit."""
+    order = F.col(time_col).cast("long") if unit_expr is None else F.expr(unit_expr)
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(order).rangeBetween(-dist, 0)
+    return F.sum(col).over(w)
+
+
+def timewindow_prod(col: Column, keys: list[str], time_col: str, dist) -> Column:
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(
+        F.col(time_col).cast("long")
+    ).rangeBetween(-dist, 0)
+    anyzero = F.max(F.when(col == 0, 1).otherwise(0)).over(w) == 1
+    negcount = F.sum(F.when(col < 0, 1).otherwise(0)).over(w)
+    sign = F.when(negcount % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return F.when(anyzero, F.lit(0.0)).otherwise(sign * F.exp(F.sum(F.log(F.abs(col))).over(w)))
+
+
+# --- fills (rt_fastarraynumba.py:149/241, rt_groupbynumba.py:312/348)
+def fill_forward(col: Column, w: WindowSpec) -> Column:
+    return F.last(col, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+def fill_backward(col: Column, w: WindowSpec) -> Column:
+    return F.first(col, ignorenulls=True).over(w.rowsBetween(0, Window.unboundedFollowing))
+
+
+def fill_forward_limit(col: Column, w: WindowSpec, limit: int) -> Column:
+    """limit= support: only fill if the last non-null is within `limit`
+    rows back (distance check via a filled row-number marker)."""
+    rn = F.row_number().over(w)
+    last_valid_rn = F.last(F.when(col.isNotNull(), rn), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last(col, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return F.when(col.isNotNull(), col).when(rn - last_valid_rn <= limit, filled)
+
+
+# --- rank / ngroup / findnth (rt_groupbyops.py:3632, 3565, 3262)
+def rank(col: Column, w_keys: list[str] | None, method: str = "average", pct: bool = False) -> Column:
+    base = Window.partitionBy(*w_keys) if w_keys else Window.partitionBy()
+    w = base.orderBy(col)
+    if method == "first":
+        r = F.row_number().over(w)
+    elif method == "min":
+        r = F.rank().over(w)
+    elif method == "max":
+        r = F.rank().over(base.orderBy(col.desc()))
+        cnt = F.count(F.lit(1)).over(base)
+        r = cnt - r + 1
+    elif method == "dense":
+        r = F.dense_rank().over(w)
+    else:  # average = (min_rank + max_rank)/2
+        rmin = F.rank().over(w)
+        cnt_eq = F.count(F.lit(1)).over(base.orderBy(col).rangeBetween(0, 0))
+        r = (rmin + (rmin + cnt_eq - 1)) / 2.0
+    if pct:
+        n = F.count(F.lit(1)).over(base)
+        return r / n
+    return r
+
+
+def ngroup(keys: list[str]) -> Column:
+    """rt_groupbyops.py:3565 — 0-based dense group number by key order."""
+    return F.dense_rank().over(Window.orderBy(*[F.col(k) for k in keys])) - 1
+
+
+def findnth(w: WindowSpec) -> Column:
+    """rt_groupbyops.py:3262 — 1-based position within group."""
+    return F.row_number().over(w)
+
+
+def head_per_group(df: DataFrame, keys: list[str], order, n: int) -> DataFrame:
+    """rt_groupbyops.py:3673 head — first n rows per group."""
+    w = group_window(keys, order)
+    return df.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= n).drop("__rn__")
+
+
+def tail_per_group(df: DataFrame, keys: list[str], order, n: int) -> DataFrame:
+    ocol = (F.col(order) if isinstance(order, str) else order).desc()
+    w = Window.partitionBy(*keys).orderBy(ocol)
+    return df.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= n).drop("__rn__")
+
+
+def nth_per_group(df: DataFrame, keys: list[str], order, n: int) -> DataFrame:
+    """GB_NTH (rt_groupbyops.py:3543) — 1-based nth row of each group."""
+    w = group_window(keys, order)
+    return df.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == n).drop("__rn__")
+
+
+def drop_duplicates(df: DataFrame, keys: list[str], order, keep: str = "first") -> DataFrame:
+    """rt_dataset.py:3631 drop_duplicates with keep=first|last|False.
+    keep=False drops ALL rows that have any duplicate."""
+    if keep is False or keep == "none":
+        w = Window.partitionBy(*keys)
+        return df.withColumn("__c__", F.count(F.lit(1)).over(w)).where(F.col("__c__") == 1).drop("__c__")
+    ocol = F.col(order) if isinstance(order, str) else order
+    if keep == "last":
+        ocol = ocol.desc()
+    w = Window.partitionBy(*keys).orderBy(ocol)
+    return df.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1).drop("__rn__")
+
+
+def issorted(df: DataFrame, col: str, order) -> bool:
+    """rt_numpy.py:710 — one aggregation over a lag comparison."""
+    w = Window.orderBy(F.col(order) if isinstance(order, str) else order)
+    bad = df.select(
+        (F.col(col) < F.lag(F.col(col)).over(w)).alias("desc_step")
+    ).where(F.col("desc_step")).limit(1).count()
+    return bad == 0
+
+
+def interp_extrap(
+    df: DataFrame, x_col: str, xp: DataFrame, xp_col: str, fp_col: str, out_col: str = "interp"
+) -> DataFrame:
+    """rt_numpy.py:5333 interp: linear interpolation of df[x_col] against
+    the sample curve xp(xp_col→fp_col). Implemented as two as-of aligns
+    (backward + forward bracket) on a union+window — one shuffle, then
+    pure arithmetic; extrapolates linearly at the ends using the nearest
+    bracket pair."""
+    from .merge import merge_asof
+
+    curve = xp.select(F.col(xp_col).alias(x_col), F.col(fp_col).alias("__fp__"))
+    b = merge_asof(df, curve.select(F.col(x_col), F.col("__fp__").alias("__y0__")), on=x_col, direction="backward", matched_on="__x0__")
+    bf = merge_asof(b, curve.select(F.col(x_col), F.col("__fp__").alias("__y1__")), on=x_col, direction="forward", allow_exact_matches=False, matched_on="__x1__")
+    slope = (F.col("__y1__") - F.col("__y0__")) / (F.col("__x1__").cast("double") - F.col("__x0__").cast("double"))
+    interp_val = F.col("__y0__") + slope * (F.col(x_col).cast("double") - F.col("__x0__").cast("double"))
+    result = F.when(F.col("__x1__").isNull(), F.col("__y0__")).when(F.col("__x0__").isNull(), F.col("__y1__")).otherwise(interp_val)
+    return bf.withColumn(out_col, result).drop("__x0__", "__x1__", "__y0__", "__y1__")

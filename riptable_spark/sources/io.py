@@ -1,0 +1,124 @@
+"""Sources/sinks: parquet-first I/O with the reference's load semantics.
+
+Reference parity (riptable SDS format, /root/reference/riptable/rt_sds.py:719
+save, :1855 load): per-column compressed storage, nested Struct directories,
+stacked multi-file loads with schema unification. On Spark the native
+equivalent is a directory of zstd parquet files; ``load_stacked`` reproduces
+``load_sds(stack=True)``'s upcast/missing-column semantics via
+``mergeSchema`` + ``unionByName(allowMissingColumns=True)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): read as long ns (session
+# config nanosAsLong) and converted to µs TimestampType here. The testdata
+# generator emits µs-aligned values, so truncation is lossless; a true
+# ns-precision pipeline would additionally carry `<col>_ns_rem`.
+_NANOS_TS_COLUMNS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Filters/projections placed on the result
+    push down to the parquet scan (verify with .explain: PushedFilters)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLUMNS.get(name, []):
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries run
+    against the same names the DuckDB oracle uses."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def load_stacked(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """riptable ``load_sds(files, stack=True)`` analogue
+    (rt_sds.py:1855-1940): stack N files into one table; columns missing
+    from a file come back NULL (riptable fills per-dtype invalids);
+    conflicting-but-compatible dtypes are unified by parquet mergeSchema.
+
+    Scale note: this is a pure metadata union — no shuffle; each file
+    contributes its own scan partitions, which is exactly the PDataset
+    partition model (rt_pdataset.py:18).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def save_dataset(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """``save_sds`` analogue: zstd parquet. ``partition_by`` gives the
+    hive-partitioned layout used for partition pruning at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def save_struct(datasets: dict[str, DataFrame], root: str, mode: str = "overwrite") -> None:
+    """Nested Struct-of-Datasets save (rt_sds.py nested dirs) → a directory
+    tree with one parquet dataset per member."""
+    for name, df in datasets.items():
+        save_dataset(df, os.path.join(root, name), mode=mode)
+
+
+def load_struct(spark: SparkSession, root: str) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in sorted(os.listdir(root)):
+        sub = os.path.join(root, name)
+        if os.path.isdir(sub):
+            out[name] = spark.read.parquet(sub)
+    return out
+
+
+def sds_info(spark: SparkSession, path: str):
+    """Schema/metadata without a data read (rt_sds.py:1015 sds_info):
+    parquet footers only."""
+    return spark.read.parquet(path).schema
+
+
+def load_csv(spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True) -> DataFrame:
+    """``load_csv_as_dataset`` analogue (rt_csv.py:15)."""
+    return spark.read.csv(path, header=header, inferSchema=infer_schema)
+
+
+def with_rowid(df: DataFrame, *order_cols: str) -> DataFrame:
+    """Stamp a monotone ``__rowid__`` defining riptable's physical row
+    order (SURVEY §1.2: row order is semantically significant).
+
+    With ``order_cols``, the rowid is a deterministic dense rank over those
+    columns (reproducible across runs/partitionings — use for tests and
+    anything oracle-checked). Without, it is partition-monotone via
+    ``monotonically_increasing_id`` (cheap, no shuffle; stable for a fixed
+    file layout — the 100 TB path).
+    """
+    if order_cols:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn("__rowid__", F.row_number().over(w) - F.lit(1))
+    return df.withColumn("__rowid__", F.monotonically_increasing_id())

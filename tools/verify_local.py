@@ -1,0 +1,108 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every queries() entry at a given sf dir, runs the matching
+oracle_sql() in DuckDB over the same parquet files, and compares
+(columns sorted by name, rows sorted, values exact-after-normalization).
+
+Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from riptable_spark.queries import ORACLES, QUERIES  # noqa: E402
+from riptable_spark.session import get_spark  # noqa: E402
+from riptable_spark.sources.io import TABLES  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif s.dtype == object:
+            # decode bytes / lists deterministically
+            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    if list(a.columns) != list(b.columns):
+        return False, f"column mismatch: spark={list(a.columns)} oracle={list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"rowcount mismatch: spark={len(a)} oracle={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            ok = np.allclose(av.fillna(-9e99), bv.fillna(-9e99), rtol=0, atol=0, equal_nan=True)
+            exact = ok
+        else:
+            exact = av.equals(bv)
+        if not exact:
+            mask = ~((av.isna() & bv.isna()) | (av == bv))
+            idx = mask[mask].index[:5].tolist()
+            detail = "; ".join(f"row{i}: spark={av[i]!r} oracle={bv[i]!r}" for i in idx)
+            return False, f"value mismatch in '{c}' ({int(mask.sum())} rows): {detail}"
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    names = [a for a in sys.argv[1:] if not os.path.isdir(a)] or list(QUERIES)
+    spark = get_spark("verify_local")
+    con = duck_connection(sf_dir)
+    failures = []
+    for name in names:
+        fn = QUERIES[name]
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            failures.append(name)
+            print(f"FAIL  {name}: spark query raised\n{traceback.format_exc()}")
+            continue
+        if name not in ORACLES:
+            print(f"SKIP  {name}: no oracle (rows-only) — spark rows={len(sdf)}")
+            continue
+        try:
+            odf = con.execute(ORACLES[name]).fetchdf()
+        except Exception:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle raised\n{traceback.format_exc()}")
+            continue
+        ok, msg = compare(normalize(sdf), normalize(odf))
+        status = "PASS " if ok else "FAIL "
+        if not ok:
+            failures.append(name)
+        print(f"{status} {name}: rows={len(sdf)} {msg if not ok else ''}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
