@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall times.
+
+Execution is measured with the noop sink (full plan runs, nothing is
+collected to the driver) — at 100 TB the driver never materializes
+results, so the bench shouldn't either.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from riptable_spark.queries import QUERIES  # noqa: E402
+from riptable_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",   # scan→filter→agg (TPC-H Q1 shape)
+    "q04_groupby_stats",     # heavy groupby reduce set (exact percentiles)
+    "q07_merge2_inner",      # fact-fact shuffle join
+    "q09_merge_lookup",      # broadcast dim join + agg
+    "q13_asof_backward",     # as-of join (union+window)
+    "q16_cumsum",            # window cumulative
+    "q20_drop_duplicates",   # keyed dedupe window
+    "q22_accum2",            # pivot cross-tab
+    "q31_token_jaccard",     # explode + bucket self-join similarity
+    "q32_cosine_topk",       # embedding brute-force top-k
+    "q33_minhash_pairs",     # MinHash LSH banding
+    "q35_ema_decay",         # applyInPandas sequential recurrence
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # one warm scan so JVM/codegen startup doesn't pollute the first query
+    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

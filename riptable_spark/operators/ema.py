@@ -22,37 +22,61 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _ema_decay_scan(x: np.ndarray, t: np.ndarray, rate: float) -> np.ndarray:
-    out = np.empty(len(x), dtype=np.float64)
-    last = 0.0
-    prev_t = t[0] if len(t) else 0.0
-    for i in range(len(x)):
-        decay = np.exp(-rate * (t[i] - prev_t))
-        last = x[i] + last * decay
-        out[i] = last
-        prev_t = t[i]
+def _decayed_cumsum(c: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """Vectorized evaluation of the recurrence out_i = c_i + out_{i-1} *
+    exp(-(e_i - e_{i-1})) via the closed form out_i = e^{-e_i} Σ_{j≤i}
+    c_j e^{e_j}, processed in blocks rebased whenever the exponent range
+    exceeds 500 so e^{e} never overflows. O(n) numpy, no Python loop over
+    rows (the block loop runs ~range(e)/500 times)."""
+    n = len(c)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    start = 0
+    prev_out = 0.0
+    prev_e = e[0]
+    while start < n:
+        e0 = e[start]
+        end = int(np.searchsorted(e[start:], e0 + 500.0)) + start
+        end = max(end, start + 1)
+        w = np.exp(e[start:end] - e0)
+        carry = prev_out * np.exp(-(e0 - prev_e))
+        block = (np.cumsum(c[start:end] * w) + carry) / w
+        out[start:end] = block
+        prev_out = block[-1]
+        prev_e = e[end - 1]
+        start = end
     return out
+
+
+def _ema_decay_scan(x: np.ndarray, t: np.ndarray, rate: float) -> np.ndarray:
+    """out_i = x_i + last*exp(-rate*Δt); first row's Δt is 0."""
+    if len(x) == 0:
+        return np.empty(0, dtype=np.float64)
+    e = rate * (t - t[0])
+    return _decayed_cumsum(x.astype(np.float64), e)
 
 
 def _ema_normal_scan(x: np.ndarray, t: np.ndarray, rate: float) -> np.ndarray:
-    out = np.empty(len(x), dtype=np.float64)
-    last = x[0] if len(x) else 0.0
-    prev_t = t[0] if len(t) else 0.0
-    for i in range(len(x)):
-        w = np.exp(-rate * (t[i] - prev_t))
-        last = x[i] * (1 - w) + last * w
-        out[i] = last
-        prev_t = t[i]
-    return out
+    """last = x*(1-w) + last*w, w=exp(-rate*Δt), last initialized to x_0."""
+    if len(x) == 0:
+        return np.empty(0, dtype=np.float64)
+    e = rate * (t - t[0])
+    w = np.exp(-np.diff(e, prepend=e[0]))
+    c = (1.0 - w) * x
+    c[0] = x[0]  # initialization last=x_0 (decay of the seed, not (1-w)x_0)
+    return _decayed_cumsum(c, e)
 
 
 def _ema_weighted_scan(x: np.ndarray, alpha: float) -> np.ndarray:
-    out = np.empty(len(x), dtype=np.float64)
-    last = x[0] if len(x) else 0.0
-    for i in range(len(x)):
-        last = x[i] * alpha + last * (1 - alpha)
-        out[i] = last
-    return out
+    """last = alpha*x + (1-alpha)*last, last initialized to x_0."""
+    n = len(x)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    e = -np.log1p(-alpha) * np.arange(n, dtype=np.float64)
+    c = np.full(n, alpha, dtype=np.float64) * x
+    c[0] = x[0]
+    return _decayed_cumsum(c, e)
 
 
 def _make_applier(kind: str, valcol: str, timecol: str | None, rate: float, out_col: str, sort_cols: list[str]):
