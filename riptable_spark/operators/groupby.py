@@ -171,4 +171,4 @@ def agg_dict(df: DataFrame, keys: list[str], spec: dict[str, list[str]], flt: Co
 
 def null_result(df: DataFrame, keys: list[str]) -> DataFrame:
     """GroupByOps.null (rt_groupbyops.py:1014): keys-only distinct table."""
-    return df.groupBy(*keys).agg().select(*keys)
+    return df.select(*keys).distinct()

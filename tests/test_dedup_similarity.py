@@ -1,0 +1,134 @@
+"""Dedup (MinHash/SimHash/Jaccard) and similarity-search correctness."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from riptable_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("dog", "cat")),  # near dup
+        (3, "completely different words about spark dataframes and shuffles everywhere"),
+        (4, "the  QUICK  brown fox jumps over the lazy dog near the river bank today"),  # ws/case dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_normalized(docs):
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(docs).collect())
+    assert kept == [0, 2, 3]  # 1 and 4 collapse onto 0
+
+
+def test_duplicate_clusters(docs):
+    cl = dedup.duplicate_clusters_exact(docs).collect()
+    assert len(cl) == 1 and cl[0].n_docs == 3 and cl[0].keep_id == 0
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, num_perm=32, bands=16, shingle_n=2).collect()
+    }
+    assert (0, 1) in pairs and (0, 4) in pairs  # exact dups always collide
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_dedup_removes(docs):
+    kept = sorted(r.doc_id for r in dedup.minhash_dedup(docs, num_perm=32, bands=16, shingle_n=2).collect())
+    assert 0 in kept and 3 in kept and 1 not in kept
+
+
+def test_simhash_hamming(docs):
+    sh = {r["doc_id"]: r["__sh__"] for r in dedup.simhash_df(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical fingerprint
+    d_near = bin(sh[0] ^ sh[2]).count("1")
+    d_far = bin(sh[0] ^ sh[3]).count("1")
+    assert d_near < d_far
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_dups(docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    a = "w1 w2 w3 w4"
+    b = "w1 w2 w3 w5"
+    df = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+    out = dedup.ngram_jaccard_pairs(df, n=1, threshold=0.0).collect()
+    assert len(out) == 1
+    assert math.isclose(out[0].jaccard, 3 / 5)  # |∩|=3, |∪|=5
+
+
+def test_shingles_word_mode(spark):
+    df = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+    got = df.select(dedup.shingles(F.col("text"), 2).alias("s")).collect()[0].s
+    assert sorted(got) == ["a b", "b c", "c d"]
+
+
+# ---------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 8)).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    return vecs, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    vecs, df = vectors
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(df, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.score))
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for q in range(3):
+        order = sorted(range(50), key=lambda i: (-sims[q, i], i))[:5]
+        got_ids = [v for _, v, _ in sorted(got[q])]
+        assert got_ids == order
+        for rank, vid, score in got[q]:
+            assert math.isclose(score, sims[q, vid], rel_tol=1e-9)
+
+
+def test_lsh_topk_self_recall(vectors):
+    """Every query's own vector is in its bucket and ranks #1."""
+    vecs, df = vectors
+    queries = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.lsh_topk(df, queries, dim=8, k=3, n_planes=6)
+    top1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
+    assert top1 == {i: i for i in range(5)}
+
+
+def test_pairwise_cosine_threshold(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r.id_a, r.id_b) for r in similarity.pairwise_cosine(df, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_ivf_assign(spark):
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], ["centroid_id", "centroid_vec"]
+    )
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [9.0, 9.5]), (2, [0.1, 0.2])], ["vec_id", "embedding"]
+    )
+    got = {r.vec_id: r.centroid_id for r in similarity.ivf_assign(vecs, cents).collect()}
+    assert got == {0: 0, 1: 1, 2: 0}

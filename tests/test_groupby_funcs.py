@@ -1,0 +1,148 @@
+"""GroupByOps reduce surface + nullsafe semantics (SURVEY §2.4, §1.2).
+
+Mirrors the reference's parameterized groupby sweep style
+(riptable/tests/groupby_unit_test_parameters.py): spark result vs a
+pandas/numpy oracle over generated keys×values."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from riptable_spark.functions import nullsafe
+from riptable_spark.operators import groupby as gb
+
+
+@pytest.fixture(scope="module")
+def gdata(spark):
+    rng = np.random.default_rng(7)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 5, n),
+            "k2": rng.choice(["x", "y", "z"], n),
+            "v1": rng.normal(10, 5, n),
+            "v2": rng.integers(0, 100, n).astype("float64"),
+        }
+    )
+    pdf.loc[rng.choice(n, 50, replace=False), "v1"] = np.nan
+    return pdf, spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize("fn,pdagg", [
+    ("sum", "sum"), ("mean", "mean"), ("min", "min"), ("max", "max"),
+    ("var", "var"), ("std", "std"), ("median", "median"),
+])
+def test_nan_aggs_match_pandas(gdata, fn, pdagg):
+    """nan* variants = pandas default (NaN-skipping) semantics."""
+    pdf, df = gdata
+    sfn = getattr(gb, "nan" + fn if fn in ("sum", "mean", "min", "max", "var", "std") else fn)
+    got = {
+        (r.k1, r.k2): r.out
+        for r in df.groupBy("k1", "k2").agg(sfn(F.col("v1")).alias("out")).collect()
+    }
+    exp = pdf.groupby(["k1", "k2"])["v1"].agg(pdagg)
+    for key, val in exp.items():
+        assert math.isclose(got[key], val, rel_tol=1e-9), (fn, key)
+
+
+def test_strict_sum_propagates_invalid(gdata):
+    pdf, df = gdata
+    got = {
+        (r.k1, r.k2): r.out
+        for r in df.groupBy("k1", "k2").agg(gb.strict(F.sum, F.col("v1")).alias("out")).collect()
+    }
+    has_nan = pdf.groupby(["k1", "k2"])["v1"].agg(lambda s: s.isna().any())
+    sums = pdf.groupby(["k1", "k2"])["v1"].sum()
+    for key in sums.index:
+        if has_nan[key]:
+            assert got[key] is None, key
+        else:
+            assert math.isclose(got[key], sums[key], rel_tol=1e-9), key
+
+
+def test_quantile_interpolation_matches_numpy(gdata):
+    pdf, df = gdata
+    got = {
+        r.k1: r.q
+        for r in df.groupBy("k1").agg(gb.quantile(F.col("v2"), 0.37).alias("q")).collect()
+    }
+    for k, grp in pdf.groupby("k1"):
+        assert math.isclose(got[k], np.quantile(grp["v2"], 0.37), rel_tol=1e-12)
+
+
+def test_sem_matches_scipy_formula(gdata):
+    pdf, df = gdata
+    got = {r.k1: r.s for r in df.groupBy("k1").agg(gb.sem(F.col("v2")).alias("s")).collect()}
+    for k, grp in pdf.groupby("k1"):
+        expected = grp["v2"].std(ddof=1) / math.sqrt(len(grp))
+        assert math.isclose(got[k], expected, rel_tol=1e-9)
+
+
+def test_count_uniques(gdata):
+    pdf, df = gdata
+    got = {r.k1: r.n for r in df.groupBy("k1").agg(gb.count_uniques(F.col("k2")).alias("n")).collect()}
+    for k, grp in pdf.groupby("k1"):
+        assert got[k] == grp["k2"].nunique()
+
+
+def test_agg_dict_multiset_flattening(gdata):
+    _, df = gdata
+    out = gb.agg_dict(df, ["k1"], {"v1": ["mean", "max"], "v2": ["sum"]})
+    assert set(out.columns) == {"k1", "v1_mean", "v1_max", "v2_sum"}
+
+
+def test_fused_filter(gdata):
+    """Filter fused into the aggregation (bin-0 trick,
+    rt_grouping.py:3319-3327) equals filtering first."""
+    pdf, df = gdata
+    flt = F.col("v2") > 50
+    fused = {
+        r.k1: r.s for r in df.groupBy("k1").agg(gb.nansum(F.col("v2"), flt).alias("s")).collect()
+    }
+    pre = {
+        r.k1: r.s
+        for r in df.where(flt).groupBy("k1").agg(gb.nansum(F.col("v2")).alias("s")).collect()
+    }
+    assert fused == pre
+
+
+def test_null_result_distinct_keys(gdata):
+    pdf, df = gdata
+    assert gb.null_result(df, ["k1", "k2"]).count() == pdf.groupby(["k1", "k2"]).ngroups
+
+
+def test_trimbr(spark):
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["g", "v"])
+    out = gb.trimbr(df, ["g"], "v", 0.1, 0.9).collect()
+    # percentile_cont(0.1)=10.9, (0.9)=90.1 → keep 11..90 → mean 50.5
+    assert len(out) == 1 and math.isclose(out[0].trimbr, 50.5)
+
+
+# ------------------------------------------------------------ nullsafe
+def test_sentinel_to_null(spark):
+    df = spark.createDataFrame(
+        [(1, -(2**31), "", 1.5), (2, 7, "ok", float("nan"))],
+        "id long, i int, s string, f double",
+    )
+    out = nullsafe.sentinel_to_null(df).orderBy("id").collect()
+    assert out[0].i is None and out[0].s is None and out[0].f == 1.5
+    assert out[1].i == 7 and out[1].s == "ok" and out[1].f is None
+
+
+def test_isna_fillna(spark):
+    df = spark.createDataFrame([(1, None), (2, 5.0), (3, float("nan"))], "id long, v double")
+    out = df.select("id", nullsafe.isna(F.col("v")).alias("na"), nullsafe.fillna(F.col("v"), 0.0).alias("f")).orderBy("id").collect()
+    assert [r.na for r in out] == [True, False, True]
+    assert [r.f for r in out] == [0.0, 5.0, 0.0]
+
+
+def test_isnanorzero(spark):
+    df = spark.createDataFrame([(0.0,), (1.0,), (float("nan"),)], ["v"])
+    got = [r.z for r in df.select(nullsafe.isnanorzero(F.col("v")).alias("z")).collect()]
+    assert got == [True, False, True]

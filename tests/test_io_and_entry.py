@@ -1,0 +1,102 @@
+"""Sources/sinks, multimodal plumbing, and the driver entry contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from riptable_spark.operators import multimodal
+from riptable_spark.sources import io
+
+
+def test_load_table_pushdown(spark, sf_dir):
+    """Projection + filter must reach the parquet scan (SURVEY: 'a scan
+    that reads all columns for a 2-column projection is wrong')."""
+    df = io.load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49).select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_events_ns_timestamp_ingest(spark, sf_dir):
+    ev = io.load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.where(F.col("ts").isNull()).count() == 0
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2.0)
+    io.save_dataset(df, str(tmp_path / "t"))
+    back = spark.read.parquet(str(tmp_path / "t"))
+    assert back.count() == 100 and set(back.columns) == {"id", "v"}
+
+
+def test_save_struct_tree(spark, tmp_path):
+    io.save_struct({"a": spark.range(3), "b": spark.range(5)}, str(tmp_path / "root"))
+    loaded = io.load_struct(spark, str(tmp_path / "root"))
+    assert set(loaded) == {"a", "b"}
+    assert loaded["b"].count() == 5
+
+
+def test_load_stacked_schema_unification(spark, tmp_path):
+    """load_sds(stack=True) semantics: missing columns → NULL."""
+    spark.range(3).withColumn("x", F.lit(1.0)).write.parquet(str(tmp_path / "f1"))
+    spark.range(2).withColumn("y", F.lit("s")).write.parquet(str(tmp_path / "f2"))
+    out = io.load_stacked(spark, [str(tmp_path / "f1"), str(tmp_path / "f2")])
+    assert set(out.columns) == {"id", "x", "y"}
+    assert out.count() == 5
+    assert out.where(F.col("x").isNull()).count() == 2
+
+
+def test_with_rowid_deterministic(spark):
+    df = spark.createDataFrame([(3,), (1,), (2,)], ["v"])
+    out = io.with_rowid(df, "v").orderBy("v").collect()
+    assert [(r["v"], r["__rowid__"]) for r in out] == [(1, 0), (2, 1), (3, 2)]
+
+
+# ------------------------------------------------------------ multimodal
+def test_binary_metadata(spark):
+    df = spark.createDataFrame([(1, bytearray(b"abc")), (2, bytearray(b"defg"))], "id long, payload binary")
+    out = {r.id: (r.byte_size, r.content_hash) for r in multimodal.attach_binary_metadata(df, "payload").collect()}
+    assert out[1][0] == 3 and out[2][0] == 4
+    assert out[1][1] != out[2][1]
+
+
+def test_decode_images_stub_schema(spark):
+    df = spark.createDataFrame([(1, bytearray(b"img-bytes"))], "id long, payload binary")
+    out = multimodal.decode_images(df, "payload")
+    row = out.collect()[0]
+    assert row.image_meta.channels == 3
+    assert 64 <= row.image_meta.width < 256
+    # determinism: same payload → same fake dims
+    row2 = multimodal.decode_images(df, "payload").collect()[0]
+    assert row.image_meta == row2.image_meta
+
+
+def test_extract_features_stub(spark):
+    df = spark.createDataFrame([(1, bytearray(b"xx")), (2, bytearray(b"yy"))], "id long, payload binary")
+    out = {r.id: r.features for r in multimodal.extract_features_stub(df, "payload").collect()}
+    assert len(out[1]) == 8 and out[1] != out[2]
+    assert all(0 <= v <= 1 for v in out[1])
+
+
+def test_frame_sample_stub_explodes(spark):
+    df = spark.createDataFrame([(1, bytearray(b"videobytes"))], "id long, payload binary")
+    out = multimodal.frame_sample_stub(df, "payload")
+    rows = out.collect()
+    assert len(rows) >= 1
+    assert all(r.frame_payload is not None for r in rows)
+
+
+# ------------------------------------------------------------- contract
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql).issubset(set(qs))
+    assert len(qs) >= 38

@@ -1,0 +1,155 @@
+"""merge2 / merge_lookup / merge_asof semantics, mirroring the reference's
+test scenarios (riptable/tests/test_merge.py, test_merge_asof.py:56-494:
+backward/forward/nearest × exact/noexact × grouped)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from riptable_spark.operators import merge
+
+
+def make(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_merge2_inner_basic(spark):
+    l = make(spark, [(1, "a"), (2, "b"), (3, "c")], ["k", "lv"])
+    r = make(spark, [(2, 20.0), (3, 30.0), (4, 40.0)], ["k", "rv"])
+    out = merge.merge2(l, r, on="k", how="inner").orderBy("k").collect()
+    assert [(row.k, row.lv, row.rv) for row in out] == [(2, "b", 20.0), (3, "c", 30.0)]
+
+
+def test_merge2_left_and_outer(spark):
+    l = make(spark, [(1, "a"), (2, "b")], ["k", "lv"])
+    r = make(spark, [(2, 20.0), (4, 40.0)], ["k", "rv"])
+    left = merge.merge2(l, r, on="k", how="left").orderBy("k").collect()
+    assert [(row.k, row.rv) for row in left] == [(1, None), (2, 20.0)]
+    outer = merge.merge2(l, r, on="k", how="outer").orderBy("k").collect()
+    assert [(row.k) for row in outer] == [1, 2, 4]
+
+
+def test_merge2_null_keys_never_match(spark):
+    """rt_merge.py:2320: invalid (null) keys are not equal keys."""
+    l = make(spark, [(None, "a"), (1, "b")], ["k", "lv"])
+    r = make(spark, [(None, 1.0), (1, 2.0)], ["k", "rv"])
+    out = merge.merge2(l, r, on="k", how="inner").collect()
+    assert len(out) == 1 and out[0].k == 1
+
+
+def test_merge2_suffixes(spark):
+    l = make(spark, [(1, 10.0)], ["k", "v"])
+    r = make(spark, [(1, 99.0)], ["k", "v"])
+    out = merge.merge2(l, r, on="k", how="inner", suffixes=("_l", "_r"))
+    assert set(out.columns) == {"k", "v_l", "v_r"}
+
+
+def test_merge2_indicator(spark):
+    l = make(spark, [(1,), (2,)], ["k"])
+    r = make(spark, [(2,), (3,)], ["k"])
+    out = merge.merge2(l, r, on="k", how="outer", indicator=True)
+    got = {row.k: row.merge_indicator for row in out.collect()}
+    assert got == {1: "left_only", 2: "both", 3: "right_only"}
+
+
+def test_merge2_validate_raises(spark):
+    l = make(spark, [(1,), (1,)], ["k"])
+    r = make(spark, [(1, 5.0)], ["k", "rv"])
+    with pytest.raises(ValueError, match="not unique"):
+        merge.merge2(l, r, on="k", how="left", validate="1:1")
+    # m:1 passes — right side is unique
+    assert merge.merge2(l, r, on="k", how="left", validate="m:1").count() == 2
+
+
+def test_merge2_keep_last(spark):
+    l = make(spark, [(1, "x")], ["k", "lv"])
+    r = make(spark, [(1, 1, 10.0), (1, 2, 20.0)], ["k", "seq", "rv"])
+    out = merge.merge2(l, r, on="k", how="left", keep=(None, "last"), right_order_col="seq").collect()
+    assert len(out) == 1 and out[0].rv == 20.0
+
+
+def test_merge_lookup_require_match(spark):
+    l = make(spark, [(1,), (9,)], ["k"])
+    r = make(spark, [(1, "one")], ["k", "name"])
+    with pytest.raises(ValueError, match="unmatched"):
+        merge.merge_lookup(l, r, on="k", require_match=True)
+
+
+def test_semi_anti(spark):
+    l = make(spark, [(1,), (2,), (3,)], ["k"])
+    r = make(spark, [(2,), (2,), (3,)], ["k"])
+    assert sorted(row.k for row in merge.semi_join(l, r, "k").collect()) == [2, 3]
+    assert [row.k for row in merge.anti_join(l, r, "k").collect()] == [1]
+
+
+# ---------------------------------------------------------------- asof
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 3, "t1"), ("A", 7, "t2"), ("B", 5, "t3"), ("B", 1, "t4")],
+        ["sym", "t", "tid"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 3, 11.0), ("A", 6, 12.0), ("B", 4, 20.0), ("B", 8, 21.0)],
+        ["sym", "t", "px"],
+    )
+    return trades, quotes
+
+
+def test_asof_backward_exact(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {r.tid: r.px for r in merge.merge_asof(trades, quotes, on="t", by="sym").collect()}
+    assert out == {"t1": 11.0, "t2": 12.0, "t3": 20.0, "t4": None}
+
+
+def test_asof_backward_noexact(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r.tid: r.px
+        for r in merge.merge_asof(
+            trades, quotes, on="t", by="sym", allow_exact_matches=False
+        ).collect()
+    }
+    assert out == {"t1": 10.0, "t2": 12.0, "t3": 20.0, "t4": None}
+
+
+def test_asof_forward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r.tid: r.px
+        for r in merge.merge_asof(trades, quotes, on="t", by="sym", direction="forward").collect()
+    }
+    assert out == {"t1": 11.0, "t2": None, "t3": 21.0, "t4": 20.0}
+
+
+def test_asof_nearest(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r.tid: r.px
+        for r in merge.merge_asof(trades, quotes, on="t", by="sym", direction="nearest").collect()
+    }
+    # t1: t=3 exact backward 11.0; t2: t=7 back 12.0 (d1) vs none fwd... A fwd none -> 12.0
+    # t3: t=5 back 20.0 (d1) vs fwd 21.0 (d3) -> 20.0; t4: t=1 back none -> fwd 20.0
+    assert out == {"t1": 11.0, "t2": 12.0, "t3": 20.0, "t4": 20.0}
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r.tid: r.px
+        for r in merge.merge_asof(trades, quotes, on="t", by="sym", tolerance=1).collect()
+    }
+    # backward within distance 1: t1 (d0) ok, t2 (d1) ok, t3 (d1) ok, t4 none
+    assert out == {"t1": 11.0, "t2": 12.0, "t3": 20.0, "t4": None}
+
+
+def test_asof_matched_on(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r.tid: r.matched_t
+        for r in merge.merge_asof(
+            trades, quotes, on="t", by="sym", matched_on="matched_t"
+        ).collect()
+    }
+    assert out == {"t1": 3, "t2": 6, "t3": 4, "t4": None}
