@@ -1,0 +1,99 @@
+"""UDF surface (SURVEY §2.10): apply_reduce / apply_nonreduce / apply.
+
+Reference: /root/reference/riptable/rt_groupbyops.py:366 (apply_reduce:
+per-group array→scalar), :462 (apply_nonreduce: array→same-length array),
+:529 (apply: Dataset→Dataset, shape-changing); executor
+rt_grouping.py:2521/2944. Plus a registration API mirroring
+Grouping.register_functions (rt_grouping.py:3273).
+
+Spark mapping: all three are ``applyInPandas`` with Arrow batches — the
+user function receives numpy/pandas data per group exactly like the
+reference's packed-group kernels. One shuffle on the keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_TYPE_MAP = {
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "string": T.StringType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def _key_fields(df: DataFrame, keys: list[str]) -> list[T.StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [by_name[k] for k in keys]
+
+
+def apply_reduce(
+    df: DataFrame,
+    keys: list[str],
+    valcol: str,
+    fn: Callable,
+    out_col: str = "out",
+    out_type: str = "double",
+) -> DataFrame:
+    """Per-group array→scalar (rt_groupbyops.py:366). ``fn`` gets a numpy
+    array of the group's values, returns a scalar."""
+    schema = T.StructType(_key_fields(df, keys) + [T.StructField(out_col, _TYPE_MAP[out_type])])
+
+    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[out_col] = [fn(pdf[valcol].to_numpy())]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*keys).applyInPandas(reducer, schema=schema)
+
+
+def apply_nonreduce(
+    df: DataFrame,
+    keys: list[str],
+    valcol: str,
+    fn: Callable,
+    out_col: str = "out",
+    out_type: str = "double",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-group array→same-length array transform (rt_groupbyops.py:462).
+    ``order_col`` fixes the within-group order the array is presented in
+    (riptable's physical order has no Spark default)."""
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, _TYPE_MAP[out_type])])
+
+    def transform(pdf: pd.DataFrame) -> pd.DataFrame:
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+        pdf = pdf.copy()
+        pdf[out_col] = fn(pdf[valcol].to_numpy())
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(transform, schema=schema)
+
+
+def apply(df: DataFrame, keys: list[str], fn: Callable, schema) -> DataFrame:
+    """Per-group Dataset→Dataset, shape-changing (rt_groupbyops.py:529) —
+    the UDTF-like form; ``fn(pdf) -> pdf`` with any row count."""
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+# --- registration API (rt_grouping.py:3273, rt_fastarray.py:6052) ------
+_REGISTERED: dict[str, tuple[Callable, str]] = {}
+
+
+def register_function(name: str, fn: Callable, out_type: str = "double") -> None:
+    """Register a named per-group kernel usable via ``grouped(df, keys,
+    col).<name>()``-style dispatch (mirrors GB_FUNC_NUMBA registration)."""
+    _REGISTERED[name] = (fn, out_type)
+
+
+def run_registered(df: DataFrame, keys: list[str], valcol: str, name: str, out_col: str | None = None) -> DataFrame:
+    fn, out_type = _REGISTERED[name]
+    return apply_reduce(df, keys, valcol, fn, out_col=out_col or name, out_type=out_type)

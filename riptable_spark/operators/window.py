@@ -135,7 +135,9 @@ def rolling_var(col: Column, w: WindowSpec, window: int = 3) -> Column:
 
 
 def rolling_median(col: Column, w: WindowSpec, window: int = 3) -> Column:
-    return F.median(col).over(_roll_frame(w, window))
+    # F.median rejects window frames; percentile(0.5) is the same exact
+    # interpolation and is frame-capable
+    return F.percentile(col, F.lit(0.5)).over(_roll_frame(w, window))
 
 
 def rolling_quantile(col: Column, q: float, w: WindowSpec, window: int = 3) -> Column:
