@@ -1,0 +1,384 @@
+"""Dataset façade: riptable's user API surface over a pyspark DataFrame.
+
+Reference: Dataset (/root/reference/riptable/rt_dataset.py:155) — ordered
+dict of equal-length columns with filter/groupby/merge/sort/reshape
+methods; GroupBy (rt_groupby.py:70); Categorical (rt_categorical.py:1284).
+
+Design stance (SURVEY §7): *wrap, don't port*. Every method compiles to
+a declarative DataFrame plan; the wrapper adds riptable's names,
+invalid-handling defaults, and the reusable-grouping (Categorical)
+pattern. Row order is explicit: order-dependent methods take an
+``order`` column (or use the stamped ``__rowid__``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import nullsafe
+from .operators import accum as _accum
+from .operators import apply as _apply
+from .operators import groupby as _gb
+from .operators import merge as _merge
+from .operators import reshape as _reshape
+from .operators import window as _win
+from .sources import io as _io
+
+ROWID = "__rowid__"
+
+
+class Dataset:
+    """Columnar table façade (rt_dataset.py:155). Wraps an immutable
+    DataFrame; mutating-style APIs (``ds['x'] = expr``) return/replace the
+    underlying plan, preserving riptable's ergonomics without breaking
+    Spark's immutability."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # ---------------------------------------------------- construction
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str, rowid: bool = False) -> "Dataset":
+        df = spark.read.parquet(path)
+        return cls(_io.with_rowid(df) if rowid else df)
+
+    @classmethod
+    def load_table(cls, spark: SparkSession, sf_dir: str, name: str) -> "Dataset":
+        return cls(_io.load_table(spark, sf_dir, name))
+
+    @classmethod
+    def from_pandas(cls, spark: SparkSession, pdf) -> "Dataset":
+        """rt_dataset.py:3207 from_pandas."""
+        return cls(spark.createDataFrame(pdf))
+
+    @classmethod
+    def from_arrays(cls, spark: SparkSession, data: dict) -> "Dataset":
+        """Dataset({'col': array, ...}) ctor shape (rt_dataset.py:407)."""
+        import pandas as pd
+
+        return cls(spark.createDataFrame(pd.DataFrame(data)))
+
+    # ----------------------------------------------------- dict protocol
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def keys(self) -> list[str]:
+        return list(self._df.columns)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._df.columns
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self._df.columns:
+            return F.col(name)
+        raise AttributeError(name)
+
+    def __getitem__(self, item):
+        """Column select (str/list) or boolean-mask filter
+        (rt_dataset.py:1378-1470)."""
+        if isinstance(item, str):
+            return F.col(item)
+        if isinstance(item, Column):
+            return Dataset(self._df.where(item))
+        if isinstance(item, Iterable):
+            return Dataset(self._df.select(*list(item)))
+        raise TypeError(f"unsupported index type {type(item)}")
+
+    def __setitem__(self, name: str, value) -> None:
+        col = value if isinstance(value, Column) else F.lit(value)
+        self._df = self._df.withColumn(name, col)
+
+    def __len__(self) -> int:
+        return self._df.count()
+
+    def __repr__(self) -> str:
+        return f"Dataset[{', '.join(self._df.columns)}]"
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self._df.count(), len(self._df.columns))
+
+    # ----------------------------------------------------------- rows
+    def filter(self, mask: Column) -> "Dataset":
+        """rt_dataset.py:861."""
+        return Dataset(self._df.where(mask))
+
+    def head(self, n: int = 20) -> "Dataset":
+        return Dataset(self._df.limit(n))
+
+    def tail(self, n: int, order: str) -> "Dataset":
+        w = Window.orderBy(F.col(order).desc())
+        return Dataset(
+            self._df.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= n).drop("__rn__")
+        )
+
+    def sample(self, k: int, seed: int = 42) -> "Dataset":
+        """rt_dataset.py:5978."""
+        return Dataset(_reshape.sample_exact(self._df, k, seed))
+
+    def sort_copy(self, by, ascending=True) -> "Dataset":
+        """rt_dataset.py:4323 (sort_inplace/:4229 differs only in Python
+        mutability; Spark plans are immutable so one method serves both)."""
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        cols = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, asc)]
+        return Dataset(self._df.orderBy(*cols))
+
+    def drop_duplicates(self, subset: list[str], order, keep="first") -> "Dataset":
+        return Dataset(_win.drop_duplicates(self._df, subset, order, keep))
+
+    def trim(self, predicate: Column) -> "Dataset":
+        """rt_dataset.py:7787 — keep rows passing the predicate."""
+        return Dataset(self._df.where(predicate))
+
+    # -------------------------------------------------------- columns
+    def col_remove(self, *names: str) -> "Dataset":
+        return Dataset(self._df.drop(*names))
+
+    def col_rename(self, old: str, new: str) -> "Dataset":
+        return Dataset(self._df.withColumnRenamed(old, new))
+
+    def fillna(self, value, columns: list[str] | None = None) -> "Dataset":
+        return Dataset(nullsafe.replacena(self._df, value, columns))
+
+    def isna_mask(self, colname: str) -> Column:
+        return nullsafe.isna(F.col(colname))
+
+    def one_hot_encode(self, colname: str, values=None) -> "Dataset":
+        return Dataset(_reshape.one_hot_encode(self._df, colname, values))
+
+    # -------------------------------------------------------- groupby
+    def gb(self, keys) -> "GroupBy":
+        """rt_dataset.py:6383 (sorted-key display is an orderBy at
+        collect time, not an execution property)."""
+        return GroupBy(self._df, [keys] if isinstance(keys, str) else list(keys))
+
+    groupby = gb
+    gbu = gb  # unsorted-key variant: identical execution on Spark
+
+    def cat(self, keys) -> "Categorical":
+        """rt_dataset.py:6082 — factorize once, aggregate many times."""
+        return Categorical(self._df, [keys] if isinstance(keys, str) else list(keys))
+
+    def accum2(self, row_key: str, col_key: str, agg_expr: Column, pivot_values=None) -> "Dataset":
+        """rt_dataset.py:6228."""
+        return Dataset(_accum.accum2(self._df, row_key, col_key, agg_expr, pivot_values))
+
+    # ---------------------------------------------------------- joins
+    def merge2(self, right: "Dataset | DataFrame", **kw) -> "Dataset":
+        r = right._df if isinstance(right, Dataset) else right
+        return Dataset(_merge.merge2(self._df, r, **kw))
+
+    def merge_lookup(self, right: "Dataset | DataFrame", **kw) -> "Dataset":
+        r = right._df if isinstance(right, Dataset) else right
+        return Dataset(_merge.merge_lookup(self._df, r, **kw))
+
+    def merge_asof(self, right: "Dataset | DataFrame", **kw) -> "Dataset":
+        r = right._df if isinstance(right, Dataset) else right
+        return Dataset(_merge.merge_asof(self._df, r, **kw))
+
+    def isin(self, other: "Dataset | DataFrame", on) -> "Dataset":
+        return Dataset(_merge.semi_join(self._df, other._df if isinstance(other, Dataset) else other, on))
+
+    # -------------------------------------------------------- reshape
+    def melt(self, id_vars, value_vars, var_name="variable", value_name="value") -> "Dataset":
+        return Dataset(_reshape.melt(self._df, id_vars, value_vars, var_name, value_name))
+
+    def pivot(self, labels: str, columns: str, values: str) -> "Dataset":
+        return Dataset(_reshape.pivot_strict(self._df, labels, columns, values))
+
+    @staticmethod
+    def concat_rows(dsets: list["Dataset"]) -> "Dataset":
+        """rt_dataset.py:6867 hstack/concat_rows."""
+        return Dataset(_reshape.concat_rows([d._df for d in dsets]))
+
+    @staticmethod
+    def concat_columns(dsets: list["Dataset"], rowid: str = ROWID) -> "Dataset":
+        return Dataset(_reshape.concat_columns([d._df for d in dsets], rowid))
+
+    # ------------------------------------------------------- UDF hooks
+    def apply_rows(self, fn, schema) -> "Dataset":
+        """rt_dataset.py:7292 — mapInPandas over Arrow batches."""
+        return Dataset(self._df.mapInPandas(fn, schema=schema))
+
+    # ----------------------------------------------------------- sinks
+    def save(self, path: str, **kw) -> None:
+        _io.save_dataset(self._df, path, **kw)
+
+    def to_pandas(self):
+        """rt_dataset.py:3139 to_pandas."""
+        return self._df.toPandas()
+
+    def to_arrow(self):
+        """rt_dataset.py:3309 to_arrow (Arrow-native via Spark)."""
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(self._df.toPandas())
+
+    def describe(self, colname: str) -> "Dataset":
+        from .functions import stats as _stats
+
+        return Dataset(_stats.statx(self._df, colname))
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+
+class GroupBy:
+    """GroupByOps façade (rt_groupby.py:70 / rt_groupbyops.py:34). Each
+    reduce returns a Dataset keyed by the group columns. ``filter=``
+    fuses a mask into the aggregation (bin-0 trick)."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self._df = df
+        self._keys = keys
+
+    def _agg1(self, expr: Column, name: str) -> Dataset:
+        return Dataset(self._df.groupBy(*self._keys).agg(expr.alias(name)))
+
+    def count(self, filter: Column | None = None) -> Dataset:
+        return self._agg1(_gb.count(filter), "Count")
+
+    def sum(self, col, filter=None, strict: bool = False) -> Dataset:
+        c = F.col(col) if isinstance(col, str) else col
+        e = _gb.strict(F.sum, c, filter) if strict else _gb.nansum(c, filter)
+        return self._agg1(e, "Sum")
+
+    nansum = sum
+
+    def mean(self, col, filter=None) -> Dataset:
+        c = F.col(col) if isinstance(col, str) else col
+        return self._agg1(_gb.nanmean(c, filter), "Mean")
+
+    nanmean = mean
+
+    def min(self, col, filter=None) -> Dataset:
+        return self._agg1(_gb.nanmin(F.col(col), filter), "Min")
+
+    def max(self, col, filter=None) -> Dataset:
+        return self._agg1(_gb.nanmax(F.col(col), filter), "Max")
+
+    def var(self, col, filter=None) -> Dataset:
+        return self._agg1(_gb.nanvar(F.col(col), filter), "Var")
+
+    def std(self, col, filter=None) -> Dataset:
+        return self._agg1(_gb.nanstd(F.col(col), filter), "Std")
+
+    def median(self, col, filter=None) -> Dataset:
+        return self._agg1(_gb.median(F.col(col), filter), "Median")
+
+    def mode(self, col, filter=None) -> Dataset:
+        return self._agg1(_gb.mode(F.col(col), filter), "Mode")
+
+    def quantile(self, col, q, filter=None) -> Dataset:
+        return self._agg1(_gb.quantile(F.col(col), q, filter), "Quantile")
+
+    def sem(self, col, filter=None) -> Dataset:
+        return self._agg1(_gb.sem(F.col(col), filter), "Sem")
+
+    def count_uniques(self, col, filter=None) -> Dataset:
+        return self._agg1(_gb.count_uniques(F.col(col), filter), "CountUniques")
+
+    def first(self, col, order) -> Dataset:
+        return self._agg1(_gb.first(F.col(col), F.col(order)), "First")
+
+    def last(self, col, order) -> Dataset:
+        return self._agg1(_gb.last(F.col(col), F.col(order)), "Last")
+
+    def ohlc(self, col, order) -> Dataset:
+        return Dataset(self._df.groupBy(*self._keys).agg(*_gb.ohlc(F.col(col), F.col(order))))
+
+    def trimbr(self, col, lo=0.1, hi=0.9) -> Dataset:
+        return Dataset(_gb.trimbr(self._df, self._keys, col, lo, hi))
+
+    def describe(self, col) -> Dataset:
+        return Dataset(_gb.describe(self._df, self._keys, col))
+
+    def agg(self, spec: dict, filter=None) -> Dataset:
+        """agg({col: [fn,...]}) (rt_groupbyops.py:890)."""
+        return Dataset(_gb.agg_dict(self._df, self._keys, spec, filter))
+
+    def null(self) -> Dataset:
+        return Dataset(_gb.null_result(self._df, self._keys))
+
+    def apply_reduce(self, col, fn, out_col="out", out_type="double") -> Dataset:
+        return Dataset(_apply.apply_reduce(self._df, self._keys, col, fn, out_col, out_type))
+
+    def apply_nonreduce(self, col, fn, out_col="out", out_type="double", order_col=None) -> Dataset:
+        return Dataset(
+            _apply.apply_nonreduce(self._df, self._keys, col, fn, out_col, out_type, order_col)
+        )
+
+    def apply(self, fn, schema) -> Dataset:
+        return Dataset(_apply.apply(self._df, self._keys, fn, schema))
+
+    # ordered ops over an explicit order column
+    def shift(self, col, n: int, order) -> Dataset:
+        w = _win.group_window(self._keys, order)
+        return Dataset(self._df.withColumn(f"{col}_shift", _win.shift(F.col(col), n, w)))
+
+    def cumsum(self, col, order) -> Dataset:
+        w = _win.group_window(self._keys, order)
+        return Dataset(self._df.withColumn(f"{col}_cumsum", _win.cumsum(F.col(col), w)))
+
+    def rolling_mean(self, col, order, window: int = 3) -> Dataset:
+        w = _win.group_window(self._keys, order)
+        return Dataset(self._df.withColumn(f"{col}_rolling_mean", _win.rolling_mean(F.col(col), w, window)))
+
+    def head(self, n: int, order) -> Dataset:
+        return Dataset(_win.head_per_group(self._df, self._keys, order, n))
+
+    def tail(self, n: int, order) -> Dataset:
+        return Dataset(_win.tail_per_group(self._df, self._keys, order, n))
+
+    def nth(self, n: int, order) -> Dataset:
+        return Dataset(_win.nth_per_group(self._df, self._keys, order, n))
+
+
+class Categorical(GroupBy):
+    """Reusable grouping (rt_categorical.py:1284): riptable factorizes the
+    keys once and reuses the Grouping across many aggregations. The Spark
+    analogue of "factorize once" is caching the keyed relation: we persist
+    the projected (keys + values) DataFrame so repeated aggregations skip
+    the scan, and AQE reuses the shuffle where plans allow.
+
+    On a cluster the durable form is a bucketed table
+    (``writeTo(...).bucketBy(n, keys)``) — co-locating all later groupbys
+    and joins on the keys with zero extra shuffles.
+    """
+
+    def __init__(self, df: DataFrame, keys: list[str], persist: bool = True):
+        super().__init__(df, keys)
+        self._persisted = False
+        if persist:
+            self._df = df.persist()
+            self._persisted = True
+
+    @property
+    def category_values(self) -> Dataset:
+        """The uniques table (category dictionary)."""
+        return Dataset(self._df.select(*self._keys).distinct())
+
+    def ncategories(self) -> int:
+        return self.category_values.df.count()
+
+    def codes(self, order_by: list[str] | None = None) -> Dataset:
+        """Dense 0-based codes per row (rt_categorical: _fa codes). The
+        code map is a broadcast join of the uniques table — scale-safe for
+        any realistic category cardinality."""
+        keys = self._keys
+        uniq = self._df.select(*keys).distinct()
+        w = Window.orderBy(*[F.col(k) for k in (order_by or keys)])
+        keymap = uniq.withColumn("__code__", F.row_number().over(w) - 1)
+        return Dataset(self._df.join(F.broadcast(keymap), on=keys, how="left"))
+
+    def unpersist(self) -> None:
+        if self._persisted:
+            self._df.unpersist()
+            self._persisted = False

@@ -687,3 +687,26 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     b = with_rowid(p.select("p_partkey", "p_retailprice"), "p_partkey").drop("p_partkey")
     out = reshape.concat_columns([a, b])
     return out.select("p_partkey", "p_name", "p_retailprice")
+
+
+@query(
+    "q71_streaming_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation, drained with
+    availableNow into a memory sink — result must equal the batch
+    aggregation (stream/batch parity invariant)."""
+    import tempfile
+    import uuid
+
+    from riptable_spark.streaming import windows as sw
+
+    name = f"q71_mem_{uuid.uuid4().hex[:8]}"
+    stream = sw.stream_events(spark, sf)
+    out = sw.run_available_now(sw.tumbling_agg(stream, "1 hour", "2 hours"), name, tempfile.mkdtemp())
+    return out

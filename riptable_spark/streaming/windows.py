@@ -1,0 +1,108 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming at all (SURVEY §2.9 — ``resample`` is
+NotImplementedError, rt_groupbyops.py:3533). This module is the engine's
+stream-native extension: the same time-window semantics as the batch
+operators (queries q67/q68), expressed as incremental plans with
+watermarks so state is bounded on an unbounded stream.
+
+Batch/stream parity is the design invariant: every helper here has a
+batch twin, and tests run the stream with ``availableNow`` over the same
+parquet and assert identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns (parquet TIMESTAMP(NANOS) via nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source — each file is a
+    micro-batch unit; on a cluster this is a cloud-storage listing)."""
+    # file-source streams require a directory; select the one table with
+    # a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window count/sum with a watermark bounding state: late
+    rows beyond ``watermark`` are dropped and their window finalized."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based) — no batch equivalent in the
+    reference; Structured Streaming native."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n")
+    )
+
+
+def stream_dedupe(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark on the keys."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, tmp_dir: str) -> DataFrame:
+    """Drain all currently-available input (one pass) into a memory sink
+    and return the result table — the batch-parity test harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if _has_aggregate(stream_df) else "append")
+        .option("checkpointLocation", tmp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

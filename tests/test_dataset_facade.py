@@ -1,0 +1,120 @@
+"""Dataset/GroupBy/Categorical façade: riptable-style API end-to-end."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from riptable_spark.dataset import Categorical, Dataset
+
+
+@pytest.fixture(scope="module")
+def ds(spark, sf_dir):
+    return Dataset.load_table(spark, sf_dir, "lineitem")
+
+
+def test_dict_protocol(ds):
+    assert "l_quantity" in ds
+    assert "l_quantity" in ds.keys()
+    sub = ds[["l_orderkey", "l_quantity"]]
+    assert sub.keys() == ["l_orderkey", "l_quantity"]
+
+
+def test_mask_filter_and_setitem(ds):
+    flt = ds[ds.l_quantity > 49]
+    assert flt.df.count() > 0
+    flt["double_qty"] = flt.l_quantity * 2
+    row = flt.df.select("l_quantity", "double_qty").first()
+    assert row.double_qty == row.l_quantity * 2
+
+
+def test_gb_reduce_chain(ds):
+    out = ds.gb("l_returnflag").mean("l_quantity").to_pandas()
+    assert set(out.columns) == {"l_returnflag", "Mean"}
+    assert len(out) == 3
+
+
+def test_gb_agg_dict(ds):
+    out = ds.gb(["l_returnflag"]).agg({"l_quantity": ["sum", "mean"]}).to_pandas()
+    assert {"l_quantity_sum", "l_quantity_mean"} <= set(out.columns)
+
+
+def test_gb_strict_vs_nan_sum(spark):
+    d = Dataset.from_arrays(spark, {"k": ["a", "a", "b"], "v": [1.0, float("nan"), 2.0]})
+    strict = {r.k: r.Sum for r in d.gb("k").sum("v", strict=True).df.collect()}
+    nansum = {r.k: r.Sum for r in d.gb("k").sum("v").df.collect()}
+    assert strict["a"] is None and nansum["a"] == 1.0
+    assert strict["b"] == 2.0 == nansum["b"]
+
+
+def test_merge2_method(spark, sf_dir):
+    o = Dataset.load_table(spark, sf_dir, "orders")
+    c = Dataset.load_table(spark, sf_dir, "customer")
+    j = o.merge2(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+    assert j.df.count() == o.df.count()  # every order has a customer
+
+
+def test_sort_and_head(ds):
+    top = ds.sort_copy("l_extendedprice", ascending=False).head(5).to_pandas()
+    assert len(top) == 5
+    assert top["l_extendedprice"].is_monotonic_decreasing
+
+
+def test_sample(ds):
+    assert ds.sample(7).df.count() == 7
+
+
+def test_accum2_method(ds):
+    out = ds.accum2("l_returnflag", "l_linestatus", F.sum("l_quantity"), ["F", "O"]).to_pandas()
+    assert {"l_returnflag", "F", "O", "Total"} == set(out.columns)
+
+
+def test_apply_reduce_on_gb(ds):
+    out = ds.gb("l_returnflag").apply_reduce("l_quantity", lambda a: float(a.mean()), out_col="m")
+    got = {r.l_returnflag: r.m for r in out.df.collect()}
+    exp = {
+        r.l_returnflag: r.m
+        for r in ds.df.groupBy("l_returnflag").agg(F.avg("l_quantity").alias("m")).collect()
+    }
+    for k in exp:
+        assert math.isclose(got[k], exp[k], rel_tol=1e-12)
+
+
+def test_categorical_reuse(ds):
+    cat = ds.cat("l_returnflag")
+    try:
+        n1 = cat.sum("l_quantity").to_pandas()
+        n2 = cat.mean("l_quantity").to_pandas()  # second agg reuses persisted keyed frame
+        assert len(n1) == len(n2) == 3
+        assert cat.ncategories() == 3
+    finally:
+        cat.unpersist()
+
+
+def test_categorical_codes(spark):
+    d = Dataset.from_arrays(spark, {"k": ["b", "a", "b", "c"], "v": [1.0, 2.0, 3.0, 4.0]})
+    cat = Categorical(d.df, ["k"], persist=False)
+    codes = {(r.k, r.__getitem__("__code__")) for r in cat.codes().df.collect()}
+    assert codes == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_concat_rows_static(spark):
+    a = Dataset.from_arrays(spark, {"x": [1, 2], "y": [1.0, 2.0]})
+    b = Dataset.from_arrays(spark, {"x": [3]})
+    out = Dataset.concat_rows([a, b]).to_pandas().sort_values("x")
+    assert list(out["x"]) == [1, 2, 3]
+    assert out["y"].isna().sum() == 1
+
+
+def test_melt_pivot_roundtrip(spark):
+    d = Dataset.from_arrays(spark, {"id": [1, 2], "a": [1.0, 2.0], "b": [3.0, 4.0]})
+    long = d.melt(["id"], ["a", "b"])
+    wide = long.pivot("id", "variable", "value").to_pandas().sort_values("id")
+    assert list(wide["a"]) == [1.0, 2.0] and list(wide["b"]) == [3.0, 4.0]
+
+
+def test_fillna(spark):
+    d = Dataset.from_arrays(spark, {"v": [1.0, float("nan"), 3.0]})
+    assert d.fillna(0.0).to_pandas()["v"].tolist() == [1.0, 0.0, 3.0]
