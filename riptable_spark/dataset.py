@@ -166,9 +166,9 @@ class Dataset:
         """rt_dataset.py:6082 — factorize once, aggregate many times."""
         return Categorical(self._df, [keys] if isinstance(keys, str) else list(keys))
 
-    def accum2(self, row_key: str, col_key: str, agg_expr: Column, pivot_values=None) -> "Dataset":
+    def accum2(self, row_key: str, col_key: str, agg_fn, valcol, pivot_values=None) -> "Dataset":
         """rt_dataset.py:6228."""
-        return Dataset(_accum.accum2(self._df, row_key, col_key, agg_expr, pivot_values))
+        return Dataset(_accum.accum2(self._df, row_key, col_key, agg_fn, valcol, pivot_values))
 
     # ---------------------------------------------------------- joins
     def merge2(self, right: "Dataset | DataFrame", **kw) -> "Dataset":

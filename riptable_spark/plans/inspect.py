@@ -1,0 +1,87 @@
+"""Physical-plan inspection utilities.
+
+The scale contract for every operator is written in its plan: filters
+reach the scan, small sides broadcast, shuffles are keyed and counted.
+These helpers make those properties assertable in tests and greppable
+during development (`python -m riptable_spark.plans.inspect q13_asof_backward`).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    if mode == "formatted":
+        return qe.explainString(df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    return qe.executedPlan().toString()
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the executed plan (pre-AQE runtime
+    re-use; an upper bound on real exchanges)."""
+    return simple_plan(df).count("Exchange hashpartitioning") + simple_plan(df).count(
+        "Exchange rangepartitioning"
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in simple_plan(df) or "BroadcastNestedLoopJoin" in simple_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    out = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", simple_plan(df)):
+        if m.group(1).strip():
+            out.append(m.group(1))
+    return out
+
+
+def scan_columns(df: DataFrame) -> list[list[str]]:
+    """Column list actually read by each parquet scan (the ReadSchema line
+    is truncated in plan strings; the FileScan bracket list is complete)."""
+    out = []
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", simple_plan(df)):
+        cols = [c.split("#")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """Map-side combine present: HashAggregate appears both below and
+    above the exchange."""
+    plan = simple_plan(df)
+    return plan.count("HashAggregate") >= 2 or "partial_" in plan
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple_plan(df))))
+
+
+def main() -> None:
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from riptable_spark import queries2  # noqa: F401
+    from riptable_spark.queries import QUERIES
+    from riptable_spark.session import get_spark
+
+    spark = get_spark("plan_inspect")
+    name = sys.argv[1]
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    df = QUERIES[name](spark, sf)
+    print(plan_string(df))
+    print("shuffles:", count_shuffles(df))
+    print("broadcast:", has_broadcast_join(df))
+    print("pushed:", pushed_filters(df))
+
+
+if __name__ == "__main__":
+    main()

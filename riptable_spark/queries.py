@@ -566,7 +566,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
     """Accum2 cross-tab with Total margin (rt_accum2.py:39) →
     groupBy().pivot() with explicit pivot values (scale-safe)."""
     li = load_table(spark, sf, "lineitem")
-    out = accum.accum2(li, "l_returnflag", "l_linestatus", F.sum("l_quantity"), pivot_values=["F", "O"])
+    out = accum.accum2(li, "l_returnflag", "l_linestatus", F.sum, "l_quantity", pivot_values=["F", "O"])
     return out.select(
         "l_returnflag",
         F.round(F.col("F"), 2).alias("F"),

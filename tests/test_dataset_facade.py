@@ -67,7 +67,7 @@ def test_sample(ds):
 
 
 def test_accum2_method(ds):
-    out = ds.accum2("l_returnflag", "l_linestatus", F.sum("l_quantity"), ["F", "O"]).to_pandas()
+    out = ds.accum2("l_returnflag", "l_linestatus", F.sum, "l_quantity", ["F", "O"]).to_pandas()
     assert {"l_returnflag", "F", "O", "Total"} == set(out.columns)
 
 

@@ -120,7 +120,7 @@ def test_accum2_margins(spark):
     df = spark.createDataFrame(
         [("r1", "c1", 1.0), ("r1", "c2", 2.0), ("r2", "c1", 4.0)], ["r", "c", "v"]
     )
-    out = accum.accum2_with_footer(df, "r", "c", F.sum("v"), pivot_values=["c1", "c2"])
+    out = accum.accum2_with_footer(df, "r", "c", F.sum, "v", pivot_values=["c1", "c2"])
     got = {r.r: (r.c1, r.c2, r.Total) for r in out.collect()}
     assert got["r1"] == (1.0, 2.0, 3.0)
     assert got["r2"] == (4.0, None, 4.0)

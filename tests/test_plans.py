@@ -1,0 +1,64 @@
+"""Physical-plan quality gates (SURVEY: 'iterate until it's the plan
+you'd want'). These lock in the scale properties: pushdown, broadcast,
+shuffle counts, map-side combine."""
+
+from __future__ import annotations
+
+import pytest
+
+from riptable_spark import queries2  # noqa: F401
+from riptable_spark.plans import inspect as pi
+from riptable_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return run
+
+
+def test_q01_pushdown_and_single_shuffle(q):
+    df = q("q01_pricing_summary")
+    assert any("l_shipdate" in p for p in pi.pushed_filters(df))
+    assert pi.count_shuffles(df) == 1  # one exchange between partial+final agg
+    assert pi.has_partial_aggregate(df)
+    # column pruning: only the 7 needed columns are scanned
+    cols = pi.scan_columns(df)
+    assert cols and all(set(c) <= {"l_quantity", "l_extendedprice", "l_discount",
+                                   "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"}
+                        for c in cols)
+
+
+def test_q09_lookup_broadcasts(q):
+    df = q("q09_merge_lookup")
+    assert pi.has_broadcast_join(df)
+
+
+def test_q13_asof_single_shuffle(q):
+    """The as-of rewrite must cost ONE shuffle (union + window on by key),
+    the distributed equivalent of the reference's two-pointer scan."""
+    df = q("q13_asof_backward")
+    assert pi.count_shuffles(df) == 1
+
+
+def test_q22_accum2_single_shuffle(q):
+    """Cross-tab with margins = one conditional aggregation."""
+    df = q("q22_accum2")
+    assert pi.count_shuffles(df) == 1
+    assert pi.has_partial_aggregate(df)
+
+
+def test_q32_corpus_never_shuffles(q):
+    """Brute-force ANN: queries broadcast; the only exchange is the final
+    per-query top-k window over scored rows."""
+    df = q("q32_cosine_topk")
+    assert pi.has_broadcast_join(df)
+    assert pi.count_shuffles(df) <= 1
+
+
+def test_q02_projection_pruned(q):
+    df = q("q02_filter_project")
+    cols = pi.scan_columns(df)
+    assert cols and all(len(c) <= 5 for c in cols)
