@@ -111,3 +111,13 @@ def interp(x: Column, xp_col: Column, fp_col: Column) -> Column:
 def where(cond: Column, x, y) -> Column:
     """rt_numpy.py:2917 np.where analogue."""
     return F.when(cond, x).otherwise(y)
+
+
+def searchsorted(col: Column, boundaries: list[float], side: str = "right") -> Column:
+    """rt_numpy.py:701 searchsorted against a small sorted boundary list:
+    insertion index = count of boundaries ≤ x (side='right') or < x
+    (side='left'). The list is a literal array folded by codegen — no
+    join, no shuffle."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    pred = (lambda b: b <= col) if side == "right" else (lambda b: b < col)
+    return F.size(F.filter(arr, pred))

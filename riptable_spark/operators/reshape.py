@@ -30,15 +30,18 @@ def concat_columns(dfs: list[DataFrame], rowid: str = "__rowid__") -> DataFrame:
     return out
 
 
-def pivot_strict(df: DataFrame, labels: str, columns: str, values: str) -> DataFrame:
+def pivot_strict(
+    df: DataFrame, labels: str, columns: str, values: str, pivot_values: list | None = None
+) -> DataFrame:
     """Dataset.pivot (rt_dataset.py:7987): reshape WITHOUT aggregation —
-    raises if any (labels, columns) combo has >1 row, then pivots first()."""
+    raises if any (labels, columns) combo has >1 row, then pivots first().
+    Pass ``pivot_values`` when known to skip the distinct-scan job."""
     dup = (
         df.groupBy(labels, columns).count().where(F.col("count") > 1).limit(1).count()
     )
     if dup:
         raise ValueError("pivot: duplicate (label, column) combinations")
-    return df.groupBy(labels).pivot(columns).agg(F.first(values))
+    return df.groupBy(labels).pivot(columns, values=pivot_values).agg(F.first(values))
 
 
 def melt(df: DataFrame, id_vars: list[str], value_vars: list[str], var_name: str = "variable", value_name: str = "value") -> DataFrame:

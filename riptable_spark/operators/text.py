@@ -118,3 +118,13 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def shingle_fingerprint(col: Column, k: int = 8) -> Column:
+    """Winnowing-style document fingerprint: minimum hash over all k-char
+    shingles (rolling-hash analogue of MOSS). md5 keeps the fingerprint
+    engine-portable; the transform runs inside codegen over an index
+    sequence — no explode, no shuffle."""
+    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_min(F.transform(idx, lambda i: F.md5(F.substr(col, i, F.lit(k)))))

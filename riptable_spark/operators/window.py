@@ -273,3 +273,20 @@ def interp_extrap(
     interp_val = F.col("__y0__") + slope * (F.col(x_col).cast("double") - F.col("__x0__").cast("double"))
     result = F.when(F.col("__x1__").isNull(), F.col("__y0__")).when(F.col("__x0__").isNull(), F.col("__y1__")).otherwise(interp_val)
     return bf.withColumn(out_col, result).drop("__x0__", "__x1__", "__y0__", "__y1__")
+
+
+def rankdata(df: DataFrame, colname: str, out_col: str = "rank", method: str = "average") -> DataFrame:
+    """rt_fastarray.py:2710 rankdata — global ranks (scipy 'average'/'min'
+    methods). Scale path: a naive global window would funnel all rows into
+    one partition; instead aggregate to DISTINCT values (small), run the
+    cumulative count over that tiny set, and broadcast-join ranks back —
+    the full table is never re-sorted."""
+    counts = df.groupBy(colname).agg(F.count(F.lit(1)).alias("__cnt__"))
+    w = Window.orderBy(colname).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.withColumn("__below__", F.coalesce(F.sum("__cnt__").over(w), F.lit(0)))
+    if method == "min":
+        rank_expr = F.col("__below__") + 1
+    else:  # average
+        rank_expr = F.col("__below__") + (F.col("__cnt__") + 1) / 2.0
+    ranks = ranked.select(colname, rank_expr.alias(out_col))
+    return df.join(F.broadcast(ranks), on=colname, how="left")

@@ -1,0 +1,116 @@
+"""Tests for batch-3 operators: rankdata, searchsorted, shingle
+fingerprint, resample, strict pivot values, intersect/except, transitions
+aggregation, LSH buckets determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from riptable_spark.functions import datetime as dtf, math as m
+from riptable_spark.operators import reshape, similarity, text, window as win
+
+
+def test_rankdata_average_and_min(spark):
+    df = spark.createDataFrame([(10.0,), (20.0,), (20.0,), (30.0,)], ["v"])
+    avg = {r.v: r.rank for r in win.rankdata(df, "v").collect()}
+    assert avg == {10.0: 1.0, 20.0: 2.5, 30.0: 4.0}
+    mn = {r.v: r.rank for r in win.rankdata(df, "v", method="min").collect()}
+    assert mn == {10.0: 1, 20.0: 2, 30.0: 4}
+
+
+def test_rankdata_no_global_sort_of_rows(spark):
+    """The full table must not pass through a single-partition sort —
+    only the distinct-value set does."""
+    df = spark.range(1000).select((F.col("id") % 7).cast("double").alias("v"))
+    plan = win.rankdata(df, "v")._jdf.queryExecution().executedPlan().toString()
+    # the join back must be a broadcast, not a shuffle of the base table
+    assert "BroadcastHashJoin" in plan
+
+
+def test_searchsorted_sides(spark):
+    df = spark.createDataFrame([(0.0,), (5.0,), (7.0,), (200.0,)], ["v"])
+    got = df.select(
+        m.searchsorted(F.col("v"), [5.0, 25.0, 75.0, 150.0]).alias("r"),
+        m.searchsorted(F.col("v"), [5.0, 25.0, 75.0, 150.0], side="left").alias("l"),
+    ).collect()
+    assert [(r.r, r.l) for r in got] == [(0, 0), (1, 0), (1, 1), (4, 4)]
+
+
+def test_shingle_fingerprint_matches_python(spark):
+    import hashlib
+
+    s = "hello world fingerprint"
+    expected = min(
+        hashlib.md5(s[i : i + 8].encode()).hexdigest() for i in range(len(s) - 7)
+    )
+    got = spark.createDataFrame([(s,)], ["t"]).select(
+        text.shingle_fingerprint(F.col("t"), 8).alias("fp")
+    ).first().fp
+    assert got == expected
+
+
+def test_shingle_fingerprint_short_text(spark):
+    import hashlib
+
+    got = spark.createDataFrame([("abc",)], ["t"]).select(
+        text.shingle_fingerprint(F.col("t"), 8).alias("fp")
+    ).first().fp
+    assert got == hashlib.md5(b"abc").hexdigest()
+
+
+def test_resample_floor(spark):
+    df = spark.createDataFrame([("2024-01-01 10:07:31",)], ["s"]).select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    got = df.select(F.unix_seconds(dtf.resample_floor(F.col("ts"), 900)).alias("b")).first().b
+    import calendar
+
+    base = calendar.timegm((2024, 1, 1, 10, 0, 0))
+    assert got == base  # 10:07:31 floors to 10:00:00 on a 15-min grid
+
+
+def test_pivot_strict_with_values_and_dup_error(spark):
+    df = spark.createDataFrame([("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], ["l", "c", "v"])
+    out = reshape.pivot_strict(df, "l", "c", "v", pivot_values=["x", "y"])
+    got = {r.l: (r.x, r.y) for r in out.collect()}
+    assert got == {"a": (1, 2), "b": (3, None)}
+    with pytest.raises(ValueError, match="duplicate"):
+        reshape.pivot_strict(
+            spark.createDataFrame([("a", "x", 1), ("a", "x", 2)], ["l", "c", "v"]),
+            "l", "c", "v",
+        )
+
+
+def test_transitions_counts_runs(spark):
+    rows = [(1, i, t) for i, t in enumerate(["a", "a", "b", "b", "a"])]
+    df = spark.createDataFrame(rows, ["g", "i", "t"])
+    w = Window.partitionBy("g").orderBy("i")
+    n = df.select(win.transitions(F.col("t"), w).alias("f")).agg(F.sum("f")).first()[0]
+    assert n == 3  # runs: a, b, a
+
+
+def test_lsh_bucket_deterministic(spark):
+    planes = similarity._hyperplanes(4, 6)
+    assert planes == similarity._hyperplanes(4, 6)
+    df = spark.createDataFrame([(1, [1.0, 0.0, -1.0, 0.5])], ["id", "v"])
+    b1 = df.select(similarity.lsh_bucket(F.col("v"), planes).alias("b")).first().b
+    b2 = df.select(similarity.lsh_bucket(F.col("v"), planes).alias("b")).first().b
+    assert b1 == b2 and 0 <= b1 < (1 << 6)
+
+
+def test_interp_expr_endpoints(spark):
+    """q74's interp: exact at knots, linear between, clamped outside."""
+    from riptable_spark.queries3 import q74  # noqa: F401 — the pattern under test
+
+    df = spark.createDataFrame([(0.0,), (10.0,), (30.0,), (-5.0,), (500.0,)], ["value"])
+    v = F.col("value")
+    xp, fp = [0.0, 10.0, 50.0, 100.0], [0.0, 5.0, 20.0, 50.0]
+    expr = F.when(v <= xp[0], F.lit(fp[0]))
+    for i in range(1, len(xp)):
+        slope = (fp[i] - fp[i - 1]) / (xp[i] - xp[i - 1])
+        expr = expr.when(v < xp[i], fp[i - 1] + (v - xp[i - 1]) * slope)
+    expr = expr.otherwise(F.lit(fp[-1]))
+    got = [r.y for r in df.select(expr.alias("y")).collect()]
+    assert got == [0.0, 5.0, 12.5, 0.0, 50.0]
