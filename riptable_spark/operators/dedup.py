@@ -250,11 +250,24 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|−|A∩B|). The shuffle key is the shingle hash; rare
     shingles keep buckets small (stopword-only shingles are the skew
     hazard — mitigate with a document-frequency cap upstream)."""
-    sh = shingles(F.col(text_col), n=n)
-    base = df.select(F.col(id_col), sh.alias("__sh__")).withColumn("__size__", F.size("__sh__"))
-    exploded = base.select(id_col, "__size__", F.explode("__sh__").alias("shingle")).withColumn(
-        "shingle_h", F.xxhash64("shingle")
+    # Explode the RAW shingle stream (no array_distinct — that chain gets
+    # duplicated into the scan's pushed filter and re-evaluated per row),
+    # then dedup (doc, shingle) with an aggregation. Both self-join sides
+    # hash-partition on the same aggregate output, so Spark's
+    # ReuseExchange computes the tokenization exactly once.
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    if n > 1:
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), cnt - 1)
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    else:
+        sh = toks
+    exploded = (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .groupBy(id_col, "shingle")
+        .agg(F.xxhash64("shingle").alias("shingle_h"))
     )
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size__"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(
@@ -264,10 +277,11 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__size__").alias("size_a"),
-            F.col("b.__size__").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size__").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__size__").alias("size_b"))
+    inter = inter.join(sa, on="id_a").join(sb, on="id_b")
     jac = F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
     return inter.select("id_a", "id_b", jac.alias("jaccard")).where(F.col("jaccard") >= threshold)

@@ -105,17 +105,80 @@ def _run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | 
     return work.groupBy(*keys).applyInPandas(fn, schema=out_schema)
 
 
-def ema_decay(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None) -> DataFrame:
+def ema_decay(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto") -> DataFrame:
     """rt_groupbyops.py:3314 — decaying running sum. ``timecol`` must be
-    numeric (epoch seconds / ns); cast timestamps upstream."""
-    return _run(df, keys, "decay", valcol, timecol, rate, out_col, order_col or timecol)
+    numeric (epoch seconds / ns); cast timestamps upstream. ``method``:
+    'expr' (codegen closed form), 'scan' (Arrow per-group scan), 'auto'
+    (expr when the exponent span provably cannot overflow)."""
+    if method == "scan":
+        return _run(df, keys, "decay", valcol, timecol, rate, out_col, order_col or timecol)
+    return _dispatch(df, keys, "decay", valcol, timecol, rate, out_col, order_col or timecol, method)
 
 
-def ema_normal(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None) -> DataFrame:
+def ema_normal(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto") -> DataFrame:
     """rt_groupbyops.py:3366 — true time-decay EWMA."""
-    return _run(df, keys, "normal", valcol, timecol, rate, out_col, order_col or timecol)
+    if method == "scan":
+        return _run(df, keys, "normal", valcol, timecol, rate, out_col, order_col or timecol)
+    return _dispatch(df, keys, "normal", valcol, timecol, rate, out_col, order_col or timecol, method)
 
 
-def ema_weighted(df: DataFrame, keys: list[str], valcol: str, alpha: float, order_col: str, out_col: str = "ema") -> DataFrame:
+def ema_weighted(df: DataFrame, keys: list[str], valcol: str, alpha: float, order_col: str, out_col: str = "ema", method: str = "auto") -> DataFrame:
     """rt_groupbyops.py:3438 — fixed-α EWMA in row order."""
-    return _run(df, keys, "weighted", valcol, None, alpha, out_col, order_col)
+    if method == "scan":
+        return _run(df, keys, "weighted", valcol, None, alpha, out_col, order_col)
+    return _dispatch(df, keys, "weighted", valcol, None, alpha, out_col, order_col, method)
+
+
+# ---------------------------------------------------------------------
+# Pure-JVM closed-form fast path
+# ---------------------------------------------------------------------
+# The recurrence out_i = c_i + out_{i-1}·exp(-(e_i - e_{i-1})) telescopes
+# to out_i = exp(-e_i)·Σ_{j≤i} c_j·exp(e_j) — a windowed cumsum that runs
+# entirely in whole-stage codegen (one shuffle, no Python). Valid while
+# the per-group exponent span max(e)-min(e) < ~600 (double overflow at
+# e^709). ema_* with method="auto" measures the global span with one tiny
+# aggregation and picks this path when safe, else the Arrow scan.
+
+_EXPR_SPAN_LIMIT = 600.0
+
+
+def _expr_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | None, rate: float, out_col: str, order_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(*keys)
+    wo = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(valcol).cast("double")
+    if kind == "weighted":
+        rn = F.row_number().over(Window.partitionBy(*keys).orderBy(order_col))
+        e = F.lit(-float(np.log1p(-rate))) * (rn - 1).cast("double")
+        c = F.when(rn == 1, x).otherwise(F.lit(float(rate)) * x)
+    else:
+        t = F.col(timecol).cast("double")
+        e = F.lit(float(rate)) * (t - F.min(t).over(wk))
+        if kind == "decay":
+            c = x
+        else:  # normal: c_i = (1-exp(-rate·Δt))·x_i, seeded with x_0
+            rn = F.row_number().over(Window.partitionBy(*keys).orderBy(order_col))
+            pt = F.lag(t).over(Window.partitionBy(*keys).orderBy(order_col))
+            c = F.when(rn == 1, x).otherwise((1 - F.exp(-F.lit(float(rate)) * (t - pt))) * x)
+    return df.withColumn(out_col, F.exp(-e) * F.sum(c * F.exp(e)).over(wo))
+
+
+def _span_ok(df: DataFrame, keys: list[str], kind: str, timecol: str | None, rate: float) -> bool:
+    """One scalar aggregation: the widest per-group exponent span."""
+    if kind == "weighted":
+        span = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).agg(
+            F.max(F.lit(-float(np.log1p(-rate))) * F.col("n").cast("double"))
+        ).first()[0]
+    else:
+        t = F.col(timecol).cast("double")
+        span = df.groupBy(*keys).agg((F.max(t) - F.min(t)).alias("s")).agg(
+            F.max(F.lit(float(rate)) * F.col("s"))
+        ).first()[0]
+    return span is not None and span < _EXPR_SPAN_LIMIT
+
+
+def _dispatch(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | None, rate: float, out_col: str, order_col: str, method: str) -> DataFrame:
+    if method == "expr" or (method == "auto" and _span_ok(df, keys, kind, timecol, rate)):
+        return _expr_run(df, keys, kind, valcol, timecol, rate, out_col, order_col)
+    return _run(df, keys, kind, valcol, timecol, rate, out_col, order_col)

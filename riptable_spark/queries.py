@@ -147,16 +147,23 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     q = F.col("l_quantity")
     p = F.col("l_extendedprice")
     # one multi-q percentile per column (one sort each) instead of four
-    # independent exact-percentile aggregates — halves the agg cost
+    # independent exact-percentile aggregates — halves the agg cost.
+    # count_uniques runs as its own two-stage (key,val)→key aggregation
+    # and broadcast-joins back: putting countDistinct in the same agg as
+    # the percentiles makes Catalyst Expand every input row (2× the scan
+    # through the aggregation) — measured 2.2× slower at sf0.1.
     pq = gb.quantile(p, [0.25, 0.50, 0.75])
+    uniq = (
+        li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1).alias("__one__"))
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_parts"))
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(gb.median(q), 6).alias("med_qty"),
         F.round(gb.nanvar(q), 6).alias("var_qty"),
         F.round(gb.nanstd(q), 6).alias("std_qty"),
         F.round(gb.sem(q), 6).alias("sem_qty"),
-        gb.count_uniques(F.col("l_partkey")).alias("n_parts"),
         pq.alias("__pq__"),
-    ).select(
+    ).join(F.broadcast(uniq), on="l_returnflag", how="left").select(
         "l_returnflag",
         "med_qty",
         "var_qty",

@@ -114,3 +114,36 @@ def test_interp_expr_endpoints(spark):
     expr = expr.otherwise(F.lit(fp[-1]))
     got = [r.y for r in df.select(expr.alias("y")).collect()]
     assert got == [0.0, 5.0, 12.5, 0.0, 50.0]
+
+
+def test_ema_expr_matches_scan(spark):
+    """The codegen closed form and the Arrow scan are the same operator —
+    results must agree to float tolerance on all three EMA kinds."""
+    import math
+
+    from riptable_spark.operators import ema
+
+    rows = [(i % 3, float(i), float((i * 7) % 11) - 5.0) for i in range(60)]
+    df = spark.createDataFrame(rows, ["g", "t", "x"])
+    for kind, kw in [
+        ("decay", dict(timecol="t", rate=0.3)),
+        ("normal", dict(timecol="t", rate=0.3)),
+    ]:
+        fn = getattr(ema, f"ema_{kind}")
+        a = {r.t: r.ema for r in fn(df, ["g"], "x", method="expr", **kw).collect()}
+        b = {r.t: r.ema for r in fn(df, ["g"], "x", method="scan", **kw).collect()}
+        assert all(math.isclose(a[k], b[k], rel_tol=1e-9, abs_tol=1e-9) for k in a), kind
+    a = {r.t: r.ema for r in ema.ema_weighted(df, ["g"], "x", 0.2, "t", method="expr").collect()}
+    b = {r.t: r.ema for r in ema.ema_weighted(df, ["g"], "x", 0.2, "t", method="scan").collect()}
+    assert all(math.isclose(a[k], b[k], rel_tol=1e-9, abs_tol=1e-9) for k in a)
+
+
+def test_ema_auto_falls_back_on_wide_span(spark):
+    """A group whose exponent span exceeds the overflow guard must route
+    to the scan path and still produce finite results."""
+    from riptable_spark.operators import ema
+
+    rows = [(0, float(i) * 100.0, 1.0) for i in range(20)]  # span 1900·rate=9.5k
+    df = spark.createDataFrame(rows, ["g", "t", "x"])
+    out = ema.ema_decay(df, ["g"], "x", "t", rate=5.0, method="auto").collect()
+    assert all(abs(r.ema) < 1e308 and r.ema == r.ema for r in out)
