@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from riptable_spark import queries2  # noqa: F401 — registers batch-2 queries
 from riptable_spark import queries3  # noqa: F401 — registers batch-3 queries
+from riptable_spark import queries4  # noqa: F401 — registers batch-4 queries
 from riptable_spark.queries import ORACLES, QUERIES
 
 

@@ -1,0 +1,319 @@
+"""Driver-contract query registry, batch 4: cum-reset segments, time
+window products, curve interpolation via as-of, combined keys, mask
+combinators, trim, duplicated flags, statx profile, stacked/append
+sources (PDataset), Categorical grouping reuse.
+Registers into the same QUERIES/ORACLES dicts as queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dataset import Categorical
+from .functions import stats
+from .operators import window as win
+from .operators import groupby as gb
+from .queries import query
+from .sources.io import load_table, load_stacked
+
+
+@query(
+    "q91_cumsum_reset",
+    """
+    WITH seg AS (
+        SELECT event_id, user_id, value, ts,
+               sum(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM events
+    )
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id, seg_id
+                                  ORDER BY epoch_us(ts), event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS run
+    FROM seg
+    """,
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """cumsum with reset_filter (rt_groupbyops.py:3158 filter/reset):
+    running sum restarting at every 'login' event — the segment-id trick
+    (cumsum of reset flags joins the partition key)."""
+    ev = load_table(spark, sf, "events").withColumn("t_us", F.unix_micros("ts"))
+    run = win.cumsum_reset(
+        F.col("value"),
+        F.col("event_type") == "login",
+        ["user_id"],
+        F.struct("t_us", "event_id"),
+    )
+    return ev.select("event_id", F.round(run, 4).alias("run"))
+
+
+@query(
+    "q92_timewindow_prod",
+    """
+    SELECT event_id,
+           round(exp(sum(ln(1 + value / 1000.0))
+                 OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)), 6) AS growth
+    FROM events
+    """,
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    """timewindow_prod (rt_fastarray.py:2629-2668 rc.TimeWindow): product
+    over a trailing 1-hour TIME window — rangeBetween is the native fit;
+    the product runs as exp∘sum∘ln in codegen."""
+    ev = load_table(spark, sf, "events").withColumn("t_s", F.unix_seconds(F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("t_s").rangeBetween(-3600, 0)
+    growth = F.exp(F.sum(F.log(1 + F.col("value") / 1000.0)).over(w))
+    return ev.select("event_id", F.round(growth, 6).alias("growth"))
+
+
+@query(
+    "q93_interp_extrap",
+    """
+    WITH curve AS (
+        SELECT (o_custkey % 100) * 50.0 AS xp, avg(o_totalprice) AS fp
+        FROM orders GROUP BY 1
+    ),
+    pts AS (SELECT s_suppkey, s_acctbal AS x FROM supplier),
+    b AS (
+        SELECT p.s_suppkey, p.x,
+               max_by(c.fp, c.xp) AS y0, max(c.xp) AS x0
+        FROM pts p LEFT JOIN curve c ON c.xp <= p.x
+        GROUP BY p.s_suppkey, p.x
+    ),
+    f AS (
+        SELECT p.s_suppkey, min_by(c.fp, c.xp) AS y1, min(c.xp) AS x1
+        FROM pts p LEFT JOIN curve c ON c.xp > p.x
+        GROUP BY p.s_suppkey
+    )
+    SELECT b.s_suppkey,
+           round(CASE WHEN x1 IS NULL THEN y0
+                      WHEN x0 IS NULL THEN y1
+                      ELSE y0 + (y1 - y0) / (x1 - x0) * (x - x0) END, 4) AS y
+    FROM b JOIN f ON b.s_suppkey = f.s_suppkey
+    """,
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """interp/interp_extrap (rt_numpy.py:5333/5388): linear interpolation
+    of supplier balances against a data-derived curve — two as-of aligns
+    (backward+forward bracket) on the union+window rewrite."""
+    o = load_table(spark, sf, "orders")
+    s = load_table(spark, sf, "supplier")
+    curve = o.groupBy(((F.col("o_custkey") % 100) * 50.0).alias("xp")).agg(
+        F.avg("o_totalprice").alias("fp")
+    )
+    pts = s.select("s_suppkey", F.col("s_acctbal").alias("x"))
+    out = win.interp_extrap(pts, "x", curve, "xp", "fp", out_col="y")
+    return out.select("s_suppkey", F.round("y", 4).alias("y"))
+
+
+@query(
+    "q94_cat2keys",
+    """
+    SELECT l_returnflag || '|' || l_linestatus AS combined,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """cat2keys/combine2keys (rt_numpy.py:1601/1574): cartesian-combined
+    group key — a struct/concat key, one shuffle, no code tables."""
+    li = load_table(spark, sf, "lineitem")
+    combined = F.concat_ws("|", "l_returnflag", "l_linestatus")
+    return li.groupBy(combined.alias("combined")).agg(
+        gb.count().alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@query(
+    "q95_mask_combinators",
+    """
+    SELECT count(*) FILTER (m1 AND m2) AS n_and,
+           count(*) FILTER (m1 OR m2) AS n_or,
+           count(*) FILTER ((m1 AND NOT m2) OR (m2 AND NOT m1)) AS n_xor,
+           count(*) FILTER (m1 AND NOT m2) AS n_andnot
+    FROM (SELECT l_quantity > 25 AS m1, l_discount > 0.05 AS m2 FROM lineitem)
+    """,
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """mask_and/or/xor/andnot combinators (rt_numpy.py, __init__.py:170)
+    — chained boolean Column exprs, counted in one pass."""
+    li = load_table(spark, sf, "lineitem")
+    m1 = F.col("l_quantity") > 25
+    m2 = F.col("l_discount") > 0.05
+    cnt = lambda m: F.count(F.when(m, 1))  # noqa: E731
+    return li.agg(
+        cnt(m1 & m2).alias("n_and"),
+        cnt(m1 | m2).alias("n_or"),
+        cnt((m1 & ~m2) | (m2 & ~m1)).alias("n_xor"),
+        cnt(m1 & ~m2).alias("n_andnot"),
+    )
+
+
+@query(
+    "q96_trim",
+    """
+    SELECT count(*) AS n_kept, round(sum(l_extendedprice), 2) AS price_sum
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 45 AND l_discount BETWEEN 0.01 AND 0.09
+      AND l_extendedprice > 1000
+    """,
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset.trim/keep (rt_dataset.py:7787/7952): drop rows failing a
+    conjunction of per-column predicates — one pushed-down filter."""
+    li = load_table(spark, sf, "lineitem")
+    kept = li.where(
+        F.col("l_quantity").between(5, 45)
+        & F.col("l_discount").between(0.01, 0.09)
+        & (F.col("l_extendedprice") > 1000)
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+    )
+
+
+@query(
+    "q97_duplicated_flag",
+    """
+    SELECT dup_size, count(*)::BIGINT AS n_keys
+    FROM (SELECT count(*) AS dup_size FROM part GROUP BY p_brand, p_size)
+    GROUP BY dup_size
+    """,
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """duplicated (rt_fastarray.py:1897 / rt_dataset.py:3557): histogram
+    of duplicate-group sizes over a key subset."""
+    p = load_table(spark, sf, "part")
+    sizes = p.groupBy("p_brand", "p_size").agg(F.count(F.lit(1)).alias("dup_size"))
+    return sizes.groupBy("dup_size").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+@query(
+    "q98_statx",
+    """
+    SELECT count(o_totalprice) AS n, round(avg(o_totalprice), 4) AS mean,
+           round(stddev_samp(o_totalprice), 4) AS std,
+           round(min(o_totalprice), 2) AS mn, round(max(o_totalprice), 2) AS mx,
+           round(quantile_cont(o_totalprice, 0.10), 4) AS p10,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders
+    """,
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """statx profile (rt_stats.py:40) — global describe in one agg."""
+    o = load_table(spark, sf, "orders")
+    c = F.col("o_totalprice")
+    pq = F.percentile(c, F.array(F.lit(0.10), F.lit(0.90)))
+    return o.agg(
+        F.count(c).alias("n"),
+        F.round(F.avg(c), 4).alias("mean"),
+        F.round(F.stddev_samp(c), 4).alias("std"),
+        F.round(F.min(c), 2).alias("mn"),
+        F.round(F.max(c), 2).alias("mx"),
+        pq.alias("__pq__"),
+    ).select(
+        "n", "mean", "std", "mn", "mx",
+        F.round(F.col("__pq__")[0], 4).alias("p10"),
+        F.round(F.col("__pq__")[1], 4).alias("p90"),
+    )
+
+
+@query(
+    "q99_stacked_read",
+    """
+    SELECT part_id, count(*) AS n, sum(n_nationkey)::BIGINT AS key_sum
+    FROM (SELECT 0 AS part_id, n_nationkey FROM nation
+          UNION ALL SELECT 1, n_nationkey FROM nation)
+    GROUP BY part_id
+    """,
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """PDataset / load_sds(stack=True) (rt_sds.py:1855, rt_pdataset.py:18):
+    stack N files into one table with a partition id —
+    multi-path parquet read + a file-derived partition column."""
+    import tempfile
+
+    n = load_table(spark, sf, "nation")
+    root = tempfile.mkdtemp(prefix="rts_stack_")
+    n.write.mode("overwrite").parquet(f"{root}/p0")
+    n.write.mode("overwrite").parquet(f"{root}/p1")
+    stacked = load_stacked(spark, [f"{root}/p0", f"{root}/p1"])
+    part_id = F.when(F.input_file_name().contains("/p1/"), F.lit(1)).otherwise(F.lit(0))
+    return stacked.groupBy(part_id.alias("part_id")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("key_sum")
+    )
+
+
+@query(
+    "q100_append_write",
+    """
+    SELECT count(*) AS n, sum(r_regionkey)::BIGINT AS key_sum
+    FROM (SELECT r_regionkey FROM region UNION ALL SELECT r_regionkey FROM region)
+    """,
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """save_sds(append=) / sds_concat (rt_sds.py:760-776): append-mode
+    parquet write sections, then one logical table on read."""
+    import tempfile
+
+    r = load_table(spark, sf, "region")
+    path = tempfile.mkdtemp(prefix="rts_append_")
+    r.write.mode("overwrite").parquet(path)
+    r.write.mode("append").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(F.count(F.lit(1)).alias("n"), F.sum("r_regionkey").alias("key_sum"))
+
+
+@query(
+    "q101_categorical_reuse",
+    """
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           round(avg(o_totalprice), 4) AS avg_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical reusable grouping (rt_categorical.py:1284): factorize
+    once, aggregate many times — the persisted keyed relation serves
+    three aggregations; the scan runs once."""
+    o = load_table(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+    cat = Categorical(o, ["o_orderpriority"])
+    a = cat.sum("o_totalprice").df.select(
+        "o_orderpriority", F.round(F.col("Sum"), 2).alias("total")
+    )
+    b = cat.mean("o_totalprice").df.select(
+        "o_orderpriority", F.round(F.col("Mean"), 4).alias("avg_price")
+    )
+    c = cat.count().df.select("o_orderpriority", F.col("Count").alias("n"))
+    return a.join(b, "o_orderpriority").join(c, "o_orderpriority")
+
+
+@query(
+    "q102_winsorized_zscore",
+    """
+    WITH b AS (
+        SELECT quantile_cont(s_acctbal, 0.05) AS lo, quantile_cont(s_acctbal, 0.95) AS hi
+        FROM supplier
+    ),
+    w AS (
+        SELECT s_suppkey, least(greatest(s_acctbal, lo), hi) AS wv
+        FROM supplier, b
+    ),
+    st AS (SELECT avg(wv) AS mu, stddev_samp(wv) AS sd FROM w)
+    SELECT s_suppkey, round((wv - mu) / sd, 6) AS z
+    FROM w, st
+    """,
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """normalize_zscore ∘ winsorize composition (rt_mlutils.py:12,
+    rt_stats.py:83) — the two-stage global-stat broadcast pattern."""
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_acctbal")
+    wz = stats.winsorize(s, "s_acctbal", 0.05, 0.95, out_col="wv")
+    z = stats.normalize_zscore(wz, "wv", out_col="z")
+    return z.select("s_suppkey", F.round("z", 6).alias("z"))
