@@ -650,16 +650,26 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("q68_sliding_window")
+@query(
+    "q68_sliding_window",
+    """
+    SELECT ws::BIGINT AS window_start_s, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT unnest([floor(epoch(ts)/1800)*1800,
+                         floor(epoch(ts)/1800)*1800 - 1800]) AS ws, value
+          FROM events)
+    GROUP BY ws
+    """,
+)
 def q68(spark: SparkSession, sf: str) -> DataFrame:
-    """Sliding window agg (30 min slide over 1 h windows) — rows-only
-    (each row belongs to 2 windows; not ANSI-SQL-expressible without a
-    generator join)."""
+    """Sliding window agg (30 min slide over 1 h windows): every row lands
+    in exactly 2 windows; the oracle replays that with a 2-element unnest
+    per row."""
     ev = load_table(spark, sf, "events")
     return (
         ev.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"))
         .agg(gb.count().alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        .select(F.unix_seconds(F.col("w.start")).alias("window_start_s"), "n", "sum_value")
     )
 
 
@@ -710,3 +720,83 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
     stream = sw.stream_events(spark, sf)
     out = sw.run_available_now(sw.tumbling_agg(stream, "1 hour", "2 hours"), name, tempfile.mkdtemp())
     return out
+
+
+@query(
+    "q103_stateful_stream",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals kept in GroupState, drained with availableNow
+    — must equal the batch aggregation (stream/batch parity)."""
+    import tempfile
+    import uuid
+
+    from riptable_spark.streaming import windows as sw
+
+    stream = sw.stream_events(spark, sf)
+    out = sw.run_available_now(
+        sw.stateful_user_totals(stream),
+        f"q103_mem_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(),
+    )
+    return out.select("user_id", "n_events", F.round(F.col("total_value"), 2).alias("total_value"))
+
+
+@query("q104_session_windows")
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based session windows per user (Structured Streaming
+    session_window) — rows-only: session boundaries depend on streaming
+    state semantics with no ANSI equivalent."""
+    import tempfile
+    import uuid
+
+    from riptable_spark.streaming import windows as sw
+
+    stream = sw.stream_events(spark, sf)
+    out = sw.run_available_now(
+        sw.session_agg(stream, gap="30 minutes"),
+        f"q104_mem_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(),
+    )
+    return out.select(F.unix_seconds(F.col("session_start")).alias("session_start_s"), "user_id", "n")
+
+
+@query(
+    "q105_string_surface",
+    """
+    SELECT upper(c_name) AS uname,
+           reverse(lower(c_mktsegment)) AS rseg,
+           length(c_name)::INT AS name_len,
+           substring(c_name, 1, 8) AS prefix8,   -- s.substr is 0-based (riptable)
+           substring(c_name, 11, 1) AS char10,   -- s.char(10) = 0-based position 10
+           (instr(c_name, '1') - 1)::INT AS idx1,
+           rtrim(c_mktsegment, 'G') AS seg_trimmed,
+           c_name || '-' || c_mktsegment AS appended,
+           contains(c_name, '00') AS has00,
+           starts_with(c_name, 'Customer') AS is_cust
+    FROM customer WHERE c_custkey <= 2000
+    """,
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """FAString accessor surface (rt_str.py:122 — upper/lower/reverse/
+    strlen/substr/char/index/removetrailing/str_append/contains/
+    startswith), all JVM codegen expressions."""
+    c = load_table(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    name, seg = F.col("c_name"), F.col("c_mktsegment")
+    return c.select(
+        F.upper(name).alias("uname"),
+        F.reverse(F.lower(seg)).alias("rseg"),
+        F.length(name).cast("int").alias("name_len"),
+        s.substr(name, 0, 8).alias("prefix8"),
+        s.char(name, 10).alias("char10"),
+        s.index(name, "1").cast("int").alias("idx1"),
+        F.rtrim(seg, F.lit("G")).alias("seg_trimmed"),
+        s.str_append(name, F.concat(F.lit("-"), seg)).alias("appended"),
+        s.contains(name, "00").alias("has00"),
+        s.startswith(name, "Customer").alias("is_cust"),
+    )

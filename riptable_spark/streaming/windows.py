@@ -89,13 +89,21 @@ def stream_dedupe(events: DataFrame, keys: list[str], watermark: str = "2 hours"
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, tmp_dir: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, tmp_dir: str, output_mode: str | None = None
+) -> DataFrame:
     """Drain all currently-available input (one pass) into a memory sink
     and return the result table — the batch-parity test harness."""
+    if output_mode is None:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        if "FlatMapGroupsInPandasWithState" in plan:
+            output_mode = "update"  # the mode the stateful op declared
+        else:
+            output_mode = "complete" if _has_aggregate(stream_df) else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if _has_aggregate(stream_df) else "append")
+        .outputMode(output_mode)
         .option("checkpointLocation", tmp_dir)
         .trigger(availableNow=True)
         .start()
@@ -106,3 +114,34 @@ def run_available_now(stream_df: DataFrame, query_name: str, tmp_dir: str) -> Da
 
 def _has_aggregate(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def stateful_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (n_events, total_value) maintained in GroupState across
+    micro-batches — the pattern for any reference-style sequential
+    accumulator that must survive a stream (EMA carry, session counters).
+    Output mode: update."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) — the reference's own strategy
+(riptable/hypothesis_tests/test_riptide_numpy_equivalency.py): engine
+results must match the numpy/pandas oracle on arbitrary inputs. Here:
+Spark groupby reduces and window cumulatives vs pandas on generated
+frames. Bounded example counts keep the suite fast (Spark round-trips
+are the expensive part, not case generation)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+FRAME = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group key
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.none(),  # NULL / riptable invalid
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _to_spark(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    pdf["x"] = pdf["x"].astype("float64")
+    pdf["i"] = range(len(pdf))
+    sdf = spark.createDataFrame(
+        [(int(g), int(i), None if pd.isna(x) else float(x)) for g, x, i in pdf.itertuples(index=False)],
+        "g int, i int, x double",
+    )
+    return pdf, sdf
+
+
+@given(rows=FRAME)
+@settings(**_SETTINGS)
+def test_groupby_reduces_match_pandas(spark, rows):
+    pdf, df = _to_spark(spark, rows)
+    got = {
+        r.g: (r.s, r.m, r.v, r.n)
+        for r in df.groupBy("g")
+        .agg(
+            F.sum("x").alias("s"),
+            F.avg("x").alias("m"),
+            F.var_samp("x").alias("v"),
+            F.count("x").alias("n"),
+        )
+        .collect()
+    }
+    exp = pdf.groupby("g")["x"].agg(["sum", "mean", "var", "count"])
+    for g, row in exp.iterrows():
+        s, m, v, n = got[g]
+        # pandas sum of all-NaN group is 0.0; SQL SUM is NULL — riptable's
+        # nansum-of-empty is invalid, i.e. the SQL behavior
+        if n == 0:
+            assert s is None and m is None
+            continue
+        assert math.isclose(s, row["sum"], rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(m, row["mean"], rel_tol=1e-9, abs_tol=1e-9)
+        assert int(n) == int(row["count"])
+        if n >= 2:
+            assert math.isclose(v, row["var"], rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(rows=FRAME)
+@settings(**_SETTINGS)
+def test_cumsum_shift_match_pandas(spark, rows):
+    pdf, df = _to_spark(spark, rows)
+    w = Window.partitionBy("g").orderBy("i")
+    out = df.select(
+        "g",
+        "i",
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        F.lag("x").over(w).alias("sh"),
+    ).toPandas().set_index("i").sort_index()
+    exp_cs = pdf.groupby("g")["x"].cumsum()
+    exp_sh = pdf.groupby("g")["x"].shift()
+    for i in pdf.index:
+        # SQL window SUM skips NULLs (running sum continues through a
+        # NULL row); pandas cumsum emits NaN AT the NaN row — compare
+        # only where the input is non-null, where both agree.
+        if not pd.isna(pdf.loc[i, "x"]):
+            a, b = out.loc[i, "cs"], exp_cs[i]
+            assert (pd.isna(a) and pd.isna(b)) or math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        a, b = out.loc[i, "sh"], exp_sh[i]
+        assert (pd.isna(a) and pd.isna(b)) or a == b
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    ),
+    q=st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_percentile_matches_numpy(spark, vals, q):
+    """Exact percentile parity with numpy linear interpolation — the
+    interpolation riptable's GB_QUANTILE_MULT kernels use."""
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = df.agg(F.percentile(F.col("x"), F.lit(q)).alias("p")).first().p
+    exp = float(np.percentile(np.array(vals), q * 100))
+    assert math.isclose(got, exp, rel_tol=1e-9, abs_tol=1e-6)
