@@ -317,3 +317,30 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     wz = stats.winsorize(s, "s_acctbal", 0.05, 0.95, out_col="wv")
     z = stats.normalize_zscore(wz, "wv", out_col="z")
     return z.select("s_suppkey", F.round("z", 6).alias("z"))
+
+
+@query(
+    "q106_salted_join",
+    """
+    SELECT l.l_returnflag, count(*) AS n, round(sum(o.o_totalprice), 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe salted join (SURVEY §4 watch-list): hot l_orderkey rows
+    spread over 8 salt buckets; results must be identical to the plain
+    join the oracle runs."""
+    from .operators import skew
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    joined = skew.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+        salt=8,
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )

@@ -147,3 +147,36 @@ def test_ema_auto_falls_back_on_wide_span(spark):
     df = spark.createDataFrame(rows, ["g", "t", "x"])
     out = ema.ema_decay(df, ["g"], "x", "t", rate=5.0, method="auto").collect()
     assert all(abs(r.ema) < 1e308 and r.ema == r.ema for r in out)
+
+
+def test_salted_join_matches_plain(spark):
+    from riptable_spark.operators import skew
+
+    left = spark.createDataFrame([(1, "a")] * 50 + [(2, "b")] * 3, ["k", "v"])
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "w"])
+    plain = left.join(right, "k").groupBy("k").count().collect()
+    salted = skew.salted_join(left, right, ["k"], salt=4).groupBy("k").count().collect()
+    assert {r.k: r["count"] for r in salted} == {r.k: r["count"] for r in plain}
+
+
+def test_salted_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import skew
+
+    df = spark.createDataFrame([(i % 2, float(i)) for i in range(100)], ["k", "x"])
+    out = {
+        r.k: (r.n, r.total, r.mx)
+        for r in skew.salted_agg(
+            df, ["k"],
+            {"n": ("sum", F.count(F.lit(1))), "total": ("sum", F.sum("x")), "mx": ("max", F.max("x"))},
+            salt=4,
+        ).collect()
+    }
+    exp = {
+        r.k: (r.n, r.total, r.mx)
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("total"), F.max("x").alias("mx")
+        ).collect()
+    }
+    assert out == exp
