@@ -153,6 +153,41 @@ class Dataset:
     def one_hot_encode(self, colname: str, values=None) -> "Dataset":
         return Dataset(_reshape.one_hot_encode(self._df, colname, values))
 
+    # -------------------------------------------- ordered column ops
+    def shift(self, colname: str, n: int, order, out_col: str | None = None) -> "Dataset":
+        """rt_fastarray.py:4046 — ungrouped shift in explicit order."""
+        w = Window.orderBy(order if isinstance(order, Column) else F.col(order))
+        return Dataset(self._df.withColumn(out_col or f"{colname}_shift", _win.shift(F.col(colname), n, w)))
+
+    def diff(self, colname: str, n: int = 1, order=None, out_col: str | None = None) -> "Dataset":
+        """rt_fastarray.py:4251."""
+        w = Window.orderBy(order if isinstance(order, Column) else F.col(order))
+        return Dataset(self._df.withColumn(out_col or f"{colname}_diff", _win.diff(F.col(colname), n, w)))
+
+    def fill_forward(self, colname: str, order, keys: list[str] | None = None) -> "Dataset":
+        """rt_fastarraynumba.py:149 — last non-null carried forward."""
+        ocol = order if isinstance(order, Column) else F.col(order)
+        w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(ocol).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return Dataset(self._df.withColumn(colname, F.last(F.col(colname), ignorenulls=True).over(w)))
+
+    def cut(self, colname: str, bins, out_col: str | None = None) -> "Dataset":
+        """rt_bin.py:412."""
+        from .functions import binning
+
+        return Dataset(self._df.withColumn(out_col or f"{colname}_bin", binning.cut(F.col(colname), bins)))
+
+    def qcut(self, colname: str, q: int) -> "Dataset":
+        """rt_bin.py:155."""
+        from .functions import binning
+
+        return Dataset(binning.qcut(self._df, colname, q))
+
+    def nunique(self, colname: str) -> int:
+        """rt_fastarray.py:3934."""
+        return self._df.select(colname).distinct().count()
+
     # -------------------------------------------------------- groupby
     def gb(self, keys) -> "GroupBy":
         """rt_dataset.py:6383 (sorted-key display is an orderBy at

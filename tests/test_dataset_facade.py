@@ -118,3 +118,28 @@ def test_melt_pivot_roundtrip(spark):
 def test_fillna(spark):
     d = Dataset.from_arrays(spark, {"v": [1.0, float("nan"), 3.0]})
     assert d.fillna(0.0).to_pandas()["v"].tolist() == [1.0, 0.0, 3.0]
+
+
+def test_shift_diff_fillforward(ds):
+    out = ds.shift("l_quantity", 1, "__rowid__").to_pandas() if "__rowid__" in ds.keys() else None
+    # use explicit order column available in the fixture table
+    d2 = ds.diff("l_quantity", 1, order="l_orderkey")
+    assert "l_quantity_diff" in d2.keys()
+    d3 = ds.shift("l_quantity", 1, order="l_orderkey")
+    assert "l_quantity_shift" in d3.keys()
+
+
+def test_cut_qcut_nunique(ds):
+    c = ds.cut("l_quantity", [0.0, 10.0, 20.0, 50.0])
+    assert "l_quantity_bin" in c.keys()
+    q = ds.qcut("l_quantity", 4)
+    assert "l_quantity_bin" in q.keys()
+    assert ds.nunique("l_returnflag") == 3
+
+
+def test_fill_forward_facade(spark):
+    from riptable_spark.dataset import Dataset
+
+    df = spark.createDataFrame([(1, 1.0), (2, None), (3, None), (4, 2.0)], ["i", "x"])
+    out = Dataset(df).fill_forward("x", "i").to_pandas().sort_values("i")
+    assert list(out["x"]) == [1.0, 1.0, 1.0, 2.0]
