@@ -236,15 +236,29 @@ def nth_per_group(df: DataFrame, keys: list[str], order, n: int) -> DataFrame:
 
 def drop_duplicates(df: DataFrame, keys: list[str], order, keep: str = "first") -> DataFrame:
     """rt_dataset.py:3631 drop_duplicates with keep=first|last|False.
-    keep=False drops ALL rows that have any duplicate."""
+    keep=False drops ALL rows that have any duplicate.
+
+    keep=first/last runs as ONE hash aggregation — min/max over
+    struct(order, payload) — not a row_number window: the aggregate gets
+    map-side partial combine (shuffle carries one row per key per input
+    partition) and skips the per-partition sort entirely. The trailing
+    payload fields in the struct give duplicate order values a
+    deterministic total order."""
+    payload = [c for c in df.columns if c not in keys]
     if keep is False or keep == "none":
-        w = Window.partitionBy(*keys)
-        return df.withColumn("__c__", F.count(F.lit(1)).over(w)).where(F.col("__c__") == 1).drop("__c__")
+        counted = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__c__"),
+            F.min(F.struct(*payload)).alias("__row__"),
+        )
+        return counted.where(F.col("__c__") == 1).select(
+            *keys, *[F.col(f"__row__.{c}").alias(c) for c in payload]
+        )
     ocol = F.col(order) if isinstance(order, str) else order
-    if keep == "last":
-        ocol = ocol.desc()
-    w = Window.partitionBy(*keys).orderBy(ocol)
-    return df.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1).drop("__rn__")
+    agg_fn = F.max if keep == "last" else F.min
+    picked = df.groupBy(*keys).agg(
+        agg_fn(F.struct(ocol.alias("__o__"), *payload)).alias("__row__")
+    )
+    return picked.select(*keys, *[F.col(f"__row__.{c}").alias(c) for c in payload])
 
 
 def issorted(df: DataFrame, col: str, order) -> bool:
