@@ -633,7 +633,7 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q67_tumbling_window",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,
            count(*) AS n, round(sum(value), 2) AS sum_value
     FROM events GROUP BY 1
     """,
@@ -641,12 +641,13 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
 def q67(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling time-window aggregation (resample analogue — the
     reference stubs resample, rt_groupbyops.py:3533; free via F.window).
-    Streaming form in riptable_spark.streaming."""
+    Streaming form in riptable_spark.streaming. Window start is epoch
+    seconds so the cross-engine hash never sees tz-display differences."""
     ev = load_table(spark, sf, "events")
     return (
         ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
         .agg(gb.count().alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        .select(F.unix_seconds(F.col("w.start")).alias("window_start_s"), "n", "sum_value")
     )
 
 
@@ -702,7 +703,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q71_streaming_tumbling",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,
            count(*) AS n, round(sum(value), 2) AS sum_value
     FROM events GROUP BY 1
     """,
@@ -719,7 +720,9 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
     name = f"q71_mem_{uuid.uuid4().hex[:8]}"
     stream = sw.stream_events(spark, sf)
     out = sw.run_available_now(sw.tumbling_agg(stream, "1 hour", "2 hours"), name, tempfile.mkdtemp())
-    return out
+    return out.select(
+        F.unix_seconds(F.col("window_start")).alias("window_start_s"), "n", "sum_value"
+    )
 
 
 @query(
