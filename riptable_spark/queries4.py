@@ -344,3 +344,62 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     )
+
+
+@query(
+    "q107_accum2_footer",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(l_quantity), 2) AS Total
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'Total',
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2),
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2),
+           round(sum(l_quantity), 2)
+    FROM lineitem
+    """,
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """Accum2 with the column-totals footer row (rt_accum2.py:122-186
+    margins + footers): cells and row margin in one conditional agg, the
+    footer from a shuffle-free global agg, unioned."""
+    from .operators import accum
+
+    li = load_table(spark, sf, "lineitem")
+    out = accum.accum2_with_footer(
+        li, "l_returnflag", "l_linestatus", F.sum, "l_quantity", pivot_values=["F", "O"]
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("F"), 2).alias("F"),
+        F.round(F.col("O"), 2).alias("O"),
+        F.round(F.col("Total"), 2).alias("Total"),
+    )
+
+
+@query(
+    "q108_embedding_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    """,
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (beyond-reference dedup
+    flavor): exact all-pairs baseline; production path pre-buckets with
+    q82's LSH. Threshold 0.4 (synthetic embeddings peak at cos≈0.51) yields a
+    non-trivial pair set; no pair sits within float error of it."""
+    from .operators import similarity
+
+    e = load_table(spark, sf, "embeddings")
+    out = similarity.pairwise_cosine(e, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))

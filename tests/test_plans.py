@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from riptable_spark import queries2  # noqa: F401
+from riptable_spark import queries2, queries3, queries4  # noqa: F401
 from riptable_spark.plans import inspect as pi
 from riptable_spark.queries import QUERIES
 
@@ -62,3 +62,32 @@ def test_q02_projection_pruned(q):
     df = q("q02_filter_project")
     cols = pi.scan_columns(df)
     assert cols and all(len(c) <= 5 for c in cols)
+
+
+def test_q20_dedup_is_hash_agg_not_window(q):
+    """drop_duplicates keep=first must run as a hash aggregation with
+    map-side combine — no per-partition sort, no Window."""
+    df = q("q20_drop_duplicates")
+    plan = pi.simple_plan(df)
+    assert "Window" not in plan
+    assert pi.has_partial_aggregate(df)
+
+
+def test_q35_ema_stays_jvm_side(q):
+    """The auto-dispatched EMA must compile to window exprs (closed form),
+    not a Python worker stage, when the span guard allows."""
+    df = q("q35_ema_decay")
+    plan = pi.simple_plan(df)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Window" in plan
+
+
+def test_q76_rankdata_broadcasts_rank_map(q):
+    df = q("q76_rankdata")
+    assert pi.has_broadcast_join(df)
+
+
+def test_q22_accum2_single_shuffle(q):
+    df = q("q22_accum2")
+    assert pi.count_shuffles(df) == 1
+    assert pi.has_partial_aggregate(df)
