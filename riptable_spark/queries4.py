@@ -403,3 +403,33 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     out = similarity.pairwise_cosine(e, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "q109_merge_suffixes",
+    """
+    SELECT n.n_nationkey,
+           n.name AS name_x, r.name AS name_y,
+           n.n_regionkey
+    FROM (SELECT n_nationkey, n_name AS name, n_regionkey FROM nation) n
+    JOIN (SELECT r_regionkey, r_name AS name FROM region) r
+      ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """merge2 suffix disambiguation (rt_merge.py:2293 suffixes=): the
+    colliding non-key column 'name' gets _x/_y suffixes exactly as the
+    reference's tuple-rename machinery does."""
+    from .operators import merge
+
+    n = load_table(spark, sf, "nation").select(
+        "n_nationkey", F.col("n_name").alias("name"), "n_regionkey"
+    )
+    r = load_table(spark, sf, "region").select(
+        "r_regionkey", F.col("r_name").alias("name")
+    )
+    out = merge.merge2(
+        n, r, left_on=["n_regionkey"], right_on=["r_regionkey"], how="inner",
+        suffixes=("_x", "_y"), broadcast_right=True,
+    )
+    return out.select("n_nationkey", "name_x", "name_y", "n_regionkey")

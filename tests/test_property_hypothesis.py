@@ -116,3 +116,31 @@ def test_percentile_matches_numpy(spark, vals, q):
     got = df.agg(F.percentile(F.col("x"), F.lit(q)).alias("p")).first().p
     exp = float(np.percentile(np.array(vals), q * 100))
     assert math.isclose(got, exp, rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=30
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=30
+    ),
+    how=st.sampled_from(["inner", "left", "outer"]),
+)
+@settings(**_SETTINGS)
+def test_merge2_matches_pandas(spark, lrows, rrows, how):
+    """merge2 row multiset vs pandas.merge on arbitrary key multisets —
+    the reference's own oracle for joins (SURVEY §5)."""
+    from riptable_spark.operators.merge import merge2
+
+    lp = pd.DataFrame(lrows, columns=["k", "a"])
+    rp = pd.DataFrame(rrows, columns=["k", "b"])
+    ldf = spark.createDataFrame([(int(k), int(a)) for k, a in lrows], "k int, a int")
+    rdf = spark.createDataFrame([(int(k), int(b)) for k, b in rrows], "k int, b int")
+    got = merge2(ldf, rdf, on="k", how=how).toPandas()
+    exp = lp.merge(rp, on="k", how=how)
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.k), None if pd.isna(r.a) else int(r.a), None if pd.isna(r.b) else int(r.b))
+        for r in df.itertuples()
+    )
+    assert key(got) == key(exp)
