@@ -413,6 +413,14 @@ class Categorical(GroupBy):
         keymap = uniq.withColumn("__code__", F.row_number().over(w) - 1)
         return Dataset(self._df.join(F.broadcast(keymap), on=keys, how="left"))
 
+    def to_bucketed(self, table_name: str, n_buckets: int = 32) -> None:
+        """Durable factorization: write the keyed relation bucketed by the
+        category keys (rt_categorical 'grouping reuse' at cluster scale —
+        later groupbys/joins on the keys are shuffle-free)."""
+        from .sources.io import save_bucketed
+
+        save_bucketed(self._df, table_name, self._keys, n_buckets)
+
     def unpersist(self) -> None:
         if self._persisted:
             self._df.unpersist()

@@ -122,3 +122,20 @@ def with_rowid(df: DataFrame, *order_cols: str) -> DataFrame:
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn("__rowid__", F.row_number().over(w) - F.lit(1))
     return df.withColumn("__rowid__", F.monotonically_increasing_id())
+
+
+def save_bucketed(
+    df, table_name: str, bucket_cols: list[str], n_buckets: int = 32, sort_cols: list[str] | None = None
+) -> None:
+    """Durable 'factorize once' (SURVEY §3.2): write a table bucketed by
+    the grouping/join keys so every later groupBy/join on those keys is
+    co-located — zero shuffle, the cluster-scale analogue of riptable's
+    cached Grouping. Requires a session catalog (warehouse dir)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def load_bucketed(spark, table_name: str):
+    return spark.table(table_name)

@@ -100,3 +100,29 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql).issubset(set(qs))
     assert len(qs) >= 38
+
+
+def test_bucketed_tables_colocate(spark, tmp_path):
+    """save_bucketed = durable 'factorize once': groupBy on the bucket key
+    plans ZERO exchanges; a same-bucketing join plans no hash exchange
+    (SURVEY §3.2 — the cluster analogue of riptable's cached Grouping)."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.sources import io as rio
+
+    df = spark.range(5000).select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+    rio.save_bucketed(df, "bt_l", ["k"], 8)
+    rio.save_bucketed(df, "bt_r", ["k"], 8)
+    try:
+        agg = rio.load_bucketed(spark, "bt_l").groupBy("k").agg(F.sum("v"))
+        assert agg._jdf.queryExecution().executedPlan().toString().count("Exchange hashpartitioning") == 0
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = rio.load_bucketed(spark, "bt_l").join(rio.load_bucketed(spark, "bt_r"), "k")
+            assert j._jdf.queryExecution().executedPlan().toString().count("Exchange hashpartitioning") == 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_l")
+        spark.sql("DROP TABLE IF EXISTS bt_r")
