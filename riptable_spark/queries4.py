@@ -433,3 +433,64 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         suffixes=("_x", "_y"), broadcast_right=True,
     )
     return out.select("n_nationkey", "name_x", "name_y", "n_regionkey")
+
+
+@query(
+    "q110_timezone",
+    """
+    SELECT is_dst, count(*) AS n, min(off_s)::BIGINT AS min_off, max(off_s)::BIGINT AS max_off
+    FROM (
+        SELECT (epoch(timezone('America/New_York', ts)) - epoch(ts))::BIGINT AS off_s,
+               (epoch(timezone('America/New_York', ts)) - epoch(ts)) = 4*3600 AS is_dst
+        FROM events
+    )
+    GROUP BY is_dst
+    """,
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """TimeZone to_utc / fix_dst / is_dst (rt_timezone.py:1294/1237,
+    rt_datetime is_dst): interpret wall-clock as America/New_York and
+    convert to UTC with the JVM tzdb; the UTC−wall offset identifies DST.
+    (The reference ships hand-rolled NYC/Dublin transition tables —
+    rt_timezone.py:28-1000; the tz database replaces them.)"""
+    ev = load_table(spark, sf, "events")
+    off = F.unix_seconds(F.to_utc_timestamp(F.col("ts"), "America/New_York")) - F.unix_seconds(F.col("ts"))
+    return (
+        ev.select(off.alias("off_s"))
+        .select("off_s", (F.col("off_s") == 4 * 3600).alias("is_dst"))
+        .groupBy("is_dst")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("off_s").alias("min_off"),
+            F.max("off_s").alias("max_off"),
+        )
+    )
+
+
+@query(
+    "q111_apply_rows",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charge
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset.apply_rows (rt_dataset.py:7292) — mapInPandas row
+    transform (Arrow batch iterator), aggregated after so the whole
+    Python-worker path is oracle-checked end-to-end."""
+    from .dataset import Dataset
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount", "l_tax"
+    )
+
+    def add_charge(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["charge"] = pdf["l_extendedprice"] * (1 - pdf["l_discount"]) * (1 + pdf["l_tax"])
+            yield pdf
+
+    schema = "l_returnflag string, l_extendedprice double, l_discount double, l_tax double, charge double"
+    out = Dataset(li).apply_rows(add_charge, schema).df
+    return out.groupBy("l_returnflag").agg(F.round(F.sum("charge"), 2).alias("charge"))
