@@ -425,3 +425,37 @@ class Categorical(GroupBy):
         if self._persisted:
             self._df.unpersist()
             self._persisted = False
+
+
+class Multiset:
+    """Struct of same-length Datasets (rt_multiset.py:20) — the container
+    GroupBy.agg(dict) returns in the reference when several functions run
+    per column. Here: named Datasets sharing group keys, with ``cascade``
+    (rt_multiset.py:745) applying a function across all members and
+    ``flatten`` joining them into one wide Dataset on the keys."""
+
+    def __init__(self, members: dict[str, "Dataset"], keys: list[str]):
+        self._members = dict(members)
+        self._keys = list(keys)
+
+    def __getitem__(self, name: str) -> "Dataset":
+        return self._members[name]
+
+    def keys(self) -> list[str]:
+        return list(self._members)
+
+    def cascade(self, fn) -> "Multiset":
+        """Apply ``fn(Dataset) -> Dataset`` to every member."""
+        return Multiset({k: fn(v) for k, v in self._members.items()}, self._keys)
+
+    def flatten(self, suffix_with_name: bool = True) -> "Dataset":
+        """Join all members on the group keys into one wide Dataset."""
+        out = None
+        for name, ds in self._members.items():
+            df = ds.df
+            if suffix_with_name:
+                for c in df.columns:
+                    if c not in self._keys:
+                        df = df.withColumnRenamed(c, f"{c}_{name}")
+            out = df if out is None else out.join(df, on=self._keys, how="outer")
+        return Dataset(out)

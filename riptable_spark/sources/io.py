@@ -139,3 +139,23 @@ def save_bucketed(
 
 def load_bucketed(spark, table_name: str):
     return spark.table(table_name)
+
+
+def load_h5(spark, path: str, dataset: str | None = None):
+    """HDF5 → DataFrame (rt_utils.py:49 load_h5). Gated on h5py being
+    available (not shipped in this container): reads the group's 1-D
+    datasets as columns via pandas, then distributes. For 100 TB inputs
+    convert to parquet upstream — HDF5 has no parallel row-group reader."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "load_h5 requires h5py, which is not installed in this environment; "
+            "convert the file to parquet (save_dataset) instead"
+        ) from e
+    import pandas as pd
+
+    with h5py.File(path, "r") as f:
+        grp = f[dataset] if dataset else f
+        cols = {k: grp[k][:] for k in grp.keys() if getattr(grp[k], "ndim", 0) == 1}
+    return spark.createDataFrame(pd.DataFrame(cols))

@@ -143,3 +143,35 @@ def test_fill_forward_facade(spark):
     df = spark.createDataFrame([(1, 1.0), (2, None), (3, None), (4, 2.0)], ["i", "x"])
     out = Dataset(df).fill_forward("x", "i").to_pandas().sort_values("i")
     assert list(out["x"]) == [1.0, 1.0, 1.0, 2.0]
+
+
+def test_multiset_cascade_flatten(spark):
+    from pyspark.sql import functions as F
+
+    from riptable_spark.dataset import Dataset, Multiset
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 2.0)], ["k", "x"])
+    ms = Multiset(
+        {
+            "sum": Dataset(df.groupBy("k").agg(F.sum("x").alias("v"))),
+            "mean": Dataset(df.groupBy("k").agg(F.avg("x").alias("v"))),
+        },
+        ["k"],
+    )
+    wide = ms.cascade(lambda d: d).flatten().to_pandas().set_index("k")
+    assert wide.loc["a", "v_sum"] == 4.0 and wide.loc["a", "v_mean"] == 2.0
+    assert wide.loc["b", "v_sum"] == 2.0
+
+
+def test_load_h5_gated(spark):
+    import pytest as _pytest
+
+    from riptable_spark.sources.io import load_h5
+
+    try:
+        import h5py  # noqa: F401
+        _pytest.skip("h5py present; gate not exercised")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="h5py"):
+        load_h5(spark, "/nonexistent.h5")
