@@ -144,3 +144,32 @@ def test_merge2_matches_pandas(spark, lrows, rrows, how):
         for r in df.itertuples()
     )
     assert key(got) == key(exp)
+
+
+@given(
+    ltimes=st.lists(st.integers(0, 1000), min_size=1, max_size=25, unique=True),
+    rtimes=st.lists(st.integers(0, 1000), min_size=1, max_size=25, unique=True),
+    direction=st.sampled_from(["backward", "forward"]),
+    exact=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_merge_asof_matches_pandas(spark, ltimes, rtimes, direction, exact):
+    """merge_asof vs pandas.merge_asof — the reference's own oracle
+    (tests/test_merge_asof.py imports pandas test data)."""
+    from riptable_spark.operators.merge import merge_asof
+
+    lp = pd.DataFrame({"t": sorted(ltimes)})
+    rp = pd.DataFrame({"t": sorted(rtimes)})
+    rp["v"] = rp["t"] * 10
+    ldf = spark.createDataFrame([(int(t),) for t in lp["t"]], "t int")
+    rdf = spark.createDataFrame([(int(t), int(v)) for t, v in rp.itertuples(index=False)], "t int, v int")
+    got = {
+        r.t: r.v
+        for r in merge_asof(
+            ldf, rdf, on="t", direction=direction, allow_exact_matches=exact
+        ).collect()
+    }
+    exp_df = pd.merge_asof(lp, rp, on="t", direction=direction, allow_exact_matches=exact)
+    for t, v in exp_df.itertuples(index=False):
+        g = got[t]
+        assert (pd.isna(v) and g is None) or g == v, (t, g, v)
