@@ -494,3 +494,35 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     schema = "l_returnflag string, l_extendedprice double, l_discount double, l_tax double, charge double"
     out = Dataset(li).apply_rows(add_charge, schema).df
     return out.groupBy("l_returnflag").agg(F.round(F.sum("charge"), 2).alias("charge"))
+
+
+@query(
+    "q112_filtered_agg_showfilter",
+    """
+    SELECT l_returnflag AS bin,
+           round(sum(CASE WHEN l_quantity > 20 THEN l_extendedprice END), 2) AS price_sum,
+           count(CASE WHEN l_quantity > 20 THEN 1 END) AS n
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'Filtered',
+           round(sum(CASE WHEN NOT (l_quantity > 20) THEN l_extendedprice END), 2),
+           count(CASE WHEN NOT (l_quantity > 20) THEN 1 END)
+    FROM lineitem
+    """,
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """Fused-filter aggregation with showfilter (rt_grouping.py:3319-3327
+    bin-0 trick): the filter rides INSIDE the aggregation as a when-mask
+    (no pre-filter scan pass), and showfilter surfaces the filtered-out
+    bin as an extra row from a shuffle-free global agg."""
+    li = load_table(spark, sf, "lineitem")
+    flt = F.col("l_quantity") > 20
+    body = li.groupBy(F.col("l_returnflag").alias("bin")).agg(
+        F.round(gb.nansum(F.col("l_extendedprice"), flt), 2).alias("price_sum"),
+        gb.count(flt).alias("n"),
+    )
+    showfilter = li.agg(
+        F.round(gb.nansum(F.col("l_extendedprice"), ~flt), 2).alias("price_sum"),
+        gb.count(~flt).alias("n"),
+    ).select(F.lit("Filtered").alias("bin"), "price_sum", "n")
+    return body.unionByName(showfilter)
