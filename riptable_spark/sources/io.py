@@ -119,8 +119,22 @@ def with_rowid(df: DataFrame, *order_cols: str) -> DataFrame:
     if order_cols:
         from pyspark.sql import Window
 
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
-        return df.withColumn("__rowid__", F.row_number().over(w) - F.lit(1))
+        # Exact global index WITHOUT a single-partition window: range
+        # partition on the order, rank within each partition in parallel,
+        # then add broadcast per-partition offsets (one tiny cumsum over
+        # #partitions rows). Deterministic for unique order keys.
+        ocols = [F.col(c) for c in order_cols]
+        part = df.repartitionByRange(*ocols).withColumn("__pid__", F.spark_partition_id())
+        w_in = Window.partitionBy("__pid__").orderBy(*ocols)
+        local = part.withColumn("__lrn__", F.row_number().over(w_in))
+        counts = local.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
+        w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn("__off__", F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)))
+        return (
+            local.join(F.broadcast(offsets.select("__pid__", "__off__")), "__pid__")
+            .withColumn("__rowid__", (F.col("__lrn__") + F.col("__off__") - 1).cast("long"))
+            .drop("__pid__", "__lrn__", "__off__")
+        )
     return df.withColumn("__rowid__", F.monotonically_increasing_id())
 
 
