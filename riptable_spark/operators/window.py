@@ -207,8 +207,22 @@ def rank(col: Column, w_keys: list[str] | None, method: str = "average", pct: bo
 
 
 def ngroup(keys: list[str]) -> Column:
-    """rt_groupbyops.py:3565 — 0-based dense group number by key order."""
+    """rt_groupbyops.py:3565 — 0-based dense group number by key order.
+    NOTE: a dense_rank over the whole table funnels into one partition;
+    prefer :func:`ngroup_df`, which ranks only the distinct key set and
+    broadcast-joins the numbers back. This Column form is kept for
+    small/interactive use."""
     return F.dense_rank().over(Window.orderBy(*[F.col(k) for k in keys])) - 1
+
+
+def ngroup_df(df: DataFrame, keys: list[str], out_col: str = "ngroup") -> DataFrame:
+    """Scale path for ngroup: dense 0-based group ids computed on the
+    DISTINCT key set (tiny window) and broadcast-joined back — the full
+    table never passes through a single partition."""
+    uniq = df.select(*keys).distinct()
+    w = Window.orderBy(*[F.col(k) for k in keys])
+    numbered = uniq.withColumn(out_col, F.dense_rank().over(w) - 1)
+    return df.join(F.broadcast(numbered), on=keys, how="left")
 
 
 def findnth(w: WindowSpec) -> Column:

@@ -260,14 +260,15 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q50(spark: SparkSession, sf: str) -> DataFrame:
-    """ngroup / findnth (rt_groupbyops.py:3565, 3262). ngroup is a global
-    dense_rank over keys — single-partition window; fine for key-count
-    cardinality, replaced by a broadcast keymap join at scale."""
+    """ngroup / findnth (rt_groupbyops.py:3565, 3262). ngroup numbers the
+    DISTINCT key set (tiny window) and broadcast-joins back — the event
+    table never crosses a single-partition window."""
     ev = load_table(spark, sf, "events").where(F.col("event_id") < 2000)
     w = win.group_window(["user_id"], F.col("ts")).orderBy(F.col("ts"), F.col("event_id"))
-    return ev.select(
+    numbered = win.ngroup_df(ev.select("event_id", "user_id", "ts"), ["user_id"])
+    return numbered.select(
         "event_id",
-        win.ngroup(["user_id"]).alias("ngroup"),
+        "ngroup",
         win.findnth(w).alias("nth"),
     )
 
