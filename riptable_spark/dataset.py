@@ -160,7 +160,10 @@ class Dataset:
         return Dataset(self._df.withColumn(out_col or f"{colname}_shift", _win.shift(F.col(colname), n, w)))
 
     def diff(self, colname: str, n: int = 1, order=None, out_col: str | None = None) -> "Dataset":
-        """rt_fastarray.py:4251."""
+        """rt_fastarray.py:4251. ``order`` is required — Spark has no
+        physical row order to fall back on (SURVEY §1.2)."""
+        if order is None:
+            raise ValueError("diff requires an explicit order column")
         w = Window.orderBy(order if isinstance(order, Column) else F.col(order))
         return Dataset(self._df.withColumn(out_col or f"{colname}_diff", _win.diff(F.col(colname), n, w)))
 

@@ -101,11 +101,12 @@ crc32 = F.crc32
 xxhash64 = F.xxhash64  # 64-bit hash analogue of crc64
 
 
-def interp(x: Column, xp_col: Column, fp_col: Column) -> Column:
-    """Linear interpolation y = fp0 + (x-xp0)*(fp1-fp0)/(xp1-xp0) given the
+def interp(x: Column, x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
+    """Linear interpolation y = y0 + (x-x0)·(y1-y0)/(x1-x0) given both
     bracketing sample points already aligned on the row (rt_numpy.py:5333
-    interp; alignment itself is an as-of join, see operators.merge_asof)."""
-    return fp_col + (x - xp_col)
+    interp; the alignment itself is an as-of join — see
+    operators.window.interp_extrap for the full operator)."""
+    return y0 + (x - x0) * (y1 - y0) / (x1 - x0)
 
 
 def where(cond: Column, x, y) -> Column:

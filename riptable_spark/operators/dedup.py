@@ -53,8 +53,15 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     per duplicate cluster (deterministic). One hash-shuffle on the
     fingerprint — at 100 TB the 64-bit fingerprint (8 bytes) shuffles, not
     the document text."""
-    fp = F.xxhash64(normalize_text(F.col(text_col)))
-    w = Window.partitionBy("__fp__").orderBy(F.col(id_col))
+    # NULL text is NOT a duplicate of other NULL text (xxhash64(NULL)
+    # would give every such row the same seed hash) — null-text rows
+    # bypass dedup by using their own id as the partition key.
+    fp = F.when(
+        F.col(text_col).isNotNull(), F.xxhash64(normalize_text(F.col(text_col)))
+    )
+    part = F.coalesce(F.col("__fp__"), F.col(id_col))
+    nullfp = F.col("__fp__").isNull()
+    w = Window.partitionBy(nullfp, part).orderBy(F.col(id_col))
     return (
         df.withColumn("__fp__", fp)
         .withColumn("__rn__", F.row_number().over(w))

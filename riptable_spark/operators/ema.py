@@ -165,7 +165,11 @@ def _expr_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: s
 
 
 def _span_ok(df: DataFrame, keys: list[str], kind: str, timecol: str | None, rate: float) -> bool:
-    """One scalar aggregation: the widest per-group exponent span."""
+    """One scalar aggregation: the widest per-group exponent span.
+    NOTE this is an extra pass over the input (the agg OUTPUT is one row,
+    the scan is not) — the price of method='auto' safety. Callers that
+    can bound rate·span a priori should pass method='expr'; callers that
+    cannot tolerate the pass pass method='scan'."""
     if kind == "weighted":
         span = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).agg(
             F.max(F.lit(-float(np.log1p(-rate))) * F.col("n").cast("double"))

@@ -50,9 +50,13 @@ def nanstd(col, flt=None):
 
 def strict(aggfn, col, flt=None):
     """riptable's non-nan aggs propagate invalids (SURVEY §1.2): NULL out
-    the group if it contains any invalid."""
-    c = _maybe_filter(col, flt)
-    return F.when(F.count(F.when(isna(c), 1)) > 0, F.lit(None)).otherwise(aggfn(c))
+    the group if it contains any invalid. Filtered-OUT rows are excluded,
+    not invalidated — only invalids among the rows the filter keeps
+    poison the group (bin-0 contract above)."""
+    invalid = isna(col) if flt is None else (flt & isna(col))
+    return F.when(F.count(F.when(invalid, 1)) > 0, F.lit(None)).otherwise(
+        aggfn(_maybe_filter(col, flt))
+    )
 
 
 def count(flt=None):

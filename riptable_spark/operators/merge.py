@@ -108,22 +108,27 @@ def merge2(
     if columns_right is not None:
         right = right.select(*dict.fromkeys([*rk, *columns_right]))
 
-    # suffix non-key overlapping columns (rt_merge.py _construct_colname_mapping :382)
+    # suffix non-key overlapping columns (rt_merge.py _construct_colname_mapping :382).
+    # A join KEY can itself collide with the other side's non-key column
+    # (left_on='id' while right carries a payload 'id'): the rename still
+    # happens, so the join condition below must use the RENAMED key names.
     overlap = (set(left.columns) & set(right.columns)) - (set(lk) & set(rk))
     for c in overlap:
         left = left.withColumnRenamed(c, c + suffixes[0])
         right = right.withColumnRenamed(c, c + suffixes[1])
+    lk_j = [k + suffixes[0] if k in overlap else k for k in lk]
+    rk_j = [k + suffixes[1] if k in overlap else k for k in rk]
 
     if indicator:
         left = left.withColumn("__l__", F.lit(1))
         right = right.withColumn("__r__", F.lit(1))
 
     r = F.broadcast(right) if broadcast_right else right
-    if lk == rk:
-        joined = left.join(r, on=lk, how={"outer": "full_outer"}.get(how, how))
+    if lk_j == rk_j:
+        joined = left.join(r, on=lk_j, how={"outer": "full_outer"}.get(how, how))
     else:
         cond = None
-        for a, b in zip(lk, rk):
+        for a, b in zip(lk_j, rk_j):
             c = left[a] == r[b]
             cond = c if cond is None else (cond & c)
         joined = left.join(r, on=cond, how={"outer": "full_outer"}.get(how, how))
@@ -151,6 +156,9 @@ def merge_lookup(
     """rt_merge.py:3229 — left join where each left row uses ≤1 right match.
     Lookup tables are small by construction → broadcast by default (no
     shuffle of the fact side at all)."""
+    if require_match:
+        # presence flag survives suffixing and NULL payload values
+        right = right.withColumn("__lookup_m__", F.lit(True))
     out = merge2(
         left,
         right,
@@ -162,13 +170,10 @@ def merge_lookup(
         **kw,
     )
     if require_match:
-        lk, rk = _normalize_on(on, None, None)
-        rcols = [c for c in right.columns if c not in rk]
-        if rcols:
-            probe = rcols[0] if rcols[0] in out.columns else rcols[0] + "_y"
-            missing = out.where(F.col(probe).isNull()).limit(1).count()
-            if missing:
-                raise ValueError("merge_lookup: unmatched left rows with require_match=True")
+        missing = out.where(F.col("__lookup_m__").isNull()).limit(1).count()
+        if missing:
+            raise ValueError("merge_lookup: unmatched left rows with require_match=True")
+        out = out.drop("__lookup_m__")
     return out
 
 
@@ -212,15 +217,25 @@ def merge_asof(
     range-explosion, skew handled by AQE. This beats a range-join rewrite
     (which duplicates right rows per band) at 100 TB.
     """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    # Suffix overlapping non-key columns ONCE here so every later step
+    # (nearest re-join, tolerance masking) knows exactly which output
+    # columns came from the right side — deriving that from name-set
+    # differences corrupts the left's own suffixed columns.
+    overlap = (set(left.columns) & set(right.columns)) - set(by_cols) - {on}
+    for c in overlap:
+        left = left.withColumnRenamed(c, c + suffixes[0])
+        right = right.withColumnRenamed(c, c + suffixes[1])
+    payload = [c for c in right.columns if c not in by_cols and c != on]
+
     if direction == "nearest":
         # unique row id so the backward/forward halves re-join 1:1 even
         # when left has fully-duplicate rows
         left = left.withColumn("__nid__", F.monotonically_increasing_id())
-        b = _asof_one_direction(left, right, on, by, "backward", allow_exact_matches, suffixes, "__t_b__")
-        f = _asof_one_direction(left, right, on, by, "forward", allow_exact_matches, suffixes, "__t_f__")
+        b = _asof_one_direction(left, right, on, by_cols, "backward", allow_exact_matches, payload, "__t_b__")
+        f = _asof_one_direction(left, right, on, by_cols, "forward", allow_exact_matches, payload, "__t_f__")
         lcols = [c for c in left.columns]
-        rcols = [c for c in b.columns if c not in lcols and c != "__t_b__"]
-        f = f.select(*lcols, "__t_f__", *[F.col(c).alias(c + "__fwd") for c in rcols])
+        f = f.select(*lcols, "__t_f__", *[F.col(c).alias(c + "__fwd") for c in payload])
         m = b.join(f, on=lcols, how="inner")
         use_fwd = F.when(
             F.col("__t_b__").isNull(), F.lit(True)
@@ -230,16 +245,15 @@ def merge_asof(
         )
         out = m.select(
             *lcols,
-            *[F.when(use_fwd, F.col(c + "__fwd")).otherwise(F.col(c)).alias(c) for c in rcols],
+            *[F.when(use_fwd, F.col(c + "__fwd")).otherwise(F.col(c)).alias(c) for c in payload],
             F.when(use_fwd, F.col("__t_f__")).otherwise(F.col("__t_b__")).alias("__matched_on__"),
         ).drop("__nid__")
     else:
-        out = _asof_one_direction(left, right, on, by, direction, allow_exact_matches, suffixes, "__matched_on__")
+        out = _asof_one_direction(left, right, on, by_cols, direction, allow_exact_matches, payload, "__matched_on__")
 
     if tolerance is not None:
         dist = F.abs(F.col(on).cast("double") - F.col("__matched_on__").cast("double"))
-        rcols = [c for c in out.columns if c not in left.columns and c != "__matched_on__"]
-        for c in rcols:
+        for c in payload:
             out = out.withColumn(c, F.when(dist <= F.lit(tolerance), F.col(c)))
         out = out.withColumn("__matched_on__", F.when(dist <= F.lit(tolerance), F.col("__matched_on__")))
 
@@ -254,27 +268,18 @@ def _asof_one_direction(
     left: DataFrame,
     right: DataFrame,
     on: str,
-    by,
+    by_cols: list[str],
     direction: str,
     allow_exact: bool,
-    suffixes: tuple[str, str],
+    payload: list[str],
     matched_col: str,
 ) -> DataFrame:
-    by_cols = [by] if isinstance(by, str) else list(by or [])
-
-    overlap = (set(left.columns) & set(right.columns)) - set(by_cols) - {on}
-    right_r = right
-    for c in overlap:
-        right_r = right_r.withColumnRenamed(c, c + suffixes[1])
-    left_r = left
-    for c in overlap:
-        left_r = left_r.withColumnRenamed(c, c + suffixes[0])
-
-    payload = [c for c in right_r.columns if c not in by_cols and c != on]
+    """Both sides arrive pre-renamed (suffixes applied by merge_asof);
+    ``payload`` is the exact list of right-side value columns to carry."""
     lid = "__asof_lid__"
-    left_tag = left_r.withColumn(lid, F.monotonically_increasing_id()).withColumn("__side__", F.lit(1))
+    left_tag = left.withColumn(lid, F.monotonically_increasing_id()).withColumn("__side__", F.lit(1))
     right_tag = (
-        right_r.withColumn(matched_col, F.col(on))
+        right.withColumn(matched_col, F.col(on))
         .withColumn(lid, F.lit(None).cast("long"))
         .withColumn("__side__", F.lit(0))
     )

@@ -132,3 +132,13 @@ def test_ivf_assign(spark):
     )
     got = {r.vec_id: r.centroid_id for r in similarity.ivf_assign(vecs, cents).collect()}
     assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_dedup_exact_null_texts_are_not_duplicates(spark):
+    from riptable_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hello")], ["doc_id", "text"]
+    )
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(df).collect())
+    assert kept == [1, 2, 3]

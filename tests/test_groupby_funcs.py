@@ -146,3 +146,21 @@ def test_isnanorzero(spark):
     df = spark.createDataFrame([(0.0,), (1.0,), (float("nan"),)], ["v"])
     got = [r.z for r in df.select(nullsafe.isnanorzero(F.col("v")).alias("z")).collect()]
     assert got == [True, False, True]
+
+
+def test_strict_filter_excludes_not_invalidates(spark):
+    """Review regression: rows excluded by the fused filter must not
+    poison a strict aggregation; invalids among KEPT rows must."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import groupby as gb
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("a", 3.0)], ["k", "v"])
+    flt = F.col("v") < 3
+    got = df.groupBy("k").agg(gb.strict(F.sum, F.col("v"), flt).alias("s")).first().s
+    assert got == 3.0
+    df2 = spark.createDataFrame([("a", 1.0), ("a", None), ("a", 5.0)], ["k", "v"])
+    kept_invalid = df2.groupBy("k").agg(
+        gb.strict(F.sum, F.col("v"), F.col("v").isNull() | (F.col("v") < 3)).alias("s")
+    ).first().s
+    assert kept_invalid is None

@@ -153,3 +153,51 @@ def test_asof_matched_on(spark, trades_quotes):
         ).collect()
     }
     assert out == {"t1": 3, "t2": 6, "t3": 4, "t4": None}
+
+
+# --- regression tests for review findings -----------------------------
+def test_asof_tolerance_preserves_left_suffixed_columns(spark):
+    """tolerance= must mask only RIGHT-side columns, never the left's own
+    suffixed payload."""
+    from riptable_spark.operators.merge import merge_asof
+
+    left = spark.createDataFrame([(1, 10, 100.0)], "user_id int, ts int, value double")
+    right = spark.createDataFrame([(1, 1, 5.0)], "user_id int, ts int, value double")
+    out = merge_asof(left, right, on="ts", by="user_id", direction="backward", tolerance=2).first()
+    assert out["value_x"] == 100.0        # left payload intact
+    assert out["value_y"] is None         # match at distance 9 > tolerance 2
+
+
+def test_asof_nearest_with_shared_payload_column(spark):
+    from riptable_spark.operators.merge import merge_asof
+
+    left = spark.createDataFrame([(1, 10, 1.0), (1, 30, 2.0)], "user_id int, ts int, value double")
+    right = spark.createDataFrame([(1, 12, 7.0), (1, 29, 8.0)], "user_id int, ts int, value double")
+    rows = {r["ts"]: r["value_y"] for r in merge_asof(
+        left, right, on="ts", by="user_id", direction="nearest"
+    ).collect()}
+    assert rows == {10: 7.0, 30: 8.0}
+
+
+def test_merge2_key_collides_with_other_side_payload(spark):
+    from riptable_spark.operators.merge import merge2
+
+    left = spark.createDataFrame([(1, "l")], "id int, lv string")
+    right = spark.createDataFrame([(1, 99, "r")], "rid int, id int, rv string")
+    out = merge2(left, right, left_on="id", right_on="rid", how="inner").first()
+    assert out["id_x"] == 1 and out["id_y"] == 99 and out["rv"] == "r"
+
+
+def test_merge_lookup_require_match_with_null_payload(spark):
+    from riptable_spark.operators.merge import merge_lookup
+
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([(1, None), (2, 5.0)], "k int, v double")
+    # all left rows match; a NULL payload value must NOT raise
+    out = merge_lookup(left, right, on="k", require_match=True)
+    assert out.count() == 2
+    import pytest as _pytest
+
+    right2 = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    with _pytest.raises(ValueError, match="unmatched"):
+        merge_lookup(left, right2, on="k", require_match=True)
