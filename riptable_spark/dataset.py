@@ -113,10 +113,10 @@ class Dataset:
         return Dataset(self._df.limit(n))
 
     def tail(self, n: int, order: str) -> "Dataset":
-        w = Window.orderBy(F.col(order).desc())
-        return Dataset(
-            self._df.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= n).drop("__rn__")
-        )
+        """Last n rows by ``order`` — orderBy+limit compiles to
+        TakeOrderedAndProject (per-partition top-n, tiny merge), not a
+        single-partition window."""
+        return Dataset(self._df.orderBy(F.col(order).desc()).limit(n))
 
     def sample(self, k: int, seed: int = 42) -> "Dataset":
         """rt_dataset.py:5978."""
@@ -154,6 +154,11 @@ class Dataset:
         return Dataset(_reshape.one_hot_encode(self._df, colname, values))
 
     # -------------------------------------------- ordered column ops
+    # NOTE: the ungrouped forms reproduce riptable's whole-array
+    # semantics, which are inherently a single global sequence — the
+    # window is deliberately unpartitioned. At cluster scale pass group
+    # keys (operators.window with partitionBy) or pre-stamp __rowid__
+    # (sources.io.with_rowid) and shift per rowid-range instead.
     def shift(self, colname: str, n: int, order, out_col: str | None = None) -> "Dataset":
         """rt_fastarray.py:4046 — ungrouped shift in explicit order."""
         w = Window.orderBy(order if isinstance(order, Column) else F.col(order))
@@ -175,11 +180,18 @@ class Dataset:
         )
         return Dataset(self._df.withColumn(colname, F.last(F.col(colname), ignorenulls=True).over(w)))
 
-    def cut(self, colname: str, bins, out_col: str | None = None) -> "Dataset":
-        """rt_bin.py:412."""
+    def cut(self, colname: str, bins, lo: float | None = None, hi: float | None = None, out_col: str | None = None) -> "Dataset":
+        """rt_bin.py:412. Integer ``bins`` with no lo/hi pre-aggregates
+        min/max (one 2-scalar agg), matching the reference's default."""
         from .functions import binning
 
-        return Dataset(self._df.withColumn(out_col or f"{colname}_bin", binning.cut(F.col(colname), bins)))
+        if isinstance(bins, int) and (lo is None or hi is None):
+            row = self._df.agg(F.min(colname).alias("lo"), F.max(colname).alias("hi")).collect()[0]
+            lo = float(row["lo"]) if lo is None else lo
+            hi = float(row["hi"]) if hi is None else hi
+        return Dataset(
+            self._df.withColumn(out_col or f"{colname}_bin", binning.cut(F.col(colname), bins, lo, hi))
+        )
 
     def qcut(self, colname: str, q: int) -> "Dataset":
         """rt_bin.py:155."""
@@ -382,16 +394,23 @@ class GroupBy:
 class Categorical(GroupBy):
     """Reusable grouping (rt_categorical.py:1284): riptable factorizes the
     keys once and reuses the Grouping across many aggregations. The Spark
-    analogue of "factorize once" is caching the keyed relation: we persist
-    the projected (keys + values) DataFrame so repeated aggregations skip
-    the scan, and AQE reuses the shuffle where plans allow.
+    analogue of "factorize once" is caching the keyed relation: the
+    DataFrame is persisted (project it with ``columns=`` on wide tables)
+    so repeated aggregations skip the scan, and AQE reuses the shuffle
+    where plans allow.
 
     On a cluster the durable form is a bucketed table
     (``writeTo(...).bucketBy(n, keys)``) — co-locating all later groupbys
     and joins on the keys with zero extra shuffles.
     """
 
-    def __init__(self, df: DataFrame, keys: list[str], persist: bool = True):
+    def __init__(self, df: DataFrame, keys: list[str], persist: bool = True, columns: list[str] | None = None):
+        """``columns`` projects the persisted relation to keys + the value
+        columns you will aggregate — pass it on wide tables so the cache
+        holds only what the reuse needs (default: the full frame, so any
+        column remains aggregatable)."""
+        if columns is not None:
+            df = df.select(*dict.fromkeys([*keys, *columns]))
         super().__init__(df, keys)
         self._persisted = False
         if persist:

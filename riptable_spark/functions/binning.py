@@ -23,7 +23,16 @@ def cut(col: Column, bins: int | list[float], lo: float | None = None, hi: float
     if isinstance(bins, int):
         if lo is None or hi is None:
             raise ValueError("cut with int bins requires lo/hi bounds")
-        return F.width_bucket(col, F.lit(float(lo)), F.lit(float(hi)), F.lit(bins))
+        wb = F.width_bucket(col, F.lit(float(lo)), F.lit(float(hi)), F.lit(bins))
+        # bin-0 contract: NULL and out-of-range (either side) → 0; the top
+        # edge is inclusive like the explicit-edges path (width_bucket
+        # alone returns bins+1 above hi and NULL for NULL input)
+        return (
+            F.when(col.isNull(), F.lit(0))
+            .when(col == F.lit(float(hi)), F.lit(bins))
+            .when((wb >= F.lit(1)) & (wb <= F.lit(bins)), wb)
+            .otherwise(F.lit(0))
+        )
     edges = [float(b) for b in bins]
     out = F.lit(0)
     for i in range(len(edges) - 1):
@@ -41,7 +50,12 @@ def qcut(df: DataFrame, colname: str, q: int) -> DataFrame:
     edges_row = df.agg(
         F.percentile(F.col(colname), F.array(*[F.lit(p) for p in probs])).alias("edges")
     ).collect()[0]
-    edges = list(edges_row["edges"])
+    # skewed data collapses percentile edges; dedupe so tied quantiles
+    # merge into one bin (pandas duplicates='drop') instead of routing
+    # every tied value into the last matching bin with empty bins before
+    edges = sorted(dict.fromkeys(edges_row["edges"]))
+    if len(edges) == 1:  # constant column → one all-inclusive bin
+        edges = edges * 2
     return df.withColumn(f"{colname}_bin", cut(F.col(colname), edges))
 
 

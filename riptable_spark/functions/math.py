@@ -23,13 +23,24 @@ minimum = F.least  # elementwise MIN
 maximum = F.greatest  # elementwise MAX
 
 
+def _nan2null(c: Column) -> Column:
+    # Spark orders NaN ABOVE every double, so greatest() would return NaN
+    # over a real value; normalizing NaN→NULL first makes least/greatest
+    # skip it (they ignore NULL operands)
+    d = c.try_cast("double")
+    return F.when(d.isNotNull() & F.isnan(d), F.lit(None)).otherwise(c)
+
+
 def nanmin2(a: Column, b: Column) -> Column:
-    """NANMIN (rt_enum.py): prefer the non-invalid operand."""
-    return F.coalesce(F.least(a, b), a, b)
+    """NANMIN (rt_enum.py): prefer the non-invalid (non-NULL/NaN) operand."""
+    an, bn = _nan2null(a), _nan2null(b)
+    return F.coalesce(F.least(an, bn), an, bn)
 
 
 def nanmax2(a: Column, b: Column) -> Column:
-    return F.coalesce(F.greatest(a, b), a, b)
+    """NANMAX: prefer the non-invalid operand (NaN never wins greatest)."""
+    an, bn = _nan2null(a), _nan2null(b)
+    return F.coalesce(F.greatest(an, bn), an, bn)
 
 
 # -- unary (rt_enum.py:222-249) -----------------------------------------

@@ -29,7 +29,7 @@ SENTINELS: dict[type, object] = {
 
 def sentinel_to_null(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Ingest normalization: map sentinel invalids (and float NaN) to NULL."""
-    cols = columns or df.columns
+    cols = df.columns if columns is None else columns
     schema = {f.name: f.dataType for f in df.schema.fields}
     out = []
     for c in df.columns:
@@ -69,10 +69,46 @@ def fillna(col: Column, value) -> Column:
     return F.when(isna(col), F.lit(value)).otherwise(col)
 
 
+def _fill_compatible(dt: T.DataType, value) -> bool:
+    """Whether a Python fill value can type-soundly fill a column of dt."""
+    if isinstance(value, bool):
+        return isinstance(dt, T.BooleanType)
+    if isinstance(value, (int, float)):
+        return isinstance(dt, T.NumericType)
+    if isinstance(value, str):
+        return isinstance(dt, T.StringType)
+    if isinstance(value, bytes):
+        return isinstance(dt, T.BinaryType)
+    return False
+
+
+def isna_typed(col: Column, dt: T.DataType) -> Column:
+    """Schema-aware invalid test: NaN only counts for float types — a
+    STRING cell containing the text 'NaN' is a legitimate value (the
+    string invalid sentinel is '', per SENTINELS)."""
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return col.isNull() | F.isnan(col)
+    return col.isNull()
+
+
 def replacena(df: DataFrame, value, columns: list[str] | None = None) -> DataFrame:
-    """rt_fastarray.py:4354 — Dataset-wide fillna."""
-    cols = columns or df.columns
-    return df.select(*[fillna(F.col(c), value).alias(c) if c in cols else F.col(c) for c in df.columns])
+    """rt_fastarray.py:4354 — Dataset-wide fillna. With ``columns=None``
+    only columns the fill value can type-soundly fill are touched (a
+    numeric fill skips timestamps/strings instead of raising); an explicit
+    column list is honored as given (including an empty list = no-op)."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if columns is None:
+        cols = [c for c in df.columns if _fill_compatible(schema[c], value)]
+    else:
+        cols = list(columns)
+    return df.select(
+        *[
+            F.when(isna_typed(F.col(c), schema[c]), F.lit(value)).otherwise(F.col(c)).alias(c)
+            if c in cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def strict_sum(col: Column) -> Column:

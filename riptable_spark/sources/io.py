@@ -119,14 +119,29 @@ def with_rowid(df: DataFrame, *order_cols: str) -> DataFrame:
     if order_cols:
         from pyspark.sql import Window
 
-        # Exact global index WITHOUT a single-partition window: range
-        # partition on the order, rank within each partition in parallel,
-        # then add broadcast per-partition offsets (one tiny cumsum over
-        # #partitions rows). Deterministic for unique order keys.
+        # Exact global index WITHOUT a single-partition window: assign a
+        # DETERMINISTIC range-partition id from collected quantile edges
+        # of the leading order column (a pure function of the row — no
+        # sampled repartitionByRange boundaries, so re-evaluations of the
+        # plan can never disagree), rank within each pid in parallel, add
+        # broadcast per-pid offsets (tiny cumsum over #pids rows).
         ocols = [F.col(c) for c in order_cols]
-        part = df.repartitionByRange(*ocols).withColumn("__pid__", F.spark_partition_id())
-        w_in = Window.partitionBy("__pid__").orderBy(*ocols)
-        local = part.withColumn("__lrn__", F.row_number().over(w_in))
+        first = order_cols[0]
+        spark = df.sparkSession
+        n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+        probs = [i / n for i in range(1, n)]
+        edges = sorted(
+            set(df.select(F.col(first).cast("double").alias("__e__")).approxQuantile("__e__", probs, 0.001))
+        )
+        fc = F.col(first).cast("double")
+        if edges:
+            arr = F.array(*[F.lit(float(e)) for e in edges])
+            pid = F.coalesce(F.size(F.filter(arr, lambda e: e < fc)), F.lit(0))
+        else:
+            pid = F.lit(0)
+        local = df.withColumn("__pid__", pid).withColumn(
+            "__lrn__", F.row_number().over(Window.partitionBy("__pid__").orderBy(*ocols))
+        )
         counts = local.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
         w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
         offsets = counts.withColumn("__off__", F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)))

@@ -180,3 +180,66 @@ def test_salted_agg_matches_plain(spark):
         ).collect()
     }
     assert out == exp
+
+
+# --- regression tests for second review round -------------------------
+def test_cut_int_bins_bin0_contract(spark):
+    from riptable_spark.functions import binning
+
+    df = spark.createDataFrame([(150.0,), (None,), (-5.0,), (50.0,), (100.0,)], ["v"])
+    got = [r.b for r in df.select(binning.cut(F.col("v"), 10, 0.0, 100.0).alias("b")).collect()]
+    assert got == [0, 0, 0, 6, 10]  # above-hi→0, NULL→0, below-lo→0, hi inclusive→10
+
+
+def test_qcut_skewed_duplicate_edges(spark):
+    from riptable_spark.functions import binning
+
+    rows = [(1.0,)] * 97 + [(2.0,), (3.0,), (4.0,)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = binning.qcut(df, "v", 4)
+    bins = {r.v: r.v_bin for r in out.distinct().collect()}
+    assert bins[1.0] == 1            # the dominant tied value is bin 1, not the last bin
+    assert all(b > 0 for b in bins.values())
+
+
+def test_nanmax2_prefers_real_over_nan(spark):
+    from riptable_spark.functions import math as m
+
+    df = spark.createDataFrame([(float("nan"), 5.0), (None, 3.0), (2.0, 7.0)], ["a", "b"])
+    got = [(r.mx, r.mn) for r in df.select(
+        m.nanmax2(F.col("a"), F.col("b")).alias("mx"),
+        m.nanmin2(F.col("a"), F.col("b")).alias("mn"),
+    ).collect()]
+    assert got == [(5.0, 5.0), (3.0, 3.0), (7.0, 2.0)]
+
+
+def test_replacena_skips_incompatible_columns(spark):
+    from riptable_spark.functions.nullsafe import replacena
+
+    df = spark.createDataFrame(
+        [(1, None, None, "x"), (2, 5.0, "2024-01-01 00:00:00", None)],
+        "id int, v double, s string, t string",
+    ).withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+    out = replacena(df, 0).collect()  # numeric fill: must not touch ts/t, must fill v
+    vals = {r.id: (r.v, r.t) for r in out}
+    assert vals[1] == (0.0, "x")        # v filled; string col untouched
+    assert vals[2][1] is None           # string NULL not filled by numeric value
+    assert replacena(df, 0, columns=[]).collect()  # explicit empty list = no-op, no raise
+
+
+def test_interp_math_formula(spark):
+    from riptable_spark.functions import math as m
+
+    df = spark.createDataFrame([(5.0,)], ["x"])
+    got = df.select(
+        m.interp(F.col("x"), F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(100.0)).alias("y")
+    ).first().y
+    assert got == 50.0
+
+
+def test_with_rowid_deterministic_dense(spark):
+    from riptable_spark.sources.io import with_rowid
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k")).orderBy(F.rand(11))
+    out = {r["k"]: r["__rowid__"] for r in with_rowid(df, "k").collect()}
+    assert all(out[k] == k for k in range(5000))
