@@ -111,13 +111,7 @@ def replacena(df: DataFrame, value, columns: list[str] | None = None) -> DataFra
     )
 
 
-def strict_sum(col: Column) -> Column:
-    """riptable ``sum`` (invalid-PROPAGATING, unlike SQL SUM): NULL if any
-    element of the group is invalid. SURVEY §1.2 'the single biggest
-    semantic translation'."""
-    return F.when(F.count(F.when(isna(col), 1)) > 0, F.lit(None)).otherwise(F.sum(col))
-
-
-def strict_agg(aggfn, col: Column) -> Column:
-    """Generic invalid-propagating wrapper for mean/min/max/var/std."""
-    return F.when(F.count(F.when(isna(col), 1)) > 0, F.lit(None)).otherwise(aggfn(col))
+# The invalid-PROPAGATING aggregate wrapper (riptable's non-nan ``sum`` —
+# SURVEY §1.2 'the single biggest semantic translation') lives in
+# operators.groupby.strict, which also fuses the bin-0 filter; this module
+# deliberately does not carry a second copy.

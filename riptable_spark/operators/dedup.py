@@ -71,10 +71,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def duplicate_clusters_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of exact duplicates: (fingerprint, n_docs, min_id)."""
+    """Groups of exact duplicates: (fingerprint, n_docs, min_id). NULL
+    text is not a duplicate of other NULL text (xxhash64(NULL) is a
+    constant) — such rows are excluded, mirroring dedup_exact's guard."""
     fp = F.xxhash64(normalize_text(F.col(text_col)))
     return (
-        df.select(fp.alias("fingerprint"), F.col(id_col))
+        df.where(F.col(text_col).isNotNull())
+        .select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .where(F.col("n_docs") > 1)
@@ -226,12 +229,22 @@ def hamming_distance(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket by 4 16-bit chunks (pigeonhole —
-    any pair within hamming ≤3 of 64 bits shares at least one exact
-    16-bit chunk when split into 4), join within buckets, verify exact
-    hamming distance."""
+    """Near-dup pairs by SimHash: bucket by max_hamming+1 bit chunks
+    (pigeonhole — a pair differing in ≤ max_hamming of 64 bits must share
+    at least one exact chunk when split into max_hamming+1), join within
+    buckets, verify exact hamming distance. Larger max_hamming ⇒ narrower
+    chunks ⇒ denser buckets: recall stays exact, cost grows."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
     base = simhash_df(df, text_col, id_col)
-    chunks = F.array(*[F.shiftrightunsigned(F.col("__sh__"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+    def chunk(i: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("__sh__"), width * i)
+        bits = 64 - width * i if i == n_chunks - 1 else width  # last chunk: leftover high bits
+        if bits >= 64:
+            return shifted  # whole hash; a 2^64-1 mask would overflow LongType
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
+    chunks = F.array(*[chunk(i) for i in range(n_chunks)])
     banded = base.select(id_col, "__sh__", F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -96,11 +96,15 @@ def _make_applier(kind: str, valcol: str, timecol: str | None, rate: float, out_
     return apply_fn
 
 
-def _run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | None, rate: float, out_col: str, order_col: str) -> DataFrame:
+def _as_list(order_col) -> list[str]:
+    return [order_col] if isinstance(order_col, str) else list(order_col)
+
+
+def _run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | None, rate: float, out_col: str, order_col) -> DataFrame:
     out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
     # time column arrives as numeric seconds for the scan
     work = df
-    sort_cols = [order_col]
+    sort_cols = _as_list(order_col)
     fn = _make_applier(kind, valcol, timecol, rate, out_col, sort_cols)
     return work.groupBy(*keys).applyInPandas(fn, schema=out_schema)
 
@@ -142,14 +146,15 @@ def ema_weighted(df: DataFrame, keys: list[str], valcol: str, alpha: float, orde
 _EXPR_SPAN_LIMIT = 600.0
 
 
-def _expr_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | None, rate: float, out_col: str, order_col: str) -> DataFrame:
+def _expr_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | None, rate: float, out_col: str, order_col) -> DataFrame:
     from pyspark.sql import Window
 
+    ocols = _as_list(order_col)
     wk = Window.partitionBy(*keys)
-    wo = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    wo = Window.partitionBy(*keys).orderBy(*ocols).rowsBetween(Window.unboundedPreceding, 0)
     x = F.col(valcol).cast("double")
     if kind == "weighted":
-        rn = F.row_number().over(Window.partitionBy(*keys).orderBy(order_col))
+        rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*ocols))
         e = F.lit(-float(np.log1p(-rate))) * (rn - 1).cast("double")
         c = F.when(rn == 1, x).otherwise(F.lit(float(rate)) * x)
     else:
@@ -158,8 +163,8 @@ def _expr_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: s
         if kind == "decay":
             c = x
         else:  # normal: c_i = (1-exp(-rate·Δt))·x_i, seeded with x_0
-            rn = F.row_number().over(Window.partitionBy(*keys).orderBy(order_col))
-            pt = F.lag(t).over(Window.partitionBy(*keys).orderBy(order_col))
+            rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*ocols))
+            pt = F.lag(t).over(Window.partitionBy(*keys).orderBy(*ocols))
             c = F.when(rn == 1, x).otherwise((1 - F.exp(-F.lit(float(rate)) * (t - pt))) * x)
     return df.withColumn(out_col, F.exp(-e) * F.sum(c * F.exp(e)).over(wo))
 

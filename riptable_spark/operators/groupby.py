@@ -111,11 +111,9 @@ def ohlc(col, order: Column):
 
 
 def trimbr_exprs(col: Column, lo: float = 0.1, hi: float = 0.9):
-    """GB_TRIMBR=105 trimmed mean (rt_groupbyops.py:1366): mean of values
-    within the [lo, hi] percentile band. Single-pass formulation: compute
-    band edges and the banded mean in ONE aggregation using percentile +
-    a conditional re-aggregation via a self-join-free two-stage agg.
-    Returns (stage1_exprs, stage2_builder); see trimbr()."""
+    """GB_TRIMBR=105 trimmed mean (rt_groupbyops.py:1366) — the per-group
+    [lo, hi] percentile band-edge expressions consumed by trimbr()'s first
+    aggregation. Returns a 2-tuple of Columns (__trim_lo__, __trim_hi__)."""
     return (
         F.percentile(col, F.lit(lo)).alias("__trim_lo__"),
         F.percentile(col, F.lit(hi)).alias("__trim_hi__"),

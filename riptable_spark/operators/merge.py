@@ -229,33 +229,48 @@ def merge_asof(
     payload = [c for c in right.columns if c not in by_cols and c != on]
 
     if direction == "nearest":
-        # unique row id so the backward/forward halves re-join 1:1 even
-        # when left has fully-duplicate rows
+        # unique row id so the backward/forward halves re-join 1:1; the
+        # re-join is on __nid__ ALONE — equi-joining on every left column
+        # would null-unsafely drop left rows containing NULLs
         left = left.withColumn("__nid__", F.monotonically_increasing_id())
         b = _asof_one_direction(left, right, on, by_cols, "backward", allow_exact_matches, payload, "__t_b__")
         f = _asof_one_direction(left, right, on, by_cols, "forward", allow_exact_matches, payload, "__t_f__")
-        lcols = [c for c in left.columns]
-        f = f.select(*lcols, "__t_f__", *[F.col(c).alias(c + "__fwd") for c in payload])
-        m = b.join(f, on=lcols, how="inner")
-        use_fwd = F.when(
-            F.col("__t_b__").isNull(), F.lit(True)
-        ).when(F.col("__t_f__").isNull(), F.lit(False)).otherwise(
-            (F.col("__t_f__").cast("double") - F.col(on).cast("double"))
-            < (F.col(on).cast("double") - F.col("__t_b__").cast("double"))
-        )
+        f = f.select("__nid__", "__t_f__", *[F.col(c).alias(c + "__fwd") for c in payload])
+        m = b.join(f, on="__nid__", how="inner")
+        # pandas/riptable semantics: tolerance eliminates each direction's
+        # candidate BEFORE nearest selection — a too-far backward match
+        # must not shadow an in-tolerance forward match
+        dist_b = F.col(on).cast("double") - F.col("__t_b__").cast("double")
+        dist_f = F.col("__t_f__").cast("double") - F.col(on).cast("double")
+        valid_b = F.col("__t_b__").isNotNull()
+        valid_f = F.col("__t_f__").isNotNull()
+        if tolerance is not None:
+            valid_b = valid_b & (dist_b <= F.lit(tolerance))
+            valid_f = valid_f & (dist_f <= F.lit(tolerance))
+        use_fwd = F.when(~valid_b, F.lit(True)).when(~valid_f, F.lit(False)).otherwise(dist_f < dist_b)
+        none_valid = ~valid_b & ~valid_f
+        lcols = [c for c in left.columns if c != "__nid__"]
         out = m.select(
             *lcols,
-            *[F.when(use_fwd, F.col(c + "__fwd")).otherwise(F.col(c)).alias(c) for c in payload],
-            F.when(use_fwd, F.col("__t_f__")).otherwise(F.col("__t_b__")).alias("__matched_on__"),
-        ).drop("__nid__")
+            *[
+                F.when(none_valid, F.lit(None))
+                .when(use_fwd, F.col(c + "__fwd"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in payload
+            ],
+            F.when(none_valid, F.lit(None))
+            .when(use_fwd, F.col("__t_f__"))
+            .otherwise(F.col("__t_b__"))
+            .alias("__matched_on__"),
+        )
     else:
         out = _asof_one_direction(left, right, on, by_cols, direction, allow_exact_matches, payload, "__matched_on__")
-
-    if tolerance is not None:
-        dist = F.abs(F.col(on).cast("double") - F.col("__matched_on__").cast("double"))
-        for c in payload:
-            out = out.withColumn(c, F.when(dist <= F.lit(tolerance), F.col(c)))
-        out = out.withColumn("__matched_on__", F.when(dist <= F.lit(tolerance), F.col("__matched_on__")))
+        if tolerance is not None:
+            dist = F.abs(F.col(on).cast("double") - F.col("__matched_on__").cast("double"))
+            for c in payload:
+                out = out.withColumn(c, F.when(dist <= F.lit(tolerance), F.col(c)))
+            out = out.withColumn("__matched_on__", F.when(dist <= F.lit(tolerance), F.col("__matched_on__")))
 
     if matched_on:
         out = out.withColumnRenamed("__matched_on__", matched_on)
@@ -276,13 +291,8 @@ def _asof_one_direction(
 ) -> DataFrame:
     """Both sides arrive pre-renamed (suffixes applied by merge_asof);
     ``payload`` is the exact list of right-side value columns to carry."""
-    lid = "__asof_lid__"
-    left_tag = left.withColumn(lid, F.monotonically_increasing_id()).withColumn("__side__", F.lit(1))
-    right_tag = (
-        right.withColumn(matched_col, F.col(on))
-        .withColumn(lid, F.lit(None).cast("long"))
-        .withColumn("__side__", F.lit(0))
-    )
+    left_tag = left.withColumn("__side__", F.lit(1))
+    right_tag = right.withColumn(matched_col, F.col(on)).withColumn("__side__", F.lit(0))
     unioned = left_tag.unionByName(right_tag, allowMissingColumns=True)
 
     # Order: for backward+allow_exact a right row at t sorts BEFORE a left
@@ -306,10 +316,10 @@ def _asof_one_direction(
         raise ValueError(f"direction must be backward/forward/nearest, got {direction}")
 
     carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload + [matched_col]]
-    keep_cols = [c for c in left_tag.columns if c not in ("__side__",)]
+    keep_cols = [c for c in left_tag.columns if c != "__side__"]
     result = (
         unioned.select(*keep_cols, F.col("__side__"), *carried)
         .where(F.col("__side__") == 1)
-        .drop("__side__", lid)
+        .drop("__side__")
     )
     return result

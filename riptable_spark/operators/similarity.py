@@ -125,8 +125,11 @@ def pairwise_cosine(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str 
     """Embedding-cosine near-duplicate pairs above threshold (the
     embedding-dedup flavor). Brute-force within — use lsh buckets first at
     scale; kept exact here as the oracle-checkable baseline."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    # double-precision accumulation: float32 dot products can round a
+    # near-threshold cosine the other way vs a double-computing oracle
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    a = embeddings.select(F.col(id_col).alias("id_a"), dvec.alias("__va__"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), dvec.alias("__vb__"))
     pairs = a.join(b, on=F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim")

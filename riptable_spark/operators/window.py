@@ -285,13 +285,16 @@ def issorted(df: DataFrame, col: str, order) -> bool:
 
 
 def interp_extrap(
-    df: DataFrame, x_col: str, xp: DataFrame, xp_col: str, fp_col: str, out_col: str = "interp"
+    df: DataFrame, x_col: str, xp: DataFrame, xp_col: str, fp_col: str, out_col: str = "interp", mode: str = "clip"
 ) -> DataFrame:
-    """rt_numpy.py:5333 interp: linear interpolation of df[x_col] against
-    the sample curve xp(xp_col→fp_col). Implemented as two as-of aligns
-    (backward + forward bracket) on a union+window — one shuffle, then
-    pure arithmetic; extrapolates linearly at the ends using the nearest
-    bracket pair."""
+    """Linear interpolation of df[x_col] against the sample curve
+    xp(xp_col→fp_col) via as-of aligns (backward + forward bracket) on the
+    union+window rewrite, then pure arithmetic.
+
+    mode='clip' → rt_numpy.py:5333 ``interp`` / np.interp: values outside
+    the curve return the boundary fp. mode='extrapolate' →
+    rt_numpy.py:5388 ``interp_extrap``: the end SEGMENT's slope extends
+    linearly outward (two extra aligns fetch the second-outermost point)."""
     from .merge import merge_asof
 
     curve = xp.select(F.col(xp_col).alias(x_col), F.col(fp_col).alias("__fp__"))
@@ -299,8 +302,30 @@ def interp_extrap(
     bf = merge_asof(b, curve.select(F.col(x_col), F.col("__fp__").alias("__y1__")), on=x_col, direction="forward", allow_exact_matches=False, matched_on="__x1__")
     slope = (F.col("__y1__") - F.col("__y0__")) / (F.col("__x1__").cast("double") - F.col("__x0__").cast("double"))
     interp_val = F.col("__y0__") + slope * (F.col(x_col).cast("double") - F.col("__x0__").cast("double"))
-    result = F.when(F.col("__x1__").isNull(), F.col("__y0__")).when(F.col("__x0__").isNull(), F.col("__y1__")).otherwise(interp_val)
-    return bf.withColumn(out_col, result).drop("__x0__", "__x1__", "__y0__", "__y1__")
+    if mode == "clip":
+        result = F.when(F.col("__x1__").isNull(), F.col("__y0__")).when(F.col("__x0__").isNull(), F.col("__y1__")).otherwise(interp_val)
+        return bf.withColumn(out_col, result).drop("__x0__", "__x1__", "__y0__", "__y1__")
+
+    # extrapolate: fetch the point BEFORE the last match (for x beyond the
+    # high end) and AFTER the first match (for x before the low end) by
+    # as-of aligning on the matched curve keys themselves
+    prev_curve = curve.select(F.col(x_col).alias("__x0__"), F.col("__fp__").alias("__ym1__"))
+    nxt_curve = curve.select(F.col(x_col).alias("__x1__"), F.col("__fp__").alias("__y2__"))
+    e = merge_asof(bf, prev_curve, on="__x0__", direction="backward", allow_exact_matches=False, matched_on="__xm1__")
+    e = merge_asof(e, nxt_curve, on="__x1__", direction="forward", allow_exact_matches=False, matched_on="__x2__")
+    x = F.col(x_col).cast("double")
+    hi_slope = (F.col("__y0__") - F.col("__ym1__")) / (F.col("__x0__").cast("double") - F.col("__xm1__").cast("double"))
+    lo_slope = (F.col("__y2__") - F.col("__y1__")) / (F.col("__x2__").cast("double") - F.col("__x1__").cast("double"))
+    hi_extrap = F.col("__y0__") + hi_slope * (x - F.col("__x0__").cast("double"))
+    lo_extrap = F.col("__y1__") + lo_slope * (x - F.col("__x1__").cast("double"))
+    result = (
+        F.when(F.col("__x1__").isNull(), F.when(F.col("__xm1__").isNull(), F.col("__y0__")).otherwise(hi_extrap))
+        .when(F.col("__x0__").isNull(), F.when(F.col("__x2__").isNull(), F.col("__y1__")).otherwise(lo_extrap))
+        .otherwise(interp_val)
+    )
+    return e.withColumn(out_col, result).drop(
+        "__x0__", "__x1__", "__xm1__", "__x2__", "__y0__", "__y1__", "__ym1__", "__y2__"
+    )
 
 
 def rankdata(df: DataFrame, colname: str, out_col: str = "rank", method: str = "average") -> DataFrame:

@@ -884,7 +884,7 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("t_hours", F.unix_micros(F.col("ts")) / 3.6e9)
         .select("event_id", "user_id", "t_hours", "value")
     )
-    out = ema.ema_decay(ev, ["user_id"], "value", "t_hours", rate=0.01, out_col="ema_raw", order_col="t_hours")
+    out = ema.ema_decay(ev, ["user_id"], "value", "t_hours", rate=0.01, out_col="ema_raw", order_col=["t_hours", "event_id"])
     return out.select("event_id", F.round(F.col("ema_raw"), 4).alias("ema"))
 
 

@@ -392,7 +392,7 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("th", F.unix_micros(F.col("ts")) / 3.6e9)
         .select("event_id", "user_id", "th", "value")
     )
-    out = ema.ema_normal(ev, ["user_id"], "value", "th", rate=0.05, out_col="ema_raw", order_col="th")
+    out = ema.ema_normal(ev, ["user_id"], "value", "th", rate=0.05, out_col="ema_raw", order_col=["th", "event_id"])
     return out.select("event_id", F.round(F.col("ema_raw"), 4).alias("ema"))
 
 

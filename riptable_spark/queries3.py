@@ -47,7 +47,7 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("t_us", F.unix_micros("ts"))
         .select("event_id", "user_id", "t_us", "value")
     )
-    out = ema.ema_weighted(ev, ["user_id"], "value", alpha=0.2, order_col="t_us", out_col="ema_raw")
+    out = ema.ema_weighted(ev, ["user_id"], "value", alpha=0.2, order_col=["t_us", "event_id"], out_col="ema_raw")
     return out.select("event_id", F.round("ema_raw", 4).alias("ema"))
 
 

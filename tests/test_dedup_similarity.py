@@ -142,3 +142,39 @@ def test_dedup_exact_null_texts_are_not_duplicates(spark):
     )
     kept = sorted(r.doc_id for r in dedup.dedup_exact(df).collect())
     assert kept == [1, 2, 3]
+
+
+def test_simhash_recall_above_three_bits(spark):
+    """Pigeonhole chunking must scale with max_hamming: two fingerprints
+    differing in one bit of each 16-bit quarter (hamming 4) must still
+    meet in a bucket when max_hamming >= 4."""
+    import pyspark.sql.functions as F
+
+    from riptable_spark.operators import dedup
+
+    base = 0x1234_5678_9ABC_DEF0
+    other = base ^ 0x0001_0001_0001_0001  # one flipped bit in each 16-bit chunk
+    df = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "__sh__"])
+    # drive the bucketing stage directly (simhash_df is text-based)
+    n_chunks, width = 5, 12
+    def chunk(i):
+        shifted = F.shiftrightunsigned(F.col("__sh__"), width * i)
+        bits = 64 - width * i if i == n_chunks - 1 else width
+        return shifted if bits >= 64 else shifted.bitwiseAND(F.lit((1 << bits) - 1))
+    banded = df.select("doc_id", F.posexplode(F.array(*[chunk(i) for i in range(n_chunks)])).alias("ci", "cv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv"), F.col("a.doc_id") < F.col("b.doc_id")]).select("a.doc_id").distinct().count()
+    assert pairs == 1  # 5 chunks of ~12 bits: 4 flipped bits leave >=1 chunk intact
+
+
+def test_simhash_near_dups_end_to_end_wide_hamming(spark):
+    from riptable_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy cat today"),
+         (3, "completely different text about spark aggregation plans")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_near_dups(df, max_hamming=8).collect()
+    assert all({r.id_a, r.id_b} != {1, 3} for r in pairs)

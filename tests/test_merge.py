@@ -201,3 +201,29 @@ def test_merge_lookup_require_match_with_null_payload(spark):
     right2 = spark.createDataFrame([(1, 1.0)], "k int, v double")
     with _pytest.raises(ValueError, match="unmatched"):
         merge_lookup(left, right2, on="k", require_match=True)
+
+
+def test_asof_nearest_preserves_null_payload_rows(spark):
+    """nearest must keep left rows whose payload contains NULLs (the
+    halves re-join on row id, not on every column)."""
+    from riptable_spark.operators.merge import merge_asof
+
+    left = spark.createDataFrame([(1, 10, None), (1, 30, 2.0)], "g int, ts int, lv double")
+    right = spark.createDataFrame([(1, 12, 7.0)], "g int, ts int, rv double")
+    out = merge_asof(left, right, on="ts", by="g", direction="nearest").collect()
+    assert len(out) == 2
+    assert {r["ts"]: r["rv"] for r in out} == {10: 7.0, 30: 7.0}
+
+
+def test_asof_nearest_tolerance_per_direction(spark):
+    """An out-of-tolerance nearer match must not shadow an in-tolerance
+    farther match on the other side (pandas merge_asof semantics)."""
+    from riptable_spark.operators.merge import merge_asof
+
+    left = spark.createDataFrame([(1, 1000)], "g int, ts int")
+    right = spark.createDataFrame([(1, 500, 1.0), (1, 1450, 2.0)], "g int, ts int, v double")
+    # backward at distance 500 (nearer), forward at 450 — with tol 460 only forward qualifies
+    got = merge_asof(
+        left, right, on="ts", by="g", direction="nearest", tolerance=460
+    ).first()
+    assert got["v"] == 2.0

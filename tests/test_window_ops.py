@@ -163,3 +163,18 @@ def test_interp_extrap(spark):
     assert out[5.0] == 50.0
     assert out[-1.0] == 0.0  # clamped extrapolation (nearest bracket value)
     assert out[20.0] == 100.0
+
+
+def test_interp_extrap_extrapolate_mode(spark):
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import window as win
+
+    curve = spark.createDataFrame([(0.0, 0.0), (10.0, 10.0), (20.0, 30.0)], ["xp", "fp"])
+    pts = spark.createDataFrame([(-5.0,), (25.0,), (15.0,)], ["x"])
+    out = {r.x: r.y for r in win.interp_extrap(pts, "x", curve, "xp", "fp", out_col="y", mode="extrapolate").collect()}
+    assert out[15.0] == 20.0          # interior: interpolated
+    assert out[25.0] == 40.0          # beyond high end: slope 2 extended
+    assert out[-5.0] == -5.0          # before low end: slope 1 extended
+    clip = {r.x: r.y for r in win.interp_extrap(pts, "x", curve, "xp", "fp", out_col="y", mode="clip").collect()}
+    assert clip[25.0] == 30.0 and clip[-5.0] == 0.0
