@@ -173,3 +173,30 @@ def test_merge_asof_matches_pandas(spark, ltimes, rtimes, direction, exact):
     for t, v in exp_df.itertuples(index=False):
         g = got[t]
         assert (pd.isna(v) and g is None) or g == v, (t, g, v)
+
+
+@given(
+    ltimes=st.lists(st.integers(0, 300), min_size=1, max_size=15, unique=True),
+    rtimes=st.lists(st.integers(0, 300), min_size=1, max_size=15, unique=True),
+    tol=st.one_of(st.none(), st.integers(1, 150)),
+)
+@settings(**_SETTINGS)
+def test_merge_asof_nearest_tolerance_matches_pandas(spark, ltimes, rtimes, tol):
+    """direction='nearest' with per-direction tolerance vs pandas."""
+    from riptable_spark.operators.merge import merge_asof
+
+    lp = pd.DataFrame({"t": sorted(ltimes)})
+    rp = pd.DataFrame({"t": sorted(rtimes)})
+    rp["v"] = rp["t"] * 10
+    ldf = spark.createDataFrame([(int(t),) for t in lp["t"]], "t int")
+    rdf = spark.createDataFrame(
+        [(int(t), int(v)) for t, v in rp.itertuples(index=False)], "t int, v int"
+    )
+    got = {
+        r.t: r.v
+        for r in merge_asof(ldf, rdf, on="t", direction="nearest", tolerance=tol).collect()
+    }
+    exp_df = pd.merge_asof(lp, rp, on="t", direction="nearest", tolerance=tol)
+    for t, v in exp_df.itertuples(index=False):
+        g = got[t]
+        assert (pd.isna(v) and g is None) or g == v, (t, g, v, tol)
