@@ -200,3 +200,32 @@ def test_merge_asof_nearest_tolerance_matches_pandas(spark, ltimes, rtimes, tol)
     for t, v in exp_df.itertuples(index=False):
         g = got[t]
         assert (pd.isna(v) and g is None) or g == v, (t, g, v, tol)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    keep=st.sampled_from(["first", "last", "none"]),
+)
+@settings(**_SETTINGS)
+def test_drop_duplicates_matches_pandas(spark, rows, keep):
+    """The min/max-over-struct aggregation rewrite vs pandas
+    drop_duplicates with an explicit total order."""
+    from riptable_spark.operators.window import drop_duplicates
+
+    pdf = pd.DataFrame(rows, columns=["k", "o", "p"]).drop_duplicates()  # unique (k,o,p)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in pdf.itertuples(index=False)],
+        "k int, o int, p int",
+    )
+    got = drop_duplicates(df, ["k"], F.struct("o", "p"), keep=keep).toPandas()
+    spdf = pdf.sort_values(["k", "o", "p"])
+    if keep == "none":
+        exp = spdf.groupby("k").filter(lambda g: len(g) == 1)
+    else:
+        exp = spdf.drop_duplicates(subset=["k"], keep=keep)
+    key = lambda d: sorted(map(tuple, d[["k", "o", "p"]].itertuples(index=False)))  # noqa: E731
+    assert key(got) == key(exp)
