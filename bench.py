@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from riptable_spark import queries2, queries3, queries4  # noqa: E402,F401 — register all batches
 from riptable_spark.queries import QUERIES  # noqa: E402
 from riptable_spark.session import get_spark  # noqa: E402
 
@@ -54,6 +55,10 @@ def main() -> None:
         times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
     print(
         json.dumps(
             {
@@ -61,7 +66,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

@@ -12,7 +12,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _cpus() -> int:
+    """SPARK_GRAFT_CPUS read at call time (not import) so late env changes
+    keep master parallelism and shuffle partitions in lockstep; malformed
+    values fall back to 32 instead of breaking import."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
 
 
 def get_spark(app_name: str = "riptable_spark", master: str | None = None) -> SparkSession:
@@ -22,10 +29,10 @@ def get_spark(app_name: str = "riptable_spark", master: str | None = None) -> Sp
     everything set here is safe to carry over (AQE, Arrow, UTC, adaptive
     skew-join) because it is about *plan quality*, not machine sizing.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = _cpus()
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -40,10 +47,21 @@ def get_spark(app_name: str = "riptable_spark", master: str | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    env_master = os.environ.get("SPARK_MASTER")
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{cpus}]")
+    elif env_master:
+        # honor the env override (Spark itself never reads SPARK_MASTER)
+        builder = builder.master(env_master)
+    else:
+        # default to local[N] ONLY when no master is already configured —
+        # under spark-submit, spark.master arrives via system properties
+        # and must not be overridden (that would silently run the whole
+        # job on the driver)
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            builder = builder.master(f"local[{cpus}]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

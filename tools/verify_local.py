@@ -69,6 +69,8 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
             mask = ~((av.isna() & bv.isna()) | (av == bv))
             idx = mask[mask].index[:5].tolist()
             detail = "; ".join(f"row{i}: spark={av[i]!r} oracle={bv[i]!r}" for i in idx)
+            if not idx:
+                detail = f"dtype-only: spark={av.dtype} oracle={bv.dtype}"
             return False, f"value mismatch in '{c}' ({int(mask.sum())} rows): {detail}"
     return True, "ok"
 
@@ -76,19 +78,26 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     names = [a for a in sys.argv[1:] if not os.path.isdir(a)] or list(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"ERROR: unknown query name(s) {unknown} (a mistyped sf dir lands here too)")
+        print(f"known: {sorted(QUERIES)[:8]} ... ({len(QUERIES)} total)")
+        return 2
     spark = get_spark("verify_local")
     con = duck_connection(sf_dir)
     failures = []
     for name in names:
         fn = QUERIES[name]
         try:
+            if name not in ORACLES:
+                # rows-only check: count on the cluster, never collect
+                n = fn(spark, sf_dir).count()
+                print(f"SKIP  {name}: no oracle (rows-only) — spark rows={n}")
+                continue
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             failures.append(name)
             print(f"FAIL  {name}: spark query raised\n{traceback.format_exc()}")
-            continue
-        if name not in ORACLES:
-            print(f"SKIP  {name}: no oracle (rows-only) — spark rows={len(sdf)}")
             continue
         try:
             odf = con.execute(ORACLES[name]).fetchdf()
@@ -96,7 +105,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: oracle raised\n{traceback.format_exc()}")
             continue
-        ok, msg = compare(normalize(sdf), normalize(odf))
+        try:
+            ok, msg = compare(normalize(sdf), normalize(odf))
+        except Exception as e:
+            ok, msg = False, f"compare raised: {type(e).__name__}: {e}"
         status = "PASS " if ok else "FAIL "
         if not ok:
             failures.append(name)
