@@ -526,3 +526,55 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         gb.count(~flt).alias("n"),
     ).select(F.lit("Filtered").alias("bin"), "price_sum", "n")
     return body.unionByName(showfilter)
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """4 deterministic unit-ish centroids in 64-dim (same LCG as the LSH
+    hyperplanes — reproducible in the oracle as literals)."""
+    from .operators.similarity import _hyperplanes
+
+    return _hyperplanes(64, 4, seed=7)
+
+
+def _ivf_oracle() -> str:
+    cents = _ivf_centroids()
+    lits = [
+        "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents
+    ]
+    dist = [
+        f"list_distance(embedding::DOUBLE[], {lit})" for lit in lits
+    ]
+    best = "LEAST(" + ", ".join(dist) + ")"
+    case = " ".join(
+        f"WHEN {d} = best THEN {i}" for i, d in enumerate(dist)
+    )
+    return f"""
+    SELECT cid, count(*) AS n
+    FROM (
+        SELECT CASE {case} END AS cid
+        FROM (SELECT embedding, {best} AS best FROM embeddings)
+    )
+    GROUP BY cid
+    """
+
+
+@query("q113_ivf_assign", _ivf_oracle())
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse quantizer (beyond-reference ANN scale path): nearest of
+    4 deterministic centroids per vector, broadcast cross join + windowed
+    argmin; counts per inverted list. At 100 TB the assignment is written
+    partitioned by cid and partition pruning IS the index.
+    Tie-break: DuckDB CASE picks the LOWEST matching cid, mirroring the
+    (distance, centroid_id) window order."""
+    from .operators import similarity
+
+    e = load_table(spark, sf, "embeddings")
+    cents = _ivf_centroids()
+    spark_cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "centroid_id int, centroid_vec array<double>"
+    )
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    assigned = similarity.ivf_assign(
+        e.select("vec_id", dvec.alias("embedding")), spark_cents
+    )
+    return assigned.groupBy(F.col("centroid_id").alias("cid")).agg(F.count(F.lit(1)).alias("n"))
