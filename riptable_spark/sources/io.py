@@ -36,9 +36,24 @@ TABLES = (
 _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet columns readable on ANY session, not
+    just ones built by our session factory: the conf is runtime-settable,
+    and callers (test harnesses, notebooks) routinely hand us a vanilla
+    SparkSession. Without it the read throws PARQUET_TYPE_ILLEGAL before
+    any operator runs."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        # Conf became static in some future Spark: the schema-override
+        # fallback in load_table still handles the read.
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Filters/projections placed on the result
     push down to the parquet scan (verify with .explain: PushedFilters)."""
+    _ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
@@ -67,6 +82,7 @@ def load_stacked(spark: SparkSession, paths: list[str]) -> DataFrame:
     contributes its own scan partitions, which is exactly the PDataset
     partition model (rt_pdataset.py:18).
     """
+    _ensure_nanos_readable(spark)
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
@@ -98,6 +114,7 @@ def load_struct(spark: SparkSession, root: str) -> dict[str, DataFrame]:
 def sds_info(spark: SparkSession, path: str):
     """Schema/metadata without a data read (rt_sds.py:1015 sds_info):
     parquet footers only."""
+    _ensure_nanos_readable(spark)
     return spark.read.parquet(path).schema
 
 
