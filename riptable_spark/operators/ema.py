@@ -3,7 +3,9 @@
 Reference formulas (/root/reference/riptable/rt_groupbyops.py):
 - ema_decay (:3314-3363):  out_i = x_i + last * exp(-rate * Δt_i)
 - ema_normal (:3366-3435): w = exp(-rate * Δt_i); last = x_i*(1-w) + last*w
-- ema_weighted (:3438):    fixed α, ignores time.
+- ema_weighted (:3438):    fixed decay_rate, ignores time:
+  LastEma = x*(1-decay_rate) + LastEma*decay_rate — decay_rate weights
+  the OLD value (pandas-style alpha = 1 - decay_rate).
 
 These are sequential per-group recurrences — not expressible as a Spark
 window aggregate. Implementation: ``applyInPandas`` with a vectorized
@@ -83,11 +85,19 @@ def _make_applier(kind: str, valcol: str, timecol: str | None, rate: float, out_
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         x = pdf[valcol].to_numpy(dtype=np.float64)
-        if kind == "decay":
+        if kind in ("decay", "normal"):
             t = pdf[timecol].to_numpy(dtype=np.float64)
+            # _decayed_cumsum's block rebasing (np.searchsorted) requires a
+            # nondecreasing exponent array; a caller ordering by a
+            # non-time column would get silently wrong values otherwise.
+            if len(t) > 1 and (np.diff(t) < 0).any():
+                raise ValueError(
+                    f"ema_{kind}: time column {timecol!r} is not "
+                    f"nondecreasing under order_col={sort_cols!r}"
+                )
+        if kind == "decay":
             pdf[out_col] = _ema_decay_scan(x, t, rate)
         elif kind == "normal":
-            t = pdf[timecol].to_numpy(dtype=np.float64)
             pdf[out_col] = _ema_normal_scan(x, t, rate)
         else:
             pdf[out_col] = _ema_weighted_scan(x, rate)
@@ -126,8 +136,21 @@ def ema_normal(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: 
     return _dispatch(df, keys, "normal", valcol, timecol, rate, out_col, order_col or timecol, method)
 
 
-def ema_weighted(df: DataFrame, keys: list[str], valcol: str, alpha: float, order_col: str, out_col: str = "ema", method: str = "auto") -> DataFrame:
-    """rt_groupbyops.py:3438 — fixed-α EWMA in row order."""
+def ema_weighted(df: DataFrame, keys: list[str], valcol: str, decay_rate: float, order_col: str, out_col: str = "ema", method: str = "auto") -> DataFrame:
+    """rt_groupbyops.py:3438 — fixed-weight EWMA in row order.
+
+    ``decay_rate`` follows the REFERENCE convention: it weights the OLD
+    value, LastEma = x*(1-decay_rate) + LastEma*decay_rate. Callers
+    porting pandas ``ewm(alpha=...)`` code should pass
+    ``decay_rate = 1 - alpha``.
+    """
+    if not 0.0 <= decay_rate <= 1.0:
+        raise ValueError(f"decay_rate must be in [0, 1], got {decay_rate}")
+    alpha = 1.0 - decay_rate  # new-value weight used by the internal scans
+    if alpha >= 1.0:
+        # decay_rate=0: the EMA is just x. (Also keeps log1p(-alpha)
+        # finite in both execution paths.)
+        return df.withColumn(out_col, F.col(valcol).cast("double"))
     if method == "scan":
         return _run(df, keys, "weighted", valcol, None, alpha, out_col, order_col)
     return _dispatch(df, keys, "weighted", valcol, None, alpha, out_col, order_col, method)

@@ -292,7 +292,17 @@ def _asof_one_direction(
     """Both sides arrive pre-renamed (suffixes applied by merge_asof);
     ``payload`` is the exact list of right-side value columns to carry."""
     left_tag = left.withColumn("__side__", F.lit(1))
-    right_tag = right.withColumn(matched_col, F.col(on)).withColumn("__side__", F.lit(0))
+    # Invalid (NULL) keys never match (rt_merge.py contract; sentinel
+    # invalids are normalized to NULL at ingest). Right rows with NULL
+    # `on` must not contribute matches — drop them before the union.
+    # Left rows with NULL `on` are masked to no-match after the window
+    # (desc ordering puts NULLS LAST, where they would otherwise absorb
+    # the full carry).
+    right_tag = (
+        right.where(F.col(on).isNotNull())
+        .withColumn(matched_col, F.col(on))
+        .withColumn("__side__", F.lit(0))
+    )
     unioned = left_tag.unionByName(right_tag, allowMissingColumns=True)
 
     # Order: for backward+allow_exact a right row at t sorts BEFORE a left
@@ -315,7 +325,10 @@ def _asof_one_direction(
     else:
         raise ValueError(f"direction must be backward/forward/nearest, got {direction}")
 
-    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload + [matched_col]]
+    carried = [
+        F.when(F.col(on).isNotNull(), F.last(F.col(c), ignorenulls=True).over(w)).alias(c)
+        for c in payload + [matched_col]
+    ]
     keep_cols = [c for c in left_tag.columns if c != "__side__"]
     result = (
         unioned.select(*keep_cols, F.col("__side__"), *carried)

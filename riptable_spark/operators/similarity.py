@@ -121,6 +121,61 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     return scored.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1).drop("__rn__", "__d__")
 
 
+def lsh_tables(dim: int, n_tables: int = 4, bits_per_table: int = 4, seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic hyperplane sets for multi-table LSH: ``n_tables``
+    independent tables of ``bits_per_table`` planes each (one LCG stream,
+    sliced). Exposed so test oracles can replay the exact same planes."""
+    planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+    return [planes[t * bits_per_table : (t + 1) * bits_per_table] for t in range(n_tables)]
+
+
+def lsh_dedup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    bits_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-safe embedding near-dup pairs: LSH-bucket candidate
+    generation → exact cosine verify WITHIN buckets. This is the
+    production entry point; ``pairwise_cosine`` is the all-pairs oracle
+    baseline only.
+
+    Physical plan (the 100 TB shape): each vector explodes to ``n_tables``
+    (table, bucket) keys; the self-join is an EQUI-join on (table, bucket)
+    — never a cartesian. Shuffle volume = n_tables × |input| rows keyed by
+    bucket hash; candidate pairs then dedup on (id_a, id_b) before the
+    exact verify, so a pair colliding in several tables is scored once.
+    Recall = P(≥1 of n_tables buckets agrees); tune n_tables (recall) vs
+    bits_per_table (bucket size / compute).
+    """
+    tables = lsh_tables(dim, n_tables, bits_per_table, seed)
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col).alias("__id__"), dvec.alias("__v__"))
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col("__v__"), tables[t]).alias("bkt"))
+            for t in range(len(tables))
+        ]
+    )
+    sigs = base.select("__id__", "__v__", F.explode(entries).alias("__e__")).select(
+        "__id__", "__v__", F.col("__e__.tbl").alias("__tbl__"), F.col("__e__.bkt").alias("__bkt__")
+    )
+    a = sigs.select("__tbl__", "__bkt__", F.col("__id__").alias("id_a"), F.col("__v__").alias("__va__"))
+    b = sigs.select("__tbl__", "__bkt__", F.col("__id__").alias("id_b"), F.col("__v__").alias("__vb__"))
+    cand = (
+        a.join(b, on=["__tbl__", "__bkt__"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)
+
+
 def pairwise_cosine(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above threshold (the
     embedding-dedup flavor). Brute-force within — use lsh buckets first at

@@ -115,32 +115,44 @@ def rolling_nanmean(col: Column, w: WindowSpec, window: int = 3) -> Column:
 
 
 def rolling_count(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    """Valid-value count, partial windows included (the reference's
+    rolling_count has no full-window gate)."""
     return F.count(col).over(_roll_frame(w, window))
 
 
 def rolling_min(col: Column, w: WindowSpec, window: int = 3) -> Column:
-    return F.min(col).over(_roll_frame(w, window))
+    """Full-window contract like rolling_sum: the move_* family these
+    mirror (bottleneck move_min, rt_fastarray.py:2670) defaults
+    min_count=window, so the first window-1 rows per group are invalid."""
+    full = F.row_number().over(w) >= window
+    return F.when(full, F.min(col).over(_roll_frame(w, window)))
 
 
 def rolling_max(col: Column, w: WindowSpec, window: int = 3) -> Column:
-    return F.max(col).over(_roll_frame(w, window))
+    full = F.row_number().over(w) >= window
+    return F.when(full, F.max(col).over(_roll_frame(w, window)))
 
 
 def rolling_std(col: Column, w: WindowSpec, window: int = 3) -> Column:
-    return F.stddev_samp(col).over(_roll_frame(w, window))
+    full = F.row_number().over(w) >= window
+    return F.when(full, F.stddev_samp(col).over(_roll_frame(w, window)))
 
 
 def rolling_var(col: Column, w: WindowSpec, window: int = 3) -> Column:
-    return F.var_samp(col).over(_roll_frame(w, window))
+    full = F.row_number().over(w) >= window
+    return F.when(full, F.var_samp(col).over(_roll_frame(w, window)))
 
 
 def rolling_median(col: Column, w: WindowSpec, window: int = 3) -> Column:
-    # F.median rejects window frames; percentile(0.5) is the same exact
-    # interpolation and is frame-capable
+    """nan-variant by reference contract ("rolling nan median",
+    rt_groupbyops.py:3070): partial windows produce values, like
+    rolling_nansum. F.median rejects window frames; percentile(0.5) is
+    the same exact interpolation and is frame-capable."""
     return F.percentile(col, F.lit(0.5)).over(_roll_frame(w, window))
 
 
 def rolling_quantile(col: Column, q: float, w: WindowSpec, window: int = 3) -> Column:
+    """nan-variant ("rolling nan quantile", rt_groupbyops.py:2997)."""
     return F.percentile(col, F.lit(q)).over(_roll_frame(w, window))
 
 

@@ -459,8 +459,10 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
            END AS roll_mean3,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll_nansum3,
-           min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_min3
+           CASE WHEN row_number() OVER w >= 3
+                THEN min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           END AS roll_min3
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,

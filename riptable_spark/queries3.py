@@ -38,8 +38,9 @@ from .sources.io import load_table
     """,
 )
 def q72(spark: SparkSession, sf: str) -> DataFrame:
-    """ema_weighted (rt_groupbyops.py:3438): fixed-α EWMA in row order,
-    last = α·x + (1−α)·last, seeded with x₀. applyInPandas scan; the
+    """ema_weighted (rt_groupbyops.py:3438): fixed-weight EWMA in row
+    order, last = x·(1−decay_rate) + last·decay_rate (decay_rate weights
+    the OLD value, per the reference), seeded with x₀. The
     oracle uses the closed form y_i = (1−α)^i·Σ c_j/(1−α)^j (safe here:
     max group length ≪ the double-overflow horizon)."""
     ev = (
@@ -47,7 +48,7 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("t_us", F.unix_micros("ts"))
         .select("event_id", "user_id", "t_us", "value")
     )
-    out = ema.ema_weighted(ev, ["user_id"], "value", alpha=0.2, order_col=["t_us", "event_id"], out_col="ema_raw")
+    out = ema.ema_weighted(ev, ["user_id"], "value", decay_rate=0.8, order_col=["t_us", "event_id"], out_col="ema_raw")
     return out.select("event_id", F.round("ema_raw", 4).alias("ema"))
 
 

@@ -395,8 +395,9 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q108(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (beyond-reference dedup
-    flavor): exact all-pairs baseline; production path pre-buckets with
-    q82's LSH. Threshold 0.4 (synthetic embeddings peak at cos≈0.51) yields a
+    flavor): exact all-pairs baseline kept ONLY as the recall oracle;
+    the production path is similarity.lsh_dedup_pairs (q114), whose
+    candidate generation is an equi-join on LSH buckets. Threshold 0.4 (synthetic embeddings peak at cos≈0.51) yields a
     non-trivial pair set; no pair sits within float error of it."""
     from .operators import similarity
 

@@ -156,8 +156,14 @@ def with_rowid(df: DataFrame, *order_cols: str) -> DataFrame:
             pid = F.coalesce(F.size(F.filter(arr, lambda e: e < fc)), F.lit(0))
         else:
             pid = F.lit(0)
+        # Content-derived tiebreaker: without it, rows tied on order_cols
+        # would get rowids that depend on incoming partition order, so two
+        # evaluations of the same plan could disagree. With it, ties are
+        # broken by a hash of the full row; rows that are bytewise
+        # identical remain interchangeable (same content → same dataset).
+        tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
         local = df.withColumn("__pid__", pid).withColumn(
-            "__lrn__", F.row_number().over(Window.partitionBy("__pid__").orderBy(*ocols))
+            "__lrn__", F.row_number().over(Window.partitionBy("__pid__").orderBy(*ocols, tiebreak))
         )
         counts = local.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
         w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)

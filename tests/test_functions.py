@@ -168,7 +168,7 @@ def test_fingerprint_normalization(spark):
 
 def test_ema_weighted_formula(spark):
     df = spark.createDataFrame([("g", 0, 10.0), ("g", 1, 20.0), ("g", 2, 30.0)], ["g", "i", "v"])
-    out = ema.ema_weighted(df, ["g"], "v", alpha=0.5, order_col="i")
+    out = ema.ema_weighted(df, ["g"], "v", decay_rate=0.5, order_col="i")
     got = [r.ema for r in out.orderBy("i").collect()]
     assert got[0] == 10.0
     assert math.isclose(got[1], 15.0)
@@ -183,3 +183,38 @@ def test_ema_normal_formula(spark):
     assert got[0] == 10.0
     assert math.isclose(got[1], 15.0)
     assert math.isclose(got[2], 22.5)
+
+
+def test_ema_weighted_reference_convention(spark):
+    """decay_rate weights the OLD value (rt_groupbyops.py ema_weighted:
+    LastEma = x*(1-decay_rate) + LastEma*decay_rate)."""
+    df = spark.createDataFrame([("g", 0, 10.0), ("g", 1, 20.0)], ["g", "i", "v"])
+    out = {r.i: r.ema for r in ema.ema_weighted(df, ["g"], "v", decay_rate=0.8, order_col="i").collect()}
+    # last = 20*0.2 + 10*0.8 = 12.0
+    assert out[0] == 10.0 and math.isclose(out[1], 12.0)
+
+
+def test_ema_weighted_edge_rates(spark):
+    df = spark.createDataFrame([("g", 0, 10.0), ("g", 1, 20.0)], ["g", "i", "v"])
+    # decay_rate=0 → ema == x
+    out0 = {r.i: r.ema for r in ema.ema_weighted(df, ["g"], "v", decay_rate=0.0, order_col="i").collect()}
+    assert out0 == {0: 10.0, 1: 20.0}
+    # decay_rate=1 → ema pinned at the seed
+    out1 = {r.i: r.ema for r in ema.ema_weighted(df, ["g"], "v", decay_rate=1.0, order_col="i").collect()}
+    assert out1[0] == 10.0 and math.isclose(out1[1], 10.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ema.ema_weighted(df, ["g"], "v", decay_rate=1.5, order_col="i")
+
+
+def test_ema_scan_rejects_unordered_time(spark):
+    """The Arrow scan validates that the time column is nondecreasing
+    under order_col instead of silently mis-evaluating."""
+    from py4j.protocol import Py4JJavaError
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("g", 0, 5.0, 1.0), ("g", 1, 2.0, 2.0)], ["g", "i", "t", "v"])
+    with _pytest.raises(Exception) as ei:
+        ema.ema_decay(df, ["g"], "v", "t", 0.1, order_col="i", method="scan").collect()
+    assert "nondecreasing" in str(ei.value)

@@ -227,3 +227,27 @@ def test_asof_nearest_tolerance_per_direction(spark):
         left, right, on="ts", by="g", direction="nearest", tolerance=460
     ).first()
     assert got["v"] == 2.0
+
+
+def test_asof_null_keys_never_match(spark):
+    """Invalid (NULL) `on` keys never match in any direction — the
+    rt_merge.py contract. NULL-key right rows contribute nothing; NULL-key
+    left rows get no match (ADVICE r1: desc ordering previously let them
+    absorb the carry)."""
+    left = spark.createDataFrame(
+        [("g", 5, "l_ok"), ("g", None, "l_null")],
+        "g string, t int, lid string",
+    )
+    right = spark.createDataFrame(
+        [("g", 3, 1.0), ("g", None, 99.0), ("g", 7, 2.0)],
+        "g string, t int, px double",
+    )
+    for direction, want_ok in [("backward", 1.0), ("forward", 2.0), ("nearest", 1.0)]:
+        out = {
+            r.lid: r.px
+            for r in merge.merge_asof(
+                left, right, on="t", by="g", direction=direction
+            ).collect()
+        }
+        assert out["l_null"] is None, direction
+        assert out["l_ok"] == want_ok, direction

@@ -91,3 +91,17 @@ def test_q22_accum2_single_shuffle(q):
     df = q("q22_accum2")
     assert pi.count_shuffles(df) == 1
     assert pi.has_partial_aggregate(df)
+
+
+def test_q114_lsh_dedup_is_equi_join(q):
+    """The production embedding-dedup path must candidate-generate via an
+    EQUI-join on (table, bucket) — the all-pairs cartesian (q108) is only
+    the oracle baseline. A BroadcastNestedLoopJoin/CartesianProduct here
+    would be the 100 TB scale-killer VERDICT r1 flagged."""
+    from riptable_spark import queries5  # noqa: F401
+
+    df = q("q114_lsh_dedup")
+    plan = pi.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)

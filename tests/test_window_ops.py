@@ -178,3 +178,27 @@ def test_interp_extrap_extrapolate_mode(spark):
     assert out[-5.0] == -5.0          # before low end: slope 1 extended
     clip = {r.x: r.y for r in win.interp_extrap(pts, "x", curve, "xp", "fp", out_col="y", mode="clip").collect()}
     assert clip[25.0] == 30.0 and clip[-5.0] == 0.0
+
+
+def test_rolling_guard_consistency(spark):
+    """min/max/std/var share rolling_sum's full-window contract (move_*
+    family, min_count=window); median/quantile/count are nan-variants per
+    the reference docstrings ("rolling nan median") and fill partial
+    windows."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([("g", i, float(i)) for i in range(4)], ["g", "i", "v"])
+    w = Window.partitionBy("g").orderBy("i")
+    out = df.select(
+        "i",
+        win.rolling_min(F.col("v"), w, 3).alias("mn"),
+        win.rolling_max(F.col("v"), w, 3).alias("mx"),
+        win.rolling_std(F.col("v"), w, 3).alias("sd"),
+        win.rolling_var(F.col("v"), w, 3).alias("vr"),
+        win.rolling_median(F.col("v"), w, 3).alias("md"),
+        win.rolling_count(F.col("v"), w, 3).alias("ct"),
+    ).orderBy("i").collect()
+    for r in out[:2]:
+        assert r.mn is None and r.mx is None and r.sd is None and r.vr is None
+        assert r.md is not None and r.ct == r.i + 1
+    assert out[2].mn == 0.0 and out[2].mx == 2.0 and out[3].mn == 1.0 and out[3].mx == 3.0
