@@ -1,0 +1,163 @@
+"""Categorical modes (reference parity: rt_enum.py:848-855 CategoryMode,
+rt_categorical.py enum/Dictionary ctor, rt_grouping.py:136 merge_cats).
+
+The reference stores a Categorical as (integer codes, category
+dictionary); modes differ in where the dictionary comes from:
+
+- StringArray (mode 1): dictionary = observed uniques; codes 1-based,
+  bin 0 reserved for Filtered rows.
+- IntEnum / Dictionary (modes 2-3): caller supplies a code→name mapping;
+  codes appearing in the data but absent from the mapping display as
+  ``!<code>`` (rt_categorical.py:823-849), NULL codes as ``!<inv>``.
+- NumericArray (mode 4): numeric uniques, same bin discipline.
+
+On Spark the dictionary is driver-side metadata (category cardinality is
+small by definition — that is what makes something categorical), so every
+mapping below compiles to a literal ``create_map`` / ``CASE`` column:
+pure whole-stage-codegen, no UDF, no shuffle, and a broadcast-free label
+assignment that survives any cluster size. The rows themselves never
+leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FILTERED_LABEL = "Filtered"
+
+
+class CategoryMode:
+    """Mirror of rt_enum.py:848 CategoryMode (IntEnum there)."""
+
+    Default = 0
+    StringArray = 1
+    IntEnum = 2
+    Dictionary = 3
+    NumericArray = 4
+    MultiKey = 5
+
+
+def _literal_map(mapping: dict) -> Column:
+    pairs = []
+    for k, v in mapping.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+def enum_label(code: Column, mapping: dict[int, str]) -> Column:
+    """Dictionary/IntEnum-mode display label for an integer code column:
+    mapped codes → their name; unmapped codes → ``!<code>``; NULL (the
+    sentinel-invalid bridge) → ``!<inv>`` (rt_categorical.py:823-849)."""
+    looked_up = F.element_at(_literal_map(mapping), code)
+    return F.coalesce(
+        looked_up,
+        F.when(code.isNull(), F.lit("!<inv>")).otherwise(
+            F.concat(F.lit("!<"), code.cast("string"), F.lit(">"))
+        ),
+    )
+
+
+def string_codes(values: Column, categories: list, base_index: int = 1) -> Column:
+    """StringArray/NumericArray-mode codes against a caller-supplied
+    dictionary: position in ``categories`` (base_index-based); values not
+    in the dictionary (or NULL) take the Filtered bin 0."""
+    m = {v: i + base_index for i, v in enumerate(categories)}
+    return F.coalesce(F.element_at(_literal_map(m), values), F.lit(0))
+
+
+def filtered_mask(values: Column, categories: list, filter: Column | None = None) -> Column:
+    """True for rows landing in bin 0 (out-of-dictionary or filtered)."""
+    bad = ~values.isin(list(categories)) | values.isNull()
+    if filter is not None:
+        bad = bad | ~filter
+    return bad
+
+
+def cat_agg(
+    df: DataFrame,
+    values: Column,
+    categories: list,
+    aggs: dict[str, Column],
+    showfilter: bool = False,
+    filter: Column | None = None,
+    label_col: str = "bin",
+) -> DataFrame:
+    """Grouped aggregation with the reference's bin-0 discipline
+    (rt_groupbyops.py:341-342): rows outside the dictionary (or failing
+    ``filter``) form the invisible Filtered bin, excluded from results
+    unless ``showfilter=True``, in which case it surfaces as a leading
+    ``Filtered`` row — computed as a shuffle-free global aggregate, not a
+    second scan group.
+
+    ``aggs`` maps output name → aggregate Column (built on masked inputs
+    by the caller via F.when as needed).
+    """
+    bad = filtered_mask(values, categories, filter)
+    body = (
+        df.where(~bad)
+        .groupBy(values.alias(label_col))
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    if not showfilter:
+        return body
+    filt = (
+        df.where(bad)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.lit(FILTERED_LABEL).alias(label_col), *aggs.keys())
+    )
+    return filt.unionByName(body)
+
+
+def merge_mappings(mappings: list[dict[int, str]]) -> dict[int, str]:
+    """merge_cats(from_mapping=True) (rt_grouping.py:244-252): union of
+    (code, name) pairs, first occurrence of a code wins."""
+    out: dict[int, str] = {}
+    for m in mappings:
+        for k, v in m.items():
+            out.setdefault(k, v)
+    return out
+
+
+def merge_uniques(uniques_lists: list[list]) -> list:
+    """merge_cats for array-mode categoricals (rt_grouping.py:262
+    hstack_groupings): unified dictionary = first-seen order across the
+    parts' dictionaries."""
+    seen: dict = {}
+    for lst in uniques_lists:
+        for v in lst:
+            seen.setdefault(v, None)
+    return list(seen)
+
+
+def hstack_categoricals(
+    parts: list[tuple[DataFrame, str]],
+    uniques_lists: list[list],
+    code_col: str = "code",
+    base_index: int = 1,
+) -> tuple[DataFrame, list]:
+    """Categorical hstack with code re-mapping (rt_grouping.py:136
+    merge_cats): each part arrives as (DataFrame, its value column) plus
+    its own category dictionary; the result is ONE DataFrame whose
+    ``code_col`` indexes the unified dictionary, with bin 0 preserved for
+    each part's out-of-dictionary rows.
+
+    Spark shape: the re-map is a literal-map projection per part followed
+    by a metadata-only unionByName — zero shuffles, exactly what stacked
+    .sds loads need at 100 TB.
+    """
+    unified = merge_uniques(uniques_lists)
+    out_parts = []
+    for (df, valcol), uniq in zip(parts, uniques_lists):
+        # codes against the part's own dictionary first (anything outside
+        # the PART's dictionary was already Filtered there) then re-coded
+        # against the unified dictionary
+        v = F.col(valcol)
+        in_part = v.isin(list(uniq)) & v.isNotNull()
+        new_code = F.when(in_part, string_codes(v, unified, base_index)).otherwise(F.lit(0))
+        out_parts.append(df.withColumn(code_col, new_code))
+    stacked = out_parts[0]
+    for p in out_parts[1:]:
+        stacked = stacked.unionByName(p)
+    return stacked, unified
