@@ -156,6 +156,46 @@ def rolling_quantile(col: Column, q: float, w: WindowSpec, window: int = 3) -> C
     return F.percentile(col, F.lit(q)).over(_roll_frame(w, window))
 
 
+# --- move_* rolling arg-ops (rt_fastarray.py:2688-2699 → bottleneck
+# move_argmin/move_argmax/move_rank). All three share bottleneck's
+# full-window contract (min_count=window → first window-1 rows invalid)
+# and are pure JVM array expressions over a collect_list frame: O(n·w)
+# like bottleneck's own ring-buffer, no UDF, no extra shuffle beyond the
+# window's. Values must be non-NULL (collect_list drops NULLs, which
+# would desync list positions from frame offsets — normalize invalids
+# upstream, as riptable does with sentinels).
+
+
+def move_argmin(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    """Offset of the window minimum counted back from the current row
+    (0 = current row is the min — bottleneck's index convention). Ties
+    resolve to the most recent occurrence."""
+    fr = _roll_frame(w, window)
+    arr = F.collect_list(col).over(fr)
+    full = F.count(col).over(fr) >= window
+    return F.when(full, F.array_position(F.reverse(arr), F.array_min(arr)) - 1)
+
+
+def move_argmax(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    fr = _roll_frame(w, window)
+    arr = F.collect_list(col).over(fr)
+    full = F.count(col).over(fr) >= window
+    return F.when(full, F.array_position(F.reverse(arr), F.array_max(arr)) - 1)
+
+
+def move_rank(col: Column, w: WindowSpec, window: int = 3) -> Column:
+    """bottleneck move_rank: mean of sign(current − other) over the other
+    window elements, in (-1, 1]; e.g. a strictly largest current value
+    ranks 1.0, strictly smallest -1.0, all-equal 0.0."""
+    fr = _roll_frame(w, window)
+    arr = F.collect_list(col).over(fr)
+    full = F.count(col).over(fr) >= window
+    sign_sum = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + F.signum(col.cast("double") - x.cast("double"))
+    )
+    return F.when(full, sign_sum / F.lit(float(window - 1)))
+
+
 # --- time-distance windows (rt_fastarray.py:2629 timewindow_sum)
 def timewindow_sum(col: Column, keys: list[str], time_col: str, dist, unit_expr: str | None = None) -> Column:
     """Sum over trailing *time* window — rangeBetween is the native fit."""

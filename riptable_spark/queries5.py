@@ -154,3 +154,44 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     return stacked.groupBy("code").agg(gb.count().alias("n")).select(
         "code", label.alias("bin"), "n"
     )
+
+
+# =====================================================================
+# move_* rolling arg-ops (rt_fastarray.py:2688-2699; VERDICT r1 missing #2)
+# =====================================================================
+
+@query(
+    "q118_move_argops",
+    """
+    SELECT event_id,
+           CASE WHEN count(value) OVER w >= 5
+                THEN list_position(list_reverse(list(value) OVER w), list_min(list(value) OVER w)) - 1
+           END AS argmin5,
+           CASE WHEN count(value) OVER w >= 5
+                THEN list_position(list_reverse(list(value) OVER w), list_max(list(value) OVER w)) - 1
+           END AS argmax5,
+           CASE WHEN count(value) OVER w >= 5
+                THEN round(list_sum(list_transform(list(value) OVER w,
+                         x -> CASE WHEN value > x THEN 1.0 WHEN value < x THEN -1.0 ELSE 0.0 END)) / 4.0, 6)
+           END AS mrank5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """move_argmin/move_argmax/move_rank (rt_fastarray.py:2688-2699 →
+    bottleneck): rolling offset-of-extremum and sign-mean rank with the
+    full-window (min_count=window) contract. Array expressions over the
+    window frame — JVM codegen, no UDF; the oracle mirrors the identical
+    list formulation in DuckDB."""
+    from .operators import window as win
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        win.move_argmin(F.col("value"), w, 5).alias("argmin5"),
+        win.move_argmax(F.col("value"), w, 5).alias("argmax5"),
+        F.round(win.move_rank(F.col("value"), w, 5), 6).alias("mrank5"),
+    )

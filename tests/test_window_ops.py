@@ -202,3 +202,23 @@ def test_rolling_guard_consistency(spark):
         assert r.mn is None and r.mx is None and r.sd is None and r.vr is None
         assert r.md is not None and r.ct == r.i + 1
     assert out[2].mn == 0.0 and out[2].mx == 2.0 and out[3].mn == 1.0 and out[3].mx == 3.0
+
+
+def test_move_argops_bottleneck_semantics(spark):
+    """move_argmin/argmax: offset back from current (0 = current), ties →
+    most recent; move_rank: sign-mean in (-1,1]; all full-window gated
+    (bottleneck min_count=window via rt_fastarray.py:2688)."""
+    from pyspark.sql import Window
+
+    vals = [5.0, 3.0, 3.0, 7.0, 1.0]
+    df = spark.createDataFrame([("g", i, v) for i, v in enumerate(vals)], ["g", "i", "v"])
+    w = Window.partitionBy("g").orderBy("i")
+    out = df.select(
+        "i",
+        win.move_argmin(F.col("v"), w, 3).alias("amin"),
+        win.move_argmax(F.col("v"), w, 3).alias("amax"),
+        win.move_rank(F.col("v"), w, 3).alias("mr"),
+    ).orderBy("i").collect()
+    assert [r.amin for r in out] == [None, None, 0, 1, 0]  # [5,3,3]→tie at i1,i2→most recent (0 back); [3,3,7]→3 at offset 1; [3,7,1]→1 current
+    assert [r.amax for r in out] == [None, None, 2, 0, 1]
+    assert [r.mr for r in out] == [None, None, -0.5, 1.0, -1.0]
