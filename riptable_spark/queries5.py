@@ -195,3 +195,78 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
         win.move_argmax(F.col("value"), w, 5).alias("argmax5"),
         F.round(win.move_rank(F.col("value"), w, 5), 6).alias("mrank5"),
     )
+
+
+# =====================================================================
+# TimeSpan/DateSpan typed arithmetic (rt_datetime.py:2311-2346; VERDICT #3)
+# =====================================================================
+
+@query(
+    "q119_spans",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               max(ts) - min(ts) AS tspan,
+               min(ts) AS t0
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(epoch_us(t0 + tspan) - epoch_us(t0) AS BIGINT) AS span_us,
+           CAST(floor((epoch_us(t0 + tspan) - epoch_us(t0)) / 1000000) AS BIGINT) AS span_s,
+           CAST(floor((epoch_us(t0 + tspan) - epoch_us(t0)) / 86400000000) AS BIGINT) AS span_d,
+           CAST(t0 + tspan AS TIMESTAMP) AS t_end
+    FROM spans
+    """,
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """TimeSpan typed arithmetic (rt_datetime.py:2311-2346):
+    DateTimeNano−DateTimeNano→TimeSpan (DayTimeIntervalType, codegen),
+    DateTimeNano+TimeSpan→DateTimeNano round-trip, plus TimeSpan
+    accessors (total µs / s / whole days). The span stays a typed
+    interval inside the plan; only the accessors project it to scalars
+    for the oracle compare."""
+    from .functions import spans as sp
+
+    ev = load_table(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max("ts").alias("t_max"), F.min("ts").alias("t0")
+    )
+    spanned = agg.withColumn("tspan", sp.ts_diff_span(F.col("t_max"), F.col("t0")))
+    return spanned.select(
+        "user_id",
+        sp.span_micros(F.col("tspan")).alias("span_us"),
+        sp.span_seconds(F.col("tspan")).alias("span_s"),
+        sp.span_days(F.col("tspan")).alias("span_d"),
+        sp.ts_add_span(F.col("t0"), F.col("tspan")).alias("t_end"),
+    )
+
+
+@query(
+    "q120_datespans",
+    """
+    SELECT o_custkey,
+           CAST(date_diff('day', min(o_orderdate)::DATE, max(o_orderdate)::DATE) AS INTEGER) AS dspan,
+           (min(o_orderdate)::DATE + CAST(date_diff('day', min(o_orderdate)::DATE, max(o_orderdate)::DATE) AS INTEGER))::TIMESTAMP AS d_end,
+           (max(o_orderdate)::DATE - CAST(date_diff('day', min(o_orderdate)::DATE, max(o_orderdate)::DATE) AS INTEGER))::TIMESTAMP AS d_start
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """DateSpan typed arithmetic (rt_datetime.py:2311 rules):
+    Date−Date→DateSpan (int days), Date+DateSpan→Date,
+    Date−DateSpan→Date — pure codegen date algebra."""
+    from .functions import spans as sp
+
+    o = load_table(spark, sf, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("d_min"), F.max("o_orderdate").alias("d_max")
+    )
+    span = sp.date_diff_span(F.col("d_max"), F.col("d_min"))
+    return agg.select(
+        "o_custkey",
+        span.alias("dspan"),
+        # DateType -> timestamp only for the comparator (pandas renders
+        # DateType as object, which hash-compares as dtype mismatch)
+        sp.date_add_span(F.col("d_min"), span).cast("timestamp").alias("d_end"),
+        sp.date_sub_span(F.col("d_max"), span).cast("timestamp").alias("d_start"),
+    )

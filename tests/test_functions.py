@@ -218,3 +218,32 @@ def test_ema_scan_rejects_unordered_time(spark):
     with _pytest.raises(Exception) as ei:
         ema.ema_decay(df, ["g"], "v", "t", 0.1, order_col="i", method="scan").collect()
     assert "nondecreasing" in str(ei.value)
+
+
+def test_span_arithmetic_rules(spark):
+    """rt_datetime.py:2311-2346: Date−Date→DateSpan, Date±DateSpan→Date,
+    ts−ts→TimeSpan (DayTimeInterval), ts±TimeSpan→ts, span algebra."""
+    from riptable_spark.functions import spans as sp
+
+    df = spark.sql(
+        "select timestamp'2024-01-02 03:00:00' a, timestamp'2024-01-01 00:30:00' b,"
+        " date'2024-03-05' d1, date'2024-02-28' d2"
+    )
+    r = df.select(
+        sp.span_micros(sp.ts_diff_span(F.col("a"), F.col("b"))).alias("us"),
+        sp.span_seconds(sp.ts_diff_span(F.col("a"), F.col("b"))).alias("s"),
+        sp.span_days(sp.ts_diff_span(F.col("a"), F.col("b"))).alias("d"),
+        sp.ts_add_span(F.col("b"), sp.ts_diff_span(F.col("a"), F.col("b"))).alias("rt"),
+        sp.ts_sub_span(F.col("a"), sp.ts_diff_span(F.col("a"), F.col("b"))).alias("rb"),
+        sp.date_diff_span(F.col("d1"), F.col("d2")).alias("ds"),
+        sp.date_add_span(F.col("d2"), sp.date_diff_span(F.col("d1"), F.col("d2"))).alias("drt"),
+        sp.span_seconds(sp.span_scale(sp.ts_diff_span(F.col("a"), F.col("b")), 2)).alias("s2"),
+        sp.span_seconds(
+            sp.span_add(sp.ts_diff_span(F.col("a"), F.col("b")), sp.timespan(hours=1))
+        ).alias("sp1h"),
+    ).first()
+    total = 26 * 3600 + 30 * 60  # 95400 s
+    assert r.us == total * 1_000_000 and r.s == total and r.d == 1
+    assert str(r.rt) == "2024-01-02 03:00:00" and str(r.rb) == "2024-01-01 00:30:00"
+    assert r.ds == 6 and str(r.drt) == "2024-03-05"
+    assert r.s2 == 2 * total and r.sp1h == total + 3600

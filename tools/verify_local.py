@@ -41,8 +41,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).astype("datetime64[us]")
         elif s.dtype == object:
-            # decode bytes / lists deterministically
-            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            import datetime as _dt
+
+            if s.map(lambda v: v is None or isinstance(v, _dt.date)).all() and s.notna().any():
+                # Spark DateType arrives as datetime.date objects; unify
+                # with DuckDB's datetime64 DATE representation
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                # decode bytes / lists deterministically
+                df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
