@@ -128,8 +128,41 @@ def where(cond: Column, x, y) -> Column:
 def searchsorted(col: Column, boundaries: list[float], side: str = "right") -> Column:
     """rt_numpy.py:701 searchsorted against a small sorted boundary list:
     insertion index = count of boundaries ≤ x (side='right') or < x
-    (side='left'). The list is a literal array folded by codegen — no
-    join, no shuffle."""
-    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    (side='left'/'leftplus'). riptable's 'leftplus' additionally maps
+    values beyond the last boundary to 0 (rt_numpy.py:703,
+    BinsToCutsBSearch mode 0). The list is a literal array folded by
+    codegen — no join, no shuffle."""
+    arr = F.array(*[F.lit(float(b)) for b in sorted(boundaries)])
     pred = (lambda b: b <= col) if side == "right" else (lambda b: b < col)
-    return F.size(F.filter(arr, pred))
+    idx = F.size(F.filter(arr, pred))
+    if side == "leftplus":
+        idx = F.when(col > F.lit(float(max(boundaries))), F.lit(0)).otherwise(idx)
+    return idx
+
+
+def searchsorted_against(
+    df, value: Column, bounds_df, bound_col: str, side: str = "left", out_col: str = "idx"
+):
+    """searchsorted where the sorted side is an ARRAY/relation, not a
+    literal (rt_numpy.py:701 with array `a`): insertion index of each
+    row's ``value`` into the sorted values of ``bounds_df[bound_col]``.
+
+    Plan: the bounds relation collapses to ONE sorted-array row
+    (collect_list + array_sort — a single tiny agg) broadcast to every
+    partition; the per-row index is a codegen filter-count. Right shape
+    while #bounds is dictionary-sized (≤ ~10⁵). For bounds too large to
+    broadcast, use the union+running-count rewrite
+    (operators.window.searchsorted_union) — one shuffle, no array."""
+    from pyspark.sql import functions as _F
+
+    arr_row = bounds_df.agg(
+        _F.array_sort(_F.collect_list(_F.col(bound_col).cast("double"))).alias("__bounds__")
+    )
+    joined = df.crossJoin(_F.broadcast(arr_row))
+    a = _F.col("__bounds__")
+    v = value.cast("double")
+    pred = (lambda b: b <= v) if side == "right" else (lambda b: b < v)
+    idx = _F.size(_F.filter(a, pred))
+    if side == "leftplus":
+        idx = _F.when(v > _F.element_at(a, -1), _F.lit(0)).otherwise(idx)
+    return joined.withColumn(out_col, idx).drop("__bounds__")

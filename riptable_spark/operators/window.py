@@ -156,6 +156,47 @@ def rolling_quantile(col: Column, q: float, w: WindowSpec, window: int = 3) -> C
     return F.percentile(col, F.lit(q)).over(_roll_frame(w, window))
 
 
+def searchsorted_union(
+    values: DataFrame,
+    value_col: str,
+    bounds: DataFrame,
+    bound_col: str,
+    side: str = "left",
+    out_col: str = "idx",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """searchsorted against a LARGE sorted side (rt_numpy.py:701) without
+    broadcasting it: tag bounds and values, union, ONE shuffle+sort on
+    (by, value, side-order), running count of bound rows = insertion
+    index — the same union+window shape as merge_asof, so it scales the
+    same way. Use functions.math.searchsorted_against when the bounds fit
+    a broadcast array. Ungrouped use (by=None) is a global sort —
+    interactive scale only; pass ``by`` for the cluster path."""
+    byc = list(by or [])
+    b = bounds.select(
+        *byc, F.col(bound_col).cast("double").alias("__v__")
+    ).withColumn("__is_b__", F.lit(1))
+    v = values.withColumn("__v__", F.col(value_col).cast("double")).withColumn(
+        "__is_b__", F.lit(0)
+    )
+    u = v.unionByName(b, allowMissingColumns=True)
+    # left: ties NOT counted → value rows sort before equal bound rows;
+    # right: ties counted → bound rows first (mirrors numpy side=)
+    side_order = F.col("__is_b__").desc() if side == "right" else F.col("__is_b__").asc()
+    w = (
+        Window.partitionBy(*byc)
+        .orderBy(F.col("__v__").asc_nulls_first(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    idx = F.sum("__is_b__").over(w)
+    if side == "leftplus":
+        wall = Window.partitionBy(*byc)
+        mx = F.max(F.when(F.col("__is_b__") == 1, F.col("__v__"))).over(wall)
+        idx = F.when(F.col("__v__") > mx, F.lit(0)).otherwise(idx)
+    out = u.withColumn(out_col, idx.cast("int")).where(F.col("__is_b__") == 0)
+    return out.drop("__is_b__", "__v__")
+
+
 # --- move_* rolling arg-ops (rt_fastarray.py:2688-2699 → bottleneck
 # move_argmin/move_argmax/move_rank). All three share bottleneck's
 # full-window contract (min_count=window → first window-1 rows invalid)

@@ -270,3 +270,38 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         sp.date_add_span(F.col("d_min"), span).cast("timestamp").alias("d_end"),
         sp.date_sub_span(F.col("d_max"), span).cast("timestamp").alias("d_start"),
     )
+
+
+# =====================================================================
+# searchsorted vs array side + leftplus (rt_numpy.py:701; VERDICT #4/#9)
+# =====================================================================
+
+@query(
+    "q121_searchsorted_array",
+    """
+    SELECT c.c_custkey,
+           CAST((SELECT count(*) FROM supplier s WHERE s.s_acctbal < c.c_acctbal) AS INTEGER) AS idx_left,
+           CAST((SELECT count(*) FROM supplier s WHERE s.s_acctbal <= c.c_acctbal) AS INTEGER) AS idx_right,
+           CAST(CASE WHEN c.c_acctbal > (SELECT max(s_acctbal) FROM supplier) THEN 0
+                ELSE (SELECT count(*) FROM supplier s WHERE s.s_acctbal < c.c_acctbal)
+           END AS INTEGER) AS idx_leftplus
+    FROM customer c
+    """,
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """searchsorted with an ARRAY side + riptable's 'leftplus'
+    (rt_numpy.py:701): each customer's acctbal insertion index into the
+    sorted supplier acctbal relation. Broadcast-array path: the bounds
+    relation collapses to one sorted array (a single tiny agg) broadcast
+    everywhere; the index is a codegen filter-count — the big side never
+    shuffles. 'leftplus' maps beyond-last-boundary values to 0. The
+    union+window rewrite (window.searchsorted_union) is the
+    no-broadcast scale path, tested for agreement in unit tests."""
+    from .functions import math as fm
+
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    out = fm.searchsorted_against(c, F.col("c_acctbal"), s, "s_acctbal", side="left", out_col="idx_left")
+    out = fm.searchsorted_against(out, F.col("c_acctbal"), s, "s_acctbal", side="right", out_col="idx_right")
+    out = fm.searchsorted_against(out, F.col("c_acctbal"), s, "s_acctbal", side="leftplus", out_col="idx_leftplus")
+    return out.select("c_custkey", "idx_left", "idx_right", "idx_leftplus")

@@ -222,3 +222,27 @@ def test_move_argops_bottleneck_semantics(spark):
     assert [r.amin for r in out] == [None, None, 0, 1, 0]  # [5,3,3]→tie at i1,i2→most recent (0 back); [3,3,7]→3 at offset 1; [3,7,1]→1 current
     assert [r.amax for r in out] == [None, None, 2, 0, 1]
     assert [r.mr for r in out] == [None, None, -0.5, 1.0, -1.0]
+
+
+def test_searchsorted_paths_agree(spark):
+    """Broadcast-array path (functions.math.searchsorted_against) and
+    union+window path (window.searchsorted_union) implement the same
+    rt_numpy.py:701 contract, including 'leftplus' (beyond-last → 0)."""
+    from riptable_spark.functions import math as fm
+
+    bounds = spark.createDataFrame([(1.0,), (3.0,), (3.0,), (7.0,)], "b double")
+    vals = spark.createDataFrame(
+        [(0, 0.5), (1, 1.0), (2, 3.0), (3, 5.0), (4, 7.0), (5, 9.0)], ["i", "v"]
+    )
+    expected = {
+        "left": [0, 0, 1, 3, 3, 4],
+        "right": [0, 1, 3, 3, 4, 4],
+        "leftplus": [0, 0, 1, 3, 3, 0],
+    }
+    for side, want in expected.items():
+        a = fm.searchsorted_against(vals, F.col("v"), bounds, "b", side=side, out_col="idx")
+        got_a = [r.idx for r in a.orderBy("i").collect()]
+        b = win.searchsorted_union(vals, "v", bounds, "b", side=side, out_col="idx")
+        got_b = [r.idx for r in b.orderBy("i").collect()]
+        assert got_a == want, (side, got_a)
+        assert got_b == want, (side, got_b)
