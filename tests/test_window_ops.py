@@ -246,3 +246,58 @@ def test_searchsorted_paths_agree(spark):
         got_b = [r.idx for r in b.orderBy("i").collect()]
         assert got_a == want, (side, got_a)
         assert got_b == want, (side, got_b)
+
+
+def test_shift_ungrouped_boundary_exchange(spark):
+    """shift/diff over the whole table via block windows + edge patch
+    must agree with the naive global-window form, for lag and lead,
+    including across block boundaries (block=4 forces many)."""
+    from pyspark.sql import Window
+
+    rows = [(i, float((i * 13) % 29)) for i in range(23)]
+    df = spark.createDataFrame(rows, ["i", "v"])
+    for n in (1, 3, -2):
+        got = {
+            r.i: r.sh
+            for r in win.shift_ungrouped(df, {"sh": "v"}, n, ["i"], block=4).collect()
+        }
+        wglob = Window.orderBy("i")
+        want = {
+            r.i: r.sh
+            for r in df.withColumn(
+                "sh", F.lag("v", n).over(wglob) if n > 0 else F.lead("v", -n).over(wglob)
+            ).collect()
+        }
+        assert got == want, n
+    gd = {r.i: r.d for r in win.diff_ungrouped(df, {"d": "v"}, 1, ["i"], block=4).collect()}
+    wd = {r.i: r.d for r in df.withColumn("d", F.col("v") - F.lag("v").over(Window.orderBy("i"))).collect()}
+    assert gd == wd
+
+
+def test_shift_ungrouped_no_single_partition_window(spark):
+    """The DATA-carrying lag/lead window must be block-partitioned; the
+    only ungrouped windows allowed are with_rowid's per-pid offset
+    cumsums, which run over #shuffle-partitions rows (metadata-sized).
+    Spark renders a partitioned window as
+    'Window [exprs], [partition spec], [order spec]' — three lists."""
+    df = spark.range(100).withColumn("v", F.col("id").cast("double"))
+    out = win.shift_ungrouped(df, {"sh": "v"}, 1, ["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lag_lines = [ln for ln in plan.splitlines() if "lag(" in ln or "lead(" in ln]
+    assert lag_lines, "no lag/lead window found in plan"
+    for ln in lag_lines:
+        assert ln.count("], [") >= 2, f"lag window lost its partition spec: {ln}"
+    # the tiny offset windows are over __cnt__ sums only — never over data
+    for ln in plan.splitlines():
+        ls = ln.strip(" +-:*")
+        if ls.startswith("Window ") and ls.count("], [") < 2:
+            assert "__cnt__" in ls, f"ungrouped data window found: {ln}"
+
+
+def test_issorted_blocked(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], ["i", "v"])
+    assert win.issorted_blocked(df, "v", ["i"], block=4) is True
+    df2 = spark.createDataFrame(
+        [(0, 1.0), (1, 5.0), (2, 3.0), (3, 7.0)], ["i", "v"]
+    )
+    assert win.issorted_blocked(df2, "v", ["i"], block=2) is False
