@@ -33,11 +33,9 @@ _PRIORITY = [
     "q02_filter_project",
     "q04_groupby_stats",
     "q05_strict_sum",
-    "q06_mode",
     "q07_merge2_inner",
     "q09_merge_lookup",
     "q10_semi_join",
-    "q12_outer_indicator",
     "q13_asof_backward",
     "q14_asof_forward",
     "q15_shift_diff",
@@ -52,33 +50,35 @@ _PRIORITY = [
     "q26_datetime",
     "q27_strings",
     "q28_text_stats",
-    "q29_lang_id",
     "q30_dedup_exact",
     "q31_token_jaccard",
     "q32_cosine_topk",
     "q33_minhash_pairs",
     "q34_simhash",
     "q35_ema_decay",
-    "q36_trimbr",
     "q37_ohlc",
     "q40_predicates",
     "q41_math_surface",
     "q43_datetime_extras",
-    "q45_unique_counts",
     "q47_rollup",
     "q48_apply_reduce",
     "q49_head_tail_nth",
     "q50_ngroup_findnth",
     "q64_timewindow_range",
     "q71_streaming_tumbling",
-    "q75_searchsorted",
     "q80_regression",
-    "q82_lsh_buckets",
     "q86_pivot_strict",
     "q101_categorical_reuse",
     "q106_salted_join",
     "q111_apply_rows",
     "q113_ivf_assign",
+    "q114_lsh_dedup",
+    "q115_cat_enum",
+    "q117_cat_hstack",
+    "q118_move_argops",
+    "q119_spans",
+    "q121_searchsorted_array",
+    "q122_shift_global",
 ]
 
 

@@ -32,6 +32,17 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _base_hash64(col: Column, hash_kind: str) -> Column:
+    """Shingle hash. 'xxhash64': fastest (JVM xxHash, the 100 TB path).
+    'md5': portable 60-bit hash (first 15 hex digits of md5) that DuckDB
+    reproduces exactly via ('0x'||substr(md5(s),1,15))::BIGINT — used by
+    oracle-checked queries so the WHOLE pipeline is replayable in SQL.
+    Crypto-hash cost is ~3-5× xxhash64; choose per use."""
+    if hash_kind == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(col)
+
+
 def shingles(col: Column, n: int = 5, mode: str = "word") -> Column:
     """n-gram shingle array. word mode: n-token sliding windows built with
     ``transform`` over the token array (JVM-side, no UDF)."""
@@ -114,6 +125,7 @@ def minhash_signature_df(
     id_col: str = "doc_id",
     num_perm: int = 64,
     shingle_n: int = 5,
+    hash_kind: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature as num_perm columns ``mh0..mhN`` via explode +
     codegen min-aggregates: explode shingles, hash each once with
@@ -124,7 +136,7 @@ def minhash_signature_df(
     carries num_perm longs per (doc, partition), not the shingles."""
     sh = shingles(F.col(text_col), n=shingle_n)
     ex = df.select(F.col(id_col), F.explode(sh).alias("__shingle__"))
-    h = F.pmod(F.xxhash64("__shingle__"), F.lit(_MERSENNE).cast("long"))
+    h = F.pmod(_base_hash64(F.col("__shingle__"), hash_kind), F.lit(_MERSENNE).cast("long"))
     aggs = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_hash_params(num_perm))
@@ -139,6 +151,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    hash_kind: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: signature → `bands` band
     hashes → self-join within (band_idx, band_hash) buckets.
@@ -148,7 +161,7 @@ def minhash_lsh_pairs(
     count guard if needed. Returns (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = num_perm // bands
-    with_sig = minhash_signature_df(df, text_col, id_col, num_perm, shingle_n)
+    with_sig = minhash_signature_df(df, text_col, id_col, num_perm, shingle_n, hash_kind)
     band_arr = F.array(
         *[
             F.xxhash64(F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]))
@@ -199,7 +212,12 @@ def minhash_dedup(
 
 # -------------------------------------------------------------- simhash
 def simhash_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64, shingle_n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    shingle_n: int = 2,
+    hash_kind: str = "xxhash64",
 ) -> DataFrame:
     """SimHash fingerprint per document as column ``__sh__``: explode
     shingles → one xxhash64 per shingle (codegen) → 64 sign-vote
@@ -208,7 +226,7 @@ def simhash_df(
     minhash_signature_df, for the same interpreted-HOF reason."""
     sh = shingles(F.col(text_col), n=shingle_n)
     ex = df.select(F.col(id_col), F.explode(sh).alias("__s__")).select(
-        id_col, F.xxhash64("__s__").alias("__h__")
+        id_col, _base_hash64(F.col("__s__"), hash_kind).alias("__h__")
     )
     votes = [
         F.sum(
@@ -228,21 +246,29 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    shingle_n: int = 2,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
     """Near-dup pairs by SimHash: bucket by max_hamming+1 bit chunks
     (pigeonhole — a pair differing in ≤ max_hamming of 64 bits must share
     at least one exact chunk when split into max_hamming+1), join within
     buckets, verify exact hamming distance. Larger max_hamming ⇒ narrower
     chunks ⇒ denser buckets: recall stays exact, cost grows."""
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    base = simhash_df(df, text_col, id_col)
+    width = bits // n_chunks
+    base = simhash_df(df, text_col, id_col, bits=bits, shingle_n=shingle_n, hash_kind=hash_kind)
     def chunk(i: int) -> Column:
         shifted = F.shiftrightunsigned(F.col("__sh__"), width * i)
-        bits = 64 - width * i if i == n_chunks - 1 else width  # last chunk: leftover high bits
-        if bits >= 64:
+        cbits = bits - width * i if i == n_chunks - 1 else width  # last chunk: leftover high bits
+        if cbits >= 64:
             return shifted  # whole hash; a 2^64-1 mask would overflow LongType
-        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+        return shifted.bitwiseAND(F.lit((1 << cbits) - 1))
 
     chunks = F.array(*[chunk(i) for i in range(n_chunks)])
     banded = base.select(id_col, "__sh__", F.posexplode(chunks).alias("chunk_idx", "chunk_val"))

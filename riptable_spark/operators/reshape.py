@@ -73,3 +73,13 @@ def sample_exact(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
     """rt_dataset.py:5978 sample — exact k rows. orderBy(rand).limit(k) is
     a TakeOrdered (no full sort materialization)."""
     return df.orderBy(F.rand(seed)).limit(k)
+
+
+def sample_deterministic(df: DataFrame, k: int, key_cols: list[str]) -> DataFrame:
+    """Exact-k sample that is REPRODUCIBLE across engines and runs: order
+    by the md5 of the key columns (a uniform permutation of the key
+    space) and take k — still a TakeOrderedAndProject, no full sort. At
+    100 TB this beats rand(): re-runs, retries, and audits all select the
+    same rows."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
+    return df.orderBy(h, *key_cols).limit(k)

@@ -846,22 +846,92 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round(F.col("score"), 6).alias("score"), "rank")
 
 
-# ------- non-SQL-expressible ops: rows-only driver check ---------------
+# ------- dedup signature pipelines, fully replayed in SQL --------------
+# The production hash is xxhash64 (no DuckDB equivalent); these contract
+# queries run the SAME pipeline over the portable md5-derived 60-bit hash
+# (dedup._base_hash64('md5')), which DuckDB reproduces digit-for-digit —
+# so signatures, bands, and pair sets are hash-checked end to end.
 
-@query("q33_minhash_pairs")
+
+def _minhash_oracle(num_perm: int, bands: int, shingle_n: int, id_filter: str) -> str:
+    params = dedup._hash_params(num_perm)
+    p = dedup._MERSENNE
+    mh_cols = ", ".join(f"min((h * {a} + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(params))
+    rpb = num_perm // bands
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.mh{b * rpb + r} = b.mh{b * rpb + r}" for r in range(rpb)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM documents WHERE {id_filter} AND text IS NOT NULL
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - {shingle_n - 1}, 1) + 1),
+                   i -> array_to_string(w[i:i+{shingle_n - 1}], ' ')))) AS s
+        FROM toks
+    ),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h FROM sh),
+    sig AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})
+    """
+
+
+@query("q33_minhash_pairs", _minhash_oracle(32, 8, 3, "doc_id < 200"))
 def q33(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (no SQL oracle — signature hashing is
-    not expressible in ANSI SQL; driver does the rows-only check).
-    Verified against exact Jaccard in tests/test_dedup.py."""
+    """MinHash+LSH candidate pairs (rows-only in r1; now hash-checked —
+    VERDICT r1 next-round #3). The oracle recomputes shingles → universal
+    min-hashes → band agreement entirely in DuckDB over the shared
+    portable hash, so the candidate set matches exactly. Production
+    callers keep hash_kind='xxhash64'."""
     d = load_table(spark, sf, "documents").where(F.col("doc_id") < 200)
-    return dedup.minhash_lsh_pairs(d, "text", "doc_id", num_perm=32, bands=8, shingle_n=3)
+    return dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=32, bands=8, shingle_n=3, hash_kind="md5"
+    )
 
 
-@query("q34_simhash")
+def _simhash_oracle(max_hamming: int, bits: int, shingle_n: int, id_filter: str) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM documents WHERE {id_filter} AND text IS NOT NULL
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - {shingle_n - 1}, 1) + 1),
+                   i -> array_to_string(w[i:i+{shingle_n - 1}], ' ')))) AS s
+        FROM toks
+    ),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+    votes AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id),
+    fp AS (SELECT doc_id, ({fp})::BIGINT AS f FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+    """
+
+
+@query("q34_simhash", _simhash_oracle(8, 60, 2, "doc_id < 200"))
 def q34(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check; hamming verified in tests)."""
+    """SimHash near-dup pairs, hash-checked: the pigeonhole chunk
+    bucketing is recall-EXACT (a pair within max_hamming of 60 bits must
+    share one of max_hamming+1 chunks), so the oracle needs only the
+    hamming predicate over DuckDB-recomputed fingerprints — the chunk
+    join is pure execution strategy. bits=60 because the portable md5
+    hash carries 60 bits."""
     d = load_table(spark, sf, "documents").where(F.col("doc_id") < 200)
-    return dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=8)
+    return dedup.simhash_near_dups(
+        d, "text", "doc_id", max_hamming=8, bits=60, shingle_n=2, hash_kind="md5"
+    )
 
 
 @query(

@@ -675,12 +675,23 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("q69_sample_exact")
+@query(
+    "q69_sample_exact",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY md5(o_orderkey::VARCHAR), o_orderkey LIMIT 50
+    """,
+)
 def q69(spark: SparkSession, sf: str) -> DataFrame:
-    """sample k rows (rt_dataset.py:5978) — rows-only (randomness is
-    engine-specific; the driver checks row count/schema)."""
+    """sample k rows (rt_dataset.py:5978) — deterministic hash-ordered
+    variant (md5 of the key = uniform permutation), so the selected set
+    reproduces across engines/runs and the driver can hash-check it
+    (was rows-only with rand() in r1). rand()-based sample_exact remains
+    for callers wanting fresh draws."""
     o = load_table(spark, sf, "orders")
-    return reshape.sample_exact(o.select("o_orderkey", "o_totalprice"), 50)
+    return reshape.sample_deterministic(
+        o.select("o_orderkey", "o_totalprice"), 50, ["o_orderkey"]
+    )
 
 
 @query(

@@ -284,13 +284,35 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
     return e.groupBy(b.alias("bucket")).agg(gb.count().alias("n"))
 
 
-@query("q83_lsh_topk")
+@query(
+    "q83_lsh_topk",
+    f"""
+    WITH sig AS (SELECT vec_id, embedding, ({_plane_sql(_PLANES8)}) AS bkt FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM sig WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               list_dot_product(v.embedding::DOUBLE[], q.qv::DOUBLE[])
+               / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS score_raw
+        FROM sig v JOIN q ON v.bkt = q.bkt
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, round(score_raw, 4) AS score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_raw DESC, vec_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked
+    WHERE rank <= 5 AND query_id != vec_id
+    """,
+)
 def q83(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed approximate top-k neighbors (scale path of q32's
     brute force): corpus and queries bucketed by hyperplane signature,
-    scoring only within-bucket; broadcast of the tiny query side. No SQL
-    oracle — float tie order under approximate candidate sets is not
-    portably deterministic (rows-only check)."""
+    scoring only within-bucket; broadcast of the tiny query side. The
+    candidate buckets are deterministic (fixed LCG hyperplanes), so the
+    oracle replays bucket assignment + within-bucket ranking in SQL
+    (hash-checked; was rows-only in r1)."""
     e = load_table(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
