@@ -94,3 +94,67 @@ def statx(df: DataFrame, colname: str) -> DataFrame:
         F.percentile(c, F.lit(0.99)).alias("p99"),
         F.max(c).alias("max"),
     )
+
+
+def polyfit(df: DataFrame, x: str, y: str, d: int = 1, flt: Column | None = None) -> list[float]:
+    """rt_stats.py:230 polyFit: least-squares polynomial of degree d,
+    coefficients constant-first. Distributed part = ONE aggregation of
+    the normal-equation moments (Σx^k for k≤2d, Σx^k·y for k≤d — the
+    sufficient statistics); the (d+1)×(d+1) solve happens on the driver
+    with numpy. At 100 TB the moments pass is a single map-side-combined
+    scan; nothing else moves."""
+    import numpy as np
+
+    xc = F.col(x).cast("double")
+    yc = F.col(y).cast("double")
+    if flt is not None:
+        xc = F.when(flt, xc)
+        yc = F.when(flt, yc)
+    good = xc.isNotNull() & yc.isNotNull()
+    aggs = [F.sum(F.when(good, F.pow(xc, k))).alias(f"s{k}") for k in range(2 * d + 1)]
+    aggs += [F.sum(F.when(good, F.pow(xc, k) * yc)).alias(f"t{k}") for k in range(d + 1)]
+    row = df.agg(*aggs).first()
+    A = np.array([[row[f"s{i + j}"] for j in range(d + 1)] for i in range(d + 1)])
+    b = np.array([row[f"t{i}"] for i in range(d + 1)])
+    return [float(c) for c in np.linalg.solve(A, b)]
+
+
+def linear_spline(
+    df: DataFrame, x: str, y: str, knots: list[float]
+) -> tuple[list[float], Column]:
+    """rt_stats.py:154 linear_spline: regression on the piecewise-linear
+    basis [1, x, max(x-knot_j, 0)...]. Same moments-then-solve shape as
+    polyfit: one aggregation of the basis Gram matrix (k(k+3)/2 sums for
+    k basis terms), numpy solve driver-side. Returns (coefficients,
+    fitted-value Column) — apply the Column to any frame with ``x``."""
+    import numpy as np
+
+    ks = sorted(knots)
+    xc = F.col(x).cast("double")
+    yc = F.col(y).cast("double")
+    good = xc.isNotNull() & yc.isNotNull()
+
+    def basis(i: int) -> Column:
+        if i == 0:
+            return F.lit(1.0)
+        if i == 1:
+            return xc
+        return F.greatest(xc - F.lit(ks[i - 2]), F.lit(0.0))
+
+    k = 2 + len(ks)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(F.when(good, basis(i) * basis(j))).alias(f"g{i}_{j}"))
+        aggs.append(F.sum(F.when(good, basis(i) * yc)).alias(f"h{i}"))
+    row = df.agg(*aggs).first()
+    G = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            G[i, j] = G[j, i] = row[f"g{i}_{j}"]
+    h = np.array([row[f"h{i}"] for i in range(k)])
+    coeff = np.linalg.solve(G, h)
+    yhat = F.lit(float(coeff[0])) + F.lit(float(coeff[1])) * xc
+    for j, kn in enumerate(ks):
+        yhat = yhat + F.lit(float(coeff[2 + j])) * F.greatest(xc - F.lit(kn), F.lit(0.0))
+    return [float(c) for c in coeff], yhat

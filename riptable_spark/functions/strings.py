@@ -67,3 +67,31 @@ def char(col: Column, position: int) -> Column:  # rt_str.py:1278
 
 def str_append(col: Column, other) -> Column:  # rt_fastarray.py:2266
     return F.concat(col, other if isinstance(other, Column) else F.lit(other))
+
+
+def index_any_of(col: Column, chars: str) -> Column:
+    """rt_str.py:621 index_any_of (strpbrk): first 0-based index of ANY
+    character of ``chars`` in the string, -1 if none. Array expression:
+    per-char instr positions, drop the misses, take the min — pure
+    codegen, no UDF. Empty ``chars`` → 0 (reference returns zeros)."""
+    if chars == "":
+        return F.lit(0)
+    positions = F.array(*[F.instr(col, c) for c in chars])
+    found = F.filter(positions, lambda p: p > 0)
+    return F.when(F.size(found) > 0, F.array_min(found) - 1).otherwise(F.lit(-1))
+
+
+def strpbrk(col: Column, chars: str) -> Column:
+    """Deprecated alias kept for parity (rt_str.py:642)."""
+    return index_any_of(col, chars)
+
+
+def apply_unique(df, colname: str, expr_fn, out_col: str):
+    """rt_str.py:93-113 _handle_apply_unique: evaluate an expensive
+    string expression over the DISTINCT values only, then broadcast-join
+    the results back — the uniques-only execution trick. Worth it
+    exactly when cardinality(col) ≪ rows (the Categorical regime); the
+    distinct is one shuffle of the short strings, the join back is
+    broadcast."""
+    uniq = df.select(colname).distinct().withColumn(out_col, expr_fn(F.col(colname)))
+    return df.join(F.broadcast(uniq), on=colname, how="left")

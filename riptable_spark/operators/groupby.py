@@ -174,3 +174,30 @@ def agg_dict(df: DataFrame, keys: list[str], spec: dict[str, list[str]], flt: Co
 def null_result(df: DataFrame, keys: list[str]) -> DataFrame:
     """GroupByOps.null (rt_groupbyops.py:1014): keys-only distinct table."""
     return df.select(*keys).distinct()
+
+
+_NUMERIC_T = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def gbrows(df: DataFrame, funcs: list[str], id_cols: list[str], columns: list[str] | None = None) -> DataFrame:
+    """rt_dataset.py:6394 gbrows: every ROW is a group, and aggregation
+    runs ACROSS the row's computable (numeric) columns. On Spark this is
+    a horizontal reduction over an array expression — whole-stage
+    codegen, ZERO shuffles (the reference builds an actual transposed
+    GroupBy; the array form is the idiomatic Spark shape). NULLs are
+    skipped like the nan-aggregates. ``id_cols`` identifies rows in the
+    output (the reference's RowNum is physical order, which Spark rows
+    don't have)."""
+    cols = columns or [c for c, t in df.dtypes if t.startswith(_NUMERIC_T) and c not in id_cols]
+    arr = F.filter(F.array(*[F.col(c).cast("double") for c in cols]), lambda x: x.isNotNull())
+    builders = {
+        "sum": lambda: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x),
+        "mean": lambda: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr),
+        "min": lambda: F.array_min(arr),
+        "max": lambda: F.array_max(arr),
+        "count": lambda: F.size(arr),
+    }
+    unknown = [f for f in funcs if f not in builders]
+    if unknown:
+        raise ValueError(f"gbrows: unsupported funcs {unknown}; have {sorted(builders)}")
+    return df.select(*id_cols, *[builders[f]().alias(f"row_{f}") for f in funcs])

@@ -333,3 +333,168 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     d = win.diff_ungrouped(ev, {"d1": "value"}, 1, ["t_us", "event_id"])
     s = win.shift_ungrouped(d, {"fwd2": "value"}, -2, ["t_us", "event_id"])
     return s.select("event_id", F.round("d1", 4).alias("d1"), F.round("fwd2", 4).alias("fwd2"))
+
+
+# =====================================================================
+# gbrows — row-wise groupby (rt_dataset.py:6394; the last absent §2 row)
+# =====================================================================
+
+@query(
+    "q123_gbrows",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity + l_extendedprice + l_discount + l_tax, 4) AS row_sum,
+           round(least(l_quantity, l_extendedprice, l_discount, l_tax), 4) AS row_min,
+           round(greatest(l_quantity, l_extendedprice, l_discount, l_tax), 4) AS row_max,
+           CAST(4 AS INTEGER) AS row_count
+    FROM lineitem
+    """,
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """gbrows (rt_dataset.py:6394): per-row aggregation across the
+    numeric columns — a horizontal array reduction in codegen, zero
+    shuffles. (The oracle's least/greatest form is valid because these
+    columns are non-NULL in TPC-H data; the operator itself is
+    NULL-skipping.)"""
+    from .operators import groupby as gbops
+
+    li = load_table(spark, sf, "lineitem")
+    out = gbops.gbrows(
+        li,
+        ["sum", "min", "max", "count"],
+        id_cols=["l_orderkey", "l_linenumber"],
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("row_sum", 4).alias("row_sum"),
+        F.round("row_min", 4).alias("row_min"),
+        F.round("row_max", 4).alias("row_max"),
+        "row_count",
+    )
+
+
+# =====================================================================
+# FAString extras + regression extras (VERDICT missing #7/#8)
+# =====================================================================
+
+@query(
+    "q124_index_any_of",
+    """
+    SELECT o_orderkey,
+           CAST(coalesce(least(nullif(strpos(lower(o_orderpriority), 'h'), 0),
+                               nullif(strpos(lower(o_orderpriority), 'g'), 0),
+                               nullif(strpos(lower(o_orderpriority), '5'), 0)), 0) - 1 AS INTEGER) AS idx
+    FROM orders
+    """,
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """FAString index_any_of/strpbrk (rt_str.py:621) executed with the
+    apply_unique trick (rt_str.py:93-113): the expression runs over the 5
+    DISTINCT priority strings only, then broadcast-joins back — the
+    uniques-only execution riptable uses for Categorical strings.
+    (DuckDB least() skips NULLs, mirroring the drop-the-misses filter.)"""
+    from .functions import strings as st
+
+    o = load_table(spark, sf, "orders")
+    out = st.apply_unique(
+        o, "o_orderpriority", lambda c: st.index_any_of(F.lower(c), "hg5"), "idx"
+    )
+    return out.select("o_orderkey", "idx")
+
+
+_DET3 = "(({a})*(({e})*({i})-({f})*({h})) - ({b})*(({d})*({i})-({f})*({g})) + ({c})*(({d})*({h})-({e})*({g})))"
+
+
+def _det3(a, b, c, d, e, f, g, h, i) -> str:
+    return _DET3.format(a=a, b=b, c=c, d=d, e=e, f=f, g=g, h=h, i=i)
+
+
+def _polyfit_oracle() -> str:
+    D = _det3("s0", "s1", "s2", "s1", "s2", "s3", "s2", "s3", "s4")
+    c0 = _det3("t0", "s1", "s2", "t1", "s2", "s3", "t2", "s3", "s4")
+    c1 = _det3("s0", "t0", "s2", "s1", "t1", "s3", "s2", "t2", "s4")
+    c2 = _det3("s0", "s1", "t0", "s1", "s2", "t1", "s2", "s3", "t2")
+    return f"""
+    WITH m AS (
+        SELECT count(*)::DOUBLE AS s0, sum(x) AS s1, sum(x*x) AS s2,
+               sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+               sum(y) AS t0, sum(x*y) AS t1, sum(x*x*y) AS t2
+        FROM (SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y FROM lineitem)
+    )
+    SELECT round({c0} / {D}, 4) AS c0,
+           round({c1} / {D}, 4) AS c1,
+           round({c2} / {D}, 4) AS c2
+    FROM m
+    """
+
+
+@query("q125_polyfit", _polyfit_oracle())
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """polyFit degree 2 (rt_stats.py:230): the distributed part is ONE
+    map-side-combined aggregation of the normal-equation moments (exact
+    here — integer-valued x keeps Σx^k in the 2^53 exact-integer range);
+    the 3×3 solve runs on the driver. Oracle solves the same system via
+    Cramer's rule in SQL."""
+    from .functions import stats as rs
+
+    li = load_table(spark, sf, "lineitem")
+    c = rs.polyfit(li, "l_quantity", "l_extendedprice", d=2)
+    return spark.createDataFrame(
+        [(round(c[0], 4), round(c[1], 4), round(c[2], 4))], ["c0", "c1", "c2"]
+    )
+
+
+# =====================================================================
+# AccumTable gen report (rt_accumtable.py:442/584; VERDICT missing #6)
+# =====================================================================
+
+@query(
+    "q126_accumtable_gen",
+    """
+    SELECT l_returnflag AS rk,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(l_quantity), 2) AS SumQty,
+           CAST(count(*) AS DOUBLE) AS "Count",
+           round(avg(l_extendedprice), 2) AS MeanPrice
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'SumQty', round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2),
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2),
+           round(sum(l_quantity), 2), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'Count', CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS DOUBLE),
+           CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS DOUBLE),
+           NULL, CAST(count(*) AS DOUBLE), NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'MeanPrice', round(avg(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2),
+           round(avg(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2),
+           NULL, NULL, round(avg(l_extendedprice), 2)
+    FROM lineitem
+    """,
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """AccumTable.gen report (rt_accumtable.py:442): main cross-tab
+    ('SumQty' over returnflag × linestatus) + margin columns for every
+    inner table (main's first) + stacked footer rows, each inner table's
+    column totals with its grand total at its own margin column. One
+    shuffle for the body, one shuffle-free global agg for all footers."""
+    from .operators.accum import AccumTable
+
+    li = load_table(spark, sf, "lineitem").withColumnRenamed("l_returnflag", "rk")
+    at = AccumTable(li, "rk", "l_linestatus", pivot_values=["F", "O"])
+    at.add("SumQty", F.sum, "l_quantity")
+    at.add("Count", F.count, F.lit(1))
+    at.add("MeanPrice", F.avg, "l_extendedprice")
+    out = at.gen("SumQty")
+    return out.select(
+        "rk",
+        F.round("F", 2).alias("F"),
+        F.round("O", 2).alias("O"),
+        F.round("SumQty", 2).alias("SumQty"),
+        F.col("Count"),
+        F.round("MeanPrice", 2).alias("MeanPrice"),
+    )

@@ -247,3 +247,54 @@ def test_span_arithmetic_rules(spark):
     assert str(r.rt) == "2024-01-02 03:00:00" and str(r.rb) == "2024-01-01 00:30:00"
     assert r.ds == 6 and str(r.drt) == "2024-03-05"
     assert r.s2 == 2 * total and r.sp1h == total + 3600
+
+
+def test_index_any_of_reference_example(spark):
+    """rt_str.py:628 doctest: FAString(['this  ','that ','test'])
+    .index_any_of('ia') == [2, 2, -1]."""
+    from riptable_spark.functions import strings as st
+
+    df = spark.createDataFrame([("this  ",), ("that ",), ("test",)], "s string")
+    got = [r.i for r in df.select(st.index_any_of(F.col("s"), "ia").alias("i")).collect()]
+    assert got == [2, 2, -1]
+    got0 = [r.i for r in df.select(st.index_any_of(F.col("s"), "").alias("i")).collect()]
+    assert got0 == [0, 0, 0]
+
+
+def test_apply_unique_matches_direct(spark):
+    from riptable_spark.functions import strings as st
+
+    df = spark.createDataFrame([("aXa",), ("bYb",), ("aXa",), ("aXa",)], "s string")
+    fn = lambda c: F.upper(F.reverse(c))
+    direct = [r.o for r in df.select(fn(F.col("s")).alias("o")).collect()]
+    via = [r.o for r in st.apply_unique(df, "s", fn, "o").select("o").collect()]
+    assert sorted(direct) == sorted(via)
+
+
+def test_polyfit_matches_numpy(spark):
+    import numpy as np
+    from riptable_spark.functions import stats as rs
+
+    xs = np.array([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.5])
+    ys = 2.0 - 1.5 * xs + 0.25 * xs**2 + np.array([0.1, -0.05, 0.02, 0.0, -0.1, 0.07, 0.01])
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in zip(xs, ys)], ["x", "y"])
+    got = rs.polyfit(df, "x", "y", d=2)
+    want = np.polynomial.polynomial.polyfit(xs, ys, 2)
+    assert np.allclose(got, want, rtol=1e-8)
+
+
+def test_linear_spline_matches_reference_formula(spark):
+    import numpy as np
+    from riptable_spark.functions import stats as rs
+
+    rng = np.random.RandomState(7)
+    xs = rng.uniform(0, 10, 200)
+    ys = np.where(xs < 5, xs, 5 + 3 * (xs - 5)) + rng.normal(0, 0.01, 200)
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in zip(xs, ys)], ["x", "y"])
+    coeff, yhat = rs.linear_spline(df, "x", "y", knots=[5.0])
+    # reference formula (rt_stats.py:154): lstsq on [1, x, max(x-5,0)]
+    A = np.column_stack([np.ones_like(xs), xs, np.maximum(xs - 5.0, 0.0)])
+    want = np.linalg.lstsq(A, ys, rcond=None)[0]
+    assert np.allclose(coeff, want, rtol=1e-6)
+    fitted = df.select(yhat.alias("f")).count()
+    assert fitted == 200
