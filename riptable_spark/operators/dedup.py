@@ -295,12 +295,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     explode shingles → self-join on shingle → count shared → Jaccard via
     |A∩B| / (|A|+|B|−|A∩B|). The shuffle key is the shingle hash; rare
-    shingles keep buckets small (stopword-only shingles are the skew
-    hazard — mitigate with a document-frequency cap upstream)."""
+    shingles keep buckets small.
+
+    ``max_doc_freq_frac`` is the stopword-shingle skew guard (VERDICT r1):
+    shingles appearing in more than that fraction of documents are
+    dropped BEFORE the self-join — a ubiquitous shingle's bucket is an
+    O(n²) pair generator and contributes almost no discriminative signal.
+    Sizes and intersections are then computed consistently over the
+    FILTERED shingle universe (exact Jaccard on that universe; a
+    documented approximation of the raw-text Jaccard). None = no cap."""
     # Explode the RAW shingle stream (no array_distinct — that chain gets
     # duplicated into the scan's pushed filter and re-evaluated per row),
     # then dedup (doc, shingle) with an aggregation. Both self-join sides
@@ -318,6 +326,15 @@ def ngram_jaccard_pairs(
         .groupBy(id_col, "shingle")
         .agg(F.xxhash64("shingle").alias("shingle_h"))
     )
+    if max_doc_freq_frac is not None:
+        n_docs = df.select(F.countDistinct(id_col)).first()[0]
+        cap = int(max_doc_freq_frac * n_docs)
+        dfreq = exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df__"))
+        keep = dfreq.where(F.col("__df__") <= cap).select("shingle_h")
+        # broadcast is wrong here (the surviving-shingle set is corpus-
+        # sized); an equi-join on the hash both sides already share is one
+        # co-partitioned pass
+        exploded = exploded.join(keep, on="shingle_h")
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size__"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (

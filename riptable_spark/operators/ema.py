@@ -193,20 +193,28 @@ def _expr_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: s
 
 
 def _span_ok(df: DataFrame, keys: list[str], kind: str, timecol: str | None, rate: float) -> bool:
-    """One scalar aggregation: the widest per-group exponent span.
-    NOTE this is an extra pass over the input (the agg OUTPUT is one row,
-    the scan is not) — the price of method='auto' safety. Callers that
-    can bound rate·span a priori should pass method='expr'; callers that
-    cannot tolerate the pass pass method='scan'."""
+    """Probe whether the codegen closed form is overflow-safe. The probe
+    is the price of method='auto'; keep it as cheap as possible:
+
+    - decay/normal: GLOBAL max(t)−min(t) bounds every group's span from
+      above — a shuffle-free map-side min/max (2 doubles per partition),
+      and eligible for parquet aggregate pushdown when the column comes
+      straight off a scan. Conservative: a safe verdict is always safe;
+      an unsafe verdict only costs falling back to the Arrow scan.
+    - weighted: the span grows with GROUP LENGTH, where the global row
+      count is far too loose a bound — pay the per-group count (one
+      shuffle of key + long).
+
+    Callers that can bound rate·span a priori should pass method='expr';
+    callers that cannot tolerate any probe pass method='scan'."""
     if kind == "weighted":
         span = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).agg(
             F.max(F.lit(-float(np.log1p(-rate))) * F.col("n").cast("double"))
         ).first()[0]
     else:
         t = F.col(timecol).cast("double")
-        span = df.groupBy(*keys).agg((F.max(t) - F.min(t)).alias("s")).agg(
-            F.max(F.lit(float(rate)) * F.col("s"))
-        ).first()[0]
+        row = df.agg((F.max(t) - F.min(t)).alias("s")).first()
+        span = None if row.s is None else float(rate) * row.s
     return span is not None and span < _EXPR_SPAN_LIMIT
 
 

@@ -246,6 +246,26 @@ def issorted_blocked(df: DataFrame, col: str, order_cols: list[str] | None = Non
     return all(rows[i].mx <= rows[i + 1].mn for i in range(len(rows) - 1))
 
 
+def lexsort_rank(df: DataFrame, keys: list[str], out_col: str = "lexsort_rank") -> DataFrame:
+    """rt_numpy lexsort (numpy convention: the LAST key is primary) as a
+    named operator. riptable's lexsort returns the permutation that
+    sorts; on Spark the positional analogue is the INVERSE permutation —
+    each row's 0-based position under the sort — because downstream
+    'reorder by this permutation' is just orderBy. Scale shape: the
+    deterministic global index machinery (with_rowid: range-bucketed
+    ranks + broadcast offsets), never a single-partition sort. Keys
+    should include a unique tiebreaker for reproducible ranks."""
+    from ..sources.io import with_rowid
+
+    order = list(reversed(keys))
+    return with_rowid(df, *order).withColumnRenamed("__rowid__", out_col)
+
+
+def argsort_rank(df: DataFrame, col: str, out_col: str = "argsort_rank") -> DataFrame:
+    """rt_fastarray argsort as a named op: single-key lexsort_rank."""
+    return lexsort_rank(df, [col], out_col)
+
+
 def searchsorted_union(
     values: DataFrame,
     value_col: str,

@@ -498,3 +498,76 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
         F.col("Count"),
         F.round("MeanPrice", 2).alias("MeanPrice"),
     )
+
+
+# =====================================================================
+# Jaccard with document-frequency cap + named lexsort (round-2 extras)
+# =====================================================================
+
+@query(
+    "q127_jaccard_dfcap",
+    """
+    WITH ex AS (
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id, unnest(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+                  FROM documents WHERE doc_id < 300 AND text IS NOT NULL)
+        )
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM (SELECT doc_id FROM documents WHERE doc_id < 300)),
+    keep AS (
+        SELECT shingle FROM ex GROUP BY shingle
+        HAVING count(*) <= (SELECT CAST(floor(0.10 * n) AS BIGINT) FROM nd)
+    ),
+    fx AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM fx GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM fx a JOIN fx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_shared / (sa.sz + sb.sz - n_shared), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.2
+    """,
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard with the document-frequency cap (VERDICT r1: the
+    stopword-shingle skew guard). Shingles present in >10% of documents
+    are dropped before the shingle-keyed self-join — the ubiquitous-
+    shingle bucket is the O(n²) skew hazard at 100 TB. Jaccard is exact
+    over the filtered shingle universe; the oracle replays the cap in
+    SQL."""
+    from .operators import dedup
+
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") < 300)
+    out = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.2, max_doc_freq_frac=0.10
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "q128_lexsort",
+    """
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY user_id, value, event_id) - 1 AS BIGINT) AS lexsort_rank
+    FROM events
+    """,
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """Named lexsort (numpy convention: LAST key primary — keys
+    (event_id, value, user_id) sort by user_id, then value, then the
+    unique event_id tiebreak). The rank is the scale-safe deterministic
+    global index (range-bucketed ranks + broadcast offsets), not a
+    single-partition row_number."""
+    from .operators import window as win
+
+    ev = load_table(spark, sf, "events")
+    out = win.lexsort_rank(ev, ["event_id", "value", "user_id"])
+    return out.select("event_id", "lexsort_rank")
