@@ -105,3 +105,36 @@ def test_q114_lsh_dedup_is_equi_join(q):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_q121_searchsorted_big_side_never_shuffles(q):
+    """searchsorted_against: the only join is a BroadcastNestedLoopJoin
+    against a ONE-ROW aggregate (the collapsed sorted bounds array — the
+    scalar-subquery pattern, appending one array to every partition).
+    The customer side must not shuffle at all."""
+    from riptable_spark import queries5  # noqa: F401
+
+    df = q("q121_searchsorted_array")
+    assert pi.count_shuffles(df) == 0
+    plan = pi.plan_string(df)
+    # the nested-loop join must be fed by a broadcast of a global agg
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+
+
+def test_q123_gbrows_zero_shuffle(q):
+    """Row-wise groupby is a pure projection — no exchange anywhere."""
+    from riptable_spark import queries5  # noqa: F401
+
+    df = q("q123_gbrows")
+    assert pi.count_shuffles(df) == 0
+
+
+def test_q126_accumtable_single_body_shuffle(q):
+    """AccumTable.gen: all inner tables' cells+margins in ONE hash
+    aggregation (single shuffle); footers from a shuffle-free global
+    agg."""
+    from riptable_spark import queries5  # noqa: F401
+
+    df = q("q126_accumtable_gen")
+    assert pi.count_shuffles(df) == 1
+    assert pi.has_partial_aggregate(df)
