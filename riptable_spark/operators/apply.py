@@ -97,3 +97,39 @@ def register_function(name: str, fn: Callable, out_type: str = "double") -> None
 def run_registered(df: DataFrame, keys: list[str], valcol: str, name: str, out_col: str | None = None) -> DataFrame:
     fn, out_type = _REGISTERED[name]
     return apply_reduce(df, keys, valcol, fn, out_col=out_col or name, out_type=out_type)
+
+
+def fa_apply(
+    df: DataFrame,
+    fn: Callable,
+    in_cols: list[str],
+    out_col: str = "out",
+    out_type: str = "double",
+    vectorized: bool = True,
+) -> DataFrame:
+    """FastArray.apply / apply_numba analogue (rt_fastarray.py:6052
+    family): ELEMENTWISE function over one or more columns, no grouping.
+    mapInPandas with Arrow batches — ``fn`` receives one numpy array per
+    ``in_cols`` and returns an array, so it runs vectorized per batch
+    (the idiomatic Spark equivalent of the reference's compiled
+    per-element loop; a numba @njit/@vectorize fn passed here JITs on
+    the executor). ``vectorized=False`` wraps a scalar-in/scalar-out fn
+    with numpy.frompyfunc — the parity slow path, ~100× slower, kept
+    only for functions that genuinely cannot vectorize.
+
+    Scale shape: a pure map — no shuffle, batch-at-a-time Arrow
+    transfer, composes with pushed-down filters upstream."""
+    import numpy as np
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, _TYPE_MAP[out_type])])
+    call = fn if vectorized else np.frompyfunc(fn, len(in_cols), 1)
+
+    def mapper(batches):
+        for pdf in batches:
+            arrays = [pdf[c].to_numpy() for c in in_cols]
+            out = call(*arrays)
+            pdf = pdf.copy()
+            pdf[out_col] = np.asarray(out, dtype=object if out_type == "string" else None)
+            yield pdf
+
+    return df.mapInPandas(mapper, schema=schema)

@@ -571,3 +571,43 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     out = win.lexsort_rank(ev, ["event_id", "value", "user_id"])
     return out.select("event_id", "lexsort_rank")
+
+
+# =====================================================================
+# FastArray.apply / apply_numba elementwise UDF surface (§2.10 partial)
+# =====================================================================
+
+@query(
+    "q129_fa_apply",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice::DOUBLE * (1 - l_discount::DOUBLE) / (1 + l_tax::DOUBLE) * 10000 + 0.5) / 10000 AS net
+    FROM lineitem
+    """,
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """FastArray.apply/apply_numba (rt_fastarray.py:6052): elementwise
+    user function over columns via mapInPandas — Arrow batches, numpy
+    vectorized on the executor, zero shuffles. (This is the honest UDF
+    surface demo; the same formula as a built-in expression would of
+    course stay in codegen — see q01.)"""
+    from .operators import apply as ap
+
+    li = load_table(spark, sf, "lineitem")
+    # float32 parquet columns must be promoted BEFORE the arithmetic —
+    # numpy would otherwise compute in float32 while the oracle promotes
+    # each stored float to double first
+    for c in ("l_extendedprice", "l_discount", "l_tax"):
+        li = li.withColumn(c, F.col(c).cast("double"))
+    out = ap.fa_apply(
+        li,
+        lambda p, d, t: p * (1 - d) / (1 + t),
+        ["l_extendedprice", "l_discount", "l_tax"],
+        out_col="net",
+    )
+    # floor-based rounding: F.round rounds the decimal STRING repr while
+    # DuckDB rounds the raw binary — they disagree on exact .5 ties,
+    # which this formula generates constantly from 2dp inputs. floor on
+    # the raw double is bit-identical in both engines.
+    net4 = F.floor(F.col("net") * 10000 + F.lit(0.5)) / 10000
+    return out.select("l_orderkey", "l_linenumber", net4.alias("net"))

@@ -145,3 +145,14 @@ def stateful_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataF
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def finalize_update_sink(table: DataFrame, keys: list[str], monotone_col: str) -> DataFrame:
+    """Collapse an update-mode sink to final state: update mode emits one
+    row per (key, micro-batch), so the final answer is the row with the
+    largest value of a per-key MONOTONE column (stateful accumulators
+    like n_events only grow). One hash aggregation — max_by, no window."""
+    others = [c for c in table.columns if c not in keys]
+    return table.groupBy(*keys).agg(
+        *[F.max_by(c, F.col(monotone_col)).alias(c) for c in others]
+    )

@@ -63,3 +63,40 @@ def test_stream_dedupe(spark, stream, tmp_path):
     )
     n_users = out.select("user_id").distinct().count()
     assert out.count() == n_users  # one row kept per user within watermark
+
+
+def test_stateful_multi_batch_state_carry(spark, sf_dir, tmp_path):
+    """The stateful operator's GroupState must CARRY across micro-batches:
+    split events into two files, force one file per trigger, and check
+    the finalized per-user totals equal the batch aggregation (r1 backlog
+    #4 — previously only exercised with a single micro-batch)."""
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.where(F.col("event_id") % 2 == 0)
+    other = ev.where(F.col("event_id") % 2 == 1)
+    src = tmp_path / "ev_src"
+    # two separate files → two micro-batches under maxFilesPerTrigger=1
+    half.coalesce(1).write.parquet(str(src / "a"))
+    other.coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(src))
+    )
+    out = sw.stateful_user_totals(stream)
+    sink = sw.run_available_now(out, "stateful_mb_test", str(tmp_path / "ckpt_mb"))
+    # multiple batches → multiple update rows per user; finalize
+    raw_rows = sink.count()
+    final = sw.finalize_update_sink(sink, ["user_id"], "n_events").toPandas()
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+    )
+    assert raw_rows > len(batch), "expected >1 micro-batch worth of update rows"
+    final = final.sort_values("user_id").reset_index(drop=True)
+    batch = batch.sort_values("user_id").reset_index(drop=True)
+    assert (final["n_events"] == batch["n_events"]).all()
+    assert abs(final["total_value"] - batch["total_value"]).max() < 1e-6
