@@ -279,6 +279,44 @@ class Dataset:
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
 
+    # ------------------------------------------- round-2 named operators
+    def gbrows(self, funcs: list[str], id_cols: list[str], columns: list[str] | None = None) -> "Dataset":
+        """rt_dataset.py:6394 gbrows — row-wise groupby (horizontal
+        reduction across numeric columns)."""
+        from .operators import groupby as _gbops
+
+        return Dataset(_gbops.gbrows(self._df, funcs, id_cols, columns))
+
+    def lexsort_rank(self, keys: list[str], out_col: str = "lexsort_rank") -> "Dataset":
+        """np.lexsort-convention rank (last key primary), scale-safe."""
+        from .operators import window as _win
+
+        return Dataset(_win.lexsort_rank(self._df, keys, out_col))
+
+    def sample_deterministic(self, k: int, key_cols: list[str]) -> "Dataset":
+        from .operators import reshape as _reshape
+
+        return Dataset(_reshape.sample_deterministic(self._df, k, key_cols))
+
+    def fa_apply(self, fn, in_cols: list[str], out_col: str = "out", out_type: str = "double", vectorized: bool = True) -> "Dataset":
+        """FastArray.apply/apply_numba — elementwise Arrow-batch UDF."""
+        from .operators import apply as _apply
+
+        return Dataset(_apply.fa_apply(self._df, fn, in_cols, out_col, out_type, vectorized))
+
+    def searchsorted_against(self, value, bounds: "Dataset | DataFrame", bound_col: str, side: str = "left", out_col: str = "idx") -> "Dataset":
+        from .functions import math as _math
+
+        b = bounds.df if isinstance(bounds, Dataset) else bounds
+        return Dataset(_math.searchsorted_against(self._df, value, b, bound_col, side, out_col))
+
+    def cat_agg(self, values, categories: list, aggs: dict, showfilter: bool = False, filter=None) -> "Dataset":
+        """Dictionary-restricted Categorical aggregation with bin-0
+        discipline (operators/categorical.py)."""
+        from .operators import categorical as _cat
+
+        return Dataset(_cat.cat_agg(self._df, values, categories, aggs, showfilter, filter))
+
 
 class GroupBy:
     """GroupByOps façade (rt_groupby.py:70 / rt_groupbyops.py:34). Each
@@ -380,6 +418,36 @@ class GroupBy:
     def rolling_mean(self, col, order, window: int = 3) -> Dataset:
         w = _win.group_window(self._keys, order)
         return Dataset(self._df.withColumn(f"{col}_rolling_mean", _win.rolling_mean(F.col(col), w, window)))
+
+    def move_argmin(self, col, order, window: int = 3) -> Dataset:
+        w = _win.group_window(self._keys, order)
+        c = F.col(col) if isinstance(col, str) else col
+        return Dataset(self._df.select(*self._keys, _win.move_argmin(c, w, window).alias("move_argmin")))
+
+    def move_argmax(self, col, order, window: int = 3) -> Dataset:
+        w = _win.group_window(self._keys, order)
+        c = F.col(col) if isinstance(col, str) else col
+        return Dataset(self._df.select(*self._keys, _win.move_argmax(c, w, window).alias("move_argmax")))
+
+    def move_rank(self, col, order, window: int = 3) -> Dataset:
+        w = _win.group_window(self._keys, order)
+        c = F.col(col) if isinstance(col, str) else col
+        return Dataset(self._df.select(*self._keys, _win.move_rank(c, w, window).alias("move_rank")))
+
+    def ema_decay(self, col: str, timecol: str, rate: float, order_col=None, method: str = "auto") -> Dataset:
+        from .operators import ema as _ema
+
+        return Dataset(_ema.ema_decay(self._df, self._keys, col, timecol, rate, order_col=order_col, method=method))
+
+    def ema_normal(self, col: str, timecol: str, rate: float, order_col=None, method: str = "auto") -> Dataset:
+        from .operators import ema as _ema
+
+        return Dataset(_ema.ema_normal(self._df, self._keys, col, timecol, rate, order_col=order_col, method=method))
+
+    def ema_weighted(self, col: str, decay_rate: float, order_col, method: str = "auto") -> Dataset:
+        from .operators import ema as _ema
+
+        return Dataset(_ema.ema_weighted(self._df, self._keys, col, decay_rate, order_col, method=method))
 
     def head(self, n: int, order) -> Dataset:
         return Dataset(_win.head_per_group(self._df, self._keys, order, n))

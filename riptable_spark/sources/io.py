@@ -147,10 +147,22 @@ def with_rowid(df: DataFrame, *order_cols: str) -> DataFrame:
         spark = df.sparkSession
         n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
         probs = [i / n for i in range(1, n)]
-        edges = sorted(
-            set(df.select(F.col(first).cast("double").alias("__e__")).approxQuantile("__e__", probs, 0.001))
-        )
-        fc = F.col(first).cast("double")
+        # Numeric order columns bucket on their own value; strings (and
+        # anything ANSI won't cast to double) bucket on a MONOTONE
+        # numeric proxy — the first 6 UTF-8 bytes as a big-endian number
+        # (Spark compares strings bytewise, so prefix order ⊆ string
+        # order; 48 bits stays exact in double). Equal proxies share a
+        # pid, so range-consistency of the global rank is preserved.
+        dtype = dict(df.dtypes).get(first, "double")
+        if dtype in ("string", "binary"):
+            fc = F.conv(
+                F.hex(F.rpad(F.substring(F.col(first), 1, 6), 6, "\x00")), 16, 10
+            ).cast("double")
+        elif dtype.startswith(("date", "timestamp")):
+            fc = F.unix_micros(F.col(first).cast("timestamp")).cast("double")
+        else:
+            fc = F.col(first).cast("double")
+        edges = sorted(set(df.select(fc.alias("__e__")).approxQuantile("__e__", probs, 0.001)))
         if edges:
             arr = F.array(*[F.lit(float(e)) for e in edges])
             pid = F.coalesce(F.size(F.filter(arr, lambda e: e < fc)), F.lit(0))

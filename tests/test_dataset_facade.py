@@ -175,3 +175,31 @@ def test_load_h5_gated(spark):
         pass
     with _pytest.raises(NotImplementedError, match="h5py"):
         load_h5(spark, "/nonexistent.h5")
+
+
+def test_facade_round2_ops(spark):
+    """Round-2 named operators reachable from the Dataset/GroupBy
+    facade: gbrows, lexsort_rank, move_*, ema_weighted, fa_apply,
+    cat_agg."""
+    from riptable_spark.dataset import Dataset
+
+    ds = Dataset(
+        spark.createDataFrame(
+            [("g", 0, 1.0, 2.0), ("g", 1, 3.0, 1.0), ("g", 2, 2.0, 5.0), ("h", 0, 9.0, 1.0)],
+            ["k", "i", "a", "b"],
+        )
+    )
+    rows = ds.gbrows(["sum", "max"], id_cols=["k", "i"]).to_pandas()
+    assert set(rows.columns) == {"k", "i", "row_sum", "row_max"}
+    lx = ds.lexsort_rank(["i", "k"]).to_pandas()  # k primary (last key)
+    assert "lexsort_rank" in lx.columns and sorted(lx.lexsort_rank) == [0, 1, 2, 3]
+    mr = ds.gb("k").move_rank("a", "i", 3).to_pandas()
+    assert "move_rank" in mr.columns
+    ew = ds.gb("k").ema_weighted("a", 0.5, "i").to_pandas()
+    assert "ema" in ew.columns
+    fa = ds.fa_apply(lambda a, b: a + b, ["a", "b"], out_col="s").to_pandas()
+    assert (fa["s"] == fa["a"] + fa["b"]).all()
+    import pyspark.sql.functions as F
+
+    ca = ds.cat_agg(F.col("k"), ["g"], {"n": F.count(F.lit(1))}, showfilter=True).to_pandas()
+    assert list(ca["bin"]) == ["Filtered", "g"] and list(ca["n"]) == [1, 3]
