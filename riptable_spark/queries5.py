@@ -214,7 +214,7 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
            CAST(epoch_us(t0 + tspan) - epoch_us(t0) AS BIGINT) AS span_us,
            CAST(floor((epoch_us(t0 + tspan) - epoch_us(t0)) / 1000000) AS BIGINT) AS span_s,
            CAST(floor((epoch_us(t0 + tspan) - epoch_us(t0)) / 86400000000) AS BIGINT) AS span_d,
-           CAST(t0 + tspan AS TIMESTAMP) AS t_end
+           CAST(epoch_us(t0 + tspan) AS BIGINT) AS t_end_us
     FROM spans
     """,
 )
@@ -237,7 +237,7 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
         sp.span_micros(F.col("tspan")).alias("span_us"),
         sp.span_seconds(F.col("tspan")).alias("span_s"),
         sp.span_days(F.col("tspan")).alias("span_d"),
-        sp.ts_add_span(F.col("t0"), F.col("tspan")).alias("t_end"),
+        F.unix_micros(sp.ts_add_span(F.col("t0"), F.col("tspan"))).alias("t_end_us"),
     )
 
 
@@ -246,8 +246,8 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT o_custkey,
            CAST(date_diff('day', min(o_orderdate)::DATE, max(o_orderdate)::DATE) AS INTEGER) AS dspan,
-           (min(o_orderdate)::DATE + CAST(date_diff('day', min(o_orderdate)::DATE, max(o_orderdate)::DATE) AS INTEGER))::TIMESTAMP AS d_end,
-           (max(o_orderdate)::DATE - CAST(date_diff('day', min(o_orderdate)::DATE, max(o_orderdate)::DATE) AS INTEGER))::TIMESTAMP AS d_start
+           CAST(epoch_us((min(o_orderdate)::DATE + CAST(date_diff('day', min(o_orderdate)::DATE, max(o_orderdate)::DATE) AS INTEGER))::TIMESTAMP) AS BIGINT) AS d_end_us,
+           CAST(epoch_us((max(o_orderdate)::DATE - CAST(date_diff('day', min(o_orderdate)::DATE, max(o_orderdate)::DATE) AS INTEGER))::TIMESTAMP) AS BIGINT) AS d_start_us
     FROM orders GROUP BY o_custkey
     """,
 )
@@ -265,10 +265,12 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select(
         "o_custkey",
         span.alias("dspan"),
-        # DateType -> timestamp only for the comparator (pandas renders
-        # DateType as object, which hash-compares as dtype mismatch)
-        sp.date_add_span(F.col("d_min"), span).cast("timestamp").alias("d_end"),
-        sp.date_sub_span(F.col("d_max"), span).cast("timestamp").alias("d_start"),
+        # project dates to epoch µs for the comparator: raw timestamp /
+        # date outputs are the one dtype class the driver-side compare
+        # handles inconsistently (r1 notes), so every contract query
+        # returns epoch numbers instead
+        F.unix_micros(sp.date_add_span(F.col("d_min"), span).cast("timestamp")).alias("d_end_us"),
+        F.unix_micros(sp.date_sub_span(F.col("d_max"), span).cast("timestamp")).alias("d_start_us"),
     )
 
 

@@ -37,13 +37,20 @@ _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 
 def _ensure_nanos_readable(spark: SparkSession) -> None:
-    """Make TIMESTAMP(NANOS) parquet columns readable on ANY session, not
-    just ones built by our session factory: the conf is runtime-settable,
-    and callers (test harnesses, notebooks) routinely hand us a vanilla
-    SparkSession. Without it the read throws PARQUET_TYPE_ILLEGAL before
-    any operator runs."""
+    """Make table reads behave identically on ANY session, not just ones
+    built by our session factory — callers (test harnesses, notebooks)
+    routinely hand us a vanilla SparkSession:
+
+    - nanosAsLong: TIMESTAMP(NANOS) parquet columns otherwise throw
+      PARQUET_TYPE_ILLEGAL before any operator runs.
+    - session.timeZone=UTC: calendar accessors (year/month/dow) and
+      unix_* conversions are session-tz-dependent; the testdata stores
+      UTC instants and every oracle treats them as naive-UTC, so a
+      caller session in another zone would shift every derived value.
+    Both are runtime-settable SQL confs."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         # Conf became static in some future Spark: the schema-override
         # fallback in load_table still handles the read.
