@@ -762,11 +762,34 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "n_events", F.round(F.col("total_value"), 2).alias("total_value"))
 
 
-@query("q104_session_windows")
+@query(
+    "q104_session_windows",
+    """
+    WITH e AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    )
+    SELECT floor(epoch(min(ts)))::BIGINT AS session_start_s, user_id, count(*)::BIGINT AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def q104(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based session windows per user (Structured Streaming
-    session_window) — rows-only: session boundaries depend on streaming
-    state semantics with no ANSI equivalent."""
+    session_window), drained with availableNow. Hash-checked since r2:
+    on a complete drain the session boundaries are deterministic and
+    equal the batch gaps-and-islands rewrite — two event windows merge
+    iff the next event starts strictly inside [t, t+gap), so a new
+    session begins exactly when diff >= gap."""
     import tempfile
     import uuid
 
