@@ -161,3 +161,47 @@ def hstack_categoricals(
     for p in out_parts[1:]:
         stacked = stacked.unionByName(p)
     return stacked, unified
+
+
+def hstack_categoricals_multikey(
+    parts: list[tuple[DataFrame, list[str]]],
+    uniques_lists: list[list[tuple]],
+    code_col: str = "code",
+    base_index: int = 1,
+) -> tuple[DataFrame, list[tuple]]:
+    """Multikey Categorical hstack (rt_grouping.py:277 hstack_groupings,
+    whose hash path takes a LIST of unique arrays per part — the tuple
+    key; the reference's merge_cats mapping path carries a 'needs
+    multikey' TODO at rt_grouping.py:179, but its hstack path resolves
+    multikey via groupbyhash first-seen order, which is what we mirror).
+
+    Each part arrives as (DataFrame, [key columns]) plus its dictionary
+    of key TUPLES; the unified dictionary is first-seen tuple order
+    across parts, and each part's rows are re-coded against it. Rows
+    whose tuple falls outside the PART's own dictionary keep bin 0.
+
+    Spark shape: per-part dictionaries can be large (the reference cites
+    ~10^6 OSI option symbols), so the re-map is a BROADCAST equi-join on
+    the key columns against a tiny (keys → unified code) relation built
+    per part — no literal CASE of a million branches, no shuffle of the
+    data side; then a metadata-only unionByName.
+    """
+    unified = merge_uniques([[tuple(x) for x in lst] for lst in uniques_lists])
+    code_of = {t: i + base_index for i, t in enumerate(unified)}
+    out_parts = []
+    for (df, keycols), uniq in zip(parts, uniques_lists):
+        spark = df.sparkSession
+        rows = [tuple(t) + (code_of[tuple(t)],) for t in uniq]
+        dim = spark.createDataFrame(
+            rows, keycols + ["__newcode__"]
+        )
+        joined = df.join(F.broadcast(dim), on=keycols, how="left")
+        out_parts.append(
+            joined.withColumn(code_col, F.coalesce(F.col("__newcode__"), F.lit(0))).drop(
+                "__newcode__"
+            )
+        )
+    stacked = out_parts[0]
+    for p in out_parts[1:]:
+        stacked = stacked.unionByName(p)
+    return stacked, unified

@@ -67,3 +67,25 @@ def test_hstack_categoricals_remap_and_bin0(spark):
     # was already Filtered there and must stay bin 0 — merge_cats never
     # resurrects filtered rows)
     assert got == [("q", 0), ("x", 0), ("x", 1), ("y", 2), ("y", 2), ("z", 3)]
+
+
+def test_hstack_categoricals_multikey(spark):
+    """rt_grouping.py:277 hstack_groupings hash path: multikey tuples,
+    unified dictionary in first-seen order, per-part bin-0 preserved."""
+    d1 = spark.createDataFrame(
+        [("x", 1, 10.0), ("y", 2, 20.0), ("q", 9, 30.0)], ["k1", "k2", "val"]
+    )
+    d2 = spark.createDataFrame(
+        [("y", 2, 40.0), ("z", 3, 50.0), ("x", 1, 60.0)], ["k1", "k2", "val"]
+    )
+    stacked, unified = cat.hstack_categoricals_multikey(
+        [(d1, ["k1", "k2"]), (d2, ["k1", "k2"])],
+        [[("x", 1), ("y", 2)], [("y", 2), ("z", 3)]],
+    )
+    assert unified == [("x", 1), ("y", 2), ("z", 3)]
+    got = sorted((r.val, r.code) for r in stacked.collect())
+    # part1: (x,1)→1 (y,2)→2 (q,9)→0; part2: (y,2)→2 (z,3)→3 and (x,1)→0
+    # because (x,1) was outside part2's OWN dictionary (Filtered there).
+    assert got == [
+        (10.0, 1), (20.0, 2), (30.0, 0), (40.0, 2), (50.0, 3), (60.0, 0),
+    ]

@@ -129,3 +129,63 @@ def test_date_subtraction_rules(spark):
         sp.date_sub_span(F.col("d1"), sp.date_diff_span(F.col("d1"), F.col("d2"))).alias("back"),
     ).first()
     assert r.span == 7 and str(r.back) == "2019-02-01"
+
+
+def test_accumtable_gen_doctest(spark):
+    """rt_accumtable.py:85-166 class doctest: ds with Ints=[0..4],
+    Groups=[G1,G2,G1,G1,G2], Letters=[A,B,C,A,C]; tables Count,
+    'Sum Ints', 'Mean Double'=mean(Ints*2), 'Variance Ints'=var(Ints);
+    gen('Sum Ints') prints main-first footer stacking with each footer's
+    grand total at its own margin column and blanks elsewhere.
+
+    One deliberate deviation: the doctest's grand-total cell for
+    'Variance Ints' prints 2.00, but sample variance of [0,1,2,3,4] is
+    2.5 — every OTHER cell in that doctest matches sample variance
+    (var([1,4])=4.50, var([0,3])=4.50, var([2,4])=2.00), so we pin the
+    self-consistent value 2.5 and treat the printed 2.00 as stale."""
+    from riptable_spark.operators.accum import AccumTable
+
+    rows = [
+        ("Group1", "A", 0),
+        ("Group2", "B", 1),
+        ("Group1", "C", 2),
+        ("Group1", "A", 3),
+        ("Group2", "C", 4),
+    ]
+    df = spark.createDataFrame(rows, ["Groups", "Letters", "Ints"])
+    at = AccumTable(df, "Groups", "Letters", pivot_values=["A", "B", "C"])
+    at.add("Count", F.count, F.lit(1))
+    # riptable sum-of-empty-cell is 0 (numpy semantics), not NULL
+    at.add("Sum Ints", lambda c: F.coalesce(F.sum(c), F.lit(0)), "Ints")
+    at.add("Mean Double", F.avg, F.col("Ints") * 2)
+    at.add("Variance Ints", F.var_samp, "Ints")
+
+    out = {r["Groups"]: r.asDict() for r in at.gen("Sum Ints").collect()}
+
+    g1 = out["Group1"]
+    assert (g1["A"], g1["B"], g1["C"]) == (3.0, 0.0, 2.0)
+    assert g1["Sum Ints"] == 5.0 and g1["Count"] == 3.0
+    assert abs(g1["Mean Double"] - 10 / 3) < 1e-9
+    assert abs(g1["Variance Ints"] - 7 / 3) < 1e-9
+    g2 = out["Group2"]
+    assert (g2["A"], g2["B"], g2["C"]) == (0.0, 1.0, 4.0)
+    assert g2["Sum Ints"] == 5.0 and g2["Count"] == 2.0
+    assert g2["Mean Double"] == 5.0 and g2["Variance Ints"] == 4.5
+
+    # Footer rows: main ('Sum Ints') first, then insertion order.
+    order = [r["Groups"] for r in at.gen("Sum Ints").collect()]
+    assert order[2:] == ["Sum Ints", "Count", "Mean Double", "Variance Ints"]
+
+    f_sum = out["Sum Ints"]
+    assert (f_sum["A"], f_sum["B"], f_sum["C"]) == (3.0, 1.0, 6.0)
+    assert f_sum["Sum Ints"] == 10.0
+    assert f_sum["Count"] is None and f_sum["Mean Double"] is None
+    f_cnt = out["Count"]
+    assert (f_cnt["A"], f_cnt["B"], f_cnt["C"]) == (2.0, 1.0, 2.0)
+    assert f_cnt["Count"] == 5.0 and f_cnt["Sum Ints"] is None
+    f_mean = out["Mean Double"]
+    assert (f_mean["A"], f_mean["B"], f_mean["C"]) == (3.0, 2.0, 6.0)
+    assert f_mean["Mean Double"] == 4.0
+    f_var = out["Variance Ints"]
+    assert f_var["A"] == 4.5 and f_var["B"] is None and f_var["C"] == 2.0
+    assert f_var["Variance Ints"] == 2.5
