@@ -145,14 +145,23 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     2799, 3500, 1037, 2517; exact interpolation parity)."""
     li = load_table(spark, sf, "lineitem")
     q = F.col("l_quantity")
-    p = F.col("l_extendedprice")
-    # one multi-q percentile per column (one sort each) instead of four
-    # independent exact-percentile aggregates — halves the agg cost.
+    # Quantile strategy split by value cardinality (both exact,
+    # bit-identical — see gb.quantile_sorted):
+    # - l_quantity (50 distinct): median via the percentile AGGREGATE —
+    #   its value→count map stays tiny, rides the main hash-agg free.
+    # - l_extendedprice (583k distinct at sf0.1): sort-based rank-select
+    #   (one window shuffle + cheap agg) — measured 2× faster than the
+    #   percentile aggregate whose map degenerates to all-distinct
+    #   entries, and it spills gracefully at 100 TB instead of holding
+    #   every distinct value of a group in one merge buffer.
     # count_uniques runs as its own two-stage (key,val)→key aggregation
     # and broadcast-joins back: putting countDistinct in the same agg as
     # the percentiles makes Catalyst Expand every input row (2× the scan
     # through the aggregation) — measured 2.2× slower at sf0.1.
-    pq = gb.quantile(p, [0.25, 0.50, 0.75])
+    pq = gb.quantile_sorted(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.50, 0.75],
+        out_names=["__p25__", "__p50__", "__p75__"],
+    )
     uniq = (
         li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1).alias("__one__"))
         .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_parts"))
@@ -162,17 +171,18 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
         F.round(gb.nanvar(q), 6).alias("var_qty"),
         F.round(gb.nanstd(q), 6).alias("std_qty"),
         F.round(gb.sem(q), 6).alias("sem_qty"),
-        pq.alias("__pq__"),
-    ).join(F.broadcast(uniq), on="l_returnflag", how="left").select(
+    ).join(F.broadcast(uniq), on="l_returnflag", how="left").join(
+        F.broadcast(pq), on="l_returnflag", how="left"
+    ).select(
         "l_returnflag",
         "med_qty",
         "var_qty",
         "std_qty",
         "sem_qty",
         "n_parts",
-        F.round(F.col("__pq__")[0], 6).alias("p25_price"),
-        F.round(F.col("__pq__")[1], 6).alias("p50_price"),
-        F.round(F.col("__pq__")[2], 6).alias("p75_price"),
+        F.round(F.col("__p25__"), 6).alias("p25_price"),
+        F.round(F.col("__p50__"), 6).alias("p50_price"),
+        F.round(F.col("__p75__"), 6).alias("p75_price"),
     )
 
 

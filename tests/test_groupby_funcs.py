@@ -164,3 +164,33 @@ def test_strict_filter_excludes_not_invalidates(spark):
         gb.strict(F.sum, F.col("v"), F.col("v").isNull() | (F.col("v") < 3)).alias("s")
     ).first().s
     assert kept_invalid is None
+
+
+def test_quantile_sorted_bitmatches_percentile_aggregate(spark):
+    """quantile_sorted (sort-based rank-select) must be bit-identical to
+    the F.percentile aggregate — same h=(n-1)q positions and Spark's own
+    lo*(1-d)+hi*d interpolation — including NULL exclusion."""
+    import random
+
+    from riptable_spark.operators import groupby as gb
+
+    rnd = random.Random(7)
+    rows = [
+        (rnd.choice("abc"), rnd.uniform(0, 1000) if rnd.random() > 0.1 else None)
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    qs = [0.25, 0.5, 0.75, 0.9]
+    agg = {
+        r["k"]: list(r["pq"])
+        for r in df.groupBy("k")
+        .agg(F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("pq"))
+        .collect()
+    }
+    srt = {
+        r["k"]: [r[f"q{i}"] for i in range(len(qs))]
+        for r in gb.quantile_sorted(df, ["k"], "v", qs).collect()
+    }
+    assert set(agg) == set(srt)
+    for k in agg:
+        assert agg[k] == srt[k], (k, agg[k], srt[k])
