@@ -613,3 +613,46 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     # the raw double is bit-identical in both engines.
     net4 = F.floor(F.col("net") * 10000 + F.lit(0.5)) / 10000
     return out.select("l_orderkey", "l_linenumber", net4.alias("net"))
+
+
+# =====================================================================
+# Multikey Categorical hstack (rt_grouping.py:277 hash path; the
+# reference's mapping-path TODO at rt_grouping.py:179 is resolved here)
+# =====================================================================
+
+@query(
+    "q130_cat_hstack_multikey",
+    """
+    SELECT code, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM (
+        SELECT CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN 1
+                    WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 2
+                    ELSE 0 END AS code, l_quantity
+        FROM lineitem WHERE l_orderkey % 2 = 0
+        UNION ALL
+        SELECT CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 2
+                    WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 3
+                    ELSE 0 END AS code, l_quantity
+        FROM lineitem WHERE l_orderkey % 2 = 1
+    ) GROUP BY code
+    """,
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """Multikey Categorical hstack (rt_grouping.py:277 hstack_groupings:
+    uniques arrive as a LIST of key arrays — the tuple key): two parts
+    with different (returnflag, linestatus) tuple dictionaries stack into
+    one Categorical coded against the unified first-seen tuple order;
+    per-part out-of-dictionary tuples keep bin 0. The re-map is a
+    BROADCAST join per part (dictionaries can be ~10^6 tuples — the
+    reference cites OSI option symbols — so no literal CASE), then a
+    metadata-only union; the only data shuffle is the final count."""
+    li = load_table(spark, sf, "lineitem")
+    p1 = li.where(F.col("l_orderkey") % 2 == 0)
+    p2 = li.where(F.col("l_orderkey") % 2 == 1)
+    stacked, unified = cat.hstack_categoricals_multikey(
+        [(p1, ["l_returnflag", "l_linestatus"]), (p2, ["l_returnflag", "l_linestatus"])],
+        [[("A", "F"), ("N", "O")], [("N", "O"), ("R", "F")]],
+    )
+    return stacked.groupBy("code").agg(
+        gb.count().alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
