@@ -16,6 +16,7 @@ from riptable_spark import queries2  # noqa: F401 — registers batch-2 queries
 from riptable_spark import queries3  # noqa: F401 — registers batch-3 queries
 from riptable_spark import queries4  # noqa: F401 — registers batch-4 queries
 from riptable_spark import queries5  # noqa: F401 — registers batch-5 queries
+from riptable_spark import queries6  # noqa: F401 — registers batch-6 queries
 from riptable_spark.queries import ORACLES, QUERIES
 
 
@@ -37,7 +38,6 @@ _PRIORITY = [
     "q09_merge_lookup",
     "q10_semi_join",
     "q13_asof_backward",
-    "q14_asof_forward",
     "q15_shift_diff",
     "q16_cumsum",
     "q17_rolling",
@@ -79,6 +79,7 @@ _PRIORITY = [
     "q119_spans",
     "q121_searchsorted_array",
     "q122_shift_global",
+    "q131_decontaminate",
 ]
 
 

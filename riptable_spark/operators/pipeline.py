@@ -1,0 +1,181 @@
+"""Training-data pipeline operators beyond the reference's surface:
+benchmark decontamination, deterministic splits, repetition metrics,
+sequence packing, stratified sampling.
+
+These are the operations a 100 TB pretraining-corpus pipeline runs after
+dedup (operators/dedup.py) and quality scoring (operators/text.py). All
+are DataFrame-native: the only Python that ever touches row data is in
+the (none) — every operator below is whole-stage-codegen Column algebra
+or a keyed aggregation, so they inherit Spark's scan pruning, AQE and
+spill behavior unchanged.
+
+Determinism discipline: anything sampling- or split-shaped derives its
+randomness from a HASH of a stable id (never rand()), so reruns, retries
+and speculative tasks agree — the property a multi-week 100 TB ingest
+actually needs. ``hash_kind='md5'`` mirrors dedup._base_hash64: a
+portable 60-bit hash DuckDB reproduces exactly, used by the
+oracle-checked contract queries; production callers keep the faster
+``xxhash64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _base_hash64, shingles
+
+
+def _hash_bucket(col: Column, buckets: int, hash_kind: str = "xxhash64") -> Column:
+    """Deterministic bucket in [0, buckets) from a stable id column."""
+    return F.pmod(_base_hash64(col.cast("string"), hash_kind), F.lit(buckets))
+
+
+# ----------------------------------------------------------- decontamination
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of word n-gram TYPES
+    shared with any benchmark text; documents reaching ``min_hits`` are
+    the contaminated set (the caller anti-joins them away or keeps the
+    counts for auditing).
+
+    Scale shape: the benchmark side (eval suites — thousands of items,
+    not billions) reduces to a DISTINCT shingle relation that is
+    BROADCAST; the corpus side explodes to (doc, shingle) and
+    map-side-joins against it, so the only shuffle is the per-doc count
+    aggregation carrying (id, 1) pairs for matched shingles only. The
+    corpus text itself never shuffles.
+    """
+    g = F.explode(shingles(F.col(text_col), n=n)).alias("__g__")
+    corpus = df.select(F.col(id_col), g)
+    bench = benchmark.select(F.explode(shingles(F.col(text_col), n=n)).alias("__g__")).distinct()
+    hits = (
+        corpus.join(F.broadcast(bench), on="__g__")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+    return hits
+
+
+# ----------------------------------------------------------------- splitting
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    hash_kind: str = "xxhash64",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic train/val/test split: bucket = hash(id) % buckets,
+    thresholds from cumulative ``weights`` (insertion order). Pure
+    codegen projection — no shuffle, no RNG state; a row lands in the
+    same split on every rerun, retry, and cluster size, which is the
+    invariant that keeps eval sets honest across pipeline versions.
+    """
+    total = sum(weights.values())
+    b = _hash_bucket(F.col(id_col), buckets, hash_kind)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------- repetition
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher-rule family):
+    dup_token_frac (1 − distinct/total tokens), dup_2gram_frac (same
+    over bigram types), top_token_frac (mass of the single most frequent
+    token). All horizontal array algebra over the token array — zero
+    shuffles, and the token array is built once per metric group.
+
+    top_token_frac is O(distinct × total) per row via nested HOFs —
+    fine for documents (10²-10⁴ tokens), deliberately NOT a groupBy so
+    no row ever leaves its partition."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    grams = shingles(F.col(text_col), n=2)  # already distinct types
+    # total bigram windows = n-1 (shingles() de-dups, so count windows
+    # from the token count, not the gram array)
+    n2 = F.greatest(n - 1, F.lit(1))
+    nd2 = F.size(grams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks), lambda x: F.size(F.filter(toks, lambda y: y == x))
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        (F.lit(1.0) - nd.cast("double") / n.cast("double")).alias("dup_token_frac"),
+        (F.lit(1.0) - nd2.cast("double") / n2.cast("double")).alias("dup_2gram_frac"),
+        (top.cast("double") / n.cast("double")).alias("top_token_frac"),
+    )
+
+
+# ------------------------------------------------------------------- packing
+def pack_sequences(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    token_col: Column | str,
+    budget: int,
+) -> DataFrame:
+    """Deterministic contiguous sequence packing: within each group (the
+    unit a real pipeline packs — a shard, a domain, a language), walk
+    documents in ``order_col`` order and assign bin = floor(exclusive
+    prefix-sum of tokens / budget). Documents never reorder, bins are
+    reproducible, and each group packs independently — embarrassingly
+    parallel, one window shuffle on the group key.
+
+    (Bins can exceed ``budget`` by at most one document — the standard
+    contiguous-packing contract; an exact bin-capacity packer would need
+    sequential state and is what ``applyInPandas`` is for if required.)
+    """
+    from pyspark.sql import Window
+
+    t = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(t).over(w), F.lit(0))
+    return df.withColumn("bin", F.floor(prefix / F.lit(budget)))
+
+
+# ------------------------------------------------------------------ sampling
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    hash_kind: str = "xxhash64",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (domain re-weighting / corpus
+    mixing): keep a row iff hash(id) % buckets < fraction(stratum) ×
+    buckets. The fraction map rides as a literal CASE — no shuffle, no
+    sampleBy RNG; the kept set is a pure function of (id, fractions), so
+    a re-run of the mix step is byte-identical. Strata absent from
+    ``fractions`` keep fraction 0 (dropped) — pass 1.0 to passthrough.
+    """
+    b = _hash_bucket(F.col(id_col), buckets, hash_kind)
+    frac = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        frac = F.when(cond, F.lit(v)) if frac is None else frac.when(cond, F.lit(v))
+    frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
+    return df.where(b < (frac * buckets).cast("long"))

@@ -1,0 +1,71 @@
+"""Training-pipeline operators (operators/pipeline.py): decontamination,
+deterministic splits, repetition metrics, packing, stratified sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from riptable_spark.operators import pipeline as pl
+
+
+def test_decontaminate_counts_shared_gram_types(spark):
+    bench = spark.createDataFrame([(0, "the quick brown fox jumps")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox sleeps"),  # shares 'the quick brown', 'quick brown fox'
+            (11, "a completely different sentence here"),
+            (12, "the quick brown fox jumps high"),  # shares 3 gram types
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in pl.decontaminate(corpus, bench, "text", "doc_id", n=3, min_hits=1).collect()
+    }
+    assert got == {10: 2, 12: 3}
+
+
+def test_hash_split_total_and_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    s = pl.hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # exhaustive partition
+    assert 1400 < counts["train"] < 1800  # ~80%
+    # rerun is byte-identical
+    again = {r.split: r.n for r in pl.hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_repetition_stats_hand_values(spark):
+    df = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    r = pl.repetition_stats(df, "text", "doc_id").first()
+    # 4 tokens, 2 distinct -> dup_token_frac 0.5
+    assert abs(r.dup_token_frac - 0.5) < 1e-9
+    # bigram windows: 'a a','a a','a b' -> 3 windows, 2 types -> 1/3 dup
+    assert abs(r.dup_2gram_frac - 1 / 3) < 1e-9
+    # top token 'a' has 3 of 4
+    assert abs(r.top_token_frac - 0.75) < 1e-9
+
+
+def test_pack_sequences_contiguous_bins(spark):
+    rows = [(i, 0, 100) for i in range(10)]  # 10 docs x 100 tokens, one group
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "toks"])
+    out = pl.pack_sequences(df, ["grp"], "doc_id", "toks", budget=250).orderBy("doc_id")
+    bins = [r.bin for r in out.collect()]
+    # exclusive prefix sums 0,100,...,900 -> floor(/250): 0,0,0,1,1,2,2,2,3,3
+    assert bins == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # bins are contiguous in doc order (never interleave)
+    assert bins == sorted(bins)
+
+
+def test_stratified_sample_nested_thresholds(spark):
+    df = spark.createDataFrame([(i, "en") for i in range(1000)], ["id", "lang"])
+    small = {r.id for r in pl.stratified_sample(df, "lang", {"en": 0.25}, "id").collect()}
+    big = {r.id for r in pl.stratified_sample(df, "lang", {"en": 0.5}, "id").collect()}
+    # threshold sampling: smaller fraction is a SUBSET of the larger —
+    # the property that makes mix re-weighting reproducible
+    assert small <= big
+    assert 150 < len(small) < 350 and 400 < len(big) < 600
+    # stratum absent from the fraction map is dropped entirely
+    none = pl.stratified_sample(df, "lang", {"de": 1.0}, "id").count()
+    assert none == 0
