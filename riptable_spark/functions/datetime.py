@@ -92,6 +92,28 @@ def from_tz(col: Column, tz: str) -> Column:
     return F.to_utc_timestamp(col, tz)
 
 
+def tz_offset_seconds(col: Column, tz: str) -> Column:
+    """UTC offset of ``tz`` at each instant, in seconds (negative west of
+    Greenwich). Pure codegen: shift the instant to wall time with the JVM
+    tzdb and difference the epochs — no transition tables needed (the
+    reference hand-rolls NYC/Dublin int64 transition arrays,
+    rt_timezone.py:28-1000)."""
+    return F.unix_seconds(F.from_utc_timestamp(col, tz)) - F.unix_seconds(col)
+
+
+def is_dst(col: Column, tz: str) -> Column:
+    """DST flag for any tzdb zone (rt_datetime.py is_dst, rt_timezone.py
+    fix_dst:1237), hemisphere-correct: the zone's STANDARD offset at a
+    given instant is the smaller of its offsets at Jan-1 and Jul-1 of
+    that year (DST always shifts clocks forward), so a row is in DST iff
+    its offset exceeds that minimum. Zones without DST compare equal and
+    return false everywhere. All whole-stage codegen."""
+    jan = F.to_timestamp(F.concat(F.year(col).cast("string"), F.lit("-01-01")))
+    jul = F.to_timestamp(F.concat(F.year(col).cast("string"), F.lit("-07-01")))
+    std = F.least(tz_offset_seconds(jan, tz), tz_offset_seconds(jul, tz))
+    return tz_offset_seconds(col, tz) > std
+
+
 def date_range(start: str, stop: str, step_days: int = 1) -> Column:
     """Date.range (rt_datetime.py:2122) → sequence + explode at callsite."""
     return F.sequence(

@@ -298,3 +298,25 @@ def test_linear_spline_matches_reference_formula(spark):
     assert np.allclose(coeff, want, rtol=1e-6)
     fitted = df.select(yhat.alias("f")).count()
     assert fitted == 200
+
+
+def test_is_dst_hemisphere_correct(spark):
+    """is_dst with JVM tzdb: NYC summer/winter, Sydney (southern
+    hemisphere: DST in January), UTC (no DST ever)."""
+    df = spark.createDataFrame(
+        [
+            ("2023-07-15 12:00:00",),  # NYC: DST, Sydney: standard
+            ("2023-01-15 12:00:00",),  # NYC: standard, Sydney: DST
+        ],
+        "s string",
+    ).select(F.to_timestamp("s").alias("ts"))
+    rows = df.select(
+        dtf.is_dst(F.col("ts"), "America/New_York").alias("nyc"),
+        dtf.is_dst(F.col("ts"), "Australia/Sydney").alias("syd"),
+        dtf.is_dst(F.col("ts"), "UTC").alias("utc"),
+        dtf.tz_offset_seconds(F.col("ts"), "America/New_York").alias("off"),
+    ).collect()
+    jul, jan = rows
+    assert jul.nyc is True and jul.syd is False and jul.utc is False
+    assert jan.nyc is False and jan.syd is True and jan.utc is False
+    assert jul.off == -4 * 3600 and jan.off == -5 * 3600
