@@ -138,3 +138,40 @@ def test_q126_accumtable_single_body_shuffle(q):
     df = q("q126_accumtable_gen")
     assert pi.count_shuffles(df) == 1
     assert pi.has_partial_aggregate(df)
+
+
+def test_q131_decontaminate_broadcasts_benchmark(q):
+    """Decontamination: the benchmark shingle set must be the BROADCAST
+    side — the corpus text never shuffles; only matched (doc_id, 1)
+    pairs reach the count aggregation."""
+    from riptable_spark import queries6  # noqa: F401
+
+    df = q("q131_decontaminate")
+    assert pi.has_broadcast_join(df)
+    assert pi.has_partial_aggregate(df)
+
+
+def test_q132_hash_split_zero_shuffle_before_count(q):
+    """hash_split is a pure projection; the only exchange in q132 is the
+    validating groupBy('split') count."""
+    from riptable_spark import queries6  # noqa: F401
+
+    df = q("q132_hash_split")
+    assert pi.count_shuffles(df) == 1
+
+
+def test_q133_repetition_zero_shuffle(q):
+    """Repetition metrics are horizontal array algebra — no exchange."""
+    from riptable_spark import queries6  # noqa: F401
+
+    df = q("q133_repetition_stats")
+    assert pi.count_shuffles(df) == 0
+
+
+def test_q135_stratified_sample_filter_is_shuffle_free(q):
+    """Stratified sampling is a filter projection; only the validating
+    count shuffles, and the scan prunes to the referenced columns."""
+    from riptable_spark import queries6  # noqa: F401
+
+    df = q("q135_stratified_sample")
+    assert pi.count_shuffles(df) == 1
