@@ -1,0 +1,69 @@
+"""Positional (fancy-index) operators, re-expressed relationally.
+
+The reference's mbget / bool_to_fancy / merge_indices
+(rt_utils.py:631, rt_numpy.py bool_to_fancy, rt_merge.py merge_indices)
+manipulate PHYSICAL ROW POSITIONS — a concept Spark DataFrames don't
+have. Round 1 marked them N/A-by-design; this module re-expresses them
+Spark-first instead: positions become an explicit ``__rowid__`` column
+(sources/io.with_rowid — deterministic over caller-chosen order
+columns), and every positional gather becomes an equi-join on that id.
+
+Scale shape: a gather is a hash equi-join keyed on the 8-byte rowid —
+shuffle both sides on the id, or broadcast when the index side is small
+(AQE decides); no collect, no per-row Python, no global sort beyond the
+one with_rowid already does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def mbget(
+    values: DataFrame,
+    indices: DataFrame,
+    idx_col: str,
+    cols: list[str],
+    rowid_col: str = "__rowid__",
+) -> DataFrame:
+    """rt_utils.py:631 mbget: gather ``cols`` from ``values`` at the
+    positions in ``indices[idx_col]``; out-of-range positions (including
+    negatives — the reference's doctest marks -7 invalid, MATLAB-style)
+    yield the invalid value, which is NULL under this repo's
+    sentinel↔NULL bridge. The result keeps every index row (same shape
+    as the index array) with the gathered columns attached.
+
+    ``values`` must already carry ``rowid_col`` (from
+    ``sources.io.with_rowid`` over a deterministic order)."""
+    v = values.select(F.col(rowid_col).alias("__vrid__"), *cols)
+    joined = indices.join(
+        v, on=F.col(idx_col).cast("long") == F.col("__vrid__"), how="left"
+    )
+    return joined.drop("__vrid__")
+
+
+def bool_to_fancy(df: DataFrame, mask: Column, rowid_col: str = "__rowid__") -> DataFrame:
+    """rt_numpy bool_to_fancy: boolean mask → the integer positions where
+    it is True. Relationally: filter + project the rowid (ascending
+    positions come from the rowid's own order, no sort needed)."""
+    return df.where(mask).select(F.col(rowid_col).alias("index"))
+
+
+def merge_indices(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "left",
+    rowid_col: str = "__rowid__",
+) -> DataFrame:
+    """rt_merge.py merge_indices: instead of materializing the merged
+    table, return the (left_position, right_position) index pairs that
+    the join WOULD produce — the reference uses these to gather columns
+    lazily. Positions are the two sides' rowids; unmatched side → NULL.
+    The join itself is the standard keyed shuffle; the output is two
+    long columns regardless of table width, which is exactly why the
+    reference exposes this form (gather later, move less data now)."""
+    l = left.select(*on, F.col(rowid_col).alias("left_index"))
+    r = right.select(*on, F.col(rowid_col).alias("right_index"))
+    return l.join(r, on=on, how=how).select("left_index", "right_index")

@@ -181,3 +181,43 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
     return s.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("long").alias("chars")
     )
+
+
+# =====================================================================
+# Positional ops re-expressed relationally (r1 marked N/A-by-design;
+# rowid-joins make them real — rt_utils.py:631 mbget)
+# =====================================================================
+
+@query(
+    "q136_mbget",
+    """
+    WITH v AS (
+        SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rid, o_totalprice
+        FROM orders
+    ),
+    p AS (
+        SELECT c_custkey, (c_custkey * 7919) % ((SELECT count(*) FROM orders) + 1000) AS idx
+        FROM customer
+    )
+    SELECT p.c_custkey, round(v.o_totalprice, 2) AS got
+    FROM p LEFT JOIN v ON v.rid = p.idx
+    """,
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """mbget fancy-gather (rt_utils.py:631): positions become an explicit
+    deterministic __rowid__ (range-partitioned rank over the UNIQUE key
+    o_orderkey — with_rowid requires a total order for cross-engine
+    reproducibility; no single-partition window) and the gather is a hash
+    equi-join on the 8-byte id; out-of-range positions yield NULL (the
+    sentinel bridge), preserving the reference's
+    same-shape-as-index contract."""
+    from .operators import positional as pos
+    from .sources.io import with_rowid
+
+    od = with_rowid(load_table(spark, sf, "orders"), "o_orderkey")
+    n = load_table(spark, sf, "orders").count()
+    idx = load_table(spark, sf, "customer").select(
+        "c_custkey", ((F.col("c_custkey") * 7919) % F.lit(n + 1000)).alias("idx")
+    )
+    out = pos.mbget(od, idx, "idx", ["o_totalprice"])
+    return out.select("c_custkey", F.round("o_totalprice", 2).alias("got"))

@@ -1,0 +1,45 @@
+"""Positional fancy-index ops re-expressed as rowid joins
+(operators/positional.py; reference rt_utils.py:631 mbget)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from riptable_spark.operators import positional as pos
+
+
+def _values(spark):
+    # v = [10,20,30,40,50,60,70] with explicit positions
+    return spark.createDataFrame(
+        [(i, (i + 1) * 10) for i in range(7)], ["__rowid__", "v"]
+    )
+
+
+def test_mbget_doctest_parity(spark):
+    """rt_utils.py:700 doctest: v=[10..70], p=[0,-7,4,3,7,1,2] →
+    [10, inv, 50, 40, inv, 20, 30] (negatives and out-of-range are
+    invalid → NULL under the sentinel bridge)."""
+    p = [0, -7, 4, 3, 7, 1, 2]
+    idx = spark.createDataFrame([(i, x) for i, x in enumerate(p)], ["pos", "idx"])
+    out = pos.mbget(_values(spark), idx, "idx", ["v"]).orderBy("pos")
+    got = [r.v for r in out.collect()]
+    assert got == [10, None, 50, 40, None, 20, 30]
+
+
+def test_bool_to_fancy(spark):
+    df = _values(spark)
+    got = sorted(
+        r["index"] for r in pos.bool_to_fancy(df, F.col("v") > 40).collect()
+    )
+    assert got == [4, 5, 6]  # positions of 50, 60, 70
+
+
+def test_merge_indices_left(spark):
+    left = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["__rowid__", "k"])
+    right = spark.createDataFrame([(0, "b"), (1, "b"), (2, "z")], ["__rowid__", "k"])
+    got = sorted(
+        (r.left_index, r.right_index)
+        for r in pos.merge_indices(left, right, ["k"], how="left").collect()
+    )
+    # 'a'->no match (NULL), 'b'->rows 0 and 1 of right, 'c'->no match
+    assert got == [(0, None), (1, 0), (1, 1), (2, None)]
