@@ -67,3 +67,37 @@ def merge_indices(
     l = left.select(*on, F.col(rowid_col).alias("left_index"))
     r = right.select(*on, F.col(rowid_col).alias("right_index"))
     return l.join(r, on=on, how=how).select("left_index", "right_index")
+
+
+def alignmk(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    rowid_col: str = "__rowid__",
+) -> DataFrame:
+    """rt_utils.py:503 alignmk — merge_asof's core, returning a FANCY
+    INDEX into the right side (same length as the left; unmatched →
+    invalid/NULL) instead of the materialized merge. Relationally: run
+    the same union+window asof (operators/merge.merge_asof) but carry
+    ONLY the right side's rowid as payload — the output is the left
+    frame plus a ``right_index`` column the caller gathers with
+    (``mbget``), which is exactly the reference's lazy-gather shape:
+    one asof shuffle now, column movement deferred.
+
+    ``right`` must already carry ``rowid_col`` (sources.io.with_rowid
+    over a deterministic order)."""
+    from .merge import merge_asof
+
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    r = right.select(*by_cols, on, F.col(rowid_col).alias("right_index"))
+    return merge_asof(
+        left,
+        r,
+        on=on,
+        by=by_cols,
+        direction=direction,
+        allow_exact_matches=allow_exact_matches,
+    )

@@ -43,3 +43,20 @@ def test_merge_indices_left(spark):
     )
     # 'a'->no match (NULL), 'b'->rows 0 and 1 of right, 'c'->no match
     assert got == [(0, None), (1, 0), (1, 1), (2, None)]
+
+
+def test_alignmk_matches_reference_doctest(spark):
+    """rt_utils.py:548 doctest shape: monotone times, single key;
+    backward alignment returns, per left row, the index of the latest
+    right row with time <= left time (invalid when none)."""
+    t1 = [0, 1, 4, 6, 8, 9, 11, 16, 19, 20, 22, 27]
+    t2 = [1, 5, 8, 10, 12, 15, 17, 20]
+    left = spark.createDataFrame([(i, "k", t) for i, t in enumerate(t1)], ["i", "k", "t"])
+    right = spark.createDataFrame(
+        [(i, "k", t) for i, t in enumerate(t2)], ["__rowid__", "k", "t"]
+    )
+    out = pos.alignmk(left, right, on="t", by="k").orderBy("i")
+    got = [r.right_index for r in out.collect()]
+    # per left time, latest right index with t2 <= t1
+    expected = [None, 0, 0, 1, 2, 2, 3, 5, 6, 7, 7, 7]
+    assert got == expected
