@@ -317,6 +317,35 @@ class Dataset:
 
         return Dataset(_cat.cat_agg(self._df, values, categories, aggs, showfilter, filter))
 
+    def mbget(self, indices: "Dataset | DataFrame", idx_col: str, cols: list[str]) -> "Dataset":
+        """Fancy-gather by position (operators/positional.mbget); this
+        Dataset must carry __rowid__ (read_parquet(rowid=True) or
+        with_rowid)."""
+        from .operators import positional as _pos
+
+        i = indices.df if isinstance(indices, Dataset) else indices
+        return Dataset(_pos.mbget(self._df, i, idx_col, cols))
+
+    def alignmk(self, right: "Dataset | DataFrame", on: str, by=None, direction: str = "backward", allow_exact_matches: bool = True) -> "Dataset":
+        """Asof fancy-index (operators/positional.alignmk); ``right``
+        must carry __rowid__."""
+        from .operators import positional as _pos
+
+        r = right.df if isinstance(right, Dataset) else right
+        return Dataset(_pos.alignmk(self._df, r, on, by, direction, allow_exact_matches))
+
+    def hash_split(self, id_col: str, weights: dict[str, float]) -> "Dataset":
+        """Deterministic train/val/test split (operators/pipeline)."""
+        from .operators import pipeline as _pl
+
+        return Dataset(_pl.hash_split(self._df, id_col, weights))
+
+    def stratified_sample(self, strata_col: str, fractions: dict[str, float], id_col: str) -> "Dataset":
+        """Deterministic per-stratum mix sampling (operators/pipeline)."""
+        from .operators import pipeline as _pl
+
+        return Dataset(_pl.stratified_sample(self._df, strata_col, fractions, id_col))
+
 
 class GroupBy:
     """GroupByOps façade (rt_groupby.py:70 / rt_groupbyops.py:34). Each

@@ -203,3 +203,18 @@ def test_facade_round2_ops(spark):
 
     ca = ds.cat_agg(F.col("k"), ["g"], {"n": F.count(F.lit(1))}, showfilter=True).to_pandas()
     assert list(ca["bin"]) == ["Filtered", "g"] and list(ca["n"]) == [1, 3]
+
+
+def test_facade_pipeline_and_positional(spark):
+    from riptable_spark.dataset import Dataset
+
+    ds = Dataset(spark.createDataFrame([(i, "en") for i in range(100)], ["id", "lang"]))
+    s = ds.hash_split("id", {"train": 0.9, "test": 0.1})
+    assert set(r.split for r in s.df.select("split").distinct().collect()) <= {"train", "test"}
+    kept = ds.stratified_sample("lang", {"en": 0.5}, "id")
+    assert 0 < len(kept.df.collect()) < 100
+
+    vals = Dataset(spark.createDataFrame([(i, i * 10) for i in range(5)], ["__rowid__", "v"]))
+    idx = spark.createDataFrame([(0, 3), (1, 9)], ["pos", "idx"])
+    got = {r.pos: r.v for r in vals.mbget(idx, "idx", ["v"]).df.collect()}
+    assert got == {0: 30, 1: None}
