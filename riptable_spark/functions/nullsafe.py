@@ -115,3 +115,29 @@ def replacena(df: DataFrame, value, columns: list[str] | None = None) -> DataFra
 # SURVEY §1.2 'the single biggest semantic translation') lives in
 # operators.groupby.strict, which also fuses the bin-0 filter; this module
 # deliberately does not carry a second copy.
+
+
+def nan_to_zero(col):
+    """rt_numpy.py:3195 nan_to_zero: invalid (NULL/NaN under the bridge)
+    → 0, as an expression (Spark columns are immutable; the reference
+    mutates in place)."""
+    from pyspark.sql import functions as F
+
+    return F.when(col.isNull() | F.isnan(col.cast("double")), F.lit(0)).otherwise(col)
+
+
+def nan_to_num(col, nan=0.0, posinf=None, neginf=None):
+    """numpy/riptable nan_to_num surface: NaN→``nan``, ±inf→finite
+    substitutes (defaults: float64 max/min like numpy)."""
+    from pyspark.sql import functions as F
+
+    big = 1.7976931348623157e308
+    p = F.lit(posinf if posinf is not None else big)
+    m = F.lit(neginf if neginf is not None else -big)
+    c = col.cast("double")
+    return (
+        F.when(c.isNull() | F.isnan(c), F.lit(float(nan)))
+        .when(c == F.lit(float("inf")), p)
+        .when(c == F.lit(float("-inf")), m)
+        .otherwise(c)
+    )

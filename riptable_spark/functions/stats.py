@@ -158,3 +158,23 @@ def linear_spline(
     for j, kn in enumerate(ks):
         yhat = yhat + F.lit(float(coeff[2 + j])) * F.greatest(xc - F.lit(kn), F.lit(0.0))
     return [float(c) for c in coeff], yhat
+
+
+def nanargmin(df: DataFrame, colname: str, rowid_col: str = "__rowid__"):
+    """rt nanargmin: POSITION of the minimum non-invalid value (ties →
+    lowest position, numpy convention). One global aggregate — min_by
+    over (rowid, value) with a rowid tiebreak, no sort."""
+    c = F.col(colname)
+    r = df.where(c.isNotNull() & ~F.isnan(c.cast("double"))).agg(
+        F.min_by(rowid_col, F.struct(c, F.col(rowid_col))).alias("i")
+    )
+    return r.first()["i"]
+
+
+def nanargmax(df: DataFrame, colname: str, rowid_col: str = "__rowid__"):
+    """rt nanargmax: position of the maximum non-invalid value."""
+    c = F.col(colname)
+    r = df.where(c.isNotNull() & ~F.isnan(c.cast("double"))).agg(
+        F.max_by(rowid_col, F.struct(c, (-F.col(rowid_col)).alias("__nr__"))).alias("i")
+    )
+    return r.first()["i"]

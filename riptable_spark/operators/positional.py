@@ -101,3 +101,72 @@ def alignmk(
         direction=direction,
         allow_exact_matches=allow_exact_matches,
     )
+
+
+def make_ifirst(df: DataFrame, key_cols: list[str], rowid_col: str = "__rowid__") -> DataFrame:
+    """rt_numpy.py:1767 makeifirst: per row, the POSITION of the first
+    row of its group (invalid→NULL is impossible here — every row's
+    group has a first). min(rowid) over the group window; one shuffle
+    on the key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return df.withColumn("ifirst", F.min(rowid_col).over(w))
+
+
+def make_ilast(df: DataFrame, key_cols: list[str], rowid_col: str = "__rowid__") -> DataFrame:
+    """rt_numpy.py makeilast: position of the last row of the group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return df.withColumn("ilast", F.max(rowid_col).over(w))
+
+
+def make_inext(df: DataFrame, key_cols: list[str], rowid_col: str = "__rowid__") -> DataFrame:
+    """rt_numpy.py:1823 makeinext: per row, the position of the NEXT row
+    of the same group (NULL when none — the reference stores the int
+    sentinel). lead(rowid) over (group, rowid-order)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(rowid_col)
+    return df.withColumn("inext", F.lead(rowid_col).over(w))
+
+
+def make_iprev(df: DataFrame, key_cols: list[str], rowid_col: str = "__rowid__") -> DataFrame:
+    """rt_numpy.py makeiprev: position of the previous same-group row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(rowid_col)
+    return df.withColumn("iprev", F.lag(rowid_col).over(w))
+
+
+def assoc_index(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    rowid_col: str = "__rowid__",
+) -> DataFrame:
+    """rt_numpy.py:1396 assoc_index = ismember(key1, key2)[1]: for every
+    left row, the position of the FIRST matching right row (NULL when
+    absent). Relationally: reduce the right side to one min-rowid per
+    key (map-side combined agg), then a keyed equi-join — the reduced
+    side is usually broadcastable."""
+    firsts = right.groupBy(*on).agg(F.min(rowid_col).alias("assoc_index"))
+    return left.join(firsts, on=on, how="left")
+
+
+def assoc_copy(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    cols: list[str],
+    rowid_col: str = "__rowid__",
+) -> DataFrame:
+    """rt_numpy.py assoc_copy: gather ``cols`` from the first matching
+    right row onto each left row (assoc_index + mbget fused into one
+    join — no reason to materialize the index when the gather is the
+    goal)."""
+    firsts = right.groupBy(*on).agg(
+        F.min(rowid_col).alias("__ai__"), *[F.min_by(c, F.col(rowid_col)).alias(c) for c in cols]
+    )
+    return left.join(firsts.drop("__ai__"), on=on, how="left")

@@ -83,3 +83,39 @@ def sample_deterministic(df: DataFrame, k: int, key_cols: list[str]) -> DataFram
     same rows."""
     h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
     return df.orderBy(h, *key_cols).limit(k)
+
+
+def repeat_rows(df: DataFrame, n, order_cols: list[str] | None = None) -> DataFrame:
+    """rt.repeat analogue at row granularity: each row appears ``n``
+    times (int or Column), tagged with ``__rep__`` 0..n-1 (riptable's
+    element-repeat order). explode(sequence) — pure codegen, no shuffle,
+    rows never leave their partition."""
+    nn = F.lit(n) if isinstance(n, int) else n
+    return df.withColumn("__rep__", F.explode(F.sequence(F.lit(0), nn.cast("long") - 1)))
+
+
+def tile_rows(df: DataFrame, n: int, order_cols: list[str] | None = None) -> DataFrame:
+    """rt.tile analogue: the whole table repeated ``n`` times, tagged
+    with ``__tile__`` 0..n-1. Same explode mechanics as repeat_rows —
+    tile vs repeat differ only in how the caller orders the result
+    (tile index major vs row major), which is a sort specification on
+    Spark, not a physical layout."""
+    return df.withColumn("__tile__", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+
+
+def bincount(df: DataFrame, colname: str, minlength: int | None = None) -> DataFrame:
+    """rt_numpy.py:4274 bincount: occurrence count per non-negative int
+    value, DENSE over 0..max (or minlength-1) with zeros for absent bins
+    — the dense frame comes from a range() relation left-joined against
+    the (tiny) count aggregate, never from collect."""
+    counts = df.groupBy(F.col(colname).cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spark = df.sparkSession
+    hi = counts.agg(F.max("bin")).first()[0] or 0
+    top = max(int(hi) + 1, int(minlength or 0))
+    dense = spark.range(top).withColumnRenamed("id", "bin")
+    return (
+        dense.join(counts, on="bin", how="left")
+        .select("bin", F.coalesce("n", F.lit(0)).alias("n"))
+    )

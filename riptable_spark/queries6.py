@@ -221,3 +221,37 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = pos.mbget(od, idx, "idx", ["o_totalprice"])
     return out.select("c_custkey", F.round("o_totalprice", 2).alias("got"))
+
+
+@query(
+    "q137_group_links",
+    """
+    WITH v AS (
+        SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rid,
+               o_custkey, o_totalprice
+        FROM orders
+    )
+    SELECT rid,
+           min(rid) OVER (PARTITION BY o_custkey) AS ifirst,
+           max(rid) OVER (PARTITION BY o_custkey) AS ilast,
+           lead(rid) OVER (PARTITION BY o_custkey ORDER BY rid) AS inext,
+           lag(rid) OVER (PARTITION BY o_custkey ORDER BY rid) AS iprev
+    FROM v
+    """,
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Group linked-list index builders (rt_numpy.py:1767/1823
+    makeifirst/ilast/inext/iprev): per row, the positions of its group's
+    first/last/next/previous rows — the structures the reference's
+    Grouping caches for iGroup walking. On Spark all four are ONE window
+    shuffle on the group key over the deterministic rowid; unmatched →
+    NULL (the reference's int sentinel)."""
+    from .operators import positional as pos
+    from .sources.io import with_rowid
+
+    od = with_rowid(load_table(spark, sf, "orders"), "o_orderkey")
+    d = pos.make_iprev(
+        pos.make_inext(pos.make_ilast(pos.make_ifirst(od, ["o_custkey"]), ["o_custkey"]), ["o_custkey"]),
+        ["o_custkey"],
+    )
+    return d.select(F.col("__rowid__").alias("rid"), "ifirst", "ilast", "inext", "iprev")
