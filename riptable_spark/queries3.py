@@ -468,13 +468,25 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
     return lmax.crossJoin(rmax)
 
 
-@query("q90_multimodal_decode")
+@query(
+    "q90_multimodal_decode",
+    """
+    SELECT doc_id,
+           64 + (('0x'||substr(sha256(text),1,2))::BIGINT % 192) AS width,
+           64 + (('0x'||substr(sha256(text),3,2))::BIGINT % 192) AS height,
+           'fake/deterministic' AS format
+    FROM documents
+    """,
+)
 def q90(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing (SURVEY §2 beyond-reference): binary payload
     column + deterministic stub decode via mapInPandas — schema,
     batching and partitioning are real; the codec is a fake (the real
-    image libs are absent here). Rows-only check (binary UDF path is not
-    SQL-expressible)."""
+    image libs are absent here). The stub derives pseudo-dimensions from
+    the payload's sha256, which DuckDB replays byte-identically
+    (sha256(VARCHAR) hashes the same UTF-8 bytes the Spark side
+    encodes) — so even the mapInPandas path is now hash-checked, not
+    rows-only."""
     from .operators import multimodal as mm
 
     d = load_table(spark, sf, "documents").select(
