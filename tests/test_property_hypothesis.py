@@ -229,3 +229,58 @@ def test_drop_duplicates_matches_pandas(spark, rows, keep):
         exp = spdf.drop_duplicates(subset=["k"], keep=keep)
     key = lambda d: sorted(map(tuple, d[["k", "o", "p"]].itertuples(index=False)))  # noqa: E731
     assert key(got) == key(exp)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 300)),  # (group, tokens)
+        min_size=1,
+        max_size=50,
+    ),
+    budget=st.integers(min_value=50, max_value=500),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_invariants(spark, rows, budget):
+    """Contiguous packing invariants on arbitrary inputs: bins per group
+    are 0..max contiguous and non-decreasing in doc order; every bin
+    except a group's last holds ≥ budget tokens ONLY if it closed
+    (i.e., a bin's exclusive-prefix start is bin*budget); and bin
+    assignment equals floor(prefix/budget) recomputed in pandas."""
+    from riptable_spark.operators import pipeline as pl
+
+    sdf = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(rows)], "i int, g int, t int"
+    )
+    out = (
+        pl.pack_sequences(sdf, ["g"], "i", "t", budget)
+        .orderBy("g", "i")
+        .collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "t"])
+    pdf["i"] = range(len(pdf))
+    pdf = pdf.sort_values(["g", "i"])
+    pdf["prefix"] = pdf.groupby("g")["t"].cumsum() - pdf["t"]
+    expected = (pdf["prefix"] // budget).tolist()
+    assert [r.bin for r in out] == expected
+    for g, grp in pd.DataFrame([(r.g, r.bin) for r in out], columns=["g", "b"]).groupby("g"):
+        bins = grp["b"].tolist()
+        assert bins == sorted(bins)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=80, unique=True),
+    w1=st.floats(0.1, 0.9),
+)
+@settings(**_SETTINGS)
+def test_hash_split_exhaustive_and_stable(spark, ids, w1):
+    """Every row lands in exactly one split; assignment is a pure
+    function of the id (independent of row order / partitioning)."""
+    from riptable_spark.operators import pipeline as pl
+
+    w = {"a": w1, "b": 1.0 - w1}
+    df1 = spark.createDataFrame([(i,) for i in ids], "id int")
+    df2 = spark.createDataFrame([(i,) for i in reversed(ids)], "id int").repartition(7)
+    m1 = {r.id: r.split for r in pl.hash_split(df1, "id", w).collect()}
+    m2 = {r.id: r.split for r in pl.hash_split(df2, "id", w).collect()}
+    assert m1 == m2
+    assert set(m1) == set(ids) and set(m1.values()) <= {"a", "b"}
