@@ -346,6 +346,25 @@ class Dataset:
 
         return Dataset(_pl.stratified_sample(self._df, strata_col, fractions, id_col))
 
+    def decontaminate(self, benchmark: "Dataset | DataFrame", text_col: str = "text", id_col: str = "doc_id", n: int = 3, min_hits: int = 1) -> "Dataset":
+        """Benchmark n-gram decontamination (operators/pipeline)."""
+        from .operators import pipeline as _pl
+
+        b = benchmark.df if isinstance(benchmark, Dataset) else benchmark
+        return Dataset(_pl.decontaminate(self._df, b, text_col, id_col, n, min_hits))
+
+    def pack_sequences(self, group_cols: list[str], order_col: str, token_col, budget: int) -> "Dataset":
+        """Contiguous token-budget packing (operators/pipeline)."""
+        from .operators import pipeline as _pl
+
+        return Dataset(_pl.pack_sequences(self._df, group_cols, order_col, token_col, budget))
+
+    def repetition_stats(self, text_col: str = "text", id_col: str = "doc_id") -> "Dataset":
+        """Within-document repetition metrics (operators/pipeline)."""
+        from .operators import pipeline as _pl
+
+        return Dataset(_pl.repetition_stats(self._df, text_col, id_col))
+
 
 class GroupBy:
     """GroupByOps façade (rt_groupby.py:70 / rt_groupbyops.py:34). Each
