@@ -179,3 +179,51 @@ def stratified_sample(
         frac = F.when(cond, F.lit(v)) if frac is None else frac.when(cond, F.lit(v))
     frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
     return df.where(b < (frac * buckets).cast("long"))
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Exact-capacity packing: first-fit-decreasing WITHIN each shard
+    group — no bin ever exceeds ``budget`` (documents longer than the
+    budget get singleton bins). This needs sequential state, so it is
+    the honest ``applyInPandas`` case (SURVEY §4.2): one shuffle on the
+    group key, then a per-group numpy pass; groups pack independently,
+    so parallelism = number of shards regardless of corpus size.
+
+    Deterministic: items are processed in (tokens DESC, order_col ASC)
+    order and placed in the lowest-numbered bin that fits — a pure
+    function of the group's contents.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # build a FRESH StructType — StructType.add mutates in place, which
+    # would corrupt the input DataFrame's cached schema object
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField("bin", T.LongType())])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, order_col], ascending=[False, True], kind="mergesort"
+        )
+        space: list[int] = []  # remaining capacity per bin
+        bins = []
+        for t in pdf[token_col]:
+            t = int(t)
+            for b, rem in enumerate(space):
+                if rem >= t:
+                    space[b] = rem - t
+                    bins.append(b)
+                    break
+            else:
+                space.append(max(budget - t, 0))
+                bins.append(len(space) - 1)
+        pdf = pdf.copy()
+        pdf["bin"] = bins
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)

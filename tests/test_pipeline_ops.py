@@ -69,3 +69,25 @@ def test_stratified_sample_nested_thresholds(spark):
     # stratum absent from the fraction map is dropped entirely
     none = pl.stratified_sample(df, "lang", {"de": 1.0}, "id").count()
     assert none == 0
+
+
+def test_pack_sequences_ffd_capacity_and_determinism(spark):
+    rows = [(i, i % 3, 10 + (i * 37) % 240) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "toks"])
+    out = pl.pack_sequences_ffd(df, ["grp"], "doc_id", "toks", budget=256)
+    pdf = out.toPandas()
+    # capacity: no bin over budget (no row here exceeds the budget alone)
+    per_bin = pdf.groupby(["grp", "bin"])["toks"].sum()
+    assert (per_bin <= 256).all()
+    # deterministic across recomputation and repartitioning
+    again = (
+        pl.pack_sequences_ffd(df.repartition(13), ["grp"], "doc_id", "toks", budget=256)
+        .toPandas()
+        .sort_values("doc_id")["bin"]
+        .tolist()
+    )
+    assert again == pdf.sort_values("doc_id")["bin"].tolist()
+    # oversize doc gets a singleton bin instead of an error
+    big = spark.createDataFrame([(0, 0, 999), (1, 0, 10)], ["doc_id", "grp", "toks"])
+    b = pl.pack_sequences_ffd(big, ["grp"], "doc_id", "toks", budget=256).toPandas()
+    assert b[b.doc_id == 0]["bin"].iloc[0] != b[b.doc_id == 1]["bin"].iloc[0]
