@@ -17,28 +17,35 @@ def cut(col: Column, bins: int | list[float], lo: float | None = None, hi: float
     """Bin values; returns 1-based bin index like rt_bin.py:412 (bin 0 =
     out-of-range/invalid, matching the reference's filtered-bin-0 model).
 
+    Interval convention is the REFERENCE'S (= pandas ``right=True``,
+    rt_bin.py:540 doctest: cut([1,7,5,4,6,3], 3) puts 5 in '3.0->5.0'):
+    bins are RIGHT-closed, (e_i, e_{i+1}], with the first bin also
+    including its left edge, [e_0, e_1].
+
     With ``bins:int`` the caller supplies lo/hi (or pre-aggregates them);
     with explicit edges a chained CASE is emitted — still codegen.
     """
     if isinstance(bins, int):
         if lo is None or hi is None:
             raise ValueError("cut with int bins requires lo/hi bounds")
-        wb = F.width_bucket(col, F.lit(float(lo)), F.lit(float(hi)), F.lit(bins))
-        # bin-0 contract: NULL and out-of-range (either side) → 0; the top
-        # edge is inclusive like the explicit-edges path (width_bucket
-        # alone returns bins+1 above hi and NULL for NULL input)
+        # right-closed via width_bucket on the NEGATED axis: left-closed
+        # buckets of -x over [-hi, -lo) are right-closed buckets of x
+        # over (lo, hi]; x == lo (bucket bins+1 on the flipped axis) is
+        # the first bin's included left edge.
+        wb = F.width_bucket(-col, F.lit(-float(hi)), F.lit(-float(lo)), F.lit(bins))
+        b = F.lit(bins) + 1 - wb
         return (
             F.when(col.isNull(), F.lit(0))
-            .when(col == F.lit(float(hi)), F.lit(bins))
-            .when((wb >= F.lit(1)) & (wb <= F.lit(bins)), wb)
+            .when(col == F.lit(float(lo)), F.lit(1))
+            .when((b >= F.lit(1)) & (b <= F.lit(bins)), b)
             .otherwise(F.lit(0))
         )
     edges = [float(b) for b in bins]
     out = F.lit(0)
     for i in range(len(edges) - 1):
         lo_e, hi_e = edges[i], edges[i + 1]
-        last = i == len(edges) - 2
-        cond = (col >= F.lit(lo_e)) & ((col <= F.lit(hi_e)) if last else (col < F.lit(hi_e)))
+        first = i == 0
+        cond = ((col >= F.lit(lo_e)) if first else (col > F.lit(lo_e))) & (col <= F.lit(hi_e))
         out = F.when(cond, F.lit(i + 1)).otherwise(out)
     return out
 

@@ -642,10 +642,10 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q25_cut",
     """
-    SELECT CASE WHEN p_retailprice >= 900 AND p_retailprice < 925 THEN 1
-                WHEN p_retailprice >= 925 AND p_retailprice < 950 THEN 2
-                WHEN p_retailprice >= 950 AND p_retailprice < 975 THEN 3
-                WHEN p_retailprice >= 975 AND p_retailprice <= 1000 THEN 4
+    SELECT CASE WHEN p_retailprice >= 900 AND p_retailprice <= 925 THEN 1
+                WHEN p_retailprice > 925 AND p_retailprice <= 950 THEN 2
+                WHEN p_retailprice > 950 AND p_retailprice <= 975 THEN 3
+                WHEN p_retailprice > 975 AND p_retailprice <= 1000 THEN 4
                 ELSE 0 END AS price_bin,
            count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
     FROM part GROUP BY 1

@@ -30,9 +30,9 @@ from .sources.io import load_table
                quantile_cont(o_totalprice, 0.75) AS e3
         FROM orders
     )
-    SELECT CASE WHEN o_totalprice < e1 THEN 1
-                WHEN o_totalprice < e2 THEN 2
-                WHEN o_totalprice < e3 THEN 3
+    SELECT CASE WHEN o_totalprice <= e1 THEN 1
+                WHEN o_totalprice <= e2 THEN 2
+                WHEN o_totalprice <= e3 THEN 3
                 ELSE 4 END AS bin,
            count(*) AS n, round(avg(o_totalprice), 4) AS avg_total
     FROM orders, e GROUP BY 1

@@ -188,7 +188,7 @@ def test_cut_int_bins_bin0_contract(spark):
 
     df = spark.createDataFrame([(150.0,), (None,), (-5.0,), (50.0,), (100.0,)], ["v"])
     got = [r.b for r in df.select(binning.cut(F.col("v"), 10, 0.0, 100.0).alias("b")).collect()]
-    assert got == [0, 0, 0, 6, 10]  # above-hi→0, NULL→0, below-lo→0, hi inclusive→10
+    assert got == [0, 0, 0, 5, 10]  # above-hi→0, NULL→0, below-lo→0, 50∈(40,50], hi→10
 
 
 def test_qcut_skewed_duplicate_edges(spark):

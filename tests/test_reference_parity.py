@@ -189,3 +189,34 @@ def test_accumtable_gen_doctest(spark):
     f_var = out["Variance Ints"]
     assert f_var["A"] == 4.5 and f_var["B"] is None and f_var["C"] == 2.0
     assert f_var["Variance Ints"] == 2.5
+
+
+def test_cut_doctest(spark):
+    """rt_bin.py:540 doctest: cut([1,7,5,4,6,3], bins=3) → codes
+    [1,3,2,2,3,1] against edges [1,3,5,7] — RIGHT-closed intervals with
+    the first bin's left edge included (5 lands in '3.0->5.0')."""
+    from riptable_spark.functions import binning
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 7, 5, 4, 6, 3])], ["i", "v"]
+    )
+    for bins in (3, [1.0, 3.0, 5.0, 7.0]):
+        got = [
+            r.b
+            for r in df.select("i", binning.cut(F.col("v"), bins, 1, 7).alias("b"))
+            .orderBy("i")
+            .collect()
+        ]
+        assert got == [1, 3, 2, 2, 3, 1], (bins, got)
+
+
+def test_qcut_doctest_bins(spark):
+    """rt_bin.py:208 doctest: qcut(range(5), 4) quantile bins (the
+    reference's printed codes are ours + 1 — it reserves code 1 for its
+    'Clipped' display bin; the VALUE→bin partition is identical:
+    [0,1 | 2 | 3 | 4] under right-closed quantile edges [0,1,2,3,4])."""
+    from riptable_spark.functions import binning
+
+    df = spark.createDataFrame([(float(v),) for v in range(5)], ["v"])
+    out = {r.v: r.v_bin for r in binning.qcut(df, "v", 4).collect()}
+    assert out == {0.0: 1, 1.0: 1, 2.0: 2, 3.0: 3, 4.0: 4}
