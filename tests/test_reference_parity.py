@@ -220,3 +220,67 @@ def test_qcut_doctest_bins(spark):
     df = spark.createDataFrame([(float(v),) for v in range(5)], ["v"])
     out = {r.v: r.v_bin for r in binning.qcut(df, "v", 4).collect()}
     assert out == {0.0: 1, 1.0: 1, 2.0: 2, 3.0: 3, 4.0: 4}
+
+
+def test_merge_asof_doctests(spark):
+    """rt_merge.py:3725-3850 merge_asof doctests: scalar backward/
+    forward with allow_exact_matches toggled, then the Symbol-keyed
+    time-series example with matched_on."""
+    from riptable_spark.operators.merge import merge_asof
+
+    left = spark.createDataFrame(
+        [(1, "a"), (5, "b"), (10, "c")], ["a", "left_val"]
+    )
+    right = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (6, 6), (7, 7)], ["a", "right_val"]
+    )
+    back = {r.a: r.right_val for r in merge_asof(left, right, on="a").collect()}
+    assert back == {1: 1, 5: 3, 10: 7}
+    fwd = {
+        r.a: r.right_val
+        for r in merge_asof(
+            left, right, on="a", direction="forward", allow_exact_matches=False
+        ).collect()
+    }
+    assert fwd == {1: 2, 5: 6, 10: None}
+    noex = {
+        r.a: r.right_val
+        for r in merge_asof(left, right, on="a", allow_exact_matches=False).collect()
+    }
+    assert noex == {1: None, 5: 3, 10: 7}
+
+    # Symbol-keyed example (times as minutes since midnight)
+    t = {"09:25": 565, "09:30": 570, "10:00": 600, "10:20": 620, "10:25": 625}
+    ds = spark.createDataFrame(
+        [("AAPL", "A", t["09:30"]), ("AMZN", "I", t["10:00"]), ("AAPL", "A", t["10:20"])],
+        ["Symbol", "Venue", "Time"],
+    )
+    spot = spark.createDataFrame(
+        [
+            ("AMZN", 2000.0, t["09:30"]),
+            ("AMZN", 2025.0, t["10:00"]),
+            ("AMZN", 2030.0, t["10:25"]),
+            ("AAPL", 500.0, t["09:25"]),
+            ("AAPL", 510.0, t["10:00"]),
+            ("AAPL", 520.0, t["10:25"]),
+        ],
+        ["Symbol", "SpotPrice", "Time"],
+    )
+    b = {
+        (r.Symbol, r.Time): (r.SpotPrice, r.matched_on)
+        for r in merge_asof(
+            ds, spot, on="Time", by="Symbol", direction="backward", matched_on="matched_on"
+        ).collect()
+    }
+    assert b == {
+        ("AAPL", 570): (500.0, 565),
+        ("AMZN", 600): (2025.0, 600),
+        ("AAPL", 620): (510.0, 600),
+    }
+    f = {
+        (r.Symbol, r.Time): r.SpotPrice
+        for r in merge_asof(
+            ds, spot, on="Time", by="Symbol", direction="forward"
+        ).collect()
+    }
+    assert f == {("AAPL", 570): 510.0, ("AMZN", 600): 2025.0, ("AAPL", 620): 520.0}
