@@ -284,3 +284,35 @@ def test_merge_asof_doctests(spark):
         ).collect()
     }
     assert f == {("AAPL", 570): 510.0, ("AMZN", 600): 2025.0, ("AAPL", 620): 520.0}
+
+
+def test_ema_normal_weighted_doctest(spark):
+    """rt_groupbyops.py:3393 doctest: test=arange(10), group2=i%3,
+    ema_normal(decay_rate=1.0, time=arange(10)) and
+    ema_weighted(decay_rate=0.5) — printed 2dp outputs."""
+    from riptable_spark.operators import ema
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(10)], ["t", "group2", "test"]
+    )
+    for method in ("expr", "scan"):
+        nrm = {
+            r.t: round(r.ema, 2)
+            for r in ema.ema_normal(
+                df, ["group2"], "test", "t", 1.0, order_col="t", method=method
+            ).collect()
+        }
+        assert nrm == {
+            0: 0.0, 1: 1.0, 2: 2.0, 3: 2.85, 4: 3.85,
+            5: 4.85, 6: 5.84, 7: 6.84, 8: 7.84, 9: 8.84,
+        }, (method, nrm)
+        wtd = {
+            r.t: round(r.ema, 2)
+            for r in ema.ema_weighted(
+                df, ["group2"], "test", 0.5, order_col="t", method=method
+            ).collect()
+        }
+        assert wtd == {
+            0: 0.0, 1: 1.0, 2: 2.0, 3: 1.5, 4: 2.5,
+            5: 3.5, 6: 3.75, 7: 4.75, 8: 5.75, 9: 6.38,
+        }, (method, wtd)
