@@ -189,3 +189,57 @@ def pairwise_cosine(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str 
     return pairs.select(
         "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
+
+
+def ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each query to its ``nprobe`` nearest centroids (the IVF
+    probe list). Queries and centroids are both small — broadcast cross
+    join + windowed rank, ties by centroid_id."""
+    crossed = queries.crossJoin(F.broadcast(centroids))
+    d = euclidean(F.col(query_vec_col), F.col(centroid_vec))
+    w = Window.partitionBy(query_id_col).orderBy(d, F.col(centroid_id))
+    return (
+        crossed.withColumn("__pr__", F.row_number().over(w))
+        .where(F.col("__pr__") <= nprobe)
+        .select(query_id_col, query_vec_col, centroid_id)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Full IVF ANN search: corpus assigned to inverted lists
+    (``ivf_assign``), queries probe their ``nprobe`` nearest lists, and
+    exact cosine runs ONLY within probed lists. Recall is controlled by
+    nprobe; compute is |corpus ∩ probed lists|, not |corpus|.
+
+    Scale shape: the corpus side is the pre-assigned (ideally
+    cid-partitioned-on-disk) relation — the equi-join on centroid_id
+    with the BROADCAST probe list is what partition-prunes a 100 TB
+    index down to the probed lists; no all-pairs stage exists."""
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    probes = ivf_probe(queries, centroids, nprobe, query_id_col, query_vec_col)
+    joined = assigned.join(F.broadcast(probes), on="centroid_id")
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -255,3 +255,79 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         ["o_custkey"],
     )
     return d.select(F.col("__rowid__").alias("rid"), "ifirst", "ilast", "inext", "iprev")
+
+
+# =====================================================================
+# IVF full search path (extends q113's coarse quantizer to end-to-end
+# ANN: probe nprobe lists, exact-score within lists only)
+# =====================================================================
+
+def _ivf_topk_oracle() -> str:
+    from .queries4 import _ivf_centroids
+
+    cents = _ivf_centroids()
+    vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    cos = (
+        "list_dot_product(a.v, p.qv)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)))"
+    )
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {vals}),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY list_distance(v, cv), cid) AS rn
+            FROM corpus, cents
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+    probes AS (
+        SELECT qid, qv, cid FROM (
+            SELECT qid, qv, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY list_distance(qv, cv), cid) AS rn
+            FROM q, cents
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.qid, a.vec_id, {cos} AS score
+        FROM assign a JOIN probes p ON a.cid = p.cid
+    )
+    SELECT qid, vec_id, round(score, 6) AS score, rank FROM (
+        SELECT qid, vec_id, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("q138_ivf_topk", _ivf_topk_oracle())
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end IVF ANN search (beyond-reference scale path): corpus
+    vectors assigned to 4 inverted lists (broadcast centroids), 3 query
+    vectors probe their 2 nearest lists, exact cosine scores ONLY within
+    probed lists, top-5 per query. The centroid_id equi-join with the
+    broadcast probe relation is what partition-prunes a 100 TB index to
+    the probed lists — no all-pairs stage anywhere."""
+    from .operators import similarity
+    from .queries4 import _ivf_centroids
+
+    e = load_table(spark, sf, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = e.select("vec_id", dvec.alias("embedding"))
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), dvec.alias("qv")
+    )
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_ivf_centroids())],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    out = similarity.ivf_topk(
+        corpus, cents, queries, k=5, nprobe=2,
+        query_id_col="qid", query_vec_col="qv",
+    )
+    return out.select("qid", "vec_id", F.round("score", 6).alias("score"), "rank")

@@ -175,3 +175,17 @@ def test_q135_stratified_sample_filter_is_shuffle_free(q):
 
     df = q("q135_stratified_sample")
     assert pi.count_shuffles(df) == 1
+
+
+def test_q138_ivf_topk_prunes_to_probed_lists(q):
+    """IVF search: the probe relation must be BROADCAST and the
+    corpus–probe match an equi-join on centroid_id (the partition-prune
+    surrogate); the only cross join allowed is against the tiny
+    broadcast centroid set during assignment."""
+    from riptable_spark import queries6  # noqa: F401
+
+    df = q("q138_ivf_topk")
+    plan = pi.plan_string(df)
+    assert "BroadcastExchange" in plan
+    # the corpus-to-probe join is keyed, not nested-loop over corpus×queries
+    assert "centroid_id" in plan
