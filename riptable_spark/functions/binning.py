@@ -69,3 +69,46 @@ def qcut(df: DataFrame, colname: str, q: int) -> DataFrame:
 def quantile_edges(df: DataFrame, colname: str, probs: list[float]) -> list[float]:
     row = df.agg(F.percentile(F.col(colname), F.array(*[F.lit(p) for p in probs])).alias("e")).collect()[0]
     return list(row["e"])
+
+
+def _round_frac(x: float, precision: int) -> float:
+    """rt_bin.py:265 _round_frac: round the fractional part only (whole
+    numbers keep `precision` decimals; pure fractions extend to the
+    first significant digit)."""
+    import math
+
+    if not math.isfinite(x) or x == 0:
+        return x
+    frac, whole = math.modf(x)
+    if whole == 0:
+        digits = -int(math.floor(math.log10(abs(frac)))) - 1 + precision
+    else:
+        digits = precision
+    return float(round(x, digits))
+
+
+def cut_labels(edges: list[float], precision: int = 3, clipped: bool = False) -> list[str]:
+    """rt_bin.py:290 _format_labels: 'lo->hi' display labels per bin,
+    with the reference's adaptive precision (raise until the rounded
+    edges are all distinct). ``clipped=True`` prepends the reference's
+    'Clipped' bin label (qcut's bin-1 display slot)."""
+    prec = precision
+    for prec in range(precision, 20):
+        lv = [_round_frac(float(b), prec) for b in edges]
+        if len(set(lv)) == len(edges):
+            break
+    breaks = [_round_frac(float(b), prec) for b in edges]
+    labels = ["Clipped"] if clipped else []
+    labels += [f"{breaks[i - 1]}->{breaks[i]}" for i in range(1, len(breaks))]
+    return labels
+
+
+def cut_label_expr(code: Column, edges: list[float], precision: int = 3) -> Column:
+    """Map a cut() bin code to its 'lo->hi' label (literal map — pure
+    codegen); bin 0 → NULL (Filtered)."""
+    labels = cut_labels(edges, precision)
+    pairs: list[Column] = []
+    for i, lab in enumerate(labels):
+        pairs.append(F.lit(i + 1))
+        pairs.append(F.lit(lab))
+    return F.element_at(F.create_map(*pairs), code)

@@ -316,3 +316,21 @@ def test_ema_normal_weighted_doctest(spark):
             0: 0.0, 1: 1.0, 2: 2.0, 3: 1.5, 4: 2.5,
             5: 3.5, 6: 3.75, 7: 4.75, 8: 5.75, 9: 6.38,
         }, (method, wtd)
+
+
+def test_cut_labels_doctest(spark):
+    """rt_bin.py:540 doctest label text: cut([1,7,5,4,6,3], 3) labels
+    are ['1.0->3.0', '3.0->5.0', '5.0->7.0'] (adaptive precision keeps
+    one decimal here); qcut's display prepends 'Clipped'."""
+    from riptable_spark.functions import binning
+
+    assert binning.cut_labels([1.0, 3.0, 5.0, 7.0]) == [
+        "1.0->3.0", "3.0->5.0", "5.0->7.0"
+    ]
+    assert binning.cut_labels([0.0, 1.0, 2.0, 3.0, 4.0], clipped=True) == [
+        "Clipped", "0.0->1.0", "1.0->2.0", "2.0->3.0", "3.0->4.0"
+    ]
+    df = spark.createDataFrame([(float(v),) for v in [1, 7, 5, 4, 6, 3]], ["v"])
+    code = binning.cut(F.col("v"), [1.0, 3.0, 5.0, 7.0])
+    got = [r.l for r in df.select(binning.cut_label_expr(code, [1.0, 3.0, 5.0, 7.0]).alias("l")).collect()]
+    assert got == ["1.0->3.0", "5.0->7.0", "3.0->5.0", "3.0->5.0", "5.0->7.0", "1.0->3.0"]
