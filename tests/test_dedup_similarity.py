@@ -178,3 +178,39 @@ def test_simhash_near_dups_end_to_end_wide_hamming(spark):
     )
     pairs = dedup.simhash_near_dups(df, max_hamming=8).collect()
     assert all({r.id_a, r.id_b} != {1, 3} for r in pairs)
+
+
+def test_ivf_topk_exhaustive_probe_equals_brute_force(vectors, spark):
+    """With nprobe = #centroids the IVF search must reproduce the exact
+    brute-force top-k; with nprobe=1 it returns only probed-list members
+    (the recall/compute dial)."""
+    import numpy as np
+
+    vecs, df = vectors
+    rng = np.random.default_rng(11)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(3)],
+        ["centroid_id", "centroid_vec"],
+    )
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = similarity.ivf_topk(
+        df, cents, queries, k=5, nprobe=3,
+        query_id_col="query_id", query_vec_col="query_vec",
+    )
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for q in range(3):
+        exact = sorted(range(50), key=lambda i: (-sims[q, i], i))[:5]
+        assert [v for _, v in sorted(got[q])] == exact
+    # nprobe=1: own vector still found (its list is the nearest probe)
+    one = similarity.ivf_topk(
+        df, cents, queries, k=5, nprobe=1,
+        query_id_col="query_id", query_vec_col="query_vec",
+    )
+    top1 = {r.query_id: r.vec_id for r in one.collect() if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
