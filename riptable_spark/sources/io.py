@@ -139,6 +139,12 @@ def with_rowid(df: DataFrame, *order_cols: str) -> DataFrame:
     anything oracle-checked). Without, it is partition-monotone via
     ``monotonically_increasing_id`` (cheap, no shuffle; stable for a fixed
     file layout — the 100 TB path).
+
+    CROSS-ENGINE caveat: ties on ``order_cols`` are broken by a content
+    hash, which keeps re-evaluations of THIS plan consistent but does NOT
+    match another engine's row_number() tie order — any oracle-compared
+    rowid must be built over a UNIQUE key (e.g. o_orderkey; note
+    (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem).
     """
     if order_cols:
         from pyspark.sql import Window
