@@ -100,3 +100,34 @@ def test_stateful_multi_batch_state_carry(spark, sf_dir, tmp_path):
     batch = batch.sort_values("user_id").reset_index(drop=True)
     assert (final["n_events"] == batch["n_events"]).all()
     assert abs(final["total_value"] - batch["total_value"]).max() < 1e-6
+
+
+def test_pipeline_ops_compose_with_streams(spark, sf_dir, stream, tmp_path):
+    """The curation ops (hash_split, stratified_sample) are stateless
+    hash projections, so they run UNCHANGED on a streaming DataFrame —
+    the property that lets one codepath serve both the 100 TB backfill
+    and the live ingest. Stream results must equal the batch run."""
+    from riptable_spark.operators import pipeline as pl
+    from riptable_spark.streaming import windows as sw
+
+    split_counts = (
+        pl.hash_split(stream, "event_id", {"train": 0.8, "val": 0.2})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        r.split: r.n
+        for r in sw.run_available_now(
+            split_counts, "split_stream_test", str(tmp_path / "ckpt_split"), output_mode="complete"
+        ).collect()
+    }
+    batch = {
+        r.split: r.n
+        for r in pl.hash_split(
+            load_table(spark, sf_dir, "events"), "event_id", {"train": 0.8, "val": 0.2}
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
