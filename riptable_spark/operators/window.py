@@ -35,15 +35,35 @@ def diff(col: Column, n: int, w: WindowSpec) -> Column:
     return col - shift(col, n, w)
 
 
-def differs(col: Column, w: WindowSpec) -> Column:
-    """rt_fastarray.py:4153 — element != previous element."""
+def _shifted(col: Column, w: WindowSpec, periods: int) -> Column:
+    return F.lag(col, periods).over(w) if periods >= 0 else F.lead(col, -periods).over(w)
+
+
+def differs(col: Column, w: WindowSpec, periods: int = 1) -> Column:
+    """rt_fastarray.py:4153 differs — True where the element EQUALS the
+    element ``periods`` back (CMP_EQ; the doctest marks [1,2,2,...]
+    True at the repeated 2s). Negative periods look ahead. Comparisons
+    against the shifted-in invalid region are False (differs(periods=15)
+    → all False), as is any comparison involving an invalid value."""
+    prev = _shifted(col, w, periods)
+    return F.when(col.isNull() | prev.isNull(), F.lit(False)).otherwise(col == prev)
+
+
+def transitions(col: Column, w: WindowSpec, periods: int = 1) -> Column:
+    """rt_fastarray.py:4220 transitions — True where the element does
+    NOT equal the element ``periods`` back (CMP_NE); the shifted-in
+    region is False (doctest [0,1,2,3,3,3,4] starts False)."""
+    prev = _shifted(col, w, periods)
+    return F.when(col.isNull() | prev.isNull(), F.lit(False)).otherwise(col != prev)
+
+
+def run_starts(col: Column, w: WindowSpec) -> Column:
+    """1 where a new run of equal values starts, INCLUDING each
+    partition's first row — the run-counting form (sum = number of
+    runs). transitions() with the reference's first-row-False contract
+    can't count runs by itself."""
     prev = F.lag(col).over(w)
-    return ~(col.eqNullSafe(prev))
-
-
-def transitions(col: Column, w: WindowSpec) -> Column:
-    """rt_fastarray.py:4220 — 1 where a run starts (first row counts)."""
-    return differs(col, w).cast("int")
+    return (~col.eqNullSafe(prev)).cast("int")
 
 
 # --- cumulative (rt_groupbyops.py:3158-3239)

@@ -185,7 +185,7 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
     of event_type per user in time order."""
     ev = load_table(spark, sf, "events").withColumn("t_us", F.unix_micros("ts"))
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    flag = win.transitions(F.col("event_type"), w)
+    flag = win.run_starts(F.col("event_type"), w)
     return (
         ev.select("user_id", flag.alias("f"))
         .groupBy("user_id")

@@ -87,7 +87,7 @@ def test_transitions_counts_runs(spark):
     rows = [(1, i, t) for i, t in enumerate(["a", "a", "b", "b", "a"])]
     df = spark.createDataFrame(rows, ["g", "i", "t"])
     w = Window.partitionBy("g").orderBy("i")
-    n = df.select(win.transitions(F.col("t"), w).alias("f")).agg(F.sum("f")).first()[0]
+    n = df.select(win.run_starts(F.col("t"), w).alias("f")).agg(F.sum("f")).first()[0]
     assert n == 3  # runs: a, b, a
 
 

@@ -334,3 +334,71 @@ def test_cut_labels_doctest(spark):
     code = binning.cut(F.col("v"), [1.0, 3.0, 5.0, 7.0])
     got = [r.l for r in df.select(binning.cut_label_expr(code, [1.0, 3.0, 5.0, 7.0]).alias("l")).collect()]
     assert got == ["1.0->3.0", "5.0->7.0", "3.0->5.0", "3.0->5.0", "5.0->7.0", "1.0->3.0"]
+
+
+def test_categorical_fill_forward_doctest(spark):
+    """rt_categorical.py:2355 doctests: grouped fill_forward over
+    cat=[A,B,A,B,A,B] — plain, with fill_val=0, and with limit=1."""
+    from pyspark.sql import Window
+    from riptable_spark.operators import window as win
+
+    cats = ["A", "B", "A", "B", "A", "B"]
+
+    def run(xs, expr_fn):
+        df = spark.createDataFrame(
+            [(i, cats[i], xs[i]) for i in range(6)], "i int, c string, x double"
+        )
+        w = Window.partitionBy("c").orderBy("i")
+        return [r.f for r in df.select("i", expr_fn(w).alias("f")).orderBy("i").collect()]
+
+    got = run([0.0, 1.0, 2.0, 3.0, None, None], lambda w: win.fill_forward(F.col("x"), w))
+    assert got == [0.0, 1.0, 2.0, 3.0, 2.0, 3.0]
+
+    got = run(
+        [None, None, 2.0, 3.0, 4.0, 5.0],
+        lambda w: F.coalesce(win.fill_forward(F.col("x"), w), F.lit(0.0)),
+    )
+    assert got == [0.0, 0.0, 2.0, 3.0, 4.0, 5.0]
+
+    got = run(
+        [0.0, 1.0, None, None, None, None],
+        lambda w: win.fill_forward_limit(F.col("x"), w, 1),
+    )
+    assert got == [0.0, 1.0, 0.0, 1.0, None, None]
+
+
+def test_differs_transitions_doctests(spark):
+    """rt_fastarray.py:4187/4234 doctests: differs is CMP_EQ vs the
+    shifted element (True at repeats), transitions CMP_NE, both False in
+    the shifted-in region; periods beyond the array length → all False."""
+    from pyspark.sql import Window
+    from riptable_spark.operators import window as win
+
+    a = [1, 2, 2, 3, 2, 4, 5, 6, 2, 2, 5]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(a)], ["i", "v"])
+    w = Window.partitionBy(F.lit(1)).orderBy("i")
+
+    def run(expr):
+        return [r.x for r in df.select("i", expr.alias("x")).orderBy("i").collect()]
+
+    assert run(win.differs(F.col("v"), w)) == [
+        False, False, True, False, False, False, False, False, False, True, False
+    ]
+    assert run(win.differs(F.col("v"), w, periods=-3)) == [
+        False, True, False, False, False, False, False, False, False, False, False
+    ]
+    assert run(win.differs(F.col("v"), w, periods=15)) == [False] * 11
+
+    b = [0, 1, 2, 3, 3, 3, 4]
+    db = spark.createDataFrame([(i, v) for i, v in enumerate(b)], ["i", "v"])
+    assert [
+        r.x for r in db.select("i", win.transitions(F.col("v"), w).alias("x")).orderBy("i").collect()
+    ] == [False, True, True, True, False, False, True]
+    assert [
+        r.x
+        for r in db.select("i", win.transitions(F.col("v"), w, periods=2).alias("x")).orderBy("i").collect()
+    ] == [False, False, True, True, True, False, True]
+    assert [
+        r.x
+        for r in db.select("i", win.transitions(F.col("v"), w, periods=-1).alias("x")).orderBy("i").collect()
+    ] == [True, True, True, False, False, True, False]

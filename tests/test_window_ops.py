@@ -138,8 +138,11 @@ def test_drop_duplicates_keep_none(spark):
 def test_differs_transitions(spark):
     df = spark.createDataFrame([("g", 0, "x"), ("g", 1, "x"), ("g", 2, "y"), ("g", 3, "y")], ["g", "i", "v"])
     w = win.group_window(["g"], "i")
+    # reference differs = CMP_EQ vs previous, shifted-in region False
     got = [r.d for r in df.select(win.differs(F.col("v"), w).alias("d")).orderBy("i").collect()]
-    assert got == [True, False, True, False]
+    assert got == [False, True, False, True]
+    got = [r.t for r in df.select(win.transitions(F.col("v"), w).alias("t")).orderBy("i").collect()]
+    assert got == [False, False, True, False]
 
 
 def test_issorted(spark):
