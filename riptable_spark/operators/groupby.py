@@ -134,19 +134,48 @@ def trimbr(df: DataFrame, keys: list[str], valcol: str, lo: float = 0.1, hi: flo
 
 
 def describe(df: DataFrame, keys: list[str], valcol: str) -> DataFrame:
-    """rt_groupbyops.py:3524 — count/mean/std/min/quantiles/max per group,
-    one aggregation pass."""
+    """rt_utils.py:857 describe_helper's FULL stat row — Count (all
+    rows), Valid, Nans, Mean, Std, Min, P10 P25 P50 P75 P90, Max, MeanM —
+    per group. Everything except MeanM is one hash-aggregation pass;
+    MeanM (the reference's POSITIONAL middle-80% mean: sorted positions
+    floor(.1·(n−1)) … ceil(.9·(n−1)) inclusive, rt_utils.py:906-927) adds
+    one window rank over the group and is broadcast-joined back."""
+    from pyspark.sql import Window
+
     c = F.col(valcol)
-    return df.groupBy(*keys).agg(
-        F.count(c).alias("count"),
+    base = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.count(c).alias("valid"),
+        (F.count(F.lit(1)) - F.count(c)).alias("nans"),
         F.avg(c).alias("mean"),
         F.stddev_samp(c).alias("std"),
         F.min(c).alias("min"),
+        F.percentile(c, F.lit(0.10)).alias("p10"),
         F.percentile(c, F.lit(0.25)).alias("p25"),
         F.percentile(c, F.lit(0.50)).alias("p50"),
         F.percentile(c, F.lit(0.75)).alias("p75"),
+        F.percentile(c, F.lit(0.90)).alias("p90"),
         F.max(c).alias("max"),
     )
+    nn = df.where(c.isNotNull())
+    w = Window.partitionBy(*keys).orderBy(valcol)
+    wp = Window.partitionBy(*keys)
+    r = F.row_number().over(w) - 1
+    n = F.count(F.lit(1)).over(wp)
+    lo = F.floor(F.lit(0.10) * (n - 1))
+    hi = F.ceil(F.lit(0.90) * (n - 1))
+    mm = (
+        nn.withColumn("__r__", r)
+        .withColumn("__lo__", lo)
+        .withColumn("__hi__", hi)
+        .groupBy(*keys)
+        .agg(
+            F.avg(
+                F.when((F.col("__r__") >= F.col("__lo__")) & (F.col("__r__") <= F.col("__hi__")), c)
+            ).alias("meanm")
+        )
+    )
+    return base.join(F.broadcast(mm), on=keys, how="left")
 
 
 def agg_dict(df: DataFrame, keys: list[str], spec: dict[str, list[str]], flt: Column | None = None) -> DataFrame:

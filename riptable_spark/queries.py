@@ -1026,29 +1026,54 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q38_describe",
     """
-    SELECT l_returnflag,
-           count(l_quantity) AS count,
+    WITH nn AS (
+        SELECT l_returnflag, l_quantity::DOUBLE AS x,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1 AS r,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem WHERE l_quantity IS NOT NULL
+    ),
+    mm AS (
+        SELECT l_returnflag,
+               avg(x) FILTER (WHERE r >= floor(0.10 * (n - 1)) AND r <= ceil(0.90 * (n - 1))) AS meanm
+        FROM nn GROUP BY l_returnflag
+    )
+    SELECT b.l_returnflag,
+           count(*) AS count,
+           count(l_quantity) AS valid,
+           count(*) - count(l_quantity) AS nans,
            round(avg(l_quantity), 6) AS mean,
            round(stddev_samp(l_quantity), 6) AS std,
            round(min(l_quantity), 2) AS min,
+           round(quantile_cont(l_quantity, 0.10), 6) AS p10,
            round(quantile_cont(l_quantity, 0.25), 6) AS p25,
            round(quantile_cont(l_quantity, 0.50), 6) AS p50,
            round(quantile_cont(l_quantity, 0.75), 6) AS p75,
-           round(max(l_quantity), 2) AS max
-    FROM lineitem GROUP BY l_returnflag
+           round(quantile_cont(l_quantity, 0.90), 6) AS p90,
+           round(max(l_quantity), 2) AS max,
+           round(any_value(mm.meanm), 6) AS meanm
+    FROM lineitem b JOIN mm ON b.l_returnflag = mm.l_returnflag
+    GROUP BY b.l_returnflag
     """,
 )
 def q38(spark: SparkSession, sf: str) -> DataFrame:
-    """describe per group (rt_groupbyops.py:3524) — one aggregation pass."""
+    """describe per group — the reference's FULL stat row
+    (rt_utils.py:857: Count Valid Nans Mean Std Min P10..P90 Max MeanM;
+    MeanM is the positional middle-80% mean). One hash agg + one window
+    pass for MeanM."""
     out = gb.describe(load_table(spark, sf, "lineitem"), ["l_returnflag"], "l_quantity")
     return out.select(
         "l_returnflag",
         "count",
+        "valid",
+        "nans",
         F.round(F.col("mean"), 6).alias("mean"),
         F.round(F.col("std"), 6).alias("std"),
         F.round(F.col("min"), 2).alias("min"),
+        F.round(F.col("p10"), 6).alias("p10"),
         F.round(F.col("p25"), 6).alias("p25"),
         F.round(F.col("p50"), 6).alias("p50"),
         F.round(F.col("p75"), 6).alias("p75"),
+        F.round(F.col("p90"), 6).alias("p90"),
         F.round(F.col("max"), 2).alias("max"),
+        F.round(F.col("meanm"), 6).alias("meanm"),
     )

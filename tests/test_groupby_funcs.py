@@ -194,3 +194,28 @@ def test_quantile_sorted_bitmatches_percentile_aggregate(spark):
     assert set(agg) == set(srt)
     for k in agg:
         assert agg[k] == srt[k], (k, agg[k], srt[k])
+
+
+def test_describe_full_stat_row_reference_parity(spark):
+    """rt_utils.py:857 describe stat set on a hand-checked group:
+    values [1..10] plus a NULL → Count=11, Valid=10, Nans=1; MeanM is
+    the positional middle-80% mean over sorted positions
+    floor(.1*9)=0 .. ceil(.9*9)=9 → all ten values → 5.5."""
+    import numpy as np
+
+    from riptable_spark.operators import groupby as gb
+
+    rows = [("g", float(v)) for v in range(1, 11)] + [("g", None)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = gb.describe(df, ["k"], "v").first()
+    assert (r["count"], r["valid"], r["nans"]) == (11, 10, 1)
+    assert r["mean"] == 5.5 and r["min"] == 1.0 and r["max"] == 10.0
+    assert r["p10"] == np.percentile(np.arange(1, 11), 10)
+    assert r["p90"] == np.percentile(np.arange(1, 11), 90)
+    assert r["meanm"] == 5.5
+
+    # 21 values: positions 2..18 inclusive (floor(.1*20)=2, ceil(.9*20)=18)
+    rows = [("g", float(v)) for v in range(21)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = gb.describe(df, ["k"], "v").first()
+    assert r["meanm"] == sum(range(2, 19)) / 17
