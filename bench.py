@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from riptable_spark import queries2, queries3, queries4, queries5, queries6  # noqa: E402,F401 — register all batches
+from riptable_spark import queries2, queries3, queries4, queries5, queries6, queries7  # noqa: E402,F401 — register all batches
 from riptable_spark.queries import QUERIES  # noqa: E402
 from riptable_spark.session import get_spark  # noqa: E402
 

@@ -134,3 +134,18 @@ def resample_floor(col: Column, seconds: int) -> Column:
     fixed step. Pure epoch arithmetic, codegen-friendly, identical
     semantics to date_trunc for sub-hour grains."""
     return F.timestamp_seconds(F.floor(F.unix_micros(col) / F.lit(seconds * 1_000_000)) * seconds)
+
+
+def utcnow() -> Column:
+    """Current UTC instant (rt_datetime.py utcnow → DateTimeNano). µs
+    precision on Spark (TimestampType); constant within a query per ANSI
+    current_timestamp semantics — the distributed analogue of one
+    GetNanoTime() call."""
+    return F.current_timestamp()
+
+
+def get_nano_time() -> Column:
+    """Epoch nanoseconds of the current instant (rt_timers.py GetNanoTime).
+    Spark timestamps carry µs; the ns value is µs*1000 — documented
+    precision loss vs the reference's clock_gettime."""
+    return F.unix_micros(F.current_timestamp()) * F.lit(1000)

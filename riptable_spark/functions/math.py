@@ -19,8 +19,69 @@ div = lambda a, b: a / b
 floordiv = lambda a, b: F.floor(a / b)
 mod = lambda a, b: a % b
 power = F.pow
-minimum = F.least  # elementwise MIN
-maximum = F.greatest  # elementwise MAX
+
+
+def minimum(a: Column, b: Column) -> Column:
+    """Elementwise MIN with numpy NaN propagation (np.minimum(nan, x) is
+    nan; rt_numpy.py minimum). Spark's least() would SKIP NaN on the left
+    operand (NaN sorts above every double), so guard explicitly. On
+    non-float inputs isnan is constant-false and this folds to least()."""
+    return F.when(F.isnan(a.try_cast("double")) | F.isnan(b.try_cast("double")), F.lit(float("nan"))).otherwise(
+        F.least(a, b)
+    )
+
+
+def maximum(a: Column, b: Column) -> Column:
+    """Elementwise MAX, numpy NaN propagation (see minimum)."""
+    return F.when(F.isnan(a.try_cast("double")) | F.isnan(b.try_cast("double")), F.lit(float("nan"))).otherwise(
+        F.greatest(a, b)
+    )
+
+
+def _fold(masks, op):
+    acc = masks[0]
+    for m in masks[1:]:
+        acc = op(acc, m)
+    return acc
+
+
+def mask_or(*masks: Column) -> Column:
+    """OR-fold of boolean masks (rt_numpy.py mask_or). Accepts a single
+    list/tuple or varargs, like the reference."""
+    if len(masks) == 1 and isinstance(masks[0], (list, tuple)):
+        masks = tuple(masks[0])
+    return _fold(masks, lambda a, b: a | b)
+
+
+def mask_and(*masks: Column) -> Column:
+    """AND-fold (rt_numpy.py mask_and)."""
+    if len(masks) == 1 and isinstance(masks[0], (list, tuple)):
+        masks = tuple(masks[0])
+    return _fold(masks, lambda a, b: a & b)
+
+
+def mask_xor(*masks: Column) -> Column:
+    """XOR-fold (rt_numpy.py mask_xor)."""
+    if len(masks) == 1 and isinstance(masks[0], (list, tuple)):
+        masks = tuple(masks[0])
+    return _fold(masks, lambda a, b: a != b)
+
+
+def mask_andnot(*masks: Column) -> Column:
+    """ANDNOT-fold: first mask minus the rest (rt_numpy.py mask_andnot,
+    BITWISE_ANDNOT left-fold: ((m0 &~ m1) &~ m2)...)."""
+    if len(masks) == 1 and isinstance(masks[0], (list, tuple)):
+        masks = tuple(masks[0])
+    return _fold(masks, lambda a, b: a & ~b)
+
+
+# In-place variants are identity aliases: Columns are immutable
+# expressions; the reference's *i forms exist only to save an allocation
+# (rt_numpy.py mask_ori..mask_andnoti), which Tungsten manages for us.
+mask_ori = mask_or
+mask_andi = mask_and
+mask_xori = mask_xor
+mask_andnoti = mask_andnot
 
 
 def _nan2null(c: Column) -> Column:

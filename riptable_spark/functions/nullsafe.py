@@ -141,3 +141,13 @@ def nan_to_num(col, nan=0.0, posinf=None, neginf=None):
         .when(c == F.lit(float("-inf")), m)
         .otherwise(c)
     )
+
+
+def get_default_value(dtype) -> object | None:
+    """The sentinel 'invalid' default for a Spark type (rt_numpy /
+    rt_enum.py get_default_value over INVALID_DICT). Float types return
+    NaN; types whose invalid is NULL-only on Spark (timestamps, dates,
+    booleans) return None."""
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float("nan")
+    return SENTINELS.get(type(dtype))

@@ -95,3 +95,16 @@ def apply_unique(df, colname: str, expr_fn, out_col: str):
     broadcast."""
     uniq = df.select(colname).distinct().withColumn(out_col, expr_fn(F.col(colname)))
     return df.join(F.broadcast(uniq), on=colname, how="left")
+
+
+def bytes_to_str(col: Column) -> Column:
+    """Decode a binary column as UTF-8 (rt_utils.py bytes_to_str; riptable
+    stores ASCII bytes arrays, Spark strings are UTF-8 natively so this is
+    only needed on true binary columns)."""
+    return F.decode(col, "UTF-8")
+
+
+def to_str(col: Column) -> Column:
+    """Stringify any column with sentinel-aware formatting
+    (rt_utils.py to_str): NULL renders as the string invalid ''. """
+    return F.coalesce(col.cast("string"), F.lit(""))

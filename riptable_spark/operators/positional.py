@@ -170,3 +170,22 @@ def assoc_copy(
         F.min(rowid_col).alias("__ai__"), *[F.min_by(c, F.col(rowid_col)).alias(c) for c in cols]
     )
     return left.join(firsts.drop("__ai__"), on=on, how="left")
+
+
+# rt_numpy.py reindex_fast: gather rows by positional index — identical
+# contract to mbget (sentinel row for out-of-range), reference keeps both
+# names.
+reindex_fast = mbget
+
+
+def unique32(
+    df: DataFrame, key_cols: list[str], filter_mask: Column | None = None, rowid_col: str = "__rowid__"
+) -> DataFrame:
+    """Row index of the FIRST occurrence of each unique (multi)key
+    (rt_numpy.py unique32 → MultiKeyUnique32). One hash agg over
+    (keys → min rowid); the optional pre-filter composes into the scan
+    predicate, matching the reference's `filter` argument. Output: one
+    row per unique key with ``ifirst_row`` (int32-safe when the table is;
+    kept long for 100 TB row counts)."""
+    src = df.where(filter_mask) if filter_mask is not None else df
+    return src.groupBy(*key_cols).agg(F.min(rowid_col).cast("long").alias("ifirst_row"))

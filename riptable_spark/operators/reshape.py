@@ -119,3 +119,8 @@ def bincount(df: DataFrame, colname: str, minlength: int | None = None) -> DataF
         dense.join(counts, on="bin", how="left")
         .select("bin", F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+# rt_hstack.py stack_rows — same schema-unifying row stack as hstack/
+# concat_rows; the reference keeps both names, so do we.
+stack_rows = concat_rows
