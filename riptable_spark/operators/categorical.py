@@ -205,3 +205,31 @@ def hstack_categoricals_multikey(
     for p in out_parts[1:]:
         stacked = stacked.unionByName(p)
     return stacked, unified
+
+
+def categorical_convert(spark, pd_categorical, base_index: int = 1):
+    """pandas.Categorical → (DataFrame of codes+labels, categories list)
+    (rt_categorical.py:129 categorical_convert).
+
+    The reference returns the two building blocks (integer codes, uniques
+    array), shifting codes +1 when pandas' -1 'missing' marker is present
+    so 0 becomes the invalid bin. Here: codes column in base_index space
+    with pandas -1 → bin 0, labels via the same dictionary, distributed as
+    a DataFrame. The categories list is returned unchanged so callers can
+    re-bin other tables against the identical dictionary."""
+    import pandas as pd  # local: cheap, and keeps module import light
+
+    cats = [str(c) for c in pd_categorical.categories]
+    codes = pd_categorical._codes if hasattr(pd_categorical, "_codes") else pd_categorical.codes
+    pdf = pd.DataFrame({"__code_in__": codes.astype("int64")})
+    df = spark.createDataFrame(pdf)
+    code = F.col("__code_in__")
+    shifted = F.when(code < 0, F.lit(0)).otherwise(code + F.lit(base_index))
+    label_map = {i + base_index: c for i, c in enumerate(cats)}
+    out = df.select(
+        shifted.alias("code"),
+        F.when(shifted == 0, F.lit("Filtered")).otherwise(
+            enum_label(shifted, label_map)
+        ).alias("label"),
+    )
+    return out, cats

@@ -336,3 +336,74 @@ def _asof_one_direction(
         .drop("__side__")
     )
     return result
+
+
+# ---------------------------------------------------------------------------
+# Key normalization (rt_utils.py:430 normalize_keys): make join keys on two
+# tables the same type before merging. The reference upcasts itemsizes and
+# aligns Categorical dictionaries; on Spark the analogue is casting both
+# sides to the LOSSLESS common Catalyst type so the equi-join compares
+# native values (and never falls into ANSI implicit-cast surprises).
+_NUM_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "float": 4, "double": 5}
+
+
+def _common_type(t1: str, t2: str) -> str:
+    if t1 == t2:
+        return t1
+    if t1 in _NUM_RANK and t2 in _NUM_RANK:
+        a, b = sorted((t1, t2), key=_NUM_RANK.get)
+        # int ∪ float widens to double (the only lossless float target)
+        if _NUM_RANK[b] >= 4 and _NUM_RANK[a] <= 3:
+            return "double"
+        return b
+    if t1.startswith("decimal") or t2.startswith("decimal"):
+        return "double"
+    if "string" in (t1, t2):
+        # reference pads string itemsizes; mixing string with non-string
+        # keys is a type error there too
+        if t1 == t2 == "string":
+            return "string"
+        raise TypeError(f"normalize_keys: cannot align {t1} with {t2}")
+    if t1.startswith("timestamp") and t2.startswith("timestamp"):
+        return "timestamp"
+    raise TypeError(f"normalize_keys: cannot align {t1} with {t2}")
+
+
+def normalize_keys(
+    left: DataFrame, right: DataFrame, on: list[str] | str, right_on: list[str] | str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Cast the join keys of both frames to their lossless common type
+    (rt_utils.py:430). Returns (left', right') ready for an equi-join.
+    Key columns keep their names; non-key columns are untouched."""
+    on = [on] if isinstance(on, str) else list(on)
+    r_on = on if right_on is None else ([right_on] if isinstance(right_on, str) else list(right_on))
+    lt, rt_ = dict(left.dtypes), dict(right.dtypes)
+    for lc, rc in zip(on, r_on):
+        tgt = _common_type(lt[lc], rt_[rc])
+        if lt[lc] != tgt:
+            left = left.withColumn(lc, F.col(lc).cast(tgt))
+        if rt_[rc] != tgt:
+            right = right.withColumn(rc, F.col(rc).cast(tgt))
+    return left, right
+
+
+def merge_prebinned(
+    left: DataFrame, right: DataFrame, code_col: str, how: str = "inner"
+) -> DataFrame:
+    """Join two tables ALREADY coded against the same dictionary
+    (rt_utils.py:370 merge_prebinned / rc.MergeBinnedAndSorted). The
+    reference exploits prebinned keys to skip hashing; the Spark analogue
+    is an equi-join on the integer code column — and when both sides were
+    written bucketed by the code (sources.io.save_bucketed), the join is
+    co-located with ZERO shuffle, which is exactly the prebinned promise
+    at cluster scale. Codes must come from the SAME dictionary (same
+    Categorical / cat2keys run) — same precondition as the reference."""
+    return left.join(right, on=code_col, how=how)
+
+
+def multikeyhash(df: DataFrame, cols: list[str], out_col: str = "__mkhash__") -> DataFrame:
+    """64-bit multikey hash (rt_numpy.py:2307 multikeyhash → MultiKeyHash):
+    one codegen xxhash64 over the key tuple. The reference returns
+    first/next linked lists per hash bucket; those exist here as the
+    make_ifirst/make_inext family (operators.positional)."""
+    return df.withColumn(out_col, F.xxhash64(*[F.col(c) for c in cols]))
