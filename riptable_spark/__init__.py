@@ -8,6 +8,7 @@ recurrences (EMA) and multimodal decode stubs.
 """
 
 from .session import get_spark
+from .struct import Struct
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "Struct"]
 __version__ = "0.1.0"

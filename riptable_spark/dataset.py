@@ -597,3 +597,10 @@ class Multiset:
                         df = df.withColumnRenamed(c, f"{c}_{name}")
             out = df if out is None else out.join(df, on=self._keys, how="outer")
         return Dataset(out)
+
+
+# rt_pgroupby.py PGroupBy: the reference's GroupBy variant that fans the
+# per-group computation across a PDataset's partitions. Spark's GroupBy IS
+# partition-parallel (hash exchange + per-partition hash agg), so the
+# parallel variant is the same class.
+PGroupBy = GroupBy
