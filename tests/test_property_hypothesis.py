@@ -284,3 +284,42 @@ def test_hash_split_exhaustive_and_stable(spark, ids, w1):
     m2 = {r.id: r.split for r in pl.hash_split(df2, "id", w).collect()}
     assert m1 == m2
     assert set(m1) == set(ids) and set(m1.values()) <= {"a", "b"}
+
+
+MATRIX_ROW = st.tuples(
+    *[
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.just(float("nan")),
+            st.none(),
+        )
+        for _ in range(3)
+    ]
+)
+
+
+@given(rows=st.lists(MATRIX_ROW, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_imatrix_horizontal_matches_numpy(spark, rows):
+    """imatrix_y nan* reductions vs np.nan* row-wise on arbitrary
+    matrices with NaN and NULL holes (both are riptable invalids)."""
+    from riptable_spark.operators import imatrix as im
+
+    pdf = pd.DataFrame(rows, columns=["a", "b", "c"], dtype="float64")
+    pdf.insert(0, "i", range(len(pdf)))
+    df = spark.createDataFrame(pdf)
+    got = (
+        im.imatrix_y(df, ["nansum", "nanmean", "nanmin", "nanmax"],
+                     colnames=["a", "b", "c"], names=["s", "m", "lo", "hi"])
+        .orderBy("i")
+        .toPandas()
+    )
+    mat = pdf[["a", "b", "c"]].to_numpy()  # NULL→NaN via float64 dtype
+    with np.errstate(all="ignore"):
+        np.testing.assert_allclose(got["s"], np.nansum(mat, axis=1), rtol=1e-9)
+        exp_mean = np.where(np.all(np.isnan(mat), axis=1), np.nan, np.nanmean(mat, axis=1))
+        exp_lo = np.where(np.all(np.isnan(mat), axis=1), np.nan, np.nanmin(mat, axis=1))
+        exp_hi = np.where(np.all(np.isnan(mat), axis=1), np.nan, np.nanmax(mat, axis=1))
+    np.testing.assert_allclose(got["m"], exp_mean, rtol=1e-9)
+    np.testing.assert_allclose(got["lo"], exp_lo, rtol=1e-9)
+    np.testing.assert_allclose(got["hi"], exp_hi, rtol=1e-9)

@@ -402,3 +402,45 @@ def test_differs_transitions_doctests(spark):
         r.x
         for r in db.select("i", win.transitions(F.col("v"), w, periods=-1).alias("x")).orderBy("i").collect()
     ] == [True, True, True, False, False, True, False]
+
+
+def test_imatrix_y_doctest(spark):
+    """rt_dataset.py:2028 doctest: ds={'a1': arange(3)%2, 'b1': arange(3)}
+    → imatrix_y([np.sum, np.mean]) appends Sum=[0,2,2], Mean=[0.0,1.0,1.0]."""
+    from riptable_spark.operators import imatrix as im
+
+    df = spark.createDataFrame([(0, 0, 0), (1, 1, 1), (2, 0, 2)], ["i", "a1", "b1"])
+    got = (
+        im.imatrix_y(df, ["sum", "mean"], colnames=["a1", "b1"])
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.Sum for r in got] == [0.0, 2.0, 2.0]
+    assert [r.Mean for r in got] == [0.0, 1.0, 1.0]
+
+
+def test_imatrix_make_doctest(spark):
+    """rt_dataset.py:1953 doctest: ds={'time': arange(3.0), 'data':
+    arange(3)} → imatrix rows [[0,0],[1,1],[2,2]]."""
+    from riptable_spark.operators import imatrix as im
+
+    df = spark.createDataFrame([(0.0, 0), (1.0, 1), (2.0, 2)], ["time", "data"])
+    out, cols = im.imatrix_make(df)
+    assert cols == ["time", "data"]
+    mat = [r["__imatrix__"] for r in out.orderBy("time").collect()]
+    assert mat == [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]]
+
+
+def test_normalize_keys_doctest_shape(spark):
+    """rt_utils.py:430 doctest intent: a Categorical by labels and one by
+    codes+dictionary align to the same key domain. Spark form: a string
+    key table and a code-keyed table joined via the shared dictionary
+    produce identical pairs."""
+    from riptable_spark.operators import categorical as cat
+
+    cats = ["A", "B", "C"]
+    by_label = spark.createDataFrame([(v,) for v in cats], "k string")
+    by_code = spark.createDataFrame([(i + 1,) for i in range(3)], "c int")
+    coded = by_label.select("k", cat.string_codes(F.col("k"), cats).alias("c"))
+    got = sorted((r.k, r.c) for r in by_code.join(coded, "c").collect())
+    assert got == [("A", 1), ("B", 2), ("C", 3)]
