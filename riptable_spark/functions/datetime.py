@@ -65,7 +65,119 @@ def time_since_start_of_year(col: Column) -> Column:
     return (F.unix_micros(col) - F.unix_micros(F.date_trunc("year", col))) * 1000
 
 
-# parse / format (rt_datetime.py:274-518, 4572-4766)
+# -- string → timestamp parsing family (rt_datetime.py:274-518) ----------
+#
+# The reference's rc.StrptimeToNanos / DateTimeStringToNanos /
+# DateStringToNanos / TimeStringToNanos kernels, re-expressed as codegen
+# expressions: translate C strptime escapes to Spark's DateTimeFormatter
+# patterns and coalesce over try_to_timestamp candidates (unparseable
+# strings → NULL, the reference's invalid). from_tz interprets the wall
+# time (TimeZone._ALIAS_TIMEZONE_NAMES, rt_timezone.py:1022-1030); the
+# returned column is a UTC instant like DateTimeNano. to_tz is a
+# display-only attribute in the reference and is not materialized here.
+
+_TZ_ALIASES = {
+    "NYC": "America/New_York",
+    "DUBLIN": "Europe/Dublin",
+    "Sydney": "Australia/Sydney",
+    "Hongkong": "Asia/Hong_Kong",
+    "Tokyo": "Asia/Tokyo",
+    "Seoul": "Asia/Seoul",
+    "US/Eastern": "America/New_York",
+    "GMT": "UTC",
+}
+
+# single-letter day/month/hour patterns parse both padded and unpadded
+# digits (the reference accepts "02/1/1992" and "2/1/1992" alike)
+_STRPTIME_ESCAPES = [
+    ("%Y", "yyyy"),
+    ("%y", "yy"),
+    ("%B", "MMMM"),
+    ("%b", "MMM"),
+    ("%m", "M"),
+    ("%d", "d"),
+    ("%H", "H"),
+    ("%I", "h"),
+    ("%p", "a"),
+    ("%M", "m"),
+    ("%S", "s"),
+    ("%j", "D"),
+]
+
+
+def resolve_tz(tz: str) -> str:
+    """riptable tz shortname → tzdb identifier (rt_timezone.py:1022)."""
+    return _TZ_ALIASES.get(tz, tz)
+
+
+def _translate_strptime(fmt: str) -> str:
+    for esc, java in _STRPTIME_ESCAPES:
+        fmt = fmt.replace(esc, java)
+    return fmt
+
+
+def _parse_candidates(col: Column, fmts: list[str]) -> Column:
+    return F.coalesce(*[F.try_to_timestamp(col, F.lit(f)) for f in fmts])
+
+
+def strptime_to_nano(col: Column, fmt: str, from_tz: str = "UTC") -> Column:
+    """rt_datetime.py:274 strptime_to_nano — parse with a C-strptime
+    format. A trailing '.ffffff' second fraction is accepted without an
+    escape (the reference parses it automatically)."""
+    base = _translate_strptime(fmt)
+    parsed = _parse_candidates(F.trim(col), [base, base + ".SSSSSS", base + ".SSS"])
+    return F.to_utc_timestamp(parsed, resolve_tz(from_tz))
+
+
+def datetimestring_to_nano(col: Column, from_tz: str = "UTC") -> Column:
+    """rt_datetime.py:380 — auto-format datetime parse (YYYY-MM-DD
+    HH:MM:SS, YYYYMMDD H:MM:SS[.ffffff], date-only forms)."""
+    fmts = [
+        "y-M-d H:m:s.SSSSSS",
+        "y-M-d H:m:s.SSS",
+        "y-M-d H:m:s",
+        "yyyyMMdd H:m:s.SSSSSS",
+        "yyyyMMdd H:m:s",
+        "y/M/d H:m:s",
+        "y-M-d",
+        "yyyyMMdd",
+    ]
+    return F.to_utc_timestamp(_parse_candidates(F.trim(col), fmts), resolve_tz(from_tz))
+
+
+def datestring_to_nano(col: Column, time: str | Column | None = None, from_tz: str = "UTC") -> Column:
+    """rt_datetime.py:410 — date strings (YYYY-MM-DD / YYYYMMDD) →
+    midnight instants; optional ``time`` ('HH:MM:SS[.ffffff]', scalar or
+    Column) added to every date."""
+    d = _parse_candidates(F.trim(col), ["y-M-d", "yyyyMMdd", "y/M/d"])
+    if time is not None:
+        d = d + timestring_to_span(F.lit(time) if isinstance(time, str) else time)
+    return F.to_utc_timestamp(d, resolve_tz(from_tz))
+
+
+def timestring_to_span(col: Column) -> Column:
+    """rt_datetime.py:460 timestring_to_nano without a date: time-of-day
+    strings (H:MM:SS[.ffffff]) → TimeSpan (DayTimeIntervalType). Anchor
+    the parse at the epoch and difference the timestamps — timestamp
+    subtraction is a native interval in Spark."""
+    anchored = _parse_candidates(
+        F.concat(F.lit("1970-01-01 "), F.trim(col)),
+        ["y-M-d H:m:s.SSSSSS", "y-M-d H:m:s.SSS", "y-M-d H:m:s", "y-M-d H:m"],
+    )
+    return anchored - F.to_timestamp(F.lit("1970-01-01"))
+
+
+def timestring_to_nano(col: Column, date: str | Column | None = None, from_tz: str = "UTC") -> Column:
+    """rt_datetime.py:460 with a date: combine time-of-day strings with a
+    date (scalar or per-row Column of 'YYYY-MM-DD') into instants. Without
+    ``date``, use timestring_to_span (the reference returns TimeSpan)."""
+    if date is None:
+        return timestring_to_span(col)
+    d = F.lit(date) if isinstance(date, str) else date
+    base = _parse_candidates(F.trim(d), ["y-M-d", "yyyyMMdd"])
+    return F.to_utc_timestamp(base + timestring_to_span(col), resolve_tz(from_tz))
+
+
 def strptime_to_timestamp(col: Column, fmt: str) -> Column:
     return F.to_timestamp(col, fmt)
 

@@ -29,10 +29,12 @@ TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): read as long ns (session
-# config nanosAsLong) and converted to µs TimestampType here. The testdata
-# generator emits µs-aligned values, so truncation is lossless; a true
-# ns-precision pipeline would additionally carry `<col>_ns_rem`.
+# Timestamp columns whose physical storage has varied across testdata
+# generations: TIMESTAMP(NANOS) (read as long ns via nanosAsLong) or
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+# Either way we normalize to session-tz TimestampType (session tz is
+# pinned UTC below, so NTZ→LTZ preserves the stored instant exactly and
+# every downstream accessor/oracle sees identical values).
 _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 
@@ -63,8 +65,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLUMNS.get(name, []):
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if c in df.columns and dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif c in df.columns and dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

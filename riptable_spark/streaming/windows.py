@@ -17,30 +17,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns (parquet TIMESTAMP(NANOS) via nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source — each file is a
-    micro-batch unit; on a cluster this is a cloud-storage listing)."""
+    micro-batch unit; on a cluster this is a cloud-storage listing).
+
+    The physical type of ``ts`` has varied across testdata generations
+    (TIMESTAMP(NANOS) read as long ns, TIMESTAMP(MICROS, utc=false) read
+    as TIMESTAMP_NTZ): streams need an explicit schema, so take it from
+    the batch footer (metadata-only read) and normalize ``ts`` to
+    session-tz TimestampType exactly like sources.io.load_table."""
+    import os
+
+    from riptable_spark.sources.io import _ensure_nanos_readable
+
+    _ensure_nanos_readable(spark)
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file-source streams require a directory; select the one table with
     # a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_agg(
