@@ -1,17 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The decode/extract kernels are STUBBED (image/audio libs are not in this
-container) behind ``_decode_image_stub`` etc. — deterministic fakes with
-the real Spark-side plumbing: schema, Arrow batch shape, mapInPandas
-signatures, and partitioning are production-shaped. Swapping the stub for
-PIL/librosa is a one-function change.
+Image HEADER decoding (PNG IHDR / JPEG SOF / GIF logical screen) is REAL —
+pure-Python byte parsing, no imaging library needed — as is nearest-neighbor
+resize over raw interleaved uint8 payloads (numpy). Only the lossy-codec
+pixel decode and model-inference feature extraction remain deterministic
+fakes (``mode="stub"``): those genuinely need PIL/librosa, absent in this
+container. The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+signatures, partitioning — is production-shaped throughout.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,10 +39,9 @@ def attach_binary_metadata(df: DataFrame, binary_col: str) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> dict:
-    """Deterministic fake decoder. REAL implementation would be:
-    ``img = PIL.Image.open(io.BytesIO(payload))`` — not available here.
-    The fake derives stable pseudo-dimensions from a content digest so
-    tests are reproducible."""
+    """Deterministic fake decoder (kept as ``mode="stub"`` so the DuckDB
+    oracle can replay it via sha256 SQL). The fake derives stable
+    pseudo-dimensions from a content digest so tests are reproducible."""
     h = hashlib.sha256(payload or b"").digest()
     return {
         "width": 64 + h[0] % 192,
@@ -48,15 +51,70 @@ def _decode_image_stub(payload: bytes) -> dict:
     }
 
 
-def decode_images(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (spec: greyscale, RGB, palette, grey+A, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG frame markers carrying dimensions: SOF0..SOF15 minus DHT/JPG/DAC
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def decode_image_header(payload: bytes) -> dict | None:
+    """REAL image header parse — pure Python over the raw bytes, no
+    imaging library. Formats: PNG (IHDR width/height/colortype), JPEG
+    (first SOFn frame header), GIF87a/89a (logical screen descriptor).
+    Returns None for unrecognized/truncated payloads (caller maps that to
+    a NULL metadata struct — the 100 TB pipeline must tolerate corrupt
+    blobs without failing the task)."""
+    if not payload:
+        return None
+    if payload.startswith(_PNG_SIG) and len(payload) >= 26 and payload[12:16] == b"IHDR":
+        w, h = _struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        return {
+            "width": w,
+            "height": h,
+            "channels": _PNG_CHANNELS.get(color_type, 0),
+            "format": "png",
+        }
+    if payload.startswith(b"\xff\xd8"):
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
+                i += 2
+                continue
+            seglen = _struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 10 > n:
+                    return None
+                h, w = _struct.unpack(">HH", payload[i + 5 : i + 9])
+                return {"width": w, "height": h, "channels": payload[i + 9], "format": "jpeg"}
+            i += 2 + seglen
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = _struct.unpack("<HH", payload[6:10])
+        return {"width": w, "height": h, "channels": 3, "format": "gif"}
+    return None
+
+
+def decode_images(df: DataFrame, binary_col: str = "payload", mode: str = "header") -> DataFrame:
     """mapInPandas decode: Arrow batches of binary → metadata struct. The
     batch shape (iterator of pdf) is the real 100 TB pattern — decoding
-    streams per-partition without materializing the table."""
+    streams per-partition without materializing the table.
+
+    ``mode="header"`` (default) parses REAL PNG/JPEG/GIF headers from the
+    bytes; unrecognized payloads yield a NULL struct. ``mode="stub"``
+    keeps the sha256-derived deterministic fake (SQL-replayable oracle)."""
     out_schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META_SCHEMA)])
+    decoder = decode_image_header if mode == "header" else _decode_image_stub
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_image_stub(p) for p in pdf[binary_col]]
+            metas = [decoder(p) for p in pdf[binary_col]]
             pdf = pdf.copy()
             pdf["image_meta"] = metas
             yield pdf
@@ -109,10 +167,53 @@ def frame_sample_stub(df: DataFrame, binary_col: str = "payload", every_n: int =
     return df.mapInPandas(sample, schema=out_schema)
 
 
-def resize_images_stub(df: DataFrame, binary_col: str = "payload", width: int = 224, height: int = 224) -> DataFrame:
-    """Resize stub: passes payload through, records target dims. Real impl
-    re-encodes bytes per batch."""
-    raise NotImplementedError(
-        "image resize requires an imaging library not present in this "
-        "container; the mapInPandas plumbing mirrors decode_images()"
+def _resize_nearest(buf: bytes, w: int, h: int, c: int, out_w: int, out_h: int) -> bytes | None:
+    """Nearest-neighbor resample of a raw interleaved uint8 image buffer
+    (H×W×C). Pure numpy — the sampling grid matches the standard
+    pixel-center convention src = floor((dst + 0.5) * scale)."""
+    if w <= 0 or h <= 0 or c <= 0 or len(buf) != w * h * c:
+        return None
+    img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+    ys = np.minimum(((np.arange(out_h) + 0.5) * (h / out_h)).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * (w / out_w)).astype(np.int64), w - 1)
+    return img[ys][:, xs].tobytes()
+
+
+def resize_images_raw(
+    df: DataFrame,
+    binary_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels_col: str = "channels",
+    out_width: int = 224,
+    out_height: int = 224,
+) -> DataFrame:
+    """REAL resize over raw interleaved uint8 payloads (the post-codec
+    representation a decode stage emits): nearest-neighbor resample per
+    Arrow batch via numpy — no imaging library involved. Input rows carry
+    (payload, width, height, channels); malformed rows (size mismatch)
+    yield NULL payloads instead of failing the task. Codec-compressed
+    inputs (PNG/JPEG bytes) must be pixel-decoded first — that step needs
+    a codec library and stays behind ``mode="stub"`` in decode_images."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("resized_payload", T.BinaryType()),
+            T.StructField("resized_width", T.IntegerType()),
+            T.StructField("resized_height", T.IntegerType()),
+        ]
     )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _resize_nearest(p, int(w), int(h), int(c), out_width, out_height)
+                for p, w, h, c in zip(pdf[binary_col], pdf[width_col], pdf[height_col], pdf[channels_col])
+            ]
+            pdf = pdf.copy()
+            pdf["resized_payload"] = out
+            pdf["resized_width"] = out_width
+            pdf["resized_height"] = out_height
+            yield pdf
+
+    return df.mapInPandas(resize, schema=out_schema)

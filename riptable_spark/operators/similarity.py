@@ -145,11 +145,16 @@ def lsh_dedup_pairs(
     baseline only.
 
     Physical plan (the 100 TB shape): each vector explodes to ``n_tables``
-    (table, bucket) keys; the self-join is an EQUI-join on (table, bucket)
-    — never a cartesian. Shuffle volume = n_tables × |input| rows keyed by
-    bucket hash; candidate pairs then dedup on (id_a, id_b) before the
-    exact verify, so a pair colliding in several tables is scored once.
-    Recall = P(≥1 of n_tables buckets agrees); tune n_tables (recall) vs
+    (table, bucket) keys, but the candidate-generation exchange carries
+    ONLY ``(id, table, bucket)`` — three scalars, never the dim-wide
+    vector payload (VERDICT r2 #1: shipping vectors through the bucket
+    shuffle costs ``n_tables × |corpus| × dim × 8`` bytes on the wire).
+    The self-join is an EQUI-join on (table, bucket) — never a cartesian.
+    Candidate pairs dedup on (id_a, id_b), so a pair colliding in several
+    tables is scored once; only then do two id-keyed equi-joins pull the
+    vectors back for the exact-cosine verify, sized by |candidates| (≪
+    n_tables × |corpus| for any sane bits_per_table). Recall =
+    P(≥1 of n_tables buckets agrees); tune n_tables (recall) vs
     bits_per_table (bucket size / compute).
     """
     tables = lsh_tables(dim, n_tables, bits_per_table, seed)
@@ -161,17 +166,23 @@ def lsh_dedup_pairs(
             for t in range(len(tables))
         ]
     )
-    sigs = base.select("__id__", "__v__", F.explode(entries).alias("__e__")).select(
-        "__id__", "__v__", F.col("__e__.tbl").alias("__tbl__"), F.col("__e__.bkt").alias("__bkt__")
+    # ids-only signature relation: the vector is consumed computing the
+    # bucket bits and dropped BEFORE the (table, bucket) exchange
+    sigs = base.select("__id__", F.explode(entries).alias("__e__")).select(
+        "__id__", F.col("__e__.tbl").alias("__tbl__"), F.col("__e__.bkt").alias("__bkt__")
     )
-    a = sigs.select("__tbl__", "__bkt__", F.col("__id__").alias("id_a"), F.col("__v__").alias("__va__"))
-    b = sigs.select("__tbl__", "__bkt__", F.col("__id__").alias("id_b"), F.col("__v__").alias("__vb__"))
+    a = sigs.select("__tbl__", "__bkt__", F.col("__id__").alias("id_a"))
+    b = sigs.select("__tbl__", "__bkt__", F.col("__id__").alias("id_b"))
     cand = (
         a.join(b, on=["__tbl__", "__bkt__"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
+    va = base.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("__va__"))
+    vb = base.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("__vb__"))
+    verified = cand.join(va, on="id_a").join(vb, on="id_b")
+    return verified.select(
         "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
 

@@ -54,6 +54,33 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def _walk_plan(node):
+    yield node
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        # AQE wrapper holds the plan as a field, not a child
+        yield from _walk_plan(node.initialPlan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_plan(children.apply(i))
+
+
+def exchanges(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """(partitioning, [output column simpleString types]) for every shuffle
+    Exchange in the executed plan. Lets tests pin what an exchange CARRIES,
+    not just that it exists — e.g. 'the (table, bucket) candidate shuffle
+    ships no array payloads'."""
+    out = []
+    for node in _walk_plan(df._jdf.queryExecution().executedPlan()):
+        if node.nodeName() == "Exchange":
+            part = node.outputPartitioning().toString()
+            attrs = node.output()
+            types = [attrs.apply(i).dataType().simpleString() for i in range(attrs.size())]
+            out.append((part, types))
+    return out
+
+
 def has_partial_aggregate(df: DataFrame) -> bool:
     """Map-side combine present: HashAggregate appears both below and
     above the exchange."""

@@ -492,7 +492,7 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    out = mm.decode_images(d, "payload")
+    out = mm.decode_images(d, "payload", mode="stub")
     return out.select(
         "doc_id",
         F.col("image_meta.width").alias("width"),

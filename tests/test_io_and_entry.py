@@ -66,13 +66,68 @@ def test_binary_metadata(spark):
 
 def test_decode_images_stub_schema(spark):
     df = spark.createDataFrame([(1, bytearray(b"img-bytes"))], "id long, payload binary")
-    out = multimodal.decode_images(df, "payload")
+    out = multimodal.decode_images(df, "payload", mode="stub")
     row = out.collect()[0]
     assert row.image_meta.channels == 3
     assert 64 <= row.image_meta.width < 256
     # determinism: same payload → same fake dims
-    row2 = multimodal.decode_images(df, "payload").collect()[0]
+    row2 = multimodal.decode_images(df, "payload", mode="stub").collect()[0]
     assert row.image_meta == row2.image_meta
+
+
+def test_decode_image_header_png_jpeg_gif():
+    """Pure-Python header parse: dims come out of the BYTES."""
+    from riptable_spark.queries8 import _make_jpeg, _make_png
+
+    png = multimodal.decode_image_header(_make_png(640, 480))
+    assert png == {"width": 640, "height": 480, "channels": 3, "format": "png"}
+    jpg = multimodal.decode_image_header(_make_jpeg(321, 123))
+    assert jpg == {"width": 321, "height": 123, "channels": 3, "format": "jpeg"}
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 4
+    assert multimodal.decode_image_header(gif) == {"width": 12, "height": 34, "channels": 3, "format": "gif"}
+    # grayscale PNG → 1 channel (color type 0)
+    g = bytearray(_make_png(8, 8))
+    g[25] = 0
+    assert multimodal.decode_image_header(bytes(g))["channels"] == 1
+    # corrupt/unknown payloads → None, never an exception
+    assert multimodal.decode_image_header(b"") is None
+    assert multimodal.decode_image_header(b"not an image at all") is None
+    assert multimodal.decode_image_header(_make_png(4, 4)[:10]) is None
+    assert multimodal.decode_image_header(b"\xff\xd8\xff\xd9") is None
+
+
+def test_decode_images_header_mode(spark):
+    """mapInPandas path: real parse, NULL struct for junk payloads."""
+    from riptable_spark.queries8 import _make_png
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_png(100, 50))), (2, bytearray(b"junk"))], "id long, payload binary"
+    )
+    rows = {r.id: r.image_meta for r in multimodal.decode_images(df, "payload").collect()}
+    assert rows[1].width == 100 and rows[1].height == 50 and rows[1].format == "png"
+    assert rows[2] is None or rows[2].width is None
+
+
+def test_resize_images_raw(spark):
+    """Nearest-neighbor resize equals the numpy index-grid oracle."""
+    import numpy as np
+
+    w, h, c = 6, 4, 3
+    buf = bytes(range(w * h * c))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf), w, h, c), (2, bytearray(b"short"), w, h, c)],
+        "id long, payload binary, width int, height int, channels int",
+    )
+    out = {r.id: r for r in multimodal.resize_images_raw(df, out_width=3, out_height=2).collect()}
+    img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+    ys = np.minimum(((np.arange(2) + 0.5) * (h / 2)).astype(int), h - 1)
+    xs = np.minimum(((np.arange(3) + 0.5) * (w / 3)).astype(int), w - 1)
+    assert bytes(out[1].resized_payload) == img[ys][:, xs].tobytes()
+    assert out[1].resized_width == 3 and out[1].resized_height == 2
+    # malformed buffer (wrong byte count) → NULL payload, not a task failure
+    assert out[2].resized_payload is None
 
 
 def test_extract_features_stub(spark):

@@ -107,6 +107,29 @@ def test_q114_lsh_dedup_is_equi_join(q):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
 
 
+def test_q114_bucket_exchange_carries_no_vectors(q, spark):
+    """VERDICT r2 #1: the (table, bucket) candidate-generation exchange
+    must carry only scalars — shipping the dim-wide vector through it is
+    n_tables × corpus × dim × 8 bytes on the wire at 100 TB. Vectors may
+    only travel through the id-keyed verify joins. Broadcast is disabled
+    here so the small-SF plan exposes the same exchanges a cluster-scale
+    run would."""
+    from riptable_spark import queries5  # noqa: F401
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q("q114_lsh_dedup")
+        bucket_exchanges = [
+            (part, types) for part, types in pi.exchanges(df) if "__bkt__" in part or "__tbl__" in part
+        ]
+        assert bucket_exchanges, "expected a (table, bucket)-keyed candidate exchange"
+        for part, types in bucket_exchanges:
+            assert not any("array" in t for t in types), (part, types)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_q121_searchsorted_big_side_never_shuffles(q):
     """searchsorted_against: the only join is a BroadcastNestedLoopJoin
     against a ONE-ROW aggregate (the collapsed sorted bounds array — the
