@@ -87,22 +87,26 @@ _TZ_ALIASES = {
     "GMT": "UTC",
 }
 
-# single-letter day/month/hour patterns parse both padded and unpadded
-# digits (the reference accepts "02/1/1992" and "2/1/1992" alike)
-_STRPTIME_ESCAPES = [
-    ("%Y", "yyyy"),
-    ("%y", "yy"),
-    ("%B", "MMMM"),
-    ("%b", "MMM"),
-    ("%m", "M"),
-    ("%d", "d"),
-    ("%H", "H"),
-    ("%I", "h"),
-    ("%p", "a"),
-    ("%M", "m"),
-    ("%S", "s"),
-    ("%j", "D"),
-]
+# Two translation variants per format: single-letter patterns parse both
+# padded and unpadded digits in DELIMITED strings ("02/1/1992" and
+# "2/1/1992" alike), but Java's greedy variable-width numeric parsing
+# cannot split UNDELIMITED runs like '19920201' — those need the
+# fixed-width padded patterns (yyyyMMdd). Both are emitted as coalesce
+# candidates.
+_STRPTIME_ESCAPES = {
+    "%Y": ("yyyy", "yyyy"),
+    "%y": ("yy", "yy"),
+    "%B": ("MMMM", "MMMM"),
+    "%b": ("MMM", "MMM"),
+    "%m": ("M", "MM"),
+    "%d": ("d", "dd"),
+    "%H": ("H", "HH"),
+    "%I": ("h", "hh"),
+    "%p": ("a", "a"),
+    "%M": ("m", "mm"),
+    "%S": ("s", "ss"),
+    "%j": ("D", "DDD"),
+}
 
 
 def resolve_tz(tz: str) -> str:
@@ -110,10 +114,42 @@ def resolve_tz(tz: str) -> str:
     return _TZ_ALIASES.get(tz, tz)
 
 
-def _translate_strptime(fmt: str) -> str:
-    for esc, java in _STRPTIME_ESCAPES:
-        fmt = fmt.replace(esc, java)
-    return fmt
+def _translate_strptime(fmt: str, padded: bool = False) -> str:
+    """C strptime escapes → Java DateTimeFormatter pattern. Literal text
+    is emitted safely: '%%' becomes a literal '%', and any run containing
+    an ASCII letter or a quote is single-quoted (an unquoted literal 'T'
+    would otherwise be a reserved pattern letter)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        chunk = "".join(lit)
+        lit.clear()
+        if any(c.isalpha() or c == "'" for c in chunk):
+            out.append("'" + chunk.replace("'", "''") + "'")
+        else:
+            out.append(chunk)
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            key = fmt[i : i + 2]
+            if key == "%%":
+                lit.append("%")
+            elif key in _STRPTIME_ESCAPES:
+                flush()
+                out.append(_STRPTIME_ESCAPES[key][1 if padded else 0])
+            else:
+                lit.append(fmt[i + 1])
+            i += 2
+            continue
+        lit.append(c)
+        i += 1
+    flush()
+    return "".join(out)
 
 
 def _parse_candidates(col: Column, fmts: list[str]) -> Column:
@@ -122,10 +158,18 @@ def _parse_candidates(col: Column, fmts: list[str]) -> Column:
 
 def strptime_to_nano(col: Column, fmt: str, from_tz: str = "UTC") -> Column:
     """rt_datetime.py:274 strptime_to_nano — parse with a C-strptime
-    format. A trailing '.ffffff' second fraction is accepted without an
-    escape (the reference parses it automatically)."""
-    base = _translate_strptime(fmt)
-    parsed = _parse_candidates(F.trim(col), [base, base + ".SSSSSS", base + ".SSS"])
+    format. A trailing '.fffffffff' second fraction (up to 9 digits, the
+    reference's automatic ns fraction) is accepted without an escape;
+    Spark truncates to µs precision. Both unpadded (delimited strings)
+    and fixed-width padded (undelimited '19920201') translations are
+    coalesce candidates."""
+    bases = [_translate_strptime(fmt, padded=False)]
+    padded = _translate_strptime(fmt, padded=True)
+    if padded not in bases:
+        bases.append(padded)
+    # 'SSSSSSSSS' accepts 1..9 fraction digits, covering .SSS/.SSSSSS too
+    cands = [c for b in bases for c in (b, b + ".SSSSSSSSS")]
+    parsed = _parse_candidates(F.trim(col), cands)
     return F.to_utc_timestamp(parsed, resolve_tz(from_tz))
 
 
@@ -133,10 +177,9 @@ def datetimestring_to_nano(col: Column, from_tz: str = "UTC") -> Column:
     """rt_datetime.py:380 — auto-format datetime parse (YYYY-MM-DD
     HH:MM:SS, YYYYMMDD H:MM:SS[.ffffff], date-only forms)."""
     fmts = [
-        "y-M-d H:m:s.SSSSSS",
-        "y-M-d H:m:s.SSS",
+        "y-M-d H:m:s.SSSSSSSSS",  # 1..9 fraction digits (ns auto-fraction)
         "y-M-d H:m:s",
-        "yyyyMMdd H:m:s.SSSSSS",
+        "yyyyMMdd H:m:s.SSSSSSSSS",
         "yyyyMMdd H:m:s",
         "y/M/d H:m:s",
         "y-M-d",
@@ -162,7 +205,7 @@ def timestring_to_span(col: Column) -> Column:
     subtraction is a native interval in Spark."""
     anchored = _parse_candidates(
         F.concat(F.lit("1970-01-01 "), F.trim(col)),
-        ["y-M-d H:m:s.SSSSSS", "y-M-d H:m:s.SSS", "y-M-d H:m:s", "y-M-d H:m"],
+        ["y-M-d H:m:s.SSSSSSSSS", "y-M-d H:m:s", "y-M-d H:m"],
     )
     return anchored - F.to_timestamp(F.lit("1970-01-01"))
 

@@ -136,6 +136,30 @@ def isinf(col: Column) -> Column:
     return (col == F.lit(float("inf"))) | (col == F.lit(float("-inf")))
 
 
+# Negated predicate aliases (rt_fastarray.py:2773-3144 isnotnan /
+# isnotfinite / isnotinf wrappers — named API-parity forms; the
+# reference's invalid maps to NULL here, so NULL rows count as
+# nan/not-finite and as not-inf, matching sentinel semantics).
+def isnan(col: Column) -> Column:
+    """NULL-or-NaN (the reference's isnan over sentinel invalids)."""
+    d = col.try_cast("double")
+    return col.isNull() | F.when(d.isNotNull(), F.isnan(d)).otherwise(F.lit(False))
+
+
+def isnotnan(col: Column) -> Column:
+    return ~isnan(col)
+
+
+def isnotinf(col: Column) -> Column:
+    """True unless ±inf; NULL (invalid) is not inf → True."""
+    return ~F.coalesce(isinf(col), F.lit(False))
+
+
+def isnotfinite(col: Column) -> Column:
+    """NaN, ±inf, or NULL (invalid) — the complement of a finite value."""
+    return isnan(col) | F.coalesce(isinf(col), F.lit(False))
+
+
 def isnormal(col: Column) -> Column:
     # normal = finite, nonzero, not subnormal; subnormal threshold for f64
     return isfinite(col) & (col != 0) & (F.abs(col) >= F.lit(2.2250738585072014e-308))

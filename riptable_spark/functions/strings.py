@@ -97,6 +97,13 @@ def apply_unique(df, colname: str, expr_fn, out_col: str):
     return df.join(F.broadcast(uniq), on=colname, how="left")
 
 
+def str_to_bytes(col: Column) -> Column:
+    """Encode a string column to UTF-8 bytes (rt_utils.py:737-760
+    str_to_bytes; the reference's bytes arrays are the memory-lean form —
+    on Spark a BinaryType column)."""
+    return F.encode(col, "UTF-8")
+
+
 def bytes_to_str(col: Column) -> Column:
     """Decode a binary column as UTF-8 (rt_utils.py bytes_to_str; riptable
     stores ASCII bytes arrays, Spark strings are UTF-8 natively so this is

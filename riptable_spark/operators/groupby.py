@@ -238,6 +238,7 @@ def quantile_sorted(
     valcol: str,
     qs: list[float],
     out_names: list[str] | None = None,
+    extra_aggs: list | None = None,
 ) -> DataFrame:
     """Exact grouped quantiles via sort-based rank-select instead of the
     value-map aggregate (``F.percentile``). Same semantics — linear
@@ -256,6 +257,11 @@ def quantile_sorted(
     a group in one final merge buffer (OOM risk on a 100 TB group);
     this form's window sorts spill gracefully. NULLs are excluded like
     the nan-aggregates (rn/n count only non-null rows).
+
+    ``extra_aggs``: additional aggregate expressions folded into the SAME
+    final hash-agg (they see the NULL-filtered rows) — lets a caller fuse
+    e.g. var/std/sem of another column into this pass instead of paying a
+    second scan+agg job over the input.
     """
     from pyspark.sql import Window
 
@@ -266,13 +272,17 @@ def quantile_sorted(
     d = nn.withColumn("__rn__", F.row_number().over(w)).withColumn(
         "__n__", F.count(F.lit(1)).over(wn)
     )
+    # SQL-string aggregates: one py4j roundtrip each instead of ~10 DSL
+    # calls — driver-side build time matters when a bench rebuilds the
+    # plan per run
     aggs = []
+    v = f"`{valcol}`"
     for i, q in enumerate(qs):
-        h = (F.col("__n__") - 1) * F.lit(float(q))
-        aggs.append(F.min(F.when(F.col("__rn__") == F.floor(h) + 1, p)).alias(f"__lo{i}__"))
-        aggs.append(F.min(F.when(F.col("__rn__") == F.ceil(h) + 1, p)).alias(f"__hi{i}__"))
-        aggs.append(F.first(h).alias(f"__h{i}__"))
-    res = d.groupBy(*keys).agg(*aggs)
+        h = f"((__n__ - 1) * {float(q)!r}D)"
+        aggs.append(F.expr(f"min(CASE WHEN __rn__ = floor({h}) + 1 THEN {v} END) AS __lo{i}__"))
+        aggs.append(F.expr(f"min(CASE WHEN __rn__ = ceil({h}) + 1 THEN {v} END) AS __hi{i}__"))
+        aggs.append(F.expr(f"first({h}) AS __h{i}__"))
+    res = d.groupBy(*keys).agg(*aggs, *(extra_aggs or []))
     names = out_names or [f"q{i}" for i in range(len(qs))]
     sel = list(keys)
     for i, name in enumerate(names):
@@ -280,4 +290,7 @@ def quantile_sorted(
         sel.append(
             (F.col(f"__lo{i}__") * (F.lit(1.0) - frac) + F.col(f"__hi{i}__") * frac).alias(name)
         )
+    for e in extra_aggs or []:
+        s = e._jc.toString()
+        sel.append(s.rsplit(" AS ", 1)[1] if " AS " in s else s)
     return res.select(*sel)

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .functions import math as fm
+from .functions import strings as fs
 from .operators import multimodal as mm
 from .queries import query
 from .sources.io import load_table
@@ -136,4 +138,69 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
         "resized_width",
         "resized_height",
         F.length("resized_payload").alias("resized_bytes"),
+    )
+
+
+@query(
+    "q143_predicate_aliases",
+    """
+    WITH x AS (
+        SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    WHEN o_orderkey % 5 = 1 THEN 'NaN'::DOUBLE
+                    WHEN o_orderkey % 5 = 2 THEN 'Infinity'::DOUBLE
+                    WHEN o_orderkey % 5 = 3 THEN '-Infinity'::DOUBLE
+                    ELSE o_totalprice END AS v
+        FROM orders
+    )
+    SELECT count(*) AS n,
+           sum(CASE WHEN v IS NULL OR isnan(v) THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+           sum(CASE WHEN NOT (v IS NULL OR isnan(v)) THEN 1 ELSE 0 END)::BIGINT AS n_notnan,
+           sum(CASE WHEN v IS NULL OR isnan(v) OR isinf(v) THEN 1 ELSE 0 END)::BIGINT AS n_notfinite,
+           sum(CASE WHEN NOT coalesce(isinf(v), false) THEN 1 ELSE 0 END)::BIGINT AS n_notinf
+    FROM x
+    """,
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """Negated-predicate parity aliases (VERDICT r2 missing #2;
+    rt_fastarray.py:2773-3144 isnotnan/isnotfinite/isnotinf): a mixed
+    column of NULL (the invalid), NaN, ±inf and real values, counted
+    through the named predicates. All pure codegen expressions."""
+    o = load_table(spark, sf, "orders")
+    k = F.col("o_orderkey") % 5
+    v = (
+        F.when(k == 0, F.lit(None).cast("double"))
+        .when(k == 1, F.lit(float("nan")))
+        .when(k == 2, F.lit(float("inf")))
+        .when(k == 3, F.lit(float("-inf")))
+        .otherwise(F.col("o_totalprice"))
+    )
+    d = o.select(v.alias("v"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fm.isnan(F.col("v")).cast("bigint")).alias("n_nan"),
+        F.sum(fm.isnotnan(F.col("v")).cast("bigint")).alias("n_notnan"),
+        F.sum(fm.isnotfinite(F.col("v")).cast("bigint")).alias("n_notfinite"),
+        F.sum(fm.isnotinf(F.col("v")).cast("bigint")).alias("n_notinf"),
+    )
+
+
+@query(
+    "q144_str_bytes_roundtrip",
+    """
+    SELECT count(*) AS n,
+           sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+           sum(CASE WHEN decode(encode(text)) = text THEN 1 ELSE 0 END)::BIGINT AS n_roundtrip
+    FROM documents
+    """,
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    """str_to_bytes / bytes_to_str parity (VERDICT r2 missing #2;
+    rt_utils.py:737-760): UTF-8 encode to a binary column, byte lengths,
+    and a decode round-trip identity check — all JVM-side."""
+    d = load_table(spark, sf, "documents")
+    b = fs.str_to_bytes(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length(b)).cast("bigint").alias("total_bytes"),
+        F.sum((fs.bytes_to_str(b) == F.col("text")).cast("bigint")).alias("n_roundtrip"),
     )
