@@ -80,15 +80,99 @@ class Dataset:
         raise AttributeError(name)
 
     def __getitem__(self, item):
-        """Column select (str/list) or boolean-mask filter
-        (rt_dataset.py:1378-1470)."""
+        """Column select (str/list), boolean-mask filter, or the two-axis
+        ``ds[rows, cols]`` form (rt_dataset.py:1378-1470,
+        rt_struct.py:752 _extract_indexing).
+
+        Two-axis: ``rows`` is a boolean Column mask, ``:``, a positional
+        slice/int, or a list of positional ints (positional forms need a
+        ``__rowid__`` column — sources.io.with_rowid — because Spark rows
+        carry no implicit order); ``cols`` is a name, an int position, a
+        positional slice, or a list of names/positions/booleans.
+        Duplicate columns raise IndexError like the reference."""
+        if isinstance(item, tuple):
+            if len(item) != 2:
+                raise IndexError("Can only index as ds[r, c], ds[r, :], ds[:, c] or ds[c].")
+            row_arg, col_arg = item
+            cols = self._resolve_colspec(col_arg)
+            df = self._apply_rowspec(row_arg)
+            return Dataset(df.select(*cols))
         if isinstance(item, str):
             return F.col(item)
         if isinstance(item, Column):
             return Dataset(self._df.where(item))
         if isinstance(item, Iterable):
-            return Dataset(self._df.select(*list(item)))
+            return Dataset(self._df.select(*self._resolve_colspec(list(item))))
+        if isinstance(item, (int, slice)):
+            return Dataset(self._apply_rowspec(item))
         raise TypeError(f"unsupported index type {type(item)}")
+
+    def _resolve_colspec(self, col_arg) -> list[str]:
+        names = self._df.columns
+        if col_arg is None:
+            raise TypeError("Cannot index cols with None.")
+        if isinstance(col_arg, str):
+            return [col_arg]
+        if isinstance(col_arg, int):
+            return [names[col_arg]]
+        if isinstance(col_arg, slice):
+            return names if col_arg == slice(None) else names[col_arg]
+        if isinstance(col_arg, (list, tuple)):
+            col_arg = list(col_arg)
+            if not col_arg:
+                raise IndexError("Error in column slice; empty list.")
+            if isinstance(col_arg[0], bool):
+                if len(col_arg) != len(names):
+                    raise IndexError(
+                        f"boolean column mask length {len(col_arg)} != ncols {len(names)}"
+                    )
+                out = [n for n, keep in zip(names, col_arg) if keep]
+            elif isinstance(col_arg[0], int):
+                out = [names[i] for i in col_arg]
+            else:
+                out = [str(c) for c in col_arg]
+            if len(set(out)) < len(out):
+                raise IndexError("Cannot index cols with duplicates.")
+            return out
+        raise TypeError(f"unsupported column index type {type(col_arg)}")
+
+    def _apply_rowspec(self, row_arg) -> DataFrame:
+        df = self._df
+        if row_arg is None:
+            raise TypeError("Cannot index rows with None.")
+        if isinstance(row_arg, Column):
+            return df.where(row_arg)
+        if isinstance(row_arg, slice) and row_arg == slice(None):
+            return df
+        # positional forms need an explicit physical order
+        if "__rowid__" not in df.columns:
+            raise ValueError(
+                "positional row indexing needs a __rowid__ column "
+                "(sources.io.with_rowid) — Spark rows have no implicit order"
+            )
+        rid = F.col("__rowid__")
+        if isinstance(row_arg, int):
+            if row_arg < 0:
+                raise IndexError("negative row indices are not supported (unknown length)")
+            return df.where(rid == row_arg)
+        if isinstance(row_arg, slice):
+            start, stop, step = row_arg.start or 0, row_arg.stop, row_arg.step or 1
+            if start < 0 or (stop is not None and stop < 0) or step <= 0:
+                raise IndexError("negative/zero slice components are not supported")
+            cond = rid >= start
+            if stop is not None:
+                cond = cond & (rid < stop)
+            if step != 1:
+                cond = cond & ((rid - start) % step == 0)
+            return df.where(cond)
+        if isinstance(row_arg, (list, tuple)):
+            if row_arg and isinstance(row_arg[0], bool):
+                raise TypeError(
+                    "boolean-list row masks are not supported on distributed rows; "
+                    "use a boolean Column mask"
+                )
+            return df.where(rid.isin([int(i) for i in row_arg]))
+        raise TypeError(f"unsupported row index type {type(row_arg)}")
 
     def __setitem__(self, name: str, value) -> None:
         col = value if isinstance(value, Column) else F.lit(value)

@@ -119,18 +119,24 @@ def _run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | 
     return work.groupBy(*keys).applyInPandas(fn, schema=out_schema)
 
 
-def ema_decay(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto") -> DataFrame:
+def ema_decay(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto", block_seconds: float | None = None) -> DataFrame:
     """rt_groupbyops.py:3314 — decaying running sum. ``timecol`` must be
     numeric (epoch seconds / ns); cast timestamps upstream. ``method``:
     'expr' (codegen closed form), 'scan' (Arrow per-group scan), 'auto'
-    (expr when the exponent span provably cannot overflow)."""
+    (expr when the exponent span provably cannot overflow), 'blocked'
+    (giant-group-safe scan: requires ``block_seconds``)."""
+    if method == "blocked":
+        return _blocked_run(df, keys, "decay", valcol, timecol, rate, out_col, block_seconds)
     if method == "scan":
         return _run(df, keys, "decay", valcol, timecol, rate, out_col, order_col or timecol)
     return _dispatch(df, keys, "decay", valcol, timecol, rate, out_col, order_col or timecol, method)
 
 
-def ema_normal(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto") -> DataFrame:
-    """rt_groupbyops.py:3366 — true time-decay EWMA."""
+def ema_normal(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto", block_seconds: float | None = None) -> DataFrame:
+    """rt_groupbyops.py:3366 — true time-decay EWMA. ``method='blocked'``
+    splits giant groups on coarse time buckets (see _blocked_run)."""
+    if method == "blocked":
+        return _blocked_run(df, keys, "normal", valcol, timecol, rate, out_col, block_seconds)
     if method == "scan":
         return _run(df, keys, "normal", valcol, timecol, rate, out_col, order_col or timecol)
     return _dispatch(df, keys, "normal", valcol, timecol, rate, out_col, order_col or timecol, method)
@@ -222,3 +228,105 @@ def _dispatch(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: s
     if method == "expr" or (method == "auto" and _span_ok(df, keys, kind, timecol, rate)):
         return _expr_run(df, keys, kind, valcol, timecol, rate, out_col, order_col)
     return _run(df, keys, kind, valcol, timecol, rate, out_col, order_col)
+
+
+# ---------------------------------------------------------------------
+# Giant-group-safe blocked scan (VERDICT r2 #5)
+# ---------------------------------------------------------------------
+# The plain scan path materializes a whole group in one Arrow batch — a
+# 10M-row key on a skewed corpus is a straggler/OOM hazard. The EMA
+# recurrence is LINEAR in its seed: if a block is scanned with seed 0,
+# the true output differs only by adj_k · exp(-rate·(t_i − t_start_k)),
+# where adj_k folds the carried seed (and, for ema_normal, the first-row
+# weight correction). So:
+#   A. split each key on coarse time buckets floor(t/block_seconds) and
+#      scan every (key, block) independently in parallel;
+#   B. run the seed recurrence over per-block SUMMARIES (one tiny row per
+#      block) per key — group size is n_blocks, not n_rows;
+#   C. equi-join adj_k back on (key, block) and apply the closed-form
+#      correction. Exponents in the correction are ≤ 0 — no overflow.
+
+
+def _blocked_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str, rate: float, out_col: str, block_seconds: float | None) -> DataFrame:
+    if not block_seconds or block_seconds <= 0:
+        raise ValueError("method='blocked' requires block_seconds > 0")
+    work = df.withColumn("__blk__", F.floor(F.col(timecol).cast("double") / F.lit(float(block_seconds))))
+
+    # Phase A: independent per-(key, block) scans with seed 0, plus the
+    # block summary columns the seed recurrence needs.
+    a_schema = T.StructType(
+        work.schema.fields
+        + [
+            T.StructField(out_col, T.DoubleType()),
+            T.StructField("__t_start__", T.DoubleType()),
+            T.StructField("__t_last__", T.DoubleType()),
+            T.StructField("__local_last__", T.DoubleType()),
+            T.StructField("__x_first__", T.DoubleType()),
+        ]
+    )
+
+    def scan_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([timecol], kind="mergesort")
+        x = pdf[valcol].to_numpy(dtype=np.float64)
+        t = pdf[timecol].to_numpy(dtype=np.float64)
+        local = _ema_decay_scan(x, t, rate) if kind == "decay" else _ema_normal_scan(x, t, rate)
+        pdf[out_col] = local
+        pdf["__t_start__"] = t[0] if len(t) else np.nan
+        pdf["__t_last__"] = t[-1] if len(t) else np.nan
+        pdf["__local_last__"] = local[-1] if len(local) else np.nan
+        pdf["__x_first__"] = x[0] if len(x) else np.nan
+        return pdf
+
+    scanned = work.groupBy(*keys, "__blk__").applyInPandas(scan_block, schema=a_schema)
+
+    # Phase B: seed recurrence over block summaries (n_blocks rows/key).
+    summaries = scanned.groupBy(*keys, "__blk__").agg(
+        F.first("__t_start__").alias("__t_start__"),
+        F.first("__t_last__").alias("__t_last__"),
+        F.first("__local_last__").alias("__local_last__"),
+        F.first("__x_first__").alias("__x_first__"),
+    )
+    b_schema = T.StructType(
+        [f for f in summaries.schema.fields if f.name in set(keys) | {"__blk__", "__t_start__"}]
+        + [T.StructField("__adj__", T.DoubleType())]
+    )
+
+    def seed_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__blk__", kind="mergesort")
+        ts_a = pdf["__t_start__"].to_numpy(dtype=np.float64)
+        tl_a = pdf["__t_last__"].to_numpy(dtype=np.float64)
+        ll_a = pdf["__local_last__"].to_numpy(dtype=np.float64)
+        xf_a = pdf["__x_first__"].to_numpy(dtype=np.float64)
+        adjs = np.zeros(len(pdf), dtype=np.float64)
+        prev_last = None
+        prev_t = None
+        for i in range(len(pdf)):
+            if prev_last is None:
+                adj = 0.0
+            else:
+                w = np.exp(-rate * (ts_a[i] - prev_t))
+                seed = prev_last * w
+                if kind == "normal":
+                    # phase A seeded the block's first row with c=x_first
+                    # (fresh-group init); the true first-row contribution
+                    # is (1-w)·x_first with w spanning the block gap
+                    adj = seed - w * xf_a[i]
+                else:
+                    adj = seed
+            adjs[i] = adj
+            prev_last = ll_a[i] + adj * np.exp(-rate * (tl_a[i] - ts_a[i]))
+            prev_t = tl_a[i]
+        out = pdf[[*keys, "__blk__", "__t_start__"]].copy()
+        out["__adj__"] = adjs
+        return out
+
+    seeds = summaries.groupBy(*keys).applyInPandas(seed_blocks, schema=b_schema)
+
+    # Phase C: linear correction — exponent ≤ 0, overflow-free.
+    joined = scanned.drop("__t_start__").join(seeds, on=[*keys, "__blk__"])
+    corrected = F.col(out_col) + F.col("__adj__") * F.exp(
+        -F.lit(float(rate)) * (F.col(timecol).cast("double") - F.col("__t_start__"))
+    )
+    return joined.withColumn(out_col, corrected).drop(
+        "__blk__", "__t_start__", "__t_last__", "__local_last__", "__x_first__", "__adj__"
+    )

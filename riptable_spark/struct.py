@@ -37,9 +37,47 @@ class Struct:
             self[k] = v
 
     # -- mapping protocol ------------------------------------------------
-    def __getitem__(self, key: str) -> Any:
-        if isinstance(key, (list, tuple)):
-            return Struct({k: self._items[k] for k in key})
+    def __getitem__(self, key) -> Any:
+        """Member access with the reference's colspec forms
+        (rt_struct.py:752 _extract_indexing / :805 __getitem__):
+        name, int position, positional slice, list of names / positions /
+        booleans (multi-member specs return a shallow-copy sub-Struct;
+        duplicates raise IndexError), plus dotted nested paths
+        ('a.b.c' ≡ st.a.b.c). Tuples raise IndexError — Struct has no
+        row axis (rt_struct.py:805)."""
+        if isinstance(key, tuple) or key is None:
+            raise IndexError(
+                "Can only index Struct as st[c], where c is a member name, "
+                "position, slice, or list — Struct has no row axis"
+            )
+        names = list(self._items)
+        if isinstance(key, bool):
+            raise TypeError("Cannot index Struct with a bare bool.")
+        if isinstance(key, int):
+            return self._items[names[key]]
+        if isinstance(key, slice):
+            return Struct({k: self._items[k] for k in names[key]})
+        if isinstance(key, list):
+            if not key:
+                raise IndexError("Error in member slice; empty list.")
+            if isinstance(key[0], bool):
+                if len(key) != len(names):
+                    raise IndexError(
+                        f"boolean member mask length {len(key)} != n members {len(names)}"
+                    )
+                picked = [n for n, keep in zip(names, key) if keep]
+            elif isinstance(key[0], int):
+                picked = [names[i] for i in key]
+            else:
+                picked = [str(k) for k in key]
+            if len(set(picked)) < len(picked):
+                raise IndexError("Cannot index cols with duplicates.")
+            return Struct({k: self._items[k] for k in picked})
+        if isinstance(key, str) and "." in key:
+            node: Any = self
+            for part in key.split("."):
+                node = node[part] if isinstance(node, Struct) else getattr(node, part)
+            return node
         return self._items[key]
 
     def __setitem__(self, key: str, value: Any) -> None:

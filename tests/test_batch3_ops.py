@@ -138,6 +138,47 @@ def test_ema_expr_matches_scan(spark):
     assert all(math.isclose(a[k], b[k], rel_tol=1e-9, abs_tol=1e-9) for k in a)
 
 
+def test_ema_blocked_matches_scan_giant_group(spark):
+    """VERDICT r2 #5: the blocked scan (giant groups split on coarse time
+    buckets, seed carried across blocks) must equal the one-batch scan and
+    the codegen path bit-for-bit to float tolerance — including blocks cut
+    mid-group, singleton blocks, and a single-key frame where every row
+    lands in one applyInPandas group under the plain scan."""
+    import math
+
+    from riptable_spark.operators import ema
+
+    # one giant group + a second group, irregular time gaps (some blocks
+    # empty, some with one row, some with many)
+    rows = []
+    t = 0.0
+    for i in range(3000):
+        t += ((i * 13) % 7) * 0.5 + 0.1
+        rows.append((0, t, float((i * 7) % 11) - 5.0))
+        if i % 5 == 0:
+            rows.append((1, t, float(i % 4)))
+    df = spark.createDataFrame(rows, ["g", "t", "x"])
+    for kind in ("decay", "normal"):
+        fn = getattr(ema, f"ema_{kind}")
+        a = {(r.g, r.t): r.ema for r in fn(df, ["g"], "x", "t", 0.05, method="scan").collect()}
+        b = {(r.g, r.t): r.ema for r in fn(df, ["g"], "x", "t", 0.05, method="blocked", block_seconds=50.0).collect()}
+        assert set(a) == set(b)
+        assert all(math.isclose(a[k], b[k], rel_tol=1e-9, abs_tol=1e-9) for k in a), kind
+        # tiny blocks (every block a handful of rows) still compose
+        c = {(r.g, r.t): r.ema for r in fn(df, ["g"], "x", "t", 0.05, method="blocked", block_seconds=3.0).collect()}
+        assert all(math.isclose(a[k], c[k], rel_tol=1e-9, abs_tol=1e-9) for k in a), kind
+
+
+def test_ema_blocked_requires_block_seconds(spark):
+    import pytest as _pytest
+
+    from riptable_spark.operators import ema
+
+    df = spark.createDataFrame([(0, 1.0, 1.0)], ["g", "t", "x"])
+    with _pytest.raises(ValueError):
+        ema.ema_decay(df, ["g"], "x", "t", 0.1, method="blocked")
+
+
 def test_ema_auto_falls_back_on_wide_span(spark):
     """A group whose exponent span exceeds the overflow guard must route
     to the scan path and still produce finite results."""

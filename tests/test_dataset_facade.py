@@ -218,3 +218,34 @@ def test_facade_pipeline_and_positional(spark):
     idx = spark.createDataFrame([(0, 3), (1, 9)], ["pos", "idx"])
     got = {r.pos: r.v for r in vals.mbget(idx, "idx", ["v"]).df.collect()}
     assert got == {0: 30, 1: None}
+
+
+def test_two_axis_getitem(spark):
+    """rt_dataset.py ds[r, c] two-axis form: mask/slice/int rows ×
+    name/position/slice/list cols; positional rows ride __rowid__."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from riptable_spark.dataset import Dataset
+    from riptable_spark.sources import io
+
+    df = spark.createDataFrame([(i, float(i * 2), str(i)) for i in range(10)], "a int, b double, c string")
+    ds = Dataset(io.with_rowid(df, "a"))
+
+    out = ds[F.col("a") >= 8, ["a", "b"]]
+    assert sorted((r.a, r.b) for r in out.df.collect()) == [(8, 16.0), (9, 18.0)]
+    # colon rows, positional cols (column 0 is 'a')
+    assert ds[:, 0].df.columns == ["a"]
+    assert ds[:, 1:3].df.columns == ["b", "c"]
+    assert ds[:, [True, False, True, False]].df.columns == ["a", "c"]
+    # positional rows: slice with step, int, fancy list
+    assert sorted(r.a for r in ds[2:8:3, "a"].df.collect()) == [2, 5]
+    assert [r.a for r in ds[4, "a"].df.collect()] == [4]
+    assert sorted(r.a for r in ds[[1, 7], "a"].df.collect()) == [1, 7]
+    with pytest.raises(IndexError):
+        ds[:, ["a", "a"]]
+    with pytest.raises(TypeError):
+        ds[None, "a"]
+    # positional rows without __rowid__ → explicit error
+    with pytest.raises(ValueError):
+        Dataset(df)[1:3, "a"]

@@ -55,3 +55,27 @@ def test_member_name_validation(spark):
         s["not a name"] = 1
     with pytest.raises(TypeError):
         s["f"] = object()
+
+
+def test_extract_indexing_parity(st):
+    """rt_struct.py:752 _extract_indexing colspec forms: int position,
+    positional slice, lists of names/positions/booleans, duplicate and
+    tuple rejection, plus dotted nested paths."""
+    names = list(st.keys())  # ["scale", "name", "data", "sub"]
+    assert st[0] == st[names[0]]
+    sliced = st[1:3]
+    assert list(sliced.keys()) == names[1:3]
+    assert list(st[["scale", "name"]].keys()) == ["scale", "name"]
+    assert list(st[[0, 3]].keys()) == [names[0], names[3]]
+    mask = [True, False, False, True]
+    assert list(st[mask].keys()) == [names[0], names[3]]
+    with pytest.raises(IndexError):
+        st[["scale", "scale"]]  # duplicates (rt_struct.py:832)
+    with pytest.raises(IndexError):
+        st["scale", "name"]  # tuple → no row axis (rt_struct.py:805)
+    with pytest.raises(IndexError):
+        st[[]]
+    with pytest.raises(IndexError):
+        st[[True, False]]  # wrong-length bool mask
+    # nested path ≡ attribute chain
+    assert st["sub.n"] == st.sub.n == 7
