@@ -294,3 +294,79 @@ def quantile_sorted(
         s = e._jc.toString()
         sel.append(s.rsplit(" AS ", 1)[1] if " AS " in s else s)
     return res.select(*sel)
+
+
+def quantile_ranged(
+    df: DataFrame,
+    keys: list[str],
+    valcol: str,
+    qs: list[float],
+    out_names: list[str] | None = None,
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Exact grouped quantiles for GIANT groups: the scale path when a
+    single key holds more rows than one task should sort.
+
+    ``quantile_sorted``'s window partitions by the key — a 3-key 100 TB
+    table sorts in 3 tasks and the per-group sort is the straggler. This
+    form range-partitions by (key, value) into ``npartitions`` parallel
+    sorted splits and recovers exact global ranks with arithmetic:
+    ``monotonically_increasing_id`` after sortWithinPartitions encodes
+    the in-partition position, a tiny per-(partition, key) aggregate
+    (≤ npartitions + n_keys rows — contiguous ranges mean each extra
+    partition adds at most one (pid, key) pair) yields offsets, and the
+    target order statistics are picked by an equi-join on (key, rank).
+    ONE full-data shuffle (the range exchange + its sampling pass), all
+    sorts parallel, interpolation identical to quantile_sorted
+    (bit-equal, verified in tests).
+
+    At small scale the extra jobs (range sampling, broadcast builds)
+    cost more than they save — measured ~2× slower than quantile_sorted
+    at sf0.1 — so this is an explicit opt-in, not the default."""
+    from pyspark.sql import Window
+
+    npart = npartitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = F.col(valcol)
+    nn = df.select(*keys, valcol).where(p.isNotNull())
+    s = (
+        nn.repartitionByRange(npart, *[F.col(k) for k in keys], p)
+        .sortWithinPartitions(*keys, valcol)
+        .withColumn("__mid__", F.monotonically_increasing_id())
+        .withColumn("__pid__", F.spark_partition_id())
+    )
+    grp = s.groupBy("__pid__", *keys).agg(
+        F.min("__mid__").alias("__m0__"), F.count(F.lit(1)).alias("__c__")
+    )
+    wcum = Window.partitionBy(*keys).orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    grp = grp.withColumn("__cb__", F.coalesce(F.sum("__c__").over(wcum), F.lit(0)))
+    nk = grp.groupBy(*keys).agg(F.sum("__c__").alias("__n__"))
+    targets = None
+    for i, q in enumerate(qs):
+        h = (F.col("__n__") - 1) * F.lit(float(q))
+        for kind, rank in (("lo", F.floor(h) + 1), ("hi", F.ceil(h) + 1)):
+            t = nk.select(
+                *keys,
+                F.lit(i).alias("__qi__"),
+                F.lit(kind).alias("__kind__"),
+                rank.cast("long").alias("__trank__"),
+            )
+            targets = t if targets is None else targets.unionByName(t)
+    ranked = s.join(F.broadcast(grp), on=["__pid__", *keys]).withColumn(
+        "__rank__", F.col("__mid__") - F.col("__m0__") + 1 + F.col("__cb__")
+    )
+    picked = ranked.join(
+        F.broadcast(targets),
+        on=[ranked[k] == targets[k] for k in keys] + [ranked["__rank__"] == targets["__trank__"]],
+    ).select(*[ranked[k] for k in keys], "__qi__", "__kind__", p)
+    aggs = []
+    for i in range(len(qs)):
+        aggs.append(F.min(F.when((F.col("__qi__") == i) & (F.col("__kind__") == "lo"), p)).alias(f"__lo{i}__"))
+        aggs.append(F.min(F.when((F.col("__qi__") == i) & (F.col("__kind__") == "hi"), p)).alias(f"__hi{i}__"))
+    res = picked.groupBy(*keys).agg(*aggs).join(F.broadcast(nk), on=list(keys))
+    names = out_names or [f"q{i}" for i in range(len(qs))]
+    sel = list(keys)
+    for i, (name, q) in enumerate(zip(names, qs)):
+        h = (F.col("__n__") - 1) * F.lit(float(q))
+        frac = h - F.floor(h)
+        sel.append((F.col(f"__lo{i}__") * (F.lit(1.0) - frac) + F.col(f"__hi{i}__") * frac).alias(name))
+    return res.select(*sel)

@@ -128,3 +128,140 @@ def shingle_fingerprint(col: Column, k: int = 8) -> Column:
     n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n)
     return F.array_min(F.transform(idx, lambda i: F.md5(F.substr(col, i, F.lit(k)))))
+
+
+# ------------------------------------------------------------------
+# C4 / Gopher-style quality-filter rules (public heuristics from the C4
+# corpus construction and the Gopher data pipeline). All pure codegen
+# expressions — a 100 TB filter pass is a parquet scan, no shuffle.
+# ------------------------------------------------------------------
+
+_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _words(col: Column) -> Column:
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def _lines(col: Column) -> Column:
+    return F.split(col, "\n")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(_words(col))
+
+
+def symbol_word_ratio(col: Column, symbols: tuple[str, ...] = ("#", "...")) -> Column:
+    """Gopher: (# symbol occurrences) / words — flags hashtag/ellipsis spam."""
+    n = F.lit(0)
+    for s in symbols:
+        lit = s.replace("\\", "\\\\")
+        n = n + (F.length(col) - F.length(F.replace(col, F.lit(s), F.lit("")))) / len(s)
+    return n / F.greatest(word_count(col), F.lit(1))
+
+
+def alpha_word_ratio(col: Column) -> Column:
+    """Gopher: fraction of words containing at least one alphabetic char."""
+    w = _words(col)
+    hits = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    return hits / F.greatest(F.size(w), F.lit(1))
+
+
+def bullet_line_ratio(col: Column) -> Column:
+    """Gopher: fraction of lines starting with a bullet marker."""
+    ln = _lines(col)
+    hits = F.size(F.filter(ln, lambda x: F.trim(x).rlike(r"^[-*•]")))
+    return hits / F.greatest(F.size(ln), F.lit(1))
+
+
+def ellipsis_line_ratio(col: Column) -> Column:
+    """Gopher: fraction of lines ending in an ellipsis."""
+    ln = _lines(col)
+    hits = F.size(F.filter(ln, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+    return hits / F.greatest(F.size(ln), F.lit(1))
+
+
+def terminal_punct_line_ratio(col: Column) -> Column:
+    """C4: fraction of lines ending in terminal punctuation — C4 keeps
+    only such lines; the ratio form lets callers threshold instead."""
+    ln = _lines(col)
+    hits = F.size(F.filter(ln, lambda x: F.trim(x).rlike(r'[.!?"]$')))
+    return hits / F.greatest(F.size(ln), F.lit(1))
+
+
+def stopword_hits(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Gopher: number of DISTINCT required stopwords present (≥2 ⇒ doc
+    looks like natural language)."""
+    sw = stopwords or _REQUIRED_STOPWORDS
+    low = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    n = F.lit(0)
+    for s in sw:
+        n = n + F.when(low.contains(f" {s} "), 1).otherwise(0)
+    return n
+
+
+def has_blocklist_marker(col: Column, markers: tuple[str, ...] = ("lorem ipsum", "javascript", "{")) -> Column:
+    """C4: boilerplate/code markers ('lorem ipsum' filler, 'enable
+    javascript' warnings, curly braces ⇒ source code). The dirty-word
+    blocklist slot takes the same shape — pass a custom tuple."""
+    low = F.lower(col)
+    out = F.lit(False)
+    for m in markers:
+        out = out | low.contains(m)
+    return out
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Attach the Gopher rule flags + the conjunction ``gopher_keep``.
+    Thresholds default to the published Gopher values; every flag is a
+    separate column so pipelines can audit which rule fired."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("r_word_count", word_count(t).between(min_words, max_words))
+        .withColumn("r_mean_word_len", mean_word_length(t).between(min_mean_word_len, max_mean_word_len))
+        .withColumn("r_symbol_ratio", symbol_word_ratio(t) <= max_symbol_ratio)
+        .withColumn("r_bullet", bullet_line_ratio(t) <= max_bullet_ratio)
+        .withColumn("r_ellipsis", ellipsis_line_ratio(t) <= max_ellipsis_ratio)
+        .withColumn("r_alpha", alpha_word_ratio(t) >= min_alpha_ratio)
+        .withColumn("r_stopwords", stopword_hits(t) >= min_stopword_hits)
+        .withColumn(
+            "gopher_keep",
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_symbol_ratio")
+            & F.col("r_bullet")
+            & F.col("r_ellipsis")
+            & F.col("r_alpha")
+            & F.col("r_stopwords"),
+        )
+    )
+
+
+def c4_quality_flags(df: DataFrame, text_col: str = "text", min_words_per_line: int = 5) -> DataFrame:
+    """C4 rule flags: terminal-punctuation line ratio, ≥3 'sentences'
+    (terminal-punct hits), no boilerplate markers, and the short-line
+    share; conjunction in ``c4_keep``."""
+    t = F.col(text_col)
+    sentences = F.length(t) - F.length(F.regexp_replace(t, r"[.!?]", ""))
+    ln = _lines(t)
+    short_lines = F.size(F.filter(ln, lambda x: F.size(F.split(F.trim(x), r"\s+")) < min_words_per_line))
+    return (
+        df.withColumn("r_terminal_punct", terminal_punct_line_ratio(t).alias("tp"))
+        .withColumn("r_sentences", sentences >= 3)
+        .withColumn("r_no_marker", ~has_blocklist_marker(t))
+        .withColumn("r_short_line_share", short_lines / F.greatest(F.size(ln), F.lit(1)))
+        .withColumn("c4_keep", F.col("r_sentences") & F.col("r_no_marker"))
+    )

@@ -204,3 +204,111 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.length(b)).cast("bigint").alias("total_bytes"),
         F.sum((fs.bytes_to_str(b) == F.col("text")).cast("bigint")).alias("n_roundtrip"),
     )
+
+
+_Q145_HOLIDAYS = ["1995-01-02", "1995-07-04", "1995-12-25", "1996-01-01", "1996-07-04", "1996-12-25"]
+_Q145_HOL_SQL = ", ".join(f"DATE '{h}'" for h in _Q145_HOLIDAYS)
+
+
+@query(
+    "q145_calendar_busdays",
+    f"""
+    SELECT o_orderkey,
+           (isodow(o_orderdate) <= 5
+            AND NOT list_contains([{_Q145_HOL_SQL}], o_orderdate::DATE)) AS is_biz,
+           (list_filter(generate_series(o_orderdate + INTERVAL 1 DAY,
+                                        o_orderdate + INTERVAL 14 DAY, INTERVAL 1 DAY),
+                        x -> isodow(x) <= 5
+                             AND NOT list_contains([{_Q145_HOL_SQL}], x::DATE)))[1]::DATE AS next_biz,
+           len(list_filter(generate_series(o_orderdate,
+                                           o_orderdate + INTERVAL 29 DAY, INTERVAL 1 DAY),
+                           x -> isodow(x) <= 5
+                                AND NOT list_contains([{_Q145_HOL_SQL}], x::DATE)))::INT AS busdays_30
+    FROM orders WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-06-30'
+    """,
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar business-day surface (reference rt_timezone.py:1321
+    declares Calendar and raises NotImplementedError — this EXCEEDS the
+    reference): holiday-aware is_business_day, next_business_day and a
+    30-day busday_count, all literal-array codegen expressions, replayed
+    in the oracle with per-row generate_series walks."""
+    from .functions.calendar import Calendar
+
+    cal = Calendar(_Q145_HOLIDAYS)
+    o = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1996-06-30")
+    )
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        cal.is_business_day(d).alias("is_biz"),
+        cal.next_business_day(d).alias("next_biz"),
+        cal.business_days_between(d, F.date_add(d, 30)).alias("busdays_30"),
+    )
+
+
+@query(
+    "q146_gopher_quality",
+    """
+    WITH w AS (
+        SELECT doc_id, text,
+               string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               len(toks) BETWEEN 50 AND 100000 AS r_word_count,
+               (length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+               ((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                / greatest(len(toks), 1) <= 0.1 AS r_symbol_ratio,
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                / greatest(len(toks), 1) >= 0.8 AS r_alpha,
+               (CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% be %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% that %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% have %' THEN 1 ELSE 0 END
+              + CASE WHEN ' '||lower(text)||' ' LIKE '% with %' THEN 1 ELSE 0 END) >= 2 AS r_stopwords
+        FROM w
+    )
+    SELECT count(*) AS n,
+           sum(r_word_count::INT)::BIGINT AS n_word_count,
+           sum(r_mean_word_len::INT)::BIGINT AS n_mean_word_len,
+           sum(r_symbol_ratio::INT)::BIGINT AS n_symbol_ratio,
+           sum(r_alpha::INT)::BIGINT AS n_alpha,
+           sum(r_stopwords::INT)::BIGINT AS n_stopwords,
+           sum((r_word_count AND r_mean_word_len AND r_symbol_ratio
+                AND r_alpha AND r_stopwords)::INT)::BIGINT AS n_keep
+    FROM f
+    """,
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule quality filtering (public heuristics; beyond-reference
+    LLM-pipeline surface): per-rule pass counts + the conjunction over
+    the documents table. All rules are pure codegen expressions — the
+    100 TB form is a parquet scan with zero shuffles beyond the final
+    count. The line-based rules (bullet/ellipsis/terminal-punct) are
+    trivially true on single-line synthetic docs, so the oracle pins the
+    word/symbol/alpha/stopword family; line rules are unit-tested."""
+    from .operators import text as tx
+
+    d = load_table(spark, sf, "documents")
+    flags = tx.gopher_quality_flags(d)
+    keep = (
+        F.col("r_word_count") & F.col("r_mean_word_len") & F.col("r_symbol_ratio")
+        & F.col("r_alpha") & F.col("r_stopwords")
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r_word_count").cast("bigint")).alias("n_word_count"),
+        F.sum(F.col("r_mean_word_len").cast("bigint")).alias("n_mean_word_len"),
+        F.sum(F.col("r_symbol_ratio").cast("bigint")).alias("n_symbol_ratio"),
+        F.sum(F.col("r_alpha").cast("bigint")).alias("n_alpha"),
+        F.sum(F.col("r_stopwords").cast("bigint")).alias("n_stopwords"),
+        F.sum(keep.cast("bigint")).alias("n_keep"),
+    )

@@ -219,3 +219,26 @@ def test_describe_full_stat_row_reference_parity(spark):
     df = spark.createDataFrame(rows, ["k", "v"])
     r = gb.describe(df, ["k"], "v").first()
     assert r["meanm"] == sum(range(2, 19)) / 17
+
+
+def test_quantile_ranged_matches_sorted(spark):
+    """quantile_ranged (range-partitioned giant-group scale path) must be
+    bit-equal to quantile_sorted: same interpolation, exact order
+    statistics recovered from rank arithmetic across parallel splits —
+    including NULL exclusion, single-row keys, and tied values."""
+    import math
+
+    from riptable_spark.operators import groupby as gb
+
+    rows = []
+    for i in range(5000):
+        rows.append((i % 7, float((i * 37) % 101) if i % 11 else None))
+    rows.append((99, 5.0))  # single-row key
+    df = spark.createDataFrame(rows, "k int, v double")
+    qs = [0.1, 0.25, 0.5, 0.9]
+    a = {r.k: (r.q0, r.q1, r.q2, r.q3) for r in gb.quantile_sorted(df, ["k"], "v", qs).collect()}
+    b = {r.k: (r.q0, r.q1, r.q2, r.q3) for r in gb.quantile_ranged(df, ["k"], "v", qs, npartitions=8).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            assert (x is None and y is None) or math.isclose(x, y, rel_tol=0, abs_tol=0), (k, a[k], b[k])

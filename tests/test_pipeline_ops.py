@@ -91,3 +91,57 @@ def test_pack_sequences_ffd_capacity_and_determinism(spark):
     big = spark.createDataFrame([(0, 0, 999), (1, 0, 10)], ["doc_id", "grp", "toks"])
     b = pl.pack_sequences_ffd(big, ["grp"], "doc_id", "toks", budget=256).toPandas()
     assert b[b.doc_id == 0]["bin"].iloc[0] != b[b.doc_id == 1]["bin"].iloc[0]
+
+
+def test_gopher_line_rules(spark):
+    """Line-based Gopher/C4 rules on crafted multi-line docs (the oracle
+    query q146 covers the word/symbol/alpha/stopword family; synthetic
+    docs are single-line so these need unit fixtures)."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import text as tx
+
+    docs = [
+        (1, "- item one\n- item two\n- item three"),          # all bullets
+        (2, "A sentence.\nAnother one!\nAnd a third?"),        # terminal punct
+        (3, "trailing...\nwait...\nnormal line"),              # ellipses
+        (4, "plain prose line with several words here"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    out = {r.id: r for r in df.select(
+        "id",
+        tx.bullet_line_ratio(F.col("text")).alias("bullet"),
+        tx.ellipsis_line_ratio(F.col("text")).alias("ell"),
+        tx.terminal_punct_line_ratio(F.col("text")).alias("tp"),
+    ).collect()}
+    assert out[1].bullet == 1.0 and out[4].bullet == 0.0
+    assert abs(out[3].ell - 2 / 3) < 1e-12
+    assert out[2].tp == 1.0 and out[4].tp == 0.0
+
+
+def test_c4_markers_and_flags(spark):
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import text as tx
+
+    docs = [
+        (1, "Lorem Ipsum dolor sit amet. More filler. And more."),
+        (2, "Please enable JavaScript to view this page. Thanks. Bye."),
+        (3, "function f() { return 1; } is code. Yes. Indeed."),
+        (4, "This is a real sentence. It has substance. It ends properly."),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    out = {r.id: r.c4_keep for r in tx.c4_quality_flags(df).collect()}
+    assert out == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_gopher_keep_conjunction(spark):
+    from riptable_spark.operators import text as tx
+
+    good = " ".join(
+        "the quick brown fox jumps over with many of and that have be to lazy dogs".split() * 5
+    )
+    bad_symbols = "# " * 120
+    df = spark.createDataFrame([(1, good), (2, bad_symbols), (3, "short text")], "id long, text string")
+    out = {r.id: r.gopher_keep for r in tx.gopher_quality_flags(df).collect()}
+    assert out[1] is True and out[2] is False and out[3] is False
