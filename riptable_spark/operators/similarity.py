@@ -121,6 +121,92 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     return scored.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1).drop("__rn__", "__d__")
 
 
+def kmeans_init(vectors: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding", hash_kind: str = "xxhash64") -> DataFrame:
+    """Deterministic k-means seeding: the k rows with the smallest
+    hash(id) become the initial centroids (TakeOrderedAndProject — no
+    full shuffle). Hash-ordering decorrelates the seeds from ingestion
+    order without any RNG state, so init is byte-identical on rerun —
+    required for the SQL oracle replay and for resumable pipelines.
+    ``hash_kind='md5'`` is the DuckDB-portable 60-bit hash (same
+    convention as dedup._base_hash64)."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sid = F.col(id_col).cast("string")
+    h = (
+        F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
+        if hash_kind == "md5"
+        else F.xxhash64(sid)
+    )
+    return (
+        vectors.select(F.col(id_col), dvec.alias(vec_col), h.alias("__h__"))
+        .orderBy("__h__", id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("__h__", id_col)) - 1).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: DataFrame | None = None,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — trains the IVF coarse
+    quantizer (``ivf_assign``/``ivf_topk``) at corpus scale. Each
+    iteration is exactly two Spark primitives:
+
+    1. assign: broadcast the k centroids, per-row argmin distance
+       (``ivf_assign`` — the corpus never shuffles);
+    2. update: ``groupBy(centroid).agg(avg per dimension)`` via
+       element-wise array aggregation — ONE hash-shuffle of k×dim
+       doubles per partition (map-side partial aggregation), nothing
+       else moves.
+
+    Empty clusters keep their previous centroid. Deterministic
+    (``kmeans_init`` hash seeding) — rerun-stable with no RNG.
+    Returns (centroid_id, centroid_vec, n_members) after ``n_iter``
+    rounds. The per-iteration driver loop is inherent to Lloyd —
+    each round is a full distributed pass, and n_iter is small (5-20);
+    at 100 TB train on a hash-sample (``pipeline.hash_split``) and
+    assign the full corpus once."""
+    spark = vectors.sparkSession
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(F.col(id_col), dvec.alias(vec_col))
+    cents = init if init is not None else kmeans_init(base, k, id_col, vec_col, hash_kind)
+    dim_probe = base.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_probe.d) if dim_probe else 0
+    # centroids materialize to the driver each round (k×dim doubles —
+    # ~100 KB for k=256, dim=64) and re-broadcast as literals: the
+    # standard Lloyd shape; keeps each round's plan two stages deep
+    # instead of compounding 5 rounds of lazy joins
+    state = {int(r["centroid_id"]): (list(r["centroid_vec"]), 0) for r in cents.select("centroid_id", "centroid_vec").collect()}
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, (vec, _) in sorted(state.items())],
+            "centroid_id int, centroid_vec array<double>",
+        )
+        assigned = ivf_assign(base, cdf, id_col=id_col, vec_col=vec_col)
+        sums = assigned.groupBy("centroid_id").agg(
+            *[F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"__s{i}__") for i in range(dim)],
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        rows = sums.collect()
+        # empty clusters keep their previous centroid
+        state = {cid: (vec, 0) for cid, (vec, _) in state.items()}
+        for r in rows:
+            n = int(r["n_members"])
+            state[int(r["centroid_id"])] = ([float(r[f"__s{i}__"]) / n for i in range(dim)], n)
+    return spark.createDataFrame(
+        [(cid, vec, n) for cid, (vec, n) in sorted(state.items())],
+        "centroid_id int, centroid_vec array<double>, n_members long",
+    )
+
+
 def lsh_tables(dim: int, n_tables: int = 4, bits_per_table: int = 4, seed: int = 42) -> list[list[list[float]]]:
     """Deterministic hyperplane sets for multi-table LSH: ``n_tables``
     independent tables of ``bits_per_table`` planes each (one LCG stream,

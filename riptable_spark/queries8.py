@@ -312,3 +312,64 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("r_stopwords").cast("bigint")).alias("n_stopwords"),
         F.sum(keep.cast("bigint")).alias("n_keep"),
     )
+
+
+@query(
+    "q147_kmeans_lloyd",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeded AS (
+        SELECT vec_id, v, ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM base ORDER BY h, vec_id LIMIT 4
+    ),
+    init AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv FROM seeded
+    ),
+    a1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT b.vec_id, b.v, i.cid,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY list_distance(b.v, i.cv), i.cid) AS rn
+            FROM base b, init i
+        ) WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT cid, i, avg(v[i]) AS mu FROM a1, range(1, 65) t(i) GROUP BY cid, i
+    ),
+    c1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM m1 GROUP BY cid),
+    a2 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT b.vec_id, b.v, c.cid,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY list_distance(b.v, c.cv), c.cid) AS rn
+            FROM base b, c1 c
+        ) WHERE rn = 1
+    ),
+    m2 AS (
+        SELECT cid, i, avg(v[i]) AS mu FROM a2, range(1, 65) t(i) GROUP BY cid, i
+    ),
+    c2 AS (SELECT cid, list(mu ORDER BY i) AS cv, (SELECT count(*) FROM a2 WHERE a2.cid = m2.cid) AS n
+           FROM m2 GROUP BY cid, n)
+    SELECT cid AS centroid_id, n::BIGINT AS n_members,
+           round(cv[1], 6) AS c0, round(cv[64], 6) AS c_last
+    FROM c2
+    """,
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd k-means (trains the IVF coarse quantizer — beyond-reference
+    ANN surface): deterministic md5-hash seeding, 2 full iterations of
+    broadcast-assign + one-shuffle per-dimension mean update. The oracle
+    replays BOTH iterations in SQL (argmin via windowed list_distance,
+    element-wise means via a dims cross join), so seeding, assignment
+    tie-breaks, and the update math are all hash-checked. Production
+    callers use hash_kind='xxhash64' and more iterations."""
+    from .operators import similarity as sim
+
+    e = load_table(spark, sf, "embeddings")
+    out = sim.kmeans_fit(e, k=4, n_iter=2, hash_kind="md5")
+    return out.select(
+        "centroid_id",
+        "n_members",
+        F.round(F.element_at("centroid_vec", 1), 6).alias("c0"),
+        F.round(F.element_at("centroid_vec", 64), 6).alias("c_last"),
+    )

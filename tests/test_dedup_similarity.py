@@ -214,3 +214,31 @@ def test_ivf_topk_exhaustive_probe_equals_brute_force(vectors, spark):
     )
     top1 = {r.query_id: r.vec_id for r in one.collect() if r.rank == 1}
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Lloyd k-means on two well-separated blobs: members must split
+    exactly by blob, centroids land on the blob means, empty-cluster
+    guard keeps k rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 100.0
+        rows.append((i, [base + (i % 5) * 0.1, base - (i % 3) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.kmeans_fit(df, k=2, n_iter=4)
+    got = cents.collect()
+    assert len(got) == 2
+    assert sorted(r.n_members for r in got) == [20, 20]
+    means = sorted(r.centroid_vec[0] for r in got)
+    assert abs(means[0] - 0.2) < 0.5 and abs(means[1] - 100.2) < 0.5
+    # assignment agrees with blob membership
+    assigned = sim.ivf_assign(df, cents)
+    sides = {r.centroid_id: set() for r in got}
+    for r in assigned.collect():
+        sides[r.centroid_id].add(r.vec_id % 2)
+    assert all(len(s) == 1 for s in sides.values())
