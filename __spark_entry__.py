@@ -40,7 +40,6 @@ _PRIORITY = [
     "q09_merge_lookup",
     "q10_semi_join",
     "q13_asof_backward",
-    "q15_shift_diff",
     "q16_cumsum",
     "q17_rolling",
     "q18_rank",
@@ -59,12 +58,9 @@ _PRIORITY = [
     "q34_simhash",
     "q35_ema_decay",
     "q37_ohlc",
-    "q40_predicates",
     "q41_math_surface",
-    "q43_datetime_extras",
     "q47_rollup",
     "q48_apply_reduce",
-    "q49_head_tail_nth",
     "q50_ngroup_findnth",
     "q64_timewindow_range",
     "q71_streaming_tumbling",
@@ -82,6 +78,10 @@ _PRIORITY = [
     "q121_searchsorted_array",
     "q122_shift_global",
     "q131_decontaminate",
+    "q141_image_header_decode",
+    "q145_calendar_busdays",
+    "q146_gopher_quality",
+    "q147_kmeans_lloyd",
 ]
 
 
