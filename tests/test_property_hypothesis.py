@@ -323,3 +323,58 @@ def test_imatrix_horizontal_matches_numpy(spark, rows):
     np.testing.assert_allclose(got["m"], exp_mean, rtol=1e-9)
     np.testing.assert_allclose(got["lo"], exp_lo, rtol=1e-9)
     np.testing.assert_allclose(got["hi"], exp_hi, rtol=1e-9)
+
+
+@given(
+    days=st.lists(st.integers(min_value=0, max_value=3650), min_size=1, max_size=30, unique=True),
+    offsets=st.lists(st.integers(min_value=-400, max_value=400), min_size=1, max_size=5),
+    n_holidays=st.integers(min_value=0, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_calendar_busday_count_matches_numpy(spark, days, offsets, n_holidays):
+    """Calendar.business_days_between == np.busday_count on arbitrary
+    date pairs (either order) with arbitrary holiday sets."""
+    import datetime as dt
+
+    from riptable_spark.functions.calendar import Calendar
+
+    base = dt.date(2020, 1, 1)
+    holidays = [base + dt.timedelta(days=(h * 97) % 3650) for h in range(n_holidays)]
+    cal = Calendar(holidays)
+    pairs = [
+        (base + dt.timedelta(days=d), base + dt.timedelta(days=d + o))
+        for d in days
+        for o in offsets
+    ]
+    df = spark.createDataFrame(pairs, "a date, b date")
+    out = df.select("a", "b", cal.business_days_between(F.col("a"), F.col("b")).alias("n")).collect()
+    for r in out:
+        assert r.n == int(np.busday_count(r.a, r.b, holidays=holidays)), (r.a, r.b, holidays)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), st.none()),
+        min_size=2,
+        max_size=120,
+    ),
+    keys=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=120),
+    qs=st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_quantile_ranged_equals_sorted_property(spark, vals, keys, qs):
+    """quantile_ranged (range-partitioned rank arithmetic) is bit-equal
+    to quantile_sorted on arbitrary keyed float data with NULLs, ties,
+    and degenerate groups."""
+    from riptable_spark.operators import groupby as gb
+
+    n = min(len(vals), len(keys))
+    rows = [(int(keys[i]), vals[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    names = [f"q{i}" for i in range(len(qs))]
+    a = {r.k: tuple(r[c] for c in names) for r in gb.quantile_sorted(df, ["k"], "v", qs).collect()}
+    b = {r.k: tuple(r[c] for c in names) for r in gb.quantile_ranged(df, ["k"], "v", qs, npartitions=4).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            assert (x is None and y is None) or x == y or math.isclose(x, y, rel_tol=1e-12), (k, a[k], b[k])
