@@ -145,49 +145,46 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     2799, 3500, 1037, 2517; exact interpolation parity)."""
     li = load_table(spark, sf, "lineitem")
     q = F.col("l_quantity")
-    # Quantile strategy split by value cardinality (both exact,
-    # bit-identical — see gb.quantile_sorted):
-    # - l_quantity (50 distinct): median via the percentile AGGREGATE —
-    #   its value→count map stays tiny; FUSED into quantile_sorted's
-    #   final hash-agg (extra_aggs) along with var/std/sem so the whole
-    #   stat family costs ONE window pass + ONE agg instead of a second
-    #   scan+agg job over lineitem (measured ~0.95→~0.80 s at sf0.1;
-    #   l_extendedprice is never NULL here so the fused rows are
-    #   identical to an unfiltered pass).
-    # - l_extendedprice (583k distinct at sf0.1): sort-based rank-select
-    #   (one window shuffle + cheap agg) — measured 2× faster than the
-    #   percentile aggregate whose map degenerates to all-distinct
-    #   entries, and it spills gracefully at 100 TB instead of holding
-    #   every distinct value of a group in one merge buffer.
+    # ONE fused two-stage hash-agg computes the whole stat family —
+    # median/var/std/sem of quantity AND the price quantiles via the
+    # percentile AGGREGATE (multi-q array form). Exact interpolation,
+    # bit-identical to the sort-based forms (verified). Strategy notes:
+    # - the percentile value→count map is bounded by DISTINCT values,
+    #   which plateau on real data (prices have a finite domain) while
+    #   row counts scale 1000× — so the map rides map-side combine fine;
+    #   measured 1.33→1.08 s vs the previous window rank-select at sf0.1
+    #   (the old "2× slower" measurement was dominated by driver-side
+    #   plan-build cost since removed).
+    # - for GIANT groups over genuinely unbounded-cardinality values the
+    #   exact path is gb.quantile_ranged (range-partitioned parallel
+    #   sort); gb.quantile_sorted remains the one-window middle ground.
     # count_uniques runs as its own two-stage (key,val)→key aggregation
     # and broadcast-joins back: putting countDistinct in the same agg as
     # the percentiles makes Catalyst Expand every input row (2× the scan
     # through the aggregation) — measured 2.2× slower at sf0.1.
-    pq = gb.quantile_sorted(
-        li.select("l_returnflag", "l_extendedprice", "l_quantity"),
-        ["l_returnflag"], "l_extendedprice", [0.25, 0.50, 0.75],
-        out_names=["__p25__", "__p50__", "__p75__"],
-        extra_aggs=[
-            F.round(gb.median(q), 6).alias("med_qty"),
-            F.round(gb.nanvar(q), 6).alias("var_qty"),
-            F.round(gb.nanstd(q), 6).alias("std_qty"),
-            F.round(gb.sem(q), 6).alias("sem_qty"),
-        ],
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(gb.median(q), 6).alias("med_qty"),
+        F.round(gb.nanvar(q), 6).alias("var_qty"),
+        F.round(gb.nanstd(q), 6).alias("std_qty"),
+        F.round(gb.sem(q), 6).alias("sem_qty"),
+        F.percentile(
+            F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("__p__"),
     )
     uniq = (
         li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1).alias("__one__"))
         .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_parts"))
     )
-    return pq.join(F.broadcast(uniq), on="l_returnflag", how="left").select(
+    return agg.join(F.broadcast(uniq), on="l_returnflag", how="left").select(
         "l_returnflag",
         "med_qty",
         "var_qty",
         "std_qty",
         "sem_qty",
         "n_parts",
-        F.round(F.col("__p25__"), 6).alias("p25_price"),
-        F.round(F.col("__p50__"), 6).alias("p50_price"),
-        F.round(F.col("__p75__"), 6).alias("p75_price"),
+        F.round(F.element_at("__p__", 1), 6).alias("p25_price"),
+        F.round(F.element_at("__p__", 2), 6).alias("p50_price"),
+        F.round(F.element_at("__p__", 3), 6).alias("p75_price"),
     )
 
 
