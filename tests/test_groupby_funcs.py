@@ -242,3 +242,27 @@ def test_quantile_ranged_matches_sorted(spark):
     for k in a:
         for x, y in zip(a[k], b[k]):
             assert (x is None and y is None) or math.isclose(x, y, rel_tol=0, abs_tol=0), (k, a[k], b[k])
+
+
+def test_quantile_sorted_extra_aggs_fusion(spark):
+    """extra_aggs folds caller aggregates into quantile_sorted's final
+    hash-agg (one pass instead of a second scan+agg job); results match
+    running them separately."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import groupby as gb
+
+    rows = [(i % 3, float(i % 17), float((i * 7) % 23)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k int, v double, x double")
+    fused = {
+        r.k: (r.q0, r.mx, r.sx)
+        for r in gb.quantile_sorted(
+            df, ["k"], "v", [0.5],
+            extra_aggs=[F.avg("x").alias("mx"), F.sum("x").alias("sx")],
+        ).collect()
+    }
+    sep_q = {r.k: r.q0 for r in gb.quantile_sorted(df, ["k"], "v", [0.5]).collect()}
+    sep_a = {r.k: (r.mx, r.sx) for r in df.groupBy("k").agg(F.avg("x").alias("mx"), F.sum("x").alias("sx")).collect()}
+    for k in fused:
+        assert fused[k][0] == sep_q[k]
+        assert abs(fused[k][1] - sep_a[k][0]) < 1e-9 and abs(fused[k][2] - sep_a[k][1]) < 1e-9
