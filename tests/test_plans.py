@@ -212,3 +212,63 @@ def test_q138_ivf_topk_prunes_to_probed_lists(q):
     assert "BroadcastExchange" in plan
     # the corpus-to-probe join is keyed, not nested-loop over corpus×queries
     assert "centroid_id" in plan
+
+
+def test_q145_calendar_zero_shuffle(q):
+    """Calendar business-day helpers are literal-array codegen — the
+    whole query is a projection over the orders scan, no exchange."""
+    from riptable_spark import queries8  # noqa: F401
+
+    df = q("q145_calendar_busdays")
+    assert pi.count_shuffles(df) == 0
+
+
+def test_q146_gopher_single_agg_shuffle(q):
+    """Quality-rule filtering is a scan + one global aggregation: no
+    keyed shuffle at all — the only exchange is the SinglePartition
+    merge of map-side partial aggregates, so a 100 TB filter pass moves
+    7 longs per partition."""
+    from riptable_spark import queries8  # noqa: F401
+
+    df = q("q146_gopher_quality")
+    assert pi.count_shuffles(df) == 0  # no hash/range exchange
+    assert "Exchange SinglePartition" in pi.simple_plan(df)
+    assert pi.has_partial_aggregate(df)
+
+
+def test_q141_image_decode_no_shuffle(q):
+    """Synthesize → decode are chained mapInPandas stages — Arrow batch
+    flows, zero exchanges."""
+    from riptable_spark import queries8  # noqa: F401
+
+    df = q("q141_image_header_decode")
+    assert pi.count_shuffles(df) == 0
+
+
+def test_kmeans_iteration_shape(spark, sf_dir):
+    """One Lloyd round = broadcast-assign (corpus never shuffles) + ONE
+    map-side-combined hash shuffle of per-dimension sums."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import similarity as sim
+    from riptable_spark.sources.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_init(e, k=4)
+    cdf = spark.createDataFrame(
+        [(i, r.centroid_vec) for i, r in enumerate(cents.collect())],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    assigned = sim.ivf_assign(e, cdf)
+    dim = 8
+    sums = assigned.groupBy("centroid_id").agg(
+        *[F.sum(F.element_at(F.col("embedding"), i + 1)).alias(f"s{i}") for i in range(dim)]
+    )
+    assert pi.has_broadcast_join(sums)
+    # the ivf_assign argmin window partitions by vec_id (pre-partitioned
+    # by nothing → one exchange) plus the agg exchange; what must NOT
+    # appear is a cartesian or a sort-merge join of the corpus
+    plan = pi.plan_string(sums)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert pi.has_partial_aggregate(sums)
