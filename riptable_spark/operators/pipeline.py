@@ -227,3 +227,51 @@ def pack_sequences_ffd(
         return pdf
 
     return df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)
+
+
+# ------------------------------------------------------------------
+# PII scrubbing (CCNet/C4-style pre-training hygiene): regex redaction
+# as pure codegen regexp_replace chains — a 100 TB scrub pass is a
+# parquet scan, zero shuffles. Patterns stay in the RE2-compatible
+# subset so the DuckDB oracle replays them verbatim.
+# ------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters: longer/more-specific first so e.g. credit cards are
+    # not half-eaten by the phone pattern
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_counts(col: Column, patterns: dict[str, str] | None = None) -> list[Column]:
+    """Per-kind PII match counts (aliased ``n_<kind>``) — regexp_count is
+    codegen; use for audit metrics before/after scrubbing."""
+    pats = patterns or PII_PATTERNS
+    return [F.regexp_count(col, F.lit(p)).alias(f"n_{k}") for k, p in pats.items()]
+
+
+def scrub_pii(
+    df,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement_fmt: str = "[{kind}]",
+    out_col: str | None = None,
+    with_counts: bool = True,
+):
+    """Redact PII spans with typed placeholders ('[EMAIL]', '[IPV4]', …)
+    in dict order (specific → general). Adds ``n_<kind>`` pre-scrub
+    audit counts unless ``with_counts=False``. Everything is a
+    regexp_replace/regexp_count projection — no shuffle, no UDF."""
+    pats = patterns or PII_PATTERNS
+    out = out_col or f"{text_col}_scrubbed"
+    scrubbed = F.col(text_col)
+    for kind, pat in pats.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement_fmt.format(kind=kind.upper()))
+    cols = [df[c] for c in df.columns] + [scrubbed.alias(out)]
+    if with_counts:
+        cols += pii_counts(F.col(text_col), pats)
+    return df.select(*cols)

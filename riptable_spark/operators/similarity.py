@@ -155,6 +155,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     init: DataFrame | None = None,
     hash_kind: str = "xxhash64",
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — trains the IVF coarse
     quantizer (``ivf_assign``/``ivf_topk``) at corpus scale. Each
@@ -177,6 +178,11 @@ def kmeans_fit(
     spark = vectors.sparkSession
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = vectors.select(F.col(id_col), dvec.alias(vec_col))
+    if sample_frac is not None and sample_frac < 1.0:
+        # deterministic hash-threshold training sample (the 100 TB shape:
+        # train the quantizer on a slice, assign the full corpus once)
+        thr = int(sample_frac * 10_000)
+        base = base.where(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit("km")), F.lit(10_000)) < thr)
     cents = init if init is not None else kmeans_init(base, k, id_col, vec_col, hash_kind)
     dim_probe = base.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_probe.d) if dim_probe else 0
@@ -271,6 +277,34 @@ def lsh_dedup_pairs(
     return verified.select(
         "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
+
+
+def ivf_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    train_sample_frac: float | None = None,
+) -> DataFrame:
+    """End-to-end IVF ANN: train the coarse quantizer (``kmeans_fit``,
+    optionally on a hash sample), then ``ivf_topk`` (assign corpus,
+    probe ``nprobe`` lists, exact cosine within probed lists). One call
+    from raw embeddings to top-k; recall dial = nprobe/nlist. For a
+    persisted index, run kmeans_fit + ivf_assign once, write partitioned
+    by centroid_id, and serve with ivf_probe + the pruned join."""
+    cents = kmeans_fit(
+        vectors, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col, sample_frac=train_sample_frac
+    ).select("centroid_id", "centroid_vec")
+    return ivf_topk(
+        vectors, cents, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
 
 
 def pairwise_cosine(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95) -> DataFrame:

@@ -373,3 +373,65 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.element_at("centroid_vec", 1), 6).alias("c0"),
         F.round(F.element_at("centroid_vec", 64), 6).alias("c_last"),
     )
+
+
+@query(
+    "q148_pii_scrub",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                            THEN ' contact user' || doc_id || '@example.com now'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 4 = 0
+                            THEN ' from 10.0.' || (doc_id % 256) || '.1 tonight'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                            ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4,
+           len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::INT AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS scrubbed
+    FROM seeded
+    """,
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (CCNet/C4-style hygiene; beyond-reference pipeline
+    surface): deterministic fake PII (emails, IPv4s, phone numbers) is
+    injected from doc_id on BOTH sides, then redacted with the shared
+    RE2-subset patterns — the scrubbed text itself is hash-compared, so
+    regex semantics, replacement order, and placeholders all verify.
+    Zero shuffles (plan-gated)."""
+    from .operators import pipeline as pl
+
+    d = load_table(spark, sf, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1 tonight"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" call 415-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+    pats = {k: pl.PII_PATTERNS[k] for k in ("email", "ipv4", "phone")}
+    seeded = d.select("doc_id", t.alias("t"))
+    out = pl.scrub_pii(seeded, "t", patterns=pats, out_col="scrubbed")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        "scrubbed",
+    )

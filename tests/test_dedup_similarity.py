@@ -242,3 +242,26 @@ def test_kmeans_separates_obvious_clusters(spark):
     for r in assigned.collect():
         sides[r.centroid_id].add(r.vec_id % 2)
     assert all(len(s) == 1 for s in sides.values())
+
+
+def test_ivf_search_end_to_end(spark):
+    """ivf_search with exhaustive probing (nprobe == nlist) equals
+    brute-force top-k; sampled training still returns k results."""
+    from riptable_spark.operators import similarity as sim
+
+    rows = [(i, [float((i * 13 + j * 7) % 19) for j in range(8)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(0, rows[5][1]), (1, rows[77][1])], "query_id long, query_vec array<double>"
+    )
+    exact = {
+        (r.query_id, r.rank): r.vec_id for r in sim.brute_force_topk(vecs, qs, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.vec_id
+        for r in sim.ivf_search(vecs, qs, k=5, nlist=4, nprobe=4, n_iter=3).collect()
+    }
+    assert ivf == exact
+    sampled = sim.ivf_search(vecs, qs, k=5, nlist=4, nprobe=4, n_iter=2, train_sample_frac=0.5)
+    counts = {r.query_id for r in sampled.collect()}
+    assert counts == {0, 1}

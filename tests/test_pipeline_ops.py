@@ -145,3 +145,31 @@ def test_gopher_keep_conjunction(spark):
     df = spark.createDataFrame([(1, good), (2, bad_symbols), (3, "short text")], "id long, text string")
     out = {r.id: r.gopher_keep for r in tx.gopher_quality_flags(df).collect()}
     assert out[1] is True and out[2] is False and out[3] is False
+
+
+def test_scrub_pii_all_kinds(spark):
+    from riptable_spark.operators import pipeline as pl
+
+    text = ("mail a.b-c_d@ex-ample.co.uk card 4111 1111-1111 1111 ssn 123-45-6789 "
+            "ip 192.168.0.255 tel 415.555.0199 clean tail")
+    df = spark.createDataFrame([(1, text), (2, "nothing sensitive here")], "id long, text string")
+    out = {r.id: r for r in pl.scrub_pii(df).collect()}
+    s = out[1].text_scrubbed
+    assert "[EMAIL]" in s and "@" not in s
+    assert "[CREDIT_CARD]" in s and "4111" not in s
+    assert "[SSN]" in s and "123-45-6789" not in s
+    assert "[IPV4]" in s and "192.168" not in s
+    assert "[PHONE]" in s and "0199" not in s
+    assert s.endswith("clean tail")
+    assert (out[1].n_email, out[1].n_credit_card, out[1].n_ssn, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1, 1, 1)
+    assert out[2].text_scrubbed == "nothing sensitive here"
+    assert out[2].n_email == 0
+
+
+def test_scrub_pii_order_credit_card_before_phone(spark):
+    """A credit card must not be half-eaten by the phone pattern."""
+    from riptable_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame([(1, "pay 4111-1111-1111-1111 now")], "id long, text string")
+    s = pl.scrub_pii(df).collect()[0].text_scrubbed
+    assert s == "pay [CREDIT_CARD] now"

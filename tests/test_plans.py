@@ -272,3 +272,12 @@ def test_kmeans_iteration_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert pi.has_partial_aggregate(sums)
+
+
+def test_q148_pii_scrub_zero_shuffle(q):
+    """PII scrubbing is a regexp projection — a 100 TB scrub pass is a
+    scan, no exchange anywhere."""
+    from riptable_spark import queries8  # noqa: F401
+
+    df = q("q148_pii_scrub")
+    assert pi.count_shuffles(df) == 0
