@@ -92,6 +92,54 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple_plan(df))))
 
 
+def lint(df: DataFrame) -> list[str]:
+    """Scale lint: walk the executed plan and flag the patterns that are
+    harmless at sf0.1 and fatal at 100 TB. Returns human-readable
+    warnings (empty list = clean). Checks:
+
+    - ``cartesian-product``: CartesianProduct / unhinted
+      BroadcastNestedLoopJoin — O(n·m) pair generation;
+    - ``global-window``: a Window with an EMPTY partition spec — every
+      row flows through ONE task;
+    - ``global-sort-to-single``: Sort that is global (an orderBy without
+      a following limit collapses to rangepartitioning; fine) — flagged
+      only when the range exchange has 1 partition;
+    - ``python-row-udf``: BatchEvalPython — row-at-a-time Python in the
+      hot path (Arrow stages, which are fine, appear as
+      ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas and are NOT
+      flagged).
+    """
+    warnings: list[str] = []
+    for node in _walk_plan(df._jdf.queryExecution().executedPlan()):
+        name = node.nodeName()
+        if name == "CartesianProduct":
+            warnings.append("cartesian-product: CartesianProduct joins every row with every row")
+        elif name == "BroadcastNestedLoopJoin":
+            warnings.append(
+                "cartesian-product: BroadcastNestedLoopJoin — non-equi join condition; "
+                "fine only when the broadcast side is a scalar/tiny relation"
+            )
+        elif name == "Window":
+            try:
+                spec = node.partitionSpec()
+                if spec.size() == 0:
+                    warnings.append(
+                        "global-window: Window with empty partitionBy — single-task bottleneck; "
+                        "use blocked/rank-arithmetic forms (see window.py ungrouped ops)"
+                    )
+            except Exception:
+                pass
+        elif name == "BatchEvalPython":
+            warnings.append(
+                "python-row-udf: row-at-a-time Python UDF — use built-in exprs or a Pandas UDF"
+            )
+        elif name == "Exchange":
+            part = node.outputPartitioning().toString()
+            if "rangepartitioning" in part and ", 1)" in part:
+                warnings.append("global-sort-to-single: range exchange into ONE partition")
+    return warnings
+
+
 def main() -> None:
     import sys
 

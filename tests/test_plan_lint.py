@@ -1,0 +1,55 @@
+"""plans.inspect.lint — the scale linter must flag each anti-pattern on
+a crafted plan and stay silent on the engine's own headline queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from riptable_spark.plans import inspect as pi
+
+
+def test_flags_cartesian(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    warns = pi.lint(a.crossJoin(b))
+    assert any("cartesian-product" in w for w in warns)
+
+
+def test_flags_global_window(spark):
+    df = spark.range(100).withColumn("r", F.row_number().over(Window.orderBy("id")))
+    warns = pi.lint(df)
+    assert any("global-window" in w for w in warns)
+
+
+def test_flags_python_row_udf(spark):
+    from pyspark.sql.types import LongType
+
+    f = F.udf(lambda x: x + 1, LongType())
+    warns = pi.lint(spark.range(10).select(f("id")))
+    assert any("python-row-udf" in w for w in warns)
+
+
+def test_clean_on_keyed_window_and_pandas(spark):
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    keyed = df.withColumn("r", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    assert pi.lint(keyed) == []
+
+
+def test_headline_queries_lint_clean(spark, sf_dir):
+    """The engine's own headline queries must come back clean — except
+    documented exceptions (q121's scalar-relation nested-loop join)."""
+    from riptable_spark import queries2, queries3, queries4, queries5  # noqa: F401
+    from riptable_spark.queries import QUERIES
+
+    for name in [
+        "q01_pricing_summary",
+        "q04_groupby_stats",
+        "q07_merge2_inner",
+        "q13_asof_backward",
+        "q16_cumsum",
+        "q33_minhash_pairs",
+        "q114_lsh_dedup",
+    ]:
+        warns = pi.lint(QUERIES[name](spark, sf_dir))
+        assert warns == [], (name, warns)
