@@ -120,6 +120,34 @@ def save_dataset(df: DataFrame, path: str, mode: str = "overwrite", partition_by
     writer.parquet(path)
 
 
+def save_sized(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 512,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    sample_rows: int = 2000,
+) -> None:
+    """Compaction-aware parquet writer — the small-files guard. A 100 TB
+    curation job that writes one file per task per partition key makes
+    millions of tiny files and the NEXT job's listing/open overhead
+    becomes the bottleneck. This estimates bytes/row from a driver
+    sample and sets ``maxRecordsPerFile`` so output files land near
+    ``target_file_mb`` (estimate is in-memory size, pre-compression —
+    conservative, so real zstd files come out smaller, never
+    pathologically larger)."""
+    sample = df.limit(sample_rows).toPandas()
+    if len(sample):
+        per_row = max(1, int(sample.memory_usage(deep=True).sum()) // len(sample))
+    else:
+        per_row = 1
+    per_file = max(1, target_file_mb * 1024 * 1024 // per_row)
+    w = df.write.mode(mode).option("maxRecordsPerFile", per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def save_struct(datasets: dict[str, DataFrame], root: str, mode: str = "overwrite") -> None:
     """Nested Struct-of-Datasets save (rt_sds.py nested dirs) → a directory
     tree with one parquet dataset per member."""

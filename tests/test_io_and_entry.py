@@ -181,3 +181,20 @@ def test_bucketed_tables_colocate(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_l")
         spark.sql("DROP TABLE IF EXISTS bt_r")
+
+
+def test_save_sized_splits_files(spark, tmp_path):
+    """save_sized caps records per file from a sampled row-size estimate;
+    a tiny target must yield multiple parquet part files, and the data
+    round-trips."""
+    import glob
+
+    from riptable_spark.sources import io
+
+    df = spark.range(20000).withColumn("payload", F.concat(F.lit("x" * 200), F.col("id").cast("string")))
+    out = str(tmp_path / "sized")
+    io.save_sized(df.repartition(1), out, target_file_mb=1)
+    parts = glob.glob(out + "/part-*.parquet")
+    assert len(parts) > 1, parts
+    back = spark.read.parquet(out)
+    assert back.count() == 20000

@@ -131,3 +131,33 @@ def test_pipeline_ops_compose_with_streams(spark, sf_dir, stream, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_quality_and_pii_ops_stream_parity(spark, sf_dir, tmp_path):
+    """Gopher quality flags and PII scrubbing are stateless projections,
+    so the SAME operator calls run unchanged on a streaming DataFrame —
+    one codepath for the 100 TB backfill and the live ingest. Stream
+    output must equal the batch run row-for-row."""
+    from riptable_spark.operators import pipeline as pl
+    from riptable_spark.operators import text as tx
+    from riptable_spark.streaming import windows as sw
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)  # file source needs a directory
+    sdocs = spark.readStream.schema(docs.schema).format("parquet").load(src)
+
+    def curate(df):
+        flagged = tx.gopher_quality_flags(df)
+        return pl.scrub_pii(flagged, "text", with_counts=False).select(
+            "doc_id", "gopher_keep", F.length("text_scrubbed").alias("scrub_len")
+        )
+
+    got = (
+        sw.run_available_now(curate(sdocs), "curate_stream_test", str(tmp_path / "ckpt_curate"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = curate(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
