@@ -275,3 +275,19 @@ def scrub_pii(
     if with_counts:
         cols += pii_counts(F.col(text_col), pats)
     return df.select(*cols)
+
+
+def filter_blocklist(df, col: str, blocked, keep: bool = False):
+    """Source/domain blocklist filtering (the C4 corpus drops documents
+    from blocklisted domains). ``blocked`` is either a Python list
+    (compiles to a literal isin — pure codegen, the common case: curated
+    blocklists are thousands of entries) or a DataFrame with the same
+    column name (broadcast anti-join — the jumbo-blocklist shape).
+    ``keep=True`` inverts to an allowlist."""
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(blocked, _DF):
+        how = "left_semi" if keep else "left_anti"
+        return df.join(F.broadcast(blocked.select(col).distinct()), on=col, how=how)
+    pred = F.col(col).isin(list(blocked))
+    return df.where(pred if keep else ~pred)

@@ -435,3 +435,26 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_phone").cast("int").alias("n_phone"),
         "scrubbed",
     )
+
+
+@query(
+    "q149_source_blocklist",
+    """
+    SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS chars
+    FROM documents
+    WHERE source NOT IN ('src0', 'src7', 'src13')
+    GROUP BY source
+    """,
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """Source/domain blocklist filtering (C4's URL-blocklist step,
+    beyond-reference pipeline surface): literal-list form compiles to a
+    codegen NOT-isin filter pushed into the scan; the DataFrame form
+    (broadcast anti-join) is unit-tested."""
+    from .operators import pipeline as pl
+
+    d = load_table(spark, sf, "documents")
+    out = pl.filter_blocklist(d, "source", ["src0", "src7", "src13"])
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("bigint").alias("chars")
+    )

@@ -173,3 +173,19 @@ def test_scrub_pii_order_credit_card_before_phone(spark):
     df = spark.createDataFrame([(1, "pay 4111-1111-1111-1111 now")], "id long, text string")
     s = pl.scrub_pii(df).collect()[0].text_scrubbed
     assert s == "pay [CREDIT_CARD] now"
+
+
+def test_filter_blocklist_list_and_df(spark):
+    from riptable_spark.operators import pipeline as pl
+    from riptable_spark.plans import inspect as pi
+
+    df = spark.createDataFrame([(i, f"s{i % 4}") for i in range(40)], "id long, src string")
+    lit_out = pl.filter_blocklist(df, "src", ["s0", "s3"])
+    assert {r.src for r in lit_out.collect()} == {"s1", "s2"}
+    assert pi.count_shuffles(lit_out) == 0
+    bl = spark.createDataFrame([("s0",), ("s3",), ("s3",)], "src string")
+    df_out = pl.filter_blocklist(df, "src", bl)
+    assert {r.src for r in df_out.collect()} == {"s1", "s2"}
+    assert pi.has_broadcast_join(df_out)
+    allow = pl.filter_blocklist(df, "src", ["s1"], keep=True)
+    assert {r.src for r in allow.collect()} == {"s1"}
