@@ -389,3 +389,68 @@ def ngram_jaccard_pairs(
     inter = inter.join(sa, on="id_a").join(sb, on="id_b")
     jac = F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
     return inter.select("id_a", "id_b", jac.alias("jaccard")).where(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    candidate-pair graph by iterative min-label propagation — the step
+    that turns near-dup PAIRS into KEEP/DROP decisions when clusters
+    chain (a~b, b~c ⇒ {a,b,c} even though a~c never collided).
+
+    Each round is one shuffle: labels = min over the node's neighborhood
+    (including itself) of current labels; converged when no label
+    changes. Rounds needed = graph diameter (dup chains are short — a
+    handful); ``max_iter`` bounds pathological chains. Labels materialize
+    per round (collect-free: only the CHANGE COUNT comes to the driver).
+    Returns (node, component) with component = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
+    for _ in range(max_iter):
+        # neighbor labels: for each node, the min label among neighbors
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr, on="node", how="left")
+            .select("node", F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep exactly ONE representative (the min id) per connected
+    duplicate cluster; rows never appearing in a pair keep themselves.
+    This closes minhash_dedup's documented star-shape limitation — its
+    single-pass min-id drop handles stars, this handles arbitrary
+    chains."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    drop = comp.where(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")

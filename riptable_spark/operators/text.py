@@ -265,3 +265,33 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text", min_words_per_line: 
         .withColumn("r_short_line_share", short_lines / F.greatest(F.size(ln), F.lit(1)))
         .withColumn("c4_keep", F.col("r_sentences") & F.col("r_no_marker"))
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary for tokenizer training: (token, n, rank) by
+    descending frequency, ties by token. The corpus-side cost is ONE
+    explode + hash-count (map-side combined — the shuffle carries
+    (token, partial count), never documents); the rank window runs over
+    the AGGREGATED vocabulary relation (≤ distinct-token count, not
+    corpus rows), and ``max_vocab`` truncates by (n desc, token) —
+    deterministic on reruns."""
+    from pyspark.sql import Window
+
+    toks = _words(F.lower(F.col(text_col)))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    if max_vocab is not None:
+        ranked = ranked.where(F.col("rank") <= max_vocab)
+    return ranked

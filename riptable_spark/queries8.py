@@ -458,3 +458,69 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("bigint").alias("chars")
     )
+
+
+@query(
+    "q150_dedup_components",
+    """
+    WITH RECURSIVE base_edges AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst
+        FROM documents
+        WHERE doc_id % 10 < 3 AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+    ),
+    edges AS (
+        SELECT src, dst FROM base_edges
+        UNION SELECT dst AS src, src AS dst FROM base_edges
+    ),
+    walk(node, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT node, min(reach) AS component FROM walk GROUP BY node
+    """,
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster connected components (closes minhash_dedup's
+    documented chain limitation): iterative min-label propagation, one
+    keyed shuffle per round, convergence detected by a change-count (the
+    only driver traffic). The synthetic pair graph (chains of length 4
+    from an arithmetic rule) lets a recursive CTE replay the transitive
+    closure exactly — Spark's fixpoint must equal SQL's."""
+    from .operators import dedup
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    pairs = (
+        d.where(F.col("doc_id") % 10 < 3)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("doc_id") + 1 <= F.col("m"))
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    )
+    return dedup.connected_components(pairs)
+
+
+@query(
+    "q151_build_vocab",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, count(*) AS n FROM toks WHERE length(token) > 0
+        GROUP BY token HAVING count(*) >= 5
+    )
+    SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+    FROM counts QUALIFY rank <= 50
+    """,
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary builder (tokenizer-training input; beyond-reference
+    pipeline surface): explode → map-side-combined count → rank over the
+    aggregated vocab relation only. min_count and max_vocab truncation
+    both deterministic (ties by token)."""
+    from .operators import text as tx
+
+    d = load_table(spark, sf, "documents")
+    return tx.build_vocab(d, min_count=5, max_vocab=50)

@@ -265,3 +265,22 @@ def test_ivf_search_end_to_end(spark):
     sampled = sim.ivf_search(vecs, qs, k=5, nlist=4, nprobe=4, n_iter=2, train_sample_frac=0.5)
     counts = {r.query_id for r in sampled.collect()}
     assert counts == {0, 1}
+
+
+def test_connected_components_chains(spark):
+    """Chains merge transitively (a~b, b~c, c~d → one component) and
+    disjoint clusters stay apart; dedup_by_components keeps exactly the
+    min-id representative per cluster plus all untouched rows."""
+    from riptable_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(25)], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup.dedup_by_components(docs, pairs).collect())
+    assert 1 in kept and all(x not in kept for x in (2, 3, 4, 11, 21))
+    assert 10 in kept and 20 in kept and 5 in kept and len(kept) == 25 - 5
