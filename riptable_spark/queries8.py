@@ -524,3 +524,90 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return tx.build_vocab(d, min_count=5, max_vocab=50)
+
+
+@query(
+    "q152_repeat_tile_bincount",
+    """
+    WITH rep AS (
+        SELECT n_nationkey, u.r AS rep, t.t AS tile
+        FROM nation,
+             unnest(generate_series(0, n_nationkey % 3)) AS u(r),
+             unnest(generate_series(0, 1)) AS t(t)
+    ),
+    bc AS (
+        SELECT g.b AS bin, count(r.n_nationkey)::BIGINT AS n
+        FROM unnest(generate_series(0, (SELECT max(n_nationkey % 3) FROM nation))) AS g(b)
+        LEFT JOIN (SELECT n_nationkey, n_nationkey % 3 AS v FROM nation) r ON r.v = g.b
+        GROUP BY g.b
+    )
+    SELECT rep.n_nationkey, rep.rep, rep.tile, bc.n AS bin_count
+    FROM rep JOIN bc ON bc.bin = rep.rep
+    """,
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """repeat/tile/bincount (rt.repeat, rt.tile, rt_numpy.py:4274
+    bincount — previously tests-only): per-row repeat counts via
+    explode(sequence) (no shuffle, rows stay in their partition), whole-
+    table tiling, and a DENSE bincount (zeros for absent bins) built from
+    a range() relation left-joined to the count agg — never a collect."""
+    from .operators import reshape
+
+    n = load_table(spark, sf, "nation")
+    rep = reshape.repeat_rows(n.select("n_nationkey"), (F.col("n_nationkey") % 3 + 1))
+    rep = reshape.tile_rows(rep, 2).select(
+        "n_nationkey", F.col("__rep__").alias("rep"), F.col("__tile__").alias("tile")
+    )
+    bc = reshape.bincount(n.select((F.col("n_nationkey") % 3).alias("v")), "v")
+    return rep.join(
+        F.broadcast(bc.select(F.col("bin"), F.col("n").cast("bigint").alias("bin_count"))),
+        on=rep["rep"] == F.col("bin"),
+    ).select("n_nationkey", "rep", "tile", "bin_count")
+
+
+@query(
+    "q153_minmax_nan_args",
+    """
+    WITH w AS (
+        SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rid,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'NaN'::DOUBLE ELSE o_totalprice END AS v
+        FROM orders
+    ),
+    m AS (
+        SELECT rid, v,
+               CASE WHEN isnan(v) THEN 'NaN'::DOUBLE ELSE least(v, 50000.0) END AS mn,
+               CASE WHEN isnan(v) THEN 'NaN'::DOUBLE ELSE greatest(v, 50000.0) END AS mx
+        FROM w
+    )
+    SELECT sum(CASE WHEN isnan(mn) THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+           round(sum(CASE WHEN NOT isnan(mn) THEN mn END), 2) AS sum_min,
+           round(sum(CASE WHEN NOT isnan(mx) THEN mx END), 2) AS sum_max,
+           (SELECT min(rid) FROM m WHERE NOT isnan(v)
+             AND v = (SELECT min(v) FROM m WHERE NOT isnan(v)))::BIGINT AS argmin_pos,
+           (SELECT min(rid) FROM m WHERE NOT isnan(v)
+             AND v = (SELECT max(v) FROM m WHERE NOT isnan(v)))::BIGINT AS argmax_pos
+    FROM m
+    """,
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """NaN-propagating elementwise maximum/minimum (rt_numpy minimum —
+    np.minimum(nan, x) is nan, where Spark's least would skip the NaN)
+    and nanargmin/nanargmax positions (min_by/max_by over (value, rowid)
+    with numpy's lowest-position tie-break) — previously tests-only."""
+    from .functions import math as fm
+    from .sources.io import with_rowid
+
+    o = load_table(spark, sf, "orders")
+    w = with_rowid(o.select("o_orderkey", "o_totalprice"), "o_orderkey")
+    v = F.when(F.col("o_orderkey") % 7 == 0, F.lit(float("nan"))).otherwise(F.col("o_totalprice"))
+    d = w.select(F.col("__rowid__").alias("rid"), v.alias("v"))
+    mn = fm.minimum(F.col("v"), F.lit(50000.0))
+    mx = fm.maximum(F.col("v"), F.lit(50000.0))
+    nn = ~F.isnan(F.col("v"))
+    return d.agg(
+        F.sum(F.isnan(mn).cast("bigint")).alias("n_nan"),
+        F.round(F.sum(F.when(~F.isnan(mn), mn)), 2).alias("sum_min"),
+        F.round(F.sum(F.when(~F.isnan(mx), mx)), 2).alias("sum_max"),
+        F.min_by(F.when(nn, F.col("rid")), F.when(nn, F.struct(F.col("v"), F.col("rid")))).alias("argmin_pos"),
+        F.max_by(F.when(nn, F.col("rid")), F.when(nn, F.struct(F.col("v"), (-F.col("rid")).alias("__nr__")))).alias("argmax_pos"),
+    )
