@@ -92,6 +92,10 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple_plan(df))))
 
 
+def _has_aggregate_below(node) -> bool:
+    return any("Aggregate" in n.nodeName() for n in _walk_plan(node))
+
+
 def lint(df: DataFrame) -> list[str]:
     """Scale lint: walk the executed plan and flag the patterns that are
     harmless at sf0.1 and fatal at 100 TB. Returns human-readable
@@ -122,10 +126,15 @@ def lint(df: DataFrame) -> list[str]:
         elif name == "Window":
             try:
                 spec = node.partitionSpec()
-                if spec.size() == 0:
+                if spec.size() == 0 and not _has_aggregate_below(node):
+                    # a global window over an AGGREGATED relation is the
+                    # legitimate rank-map pattern (rankdata, build_vocab):
+                    # its row count is the group cardinality, not the
+                    # corpus — only flag raw-data global windows
                     warnings.append(
-                        "global-window: Window with empty partitionBy — single-task bottleneck; "
-                        "use blocked/rank-arithmetic forms (see window.py ungrouped ops)"
+                        "global-window: Window with empty partitionBy over unaggregated input — "
+                        "single-task bottleneck; use blocked/rank-arithmetic forms "
+                        "(see window.py ungrouped ops)"
                     )
             except Exception:
                 pass

@@ -53,3 +53,17 @@ def test_headline_queries_lint_clean(spark, sf_dir):
     ]:
         warns = pi.lint(QUERIES[name](spark, sf_dir))
         assert warns == [], (name, warns)
+
+
+def test_global_window_over_aggregate_is_clean(spark, sf_dir):
+    """The rank-map pattern — a global window over a pre-aggregated
+    (group-cardinality-sized) relation — must NOT be flagged; raw-data
+    global windows still are (covered above)."""
+    from riptable_spark.operators import text as tx
+    from riptable_spark.operators import window as wi
+    from riptable_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert pi.lint(tx.build_vocab(docs, min_count=2, max_vocab=10)) == []
+    li = load_table(spark, sf_dir, "lineitem")
+    assert pi.lint(wi.rankdata(li, "l_quantity")) == []
