@@ -407,3 +407,66 @@ def multikeyhash(df: DataFrame, cols: list[str], out_col: str = "__mkhash__") ->
     first/next linked lists per hash bucket; those exist here as the
     make_ifirst/make_inext family (operators.positional)."""
     return df.withColumn(out_col, F.xxhash64(*[F.col(c) for c in cols]))
+
+
+# ---------------------------------------------------------------------------
+# Range / interval join (the custom-operator family the reference's asof
+# join belongs to; no direct riptable equivalent — asof covers the
+# "latest value at t" case, this covers "which interval contains t").
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | None = None,
+    how: str = "inner",
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Point-in-interval join: each left row matches right rows with
+    ``start <= point < end`` (optionally also equal on ``by`` keys).
+
+    Physical strategy: a naive ``ON p >= s AND p < e`` is a
+    BroadcastNestedLoopJoin — O(|L|·|R|), the classic 100 TB
+    scale-killer. With ``bucket_width`` set, both sides map to a coarse
+    grid: points to ``floor(p/w)``, intervals EXPLODE to every bucket
+    they overlap (cost = interval_span/w extra rows — pick w near the
+    typical span), and the join becomes an EQUI-join on (by…, bucket)
+    with the exact range predicate as a residual filter. AQE handles
+    bucket skew like any keyed join. Without ``bucket_width`` the naive
+    form is used (fine when one side broadcasts)."""
+    p = F.col(point_col)
+    on_exact = (p >= F.col(start_col)) & (p < F.col(end_col))
+    keys = list(by or [])
+    if bucket_width is None:
+        cond = on_exact
+        for k in keys:
+            cond = cond & (left[k] == right[k])
+        return left.join(right, on=cond, how=how)
+    w = float(bucket_width)
+    lb = left.withColumn("__bkt__", F.floor(p / F.lit(w)).cast("long"))
+    span = F.sequence(
+        F.floor(F.col(start_col) / F.lit(w)).cast("long"),
+        # end is exclusive: an interval ending exactly on a bucket
+        # boundary does not reach into that bucket — ceil(e/w)-1 is
+        # exact for both integer and float domains (no epsilon hacks)
+        F.greatest(
+            F.ceil(F.col(end_col) / F.lit(w)).cast("long") - 1,
+            F.floor(F.col(start_col) / F.lit(w)).cast("long"),
+        ),
+    )
+    rb = right.withColumn("__bkt__", F.explode(span))
+    joined = lb.join(rb, on=keys + ["__bkt__"], how="inner").where(on_exact).drop("__bkt__")
+    if how == "inner":
+        return joined
+    if how == "left":
+        # reattach unmatched left rows (anti-join on the matched set)
+        matched = joined.select(*[lb[c] for c in left.columns]).distinct()
+        unmatched = left.join(matched, on=left.columns, how="left_anti")
+        for c in right.columns:
+            if c not in left.columns:
+                unmatched = unmatched.withColumn(c, F.lit(None))
+        return joined.unionByName(unmatched, allowMissingColumns=True)
+    raise ValueError(f"unsupported how={how!r} for bucketized range_join")

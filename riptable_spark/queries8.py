@@ -611,3 +611,73 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
         F.min_by(F.when(nn, F.col("rid")), F.when(nn, F.struct(F.col("v"), F.col("rid")))).alias("argmin_pos"),
         F.max_by(F.when(nn, F.col("rid")), F.when(nn, F.struct(F.col("v"), (-F.col("rid")).alias("__nr__")))).alias("argmax_pos"),
     )
+
+
+@query(
+    "q154_assoc_index_copy",
+    """
+    WITH r AS (
+        SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rid, o_custkey, o_totalprice
+        FROM orders
+    ),
+    firsts AS (
+        SELECT o_custkey, min(rid)::BIGINT AS assoc_index,
+               arg_min(o_totalprice, rid) AS first_price
+        FROM r GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, f.assoc_index, round(f.first_price, 2) AS first_price
+    FROM customer c LEFT JOIN firsts f ON f.o_custkey = c.c_custkey
+    """,
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """assoc_index / assoc_copy (rt_numpy.py:1396 — previously
+    tests-only): first-match position per key via a map-side-combined
+    min-rowid aggregate + keyed equi-join (the reduced side broadcasts),
+    and the fused gather (min_by) pulling the first match's columns.
+    NULL index/values where a customer has no orders."""
+    from .operators import positional as pos
+    from .sources.io import with_rowid
+
+    o = with_rowid(load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey")
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    idx = pos.assoc_index(c, o, ["o_custkey"])
+    cp = pos.assoc_copy(c, o, ["o_custkey"], ["o_totalprice"])
+    out = idx.join(cp.withColumnRenamed("o_totalprice", "first_price"), on="o_custkey")
+    return out.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("assoc_index").cast("bigint").alias("assoc_index"),
+        F.round("first_price", 2).alias("first_price"),
+    )
+
+
+@query(
+    "q155_range_join",
+    """
+    WITH iv AS (
+        SELECT n_nationkey AS iv_id,
+               (n_nationkey * 400)::DOUBLE AS lo,
+               (n_nationkey * 400 + 900)::DOUBLE AS hi
+        FROM nation
+    )
+    SELECT o.o_orderkey, iv.iv_id
+    FROM orders o JOIN iv ON o.o_totalprice >= iv.lo AND o.o_totalprice < iv.hi
+    WHERE o.o_orderkey < 3000
+    """,
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval range join (the custom-operator family the
+    brief names alongside as-of): OVERLAPPING intervals derived from
+    nation keys, matched against order totalprice. The bucketized path
+    explodes intervals to a coarse grid and equi-joins on the bucket —
+    never a nested-loop — with the exact predicate as residual filter;
+    the oracle is the plain non-equi SQL join."""
+    from .operators import merge as mg
+
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") < 3000).select("o_orderkey", "o_totalprice")
+    n = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("iv_id"),
+        (F.col("n_nationkey") * 400).cast("double").alias("lo"),
+        (F.col("n_nationkey") * 400 + 900).cast("double").alias("hi"),
+    )
+    out = mg.range_join(o, n, "o_totalprice", "lo", "hi", bucket_width=500.0)
+    return out.select("o_orderkey", "iv_id")

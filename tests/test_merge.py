@@ -251,3 +251,59 @@ def test_asof_null_keys_never_match(spark):
         }
         assert out["l_null"] is None, direction
         assert out["l_ok"] == want_ok, direction
+
+
+def test_range_join_bucketized_matches_naive(spark):
+    """Bucketized range_join == naive non-equi join on overlapping
+    intervals, boundary-exclusive ends, several bucket widths, and the
+    left-outer form; by-key partitioning respected."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import merge as mg
+
+    pts = spark.createDataFrame(
+        [(i, "g" if i % 2 == 0 else "h", float(i * 3 % 50)) for i in range(60)], "pid long, k string, p double"
+    )
+    ivs = spark.createDataFrame(
+        [(j, "g" if j % 2 == 0 else "h", float(j * 7 % 40), float(j * 7 % 40 + 12)) for j in range(20)],
+        "iid long, k string, lo double, hi double",
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in mg.range_join(pts, ivs.withColumnRenamed("k", "k2"), "p", "lo", "hi").where(
+            F.col("k") == F.col("k2")
+        ).collect()
+    }
+    for width in (1.0, 5.0, 12.0, 100.0):
+        got = {
+            (r.pid, r.iid)
+            for r in mg.range_join(pts, ivs, "p", "lo", "hi", by=["k"], bucket_width=width).collect()
+        }
+        assert got == naive, width
+    # boundary exclusivity: p == hi never matches, p == lo does
+    b_pts = spark.createDataFrame([(1, 10.0), (2, 22.0)], "pid long, p double")
+    b_ivs = spark.createDataFrame([(9, 10.0, 22.0)], "iid long, lo double, hi double")
+    got = {(r.pid, r.iid) for r in mg.range_join(b_pts, b_ivs, "p", "lo", "hi", bucket_width=4.0).collect()}
+    assert got == {(1, 9)}
+    # left-outer keeps unmatched points with NULL interval
+    lo = mg.range_join(b_pts, b_ivs, "p", "lo", "hi", how="left", bucket_width=4.0)
+    rows = {r.pid: r.iid for r in lo.collect()}
+    assert rows == {1: 9, 2: None}
+
+
+def test_range_join_bucketized_is_equi_join(spark):
+    from riptable_spark.operators import merge as mg
+    from riptable_spark.plans import inspect as pi
+
+    pts = spark.range(100).select(F.col("id").alias("pid"), (F.col("id") % 37).cast("double").alias("p"))
+    ivs = spark.range(10).select(
+        F.col("id").alias("iid"), (F.col("id") * 4).cast("double").alias("lo"), (F.col("id") * 4 + 9).cast("double").alias("hi")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = pi.plan_string(mg.range_join(pts, ivs, "p", "lo", "hi", bucket_width=8.0))
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
