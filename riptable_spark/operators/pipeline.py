@@ -291,3 +291,27 @@ def filter_blocklist(df, col: str, blocked, keep: bool = False):
         return df.join(F.broadcast(blocked.select(col).distinct()), on=col, how=how)
     pred = F.col(col).isin(list(blocked))
     return df.where(pred if keep else ~pred)
+
+
+def sample_k_per_group(
+    df,
+    group_cols: list[str],
+    k: int,
+    id_col: str,
+    hash_kind: str = "xxhash64",
+):
+    """Deterministic exact-k sample per group (per-language caps, per-
+    source balancing): rank rows inside each group by hash(id) — a
+    uniform random order that is rerun-stable with no RNG state — and
+    keep the first k. One keyed window shuffle; groups sample
+    independently, so skew is bounded by the biggest group's sort (use
+    the md5 hash_kind for SQL-replayable oracles)."""
+    from pyspark.sql import Window
+
+    h = _hash_bucket(F.col(id_col), 1 << 61, hash_kind)
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__srn__", F.row_number().over(w))
+        .where(F.col("__srn__") <= k)
+        .drop("__srn__")
+    )

@@ -681,3 +681,25 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = mg.range_join(o, n, "o_totalprice", "lo", "hi", bucket_width=500.0)
     return out.select("o_orderkey", "iv_id")
+
+
+@query(
+    "q156_sample_k_per_group",
+    """
+    SELECT lang, doc_id
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+    ) <= 7
+    """,
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k per-group sampling (per-language caps for corpus
+    balancing): hash-of-id ordering gives a uniform, rerun-stable random
+    order with no RNG; one keyed window shuffle. The md5 hash mode lets
+    the oracle replay the EXACT sample membership."""
+    from .operators import pipeline as pl
+
+    d = load_table(spark, sf, "documents").select("lang", "doc_id")
+    return pl.sample_k_per_group(d, ["lang"], 7, "doc_id", hash_kind="md5")

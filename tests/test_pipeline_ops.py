@@ -189,3 +189,18 @@ def test_filter_blocklist_list_and_df(spark):
     assert pi.has_broadcast_join(df_out)
     allow = pl.filter_blocklist(df, "src", ["s1"], keep=True)
     assert {r.src for r in allow.collect()} == {"s1"}
+
+
+def test_sample_k_per_group_prefix_property(spark):
+    """Exact counts per group (capped by group size), determinism across
+    calls, and the prefix property: the k=2 sample is a subset of k=5."""
+    from riptable_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame([(i, f"g{i % 3}") for i in range(40)], "id long, g string")
+    s5 = {(r.g, r.id) for r in pl.sample_k_per_group(df, ["g"], 5, "id").collect()}
+    s2 = {(r.g, r.id) for r in pl.sample_k_per_group(df, ["g"], 2, "id").collect()}
+    assert len(s5) == 15 and len(s2) == 6
+    assert s2 <= s5
+    assert s5 == {(r.g, r.id) for r in pl.sample_k_per_group(df, ["g"], 5, "id").collect()}
+    tiny = spark.createDataFrame([(1, "solo")], "id long, g string")
+    assert len(pl.sample_k_per_group(tiny, ["g"], 5, "id").collect()) == 1
