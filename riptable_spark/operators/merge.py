@@ -470,3 +470,49 @@ def range_join(
                 unmatched = unmatched.withColumn(c, F.lit(None))
         return joined.unionByName(unmatched, allowMissingColumns=True)
     raise ValueError(f"unsupported how={how!r} for bucketized range_join")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: list[str] | None = None,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join (half-open intervals overlap iff
+    ``ls < re AND rs < le``) — the sibling of range_join for
+    session-vs-outage, position-vs-window style matches.
+
+    Scale path mirrors range_join: BOTH sides explode to the coarse-grid
+    buckets they span, the join is an equi-join on (by…, bucket) with
+    the exact overlap predicate as residual, and duplicate matches from
+    pairs overlapping in several buckets are canonicalized by keeping
+    only the bucket containing max(ls, rs) — the overlap's first bucket
+    — so no distinct/dedup shuffle is needed."""
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    overlap = (ls < re_) & (rs < le)
+    keys = list(by or [])
+    if bucket_width is None:
+        cond = overlap
+        for k in keys:
+            cond = cond & (left[k] == right[k])
+        return left.join(right, on=cond, how="inner")
+    w = float(bucket_width)
+
+    def span(s, e):
+        first = F.floor(s / F.lit(w)).cast("long")
+        last = F.greatest(F.ceil(e / F.lit(w)).cast("long") - 1, first)
+        return F.sequence(first, last)
+
+    lb = left.withColumn("__bkt__", F.explode(span(ls, le)))
+    rb = right.withColumn("__bkt__", F.explode(span(rs, re_)))
+    first_shared = F.floor(F.greatest(ls, rs) / F.lit(w)).cast("long")
+    return (
+        lb.join(rb, on=keys + ["__bkt__"], how="inner")
+        .where(overlap & (F.col("__bkt__") == first_shared))
+        .drop("__bkt__")
+    )

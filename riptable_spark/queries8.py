@@ -703,3 +703,38 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").select("lang", "doc_id")
     return pl.sample_k_per_group(d, ["lang"], 7, "doc_id", hash_kind="md5")
+
+
+@query(
+    "q157_interval_overlap_join",
+    """
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice AS als, o_totalprice + 800 AS ale
+        FROM orders WHERE o_orderkey < 2000
+    ),
+    b AS (
+        SELECT n_nationkey, (n_nationkey * 3000)::DOUBLE AS bls,
+               (n_nationkey * 3000 + 5000)::DOUBLE AS ble
+        FROM nation
+    )
+    SELECT a.o_orderkey, b.n_nationkey
+    FROM a JOIN b ON a.als < b.ble AND b.bls < a.ale
+    """,
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval × interval overlap join (range_join's sibling): both
+    sides explode to grid buckets, equi-join + residual overlap filter;
+    duplicate multi-bucket matches canonicalize to the overlap's first
+    bucket (no dedup shuffle). Oracle is the plain non-equi SQL."""
+    from .operators import merge as mg
+
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", F.col("o_totalprice").alias("als"), (F.col("o_totalprice") + 800).alias("ale")
+    )
+    n = load_table(spark, sf, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 3000).cast("double").alias("bls"),
+        (F.col("n_nationkey") * 3000 + 5000).cast("double").alias("ble"),
+    )
+    out = mg.interval_overlap_join(o, n, "als", "ale", "bls", "ble", bucket_width=4000.0)
+    return out.select("o_orderkey", "n_nationkey")

@@ -307,3 +307,28 @@ def test_range_join_bucketized_is_equi_join(spark):
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    from riptable_spark.operators import merge as mg
+
+    a = spark.createDataFrame(
+        [(i, float(i * 5 % 60), float(i * 5 % 60 + (i % 4) * 7 + 1)) for i in range(40)],
+        "aid long, als double, ale double",
+    )
+    b = spark.createDataFrame(
+        [(j, float(j * 9 % 55), float(j * 9 % 55 + 11)) for j in range(15)],
+        "bid long, bls double, ble double",
+    )
+    naive = {(r.aid, r.bid) for r in mg.interval_overlap_join(a, b, "als", "ale", "bls", "ble").collect()}
+    assert naive  # non-trivial fixture
+    for width in (2.0, 7.0, 30.0, 200.0):
+        got = {
+            (r.aid, r.bid)
+            for r in mg.interval_overlap_join(a, b, "als", "ale", "bls", "ble", bucket_width=width).collect()
+        }
+        assert got == naive, width
+    # half-open semantics: touching intervals do not overlap
+    t1 = spark.createDataFrame([(1, 0.0, 10.0)], "aid long, als double, ale double")
+    t2 = spark.createDataFrame([(2, 10.0, 20.0)], "bid long, bls double, ble double")
+    assert mg.interval_overlap_join(t1, t2, "als", "ale", "bls", "ble", bucket_width=4.0).count() == 0
