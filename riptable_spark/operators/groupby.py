@@ -370,3 +370,27 @@ def quantile_ranged(
         frac = h - F.floor(h)
         sel.append((F.col(f"__lo{i}__") * (F.lit(1.0) - frac) + F.col(f"__hi{i}__") * frac).alias(name))
     return res.select(*sel)
+
+
+# --------------------------------------------------------------------
+# Approximate scale dials: when exactness is negotiable, these swap an
+# exact aggregate's memory/shuffle profile for a bounded-size sketch.
+
+
+def quantile_approx(col, q, accuracy: int = 10_000, flt=None):
+    """percentile_approx (Greenwald-Khanna sketch): bounded-memory
+    grouped quantiles — relative rank error ≤ 1/accuracy. The dial for
+    quantiles over unbounded-cardinality values when quantile_ranged's
+    extra shuffle isn't worth it and exactness isn't contractual."""
+    c = _maybe_filter(col, flt)
+    if isinstance(q, (list, tuple)):
+        return F.percentile_approx(c, F.array(*[F.lit(float(x)) for x in q]), F.lit(accuracy))
+    return F.percentile_approx(c, F.lit(float(q)), F.lit(accuracy))
+
+
+def count_uniques_approx(col, rsd: float = 0.05, flt=None):
+    """approx_count_distinct (HyperLogLog++): fixed-size sketch per
+    group vs count_distinct's per-value hash sets — the dial for
+    distinct counts over very-high-cardinality values (relative
+    standard deviation ``rsd``)."""
+    return F.approx_count_distinct(_maybe_filter(col, flt), rsd=rsd)

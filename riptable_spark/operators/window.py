@@ -566,3 +566,23 @@ def rankdata(df: DataFrame, colname: str, out_col: str = "rank", method: str = "
         rank_expr = F.col("__below__") + (F.col("__cnt__") + 1) / 2.0
     ranks = ranked.select(colname, rank_expr.alias(out_col))
     return df.join(F.broadcast(ranks), on=colname, how="left")
+
+
+def grouped_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows per group. Compiles to rank-filter form that Spark's
+    WindowGroupLimit optimization turns into a per-partition streaming
+    top-k (each map task keeps a k-row heap per group BEFORE the
+    exchange) — the grouped analogue of TakeOrderedAndProject; the
+    shuffle then carries ≤ k rows per (group, partition), not the table.
+    Ties broken by ``tiebreak`` columns for determinism."""
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [oc] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("__tk__", F.row_number().over(w)).where(F.col("__tk__") <= k).drop("__tk__")

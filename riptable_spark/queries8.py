@@ -738,3 +738,23 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = mg.interval_overlap_join(o, n, "als", "ale", "bls", "ble", bucket_width=4000.0)
     return out.select("o_orderkey", "n_nationkey")
+
+
+@query(
+    "q158_grouped_topk",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped top-k (top-3 orders per customer): the rank-filter shape
+    Spark rewrites into WindowGroupLimit — a per-partition streaming
+    k-heap BEFORE the exchange, so the shuffle carries at most k rows
+    per (group, partition) instead of the whole table (plan-gated)."""
+    from .operators import window as wi
+
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return wi.grouped_topk(o, ["o_custkey"], "o_totalprice", 3, tiebreak=["o_orderkey"])

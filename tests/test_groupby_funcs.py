@@ -266,3 +266,23 @@ def test_quantile_sorted_extra_aggs_fusion(spark):
     for k in fused:
         assert fused[k][0] == sep_q[k]
         assert abs(fused[k][1] - sep_a[k][0]) < 1e-9 and abs(fused[k][2] - sep_a[k][1]) < 1e-9
+
+
+def test_approx_dials_within_bounds(spark, sf_dir):
+    """Approximate aggregates must land within their advertised error of
+    the exact values (the scale-dial contract)."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import groupby as gb
+    from riptable_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.groupBy("l_returnflag").agg(
+        gb.quantile(F.col("l_extendedprice"), 0.5).alias("exact_med"),
+        gb.quantile_approx(F.col("l_extendedprice"), 0.5).alias("approx_med"),
+        gb.count_uniques(F.col("l_partkey")).alias("exact_nd"),
+        gb.count_uniques_approx(F.col("l_partkey")).alias("approx_nd"),
+    ).collect()
+    for r in row:
+        assert abs(r.approx_med - r.exact_med) / r.exact_med < 0.02, r
+        assert abs(r.approx_nd - r.exact_nd) / max(r.exact_nd, 1) < 0.15, r

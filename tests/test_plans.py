@@ -281,3 +281,13 @@ def test_q148_pii_scrub_zero_shuffle(q):
 
     df = q("q148_pii_scrub")
     assert pi.count_shuffles(df) == 0
+
+
+def test_q158_grouped_topk_uses_window_group_limit(q):
+    """The rank filter must compile to WindowGroupLimit (per-partition
+    streaming top-k before the exchange) — without it, the full table
+    shuffles into the window sort."""
+    from riptable_spark import queries8  # noqa: F401
+
+    df = q("q158_grouped_topk")
+    assert "WindowGroupLimit" in pi.simple_plan(df)
