@@ -82,6 +82,10 @@ _PRIORITY = [
     "q145_calendar_busdays",
     "q146_gopher_quality",
     "q147_kmeans_lloyd",
+    "q150_dedup_components",
+    "q155_range_join",
+    "q158_grouped_topk",
+    "q159_pq_adc",
 ]
 
 

@@ -372,6 +372,69 @@ def quantile_ranged(
     return res.select(*sel)
 
 
+def quantile_agg(
+    df: DataFrame,
+    keys: list[str],
+    valcol: str,
+    qs: list[float],
+    out_names: list[str] | None = None,
+) -> DataFrame:
+    """Exact grouped quantiles via the value-map percentile AGGREGATE —
+    the winning shape when the value column has FEW distinct values (the
+    per-group value→count map stays tiny and merges map-side). Same
+    linear-interpolation semantics as ``quantile_sorted`` (bit-equal,
+    verified). Loses badly when values are near-all-distinct: the map
+    degenerates to one entry per row and the final merge concentrates a
+    whole group's values in one buffer."""
+    names = out_names or [f"q{i}" for i in range(len(qs))]
+    arr = F.expr(
+        f"percentile(`{valcol}`, array({', '.join(repr(float(q)) + 'D' for q in qs)}))"
+    ).alias("__qarr__")
+    res = df.where(F.col(valcol).isNotNull()).groupBy(*keys).agg(arr)
+    return res.select(*keys, *[F.col("__qarr__")[i].alias(n) for i, n in enumerate(names)])
+
+
+def quantile_auto(
+    df: DataFrame,
+    keys: list[str],
+    valcol: str,
+    qs: list[float],
+    out_names: list[str] | None = None,
+    distinct_threshold: int = 10_000,
+    giant_group_rows: int = 50_000_000,
+) -> DataFrame:
+    """Exact grouped quantiles with the physical strategy chosen by a
+    one-scan probe instead of the caller's guess. The probe is a single
+    scan-only aggregate (two HyperLogLog sketches + a count — partial
+    aggregation, NO shuffle, a few KB to the driver):
+
+    - distinct(values) ≤ ``distinct_threshold`` → ``quantile_agg``
+      (value-map percentile aggregate; map bounded by distinct values);
+    - else, estimated rows-per-group = n / distinct(keys) ≤
+      ``giant_group_rows`` → ``quantile_sorted`` (one window sort per
+      group; spills gracefully);
+    - else → ``quantile_ranged`` (range-partitioned parallel sorts; no
+      single task ever sorts a whole giant group).
+
+    The rows-per-group estimate is an AVERAGE — a heavily skewed key
+    can exceed it; callers who know their skew should call
+    ``quantile_ranged`` directly (documented; the estimate errs on the
+    conservative side only via ``giant_group_rows``'s default, sized so
+    the straggler sort stays under one task's memory). All three
+    branches produce bit-identical results (tested); only the physical
+    plan differs."""
+    probe = df.where(F.col(valcol).isNotNull()).agg(
+        F.approx_count_distinct(valcol).alias("dv"),
+        F.approx_count_distinct(F.struct(*[F.col(k) for k in keys])).alias("dk"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if probe["n"] == 0 or probe["dv"] <= distinct_threshold:
+        return quantile_agg(df, keys, valcol, qs, out_names)
+    if probe["n"] / max(probe["dk"], 1) <= giant_group_rows:
+        return quantile_sorted(df, keys, valcol, qs, out_names)
+    return quantile_ranged(df, keys, valcol, qs, out_names)
+
+
 # --------------------------------------------------------------------
 # Approximate scale dials: when exactness is negotiable, these swap an
 # exact aggregate's memory/shuffle profile for a bounded-size sketch.

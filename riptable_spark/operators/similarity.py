@@ -374,3 +374,167 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ): the memory/IO scale dial for ANN. Vectors
+# compress to m small codes (m bytes-ish vs dim×4 raw) and search runs
+# against the codes via asymmetric distance computation (ADC) — at
+# 100 TB the scan reads ~dim×4/m× less data and the corpus STILL never
+# shuffles. Jégou et al., "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011) — public method, Spark-native realization.
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean via sequential fold — the canonical addition
+    order ((0+t0)+t1)+… that the SQL oracles reproduce with explicit
+    left-associative term chains (bit-equal doubles)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebooks(dim: int, m: int, ksub: int, seed: int = 42, scale: float = 1.0) -> list[list[list[float]]]:
+    """Deterministic pseudo-random PQ codebooks [subspace][code][subdim]
+    (same LCG stream as ``_hyperplanes`` — no RNG state, so SQL oracles
+    can replay the exact literals). ``scale`` shrinks the uniform(-1,1)
+    entries toward the data's magnitude so codes discriminate (codes
+    collapse when every codebook entry's norm dwarfs the vectors').
+    Useful as a fixed quantizer for tests; production codebooks come
+    from ``pq_train``."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    flat = _hyperplanes(subdim, m * ksub, seed)
+    return [[[x * scale for x in v] for v in flat[j * ksub : (j + 1) * ksub]] for j in range(m)]
+
+
+def _pq_code_expr(sub: Column, codebook_j: list[list[float]]) -> Column:
+    """argmin code for one subvector against one subspace's codebook —
+    pure codegen: literal ksub×subdim array, transform to distances,
+    array_position of the min (ties → lowest code, matching the oracle's
+    ORDER BY dist, code)."""
+    cb = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in codebook_j])
+    dists = F.transform(cb, lambda cv: _sq_dist(sub, cv))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int>), codes[j] =
+    argmin_c ||v_sub_j - codebook[j][c]||². The codebooks ride in the
+    plan as literals (m×ksub×subdim doubles — ~0.5 MB for the standard
+    m=8, ksub=256, dim=64, well under plan-size limits), so encoding is
+    a pure per-row projection: ZERO shuffles, the corpus never moves
+    (plan-gated). At 100 TB this is the write-once index build —
+    append the codes column and scans read m ints instead of dim
+    floats."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = F.array(*[
+        _pq_code_expr(F.slice(v, j * subdim + 1, subdim), codebooks[j]) for j in range(m)
+    ])
+    return vectors.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ADC top-k over PQ codes: approximate squared distance =
+    Σ_j ||q_sub_j − codebook[j][codes[j]]||². Queries broadcast, the
+    (100 TB) codes relation never shuffles; each row's distance is a
+    codegen lookup chain (element_at into the literal codebook by the
+    row's code), then a per-query top-k window over the scored pairs
+    (WindowGroupLimit keeps ≤k rows per partition before the exchange).
+    Returns (query_id, vec_id, adc_dist, rank)."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    crossed = codes.crossJoin(F.broadcast(queries))
+    qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    d2 = None
+    for j in range(m):
+        cb = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in codebooks[j]])
+        sub_vec = F.element_at(cb, F.element_at(F.col("codes"), j + 1) + 1)
+        dj = _sq_dist(F.slice(qv, j * subdim + 1, subdim), sub_vec)
+        d2 = dj if d2 is None else d2 + dj
+    scored = crossed.select(F.col(query_id_col), F.col(id_col), d2.alias("adc_dist"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int,
+    ksub: int = 256,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_frac: float | None = None,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: joint Lloyd's over ALL m subspaces at once —
+    each iteration is ONE distributed pass (assign codes via the literal
+    argmin projection — zero shuffle — then one tiny groupBy(j, code)
+    partial-aggregated shuffle of per-dim sums), not m separate k-means
+    runs. Init is deterministic (smallest xxhash64(id, j) rows seed each
+    subspace — rerun-stable, no RNG). Empty codes keep their previous
+    centroid. At 100 TB train on a hash sample (``sample_frac``) and
+    encode the full corpus once with the returned codebooks."""
+    dim_probe = vectors.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_probe["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(F.col(id_col).alias("__id__"), dvec.alias("__v__"))
+    if sample_frac is not None and sample_frac < 1.0:
+        thr = int(sample_frac * 10_000)
+        base = base.where(F.pmod(F.xxhash64(F.col("__id__").cast("string"), F.lit("pq")), F.lit(10_000)) < thr)
+    subs = base.select(
+        "__id__",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"), F.slice(F.col("__v__"), j * subdim + 1, subdim).alias("sub"))
+            for j in range(m)
+        ])).alias("__e__"),
+    ).select("__id__", F.col("__e__.j").alias("j"), F.col("__e__.sub").alias("sub"))
+    # seed each subspace with ksub DISTINCT subvectors (duplicate seeds
+    # waste codes and break the lossless-coverage property), ranked by a
+    # deterministic hash of the first surviving row's id
+    w = Window.partitionBy("j").orderBy(F.xxhash64(F.col("__id__").cast("string"), F.col("j"), F.lit(seed)), "__id__")
+    init_rows = (
+        subs.withColumn("__rn__", F.row_number().over(Window.partitionBy("j", "sub").orderBy(F.xxhash64(F.col("__id__").cast("string")), "__id__")))
+        .where(F.col("__rn__") == 1)
+        .withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= ksub)
+        .select("j", (F.col("__rk__") - 1).alias("code"), "sub").collect()
+    )
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(init_rows, key=lambda r: (r["j"], r["code"])):
+        books[r["j"]].append([float(x) for x in r["sub"]])
+    for j in range(m):
+        # fewer distinct subvectors than ksub: pad by repeating (harmless — dead codes)
+        while len(books[j]) < ksub:
+            books[j].append(list(books[j][len(books[j]) % max(len(books[j]), 1)]))
+    for _ in range(n_iter):
+        expr = None
+        for j in range(m):
+            cj = _pq_code_expr(F.col("sub"), books[j])
+            expr = F.when(F.col("j") == j, cj) if expr is None else expr.when(F.col("j") == j, cj)
+        coded = subs.withColumn("code", expr)
+        sums = coded.groupBy("j", "code").agg(
+            *[F.sum(F.element_at(F.col("sub"), d + 1)).alias(f"__s{d}__") for d in range(subdim)],
+            F.count(F.lit(1)).alias("__n__"),
+        ).collect()
+        for r in sums:
+            n = int(r["__n__"])
+            books[r["j"]][r["code"]] = [float(r[f"__s{d}__"]) / n for d in range(subdim)]
+    return books

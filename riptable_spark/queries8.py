@@ -758,3 +758,86 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     return wi.grouped_topk(o, ["o_custkey"], "o_totalprice", 3, tiebreak=["o_orderkey"])
+
+
+# ---- Product quantization ANN (encode + ADC search), full SQL replay.
+# Fixed deterministic codebooks (LCG, scaled to the data's magnitude so
+# codes discriminate: 462/500 distinct code tuples at sf0.01); the
+# oracle replays encode (argmin over explicit left-associative squared-
+# distance chains — bit-equal to the Spark fold) and the ADC lookup.
+
+from .operators import similarity as _sim
+
+_PQ_M, _PQ_KSUB, _PQ_SUBDIM = 4, 8, 16
+_PQ_BOOKS = _sim.pq_codebooks(64, _PQ_M, _PQ_KSUB, scale=0.08)
+
+
+def _pq_sq_chain(vexpr: str, jexpr: str) -> str:
+    """16-term left-associative squared-distance chain — the same
+    addition order as similarity._sq_dist's sequential fold, so the
+    doubles are bit-identical between Spark and DuckDB."""
+    terms = []
+    for d in range(_PQ_SUBDIM):
+        t = f"({vexpr}[{jexpr}*{_PQ_SUBDIM} + {d + 1}] - cb.sub_vec[{d + 1}])"
+        terms.append(f"{t} * {t}")
+    return " + ".join(terms)
+
+
+def _pq_oracle_sql() -> str:
+    rows = []
+    for j, book in enumerate(_PQ_BOOKS):
+        for c, v in enumerate(book):
+            lit = "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+            rows.append(f"({j}, {c}, {lit})")
+    values = ",\n      ".join(rows)
+    enc_chain = _pq_sq_chain("e.v", "cb.j")
+    adc_chain = _pq_sq_chain("q.qv", "b.j")
+    d2 = " + ".join(f"sum(CASE WHEN j = {j} THEN dj END)" for j in range(_PQ_M))
+    return f"""
+    WITH cb(j, code, sub_vec) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    best AS (
+      SELECT vec_id, j, code FROM (
+        SELECT e.vec_id, cb.j, cb.code,
+               row_number() OVER (PARTITION BY e.vec_id, cb.j
+                                  ORDER BY {enc_chain}, cb.code) AS rn
+        FROM e CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+    adc_parts AS (
+      SELECT q.query_id, b.vec_id, b.j, {adc_chain} AS dj
+      FROM best b JOIN cb ON cb.j = b.j AND cb.code = b.code CROSS JOIN q
+    ),
+    adc AS (
+      SELECT query_id, vec_id, {d2} AS d2
+      FROM adc_parts GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, round(d2, 6) AS adc_dist, rank FROM (
+      SELECT query_id, vec_id, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """
+
+
+@query("q159_pq_adc", _pq_oracle_sql())
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ ANN (Jégou et al. 2011, Spark-native): encode the corpus to
+    m=4 one-byte codes via literal-codebook argmin (pure projection —
+    ZERO shuffles, the corpus never moves), then ADC top-5 per query
+    (queries broadcast; distance is a codegen lookup chain into the
+    literal codebooks). At 100 TB the codes relation is ~64× smaller
+    than the raw vectors and search scans codes only."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    codes = _sim.pq_encode(emb, _PQ_BOOKS)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = _sim.pq_search(codes, q, _PQ_BOOKS, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank"
+    )

@@ -284,3 +284,48 @@ def test_connected_components_chains(spark):
     kept = sorted(r.doc_id for r in dedup.dedup_by_components(docs, pairs).collect())
     assert 1 in kept and all(x not in kept for x in (2, 3, 4, 11, 21))
     assert 10 in kept and 20 in kept and 5 in kept and len(kept) == 25 - 5
+
+
+def test_pq_train_lossless_when_codebook_covers_subvectors(spark):
+    """PQ quantization-error contract: when every subvector comes from a
+    pool of ≤ ksub distinct values, trained codebooks reproduce them
+    exactly (centroid = mean of identical points) and ADC distance
+    equals the EXACT squared euclidean distance — quantization error is
+    provably zero, so the whole train→encode→search path is verified
+    end-to-end without tolerance fudging."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import similarity as sim
+
+    # 4 subspaces of dim 4; subvector pool of 3 distinct values per subspace
+    pool = [[float(p), float(p * p % 7), float(-p), 1.0 + p] for p in range(3)]
+    rows = []
+    for i in range(60):
+        vec = []
+        for j in range(4):
+            vec.extend(pool[(i * (j + 2) + j) % 3])
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = sim.pq_train(df, m=4, ksub=3, n_iter=2)
+    codes = sim.pq_encode(df, books)
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r.query_id, r.vec_id): r.adc_dist
+        for r in sim.pq_search(codes, queries, books, k=60).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id): r.d2
+        for r in df.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id", "vec_id",
+            sim._sq_dist(
+                F.col("embedding"), F.col("query_vec")
+            ).alias("d2"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for key in got:
+        assert abs(got[key] - exact[key]) < 1e-9, (key, got[key], exact[key])

@@ -286,3 +286,32 @@ def test_approx_dials_within_bounds(spark, sf_dir):
     for r in row:
         assert abs(r.approx_med - r.exact_med) / r.exact_med < 0.02, r
         assert abs(r.approx_nd - r.exact_nd) / max(r.exact_nd, 1) < 0.15, r
+
+
+def test_quantile_auto_dispatch_branches_bitequal(spark):
+    """quantile_auto's one-scan probe steers between the three exact
+    physical strategies; every branch must produce bit-identical results.
+    Thresholds are forced to exercise each branch on the same frame."""
+    from riptable_spark.operators import groupby as gb
+
+    rows = []
+    for i in range(4000):
+        rows.append((i % 5, float((i * 131) % 3989) + i * 1e-7 if i % 13 else None))
+    df = spark.createDataFrame(rows, "k int, v double")
+    qs = [0.1, 0.5, 0.9]
+    want = {r.k: (r.q0, r.q1, r.q2) for r in gb.quantile_sorted(df, ["k"], "v", qs).collect()}
+    # near-all-distinct values: default thresholds take the sorted branch
+    got_sorted = {
+        r.k: (r.q0, r.q1, r.q2) for r in gb.quantile_auto(df, ["k"], "v", qs).collect()
+    }
+    # huge distinct_threshold forces the value-map aggregate branch
+    got_agg = {
+        r.k: (r.q0, r.q1, r.q2)
+        for r in gb.quantile_auto(df, ["k"], "v", qs, distinct_threshold=10**9).collect()
+    }
+    # giant_group_rows=0 forces the range-partitioned branch
+    got_ranged = {
+        r.k: (r.q0, r.q1, r.q2)
+        for r in gb.quantile_auto(df, ["k"], "v", qs, giant_group_rows=0).collect()
+    }
+    assert want == got_sorted == got_agg == got_ranged

@@ -291,3 +291,23 @@ def test_q158_grouped_topk_uses_window_group_limit(q):
 
     df = q("q158_grouped_topk")
     assert "WindowGroupLimit" in pi.simple_plan(df)
+
+
+def test_q159_pq_encode_zero_shuffle_search_broadcasts(q, spark, sf_dir):
+    """PQ contract: encode is a pure projection (corpus never moves —
+    zero exchanges), and ADC search broadcasts the query side while the
+    codes relation stays put (only the per-query top-k window's scored
+    pairs shuffle)."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark import queries8 as q8
+    from riptable_spark.operators import similarity as sim
+    from riptable_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    codes = sim.pq_encode(emb, q8._PQ_BOOKS)
+    assert pi.count_shuffles(codes) == 0
+    df = q("q159_pq_adc")
+    assert pi.has_broadcast_join(df)
