@@ -315,3 +315,81 @@ def sample_k_per_group(
         .where(F.col("__srn__") <= k)
         .drop("__srn__")
     )
+
+
+# ----------------------------------------------------------------- chunking
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window prep step of a training pipeline. Chunk starts
+    are 0, step, 2·step… (step = chunk_size − overlap) while start <
+    len; the final chunk may be short (kept — truncating it drops
+    tail text). Pure codegen: sequence → posexplode → substring, ZERO
+    shuffles, each document chunks inside its own partition (plan-
+    gated). Empty/NULL documents yield no chunks. Returns (id,
+    chunk_id, chunk, chunk_len)."""
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    step = chunk_size - overlap
+    t = F.col(text_col)
+    base = df.where(F.length(t) > 0)
+    starts = F.sequence(F.lit(0), F.length(t) - 1, F.lit(step))
+    out = base.select(
+        F.col(id_col), t.alias("__t__"), F.posexplode(starts).alias("chunk_id", "__s__")
+    )
+    chunk = F.substring(F.col("__t__"), F.col("__s__") + 1, chunk_size)
+    return out.select(
+        F.col(id_col), F.col("chunk_id"), chunk.alias("chunk"), F.length(chunk).alias("chunk_len")
+    )
+
+
+# ------------------------------------------------------- mixture sampling
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    hash_kind: str = "xxhash64",
+    buckets: int = 100_000,
+) -> DataFrame:
+    """Deterministic per-domain downsampling: keep a row iff
+    hash(id) % buckets < rate(domain) × buckets. The rate lookup is a
+    literal CASE chain and the filter is a pure codegen projection —
+    ZERO shuffles, no RNG, rerun/cluster-size stable (the same
+    id-hash discipline as ``hash_split``, so a row's fate never
+    changes across pipeline versions). Rates for unlisted domains
+    default to ``default_rate``."""
+    b = _hash_bucket(F.col(id_col), buckets, hash_kind)
+    thr = None
+    for dom, rate in rates.items():
+        t = F.lit(int(rate * buckets))
+        thr = F.when(F.col(domain_col) == dom, t) if thr is None else thr.when(F.col(domain_col) == dom, t)
+    thr = F.lit(int(default_rate * buckets)) if thr is None else thr.otherwise(F.lit(int(default_rate * buckets)))
+    return df.where(b < thr)
+
+
+def temperature_rates(
+    df: DataFrame, domain_col: str, temperature: float = 2.0
+) -> dict[str, float]:
+    """Temperature-flattened mixture rates (the multilingual-training
+    convention: post-sampling domain share ∝ p_d^(1/T)): rate_d ∝
+    p_d^(1/T − 1), normalized so the largest rate is 1.0 — rare
+    domains keep everything, over-represented domains downsample.
+    T=1 keeps the natural distribution; T→∞ equalizes domain counts.
+    One tiny count aggregate (≤ n_domains rows) comes to the driver —
+    bounded like qcut's edge collect; feed the result to
+    ``mixture_sample``."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = {r[0]: r[1] for r in df.groupBy(domain_col).agg(F.count(F.lit(1))).collect()}
+    total = sum(counts.values())
+    alpha = 1.0 / temperature
+    raw = {d: (n / total) ** (alpha - 1.0) for d, n in counts.items()}
+    mx = max(raw.values())
+    return {d: w / mx for d, w in raw.items()}

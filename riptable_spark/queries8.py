@@ -841,3 +841,55 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank"
     )
+
+
+from .operators import pipeline as _pl
+
+_MS_BUCKET = "(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100000)"
+
+
+@query(
+    "q160_chunk_documents",
+    """
+    SELECT doc_id, (s // 192)::INT AS chunk_id,
+           substr(text, s + 1, 256) AS chunk,
+           length(substr(text, s + 1, 256)) AS chunk_len
+    FROM (
+        SELECT doc_id, text, unnest(range(0, length(text), 192)) AS s
+        FROM documents WHERE length(text) > 0
+    )
+    """,
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size chunking with overlap (chunk 256, overlap 64 → step
+    192): sequence→posexplode→substring, zero shuffles — every document
+    chunks inside its own partition."""
+    d = load_table(spark, sf, "documents")
+    return _pl.chunk_documents(d, chunk_size=256, overlap=64)
+
+
+@query(
+    "q161_mixture_sample",
+    f"""
+    SELECT source, count(*) AS n_kept
+    FROM (
+        SELECT source, doc_id FROM documents
+        WHERE {_MS_BUCKET} < (CASE source
+            WHEN 'src0' THEN 20000
+            WHEN 'src1' THEN 50000
+            WHEN 'src2' THEN 100000
+            ELSE 75000 END)
+    ) GROUP BY source
+    """,
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling: per-source keep rates
+    via literal CASE + id-hash threshold — a zero-shuffle filter (the
+    rerun-stable alternative to rand()-sampling at 100 TB). Validated
+    by per-source kept counts."""
+    d = load_table(spark, sf, "documents")
+    s = _pl.mixture_sample(
+        d, "source", {"src0": 0.2, "src1": 0.5, "src2": 1.0},
+        default_rate=0.75, hash_kind="md5",
+    )
+    return s.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -204,3 +204,50 @@ def test_sample_k_per_group_prefix_property(spark):
     assert s5 == {(r.g, r.id) for r in pl.sample_k_per_group(df, ["g"], 5, "id").collect()}
     tiny = spark.createDataFrame([(1, "solo")], "id long, g string")
     assert len(pl.sample_k_per_group(tiny, ["g"], 5, "id").collect()) == 1
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    """Chunk boundary contract: consecutive chunks overlap by exactly
+    `overlap` chars, and text[start:] of each chunk reconstructs the
+    original document — no character lost or duplicated beyond the
+    overlap. Also: empty docs yield no chunks, short docs one chunk."""
+    from riptable_spark.operators import pipeline as pl
+
+    rows = [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "xy"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pl.chunk_documents(df, chunk_size=10, overlap=3)
+    got = {(r.doc_id, r.chunk_id): r.chunk for r in out.collect()}
+    text = rows[0][1]
+    step = 7
+    expect = {}
+    for i, s in enumerate(range(0, len(text), step)):
+        expect[(1, i)] = text[s : s + 10]
+    expect[(2, 0)] = "xy"
+    assert got == expect
+    # reconstruction: chunk i+1 starts overlap chars before chunk i ends
+    chunks = [expect[(1, i)] for i in range(len([k for k in expect if k[0] == 1]))]
+    rebuilt = chunks[0] + "".join(c[3:] for c in chunks[1:])
+    assert rebuilt == text
+
+
+def test_temperature_rates_flatten_distribution(spark):
+    """temperature_rates: T=1 → natural distribution (all rates equal
+    1 after max-normalization ∝ p^0); T→∞ → per-domain expected counts
+    equalize (rate ∝ 1/p). Verified against direct math."""
+    from riptable_spark.operators import pipeline as pl
+
+    rows = [(i, "big" if i < 800 else ("mid" if i < 950 else "small")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    r1 = pl.temperature_rates(df, "source", temperature=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+    r_inf = pl.temperature_rates(df, "source", temperature=1e9)
+    # expected kept counts n_d * rate_d must be ~equal across domains
+    kept = {"big": 800 * r_inf["big"], "mid": 150 * r_inf["mid"], "small": 50 * r_inf["small"]}
+    vals = list(kept.values())
+    assert max(vals) / min(vals) < 1.001, kept
+    r2 = pl.temperature_rates(df, "source", temperature=2.0)
+    p = {"big": 0.8, "mid": 0.15, "small": 0.05}
+    raw = {d: p[d] ** (0.5 - 1.0) for d in p}
+    mx = max(raw.values())
+    for d in p:
+        assert abs(r2[d] - raw[d] / mx) < 1e-12

@@ -311,3 +311,21 @@ def test_q159_pq_encode_zero_shuffle_search_broadcasts(q, spark, sf_dir):
     assert pi.count_shuffles(codes) == 0
     df = q("q159_pq_adc")
     assert pi.has_broadcast_join(df)
+
+
+def test_q160_chunking_zero_shuffle(q):
+    """Chunking is sequence→posexplode→substring — a per-partition
+    projection; no document ever leaves its partition."""
+    from riptable_spark import queries8  # noqa: F401
+
+    df = q("q160_chunk_documents")
+    assert pi.count_shuffles(df) == 0
+
+
+def test_q161_mixture_sample_filter_is_shuffle_free(q):
+    """The mixture filter itself is a zero-shuffle projection; the only
+    exchange in the query is the validation count's groupBy."""
+    from riptable_spark import queries8  # noqa: F401
+
+    df = q("q161_mixture_sample")
+    assert pi.count_shuffles(df) <= 1
