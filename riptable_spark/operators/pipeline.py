@@ -393,3 +393,117 @@ def temperature_rates(
     raw = {d: (n / total) ** (alpha - 1.0) for d, n in counts.items()}
     mx = max(raw.values())
     return {d: w / mx for d, w in raw.items()}
+
+
+# ------------------------------------------------- bloom decontamination
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    import math as _math
+
+    m = max(64, int(_math.ceil(-n_items * _math.log(fpp) / (_math.log(2) ** 2))))
+    k = max(1, int(round(m / max(n_items, 1) * _math.log(2))))
+    return m, k
+
+
+def build_bloom(
+    df: DataFrame,
+    col_expr: Column,
+    n_items: int,
+    fpp: float = 0.01,
+    hash_kind: str = "xxhash64",
+    m: int | None = None,
+    k: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Distributed Bloom-filter build over a column: k=ln2·m/n hash
+    positions per item, bit-set via dynamic shifts, ONE tiny
+    groupBy(word_index) bit_or aggregate (≤ m/63 rows), then densify on
+    the driver. Words hold 63 bits (the sign bit stays clear — DuckDB's
+    BIGINT shift overflows at bit 63, and keeping one convention makes
+    the md5 portable mode SQL-replayable bit-for-bit). Returns
+    (single-row DataFrame with the filter as array<long>, m, k) —
+    broadcast it and probe with ``bloom_hit``. The filter is a few MB
+    REGARDLESS of item count — the whole point at scale.
+    ``hash_kind='md5'`` is the DuckDB-portable stream (position i =
+    md5_60bit(s || '|' || i) % m); production uses xxhash64.
+    Explicit ``m``/``k`` override the fpp sizing (oracles fix them)."""
+    if m is None or k is None:
+        m, k = _bloom_params(n_items, fpp)
+    nwords = (m + 62) // 63
+    spark = df.sparkSession
+    entries = F.explode(
+        F.array(*[_bloom_pos(col_expr, i, m, hash_kind) for i in range(k)])
+    ).alias("__pos__")
+    words = (
+        df.select(entries)
+        .select(
+            (F.col("__pos__") / 63).cast("int").alias("__w__"),
+            # dynamic shift amount — F.shiftleft only takes literal counts
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos__ % 63 AS INT))").alias("__m__"),
+        )
+        .groupBy("__w__").agg(F.bit_or("__m__").alias("__bits__"))
+        .collect()
+    )
+    dense = [0] * nwords
+    for r in words:
+        dense[r["__w__"]] = r["__bits__"]
+    bf = spark.createDataFrame([(dense,)], "__bf__ array<long>")
+    return bf, m, k
+
+
+def _bloom_pos(col_expr: Column, i: int, m: int, hash_kind: str) -> Column:
+    from .dedup import _base_hash64
+
+    if hash_kind == "md5":
+        return F.pmod(
+            _base_hash64(F.concat_ws("|", col_expr.cast("string"), F.lit(str(i))), "md5"),
+            F.lit(m),
+        )
+    return F.pmod(F.xxhash64(col_expr, F.lit(i)), F.lit(m))
+
+
+def bloom_hit(col_expr: Column, m: int, k: int, bf_col: Column = None, hash_kind: str = "xxhash64") -> Column:
+    """Membership probe against a Bloom filter carried as array<long>
+    (column ``__bf__`` from ``build_bloom`` after a broadcast
+    crossJoin): AND over the k bit tests — pure codegen. 63-bit word
+    convention (see build_bloom)."""
+    bf = bf_col if bf_col is not None else F.col("__bf__")
+    hit = None
+    for i in range(k):
+        pos = _bloom_pos(col_expr, i, m, hash_kind)
+        word = F.element_at(bf, (pos / 63).cast("int") + 1)
+        test = F.getbit(word, (pos % 63).cast("int")) == 1
+        hit = test if hit is None else hit & test
+    return hit
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+    fpp: float = 0.001,
+    hash_kind: str = "xxhash64",
+    m: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Bloom-filter decontamination — the scale dial when the benchmark
+    gram set is too large to broadcast exactly (``decontaminate``
+    broadcasts every distinct gram; this broadcasts a fixed-size bit
+    array — a few MB for hundreds of millions of grams). NO false
+    negatives (every truly contaminated document is flagged with
+    n_hits ≥ its true hit count); false positives bounded by ``fpp``
+    per gram probe. The corpus text never shuffles; the only exchange
+    is the per-doc count of grams that hit the filter."""
+    bench_grams = benchmark.select(F.explode(shingles(F.col(text_col), n=n)).alias("__g__")).distinct()
+    if m is None or k is None:
+        n_items = bench_grams.count()
+        m, k = _bloom_params(max(n_items, 1), fpp)
+    bf, m, k = build_bloom(bench_grams, F.col("__g__"), 1, fpp, hash_kind=hash_kind, m=m, k=k)
+    corpus = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n=n)).alias("__g__"))
+    probed = corpus.crossJoin(F.broadcast(bf)).where(bloom_hit(F.col("__g__"), m, k, hash_kind=hash_kind))
+    return (
+        probed.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )

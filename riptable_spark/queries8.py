@@ -893,3 +893,52 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
         default_rate=0.75, hash_kind="md5",
     )
     return s.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_BLOOM_GRAMS_CTE = """
+    toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        FROM toks, unnest(generate_series(1, greatest(len(t)-2, 1))) AS u(i)
+    )
+"""
+
+_BLOOM_POS = "(('0x'||substr(md5(g || '|' || CAST(i AS VARCHAR)),1,15))::BIGINT % 131072)"
+
+
+@query(
+    "q162_bloom_decontaminate",
+    f"""
+    WITH {_BLOOM_GRAMS_CTE},
+    cg AS (SELECT DISTINCT doc_id, g FROM grams),
+    bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 3),
+    ks(i) AS (VALUES (0),(1),(2),(3),(4)),
+    bpos AS (SELECT DISTINCT {_BLOOM_POS} AS pos FROM bg CROSS JOIN ks),
+    words AS (SELECT pos // 63 AS w, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+              FROM bpos GROUP BY 1),
+    ppos AS (SELECT doc_id, g, {_BLOOM_POS} AS pos FROM cg CROSS JOIN ks),
+    hitg AS (
+        SELECT doc_id, g FROM ppos JOIN words ON words.w = ppos.pos // 63
+        WHERE ((words.bits >> CAST(pos % 63 AS INT)) & 1) = 1
+        GROUP BY doc_id, g HAVING count(*) = 5
+    )
+    SELECT doc_id, count(*) AS n_hits FROM hitg GROUP BY doc_id HAVING count(*) >= 2
+    """,
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination (the eval-set-too-big-to-broadcast
+    scale dial): benchmark 3-grams set bits in a fixed 131072-bit /
+    5-hash filter (63-bit words — one convention both engines shift
+    safely), corpus grams probe it, per-doc hit counts ≥ 2 flag
+    contamination. The ENTIRE filter build + probe replays in SQL via
+    the portable md5 hash — the oracle reproduces the bit array itself,
+    not just the output."""
+    d = load_table(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 3).select("text")
+    return _pl.decontaminate_bloom(
+        d, bench, n=3, min_hits=2, hash_kind="md5", m=131072, k=5
+    )

@@ -251,3 +251,39 @@ def test_temperature_rates_flatten_distribution(spark):
     mx = max(raw.values())
     for d in p:
         assert abs(r2[d] - raw[d] / mx) < 1e-12
+
+
+def test_bloom_decontaminate_no_false_negatives_bounded_fp(spark, sf_dir):
+    """Bloom contract vs the exact broadcast-set form: every document
+    the exact decontaminate flags must appear with n_hits ≥ the exact
+    count (no false negatives — the non-negotiable property for eval
+    hygiene), and the count of EXTRA flagged docs stays near the fpp
+    bound."""
+    from riptable_spark.operators import pipeline as pl
+    from riptable_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 3).select("text")
+    exact = {r.doc_id: r.n_hits for r in pl.decontaminate(docs, bench, n=3).collect()}
+    bloom = {r.doc_id: r.n_hits for r in pl.decontaminate_bloom(docs, bench, n=3, fpp=0.001).collect()}
+    assert set(exact) <= set(bloom)
+    for d, h in exact.items():
+        assert bloom[d] >= h, (d, h, bloom[d])
+    n_docs = docs.count()
+    extras = len(set(bloom) - set(exact))
+    # with fpp=1e-3 per gram and ~40 grams/doc, extra-doc rate stays low
+    assert extras <= max(10, 0.1 * n_docs), extras
+
+
+def test_bloom_filter_fpr_within_bound(spark):
+    """Membership: all inserted items hit; fresh items false-positive at
+    ≈ fpp (allow 3× slack for hash variance at small m)."""
+    from riptable_spark.operators import pipeline as pl
+
+    items = spark.range(2000).select(F.concat(F.lit("in-"), F.col("id")).alias("s"))
+    bf, m, k = pl.build_bloom(items, F.col("s"), 2000, fpp=0.01)
+    probe_in = items.crossJoin(F.broadcast(bf)).where(pl.bloom_hit(F.col("s"), m, k))
+    assert probe_in.count() == 2000
+    fresh = spark.range(10000).select(F.concat(F.lit("out-"), F.col("id")).alias("s"))
+    fp = fresh.crossJoin(F.broadcast(bf)).where(pl.bloom_hit(F.col("s"), m, k)).count()
+    assert fp / 10000 < 0.03, fp
