@@ -11,8 +11,10 @@ These are sequential per-group recurrences — not expressible as a Spark
 window aggregate. Implementation: ``applyInPandas`` with a vectorized
 numpy scan per group. One shuffle on the group keys; each group is scanned
 in Arrow batches on the executor — the honest distributed form. Skewed
-giant groups are the scale hazard; mitigate upstream by splitting on a
-coarser time bucket when a resume-carry is acceptable.
+giant groups are the scale hazard; every variant (decay/normal via
+``method='blocked'`` + ``block_seconds``, weighted via
+``method='blocked'`` + ``block_rows``) has a blocked path that bounds
+any single Arrow batch to one block and carries the seed exactly.
 """
 
 from __future__ import annotations
@@ -142,13 +144,21 @@ def ema_normal(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: 
     return _dispatch(df, keys, "normal", valcol, timecol, rate, out_col, order_col or timecol, method)
 
 
-def ema_weighted(df: DataFrame, keys: list[str], valcol: str, decay_rate: float, order_col: str, out_col: str = "ema", method: str = "auto") -> DataFrame:
+def ema_weighted(df: DataFrame, keys: list[str], valcol: str, decay_rate: float, order_col: str, out_col: str = "ema", method: str = "auto", block_rows: int | None = None) -> DataFrame:
     """rt_groupbyops.py:3438 — fixed-weight EWMA in row order.
 
     ``decay_rate`` follows the REFERENCE convention: it weights the OLD
     value, LastEma = x*(1-decay_rate) + LastEma*decay_rate. Callers
     porting pandas ``ewm(alpha=...)`` code should pass
     ``decay_rate = 1 - alpha``.
+
+    ``method='blocked'`` (requires ``block_rows``) is the giant-group
+    scale path: the fixed-weight recurrence is EXACTLY the time-decay
+    recurrence on t=row_number with rate = −ln(decay_rate)
+    (exp(−rate·Δrn) = decay_rate for consecutive rows), so it reuses
+    ``_blocked_run`` — the rank window is a sort-based window that
+    spills gracefully; only ≤ block_rows rows ever materialize in one
+    Arrow batch.
     """
     if not 0.0 <= decay_rate <= 1.0:
         raise ValueError(f"decay_rate must be in [0, 1], got {decay_rate}")
@@ -157,6 +167,15 @@ def ema_weighted(df: DataFrame, keys: list[str], valcol: str, decay_rate: float,
         # decay_rate=0: the EMA is just x. (Also keeps log1p(-alpha)
         # finite in both execution paths.)
         return df.withColumn(out_col, F.col(valcol).cast("double"))
+    if method == "blocked":
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.partitionBy(*keys).orderBy(order_col))
+        work = df.withColumn("__rn__", rn)
+        rate2 = -float(np.log(decay_rate))
+        return _blocked_run(
+            work, keys, "normal", valcol, "__rn__", rate2, out_col, float(block_rows or 0)
+        ).drop("__rn__")
     if method == "scan":
         return _run(df, keys, "weighted", valcol, None, alpha, out_col, order_col)
     return _dispatch(df, keys, "weighted", valcol, None, alpha, out_col, order_col, method)

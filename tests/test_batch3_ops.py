@@ -284,3 +284,32 @@ def test_with_rowid_deterministic_dense(spark):
     df = spark.range(0, 5000).select(F.col("id").alias("k")).orderBy(F.rand(11))
     out = {r["k"]: r["__rowid__"] for r in with_rowid(df, "k").collect()}
     assert all(out[k] == k for k in range(5000))
+
+
+def test_ema_weighted_blocked_matches_scan(spark):
+    """ROUND3 backlog: ema_weighted's giant-group path. The fixed-weight
+    recurrence is the time-decay recurrence on t=row_number with
+    rate=−ln(decay_rate), so the blocked machinery applies unchanged —
+    must match the plain scan on a single giant group (the exact case
+    the blocked path exists for), at two block widths, plus decay_rate
+    edge values."""
+    import math
+
+    from riptable_spark.operators import ema
+
+    rows = [(0, i, float((i * 7) % 11) - 5.0) for i in range(5000)]
+    rows += [(1, i, float(i % 4)) for i in range(700)]
+    df = spark.createDataFrame(rows, ["g", "i", "x"])
+    for d in (0.9, 0.5, 0.05):
+        a = {(r.g, r.i): r.ema for r in ema.ema_weighted(df, ["g"], "x", d, "i", method="scan").collect()}
+        for br in (512, 37):
+            b = {
+                (r.g, r.i): r.ema
+                for r in ema.ema_weighted(df, ["g"], "x", d, "i", method="blocked", block_rows=br).collect()
+            }
+            assert set(a) == set(b)
+            assert all(math.isclose(a[k], b[k], rel_tol=1e-9, abs_tol=1e-9) for k in a), (d, br)
+    # decay_rate=1: every row equals the group's first value
+    one = ema.ema_weighted(df, ["g"], "x", 1.0, "i", method="blocked", block_rows=100)
+    got = {(r.g, r.i): r.ema for r in one.collect()}
+    assert all(v == got[(k[0], 0)] for k, v in got.items())
