@@ -454,3 +454,64 @@ def dedup_by_components(
     comp = connected_components(pairs, max_iter=max_iter)
     drop = comp.where(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+    mode: str = "join",
+    hash_kind: str = "xxhash64",
+    fpp: float = 1e-6,
+) -> DataFrame:
+    """Corpus-level line/paragraph dedup (the CCNet/RefinedWeb curation
+    step): lines whose NORMALIZED form appears ≥ ``min_count`` times
+    across the whole corpus are boilerplate (headers, footers, cookie
+    banners) and are removed from every document; surviving lines
+    reassemble in original order. Returns (id, clean_text) — documents
+    whose every line was boilerplate drop out entirely.
+
+    mode='join' (exact): lines explode with a positional index, the
+    frequency aggregate shuffles ONLY an 8-byte line hash, the frequent
+    set broadcasts into a left-anti join, and one doc-keyed shuffle
+    reassembles. mode='bloom' (approximate): the frequent-line hashes
+    build a fixed-size Bloom filter instead and the line filter runs
+    HORIZONTALLY inside ``F.filter`` over the split array — the corpus
+    text never shuffles at all; a kept line is dropped wrongly with
+    probability ≤ ``fpp`` (false positives only — boilerplate never
+    survives)."""
+    from .pipeline import bloom_hit, build_bloom
+
+    t = F.col(text_col)
+    key_of = lambda c: _base_hash64(F.lower(F.trim(c)), hash_kind)  # noqa: E731
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(t, F.lit(sep), -1)).alias("__ln__", "__line__")
+    )
+    freq = (
+        lines.select(key_of(F.col("__line__")).alias("__k__"))
+        .groupBy("__k__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .where(F.col("__c__") >= min_count)
+        .select("__k__")
+    )
+    if mode == "bloom":
+        n_boiler = freq.count()
+        bf, m, k = build_bloom(freq, F.col("__k__"), max(n_boiler, 1), fpp, hash_kind=hash_kind)
+        kept = F.filter(
+            F.split(t, F.lit(sep), -1),
+            lambda line: ~bloom_hit(key_of(line), m, k, hash_kind=hash_kind),
+        )
+        out = df.crossJoin(F.broadcast(bf)).select(
+            F.col(id_col), F.array_join(kept, sep).alias("clean_text")
+        )
+        return out.where(F.size(kept) > 0)
+    clean = lines.withColumn("__k__", key_of(F.col("__line__"))).join(
+        F.broadcast(freq), on="__k__", how="left_anti"
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("__ln__"), F.col("__line__")))),
+        lambda s: s["__line__"],
+    )
+    return clean.groupBy(id_col).agg(F.array_join(ordered, sep).alias("clean_text"))

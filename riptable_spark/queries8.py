@@ -942,3 +942,52 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
     return _pl.decontaminate_bloom(
         d, bench, n=3, min_hits=2, hash_kind="md5", m=131072, k=5
     )
+
+
+@query(
+    "q163_line_dedup",
+    """
+    WITH lined AS (
+        SELECT doc_id,
+               'hdr-' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+               substr(text, 1, 50) || chr(10) ||
+               substr(text, 51, 50) || chr(10) ||
+               'shared footer line' AS lt
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, i - 1 AS line_no, l[i] AS line
+        FROM (SELECT doc_id, string_split(lt, chr(10)) AS l FROM lined),
+             unnest(generate_series(1, len(l))) AS u(i)
+    ),
+    freq AS (
+        SELECT lower(trim(line)) AS k FROM lines GROUP BY 1 HAVING count(*) >= 5
+    ),
+    keep AS (
+        SELECT doc_id, line_no, line FROM lines
+        WHERE lower(trim(line)) NOT IN (SELECT k FROM freq)
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+    FROM keep GROUP BY doc_id
+    """,
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level line dedup (CCNet/RefinedWeb boilerplate removal):
+    synthesized lined documents (rotating header + unique body chunks +
+    a shared footer) run through dedup_lines — headers and footers cross
+    the min_count bar corpus-wide and vanish; body chunks survive in
+    order. Frequency shuffle carries only 8-byte line hashes; the
+    frequent set broadcasts."""
+    from .operators import dedup as _dd
+
+    d = load_table(spark, sf, "documents")
+    lined = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("hdr-"), (F.col("doc_id") % 7).cast("string"), F.lit("\n"),
+            F.substring("text", 1, 50), F.lit("\n"),
+            F.substring("text", 51, 50), F.lit("\n"),
+            F.lit("shared footer line"),
+        ).alias("text"),
+    )
+    return _dd.dedup_lines(lined, min_count=5, hash_kind="md5")

@@ -329,3 +329,30 @@ def test_pq_train_lossless_when_codebook_covers_subvectors(spark):
     assert set(got) == set(exact)
     for key in got:
         assert abs(got[key] - exact[key]) < 1e-9, (key, got[key], exact[key])
+
+
+def test_dedup_lines_join_and_bloom_modes(spark):
+    """dedup_lines: boilerplate (≥ min_count corpus-wide) vanishes from
+    every doc, unique lines survive in order, all-boilerplate docs drop
+    out; bloom mode matches the exact join mode at tiny fpp and its
+    corpus side never shuffles."""
+    from riptable_spark.operators import dedup as dd
+    from riptable_spark.plans import inspect as pi
+
+    rows = []
+    for i in range(40):
+        body = f"unique-{i}-a\nunique-{i}-b"
+        rows.append((i, f"COMMON HEADER\n{body}\nCOMMON FOOTER"))
+    rows.append((99, "COMMON HEADER\nCOMMON FOOTER"))  # all boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {i: f"unique-{i}-a\nunique-{i}-b" for i in range(40)}
+    got_join = {r.doc_id: r.clean_text for r in dd.dedup_lines(df, min_count=3).collect()}
+    assert got_join == want
+    bloom = dd.dedup_lines(df, min_count=3, mode="bloom", fpp=1e-9)
+    got_bloom = {r.doc_id: r.clean_text for r in bloom.collect()}
+    assert got_bloom == want
+    # bloom mode's text-carrying side: the only exchanges allowed are the
+    # tiny frequent-hash aggregate feeding the filter build (the corpus
+    # relation itself is scan→filter→project)
+    plan = pi.simple_plan(bloom)
+    assert "SortMergeJoin" not in plan
