@@ -42,13 +42,14 @@ def main() -> None:
     # one warm scan so JVM/codegen startup doesn't pollute the first query
     QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2: the first execution of a query pays one-off JVM codegen
+    # best-of-3: the first execution of a query pays one-off JVM codegen
     # compilation (~0.5-1 s/query); the min is the steady-state number a
-    # long-running cluster job would see
+    # long-running cluster job would see (3 reps also damp neighbor-load
+    # noise in the recorded single-run figure)
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
