@@ -1,14 +1,20 @@
-"""riptable_spark — a PySpark-native analytics engine with the query and
-data-processing capabilities of the riptable reference (see SURVEY.md).
+"""riptable_spark: PySpark-native analytics engine with the riptable
+query surface (SURVEY.md §2). Spark-first: DataFrame/Catalyst plans, not
+a kernel port."""
 
-Architecture: thin operator library + Dataset façade over pyspark DataFrames.
-Everything compiles to declarative DataFrame plans so Catalyst/Tungsten/AQE
-pick the physical strategy; Pandas UDFs appear only for sequential
-recurrences (EMA) and multimodal decode stubs.
-"""
-
+from .dataset import Categorical, Dataset, GroupBy, Multiset
+from .dataset import Categorical as Cat  # reference alias (rt __init__:63)
+from .operators.categorical import CatZero
 from .session import get_spark
 from .struct import Struct
 
-__all__ = ["get_spark", "Struct"]
-__version__ = "0.1.0"
+__all__ = [
+    "Cat",
+    "Categorical",
+    "CatZero",
+    "Dataset",
+    "GroupBy",
+    "Multiset",
+    "Struct",
+    "get_spark",
+]

@@ -499,6 +499,11 @@ class GroupBy:
     def quantile(self, col, q, filter=None) -> Dataset:
         return self._agg1(_gb.quantile(F.col(col), q, filter), "Quantile")
 
+    def nanpercentile(self, col, q, filter=None) -> Dataset:
+        """rt_groupbyops.py:1938 — grouped percentile excluding missing
+        values, q on the 0-100 scale (quantile's q is 0-1)."""
+        return self._agg1(_gb.nanpercentile(F.col(col), q, filter), "NanPercentile")
+
     def sem(self, col, filter=None) -> Dataset:
         return self._agg1(_gb.sem(F.col(col), filter), "Sem")
 

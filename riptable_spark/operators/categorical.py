@@ -233,3 +233,17 @@ def categorical_convert(spark, pd_categorical, base_index: int = 1):
         ).alias("label"),
     )
     return out, cats
+
+
+def CatZero(values: Column, categories: list, filter: Column | None = None) -> Column:
+    """rt_categorical.py:6656 — Categorical with base_index=0 (no
+    reserved invalid bin; filtered/unknown values get code -1 instead of
+    0). Thin alias over ``string_codes(base_index=0)`` with the
+    reference's name."""
+    # not via string_codes: its unknown→0 convention is the base-1
+    # Filtered bin, which would collide with category 0 here
+    m = {v: i for i, v in enumerate(categories)}
+    out = F.coalesce(F.element_at(_literal_map(m), values), F.lit(-1))
+    if filter is not None:
+        out = F.when(filter, out).otherwise(F.lit(-1))
+    return out

@@ -80,6 +80,15 @@ def quantile(col, q, flt=None):
     return F.percentile(c, F.lit(float(q)))
 
 
+def nanpercentile(col, q, flt=None):
+    """rt_groupbyops.py:1938 nanpercentile — identical to ``quantile``
+    (NULL/NaN-excluded like every nan-aggregate here) but takes q on the
+    reference's 0-100 percentile scale."""
+    if isinstance(q, (list, tuple)):
+        return quantile(col, [float(p) / 100.0 for p in q], flt)
+    return quantile(col, float(q) / 100.0, flt)
+
+
 def sem(col, flt=None):
     """rt_groupbyops.py:3500 — stddev/sqrt(count)."""
     c = _maybe_filter(col, flt)

@@ -586,3 +586,24 @@ def grouped_topk(
     order = [oc] + [F.col(c) for c in (tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("__tk__", F.row_number().over(w)).where(F.col("__tk__") <= k).drop("__tk__")
+
+
+# Reference enum parity (rt_enum.py): the rolling / time-window kernel
+# name sets, pointing at their implementations here.
+ROLLING_FUNCTIONS = {
+    "rolling_sum": "rolling_agg('sum')", "rolling_nansum": "rolling_agg('sum')",
+    "rolling_mean": "rolling_agg('mean')", "rolling_nanmean": "rolling_agg('mean')",
+    "rolling_count": "rolling_agg('count')",
+    "rolling_min": "rolling_agg('min')", "rolling_max": "rolling_agg('max')",
+    "rolling_std": "rolling_agg('std')", "rolling_var": "rolling_agg('var')",
+    "rolling_median": "rolling_agg('median')", "rolling_quantile": "rolling_quantile",
+    "rolling_shift": "shift", "rolling_diff": "diff",
+    "ema_decay": "operators.ema.ema_decay", "ema_normal": "operators.ema.ema_normal",
+    "ema_weighted": "operators.ema.ema_weighted",
+    "cumsum": "cumsum", "cumprod": "cumprod", "cummin": "cummin", "cummax": "cummax",
+}
+
+TIMEWINDOW_FUNCTIONS = {
+    "timewindow_sum": "timewindow_sum",
+    "timewindow_prod": "timewindow_prod",
+}

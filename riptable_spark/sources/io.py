@@ -282,3 +282,36 @@ def load_h5(spark, path: str, dataset: str | None = None):
         grp = f[dataset] if dataset else f
         cols = {k: grp[k][:] for k in grp.keys() if getattr(grp[k], "ndim", 0) == 1}
     return spark.createDataFrame(pd.DataFrame(cols))
+
+
+def h5io_to_struct(spark, path: str):
+    """rt_utils.py:282 h5io_to_struct — HDF5 group tree → Struct of
+    DataFrames (same gating as load_h5: h5py absent in this container).
+    Groups become nested Structs; 1-D datasets in a group become columns
+    of one DataFrame per group."""
+    try:
+        import h5py
+    except ImportError as e:
+        raise NotImplementedError(
+            "h5io_to_struct requires h5py, which is not installed here; "
+            "convert to a parquet tree (save_struct) instead"
+        ) from e
+    import pandas as pd
+
+    from ..struct import Struct
+
+    def walk(grp):
+        out = Struct()
+        cols = {}
+        for k in grp.keys():
+            item = grp[k]
+            if isinstance(item, h5py.Group):
+                out[k] = walk(item)
+            elif getattr(item, "ndim", 0) == 1:
+                cols[k] = item[:]
+        if cols:
+            out["data"] = spark.createDataFrame(pd.DataFrame(cols))
+        return out
+
+    with h5py.File(path, "r") as f:
+        return walk(f)

@@ -444,3 +444,34 @@ def test_normalize_keys_doctest_shape(spark):
     coded = by_label.select("k", cat.string_codes(F.col("k"), cats).alias("c"))
     got = sorted((r.k, r.c) for r in by_code.join(coded, "c").collect())
     assert got == [("A", 1), ("B", 2), ("C", 3)]
+
+
+def test_nanpercentile_percentile_scale(spark):
+    """nanpercentile takes q on the 0-100 reference scale and excludes
+    missing values — must equal quantile(q/100)."""
+    from riptable_spark.dataset import Dataset
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("a", None), ("b", 5.0)]
+    ds = Dataset(spark.createDataFrame(rows, "k string, v double"))
+    got = {r.k: r.NanPercentile for r in ds.cat("k").nanpercentile("v", 25)._df.collect()}
+    want = {r.k: r.Quantile for r in ds.cat("k").quantile("v", 0.25)._df.collect()}
+    assert got == want
+    import numpy as np
+
+    assert got["a"] == np.nanpercentile(np.arange(1.0, 11.0), 25)
+
+
+def test_catzero_base0_codes(spark):
+    """CatZero (rt_categorical.py:6656): base-0 codes, unknown/filtered
+    values get -1 (base-1 Categorical reserves 0 instead)."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators.categorical import CatZero, string_codes
+
+    df = spark.createDataFrame([("x",), ("y",), ("zz",)], ["v"])
+    out = df.select(
+        CatZero(F.col("v"), ["x", "y"]).alias("c0"),
+        string_codes(F.col("v"), ["x", "y"]).alias("c1"),
+        CatZero(F.col("v"), ["x", "y"], filter=F.col("v") != "x").alias("cf"),
+    ).collect()
+    assert [(r.c0, r.c1, r.cf) for r in out] == [(0, 1, -1), (1, 2, 1), (-1, 0, -1)]
