@@ -991,3 +991,28 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return _dd.dedup_lines(lined, min_count=5, hash_kind="md5")
+
+
+@query(
+    "q164_nanpercentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.10), 6) AS p10,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """nanpercentile parity (rt_groupbyops.py:1938): q on the reference's
+    0-100 percentile scale, missing values excluded, exact linear
+    interpolation — one two-stage hash aggregate."""
+    from .operators import groupby as _gb
+
+    li = load_table(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_gb.nanpercentile(q, 10), 6).alias("p10"),
+        F.round(_gb.nanpercentile(q, 50), 6).alias("p50"),
+        F.round(_gb.nanpercentile(q, 99), 6).alias("p99"),
+    )
