@@ -217,3 +217,72 @@ def resize_images_raw(
             yield pdf
 
     return df.mapInPandas(resize, schema=out_schema)
+
+
+# ------------------------------------------------------------------ audio
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def decode_audio_header(payload: bytes) -> dict | None:
+    """REAL audio header parse — pure Python, no audio library. Formats:
+    WAV (RIFF chunk walk: fmt → channels/rate/bits, data → sample count)
+    and FLAC (STREAMINFO bitfield: 20-bit rate, 3-bit channels, 5-bit
+    depth, 36-bit total samples). Returns None for unrecognized or
+    truncated payloads — corrupt blobs must not fail the task."""
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i, n = 12, len(payload)
+        meta: dict = {}
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            clen = _struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= n:
+                ch, rate = _struct.unpack("<HI", payload[i + 10 : i + 16])
+                block_align, bits = _struct.unpack("<HH", payload[i + 20 : i + 24])
+                meta.update(channels=ch, sample_rate=rate, bits_per_sample=bits,
+                            _block_align=block_align)
+            elif cid == b"data" and "_block_align" in meta:
+                ba = meta.pop("_block_align") or 1
+                meta["n_samples"] = clen // ba
+                meta["format"] = "wav"
+                return meta
+            i += 8 + clen + (clen & 1)  # RIFF chunks pad to even
+        return None
+    if payload[:4] == b"fLaC" and len(payload) >= 4 + 4 + 34:
+        # first metadata block must be STREAMINFO (type bits 0-6 == 0)
+        if payload[4] & 0x7F != 0:
+            return None
+        si = payload[8 : 8 + 34]
+        # bytes 10..17: rate(20) | channels-1(3) | bits-1(5) | total(36)
+        bits64 = int.from_bytes(si[10:18], "big")
+        rate = bits64 >> 44
+        ch = ((bits64 >> 41) & 0x7) + 1
+        depth = ((bits64 >> 36) & 0x1F) + 1
+        total = bits64 & ((1 << 36) - 1)
+        return {"channels": ch, "sample_rate": rate, "bits_per_sample": depth,
+                "n_samples": total, "format": "flac"}
+    return None
+
+
+def decode_audio(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """mapInPandas audio-header decode — same Arrow-batch shape as
+    ``decode_images``: streams per partition, corrupt payloads become a
+    NULL struct."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("audio_meta", AUDIO_META_SCHEMA)])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["audio_meta"] = [decode_audio_header(p) for p in pdf[binary_col]]
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)

@@ -1016,3 +1016,74 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
         F.round(_gb.nanpercentile(q, 50), 6).alias("p50"),
         F.round(_gb.nanpercentile(q, 99), 6).alias("p99"),
     )
+
+
+def _make_wav(ch: int, rate: int, bits: int, nsamp: int) -> bytes:
+    """Minimal valid WAV: RIFF header + fmt chunk + data chunk header
+    (no sample payload needed — header parsers read counts, not PCM)."""
+    ba = ch * bits // 8
+    fmt = b"fmt " + _struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ba, ba, bits)
+    data = b"data" + _struct.pack("<I", nsamp * ba)
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _make_flac(rate: int, ch: int, depth: int, total: int) -> bytes:
+    """Minimal FLAC: magic + last-block STREAMINFO with the packed
+    rate/channels/depth/total bitfield."""
+    bits64 = (rate << 44) | ((ch - 1) << 41) | ((depth - 1) << 36) | total
+    si = bytes(10) + bits64.to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + si
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic audio payloads: even ids WAV, odd ids FLAC, params
+    derived arithmetically from the id so a SQL oracle can predict what
+    the byte-level parser must recover."""
+    out_schema = T.StructType([T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())])
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                ch = 1 + i % 2
+                rate = 8000 + (i * 441) % 40000
+                bits = 16 if i % 3 else 24
+                nsamp = 1 + (i * 997) % 100000
+                payloads.append(
+                    _make_wav(ch, rate, bits, nsamp) if i % 2 == 0 else _make_flac(rate, ch, bits, nsamp)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema=out_schema)
+
+
+@query(
+    "q165_audio_header_decode",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (doc_id * 441) % 40000 AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS INT) AS bits_per_sample,
+           1 + (doc_id * 997) % 100000 AS n_samples,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format
+    FROM documents
+    """,
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio header decode: payloads synthesized as valid WAV (RIFF
+    chunk walk) / FLAC (STREAMINFO bitfield) byte streams, then
+    ``decode_audio`` parses channels/rate/depth/sample-count back OUT OF
+    THE BYTES. The oracle predicts every field arithmetically — a hash
+    match proves the byte-level parser ran."""
+    d = synthesize_audio(load_table(spark, sf, "documents"))
+    out = mm.decode_audio(d, "payload")
+    return out.select(
+        "doc_id",
+        F.col("audio_meta.channels").alias("channels"),
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.bits_per_sample").alias("bits_per_sample"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.col("audio_meta.format").alias("format"),
+    )

@@ -287,3 +287,23 @@ def test_bloom_filter_fpr_within_bound(spark):
     fresh = spark.range(10000).select(F.concat(F.lit("out-"), F.col("id")).alias("s"))
     fp = fresh.crossJoin(F.broadcast(bf)).where(pl.bloom_hit(F.col("s"), m, k)).count()
     assert fp / 10000 < 0.03, fp
+
+
+def test_audio_header_decode_corrupt_payloads_null(spark):
+    """decode_audio: truncated/garbage/empty payloads become a NULL
+    struct, never a task failure (the corrupt-blob tolerance contract);
+    valid WAV with extra chunks before data still parses (chunk walk)."""
+    from riptable_spark import queries8 as q8
+    from riptable_spark.operators import multimodal as mm
+
+    wav = q8._make_wav(2, 44100, 16, 500)
+    # WAV with a LIST chunk between fmt and data (walker must skip it)
+    lst = b"LIST" + (7).to_bytes(4, "little") + b"INFOxyz" + b"\x00"  # odd len → pad
+    wav2 = wav[:36] + lst + wav[36:]
+    rows = [(1, wav), (2, wav2), (3, wav[:20]), (4, b"garbage"), (5, b""), (6, q8._make_flac(48000, 1, 24, 99))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.audio_meta for r in mm.decode_audio(df).collect()}
+    assert got[1]["n_samples"] == 500 and got[1]["format"] == "wav"
+    assert got[2]["n_samples"] == 500 and got[2]["sample_rate"] == 44100
+    assert got[3] is None and got[4] is None and got[5] is None
+    assert got[6]["bits_per_sample"] == 24 and got[6]["format"] == "flac"
