@@ -161,3 +161,40 @@ def finalize_update_sink(table: DataFrame, keys: list[str], monotone_col: str) -
     return table.groupBy(*keys).agg(
         *[F.max_by(c, F.col(monotone_col)).alias(c) for c in others]
     )
+
+
+def stream_enrich(
+    events: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join — the canonical dim-lookup pattern:
+    the static side broadcasts into every micro-batch (no state, no
+    watermark needed), the stream side never blocks. At 100 TB/day the
+    static side is the only thing that must fit an executor; refresh it
+    by restarting the query or reading a slowly-changing dim as its own
+    stream (see stream_stream_interval_join)."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound: right
+    rows match a left row iff they share ``key`` and arrive within
+    [left.ts, left.ts + max_delay]. BOTH sides carry watermarks and the
+    join condition bounds event time on both inputs — that pair of facts
+    is what lets Spark evict join state (without the time bound, state
+    grows forever). The batch twin is a plain non-equi join with the
+    same predicate (parity-tested)."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")

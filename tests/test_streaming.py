@@ -161,3 +161,63 @@ def test_quality_and_pii_ops_stream_parity(spark, sf_dir, tmp_path):
     )
     want = curate(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_stream_enrich_static_dim_parity(spark, sf_dir, stream, tmp_path):
+    """Stream-static enrichment: the dim broadcasts into each
+    micro-batch; results must equal the batch join row-for-row."""
+    from riptable_spark.streaming import windows as sw
+
+    dim = spark.createDataFrame(
+        [(i, f"segment-{i % 3}") for i in range(200)], "user_id long, segment string"
+    )
+    enriched = sw.stream_enrich(stream, dim, on="user_id").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got = {
+        r.segment: r.n
+        for r in sw.run_available_now(
+            enriched, "enrich_stream_test", str(tmp_path / "ckpt_enrich"), output_mode="complete"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.segment: r.n
+        for r in ev.join(dim, on="user_id", how="left").groupBy("segment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_interval_join_parity(spark, sf_dir, stream, tmp_path):
+    """Stream-stream interval join (watermarks both sides + event-time
+    bound → evictable state): click-after-view within 30 minutes per
+    user. Batch twin: the identical non-equi join."""
+    from riptable_spark.streaming import windows as sw
+
+    views_s = stream.where(F.col("event_type") == "view").select("user_id", "ts")
+    clicks_s = stream.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = sw.stream_stream_interval_join(views_s, clicks_s, "user_id").select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("view_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )
+    got = sorted(
+        (r.user_id, r.view_ts, r.click_ts)
+        for r in sw.run_available_now(
+            joined, "ssj_stream_test", str(tmp_path / "ckpt_ssj"), output_mode="append"
+        ).collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select("user_id", F.col("ts").alias("view_ts"))
+    c = ev.where(F.col("event_type") == "click").select(F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+    want = sorted(
+        (r.user_id, r.view_ts, r.click_ts)
+        for r in v.join(
+            c,
+            (v.user_id == c.cu)
+            & (c.click_ts >= v.view_ts)
+            & (c.click_ts <= v.view_ts + F.expr("INTERVAL 30 minutes")),
+            "inner",
+        ).collect()
+    )
+    assert len(got) > 0 and got == want
