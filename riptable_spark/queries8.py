@@ -1087,3 +1087,49 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
         F.col("audio_meta.n_samples").alias("n_samples"),
         F.col("audio_meta.format").alias("format"),
     )
+
+
+@query(
+    "q166_url_curation",
+    """
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+               source || '.example.com:8080/p/' || CAST(doc_id AS VARCHAR) ||
+               '?utm_source=t&id=' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0 THEN '&utm_medium=m' ELSE '' END AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+           regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '^www\\.', '') AS domain,
+           regexp_extract(regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '^www\\.', ''), '([^.]+\\.[^.]+)$', 1) AS reg_domain,
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_replace(regexp_replace(url, '(utm_[a-z]+=[^&#]*&?)', '', 'g'), '[?&]$', '') AS clean_url
+    FROM u
+    """,
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """URL curation functions (host/domain/registered-domain/path +
+    tracking-param canonicalization) — pure regex codegen in the
+    Java∩RE2 subset so the oracle runs the SAME patterns. URLs are
+    synthesized from the documents table (port, www-toggle, repeated
+    utm params)."""
+    from .functions import urls as _u
+
+    d = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com:8080/p/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=t&id="), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_medium=m")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        _u.url_host(F.col("url")).alias("host"),
+        _u.url_domain(F.col("url")).alias("domain"),
+        _u.registered_domain(F.col("url")).alias("reg_domain"),
+        _u.url_path(F.col("url")).alias("path"),
+        _u.strip_tracking_params(F.col("url")).alias("clean_url"),
+    )
