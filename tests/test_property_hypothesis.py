@@ -378,3 +378,41 @@ def test_quantile_ranged_equals_sorted_property(spark, vals, keys, qs):
     for k in a:
         for x, y in zip(a[k], b[k]):
             assert (x is None and y is None) or x == y or math.isclose(x, y, rel_tol=1e-12), (k, a[k], b[k])
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc \n", max_size=60), min_size=1, max_size=12),
+    chunk_size=st.integers(min_value=2, max_value=20),
+    overlap=st.integers(min_value=0, max_value=19),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_properties(spark, texts, chunk_size, overlap):
+    """chunk_documents invariants on arbitrary text/size/overlap:
+    every chunk ≤ chunk_size chars; consecutive chunks overlap exactly
+    `overlap` (except a final short chunk); stripping the overlap
+    reconstructs the document; empty docs produce nothing."""
+    import pytest as _pytest
+
+    from riptable_spark.operators import pipeline as pl
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    if overlap >= chunk_size:
+        with _pytest.raises(ValueError):
+            pl.chunk_documents(df, chunk_size=chunk_size, overlap=overlap)
+        return
+    step = chunk_size - overlap
+    out = pl.chunk_documents(df, chunk_size=chunk_size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+        assert 1 <= r.chunk_len <= chunk_size
+        assert r.chunk_len == len(r.chunk)
+    for i, t in rows:
+        if not t:
+            assert i not in by_doc
+            continue
+        chunks = by_doc[i]
+        assert len(chunks) == len(range(0, len(t), step))
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == t, (t, chunks)
