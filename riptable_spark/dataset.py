@@ -504,6 +504,14 @@ class GroupBy:
         values, q on the 0-100 scale (quantile's q is 0-1)."""
         return self._agg1(_gb.nanpercentile(F.col(col), q, filter), "NanPercentile")
 
+    def transform(self, col, fn: str = "mean", filter=None, out_col: str | None = None) -> Dataset:
+        """rt_groupbyops transform=True: apply the named reduce but
+        broadcast the result back to every row (output shape == input
+        shape) — a partition-window aggregate, no join back."""
+        builder = getattr(_gb, fn, None) or getattr(_gb, "nan" + fn)
+        expr = builder(F.col(col), filter)
+        return Dataset(_gb.transform(self._df, self._keys, expr, out_col or f"{col}_{fn}"))
+
     def sem(self, col, filter=None) -> Dataset:
         return self._agg1(_gb.sem(F.col(col), filter), "Sem")
 

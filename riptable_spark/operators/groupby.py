@@ -466,3 +466,14 @@ def count_uniques_approx(col, rsd: float = 0.05, flt=None):
     distinct counts over very-high-cardinality values (relative
     standard deviation ``rsd``)."""
     return F.approx_count_distinct(_maybe_filter(col, flt), rsd=rsd)
+
+
+def transform(df: DataFrame, keys: list[str], expr: Column, out_col: str) -> DataFrame:
+    """rt_groupbyops transform=True: the group aggregate broadcast back
+    to every member row (output keeps the input's shape). On Spark this
+    is the aggregate over an unordered partition window — ONE shuffle on
+    the keys, no join back. Compose with any aggregate builder here:
+    ``transform(df, ['k'], nanmean(F.col('x')), 'x_mean')``."""
+    from pyspark.sql import Window
+
+    return df.withColumn(out_col, expr.over(Window.partitionBy(*keys)))

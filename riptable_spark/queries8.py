@@ -1133,3 +1133,30 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
         _u.url_path(F.col("url")).alias("path"),
         _u.strip_tracking_params(F.col("url")).alias("clean_url"),
     )
+
+
+@query(
+    "q167_groupby_transform",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(avg(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS qty_mean,
+           round(sum(l_extendedprice) OVER (PARTITION BY l_returnflag, l_linestatus), 2) AS price_sum
+    FROM lineitem
+    """,
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """GroupByOps transform=True parity: the group aggregate broadcast
+    back to every member row — a partition-window aggregate (ONE shuffle
+    on the keys, no join back), output shape == input shape."""
+    from .operators import groupby as _gb
+
+    li = load_table(spark, sf, "lineitem")
+    out = _gb.transform(li, ["l_returnflag"], _gb.nanmean(F.col("l_quantity")), "qty_mean")
+    out = _gb.transform(
+        out, ["l_returnflag", "l_linestatus"], _gb.nansum(F.col("l_extendedprice")), "price_sum"
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("qty_mean", 6).alias("qty_mean"),
+        F.round("price_sum", 2).alias("price_sum"),
+    )

@@ -475,3 +475,19 @@ def test_catzero_base0_codes(spark):
         CatZero(F.col("v"), ["x", "y"], filter=F.col("v") != "x").alias("cf"),
     ).collect()
     assert [(r.c0, r.c1, r.cf) for r in out] == [(0, 1, -1), (1, 2, 1), (-1, 0, -1)]
+
+
+def test_groupby_transform_shape_and_values(spark):
+    """transform keeps input shape and broadcasts the group reduce to
+    every member row; filter fuses like the aggregate form."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.dataset import Dataset
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", None)]
+    ds = Dataset(spark.createDataFrame(rows, "k string, v double"))
+    out = ds.cat("k").transform("v", "mean")._df.collect()
+    assert len(out) == 4
+    got = {(r.k, r.v): r.v_mean for r in out}
+    assert got[("a", 1.0)] == 2.0 and got[("a", 3.0)] == 2.0
+    assert got[("b", 10.0)] == 10.0 and got[("b", None)] == 10.0
