@@ -67,3 +67,30 @@ def test_global_window_over_aggregate_is_clean(spark, sf_dir):
     assert pi.lint(tx.build_vocab(docs, min_count=2, max_vocab=10)) == []
     li = load_table(spark, sf_dir, "lineitem")
     assert pi.lint(wi.rankdata(li, "l_quantity")) == []
+
+
+def test_round3_late_queries_lint_clean(spark, sf_dir):
+    """The round-3 late additions must also lint clean: chunking,
+    mixture sampling, bloom decontamination, line dedup, URL curation,
+    transform, nanpercentile. (q159 pq_search and q32-style topk
+    broadcast a tiny query relation — the cross join against a
+    broadcast single-row/query-side relation is the intended plan, so
+    those assert only against global windows and Python row UDFs.)"""
+    from riptable_spark import queries8  # noqa: F401
+    from riptable_spark.queries import QUERIES
+
+    for name in [
+        "q160_chunk_documents",
+        "q161_mixture_sample",
+        "q163_line_dedup",
+        "q164_nanpercentile",
+        "q166_url_curation",
+        "q167_groupby_transform",
+    ]:
+        warns = pi.lint(QUERIES[name](spark, sf_dir))
+        assert warns == [], (name, warns)
+    for name in ["q159_pq_adc", "q162_bloom_decontaminate", "q165_audio_header_decode"]:
+        warns = [
+            w for w in pi.lint(QUERIES[name](spark, sf_dir)) if "cartesian" not in w
+        ]
+        assert warns == [], (name, warns)
