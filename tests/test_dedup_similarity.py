@@ -356,3 +356,35 @@ def test_dedup_lines_join_and_bloom_modes(spark):
     # relation itself is scan→filter→project)
     plan = pi.simple_plan(bloom)
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """save_ivf_index + ivf_topk_indexed: the partitioned layout must
+    (a) return IDENTICAL results to the in-memory ivf_topk, and (b)
+    actually partition-prune — the scan's partition filters carry the
+    probed centroid_id IN-list, and the number of read partitions equals
+    the probed set, not nlist."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import similarity as sim
+    from riptable_spark.plans import inspect as pi
+    from riptable_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = sim.kmeans_fit(emb, k=8, n_iter=2).select("centroid_id", "centroid_vec")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivf_index")
+    sim.save_ivf_index(emb, cents, path)
+    served = sim.ivf_topk_indexed(spark, path, cents, queries, k=5, nprobe=2)
+    want = {
+        (r.query_id, r.rank): (r.vec_id, round(r.score, 9))
+        for r in sim.ivf_topk(emb, cents, queries, k=5, nprobe=2).collect()
+    }
+    got = {(r.query_id, r.rank): (r.vec_id, round(r.score, 9)) for r in served.collect()}
+    assert got == want
+    plan = pi.plan_string(served)
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
