@@ -456,19 +456,28 @@ def pq_search(
     row's code), then a per-query top-k window over the scored pairs
     (WindowGroupLimit keeps ≤k rows per partition before the exchange).
     Returns (query_id, vec_id, adc_dist, rank)."""
-    m = len(codebooks)
-    subdim = len(codebooks[0][0])
     crossed = codes.crossJoin(F.broadcast(queries))
     qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
-    d2 = None
-    for j in range(m):
-        cb = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in codebooks[j]])
-        sub_vec = F.element_at(cb, F.element_at(F.col("codes"), j + 1) + 1)
-        dj = _sq_dist(F.slice(qv, j * subdim + 1, subdim), sub_vec)
-        d2 = dj if d2 is None else d2 + dj
+    d2 = pq_adc_expr(qv, F.col("codes"), codebooks)
     scored = crossed.select(F.col(query_id_col), F.col(id_col), d2.alias("adc_dist"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_adc_expr(qv: Column, codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """The ADC squared-distance expression Σ_j ||q_sub_j −
+    codebook[j][codes[j]]||² as a reusable Column (codegen lookup chain
+    into the literal codebooks) — shared by pq_search and the IVF-PQ
+    residual search."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    d2 = None
+    for j in range(m):
+        cb = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in codebooks[j]])
+        sub_vec = F.element_at(cb, F.element_at(codes, j + 1) + 1)
+        dj = _sq_dist(F.slice(qv, j * subdim + 1, subdim), sub_vec)
+        d2 = dj if d2 is None else d2 + dj
+    return d2
 
 
 def pq_train(
@@ -584,4 +593,74 @@ def ivf_topk_indexed(
         query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("score")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------- IVF-PQ
+# The FAISS IVFPQ composition (Jégou et al. 2011 §V): coarse-quantize to
+# inverted lists, PQ-encode the RESIDUAL (v − centroid) — residuals
+# cluster far tighter than raw vectors, so the same ksub buys much finer
+# quantization — and search probed lists with per-(query, list) residual
+# ADC. The serving relation carries (id, centroid_id, codes): m ints +
+# one int per vector.
+
+
+def ivfpq_build(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    ksub: int = 256,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_frac: float | None = None,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Build the IVF-PQ index: assign each vector to its inverted list
+    (broadcast centroids), subtract the centroid (zip_with — codegen),
+    train shared residual codebooks (``pq_train``, optionally on a hash
+    sample), and encode every residual (zero-shuffle projection).
+    Returns ((id, centroid_id, codes), codebooks). Write the relation
+    partitioned by centroid_id for probe-time partition pruning
+    (``save_ivf_index`` layout)."""
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    with_cent = assigned.join(F.broadcast(centroids), on="centroid_id")
+    res = F.zip_with(F.col(vec_col), F.col("centroid_vec"), lambda x, y: x - y)
+    residuals = with_cent.select(F.col(id_col), F.col("centroid_id"), res.alias("__res__"))
+    books = pq_train(
+        residuals, m=m, ksub=ksub, n_iter=n_iter,
+        id_col=id_col, vec_col="__res__", sample_frac=sample_frac,
+    )
+    codes = pq_encode(residuals, books, id_col=id_col, vec_col="__res__")
+    return residuals.select(id_col, "centroid_id").join(codes, on=id_col), books
+
+
+def ivfpq_search(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ ANN: probe ``nprobe`` lists per query, compute the QUERY
+    residual per probed list (q − centroid, broadcast-joined), and rank
+    by residual ADC against the stored codes. The index relation joins
+    the broadcast probe list on centroid_id — with a partitioned layout
+    this is partition pruning; the big side never shuffles and carries
+    only codes, never vectors. Returns (query_id, vec_id, adc_dist,
+    rank) — approximate squared euclidean distance."""
+    probes = ivf_probe(queries, centroids, nprobe, query_id_col, query_vec_col)
+    probes_c = probes.join(F.broadcast(centroids), on="centroid_id").select(
+        "centroid_id", query_id_col,
+        F.zip_with(F.col(query_vec_col), F.col("centroid_vec"), lambda x, y: x - y).alias("__qres__"),
+    )
+    joined = index.join(F.broadcast(probes_c), on="centroid_id")
+    qv = F.transform(F.col("__qres__"), lambda x: x.cast("double"))
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), pq_adc_expr(qv, F.col("codes"), codebooks).alias("adc_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -388,3 +388,45 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, sf_dir, tmp_path):
     assert got == want
     plan = pi.plan_string(served)
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivfpq_exhaustive_lossless_matches_brute_force(spark):
+    """IVF-PQ contract: with residuals drawn from ≤ ksub patterns per
+    subspace (trained codebooks cover them → zero quantization error)
+    and nprobe = nlist (exhaustive), the residual-ADC ranking equals the
+    exact euclidean brute force, and adc_dist equals the true squared
+    distance."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import similarity as sim
+
+    cents = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [50.0] * 8)], "centroid_id int, centroid_vec array<double>"
+    )
+    pool = [[0.5, -0.25, 1.0, 0.75], [-1.0, 0.5, 0.25, -0.5], [2.0, 1.5, -0.75, 0.25]]
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8 if i % 2 == 0 else [50.0] * 8
+        r = pool[i % 3] + pool[(i + 1) % 3]
+        rows.append((i, [b + x for b, x in zip(base, r)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index, books = sim.ivfpq_build(df, cents, m=2, ksub=3, n_iter=2)
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sim.ivfpq_search(index, cents, queries, books, k=40, nprobe=2).collect()
+    exact = {
+        (r.query_id, r.vec_id): r.d2
+        for r in df.crossJoin(F.broadcast(queries)).select(
+            "query_id", "vec_id",
+            sim._sq_dist(F.col("embedding"), F.col("query_vec")).alias("d2"),
+        ).collect()
+    }
+    assert len(got) == 80
+    for r in got:
+        assert abs(r.adc_dist - exact[(r.query_id, r.vec_id)]) < 1e-9, (r, exact[(r.query_id, r.vec_id)])
+    # ranking agrees with exact ordering (ties broken by vec_id both ways)
+    for qid in (0, 1):
+        want_order = [v for (q, v) in sorted(exact, key=lambda k: (exact[k], k[1])) if q == qid]
+        got_order = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert got_order == want_order
