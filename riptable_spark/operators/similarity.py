@@ -664,3 +664,44 @@ def ivfpq_search(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_frac: float | None = None,
+    max_cc_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): cluster the corpus with the IVF coarse quantizer, compute
+    pairwise cosine ONLY within clusters (the O(n²) all-pairs collapses
+    to Σ|cluster|²), chain the near-dup pairs with connected components,
+    and keep the min-id representative per duplicate group.
+
+    Scale shape: kmeans trains on an optional hash sample; assignment
+    broadcasts centroids (corpus never shuffles); the within-cluster
+    self-join is an EQUI-join on centroid_id (never a cartesian);
+    component resolution shuffles only (id, label) pairs. Cluster-count
+    is the skew dial — size nlist so the largest cluster's |c|² stays
+    in one task's budget. Returns the deduplicated embedding relation."""
+    from .dedup import dedup_by_components
+
+    cents = kmeans_fit(
+        embeddings, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        sample_frac=train_sample_frac,
+    ).select("centroid_id", "centroid_vec")
+    assigned = ivf_assign(embeddings, cents, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+    b = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    pairs = (
+        a.join(b, on="centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dedup_by_components(embeddings, pairs, id_col=id_col, max_iter=max_cc_iter)

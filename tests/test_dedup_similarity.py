@@ -430,3 +430,26 @@ def test_ivfpq_exhaustive_lossless_matches_brute_force(spark):
         want_order = [v for (q, v) in sorted(exact, key=lambda k: (exact[k], k[1])) if q == qid]
         got_order = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
         assert got_order == want_order
+
+
+def test_semantic_dedup_matches_global_pairwise_when_one_cluster(spark, sf_dir):
+    """semantic_dedup with nlist=1 degenerates to the exact global
+    pairwise form — kept set must equal pairwise_cosine + components on
+    the full relation; with nlist>1 the kept set is a superset (pairs
+    split across clusters are missed — the documented recall trade)."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import dedup as dd
+    from riptable_spark.operators import similarity as sim
+    from riptable_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    thr = 0.92
+    one = {r.vec_id for r in sim.semantic_dedup(emb, nlist=1, threshold=thr).collect()}
+    pairs = sim.pairwise_cosine(emb, threshold=thr).select("id_a", "id_b")
+    want = {r.vec_id for r in dd.dedup_by_components(emb, pairs, id_col="vec_id").collect()}
+    assert one == want
+    clustered = {r.vec_id for r in sim.semantic_dedup(emb, nlist=4, threshold=thr).collect()}
+    assert want <= clustered
