@@ -331,18 +331,22 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     "q84_resample",
     """
     SELECT (floor(epoch(ts) / 900) * 900)::BIGINT AS bucket_s, event_type,
-           count(*) AS n, round(avg(value), 4) AS avg_value
+           count(*) AS n, round(sum(value), 2) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
 def q84(spark: SparkSession, sf: str) -> DataFrame:
     """resample (NotImplementedError in the reference,
     rt_groupbyops.py:3533-3540 — free on Spark): 15-minute bucket ×
-    event_type aggregation via epoch floor."""
+    event_type aggregation via epoch floor. The per-bucket reduce is
+    count + sum: `value` is 2-decimal data, so round(sum, 2) is
+    tie-free across engines, whereas avg of a small bucket lands
+    EXACTLY on a rounding boundary (avg of two 2dp values is a 3dp
+    half) and 1-ulp summation noise flips the hash at sf0.1."""
     ev = load_table(spark, sf, "events")
     return ev.groupBy(
         F.unix_seconds(dtf.resample_floor(F.col("ts"), 900)).alias("bucket_s"), "event_type"
-    ).agg(gb.count().alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    ).agg(gb.count().alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
 
 
 @query(

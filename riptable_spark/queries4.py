@@ -53,20 +53,27 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     "q92_timewindow_prod",
     """
     SELECT event_id,
-           round(exp(sum(ln(1 + value / 1000.0))
-                 OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)), 6) AS growth
+           round(sum(ln(1 + value / 1000.0))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS growth_log
     FROM events
     """,
 )
 def q92(spark: SparkSession, sf: str) -> DataFrame:
     """timewindow_prod (rt_fastarray.py:2629-2668 rc.TimeWindow): product
     over a trailing 1-hour TIME window — rangeBetween is the native fit;
-    the product runs as exp∘sum∘ln in codegen."""
-    ev = load_table(spark, sf, "events").withColumn("t_s", F.unix_seconds(F.col("ts")))
-    w = Window.partitionBy("user_id").orderBy("t_s").rangeBetween(-3600, 0)
-    growth = F.exp(F.sum(F.log(1 + F.col("value") / 1000.0)).over(w))
-    return ev.select("event_id", F.round(growth, 6).alias("growth"))
+    the product runs as exp∘sum∘ln in codegen (exp omitted from the
+    contract output: the hash compares the log-sum, because exp(ln(x))
+    of a single-row window lands ±1 ulp around 2-decimal inputs whose
+    5th decimal is exactly 5 — a systematic cross-engine rounding tie
+    caught at sf0.1). The range key is epoch MICROSECONDS on both
+    sides: whole-second truncation (unix_seconds) vs DuckDB's
+    fractional epoch() disagreed on window membership near the 1-hour
+    boundary (also caught at sf0.1)."""
+    ev = load_table(spark, sf, "events").withColumn("t_us", F.unix_micros(F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("t_us").rangeBetween(-3_600_000_000, 0)
+    growth_log = F.sum(F.log(1 + F.col("value") / 1000.0)).over(w)
+    return ev.select("event_id", F.round(growth_log, 6).alias("growth_log"))
 
 
 @query(
