@@ -42,10 +42,7 @@ _PRIORITY = [
     "q13_asof_backward",
     "q16_cumsum",
     "q17_rolling",
-    "q18_rank",
-    "q19_fill_forward",
     "q20_drop_duplicates",
-    "q21_topk",
     "q22_accum2",
     "q25_cut",
     "q26_datetime",
@@ -55,9 +52,7 @@ _PRIORITY = [
     "q31_token_jaccard",
     "q32_cosine_topk",
     "q33_minhash_pairs",
-    "q34_simhash",
     "q35_ema_decay",
-    "q37_ohlc",
     "q41_math_surface",
     "q47_rollup",
     "q48_apply_reduce",
@@ -86,6 +81,7 @@ _PRIORITY = [
     "q155_range_join",
     "q158_grouped_topk",
     "q159_pq_adc",
+    "q168_semantic_dedup",
 ]
 
 

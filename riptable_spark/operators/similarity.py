@@ -675,12 +675,15 @@ def semantic_dedup(
     vec_col: str = "embedding",
     train_sample_frac: float | None = None,
     max_cc_iter: int = 20,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     method): cluster the corpus with the IVF coarse quantizer, compute
     pairwise cosine ONLY within clusters (the O(n²) all-pairs collapses
     to Σ|cluster|²), chain the near-dup pairs with connected components,
-    and keep the min-id representative per duplicate group.
+    and keep the min-id representative per duplicate group. Pass
+    ``centroids`` (centroid_id, centroid_vec) to skip quantizer
+    training (pre-trained or oracle-fixed clusters).
 
     Scale shape: kmeans trains on an optional hash sample; assignment
     broadcasts centroids (corpus never shuffles); the within-cluster
@@ -690,7 +693,7 @@ def semantic_dedup(
     in one task's budget. Returns the deduplicated embedding relation."""
     from .dedup import dedup_by_components
 
-    cents = kmeans_fit(
+    cents = centroids if centroids is not None else kmeans_fit(
         embeddings, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         sample_frac=train_sample_frac,
     ).select("centroid_id", "centroid_vec")

@@ -1160,3 +1160,57 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
         F.round("qty_mean", 6).alias("qty_mean"),
         F.round("price_sum", 2).alias("price_sum"),
     )
+
+
+def _semdedup_centroids() -> list[list[float]]:
+    from .operators.similarity import _hyperplanes
+
+    return [[x * 0.08 for x in v] for v in _hyperplanes(64, 2, seed=9)]
+
+
+def _semdedup_oracle() -> str:
+    lits = ["[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in _semdedup_centroids()]
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (
+        SELECT vec_id, v,
+               CASE WHEN list_distance(v, {lits[0]}) <= list_distance(v, {lits[1]})
+                    THEN 0 ELSE 1 END AS cid
+        FROM e
+    ),
+    p AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b AS src, id_a AS dst FROM p),
+    walk(node, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.node, e2.dst FROM walk w JOIN edges e2 ON w.reach = e2.src
+    ),
+    comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != component)
+    """
+
+
+@query("q168_semantic_dedup", _semdedup_oracle())
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup end-to-end, FULLY replayed in SQL: fixed literal
+    centroids cluster the corpus (argmin euclidean, ties→lower id),
+    pairwise cosine runs only within clusters (equi-join on cid — never
+    a cartesian), near-dup pairs (≥0.9) chain through connected
+    components (recursive-CTE transitive closure in the oracle vs the
+    distributed min-label fixpoint), min-id representative kept."""
+    from .operators import similarity as _s
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    cl = _semdedup_centroids()
+    cents = spark.createDataFrame(
+        [(i, cl[i]) for i in range(len(cl))], "centroid_id int, centroid_vec array<double>"
+    )
+    return _s.semantic_dedup(emb, threshold=0.9, centroids=cents).select("vec_id")
