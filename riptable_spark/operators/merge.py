@@ -516,3 +516,33 @@ def interval_overlap_join(
         .where(overlap & (F.col("__bkt__") == first_shared))
         .drop("__bkt__")
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff — the change-data-capture shape between two
+    versions of a keyed table: one row per key that was ``added``,
+    ``removed``, or ``changed`` (same key, different content hash).
+    Unchanged keys are dropped.
+
+    Physical shape: each side reduces to (key, xxhash64(content)) —
+    8 bytes — BEFORE the full-outer equi-join on the keys, so the
+    shuffle carries hashes, never the wide rows; at 100 TB the diff
+    costs two scans plus a hash-keyed join of key+long. Hash collisions
+    (2⁻⁶⁴ per pair) would misreport 'changed' as unchanged — the
+    standard CDC trade, documented."""
+    cc_old = compare_cols or [c for c in old.columns if c not in keys]
+    cc_new = compare_cols or [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.xxhash64(*[F.col(c) for c in cc_old]).alias("__ho__"))
+    n = new.select(*keys, F.xxhash64(*[F.col(c) for c in cc_new]).alias("__hn__"))
+    j = o.join(n, on=keys, how="full_outer")
+    status = (
+        F.when(F.col("__ho__").isNull(), F.lit("added"))
+        .when(F.col("__hn__").isNull(), F.lit("removed"))
+        .when(F.col("__ho__") != F.col("__hn__"), F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("diff_status")).where(F.col("diff_status").isNotNull())

@@ -1214,3 +1214,42 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
         [(i, cl[i]) for i in range(len(cl))], "centroid_id int, centroid_vec array<double>"
     )
     return _s.semantic_dedup(emb, threshold=0.9, centroids=cents).select("vec_id")
+
+
+@query(
+    "q169_table_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 11 != 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice != n.o_totalprice OR o.o_orderstatus != n.o_orderstatus
+                THEN 'changed' END AS diff_status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice != n.o_totalprice OR o.o_orderstatus != n.o_orderstatus)
+    """,
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff (CDC shape): two derived versions of orders —
+    rows dropped (removed), rows newly present (added), price-bumped
+    rows (changed). Each side reduces to (key, content hash) before the
+    full-outer join, so the shuffle carries 8-byte hashes, never wide
+    rows."""
+    from .operators import merge as _mg
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = o.where(F.col("o_orderkey") % 7 != 0)
+    new = o.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+    )
+    return _mg.table_diff(old, new, ["o_orderkey"])
