@@ -607,3 +607,41 @@ TIMEWINDOW_FUNCTIONS = {
     "timewindow_sum": "timewindow_sum",
     "timewindow_prod": "timewindow_prod",
 }
+
+
+def funnel_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Funnel analysis: per user, the earliest time each ordered step
+    completes — step k counts only if it happens strictly AFTER step
+    k-1 (and, with ``within_seconds``, within that budget of step 1).
+    Returns (user, t_step0 … t_step{k-1}) with NULLs from the first
+    uncompleted step onward.
+
+    Physical shape: k conditional min-aggregates over the SAME user
+    key — AQE reuses one exchange; each phase's result is
+    broadcast-joined back (per-user rows ≪ events). No window sort, no
+    per-user event materialization — at 100 TB the events relation is
+    scanned k times map-side (or once if the caller caches) and only
+    (user, timestamp) pairs move."""
+    u, t, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+    out = None
+    for i, step in enumerate(steps):
+        if i == 0:
+            cond = F.when(et == step, t)
+            phase = df.groupBy(user_col).agg(F.min(cond).alias("t_step0"))
+            out = phase
+            continue
+        prev = F.col(f"t_step{i - 1}")
+        joined = df.join(F.broadcast(out), on=user_col)
+        cond = (et == step) & prev.isNotNull() & (t > prev)
+        if within_seconds is not None:
+            cond = cond & (t <= F.col("t_step0") + F.expr(f"INTERVAL {within_seconds} SECONDS"))
+        phase = joined.groupBy(user_col).agg(F.min(F.when(cond, t)).alias(f"t_step{i}"))
+        out = out.join(phase, on=user_col, how="left")
+    return out

@@ -1253,3 +1253,47 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
     )
     return _mg.table_diff(old, new, ["o_orderkey"])
+
+
+@query(
+    "q170_funnel",
+    """
+    WITH s0 AS (
+        SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND e.ts > s0.t0
+              AND e.ts <= s0.t0 + INTERVAL 72 HOURS
+        GROUP BY e.user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+              AND e.ts <= s0.t0 + INTERVAL 72 HOURS
+        GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_step0,
+           sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_step1,
+           sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_step2
+    FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    """,
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel (view → click → purchase within 72 h of the first view):
+    k conditional min-aggregates over one user key, each phase
+    broadcast-joined back — no window sort, no per-user event
+    materialization. Output: users completing each step."""
+    from .operators import window as _w
+
+    ev = load_table(spark, sf, "events")
+    f = _w.funnel_times(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+                        within_seconds=72 * 3600)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_step0"),
+        F.sum(F.col("t_step1").isNotNull().cast("bigint")).alias("n_step1"),
+        F.sum(F.col("t_step2").isNotNull().cast("bigint")).alias("n_step2"),
+    )
