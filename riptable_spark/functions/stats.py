@@ -178,3 +178,25 @@ def nanargmax(df: DataFrame, colname: str, rowid_col: str = "__rowid__"):
         F.max_by(rowid_col, F.struct(c, (-F.col(rowid_col)).alias("__nr__"))).alias("i")
     )
     return r.first()["i"]
+
+
+def ttest_ind_welch(df, group_col, val_col, group_a, group_b):
+    """Welch's two-sample t statistic (unequal variances) between two
+    groups of ``group_col`` — one conditional-aggregate pass (means,
+    sample variances, counts fused into a single hash-agg), the t and
+    degrees-of-freedom computed as scalar column algebra on the 1-row
+    result. Returns a 1-row DataFrame (mean_a, mean_b, t_stat, dof)."""
+    c = F.col(val_col)
+    a = F.when(F.col(group_col) == group_a, c)
+    b = F.when(F.col(group_col) == group_b, c)
+    agg = df.agg(
+        F.avg(a).alias("mean_a"), F.var_samp(a).alias("var_a"), F.count(a).alias("n_a"),
+        F.avg(b).alias("mean_b"), F.var_samp(b).alias("var_b"), F.count(b).alias("n_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb)
+    dof = (sa + sb) * (sa + sb) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return agg.select("mean_a", "mean_b", t.alias("t_stat"), dof.alias("dof"))

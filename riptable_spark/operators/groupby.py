@@ -477,3 +477,29 @@ def transform(df: DataFrame, keys: list[str], expr: Column, out_col: str) -> Dat
     from pyspark.sql import Window
 
     return df.withColumn(out_col, expr.over(Window.partitionBy(*keys)))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_seconds: int = 604_800,
+) -> DataFrame:
+    """Cohort retention grid: users bucketed by first-activity period
+    (the cohort), counted in each later activity period. Two
+    aggregations — first-seen per user (one shuffle on user), then the
+    (cohort, period_offset) distinct-user count — both partial-agg
+    friendly; the events relation never carries more than (user,
+    period) pairs. Returns (cohort_period, period_offset, n_users)."""
+    t = F.col(ts_col).cast("timestamp")
+    per = F.floor(F.unix_micros(t) / F.lit(period_seconds * 1_000_000)).alias("__p__")
+    acts = df.select(F.col(user_col).alias("__u__"), per).distinct()
+    first = acts.groupBy("__u__").agg(F.min("__p__").alias("__c__"))
+    joined = acts.join(first, on="__u__")
+    return (
+        joined.groupBy(
+            F.col("__c__").alias("cohort_period"),
+            (F.col("__p__") - F.col("__c__")).alias("period_offset"),
+        )
+        .agg(F.count_distinct("__u__").alias("n_users"))
+    )

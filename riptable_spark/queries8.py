@@ -1297,3 +1297,58 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("t_step1").isNotNull().cast("bigint")).alias("n_step1"),
         F.sum(F.col("t_step2").isNotNull().cast("bigint")).alias("n_step2"),
     )
+
+
+@query(
+    "q171_cohort_retention",
+    """
+    WITH acts AS (
+        SELECT DISTINCT user_id, (epoch_us(ts) // 604800000000) AS p FROM events
+    ),
+    first AS (SELECT user_id, min(p) AS c FROM acts GROUP BY user_id)
+    SELECT c AS cohort_period, (p - c) AS period_offset, count(DISTINCT a.user_id) AS n_users
+    FROM acts a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention grid: first-activity week × offset →
+    distinct users. Two keyed aggregations; only (user, week) pairs
+    ever shuffle."""
+    from .operators import groupby as _gb
+
+    ev = load_table(spark, sf, "events")
+    return _gb.cohort_retention(ev, "user_id", "ts")
+
+
+@query(
+    "q172_welch_ttest",
+    """
+    WITH s AS (
+        SELECT avg(CASE WHEN event_type = 'click' THEN value END) AS mean_a,
+               var_samp(CASE WHEN event_type = 'click' THEN value END) AS var_a,
+               count(CASE WHEN event_type = 'click' THEN value END) AS n_a,
+               avg(CASE WHEN event_type = 'purchase' THEN value END) AS mean_b,
+               var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS var_b,
+               count(CASE WHEN event_type = 'purchase' THEN value END) AS n_b
+        FROM events
+    )
+    SELECT round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+           round(power(var_a / n_a + var_b / n_b, 2)
+                 / (power(var_a / n_a, 2) / (n_a - 1) + power(var_b / n_b, 2) / (n_b - 1)), 4) AS dof
+    FROM s
+    """,
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's two-sample t (click vs purchase values): one fused
+    conditional-aggregate pass; t and dof as scalar algebra over the
+    1-row result."""
+    from .functions import stats as _st
+
+    ev = load_table(spark, sf, "events")
+    out = _st.ttest_ind_welch(ev, "event_type", "value", "click", "purchase")
+    return out.select(
+        F.round("mean_a", 6).alias("mean_a"), F.round("mean_b", 6).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"), F.round("dof", 4).alias("dof"),
+    )
