@@ -200,3 +200,33 @@ def ttest_ind_welch(df, group_col, val_col, group_a, group_b):
         sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
     )
     return agg.select("mean_a", "mean_b", t.alias("t_stat"), dof.alias("dof"))
+
+
+def histogram_dist(df, col, bins: int, lo: float, hi: float):
+    """Normalized histogram (bin, p) with fixed [lo, hi) range; values
+    outside clamp to the edge bins. One hash-agg; ≤ bins rows out."""
+    x = F.col(col).cast("double")
+    b = F.floor((x - lo) / (hi - lo) * bins)
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+    h = df.where(x.isNotNull()).groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("__n__"))
+    tot = h.agg(F.sum("__n__").alias("__t__"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "bin", (F.col("__n__") / F.col("__t__")).alias("p")
+    )
+
+
+def js_divergence(df_a, df_b, col, bins: int = 32, lo: float = 0.0, hi: float = 1.0):
+    """Jensen-Shannon divergence between two relations' distributions of
+    ``col`` over a fixed binning — the drift metric between corpus
+    snapshots. Each side reduces to ≤ bins rows before the full-outer
+    bin join; the scalar is Σ ½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q)) with
+    0-mass terms dropped. Returns a 1-row DataFrame (js_div)."""
+    ha = histogram_dist(df_a, col, bins, lo, hi).withColumnRenamed("p", "pa")
+    hb = histogram_dist(df_b, col, bins, lo, hi).withColumnRenamed("p", "pb")
+    j = ha.join(hb, on="bin", how="full_outer").select(
+        F.coalesce(F.col("pa"), F.lit(0.0)).alias("pa"),
+        F.coalesce(F.col("pb"), F.lit(0.0)).alias("pb"),
+    )
+    ta = F.when(F.col("pa") > 0, F.col("pa") * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb")))).otherwise(F.lit(0.0))
+    tb = F.when(F.col("pb") > 0, F.col("pb") * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb")))).otherwise(F.lit(0.0))
+    return j.agg((F.lit(0.5) * F.sum(ta) + F.lit(0.5) * F.sum(tb)).alias("js_div"))

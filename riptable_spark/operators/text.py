@@ -295,3 +295,40 @@ def build_vocab(
     if max_vocab is not None:
         ranked = ranked.where(F.col("rank") <= max_vocab)
     return ranked
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the classic cheap LM-quality proxy (low score =
+    unusual token distribution = candidate junk). Tokens below
+    ``min_count`` fall to the 1/N floor (add-nothing OOV).
+
+    Two aggregations: the model build (token hash-count, map-side
+    combined) and the per-doc mean; the model broadcasts into the
+    scoring join, so the only corpus-sized shuffle carries
+    (doc_id, logp) pairs. Returns (id, n_tokens, avg_logprob)."""
+    toks = _words(F.lower(F.col(text_col)))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("token")).where(F.length("token") > 0)
+    counts = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("__n__"))
+    total = counts.agg(F.sum("__n__").alias("__N__"))
+    # rename model's count: model derives from `exploded`, so the join
+    # below is a self-join and an un-renamed column resolves ambiguously
+    model = counts.where(F.col("__n__") >= min_count).select(
+        "token", F.col("__n__").alias("__mn__")
+    )
+    scored = (
+        exploded.join(F.broadcast(model), on="token", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(F.coalesce(F.col("__mn__"), F.lit(1)).cast("double") / F.col("__N__")).alias("__lp__"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.avg("__lp__").alias("avg_logprob")
+    )

@@ -1352,3 +1352,68 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
         F.round("mean_a", 6).alias("mean_a"), F.round("mean_b", 6).alias("mean_b"),
         F.round("t_stat", 6).alias("t_stat"), F.round("dof", 4).alias("dof"),
     )
+
+
+@query(
+    "q173_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+        FROM documents
+    ),
+    t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+    counts AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+    total AS (SELECT sum(n) AS N FROM counts),
+    model AS (SELECT token, n FROM counts WHERE n >= 2)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(coalesce(m.n, 1)::DOUBLE / total.N)), 6) AS avg_logprob
+    FROM t LEFT JOIN model m USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram model (cheap LM-quality proxy; OOV → 1/N floor). Model
+    broadcasts; only (doc_id, logp) pairs shuffle."""
+    from .operators import text as _tx
+
+    d = load_table(spark, sf, "documents")
+    out = _tx.unigram_logprob(d, min_count=2)
+    return out.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+@query(
+    "q174_js_divergence",
+    """
+    WITH ha AS (
+        SELECT b, count(*)::DOUBLE / (SELECT count(*) FROM events WHERE event_type = 'click' AND value IS NOT NULL) AS pa
+        FROM (SELECT greatest(0, least(31, floor(value / 200.0 * 32)))::INT AS b
+              FROM events WHERE event_type = 'click' AND value IS NOT NULL)
+        GROUP BY b
+    ),
+    hb AS (
+        SELECT b, count(*)::DOUBLE / (SELECT count(*) FROM events WHERE event_type = 'purchase' AND value IS NOT NULL) AS pb
+        FROM (SELECT greatest(0, least(31, floor(value / 200.0 * 32)))::INT AS b
+              FROM events WHERE event_type = 'purchase' AND value IS NOT NULL)
+        GROUP BY b
+    ),
+    j AS (
+        SELECT coalesce(pa, 0) AS pa, coalesce(pb, 0) AS pb
+        FROM ha FULL OUTER JOIN hb USING (b)
+    )
+    SELECT round(0.5 * sum(CASE WHEN pa > 0 THEN pa * ln(2 * pa / (pa + pb)) ELSE 0 END)
+               + 0.5 * sum(CASE WHEN pb > 0 THEN pb * ln(2 * pb / (pa + pb)) ELSE 0 END), 6) AS js_div
+    FROM j
+    """,
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon drift between two event populations' value
+    distributions: each side reduces to ≤32 histogram rows before the
+    bin join; the divergence is scalar algebra on that tiny relation."""
+    from .functions import stats as _st
+
+    ev = load_table(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "purchase")
+    out = _st.js_divergence(a, b, "value", bins=32, lo=0.0, hi=200.0)
+    return out.select(F.round("js_div", 6).alias("js_div"))
