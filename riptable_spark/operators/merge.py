@@ -546,3 +546,40 @@ def table_diff(
         .when(F.col("__ho__") != F.col("__hn__"), F.lit("changed"))
     )
     return j.select(*keys, status.alias("diff_status")).where(F.col("diff_status").isNotNull())
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over an edge list (the domain-authority quality prior a
+    web-corpus curation pipeline attaches to crawled documents). Nodes =
+    distinct endpoints; dangling nodes keep the teleport term only.
+
+    Each iteration is ONE join (ranks ⋈ out-degree-normalized edges,
+    both keyed on src) + ONE aggregation on dst — the standard
+    distributed shape; out-degrees are computed once and the edge
+    relation is reused every round (cache it at scale). Rank mass:
+    r' = (1−d)/N + d·Σ_in r/outdeg."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = edges.select(src.alias("node")).union(edges.select(dst.alias("node"))).distinct()
+    n_nodes = nodes.count()
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg__"))
+    e = edges.join(deg, on=src_col)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", src_col), on=src_col)
+            .select(dst.alias("node"), (F.col("rank") / F.col("__deg__")).alias("__c__"))
+            .groupBy("node")
+            .agg(F.sum("__c__").alias("__in__"))
+        )
+        ranks = nodes.join(contrib, on="node", how="left").select(
+            "node",
+            (F.lit((1.0 - damping) / n_nodes)
+             + F.lit(damping) * F.coalesce(F.col("__in__"), F.lit(0.0))).alias("rank"),
+        )
+    return ranks

@@ -1417,3 +1417,51 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
     b = ev.where(F.col("event_type") == "purchase")
     out = _st.js_divergence(a, b, "value", bins=32, lo=0.0, hi=200.0)
     return out.select(F.round("js_div", 6).alias("js_div"))
+
+
+@query(
+    "q175_pagerank",
+    """
+    WITH base AS (
+        SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst FROM documents
+        WHERE doc_id % 50 != (doc_id * 7 + 3) % 50
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM base),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    c1 AS (
+        SELECT e.dst AS node, sum(r0.rank / deg.d) AS m
+        FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ),
+    r1 AS (
+        SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c1.m, 0) AS rank
+        FROM nodes LEFT JOIN c1 ON c1.node = nodes.node CROSS JOIN nn
+    ),
+    c2 AS (
+        SELECT e.dst AS node, sum(r1.rank / deg.d) AS m
+        FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c2.m, 0) AS rank
+        FROM nodes LEFT JOIN c2 ON c2.node = nodes.node CROSS JOIN nn
+    )
+    SELECT node, round(rank, 9) AS rank FROM r2
+    """,
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (domain-authority prior for curation): synthetic 50-node
+    link graph from the documents table; TWO distributed iterations
+    replayed exactly by the oracle's CTE chain (join + dst-aggregation
+    per round, dangling mass to teleport)."""
+    from .operators import merge as _mg
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 50).alias("src"), ((F.col("doc_id") * 7 + 3) % 50).alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    pr = _mg.pagerank(edges, n_iter=2, damping=0.85)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
