@@ -386,12 +386,18 @@ def timewindow_prod(col: Column, keys: list[str], time_col: str, dist) -> Column
 
 
 # --- fills (rt_fastarraynumba.py:149/241, rt_groupbynumba.py:312/348)
-def fill_forward(col: Column, w: WindowSpec) -> Column:
-    return F.last(col, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+def fill_forward(col: Column, w: WindowSpec, fill_val=None) -> Column:
+    """rt_fastarraynumba.py:170 fill_forward. ``fill_val`` replaces
+    positions with no valid value to propagate (the leading-NaN case in
+    the reference doctest)."""
+    out = F.last(col, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return F.coalesce(out, F.lit(fill_val)) if fill_val is not None else out
 
 
-def fill_backward(col: Column, w: WindowSpec) -> Column:
-    return F.first(col, ignorenulls=True).over(w.rowsBetween(0, Window.unboundedFollowing))
+def fill_backward(col: Column, w: WindowSpec, fill_val=None) -> Column:
+    """rt_fastarraynumba.py:260 fill_backward (trailing-NaN fill_val)."""
+    out = F.first(col, ignorenulls=True).over(w.rowsBetween(0, Window.unboundedFollowing))
+    return F.coalesce(out, F.lit(fill_val)) if fill_val is not None else out
 
 
 def fill_forward_limit(col: Column, w: WindowSpec, limit: int) -> Column:

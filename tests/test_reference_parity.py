@@ -491,3 +491,87 @@ def test_groupby_transform_shape_and_values(spark):
     got = {(r.k, r.v): r.v_mean for r in out}
     assert got[("a", 1.0)] == 2.0 and got[("a", 3.0)] == 2.0
     assert got[("b", 10.0)] == 10.0 and got[("b", None)] == 10.0
+
+
+def test_merge2_many_to_many_doctest(spark):
+    """rt_merge.py:2462-2533 merge2 doctest: non-unique keys on both
+    sides — the many-to-many row multiset for left/right/inner merges,
+    with 'SPY' (left-only) getting NULL Trader and 'IBM' (right-only)
+    discarded on left / NULL Value on right."""
+    from riptable_spark.operators import merge
+
+    l = spark.createDataFrame(
+        list(zip(["AMZN", "TSLA", "SPY", "AAPL", "TSLA", "MSFT", "MSFT"],
+                 [10, 20, 30, 40, 50, 60, 70])), ["Symbol", "Value"]
+    )
+    r = spark.createDataFrame(
+        list(zip(["TSLA", "AMZN", "AMZN", "AAPL", "IBM", "MSFT", "MSFT"],
+                 ["Nate", "Sunil", "Elon", "Josh", "Anne", "Elaine", "Bob"])), ["Symbol", "Trader"]
+    )
+    left = sorted((x.Symbol, x.Value, x.Trader) for x in merge.merge2(l, r, on="Symbol", how="left").collect())
+    assert left == sorted([
+        ("AMZN", 10, "Sunil"), ("AMZN", 10, "Elon"), ("TSLA", 20, "Nate"),
+        ("SPY", 30, None), ("AAPL", 40, "Josh"), ("TSLA", 50, "Nate"),
+        ("MSFT", 60, "Elaine"), ("MSFT", 60, "Bob"), ("MSFT", 70, "Elaine"), ("MSFT", 70, "Bob"),
+    ])
+    right = sorted((x.Symbol, x.Value, x.Trader) for x in merge.merge2(l, r, on="Symbol", how="right").collect())
+    assert right == sorted([
+        ("TSLA", 20, "Nate"), ("TSLA", 50, "Nate"), ("AMZN", 10, "Sunil"), ("AMZN", 10, "Elon"),
+        ("AAPL", 40, "Josh"), ("IBM", None, "Anne"),
+        ("MSFT", 60, "Elaine"), ("MSFT", 70, "Elaine"), ("MSFT", 60, "Bob"), ("MSFT", 70, "Bob"),
+    ])
+    inner = sorted((x.Symbol, x.Value, x.Trader) for x in merge.merge2(l, r, on="Symbol", how="inner").collect())
+    assert ("SPY", 30, None) not in inner and ("IBM", None, "Anne") not in inner
+    assert len(inner) == 9
+
+
+def test_fill_forward_backward_doctest(spark):
+    """rt_fastarraynumba.py:211-224 / :301-314 doctests: fill_val
+    replaces unfillable leading/trailing invalids; limit=1 fills only
+    the first invalid of a run."""
+    from pyspark.sql import Window as W
+
+    from riptable_spark.operators import window as win
+
+    rows = [(0, None), (1, 1.0), (2, None), (3, None), (4, None), (5, 5.0)]
+    df = spark.createDataFrame(rows, "i int, v double")
+    w = W.partitionBy().orderBy("i")
+    got = [r.f for r in df.select(win.fill_forward(F.col("v"), w, fill_val=0.0).alias("f")).orderBy("i").collect()]
+    assert got == [0.0, 1.0, 1.0, 1.0, 1.0, 5.0]
+
+    rows2 = [(0, 0.0), (1, None), (2, None), (3, None), (4, 4.0), (5, None)]
+    df2 = spark.createDataFrame(rows2, "i int, v double")
+    got2 = [r.f for r in df2.select("i", win.fill_forward(F.col("v"), w, fill_val=0.0).alias("f")).orderBy("i").collect()]
+    assert got2 == [0.0, 0.0, 0.0, 0.0, 4.0, 4.0]
+    got3 = [
+        r.f for r in df2.select("i", win.fill_forward_limit(F.col("v"), w, 1).alias("f")).orderBy("i").collect()
+    ]
+    assert got3 == [0.0, 0.0, None, None, 4.0, 4.0]
+    got4 = [r.f for r in df2.select("i", win.fill_backward(F.col("v"), w, fill_val=0.0).alias("f")).orderBy("i").collect()]
+    assert got4 == [0.0, 4.0, 4.0, 4.0, 4.0, 0.0]
+
+
+def test_ema_decay_decay_zero_doctest(spark):
+    """rt_fastarraynumba.py:600-608: ema_decay of all-ones with rate 0
+    is the running count (no decay); rate 0.5 decays between the
+    doctest's printed checkpoints."""
+    import math
+
+    from riptable_spark.operators import ema
+
+    times = [0, 1, 1, 3, 4, 5, 5.5, 10.5, 10.55, 11]
+    rows = [(0, float(t), 1.0, i) for i, t in enumerate(times)]
+    df = spark.createDataFrame(rows, ["g", "t", "x", "i"])
+    got0 = [
+        r.ema for r in ema.ema_decay(df, ["g"], "x", "t", 0.0, order_col="i", method="scan")
+        .orderBy("i").collect()
+    ]
+    assert got0 == [float(i + 1) for i in range(10)]
+    got5 = [
+        r.ema for r in ema.ema_decay(df, ["g"], "x", "t", 0.5, order_col="i", method="scan")
+        .orderBy("i").collect()
+    ]
+    # reference prints (dtype=np.float64 form, rt_fastarraynumba.py:618):
+    want = [1.0, 1.60653066, 2.60653066, 1.95888904, 2.18812626,
+            2.32716567, 2.81239844, 1.23085572, 2.20046579, 2.75710762]
+    assert all(math.isclose(g, w, rel_tol=1e-7) for g, w in zip(got5, want)), got5
