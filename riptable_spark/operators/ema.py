@@ -121,12 +121,39 @@ def _run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | 
     return work.groupBy(*keys).applyInPandas(fn, schema=out_schema)
 
 
-def ema_decay(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto", block_seconds: float | None = None) -> DataFrame:
+def ema_decay(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto", block_seconds: float | None = None, filter=None, reset=None) -> DataFrame:
     """rt_groupbyops.py:3314 — decaying running sum. ``timecol`` must be
     numeric (epoch seconds / ns); cast timestamps upstream. ``method``:
     'expr' (codegen closed form), 'scan' (Arrow per-group scan), 'auto'
     (expr when the exponent span provably cannot overflow), 'blocked'
-    (giant-group-safe scan: requires ``block_seconds``)."""
+    (giant-group-safe scan: requires ``block_seconds``).
+
+    ``filter`` (rt_fastarraynumba.py:625): masked-out rows contribute
+    nothing but DECAY STILL APPLIES — their output is the carried value
+    decayed over the gap (the doctest's semantics). ``reset``
+    (:634): rows where the mask is True restart the EMA at x_i —
+    realized as a cumsum-of-resets segment key folded into the
+    partition keys, so every execution path (codegen/scan/blocked)
+    inherits it. A row both masked and reset restarts at 0 (c of a
+    masked row)."""
+    if filter is not None or reset is not None:
+        from pyspark.sql import Window
+
+        c = (
+            F.when(filter, F.col(valcol).cast("double")).otherwise(F.lit(0.0))
+            if filter is not None
+            else F.col(valcol).cast("double")
+        )
+        work = df.withColumn("__ema_c__", c)
+        keys2 = list(keys)
+        drop = ["__ema_c__"]
+        if reset is not None:
+            wseg = Window.partitionBy(*keys).orderBy(order_col or timecol).rowsBetween(Window.unboundedPreceding, 0)
+            work = work.withColumn("__ema_seg__", F.sum(reset.cast("int")).over(wseg))
+            keys2.append("__ema_seg__")
+            drop.append("__ema_seg__")
+        out = ema_decay(work, keys2, "__ema_c__", timecol, rate, out_col, order_col, method, block_seconds)
+        return out.drop(*drop)
     if method == "blocked":
         return _blocked_run(df, keys, "decay", valcol, timecol, rate, out_col, block_seconds)
     if method == "scan":
@@ -134,9 +161,29 @@ def ema_decay(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: f
     return _dispatch(df, keys, "decay", valcol, timecol, rate, out_col, order_col or timecol, method)
 
 
-def ema_normal(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto", block_seconds: float | None = None) -> DataFrame:
+def ema_normal(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto", block_seconds: float | None = None, filter=None, reset=None) -> DataFrame:
     """rt_groupbyops.py:3366 — true time-decay EWMA. ``method='blocked'``
-    splits giant groups on coarse time buckets (see _blocked_run)."""
+    splits giant groups on coarse time buckets (see _blocked_run).
+    ``filter``/``reset`` follow ema_decay's semantics (masked rows
+    contribute 0 but still decay; reset rows restart the EWMA)."""
+    if filter is not None or reset is not None:
+        from pyspark.sql import Window
+
+        c = (
+            F.when(filter, F.col(valcol).cast("double")).otherwise(F.lit(0.0))
+            if filter is not None
+            else F.col(valcol).cast("double")
+        )
+        work = df.withColumn("__ema_c__", c)
+        keys2 = list(keys)
+        drop = ["__ema_c__"]
+        if reset is not None:
+            wseg = Window.partitionBy(*keys).orderBy(order_col or timecol).rowsBetween(Window.unboundedPreceding, 0)
+            work = work.withColumn("__ema_seg__", F.sum(reset.cast("int")).over(wseg))
+            keys2.append("__ema_seg__")
+            drop.append("__ema_seg__")
+        out = ema_normal(work, keys2, "__ema_c__", timecol, rate, out_col, order_col, method, block_seconds)
+        return out.drop(*drop)
     if method == "blocked":
         return _blocked_run(df, keys, "normal", valcol, timecol, rate, out_col, block_seconds)
     if method == "scan":

@@ -575,3 +575,41 @@ def test_ema_decay_decay_zero_doctest(spark):
     want = [1.0, 1.60653066, 2.60653066, 1.95888904, 2.18812626,
             2.32716567, 2.81239844, 1.23085572, 2.20046579, 2.75710762]
     assert all(math.isclose(g, w, rel_tol=1e-7) for g, w in zip(got5, want)), got5
+
+
+def test_ema_decay_filter_reset_doctest(spark):
+    """rt_fastarraynumba.py:625-639 doctests: filter masks rows out of
+    the accumulation (decay still applies across the gap); reset
+    restarts the EMA at the row's value. Expected outputs are the
+    reference's printed float32 arrays (rel_tol 1e-6)."""
+    import math
+
+    from riptable_spark.operators import ema
+
+    times = [0, 1, 1, 3, 4, 5, 5.5, 10.5, 10.55, 11]
+    filt = [True, True, False, True, True, False, False, True, True, True]
+    rows = [(0, float(t), 1.0, i, filt[i]) for i, t in enumerate(times)]
+    df = spark.createDataFrame(rows, ["g", "t", "x", "i", "keep"])
+    for method in ("scan", "expr"):
+        got = [
+            r.ema for r in ema.ema_decay(
+                df, ["g"], "x", "t", 0.5, order_col="i", method=method, filter=F.col("keep")
+            ).orderBy("i").collect()
+        ]
+        want = [1.0, 1.6065307, 1.6065307, 1.5910096, 1.9649961,
+                1.1918304, 0.92819846, 1.0761912, 2.04962, 2.6366549]
+        assert all(math.isclose(g, w, rel_tol=1e-6) for g, w in zip(got, want)), (method, got)
+
+    reset = [False, True, False, False, False, False, False, False, False, True]
+    rows2 = [(0, float(t), 1.0, i, filt[i], reset[i]) for i, t in enumerate(times)]
+    df2 = spark.createDataFrame(rows2, ["g", "t", "x", "i", "keep", "rst"])
+    for method in ("scan", "expr"):
+        got = [
+            r.ema for r in ema.ema_decay(
+                df2, ["g"], "x", "t", 0.5, order_col="i", method=method,
+                filter=F.col("keep"), reset=F.col("rst"),
+            ).orderBy("i").collect()
+        ]
+        want = [1.0, 1.0, 1.0, 1.3678794, 1.8296608,
+                1.1097454, 0.86427057, 1.0709436, 2.044502, 1.0]
+        assert all(math.isclose(g, w, rel_tol=1e-6) for g, w in zip(got, want)), (method, got)
