@@ -515,3 +515,59 @@ def dedup_lines(
         lambda s: s["__line__"],
     )
     return clean.groupBy(id_col).agg(F.array_join(ordered, sep).alias("clean_text"))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Fuzzy (approximate-text) JOIN between two relations — the entity-
+    matching primitive: candidate pairs from banded-MinHash collisions
+    ACROSS the two tables, verified with exact n-gram Jaccard.
+
+    Scale shape: each side reduces to its signature relation (num_perm
+    longs/row) then explodes to (band_idx, band_hash, id) — the
+    candidate join is an EQUI-join on the band key carrying ids only;
+    the Jaccard verify joins shingle arrays back BY ID, sized by
+    |candidates|, never |left|×|right|. The verify ratio is exact
+    integer arithmetic (set sizes), so thresholding is engine-portable
+    with no float ties. Returns (left_id, right_id, jaccard)."""
+    rpb = num_perm // bands
+
+    def banded(df: DataFrame, text_col: str, id_col: str, out_id: str) -> DataFrame:
+        sig = minhash_signature_df(df, text_col, id_col, num_perm, shingle_n, hash_kind)
+        band_sql = ", ".join(
+            "xxhash64(concat_ws(','," + ", ".join(
+                f"CAST(mh{b * rpb + r} AS STRING)" for r in range(rpb)
+            ) + "))"
+            for b in range(bands)
+        )
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.expr(f"array({band_sql})")).alias("__bi__", "__bh__"),
+        )
+    bl = banded(left, left_text, left_id, "__lid__")
+    br = banded(right, right_text, right_id, "__rid__")
+    cand = bl.join(br, on=["__bi__", "__bh__"]).select("__lid__", "__rid__").distinct()
+    la = left.select(F.col(left_id).alias("__lid__"), shingles(F.col(left_text), n=shingle_n).alias("__sa__"))
+    rb = right.select(F.col(right_id).alias("__rid__"), shingles(F.col(right_text), n=shingle_n).alias("__sb__"))
+    v = cand.join(la, on="__lid__").join(rb, on="__rid__")
+    inter = F.size(F.array_intersect(F.col("__sa__"), F.col("__sb__")))
+    uni = F.size(F.array_union(F.col("__sa__"), F.col("__sb__")))
+    return (
+        v.select(
+            F.col("__lid__").alias(left_id + "_l"),
+            F.col("__rid__").alias(right_id + "_r"),
+            (inter.cast("double") / uni).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1465,3 +1465,75 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("src") != F.col("dst")).distinct()
     pr = _mg.pagerank(edges, n_iter=2, damping=0.85)
     return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _fuzzy_join_oracle() -> str:
+    from .operators import dedup as _dd
+
+    num_perm, bands, rpb, p = 32, 8, 4, _dd._MERSENNE
+    params = _dd._hash_params(num_perm)
+    mh_cols = ", ".join(f"min((h * {a} + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(params))
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.mh{b * rpb + r} = b.mh{b * rpb + r}" for r in range(rpb)) + ")"
+        for b in range(bands)
+    )
+    side = """
+    {name}_docs AS (
+        SELECT {idexpr} AS id, regexp_replace(lower(trim({textexpr})), '\\s+', ' ', 'g') AS t
+        FROM documents WHERE {flt} AND text IS NOT NULL
+    ),
+    {name}_sh AS (
+        SELECT id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(t, ' ')) - 2, 1) + 1),
+                   i -> array_to_string((string_split(t, ' '))[i:i+2], ' ')))) AS s
+        FROM {name}_docs
+    ),
+    {name}_hs AS (SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h FROM {name}_sh),
+    {name}_sig AS (SELECT id, {mh} FROM {name}_hs GROUP BY id),
+    {name}_sets AS (SELECT id, list_distinct(list(s)) AS ss FROM {name}_sh GROUP BY id)
+    """
+    l = side.format(name="l", idexpr="doc_id", textexpr="text", flt="doc_id < 300", p=p, mh=mh_cols)
+    r = side.format(
+        name="r", idexpr="doc_id + 100000",
+        textexpr="text || ' common tail marker'",
+        flt="doc_id >= 100 AND doc_id < 400", p=p, mh=mh_cols,
+    )
+    return f"""
+    WITH {l}, {r},
+    cand AS (
+        SELECT DISTINCT a.id AS lid, b.id AS rid
+        FROM l_sig a JOIN r_sig b ON ({band_conds})
+    ),
+    verified AS (
+        SELECT c.lid, c.rid,
+               len(list_intersect(ls.ss, rs.ss))::DOUBLE
+               / len(list_distinct(list_concat(ls.ss, rs.ss))) AS j
+        FROM cand c JOIN l_sets ls ON ls.id = c.lid JOIN r_sets rs ON rs.id = c.rid
+    )
+    SELECT lid AS doc_id_l, rid AS doc_id_r, round(j, 6) AS jaccard
+    FROM verified WHERE j >= 0.5
+    """
+
+
+@query("q176_fuzzy_join", _fuzzy_join_oracle())
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy join / entity matching across two relations: left =
+    documents (<300), right = the same texts with an appended tail and
+    offset ids (100-400) — banded-MinHash candidates ACROSS tables,
+    exact-Jaccard verify (integer set sizes — no float ties). The
+    oracle replays signatures, banding, and the verify in SQL on the
+    portable md5 hash."""
+    from .operators import dedup as _dd
+
+    d = load_table(spark, sf, "documents")
+    left = d.where(F.col("doc_id") < 300).select("doc_id", "text")
+    right = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 400)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" common tail marker")).alias("text"),
+    )
+    out = _dd.fuzzy_join(
+        left, right, threshold=0.5, num_perm=32, bands=8, shingle_n=3, hash_kind="md5"
+    )
+    return out.select(
+        F.col("doc_id_l"), F.col("doc_id_r"), F.round("jaccard", 6).alias("jaccard")
+    )
