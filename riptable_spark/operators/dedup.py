@@ -529,18 +529,24 @@ def fuzzy_join(
     bands: int = 8,
     shingle_n: int = 3,
     hash_kind: str = "xxhash64",
+    verify: str = "jaccard",
+    max_edit_distance: int | None = None,
 ) -> DataFrame:
     """Fuzzy (approximate-text) JOIN between two relations — the entity-
     matching primitive: candidate pairs from banded-MinHash collisions
-    ACROSS the two tables, verified with exact n-gram Jaccard.
+    ACROSS the two tables, verified with exact n-gram Jaccard
+    (``verify='jaccard'``) or exact Levenshtein edit distance
+    (``verify='levenshtein'`` + ``max_edit_distance`` — the right
+    verify for short keys like names/addresses, where token Jaccard is
+    too coarse; O(|a|·|b|) per CANDIDATE pair only).
 
     Scale shape: each side reduces to its signature relation (num_perm
     longs/row) then explodes to (band_idx, band_hash, id) — the
     candidate join is an EQUI-join on the band key carrying ids only;
-    the Jaccard verify joins shingle arrays back BY ID, sized by
-    |candidates|, never |left|×|right|. The verify ratio is exact
-    integer arithmetic (set sizes), so thresholding is engine-portable
-    with no float ties. Returns (left_id, right_id, jaccard)."""
+    the verify joins text/shingles back BY ID, sized by |candidates|,
+    never |left|×|right|. Both verifies are exact integer arithmetic —
+    engine-portable with no float ties. Returns (left_id, right_id,
+    jaccard) or (left_id, right_id, edit_distance)."""
     rpb = num_perm // bands
 
     def banded(df: DataFrame, text_col: str, id_col: str, out_id: str) -> DataFrame:
@@ -558,6 +564,21 @@ def fuzzy_join(
     bl = banded(left, left_text, left_id, "__lid__")
     br = banded(right, right_text, right_id, "__rid__")
     cand = bl.join(br, on=["__bi__", "__bh__"]).select("__lid__", "__rid__").distinct()
+    if verify == "levenshtein":
+        if max_edit_distance is None:
+            raise ValueError("verify='levenshtein' requires max_edit_distance")
+        lt = left.select(F.col(left_id).alias("__lid__"), normalize_text(F.col(left_text)).alias("__ta__"))
+        rt = right.select(F.col(right_id).alias("__rid__"), normalize_text(F.col(right_text)).alias("__tb__"))
+        v = cand.join(lt, on="__lid__").join(rt, on="__rid__")
+        dist = F.levenshtein(F.col("__ta__"), F.col("__tb__"))
+        return (
+            v.select(
+                F.col("__lid__").alias(left_id + "_l"),
+                F.col("__rid__").alias(right_id + "_r"),
+                dist.alias("edit_distance"),
+            )
+            .where(F.col("edit_distance") <= max_edit_distance)
+        )
     la = left.select(F.col(left_id).alias("__lid__"), shingles(F.col(left_text), n=shingle_n).alias("__sa__"))
     rb = right.select(F.col(right_id).alias("__rid__"), shingles(F.col(right_text), n=shingle_n).alias("__sb__"))
     v = cand.join(la, on="__lid__").join(rb, on="__rid__")
