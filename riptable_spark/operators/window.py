@@ -651,3 +651,21 @@ def funnel_times(
         phase = joined.groupBy(user_col).agg(F.min(F.when(cond, t)).alias(f"t_step{i}"))
         out = out.join(phase, on=user_col, how="left")
     return out
+
+
+def rolling_cov(x: Column, y: Column, w: WindowSpec, window: int) -> Column:
+    """Rolling sample covariance over the trailing ``window`` rows —
+    native window aggregate (whole-stage codegen)."""
+    return F.covar_samp(x, y).over(w.rowsBetween(-(window - 1), 0))
+
+
+def rolling_corr(x: Column, y: Column, w: WindowSpec, window: int) -> Column:
+    """Rolling Pearson correlation over the trailing ``window`` rows."""
+    return F.corr(x, y).over(w.rowsBetween(-(window - 1), 0))
+
+
+def rolling_beta(x: Column, y: Column, w: WindowSpec, window: int) -> Column:
+    """Rolling regression slope of y on x (beta = cov(x,y)/var(x)) —
+    the pairwise analogue of the lm family over a trailing window."""
+    win = w.rowsBetween(-(window - 1), 0)
+    return F.covar_samp(x, y).over(win) / F.var_samp(x).over(win)

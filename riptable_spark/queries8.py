@@ -1597,3 +1597,61 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         left, right, threshold=0.5, num_perm=32, bands=8, shingle_n=3,
         hash_kind="md5", verify="levenshtein", max_edit_distance=25,
     )
+
+
+@query(
+    "q178_rolling_pairwise",
+    """
+    SELECT event_id,
+           CASE WHEN n = 20 THEN round(((sxy - sx * sy / n) / (n - 1)) / 10000.0, 6) END AS roll_cov,
+           CASE WHEN n = 20 AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+                THEN round((sxy - sx * sy / n)
+                     / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) END AS roll_corr,
+           CASE WHEN n = 20 AND (sxx - sx * sx / n) > 0
+                THEN round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) END AS roll_beta
+    FROM (
+        SELECT event_id,
+               sum(xi * yi) OVER w AS sxy, sum(xi) OVER w AS sx, sum(yi) OVER w AS sy,
+               sum(xi * xi) OVER w AS sxx, sum(yi * yi) OVER w AS syy,
+               count(xi) OVER w::DOUBLE AS n
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS xi,
+                     CAST(round(value * 100) AS BIGINT) * 2 + (event_id % 17) * 100 AS yi
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling pairwise statistics (cov / corr / beta over a trailing
+    20-row window). The moments run over INTEGER-scaled values (2dp
+    data × 100) so every window sum is exact in BOTH engines no matter
+    the aggregation tree (the built-in covar/corr window aggregates
+    use engine-specific streaming updates whose cancellation noise
+    crosses any useful rounding step); the composed double arithmetic
+    afterward is bit-identical. corr/beta are scale-invariant; cov
+    rescales by 100². One shuffle on the keys, whole-stage codegen."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").withColumn("t_us", F.unix_micros("ts"))
+    xi = F.round(F.col("value") * 100).cast("bigint")
+    ev = ev.withColumn("xi", xi).withColumn("yi", xi * 2 + (F.col("event_id") % 17) * 100)
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id").rowsBetween(-19, 0)
+    x, y = F.col("xi"), F.col("yi")
+    sxy = F.sum(x * y).over(w)
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxx, syy = F.sum(x * x).over(w), F.sum(y * y).over(w)
+    n = F.count(x).over(w).cast("double")
+    mxy, mxx, myy = sxy - sx * sy / n, sxx - sx * sx / n, syy - sy * sy / n
+    many = n == 20  # full windows only (riptable rolling contract; also
+    # keeps (n-1) = 19 coprime to 10 so no exact decimal rounding ties)
+    cov = F.when(many, (mxy / (n - 1)) / 10000.0)
+    corr = F.when(many & (mxx > 0) & (myy > 0), mxy / F.sqrt(mxx * myy))
+    beta = F.when(many & (mxx > 0), mxy / mxx)
+    return ev.select(
+        "event_id",
+        F.round(cov, 6).alias("roll_cov"),
+        F.round(corr, 6).alias("roll_corr"),
+        F.round(beta, 6).alias("roll_beta"),
+    )
