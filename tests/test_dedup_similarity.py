@@ -453,3 +453,32 @@ def test_semantic_dedup_matches_global_pairwise_when_one_cluster(spark, sf_dir):
     assert one == want
     clustered = {r.vec_id for r in sim.semantic_dedup(emb, nlist=4, threshold=thr).collect()}
     assert want <= clustered
+
+
+def test_fuzzy_join_matches_and_verify_modes(spark):
+    """fuzzy_join: identical texts match at jaccard 1.0; texts sharing
+    no shingles never pair; levenshtein mode bounds edit distance. The
+    candidate join is an equi-join on band keys (no cartesian)."""
+    from riptable_spark.operators import dedup as dd
+    from riptable_spark.plans import inspect as pi
+
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different content with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "unrelated words entirely about other various topics instead")],
+        "doc_id long, text string",
+    )
+    out = dd.fuzzy_join(left, right, threshold=0.5, num_perm=16, bands=8)
+    got = {(r.doc_id_l, r.doc_id_r): r.jaccard for r in out.collect()}
+    assert got.get((1, 10)) == 1.0
+    assert (2, 11) not in got and (2, 10) not in got
+    assert "CartesianProduct" not in pi.simple_plan(out)
+    ed = dd.fuzzy_join(
+        left, right, num_perm=16, bands=8, verify="levenshtein", max_edit_distance=0
+    )
+    got_ed = {(r.doc_id_l, r.doc_id_r): r.edit_distance for r in ed.collect()}
+    assert got_ed == {(1, 10): 0}
