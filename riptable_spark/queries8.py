@@ -1499,33 +1499,7 @@ def _fuzzy_join_oracle() -> str:
         flt="doc_id >= 100 AND doc_id < 400", p=p, mh=mh_cols,
     )
     return f"""
-    WITH 
-    l_docs AS (
-        SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-        FROM documents WHERE doc_id < 300 AND text IS NOT NULL
-    ),
-    l_sh AS (
-        SELECT id, unnest(list_distinct(list_transform(
-                   range(1, greatest(len(string_split(t, ' ')) - 2, 1) + 1),
-                   i -> array_to_string((string_split(t, ' '))[i:i+2], ' ')))) AS s
-        FROM l_docs
-    ),
-    l_hs AS (SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h FROM l_sh),
-    l_sig AS (SELECT id, min((h * 23289687 + 284649967) % 2147483647) AS mh0, min((h * 1037193931 + 1552447759) % 2147483647) AS mh1, min((h * 2051098175 + 672761904) % 2147483647) AS mh2, min((h * 917518771 + 1940559696) % 2147483647) AS mh3, min((h * 1931423015 + 1060873841) % 2147483647) AS mh4, min((h * 797843613 + 181187986) % 2147483647) AS mh5, min((h * 1811747857 + 1448985778) % 2147483647) AS mh6, min((h * 678168453 + 569299923) % 2147483647) AS mh7, min((h * 1692072697 + 1837097715) % 2147483647) AS mh8, min((h * 558493295 + 957411860) % 2147483647) AS mh9, min((h * 1572397539 + 77726005) % 2147483647) AS mh10, min((h * 438818135 + 1345523797) % 2147483647) AS mh11, min((h * 1452722379 + 465837942) % 2147483647) AS mh12, min((h * 319142977 + 1733635734) % 2147483647) AS mh13, min((h * 1333047221 + 853949879) % 2147483647) AS mh14, min((h * 199467817 + 2121747671) % 2147483647) AS mh15, min((h * 1213372061 + 1242061816) % 2147483647) AS mh16, min((h * 79792659 + 362375961) % 2147483647) AS mh17, min((h * 1093696903 + 1630173753) % 2147483647) AS mh18, min((h * 2107601147 + 750487898) % 2147483647) AS mh19, min((h * 974021743 + 2018285690) % 2147483647) AS mh20, min((h * 1987925987 + 1138599835) % 2147483647) AS mh21, min((h * 854346585 + 258913980) % 2147483647) AS mh22, min((h * 1868250829 + 1526711772) % 2147483647) AS mh23, min((h * 734671425 + 647025917) % 2147483647) AS mh24, min((h * 1748575669 + 1914823709) % 2147483647) AS mh25, min((h * 614996267 + 1035137854) % 2147483647) AS mh26, min((h * 1628900511 + 155451999) % 2147483647) AS mh27, min((h * 495321107 + 1423249791) % 2147483647) AS mh28, min((h * 1509225351 + 543563936) % 2147483647) AS mh29, min((h * 375645949 + 1811361728) % 2147483647) AS mh30, min((h * 1389550193 + 931675873) % 2147483647) AS mh31 FROM l_hs GROUP BY id)
-    ,
-    r_docs AS (
-        SELECT doc_id + 100000 AS id, regexp_replace(lower(trim(text || ' common tail marker')), '\\s+', ' ', 'g') AS t
-        FROM documents WHERE doc_id >= 100 AND doc_id < 400 AND text IS NOT NULL
-    ),
-    r_sh AS (
-        SELECT id, unnest(list_distinct(list_transform(
-                   range(1, greatest(len(string_split(t, ' ')) - 2, 1) + 1),
-                   i -> array_to_string((string_split(t, ' '))[i:i+2], ' ')))) AS s
-        FROM r_docs
-    ),
-    r_hs AS (SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h FROM r_sh),
-    r_sig AS (SELECT id, min((h * 23289687 + 284649967) % 2147483647) AS mh0, min((h * 1037193931 + 1552447759) % 2147483647) AS mh1, min((h * 2051098175 + 672761904) % 2147483647) AS mh2, min((h * 917518771 + 1940559696) % 2147483647) AS mh3, min((h * 1931423015 + 1060873841) % 2147483647) AS mh4, min((h * 797843613 + 181187986) % 2147483647) AS mh5, min((h * 1811747857 + 1448985778) % 2147483647) AS mh6, min((h * 678168453 + 569299923) % 2147483647) AS mh7, min((h * 1692072697 + 1837097715) % 2147483647) AS mh8, min((h * 558493295 + 957411860) % 2147483647) AS mh9, min((h * 1572397539 + 77726005) % 2147483647) AS mh10, min((h * 438818135 + 1345523797) % 2147483647) AS mh11, min((h * 1452722379 + 465837942) % 2147483647) AS mh12, min((h * 319142977 + 1733635734) % 2147483647) AS mh13, min((h * 1333047221 + 853949879) % 2147483647) AS mh14, min((h * 199467817 + 2121747671) % 2147483647) AS mh15, min((h * 1213372061 + 1242061816) % 2147483647) AS mh16, min((h * 79792659 + 362375961) % 2147483647) AS mh17, min((h * 1093696903 + 1630173753) % 2147483647) AS mh18, min((h * 2107601147 + 750487898) % 2147483647) AS mh19, min((h * 974021743 + 2018285690) % 2147483647) AS mh20, min((h * 1987925987 + 1138599835) % 2147483647) AS mh21, min((h * 854346585 + 258913980) % 2147483647) AS mh22, min((h * 1868250829 + 1526711772) % 2147483647) AS mh23, min((h * 734671425 + 647025917) % 2147483647) AS mh24, min((h * 1748575669 + 1914823709) % 2147483647) AS mh25, min((h * 614996267 + 1035137854) % 2147483647) AS mh26, min((h * 1628900511 + 155451999) % 2147483647) AS mh27, min((h * 495321107 + 1423249791) % 2147483647) AS mh28, min((h * 1509225351 + 543563936) % 2147483647) AS mh29, min((h * 375645949 + 1811361728) % 2147483647) AS mh30, min((h * 1389550193 + 931675873) % 2147483647) AS mh31 FROM r_hs GROUP BY id)
-    ,
+    WITH {l}, {r},
     cand AS (
         SELECT DISTINCT a.id AS lid, b.id AS rid
         FROM l_sig a JOIN r_sig b ON ({band_conds})
