@@ -613,3 +613,27 @@ def test_ema_decay_filter_reset_doctest(spark):
         want = [1.0, 1.0, 1.0, 1.3678794, 1.8296608,
                 1.1097454, 0.86427057, 1.0709436, 2.044502, 1.0]
         assert all(math.isclose(g, w, rel_tol=1e-6) for g, w in zip(got, want)), (method, got)
+
+
+def test_cut_qcut_doctest(spark):
+    """rt_bin.py:540 cut doctest (codes [1,3,2,2,3,1], right-closed
+    labels '1.0->3.0'/'3.0->5.0'/'5.0->7.0') and :208 qcut doctest
+    (range(5), 4 → printed codes [2,2,3,4,5] — base-1 with the Clipped
+    display slot occupying bin 1, so our 1-based cut codes + 1; labels
+    ['Clipped','0.0->1.0','1.0->2.0','2.0->3.0','3.0->4.0'])."""
+    from riptable_spark.functions import binning as bn
+
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate([1, 7, 5, 4, 6, 3])], ["i", "x"])
+    codes = [
+        r.c for r in df.select("i", bn.cut(F.col("x"), 3, lo=1.0, hi=7.0).alias("c")).orderBy("i").collect()
+    ]
+    assert codes == [1, 3, 2, 2, 3, 1]
+    assert bn.cut_labels([1.0, 3.0, 5.0, 7.0]) == ["1.0->3.0", "3.0->5.0", "5.0->7.0"]
+
+    df2 = spark.createDataFrame([(i, float(i)) for i in range(5)], ["i", "x"])
+    out = bn.qcut(df2, "x", 4)
+    got = [r.x_bin + 1 for r in out.orderBy("i").collect()]
+    assert got == [2, 2, 3, 4, 5]
+    assert bn.cut_labels([0.0, 1.0, 2.0, 3.0, 4.0], clipped=True) == [
+        "Clipped", "0.0->1.0", "1.0->2.0", "2.0->3.0", "3.0->4.0",
+    ]
