@@ -230,3 +230,12 @@ def js_divergence(df_a, df_b, col, bins: int = 32, lo: float = 0.0, hi: float = 
     ta = F.when(F.col("pa") > 0, F.col("pa") * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb")))).otherwise(F.lit(0.0))
     tb = F.when(F.col("pb") > 0, F.col("pb") * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb")))).otherwise(F.lit(0.0))
     return j.agg((F.lit(0.5) * F.sum(ta) + F.lit(0.5) * F.sum(tb)).alias("js_div"))
+
+
+def class_error(df, y: str, yhat: str) -> float:
+    """rt_mlutils.py:108 class_error: mean |round(x) − round(y)| — the
+    rounded-prediction misclassification rate. One aggregate."""
+    r = df.agg(
+        (F.sum(F.abs(F.round(F.col(y)) - F.round(F.col(yhat)))) / F.count(F.lit(1))).alias("e")
+    ).first()
+    return float(r["e"])

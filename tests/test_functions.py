@@ -320,3 +320,12 @@ def test_is_dst_hemisphere_correct(spark):
     assert jul.nyc is True and jul.syd is False and jul.utc is False
     assert jan.nyc is False and jan.syd is True and jan.utc is False
     assert jul.off == -4 * 3600 and jan.off == -5 * 3600
+
+
+def test_class_error_reference_formula(spark):
+    """rt_mlutils.py:108: sum(|round(x)-round(y)|)/n on a hand-checked
+    frame: preds [0.4,1.6,2.2] vs actual [0,1,3] → |0-0|+|2-1|+|2-3| = 2/3."""
+    from riptable_spark.functions import stats as st
+
+    df = spark.createDataFrame([(0.4, 0.0), (1.6, 1.0), (2.2, 3.0)], ["p", "a"])
+    assert abs(st.class_error(df, "p", "a") - 2.0 / 3.0) < 1e-12
