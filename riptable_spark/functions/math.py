@@ -251,3 +251,22 @@ def searchsorted_against(
     if side == "leftplus":
         idx = _F.when(v > _F.element_at(a, -1), _F.lit(0)).otherwise(idx)
     return joined.withColumn(out_col, idx).drop("__bounds__")
+
+
+def sub2ind(sizes: list[int], positions: list[Column]) -> Column:
+    """rt_misc.py:62 sub2ind / np.ravel_multi_index (C order): linear
+    index from N subscript columns for an array of shape ``sizes`` —
+    pure integer codegen (strides are literals)."""
+    if len(sizes) != len(positions):
+        raise ValueError("sizes and positions must have the same length")
+    stride = 1
+    strides = []
+    for s in reversed(sizes):
+        strides.append(stride)
+        stride *= s
+    strides.reverse()
+    out = None
+    for st, p in zip(strides, positions):
+        term = p.cast("long") * F.lit(st)
+        out = term if out is None else out + term
+    return out

@@ -115,3 +115,15 @@ def to_str(col: Column) -> Column:
     """Stringify any column with sentinel-aware formatting
     (rt_utils.py to_str): NULL renders as the string invalid ''. """
     return F.coalesce(col.cast("string"), F.lit(""))
+
+
+def str_replace(col: Column, old: list[str], new: list[str], missing: str = "") -> Column:
+    """rt_utils.py:1055 str_replace: dictionary remap of string values
+    (old[i] → new[i]); values not in ``old`` become ``missing``. A
+    literal-map lookup — pure codegen, no join."""
+    if len(old) != len(new):
+        raise ValueError("old and new must have the same length")
+    m = F.map_from_arrays(
+        F.array(*[F.lit(o) for o in old]), F.array(*[F.lit(n) for n in new])
+    )
+    return F.coalesce(F.element_at(m, col), F.lit(missing))

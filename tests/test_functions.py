@@ -329,3 +329,26 @@ def test_class_error_reference_formula(spark):
 
     df = spark.createDataFrame([(0.4, 0.0), (1.6, 1.0), (2.2, 3.0)], ["p", "a"])
     assert abs(st.class_error(df, "p", "a") - 2.0 / 3.0) < 1e-12
+
+
+def test_str_replace_and_sub2ind_parity(spark):
+    """rt_utils.py:1055 str_replace (dict remap, missing default) and
+    rt_misc.py:62 sub2ind (np.ravel_multi_index C-order)."""
+    import numpy as np
+
+    from riptable_spark.functions import math as fm
+    from riptable_spark.functions import strings as fs
+
+    df = spark.createDataFrame([("a",), ("b",), ("zz",)], "s string")
+    got = [r.o for r in df.select(fs.str_replace(F.col("s"), ["a", "b"], ["A", "B"], missing="?").alias("o")).collect()]
+    assert got == ["A", "B", "?"]
+
+    rows = [(1, 2, 3), (0, 0, 0), (2, 4, 5)]
+    df2 = spark.createDataFrame(rows, "i long, j long, k long")
+    got2 = [
+        r.idx for r in df2.select(
+            fm.sub2ind([3, 5, 6], [F.col("i"), F.col("j"), F.col("k")]).alias("idx")
+        ).collect()
+    ]
+    want = [int(np.ravel_multi_index(t, (3, 5, 6))) for t in rows]
+    assert got2 == want
