@@ -416,3 +416,33 @@ def test_chunk_documents_properties(spark, texts, chunk_size, overlap):
         assert len(chunks) == len(range(0, len(t), step))
         rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
         assert rebuilt == t, (t, chunks)
+
+
+@given(
+    rates=st.dictionaries(
+        st.sampled_from(["d0", "d1", "d2"]),
+        st.floats(min_value=0.0, max_value=1.0),
+        min_size=1, max_size=3,
+    ),
+    default=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_mixture_sample_properties(spark, rates, default):
+    """mixture_sample invariants on arbitrary rate maps: kept set is a
+    deterministic pure function of (id, rates) — rerun-identical; every
+    kept row satisfies its domain's hash threshold exactly (replayed in
+    Python); rate 0 keeps nothing, rate 1 keeps everything."""
+    from riptable_spark.operators import pipeline as pl
+
+    rows = [(i, f"d{i % 4}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    kept1 = {r.doc_id for r in pl.mixture_sample(df, "dom", rates, default_rate=default, buckets=1000).collect()}
+    kept2 = {r.doc_id for r in pl.mixture_sample(df, "dom", rates, default_rate=default, buckets=1000).collect()}
+    assert kept1 == kept2
+    bucket = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(1000)).alias("b")).collect()
+    }
+    for i, dom in rows:
+        thr = int(rates.get(dom, default) * 1000)
+        assert (i in kept1) == (bucket[i] < thr), (i, dom, thr, bucket[i])
