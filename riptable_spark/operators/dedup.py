@@ -531,6 +531,7 @@ def fuzzy_join(
     hash_kind: str = "xxhash64",
     verify: str = "jaccard",
     max_edit_distance: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Fuzzy (approximate-text) JOIN between two relations — the entity-
     matching primitive: candidate pairs from banded-MinHash collisions
@@ -545,7 +546,11 @@ def fuzzy_join(
     candidate join is an EQUI-join on the band key carrying ids only;
     the verify joins text/shingles back BY ID, sized by |candidates|,
     never |left|×|right|. Both verifies are exact integer arithmetic —
-    engine-portable with no float ties. Returns (left_id, right_id,
+    engine-portable with no float ties. ``max_bucket`` caps each band
+    bucket's PER-SIDE membership (boilerplate-heavy buckets emit
+    |l|·|r| candidates — the same skew dial as minhash_lsh_pairs'
+    max_bucket; oversized buckets are degenerate duplicate clusters
+    better handled by exact dedup first). Returns (left_id, right_id,
     jaccard) or (left_id, right_id, edit_distance)."""
     rpb = num_perm // bands
 
@@ -563,6 +568,12 @@ def fuzzy_join(
         )
     bl = banded(left, left_text, left_id, "__lid__")
     br = banded(right, right_text, right_id, "__rid__")
+    if max_bucket is not None:
+        from pyspark.sql import Window as _W
+
+        wl = _W.partitionBy("__bi__", "__bh__")
+        bl = bl.withColumn("__bn__", F.count(F.lit(1)).over(wl)).where(F.col("__bn__") <= max_bucket).drop("__bn__")
+        br = br.withColumn("__bn__", F.count(F.lit(1)).over(wl)).where(F.col("__bn__") <= max_bucket).drop("__bn__")
     cand = bl.join(br, on=["__bi__", "__bh__"]).select("__lid__", "__rid__").distinct()
     if verify == "levenshtein":
         if max_edit_distance is None:

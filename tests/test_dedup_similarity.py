@@ -482,3 +482,28 @@ def test_fuzzy_join_matches_and_verify_modes(spark):
     )
     got_ed = {(r.doc_id_l, r.doc_id_r): r.edit_distance for r in ed.collect()}
     assert got_ed == {(1, 10): 0}
+
+
+def test_fuzzy_join_max_bucket_caps_boilerplate(spark):
+    """max_bucket: a band bucket filled by boilerplate-identical rows on
+    one side is dropped from candidate generation (the skew dial);
+    normal matches are unaffected."""
+    from riptable_spark.operators import dedup as dd
+
+    boiler = [(100 + i, "identical boilerplate row repeated many many times over") for i in range(10)]
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")] + boiler,
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (999, "identical boilerplate row repeated many many times over")],
+        "doc_id long, text string",
+    )
+    capped = dd.fuzzy_join(left, right, threshold=0.5, num_perm=16, bands=8, max_bucket=4)
+    got = {(r.doc_id_l, r.doc_id_r) for r in capped.collect()}
+    assert got == {(1, 10)}
+    uncapped = dd.fuzzy_join(left, right, threshold=0.5, num_perm=16, bands=8)
+    assert {(r.doc_id_l, r.doc_id_r) for r in uncapped.collect()} == {(1, 10)} | {
+        (100 + i, 999) for i in range(10)
+    }
