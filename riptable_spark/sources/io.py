@@ -315,3 +315,24 @@ def h5io_to_struct(spark, path: str):
 
     with h5py.File(path, "r") as f:
         return walk(f)
+
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_tables(spark, sf_dir: str, tables: tuple[str, ...] = _TABLES) -> list[str]:
+    """Register the dataset's tables as temp views so the FULL Spark SQL
+    surface works directly (``spark.sql("SELECT ... FROM lineitem l JOIN
+    orders o ...")``) — the engine is DataFrame-first but SQL-equal; all
+    load_table normalizations (ns-timestamp ingest, plan cache) apply."""
+    out = []
+    for t in tables:
+        try:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            out.append(t)
+        except Exception:  # missing optional table in a custom dir
+            continue
+    return out

@@ -198,3 +198,27 @@ def test_save_sized_splits_files(spark, tmp_path):
     assert len(parts) > 1, parts
     back = spark.read.parquet(out)
     assert back.count() == 20000
+
+
+def test_register_tables_sql_surface(spark, sf_dir):
+    """register_tables exposes every dataset table as a temp view; a
+    plain Spark SQL join+agg over the views matches the DataFrame API."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.sources.io import load_table, register_tables
+
+    got_tables = register_tables(spark, sf_dir)
+    assert "lineitem" in got_tables and "events" in got_tables
+    sql = spark.sql("""
+        SELECT o.o_orderpriority, count(*) AS n
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity > 45 GROUP BY o.o_orderpriority
+    """)
+    api = (
+        load_table(spark, sf_dir, "orders").alias("o")
+        .join(load_table(spark, sf_dir, "lineitem").alias("l"),
+              F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .where(F.col("l.l_quantity") > 45)
+        .groupBy("o.o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r[0], r[1]) for r in sql.collect()} == {(r[0], r[1]) for r in api.collect()}
