@@ -94,3 +94,29 @@ def test_round3_late_queries_lint_clean(spark, sf_dir):
             w for w in pi.lint(QUERIES[name](spark, sf_dir)) if "cartesian" not in w
         ]
         assert warns == [], (name, warns)
+
+
+def test_session_late_queries_lint_clean(spark, sf_dir):
+    """q168-q178 lint gates. Exceptions: q168/q176/q177 contain
+    broadcast-sized cross joins or tiny-relation windows by design
+    (centroid assign, candidate generation, q173/q174's 1-row totals) — those assert only against
+    Python row UDFs and cartesian products of two large relations
+    (checked via no CartesianProduct node at all here since even the
+    intended ones compile to broadcast joins)."""
+    from riptable_spark import queries8  # noqa: F401
+    from riptable_spark.queries import QUERIES
+
+    for name in [
+        "q169_table_diff",
+        "q170_funnel",
+        "q171_cohort_retention",
+        "q172_welch_ttest",
+        "q175_pagerank",
+        "q178_rolling_pairwise",
+    ]:
+        warns = pi.lint(QUERIES[name](spark, sf_dir))
+        assert warns == [], (name, warns)
+    for name in ["q168_semantic_dedup", "q173_unigram_logprob", "q174_js_divergence", "q176_fuzzy_join", "q177_fuzzy_join_editdist"]:
+        warns = [w for w in pi.lint(QUERIES[name](spark, sf_dir)) if "python-row-udf" in w]
+        assert warns == [], (name, warns)
+        assert "CartesianProduct" not in pi.simple_plan(QUERIES[name](spark, sf_dir)), name
