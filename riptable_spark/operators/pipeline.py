@@ -507,3 +507,21 @@ def decontaminate_bloom(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .where(F.col("n_hits") >= min_hits)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    hash_kind: str = "xxhash64",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep a row iff
+    hash(id) % buckets < weight × buckets, where weight ∈ [0, 1] is a
+    per-ROW column (quality score, decay factor…). The hash plays the
+    role of a uniform draw that is a pure function of the id — so the
+    kept set is rerun/retry/cluster-size stable AND each row's keep
+    probability equals its weight. Zero shuffle."""
+    b = _hash_bucket(F.col(id_col), buckets, hash_kind)
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.where(b < (w * buckets).cast("long"))

@@ -708,3 +708,25 @@ def semantic_dedup(
         .select("id_a", "id_b")
     )
     return dedup_by_components(embeddings, pairs, id_col=id_col, max_iter=max_cc_iter)
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN evaluation: per-query |approx ∩ exact| / |exact| over two
+    top-k relations (both shaped (query_id, vec_id, ...)). The join is
+    keyed on (query, id) — both relations are k·|queries| rows, tiny.
+    Returns (query_id, n_exact, n_hit, recall)."""
+    a = approx.select(F.col(query_id_col), F.col(id_col)).withColumn("__hit__", F.lit(1))
+    e = exact.select(F.col(query_id_col), F.col(id_col))
+    j = e.join(a, on=[query_id_col, id_col], how="left")
+    return j.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_hit"),
+    ).select(
+        query_id_col, "n_exact", "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+    )

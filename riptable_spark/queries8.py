@@ -1629,3 +1629,29 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         F.round(corr, 6).alias("roll_corr"),
         F.round(beta, 6).alias("roll_beta"),
     )
+
+_WS_BUCKET = "(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000)"
+
+
+@query(
+    "q179_weighted_sample",
+    f"""
+    SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars
+    FROM (
+        SELECT source, n_chars FROM documents
+        WHERE {_WS_BUCKET} < CAST(least(greatest(n_chars / 500.0, 0.0), 1.0) * 1000000 AS BIGINT)
+    ) GROUP BY source
+    """,
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted sampling: per-row keep probability = its own
+    weight column (here n_chars/500 clamped to [0,1]) against the
+    deterministic id-hash draw — zero-shuffle filter; validated by
+    per-source kept counts and char mass."""
+    d = load_table(spark, sf, "documents").withColumn(
+        "w", F.col("n_chars") / F.lit(500.0)
+    )
+    s = _pl.weighted_sample(d, "w", hash_kind="md5")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").cast("bigint").alias("chars")
+    )

@@ -507,3 +507,29 @@ def test_fuzzy_join_max_bucket_caps_boilerplate(spark):
     assert {(r.doc_id_l, r.doc_id_r) for r in uncapped.collect()} == {(1, 10)} | {
         (100 + i, 999) for i in range(10)
     }
+
+
+def test_recall_at_k_ivf_vs_brute_force(spark, sf_dir):
+    """recall_at_k: IVF with exhaustive probe == recall 1.0 everywhere;
+    nprobe=1 recall ≤ 1 and the eval arithmetic is exact (n_hit/n_exact)."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import similarity as sim
+    from riptable_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(emb, queries, k=10)
+    cents = sim.kmeans_fit(emb, k=4, n_iter=2).select("centroid_id", "centroid_vec")
+    full = sim.ivf_topk(emb, cents, queries, k=10, nprobe=4)
+    r_full = {r.query_id: r.recall for r in sim.recall_at_k(full, exact).collect()}
+    assert all(v == 1.0 for v in r_full.values()), r_full
+    one = sim.ivf_topk(emb, cents, queries, k=10, nprobe=1)
+    r_one = sim.recall_at_k(one, exact).collect()
+    for r in r_one:
+        assert r.n_exact == 10 and 0.0 <= r.recall <= 1.0
+        assert r.recall == r.n_hit / 10.0
