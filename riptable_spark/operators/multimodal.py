@@ -286,3 +286,76 @@ def decode_audio(df: DataFrame, binary_col: str = "payload") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(decode, schema=out_schema)
+
+
+# ------------------------------------------------------------------ video
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration_ticks", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def decode_video_header(payload: bytes) -> dict | None:
+    """REAL MP4/ISO-BMFF header parse — pure Python box walk, no codec
+    library: top-level boxes (size+fourcc) → moov → mvhd (version 0:
+    32-bit timescale/duration; version 1: 64-bit duration), counting
+    trak children. Returns None for unrecognized/truncated payloads."""
+    n = len(payload)
+    if n < 16:
+        return None
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            typ = payload[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                return
+            yield typ, i + 8, i + size
+            i += size
+
+    top = {t: (a, b) for t, a, b in walk(0, n)}
+    if b"ftyp" not in top or b"moov" not in top:
+        return None
+    mlo, mhi = top[b"moov"]
+    timescale = duration = None
+    n_tracks = 0
+    for typ, a, b in walk(mlo, mhi):
+        if typ == b"mvhd" and b - a >= 20:
+            ver = payload[a]
+            if ver == 1 and b - a >= 32:
+                timescale = int.from_bytes(payload[a + 20 : a + 24], "big")
+                duration = int.from_bytes(payload[a + 24 : a + 32], "big")
+            else:
+                timescale = int.from_bytes(payload[a + 12 : a + 16], "big")
+                duration = int.from_bytes(payload[a + 16 : a + 20], "big")
+        elif typ == b"trak":
+            n_tracks += 1
+    if not timescale:
+        return None
+    return {
+        "timescale": timescale,
+        "duration_ticks": duration,
+        "duration_s": duration / timescale,
+        "n_tracks": n_tracks,
+        "format": "mp4",
+    }
+
+
+def decode_video(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """mapInPandas video-header decode — same Arrow-batch contract as
+    decode_images/decode_audio; corrupt payloads → NULL struct."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("video_meta", VIDEO_META_SCHEMA)])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["video_meta"] = [decode_video_header(p) for p in pdf[binary_col]]
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)

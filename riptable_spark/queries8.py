@@ -1655,3 +1655,62 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     return s.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").cast("bigint").alias("chars")
     )
+
+
+def _make_mp4_box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _make_mp4(timescale: int, duration: int, n_tracks: int) -> bytes:
+    """Minimal valid ISO-BMFF: ftyp + moov(mvhd v0 + n empty trak)."""
+    mvhd = bytes([0, 0, 0, 0]) + bytes(8) + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+    moov = _make_mp4_box(b"mvhd", mvhd) + b"".join(
+        _make_mp4_box(b"trak", b"") for _ in range(n_tracks)
+    )
+    return _make_mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _make_mp4_box(b"moov", moov)
+
+
+def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    out_schema = T.StructType([T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())])
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                ts = 600 + (i * 97) % 48000
+                dur = 1 + (i * 7919) % 10_000_000
+                payloads.append(_make_mp4(ts, dur, 1 + i % 3))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema=out_schema)
+
+
+@query(
+    "q180_video_header_decode",
+    """
+    SELECT doc_id,
+           CAST(600 + (doc_id * 97) % 48000 AS INT) AS timescale,
+           1 + (doc_id * 7919) % 10000000 AS duration_ticks,
+           round((1 + (doc_id * 7919) % 10000000)
+                 / (600 + (doc_id * 97) % 48000)::DOUBLE, 6) AS duration_s,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+           'mp4' AS format
+    FROM documents
+    """,
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video (MP4/ISO-BMFF) header decode: payloads synthesized as
+    valid box trees, the parser walks ftyp→moov→mvhd/trak and recovers
+    timescale/duration/track-count OUT OF THE BYTES; the oracle predicts
+    every field arithmetically."""
+    d = synthesize_video(load_table(spark, sf, "documents"))
+    out = mm.decode_video(d, "payload")
+    return out.select(
+        "doc_id",
+        F.col("video_meta.timescale").alias("timescale"),
+        F.col("video_meta.duration_ticks").alias("duration_ticks"),
+        F.round(F.col("video_meta.duration_s"), 6).alias("duration_s"),
+        F.col("video_meta.n_tracks").alias("n_tracks"),
+        F.col("video_meta.format").alias("format"),
+    )
