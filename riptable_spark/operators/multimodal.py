@@ -359,3 +359,44 @@ def decode_video(df: DataFrame, binary_col: str = "payload") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def frame_sample_raw(
+    df: DataFrame,
+    binary_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels_col: str = "channels",
+    every_n: int = 10,
+) -> DataFrame:
+    """REAL frame sampling over raw interleaved video buffers (n_frames ×
+    h × w × c uint8): numpy strided slice keeps every ``every_n``-th
+    frame and emits one row per kept frame (frame_idx, frame_payload) —
+    the downstream image pipeline's input contract, content-exact.
+    Frame count is derived from the buffer size; ragged/corrupt buffers
+    (size not divisible by the frame stride) yield no rows rather than
+    failing the task. Compressed containers still need a codec
+    (``frame_sample_stub`` documents that boundary); this is the real
+    path for decoded/raw intermediates."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField("frame_idx", T.IntegerType()), T.StructField("frame_payload", T.BinaryType())]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[binary_col] or b""
+                stride = int(row[width_col]) * int(row[height_col]) * int(row[channels_col])
+                if stride <= 0 or len(payload) % stride:
+                    continue
+                n_frames = len(payload) // stride
+                for i in range(0, n_frames, every_n):
+                    r = dict(row)
+                    r["frame_idx"] = i
+                    r["frame_payload"] = payload[i * stride : (i + 1) * stride]
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(sample, schema=out_schema)

@@ -307,3 +307,23 @@ def test_audio_header_decode_corrupt_payloads_null(spark):
     assert got[2]["n_samples"] == 500 and got[2]["sample_rate"] == 44100
     assert got[3] is None and got[4] is None and got[5] is None
     assert got[6]["bits_per_sample"] == 24 and got[6]["format"] == "flac"
+
+
+def test_frame_sample_raw_content_exact(spark):
+    """frame_sample_raw: every every_n-th frame is returned byte-exact;
+    ragged buffers are skipped, not failed."""
+    from riptable_spark.operators import multimodal as mm
+
+    w, h, c = 4, 3, 2
+    stride = w * h * c
+    frames = [bytes([(f * 31 + j) % 256 for j in range(stride)]) for f in range(7)]
+    rows = [
+        (1, b"".join(frames), w, h, c),
+        (2, b"short", w, h, c),  # ragged
+    ]
+    df = spark.createDataFrame(rows, "vid long, payload binary, width int, height int, channels int")
+    out = mm.frame_sample_raw(df, every_n=3).collect()
+    got = {(r.vid, r.frame_idx): bytes(r.frame_payload) for r in out}
+    assert set(got) == {(1, 0), (1, 3), (1, 6)}
+    for idx in (0, 3, 6):
+        assert got[(1, idx)] == frames[idx]
