@@ -637,3 +637,27 @@ def test_cut_qcut_doctest(spark):
     assert bn.cut_labels([0.0, 1.0, 2.0, 3.0, 4.0], clipped=True) == [
         "Clipped", "0.0->1.0", "1.0->2.0", "2.0->3.0", "3.0->4.0",
     ]
+
+
+def test_cummax_cummin_doctest(spark):
+    """rt_fastarraynumba.py:440/482 doctests: running max over
+    [1,2,3,4,2,3,5,5,6,2,7] (plus the skipna NaN variant) and running
+    min over [1,2,3,-4,2,3,5,5,-6,2,7]."""
+    from pyspark.sql import Window as W
+
+    from riptable_spark.operators import window as win
+
+    w = W.partitionBy().orderBy("i")
+    a = [1, 2, 3, 4, 2, 3, 5, 5, 6, 2, 7]
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(a)], ["i", "v"])
+    got = [int(r.m) for r in df.select("i", win.cummax(F.col("v"), w).alias("m")).orderBy("i").collect()]
+    assert got == [1, 2, 3, 4, 4, 4, 5, 5, 6, 6, 7]
+    # skipna: a[1] = nan → running max ignores it (Spark max skips NULL)
+    rows = [(i, None if i == 1 else float(v)) for i, v in enumerate(a)]
+    df2 = spark.createDataFrame(rows, "i int, v double")
+    got2 = [int(r.m) for r in df2.select("i", win.cummax(F.col("v"), w).alias("m")).orderBy("i").collect()]
+    assert got2 == [1, 1, 3, 4, 4, 4, 5, 5, 6, 6, 7]
+    b = [1, 2, 3, -4, 2, 3, 5, 5, -6, 2, 7]
+    df3 = spark.createDataFrame([(i, float(v)) for i, v in enumerate(b)], ["i", "v"])
+    got3 = [int(r.m) for r in df3.select("i", win.cummin(F.col("v"), w).alias("m")).orderBy("i").collect()]
+    assert got3 == [1, 1, 1, -4, -4, -4, -4, -4, -6, -6, -6]
