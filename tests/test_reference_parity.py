@@ -661,3 +661,18 @@ def test_cummax_cummin_doctest(spark):
     df3 = spark.createDataFrame([(i, float(v)) for i, v in enumerate(b)], ["i", "v"])
     got3 = [int(r.m) for r in df3.select("i", win.cummin(F.col("v"), w).alias("m")).orderBy("i").collect()]
     assert got3 == [1, 1, 1, -4, -4, -4, -4, -4, -6, -6, -6]
+
+
+def test_timewindow_sum_doctest(spark):
+    """rt_fastarray.py:2641 doctest: arange(10).timewindow_sum(time=arange(10),
+    window=5) → [0,1,3,6,10,15,21,27,33,39] (trailing 5-unit time window)."""
+    from riptable_spark.operators import window as win
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["t", "v"])
+    got = [
+        int(r.s)
+        for r in df.select("t", win.timewindow_sum(F.col("v"), [], "t", 5).alias("s"))
+        .orderBy("t")
+        .collect()
+    ]
+    assert got == [0, 1, 3, 6, 10, 15, 21, 27, 33, 39]
