@@ -676,3 +676,18 @@ def test_timewindow_sum_doctest(spark):
         .collect()
     ]
     assert got == [0, 1, 3, 6, 10, 15, 21, 27, 33, 39]
+
+
+def test_cut_explicit_bins_and_nan_doctest(spark):
+    """rt_bin.py:572/579 doctests: explicit edges [1,3,6] put
+    out-of-range 7 in the Filtered bin 0 (codes [1,0,2,2,2,1]); NaN
+    values are Filtered too (cut([nan,nan,1,2,5], 2) → [0,0,1,1,2])."""
+    from riptable_spark.functions import binning as bn
+
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate([1, 7, 5, 4, 6, 3])], ["i", "x"])
+    got = [r.c for r in df.select("i", bn.cut(F.col("x"), [1, 3, 6]).alias("c")).orderBy("i").collect()]
+    assert got == [1, 0, 2, 2, 2, 1]
+    rows = [(0, None), (1, None), (2, 1.0), (3, 2.0), (4, 5.0)]
+    df2 = spark.createDataFrame(rows, "i int, x double")
+    got2 = [r.c for r in df2.select("i", bn.cut(F.col("x"), 2, lo=1.0, hi=5.0).alias("c")).orderBy("i").collect()]
+    assert got2 == [0, 0, 1, 1, 2]
