@@ -189,3 +189,35 @@ def unique32(
     kept long for 100 TB row counts)."""
     src = df.where(filter_mask) if filter_mask is not None else df
     return src.groupBy(*key_cols).agg(F.min(rowid_col).cast("long").alias("ifirst_row"))
+
+
+def first_bool(keys: list[str], rowid_col: str = "__rowid__") -> Column:
+    """rt_groupbyops.py:292 first_bool: True at each group's FIRST
+    occurrence in row order — a keyed row_number()==1 window (one
+    shuffle on the keys)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(rowid_col)
+    return F.row_number().over(w) == 1
+
+
+def last_bool(keys: list[str], rowid_col: str = "__rowid__") -> Column:
+    """rt_groupbyops.py:313 last_bool: True at each group's LAST
+    occurrence in row order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(rowid_col).desc())
+    return F.row_number().over(w) == 1
+
+
+def first_fancy(df: DataFrame, keys: list[str], rowid_col: str = "__rowid__") -> DataFrame:
+    """rt_groupbyops.py:250 first_fancy: the rowids of first occurrences,
+    ordered by first appearance (the reference's ordered=True output is
+    sorted by group key; this emits (group key, rowid) so callers pick
+    either order)."""
+    return df.groupBy(*keys).agg(F.min(rowid_col).alias("first_rowid"))
+
+
+def last_fancy(df: DataFrame, keys: list[str], rowid_col: str = "__rowid__") -> DataFrame:
+    """rt_groupbyops.py:266 last_fancy: the rowids of last occurrences."""
+    return df.groupBy(*keys).agg(F.max(rowid_col).alias("last_rowid"))

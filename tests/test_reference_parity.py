@@ -691,3 +691,24 @@ def test_cut_explicit_bins_and_nan_doctest(spark):
     df2 = spark.createDataFrame(rows, "i int, x double")
     got2 = [r.c for r in df2.select("i", bn.cut(F.col("x"), 2, lo=1.0, hi=5.0).alias("c")).orderBy("i").collect()]
     assert got2 == [0, 0, 1, 1, 2]
+
+
+def test_first_last_bool_fancy_doctest(spark):
+    """rt_groupbyops.py:250-324 doctests: Cat(['b','b','a','a','b'])
+    first_fancy (sorted by key) == [2, 0] (a at 2, b at 0), last_fancy
+    == [3, 4]; Cat(['this','this','that','that','this']) first_bool ==
+    [T,F,T,F,F], last_bool == [F,F,F,T,T]."""
+    from riptable_spark.operators import positional as pos
+
+    vals = ["b", "b", "a", "a", "b"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["__rowid__", "k"])
+    ff = {r.k: r.first_rowid for r in pos.first_fancy(df, ["k"]).collect()}
+    lf = {r.k: r.last_rowid for r in pos.last_fancy(df, ["k"]).collect()}
+    assert ff == {"a": 2, "b": 0} and lf == {"a": 3, "b": 4}
+
+    vals2 = ["this", "this", "that", "that", "this"]
+    df2 = spark.createDataFrame([(i, v) for i, v in enumerate(vals2)], ["__rowid__", "k"])
+    fb = [r.f for r in df2.select("__rowid__", pos.first_bool(["k"]).alias("f")).orderBy("__rowid__").collect()]
+    lb = [r.l for r in df2.select("__rowid__", pos.last_bool(["k"]).alias("l")).orderBy("__rowid__").collect()]
+    assert fb == [True, False, True, False, False]
+    assert lb == [False, False, False, True, True]
