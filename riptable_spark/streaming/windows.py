@@ -198,3 +198,18 @@ def stream_stream_interval_join(
         & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond, "inner")
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet — the live-ingest twin of
+    the batch curation input (file source; one file = one micro-batch
+    unit here, a cloud listing at scale)."""
+    import os
+
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )

@@ -221,3 +221,34 @@ def test_stream_stream_interval_join_parity(spark, sf_dir, stream, tmp_path):
         ).collect()
     )
     assert len(got) > 0 and got == want
+
+
+def test_streaming_curation_pipeline_parity(spark, sf_dir, tmp_path):
+    """The COMPOSED curation pipeline — C4/Gopher quality gate →
+    deterministic split → chunking — runs UNCHANGED on a documents
+    stream (every stage is a stateless hash/codegen projection), and
+    the drained result equals the batch run exactly. This is the
+    one-codepath story: the same operators serve the 100 TB backfill
+    and the live ingest."""
+    from riptable_spark.operators import pipeline as pl
+    from riptable_spark.operators import text as tx
+    from riptable_spark.streaming import windows as sw
+
+    def curate(docs):
+        q = tx.gopher_quality_flags(docs)
+        kept = q.where(~F.col("flag_any")) if "flag_any" in q.columns else q.where(
+            ~F.col(q.columns[-1])
+        )
+        split = pl.hash_split(kept, "doc_id", {"train": 0.9, "val": 0.1})
+        chunks = pl.chunk_documents(split.where(F.col("split") == "train"), chunk_size=200, overlap=20)
+        return chunks.groupBy().agg(
+            F.count(F.lit(1)).alias("n_chunks"), F.sum("chunk_len").alias("total_chars")
+        )
+
+    got = sw.run_available_now(
+        curate(sw.stream_documents(spark, sf_dir)),
+        "curation_stream_test", str(tmp_path / "ckpt_curate"), output_mode="complete",
+    ).first()
+    want = curate(load_table(spark, sf_dir, "documents")).first()
+    assert (got.n_chunks, got.total_chars) == (want.n_chunks, want.total_chars)
+    assert got.n_chunks > 0
