@@ -124,3 +124,14 @@ def bincount(df: DataFrame, colname: str, minlength: int | None = None) -> DataF
 # rt_hstack.py stack_rows — same schema-unifying row stack as hstack/
 # concat_rows; the reference keeps both names, so do we.
 stack_rows = concat_rows
+
+
+def stack_rows(named: dict[str, DataFrame], label_col: str = "Cat") -> DataFrame:
+    """rt_hstack.py:46 stack_rows: vertical stack of named relations
+    with a provenance label column (the doctest's (arr, cat) pair as
+    one relation) — unionByName with a literal tag, columns aligned,
+    missing→NULL. Pure metadata op, no shuffle."""
+    parts = [
+        df.withColumn(label_col, F.lit(name)) for name, df in named.items()
+    ]
+    return concat_rows(parts)

@@ -712,3 +712,18 @@ def test_first_last_bool_fancy_doctest(spark):
     lb = [r.l for r in df2.select("__rowid__", pos.last_bool(["k"]).alias("l")).orderBy("__rowid__").collect()]
     assert fb == [True, False, True, False, False]
     assert lb == [False, False, False, True, True]
+
+
+def test_stack_rows_doctest(spark):
+    """rt_hstack.py:46-57 doctest: stack_rows({'test1': arange(3),
+    'test2': arange(1), 'test3': arange(2)}) → Data [0,1,2,0,0,1] with
+    Cat labels test1×3, test2×1, test3×2."""
+    from riptable_spark.operators import reshape as rs
+
+    named = {
+        "test1": spark.createDataFrame([(i,) for i in range(3)], ["Data"]),
+        "test2": spark.createDataFrame([(i,) for i in range(1)], ["Data"]),
+        "test3": spark.createDataFrame([(i,) for i in range(2)], ["Data"]),
+    }
+    out = sorted((r.Cat, r.Data) for r in rs.stack_rows(named).collect())
+    assert out == [("test1", 0), ("test1", 1), ("test1", 2), ("test2", 0), ("test3", 0), ("test3", 1)]
