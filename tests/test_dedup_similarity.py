@@ -533,3 +533,23 @@ def test_recall_at_k_ivf_vs_brute_force(spark, sf_dir):
     for r in r_one:
         assert r.n_exact == 10 and 0.0 <= r.recall <= 1.0
         assert r.recall == r.n_hit / 10.0
+
+
+def test_kmeans_and_pq_rerun_deterministic(spark, sf_dir):
+    """The no-RNG discipline: kmeans_fit and pq_train produce BYTE-
+    identical models on rerun (hash seeding, no random state) — the
+    property that makes resumable pipelines and SQL oracles possible."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import similarity as sim
+    from riptable_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    c1 = {r.centroid_id: list(r.centroid_vec) for r in sim.kmeans_fit(emb, k=4, n_iter=2).collect()}
+    c2 = {r.centroid_id: list(r.centroid_vec) for r in sim.kmeans_fit(emb, k=4, n_iter=2).collect()}
+    assert c1 == c2
+    b1 = sim.pq_train(emb, m=4, ksub=4, n_iter=1)
+    b2 = sim.pq_train(emb, m=4, ksub=4, n_iter=1)
+    assert b1 == b2
