@@ -355,10 +355,41 @@ class Dataset:
 
         return pa.Table.from_pandas(self._df.toPandas())
 
-    def describe(self, colname: str) -> "Dataset":
+    def describe(self, colname: str | None = None) -> "Dataset":
+        """rt_dataset.py:6705 describe: with a column name, the statx
+        row for that column; with no argument, the reference's
+        ALL-numeric-columns form — a 'Stats' label column plus one
+        column per numeric input, rows = Count/Valid/Nans/Mean/Std/Min/
+        P10/P25/P50/P75/P90/Max/MeanM. Each column's stat family is one
+        grouped-describe pass; the 13×n_cols scalars assemble on the
+        driver (bounded, like qcut's edge collect)."""
         from .functions import stats as _stats
 
-        return Dataset(_stats.statx(self._df, colname))
+        if colname is not None:
+            return Dataset(_stats.statx(self._df, colname))
+        from .operators import groupby as _gbops
+
+        numeric = [
+            c for c, t in self._df.dtypes
+            if t.startswith(("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"))
+        ]
+        stats_order = [
+            ("Count", "count"), ("Valid", "valid"), ("Nans", "nans"), ("Mean", "mean"),
+            ("Std", "std"), ("Min", "min"), ("P10", "p10"), ("P25", "p25"), ("P50", "p50"),
+            ("P75", "p75"), ("P90", "p90"), ("Max", "max"), ("MeanM", "meanm"),
+        ]
+        cols_stats = {}
+        base = self._df.withColumn("__k__", F.lit(1))
+        for c in numeric:
+            row = _gbops.describe(base, ["__k__"], c).first()
+            cols_stats[c] = [None if row[f] is None else float(row[f]) for _, f in stats_order]
+        spark = self._df.sparkSession
+        data = [
+            tuple([label] + [cols_stats[c][i] for c in numeric])
+            for i, (label, _) in enumerate(stats_order)
+        ]
+        schema = "Stats string" + "".join(f", `{c}` double" for c in numeric)
+        return Dataset(spark.createDataFrame(data, schema))
 
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)

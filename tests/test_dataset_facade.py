@@ -249,3 +249,21 @@ def test_two_axis_getitem(spark):
     # positional rows without __rowid__ → explicit error
     with pytest.raises(ValueError):
         Dataset(df)[1:3, "a"]
+
+
+def test_describe_all_numeric_columns(spark):
+    """ds.describe() with no argument: the reference's transposed
+    all-numeric form — Stats label column, one column per numeric input,
+    non-numeric ignored; spot-check hand-computable values."""
+    from riptable_spark.dataset import Dataset
+
+    rows = [(float(v), v * 2, "s") for v in range(1, 11)]
+    ds = Dataset(spark.createDataFrame(rows, "a double, b bigint, label string"))
+    out = ds.describe()._df.collect()
+    by_stat = {r.Stats: r for r in out}
+    assert list(by_stat) == ["Count", "Valid", "Nans", "Mean", "Std", "Min",
+                             "P10", "P25", "P50", "P75", "P90", "Max", "MeanM"]
+    assert "label" not in out[0].asDict()
+    assert by_stat["Count"].a == 10.0 and by_stat["Valid"].b == 10.0
+    assert by_stat["Mean"].a == 5.5 and by_stat["Mean"].b == 11.0
+    assert by_stat["Min"].a == 1.0 and by_stat["Max"].b == 20.0
