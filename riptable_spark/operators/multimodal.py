@@ -400,3 +400,43 @@ def frame_sample_raw(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(sample, schema=out_schema)
+
+
+def extract_features_raw(
+    df: DataFrame,
+    binary_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels_col: str = "channels",
+    hist_bins: int = 8,
+) -> DataFrame:
+    """REAL feature extraction over raw interleaved uint8 image buffers
+    (no codec needed): per-channel mean/std plus a ``hist_bins``-bin
+    grayscale intensity histogram (normalized), as an array<double>
+    feature vector of length 2·channels + hist_bins — a usable input
+    for the ANN/dedup family (model-embedding extraction proper needs
+    inference and stays ``extract_features_stub``). Ragged buffers
+    yield NULL."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("features", T.ArrayType(T.DoubleType()))])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload = row[binary_col] or b""
+                w, h, c = int(row[width_col]), int(row[height_col]), int(row[channels_col])
+                if w * h * c <= 0 or len(payload) != w * h * c:
+                    feats.append(None)
+                    continue
+                a = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c).astype(np.float64)
+                means = a.mean(axis=(0, 1))
+                stds = a.std(axis=(0, 1))
+                gray = a.mean(axis=2)
+                hist, _ = np.histogram(gray, bins=hist_bins, range=(0.0, 256.0))
+                hist = hist / gray.size
+                feats.append([*means.tolist(), *stds.tolist(), *hist.tolist()])
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(extract, schema=out_schema)

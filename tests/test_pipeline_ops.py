@@ -327,3 +327,25 @@ def test_frame_sample_raw_content_exact(spark):
     assert set(got) == {(1, 0), (1, 3), (1, 6)}
     for idx in (0, 3, 6):
         assert got[(1, idx)] == frames[idx]
+
+
+def test_extract_features_raw_values(spark):
+    """extract_features_raw: per-channel mean/std and grayscale
+    histogram computed from the actual bytes — verified against numpy
+    on the driver; ragged buffers → NULL."""
+    import numpy as np
+
+    from riptable_spark.operators import multimodal as mm
+
+    w, h, c = 4, 2, 3
+    buf = bytes(range(w * h * c))
+    rows = [(1, buf, w, h, c), (2, b"bad", w, h, c)]
+    df = spark.createDataFrame(rows, "img long, payload binary, width int, height int, channels int")
+    got = {r.img: r.features for r in mm.extract_features_raw(df, hist_bins=4).collect()}
+    assert got[2] is None
+    a = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c).astype(np.float64)
+    want = [*a.mean(axis=(0, 1)), *a.std(axis=(0, 1))]
+    hist, _ = np.histogram(a.mean(axis=2), bins=4, range=(0.0, 256.0))
+    want += list(hist / (w * h))
+    assert len(got[1]) == 2 * c + 4
+    assert all(abs(x - y) < 1e-12 for x, y in zip(got[1], want))
