@@ -174,5 +174,7 @@ def test_to_str_and_default_values(spark):
 def test_stack_rows_and_reindex_aliases():
     from riptable_spark.operators import reshape
 
-    assert reshape.stack_rows is reshape.concat_rows
+    # stack_rows grew a provenance-label signature (rt_hstack.py:46) and is
+    # doctest-covered in test_reference_parity; here just pin it exists
+    assert callable(reshape.stack_rows)
     assert positional.reindex_fast is positional.mbget

@@ -22,6 +22,7 @@ from riptable_spark import (  # noqa: F401 — register all batches
     queries6,
     queries7,
     queries8,
+    queries9,
 )
 from riptable_spark.queries import ORACLES, QUERIES
 
