@@ -464,6 +464,70 @@ def pq_search(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def pq_encode_columnar(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Columnar PQ codes: one TINYINT column per subspace (``c0`` ..
+    ``c{m-1}``, stored with a −128 offset so the full ksub=256 code range
+    fits a signed byte) instead of a single array<int>. Same zero-shuffle
+    literal-argmin projection as ``pq_encode``. Why this layout at
+    100 TB: (a) one byte per code in memory and on any shuffle wire —
+    the array<int> form costs 4 bytes per code plus array header; (b)
+    Parquet lays each subspace down as its own column chunk, so
+    per-column dictionary/RLE encoding compresses code runs the
+    interleaved array layout hides, and a consumer that prunes subspaces
+    reads only the columns it needs (ReadSchema column pruning — free
+    with Catalyst once the codes are real columns)."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return vectors.select(
+        F.col(id_col),
+        *[
+            (_pq_code_expr(F.slice(v, j * subdim + 1, subdim), codebooks[j]) - 128)
+            .cast("tinyint")
+            .alias(f"c{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def pq_search_columnar(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ADC top-k over the columnar (tinyint-per-subspace) codes layout:
+    identical math to ``pq_search`` — Σ_j ||q_sub_j − codebook[j][c_j]||²
+    with the per-row lookup reading column ``c{j}`` (+128 de-offset)
+    instead of an array element. Queries broadcast; the codes relation
+    never shuffles; WindowGroupLimit bounds the top-k exchange. Output
+    keeps the code columns so callers (and oracles) can audit the
+    retrieved rows' codes."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    crossed = codes.crossJoin(F.broadcast(queries))
+    qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    d2 = None
+    for j in range(m):
+        cb = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in codebooks[j]])
+        sub_vec = F.element_at(cb, F.col(f"c{j}").cast("int") + 129)
+        dj = _sq_dist(F.slice(qv, j * subdim + 1, subdim), sub_vec)
+        d2 = dj if d2 is None else d2 + dj
+    scored = crossed.select(
+        F.col(query_id_col), F.col(id_col), *[F.col(f"c{j}") for j in range(m)], d2.alias("adc_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def pq_adc_expr(qv: Column, codes: Column, codebooks: list[list[list[float]]]) -> Column:
     """The ADC squared-distance expression Σ_j ||q_sub_j −
     codebook[j][codes[j]]||² as a reusable Column (codegen lookup chain

@@ -16,8 +16,89 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators import multimodal as mm
+from .operators import similarity as _sim
 from .queries import query
+from .queries8 import _PQ_BOOKS, _PQ_M, _pq_sq_chain
 from .sources.io import load_table
+
+
+def _pq_columnar_oracle_sql() -> str:
+    """q159's full encode+ADC SQL replay, extended with the per-subspace
+    code columns (−128 tinyint offset) that the columnar layout stores —
+    a hash match proves the byte-offset round-trip on every retrieved
+    row, not just the distances."""
+    rows = []
+    for j, book in enumerate(_PQ_BOOKS):
+        for c, v in enumerate(book):
+            lit = "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+            rows.append(f"({j}, {c}, {lit})")
+    values = ",\n      ".join(rows)
+    enc_chain = _pq_sq_chain("e.v", "cb.j")
+    adc_chain = _pq_sq_chain("q.qv", "b.j")
+    d2 = " + ".join(f"sum(CASE WHEN j = {j} THEN dj END)" for j in range(_PQ_M))
+    code_cols = ",\n             ".join(
+        f"CAST(max(CASE WHEN j = {j} THEN code END) - 128 AS INT) AS c{j}" for j in range(_PQ_M)
+    )
+    csel = ", ".join(f"bc.c{j}" for j in range(_PQ_M))
+    return f"""
+    WITH cb(j, code, sub_vec) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    best AS (
+      SELECT vec_id, j, code FROM (
+        SELECT e.vec_id, cb.j, cb.code,
+               row_number() OVER (PARTITION BY e.vec_id, cb.j
+                                  ORDER BY {enc_chain}, cb.code) AS rn
+        FROM e CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    bcodes AS (
+      SELECT vec_id,
+             {code_cols}
+      FROM best GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+    adc_parts AS (
+      SELECT q.query_id, b.vec_id, b.j, {adc_chain} AS dj
+      FROM best b JOIN cb ON cb.j = b.j AND cb.code = b.code CROSS JOIN q
+    ),
+    adc AS (
+      SELECT query_id, vec_id, {d2} AS d2
+      FROM adc_parts GROUP BY query_id, vec_id
+    )
+    SELECT query_id, r.vec_id, {csel}, round(d2, 6) AS adc_dist, rank FROM (
+      SELECT query_id, vec_id, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      FROM adc
+    ) r JOIN bcodes bc ON bc.vec_id = r.vec_id
+    WHERE rank <= 5
+    """
+
+
+@query("q183_pq_columnar", _pq_columnar_oracle_sql())
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    """Columnar PQ codes layout (ROUND3_NOTES backlog): one TINYINT
+    column per subspace (−128 offset) instead of array<int> — 1 byte per
+    code on disk/wire, per-subspace Parquet column chunks (dictionary/RLE
+    on code runs), and subspace column pruning for free. Encode stays a
+    zero-shuffle literal-argmin projection; ADC search reads the byte
+    columns with a +128 de-offset. The oracle replays encode + ADC AND
+    the offset codes of every retrieved row."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    codes = _sim.pq_encode_columnar(emb, _PQ_BOOKS)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = _sim.pq_search_columnar(codes, q, _PQ_BOOKS, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        *[F.col(f"c{j}").cast("int").alias(f"c{j}") for j in range(_PQ_M)],
+        F.round(F.col("adc_dist"), 6).alias("adc_dist"),
+        "rank",
+    )
 
 
 @query(

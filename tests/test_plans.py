@@ -329,3 +329,36 @@ def test_q161_mixture_sample_filter_is_shuffle_free(q):
 
     df = q("q161_mixture_sample")
     assert pi.count_shuffles(df) <= 1
+
+
+def test_q183_columnar_pq_codes_are_bytes_zero_shuffle(q, spark, sf_dir):
+    """Columnar PQ contract: encode emits one TINYINT (ByteType) column
+    per subspace with ZERO exchanges, and the columnar search matches the
+    array-layout search row-for-row (the −128 offset round-trips)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from riptable_spark import queries8 as q8
+    from riptable_spark import queries9  # noqa: F401
+    from riptable_spark.operators import similarity as sim
+    from riptable_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    codes = sim.pq_encode_columnar(emb, q8._PQ_BOOKS)
+    assert pi.count_shuffles(codes) == 0
+    for j in range(q8._PQ_M):
+        assert isinstance(codes.schema[f"c{j}"].dataType, T.ByteType)
+    # offset round-trip vs the array layout
+    arr = sim.pq_encode(emb, q8._PQ_BOOKS)
+    joined = codes.join(arr, "vec_id").select(
+        *[
+            (F.col(f"c{j}").cast("int") + 128 == F.element_at("codes", j + 1)).alias(f"ok{j}")
+            for j in range(q8._PQ_M)
+        ]
+    )
+    agg = joined.agg(*[F.min(f"ok{j}").alias(f"ok{j}") for j in range(q8._PQ_M)]).first()
+    assert all(agg[f"ok{j}"] for j in range(q8._PQ_M))
+    df = q("q183_pq_columnar")
+    assert pi.has_broadcast_join(df)
