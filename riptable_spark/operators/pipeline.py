@@ -525,3 +525,43 @@ def weighted_sample(
     b = _hash_bucket(F.col(id_col), buckets, hash_kind)
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.where(b < (w * buckets).cast("long"))
+
+
+def shuffle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = 1024,
+    hash_kind: str = "xxhash64",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every row
+    gets ``pos_col`` — its exact 0-based position in the order sorted by
+    hash(id, seed) — without ever sorting the table through one
+    partition. Scale shape: rows hash into ``n_buckets`` ordered
+    buckets; positions = (bucket offset from a tiny n_buckets-row
+    cumulative aggregate) + (rank within the bucket, a partitioned
+    window). A different ``seed`` yields an independent epoch
+    permutation; the same seed is rerun/retry/cluster-size stable. Ties
+    (hash collisions) break on the id so the order is total."""
+    from pyspark.sql import Window
+
+    h = _base_hash64(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed))), hash_kind)
+    # bucket = high bits of the hash, so bucket order is a PREFIX of hash
+    # order (a mod bucket would interleave ranges and break global
+    # positions). Arithmetic shift keeps signed xxhash64 monotonic; md5
+    # mode yields 60-bit non-negative hashes, so shift from bit 60.
+    k = max(1, (n_buckets - 1).bit_length())
+    shift = (60 if hash_kind == "md5" else 64) - k
+    hashed = df.withColumn("__h__", h).withColumn(
+        "__b__", F.shiftright(F.col("__h__"), shift)
+    )
+    counts = hashed.groupBy("__b__").agg(F.count(F.lit(1)).alias("__n__"))
+    wo = Window.orderBy("__b__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("__off__", F.coalesce(F.sum("__n__").over(wo), F.lit(0)))
+    wb = Window.partitionBy("__b__").orderBy("__h__", id_col)
+    return (
+        hashed.join(F.broadcast(offsets.select("__b__", "__off__")), "__b__")
+        .withColumn(pos_col, (F.col("__off__") + F.row_number().over(wb) - 1).cast("long"))
+        .drop("__h__", "__b__", "__off__", "__n__")
+    )

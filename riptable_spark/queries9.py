@@ -227,3 +227,96 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("sample_sum"),
     )
+
+
+from .operators import grouping as _gp
+from .operators import pipeline as _pl
+
+
+@query(
+    "q184_groupbyhash",
+    """
+    WITH t AS (SELECT o_orderkey AS rowid, o_custkey % 97 AS k FROM orders),
+    f AS (SELECT k, min(rowid) AS ifirstkey FROM t GROUP BY k),
+    r AS (SELECT k, ifirstkey, row_number() OVER (ORDER BY ifirstkey) AS ikey FROM f)
+    SELECT t.rowid, t.k, CAST(r.ikey AS INT) AS ikey, r.ifirstkey
+    FROM t JOIN r USING (k)
+    """,
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """groupbyhash parity (rt_grouping first-appearance numbering): the
+    per-row 1-based group id in order of first occurrence plus the first
+    row id of each group. Ranking runs on the distinct-key relation only
+    (97 rows here), never over the fact table."""
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("rowid"), (F.col("o_custkey") % 97).alias("k")
+    )
+    return _gp.groupbyhash(o, "k", "rowid")
+
+
+@query(
+    "q185_groupbylex",
+    """
+    WITH t AS (SELECT o_orderkey AS rowid, o_custkey % 97 AS k FROM orders),
+    u AS (SELECT DISTINCT k FROM t),
+    r AS (SELECT k, row_number() OVER (ORDER BY k) AS ikey FROM u)
+    SELECT t.rowid, t.k, CAST(r.ikey AS INT) AS ikey FROM t JOIN r USING (k)
+    """,
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    """groupbylex parity: group ids numbered in lexicographic key order
+    (the lexsort-based Grouping's numbering), ranked over distinct keys."""
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("rowid"), (F.col("o_custkey") % 97).alias("k")
+    )
+    return _gp.groupbylex(o, "k", "rowid")
+
+
+@query(
+    "q186_groupbypack",
+    """
+    WITH t AS (SELECT o_orderkey AS rowid, o_custkey % 97 AS k FROM orders),
+    s AS (SELECT k, min(rowid) AS fr, count(*) AS ncount FROM t GROUP BY k),
+    s2 AS (SELECT k, ncount,
+                  (sum(ncount) OVER (ORDER BY fr) - ncount)::BIGINT AS ifirst
+           FROM s)
+    SELECT t.rowid, t.k,
+           (s2.ifirst + row_number() OVER (PARTITION BY t.k ORDER BY t.rowid) - 1)::BIGINT AS igroup,
+           s2.ifirst, s2.ncount
+    FROM t JOIN s2 USING (k)
+    """,
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    """groupbypack parity (iGroup/iFirstGroup/nCountGroup): each row's
+    0-based position in the packed group-contiguous order, the group's
+    start offset and size — offsets from a tiny cumulative aggregate over
+    group stats, in-group ranks from a partitioned window."""
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("rowid"), (F.col("o_custkey") % 97).alias("k")
+    )
+    return _gp.groupbypack(o, "k", "rowid")
+
+
+@query(
+    "q187_shuffle_rows",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || '|7'), 1, 15))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           (row_number() OVER (ORDER BY hv, doc_id) - 1)::BIGINT AS shuffle_pos
+    FROM h
+    """,
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch shuffle for training-data ordering: exact
+    global positions under hash(id, seed) order, computed with bucket
+    offsets + partitioned windows — the table is never sorted through a
+    single partition (the oracle's naive global row_number is the
+    semantics, not the plan). Seed 7, md5-portable hash for replay."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return _pl.shuffle_rows(d, "doc_id", seed=7, n_buckets=64, hash_kind="md5").select(
+        "doc_id", "shuffle_pos"
+    )
