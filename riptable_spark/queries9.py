@@ -320,3 +320,43 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
     return _pl.shuffle_rows(d, "doc_id", seed=7, n_buckets=64, hash_kind="md5").select(
         "doc_id", "shuffle_pos"
     )
+
+
+from .operators import zorder as _zo
+
+
+def _zorder_oracle_sql() -> str:
+    """Bit-interleave replay: identical shift/mask integer arithmetic and
+    identical IEEE scaling expression on both engines."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(((c1 >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((c2 >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+    WITH mm AS (
+      SELECT min(o_custkey)::DOUBLE AS lo1, max(o_custkey)::DOUBLE AS hi1,
+             min(o_totalprice)::DOUBLE AS lo2, max(o_totalprice)::DOUBLE AS hi2
+      FROM orders
+    ),
+    c AS (
+      SELECT o_orderkey,
+             least(255, floor((o_custkey::DOUBLE - lo1) / (hi1 - lo1) * 256))::BIGINT AS c1,
+             least(255, floor((o_totalprice::DOUBLE - lo2) / (hi2 - lo2) * 256))::BIGINT AS c2
+      FROM orders, mm
+    )
+    SELECT o_orderkey, ({z})::BIGINT AS zkey FROM c
+    """
+
+
+@query("q188_zorder_key", _zorder_oracle_sql())
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice):
+    scale each column's value into 256 cells of its global range, then
+    bit-interleave — the multi-column data-skipping layout key
+    (save_zordered sorts the write on it so Parquet min/max footers
+    bound every z-dimension per file). Pure codegen arithmetic; the
+    oracle replays the scaling and interleave bit-for-bit."""
+    o = load_table(spark, sf, "orders")
+    z = _zo.zorder_key(o, ["o_custkey", "o_totalprice"], bits=8)
+    return o.select("o_orderkey", z.alias("zkey"))
