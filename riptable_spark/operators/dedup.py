@@ -603,3 +603,115 @@ def fuzzy_join(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------------- repeated spans
+def span_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Every k-token sliding window of every document as (id, pos,
+    span_hash): the unit of exact-substring duplicate detection (the
+    span-dedup family from the training-data dedup literature — spans
+    repeated across a corpus are boilerplate/memorization fodder).
+    Positions are 0-based over the whitespace-normalized token array;
+    docs shorter than k tokens emit nothing. The window build is pure
+    codegen (sequence→explode→slice) — each document expands inside its
+    own partition; only 8-byte hashes ever shuffle downstream."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    d = df.select(F.col(id_col), toks.alias("__t__")).where(F.size("__t__") >= k)
+    idx = F.sequence(F.lit(0), F.size("__t__") - k)
+    return d.select(F.col(id_col), F.col("__t__"), F.explode(idx).alias("pos")).select(
+        id_col,
+        "pos",
+        _base_hash64(F.concat_ws(" ", F.slice(F.col("__t__"), F.col("pos") + 1, k)), hash_kind).alias(
+            "span_hash"
+        ),
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+    max_count: int | None = None,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-repeated k-token spans: windows whose hash occurs
+    ``min_count``+ times across ALL documents → (id, pos, span_hash,
+    span_freq). One shuffle keyed on the 8-byte span hash for the
+    frequency count, one hash-join back. ``max_count`` caps ubiquitous
+    spans (the doc-freq skew guard, same rationale as token_jaccard's
+    shingle cap: a span in every document creates a huge join bucket
+    and is better handled by dedup_lines-style boilerplate removal)."""
+    w = span_windows(df, text_col, id_col, k, hash_kind)
+    cond = F.col("span_freq") >= min_count
+    counts = w.groupBy("span_hash").agg(F.count(F.lit(1)).alias("span_freq")).where(
+        cond if max_count is None else cond & (F.col("span_freq") <= max_count)
+    )
+    return w.join(counts, "span_hash").select(id_col, "pos", "span_hash", "span_freq")
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Per-document span-duplication profile: total windows, windows
+    repeated corpus-wide, and the count of token positions covered by at
+    least one repeated window (the amount remove_repeated_spans would
+    cut). Documents shorter than k tokens are excluded (they have no
+    windows)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), F.size(toks).alias("__n__")).where(F.col("__n__") >= k)
+    totals = base.select(id_col, (F.col("__n__") - k + 1).cast("long").alias("n_spans"))
+    rep = repeated_spans(df, text_col, id_col, k, min_count, None, hash_kind)
+    covered = F.size(
+        F.array_distinct(
+            F.flatten(F.transform(F.collect_list("pos"), lambda p: F.sequence(p, p + k - 1)))
+        )
+    )
+    agg = rep.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_repeated"), covered.cast("long").alias("n_covered")
+    )
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+        F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+    hash_kind: str = "xxhash64",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Cut every token covered by a corpus-repeated k-span (ALL
+    occurrences — the boilerplate-removal policy, consistent with
+    dedup_lines; a keep-first policy would need a global occurrence
+    order). Output text is whitespace-normalized with covered tokens
+    removed. The per-doc rebuild is a higher-order filter over the token
+    array with an index lambda — JVM-side, no UDF."""
+    rep = repeated_spans(df, text_col, id_col, k, min_count, None, hash_kind)
+    cov = rep.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(F.transform(F.collect_list("pos"), lambda p: F.sequence(p, p + k - 1)))
+        ).alias("__cov__")
+    )
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    out = df.join(cov, id_col, "left")
+    kept = F.filter(toks, lambda t, i: ~F.coalesce(F.array_contains("__cov__", i), F.lit(False)))
+    return out.withColumn(out_col, F.array_join(kept, " ")).drop("__cov__")

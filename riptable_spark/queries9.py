@@ -360,3 +360,44 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     z = _zo.zorder_key(o, ["o_custkey", "o_totalprice"], bits=8)
     return o.select("o_orderkey", z.alias("zkey"))
+
+
+from .operators import dedup as _dd
+
+
+@query(
+    "q189_repeated_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= 5),
+    w AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(array_to_string(list_slice(tk, pos + 1, pos + 5), ' ')), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, tk, unnest(range(0, n - 4)) AS pos FROM tt)
+    ),
+    c AS (SELECT h, count(*) AS f FROM w GROUP BY h),
+    r AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (h) WHERE f >= 2),
+    agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_repeated,
+             len(list_distinct(flatten(list_transform(list(pos), p -> range(p, p + 5)))))::BIGINT AS n_covered
+      FROM r GROUP BY doc_id
+    )
+    SELECT tt.doc_id, (tt.n - 4)::BIGINT AS n_spans,
+           coalesce(agg.n_repeated, 0)::BIGINT AS n_repeated,
+           coalesce(agg.n_covered, 0)::BIGINT AS n_covered
+    FROM tt LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring (k-token span) duplication profile across the
+    corpus — the span-dedup family from the training-data literature:
+    every 5-token window hashed (only 8-byte hashes shuffle), corpus
+    frequencies counted, per-doc repeated-window and covered-token
+    counts. The oracle replays the whole pipeline: normalize → windows →
+    portable md5 span hashes → frequency join → coverage union."""
+    d = load_table(spark, sf, "documents")
+    return _dd.span_dedup_stats(d, k=5, hash_kind="md5")

@@ -553,3 +553,59 @@ def test_kmeans_and_pq_rerun_deterministic(spark, sf_dir):
     b1 = sim.pq_train(emb, m=4, ksub=4, n_iter=1)
     b2 = sim.pq_train(emb, m=4, ksub=4, n_iter=1)
     assert b1 == b2
+
+
+def test_remove_repeated_spans_matches_reference(spark):
+    """Span removal vs a straight-line Python reference: every token
+    covered by any corpus-repeated k-window is cut, all other tokens
+    survive in order; short docs pass through untouched."""
+    import re
+    from collections import Counter
+
+    from riptable_spark.operators.dedup import remove_repeated_spans, span_dedup_stats
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different document with the quick brown fox jumps here"),
+        (3, "short text"),
+        (4, "nothing in common with others at all whatsoever today"),
+        (5, "the quick brown fox jumps again and again and again and again"),
+    ]
+    k = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    docs = {i: re.sub(r"\s+", " ", t.strip().lower()).split(" ") for i, t in rows}
+    wins = Counter()
+    for tk in docs.values():
+        for p in range(len(tk) - k + 1):
+            wins[" ".join(tk[p : p + k])] += 1
+    expected = {}
+    for i, tk in docs.items():
+        cov = set()
+        for p in range(max(0, len(tk) - k + 1)):
+            if wins[" ".join(tk[p : p + k])] >= 2:
+                cov.update(range(p, p + k))
+        expected[i] = " ".join(t for j, t in enumerate(tk) if j not in cov)
+
+    got = {r.doc_id: r.text_dedup for r in remove_repeated_spans(df, k=k).collect()}
+    assert got == expected
+
+    # stats cross-check: n_covered equals the tokens the removal cut
+    stats = {r.doc_id: r for r in span_dedup_stats(df, k=k).collect()}
+    for i, tk in docs.items():
+        if len(tk) >= k:
+            assert stats[i].n_covered == len(tk) - len(expected[i].split(" ")) + (
+                0 if expected[i] else len(expected[i].split(" "))
+            )
+
+
+def test_repeated_spans_max_count_cap(spark):
+    """The ubiquitous-span cap drops spans above max_count from the
+    candidate set (skew guard)."""
+    from riptable_spark.operators.dedup import repeated_spans
+
+    rows = [(i, "common prefix tokens here tail%d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = repeated_spans(df, k=4, min_count=2).count()
+    capped = repeated_spans(df, k=4, min_count=2, max_count=3).count()
+    assert uncapped > 0 and capped == 0
