@@ -565,3 +565,32 @@ def shuffle_rows(
         .withColumn(pos_col, (F.col("__off__") + F.row_number().over(wb) - 1).cast("long"))
         .drop("__h__", "__b__", "__off__", "__n__")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    hash_kind: str = "xxhash64",
+    buckets: int = 1000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train/eval split by NEAR-DUP CLUSTER, not by row: resolve the
+    candidate-pair graph to connected components, use the component
+    representative as the hash_split key, so every chained near-duplicate
+    of a training document lands in the SAME split — the eval set can
+    never contain a near-copy of a training row (split leakage, the
+    failure mode a per-row hash_split cannot prevent). Rows in no pair
+    split by their own id, bit-identical to plain hash_split. Costs the
+    component fixpoint (one keyed shuffle per round over the PAIR graph,
+    which is tiny next to the corpus) + one join; the split itself stays
+    a zero-shuffle projection."""
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    lab = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+    keyed = lab.withColumn("__gkey__", F.coalesce(F.col("component"), F.col(id_col)))
+    return hash_split(keyed, "__gkey__", weights, hash_kind, buckets).drop("__gkey__", "component")

@@ -401,3 +401,47 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
     portable md5 span hashes → frequency join → coverage union."""
     d = load_table(spark, sf, "documents")
     return _dd.span_dedup_stats(d, k=5, hash_kind="md5")
+
+
+@query(
+    "q190_leakage_safe_split",
+    """
+    WITH RECURSIVE base_edges AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst
+        FROM documents
+        WHERE doc_id % 10 < 3 AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+    ),
+    edges AS (
+        SELECT src, dst FROM base_edges
+        UNION SELECT dst AS src, src AS dst FROM base_edges
+    ),
+    walk(node, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           CASE WHEN (('0x' || substr(md5(CAST(coalesce(comp.component, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+                      % 1000) < 900
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    """,
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe 90/10 split: near-dup clusters (the q150 synthetic
+    chain graph) split as a unit via their component representative, so
+    an eval document can never be a near-copy of a training one. The
+    oracle replays the transitive closure (recursive CTE) + the md5
+    bucket threshold end-to-end."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    pairs = (
+        d.where(F.col("doc_id") % 10 < 3)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("doc_id") + 1 <= F.col("m"))
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    )
+    return _pl.leakage_safe_split(
+        d, pairs, {"train": 0.9, "eval": 0.1}, hash_kind="md5"
+    ).select("doc_id", "split")

@@ -349,3 +349,28 @@ def test_extract_features_raw_values(spark):
     want += list(hist / (w * h))
     assert len(got[1]) == 2 * c + 4
     assert all(abs(x - y) < 1e-12 for x, y in zip(got[1], want))
+
+
+def test_leakage_safe_split_invariants(spark):
+    """Every member of a connected near-dup cluster shares one split;
+    unpaired rows split exactly as plain hash_split would."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import pipeline as pl
+
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    # chains 0-1-2, 10-11-12, ... (clusters of 3); rest unpaired
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200, 10) for i in (i, i + 1)],
+        "id_a long, id_b long",
+    )
+    out = pl.leakage_safe_split(df, pairs, {"train": 0.8, "test": 0.2}, hash_kind="md5")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 200
+    for base in range(0, 200, 10):
+        assert rows[base] == rows[base + 1] == rows[base + 2]
+    plain = pl.hash_split(df, "doc_id", {"train": 0.8, "test": 0.2}, hash_kind="md5")
+    plain_rows = {r.doc_id: r.split for r in plain.collect()}
+    clustered = {i for base in range(0, 200, 10) for i in (base, base + 1, base + 2)}
+    for i in set(rows) - clustered:
+        assert rows[i] == plain_rows[i]
