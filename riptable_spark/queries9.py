@@ -445,3 +445,47 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
     return _pl.leakage_safe_split(
         d, pairs, {"train": 0.9, "eval": 0.1}, hash_kind="md5"
     ).select("doc_id", "split")
+
+
+from .operators import profile as _pf
+
+
+@query(
+    "q191_profile_table",
+    """
+    SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, count(*) AS n_rows,
+           (count(*) - count(o_orderkey))::BIGINT AS n_null,
+           count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'bigint', count(*),
+           (count(*) - count(o_custkey))::BIGINT,
+           count(DISTINCT o_custkey)::BIGINT,
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'string', count(*),
+           (count(*) - count(o_orderstatus))::BIGINT,
+           count(DISTINCT o_orderstatus)::BIGINT,
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'string', count(*),
+           (count(*) - count(o_orderpriority))::BIGINT,
+           count(DISTINCT o_orderpriority)::BIGINT,
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column table profile (the ingest data-quality audit): row /
+    NULL / distinct counts and min-max per column, folded into ONE
+    two-stage hash aggregation over one scan; per-column rows explode
+    from the single result row. Exact distincts here for the oracle —
+    the scale default is HyperLogLog (see profile_table docstring)."""
+    o = load_table(spark, sf, "orders")
+    return _pf.profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], exact_distinct=True
+    )

@@ -374,3 +374,21 @@ def test_leakage_safe_split_invariants(spark):
     clustered = {i for base in range(0, 200, 10) for i in (base, base + 1, base + 2)}
     for i in set(rows) - clustered:
         assert rows[i] == plain_rows[i]
+
+
+def test_profile_table_nulls_and_modes(spark):
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (None, "a")], "x int, s string"
+    )
+    prof = {r.column: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert prof["x"].n_rows == 4 and prof["x"].n_null == 1 and prof["x"].n_distinct == 3
+    assert prof["x"].min_value == "1" and prof["x"].max_value == "3"
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].dtype == "string"
+    # approx mode: same shape, HLL estimate within rsd for tiny cardinalities
+    aprof = {r.column: r for r in profile_table(df).collect()}
+    assert aprof["x"].n_distinct == 3
