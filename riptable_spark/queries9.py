@@ -489,3 +489,55 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
     return _pf.profile_table(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], exact_distinct=True
     )
+
+
+from .operators import bpe as _bpe
+
+
+@query(
+    "q192_bpe_train",
+    r"""
+    WITH words AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    wc AS (SELECT w, count(*)::BIGINT AS c FROM words WHERE w <> '' GROUP BY w),
+    u0 AS (SELECT c,
+             ' ' || substr(regexp_replace(w, '(.)', '\1  ', 'g'), 1,
+                           length(regexp_replace(w, '(.)', '\1  ', 'g')) - 1) AS s
+           FROM wc),
+    t0 AS (SELECT c, string_split(trim(s), '  ') AS t FROM u0),
+    p1 AS (SELECT t[i] || ' ' || t[i + 1] AS pair, sum(c)::BIGINT AS n
+           FROM t0, unnest(range(1, len(t))) AS u(i)
+           WHERE len(t) >= 2 GROUP BY pair),
+    m1 AS (SELECT pair, n, split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+           FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    u1 AS (SELECT u0.c,
+                  replace(u0.s, ' ' || m1.a || '  ' || m1.b || ' ', ' ' || m1.a || m1.b || ' ') AS s
+           FROM u0, m1),
+    t1 AS (SELECT c, string_split(trim(s), '  ') AS t FROM u1),
+    p2 AS (SELECT t[i] || ' ' || t[i + 1] AS pair, sum(c)::BIGINT AS n
+           FROM t1, unnest(range(1, len(t))) AS u(i)
+           WHERE len(t) >= 2 GROUP BY pair),
+    m2 AS (SELECT pair, n, split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+           FROM p2 ORDER BY n DESC, pair LIMIT 1)
+    SELECT 1 AS step, a AS left_u, b AS right_u, a || b AS merged, n FROM m1
+    UNION ALL
+    SELECT 2 AS step, a, b, a || b, n FROM m2
+    """,
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE subword merge training (Sennrich et al. 2016), Spark-first:
+    ONE corpus pass reduces to the weighted distinct-word relation;
+    every merge iteration is a pair-count aggregation over that small
+    relation + a single-row collect, and merge application is a literal
+    double-space replace (greedy leftmost = BPE's application order,
+    portable to SQL verbatim). The oracle replays both iterations —
+    character segmentation, weighted pair counts, tie-broken argmax,
+    merge application — end to end."""
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") < 200)
+    merges = _bpe.bpe_train(d, n_merges=2)
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["merged"], m["n"]) for m in merges],
+        "step int, left_u string, right_u string, merged string, n long",
+    )
