@@ -541,3 +541,42 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
         [(m["step"], m["left"], m["right"], m["merged"], m["n"]) for m in merges],
         "step int, left_u string, right_u string, merged string, n long",
     )
+
+
+from .operators import incremental as _inc
+
+
+@query(
+    "q193_incremental_rollup",
+    """
+    WITH e AS (SELECT user_id % 50 AS k, round(value * 100) AS v FROM events)
+    SELECT k,
+           count(*)::BIGINT AS n_rows,
+           count(v)::BIGINT AS n_values,
+           sum(v) / count(v) AS mean_val,
+           (sum(v * v) - sum(v) * sum(v) / count(v)) / count(v) AS var_val,
+           min(v) AS min_val,
+           max(v) AS max_val
+    FROM e GROUP BY k
+    """,
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental rollup maintenance: the events table arrives as three
+    'days' (event_id % 3 slices); each slice contributes mergeable
+    partials (count/sum/sumsq/min/max), folded pairwise into a state
+    relation, finalized to mean/var at read time. The oracle aggregates
+    the WHOLE history directly — a hash match proves the merge algebra
+    reconstructs the from-scratch answer exactly. Values are scaled to
+    integer cents so every partial sum is exact (the sf0.1 float-tie
+    lesson); the identical finalize expression shape keeps the one
+    inexact product bit-equal across engines."""
+    e = load_table(spark, sf, "events").select(
+        (F.col("user_id") % 50).alias("k"),
+        F.round(F.col("value") * 100).alias("v"),
+        (F.col("event_id") % 3).alias("__day__"),
+    )
+    state = None
+    for day in range(3):
+        delta = _inc.rollup_partials(e.where(F.col("__day__") == day), ["k"], "v")
+        state = delta if state is None else _inc.merge_rollup(state, delta, ["k"])
+    return _inc.finalize_rollup(state, ["k"])

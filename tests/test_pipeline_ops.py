@@ -392,3 +392,37 @@ def test_profile_table_nulls_and_modes(spark):
     # approx mode: same shape, HLL estimate within rsd for tiny cardinalities
     aprof = {r.column: r for r in profile_table(df).collect()}
     assert aprof["x"].n_distinct == 3
+
+
+def test_incremental_rollup_order_invariant(spark):
+    """Merge algebra is associative/commutative: any merge order and
+    any slicing reconstructs the from-scratch aggregate exactly."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import incremental as inc
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 13 % 997).cast("double").alias("v"),
+        (F.col("id") % 4).alias("slice"),
+    )
+    direct = inc.finalize_rollup(inc.rollup_partials(df, ["k"], "v"), ["k"])
+
+    parts = [inc.rollup_partials(df.where(F.col("slice") == s), ["k"], "v") for s in range(4)]
+    fwd = parts[0]
+    for p in parts[1:]:
+        fwd = inc.merge_rollup(fwd, p, ["k"])
+    rev = parts[3]
+    for p in reversed(parts[:3]):
+        rev = inc.merge_rollup(rev, p, ["k"])
+
+    want = {r.k: r for r in direct.collect()}
+    for out in (inc.finalize_rollup(fwd, ["k"]), inc.finalize_rollup(rev, ["k"])):
+        got = {r.k: r for r in out.collect()}
+        assert set(got) == set(want)
+        for k in want:
+            a, b = got[k], want[k]
+            assert (a.n_rows, a.n_values, a.min_val, a.max_val) == (
+                b.n_rows, b.n_values, b.min_val, b.max_val)
+            assert a.mean_val == b.mean_val  # exact: integer-valued doubles
+            assert abs(a.var_val - b.var_val) < 1e-9
