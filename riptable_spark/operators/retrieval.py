@@ -1,0 +1,100 @@
+"""Keyword retrieval over the corpus: TF-IDF postings and BM25 ranked
+search — the lexical side of the similarity-search family (the ANN
+operators in ``similarity`` are its dense side).
+
+Scale shape: the corpus text explodes to postings ONCE and is
+immediately filtered to the query's terms (a pushed-down isin on the
+exploded term — non-matching tokens never aggregate), so the per-query
+cost is proportional to the query terms' posting lists, not the corpus.
+Document lengths come from a horizontal ``size(split(...))`` (no
+explode); corpus stats (N, avgdl) are one scalar aggregate; per-term
+document frequencies are a vocabulary-of-the-query-sized relation that
+broadcasts. Per-document score summation runs in FIXED literal term
+order (conditional aggregates added left-to-right), which both keeps
+the plan a single hash aggregation and makes the floating-point sum
+deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = F.filter(toks, lambda x: x != "")
+    return df.select(F.col(id_col), toks.alias("__toks__"), F.size(toks).alias("dl"))
+
+
+def term_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", terms: list[str] | None = None
+) -> DataFrame:
+    """(id, term, tf, dl) posting rows; with ``terms`` given, tokens are
+    filtered BEFORE the aggregation so only matching postings shuffle."""
+    d = _doc_tokens(df, text_col, id_col)
+    e = d.select(id_col, "dl", F.explode("__toks__").alias("term"))
+    if terms is not None:
+        e = e.where(F.col("term").isin(terms))
+    return e.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+
+
+def tfidf_postings(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full TF-IDF posting relation: tf, df_t, idf = ln((N+1)/(df_t+1))+1
+    (smoothed, sklearn-style) and tfidf = tf · idf. The doc-frequency
+    relation is vocabulary-sized and broadcasts back onto postings."""
+    post = term_postings(df, text_col, id_col)
+    n_docs = df.select(F.count(F.lit(1)).alias("N"))
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df_t"))
+    idf = F.log((F.col("N") + 1) / (F.col("df_t") + 1)) + 1
+    return (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "term", "tf", "df_t", idf.alias("idf"), (F.col("tf") * idf).alias("tfidf"))
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k (Robertson/Okapi, the +1 idf variant that keeps idf
+    positive): score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    Returns (id, score, rank). Candidate generation reads only the query
+    terms' postings; ranking is one TakeOrdered top-k."""
+    d = _doc_tokens(df, text_col, id_col)
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("N"), F.avg("dl").alias("avgdl")
+    )
+    post = term_postings(df, text_col, id_col, terms)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df_t"))
+    scored = post.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(1 + (F.col("N") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = scored.select(
+        id_col, "term", (idf * (F.col("tf") * (k1 + 1)) / denom).alias("s")
+    )
+    # fixed literal term order → deterministic, portable float sum
+    per_term = [
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)).alias(f"__s{i}__")
+        for i, t in enumerate(terms)
+    ]
+    agg = scored.groupBy(id_col).agg(*per_term)
+    total = None
+    for i in range(len(terms)):
+        c = F.col(f"__s{i}__")
+        total = c if total is None else total + c
+    ranked = agg.select(F.col(id_col), total.alias("score")).orderBy(
+        F.col("score").desc(), id_col
+    )
+    # rank window runs over the ≤k-row result of TakeOrdered — global by
+    # construction but bounded (the lint exemption for tiny relations)
+    w = Window.orderBy(F.col("score").desc(), id_col)
+    return ranked.limit(k).withColumn("rank", F.row_number().over(w))

@@ -580,3 +580,90 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
         delta = _inc.rollup_partials(e.where(F.col("__day__") == day), ["k"], "v")
         state = delta if state is None else _inc.merge_rollup(state, delta, ["k"])
     return _inc.finalize_rollup(state, ["k"])
+
+
+from .operators import retrieval as _ret
+
+
+@query(
+    "q194_tfidf",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    post AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+      GROUP BY doc_id, term
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df_t FROM post GROUP BY term)
+    SELECT doc_id, term, tf, df_t,
+           round(ln((n + 1) / (df_t + 1)) + 1, 6) AS idf,
+           round(tf * (ln((n + 1) / (df_t + 1)) + 1), 6) AS tfidf
+    FROM post JOIN dfreq USING (term) CROSS JOIN nn
+    WHERE doc_id < 100
+    """,
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF posting relation (smoothed sklearn-style idf): one explode
+    + one (id, term) aggregation; the vocabulary-sized doc-frequency
+    relation broadcasts back. Corpus-wide statistics, output sliced to
+    doc_id < 100 for the compare."""
+    d = load_table(spark, sf, "documents")
+    out = _ret.tfidf_postings(d)
+    return out.where(F.col("doc_id") < 100).select(
+        "doc_id", "term", "tf", "df_t",
+        F.round("idf", 6).alias("idf"), F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+@query(
+    "q195_bm25_search",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+    stats AS (SELECT count(*)::DOUBLE AS N, avg(dl) AS avgdl FROM dd),
+    post AS (
+      SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+      WHERE term IN ('hash', 'join', 'vector')
+      GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df_t FROM post GROUP BY term),
+    s AS (
+      SELECT doc_id, term,
+             ln(1 + (N - df_t + 0.5) / (df_t + 0.5)) * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS s
+      FROM post JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN term = 'hash' THEN s END), 0)
+           + coalesce(sum(CASE WHEN term = 'join' THEN s END), 0)
+           + coalesce(sum(CASE WHEN term = 'vector' THEN s END), 0) AS score
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score, rank FROM (
+      SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM agg
+    ) WHERE rank <= 15
+    """,
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-15 for the query {hash, join, vector}: postings filtered
+    to the query terms before aggregating (corpus tokens that don't
+    match never shuffle), scores summed in fixed literal term order (a
+    deterministic, engine-portable float sum), TakeOrdered top-k. The
+    oracle replays idf, the saturation denominator and the ranking."""
+    d = load_table(spark, sf, "documents")
+    out = _ret.bm25_search(d, ["hash", "join", "vector"], k=15)
+    return out.select("doc_id", F.round("score", 6).alias("score"), "rank")

@@ -609,3 +609,25 @@ def test_repeated_spans_max_count_cap(spark):
     uncapped = repeated_spans(df, k=4, min_count=2).count()
     capped = repeated_spans(df, k=4, min_count=2, max_count=3).count()
     assert uncapped > 0 and capped == 0
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    """BM25 sanity on a crafted corpus: the doc saturated with the query
+    term outranks one mention, rare terms outweigh common ones, and
+    absent-term docs score 0 (excluded from candidates)."""
+    from riptable_spark.operators.retrieval import bm25_search, tfidf_postings
+
+    rows = [
+        (1, "spark spark spark spark engine"),
+        (2, "spark engine runs fast"),
+        (3, "engine engine engine engine engine"),
+        (4, "completely unrelated text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.rank for r in bm25_search(df, ["spark"], k=10).collect()}
+    assert out[1] == 1 and out[2] == 2 and 3 not in out and 4 not in out
+
+    tp = {(r.doc_id, r.term): r for r in tfidf_postings(df).collect()}
+    # 'spark' appears in 2 docs, 'unrelated' in 1 → rarer term, higher idf
+    assert tp[(4, "unrelated")].idf > tp[(1, "spark")].idf
+    assert tp[(1, "spark")].tf == 4.0
