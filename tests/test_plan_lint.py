@@ -120,3 +120,41 @@ def test_session_late_queries_lint_clean(spark, sf_dir):
         warns = [w for w in pi.lint(QUERIES[name](spark, sf_dir)) if "python-row-udf" in w]
         assert warns == [], (name, warns)
         assert "CartesianProduct" not in pi.simple_plan(QUERIES[name](spark, sf_dir)), name
+
+
+def test_continuation_queries_lint_clean(spark, sf_dir):
+    """Lint gates for the continuation-session queries (q181-q195).
+    Exceptions by design: q184-q186/q195 rank over distinct-key /
+    top-k-bounded relations (the documented tiny-relation global
+    window); q183's ADC search crosses a broadcast query relation."""
+    from riptable_spark import queries9  # noqa: F401
+    from riptable_spark.queries import QUERIES
+
+    for name in [
+        "q181_png_pixel_decode",
+        "q182_wav_pcm_decode",
+        "q187_shuffle_rows",
+        "q188_zorder_key",
+        "q189_repeated_spans",
+        "q190_leakage_safe_split",
+        "q191_profile_table",
+        "q193_incremental_rollup",
+    ]:
+        warns = pi.lint(QUERIES[name](spark, sf_dir))
+        assert warns == [], (name, warns)
+    # q194's 1-row corpus-stats relation broadcasts into a scalar cross
+    # join — the documented tiny-relation exception
+    for name in [
+        "q183_pq_columnar",
+        "q184_groupbyhash",
+        "q185_groupbylex",
+        "q186_groupbypack",
+        "q194_tfidf",
+        "q195_bm25_search",
+    ]:
+        warns = [
+            w
+            for w in pi.lint(QUERIES[name](spark, sf_dir))
+            if "cartesian" not in w and "global-window" not in w
+        ]
+        assert warns == [], (name, warns)
