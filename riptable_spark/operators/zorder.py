@@ -87,3 +87,15 @@ def save_zordered(
     out = df.withColumn("__z__", z)
     out = out.repartitionByRange(n_files, "__z__") if n_files else out.repartitionByRange("__z__")
     out.sortWithinPartitions("__z__").drop("__z__").write.mode(mode).parquet(path)
+
+
+def deinterleave_bits(z: Column, n_cols: int, j: int, bits: int) -> Column:
+    """Inverse of interleave_bits for column ``j``: extract bit
+    i·n_cols+j of the z-key into bit i. Same shift/mask arithmetic —
+    useful for range-reconstruction tests and for deriving per-dimension
+    bounds from z-range file boundaries."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = F.shiftright(z, i * n_cols + j).bitwiseAND(F.lit(1))
+        out = out + F.shiftleft(bit, i)
+    return out

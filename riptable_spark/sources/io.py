@@ -336,3 +336,33 @@ def register_tables(spark, sf_dir: str, tables: tuple[str, ...] = _TABLES) -> li
         except Exception:  # missing optional table in a custom dir
             continue
     return out
+
+
+def save_jsonl(df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = "gzip") -> None:
+    """JSON-lines sink (the interchange format most text-corpus tooling
+    speaks): one JSON object per row, gzip by default. Same distributed
+    writer as parquet — one file per partition."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def load_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass ``schema`` (DDL string or StructType) to
+    skip the inference pass — at 100 TB inference means reading the
+    data twice; production readers always declare the schema."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def save_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib) — the other columnar interchange format; same
+    footer-statistics data-skipping properties as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -222,3 +222,30 @@ def test_register_tables_sql_surface(spark, sf_dir):
         .groupBy("o.o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
     )
     assert {(r[0], r[1]) for r in sql.collect()} == {(r[0], r[1]) for r in api.collect()}
+
+
+def test_jsonl_and_orc_roundtrip(spark, tmp_path):
+    """JSONL and ORC sinks round-trip values and (with declared schema /
+    native metadata) types; JSONL declared-schema read skips inference."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.sources import io as rio
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("int").alias("k"),
+        F.concat(F.lit("txt"), F.col("id").cast("string")).alias("s"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    jp = str(tmp_path / "jl")
+    rio.save_jsonl(df, jp)
+    back = rio.load_jsonl(spark, jp, schema="id long, k int, s string, v double")
+    # nullability flags differ through the sink; names+types must match
+    assert [(f.name, f.dataType) for f in back.schema] == [(f.name, f.dataType) for f in df.schema]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    op = str(tmp_path / "orc")
+    rio.save_orc(df, op)
+    oback = rio.load_orc(spark, op)
+    assert [(f.name, f.dataType) for f in oback.schema] == [(f.name, f.dataType) for f in df.schema]
+    assert sorted(map(tuple, oback.collect())) == sorted(map(tuple, df.collect()))

@@ -76,3 +76,29 @@ def test_zordered_write_narrows_both_columns(spark, tmp_path):
     assert z1 < 0.5 and z2 < 0.5
     # round-trip is lossless
     assert spark.read.parquet(zpath).count() == o.count()
+
+
+def test_interleave_roundtrip_property(spark):
+    """interleave ∘ deinterleave is the identity on every dimension, for
+    random cell values across dimension counts."""
+    from pyspark.sql import functions as F
+
+    for n_cols, bits in [(2, 8), (3, 8), (4, 4)]:
+        df = spark.range(0, 500).select(
+            *[
+                (F.xxhash64(F.col("id"), F.lit(j)).bitwiseAND(F.lit((1 << bits) - 1))).alias(f"x{j}")
+                for j in range(n_cols)
+            ]
+        )
+        z = zo.interleave_bits([F.col(f"x{j}") for j in range(n_cols)], bits)
+        back = df.select(
+            *[F.col(f"x{j}") for j in range(n_cols)],
+            z.alias("z"),
+        ).select(
+            *[
+                (zo.deinterleave_bits(F.col("z"), n_cols, j, bits) == F.col(f"x{j}")).alias(f"ok{j}")
+                for j in range(n_cols)
+            ]
+        )
+        row = back.agg(*[F.min(f"ok{j}").alias(f"ok{j}") for j in range(n_cols)]).first()
+        assert all(row[f"ok{j}"] for j in range(n_cols)), (n_cols, bits)
