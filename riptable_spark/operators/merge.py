@@ -583,3 +583,39 @@ def pagerank(
              + F.lit(damping) * F.coalesce(F.col("__in__"), F.lit(0.0))).alias("rank"),
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Triangle counting over an undirected edge list (graph-quality /
+    community-structure metric for link corpora): canonicalize each edge
+    to (lo, hi), dedup, then the standard two-join enumeration a<b<c —
+    every triangle counted exactly once, every join an equi-join (no
+    cartesian). Returns a 1-row (n_triangles). The a<b<c ordering is the
+    skew/duplication guard: without it each triangle appears 6×."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def degree_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node undirected degree (deduped edges, both endpoints): the
+    basic link-graph profile. One explode-shaped union + one count."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    nodes = e.select(F.col("lo").alias("node")).unionAll(e.select(F.col("hi").alias("node")))
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))

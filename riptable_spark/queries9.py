@@ -667,3 +667,55 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     out = _ret.bm25_search(d, ["hash", "join", "vector"], k=15)
     return out.select("doc_id", F.round("score", 6).alias("score"), "rank")
+
+
+from .operators import merge as _mg
+
+
+@query(
+    "q196_triangle_count",
+    """
+    WITH raw AS (
+      SELECT doc_id % 40 AS x, (doc_id + 1) % 40 AS y FROM documents
+      UNION ALL
+      SELECT doc_id % 40, (doc_id + 2) % 40 FROM documents
+      UNION ALL
+      SELECT doc_id % 40, (doc_id * 7 + 3) % 40 FROM documents
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+      FROM raw WHERE x <> y
+    ),
+    tri AS (
+      SELECT count(*)::BIGINT AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.hi = e2.lo
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    deg AS (
+      SELECT count(*)::BIGINT AS n_nodes, max(degree) AS max_degree FROM (
+        SELECT node, count(*)::BIGINT AS degree FROM (
+          SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+        ) GROUP BY node
+      )
+    )
+    SELECT n_triangles, n_nodes, max_degree FROM tri, deg
+    """,
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count + degree profile over a deterministic synthetic
+    link graph (doc_id-derived edges; the +1/+2 chord rules guarantee a
+    triangle-rich structure — 48 at sf0.01): canonicalized deduped edges, the
+    a<b<c two-equi-join enumeration (each triangle once, no cartesian),
+    degree via endpoint union. Oracle replays both."""
+    d = load_table(spark, sf, "documents")
+    rules = [F.col("doc_id") + 1, F.col("doc_id") + 2, F.col("doc_id") * 7 + 3]
+    raw = None
+    for r in rules:
+        part = d.select((F.col("doc_id") % 40).alias("src"), (r % 40).alias("dst"))
+        raw = part if raw is None else raw.unionAll(part)
+    tri = _mg.triangle_count(raw)
+    deg = _mg.degree_stats(raw).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"), F.max("degree").alias("max_degree")
+    )
+    return tri.crossJoin(deg)

@@ -332,3 +332,26 @@ def test_interval_overlap_join_matches_naive(spark):
     t1 = spark.createDataFrame([(1, 0.0, 10.0)], "aid long, als double, ale double")
     t2 = spark.createDataFrame([(2, 10.0, 20.0)], "bid long, bls double, ble double")
     assert mg.interval_overlap_join(t1, t2, "als", "ale", "bls", "ble", bucket_width=4.0).count() == 0
+
+
+def test_triangle_count_brute_force_parity(spark):
+    """triangle_count vs an adjacency-set brute force on a random small
+    graph; degree_stats column sums to 2·|E|."""
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators.merge import degree_stats, triangle_count
+
+    df = spark.range(0, 300).select(
+        (F.xxhash64("id") % 20).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 20).alias("dst"),
+    ).select(F.abs("src").alias("src"), F.abs("dst").alias("dst"))
+    edges = {(min(r.src, r.dst), max(r.src, r.dst)) for r in df.collect() if r.src != r.dst}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = sum(len(adj[a] & adj[b]) for a, b in edges) // 3
+    assert triangle_count(df).first().n_triangles == expected
+    assert expected > 0  # the random graph is dense enough to be non-trivial
+    degs = degree_stats(df).collect()
+    assert sum(r.degree for r in degs) == 2 * len(edges)
