@@ -594,3 +594,125 @@ def leakage_safe_split(
     lab = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
     keyed = lab.withColumn("__gkey__", F.coalesce(F.col("component"), F.col(id_col)))
     return hash_split(keyed, "__gkey__", weights, hash_kind, buckets).drop("__gkey__", "component")
+
+
+# ------------------------------------------------- fuzzy decontamination
+def decontaminate_fuzzy(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text: str = "text",
+    bench_id: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_kind: str = "xxhash64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: drop every corpus row
+    whose text is an approximate copy of any benchmark item (banded
+    MinHash candidates across corpus x benchmark, exact n-gram Jaccard
+    verify >= ``threshold``).  The n-gram-overlap decontaminate() above
+    catches verbatim leakage; this catches the paraphrased/reformatted
+    eval copies that survive exact-gram matching (the contamination mode
+    measured in public LLM-eval audits).
+
+    Scale shape (inherited from dedup.fuzzy_join): each side reduces to
+    its MinHash signature relation, candidates come from an EQUI-join on
+    (band_idx, band_hash) carrying ids only, and the Jaccard verify
+    joins shingle sets back BY id — sized by |candidates|, never
+    |corpus| x |benchmark|.  The corpus text itself crosses the wire
+    only inside its own signature aggregation; the final removal is a
+    broadcast-able LEFT ANTI join on the (tiny) contaminated-id set.
+    Returns the cleaned corpus with original columns."""
+    from .dedup import fuzzy_join
+
+    pairs = fuzzy_join(
+        df, benchmark,
+        left_text=text_col, right_text=bench_text,
+        left_id=id_col, right_id=bench_id,
+        threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_n=shingle_n, hash_kind=hash_kind, max_bucket=max_bucket,
+    )
+    contaminated = pairs.select(F.col(id_col + "_l").alias(id_col)).distinct()
+    return df.join(contaminated, on=id_col, how="left_anti")
+
+
+# ------------------------------------------- DSIR importance resampling
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text: str = "text",
+    n_buckets: int = 4096,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, public
+    method): score each raw-corpus document by how target-like its token
+    distribution is.  Tokens hash into ``n_buckets`` feature buckets;
+    add-1-smoothed unigram bucket models are fit on the TARGET corpus
+    (the distribution you want more of) and on the RAW corpus; a
+    document's weight is the mean per-token log-likelihood ratio
+    log p_target(bucket) - log p_raw(bucket).
+
+    Scale shape: both bucket models are ``n_buckets``-row aggregates
+    (map-side combined counts), broadcast into the scoring join — the
+    raw text never shuffles; the only corpus-sized exchange carries
+    (id, log-ratio) pairs into the per-doc mean.  Returns
+    (id, n_tokens, logratio) — feed to importance_resample or any
+    thresholded filter."""
+    def bucketed(frame: DataFrame, col: str, keep_id: bool):
+        toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+        cols = [F.col(id_col)] if keep_id else []
+        ex = frame.select(*cols, F.explode(toks).alias("__t__")).where(F.length("__t__") > 0)
+        return ex.withColumn("__b__", F.pmod(_base_hash64(F.col("__t__"), hash_kind), F.lit(n_buckets)))
+
+    def model(frame: DataFrame, col: str, cname: str, nname: str):
+        b = bucketed(frame, col, keep_id=False)
+        counts = b.groupBy("__b__").agg(F.count(F.lit(1)).alias(cname))
+        total = counts.agg(F.sum(cname).alias(nname))
+        return counts, total
+
+    tc, tn = model(target, target_text, "__ct__", "__Nt__")
+    rc, rn = model(df, text_col, "__cr__", "__Nr__")
+    corpus = bucketed(df, text_col, keep_id=True)
+    # add-1 smoothing applied in the scoring select so an EMPTY bucket
+    # (absent from the count relation) gets the same (0+1)/(N+B) floor
+    # the occupied buckets' formula implies — one consistent model
+    lt = F.log((F.coalesce(F.col("__ct__"), F.lit(0)) + 1).cast("double") / (F.col("__Nt__") + n_buckets))
+    lr = F.log((F.coalesce(F.col("__cr__"), F.lit(0)) + 1).cast("double") / (F.col("__Nr__") + n_buckets))
+    scored = (
+        corpus.join(F.broadcast(tc), on="__b__", how="left")
+        .join(F.broadcast(rc), on="__b__", how="left")
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(rn))
+        .select(F.col(id_col), (lt - lr).alias("__llr__"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.avg("__llr__").alias("logratio")
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text: str = "text",
+    n_buckets: int = 4096,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Select the ``k`` most target-like documents by DSIR importance
+    weight (deterministic top-k variant of Xie et al.'s Gumbel-noised
+    resampling — reruns and retries agree because ranking is a pure
+    function of the data; ties break on id).  At 100 TB the top-k is a
+    TakeOrderedAndProject over the (id, weight) relation — the text
+    rejoins by id afterward, so the sort never carries document
+    payloads."""
+    w = importance_weights(df, target, text_col, id_col, target_text, n_buckets, hash_kind)
+    top = w.orderBy(F.col("logratio").desc(), F.col(id_col)).limit(k)
+    return df.join(top.select(id_col, "logratio"), on=id_col)

@@ -332,3 +332,61 @@ def unigram_logprob(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"), F.avg("__lp__").alias("avg_logprob")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL bigram log-probability under the
+    corpus's own bigram model: lp(w1 w2) = ln(c(w1 w2) / c1(w1)) where
+    c1 counts w1's bigram-first occurrences (so Σ_w2 p(w2|w1) = 1 —
+    a proper conditional model, unlike a joint-frequency score), and
+    bigrams below ``min_count`` fall to the ln(1/(c1+1)) floor.  The
+    fluency complement to unigram_logprob: a document of common words
+    in improbable ORDER scores low here but normal there (word-salad /
+    shuffled-boilerplate detector).
+
+    Scale shape mirrors unigram_logprob: two model aggregates (bigram
+    counts, first-token counts) are map-side-combined and BROADCAST
+    into the scoring join; the only corpus-sized exchange carries
+    (id, logp) pairs into the per-doc mean.  Returns
+    (id, n_bigrams, avg_logprob, perplexity)."""
+    toks = _words(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(1, size({t}) - 1),"
+            " i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1)))".format(
+                t="_toks__"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("_toks__", toks)
+        .select(F.col(id_col), F.explode(bigrams).alias("__bg__"))
+    )
+    ex = ex.withColumn("__w1__", F.split(F.col("__bg__"), " ").getItem(0))
+    c12 = ex.groupBy("__bg__").agg(F.count(F.lit(1)).alias("__c12__"))
+    c1 = ex.groupBy("__w1__").agg(F.count(F.lit(1)).alias("__c1__"))
+    model = c12.where(F.col("__c12__") >= min_count)
+    scored = (
+        ex.join(F.broadcast(model), on="__bg__", how="left")
+        .join(F.broadcast(c1), on="__w1__")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("__c12__").isNotNull(),
+                F.log(F.col("__c12__").cast("double") / F.col("__c1__")),
+            )
+            .otherwise(F.log(F.lit(1.0) / (F.col("__c1__") + 1)))
+            .alias("__lp__"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.avg("__lp__").alias("avg_logprob")
+    )
+    return agg.withColumn("perplexity", F.exp(-F.col("avg_logprob")))

@@ -669,3 +669,62 @@ def rolling_beta(x: Column, y: Column, w: WindowSpec, window: int) -> Column:
     the pairwise analogue of the lm family over a trailing window."""
     win = w.rowsBetween(-(window - 1), 0)
     return F.covar_samp(x, y).over(win) / F.var_samp(x).over(win)
+
+
+def _power_sums(x: Column, win, upto: int) -> list[Column]:
+    """Exact rolling power sums Σx..Σx⁴ for integer-scaled x: x² and x³
+    stay BIGINT (an int-scaled 2dp value up to ~2e5 cubes to ~8e15,
+    inside int64), but x⁴ reaches ~1.6e21, so the cube widens to
+    DECIMAL(38,0) before the last multiply — exact integer arithmetic,
+    no ANSI overflow.  Every sum is cast to DOUBLE at the end so the
+    downstream moment algebra sees the same IEEE operands an oracle
+    computing in HUGEINT-then-DOUBLE sees (an exact integer < 2³⁸
+    digits rounds to the same double in every engine)."""
+    sums = [F.sum(x).over(win).cast("double")]
+    if upto >= 2:
+        sums.append(F.sum(x * x).over(win).cast("double"))
+    if upto >= 3:
+        sums.append(F.sum(x * x * x).over(win).cast("double"))
+    if upto >= 4:
+        sums.append(F.sum((x * x * x).cast("decimal(38,0)") * x).over(win).cast("double"))
+    return sums
+
+
+def rolling_skew(x: Column, w: WindowSpec, window: int) -> Column:
+    """Rolling sample skewness (Fisher-Pearson g1 with the n-based
+    bias adjustment pandas/scipy use) over the trailing ``window``
+    rows, composed from raw power sums so the whole thing is one
+    window pass of codegen sum/count aggregates — no second
+    centered-moment scan.  m2/m3 are the central moments expanded in
+    terms of Σx, Σx², Σx³; callers that need cross-engine-exact
+    comparisons should feed integer-scaled x (see q178's discipline)."""
+    win = w.rowsBetween(-(window - 1), 0)
+    n = F.count(x).over(win).cast("double")
+    s1, s2, s3 = _power_sums(x, win, 3)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
+    g1 = m3 / F.pow(m2, 1.5)
+    return F.when((n >= 3) & (m2 > 0), F.sqrt(n * (n - 1)) / (n - 2) * g1)
+
+
+def rolling_kurt(x: Column, w: WindowSpec, window: int) -> Column:
+    """Rolling excess kurtosis (pandas' unbiased G2) over the trailing
+    ``window`` rows — same one-pass power-sum composition as
+    rolling_skew."""
+    win = w.rowsBetween(-(window - 1), 0)
+    n = F.count(x).over(win).cast("double")
+    s1, s2, s3, s4 = _power_sums(x, win, 4)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m4 = (
+        s4 / n
+        - 4 * mu * s3 / n
+        + 6 * mu * mu * s2 / n
+        - 3 * mu * mu * mu * mu
+    )
+    g2 = m4 / (m2 * m2)
+    return F.when(
+        (n >= 4) & (m2 > 0),
+        ((n + 1) * g2 - 3 * (n - 1)) * (n - 1) / ((n - 2) * (n - 3)),
+    )

@@ -1,0 +1,229 @@
+"""Driver-contract query registry, batch 10 (round 3, second
+continuation): fuzzy benchmark decontamination, conditional bigram LM
+scoring, DSIR importance reweighting, rolling higher moments.
+Registers into the same QUERIES/ORACLES dicts as queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.io import load_table
+
+
+# ------------------------------------------------------------------ q197
+def _fuzzy_decon_oracle() -> str:
+    """Full SQL replay of decontaminate_fuzzy: md5-hash MinHash
+    signatures + banding on BOTH sides, exact-Jaccard verify, anti-join
+    of the contaminated ids, per-source audit of the survivors."""
+    from .operators import dedup as _dd
+
+    num_perm, bands, rpb, p = 32, 8, 4, _dd._MERSENNE
+    params = _dd._hash_params(num_perm)
+    mh_cols = ", ".join(f"min((h * {a} + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(params))
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.mh{b * rpb + r} = b.mh{b * rpb + r}" for r in range(rpb)) + ")"
+        for b in range(bands)
+    )
+    side = """
+    {name}_docs AS (
+        SELECT {idexpr} AS id, regexp_replace(lower(trim({textexpr})), '\\s+', ' ', 'g') AS t
+        FROM documents WHERE {flt} AND text IS NOT NULL
+    ),
+    {name}_sh AS (
+        SELECT id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(t, ' ')) - 2, 1) + 1),
+                   i -> array_to_string((string_split(t, ' '))[i:i+2], ' ')))) AS s
+        FROM {name}_docs
+    ),
+    {name}_hs AS (SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h FROM {name}_sh),
+    {name}_sig AS (SELECT id, {mh} FROM {name}_hs GROUP BY id),
+    {name}_sets AS (SELECT id, list_distinct(list(s)) AS ss FROM {name}_sh GROUP BY id)
+    """
+    l = side.format(name="l", idexpr="doc_id", textexpr="text", flt="doc_id < 600", p=p, mh=mh_cols)
+    r = side.format(
+        name="r", idexpr="doc_id + 500000",
+        textexpr="text || ' held out eval item'",
+        flt="doc_id % 7 = 3 AND doc_id < 600", p=p, mh=mh_cols,
+    )
+    return f"""
+    WITH {l}, {r},
+    cand AS (
+        SELECT DISTINCT a.id AS lid, b.id AS rid
+        FROM l_sig a JOIN r_sig b ON ({band_conds})
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.lid AS id
+        FROM cand c JOIN l_sets ls ON ls.id = c.lid JOIN r_sets rs ON rs.id = c.rid
+        WHERE len(list_intersect(ls.ss, rs.ss))::DOUBLE
+              / len(list_distinct(list_concat(ls.ss, rs.ss))) >= 0.5
+    )
+    SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars
+    FROM documents
+    WHERE doc_id < 600 AND doc_id NOT IN (SELECT id FROM contaminated)
+    GROUP BY source
+    """
+
+
+@query("q197_decontaminate_fuzzy", _fuzzy_decon_oracle())
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination: the eval set is every 7th
+    document with an appended tail (a paraphrased-copy stand-in that
+    exact-gram decontamination at min_hits ≈ |doc| would miss); the
+    corpus rows whose Jaccard vs any eval item reaches 0.5 are dropped.
+    The oracle replays the whole pipeline — signatures, banding, verify,
+    anti-join — and audits survivors per source.  NULL-text corpus rows
+    can never be flagged (no shingles), so they survive in both engines.
+    """
+    from .operators import pipeline as _pl
+
+    d = load_table(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") < 600)
+    bench = (
+        corpus.where((F.col("doc_id") % 7 == 3) & F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" held out eval item")).alias("text"),
+        )
+    )
+    clean = _pl.decontaminate_fuzzy(
+        corpus, bench, threshold=0.5, num_perm=32, bands=8, shingle_n=3, hash_kind="md5"
+    )
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+# ------------------------------------------------------------------ q198
+@query(
+    "q198_bigram_logprob",
+    """
+    WITH docs AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+        FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+                                     i -> l[i] || ' ' || l[i+1])) AS b
+        FROM docs
+    ),
+    ex AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg),
+    c12 AS (SELECT b, count(*) AS c12 FROM ex GROUP BY b),
+    c1 AS (SELECT w1, count(*) AS c1 FROM ex GROUP BY w1),
+    model AS (SELECT b, c12 FROM c12 WHERE c12 >= 2)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(CASE WHEN m.c12 IS NOT NULL THEN ln(m.c12::DOUBLE / c1.c1)
+                          ELSE ln(1.0 / (c1.c1 + 1)) END), 6) AS avg_logprob
+    FROM ex LEFT JOIN model m USING (b) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean conditional bigram log-probability under the
+    corpus's own bigram model (word-order fluency proxy; rare bigrams
+    fall to the ln(1/(c1+1)) floor).  Both bigram and first-token count
+    models broadcast; only (doc_id, logp) pairs shuffle.  ln of exact
+    integer ratios — never structurally on a rounding boundary."""
+    from .operators import text as _tx
+
+    d = load_table(spark, sf, "documents")
+    out = _tx.bigram_logprob(d, min_count=2)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
+# ------------------------------------------------------------------ q199
+_DSIR_B = 512
+_DSIR_BUCKET = "('0x' || substr(md5(__t__), 1, 15))::BIGINT % " + str(_DSIR_B)
+
+
+@query(
+    "q199_dsir_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS __t__
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (SELECT doc_id, source, {_DSIR_BUCKET} AS bk FROM toks WHERE length(__t__) > 0),
+    tc AS (SELECT bk, count(*) AS ct FROM b WHERE source IN ('src0', 'src1') GROUP BY bk),
+    rc AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
+    tn AS (SELECT sum(ct) AS Nt FROM tc),
+    rn AS (SELECT sum(cr) AS Nr FROM rc)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (tn.Nt + {_DSIR_B}))
+                   - ln((rc.cr + 1)::DOUBLE / (rn.Nr + {_DSIR_B}))), 6) AS logratio
+    FROM b LEFT JOIN tc USING (bk) LEFT JOIN rc USING (bk) CROSS JOIN tn CROSS JOIN rn
+    GROUP BY doc_id
+    """,
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights: target model = the src0/src1 slice, raw
+    model = the whole corpus; per-doc mean log-likelihood ratio over
+    512 hashed unigram buckets (md5-portable so the oracle rebuilds both
+    bucket models bit-for-bit).  Raw-side buckets always have counts
+    (the scored tokens fit the raw model), target-side misses take the
+    add-1 floor."""
+    from .operators import pipeline as _pl
+
+    d = load_table(spark, sf, "documents")
+    target = d.where(F.col("source").isin("src0", "src1"))
+    out = _pl.importance_weights(d, target, n_buckets=_DSIR_B, hash_kind="md5")
+    return out.select("doc_id", "n_tokens", F.round("logratio", 6).alias("logratio"))
+
+
+# ------------------------------------------------------------------ q200
+@query(
+    "q200_rolling_higher_moments",
+    """
+    SELECT event_id,
+           CASE WHEN n >= 3 AND m2 > 0
+                THEN round(sqrt(n * (n - 1)) / (n - 2) * (m3 / (m2 ^ 1.5)), 6) END AS roll_skew,
+           CASE WHEN n >= 4 AND m2 > 0
+                THEN round(((n + 1) * (m4 / (m2 * m2)) - 3 * (n - 1)) * (n - 1)
+                           / ((n - 2) * (n - 3)), 6) END AS roll_kurt
+    FROM (
+        SELECT event_id, n, s2 / n - mu * mu AS m2,
+               s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu AS m3,
+               s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu * mu * mu * mu AS m4
+        FROM (
+            SELECT event_id, n, s1 / n AS mu, s2, s3, s4
+            FROM (
+                SELECT event_id, count(xi) OVER w::DOUBLE AS n,
+                       (sum(xi) OVER w)::DOUBLE AS s1,
+                       (sum(xi * xi) OVER w)::DOUBLE AS s2,
+                       (sum(xi * xi * xi) OVER w)::DOUBLE AS s3,
+                       (sum(xi::HUGEINT * xi * xi * xi) OVER w)::DOUBLE AS s4
+                FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS xi
+                      FROM events)
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            )
+        )
+    )
+    """,
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling skewness and excess kurtosis over a trailing 20-row
+    window — q178's integer-scaling discipline (2dp data × 100 → exact
+    BIGINT power sums in both engines; the composed double arithmetic
+    mirrors the SQL term-for-term so divisions happen in the same
+    order).  One window pass, whole-stage codegen, no second
+    centered-moment scan."""
+    from pyspark.sql import Window as W
+
+    from .operators import window as _w
+
+    ev = load_table(spark, sf, "events").withColumn("t_us", F.unix_micros("ts"))
+    ev = ev.withColumn("xi", F.round(F.col("value") * 100).cast("bigint"))
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(_w.rolling_skew(F.col("xi"), w, 20), 6).alias("roll_skew"),
+        F.round(_w.rolling_kurt(F.col("xi"), w, 20), 6).alias("roll_kurt"),
+    )

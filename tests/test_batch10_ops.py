@@ -1,0 +1,99 @@
+"""Unit tests for the batch-10 operators: fuzzy decontamination, DSIR
+importance reweighting, conditional bigram LM scoring, rolling
+skew/kurtosis (pandas-parity)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from riptable_spark.operators import pipeline as pl
+from riptable_spark.operators import text as tx
+from riptable_spark.operators import window as win
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_decontaminate_fuzzy_drops_near_copies_keeps_rest(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely unrelated text about spark window aggregation internals"),
+            (3, None),
+        ],
+    )
+    bench = _docs(
+        spark,
+        [(900, "the quick brown fox jumps over the lazy dog again and again today EXTRA")],
+    )
+    kept = {
+        r.doc_id
+        for r in pl.decontaminate_fuzzy(
+            corpus, bench, threshold=0.5, num_perm=32, bands=8, shingle_n=3
+        ).collect()
+    }
+    # doc 1 is a near-copy of the bench item -> dropped; NULL text can
+    # never be flagged -> survives
+    assert kept == {2, 3}
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    target_style = "alpha beta gamma delta epsilon zeta"
+    raw_style = "one two three four five six seven"
+    corpus = _docs(
+        spark,
+        [(i, target_style) for i in range(3)] + [(i, raw_style) for i in range(3, 10)],
+    )
+    target = _docs(spark, [(100 + i, target_style) for i in range(4)])
+    w = {r.doc_id: r.logratio for r in pl.importance_weights(corpus, target, n_buckets=256).collect()}
+    assert min(w[i] for i in range(3)) > max(w[i] for i in range(3, 10))
+
+
+def test_importance_resample_top_k_deterministic(spark):
+    corpus = _docs(
+        spark,
+        [(i, "alpha beta gamma") for i in range(4)] + [(i, "noise junk filler") for i in range(4, 12)],
+    )
+    target = _docs(spark, [(50, "alpha beta gamma delta")])
+    sel1 = {r.doc_id for r in pl.importance_resample(corpus, target, k=4).collect()}
+    sel2 = {r.doc_id for r in pl.importance_resample(corpus, target, k=4).collect()}
+    assert sel1 == sel2 == {0, 1, 2, 3}
+
+
+def test_bigram_logprob_hand_checked(spark):
+    # corpus: "a b a b" and "a b c".  bigram-first counts: a->3, b->2(+c? no)
+    # bigrams: (a b)x3, (b a)x1, (b c)x1.  min_count=2 keeps only "a b".
+    d = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    out = {r.doc_id: r for r in tx.bigram_logprob(d, min_count=2).collect()}
+    # doc1: bigrams [a b, b a, a b]; c1(a)=3, c1(b)=2
+    #   lp(a b)=ln(3/3)=0, lp(b a)=floor ln(1/(2+1)), lp(a b)=0
+    exp1 = (0.0 + math.log(1 / 3) + 0.0) / 3
+    # doc2: [a b, b c]; lp(a b)=0, lp(b c)=floor ln(1/3)
+    exp2 = (0.0 + math.log(1 / 3)) / 2
+    assert out[1].n_bigrams == 3 and abs(out[1].avg_logprob - exp1) < 1e-12
+    assert out[2].n_bigrams == 2 and abs(out[2].avg_logprob - exp2) < 1e-12
+    assert abs(out[2].perplexity - math.exp(-exp2)) < 1e-12
+
+
+@pytest.mark.parametrize("fn,pandas_fn,minp", [("skew", "skew", 3), ("kurt", "kurt", 4)])
+def test_rolling_skew_kurt_match_pandas(spark, fn, pandas_fn, minp):
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4, 6, 2, 6]
+    pdf = pd.DataFrame({"i": range(len(vals)), "x": vals})
+    df = spark.createDataFrame(pdf)
+    w = W.orderBy("i")
+    col = (win.rolling_skew if fn == "skew" else win.rolling_kurt)(F.col("x"), w, 5)
+    got = [r.v for r in df.select("i", col.alias("v")).orderBy("i").collect()]
+    want = getattr(pdf["x"].rolling(5, min_periods=minp), pandas_fn)().tolist()
+    for g, e in zip(got, want):
+        if e != e:  # NaN
+            # ours also NULLs zero-variance windows pandas NaNs via 0/0
+            assert g is None or abs(g) < 1e-9
+        else:
+            assert g is not None and abs(g - e) < 1e-9
