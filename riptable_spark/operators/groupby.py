@@ -503,3 +503,71 @@ def cohort_retention(
         )
         .agg(F.count_distinct("__u__").alias("n_users"))
     )
+
+
+def target_encode(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    target_col: str,
+    smoothing: float = 20.0,
+    loo: bool = False,
+    out_col: str = "te",
+    exact: bool = False,
+) -> DataFrame:
+    """Smoothed target encoding — the classic categorical-feature
+    transform: encode(key) = (Σ target + m·prior) / (n + m) with m =
+    ``smoothing`` and prior = the global target mean; ``loo=True`` gives
+    the leave-one-out variant (the row's own target excluded — the
+    leakage-safe form used when encoding the training table itself;
+    singleton keys fall back to the prior, the 0/0 guard).
+
+    Scale shape: per-key (n, Σ) is a map-side-combined aggregate (tiny —
+    one row per key), broadcast back into the corpus join along with the
+    1-row global aggregate, so the corpus itself never shuffles.  NULL
+    targets are excluded from both sums and counts (strict-NaN
+    discipline matching the groupby family).
+
+    ``exact=True`` (integer target + integer smoothing) computes the
+    algebraically identical ratio (s·N + m·S) / (N·(n + m)) with a pure
+    INTEGER numerator and denominator (DECIMAL(38,0) widened), so the
+    single final division is the only float op — the result is
+    bit-identical across engines with NO round() boundary exposure
+    (the float path's (s + m·prior)/(n + m) carries prior's rounding
+    into values that can straddle a decimal rounding step)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    y = F.col(target_col)
+    per_key = df.groupBy(*keys).agg(
+        F.count(y).alias("__n__"), F.sum(y).alias("__s__")
+    )
+    glob = df.agg(
+        F.sum(y).alias("__gS__"), F.count(y).alias("__gN__"),
+        (F.sum(y) / F.count(y)).alias("__prior__"),
+    )
+    j = df.join(F.broadcast(per_key), on=keys, how="left").crossJoin(F.broadcast(glob))
+    if exact:
+        mi = int(smoothing)
+        if mi != smoothing:
+            raise ValueError("exact=True requires integer smoothing")
+        N = F.col("__gN__").cast("decimal(38,0)")
+        S = F.col("__gS__").cast("decimal(38,0)")
+        if loo:
+            n1 = (F.col("__n__") - F.when(y.isNotNull(), 1).otherwise(0)).cast("decimal(38,0)")
+            s1 = (F.col("__s__") - F.coalesce(y, F.lit(0))).cast("decimal(38,0)")
+        else:
+            n1 = F.col("__n__").cast("decimal(38,0)")
+            s1 = F.col("__s__").cast("decimal(38,0)")
+        num = (s1 * N + mi * S).cast("double")
+        den = (N * (n1 + mi)).cast("double")
+        enc = F.when(den > 0, num / den).otherwise(F.col("__prior__"))
+    else:
+        m = F.lit(float(smoothing))
+        if loo:
+            n1 = F.col("__n__") - F.when(y.isNotNull(), 1).otherwise(0)
+            s1 = F.col("__s__") - F.coalesce(y, F.lit(0.0))
+            enc = F.when(
+                n1 + m > 0, (s1 + m * F.col("__prior__")) / (n1 + m)
+            ).otherwise(F.col("__prior__"))
+        else:
+            enc = (F.col("__s__") + m * F.col("__prior__")) / (F.col("__n__") + m)
+    enc = F.coalesce(enc, F.col("__prior__"))
+    return j.withColumn(out_col, enc).drop("__n__", "__s__", "__gS__", "__gN__", "__prior__")

@@ -686,3 +686,66 @@ def extract_features_raw(
             yield pdf
 
     return df.mapInPandas(extract, schema=out_schema)
+
+
+def audio_features_int(payload: bytes) -> dict | None:
+    """Integer-exact acoustic features from a PCM payload — the audio
+    analogue of extract_features_raw: zero-crossing count, scaled energy
+    Σk² and peak |k| over the RAW integer samples (k = the container's
+    own sample words, sign-centered), so every feature is integer
+    arithmetic — engine-portable, no float ties, and directly usable as
+    silence/clipping/voice-activity gates in a curation pipeline."""
+    meta = decode_audio_header(payload)
+    if meta is None or meta.get("format") != "wav":
+        return None
+    d = decode_wav_samples(payload)
+    if d is None:
+        return None
+    bits = meta["bits_per_sample"]
+    scale = 128.0 if bits == 8 else float(1 << (bits - 1))
+    k = np.rint(np.asarray(d["samples"], dtype=np.float64) * scale).astype(np.int64)
+    if k.size == 0:
+        zcr = 0
+    else:
+        nonneg = k >= 0
+        zcr = int(np.count_nonzero(nonneg[:-1] != nonneg[1:]))
+    return {
+        "channels": d["channels"],
+        "sample_rate": d["sample_rate"],
+        "n_samples": int(k.size),
+        "zero_crossings": zcr,
+        "energy_scaled": int(np.sum(k * k)),
+        "peak_scaled": int(np.max(np.abs(k))) if k.size else 0,
+    }
+
+
+def audio_features(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """mapInPandas integer-exact audio features (see audio_features_int):
+    appends channels / sample_rate / n_samples / zero_crossings /
+    energy_scaled / peak_scaled. Same corrupt-tolerant Arrow-batch
+    contract as the decoders: undecodable payloads yield NULLs."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+            T.StructField("energy_scaled", T.LongType()),
+            T.StructField("peak_scaled", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in
+                ("channels", "sample_rate", "n_samples", "zero_crossings", "energy_scaled", "peak_scaled")}
+            for p in pdf[binary_col]:
+                d = audio_features_int(p)
+                for c in cols:
+                    cols[c].append(d[c] if d else None)
+            for c, v in cols.items():
+                pdf[c] = v
+            yield pdf
+
+    return df.mapInPandas(extract, schema=out_schema)

@@ -728,3 +728,57 @@ def rolling_kurt(x: Column, w: WindowSpec, window: int) -> Column:
         (n >= 4) & (m2 > 0),
         ((n + 1) * g2 - 3 * (n - 1)) * (n - 1) / ((n - 2) * (n - 3)),
     )
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[str] | str,
+    value_col: str,
+    lags: int = 5,
+) -> DataFrame:
+    """Per-key autocorrelation function: Pearson correlation between the
+    series and its lag-ℓ shift for ℓ = 1..``lags``, from EXACT pairwise
+    power sums (Σx, Σy, Σxy, Σx², Σy², n over the aligned pairs) so
+    feeding integer-scaled values makes the result engine-portable to
+    the last double op.  One sort-shuffle on the key computes every lag
+    column (same window frame family), then the per-(key, lag) sums
+    stack into a single aggregation — no per-lag rescans.  Returns
+    (key, lag, n_pairs, acf)."""
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key_col).orderBy(*order)
+    x = F.col(value_col)
+    lag_cols = [F.lag(x, i).over(w).alias(f"__lag{i}__") for i in range(1, lags + 1)]
+    base = df.select(key_col, x.alias("__x__"), *lag_cols)
+    stacked = base.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("lag"),
+                    F.col("__x__").alias("x"),
+                    F.col(f"__lag{i}__").alias("y"),
+                )
+                for i in range(1, lags + 1)
+            ])
+        ).alias("p"),
+    ).select(key_col, "p.lag", "p.x", "p.y").where(F.col("y").isNotNull())
+    xs, ys = F.col("x"), F.col("y")
+    agg = stacked.groupBy(key_col, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xs).cast("double").alias("sx"),
+        F.sum(ys).cast("double").alias("sy"),
+        F.sum(xs * ys).cast("double").alias("sxy"),
+        F.sum(xs * xs).cast("double").alias("sxx"),
+        F.sum(ys * ys).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    dx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    dy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return agg.select(
+        key_col,
+        "lag",
+        "n_pairs",
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("acf"),
+    )

@@ -227,3 +227,156 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
         F.round(_w.rolling_skew(F.col("xi"), w, 20), 6).alias("roll_skew"),
         F.round(_w.rolling_kurt(F.col("xi"), w, 20), 6).alias("roll_kurt"),
     )
+
+
+# ------------------------------------------------------------------ q201
+@query(
+    "q201_audio_features",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (doc_id % 4) * 2000 AS INT) AS sample_rate,
+           CAST(2 * (8 + doc_id % 9) AS INT) AS n_samples,
+           CAST(len(list_filter(range(0, 2 * (8 + doc_id % 9) - 1),
+                k -> (((doc_id * 37 + k * 23) % 65536 - 32768 >= 0))
+                     != (((doc_id * 37 + (k + 1) * 23) % 65536 - 32768 >= 0)))) AS INT)
+               AS zero_crossings,
+           list_sum(list_transform(range(0, 2 * (8 + doc_id % 9)),
+                k -> ((doc_id * 37 + k * 23) % 65536 - 32768)
+                     * ((doc_id * 37 + k * 23) % 65536 - 32768)))::BIGINT AS energy_scaled,
+           list_max(list_transform(range(0, 2 * (8 + doc_id % 9)),
+                k -> abs((doc_id * 37 + k * 23) % 65536 - 32768)))::BIGINT AS peak_scaled
+    FROM documents
+    """,
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact audio features over REAL decoded PCM: formula-valued
+    s16le samples round-trip through encode_wav → RIFF chunk walk →
+    normalized doubles → re-scaled ints, and zero-crossing count /
+    Σk² energy / peak |k| are pure integer arithmetic the oracle
+    predicts from the same formula — the whole decode path is
+    hash-checked, with no float-tie surface at any sf."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .operators import multimodal as mm
+
+    base_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 2 * (8 + i % 9)
+                k = np.arange(n, dtype=np.int64)
+                s = ((i * 37 + k * 23) % 65536 - 32768).astype("<i2")
+                payloads.append(
+                    mm.encode_wav(s, channels=1 + i % 2, sample_rate=8000 + (i % 4) * 2000)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = load_table(spark, sf, "documents").select("doc_id").mapInPandas(synth, schema=base_schema)
+    return mm.audio_features(d, "payload").select(
+        "doc_id", "channels", "sample_rate", "n_samples",
+        "zero_crossings", "energy_scaled", "peak_scaled",
+    )
+
+
+# ------------------------------------------------------------------ q202
+@query(
+    "q202_target_encode",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_custkey % 101 AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    pk AS (SELECT k, count(y) AS n, sum(y)::HUGEINT AS s FROM t GROUP BY k),
+    g AS (SELECT sum(y)::HUGEINT AS gs, count(y)::HUGEINT AS gn FROM t)
+    SELECT o_orderkey,
+           (s * gn + 20 * gs)::DOUBLE / (gn * (n + 20))::DOUBLE AS te,
+           ((s - y) * gn + 20 * gs)::DOUBLE / (gn * (n - 1 + 20))::DOUBLE AS te_loo
+    FROM t JOIN pk USING (k) CROSS JOIN g
+    """,
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    """Smoothed + leave-one-out target encoding of a categorical key
+    against an INTEGER-scaled target (2dp price × 100) in exact-ratio
+    mode: numerator and denominator are pure integers on both engines
+    and the single division is the only float op — no round() at all.
+    (The float-prior form straddled a 6dp rounding step on 6 of 15000
+    rows — DuckDB's multiply-then-round vs Spark's decimal rounding.)
+    Per-key stats broadcast back — the fact table never shuffles."""
+    from .operators import groupby as _gb
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 101).alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    te = _gb.target_encode(o, "k", "y", smoothing=20, out_col="te", exact=True)
+    both = _gb.target_encode(te, "k", "y", smoothing=20, loo=True, out_col="te_loo", exact=True)
+    return both.select("o_orderkey", "te", "te_loo")
+
+
+# ------------------------------------------------------------------ q203
+@query(
+    "q203_acf",
+    """
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS tu, event_id,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events
+    ),
+    l AS (
+        SELECT user_id, x,
+               lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2, lag(x, 3) OVER w AS y3
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    ),
+    s AS (
+        SELECT user_id, 1 AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT user_id, 2 AS lag, x, y2 AS y FROM l WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT user_id, 3 AS lag, x, y3 AS y FROM l WHERE y3 IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id, lag, count(*) AS n_pairs,
+               (sum(x))::DOUBLE AS sx, (sum(y))::DOUBLE AS sy,
+               (sum(x * y))::DOUBLE AS sxy,
+               (sum(x * x))::DOUBLE AS sxx, (sum(y * y))::DOUBLE AS syy
+        FROM s GROUP BY user_id, lag
+    )
+    SELECT user_id, CAST(lag AS INT) AS lag, n_pairs,
+           round(CASE WHEN (sxx - sx * sx / n_pairs::DOUBLE) > 0
+                       AND (syy - sy * sy / n_pairs::DOUBLE) > 0
+                      THEN (sxy - sx * sy / n_pairs::DOUBLE)
+                           / sqrt((sxx - sx * sx / n_pairs::DOUBLE)
+                                  * (syy - sy * sy / n_pairs::DOUBLE)) END, 6) AS acf
+    FROM agg
+    """,
+)
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user autocorrelation at lags 1-3 over integer-scaled event
+    values: one sort-shuffle computes every lag column, the (key, lag)
+    power sums stack into a single aggregation, and Pearson assembles
+    from EXACT sums cast to double in both engines — q178's portability
+    discipline applied to the ACF."""
+    from .operators import window as _w
+
+    ev = (
+        load_table(spark, sf, "events")
+        .withColumn("t_us", F.unix_micros("ts"))
+        .withColumn("x", F.round(F.col("value") * 100).cast("bigint"))
+    )
+    out = _w.acf(ev, "user_id", ["t_us", "event_id"], "x", lags=3)
+    return out.select(
+        "user_id", F.col("lag").cast("int").alias("lag"), "n_pairs",
+        F.round("acf", 6).alias("acf"),
+    )

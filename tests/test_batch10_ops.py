@@ -97,3 +97,62 @@ def test_rolling_skew_kurt_match_pandas(spark, fn, pandas_fn, minp):
             assert g is None or abs(g) < 1e-9
         else:
             assert g is not None and abs(g - e) < 1e-9
+
+
+def test_target_encode_exact_matches_float_and_loo_semantics(spark):
+    import numpy as np
+
+    from riptable_spark.operators import groupby as gb
+
+    rng = [(i, i % 3, (i * 7) % 50) for i in range(60)]
+    df = spark.createDataFrame(pd.DataFrame(rng, columns=["o", "k", "y"]))
+    te = gb.target_encode(df, "k", "y", smoothing=10, out_col="te")
+    tex = gb.target_encode(df, "k", "y", smoothing=10, out_col="te", exact=True)
+    a = {r.o: r.te for r in te.collect()}
+    b = {r.o: r.te for r in tex.collect()}
+    for o in a:
+        assert abs(a[o] - b[o]) < 1e-9
+    # LOO: hand-check one row.  key 0 rows: y = (7i mod 50) for i%3==0
+    ys = {i: (i * 7) % 50 for i in range(60)}
+    k0 = [y for i, y in ys.items() if i % 3 == 0]
+    prior = sum(ys.values()) / 60
+    loo = gb.target_encode(df, "k", "y", smoothing=10, loo=True, out_col="v", exact=True)
+    got = {r.o: r.v for r in loo.collect()}
+    exp0 = (sum(k0) - ys[0] + 10 * prior) / (len(k0) - 1 + 10)
+    assert abs(got[0] - exp0) < 1e-9
+
+
+def test_acf_matches_numpy_pearson(spark):
+    import numpy as np
+
+    from riptable_spark.operators import window as wn
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]
+    pdf = pd.DataFrame({"k": ["a"] * len(vals), "i": range(len(vals)), "x": vals})
+    df = spark.createDataFrame(pdf)
+    out = {(r.k, r.lag): r for r in wn.acf(df, "k", "i", "x", lags=3).collect()}
+    arr = np.array(vals, dtype=float)
+    for lag in (1, 2, 3):
+        x, y = arr[lag:], arr[:-lag]
+        exp = np.corrcoef(x, y)[0, 1]
+        r = out[("a", lag)]
+        assert r.n_pairs == len(vals) - lag
+        assert abs(r.acf - exp) < 1e-9
+
+
+def test_audio_features_int_on_synthesized_wav():
+    import numpy as np
+
+    from riptable_spark.operators import multimodal as mm
+
+    s = np.array([100, -200, 300, 0, -1, 1, 32767, -32768], dtype="<i2")
+    payload = mm.encode_wav(s, channels=2, sample_rate=22050)
+    f = mm.audio_features_int(payload)
+    k = s.astype(np.int64)
+    nonneg = k >= 0
+    assert f["channels"] == 2 and f["sample_rate"] == 22050
+    assert f["n_samples"] == 8
+    assert f["zero_crossings"] == int(np.count_nonzero(nonneg[:-1] != nonneg[1:]))
+    assert f["energy_scaled"] == int(np.sum(k * k))
+    assert f["peak_scaled"] == 32768
+    assert mm.audio_features_int(b"not a wav") is None
