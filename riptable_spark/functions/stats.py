@@ -239,3 +239,107 @@ def class_error(df, y: str, yhat: str) -> float:
         (F.sum(F.abs(F.round(F.col(y)) - F.round(F.col(yhat)))) / F.count(F.lit(1))).alias("e")
     ).first()
     return float(r["e"])
+
+
+def group_entropy(df: DataFrame, keys: list[str] | str, cat_col: str) -> DataFrame:
+    """Per-group Shannon entropy (nats) and Herfindahl concentration of a
+    categorical column: H = ln(n) − Σc·ln(c)/n and HHI = Σc²/n² from the
+    per-(key, value) counts — label/source diversity metrics for slice
+    audits.  Two chained hash-aggs (the second runs over the already
+    tiny count relation); the ln inputs are exact integers, HHI is an
+    exact integer ratio."""
+    klist = [keys] if isinstance(keys, str) else list(keys)
+    counts = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(*klist, cat_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    c = F.col("__c__")
+    agg = counts.groupBy(*klist).agg(
+        F.sum(c).alias("__n__"),
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(c.cast("double") * F.log(c.cast("double"))).alias("__clc__"),
+        F.sum(c * c).alias("__c2__"),
+    )
+    n = F.col("__n__")
+    return agg.select(
+        *klist,
+        n.alias("n_rows"),
+        F.col("n_values"),
+        (F.log(n.cast("double")) - F.col("__clc__") / n).alias("entropy"),
+        (F.col("__c2__").cast("double") / (n * n).cast("double")).alias("hhi"),
+    )
+
+
+def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the marginal entropies and the normalized variant
+    NMI = MI / max(ε, min(Ha, Hb)) — the scale-ready feature-selection /
+    leakage-detection screen.
+
+    Scale shape: ONE shuffle of the fact table into the (a, b)
+    contingency counts; marginals and the total reduce from that
+    already-small relation, broadcast back.  MI assembles as
+    ln-of-exact-integer terms: Σ (c_ab/N)·ln(N·c_ab/(c_a·c_b))."""
+    pair = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__cab__"))
+    )
+    ma = pair.groupBy(col_a).agg(F.sum("__cab__").alias("__ca__"))
+    mb = pair.groupBy(col_b).agg(F.sum("__cab__").alias("__cb__"))
+    tot = pair.agg(F.sum("__cab__").alias("__N__"))
+    j = (
+        pair.join(F.broadcast(ma), on=col_a)
+        .join(F.broadcast(mb), on=col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    cab = F.col("__cab__").cast("double")
+    ca, cb = F.col("__ca__").cast("double"), F.col("__cb__").cast("double")
+    N = F.col("__N__").cast("double")
+    mi_term = (cab / N) * F.log(N * cab / (ca * cb))
+    ha_term = (cab / N) * F.log(N / ca)  # sums to H(A) over the pair relation
+    hb_term = (cab / N) * F.log(N / cb)
+    agg = j.agg(
+        F.sum(mi_term).alias("mi"),
+        F.sum(ha_term).alias("h_a"),
+        F.sum(hb_term).alias("h_b"),
+    )
+    return agg.select(
+        "mi", "h_a", "h_b",
+        F.when(
+            F.least(F.col("h_a"), F.col("h_b")) > 0,
+            F.col("mi") / F.least(F.col("h_a"), F.col("h_b")),
+        ).otherwise(F.lit(0.0)).alias("nmi"),
+    )
+
+
+def psi(df_a, df_b, col, bins: int = 10, lo: float = 0.0, hi: float = 1.0) -> DataFrame:
+    """Population Stability Index between two relations' distributions
+    of ``col`` — the standard production drift alarm (PSI < 0.1 stable,
+    > 0.25 shifted).  Laplace-smoothed bin masses p = (c+1)/(N+bins) so
+    empty bins are well-defined without an arbitrary epsilon (and every
+    ln input is an exact integer ratio).  Each side reduces to ≤ bins
+    rows before the join; returns 1-row (psi)."""
+    def binned(d):
+        x = F.col(col).cast("double")
+        b = F.floor((x - lo) / (hi - lo) * bins)
+        b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+        h = d.where(x.isNotNull()).groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+        t = h.agg(F.sum("c").alias("N"))
+        return h, t
+
+    ha, ta = binned(df_a)
+    hb, tb = binned(df_b)
+    # the FULL fixed grid, not just observed bins: a bin empty on both
+    # sides still contributes (its smoothed masses differ when Na != Nb)
+    allbins = df_a.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        allbins.join(ha, on="bin", how="left")
+        .join(hb.withColumnRenamed("c", "cb"), on="bin", how="left")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb.withColumnRenamed("N", "Nb")))
+    )
+    pa = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (F.col("N") + bins)
+    pb = (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double") / (F.col("Nb") + bins)
+    return j.agg(F.sum((pa - pb) * F.log(pa / pb)).alias("psi"))

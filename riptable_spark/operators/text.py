@@ -390,3 +390,61 @@ def bigram_logprob(
         F.count(F.lit(1)).alias("n_bigrams"), F.avg("__lp__").alias("avg_logprob")
     )
     return agg.withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_groups_per_gram: int | None = None,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Cross-slice n-gram overlap matrix: for every pair of corpus
+    slices (sources, snapshots, languages) the count of shared distinct
+    word n-gram TYPES and the Jaccard overlap — the corpus-level
+    duplication audit that tells you WHICH ingests overlap before you
+    pay for document-level dedup between them.
+
+    Scale shape: the corpus reduces to DISTINCT (gram-hash, group) pairs
+    (8-byte hashes, never gram text) before the gram-keyed self-join;
+    per-group gram counts broadcast into the final join.
+    ``max_groups_per_gram`` drops grams present in more than that many
+    groups BEFORE pairing — the same ubiquitous-shingle skew dial as
+    ngram_jaccard_pairs (a gram in g groups emits g·(g−1)/2 pairs).
+    Jaccard = shared/(n_a + n_b − shared) is an exact integer ratio —
+    engine-portable unrounded."""
+    from .dedup import _base_hash64, shingles
+
+    grams = (
+        df.select(
+            F.col(group_col).alias("__g__"),
+            F.explode(shingles(F.col(text_col), n=shingle_n)).alias("__s__"),
+        )
+        .select("__g__", _base_hash64(F.col("__s__"), hash_kind).alias("__h__"))
+        .distinct()
+    )
+    if max_groups_per_gram is not None:
+        deg = grams.groupBy("__h__").agg(F.count(F.lit(1)).alias("__d__"))
+        grams = grams.join(
+            deg.where(F.col("__d__") <= max_groups_per_gram).select("__h__"), on="__h__"
+        )
+    per_group = grams.groupBy("__g__").agg(F.count(F.lit(1)).alias("__n__"))
+    a = grams.select(F.col("__h__"), F.col("__g__").alias("group_a"))
+    b = grams.select(F.col("__h__"), F.col("__g__").alias("group_b"))
+    shared = (
+        a.join(b, on="__h__")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    na = per_group.select(F.col("__g__").alias("group_a"), F.col("__n__").alias("n_a"))
+    nb = per_group.select(F.col("__g__").alias("group_b"), F.col("__n__").alias("n_b"))
+    out = shared.join(F.broadcast(na), on="group_a").join(F.broadcast(nb), on="group_b")
+    return out.select(
+        "group_a", "group_b", "shared_grams", "n_a", "n_b",
+        (
+            F.col("shared_grams").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared_grams"))
+        ).alias("jaccard"),
+    )

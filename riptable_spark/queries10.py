@@ -380,3 +380,154 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", F.col("lag").cast("int").alias("lag"), "n_pairs",
         F.round("acf", 6).alias("acf"),
     )
+
+
+# ------------------------------------------------------------------ q204
+@query(
+    "q204_group_entropy",
+    """
+    WITH c AS (
+        SELECT source, lang, count(*) AS c FROM documents
+        WHERE lang IS NOT NULL GROUP BY source, lang
+    ),
+    a AS (
+        SELECT source, sum(c)::BIGINT AS n, count(*) AS n_values,
+               sum(c::DOUBLE * ln(c::DOUBLE)) AS clc, sum(c * c)::BIGINT AS c2
+        FROM c GROUP BY source
+    )
+    SELECT source, n AS n_rows, n_values,
+           round(ln(n::DOUBLE) - clc / n, 6) AS entropy,
+           c2::DOUBLE / (n * n)::DOUBLE AS hhi
+    FROM a
+    """,
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Shannon entropy + Herfindahl concentration of the
+    language distribution — slice-diversity audit.  Entropy assembles
+    from ln of exact integer counts (rounded 6dp for the one
+    order-dependent double sum); HHI is an exact integer ratio emitted
+    UNROUNDED."""
+    from .functions import stats as _st
+
+    d = load_table(spark, sf, "documents")
+    out = _st.group_entropy(d, "source", "lang")
+    return out.select(
+        "source", "n_rows", "n_values", F.round("entropy", 6).alias("entropy"), "hhi"
+    )
+
+
+# ------------------------------------------------------------------ q205
+@query(
+    "q205_mutual_info",
+    """
+    WITH t AS (
+        SELECT event_type AS a, user_id % 50 AS b FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ),
+    pair AS (SELECT a, b, count(*) AS cab FROM t GROUP BY a, b),
+    ma AS (SELECT a, sum(cab)::BIGINT AS ca FROM pair GROUP BY a),
+    mb AS (SELECT b, sum(cab)::BIGINT AS cb FROM pair GROUP BY b),
+    tot AS (SELECT sum(cab)::BIGINT AS tn FROM pair),
+    agg AS (
+        SELECT sum((cab::DOUBLE / tn::DOUBLE) * ln(tn::DOUBLE * cab::DOUBLE / (ca::DOUBLE * cb::DOUBLE))) AS mi,
+               sum((cab::DOUBLE / tn::DOUBLE) * ln(tn::DOUBLE / ca::DOUBLE)) AS h_a,
+               sum((cab::DOUBLE / tn::DOUBLE) * ln(tn::DOUBLE / cb::DOUBLE)) AS h_b
+        FROM pair JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    )
+    SELECT round(mi, 6) AS mi, round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+           round(CASE WHEN least(h_a, h_b) > 0 THEN mi / least(h_a, h_b) ELSE 0.0 END, 6) AS nmi
+    FROM agg
+    """,
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between event type and a user bucket: one
+    shuffle to the contingency counts, marginals reduce from that tiny
+    relation and broadcast back; MI/H terms are ln of exact integer
+    ratios."""
+    from .functions import stats as _st
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("a"), (F.col("user_id") % 50).alias("b"))
+    )
+    out = _st.mutual_info(ev, "a", "b")
+    return out.select(
+        F.round("mi", 6).alias("mi"), F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"), F.round("nmi", 6).alias("nmi"),
+    )
+
+
+# ------------------------------------------------------------------ q206
+@query(
+    "q206_psi_drift",
+    """
+    WITH bins AS (SELECT unnest(range(0, 10)) AS bin),
+    ha AS (
+        SELECT greatest(0, least(9, floor((value - 0.0) / 200.0 * 10)))::INT AS bin, count(*) AS c
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
+    ),
+    hb AS (
+        SELECT greatest(0, least(9, floor((value - 0.0) / 200.0 * 10)))::INT AS bin, count(*) AS cb
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+    ),
+    ta AS (SELECT sum(c)::BIGINT AS na FROM ha),
+    tb AS (SELECT sum(cb)::BIGINT AS nb FROM hb)
+    SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi FROM (
+        SELECT (coalesce(ha.c, 0) + 1)::DOUBLE / (na + 10) AS pa,
+               (coalesce(hb.cb, 0) + 1)::DOUBLE / (nb + 10) AS pb
+        FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)
+        CROSS JOIN ta CROSS JOIN tb
+    )
+    """,
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index between click and purchase value
+    distributions over a fixed 10-bin grid — Laplace-smoothed masses
+    (c+1)/(N+bins) keep empty bins defined with exact-integer-ratio ln
+    inputs.  Each side reduces to ≤10 rows before the join."""
+    from .functions import stats as _st
+
+    ev = load_table(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "purchase")
+    out = _st.psi(a, b, "value", bins=10, lo=0.0, hi=200.0)
+    return out.select(F.round("psi", 6).alias("psi"))
+
+
+# ------------------------------------------------------------------ q207
+@query(
+    "q207_corpus_overlap",
+    """
+    WITH docs AS (
+        SELECT source AS g, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT g, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(t, ' ')) - 2, 1) + 1),
+                   i -> array_to_string((string_split(t, ' '))[i:i+2], ' ')))) AS s
+        FROM docs
+    ),
+    grams AS (SELECT DISTINCT g, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+    pg AS (SELECT g, count(*) AS n FROM grams GROUP BY g),
+    shared AS (
+        SELECT a.g AS group_a, b.g AS group_b, count(*) AS shared_grams
+        FROM grams a JOIN grams b ON a.h = b.h AND a.g < b.g
+        GROUP BY a.g, b.g
+    )
+    SELECT group_a, group_b, shared_grams, na.n AS n_a, nb.n AS n_b,
+           shared_grams::DOUBLE / (na.n + nb.n - shared_grams) AS jaccard
+    FROM shared JOIN pg na ON na.g = group_a JOIN pg nb ON nb.g = group_b
+    """,
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix: which ingests share content,
+    BEFORE paying for document-level dedup between them.  The corpus
+    reduces to distinct (gram-hash, source) pairs (8-byte md5-portable
+    hashes) ahead of the gram-keyed self-join; Jaccard is an exact
+    integer ratio, unrounded."""
+    from .operators import text as _tx
+
+    d = load_table(spark, sf, "documents")
+    return _tx.corpus_overlap(d, "source", "text", shingle_n=3, hash_kind="md5")

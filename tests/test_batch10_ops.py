@@ -156,3 +156,56 @@ def test_audio_features_int_on_synthesized_wav():
     assert f["energy_scaled"] == int(np.sum(k * k))
     assert f["peak_scaled"] == 32768
     assert mm.audio_features_int(b"not a wav") is None
+
+
+def test_mutual_info_identical_and_independent(spark):
+    import math
+
+    from riptable_spark.functions import stats as st
+
+    # identical columns: MI == H(A) == H(B), NMI == 1
+    rows = [("x",), ("x",), ("y",), ("z",)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["a"])).withColumn("b", F.col("a"))
+    r = st.mutual_info(df, "a", "b").first()
+    h = -(0.5 * math.log(0.5) + 0.25 * math.log(0.25) * 2)
+    assert abs(r.mi - h) < 1e-12 and abs(r.h_a - h) < 1e-12 and abs(r.nmi - 1.0) < 1e-12
+    # perfectly independent (balanced product design): MI == 0
+    prod = [(a, b) for a in "xy" for b in "uv" for _ in range(3)]
+    df2 = spark.createDataFrame(pd.DataFrame(prod, columns=["a", "b"]))
+    r2 = st.mutual_info(df2, "a", "b").first()
+    assert abs(r2.mi) < 1e-12 and abs(r2.nmi) < 1e-12
+
+
+def test_psi_zero_on_identical_distributions(spark):
+    from riptable_spark.functions import stats as st
+
+    pdf = pd.DataFrame({"v": [float(i % 10) * 10 for i in range(100)]})
+    a = spark.createDataFrame(pdf)
+    r = st.psi(a, a, "v", bins=10, lo=0.0, hi=100.0).first()
+    assert abs(r.psi) < 1e-12
+
+
+def test_group_entropy_uniform_and_point_mass(spark):
+    import math
+
+    from riptable_spark.functions import stats as st
+
+    rows = [("g1", c) for c in "abcd"] + [("g2", "a")] * 4
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v"]))
+    out = {r.k: r for r in st.group_entropy(df, "k", "v").collect()}
+    assert abs(out["g1"].entropy - math.log(4)) < 1e-12 and abs(out["g1"].hhi - 0.25) < 1e-12
+    assert abs(out["g2"].entropy) < 1e-12 and abs(out["g2"].hhi - 1.0) < 1e-12
+
+
+def test_corpus_overlap_identical_and_disjoint(spark):
+    from riptable_spark.operators import text as tx
+
+    rows = [
+        ("s1", "alpha beta gamma delta epsilon"),
+        ("s2", "alpha beta gamma delta epsilon"),
+        ("s3", "one two three four five"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["source", "text"]))
+    out = {(r.group_a, r.group_b): r for r in tx.corpus_overlap(df, "source", "text", shingle_n=3).collect()}
+    assert abs(out[("s1", "s2")].jaccard - 1.0) < 1e-12
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out  # zero overlap -> no row
