@@ -571,3 +571,71 @@ def target_encode(
             enc = (F.col("__s__") + m * F.col("__prior__")) / (F.col("__n__") + m)
     enc = F.coalesce(enc, F.col("__prior__"))
     return j.withColumn(out_col, enc).drop("__n__", "__s__", "__gS__", "__gN__", "__prior__")
+
+
+def robust_stats(
+    df: DataFrame,
+    keys: list[str] | str,
+    val_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust location/scale + outlier audit: exact median,
+    MAD (median absolute deviation), and the count of rows with
+    |x − median| > k·MAD — the outlier screen that survives the heavy
+    tails that break mean/std gating.
+
+    Scale shape: two exact-median aggregations over the SAME key
+    shuffle (the second runs on |x − med| after a broadcast join of the
+    tiny per-key medians), plus one broadcast-joined count pass.  For
+    integer inputs every intermediate is integer or half-integer —
+    exactly representable doubles, so results are engine-portable
+    unrounded; with k supplied as an integer the outlier comparison is
+    exact integer arithmetic (4|x−med| vs k·4·MAD)."""
+    klist = [keys] if isinstance(keys, str) else list(keys)
+    x = F.col(val_col)
+    med = df.groupBy(*klist).agg(F.median(x).alias("__med__"))
+    j = df.join(F.broadcast(med), on=klist)
+    dev = j.select(*klist, F.col("__med__"), F.abs(x - F.col("__med__")).alias("__ad__"))
+    mad = dev.groupBy(*klist).agg(
+        F.min("__med__").alias("median"), F.median("__ad__").alias("mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad.select(*klist, "mad")), on=klist)
+        .where(F.col("__ad__") * 4 > F.lit(float(k)) * (F.col("mad") * 4))
+        .groupBy(*klist)
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        mad.join(out, on=klist, how="left")
+        .withColumn("n_outliers", F.coalesce(F.col("n_outliers"), F.lit(0)))
+    )
+
+
+def weighted_stats(
+    df: DataFrame,
+    keys: list[str] | str,
+    val_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted mean and weighted (frequency-weight) variance
+    from one pass of exact power sums: Σw, Σwx, Σwx² → mean = Σwx/Σw,
+    var = (Σwx² − (Σwx)²/Σw)/Σw.  Integer-scaled inputs make every sum
+    exact in any engine; rows with NULL value or weight are excluded."""
+    klist = [keys] if isinstance(keys, str) else list(keys)
+    x, w = F.col(val_col), F.col(weight_col)
+    d = df.where(x.isNotNull() & w.isNotNull())
+    # x² widens to DECIMAL(38,0) before the weight multiply: integer-
+    # scaled prices square to ~1e14 and the weighted sum over a 100 TB
+    # group would overflow int64 (the q200 lesson applied to aggs)
+    agg = d.groupBy(*klist).agg(
+        F.sum(w).cast("double").alias("sw"),
+        F.sum(w * x).cast("double").alias("swx"),
+        F.sum((x * x).cast("decimal(38,0)") * w).cast("double").alias("swxx"),
+    )
+    mean = F.col("swx") / F.col("sw")
+    var = (F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw")) / F.col("sw")
+    return agg.select(
+        *klist, F.col("sw").alias("w_total"),
+        mean.alias("w_mean"),
+        F.when(F.col("sw") > 0, var).alias("w_var"),
+    )

@@ -619,3 +619,49 @@ def degree_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -
     )
     nodes = e.select(F.col("lo").alias("node")).unionAll(e.select(F.col("hi").alias("node")))
     return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS link analysis (Kleinberg, public method): alternating hub /
+    authority scores over a directed edge list, L1-normalized after each
+    half-step (L1 keeps the normalizer a plain sum — no sqrt — so an SQL
+    oracle can replay every iteration term-for-term).
+
+    Scale shape mirrors pagerank: per half-step ONE equi-join of the
+    edge relation with the current score vector + ONE aggregation on the
+    opposite endpoint; the normalizer is a 1-row aggregate broadcast
+    back.  Nodes with no in-links (resp. out-links) hold authority
+    (resp. hub) 0.  Returns (node, hub, authority)."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = edges.select(src.alias("node")).union(edges.select(dst.alias("node"))).distinct()
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hub.withColumnRenamed("node", src_col), on=src_col)
+            .groupBy(dst.alias("node"))
+            .agg(F.sum("hub").alias("__a__"))
+        )
+        a_tot = a_raw.agg(F.sum("__a__").alias("__t__"))
+        auth = (
+            nodes.join(a_raw, on="node", how="left")
+            .crossJoin(F.broadcast(a_tot))
+            .select("node", (F.coalesce(F.col("__a__"), F.lit(0.0)) / F.col("__t__")).alias("authority"))
+        )
+        h_raw = (
+            edges.join(auth.withColumnRenamed("node", dst_col), on=dst_col)
+            .groupBy(src.alias("node"))
+            .agg(F.sum("authority").alias("__h__"))
+        )
+        h_tot = h_raw.agg(F.sum("__h__").alias("__t__"))
+        hub = (
+            nodes.join(h_raw, on="node", how="left")
+            .crossJoin(F.broadcast(h_tot))
+            .select("node", (F.coalesce(F.col("__h__"), F.lit(0.0)) / F.col("__t__")).alias("hub"))
+        )
+    return nodes.join(hub, on="node", how="left").join(auth, on="node", how="left")

@@ -531,3 +531,129 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return _tx.corpus_overlap(d, "source", "text", shingle_n=3, hash_kind="md5")
+
+
+# ------------------------------------------------------------------ q208
+@query(
+    "q208_robust_stats",
+    """
+    WITH t AS (
+        SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    med AS (SELECT k, median(x) AS med FROM t GROUP BY k),
+    dev AS (SELECT t.k, med.med, abs(t.x - med.med) AS ad FROM t JOIN med USING (k)),
+    mad AS (SELECT k, min(med) AS median, median(ad) AS mad FROM dev GROUP BY k),
+    outl AS (
+        SELECT dev.k, count(*) AS n_outliers
+        FROM dev JOIN mad USING (k)
+        WHERE dev.ad * 4 > 3.0 * (mad.mad * 4)
+        GROUP BY dev.k
+    )
+    SELECT mad.k AS event_type, mad.median, mad.mad,
+           coalesce(outl.n_outliers, 0)::BIGINT AS n_outliers
+    FROM mad LEFT JOIN outl ON outl.k = mad.k
+    """,
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type robust location/scale (exact median, MAD) + |x−med| >
+    3·MAD outlier counts on the integer-scaled value — medians of
+    integers are integers or exact halves, so every output is an
+    exactly-representable double, unrounded; the outlier comparison
+    is exact 4×-scaled arithmetic."""
+    from .operators import groupby as _gb
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("x"))
+    )
+    return _gb.robust_stats(ev, "event_type", "x", k=3.0)
+
+
+# ------------------------------------------------------------------ q209
+@query(
+    "q209_weighted_stats",
+    """
+    WITH t AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT l_returnflag, l_linestatus,
+               (sum(w))::DOUBLE AS sw, (sum(w * x))::DOUBLE AS swx,
+               (sum(x::HUGEINT * x * w))::DOUBLE AS swxx
+        FROM t GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, sw AS w_total,
+           swx / sw AS w_mean,
+           CASE WHEN sw > 0 THEN (swxx - swx * swx / sw) / sw END AS w_var
+    FROM agg
+    """,
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-weighted mean and frequency-weight variance of the order
+    quantity per (returnflag, linestatus), weights = integer-scaled
+    extended price: every power sum stays under 2^53 so the
+    decimal/HUGEINT totals convert to EXACT doubles in both engines —
+    unrounded output.  (The transposed form — price weighted by
+    quantity — pushes Σwx² past 2^53, where DuckDB's HUGEINT→double
+    and the JVM's Decimal→double round the same integer DIFFERENTLY by
+    one ulp; keep weighted power sums inside the double-exact range or
+    round the output.)"""
+    from .operators import groupby as _gb
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+    )
+    return _gb.weighted_stats(li, ["l_returnflag", "l_linestatus"], "x", "w")
+
+
+# ------------------------------------------------------------------ q210
+@query(
+    "q210_hits",
+    """
+    WITH base AS (
+        SELECT doc_id % 50 AS src, (doc_id * 11 + 5) % 50 AS dst FROM documents
+        WHERE doc_id % 50 != (doc_id * 11 + 5) % 50
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM base),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+    a1r AS (SELECT e.dst AS node, sum(h0.hub) AS a FROM edges e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+    a1t AS (SELECT sum(a) AS t FROM a1r),
+    a1 AS (SELECT nodes.node, coalesce(a1r.a, 0.0) / a1t.t AS authority
+           FROM nodes LEFT JOIN a1r USING (node) CROSS JOIN a1t),
+    h1r AS (SELECT e.src AS node, sum(a1.authority) AS h FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+    h1t AS (SELECT sum(h) AS t FROM h1r),
+    h1 AS (SELECT nodes.node, coalesce(h1r.h, 0.0) / h1t.t AS hub
+           FROM nodes LEFT JOIN h1r USING (node) CROSS JOIN h1t),
+    a2r AS (SELECT e.dst AS node, sum(h1.hub) AS a FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+    a2t AS (SELECT sum(a) AS t FROM a2r),
+    a2 AS (SELECT nodes.node, coalesce(a2r.a, 0.0) / a2t.t AS authority
+           FROM nodes LEFT JOIN a2r USING (node) CROSS JOIN a2t),
+    h2r AS (SELECT e.src AS node, sum(a2.authority) AS h FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+    h2t AS (SELECT sum(h) AS t FROM h2r),
+    h2 AS (SELECT nodes.node, coalesce(h2r.h, 0.0) / h2t.t AS hub
+           FROM nodes LEFT JOIN h2r USING (node) CROSS JOIN h2t)
+    SELECT nodes.node, round(h2.hub, 9) AS hub, round(a2.authority, 9) AS authority
+    FROM nodes JOIN h2 ON h2.node = nodes.node JOIN a2 ON a2.node = nodes.node
+    """,
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs/authorities on a synthetic 50-node link graph — two
+    full iterations (a1, h1, a2, h2 with L1 normalization after each
+    half-step) replayed exactly by the oracle's CTE chain, the same
+    join + opposite-endpoint aggregation shape as pagerank."""
+    from .operators import merge as _mg
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 50).alias("src"), ((F.col("doc_id") * 11 + 5) % 50).alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    out = _mg.hits(edges, n_iter=2)
+    return out.select("node", F.round("hub", 9).alias("hub"), F.round("authority", 9).alias("authority"))

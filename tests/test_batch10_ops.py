@@ -209,3 +209,41 @@ def test_corpus_overlap_identical_and_disjoint(spark):
     out = {(r.group_a, r.group_b): r for r in tx.corpus_overlap(df, "source", "text", shingle_n=3).collect()}
     assert abs(out[("s1", "s2")].jaccard - 1.0) < 1e-12
     assert ("s1", "s3") not in out and ("s2", "s3") not in out  # zero overlap -> no row
+
+
+def test_robust_stats_hand_checked(spark):
+    from riptable_spark.operators import groupby as gb
+
+    vals = [1, 2, 3, 4, 5, 100]  # median 3.5, deviations [2.5,1.5,.5,.5,1.5,96.5], MAD 1.5
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"] * 6, "x": vals}))
+    r = gb.robust_stats(df, "k", "x", k=3.0).first()
+    assert r.median == 3.5 and r.mad == 1.5
+    assert r.n_outliers == 1  # only 100 exceeds 3*1.5 = 4.5
+
+
+def test_weighted_stats_matches_numpy(spark):
+    import numpy as np
+
+    from riptable_spark.operators import groupby as gb
+
+    x = [1, 2, 3, 4]
+    w = [1, 1, 2, 4]
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"] * 4, "x": x, "w": w}))
+    r = gb.weighted_stats(df, "k", "x", "w").first()
+    exp_mean = np.average(x, weights=w)
+    exp_var = np.average((np.array(x, dtype=float) - exp_mean) ** 2, weights=w)
+    assert abs(r.w_mean - exp_mean) < 1e-12 and abs(r.w_var - exp_var) < 1e-12
+    assert r.w_total == 8.0
+
+
+def test_hits_converges_to_star_structure(spark):
+    from riptable_spark.operators import merge as mg
+
+    # star: everyone links to 0; 0 links to 1.  Node 0 = authority, others hubs.
+    edges = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    out = {r.node: r for r in mg.hits(df, n_iter=3).collect()}
+    assert out[0].authority > 0.7 and all(out[i].authority < 0.3 for i in range(2, 5))
+    assert all(out[i].hub > out[0].hub * 0.9 for i in range(1, 5))
+    tot_a = sum(r.authority for r in out.values())
+    assert abs(tot_a - 1.0) < 1e-12  # L1 normalized
