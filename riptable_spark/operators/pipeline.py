@@ -716,3 +716,41 @@ def importance_resample(
     w = importance_weights(df, target, text_col, id_col, target_text, n_buckets, hash_kind)
     top = w.orderBy(F.col("logratio").desc(), F.col(id_col)).limit(k)
     return df.join(top.select(id_col, "logratio"), on=id_col)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    hash_kind: str = "xxhash64",
+    buckets: int = 1 << 30,
+) -> DataFrame:
+    """Curriculum ordering for training: difficulty stages from exact
+    score quantile boundaries (stage 0 = easiest), plus a deterministic
+    within-stage shuffle draw — the loader streams rows sorted by
+    (stage, draw, id) to get easy→hard progression with intra-stage
+    mixing that is rerun/retry stable.
+
+    Scale shape: ONE aggregation computes the n_stages−1 exact score
+    cutpoints (percentile value-map; score domains plateau), broadcast
+    back into a zero-shuffle projection — no global sort, no ntile
+    single-partition window.  Rows above cut_i count into stage i+1
+    (ties at a cutpoint resolve identically everywhere because the
+    cutpoint double is identical everywhere)."""
+    qs = [i / n_stages for i in range(1, n_stages)]
+    cuts = df.agg(
+        F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs])).alias("__cuts__")
+    )
+    j = df.crossJoin(F.broadcast(cuts))
+    stage = F.aggregate(
+        F.col("__cuts__"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col(score_col) > c, 1).otherwise(0),
+    )
+    draw = F.pmod(_base_hash64(F.col(id_col).cast("string"), hash_kind), F.lit(buckets))
+    return j.select(
+        *[c for c in df.columns],
+        stage.alias("stage"),
+        draw.alias("draw"),
+    )

@@ -794,3 +794,59 @@ def recall_at_k(
         query_id_col, "n_exact", "n_hit",
         (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
     )
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-slice embedding centroid with EXACT arithmetic: each dimension
+    sums as round(v·scale) integers (engine-portable regardless of
+    aggregation tree — float sums are order-dependent, integer sums are
+    not), and the centroid component is the single division
+    Σ/(n·scale).  Returns (group, n_vecs, centroid array<double>).
+
+    Scale shape: one shuffle keyed on (group, dim) for the component
+    sums (map-side combined), then a tiny per-group array rebuild —
+    at 100 TB the exploded relation is dim × |corpus| longs, but the
+    aggregate output is |groups| × dim, negligible."""
+    g = F.col(group_col).alias("__g__")
+    ex = embeddings.select(g, F.posexplode(vec_col).alias("__d__", "__v__"))
+    ex = ex.withColumn("__xi__", F.round(F.col("__v__").cast("double") * scale).cast("bigint"))
+    comp = ex.groupBy("__g__", "__d__").agg(
+        F.sum("__xi__").alias("__sv__"), F.count(F.lit(1)).alias("__n__")
+    )
+    comp = comp.select(
+        "__g__", "__d__", "__n__",
+        (F.col("__sv__").cast("double") / (F.col("__n__") * scale).cast("double")).alias("__c__"),
+    )
+    return comp.groupBy("__g__").agg(
+        F.max("__n__").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d__", "__c__"))), lambda s: s["__c__"]
+        ).alias("centroid"),
+    ).withColumnRenamed("__g__", group_col)
+
+
+def centroid_similarity(
+    centroids: DataFrame,
+    group_col: str,
+    vec_col: str = "centroid",
+) -> DataFrame:
+    """Pairwise cosine between slice centroids (group_a < group_b) —
+    the inter-slice semantic-drift matrix over the (tiny) centroid
+    relation; pairs form by ordered self-join, never a full cartesian
+    of the corpus."""
+    a = centroids.select(
+        F.col(group_col).alias("group_a"), F.col(vec_col).alias("__ca__")
+    )
+    b = centroids.select(
+        F.col(group_col).alias("group_b"), F.col(vec_col).alias("__cb__")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("group_a") < F.col("group_b"))
+        .select("group_a", "group_b", cosine(F.col("__ca__"), F.col("__cb__")).alias("cos_sim"))
+    )

@@ -657,3 +657,98 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("src") != F.col("dst")).distinct()
     out = _mg.hits(edges, n_iter=2)
     return out.select("node", F.round("hub", 9).alias("hub"), F.round("authority", 9).alias("authority"))
+
+
+# ------------------------------------------------------------------ q211
+@query(
+    "q211_centroid_similarity",
+    """
+    WITH e AS (
+        SELECT label AS g,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                                     i -> {'d': i, 'v': embedding[i]::DOUBLE})) AS s
+        FROM embeddings WHERE label IS NOT NULL
+    ),
+    ex AS (SELECT g, s.d AS d, CAST(round(s.v * 1000000) AS BIGINT) AS xi FROM e),
+    comp AS (SELECT g, d, sum(xi) AS sv, count(*) AS n FROM ex GROUP BY g, d),
+    c AS (
+        SELECT g, max(n)::BIGINT AS n_vecs,
+               list(sv::DOUBLE / (n * 1000000)::DOUBLE ORDER BY d) AS cent
+        FROM comp GROUP BY g
+    )
+    SELECT a.g AS group_a, b.g AS group_b,
+           round(list_cosine_similarity(a.cent, b.cent), 6) AS cos_sim
+    FROM c a JOIN c b ON a.g < b.g
+    """,
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-slice semantic drift: per-label embedding centroids from
+    EXACT integer-scaled per-dim sums (order-independent in any
+    aggregation tree), then pairwise cosine over the tiny centroid
+    relation.  The corpus shuffles once, keyed (label, dim), as longs."""
+    from .operators import similarity as _s
+
+    emb = load_table(spark, sf, "embeddings").where(F.col("label").isNotNull())
+    cents = _s.group_centroids(emb, "label", "embedding", scale=1_000_000)
+    out = _s.centroid_similarity(cents, "label")
+    return out.select(
+        F.col("group_a"), F.col("group_b"), F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+# ------------------------------------------------------------------ q212
+@query(
+    "q212_daily_percentiles",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(value) AS n,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily P50/P95/P99 latency-style bands over the event stream —
+    the ops-dashboard staple: one hash-agg on the day key with the
+    multi-q exact percentile aggregate (value→count map rides map-side
+    combine; day cardinality is tiny)."""
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    out = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("value").alias("n"),
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("__p__"),
+    )
+    return out.select(
+        "day", "n",
+        F.round(F.col("__p__")[0], 6).alias("p50"),
+        F.round(F.col("__p__")[1], 6).alias("p95"),
+        F.round(F.col("__p__")[2], 6).alias("p99"),
+    )
+
+
+# ------------------------------------------------------------------ q213
+@query(
+    "q213_curriculum_order",
+    """
+    WITH cuts AS (
+        SELECT [quantile_cont(n_chars, 0.25), quantile_cont(n_chars, 0.5),
+                quantile_cont(n_chars, 0.75)] AS cs
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(cs, c -> n_chars > c)) AS INT) AS stage,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1073741824 AS draw
+    FROM documents CROSS JOIN cuts
+    """,
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum ordering: difficulty stages from exact quartile
+    cutpoints of n_chars (one aggregate, broadcast back — no ntile
+    global sort) + a deterministic md5 within-stage shuffle draw; the
+    loader sorts by (stage, draw, id)."""
+    from .operators import pipeline as _pl
+
+    d = load_table(spark, sf, "documents")
+    out = _pl.curriculum_order(d, "n_chars", "doc_id", n_stages=4, hash_kind="md5")
+    return out.select("doc_id", F.col("stage").cast("int").alias("stage"), "draw")

@@ -247,3 +247,38 @@ def test_hits_converges_to_star_structure(spark):
     assert all(out[i].hub > out[0].hub * 0.9 for i in range(1, 5))
     tot_a = sum(r.authority for r in out.values())
     assert abs(tot_a - 1.0) < 1e-12  # L1 normalized
+
+
+def test_group_centroids_exact_and_cosine(spark):
+    import numpy as np
+
+    from riptable_spark.operators import similarity as sim
+
+    vecs = [(0, [1.0, 0.0]), (0, [3.0, 0.0]), (1, [0.0, 2.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(
+        pd.DataFrame({"label": [v[0] for v in vecs], "embedding": [v[1] for v in vecs]})
+    )
+    cents = {r.label: r for r in sim.group_centroids(df, "label").collect()}
+    assert cents[0].centroid == [2.0, 0.0] and cents[0].n_vecs == 2
+    assert cents[1].centroid == [0.0, 2.0]
+    cdf = sim.group_centroids(df, "label")
+    out = {(r.group_a, r.group_b): r.cos_sim for r in sim.centroid_similarity(cdf, "label").collect()}
+    assert abs(out[(0, 1)]) < 1e-12                      # orthogonal
+    assert abs(out[(0, 2)] - 1 / np.sqrt(2)) < 1e-12     # 45 degrees
+    assert abs(out[(1, 2)] - 1 / np.sqrt(2)) < 1e-12
+
+
+def test_curriculum_order_stage_monotone_in_score(spark):
+    from riptable_spark.operators import pipeline as pl
+
+    pdf = pd.DataFrame({"doc_id": range(40), "s": [i * 2 for i in range(40)]})
+    df = spark.createDataFrame(pdf)
+    out = sorted((r.s, r.stage) for r in pl.curriculum_order(df, "s", "doc_id", n_stages=4).collect())
+    stages = [st for _, st in out]
+    assert stages == sorted(stages)           # higher score -> same or later stage
+    assert set(stages) == {0, 1, 2, 3}
+    sizes = [stages.count(i) for i in range(4)]
+    assert max(sizes) - min(sizes) <= 2       # near-balanced quartiles
+    # deterministic: rerun identical
+    again = sorted((r.s, r.stage) for r in pl.curriculum_order(df, "s", "doc_id", n_stages=4).collect())
+    assert out == again
