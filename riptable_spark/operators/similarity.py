@@ -850,3 +850,67 @@ def centroid_similarity(
         .where(F.col("group_a") < F.col("group_b"))
         .select("group_a", "group_b", cosine(F.col("__ca__"), F.col("__cb__")).alias("cos_sim"))
     )
+
+
+def gram_matrix(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact Gram matrix XᵀX of an embedding relation: every (i, j)
+    entry is Σ round(vᵢ·scale)·round(vⱼ·scale) — 128-bit-exact integer
+    sums (DECIMAL(38,0)), so the d×d result is engine-portable to the
+    bit and mergeable across partitions/partitions-of-days.  The d²
+    fan-out happens per ROW (explode to d(d+1)/2 upper-triangle pairs),
+    then one (i, j)-keyed aggregation of longs — the standard
+    distributed gramian; output is d(d+1)/2 rows, trivial for d ≤ 10³.
+
+    Feed to pca_top_component (or any driver-side eigensolver): the
+    covariance assembles from gram/n and the mean vector."""
+    xi = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("bigint")
+    )
+    d = embeddings.where(F.col(vec_col).isNotNull()).select(xi.alias("__x__"))
+    pairs = d.select(
+        F.posexplode("__x__").alias("i", "__vi__"), F.col("__x__")
+    ).select(
+        "i", "__vi__", F.posexplode("__x__").alias("j", "__vj__")
+    ).where(F.col("j") >= F.col("i"))
+    return pairs.groupBy("i", "j").agg(
+        F.sum((F.col("__vi__").cast("decimal(38,0)") * F.col("__vj__"))).cast("decimal(38,0)").alias("g"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    n_power_iter: int = 50,
+) -> tuple[list[float], float]:
+    """Top principal component via the distributed Gram matrix + a
+    driver-side power iteration on the tiny d×d covariance (the same
+    split MLlib uses: cluster computes the gramian, driver eigensolves).
+    Deterministic: starts from the all-ones vector, no RNG.  Returns
+    (unit eigenvector, explained-variance fraction)."""
+    import numpy as np
+
+    rows = gram_matrix(embeddings, vec_col, scale).collect()
+    dim = max(r.i for r in rows) + 1
+    n = rows[0].n
+    G = np.zeros((dim, dim))
+    for r in rows:
+        G[r.i, r.j] = G[r.j, r.i] = float(r.g)
+    mean = embeddings.where(F.col(vec_col).isNotNull()).select(
+        F.transform(F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("bigint")).alias("x")
+    ).select(
+        *[F.sum(F.col("x")[i]).alias(f"s{i}") for i in range(dim)]
+    ).first()
+    mu = np.array([float(mean[f"s{i}"]) for i in range(dim)]) / n
+    cov = G / n - np.outer(mu, mu)
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(n_power_iter):
+        v = cov @ v
+        v = v / np.linalg.norm(v)
+    lam = float(v @ cov @ v)
+    return v.tolist(), lam / float(np.trace(cov))

@@ -782,3 +782,78 @@ def acf(
         "n_pairs",
         F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("acf"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[str] | str,
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered event
+    sequences: count every (state → next state) adjacency and its
+    row-conditional probability p = c(from, to)/Σ_to c(from, ·).
+    One sort-shuffle on the key computes the lag; the (from, to) counts
+    are a tiny aggregate; probabilities are exact integer ratios.
+    Returns (from_state, to_state, n, p)."""
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(state_col)).over(w)
+    pairs = (
+        df.select(F.col(state_col).alias("to_state"), prev.alias("from_state"))
+        .where(F.col("from_state").isNotNull() & F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_state").agg(F.sum("n").alias("__t__"))
+    return (
+        pairs.join(F.broadcast(tot), on="from_state")
+        .select(
+            "from_state", "to_state", "n",
+            (F.col("n").cast("double") / F.col("__t__").cast("double")).alias("p"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[str] | str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key CUSUM change-point scan: running sum of deviations from
+    the key's own mean; the change-point estimate is the position where
+    |CUSUM| peaks (the classic offline single-change locator), reported
+    with the peak magnitude.  Deterministic cross-engine: integer-scaled
+    values make the per-key mean an exact-integer ratio, the prefix sum
+    evaluates in one defined order, and the argmax tie-breaks on
+    position.  One key shuffle for the mean (broadcast back) + one
+    sort-window pass.  Returns (key, n, max_abs_cusum, cp_pos)."""
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    x = F.col(value_col)
+    mean = df.groupBy(key_col).agg(
+        (F.sum(x).cast("double") / F.count(x).cast("double")).alias("__mu__")
+    )
+    j = df.join(F.broadcast(mean), on=key_col)
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # CUSUM_k = Σ_{i≤k} x_i − k·μ, NOT a running sum of (x−μ) doubles:
+    # for integer x the prefix sum stays EXACT (engines disagree on the
+    # accumulation order of float window sums — segment trees vs linear
+    # scans — but integer sums are order-free), and the single k·μ
+    # product is deterministic
+    pos = F.row_number().over(w)
+    s = F.sum(x).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    cusum = s.cast("double") - pos * F.col("__mu__")
+    scored = j.select(
+        F.col(key_col), pos.alias("__pos__"), F.abs(cusum).alias("__ac__")
+    )
+    pick = Window.partitionBy(key_col).orderBy(F.col("__ac__").desc(), F.col("__pos__"))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(pick))
+        .withColumn("__n__", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+        .where(F.col("__rn__") == 1)
+        .select(
+            F.col(key_col), F.col("__n__").alias("n"),
+            F.col("__ac__").alias("max_abs_cusum"), F.col("__pos__").alias("cp_pos"),
+        )
+    )

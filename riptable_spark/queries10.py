@@ -752,3 +752,127 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     out = _pl.curriculum_order(d, "n_chars", "doc_id", n_stages=4, hash_kind="md5")
     return out.select("doc_id", F.col("stage").cast("int").alias("stage"), "draw")
+
+
+# ------------------------------------------------------------------ q214
+@query(
+    "q214_gram_matrix",
+    """
+    WITH x AS (
+        SELECT list_transform(embedding, v -> CAST(round(v::DOUBLE * 1000000) AS BIGINT)) AS xs
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    e1 AS (
+        SELECT xs, unnest(list_transform(range(1, len(xs) + 1),
+                                         i -> {'i': i - 1, 'vi': xs[i]})) AS a
+        FROM x
+    ),
+    e2 AS (
+        SELECT a.i AS i, a.vi AS vi,
+               unnest(list_transform(range(1, len(xs) + 1),
+                                     j -> {'j': j - 1, 'vj': xs[j]})) AS b
+        FROM e1
+    ),
+    pr AS (SELECT i, vi, b.j AS j, b.vj AS vj FROM e2 WHERE b.j >= i)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           (sum(vi::HUGEINT * vj))::VARCHAR AS g, count(*) AS n
+    FROM pr GROUP BY i, j
+    """,
+)
+def q214(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed exact Gram matrix XᵀX of the embedding corpus:
+    integer-scaled products summed in DECIMAL(38)/HUGEINT (totals exceed
+    2^53, so the hash compare runs on the decimal STRING, not a lossy
+    double — the q209 lesson).  Upper triangle only; the d² fan-out is
+    per-row, the aggregate output is d(d+1)/2 rows."""
+    from .operators import similarity as _s
+
+    emb = load_table(spark, sf, "embeddings")
+    g = _s.gram_matrix(emb, "embedding", scale=1_000_000)
+    return g.select(
+        F.col("i").cast("int").alias("i"), F.col("j").cast("int").alias("j"),
+        F.col("g").cast("string").alias("g"), "n",
+    )
+
+
+# ------------------------------------------------------------------ q215
+@query(
+    "q215_transition_matrix",
+    """
+    WITH t AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    l AS (
+        SELECT event_type AS to_state,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS from_state
+        FROM t
+    ),
+    c AS (SELECT from_state, to_state, count(*) AS n FROM l
+          WHERE from_state IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_state, sum(n)::BIGINT AS t FROM c GROUP BY 1)
+    SELECT c.from_state, c.to_state, c.n, c.n::DOUBLE / tot.t::DOUBLE AS p
+    FROM c JOIN tot USING (from_state)
+    """,
+)
+def q215(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event-type
+    sequences: one sort-shuffle for the lag, a tiny (from, to) count
+    aggregate, exact-integer-ratio probabilities unrounded."""
+    from .operators import window as _w
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isNotNull())
+        .withColumn("t_us", F.unix_micros("ts"))
+    )
+    return _w.transition_matrix(ev, "user_id", ["t_us", "event_id"], "event_type")
+
+
+# ------------------------------------------------------------------ q216
+@query(
+    "q216_cusum_changepoint",
+    """
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS tu, event_id,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (SELECT user_id, (sum(x))::DOUBLE / (count(x))::DOUBLE AS mu FROM t GROUP BY user_id),
+    c AS (
+        SELECT t.user_id,
+               row_number() OVER w AS pos,
+               abs((sum(t.x) OVER (PARTITION BY t.user_id ORDER BY tu, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                   - row_number() OVER w * m.mu) AS ac
+        FROM t JOIN m USING (user_id)
+        WINDOW w AS (PARTITION BY t.user_id ORDER BY tu, event_id)
+    ),
+    r AS (
+        SELECT user_id, pos, ac,
+               row_number() OVER (PARTITION BY user_id ORDER BY ac DESC, pos) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM c
+    )
+    SELECT user_id, n, round(ac, 6) AS max_abs_cusum, CAST(pos AS INT) AS cp_pos
+    FROM r WHERE rn = 1
+    """,
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user CUSUM change-point scan on the integer-scaled value
+    series: CUSUM_k = (exact integer prefix sum) − k·μ — order-free
+    integer window sums sidestep the engines' different float window
+    accumulation trees; argmax tie-breaks on position."""
+    from .operators import window as _w
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("t_us", F.unix_micros("ts"))
+        .withColumn("x", F.round(F.col("value") * 100).cast("bigint"))
+    )
+    out = _w.cusum_changepoint(ev, "user_id", ["t_us", "event_id"], "x")
+    return out.select(
+        "user_id", "n", F.round("max_abs_cusum", 6).alias("max_abs_cusum"),
+        F.col("cp_pos").cast("int").alias("cp_pos"),
+    )

@@ -282,3 +282,41 @@ def test_curriculum_order_stage_monotone_in_score(spark):
     # deterministic: rerun identical
     again = sorted((r.s, r.stage) for r in pl.curriculum_order(df, "s", "doc_id", n_stages=4).collect())
     assert out == again
+
+
+def test_pca_top_component_recovers_dominant_axis(spark):
+    import numpy as np
+
+    from riptable_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(7)
+    # variance 25 along (1,1)/sqrt2, variance ~0.01 orthogonal
+    t = rng.randn(200) * 5.0
+    noise = rng.randn(200) * 0.1
+    pts = np.stack([t / np.sqrt(2) - noise / np.sqrt(2), t / np.sqrt(2) + noise / np.sqrt(2)], axis=1)
+    df = spark.createDataFrame(pd.DataFrame({"embedding": pts.tolist()}))
+    v, frac = sim.pca_top_component(df, "embedding", n_power_iter=100)
+    axis = np.array([1.0, 1.0]) / np.sqrt(2)
+    assert abs(abs(np.dot(v, axis)) - 1.0) < 1e-3
+    assert frac > 0.99
+
+
+def test_transition_matrix_hand_checked(spark):
+    from riptable_spark.operators import window as wn
+
+    seq = [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "a"), ("u", 4, "b"), ("u", 5, "c"), ("v", 1, "a"), ("v", 2, "b")]
+    df = spark.createDataFrame(pd.DataFrame(seq, columns=["k", "i", "s"]))
+    out = {(r.from_state, r.to_state): r for r in wn.transition_matrix(df, "k", "i", "s").collect()}
+    assert out[("a", "b")].n == 3 and abs(out[("a", "b")].p - 1.0) < 1e-12
+    assert out[("b", "a")].n == 1 and abs(out[("b", "a")].p - 0.5) < 1e-12
+    assert out[("b", "c")].n == 1 and abs(out[("b", "c")].p - 0.5) < 1e-12
+
+
+def test_cusum_changepoint_locates_level_shift(spark):
+    from riptable_spark.operators import window as wn
+
+    vals = [0] * 20 + [10] * 20  # shift at position 20; |CUSUM| peaks there
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"] * 40, "i": range(40), "x": vals}))
+    r = wn.cusum_changepoint(df, "k", "i", "x").first()
+    assert r.cp_pos == 20 and r.n == 40
+    assert abs(r.max_abs_cusum - 100.0) < 1e-9  # 20 rows * |0 - 5|
