@@ -127,3 +127,26 @@ def str_replace(col: Column, old: list[str], new: list[str], missing: str = "") 
         F.array(*[F.lit(o) for o in old]), F.array(*[F.lit(n) for n in new])
     )
     return F.coalesce(F.element_at(m, col), F.lit(missing))
+
+
+# ------------------------------------------------------- JSON extraction
+def json_str(col: Column, field: str) -> Column:
+    """Extract a top-level JSON field as a string (semi-structured event
+    props — the `$.field` path).  Catalyst's get_json_object is a
+    codegen'd Jackson parse; NULL for missing fields or invalid JSON."""
+    return F.get_json_object(col, f"$.{field}")
+
+
+def json_long(col: Column, field: str) -> Column:
+    """Extract a top-level JSON field as BIGINT (NULL on non-numeric)."""
+    return F.get_json_object(col, f"$.{field}").cast("long")
+
+
+def json_double(col: Column, field: str) -> Column:
+    return F.get_json_object(col, f"$.{field}").cast("double")
+
+
+def json_has(col: Column, field: str) -> Column:
+    """True when the field exists (even with a null value the path
+    resolves; missing paths return NULL)."""
+    return F.get_json_object(col, f"$.{field}").isNotNull()

@@ -448,3 +448,37 @@ def corpus_overlap(
             / (F.col("n_a") + F.col("n_b") - F.col("shared_grams"))
         ).alias("jaccard"),
     )
+
+
+def featurize_hashed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 64,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Hashing-trick featurizer: token-occurrence counts over
+    ``n_features`` hash buckets as a dense array<int> — the classic
+    memory-fixed text vectorizer (no vocabulary build, merge-free across
+    shards).  Pure horizontal Column algebra: tokens explode, bucket,
+    count per (id, bucket), and the per-doc array rebuilds with empty
+    buckets as 0 — one shuffle keyed on the doc id."""
+    from .dedup import _base_hash64
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t__"))
+        .where(F.length("__t__") > 0)
+        .withColumn("__b__", F.pmod(_base_hash64(F.col("__t__"), hash_kind), F.lit(n_features)))
+    )
+    counts = ex.groupBy(id_col, "__b__").agg(F.count(F.lit(1)).alias("__c__"))
+    sparse = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b__").cast("int"), F.col("__c__").cast("int")))
+        ).alias("__m__")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda b: F.coalesce(F.element_at(F.col("__m__"), b), F.lit(0)),
+    )
+    return sparse.select(F.col(id_col), dense.alias("features"))

@@ -857,3 +857,44 @@ def cusum_changepoint(
             F.col("__ac__").alias("max_abs_cusum"), F.col("__pos__").alias("cp_pos"),
         )
     )
+
+
+def attribute_last_touch(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[str] | str,
+    type_col: str,
+    touch_types: list[str],
+    conversion_types: list[str],
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the most recent PRECEDING touch event in its key's
+    timeline (NULL when no touch came before).  Implemented as a running
+    MAX of the touch position over rows-before-current — an
+    order-free integer window aggregate (no IGNORE-NULLS last_value,
+    which engines implement inconsistently) — then one self-join by
+    (key, position) to recover the touch row's id/type.  One
+    sort-shuffle + one broadcast-size join of the touch slice.
+    Returns (conversion id, key, touch id, touch type)."""
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pos = F.row_number().over(w)
+    is_touch = F.col(type_col).isin(touch_types)
+    base = df.withColumn("__pos__", pos)
+    marked = base.withColumn(
+        "__tpos__",
+        F.max(F.when(is_touch, F.col("__pos__"))).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    conv = marked.where(F.col(type_col).isin(conversion_types)).select(
+        F.col(id_col).alias("conversion_id"), F.col(key_col), F.col("__tpos__")
+    )
+    touches = base.where(is_touch).select(
+        F.col(key_col), F.col("__pos__").alias("__tpos__"),
+        F.col(id_col).alias("touch_id"), F.col(type_col).alias("touch_type"),
+    )
+    return conv.join(touches, on=[key_col, "__tpos__"], how="left").select(
+        "conversion_id", key_col, "touch_id", "touch_type"
+    )

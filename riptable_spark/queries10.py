@@ -876,3 +876,112 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "n", F.round("max_abs_cusum", 6).alias("max_abs_cusum"),
         F.col("cp_pos").cast("int").alias("cp_pos"),
     )
+
+
+# ------------------------------------------------------------------ q217
+@query(
+    "q217_json_extract",
+    """
+    SELECT event_type,
+           count(json_extract_string(props, '$.k')::BIGINT) AS n_with_k,
+           sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+           min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer field out of the
+    JSON props column (codegen'd Jackson path eval — no UDF) and
+    aggregate per event type; missing/invalid JSON yields NULLs that
+    the aggregates skip identically in both engines."""
+    from .functions.strings import json_long
+
+    ev = load_table(spark, sf, "events").where(F.col("event_type").isNotNull())
+    k = json_long(F.col("props"), "k")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ------------------------------------------------------------------ q218
+@query(
+    "q218_last_touch_attribution",
+    """
+    WITH t AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS tu
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    b AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tu, event_id) AS pos
+        FROM t
+    ),
+    m AS (
+        SELECT *, max(CASE WHEN event_type IN ('click', 'view') THEN pos END)
+                  OVER (PARTITION BY user_id ORDER BY tu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tpos
+        FROM b
+    ),
+    conv AS (SELECT event_id AS conversion_id, user_id, tpos FROM m WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, pos AS tpos, event_id AS touch_id, event_type AS touch_type
+              FROM b WHERE event_type IN ('click', 'view'))
+    SELECT c.conversion_id, c.user_id, t2.touch_id, t2.touch_type
+    FROM conv c LEFT JOIN touch t2 USING (user_id, tpos)
+    """,
+)
+def q218(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase credits the
+    most recent preceding click/view in the user timeline — a running
+    MAX of the touch position (order-free integer window aggregate; no
+    engine-divergent IGNORE-NULLS last_value), then a position join to
+    recover the touch row."""
+    from .operators import window as _w
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isNotNull())
+        .withColumn("t_us", F.unix_micros("ts"))
+    )
+    return _w.attribute_last_touch(
+        ev, "user_id", ["t_us", "event_id"], "event_type",
+        touch_types=["click", "view"], conversion_types=["purchase"],
+    )
+
+
+# ------------------------------------------------------------------ q219
+@query(
+    "q219_hashed_features",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS bk
+        FROM toks WHERE length(t) > 0
+    ),
+    c AS (SELECT doc_id, bk, count(*) AS c FROM b GROUP BY doc_id, bk),
+    d AS (SELECT doc_id, list(bk ORDER BY bk) AS ks, list(c ORDER BY bk) AS vs
+          FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           list_transform(range(0, 64), i -> coalesce(vs[list_position(ks, i)], 0)::BIGINT) AS features
+    FROM d
+    """,
+)
+def q219(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick featurizer: 64-bucket token-count vectors (dense
+    array, empty buckets 0) — vocabulary-free, merge-free across
+    shards; md5-portable buckets let the oracle rebuild every vector
+    exactly."""
+    from .operators import text as _tx
+
+    d = load_table(spark, sf, "documents")
+    out = _tx.featurize_hashed(d, n_features=64, hash_kind="md5")
+    return out.select(
+        "doc_id", F.transform("features", lambda x: x.cast("long")).alias("features")
+    )

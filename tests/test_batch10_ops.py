@@ -320,3 +320,41 @@ def test_cusum_changepoint_locates_level_shift(spark):
     r = wn.cusum_changepoint(df, "k", "i", "x").first()
     assert r.cp_pos == 20 and r.n == 40
     assert abs(r.max_abs_cusum - 100.0) < 1e-9  # 20 rows * |0 - 5|
+
+
+def test_json_extract_functions(spark):
+    from riptable_spark.functions.strings import json_has, json_long, json_str
+
+    pdf = pd.DataFrame({"p": ['{"k": 5, "s": "x"}', '{"s": "y"}', "not json", None]})
+    df = spark.createDataFrame(pdf)
+    rows = df.select(
+        json_long(F.col("p"), "k").alias("k"),
+        json_str(F.col("p"), "s").alias("s"),
+        json_has(F.col("p"), "k").alias("h"),
+    ).collect()
+    assert [r.k for r in rows] == [5, None, None, None]
+    assert [r.s for r in rows] == ["x", "y", None, None]
+    assert [r.h for r in rows] == [True, False, False, False]
+
+
+def test_attribute_last_touch_hand_checked(spark):
+    from riptable_spark.operators import window as wn
+
+    seq = [
+        (1, "u", 1, "click"), (2, "u", 2, "view"), (3, "u", 3, "purchase"),
+        (4, "u", 4, "purchase"), (5, "v", 1, "purchase"), (6, "v", 2, "click"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(seq, columns=["event_id", "k", "i", "t"]))
+    out = {r.conversion_id: r for r in wn.attribute_last_touch(
+        df, "k", "i", "t", ["click", "view"], ["purchase"]).collect()}
+    assert out[3].touch_id == 2 and out[3].touch_type == "view"
+    assert out[4].touch_id == 2          # still the last preceding touch
+    assert out[5].touch_id is None       # conversion before any touch
+
+
+def test_featurize_hashed_counts_and_shape(spark):
+    from riptable_spark.operators import text as tx
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b a"]}))
+    feats = tx.featurize_hashed(df, n_features=8).first().features
+    assert len(feats) == 8 and sum(feats) == 3 and sorted(feats)[-2:] == [1, 2]
