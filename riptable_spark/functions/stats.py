@@ -343,3 +343,31 @@ def psi(df_a, df_b, col, bins: int = 10, lo: float = 0.0, hi: float = 1.0) -> Da
     pa = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (F.col("N") + bins)
     pb = (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double") / (F.col("Nb") + bins)
     return j.agg(F.sum((pa - pb) * F.log(pa / pb)).alias("psi"))
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    season_cols: list[str] | str,
+    value_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Seasonality-adjusted anomaly score: z = (x − μ_season)/σ_season
+    against the row's own seasonal bucket (hour-of-day, day-of-week,
+    (service, hour)…) — the deseasonalized alarm that flags a quiet-hour
+    spike a global z-score hides.  Per-season (n, Σx, Σx²) is a tiny
+    aggregate broadcast back; with integer-scaled x every sum is exact,
+    so the composed double algebra is engine-portable.  Rows in
+    degenerate buckets (n < 2 or zero variance) get NULL."""
+    scols = [season_cols] if isinstance(season_cols, str) else list(season_cols)
+    x = F.col(value_col)
+    per = df.groupBy(*scols).agg(
+        F.count(x).alias("__n__"),
+        F.sum(x).cast("double").alias("__sx__"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("__sxx__"),
+    )
+    j = df.join(F.broadcast(per), on=scols)
+    n = F.col("__n__").cast("double")
+    mu = F.col("__sx__") / n
+    var = (F.col("__sxx__") - F.col("__sx__") * F.col("__sx__") / n) / (n - 1)
+    z = F.when((F.col("__n__") >= 2) & (var > 0), (x - mu) / F.sqrt(var))
+    return j.withColumn(out_col, z).drop("__n__", "__sx__", "__sxx__")

@@ -98,3 +98,39 @@ def bm25_search(
     # construction but bounded (the lint exemption for tiny relations)
     w = Window.orderBy(F.col("score").desc(), id_col)
     return ranked.limit(k).withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., the standard hybrid-
+    search combiner): fused(d) = Σ_r 1/(k + rank_r(d)) over the input
+    rankings (BM25, ANN, recency...), documents missing from a ranking
+    contribute 0.  The per-ranking terms join as SEPARATE columns in a
+    FIXED order, so the float sum has one deterministic association —
+    engine-portable (the bm25_search discipline).  Each input is
+    already top-k-sized, so every join is broadcast-tiny.
+    Returns (id, rrf_score, rank)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    base = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias(f"__r{i}__"),
+        )
+        base = side if base is None else base.join(side, on=id_col, how="full_outer")
+    total = None
+    for i in range(len(rankings)):
+        c = F.coalesce(F.col(f"__r{i}__"), F.lit(0.0))
+        total = c if total is None else total + c
+    fused = base.select(F.col(id_col), total.alias("rrf_score"))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    out = fused.orderBy(F.col("rrf_score").desc(), id_col)
+    if top is not None:
+        out = out.limit(top)
+    return out.withColumn("rank", F.row_number().over(w))

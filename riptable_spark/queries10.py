@@ -985,3 +985,82 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "doc_id", F.transform("features", lambda x: x.cast("long")).alias("features")
     )
+
+
+# ------------------------------------------------------------------ q220
+@query(
+    "q220_seasonal_zscore",
+    """
+    WITH t AS (
+        SELECT event_id, extract(hour FROM ts) AS h,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    p AS (
+        SELECT h, count(x) AS n, (sum(x))::DOUBLE AS sx,
+               (sum(x::HUGEINT * x))::DOUBLE AS sxx
+        FROM t GROUP BY h
+    )
+    SELECT event_id,
+           round(CASE WHEN n >= 2 AND (sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1) > 0
+                      THEN (x - sx / n::DOUBLE)
+                           / sqrt((sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1)) END, 6) AS z
+    FROM t JOIN p USING (h)
+    """,
+)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonality-adjusted anomaly score: each event's value against
+    its own hour-of-day baseline (exact integer power sums broadcast
+    back — the quiet-hour spike detector a global z hides)."""
+    from .functions import stats as _st
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id", F.hour("ts").alias("h"),
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    out = _st.seasonal_zscore(ev, "h", "x", out_col="z")
+    return out.select("event_id", F.round("z", 6).alias("z"))
+
+
+# ------------------------------------------------------------------ q221
+@query(
+    "q221_rrf_fusion",
+    """
+    WITH r1 AS (
+        SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents QUALIFY rank <= 20
+    ),
+    r2 AS (
+        SELECT doc_id, row_number() OVER (ORDER BY (doc_id * 37) % 101, doc_id) AS rank
+        FROM documents QUALIFY rank <= 20
+    ),
+    f AS (
+        SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+               coalesce(1.0 / (60.0 + r1.rank), 0.0) + coalesce(1.0 / (60.0 + r2.rank), 0.0) AS rrf_score
+        FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+    )
+    SELECT doc_id, round(rrf_score, 9) AS rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+    FROM f
+    """,
+)
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two top-20 rankings (a length-based
+    and a hash-ordered stand-in for lexical + dense retrieval): fused
+    score 1/(60+r₁) + 1/(60+r₂) in one fixed association, missing
+    entries contribute 0 — the hybrid-search combiner."""
+    from pyspark.sql import Window as W
+
+    from .operators import retrieval as _r
+
+    d = load_table(spark, sf, "documents")
+    w1 = W.orderBy(F.col("n_chars").desc(), "doc_id")
+    r1 = d.select("doc_id", F.row_number().over(w1).alias("rank")).where(F.col("rank") <= 20)
+    w2 = W.orderBy((F.col("doc_id") * 37) % 101, "doc_id")
+    r2 = d.select("doc_id", F.row_number().over(w2).alias("rank")).where(F.col("rank") <= 20)
+    out = _r.rrf_fuse([r1, r2], k=60)
+    return out.select("doc_id", F.round("rrf_score", 9).alias("rrf_score"), "rank")

@@ -213,3 +213,29 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
+
+
+def stream_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 200.0,
+) -> DataFrame:
+    """Streaming drift monitor: per-tumbling-window histogram of a value
+    column (fixed [lo, hi) grid, edge-clamped — the same binning as
+    stats.histogram_dist/psi, so a static baseline PSI-compares against
+    each emitted window downstream).  Watermark bounds state; one row
+    per (window, bin)."""
+    x = F.col(value_col).cast("double")
+    b = F.floor((x - lo) / (hi - lo) * bins)
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+    return (
+        events.where(x.isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+    )

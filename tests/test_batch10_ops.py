@@ -358,3 +358,25 @@ def test_featurize_hashed_counts_and_shape(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b a"]}))
     feats = tx.featurize_hashed(df, n_features=8).first().features
     assert len(feats) == 8 and sum(feats) == 3 and sorted(feats)[-2:] == [1, 2]
+
+
+def test_rrf_fuse_hand_checked(spark):
+    from riptable_spark.operators import retrieval as rt
+
+    r1 = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3], "rank": [1, 2, 3]}))
+    r2 = spark.createDataFrame(pd.DataFrame({"doc_id": [3, 4], "rank": [1, 2]}))
+    out = {r.doc_id: r for r in rt.rrf_fuse([r1, r2], k=60).collect()}
+    assert abs(out[3].rrf_score - (1 / 63 + 1 / 61)) < 1e-12
+    assert abs(out[1].rrf_score - 1 / 61) < 1e-12
+    assert abs(out[4].rrf_score - 1 / 62) < 1e-12
+    assert out[3].rank == 1  # appears in both -> wins
+
+
+def test_seasonal_zscore_flags_offseason_spike(spark):
+    from riptable_spark.functions import stats as st
+
+    rows = [("h0", v) for v in [10, 12, 11, 9, 10, 8, 100]] + [("h1", v) for v in [100, 104, 96, 101, 99]]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["h", "x"]))
+    z = {(r.h, r.x): r.z for r in st.seasonal_zscore(df, "h", "x").collect()}
+    assert z[("h0", 100)] > 2.0            # spike vs its own quiet bucket
+    assert abs(z[("h1", 100)]) < 0.5       # same value, normal in its bucket

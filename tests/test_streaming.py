@@ -252,3 +252,27 @@ def test_streaming_curation_pipeline_parity(spark, sf_dir, tmp_path):
     want = curate(load_table(spark, sf_dir, "documents")).first()
     assert (got.n_chunks, got.total_chars) == (want.n_chunks, want.total_chars)
     assert got.n_chunks > 0
+
+
+def test_stream_histogram_parity(spark, sf_dir, stream, tmp_path):
+    """Streaming drift monitor: per-window histogram over the stream
+    equals the identical binning computed in batch — one codepath for
+    the monitor and its backfill."""
+    got = sw.run_available_now(
+        sw.stream_histogram(stream, "value", "1 hour", bins=8, lo=0.0, hi=200.0),
+        "hist_stream_test", str(tmp_path / "ckpt_hist"),
+    ).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("double")
+    b = F.greatest(F.lit(0), F.least(F.lit(7), F.floor(x / 200.0 * 8))).cast("int")
+    batch = (
+        ev.where(x.isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+        .toPandas()
+    )
+    key = ["window_start", "bin"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert got.equals(batch)
