@@ -639,3 +639,39 @@ def weighted_stats(
         mean.alias("w_mean"),
         F.when(F.col("sw") > 0, var).alias("w_var"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    keys: list[str] | str,
+    val_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total.  ALL-integer arithmetic for
+    integer weights (the reach test is 2·cumw ≥ total — no /2, no float
+    boundary), so the result is engine-exact.
+
+    Scale shape: weights first collapse to one row per (key, DISTINCT
+    value) — the cumulative window then runs over the value domain, not
+    the row count (the q04 value-map observation); one key-ordered
+    window + one final min aggregate."""
+    from pyspark.sql import Window
+
+    klist = [keys] if isinstance(keys, str) else list(keys)
+    per_val = df.groupBy(*klist, val_col).agg(F.sum(weight_col).alias("__w__"))
+    w = Window.partitionBy(*klist).orderBy(val_col)
+    tot = Window.partitionBy(*klist)
+    scored = per_val.select(
+        *klist, F.col(val_col),
+        F.sum("__w__").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cw__"),
+        F.sum("__w__").over(tot).alias("__tw__"),
+    )
+    return (
+        scored.where(F.col("__cw__") * 2 >= F.col("__tw__"))
+        .groupBy(*klist)
+        .agg(
+            F.min(val_col).alias("weighted_median"),
+            F.min("__tw__").alias("w_total"),
+        )
+    )

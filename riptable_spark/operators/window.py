@@ -898,3 +898,47 @@ def attribute_last_touch(
     return conv.join(touches, on=[key_col, "__tpos__"], how="left").select(
         "conversion_id", key_col, "touch_id", "touch_type"
     )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Gap-filled regular time grid per key: bucket observations to
+    ``step_seconds``, generate the DENSE bucket range between each key's
+    first and last observation (sequence-explode — no calendar table),
+    left-join the per-bucket last observation and carry it forward
+    through the empty buckets.  The series-densification step every
+    downstream rolling/EMA/resample assumes.
+
+    Scale shape: one (key, bucket) aggregation, a per-key 2-value range
+    aggregate whose exploded grid is |buckets| rows (bounded by time
+    span / step, independent of row count), and one ordered window for
+    the carry.  Returns (key, bucket_ts, value, was_gap)."""
+    step_us = int(step_seconds) * 1_000_000
+    b = F.floor(F.unix_micros(F.col(ts_col)) / step_us)
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    obs = df.groupBy(F.col(key_col), b.alias("__b__")).agg(
+        F.max_by(F.col(value_col), F.struct(*order)).alias("__v__")
+    )
+    rng = df.groupBy(key_col).agg(
+        F.min(b).alias("__lo__"), F.max(b).alias("__hi__")
+    )
+    grid = rng.select(
+        key_col, F.explode(F.sequence("__lo__", "__hi__")).alias("__b__")
+    )
+    g = grid.join(obs, on=[key_col, "__b__"], how="left")
+    w = Window.partitionBy(key_col).orderBy("__b__")
+    filled = F.last(F.col("__v__"), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        F.col(key_col),
+        F.timestamp_micros(F.col("__b__") * step_us).alias("bucket_ts"),
+        filled.alias(value_col),
+        F.col("__v__").isNull().alias("was_gap"),
+    )

@@ -1064,3 +1064,74 @@ def q221(spark: SparkSession, sf: str) -> DataFrame:
     r2 = d.select("doc_id", F.row_number().over(w2).alias("rank")).where(F.col("rank") <= 20)
     out = _r.rrf_fuse([r1, r2], k=60)
     return out.select("doc_id", F.round("rrf_score", 9).alias("rrf_score"), "rank")
+
+
+# ------------------------------------------------------------------ q222
+@query(
+    "q222_fill_time_gaps",
+    """
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS b, value, epoch_us(ts) AS tu, event_id
+        FROM events
+    ),
+    obs AS (SELECT user_id, b, last(value ORDER BY tu, event_id) AS v FROM t GROUP BY user_id, b),
+    rng AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM t GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM rng),
+    g AS (SELECT grid.user_id, grid.b, obs.v FROM grid LEFT JOIN obs USING (user_id, b))
+    SELECT user_id, b * 3600000000 AS bucket_us,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+                                            ROWS UNBOUNDED PRECEDING) AS value,
+           v IS NULL AS was_gap
+    FROM g
+    """,
+)
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled hourly grid per user: dense bucket range between each
+    user's first and last event (sequence-explode — no calendar table),
+    per-bucket last observation carried forward through the holes; the
+    densification every rolling/EMA/resample assumes."""
+    from .operators import window as _w
+
+    ev = load_table(spark, sf, "events")
+    out = _w.fill_time_gaps(ev, "user_id", "ts", "value", step_seconds=3600, id_col="event_id")
+    return out.select(
+        "user_id", F.unix_micros("bucket_ts").alias("bucket_us"), "value", "was_gap"
+    )
+
+
+# ------------------------------------------------------------------ q223
+@query(
+    "q223_weighted_median",
+    """
+    WITH t AS (
+        SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS v,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    pv AS (SELECT l_returnflag, v, sum(w) AS w FROM t GROUP BY l_returnflag, v),
+    s AS (
+        SELECT l_returnflag, v,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM pv
+    )
+    SELECT l_returnflag, min(v) AS weighted_median, min(tw)::BIGINT AS w_total
+    FROM s WHERE cw * 2 >= tw GROUP BY l_returnflag
+    """,
+)
+def q223(spark: SparkSession, sf: str) -> DataFrame:
+    """Price-weighted median order quantity per return flag: cumulative
+    weight runs over the DISTINCT value domain (q04's value-map shape),
+    the reach test is all-integer 2·cumw ≥ total — engine-exact with no
+    float boundary anywhere."""
+    from .operators import groupby as _gb
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+    )
+    return _gb.weighted_median(li, "l_returnflag", "v", "w").select(
+        "l_returnflag", "weighted_median", F.col("w_total").cast("long").alias("w_total")
+    )

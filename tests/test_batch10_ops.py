@@ -380,3 +380,34 @@ def test_seasonal_zscore_flags_offseason_spike(spark):
     z = {(r.h, r.x): r.z for r in st.seasonal_zscore(df, "h", "x").collect()}
     assert z[("h0", 100)] > 2.0            # spike vs its own quiet bucket
     assert abs(z[("h1", 100)]) < 0.5       # same value, normal in its bucket
+
+
+def test_fill_time_gaps_dense_and_carried(spark):
+    import datetime as dt
+
+    from riptable_spark.operators import window as wn
+
+    rows = [
+        ("u", dt.datetime(2024, 1, 1, 0, 30), 1.0, 1),
+        ("u", dt.datetime(2024, 1, 1, 3, 10), 4.0, 2),  # 2 empty hours between
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v", "i"]))
+    out = sorted(
+        wn.fill_time_gaps(df, "k", "ts", "v", step_seconds=3600, id_col="i").collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    assert len(out) == 4                       # hours 0,1,2,3 — dense
+    assert [r.v for r in out] == [1.0, 1.0, 1.0, 4.0]
+    assert [r.was_gap for r in out] == [False, True, True, False]
+
+
+def test_weighted_median_hand_checked(spark):
+    from riptable_spark.operators import groupby as gb
+
+    # values 1,2,3 with weights 1,1,5 -> median 3; equal weights -> lower middle
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 3 + ["b"] * 4, "v": [1, 2, 3, 1, 2, 3, 4], "w": [1, 1, 5, 1, 1, 1, 1]})
+    )
+    out = {r.k: r for r in gb.weighted_median(df, "k", "v", "w").collect()}
+    assert out["a"].weighted_median == 3 and out["a"].w_total == 7
+    assert out["b"].weighted_median == 2  # cumw*2 >= 4 first reached at v=2

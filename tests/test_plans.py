@@ -362,3 +362,61 @@ def test_q183_columnar_pq_codes_are_bytes_zero_shuffle(q, spark, sf_dir):
     assert all(agg[f"ok{j}"] for j in range(q8._PQ_M))
     df = q("q183_pq_columnar")
     assert pi.has_broadcast_join(df)
+
+
+def test_q205_mutual_info_fact_shuffles_once(q):
+    """MI: the fact table shuffles ONCE into the contingency counts;
+    marginals reduce from the (tiny) pair relation and broadcast back —
+    no second pass over the events table."""
+    from riptable_spark import queries10  # noqa: F401 — registers batch 10
+
+    df = q("q205_mutual_info")
+    assert pi.has_broadcast_join(df)
+    plan = pi.simple_plan(df)
+    assert plan.count("Scan parquet") <= 1 or pi.has_broadcast_join(df)
+
+
+def test_q202_target_encode_broadcasts_stats(q):
+    """Target encoding: per-key and global stats broadcast back; the
+    fact table itself never hash-exchanges."""
+    from riptable_spark import queries10  # noqa: F401
+
+    df = q("q202_target_encode")
+    assert pi.has_broadcast_join(df)
+    # every hash exchange is the per-key stats aggregation (keyed on k)
+    # or a 1-row global aggregate (SinglePartition) — the orders fact
+    # relation itself never hash-exchanges.  The BroadcastNestedLoopJoin
+    # lint hits here are exactly the scalar-side cross joins the lint
+    # message itself exempts.
+    for kind, _cols in pi.exchanges(df):
+        assert "SinglePartition" in kind or "k#" in kind, kind
+
+
+def test_q197_decontaminate_fuzzy_no_cartesian(q):
+    """Fuzzy decontamination: candidate generation is an equi-join on
+    (band, hash); the final removal is a broadcastable anti-join —
+    nothing in the plan is a nested-loop cartesian."""
+    from riptable_spark import queries10  # noqa: F401
+
+    df = q("q197_decontaminate_fuzzy")
+    lint = pi.lint(df)
+    assert not [m for m in lint if "cartesian" in m.lower()], lint
+
+
+def test_q207_corpus_overlap_exchanges_carry_hashes_not_text(q):
+    """Corpus overlap: the gram self-join exchanges 8-byte hashes +
+    group keys — no raw gram strings cross the wire after the distinct."""
+    from riptable_spark import queries10  # noqa: F401
+
+    df = q("q207_corpus_overlap")
+    for kind, cols in pi.exchanges(df):
+        assert not any("__s__" in c for c in cols), (kind, cols)
+
+
+def test_q214_gram_matrix_partial_aggregate(q):
+    """Gramian: the (i, j) aggregation must map-side combine — the
+    exchange carries per-partition partial sums, not raw products."""
+    from riptable_spark import queries10  # noqa: F401
+
+    df = q("q214_gram_matrix")
+    assert pi.has_partial_aggregate(df)
