@@ -371,3 +371,22 @@ def seasonal_zscore(
     var = (F.col("__sxx__") - F.col("__sx__") * F.col("__sx__") / n) / (n - 1)
     z = F.when((F.col("__n__") >= 2) & (var > 0), (x - mu) / F.sqrt(var))
     return j.withColumn(out_col, z).drop("__n__", "__sx__", "__sxx__")
+
+
+def quantile_transform(
+    df: DataFrame,
+    keys: list[str] | str | None,
+    val_col: str,
+    out_col: str = "q",
+) -> DataFrame:
+    """Quantile (rank) transform to [0, 1]: percent_rank within the
+    group — the distribution-free normalization that survives heavy
+    tails and unit changes where z-scores don't.  Ties share a rank, so
+    the output is a pure function of the VALUE (order-stable across
+    engines with no tiebreak column); the ratio (rank−1)/(n−1) is exact
+    integer division.  One sort-shuffle on the keys."""
+    from pyspark.sql import Window
+
+    klist = [] if keys is None else ([keys] if isinstance(keys, str) else list(keys))
+    w = (Window.partitionBy(*klist) if klist else Window.partitionBy()).orderBy(val_col)
+    return df.withColumn(out_col, F.percent_rank().over(w))

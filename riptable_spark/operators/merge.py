@@ -665,3 +665,40 @@ def hits(
             .select("node", (F.coalesce(F.col("__h__"), F.lit(0.0)) / F.col("__t__")).alias("hub"))
         )
     return nodes.join(hub, on="node", how="left").join(auth, on="node", how="left")
+
+
+def scd_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    bucket_width_days: int | None = 365,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join against a slowly-changing (SCD Type 2)
+    dimension: each fact row matches the dimension version whose
+    [valid_from, valid_to) window contains the fact's date — the
+    "what did the customer record say WHEN the order happened" join
+    every versioned-dim warehouse runs.
+
+    Physical strategy = range_join's grid rewrite: with
+    ``bucket_width_days`` the version windows explode to the coarse
+    date buckets they overlap and the join is an EQUI-join on
+    (key, bucket) + residual — never a nested loop (dimension versions
+    span years, so a ~1-year bucket adds ≤ a few rows per version).
+    Date columns may be DATE or TIMESTAMP; both sides convert to day
+    numbers once, as codegen expressions."""
+    day = F.datediff(F.col(ts_col), F.lit("1970-01-01"))
+    f2 = facts.withColumn("__day__", day.cast("double"))
+    d2 = (
+        dim.withColumn("__from__", F.datediff(F.col(valid_from), F.lit("1970-01-01")).cast("double"))
+        .withColumn("__to__", F.datediff(F.col(valid_to), F.lit("1970-01-01")).cast("double"))
+    )
+    out = range_join(
+        f2, d2, "__day__", "__from__", "__to__",
+        by=[key], how=how,
+        bucket_width=float(bucket_width_days) if bucket_width_days else None,
+    )
+    return out.drop("__day__", "__from__", "__to__")

@@ -914,3 +914,48 @@ def pca_top_component(
         v = v / np.linalg.norm(v)
     lam = float(v @ cov @ v)
     return v.tolist(), lam / float(np.trace(cov))
+
+
+def knn_label_agreement(
+    embeddings: DataFrame,
+    anchor_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise screen via neighborhood voting: for each anchor
+    vector, the fraction of its k nearest cosine neighbors (self
+    excluded) that share its label — anchors whose neighborhoods
+    disagree are the mislabel candidates (public confident-learning /
+    kNN-audit method).
+
+    Scale shape: the corpus never shuffles — anchors broadcast into the
+    scoring join (brute-force exact; swap in ivf_topk for the ANN
+    path), the per-anchor top-k is a bounded window, and the label
+    lookup joins the (anchor·k)-row result by id.  Returns
+    (id, label, n_agree, agree_frac)."""
+    from pyspark.sql import Window as _W
+
+    emb = embeddings.select(
+        F.col(id_col), F.col(label_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v__"),
+    )
+    anchors = emb.join(anchor_ids.select(id_col), on=id_col).select(
+        F.col(id_col).alias("__aid__"), F.col(label_col).alias("__albl__"),
+        F.col("__v__").alias("__av__"),
+    )
+    scored = emb.crossJoin(F.broadcast(anchors)).where(F.col(id_col) != F.col("__aid__"))
+    scored = scored.select(
+        "__aid__", "__albl__", F.col(id_col), F.col(label_col),
+        cosine(F.col("__v__"), F.col("__av__")).alias("__s__"),
+    )
+    w = _W.partitionBy("__aid__").orderBy(F.col("__s__").desc(), F.col(id_col))
+    top = scored.withColumn("__rk__", F.row_number().over(w)).where(F.col("__rk__") <= k)
+    agg = top.groupBy(F.col("__aid__").alias(id_col), F.col("__albl__").alias(label_col)).agg(
+        F.sum(F.when(F.col(label_col) == F.col("__albl__"), 1).otherwise(0)).alias("n_agree")
+    )
+    return agg.select(
+        id_col, label_col, "n_agree",
+        (F.col("n_agree").cast("double") / k).alias("agree_frac"),
+    )

@@ -1135,3 +1135,153 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
     return _gb.weighted_median(li, "l_returnflag", "v", "w").select(
         "l_returnflag", "weighted_median", F.col("w_total").cast("long").alias("w_total")
     )
+
+
+# ------------------------------------------------------------------ q224
+@query(
+    "q224_scd_join",
+    """
+    WITH f AS (SELECT o_orderkey, o_custkey % 25 AS k, o_orderdate AS d FROM orders),
+    dim AS (
+        SELECT k, DATE '1992-01-01' AS vf, DATE '1998-01-01' AS vt, k * 10 AS attr
+        FROM range(0, 25) t(k)
+        UNION ALL
+        SELECT k, DATE '1998-01-01', DATE '2002-01-01', k * 10 + 1
+        FROM range(0, 25) t(k)
+    )
+    SELECT o_orderkey, attr
+    FROM f JOIN dim ON f.k = dim.k AND f.d >= dim.vf AND f.d < dim.vt
+    """,
+)
+def q224(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (SCD Type 2) dimension join: every order matches
+    the dimension VERSION valid on its order date — grid-rewritten to an
+    equi-join on (key, date-bucket) + residual (range_join's shape), so
+    no nested loop at any fact volume."""
+    from .operators import merge as _mg
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 25).alias("k"), F.col("o_orderdate").alias("d")
+    )
+    base = spark.range(0, 25).select(F.col("id").alias("k"))
+    dim = base.select(
+        "k",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1992-01-01").cast("date").alias("valid_from"),
+                    F.lit("1998-01-01").cast("date").alias("valid_to"),
+                    (F.col("k") * 10).alias("attr"),
+                ),
+                F.struct(
+                    F.lit("1998-01-01").cast("date").alias("valid_from"),
+                    F.lit("2002-01-01").cast("date").alias("valid_to"),
+                    (F.col("k") * 10 + 1).alias("attr"),
+                ),
+            )
+        ).alias("v"),
+    ).select("k", "v.valid_from", "v.valid_to", "v.attr")
+    out = _mg.scd_join(o, dim, "k", "d", bucket_width_days=365)
+    return out.select("o_orderkey", "attr")
+
+
+# ------------------------------------------------------------------ q225
+@query(
+    "q225_embedding_dim_audit",
+    """
+    WITH e AS (
+        SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                                     i -> {'d': i - 1, 'v': embedding[i]::DOUBLE})) AS s
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    t AS (SELECT s.d AS d, s.v AS v FROM e)
+    SELECT CAST(d AS INT) AS dim, count(*) AS n,
+           (sum(CAST(round(v * 1000000) AS BIGINT)))::DOUBLE / (count(*) * 1000000)::DOUBLE AS mean,
+           round(quantile_cont(v, 0.01), 6) AS p01,
+           round(quantile_cont(v, 0.50), 6) AS p50,
+           round(quantile_cont(v, 0.99), 6) AS p99,
+           min(v) AS min_v, max(v) AS max_v
+    FROM t GROUP BY d
+    """,
+)
+def q225(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding distribution audit (dead/saturated/
+    outlier dims before they poison ANN): one (dim)-keyed aggregation —
+    exact integer-scaled means, exact interpolated percentiles."""
+    emb = load_table(spark, sf, "embeddings").where(F.col("embedding").isNotNull())
+    ex = emb.select(F.posexplode("embedding").alias("dim", "__f__")).select(
+        "dim", F.col("__f__").cast("double").alias("v")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("v") * 1000000).cast("bigint")).alias("__sx__"),
+        F.percentile("v", F.array(F.lit(0.01), F.lit(0.5), F.lit(0.99))).alias("__p__"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"), "n",
+        (F.col("__sx__").cast("double") / (F.col("n") * 1000000).cast("double")).alias("mean"),
+        F.round(F.col("__p__")[0], 6).alias("p01"),
+        F.round(F.col("__p__")[1], 6).alias("p50"),
+        F.round(F.col("__p__")[2], 6).alias("p99"),
+        "min_v", "max_v",
+    )
+
+
+# ------------------------------------------------------------------ q226
+@query(
+    "q226_knn_label_agreement",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id AS aid, label AS albl, v AS av FROM e WHERE vec_id < 30),
+    s AS (
+        SELECT a.aid, a.albl, e.label,
+               row_number() OVER (PARTITION BY a.aid
+                                  ORDER BY list_cosine_similarity(e.v, a.av) DESC, e.vec_id) AS rk
+        FROM e CROSS JOIN a WHERE e.vec_id != a.aid
+    )
+    SELECT aid AS vec_id, albl AS label,
+           sum(CASE WHEN label = albl THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+           sum(CASE WHEN label = albl THEN 1 ELSE 0 END)::DOUBLE / 5 AS agree_frac
+    FROM s WHERE rk <= 5 GROUP BY aid, albl
+    """,
+)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-noise screen: fraction of each anchor's 5 nearest cosine
+    neighbors (self excluded) sharing its label — neighborhood-vote
+    mislabel detection over the broadcast-anchor brute-force scorer."""
+    from .operators import similarity as _s
+
+    emb = load_table(spark, sf, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 30).select("vec_id")
+    out = _s.knn_label_agreement(emb, anchors, k=5)
+    return out.select(
+        "vec_id", "label", F.col("n_agree").cast("long").alias("n_agree"), "agree_frac"
+    )
+
+
+# ------------------------------------------------------------------ q227
+@query(
+    "q227_quantile_transform",
+    """
+    SELECT event_id,
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT)) AS q
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    """,
+)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type quantile transform to [0,1] (distribution-free
+    normalization): percent_rank over the integer-scaled value — ties
+    share a rank so the output is a pure function of the value, and
+    (rank−1)/(n−1) is the same exact division in both engines."""
+    from .functions import stats as _st
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_id", "event_type", F.round(F.col("value") * 100).cast("bigint").alias("x"))
+    )
+    out = _st.quantile_transform(ev, "event_type", "x", out_col="q")
+    return out.select("event_id", "q")

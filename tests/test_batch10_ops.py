@@ -411,3 +411,50 @@ def test_weighted_median_hand_checked(spark):
     out = {r.k: r for r in gb.weighted_median(df, "k", "v", "w").collect()}
     assert out["a"].weighted_median == 3 and out["a"].w_total == 7
     assert out["b"].weighted_median == 2  # cumw*2 >= 4 first reached at v=2
+
+
+def test_scd_join_picks_version_valid_at_fact_date(spark):
+    import datetime as dt
+
+    from riptable_spark.operators import merge as mg
+
+    facts = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2],
+        "d": [dt.date(1995, 5, 1), dt.date(1999, 5, 1), dt.date(2003, 1, 1)],
+        "fid": [10, 11, 12],
+    }))
+    dim = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2],
+        "valid_from": [dt.date(1992, 1, 1), dt.date(1998, 1, 1), dt.date(1992, 1, 1)],
+        "valid_to": [dt.date(1998, 1, 1), dt.date(2002, 1, 1), dt.date(2002, 1, 1)],
+        "attr": ["v1", "v2", "v3"],
+    }))
+    out = {r.fid: r.attr for r in mg.scd_join(facts, dim, "k", "d").collect()}
+    assert out == {10: "v1", 11: "v2"}  # fid 12 outside every window -> dropped
+
+
+def test_knn_label_agreement_separable_clusters(spark):
+    import numpy as np
+
+    from riptable_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 0, [1.0 + 0.01 * i, 0.0]))
+        rows.append((100 + i, 1, [0.0, 1.0 + 0.01 * i]))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]))
+    anchors = df.select("vec_id").where(F.col("vec_id").isin(0, 100))
+    out = {r.vec_id: r for r in sim.knn_label_agreement(df, anchors, k=5).collect()}
+    assert out[0].agree_frac == 1.0 and out[100].agree_frac == 1.0
+    # flip one label -> its neighborhood disagrees completely
+    df2 = df.withColumn("label", F.when(F.col("vec_id") == 0, 1).otherwise(F.col("label")))
+    out2 = {r.vec_id: r for r in sim.knn_label_agreement(df2, anchors, k=5).collect()}
+    assert out2[0].agree_frac == 0.0
+
+
+def test_quantile_transform_uniform_output(spark):
+    from riptable_spark.functions import stats as st
+
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"] * 5, "x": [50, 10, 30, 20, 40]}))
+    out = sorted(r.q for r in st.quantile_transform(df, "k", "x").collect())
+    assert out == [0.0, 0.25, 0.5, 0.75, 1.0]
