@@ -37,10 +37,8 @@ _PRIORITY = [
     "q01_pricing_summary",
     "q02_filter_project",
     "q04_groupby_stats",
-    "q05_strict_sum",
     "q07_merge2_inner",
     "q09_merge_lookup",
-    "q10_semi_join",
     "q13_asof_backward",
     "q16_cumsum",
     "q17_rolling",
@@ -70,10 +68,7 @@ _PRIORITY = [
     "q114_lsh_dedup",
     "q115_cat_enum",
     "q117_cat_hstack",
-    "q118_move_argops",
     "q119_spans",
-    "q121_searchsorted_array",
-    "q122_shift_global",
     "q131_decontaminate",
     "q141_image_header_decode",
     "q145_calendar_busdays",
@@ -81,9 +76,12 @@ _PRIORITY = [
     "q147_kmeans_lloyd",
     "q150_dedup_components",
     "q155_range_join",
-    "q158_grouped_topk",
     "q159_pq_adc",
     "q168_semantic_dedup",
+    "q197_decontaminate_fuzzy",
+    "q205_mutual_info",
+    "q214_gram_matrix",
+    "q217_json_extract",
 ]
 
 
