@@ -754,3 +754,42 @@ def curriculum_order(
         stage.alias("stage"),
         draw.alias("draw"),
     )
+
+
+def negative_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: int = 0,
+    hash_kind: str = "xxhash64",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row draws ``k`` partners as hash-derived POSITIONS in the
+    seed-permuted corpus order (shuffle_rows' exact positions), then a
+    position equi-join resolves them to ids — uniform over the corpus, a
+    pure function of (id, j, seed) so reruns/retries agree, and never a
+    per-row RNG or a driver-side sample.  Self-draws are filtered (an
+    anchor keeps ≥ k−1 negatives; redraw-on-collision would need
+    sequential state).  Returns (anchor, j, negative).
+
+    Scale shape: positions come from shuffle_rows (bucketed — no global
+    sort); the draw relation carries (anchor, j, draw) longs and the
+    resolve is one equi-join on the position."""
+    n = df.count()
+    pos = shuffle_rows(df.select(id_col), id_col, seed, n_buckets, hash_kind)
+    draws = df.select(F.col(id_col).alias("anchor")).select(
+        "anchor", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
+    )
+    h = _base_hash64(
+        F.concat_ws(
+            "#", F.col("anchor").cast("string"), F.col("j").cast("string"), F.lit(str(seed))
+        ),
+        hash_kind,
+    )
+    draws = draws.withColumn("__draw__", F.pmod(h, F.lit(n)))
+    resolved = draws.join(
+        pos.select(F.col(id_col).alias("negative"), F.col("shuffle_pos").alias("__draw__")),
+        on="__draw__",
+    )
+    return resolved.where(F.col("negative") != F.col("anchor")).select("anchor", "j", "negative")

@@ -482,3 +482,29 @@ def featurize_hashed(
         lambda b: F.coalesce(F.element_at(F.col("__m__"), b), F.lit(0)),
     )
     return sparse.select(F.col(id_col), dense.alias("features"))
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a broadcast vocabulary
+    relation (from build_vocab or an external tokenizer's vocab dump) —
+    the coverage screen run before committing a tokenizer to a corpus.
+    Corpus tokens explode and LEFT-join the broadcast vocab; the only
+    shuffle carries (id, flag) pairs.  Returns
+    (id, n_tokens, n_oov, oov_frac)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col), F.explode(toks).alias("__t__")).where(F.length("__t__") > 0)
+    v = vocab.select(F.col(vocab_col).alias("__t__")).distinct().withColumn("__inv__", F.lit(1))
+    j = ex.join(F.broadcast(v), on="__t__", how="left")
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__inv__").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return agg.withColumn(
+        "oov_frac", F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+    )

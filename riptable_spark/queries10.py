@@ -1285,3 +1285,71 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = _st.quantile_transform(ev, "event_type", "x", out_col="q")
     return out.select("event_id", "q")
+
+
+# ------------------------------------------------------------------ q228
+@query(
+    "q228_oov_rate",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tt AS (SELECT doc_id, t FROM toks WHERE length(t) > 0),
+    vocab AS (SELECT t, 1 AS inv FROM tt GROUP BY t HAVING count(*) >= 10)
+    SELECT doc_id, count(*) AS n_tokens,
+           sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS oov_frac
+    FROM tt LEFT JOIN vocab USING (t)
+    GROUP BY doc_id
+    """,
+)
+def q228(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document OOV rate against a frequency-floor vocabulary
+    (count ≥ 10) — tokenizer-coverage screening; the vocab broadcasts
+    and only (id, flag) pairs shuffle.  Exact integer ratios."""
+    from .operators import text as _tx
+
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ex = d.where(F.col("text").isNotNull()).select(F.explode(toks).alias("token")).where(
+        F.length("token") > 0
+    )
+    vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("__c__")).where(F.col("__c__") >= 10)
+    return _tx.oov_rate(d, vocab)
+
+
+# ------------------------------------------------------------------ q229
+@query(
+    "q229_negative_sample",
+    """
+    WITH n AS (SELECT count(*) AS nn FROM documents),
+    p AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|11'), 1, 15))::BIGINT, doc_id
+               ) - 1 AS pos
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id AS anchor, j,
+               ('0x' || substr(md5(doc_id::VARCHAR || '#' || j::VARCHAR || '#11'), 1, 15))::BIGINT % nn AS draw
+        FROM documents, (SELECT unnest(range(0, 3)) AS j) CROSS JOIN n
+    )
+    SELECT d.anchor, CAST(d.j AS INT) AS j, p.doc_id AS negative
+    FROM d JOIN p ON p.pos = d.draw
+    WHERE p.doc_id != d.anchor
+    """,
+)
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 3 hash-drawn
+    positions per anchor in the seed-11 permuted corpus order, resolved
+    to ids by a position equi-join (shuffle_rows' bucketed exact
+    positions — the oracle's global row_number is the semantics, not
+    the plan); self-draws filtered in both engines."""
+    from .operators import pipeline as _pl
+
+    d = load_table(spark, sf, "documents")
+    out = _pl.negative_sample(d.select("doc_id"), "doc_id", k=3, seed=11, hash_kind="md5")
+    return out.select("anchor", F.col("j").cast("int").alias("j"), "negative")

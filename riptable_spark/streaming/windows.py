@@ -239,3 +239,36 @@ def stream_histogram(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "bin", "n")
     )
+
+
+def stream_seasonal_anomaly(
+    events: DataFrame,
+    baseline: DataFrame,
+    season_col_expr=None,
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming anomaly flagging against a BATCH-computed seasonal
+    baseline: the per-bucket (n, Σx, Σx²) relation (e.g. from the same
+    integer-scaled aggregation stats.seasonal_zscore uses) broadcasts
+    into a stateless stream-static join, so each event scores the
+    moment it arrives — no streaming state at all, and the baseline
+    refreshes by swapping the static side.  Emits rows with |z| >
+    ``threshold``."""
+    from pyspark.sql import functions as F
+
+    season = season_col_expr if season_col_expr is not None else F.hour(F.col("ts"))
+    x = F.col(value_col)
+    j = events.withColumn("__season__", season).join(
+        F.broadcast(baseline), on=F.col("__season__") == baseline[baseline.columns[0]], how="inner"
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx") / n
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    z = (x - mu) / F.sqrt(var)
+    return (
+        j.where((F.col("n") >= 2) & (var > 0))
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > threshold)
+        .drop("__season__", "n", "sx", "sxx")
+    )

@@ -458,3 +458,25 @@ def test_quantile_transform_uniform_output(spark):
     df = spark.createDataFrame(pd.DataFrame({"k": ["a"] * 5, "x": [50, 10, 30, 20, 40]}))
     out = sorted(r.q for r in st.quantile_transform(df, "k", "x").collect())
     assert out == [0.0, 0.25, 0.5, 0.75, 1.0]
+
+
+def test_oov_rate_hand_checked(spark):
+    from riptable_spark.operators import text as tx
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["known known strange"]}))
+    vocab = spark.createDataFrame(pd.DataFrame({"token": ["known"]}))
+    r = tx.oov_rate(docs, vocab).first()
+    assert r.n_tokens == 3 and r.n_oov == 1 and abs(r.oov_frac - 1 / 3) < 1e-12
+
+
+def test_negative_sample_deterministic_uniform(spark):
+    from riptable_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(50)}))
+    a = sorted((r.anchor, r.j, r.negative) for r in pl.negative_sample(df, k=3, seed=1).collect())
+    b = sorted((r.anchor, r.j, r.negative) for r in pl.negative_sample(df, k=3, seed=1).collect())
+    assert a == b                                  # rerun-stable
+    assert all(neg != anc for anc, _, neg in a)    # no self-pairs
+    assert len(a) >= 50 * 3 - 10                   # only self-draws removed
+    c = sorted((r.anchor, r.j, r.negative) for r in pl.negative_sample(df, k=3, seed=2).collect())
+    assert a != c                                  # seed changes the permutation

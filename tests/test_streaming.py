@@ -276,3 +276,39 @@ def test_stream_histogram_parity(spark, sf_dir, stream, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     batch = batch.sort_values(key).reset_index(drop=True)
     assert got.equals(batch)
+
+
+def test_stream_seasonal_anomaly_parity(spark, sf_dir, stream, tmp_path):
+    """Stateless stream-static anomaly scoring: the batch-computed
+    hourly baseline broadcasts into the stream; flagged set equals the
+    batch computation row-for-row."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = F.round(F.col("value") * 100).cast("bigint")
+    baseline = (
+        ev.select(F.hour("ts").alias("season"), x.alias("x"))
+        .groupBy("season")
+        .agg(
+            F.count("x").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        )
+    )
+    s = stream.where(F.col("value").isNotNull()).withColumn("value", x)
+    got = sw.run_available_now(
+        sw.stream_seasonal_anomaly(s, baseline, value_col="value", threshold=2.5),
+        "anomaly_stream_test", str(tmp_path / "ckpt_anom"),
+        # the static baseline side contains an Aggregate node, which the
+        # auto-detect reads as a streaming agg — this query is stateless
+        output_mode="append",
+    ).toPandas()
+    from riptable_spark.functions import stats as st
+
+    batch = (
+        st.seasonal_zscore(
+            ev.select("event_id", F.hour("ts").alias("h"), x.alias("value")), "h", "value"
+        )
+        .where(F.abs(F.col("z")) > 2.5)
+        .toPandas()
+    )
+    assert set(got["event_id"]) == set(batch["event_id"])
+    assert len(got) > 0
