@@ -675,3 +675,36 @@ def weighted_median(
             F.min("__tw__").alias("w_total"),
         )
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    keys: list[str] | str,
+    val_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+) -> DataFrame:
+    """Per-group weighted quantile at the rational q = q_num/q_den: the
+    smallest value whose cumulative weight reaches q·total, with the
+    ALL-integer reach test cumw·q_den ≥ q_num·total (weighted_median is
+    q=1/2).  Same value-domain cumulative shape as weighted_median."""
+    from pyspark.sql import Window
+
+    klist = [keys] if isinstance(keys, str) else list(keys)
+    per_val = df.groupBy(*klist, val_col).agg(F.sum(weight_col).alias("__w__"))
+    w = Window.partitionBy(*klist).orderBy(val_col)
+    tot = Window.partitionBy(*klist)
+    scored = per_val.select(
+        *klist, F.col(val_col),
+        F.sum("__w__").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cw__"),
+        F.sum("__w__").over(tot).alias("__tw__"),
+    )
+    return (
+        scored.where(F.col("__cw__") * q_den >= F.col("__tw__") * q_num)
+        .groupBy(*klist)
+        .agg(
+            F.min(val_col).alias("weighted_quantile"),
+            F.min("__tw__").alias("w_total"),
+        )
+    )

@@ -702,3 +702,62 @@ def scd_join(
         bucket_width=float(bucket_width_days) if bucket_width_days else None,
     )
     return out.drop("__day__", "__from__", "__to__")
+
+
+def merge_asof_topk(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    left_id_col: str,
+    k: int = 3,
+    tolerance: float = float("inf"),
+    bucket_width: float | None = None,
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Top-k as-of join: each left row matches its ``k`` most recent
+    right rows at or before it on ``on`` (within ``tolerance``) — the
+    "last k quotes per trade" generalization of merge_asof(k=1).
+
+    Physical strategy: with a finite tolerance the match condition is a
+    point-in-interval predicate (right.on ∈ (left.on − tol, left.on]),
+    grid-rewritten by range_join to an equi-join on (by…, bucket) — so
+    candidate volume is bounded by tolerance density, never |L|·|R|;
+    the per-left top-k is a bounded window over candidates.  An
+    unbounded tolerance degrades to per-key candidates (use merge_asof
+    for k=1 there)."""
+    from pyspark.sql import Window as _W
+
+    if tolerance == float("inf"):
+        raise NotImplementedError(
+            "unbounded tolerance would enumerate every preceding right row per "
+            "left row; pass a finite tolerance (or use merge_asof for k=1)"
+        )
+    tol = float(tolerance)
+    lon = left.withColumn("__pt__", F.col(on).cast("double"))
+    # rename right's non-key columns that collide with left
+    ren = {}
+    for c in right.columns:
+        if c in left.columns and c not in by:
+            ren[c] = c + right_suffix
+    ron = right.select(*[F.col(c).alias(ren.get(c, c)) for c in right.columns])
+    ron_on = ren.get(on, on)
+    ron = (
+        ron.withColumn("__start__", F.col(ron_on).cast("double"))
+        .withColumn("__end__", (F.col(ron_on).cast("double") + tol))
+    )
+    cand = range_join(
+        lon, ron, "__pt__", "__start__", "__end__",
+        by=by, bucket_width=bucket_width or tol,
+    )
+    # partition on the LEFT row's identity (two left rows sharing the
+    # same (by, on) must each receive their own top-k), rank most-recent
+    # first with a deterministic tiebreak
+    w = _W.partitionBy(*by, F.col(left_id_col)).orderBy(
+        F.col("__start__").desc(), F.col(ron_on)
+    )
+    # point-in-[start, end) gives start <= pt < start+tol, i.e. the right
+    # row is AT or BEFORE the left row and within tolerance — exactly
+    # the backward-asof band
+    out = cand.withColumn("asof_rank", F.row_number().over(w)).where(F.col("asof_rank") <= k)
+    return out.drop("__pt__", "__start__", "__end__")

@@ -1,0 +1,98 @@
+"""Mergeable distinct-count sketching (HyperLogLog) with an
+engine-portable, SQL-replayable construction.
+
+Spark's built-in approx_count_distinct is an opaque binary sketch; this
+module builds the SAME algorithm as a plain (bucket, rho) RELATION so it
+can be persisted, MERGED across shards/days with a max-aggregation, and
+hash-checked against a DuckDB oracle bit-for-bit:
+
+- register build: one hash + two bit-ops per row, then max per bucket —
+  a map-side-combined aggregate whose output is ≤ 2^p rows;
+- merge: union + max — associative, the property that lets a 100 TB
+  ingest keep per-partition sketches and fold them later;
+- estimate: the harmonic sum Σ 2^(−M_j) is computed as the INTEGER
+  Σ 2^(53−M_j) (each term exact, total < 2^63), so the only float ops
+  are one division and the small-range ln correction — identical in
+  any engine.
+
+Public method: Flajolet et al. 2007 (HyperLogLog), the standard m=2^p
+registers with the 2.5m small-range linear-counting correction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _base_hash64
+
+
+def _bit_length(col: Column) -> Column:
+    """Number of binary digits of a non-negative BIGINT (0 → treated by
+    callers).  conv(x, 10, 2) renders the minimal binary string in both
+    Spark and DuckDB (bin(x)), so its length IS the bit length."""
+    return F.length(F.conv(col.cast("string"), 10, 2))
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Build the (bucket, rho) register relation for a column: bucket =
+    top ``p`` bits of the 60-bit portable hash, rho = leading-zero count
+    of the remaining 60−p bits + 1 (all-zero remainder → 60−p+1).
+    NULLs are excluded (distinct-count semantics).  Output ≤ 2^p rows."""
+    rem_bits = 60 - p
+    h = _base_hash64(F.col(col).cast("string"), hash_kind)
+    bucket = F.shiftright(h, rem_bits).cast("int")
+    rest = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rem_bits + 1)).otherwise(
+        rem_bits - _bit_length(rest) + 1
+    ).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_relations: DataFrame) -> DataFrame:
+    """Fold any number of register relations into one — union + max per
+    bucket.  Associative and idempotent: per-shard sketches persisted
+    daily can merge into weekly/monthly counts without rescanning."""
+    if not register_relations:
+        raise ValueError("hll_merge needs at least one register relation")
+    u = register_relations[0]
+    for r in register_relations[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate from a register relation.  The harmonic sum
+    runs in INTEGER arithmetic (Σ 2^(53−rho), absent buckets contribute
+    2^53), so the estimate double is bit-identical across engines;
+    the ≤2.5m small-range case switches to linear counting m·ln(m/V).
+    Returns 1 row (n_buckets_used, estimate)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("CAST(shiftleft(1L, 53 - rho) AS BIGINT)")).alias("__s__"),
+    )
+    used = F.col("used")
+    s_total = (F.col("__s__") + (F.lit(m) - used) * F.lit(1 << 53)).cast("double")
+    raw = F.lit(alpha * m * m * float(1 << 53)) / s_total
+    v = F.lit(m) - used  # zero registers
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(used.alias("n_buckets_used"), est.alias("estimate"))
+
+
+def hll_count(df: DataFrame, col: str, p: int = 8, hash_kind: str = "md5") -> DataFrame:
+    """One-call distinct-count estimate (build + estimate)."""
+    return hll_estimate(hll_registers(df, col, p, hash_kind), p)

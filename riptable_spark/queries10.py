@@ -1353,3 +1353,135 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     out = _pl.negative_sample(d.select("doc_id"), "doc_id", k=3, seed=11, hash_kind="md5")
     return out.select("anchor", F.col("j").cast("int").alias("j"), "negative")
+
+
+# ------------------------------------------------------------------ q230
+_HLL_A = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * float(1 << 53))
+
+
+@query(
+    "q230_hll_distinct",
+    f"""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    r AS (
+        SELECT CAST(hv >> 52 AS INT) AS bucket,
+               CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                    ELSE 52 - length(bin(hv & ((1::BIGINT << 52) - 1))) + 1 END AS INT) AS rho0
+        FROM h
+    ),
+    regs AS (SELECT bucket, max(rho0) AS rho FROM r GROUP BY bucket),
+    agg AS (SELECT count(*) AS used, sum((1::BIGINT << (53 - rho))) AS s FROM regs),
+    est AS (
+        SELECT used,
+               {_HLL_A} / ((s + (256 - used) * (1::BIGINT << 53)))::DOUBLE AS raw
+        FROM agg
+    )
+    SELECT used AS n_buckets_used,
+           round(CASE WHEN raw <= 640.0 AND (256 - used) > 0
+                      THEN 256.0 * ln(256.0 / (256 - used))
+                      ELSE raw END, 6) AS estimate
+    FROM est
+    """,
+)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct customers as a PLAIN (bucket, rho) register
+    relation — mergeable across shards with a max-agg — with the
+    harmonic sum in INTEGER arithmetic (Σ 2^(53−rho)); the oracle
+    replays registers AND estimate bit-for-bit on the portable hash."""
+    from .operators import sketch as _sk
+
+    o = load_table(spark, sf, "orders")
+    out = _sk.hll_count(o, "o_custkey", p=8, hash_kind="md5")
+    return out.select(
+        F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
+        F.round("estimate", 6).alias("estimate"),
+    )
+
+
+# ------------------------------------------------------------------ q231
+@query(
+    "q231_asof_topk",
+    """
+    WITH t AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tu FROM events WHERE event_type = 'purchase'
+    ),
+    q AS (
+        SELECT event_id AS qid, user_id, epoch_us(ts) AS qt,
+               CAST(round(value * 100) AS BIGINT) AS qv
+        FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+        SELECT t.event_id, t.user_id, q.qid, q.qv,
+               row_number() OVER (PARTITION BY t.user_id, t.event_id
+                                  ORDER BY q.qt DESC, q.qid) AS asof_rank
+        FROM t JOIN q ON q.user_id = t.user_id
+                     AND q.qt <= t.tu AND q.qt > t.tu - 86400000000
+    )
+    SELECT event_id, user_id, qid AS click_id, qv AS click_value, asof_rank
+    FROM cand WHERE asof_rank <= 2
+    """,
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k as-of join: each purchase matched to its 2 most recent
+    clicks within 24 h — the point-in-interval grid rewrite (equi-join
+    on (user, day-bucket) + residual, never a nested loop) with a
+    bounded per-purchase ranking window."""
+    from .operators import merge as _mg
+
+    ev = load_table(spark, sf, "events")
+    trades = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    quotes = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("qid"), "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    out = _mg.merge_asof_topk(
+        trades, quotes, on="t_us", by=["user_id"], left_id_col="event_id",
+        k=2, tolerance=86400000000.0,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("qid").alias("click_id"),
+        F.col("qv").alias("click_value"), "asof_rank",
+    )
+
+
+# ------------------------------------------------------------------ q232
+@query(
+    "q232_weighted_quantile",
+    """
+    WITH t AS (
+        SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS v,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    pv AS (SELECT l_returnflag, v, sum(w) AS w FROM t GROUP BY l_returnflag, v),
+    s AS (
+        SELECT l_returnflag, v,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM pv
+    )
+    SELECT l_returnflag, min(v) AS weighted_quantile, min(tw)::BIGINT AS w_total
+    FROM s WHERE cw * 10 >= tw * 9 GROUP BY l_returnflag
+    """,
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted P90 of order quantity (price-weighted): weighted_median
+    generalized to rational q with the all-integer reach test
+    cumw·10 ≥ 9·total."""
+    from .operators import groupby as _gb
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+    )
+    return _gb.weighted_quantile(li, "l_returnflag", "v", "w", q_num=9, q_den=10).select(
+        "l_returnflag", "weighted_quantile", F.col("w_total").cast("long").alias("w_total")
+    )

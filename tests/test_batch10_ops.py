@@ -480,3 +480,46 @@ def test_negative_sample_deterministic_uniform(spark):
     assert len(a) >= 50 * 3 - 10                   # only self-draws removed
     c = sorted((r.anchor, r.j, r.negative) for r in pl.negative_sample(df, k=3, seed=2).collect())
     assert a != c                                  # seed changes the permutation
+
+
+def test_hll_accuracy_and_merge(spark):
+    from riptable_spark.operators import sketch as sk
+
+    df = spark.createDataFrame(pd.DataFrame({"u": [i % 5000 for i in range(20000)]}))
+    est = sk.hll_count(df, "u", p=8).first().estimate
+    assert abs(est - 5000) / 5000 < 0.15  # ~1.04/sqrt(256) ≈ 6.5% std err
+    # merge of two disjoint halves == sketch of the union
+    a = sk.hll_registers(df.where(F.col("u") < 2500), "u", p=8)
+    b = sk.hll_registers(df.where(F.col("u") >= 2500), "u", p=8)
+    merged = sk.hll_estimate(sk.hll_merge(a, b), p=8).first().estimate
+    assert merged == est
+    # small range -> linear counting is near-exact
+    small = spark.createDataFrame(pd.DataFrame({"u": list(range(30))}))
+    est_small = sk.hll_count(small, "u", p=8).first().estimate
+    assert abs(est_small - 30) < 3
+
+
+def test_merge_asof_topk_hand_checked(spark):
+    from riptable_spark.operators import merge as mg
+
+    trades = spark.createDataFrame(pd.DataFrame({"tid": [1, 2], "k": ["a", "a"], "t": [100.0, 50.0]}))
+    quotes = spark.createDataFrame(pd.DataFrame({
+        "qid": [10, 11, 12, 13], "k": ["a"] * 4, "t": [40.0, 60.0, 95.0, 120.0]}))
+    out = mg.merge_asof_topk(
+        trades, quotes, on="t", by=["k"], left_id_col="tid", k=2, tolerance=70.0
+    )
+    got = {(r.tid, r.asof_rank): r.qid for r in out.collect()}
+    assert got[(1, 1)] == 12 and got[(1, 2)] == 11   # at t=100: quotes 95, 60 (40 out of tol)
+    assert got[(2, 1)] == 10 and (2, 2) not in got   # at t=50: only quote 40
+
+
+def test_weighted_quantile_generalizes_median(spark):
+    from riptable_spark.operators import groupby as gb
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 10, "v": list(range(1, 11)), "w": [1] * 10})
+    )
+    p90 = gb.weighted_quantile(df, "k", "v", "w", 9, 10).first().weighted_quantile
+    med = gb.weighted_quantile(df, "k", "v", "w", 1, 2).first().weighted_quantile
+    med2 = gb.weighted_median(df, "k", "v", "w").first().weighted_median
+    assert p90 == 9 and med == med2 == 5
