@@ -390,3 +390,77 @@ def quantile_transform(
     klist = [] if keys is None else ([keys] if isinstance(keys, str) else list(keys))
     w = (Window.partitionBy(*klist) if klist else Window.partitionBy()).orderBy(val_col)
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: χ² = Σ (o−e)²/e over the contingency table with expected
+    e = c_a·c_b/N — one fact-table shuffle into the pair counts (the
+    mutual_info shape), every term an exact-integer-derived double.
+    Returns 1 row (chi2, dof, n).  (p-values need the incomplete gamma;
+    compare chi2 against the critical value for the dof instead.)"""
+    pair = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__o__"))
+    )
+    ma = pair.groupBy(col_a).agg(F.sum("__o__").alias("__ca__"))
+    mb = pair.groupBy(col_b).agg(F.sum("__o__").alias("__cb__"))
+    tot = pair.agg(
+        F.sum("__o__").alias("__N__"),
+        F.count_distinct(col_a).alias("__ra__"),
+        F.count_distinct(col_b).alias("__rb__"),
+    )
+    # absent (a, b) cells still contribute e = ca*cb/N to the sum:
+    # chi2 = sum_over_observed((o-e)^2/e) + sum_over_missing(e)
+    #      = sum_observed((o-e)^2/e - e) + N   (since sum_all(e) = N)
+    j = (
+        pair.join(F.broadcast(ma), on=col_a)
+        .join(F.broadcast(mb), on=col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("__o__").cast("double")
+    e = F.col("__ca__").cast("double") * F.col("__cb__").cast("double") / F.col("__N__").cast("double")
+    term = (o - e) * (o - e) / e - e
+    agg = j.agg(
+        F.sum(term).alias("__t__"),
+        F.min("__N__").alias("n"),
+        F.min("__ra__").alias("__ra__"),
+        F.min("__rb__").alias("__rb__"),
+    )
+    return agg.select(
+        (F.col("__t__") + F.col("n")).alias("chi2"),
+        ((F.col("__ra__") - 1) * (F.col("__rb__") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def proportion_ci(
+    df: DataFrame,
+    keys: list[str] | str,
+    success_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group proportion with the Wilson score interval (the
+    recommended small-n binomial CI; default z = Φ⁻¹(0.975)):
+    center (p̂ + z²/2n)/(1 + z²/n) ± z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n).
+    One aggregate of exact integer counts; the interval algebra is
+    deterministic double arithmetic.  ``success_col`` is boolean/0-1.
+    Returns (keys…, n, n_success, p_hat, ci_lo, ci_hi)."""
+    klist = [keys] if isinstance(keys, str) else list(keys)
+    s = F.col(success_col).cast("int")
+    agg = df.where(s.isNotNull()).groupBy(*klist).agg(
+        F.count(s).alias("n"), F.sum(s).alias("n_success")
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_success").cast("double") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = z * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    return agg.select(
+        *klist, "n", "n_success",
+        p.alias("p_hat"),
+        F.greatest(center - half, F.lit(0.0)).alias("ci_lo"),
+        F.least(center + half, F.lit(1.0)).alias("ci_hi"),
+    )

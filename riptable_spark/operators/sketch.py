@@ -96,3 +96,66 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
 def hll_count(df: DataFrame, col: str, p: int = 8, hash_kind: str = "md5") -> DataFrame:
     """One-call distinct-count estimate (build + estimate)."""
     return hll_estimate(hll_registers(df, col, p, hash_kind), p)
+
+
+# ---------------------------------------------------------- count-min
+def cms_build(
+    df: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Count-Min sketch as a plain (row, bucket, count) RELATION: d
+    independent hash rows of w counters — the fixed-memory frequency
+    summary for heavy-hitter screens over unbounded key domains.
+    Mergeable by SUM (fold per-shard sketches without rescanning);
+    estimates are upper bounds (never undercount).  Output ≤ d·w rows;
+    the build is one explode-by-d + map-side-combined count."""
+    rows = []
+    for i in range(d):
+        h = _base_hash64(F.concat_ws("#", F.lit(str(i)), F.col(col).cast("string")), hash_kind)
+        rows.append(F.struct(F.lit(i).alias("row"), F.pmod(h, F.lit(w)).alias("bucket")))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(F.array(*rows)).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Fold count-min relations: union + SUM per (row, bucket)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row", "bucket").agg(F.sum("count").alias("count"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Point-frequency estimates for a key relation: each key probes its
+    d counters (equi-join on (row, bucket) — the sketch side is ≤ d·w
+    rows and broadcasts) and takes the MIN.  Absent counters read 0.
+    Returns (key, est)."""
+    rows = []
+    for i in range(d):
+        h = _base_hash64(F.concat_ws("#", F.lit(str(i)), F.col(key_col).cast("string")), hash_kind)
+        rows.append(F.struct(F.lit(i).alias("row"), F.pmod(h, F.lit(w)).alias("bucket")))
+    probes = keys.select(
+        F.col(key_col), F.explode(F.array(*rows)).alias("rb")
+    ).select(key_col, "rb.row", "rb.bucket")
+    j = probes.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+    return (
+        j.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est"))
+    )

@@ -1485,3 +1485,164 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
     return _gb.weighted_quantile(li, "l_returnflag", "v", "w", q_num=9, q_den=10).select(
         "l_returnflag", "weighted_quantile", F.col("w_total").cast("long").alias("w_total")
     )
+
+
+# ------------------------------------------------------------------ q233
+@query(
+    "q233_count_min",
+    """
+    WITH src AS (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+    probes AS (
+        SELECT i AS row,
+               ('0x' || substr(md5(i::VARCHAR || '#' || o_custkey::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+        FROM src, (SELECT unnest(range(0, 4)) AS i)
+    ),
+    cms AS (SELECT row, bucket, count(*) AS c FROM probes GROUP BY row, bucket),
+    keys AS (SELECT unnest(range(1, 21)) AS k),
+    kp AS (
+        SELECT k, i AS row,
+               ('0x' || substr(md5(i::VARCHAR || '#' || k::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+        FROM keys, (SELECT unnest(range(0, 4)) AS i)
+    ),
+    est AS (SELECT k, min(coalesce(c, 0)) AS est FROM kp LEFT JOIN cms USING (row, bucket) GROUP BY k),
+    ex AS (SELECT o_custkey AS k, count(*) AS exact FROM src GROUP BY o_custkey)
+    SELECT est.k AS custkey, est.est::BIGINT AS est, coalesce(ex.exact, 0)::BIGINT AS exact
+    FROM est LEFT JOIN ex USING (k)
+    """,
+)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min frequency sketch as a mergeable (row, bucket, count)
+    relation (4×256 counters over customer order counts) probed for 20
+    point keys, alongside the exact counts — the oracle replays build,
+    probe, and min-of-counters bit-for-bit; estimates are provable
+    upper bounds of the exact column."""
+    from .operators import sketch as _sk
+
+    o = load_table(spark, sf, "orders")
+    cms = _sk.cms_build(o, "o_custkey", d=4, w=256, hash_kind="md5")
+    keys = spark.range(1, 21).select(F.col("id").alias("custkey"))
+    est = _sk.cms_query(cms, keys, "custkey", d=4, w=256, hash_kind="md5")
+    exact = o.where(F.col("o_custkey").isNotNull()).groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(F.count(F.lit(1)).alias("exact"))
+    out = est.join(exact, on="custkey", how="left")
+    return out.select(
+        "custkey", F.col("est").cast("long").alias("est"),
+        F.coalesce(F.col("exact"), F.lit(0)).cast("long").alias("exact"),
+    )
+
+
+# ------------------------------------------------------------------ q234
+@query(
+    "q234_chi_square",
+    """
+    WITH t AS (
+        SELECT event_type AS a, user_id % 7 AS b FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ),
+    pair AS (SELECT a, b, count(*) AS o FROM t GROUP BY a, b),
+    ma AS (SELECT a, sum(o)::BIGINT AS ca FROM pair GROUP BY a),
+    mb AS (SELECT b, sum(o)::BIGINT AS cb FROM pair GROUP BY b),
+    tot AS (SELECT sum(o)::BIGINT AS tn, count(DISTINCT a) AS ra, count(DISTINCT b) AS rb FROM pair),
+    terms AS (
+        SELECT (o::DOUBLE - e) * (o::DOUBLE - e) / e - e AS term, tn, ra, rb
+        FROM (SELECT o, ca::DOUBLE * cb::DOUBLE / tn::DOUBLE AS e, tn, ra, rb
+              FROM pair JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot)
+    )
+    SELECT round(sum(term) + min(tn), 6) AS chi2,
+           ((min(ra) - 1) * (min(rb) - 1))::BIGINT AS dof,
+           min(tn)::BIGINT AS n
+    FROM terms
+    """,
+)
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence test (event type × user bucket): one
+    contingency shuffle, absent cells folded in via Σterm + N algebra,
+    exact-integer-derived doubles."""
+    from .functions import stats as _st
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("a"), (F.col("user_id") % 7).alias("b"))
+    )
+    out = _st.chi_square(ev, "a", "b")
+    return out.select(F.round("chi2", 6).alias("chi2"), "dof", "n")
+
+
+# ------------------------------------------------------------------ q235
+@query(
+    "q235_proportion_ci",
+    """
+    WITH t AS (
+        SELECT source, CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS s
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    agg AS (SELECT source, count(*) AS n, sum(s)::BIGINT AS n_success FROM t GROUP BY source)
+    SELECT source, n, n_success,
+           round(p, 6) AS p_hat,
+           round(greatest((p + z2 / (2.0 * nd)) / denom
+                 - 1.959963984540054 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)) / denom, 0.0), 6) AS ci_lo,
+           round(least((p + z2 / (2.0 * nd)) / denom
+                 + 1.959963984540054 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)) / denom, 1.0), 6) AS ci_hi
+    FROM (
+        SELECT source, n, n_success, n::DOUBLE AS nd,
+               n_success::DOUBLE / n::DOUBLE AS p,
+               1.959963984540054 * 1.959963984540054 AS z2,
+               1.0 + 1.959963984540054 * 1.959963984540054 / n::DOUBLE AS denom
+        FROM agg
+    )
+    """,
+)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source long-document proportion with the Wilson score 95%
+    interval — exact integer counts, deterministic interval algebra
+    mirrored term-for-term."""
+    from .functions import stats as _st
+
+    d = load_table(spark, sf, "documents").where(F.col("n_chars").isNotNull())
+    d = d.withColumn("s", (F.col("n_chars") > 250).cast("int"))
+    out = _st.proportion_ci(d, "source", "s")
+    return out.select(
+        "source", "n", F.col("n_success").cast("long").alias("n_success"),
+        F.round("p_hat", 6).alias("p_hat"),
+        F.round("ci_lo", 6).alias("ci_lo"), F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
+# ------------------------------------------------------------------ q236
+@query(
+    "q236_rfm_features",
+    """
+    WITH g AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+    u AS (
+        SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS monetary
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST((now_us - last_us) // 86400000000 AS BIGINT) AS recency_days,
+           frequency, monetary
+    FROM u CROSS JOIN g
+    """,
+)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM feature block (recency / frequency / monetary) per user —
+    the classic churn/value feature triple as one hash-agg + a 1-row
+    global reference time, all integer arithmetic."""
+    ev = load_table(spark, sf, "events").withColumn("t_us", F.unix_micros("ts"))
+    g = ev.agg(F.max("t_us").alias("now_us"))
+    u = ev.groupBy("user_id").agg(
+        F.max("t_us").alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("bigint")).otherwise(0)
+        ).cast("long").alias("monetary"),
+    )
+    return u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.floor((F.col("now_us") - F.col("last_us")) / 86400000000).cast("long").alias("recency_days"),
+        "frequency", "monetary",
+    )

@@ -523,3 +523,38 @@ def test_weighted_quantile_generalizes_median(spark):
     med = gb.weighted_quantile(df, "k", "v", "w", 1, 2).first().weighted_quantile
     med2 = gb.weighted_median(df, "k", "v", "w").first().weighted_median
     assert p90 == 9 and med == med2 == 5
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from riptable_spark.operators import sketch as sk
+
+    df = spark.createDataFrame(pd.DataFrame({"k": [i % 100 for i in range(5000)]}))
+    cms = sk.cms_build(df, "k", d=4, w=64)
+    keys = spark.createDataFrame(pd.DataFrame({"k": list(range(100))}))
+    est = {r.k: r.est for r in sk.cms_query(cms, keys, "k", d=4, w=64).collect()}
+    assert all(est[k] >= 50 for k in range(100))   # exact count per key = 50
+    # merge of disjoint halves == sketch of the union
+    a = sk.cms_build(df.where(F.col("k") < 50), "k", d=4, w=64)
+    b = sk.cms_build(df.where(F.col("k") >= 50), "k", d=4, w=64)
+    merged = sk.cms_merge(a, b)
+    est2 = {r.k: r.est for r in sk.cms_query(merged, keys, "k", d=4, w=64).collect()}
+    assert est2 == est
+
+
+def test_chi_square_independent_is_zero(spark):
+    from riptable_spark.functions import stats as st
+
+    prod = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(prod, columns=["a", "b"]))
+    r = st.chi_square(df, "a", "b").first()
+    assert abs(r.chi2) < 1e-9 and r.dof == 1 and r.n == 20
+
+
+def test_proportion_ci_brackets_p_hat(spark):
+    from riptable_spark.functions import stats as st
+
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"] * 100, "s": [1] * 30 + [0] * 70}))
+    r = st.proportion_ci(df, "k", "s").first()
+    assert abs(r.p_hat - 0.3) < 1e-12
+    assert r.ci_lo < 0.3 < r.ci_hi
+    assert 0.21 < r.ci_lo < 0.24 and 0.39 < r.ci_hi < 0.41  # Wilson 95% for 30/100
