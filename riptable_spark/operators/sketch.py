@@ -159,3 +159,81 @@ def cms_query(
         j.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est"))
     )
+
+
+def hll_registers_by(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    col: str,
+    p: int = 8,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Per-group register relations: (group…, bucket, rho) — the
+    persistable sketch table a 100 TB ingest writes once per
+    partition/day and folds later.  ≤ 2^p rows per group."""
+    glist = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    rem_bits = 60 - p
+    h = _base_hash64(F.col(col).cast("string"), hash_kind)
+    bucket = F.shiftright(h, rem_bits).cast("int")
+    rest = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rem_bits + 1)).otherwise(
+        rem_bits - _bit_length(rest) + 1
+    ).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*glist, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*glist, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_trailing_estimate(
+    registers: DataFrame,
+    time_col: str,
+    trailing: int,
+    p: int = 8,
+) -> DataFrame:
+    """Trailing-window distinct counts from periodic sketches: for each
+    time bucket t, merge the registers of (t−trailing+1 … t) with a
+    range-frame MAX per (bucket,) and estimate — "trailing-24h active
+    users from hourly sketches" without ever rescanning raw events.
+
+    The merge is a rangeBetween window over the REGISTER relation
+    (≤ 2^p rows per period), so the whole rollup costs
+    O(periods · 2^p) — independent of event volume.  Estimation inherits
+    hll_estimate's integer-harmonic portability.  Returns
+    (time, n_buckets_used, estimate)."""
+    from pyspark.sql import Window
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # dense (time × observed bucket) grid so every period sees every
+    # bucket that occurs anywhere in its trailing range
+    times = registers.select(F.col(time_col).alias("t")).distinct()
+    buckets = registers.select("bucket").distinct()
+    grid = times.crossJoin(buckets)
+    j = grid.join(
+        registers.select(F.col(time_col).alias("t"), "bucket", "rho"),
+        on=["t", "bucket"], how="left",
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("t")
+        .rangeBetween(-(trailing - 1), 0)
+    )
+    merged = j.select(
+        "t", "bucket", F.max("rho").over(w).alias("rho")
+    ).where(F.col("rho").isNotNull())
+    agg = merged.groupBy("t").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("CAST(shiftleft(1L, 53 - rho) AS BIGINT)")).alias("__s__"),
+    )
+    used = F.col("used")
+    s_total = (F.col("__s__") + (F.lit(m) - used) * F.lit(1 << 53)).cast("double")
+    raw = F.lit(alpha * m * m * float(1 << 53)) / s_total
+    v = F.lit(m) - used
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        F.col("t").alias(time_col), used.alias("n_buckets_used"), est.alias("estimate")
+    )

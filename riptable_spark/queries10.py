@@ -1646,3 +1646,161 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
         F.floor((F.col("now_us") - F.col("last_us")) / 86400000000).cast("long").alias("recency_days"),
         "frequency", "monetary",
     )
+
+
+# ------------------------------------------------------------------ q237
+@query(
+    "q237_hll_trailing_dau",
+    f"""
+    WITH h AS (
+        SELECT epoch_us(ts) // 86400000000 AS t,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+        SELECT t, CAST(hv >> 52 AS INT) AS bucket,
+               CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                    ELSE 52 - length(bin(hv & ((1::BIGINT << 52) - 1))) + 1 END AS INT) AS rho0
+        FROM h
+    ),
+    regs AS (SELECT t, bucket, max(rho0) AS rho FROM r GROUP BY t, bucket),
+    grid AS (
+        SELECT tt.t, b.bucket
+        FROM (SELECT DISTINCT t FROM regs) tt CROSS JOIN (SELECT DISTINCT bucket FROM regs) b
+    ),
+    jm AS (SELECT grid.t, grid.bucket, regs.rho FROM grid LEFT JOIN regs USING (t, bucket)),
+    m AS (
+        SELECT t, bucket,
+               max(rho) OVER (PARTITION BY bucket ORDER BY t
+                              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho
+        FROM jm
+    ),
+    mm AS (SELECT t, bucket, rho FROM m WHERE rho IS NOT NULL),
+    agg AS (SELECT t, count(*) AS used, sum((1::BIGINT << (53 - rho))) AS s FROM mm GROUP BY t),
+    est AS (
+        SELECT t, used,
+               {_HLL_A} / ((s + (256 - used) * (1::BIGINT << 53)))::DOUBLE AS raw
+        FROM agg
+    )
+    SELECT t AS day, used::BIGINT AS n_buckets_used,
+           round(CASE WHEN raw <= 640.0 AND (256 - used) > 0
+                      THEN 256.0 * ln(256.0 / (256 - used))
+                      ELSE raw END, 6) AS estimate
+    FROM est
+    """,
+)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day active users from DAILY HLL sketches: per-day
+    register relations merge with a rangeBetween MAX per bucket —
+    O(days · 256) rollup work, event volume never rescanned; the oracle
+    replays sketches, window merge, and integer-harmonic estimates
+    bit-for-bit."""
+    from .operators import sketch as _sk
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("user_id").isNotNull())
+        .withColumn("day", F.floor(F.unix_micros("ts") / 86400000000).cast("long"))
+    )
+    regs = _sk.hll_registers_by(ev, "day", "user_id", p=8, hash_kind="md5")
+    out = _sk.hll_trailing_estimate(regs, "day", trailing=7, p=8)
+    return out.select(
+        "day", F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
+        F.round("estimate", 6).alias("estimate"),
+    )
+
+
+# ------------------------------------------------------------------ q238
+def _hll_est_sql(cte: str) -> str:
+    return f"""(
+        SELECT round(CASE WHEN raw <= 640.0 AND (256 - used) > 0
+                          THEN 256.0 * ln(256.0 / (256 - used)) ELSE raw END, 6) AS e
+        FROM (SELECT used, {_HLL_A} / ((s + (256 - used) * (1::BIGINT << 53)))::DOUBLE AS raw
+              FROM (SELECT count(*) AS used, sum((1::BIGINT << (53 - rho))) AS s FROM {cte}))
+    )"""
+
+
+@query(
+    "q238_audience_overlap",
+    f"""
+    WITH ha AS (
+        SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+    ),
+    hb AS (
+        SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    ra AS (SELECT CAST(hv >> 52 AS INT) AS bucket,
+                  max(CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                       ELSE 52 - length(bin(hv & ((1::BIGINT << 52) - 1))) + 1 END AS INT)) AS rho
+           FROM ha GROUP BY 1),
+    rb AS (SELECT CAST(hv >> 52 AS INT) AS bucket,
+                  max(CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                       ELSE 52 - length(bin(hv & ((1::BIGINT << 52) - 1))) + 1 END AS INT)) AS rho
+           FROM hb GROUP BY 1),
+    ru AS (SELECT bucket, max(rho) AS rho FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket)
+    SELECT a.e AS est_a, b.e AS est_b, u.e AS est_union,
+           round(a.e + b.e - u.e, 6) AS est_intersection
+    FROM {_hll_est_sql('ra')} a CROSS JOIN {_hll_est_sql('rb')} b CROSS JOIN {_hll_est_sql('ru')} u
+    """,
+)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience overlap by HLL inclusion-exclusion: clickers ∩
+    purchasers ≈ est(A) + est(B) − est(A∪B), the union sketch being the
+    bucket-wise MAX merge — three register relations, no raw-user join
+    anywhere."""
+    from .operators import sketch as _sk
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id").isNotNull())
+    a = _sk.hll_registers(ev.where(F.col("event_type") == "click"), "user_id", hash_kind="md5")
+    b = _sk.hll_registers(ev.where(F.col("event_type") == "purchase"), "user_id", hash_kind="md5")
+    u = _sk.hll_merge(a, b)
+    ea = _sk.hll_estimate(a).select(F.round("estimate", 6).alias("est_a"))
+    eb = _sk.hll_estimate(b).select(F.round("estimate", 6).alias("est_b"))
+    eu = _sk.hll_estimate(u).select(F.round("estimate", 6).alias("est_union"))
+    out = ea.crossJoin(eb).crossJoin(eu)
+    return out.withColumn(
+        "est_intersection", F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6)
+    )
+
+
+# ------------------------------------------------------------------ q239
+@query(
+    "q239_path_trigrams",
+    """
+    WITH t AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    l AS (
+        SELECT event_type AS s3,
+               lag(event_type, 1) OVER w AS s2,
+               lag(event_type, 2) OVER w AS s1
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    )
+    SELECT s1, s2, s3, count(*) AS n
+    FROM l WHERE s1 IS NOT NULL
+    GROUP BY s1, s2, s3
+    """,
+)
+def q239(spark: SparkSession, sf: str) -> DataFrame:
+    """Top user journey trigrams: per-user ordered event-type
+    3-sequences via two lags in ONE window pass, then a tiny count
+    aggregate — the path-analysis staple."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isNotNull())
+        .withColumn("t_us", F.unix_micros("ts"))
+    )
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    l = ev.select(
+        F.col("event_type").alias("s3"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.lag("event_type", 2).over(w).alias("s1"),
+    )
+    return l.where(F.col("s1").isNotNull()).groupBy("s1", "s2", "s3").agg(
+        F.count(F.lit(1)).alias("n")
+    )

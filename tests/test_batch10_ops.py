@@ -558,3 +558,16 @@ def test_proportion_ci_brackets_p_hat(spark):
     assert abs(r.p_hat - 0.3) < 1e-12
     assert r.ci_lo < 0.3 < r.ci_hi
     assert 0.21 < r.ci_lo < 0.24 and 0.39 < r.ci_hi < 0.41  # Wilson 95% for 30/100
+
+
+def test_hll_trailing_estimate_matches_exact_windows(spark):
+    from riptable_spark.operators import sketch as sk
+
+    # 3 days, users overlap across days; trailing-2 merge must count
+    # the union of each day pair (small range -> linear counting exact-ish)
+    rows = [(0, u) for u in range(20)] + [(1, u) for u in range(10, 30)] + [(2, u) for u in range(25, 40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["day", "u"]))
+    regs = sk.hll_registers_by(df, "day", "u", p=8)
+    out = {r.day: r.estimate for r in sk.hll_trailing_estimate(regs, "day", trailing=2, p=8).collect()}
+    for day, expect in [(0, 20), (1, 30), (2, 30)]:  # unions of trailing pairs
+        assert abs(out[day] - expect) / expect < 0.12
