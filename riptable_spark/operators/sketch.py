@@ -237,3 +237,116 @@ def hll_trailing_estimate(
     return agg.select(
         F.col("t").alias(time_col), used.alias("n_buckets_used"), est.alias("estimate")
     )
+
+
+# ------------------------------------------------- histogram quantiles
+def hist_sketch(
+    df: DataFrame,
+    col: str,
+    bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Fixed-grid histogram sketch: (bucket, count) over [lo, hi) with
+    edge clamping — the mergeable (SUM) quantile summary for columns
+    with a known range.  ≤ ``bins`` rows; one map-side-combined count."""
+    x = F.col(col).cast("double")
+    b = F.floor((x - lo) / (hi - lo) * bins)
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+    return (
+        df.where(x.isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Fold histogram sketches: union + SUM per bucket."""
+    if not sketches:
+        raise ValueError("hist_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("bucket").agg(F.sum("count").alias("count"))
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    qs: list[tuple[int, int]],
+    bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch at rational targets
+    ``qs`` = [(num, den), …]: the answer is the LEFT EDGE of the first
+    bucket whose cumulative count reaches q·total — the reach test is
+    all-integer (cum·den ≥ num·total), the edge value one exact
+    bucket→double expression, so estimates are engine-identical and the
+    error is bounded by one bucket width.  Returns (q_num, q_den,
+    quantile_est)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket",
+        F.sum("count").over(w).alias("__cum__"),
+    ).crossJoin(F.broadcast(sketch.agg(F.sum("count").alias("__tot__"))))
+    outs = []
+    for num, den in qs:
+        first = (
+            cum.where(F.col("__cum__") * den >= F.col("__tot__") * num)
+            .agg(F.min("bucket").alias("__b__"))
+            .select(
+                F.lit(num).alias("q_num"), F.lit(den).alias("q_den"),
+                (F.lit(lo) + F.col("__b__").cast("double") * ((hi - lo) / bins)).alias("quantile_est"),
+            )
+        )
+        outs.append(first)
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
+
+
+# -------------------------------------------------------- KMV (bottom-k)
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """KMV (bottom-k / theta) sketch: the k SMALLEST distinct hash
+    values of a column — simultaneously a distinct-count estimator and
+    a deterministic uniform sample of the distinct domain (the rows
+    whose hashes they are).  Mergeable: union two sketches and re-take
+    the bottom k.  Returns (hv, value) — ≤ k rows."""
+    h = _base_hash64(F.col(col).cast("string"), hash_kind)
+    d = (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("hv"), F.col(col).alias("value"))
+        .groupBy("hv")
+        .agg(F.min("value").alias("value"))
+    )
+    # orderBy + limit plans as TakeOrderedAndProject — per-partition
+    # bottom-k then a k-row driver merge, never a single-partition sort
+    return d.orderBy("hv").limit(k)
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Union + bottom-k — the KMV fold."""
+    u = a.unionByName(b).groupBy("hv").agg(F.min("value").alias("value"))
+    return u.orderBy("hv").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate (k−1)·H/h_k where h_k is the k-th
+    smallest hash and H = 2^60 (the portable-hash range).  With fewer
+    than k distinct hashes the sketch IS the domain — exact count.
+    Integer inputs, one division: engine-identical."""
+    agg = sketch.agg(F.count(F.lit(1)).alias("n"), F.max("hv").alias("hk"))
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("hk").cast("double")
+    )
+    return agg.select(F.col("n").alias("n_in_sketch"), est.alias("estimate"))

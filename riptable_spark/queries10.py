@@ -1804,3 +1804,74 @@ def q239(spark: SparkSession, sf: str) -> DataFrame:
     return l.where(F.col("s1").isNotNull()).groupBy("s1", "s2", "s3").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ------------------------------------------------------------------ q240
+@query(
+    "q240_hist_quantile_sketch",
+    """
+    WITH h AS (
+        SELECT greatest(0, least(255, floor((value - 0.0) / 200.0 * 256)))::INT AS bucket,
+               count(*) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cm,
+               (SELECT sum(c) FROM h) AS tot
+        FROM h
+    ),
+    qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) q(qn, qd))
+    SELECT qn AS q_num, qd AS q_den,
+           0.0 + min(bucket)::DOUBLE * (200.0 / 256) AS quantile_est
+    FROM qs JOIN cum ON cm * qd >= tot * qn
+    GROUP BY qn, qd
+    """,
+)
+def q240(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch: P50/P90/P99 of the event
+    value from a 256-bucket (bucket, count) relation — all-integer
+    reach tests, bucket-edge answers, error ≤ one bucket width; the
+    per-shard sketches fold by SUM."""
+    from .operators import sketch as _sk
+
+    ev = load_table(spark, sf, "events")
+    h = _sk.hist_sketch(ev, "value", bins=256, lo=0.0, hi=200.0)
+    return _sk.hist_quantile(h, [(1, 2), (9, 10), (99, 100)], bins=256, lo=0.0, hi=200.0)
+
+
+# ------------------------------------------------------------------ q241
+@query(
+    "q241_kmv_sketch",
+    f"""
+    WITH d AS (
+        SELECT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS hv,
+               min(o_custkey) AS value
+        FROM orders WHERE o_custkey IS NOT NULL
+        GROUP BY 1
+    ),
+    bk AS (SELECT hv, value FROM d ORDER BY hv LIMIT 64),
+    agg AS (SELECT count(*) AS n, max(hv) AS hk FROM bk)
+    SELECT n::BIGINT AS n_in_sketch,
+           round(CASE WHEN n < 64 THEN n::DOUBLE
+                      ELSE 63.0 * {float(1 << 60)!r} / hk::DOUBLE END, 6) AS estimate,
+           (SELECT sum(value) FROM bk)::BIGINT AS sample_key_sum
+    FROM agg
+    """,
+)
+def q241(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV bottom-64 sketch of distinct customers: simultaneously a
+    distinct-count estimate ((k−1)·H/h_k — integer inputs, one
+    division) and a DETERMINISTIC uniform sample of the key domain
+    (checksummed by the oracle).  orderBy+limit plans as
+    TakeOrderedAndProject — per-partition bottom-k, no global sort."""
+    from .operators import sketch as _sk
+
+    o = load_table(spark, sf, "orders")
+    sk = _sk.kmv_sketch(o, "o_custkey", k=64, hash_kind="md5")
+    est = _sk.kmv_estimate(sk, k=64)
+    ssum = sk.agg(F.sum("value").cast("long").alias("sample_key_sum"))
+    return est.crossJoin(F.broadcast(ssum)).select(
+        F.col("n_in_sketch").cast("long").alias("n_in_sketch"),
+        F.round("estimate", 6).alias("estimate"),
+        "sample_key_sum",
+    )

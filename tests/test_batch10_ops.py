@@ -571,3 +571,40 @@ def test_hll_trailing_estimate_matches_exact_windows(spark):
     out = {r.day: r.estimate for r in sk.hll_trailing_estimate(regs, "day", trailing=2, p=8).collect()}
     for day, expect in [(0, 20), (1, 30), (2, 30)]:  # unions of trailing pairs
         assert abs(out[day] - expect) / expect < 0.12
+
+
+def test_hist_quantile_sketch_bounded_error(spark):
+    import numpy as np
+
+    from riptable_spark.operators import sketch as sk
+
+    vals = np.linspace(0, 99.9, 2000)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    h = sk.hist_sketch(df, "v", bins=100, lo=0.0, hi=100.0)
+    out = {(r.q_num, r.q_den): r.quantile_est for r in
+           sk.hist_quantile(h, [(1, 2), (9, 10)], bins=100, lo=0.0, hi=100.0).collect()}
+    assert abs(out[(1, 2)] - 50.0) <= 1.0    # one bucket width
+    assert abs(out[(9, 10)] - 90.0) <= 1.0
+    # merge of halves == sketch of union
+    a = sk.hist_sketch(df.where(F.col("v") < 50), "v", bins=100, lo=0.0, hi=100.0)
+    b = sk.hist_sketch(df.where(F.col("v") >= 50), "v", bins=100, lo=0.0, hi=100.0)
+    m = sk.hist_merge(a, b)
+    out2 = {(r.q_num, r.q_den): r.quantile_est for r in
+            sk.hist_quantile(m, [(1, 2), (9, 10)], bins=100, lo=0.0, hi=100.0).collect()}
+    assert out2 == out
+
+
+def test_kmv_estimate_and_merge(spark):
+    from riptable_spark.operators import sketch as sk
+
+    df = spark.createDataFrame(pd.DataFrame({"u": [i % 3000 for i in range(9000)]}))
+    est = sk.kmv_estimate(sk.kmv_sketch(df, "u", k=64), k=64).first().estimate
+    assert abs(est - 3000) / 3000 < 0.30  # k=64 -> ~12.5% std err
+    a = sk.kmv_sketch(df.where(F.col("u") < 1500), "u", k=64)
+    b = sk.kmv_sketch(df.where(F.col("u") >= 1500), "u", k=64)
+    merged_est = sk.kmv_estimate(sk.kmv_merge(a, b, k=64), k=64).first().estimate
+    assert merged_est == est
+    # under k distinct -> exact
+    small = spark.createDataFrame(pd.DataFrame({"u": list(range(20))}))
+    r = sk.kmv_estimate(sk.kmv_sketch(small, "u", k=64), k=64).first()
+    assert r.n_in_sketch == 20 and r.estimate == 20.0
