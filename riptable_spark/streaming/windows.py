@@ -272,3 +272,37 @@ def stream_seasonal_anomaly(
         .where(F.abs(F.col("z")) > threshold)
         .drop("__season__", "n", "sx", "sxx")
     )
+
+
+def stream_hll_registers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 8,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Streaming approximate-distinct: per-tumbling-window HyperLogLog
+    REGISTER relation (window_start, bucket, rho) — a plain windowed
+    max-aggregation, so state is ≤ 2^p counters per open window
+    (bounded by the watermark) instead of a distinct-set that grows
+    with cardinality.  The sink table feeds sketch.hll_estimate /
+    hll_trailing_estimate unchanged — one estimation codepath for
+    batch and stream."""
+    from riptable_spark.operators.dedup import _base_hash64
+    from riptable_spark.operators.sketch import _bit_length
+
+    rem_bits = 60 - p
+    h = _base_hash64(F.col(key_col).cast("string"), hash_kind)
+    bucket = F.shiftright(h, rem_bits).cast("int")
+    rest = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rem_bits + 1)).otherwise(
+        rem_bits - _bit_length(rest) + 1
+    ).cast("int")
+    return (
+        events.where(F.col(key_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), bucket.alias("bucket"))
+        .agg(F.max(rho).alias("rho"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "rho")
+    )

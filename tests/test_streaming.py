@@ -312,3 +312,33 @@ def test_stream_seasonal_anomaly_parity(spark, sf_dir, stream, tmp_path):
     )
     assert set(got["event_id"]) == set(batch["event_id"])
     assert len(got) > 0
+
+
+def test_stream_hll_registers_parity_and_estimate(spark, sf_dir, stream, tmp_path):
+    """Streaming HLL: per-window register relations from the stream
+    equal the batch build, and feeding them to the batch estimator
+    tracks the exact per-window distinct count."""
+    from riptable_spark.operators import sketch as sk
+
+    got = sw.run_available_now(
+        sw.stream_hll_registers(stream, "user_id", "6 hours", p=8, hash_kind="md5"),
+        "hll_stream_test", str(tmp_path / "ckpt_hll"),
+    )
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    batch = sk.hll_registers_by(
+        ev.withColumn("window_start", F.window("ts", "6 hours").start),
+        "window_start", "user_id", p=8, hash_kind="md5",
+    )
+    g = got.toPandas().sort_values(["window_start", "bucket"]).reset_index(drop=True)
+    b = batch.toPandas().sort_values(["window_start", "bucket"]).reset_index(drop=True)
+    assert g.equals(b)
+    # estimate one window and compare to the exact distinct count
+    first_w = g["window_start"].iloc[0]
+    regs = got.where(F.col("window_start") == F.lit(first_w)).select("bucket", "rho")
+    est = sk.hll_estimate(regs, p=8).first().estimate
+    exact = (
+        ev.withColumn("ws", F.window("ts", "6 hours").start)
+        .where(F.col("ws") == F.lit(first_w))
+        .select("user_id").distinct().count()
+    )
+    assert abs(est - exact) / max(exact, 1) < 0.25
