@@ -158,3 +158,52 @@ def test_continuation_queries_lint_clean(spark, sf_dir):
             if "cartesian" not in w and "global-window" not in w
         ]
         assert warns == [], (name, warns)
+
+
+def test_batch10_queries_lint_clean(spark, sf_dir):
+    """Lint gates for batch 10 (q197-q241): no Python row UDFs and no
+    true cartesian of two large relations anywhere.  Exceptions by
+    design (checked in the weaker loop): 1-row global-aggregate cross
+    joins (target encoding, DSIR totals, chi-square, HLL/KMV estimates),
+    broadcast-anchor ANN scoring (q226), broadcast-probe sketch reads,
+    and the documented tiny-relation global windows (RRF, top-k ranks,
+    hist-sketch cumulative, KMV TakeOrdered, curriculum cut broadcast)."""
+    from riptable_spark import queries10  # noqa: F401
+    from riptable_spark.queries import QUERIES
+
+    strict = [
+        "q198_bigram_logprob",
+        "q200_rolling_higher_moments",
+        "q203_acf",
+        "q208_robust_stats",
+        "q212_daily_percentiles",
+        "q215_transition_matrix",
+        "q216_cusum_changepoint",
+        "q218_last_touch_attribution",
+        "q219_hashed_features",
+        "q222_fill_time_gaps",
+        "q223_weighted_median",
+        "q224_scd_join",
+        "q232_weighted_quantile",
+        "q239_path_trigrams",
+    ]
+    for name in strict:
+        warns = pi.lint(QUERIES[name](spark, sf_dir))
+        assert warns == [], (name, warns)
+    weaker = [
+        "q197_decontaminate_fuzzy", "q199_dsir_weights", "q201_audio_features",
+        "q202_target_encode", "q204_group_entropy", "q205_mutual_info",
+        "q206_psi_drift", "q207_corpus_overlap", "q209_weighted_stats",
+        "q210_hits", "q211_centroid_similarity", "q213_curriculum_order",
+        "q214_gram_matrix", "q217_json_extract", "q220_seasonal_zscore",
+        "q221_rrf_fusion", "q225_embedding_dim_audit", "q226_knn_label_agreement",
+        "q227_quantile_transform", "q228_oov_rate", "q229_negative_sample",
+        "q230_hll_distinct", "q231_asof_topk", "q233_count_min",
+        "q234_chi_square", "q235_proportion_ci", "q236_rfm_features", "q237_hll_trailing_dau",
+        "q238_audience_overlap", "q240_hist_quantile_sketch", "q241_kmv_sketch",
+    ]
+    for name in weaker:
+        df = QUERIES[name](spark, sf_dir)
+        warns = [w for w in pi.lint(df) if "python-row-udf" in w]
+        assert warns == [], (name, warns)
+        assert "CartesianProduct" not in pi.simple_plan(df), name
