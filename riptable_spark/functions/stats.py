@@ -464,3 +464,62 @@ def proportion_ci(
         F.greatest(center - half, F.lit(0.0)).alias("ci_lo"),
         F.least(center + half, F.lit(1.0)).alias("ci_hi"),
     )
+
+
+def auc_exact(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """EXACT ROC AUC (Mann-Whitney form) in pure integer arithmetic:
+    collapse to per-score (n_pos, n_neg) counts, cumulative negatives
+    over the score order, then AUC = Σ pos_s·(2·neg_below + neg_at_s)
+    / (2·P·N) — tie handling (half credit) folded into the ×2 numerator
+    so there is NO 0.5 float anywhere until the single final division.
+    One shuffle to the score-domain counts (the q04 value-map shape),
+    one ordered window over the score DOMAIN, a 1-row result."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("int")
+    per = df.where(y.isNotNull() & F.col(score_col).isNotNull()).groupBy(score_col).agg(
+        F.sum(y).alias("__p__"),
+        F.sum(1 - y).alias("__n__"),
+    )
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.withColumn("__nb__", F.coalesce(F.sum("__n__").over(w), F.lit(0)))
+    agg = cum.agg(
+        F.sum(F.col("__p__") * (2 * F.col("__nb__") + F.col("__n__"))).alias("__num2__"),
+        F.sum("__p__").alias("__P__"),
+        F.sum("__n__").alias("__N__"),
+    )
+    return agg.select(
+        F.col("__P__").cast("long").alias("n_pos"),
+        F.col("__N__").cast("long").alias("n_neg"),
+        (
+            F.col("__num2__").cast("double")
+            / (2.0 * F.col("__P__").cast("double") * F.col("__N__").cast("double"))
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-curve bins for a probabilistic classifier: bucket
+    predictions on the fixed [0, 1) grid and compare each bin's mean
+    prediction to its positive rate — the calibration audit.  With
+    integer-scaled predictions (or raw parquet doubles identical on
+    both sides) the means are exact ratios of sums.  Returns
+    (bin, n, mean_pred, frac_pos)."""
+    p = F.col(pred_col).cast("double")
+    y = F.col(label_col).cast("int")
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), F.floor(p * bins))).cast("int")
+    agg = df.where(p.isNotNull() & y.isNotNull()).groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(p * 1000000).cast("bigint")).alias("__sp__"),
+        F.sum(y).alias("__pos__"),
+    )
+    return agg.select(
+        "bin", "n",
+        (F.col("__sp__").cast("double") / (F.col("n") * 1000000).cast("double")).alias("mean_pred"),
+        (F.col("__pos__").cast("double") / F.col("n").cast("double")).alias("frac_pos"),
+    )

@@ -793,3 +793,42 @@ def negative_sample(
         on="__draw__",
     )
     return resolved.where(F.col("negative") != F.col("anchor")).select("anchor", "j", "negative")
+
+
+def kfold_split(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    hash_kind: str = "xxhash64",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = hash(id) % k — the
+    cross-validation counterpart of hash_split (zero shuffle, rerun and
+    cluster-size stable; leave-fold-i-out is a plain filter)."""
+    return df.withColumn(
+        out_col, F.pmod(_base_hash64(F.col(id_col).cast("string"), hash_kind), F.lit(k)).cast("int")
+    )
+
+
+def leakage_safe_kfold(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    k: int = 5,
+    hash_kind: str = "xxhash64",
+    max_iter: int = 20,
+) -> DataFrame:
+    """k-fold by NEAR-DUP COMPONENT: chained near-duplicates share a
+    fold, so no fold's held-out set contains a near-copy of another
+    fold's training rows (the leakage_safe_split guarantee for CV).
+    Unpaired rows fold by their own id — bit-identical to kfold_split."""
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    lab = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+    key = F.coalesce(F.col("component"), F.col(id_col))
+    return lab.withColumn(
+        "fold", F.pmod(_base_hash64(key.cast("string"), hash_kind), F.lit(k)).cast("int")
+    ).drop("component")

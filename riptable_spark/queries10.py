@@ -1875,3 +1875,98 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
         F.round("estimate", 6).alias("estimate"),
         "sample_key_sum",
     )
+
+
+# ------------------------------------------------------------------ q242
+@query(
+    "q242_auc_exact",
+    """
+    WITH t AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CAST(round(value * 100) AS BIGINT) AS s
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per AS (SELECT s, sum(y) AS p, sum(1 - y) AS n FROM t GROUP BY s),
+    c AS (
+        SELECT s, p, n,
+               coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS nb
+        FROM per
+    ),
+    agg AS (SELECT sum(p * (2 * nb + n)) AS num2, sum(p) AS pp, sum(n) AS nn FROM c)
+    SELECT pp::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+           num2::DOUBLE / (2.0 * pp::DOUBLE * nn::DOUBLE) AS auc
+    FROM agg
+    """,
+)
+def q242(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT ROC AUC of 'value predicts purchase' — Mann-Whitney over
+    the score-DOMAIN counts with tie half-credit folded into the ×2
+    integer numerator; the one float division happens identically in
+    both engines (unrounded output)."""
+    from .functions import stats as _st
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+            F.round(F.col("value") * 100).cast("bigint").alias("s"),
+        )
+    )
+    return _st.auc_exact(ev, "y", "s")
+
+
+# ------------------------------------------------------------------ q243
+@query(
+    "q243_calibration_bins",
+    """
+    WITH t AS (
+        SELECT value / 200.0 AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT greatest(0, least(9, floor(p * 10)))::INT AS bin, count(*) AS n,
+           (sum(CAST(round(p * 1000000) AS BIGINT)))::DOUBLE / (count(*) * 1000000)::DOUBLE AS mean_pred,
+           sum(y)::DOUBLE / count(*)::DOUBLE AS frac_pos
+    FROM t GROUP BY 1
+    """,
+)
+def q243(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability-curve bins for the value/200 pseudo-probability vs
+    the purchase label — per-bin mean prediction (exact scaled sums)
+    against positive rate (exact integer ratio)."""
+    from .functions import stats as _st
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            (F.col("value") / 200.0).alias("p"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+    )
+    return _st.calibration_bins(ev, "p", "y", bins=10)
+
+
+# ------------------------------------------------------------------ q244
+@query(
+    "q244_kfold_split",
+    """
+    SELECT fold, count(*) AS n, sum(n_chars)::BIGINT AS chars FROM (
+        SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 5 AS INT) AS fold,
+               n_chars
+        FROM documents
+    ) GROUP BY fold
+    """,
+)
+def q244(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (hash % k, zero shuffle) —
+    audited by per-fold counts and char mass."""
+    from .operators import pipeline as _pl
+
+    d = load_table(spark, sf, "documents")
+    out = _pl.kfold_split(d, "doc_id", k=5, hash_kind="md5")
+    return out.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("long").alias("chars")
+    )

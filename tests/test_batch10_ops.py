@@ -608,3 +608,50 @@ def test_kmv_estimate_and_merge(spark):
     small = spark.createDataFrame(pd.DataFrame({"u": list(range(20))}))
     r = sk.kmv_estimate(sk.kmv_sketch(small, "u", k=64), k=64).first()
     assert r.n_in_sketch == 20 and r.estimate == 20.0
+
+
+def test_auc_exact_matches_sklearn_formula(spark):
+    import numpy as np
+
+    from riptable_spark.functions import stats as st
+
+    # hand data with ties: perfect=1.0, random-ish checked vs manual
+    y = [1, 1, 0, 0]
+    s = [10, 9, 2, 1]
+    df = spark.createDataFrame(pd.DataFrame({"y": y, "s": s}))
+    assert st.auc_exact(df, "y", "s").first().auc == 1.0
+    y2 = [1, 0, 1, 0, 1, 0]
+    s2 = [3, 3, 2, 2, 1, 1]   # all tied pairwise -> AUC 0.5
+    df2 = spark.createDataFrame(pd.DataFrame({"y": y2, "s": s2}))
+    assert st.auc_exact(df2, "y", "s2".replace("2", "")).first().auc == 0.5
+    # mixed: pos scores [4, 2], neg [3, 1]: pairs (4>3,4>1,2<3,2>1) -> 3/4
+    df3 = spark.createDataFrame(pd.DataFrame({"y": [1, 1, 0, 0], "s": [4, 2, 3, 1]}))
+    assert st.auc_exact(df3, "y", "s").first().auc == 0.75
+
+
+def test_calibration_bins_perfectly_calibrated(spark):
+    import numpy as np
+
+    from riptable_spark.functions import stats as st
+
+    rng = np.random.RandomState(3)
+    p = np.round(rng.uniform(0, 1, 4000), 3)
+    y = (rng.uniform(0, 1, 4000) < p).astype(int)
+    df = spark.createDataFrame(pd.DataFrame({"p": p, "y": y}))
+    rows = st.calibration_bins(df, "p", "y", bins=5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.mean_pred - r.frac_pos) < 0.08  # calibrated within noise
+
+
+def test_leakage_safe_kfold_components_share_folds(spark):
+    from riptable_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(20)}))
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [0, 1, 5], "id_b": [1, 2, 6]}))
+    out = {r.doc_id: r.fold for r in pl.leakage_safe_kfold(df, pairs, k=4).collect()}
+    assert out[0] == out[1] == out[2]   # chained component
+    assert out[5] == out[6]
+    base = {r.doc_id: r.fold for r in pl.kfold_split(df, "doc_id", k=4).collect()}
+    for i in [3, 4] + list(range(7, 20)):
+        assert out[i] == base[i]        # unpaired rows identical to plain kfold
