@@ -523,3 +523,86 @@ def calibration_bins(
         (F.col("__sp__").cast("double") / (F.col("n") * 1000000).cast("double")).alias("mean_pred"),
         (F.col("__pos__").cast("double") / F.col("n").cast("double")).alias("frac_pos"),
     )
+
+
+def retention_curve(
+    df: DataFrame,
+    user_col: str,
+    day_col: str,
+) -> DataFrame:
+    """Kaplan-Meier-style retention over activity days: a user's churn
+    day is their LAST active day (users active on the final observed
+    day are right-censored).  Per day t: n_at_risk (last day ≥ t),
+    n_churned (last day = t, t < max), hazard d/n (exact ratio), and
+    the survival estimate Π(1 − d_i/n_i) (rounded — the one
+    order-sensitive float chain).  All counts assemble from the
+    per-user last-day aggregate — the day domain is tiny, so the
+    cumulative pass is a ≤|days|-row window."""
+    from pyspark.sql import Window
+
+    last = df.groupBy(user_col).agg(F.max(F.col(day_col)).alias("__last__"))
+    maxday = last.agg(F.max("__last__").alias("__maxd__"))
+    per_day = (
+        last.crossJoin(F.broadcast(maxday))
+        .groupBy(F.col("__last__").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("__ended__"),
+            F.sum(F.when(F.col("__last__") < F.col("__maxd__"), 1).otherwise(0)).alias("n_churned"),
+        )
+    )
+    w = Window.orderBy(F.col("day").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cur = per_day.withColumn("n_at_risk", F.sum("__ended__").over(w))
+    wf = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    hazard = F.col("n_churned").cast("double") / F.col("n_at_risk").cast("double")
+    surv = F.exp(F.sum(F.log(1.0 - hazard)).over(wf))
+    return cur.select(
+        "day", "n_at_risk", "n_churned",
+        hazard.alias("hazard"),
+        surv.alias("survival"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Gains / lift table: rank the population by model score into
+    ``n_buckets`` via exact score-quantile cutpoints (one percentile
+    aggregate broadcast back — no ntile global sort; ties land in one
+    bucket deterministically), then per bucket: n, positives, positive
+    rate, cumulative capture of all positives and lift vs the base
+    rate.  All integer counts + exact ratios; bucket 0 = highest
+    scores."""
+    from pyspark.sql import Window
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs])).alias("__cuts__")
+    )
+    j = df.crossJoin(F.broadcast(cuts))
+    # rank DESC: bucket = number of cutpoints at or above the score
+    bucket = F.aggregate(
+        F.col("__cuts__"), F.lit(0),
+        lambda acc, c: acc + F.when(F.col(score_col) <= c, 1).otherwise(0),
+    )
+    y = F.col(label_col).cast("int")
+    per = j.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y).alias("n_pos")
+    )
+    tot = per.agg(F.sum("n").alias("__tn__"), F.sum("n_pos").alias("__tp__"))
+    # bucket 0 = best scores; capture accumulates best-first
+    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    out = per.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_pos", F.sum("n_pos").over(w)
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    base = F.col("__tp__").cast("double") / F.col("__tn__").cast("double")
+    return out.select(
+        F.col("bucket"),
+        "n", "n_pos",
+        rate.alias("pos_rate"),
+        (F.col("cum_pos").cast("double") / F.col("__tp__").cast("double")).alias("cum_capture"),
+        (rate / base).alias("lift"),
+    )

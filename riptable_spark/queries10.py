@@ -1970,3 +1970,96 @@ def q244(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("long").alias("chars")
     )
+
+
+# ------------------------------------------------------------------ q245
+@query(
+    "q245_retention_curve",
+    """
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    last AS (SELECT user_id, max(day) AS ld FROM t GROUP BY user_id),
+    md AS (SELECT max(ld) AS maxd FROM last),
+    per AS (
+        SELECT ld AS day, count(*) AS ended,
+               sum(CASE WHEN ld < maxd THEN 1 ELSE 0 END)::BIGINT AS n_churned
+        FROM last CROSS JOIN md GROUP BY ld
+    ),
+    cur AS (
+        SELECT day, n_churned,
+               sum(ended) OVER (ORDER BY day DESC ROWS UNBOUNDED PRECEDING) AS n_at_risk
+        FROM per
+    )
+    SELECT day, n_at_risk::BIGINT AS n_at_risk, n_churned,
+           n_churned::DOUBLE / n_at_risk::DOUBLE AS hazard,
+           round(exp(sum(ln(1.0 - n_churned::DOUBLE / n_at_risk::DOUBLE))
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6) AS survival
+    FROM cur
+    """,
+)
+def q245(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier retention over activity days (last active day =
+    churn; final-day users censored): at-risk and churn counts are
+    exact integers, hazards exact ratios, and the survival product
+    (the one float chain, over a ≤31-row day domain) rounds at 6dp."""
+    from .functions import stats as _st
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("user_id").isNotNull())
+        .withColumn("day", F.floor(F.unix_micros("ts") / 86400000000).cast("long"))
+    )
+    out = _st.retention_curve(ev, "user_id", "day")
+    return out.select(
+        "day", "n_at_risk", F.col("n_churned").cast("long").alias("n_churned"),
+        F.col("hazard").alias("hazard"), F.round("survival", 6).alias("survival"),
+    )
+
+
+# ------------------------------------------------------------------ q246
+@query(
+    "q246_gains_table",
+    """
+    WITH t AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cuts AS (
+        SELECT [quantile_cont(s, 0.1), quantile_cont(s, 0.2), quantile_cont(s, 0.3),
+                quantile_cont(s, 0.4), quantile_cont(s, 0.5), quantile_cont(s, 0.6),
+                quantile_cont(s, 0.7), quantile_cont(s, 0.8), quantile_cont(s, 0.9)] AS cs
+        FROM t
+    ),
+    b AS (
+        SELECT CAST(len(list_filter(cs, c -> s <= c)) AS INT) AS bucket, y
+        FROM t CROSS JOIN cuts
+    ),
+    per AS (SELECT bucket, count(*) AS n, sum(y)::BIGINT AS n_pos FROM b GROUP BY bucket),
+    tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per)
+    SELECT bucket, n, n_pos,
+           n_pos::DOUBLE / n::DOUBLE AS pos_rate,
+           (sum(n_pos) OVER (ORDER BY bucket ASC ROWS UNBOUNDED PRECEDING))::DOUBLE
+               / tp::DOUBLE AS cum_capture,
+           (n_pos::DOUBLE / n::DOUBLE) / (tp::DOUBLE / tn::DOUBLE) AS lift
+    FROM per CROSS JOIN tot
+    """,
+)
+def q246(spark: SparkSession, sf: str) -> DataFrame:
+    """Gains/lift table for 'value predicts purchase': decile buckets
+    from exact score cutpoints (one percentile aggregate broadcast —
+    no ntile global sort; bucket 0 = best scores), cumulative positive
+    capture and per-bucket lift as exact ratios."""
+    from .functions import stats as _st
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("s"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+    )
+    return _st.gains_table(ev, "s", "y", n_buckets=10)

@@ -655,3 +655,29 @@ def test_leakage_safe_kfold_components_share_folds(spark):
     base = {r.doc_id: r.fold for r in pl.kfold_split(df, "doc_id", k=4).collect()}
     for i in [3, 4] + list(range(7, 20)):
         assert out[i] == base[i]        # unpaired rows identical to plain kfold
+
+
+def test_retention_curve_hand_checked(spark):
+    from riptable_spark.functions import stats as st
+
+    # users: a active d1-3, b d1-2, c d1, d d3 (d3 = max day -> censored)
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2), ("c", 1), ("d", 3)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["u", "day"]))
+    out = {r.day: r for r in st.retention_curve(df, "u", "day").collect()}
+    assert out[1].n_at_risk == 4 and out[1].n_churned == 1       # c churns
+    assert out[2].n_at_risk == 3 and out[2].n_churned == 1       # b churns
+    assert out[3].n_at_risk == 2 and out[3].n_churned == 0       # a, d censored
+    assert abs(out[2].survival - (3 / 4) * (2 / 3)) < 1e-9
+    assert abs(out[3].survival - 0.5) < 1e-9
+
+
+def test_gains_table_separates_perfect_model(spark):
+    from riptable_spark.functions import stats as st
+
+    # score == label*100 + noise rank: top decile captures all positives
+    rows = [(1000 + i, 1) for i in range(10)] + [(i, 0) for i in range(90)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["s", "y"]))
+    out = {r.bucket: r for r in st.gains_table(df, "s", "y", n_buckets=10).collect()}
+    assert out[0].n_pos == 10 and abs(out[0].cum_capture - 1.0) < 1e-12
+    assert abs(out[0].lift - 10.0) < 1e-9       # base rate 0.1 -> lift 10
+    assert all(out[b].n_pos == 0 for b in out if b != 0)
