@@ -606,3 +606,64 @@ def gains_table(
         (F.col("cum_pos").cast("double") / F.col("__tp__").cast("double")).alias("cum_capture"),
         (rate / base).alias("lift"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a,
+    group_b,
+    n_perm: int = 50,
+    id_col: str | None = None,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Deterministic two-sample permutation test for the difference of
+    means: ``n_perm`` pseudo-random relabelings (assignment b =
+    hash(id, b) % 2 — a pure function of the row id, so reruns and the
+    SQL oracle agree exactly), p-value = fraction of permutations whose
+    |mean diff| reaches the observed one.  With integer-scaled values
+    every permuted mean is an exact ratio, so the comparison set is
+    engine-identical — no RNG, no resampling shuffle; the whole test is
+    ONE conditional-aggregate pass over (rows × n_perm) exploded
+    assignments plus a 1-row observed aggregate.  Returns (obs_diff,
+    n_extreme, n_perm, p_value)."""
+    idc = F.col(id_col) if id_col else F.col(group_col)
+    d = df.where(F.col(group_col).isin([group_a, group_b]) & F.col(val_col).isNotNull())
+    # sums stay in the INPUT type (feed integer-scaled values for exact
+    # means — float sums are aggregation-order-dependent across engines)
+    x = F.col(val_col)
+    obs = d.agg(
+        (
+            F.sum(F.when(F.col(group_col) == group_a, x)).cast("double")
+            / F.count(F.when(F.col(group_col) == group_a, x)).cast("double")
+            - F.sum(F.when(F.col(group_col) == group_b, x)).cast("double")
+            / F.count(F.when(F.col(group_col) == group_b, x)).cast("double")
+        ).alias("obs_diff")
+    )
+    ex = d.select(
+        x.alias("__x__"), idc.cast("string").alias("__id__"),
+        F.explode(F.array(*[F.lit(b) for b in range(n_perm)])).alias("b"),
+    )
+    from ..operators.dedup import _base_hash64
+
+    side = F.pmod(_base_hash64(F.concat_ws("#", F.col("__id__"), F.col("b").cast("string")), hash_kind), F.lit(2))
+    perm = ex.withColumn("__s__", side).groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("__s__") == 0, F.col("__x__"))).cast("double")
+            / F.count(F.when(F.col("__s__") == 0, F.col("__x__"))).cast("double")
+            - F.sum(F.when(F.col("__s__") == 1, F.col("__x__"))).cast("double")
+            / F.count(F.when(F.col("__s__") == 1, F.col("__x__"))).cast("double")
+        ).alias("__pd__")
+    )
+    j = perm.crossJoin(F.broadcast(obs))
+    agg = j.agg(
+        F.min("obs_diff").alias("obs_diff"),
+        F.sum(F.when(F.abs(F.col("__pd__")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)).alias("n_extreme"),
+        F.count(F.lit(1)).alias("n_perm"),
+    )
+    return agg.select(
+        "obs_diff", F.col("n_extreme").cast("long").alias("n_extreme"),
+        F.col("n_perm").cast("long").alias("n_perm"),
+        (F.col("n_extreme").cast("double") / F.col("n_perm").cast("double")).alias("p_value"),
+    )

@@ -57,3 +57,21 @@ def profile_table(
         ]
     )
     return one.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def key_skew(df: DataFrame, key_col: str, top: int = 5) -> tuple[DataFrame, DataFrame]:
+    """Join/agg-key skew audit BEFORE the expensive operation: the
+    count-of-counts histogram (how many keys occur 2^b..2^(b+1)−1
+    times) and the exact top-``top`` heaviest keys.  Two tiny
+    aggregations over the per-key counts — the shape of the relation a
+    salting/AQE decision actually needs.  Returns (histogram_df,
+    topk_df)."""
+    per = df.where(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bucket = F.length(F.conv(F.col("n").cast("string"), 10, 2)) - 1  # floor(log2 n)
+    hist = per.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("n_rows")
+    )
+    topk = per.orderBy(F.col("n").desc(), F.col(key_col)).limit(top)
+    return hist, topk

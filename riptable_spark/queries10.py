@@ -2063,3 +2063,139 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return _st.gains_table(ev, "s", "y", n_buckets=10)
+
+
+# ------------------------------------------------------------------ q247
+@query(
+    "q247_permutation_test",
+    """
+    WITH d AS (
+        SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    obs AS (
+        SELECT (sum(CASE WHEN event_type = 'click' THEN x END))::DOUBLE
+               / (count(CASE WHEN event_type = 'click' THEN x END))::DOUBLE
+             - (sum(CASE WHEN event_type = 'purchase' THEN x END))::DOUBLE
+               / (count(CASE WHEN event_type = 'purchase' THEN x END))::DOUBLE AS obs_diff
+        FROM d
+    ),
+    ex AS (
+        SELECT x,
+               ('0x' || substr(md5(event_id::VARCHAR || '#' || b::VARCHAR), 1, 15))::BIGINT % 2 AS s,
+               b
+        FROM d, (SELECT unnest(range(0, 40)) AS b)
+    ),
+    perm AS (
+        SELECT b,
+               (sum(CASE WHEN s = 0 THEN x END))::DOUBLE / (count(CASE WHEN s = 0 THEN x END))::DOUBLE
+             - (sum(CASE WHEN s = 1 THEN x END))::DOUBLE / (count(CASE WHEN s = 1 THEN x END))::DOUBLE AS pd
+        FROM ex GROUP BY b
+    )
+    SELECT min(obs_diff) AS obs_diff,
+           sum(CASE WHEN abs(pd) >= abs(obs_diff) THEN 1 ELSE 0 END)::BIGINT AS n_extreme,
+           count(*)::BIGINT AS n_perm,
+           sum(CASE WHEN abs(pd) >= abs(obs_diff) THEN 1 ELSE 0 END)::DOUBLE
+               / count(*)::DOUBLE AS p_value
+    FROM perm CROSS JOIN obs
+    """,
+)
+def q247(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic permutation test (click vs purchase value means):
+    40 hash-derived relabelings over integer-scaled values — every
+    permuted mean an exact ratio, the extreme-count comparison
+    engine-identical, no RNG anywhere."""
+    from .functions import stats as _st
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("bigint").alias("x")
+    ).where(F.col("x").isNotNull())
+    return _st.permutation_test(
+        ev, "event_type", "x", "click", "purchase", n_perm=40, id_col="event_id", hash_kind="md5"
+    )
+
+
+# ------------------------------------------------------------------ q248
+@query(
+    "q248_markov_eval",
+    """
+    WITH t AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    l AS (
+        SELECT event_type AS cur,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev
+        FROM t
+    ),
+    pairs AS (SELECT prev, cur FROM l WHERE prev IS NOT NULL),
+    model AS (SELECT prev, cur AS cand, count(*) AS n FROM pairs GROUP BY prev, cur),
+    best AS (
+        SELECT prev, cand AS pred FROM (
+            SELECT prev, cand, row_number() OVER (PARTITION BY prev ORDER BY n DESC, cand) AS rk
+            FROM model
+        ) WHERE rk = 1
+    )
+    SELECT count(*) AS n_transitions,
+           sum(CASE WHEN cur = pred THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           sum(CASE WHEN cur = pred THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS accuracy
+    FROM pairs JOIN best USING (prev)
+    """,
+)
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov next-event prediction evaluated in-sample: the argmax of
+    each row's transition distribution (deterministic tie-break) scores
+    every adjacent pair — model building AND evaluation as two tiny
+    aggregates over one lag window."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isNotNull())
+        .withColumn("t_us", F.unix_micros("ts"))
+    )
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    model = pairs.groupBy("prev", F.col("cur").alias("cand")).agg(F.count(F.lit(1)).alias("n"))
+    wb = W.partitionBy("prev").orderBy(F.col("n").desc(), "cand")
+    best = model.withColumn("rk", F.row_number().over(wb)).where(F.col("rk") == 1).select(
+        "prev", F.col("cand").alias("pred")
+    )
+    j = pairs.join(F.broadcast(best), on="prev")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.when(F.col("cur") == F.col("pred"), 1).otherwise(0)).cast("long").alias("n_correct"),
+        (
+            F.sum(F.when(F.col("cur") == F.col("pred"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+# ------------------------------------------------------------------ q249
+@query(
+    "q249_key_skew_histogram",
+    """
+    WITH per AS (
+        SELECT o_custkey, count(*) AS n FROM orders
+        WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+    )
+    SELECT (length(bin(n)) - 1)::INT AS log2_bucket,
+           count(*) AS n_keys, sum(n)::BIGINT AS n_rows
+    FROM per GROUP BY 1
+    """,
+)
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew audit (count-of-counts histogram on log2 buckets)
+    — the diagnostic a salting / AQE-skew decision reads BEFORE the
+    expensive join; two tiny aggregations over the per-key counts."""
+    from .operators import profile as _pf
+
+    o = load_table(spark, sf, "orders")
+    hist, _top = _pf.key_skew(o, "o_custkey")
+    return hist.select(
+        F.col("log2_bucket").cast("int").alias("log2_bucket"),
+        "n_keys", F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -681,3 +681,32 @@ def test_gains_table_separates_perfect_model(spark):
     assert out[0].n_pos == 10 and abs(out[0].cum_capture - 1.0) < 1e-12
     assert abs(out[0].lift - 10.0) < 1e-9       # base rate 0.1 -> lift 10
     assert all(out[b].n_pos == 0 for b in out if b != 0)
+
+
+def test_permutation_test_detects_real_difference(spark):
+    from riptable_spark.functions import stats as st
+
+    rows = [("a", i, 100 + (i % 5)) for i in range(40)] + [("b", 100 + i, 200 + (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "id", "x"]))
+    r = st.permutation_test(df, "g", "x", "a", "b", n_perm=30, id_col="id").first()
+    assert abs(r.obs_diff + 100.0) < 1e-9          # mean a - mean b = -100
+    assert r.p_value <= 1 / 30 + 1e-12             # far outside permutation noise
+    # identical groups -> non-significant
+    rows2 = [("a", i, 100 + (i % 7)) for i in range(40)] + [("b", 100 + i, 100 + (i % 7)) for i in range(40)]
+    df2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["g", "id", "x"]))
+    r2 = st.permutation_test(df2, "g", "x", "a", "b", n_perm=30, id_col="id").first()
+    assert r2.p_value > 0.2
+
+
+def test_key_skew_histogram_and_topk(spark):
+    from riptable_spark.operators import profile as pf
+
+    # one hot key with 64 rows, the rest singletons
+    rows = [("hot",)] * 64 + [(f"k{i}",) for i in range(32)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k"]))
+    hist, topk = pf.key_skew(df, "k", top=3)
+    h = {r.log2_bucket: r for r in hist.collect()}
+    assert h[0].n_keys == 32 and h[0].n_rows == 32   # singletons in bucket 0
+    assert h[6].n_keys == 1 and h[6].n_rows == 64    # 2^6 hot key
+    t = topk.collect()
+    assert t[0].k == "hot" and t[0].n == 64
