@@ -456,6 +456,43 @@ def dedup_by_components(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+_KB_ENC = 1_000_000_000  # id < 1e9 ⇒ (quality, id) packs into one BIGINT
+
+
+def keep_best(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Quality-aware canonical selection per duplicate cluster: resolve
+    connected components over the candidate-pair graph, then keep the
+    member with the highest ``quality_col`` (id as tiebreak) — the
+    KEEP/DROP policy a curation pipeline actually wants (keep the best
+    member, not the arbitrary min-id one ``dedup_by_components`` picks).
+
+    The per-cluster argmax packs (quality, id) into one BIGINT max so
+    ties resolve identically in any engine.  Cost beyond the component
+    fixpoint: one broadcast-sized join of cluster nodes against the doc
+    relation (components are a vanishing fraction of a deduped corpus)
+    plus one hash agg keyed on component.
+
+    Returns (component, cluster_size, keep_id, keep_quality).
+    """
+    comp = connected_components(pairs, max_iter=max_iter)
+    q = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(quality_col).alias("__q__")),
+        on="node",
+    )
+    enc = F.max(F.col("__q__").cast("bigint") * _KB_ENC + F.col("node"))
+    return q.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        (enc % _KB_ENC).alias("keep_id"),
+        ((enc - enc % _KB_ENC) / _KB_ENC).alias("keep_quality"),
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,258 @@
+"""Market-analytics operators: VWAP, realized variance, drawdown,
+Bollinger bands, Lorenz/Gini concentration, Benford first-digit audit.
+
+The reference library (riptable) comes from a trading firm and its
+docs/tests lean heavily on tick-data workflows (rt_timers, merge_asof on
+quote tapes, Accum2 P&L rollups — e.g. rt_merge_asof.py docstrings use
+bid/ask columns).  These operators re-express that home-domain surface
+Spark-first:
+
+* every per-key path uses ``Window.partitionBy(key).orderBy(ts)`` — the
+  sort is per-key inside a hash-partitioned exchange, so 1000 executors
+  each sort their own keys; there is NO single-partition global window
+  anywhere in this module;
+* bucketed forms (VWAP bars, realized-variance bars) are plain two-stage
+  hash aggregations (map-side partial → final), the cheapest shape Spark
+  has;
+* all arithmetic that feeds a cross-engine oracle is integer-scaled
+  (cents) so sums are exact BIGINTs; the only float ops applied are
+  ``/`` and ``sqrt`` on identical operands, which IEEE 754 requires to
+  be correctly rounded — bit-identical in the JVM and DuckDB.
+
+At 100 TB: per-key ordered windows shuffle once on the key; drawdown /
+Bollinger never materialize per-key state beyond the frame Spark already
+spills; VWAP/realized-variance bars reduce before the shuffle (partial
+aggregation), so the exchange carries one row per (key, bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(order: str | list[str]) -> list[str]:
+    """Ordered-path operators take a tiebroken ordering (e.g.
+    ``["ts", "event_id"]``) — a lone timestamp can collide, and a tie
+    makes lag/running-max engine-order-dependent."""
+    return [order] if isinstance(order, str) else list(order)
+
+
+def vwap(
+    df: DataFrame,
+    key: str,
+    bucket: Column,
+    price: str,
+    volume: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Volume-weighted average price per (key, bucket).
+
+    Integer-scales price by ``scale`` so the Σ(p·v) accumulator is an
+    exact BIGINT (order-independent across partial aggregation), then
+    divides once at the end.  One two-stage hash agg; no window.
+    """
+    p = F.round(F.col(price) * scale).cast("bigint")
+    v = F.col(volume).cast("bigint")
+    return (
+        df.groupBy(F.col(key), bucket.alias("bucket"))
+        .agg(
+            F.sum(p * v).alias("__pv__"),
+            F.sum(v).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            key,
+            "bucket",
+            (F.col("__pv__") / F.col("volume") / scale).alias("vwap"),
+            "volume",
+            "n_trades",
+        )
+    )
+
+
+def realized_variance(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    price: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key realized variance of price CHANGES: Σ (Δp)² over the
+    ordered path, plus the exact integer sums that compose it.
+
+    Uses absolute (not log) returns so every accumulator is an exact
+    integer: Δp in scaled units is an int, (Δp)² sums as BIGINT.  The
+    cross-engine hazard of ``ln`` (not correctly-rounded, differs by
+    ulps between libm and the JVM) is avoided entirely; callers wanting
+    log-returns at scale should treat this as the verified kernel and
+    accept float noise in the ln variant.
+
+    One shuffle: partitionBy(key).orderBy(order) computes lag, then the
+    same key hash-partitions the aggregation (Catalyst reuses the
+    exchange).
+    """
+    w = Window.partitionBy(key).orderBy(*_order_cols(order))
+    p = F.round(F.col(price) * scale).cast("bigint")
+    d = p - F.lag(p).over(w)
+    steps = df.select(key, d.alias("__dp__")).where(F.col("__dp__").isNotNull())
+    return steps.groupBy(key).agg(
+        F.sum(F.col("__dp__") * F.col("__dp__")).alias("ss_change"),
+        F.count(F.lit(1)).alias("n_changes"),
+        (F.sqrt(F.sum(F.col("__dp__") * F.col("__dp__"))) / scale).alias("realized_vol"),
+    )
+
+
+_DD_ENC = 1_000_000_000  # peak < 1e9 scaled units ⇒ (dd, peak) packs into one BIGINT
+
+
+def max_drawdown(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    price: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key maximum drawdown: max over t of (running-max(p) − p_t).
+
+    Running max of integer-scaled prices is exact in any engine (max is
+    idempotent — no float accumulation, unlike prefix SUMs which the
+    oracle lesson forbids).  The (drawdown, peak) argmax is packed into
+    one BIGINT (``dd·1e9 + peak``) so a tie on drawdown resolves to the
+    highest peak deterministically in any engine — no arg_max/struct-max
+    semantics dependence.  One per-key window pass + one agg on the same
+    key (Catalyst reuses the exchange).
+    """
+    w = Window.partitionBy(key).orderBy(*_order_cols(order)).rowsBetween(Window.unboundedPreceding, 0)
+    p = F.round(F.col(price) * scale).cast("bigint")
+    run = df.select(
+        F.col(key),
+        p.alias("__p__"),
+        F.max(p).over(w).alias("__peak__"),
+    )
+    enc = F.max((F.col("__peak__") - F.col("__p__")) * _DD_ENC + F.col("__peak__"))
+    # (enc − enc % ENC)/ENC: the numerator is exactly divisible, so the
+    # float division is exact — no floor-at-a-boundary hazard.
+    return run.groupBy(key).agg(
+        (((enc - enc % _DD_ENC) / _DD_ENC) / scale).alias("max_drawdown"),
+        ((enc % _DD_ENC) / scale).alias("peak_at_max_dd"),
+    )
+
+
+def bollinger(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    price: str,
+    n: int = 20,
+    k: int = 2,
+    scale: int = 100,
+) -> DataFrame:
+    """Rolling Bollinger bands (mean ± k·std over the trailing ``n``
+    rows), full-window only (first n−1 rows NULL, the reference's
+    rolling convention — rt_groupbyops rolling_* emit invalid heads).
+
+    The moment math runs on exact integers: with S1=Σp, S2=Σp² over the
+    frame (BIGINT — rolling integer sums are exact regardless of the
+    engine's segment-tree association), population m2 = n·S2 − S1², so
+    mean = S1/(n·scale) and std = sqrt(m2)/ (n·scale).  Only / and sqrt
+    touch floats → engine-identical.  One per-key sort window.
+    """
+    oc = _order_cols(order)
+    w = Window.partitionBy(key).orderBy(*oc).rowsBetween(-(n - 1), 0)
+    p = F.round(F.col(price) * scale).cast("bigint")
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum(p).over(w)
+    s2 = F.sum(p * p).over(w)
+    full = cnt == n
+    m2 = F.lit(n) * s2 - s1 * s1  # n² × population variance, exact
+    mid = F.when(full, s1 / (n * scale))
+    dev = F.when(full, F.sqrt(m2) / (n * scale))
+    return df.select(
+        key,
+        *oc,
+        F.col(price),
+        mid.alias("bb_mid"),
+        (mid + k * dev).alias("bb_upper"),
+        (mid - k * dev).alias("bb_lower"),
+    )
+
+
+def lorenz_gini(df: DataFrame, key: str, value: str, scale: int = 100) -> DataFrame:
+    """Per-key Gini coefficient over a value distribution — the
+    concentration audit behind "does one user/part dominate this key"
+    (data-skew triage) and wealth-style concentration reports.
+
+    Gini = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n with xᵢ ascending, i = 1..n.
+    The rank is row_number over (value, arbitrary) — tied values may
+    permute but Σ i·xᵢ is invariant within a tied block, so the result
+    is deterministic.  All sums are integer-scaled BIGINTs; the final
+    expression applies / and − to identical operands.  One per-key sort
+    window + one agg; at scale this is a single (key)-hash exchange.
+    """
+    v = F.round(F.col(value) * scale).cast("bigint")
+    w = Window.partitionBy(key).orderBy(v)
+    ranked = df.select(F.col(key), v.alias("__v__"), F.row_number().over(w).alias("__i__"))
+    return ranked.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("__v__") / scale).alias("total"),
+        (
+            (2.0 * F.sum(F.col("__i__") * F.col("__v__"))) / (F.count(F.lit(1)) * F.sum("__v__"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+        ).alias("gini"),
+    )
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), inlined as
+# literals so both engines parse the SAME decimal string (log10 is not
+# correctly-rounded and may differ by ulps between libm and the JVM).
+BENFORD_P = {
+    1: 0.30102999566398120,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(df: DataFrame, value: str) -> DataFrame:
+    """First-significant-digit Benford's-law audit — the classic
+    fabricated-data / anomalous-feed detector.  Emits one row per digit
+    with the observed count, expected count, and the χ² component
+    (o − e)²/e; the caller sums components driver-side if it wants the
+    statistic (9 rows — a cross-row float SUM would be engine-ordered
+    and is deliberately NOT emitted).
+
+    First digit extraction is string-based (regexp on the decimal
+    rendering) rather than log10-based, so it is exact and
+    engine-portable.  One hash agg over ≤9 groups; the expected
+    probabilities are broadcast literals.
+    """
+    digit = F.regexp_extract(F.abs(F.col(value)).cast("string"), r"([1-9])", 1).cast("int")
+    counts = (
+        df.where(F.col(value).isNotNull() & (F.col(value) != 0))
+        .select(digit.alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    n_total = counts.groupBy().agg(F.sum("observed").alias("__n__"))
+    expected = F.element_at(
+        F.create_map(*[x for d, p in BENFORD_P.items() for x in (F.lit(d), F.lit(p))]),
+        F.col("digit"),
+    )
+    out = counts.crossJoin(F.broadcast(n_total)).select(
+        "digit",
+        "observed",
+        (expected * F.col("__n__")).alias("expected"),
+        (
+            (F.col("observed") - expected * F.col("__n__"))
+            * (F.col("observed") - expected * F.col("__n__"))
+            / (expected * F.col("__n__"))
+        ).alias("chi2_component"),
+    )
+    return out
