@@ -667,3 +667,53 @@ def permutation_test(
         F.col("n_perm").cast("long").alias("n_perm"),
         (F.col("n_extreme").cast("double") / F.col("n_perm").cast("double")).alias("p_value"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scales: dict[str, int] | None = None,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix in ONE distributed pass.
+
+    All C(k,2) pairs' power sums (Σx, Σx², Σxy) are computed in a single
+    two-stage hash aggregate — one scan, one 1-row result, regardless of
+    how many pairs — then reshaped to long form (col_x, col_y, n, corr)
+    driver-free.  At 100 TB this is the only corr-matrix shape that
+    works: the scan dominates, and adding columns adds map-side
+    arithmetic, not passes.
+
+    Inputs are integer-scaled per ``scales`` (power sums stay exact
+    BIGINTs; keep n·Σxy under 2^53 — pick scales so the lesson from the
+    power-sum oracles holds), so corr composes from int64→double
+    conversions (exact under 2^53), one sqrt·sqrt product and one divide
+    — engine-identical.  Rows with a NULL in ANY of ``cols`` are dropped
+    (complete-case, the reference's nan-strict convention).
+    """
+    scales = scales or {}
+    keep = df.dropna(subset=cols)
+    sc = {c: F.round(F.col(c) * scales.get(c, 1)).cast("bigint") for c in cols}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(sc[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(sc[c] * sc[c]).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(sc[a] * sc[b]).alias(f"sp_{a}_{b}"))
+    one = keep.agg(*aggs)
+
+    def _corr(a: str, b: str) -> Column:
+        n = F.col("n")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+        db = F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        return num / (da * db)
+
+    structs = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_x"), F.lit(b).alias("col_y"), F.col("n").alias("n"),
+            _corr(a, b).alias("corr"),
+        )
+        for a, b in pairs
+    ])
+    return one.select(F.explode(structs).alias("p")).select("p.col_x", "p.col_y", "p.n", "p.corr")

@@ -256,3 +256,51 @@ def benford_audit(df: DataFrame, value: str) -> DataFrame:
         ).alias("chi2_component"),
     )
     return out
+
+
+def lee_ready(
+    trades: DataFrame,
+    quotes: DataFrame,
+    by: str,
+    on: str,
+    trade_price: str,
+    quote_mid: str,
+    order: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Lee-Ready trade-side classification (Lee & Ready 1991): a trade
+    printing ABOVE the prevailing quote mid is buyer-initiated (+1),
+    below is seller-initiated (−1); AT the mid, fall back to the tick
+    test — the sign of the most recent non-zero price change (0 if the
+    path so far is flat).
+
+    Composition: merge_asof(backward) for the prevailing quote (one
+    shuffle+sort on (by, on) — merge.py's union+window rewrite), then a
+    per-key window for the tick test.  The "most recent non-zero tick"
+    avoids last_value(IGNORE NULLS) — engines disagree on ignore-nulls
+    frames — by packing (row_number, sign) into a running integer MAX:
+    row_number is strictly increasing, so the max IS the latest, and
+    the sign decodes from the low bits.  Everything compares
+    integer-scaled prices → engine-exact.
+    """
+    from .merge import merge_asof
+
+    oc = order or [on]
+    j = merge_asof(trades, quotes, on=on, by=by, direction="backward")
+    p = F.round(F.col(trade_price) * scale).cast("bigint")
+    m = F.round(F.col(quote_mid) * scale).cast("bigint")
+    w = Window.partitionBy(by).orderBy(*oc)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    dp = p - F.lag(p).over(w)
+    tick_sign = F.when(dp > 0, F.lit(1)).when(dp < 0, F.lit(-1))  # NULL when 0 or first row
+    rn = F.row_number().over(w)
+    enc = F.when(tick_sign.isNotNull(), rn * 4 + (tick_sign + 1))
+    latest = F.max(enc).over(wrun)  # latest non-zero tick ≤ current row
+    tick = F.coalesce(latest % 4 - 1, F.lit(0)).cast("int")
+    side = (
+        F.when(p > m, F.lit(1))
+        .when(p < m, F.lit(-1))
+        .otherwise(tick)
+        .cast("int")
+    )
+    return j.withColumn("side", side).withColumn("mid_price", (m / scale))

@@ -1,0 +1,70 @@
+"""Association mining: market-basket pair co-occurrence with
+support / confidence / lift.
+
+The candidate-pair shape mirrors the dedup LSH joins (dedup.py): an
+equi-join keyed on the basket id, never a cross join, with an explicit
+skew cap on degenerate mega-baskets (a basket of B items contributes
+C(B,2) pairs — quadratic, the same pathology as a ubiquitous shingle).
+All counts are exact integers; lift composes from int64→double
+conversions and one divide, so a SQL oracle replays it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Item-pair co-occurrence across baskets with support, confidence
+    (both directions' inputs) and lift.
+
+    Plan: distinct (basket, item) → optional basket-size cap →
+    self-equi-join on basket with ``item_a < item_b`` → pair counts ≥
+    ``min_count`` → join per-item basket counts back on each side.  Two
+    shuffles total beyond the pair join (item-count aggregation is
+    reused for both sides).  ``max_basket`` drops baskets above the cap
+    BEFORE the join — at 100 TB one boilerplate mega-basket otherwise
+    emits billions of pairs.
+
+    lift = (n_ab · n_baskets) / (n_a · n_b); > 1 ⇒ positive association.
+    The products stay in int64 (counts are bounded by basket count) and
+    the single division is IEEE-exact.
+    """
+    bi = df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i")).distinct()
+    if max_basket is not None:
+        w = Window.partitionBy("b")
+        bi = bi.withColumn("__bs__", F.count(F.lit(1)).over(w)).where(
+            F.col("__bs__") <= max_basket
+        ).drop("__bs__")
+    n_baskets = bi.agg(F.countDistinct("b").alias("n_baskets"))  # 1-row, broadcast below
+    item_counts = bi.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+    left = bi.select("b", F.col("i").alias("item_a"))
+    right = bi.select("b", F.col("i").alias("item_b"))
+    pair_counts = (
+        left.join(right, on="b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    out = (
+        pair_counts.join(item_counts.select(F.col("i").alias("item_a"), F.col("cnt").alias("n_a")), on="item_a")
+        .join(item_counts.select(F.col("i").alias("item_b"), F.col("cnt").alias("n_b")), on="item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        ((F.col("n_ab") * F.col("n_baskets")) / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+    )

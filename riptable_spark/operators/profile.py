@@ -14,7 +14,7 @@ q04 trade-off) — fine for narrow audits, wrong for wide tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -75,3 +75,64 @@ def key_skew(df: DataFrame, key_col: str, top: int = 5) -> tuple[DataFrame, Data
     )
     topk = per.orderBy(F.col("n").desc(), F.col(key_col)).limit(top)
     return hist, topk
+
+
+def check_constraints(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    regex: dict[str, str] | None = None,
+    fk: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Deequ-style data-quality constraint report: one row per rule with
+    its violation count — the audit a 100 TB ingest runs before anything
+    downstream trusts the table.
+
+    Cost model (stated so callers can reason at scale): every
+    ``not_null`` / ``ranges`` / ``regex`` rule fuses into ONE shared
+    aggregate pass over the scan (violations are conditional sums);
+    each ``unique`` rule adds a two-stage distinct aggregate; each
+    ``fk`` rule adds one anti-join against the dimension (broadcast when
+    small).  The report itself is rows-per-rule, constant size.
+    """
+    parts: list[DataFrame] = []
+    scalar_aggs: list[Column] = []
+    labels: list[str] = []
+    for c in not_null or []:
+        scalar_aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint"))
+        labels.append(f"not_null({c})")
+    for c, (lo, hi) in (ranges or {}).items():
+        bad = F.col(c).isNotNull() & ~F.col(c).between(F.lit(lo), F.lit(hi))
+        scalar_aggs.append(F.sum(F.when(bad, 1).otherwise(0)).cast("bigint"))
+        labels.append(f"range({c})")
+    for c, pat in (regex or {}).items():
+        bad = F.col(c).isNotNull() & ~F.col(c).rlike(pat)
+        scalar_aggs.append(F.sum(F.when(bad, 1).otherwise(0)).cast("bigint"))
+        labels.append(f"regex({c})")
+    if scalar_aggs:
+        one = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(scalar_aggs)])
+        structs = F.array(*[
+            F.struct(F.lit(lbl).alias("rule"), F.col(f"v{i}").alias("violations"))
+            for i, lbl in enumerate(labels)
+        ])
+        parts.append(one.select(F.explode(structs).alias("p")).select("p.rule", "p.violations"))
+    for c in unique or []:
+        parts.append(
+            df.agg(
+                (F.count(c) - F.countDistinct(c)).cast("bigint").alias("violations")
+            ).select(F.lit(f"unique({c})").alias("rule"), "violations")
+        )
+    for c, (dim, dim_col) in (fk or {}).items():
+        orphans = df.where(F.col(c).isNotNull()).join(
+            dim.select(F.col(dim_col).alias(c)).distinct(), on=c, how="left_anti"
+        )
+        parts.append(
+            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("violations")).select(
+                F.lit(f"fk({c})").alias("rule"), "violations"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

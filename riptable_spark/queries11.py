@@ -160,8 +160,8 @@ def q253(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) AS n,
            CAST(sum(v) AS BIGINT) / 100 AS total,
-           (2.0 * CAST(sum(i * v) AS BIGINT)) / CAST(count(*) * CAST(sum(v) AS BIGINT) AS DOUBLE)
-               - (count(*) + 1.0) / count(*) AS gini
+           (CAST(2.0 AS DOUBLE) * CAST(sum(i * v) AS BIGINT)) / CAST(count(*) * CAST(sum(v) AS BIGINT) AS DOUBLE)
+               - (count(*) + CAST(1.0 AS DOUBLE)) / count(*) AS gini
     FROM v GROUP BY o_orderpriority
     """,
 )
@@ -265,3 +265,181 @@ def q256(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
     )
     return dedup.keep_best(pairs, d, id_col="doc_id", quality_col="n_chars")
+
+
+# ------------------------------------------------------------------ q257
+@query(
+    "q257_corr_matrix",
+    """
+    WITH v AS (
+        SELECT CAST(round(l_quantity * 1) AS BIGINT) AS q,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_tax * 100) AS BIGINT) AS t
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               CAST(sum(q) AS BIGINT) AS s_q, CAST(sum(q*q) AS BIGINT) AS ss_q,
+               CAST(sum(d) AS BIGINT) AS s_d, CAST(sum(d*d) AS BIGINT) AS ss_d,
+               CAST(sum(t) AS BIGINT) AS s_t, CAST(sum(t*t) AS BIGINT) AS ss_t,
+               CAST(sum(q*d) AS BIGINT) AS sp_qd,
+               CAST(sum(q*t) AS BIGINT) AS sp_qt,
+               CAST(sum(d*t) AS BIGINT) AS sp_dt
+        FROM v
+    )
+    SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y, n,
+           (n * sp_qd - s_q * s_d) / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_d - s_d * s_d)) AS corr
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax', n,
+           (n * sp_qt - s_q * s_t) / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_t - s_t * s_t))
+    FROM s
+    UNION ALL
+    SELECT 'l_discount', 'l_tax', n,
+           (n * sp_dt - s_d * s_t) / (sqrt(n * ss_d - s_d * s_d) * sqrt(n * ss_t - s_t * s_t))
+    FROM s
+    """,
+)
+def q257(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix in ONE pass: all C(k,2)
+    pairs' power sums land in a single two-stage hash aggregate (one
+    scan however many pairs), reshaped to long form driver-free.
+    Integer-scaled sums keep every operand engine-exact; corr applies
+    only int64→double conversion, sqrt, ·, / — all IEEE-identical."""
+    from .functions.stats import corr_matrix
+
+    li = load_table(spark, sf, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_discount", "l_tax"], scales={"l_discount": 100, "l_tax": 100})
+
+
+# ------------------------------------------------------------------ q258
+@query(
+    "q258_basket_pairs",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    capped AS (
+        SELECT b, i FROM (
+            SELECT b, i, count(*) OVER (PARTITION BY b) AS bs FROM bi
+        ) WHERE bs <= 10
+    ),
+    nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM capped),
+    ic AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM capped GROUP BY i),
+    pc AS (
+        SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM capped a JOIN capped c ON a.b = c.b AND a.i < c.i
+        GROUP BY a.i, c.i HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, n_ab, x.cnt AS n_a, y.cnt AS n_b, n_baskets,
+           (n_ab * n_baskets) / (x.cnt * y.cnt) AS lift
+    FROM pc JOIN ic x ON pc.item_a = x.i JOIN ic y ON pc.item_b = y.i, nb
+    """,
+)
+def q258(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket pair mining (order = basket, part = item):
+    basket-keyed self-equi-join with an explicit mega-basket cap (the
+    quadratic-blowup guard every association miner needs at 100 TB),
+    exact integer counts, lift from one IEEE-exact division."""
+    from .operators.mining import basket_pairs
+
+    li = load_table(spark, sf, "lineitem")
+    return basket_pairs(li, "l_orderkey", "l_partkey", min_count=2, max_basket=10)
+
+
+# ------------------------------------------------------------------ q259
+@query(
+    "q259_constraints",
+    """
+    SELECT 'not_null(o_custkey)' AS rule,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
+    UNION ALL
+    SELECT 'not_null(o_orderdate)',
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND NOT (o_totalprice BETWEEN 0 AND 600000) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'regex(o_orderpriority)',
+           CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'fk(o_custkey)',
+           CAST((SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    """,
+)
+def q259(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style constraint report: not_null/range/regex rules fuse
+    into ONE aggregate pass; unique adds a distinct agg; the FK rule is
+    one anti-join against the (broadcastable) dimension. The audit gate
+    a 100 TB ingest runs before anything downstream trusts the table."""
+    from .operators.profile import check_constraints
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return check_constraints(
+        o,
+        not_null=["o_custkey", "o_orderdate"],
+        ranges={"o_totalprice": (0, 600000)},
+        regex={"o_orderpriority": "^[1-5]-"},
+        unique=["o_orderkey"],
+        fk={"o_custkey": (c, "c_custkey")},
+    )
+
+
+# ------------------------------------------------------------------ q260
+@query(
+    "q260_lee_ready",
+    """
+    WITH t AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    q AS (SELECT * FROM events WHERE event_type = 'view'),
+    j AS (
+        SELECT t.user_id, t.ts, t.event_id, t.value, q.value AS qv
+        FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(round(value * 100) AS BIGINT) AS p,
+               CAST(round(qv * 100) AS BIGINT) AS m,
+               row_number() OVER w AS rn,
+               CAST(round(value * 100) AS BIGINT)
+                   - lag(CAST(round(value * 100) AS BIGINT)) OVER w AS dp
+        FROM j WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    e AS (
+        SELECT *, max(CASE WHEN dp > 0 THEN rn * 4 + 2 WHEN dp < 0 THEN rn * 4 + 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest
+        FROM r
+    )
+    SELECT event_id, user_id, round(value, 2) AS trade_price, m / 100 AS mid_price,
+           CAST(CASE WHEN m IS NOT NULL AND p > m THEN 1
+                     WHEN m IS NOT NULL AND p < m THEN -1
+                     ELSE coalesce(latest % 4 - 1, 0) END AS INT) AS side
+    FROM e
+    """,
+)
+def q260(spark: SparkSession, sf: str) -> DataFrame:
+    """Lee-Ready trade-side classification: merge_asof(backward) for the
+    prevailing quote + quote-mid comparison, tick-test fallback at the
+    mid via a packed (row_number, sign) running MAX — no
+    last_value(IGNORE NULLS), whose frame semantics engines disagree on.
+    All comparisons on integer cents → engine-exact."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    trades = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id", "value")
+    quotes = ev.where(F.col("event_type") == "view").select("user_id", "ts", F.col("value").alias("qv"))
+    out = finance.lee_ready(
+        trades, quotes, by="user_id", on="ts", trade_price="value", quote_mid="qv",
+        order=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("value"), 2).alias("trade_price"),
+        "mid_price", "side",
+    )
