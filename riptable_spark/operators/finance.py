@@ -304,3 +304,54 @@ def lee_ready(
         .cast("int")
     )
     return j.withColumn("side", side).withColumn("mid_price", (m / scale))
+
+
+def trade_flow_stats(
+    classified: DataFrame,
+    key: str,
+    order: list[str],
+    trade_price: str,
+    quote_mid: str,
+    side_col: str = "side",
+    scale: int = 100,
+) -> DataFrame:
+    """Microstructure rollup over ``lee_ready`` output: per-key trade
+    counts by side, effective spread, and Kyle's lambda (price impact).
+
+    * effective spread = avg of 2·|p − mid| over trades with a quote —
+      integer cents summed exactly, one division at the end;
+    * Kyle's lambda = OLS slope of Δp on signed flow x = side·p
+      (classic price-impact regression), composed from exact integer
+      power sums (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) — the same
+      closed-form-from-sums shape as functions.stats.lm.
+
+    One (key)-ordered window for Δp, then one hash agg on the same key —
+    the exchange is reused.  NULL-mid trades contribute to counts and
+    lambda but not to the spread average.
+    """
+    p = F.round(F.col(trade_price) * scale).cast("bigint")
+    m = F.round(F.col(quote_mid) * scale).cast("bigint")
+    w = Window.partitionBy(key).orderBy(*order)
+    dp = p - F.lag(p).over(w)
+    x = (F.col(side_col) * p).cast("bigint")
+    base = classified.select(
+        F.col(key),
+        F.col(side_col).alias("__side__"),
+        (2 * F.abs(p - m)).alias("__es__"),
+        F.when(dp.isNotNull(), x).alias("__x__"),
+        dp.alias("__dp__"),
+    )
+    n_xy = F.count(F.when(F.col("__dp__").isNotNull(), 1))
+    sx = F.sum("__x__")
+    sy = F.sum("__dp__")
+    sxy = F.sum(F.col("__x__") * F.col("__dp__"))
+    sxx = F.sum(F.col("__x__") * F.col("__x__"))
+    lam_num = n_xy * sxy - sx * sy
+    lam_den = n_xy * sxx - sx * sx
+    return base.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(F.when(F.col("__side__") == 1, 1).otherwise(0)).cast("bigint").alias("n_buys"),
+        F.sum(F.when(F.col("__side__") == -1, 1).otherwise(0)).cast("bigint").alias("n_sells"),
+        (F.sum("__es__") / F.count("__es__") / scale).alias("eff_spread"),
+        F.when(lam_den != 0, lam_num / lam_den).alias("kyle_lambda"),
+    )

@@ -68,3 +68,30 @@ def basket_pairs(
         "n_baskets",
         ((F.col("n_ab") * F.col("n_baskets")) / (F.col("n_a") * F.col("n_b"))).alias("lift"),
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "item_a", dst: str = "item_b") -> DataFrame:
+    """Global triangle count over an undirected edge list — the classic
+    graph-cohesion metric (community density, spam-graph detection).
+
+    Requires/enforces the canonical ``a < b`` orientation, then counts
+    paths a<b<c closed by (a,c): two equi-joins, never a cross join.
+    This is the standard distributed formulation — each triangle is
+    counted exactly once because orientation fixes the traversal order.
+    At scale the join keys are the vertex ids; a degree cap on the
+    input edge list (cf. ``basket_pairs(max_basket=...)``) bounds the
+    wedge explosion the same way it bounds pair generation.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"), F.greatest(F.col(src), F.col(dst)).alias("b")
+    ).where(F.col("a") != F.col("b")).distinct()
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    wedges = ab.join(bc, on="b")
+    tri = wedges.join(
+        ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2"))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    ).select("n_edges", "n_triangles")

@@ -134,3 +134,35 @@ def rrf_fuse(
     if top is not None:
         out = out.limit(top)
     return out.withColumn("rank", F.row_number().over(w))
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tf: int = 1,
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by a tf/df score.
+
+    The ranking key is the exact integer ``tf·1_000_000 DIV df`` (term
+    frequency up-weighted, document frequency down-weighted — the
+    tf-idf ordering without ln, whose ulps differ across engines), with
+    the term string as tiebreak, so the top-k set is deterministic and
+    SQL-replayable.  Postings shuffle once on term for df, once on doc
+    for the top-k window; the df relation is vocabulary-sized and
+    broadcasts.
+    """
+    post = term_postings(df, text_col, id_col).select(
+        id_col, "term", F.col("tf").cast("bigint").alias("tf")
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+    scored = post.join(F.broadcast(dfreq), "term").where(F.col("tf") >= min_tf)
+    score = F.expr("tf * 1000000 DIV df_t")
+    w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("term"))
+    return (
+        scored.withColumn("score_key", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_t", "score_key", "rank")
+    )

@@ -443,3 +443,149 @@ def q260(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("value"), 2).alias("trade_price"),
         "mid_price", "side",
     )
+
+
+# ------------------------------------------------------------------ q261
+@query(
+    "q261_trade_flow",
+    """
+    WITH t AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    q AS (SELECT * FROM events WHERE event_type = 'view'),
+    j AS (
+        SELECT t.user_id, t.ts, t.event_id, t.value, q.value AS qv
+        FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(round(value * 100) AS BIGINT) AS p,
+               CAST(round(qv * 100) AS BIGINT) AS m,
+               row_number() OVER w AS rn,
+               CAST(round(value * 100) AS BIGINT)
+                   - lag(CAST(round(value * 100) AS BIGINT)) OVER w AS dp
+        FROM j WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    e AS (
+        SELECT *, max(CASE WHEN dp > 0 THEN rn * 4 + 2 WHEN dp < 0 THEN rn * 4 + 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest
+        FROM r
+    ),
+    c AS (
+        SELECT user_id, p, m, dp,
+               CAST(CASE WHEN m IS NOT NULL AND p > m THEN 1
+                         WHEN m IS NOT NULL AND p < m THEN -1
+                         ELSE coalesce(latest % 4 - 1, 0) END AS INT) AS side
+        FROM e
+    ),
+    agg AS (
+        SELECT user_id,
+               count(*) AS n_trades,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
+               CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sells,
+               CAST(sum(2 * abs(p - m)) AS BIGINT) AS ses,
+               count(2 * abs(p - m)) AS ces,
+               count(CASE WHEN dp IS NOT NULL THEN 1 END) AS nxy,
+               CAST(sum(CASE WHEN dp IS NOT NULL THEN side * p END) AS BIGINT) AS sx,
+               CAST(sum(dp) AS BIGINT) AS sy,
+               CAST(sum(CASE WHEN dp IS NOT NULL THEN side * p * dp END) AS BIGINT) AS sxy,
+               CAST(sum(CASE WHEN dp IS NOT NULL THEN side * p * side * p END) AS BIGINT) AS sxx
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_trades, n_buys, n_sells,
+           (ses / ces) / 100 AS eff_spread,
+           CASE WHEN nxy * sxx - sx * sx != 0
+                THEN (nxy * sxy - sx * sy) / (nxy * sxx - sx * sx) END AS kyle_lambda
+    FROM agg
+    """,
+)
+def q261(spark: SparkSession, sf: str) -> DataFrame:
+    """Microstructure rollup: Lee-Ready classification feeding effective
+    spread (2·|p−mid|, exact cents) and Kyle's lambda (price-impact OLS
+    slope from exact integer power sums — the lm closed form). The
+    classify window, the Δp window, and the final agg all hash on
+    user_id, so Catalyst reuses ONE exchange end-to-end."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    trades = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id", "value")
+    quotes = ev.where(F.col("event_type") == "view").select("user_id", "ts", F.col("value").alias("qv"))
+    classified = finance.lee_ready(
+        trades, quotes, by="user_id", on="ts", trade_price="value", quote_mid="qv",
+        order=["ts", "event_id"],
+    )
+    return finance.trade_flow_stats(
+        classified, "user_id", ["ts", "event_id"], "value", "qv"
+    )
+
+
+# ------------------------------------------------------------------ q262
+@query(
+    "q262_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    post AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term != '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM post GROUP BY term),
+    scored AS (
+        SELECT p.doc_id, p.term, p.tf, d.df_t, (p.tf * 1000000) // d.df_t AS score_key
+        FROM post p JOIN dfreq d USING (term) WHERE p.tf >= 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_key DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df_t, score_key, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q262(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by the exact integer
+    tf·1e6 DIV df ranking key (tf-idf ORDERING without ln's cross-engine
+    ulps), term-string tiebreak. df relation broadcasts; postings
+    shuffle once on term and once on doc."""
+    from .operators.retrieval import top_terms
+
+    d = load_table(spark, sf, "documents")
+    return top_terms(d, k=3, min_tf=2)
+
+
+# ------------------------------------------------------------------ q263
+@query(
+    "q263_triangles",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    capped AS (
+        SELECT b, i FROM (
+            SELECT b, i, count(*) OVER (PARTITION BY b) AS bs FROM bi
+        ) WHERE bs <= 10
+    ),
+    pc AS (
+        SELECT a.i AS item_a, c.i AS item_b
+        FROM capped a JOIN capped c ON a.b = c.b AND a.i < c.i
+        GROUP BY a.i, c.i HAVING count(*) >= 2
+    ),
+    edges AS (SELECT item_a AS a, item_b AS b FROM pc),
+    tri AS (
+        SELECT count(*) AS n FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles
+    """,
+)
+def q263(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (edges = item pairs
+    bought together ≥2 times): canonical a<b orientation closes each
+    triangle exactly once via two equi-joins — never a cross join; the
+    basket cap upstream bounds the wedge explosion."""
+    from .operators.mining import basket_pairs, triangle_count
+
+    li = load_table(spark, sf, "lineitem")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2, max_basket=10)
+    return triangle_count(edges)

@@ -115,3 +115,61 @@ def test_lee_ready_no_quote_falls_back_to_tick(spark):
     )
     got = {r["event_id"]: r["side"] for r in out.collect()}
     assert got == {1: 0, 2: -1}  # first trade: no mid, no tick ⇒ 0; then downtick
+
+
+def test_triangle_count_hand(spark):
+    from riptable_spark.operators.mining import triangle_count
+
+    # K4 on {1,2,3,4} has 4 triangles and 6 edges; plus a dangling edge 4-9
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 9)]
+    df = spark.createDataFrame(edges, "item_a int, item_b int")
+    r = triangle_count(df).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (7, 4)
+
+
+def test_triangle_count_canonicalizes_orientation(spark):
+    from riptable_spark.operators.mining import triangle_count
+
+    # same triangle given with mixed orientation + a duplicate + self-loop
+    df = spark.createDataFrame(
+        [(2, 1), (2, 3), (1, 3), (3, 1), (5, 5)], "item_a int, item_b int"
+    )
+    r = triangle_count(df).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_top_terms_ranking_and_ties(spark):
+    from riptable_spark.operators.retrieval import top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana banana cherry"),
+            (2, "banana banana banana date date"),
+            (3, "apple cherry"),
+        ],
+        "doc_id int, text string",
+    )
+    out = top_terms(docs, k=2, min_tf=2)
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["score_key"]) for r in out.collect()}
+    # doc 1: apple tf=2 df=2 → 1e6; banana tf=2 df=2 → 1e6 (tie → 'apple' first)
+    assert got[(1, 1)][0] == "apple" and got[(1, 2)][0] == "banana"
+    # doc 2: date tf=2 df=1 → 2e6 beats banana tf=3 df=2 → 1.5e6
+    assert got[(2, 1)] == ("date", 2_000_000)
+    assert got[(2, 2)] == ("banana", 1_500_000)
+    assert (3, 1) not in got  # no term reaches min_tf in doc 3
+
+
+def test_trade_flow_stats_hand(spark):
+    from riptable_spark.operators import finance
+
+    # classified trades for one key: sides +1,-1,+1; prices 10,8,12; mid 9 for all
+    classified = spark.createDataFrame(
+        [("u", 1, 10.0, 9.0, 1), ("u", 2, 8.0, 9.0, -1), ("u", 3, 12.0, 9.0, 1)],
+        "user_id string, ts int, value double, qv double, side int",
+    )
+    r = finance.trade_flow_stats(classified, "user_id", ["ts"], "value", "qv").collect()[0]
+    assert (r["n_trades"], r["n_buys"], r["n_sells"]) == (3, 2, 1)
+    # eff spread: 2*(100+100+300)/3/100
+    assert r["eff_spread"] == 2 * (100 + 100 + 300) / 3 / 100
+    # lambda: points (x=side*p, y=dp): (-800,-200), (1200,400) → slope 0.3
+    assert r["kyle_lambda"] == pytest.approx(0.3, abs=1e-12)

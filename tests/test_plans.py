@@ -420,3 +420,70 @@ def test_q214_gram_matrix_partial_aggregate(q):
 
     df = q("q214_gram_matrix")
     assert pi.has_partial_aggregate(df)
+
+
+def test_q250_vwap_single_shuffle_partial_agg(q):
+    """VWAP bars: ONE exchange (between partial and final agg) and
+    map-side combine — the integer Σ(p·v) accumulator makes partials
+    associative; the scan reads only the 4 needed columns."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q250_vwap")
+    assert pi.count_shuffles(df) == 1
+    assert pi.has_partial_aggregate(df)
+    cols = pi.scan_columns(df)
+    assert cols and all(
+        set(c) <= {"l_suppkey", "l_shipdate", "l_extendedprice", "l_quantity"} for c in cols
+    )
+
+
+def test_q257_corr_matrix_one_pass(q):
+    """Correlation matrix: all pairwise power sums in ONE aggregate —
+    a single exchange regardless of how many column pairs."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q257_corr_matrix")
+    # ≤1: at tiny SF the single-partition input needs no exchange at all
+    assert pi.count_shuffles(df) <= 1
+    assert pi.has_partial_aggregate(df)
+
+
+def test_q258_basket_pairs_no_cartesian(q):
+    """Pair mining must stay an equi-join on the basket key."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q258_basket_pairs")
+    lint = [m for m in pi.lint(df) if "cartesian" in m.lower()]
+    # the only tolerated hit is the 1-row n_baskets scalar broadcast
+    # (BroadcastNestedLoopJoin against a single aggregate row); a true
+    # CartesianProduct over the pair relation must never appear
+    assert all("BroadcastNestedLoopJoin" in m for m in lint), lint
+
+
+def test_q259_constraints_fk_broadcasts(q):
+    """The FK anti-join against the customer dimension broadcasts."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q259_constraints")
+    assert pi.has_broadcast_join(df)
+
+
+def test_q261_trade_flow_lint_clean(q):
+    """Lee-Ready + microstructure rollup: no cartesian, no Python UDF,
+    no single-partition exchange in the executed plan."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q261_trade_flow")
+    lint = pi.lint(df)
+    assert not [m for m in lint if "cartesian" in m.lower() or "python" in m.lower()], lint
+
+
+def test_q263_triangles_no_cartesian(q):
+    """Triangle closure is two equi-joins, never a nested loop."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q263_triangles")
+    lint = [m for m in pi.lint(df) if "cartesian" in m.lower()]
+    # scalar n_edges/n_triangles 1-row joins are BroadcastNestedLoop by
+    # construction; the wedge-closure joins must stay equi-joins
+    assert all("BroadcastNestedLoopJoin" in m for m in lint), lint
