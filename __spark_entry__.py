@@ -83,6 +83,8 @@ _PRIORITY = [
     "q205_mutual_info",
     "q214_gram_matrix",
     "q217_json_extract",
+    "q250_vwap",
+    "q261_trade_flow",
 ]
 
 

@@ -717,3 +717,109 @@ def corr_matrix(
         for a, b in pairs
     ])
     return one.select(F.explode(structs).alias("p")).select("p.col_x", "p.col_y", "p.n", "p.corr")
+
+
+def lm_by(
+    df: DataFrame,
+    key: str,
+    x: str,
+    y: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Per-group simple OLS (slope, intercept, r², n) from exact integer
+    power sums — the grouped sibling of ``lm`` (reference rt_stats.py
+    lm/polyFit deg-1), e.g. per-symbol beta or per-segment elasticity.
+
+    ONE two-stage hash aggregate computes n, Σx, Σy, Σxy, Σx², Σy² per
+    key; the closed forms then apply /, ·, − to identical operands in
+    any engine.  The squared-covariance r² numerator is composed in
+    DOUBLE (int64² would overflow), from operands that are exact
+    int64→double conversions — still engine-identical.  Complete-case
+    (rows with NULL x or y dropped).
+    """
+    xs = F.round(F.col(x) * x_scale).cast("bigint")
+    ys = F.round(F.col(y) * y_scale).cast("bigint")
+    keep = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    agg = keep.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xs).alias("sx"),
+        F.sum(ys).alias("sy"),
+        F.sum(xs * ys).alias("sxy"),
+        F.sum(xs * xs).alias("sxx"),
+        F.sum(ys * ys).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")        # exact int64
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(dx != 0, num / dx)
+    intercept = F.col("sy") / n - slope * (F.col("sx") / n)
+    numd = num.cast("double")
+    r2 = F.when((dx != 0) & (dy != 0), (numd * numd) / (dx.cast("double") * dy.cast("double")))
+    return agg.select(
+        key, "n", slope.alias("slope"), intercept.alias("intercept"), r2.alias("r2")
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    arm_col: str,
+    metric: str,
+    covariate: str,
+    metric_scale: int = 100,
+    cov_scale: int = 100,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): per experiment arm,
+    the covariate-adjusted mean  ȳ_adj = ȳ − θ·(x̄ − μx)  with
+    θ = cov(x,y)/var(x) pooled across arms and μx the global covariate
+    mean, plus the variance-reduction factor ρ² (fraction of metric
+    variance the pre-period covariate explains).
+
+    Everything composes from exact integer power sums: one pass builds
+    per-arm sums, the pooled θ/μx reduce from those same sums (a 1-row
+    broadcast), and every float op applies to identical operands — no
+    per-row float products ever sum across rows, so the oracle replays
+    it exactly.  ρ²'s squared covariance is composed in DOUBLE (int64²
+    overflows), from exactly-converted operands.
+    """
+    xs = F.round(F.col(covariate) * cov_scale).cast("bigint")
+    ys = F.round(F.col(metric) * metric_scale).cast("bigint")
+    keep = df.where(F.col(covariate).isNotNull() & F.col(metric).isNotNull())
+    arm = keep.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xs).alias("sx"),
+        F.sum(ys).alias("sy"),
+        F.sum(xs * ys).alias("sxy"),
+        F.sum(xs * xs).alias("sxx"),
+        F.sum(ys * ys).alias("syy"),
+    )
+    # NOTE: Spark and DuckDB both resolve identifiers case-INSENSITIVELY
+    # — pooled names must not collide with the per-arm ones by case only.
+    pooled = arm.agg(
+        F.sum("n").alias("n_all"),
+        F.sum("sx").alias("sx_all"),
+        F.sum("sy").alias("sy_all"),
+        F.sum("sxy").alias("sxy_all"),
+        F.sum("sxx").alias("sxx_all"),
+        F.sum("syy").alias("syy_all"),
+    )
+    j = arm.crossJoin(F.broadcast(pooled))
+    N = F.col("n_all")
+    pnum = N * F.col("sxy_all") - F.col("sx_all") * F.col("sy_all")
+    pdx = N * F.col("sxx_all") - F.col("sx_all") * F.col("sx_all")
+    pdy = N * F.col("syy_all") - F.col("sy_all") * F.col("sy_all")
+    theta = F.when(pdx != 0, pnum / pdx)
+    mu_x = F.col("sx_all") / N
+    ybar = F.col("sy") / F.col("n")
+    xbar = F.col("sx") / F.col("n")
+    pnumd = pnum.cast("double")
+    rho2 = F.when((pdx != 0) & (pdy != 0), (pnumd * pnumd) / (pdx.cast("double") * pdy.cast("double")))
+    return j.select(
+        arm_col,
+        "n",
+        (ybar / metric_scale).alias("mean_raw"),
+        ((ybar - theta * (xbar - mu_x)) / metric_scale).alias("mean_adj"),
+        (theta * cov_scale / metric_scale).alias("theta"),
+        rho2.alias("var_reduction"),
+    )

@@ -355,3 +355,42 @@ def trade_flow_stats(
         (F.sum("__es__") / F.count("__es__") / scale).alias("eff_spread"),
         F.when(lam_den != 0, lam_num / lam_den).alias("kyle_lambda"),
     )
+
+
+def pnl_curve(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    side: Column | str,
+    price: str,
+    qty: Column | str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key running position, cash, and mark-to-market P&L from a
+    signed fill stream — the linear-accounting P&L (no cost-basis
+    lots, which are path-dependent and belong to an applyInPandas
+    variant):
+
+        position_t = Σ side·qty          (exact int)
+        cash_t     = −Σ side·p·qty       (exact scaled int)
+        mtm_t      = position_t·p_t + cash_t
+
+    Every accumulator is an integer running SUM — exact under any
+    engine's window association (unlike float prefix sums, which the
+    oracle lessons forbid).  One per-key sort window.
+    """
+    oc = _order_cols(order)
+    s = F.col(side) if isinstance(side, str) else side
+    q = (F.col(qty) if isinstance(qty, str) else qty).cast("bigint")
+    p = F.round(F.col(price) * scale).cast("bigint")
+    w = Window.partitionBy(key).orderBy(*oc).rowsBetween(Window.unboundedPreceding, 0)
+    pos = F.sum(s * q).over(w)
+    cash = -F.sum(s * p * q).over(w)
+    return df.select(
+        key,
+        *oc,
+        F.col(price),
+        pos.alias("position"),
+        (cash / scale).alias("cash"),
+        ((pos * p + cash) / scale).alias("mtm_pnl"),
+    )

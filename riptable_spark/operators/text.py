@@ -508,3 +508,54 @@ def oov_rate(
     return agg.withColumn(
         "oov_frac", F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
     )
+
+
+# Flesch reading-ease constants, inlined as shared literals (the SQL
+# oracle casts the same strings so both engines hold identical doubles).
+FLESCH_BASE = 206.835
+FLESCH_SENT_W = 1.015
+FLESCH_SYL_W = 84.6
+
+
+def syllable_count(col: Column) -> Column:
+    """Heuristic syllable count: number of vowel GROUPS ([aeiouy]+) in
+    the lowercased text — the standard readability approximation; word
+    boundaries break groups naturally so it sums per-word counts."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit("[aeiouy]+"), 0)).cast("bigint")
+
+
+def sentence_count(col: Column) -> Column:
+    """Number of sentence-terminator runs ([.!?]+), floored at 1 so
+    terminator-free fragments count as one sentence."""
+    return F.greatest(
+        F.size(F.regexp_extract_all(col, F.lit("[.!?]+"), 0)).cast("bigint"), F.lit(1).cast("bigint")
+    )
+
+
+def flesch_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease per document:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+
+    All three counts are exact integers from regexp extraction (pure
+    codegen, zero shuffles — the same horizontal shape as the Gopher
+    quality rules); the score applies literal·(int/int) float ops to
+    identical operands, so a SQL oracle reproduces it bit-for-bit.
+    Empty/wordless docs yield NULL score rather than a division error.
+    """
+    t = F.col(text_col)
+    wc = word_count(t).cast("bigint")
+    sc_ = sentence_count(t)
+    syl = syllable_count(t)
+    score = F.when(
+        wc > 0,
+        F.lit(FLESCH_BASE)
+        - F.lit(FLESCH_SENT_W) * (wc / sc_)
+        - F.lit(FLESCH_SYL_W) * (syl / wc),
+    )
+    return df.select(
+        F.col(id_col),
+        wc.alias("n_words"),
+        sc_.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        score.alias("flesch"),
+    )

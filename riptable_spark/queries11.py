@@ -589,3 +589,174 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     edges = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2, max_basket=10)
     return triangle_count(edges)
+
+
+# ------------------------------------------------------------------ q264
+@query(
+    "q264_pnl_curve",
+    """
+    WITH f AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS s,
+               event_id % 5 + 1 AS q,
+               CAST(round(value * 100) AS BIGINT) AS p
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, value, p,
+               CAST(sum(s * q) OVER w AS BIGINT) AS pos,
+               CAST(-sum(s * p * q) OVER w AS BIGINT) AS cash
+        FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, value,
+           pos AS position, cash / 100 AS cash, (pos * p + cash) / 100 AS mtm_pnl
+    FROM r
+    """,
+)
+def q264(spark: SparkSession, sf: str) -> DataFrame:
+    """Running position / cash / mark-to-market P&L over a signed fill
+    stream (purchase=buy, click=sell, deterministic qty): the linear
+    accounting identities keep every running accumulator an exact
+    integer — the shape that survives any engine's window association.
+    One per-user sort window."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events").where(F.col("event_type").isin("purchase", "click"))
+    side = F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+    qty = F.col("event_id") % 5 + 1
+    return finance.pnl_curve(ev, "user_id", ["ts", "event_id"], side, "value", qty)
+
+
+# ------------------------------------------------------------------ q265
+@query(
+    "q265_cuped",
+    """
+    WITH pu AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    keep AS (SELECT * FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+    a AS (
+        SELECT arm, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM keep GROUP BY arm
+    ),
+    p AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all, CAST(sum(sx) AS BIGINT) AS sx_all,
+               CAST(sum(sy) AS BIGINT) AS sy_all, CAST(sum(sxy) AS BIGINT) AS sxy_all,
+               CAST(sum(sxx) AS BIGINT) AS sxx_all, CAST(sum(syy) AS BIGINT) AS syy_all
+        FROM a
+    )
+    SELECT arm, n,
+           (sy / n) / 1 AS mean_raw,
+           ((sy / n) - (CASE WHEN n_all * sxx_all - sx_all * sx_all != 0
+                             THEN (n_all * sxy_all - sx_all * sy_all) / (n_all * sxx_all - sx_all * sx_all) END)
+                       * ((sx / n) - (sx_all / n_all))) / 1 AS mean_adj,
+           (CASE WHEN n_all * sxx_all - sx_all * sx_all != 0
+                 THEN (n_all * sxy_all - sx_all * sy_all) / (n_all * sxx_all - sx_all * sx_all) END) * 1 / 1 AS theta,
+           CASE WHEN n_all * sxx_all - sx_all * sx_all != 0 AND n_all * syy_all - sy_all * sy_all != 0
+                THEN (CAST(n_all * sxy_all - sx_all * sy_all AS DOUBLE) * CAST(n_all * sxy_all - sx_all * sy_all AS DOUBLE))
+                     / (CAST(n_all * sxx_all - sx_all * sx_all AS DOUBLE) * CAST(n_all * syy_all - sy_all * sy_all AS DOUBLE)) END
+               AS var_reduction
+    FROM a, p
+    """,
+)
+def q265(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction: per-arm covariate-adjusted means with
+    pooled θ and the explained-variance factor ρ², all composed from
+    exact integer power sums (per-user view/purchase sums are integer cents;
+    no per-row float product is ever summed).  Two tiny aggregations +
+    a 1-row broadcast — the scan dominates at scale."""
+    from .functions.stats import cuped_adjust
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", cents)).cast("bigint").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents)).cast("bigint").alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return cuped_adjust(pu, "arm", "y", "x", metric_scale=1, cov_scale=1)
+
+
+# ------------------------------------------------------------------ q266
+def _flesch_oracle() -> str:
+    from .operators.text import FLESCH_BASE, FLESCH_SENT_W, FLESCH_SYL_W
+
+    return f"""
+    WITH c AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+               END AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+               CAST('{FLESCH_BASE!r}' AS DOUBLE)
+               - CAST('{FLESCH_SENT_W!r}' AS DOUBLE) * (CAST(n_words AS BIGINT) / CAST(n_sentences AS BIGINT))
+               - CAST('{FLESCH_SYL_W!r}' AS DOUBLE) * (CAST(n_syllables AS BIGINT) / CAST(n_words AS BIGINT))
+           END AS flesch
+    FROM c
+    """
+
+
+@query("q266_flesch", _flesch_oracle())
+def q266(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease readability per document — counts are exact
+    regexp integers (pure codegen, zero shuffles), the score is
+    literal·(int/int) float ops on identical operands, literals shipped
+    as identical strings to both engines (DuckDB decimal-literal
+    lesson)."""
+    from .operators.text import flesch_score
+
+    d = load_table(spark, sf, "documents")
+    return flesch_score(d)
+
+
+# ------------------------------------------------------------------ q267
+@query(
+    "q267_lm_by",
+    """
+    WITH v AS (
+        SELECT l_suppkey,
+               CAST(round(l_quantity * 1) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 1) AS BIGINT) AS y
+        FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    a AS (
+        SELECT l_suppkey, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM v GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n,
+           CASE WHEN n * sxx - sx * sx != 0 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           sy / n - (CASE WHEN n * sxx - sx * sx != 0
+                          THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * (sx / n) AS intercept,
+           CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+                THEN (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+    FROM a
+    """,
+)
+def q267(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-supplier OLS (price vs quantity): grouped regression closed
+    forms from exact integer power sums in ONE two-stage hash agg —
+    the grouped sibling of functions.stats.lm (rt_stats.py:188)."""
+    from .functions.stats import lm_by
+
+    li = load_table(spark, sf, "lineitem")
+    return lm_by(li, "l_suppkey", "l_quantity", "l_extendedprice", x_scale=1, y_scale=1)
