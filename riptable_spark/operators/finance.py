@@ -394,3 +394,45 @@ def pnl_curve(
         (cash / scale).alias("cash"),
         ((pos * p + cash) / scale).alias("mtm_pnl"),
     )
+
+
+def lorenz_points(
+    df: DataFrame,
+    key: str,
+    value: str,
+    buckets: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key Lorenz curve sampled at ``buckets`` quantile points:
+    bucket b holds rows with row_number in ((b−1)·n/B, b·n/B]; emits the
+    cumulative value and cumulative share up to each bucket — the
+    plot-ready companion of ``lorenz_gini``.
+
+    Bucket assignment is integer arithmetic on row_number (no ntile —
+    engines disagree on remainder distribution only if the formula
+    differs; this one is ((i−1)·B) DIV n + 1 in both).  Tied values may
+    permute across a bucket boundary but contribute equal v, so bucket
+    SUMS are deterministic.  All accumulators are exact integers; the
+    share is one int/int division.  Two windows, both partitioned by
+    key (the second over ≤B rows per key).
+    """
+    v = F.round(F.col(value) * scale).cast("bigint")
+    w = Window.partitionBy(key).orderBy(v)
+    ranked = df.select(
+        F.col(key), v.alias("__v__"), F.row_number().over(w).alias("__i__"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__n__"),
+    )
+    # exact integer division (DIV) — a float `/` then cast could land a
+    # hair above/below the boundary and flip the bucket
+    bucket = F.expr(f"((__i__ - 1) * {buckets}) DIV __n__") + 1
+    per = ranked.groupBy(F.col(key), bucket.alias("bucket")).agg(F.sum("__v__").alias("__sv__"))
+    wc = Window.partitionBy(key).orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(key)
+    cum = F.sum("__sv__").over(wc)
+    tot = F.sum("__sv__").over(wt)
+    return per.select(
+        key,
+        "bucket",
+        (cum / scale).alias("cum_value"),
+        (cum / tot).alias("cum_share"),
+    )

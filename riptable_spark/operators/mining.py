@@ -95,3 +95,55 @@ def triangle_count(edges: DataFrame, src: str = "item_a", dst: str = "item_b") -
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
     ).select("n_edges", "n_triangles")
+
+
+def topk_churn(
+    df: DataFrame,
+    period: Column,
+    key_col: str,
+    value: Column,
+    k: int = 10,
+) -> DataFrame:
+    """Drift between consecutive periods' top-k lists (leaderboard
+    churn): per period, rank keys by an exact integer total (key as
+    tiebreak → deterministic sets), keep the top k, then compare each
+    period against its predecessor: retained / entered / dropped counts
+    and the Jaccard overlap.
+
+    ``period`` must be an integer column where consecutive periods
+    differ by exactly 1 (e.g. months since epoch).  Shape: one hash agg
+    on (period, key), one per-period top-k window, one (period, key)
+    self-join of two k-row-per-period relations — all tiny after the
+    first reduce.
+    """
+    totals = (
+        df.groupBy(period.alias("period"), F.col(key_col).alias("key"))
+        .agg(F.sum(value).alias("total"))
+    )
+    w = Window.partitionBy("period").orderBy(F.col("total").desc(), F.col("key"))
+    tops = totals.withColumn("__r__", F.row_number().over(w)).where(F.col("__r__") <= k)
+    cur = tops.select("period", "key")
+    prev = tops.select((F.col("period") + 1).alias("period"), F.col("key").alias("key_prev"))
+    j = cur.withColumn("__c__", F.lit(1)).join(
+        prev.withColumn("__p__", F.lit(1)),
+        on=(cur["period"] == prev["period"]) & (cur["key"] == prev["key_prev"]),
+        how="full_outer",
+    )
+    merged = j.select(
+        F.coalesce(cur["period"], prev["period"]).alias("period"),
+        F.col("__c__"), F.col("__p__"),
+    )
+    stats = merged.groupBy("period").agg(
+        F.sum(F.when(F.col("__c__").isNotNull() & F.col("__p__").isNotNull(), 1).otherwise(0)).cast("bigint").alias("retained"),
+        F.sum(F.when(F.col("__c__").isNotNull() & F.col("__p__").isNull(), 1).otherwise(0)).cast("bigint").alias("entered"),
+        F.sum(F.when(F.col("__c__").isNull() & F.col("__p__").isNotNull(), 1).otherwise(0)).cast("bigint").alias("dropped"),
+    )
+    # report only periods that have BOTH a current and a previous top-k
+    have_cur = cur.select("period").distinct()
+    have_prev = prev.select("period").distinct()
+    out = stats.join(have_cur, on="period").join(have_prev, on="period")
+    union_n = F.col("retained") + F.col("entered") + F.col("dropped")
+    return out.select(
+        "period", "retained", "entered", "dropped",
+        F.when(union_n > 0, F.col("retained") / union_n).alias("jaccard"),
+    )

@@ -760,3 +760,121 @@ def q267(spark: SparkSession, sf: str) -> DataFrame:
 
     li = load_table(spark, sf, "lineitem")
     return lm_by(li, "l_suppkey", "l_quantity", "l_extendedprice", x_scale=1, y_scale=1)
+
+
+# ------------------------------------------------------------------ q268
+@query(
+    "q268_stream_vwap",
+    """
+    WITH f AS (
+        SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bucket_s,
+               CAST(round(value * 100) AS BIGINT) AS p,
+               event_id % 5 + 1 AS q
+        FROM events
+    )
+    SELECT bucket_s,
+           (CAST(sum(p * q) AS BIGINT) / CAST(sum(q) AS BIGINT)) / 100 AS vwap,
+           CAST(sum(q) AS BIGINT) AS volume,
+           count(*) AS n_trades
+    FROM f GROUP BY bucket_s
+    """,
+)
+def q268(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly VWAP bars through the STREAMING codepath run on a batch
+    frame (identical groupBy — integer accumulators make incremental
+    state ≡ batch agg, the property the stream/batch parity test pins
+    on a real readStream)."""
+    from .streaming.windows import stream_vwap_bars
+
+    ev = load_table(spark, sf, "events")
+    return stream_vwap_bars(ev, window="1 hour", qty=F.col("event_id") % 5 + 1)
+
+
+# ------------------------------------------------------------------ q269
+@query(
+    "q269_topk_churn",
+    """
+    WITH t AS (
+        SELECT (year(l_shipdate) * 12 + month(l_shipdate))::BIGINT AS period,
+               l_partkey AS key,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tops AS (
+        SELECT period, key FROM (
+            SELECT period, key,
+                   row_number() OVER (PARTITION BY period ORDER BY total DESC, key) AS r
+            FROM t
+        ) WHERE r <= 10
+    ),
+    prev AS (SELECT period + 1 AS period, key FROM tops),
+    j AS (
+        SELECT coalesce(c.period, p.period) AS period,
+               c.key AS ck, p.key AS pk
+        FROM tops c FULL OUTER JOIN prev p ON c.period = p.period AND c.key = p.key
+    ),
+    stats AS (
+        SELECT period,
+               CAST(sum(CASE WHEN ck IS NOT NULL AND pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(sum(CASE WHEN ck IS NOT NULL AND pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS entered,
+               CAST(sum(CASE WHEN ck IS NULL AND pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        FROM j GROUP BY period
+    )
+    SELECT s.period, retained, entered, dropped,
+           CASE WHEN retained + entered + dropped > 0
+                THEN retained / (retained + entered + dropped) END AS jaccard
+    FROM stats s
+    JOIN (SELECT DISTINCT period FROM tops) hc ON s.period = hc.period
+    JOIN (SELECT DISTINCT period FROM prev) hp ON s.period = hp.period
+    """,
+)
+def q269(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly top-10 revenue leaderboard churn: deterministic top-k
+    sets (exact integer totals, key tiebreak) compared period-over-
+    period — retained/entered/dropped and Jaccard overlap.  Everything
+    after the first hash agg is k-rows-per-period tiny."""
+    from .operators.mining import topk_churn
+
+    li = load_table(spark, sf, "lineitem")
+    period = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return topk_churn(li, period, "l_partkey", cents, k=10)
+
+
+# ------------------------------------------------------------------ q270
+@query(
+    "q270_lorenz_points",
+    """
+    WITH r AS (
+        SELECT o_orderpriority AS key,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS i,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    b AS (
+        SELECT key, ((i - 1) * 10) // n + 1 AS bucket, CAST(sum(v) AS BIGINT) AS sv
+        FROM r GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT key, bucket, sv,
+               CAST(sum(sv) OVER (PARTITION BY key ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(sv) OVER (PARTITION BY key) AS BIGINT) AS tot
+        FROM b
+    )
+    SELECT key AS o_orderpriority, bucket, cum / 100 AS cum_value, cum / tot AS cum_share
+    FROM c
+    """,
+)
+def q270(spark: SparkSession, sf: str) -> DataFrame:
+    """Lorenz curve decile points per order priority (the plot-ready
+    companion of q254's Gini): integer-DIV bucket assignment (tie-safe,
+    engine-identical), exact integer cumulative sums, one int/int share
+    division."""
+    from .operators.finance import lorenz_points
+
+    o = load_table(spark, sf, "orders")
+    out = lorenz_points(o, "o_orderpriority", "o_totalprice", buckets=10)
+    return out.withColumnRenamed("key", "o_orderpriority")

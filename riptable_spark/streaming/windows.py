@@ -13,7 +13,7 @@ parquet and assert identical results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -305,4 +305,37 @@ def stream_hll_registers(
         .groupBy(F.window(F.col("ts"), window).alias("w"), bucket.alias("bucket"))
         .agg(F.max(rho).alias("rho"))
         .select(F.col("w.start").alias("window_start"), "bucket", "rho")
+    )
+
+
+def stream_vwap_bars(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    price: str = "value",
+    qty: Column | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Tumbling VWAP bars over a trade stream — the streaming sibling of
+    operators.finance.vwap.  The Σ(p·q)/Σq accumulators are exact
+    integers, so incremental state updates commute with batch
+    aggregation and the stream/batch parity is bit-exact; the watermark
+    bounds per-window state.  Works identically on a batch frame (same
+    codepath — one groupBy)."""
+    p = F.round(F.col(price) * scale).cast("bigint")
+    q = (qty if qty is not None else F.lit(1)).cast("bigint")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"))
+        .agg(
+            F.sum(p * q).alias("__pv__"),
+            F.sum(q).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("bucket_s"),
+            (F.col("__pv__") / F.col("volume") / scale).alias("vwap"),
+            "volume",
+            "n_trades",
+        )
     )

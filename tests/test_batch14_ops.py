@@ -86,3 +86,56 @@ def test_flesch_hand(spark):
     assert out[2]["n_words"] == 0 and out[2]["flesch"] is None
     assert out[3]["flesch"] is None
     assert out[4]["n_sentences"] == 1  # floored at one sentence
+
+
+def test_topk_churn_hand(spark):
+    from riptable_spark.operators.mining import topk_churn
+
+    # period 1 top2: {a,b}; period 2 top2: {b,c} ⇒ retained 1, entered 1, dropped 1
+    rows = [
+        (1, "a", 100), (1, "b", 90), (1, "c", 10),
+        (2, "b", 80), (2, "c", 70), (2, "a", 5),
+    ]
+    df = spark.createDataFrame(rows, "p int, k string, v int")
+    out = topk_churn(df, F.col("p").cast("bigint"), "k", F.col("v").cast("bigint"), k=2).collect()
+    assert len(out) == 1  # period 1 has no predecessor
+    r = out[0]
+    assert (r["period"], r["retained"], r["entered"], r["dropped"]) == (2, 1, 1, 1)
+    assert r["jaccard"] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_topk_churn_tie_resolves_by_key(spark):
+    from riptable_spark.operators.mining import topk_churn
+
+    # tie at rank k: value 50 shared by b and c → key order keeps b
+    rows = [(1, "a", 100), (1, "b", 50), (1, "c", 50), (2, "a", 100), (2, "b", 50), (2, "c", 50)]
+    df = spark.createDataFrame(rows, "p int, k string, v int")
+    r = topk_churn(df, F.col("p").cast("bigint"), "k", F.col("v").cast("bigint"), k=2).collect()[0]
+    assert (r["retained"], r["entered"], r["dropped"]) == (2, 0, 0)
+
+
+def test_lorenz_points_uniform_and_concentrated(spark):
+    from riptable_spark.operators.finance import lorenz_points
+
+    # equal values: cumulative share at bucket b is exactly b/10
+    eq = spark.createDataFrame([("e", 5.0)] * 20, "k string, v double")
+    out = {r["bucket"]: r["cum_share"] for r in lorenz_points(eq, "k", "v").collect()}
+    for b in range(1, 11):
+        assert out[b] == pytest.approx(b / 10, abs=1e-12)
+    # fully concentrated: last bucket carries everything
+    one = spark.createDataFrame([("o", 0.0)] * 19 + [("o", 10.0)], "k string, v double")
+    out1 = {r["bucket"]: r["cum_share"] for r in lorenz_points(one, "k", "v").collect()}
+    assert out1[9] == 0.0 and out1[10] == 1.0
+
+
+def test_lorenz_points_cum_value_matches_total(spark):
+    from riptable_spark.operators.finance import lorenz_points
+
+    vals = [float(i) for i in range(1, 31)]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v double")
+    rows = sorted(lorenz_points(df, "k", "v").collect(), key=lambda r: r["bucket"])
+    assert rows[-1]["cum_value"] == sum(vals)
+    assert rows[-1]["cum_share"] == 1.0
+    # monotone non-decreasing
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)

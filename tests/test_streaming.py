@@ -342,3 +342,16 @@ def test_stream_hll_registers_parity_and_estimate(spark, sf_dir, stream, tmp_pat
         .select("user_id").distinct().count()
     )
     assert abs(est - exact) / max(exact, 1) < 0.25
+
+
+def test_stream_vwap_parity(spark, sf_dir, stream, tmp_path):
+    """VWAP bars: streaming incremental state must equal the batch agg
+    bit-for-bit (integer accumulators commute with micro-batching)."""
+    qty = F.col("event_id") % 5 + 1
+    got = sw.run_available_now(
+        sw.stream_vwap_bars(stream, "1 hour", qty=qty), "vwap_test", str(tmp_path / "ckptv")
+    ).toPandas()
+    batch = sw.stream_vwap_bars(load_table(spark, sf_dir, "events"), "1 hour", qty=qty).toPandas()
+    got = got.sort_values("bucket_s").reset_index(drop=True)
+    batch = batch.sort_values("bucket_s").reset_index(drop=True)
+    assert got.equals(batch)
