@@ -14,7 +14,7 @@ q04 trade-off) — fine for narrow audits, wrong for wide tables.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -136,3 +136,74 @@ def check_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def join_key_discovery(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: list[str],
+    right_cols: list[str],
+    k: int = 128,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Join-key discovery between two tables: for every (left column,
+    right column) pair, estimate Jaccard overlap and directional
+    containment of the DISTINCT value domains from KMV bottom-k
+    sketches — the profiling step that finds FK candidates before
+    anyone writes a join.
+
+    Scale shape: each table is scanned ONCE (all columns' value hashes
+    explode from one projection), reduced to ≤k distinct bottom hashes
+    per column; everything after is sketch-sized (k·|cols|) arithmetic
+    — pair expansion, union bottom-k, match counting — with exact
+    integer counts and one division per estimate.  The theta-sketch
+    estimator: within the union's bottom-k, m = rows present in both
+    sides, so Jaccard ≈ m/k', containment(A in B) ≈ m / |A-side rows|.
+    """
+    from .dedup import _base_hash64
+
+    def sketch(df: DataFrame, cols: list[str], side: str) -> DataFrame:
+        pairs = F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("col"), _base_hash64(F.col(c).cast("string"), hash_kind).alias("hv"),
+                         F.col(c).isNull().alias("isnull"))
+                for c in cols
+            ])
+        )
+        d = (
+            df.select(pairs.alias("p"))
+            .select("p.col", "p.hv", "p.isnull")
+            .where(~F.col("isnull"))
+            .drop("isnull")
+            .distinct()
+        )
+        w = Window.partitionBy("col").orderBy("hv")
+        return d.withColumn("__r__", F.row_number().over(w)).where(F.col("__r__") <= k).drop("__r__")
+
+    sa = sketch(left, left_cols, "a")
+    sb = sketch(right, right_cols, "b")
+    ea = sa.select(
+        F.col("col").alias("col_a"), F.explode(F.array(*[F.lit(c) for c in right_cols])).alias("col_b"),
+        "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    eb = sb.select(
+        F.explode(F.array(*[F.lit(c) for c in left_cols])).alias("col_a"), F.col("col").alias("col_b"),
+        "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    u = ea.unionByName(eb).groupBy("col_a", "col_b", "hv").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w2 = Window.partitionBy("col_a", "col_b").orderBy("hv")
+    topu = u.withColumn("__r__", F.row_number().over(w2)).where(F.col("__r__") <= k)
+    agg = topu.groupBy("col_a", "col_b").agg(
+        F.count(F.lit(1)).alias("k_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("m_both"),
+        F.sum("in_a").cast("bigint").alias("m_a"),
+        F.sum("in_b").cast("bigint").alias("m_b"),
+    )
+    return agg.select(
+        "col_a", "col_b", "k_union", "m_both",
+        (F.col("m_both") / F.col("k_union")).alias("jaccard_est"),
+        F.when(F.col("m_a") > 0, F.col("m_both") / F.col("m_a")).alias("containment_a_in_b"),
+        F.when(F.col("m_b") > 0, F.col("m_both") / F.col("m_b")).alias("containment_b_in_a"),
+    )

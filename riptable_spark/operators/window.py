@@ -942,3 +942,122 @@ def fill_time_gaps(
         filled.alias(value_col),
         F.col("__v__").isNull().alias("was_gap"),
     )
+
+
+def xcorr(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[str] | str,
+    x_col: str,
+    y_col: str,
+    lags: int = 5,
+) -> DataFrame:
+    """Per-key cross-correlation function: Pearson corr between x_t and
+    y_{t+ℓ} for ℓ = 0..``lags`` — the lead-lag diagnostic ("does x move
+    before y?").  Same machinery as ``acf``: every lead column comes
+    from ONE sort window, pairs stack via a single explode, and the
+    per-(key, lag) Pearson composes from exact power sums — feed
+    integer series (counts, cents) and the result is engine-portable
+    to the last double op.  Returns (key, lag, n_pairs, xcorr)."""
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key_col).orderBy(*order)
+    x, y = F.col(x_col), F.col(y_col)
+    lead_cols = [F.lead(y, i).over(w).alias(f"__lead{i}__") for i in range(0, lags + 1)]
+    base = df.select(key_col, x.alias("__x__"), *lead_cols)
+    stacked = base.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("lag"),
+                    F.col("__x__").alias("x"),
+                    F.col(f"__lead{i}__").alias("y"),
+                )
+                for i in range(0, lags + 1)
+            ])
+        ).alias("p"),
+    ).select(key_col, "p.lag", "p.x", "p.y").where(F.col("y").isNotNull() & F.col("x").isNotNull())
+    xs, ys = F.col("x"), F.col("y")
+    agg = stacked.groupBy(key_col, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xs).cast("double").alias("sx"),
+        F.sum(ys).cast("double").alias("sy"),
+        F.sum(xs * ys).cast("double").alias("sxy"),
+        F.sum(xs * xs).cast("double").alias("sxx"),
+        F.sum(ys * ys).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    dx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    dy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return agg.select(
+        key_col,
+        "lag",
+        "n_pairs",
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("xcorr"),
+    )
+
+
+def attribute_u_shaped(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[str] | str,
+    type_col: str,
+    touch_types: list[str],
+    conversion_types: list[str],
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution:
+    every touch is assigned to the NEXT conversion in its key's
+    timeline (journeys partition the timeline — linear, never the
+    quadratic conversions×touches join), then credited 40% for first,
+    40% for last, and an equal split of 20% across middles (100% /
+    50-50 for 1- and 2-touch journeys).
+
+    The next-conversion assignment is a running MIN over the rows-to-
+    end frame (min skips NULLs natively — no IGNORE NULLS, whose frame
+    semantics engines disagree on).  Credits are emitted PER TOUCH ROW
+    (deterministic int arithmetic + one division); no cross-row float
+    sum is baked in, so callers aggregate however they need.  Returns
+    (key, conversion_id, touch_id, channel, position, n_touches,
+    credit_bp)."""
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pos = F.row_number().over(w)
+    is_conv = F.col("__type__").isin(conversion_types)
+    is_touch = F.col("__type__").isin(touch_types)
+    base = df.select(
+        F.col(key_col),
+        F.col(id_col).alias("__id__"),
+        F.col(type_col).alias("__type__"),
+        *[F.col(c) for c in order],
+    ).withColumn("__pos__", pos).withColumn(
+        "__convpos__", F.when(is_conv, F.col("__pos__"))
+    ).withColumn("__istouch__", is_touch)
+    wfwd = Window.partitionBy(key_col).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    assigned = base.withColumn("__next_conv__", F.min("__convpos__").over(wfwd))
+    touches = assigned.where(F.col("__istouch__") & F.col("__next_conv__").isNotNull())
+    wj = Window.partitionBy(key_col, "__next_conv__").orderBy("__pos__")
+    wjall = Window.partitionBy(key_col, "__next_conv__")
+    ranked = touches.withColumn("__i__", F.row_number().over(wj)).withColumn(
+        "__n__", F.count(F.lit(1)).over(wjall)
+    )
+    convs = assigned.where(F.col("__convpos__").isNotNull()).select(
+        F.col(key_col), F.col("__pos__").alias("__next_conv__"), F.col("__id__").alias("conversion_id")
+    )
+    n, i = F.col("__n__"), F.col("__i__")
+    credit = (
+        F.when(n == 1, F.lit(10000.0))
+        .when(n == 2, F.lit(5000.0))
+        .when((i == 1) | (i == n), F.lit(4000.0))
+        .otherwise(F.lit(2000.0) / (n - 2))
+    )
+    return ranked.join(convs, on=[key_col, "__next_conv__"]).select(
+        F.col(key_col),
+        "conversion_id",
+        F.col("__id__").alias("touch_id"),
+        F.col("__type__").alias("channel"),
+        i.alias("position"),
+        n.alias("n_touches"),
+        credit.alias("credit_bp"),
+    )

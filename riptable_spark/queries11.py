@@ -878,3 +878,182 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     out = lorenz_points(o, "o_orderpriority", "o_totalprice", buckets=10)
     return out.withColumnRenamed("key", "o_orderpriority")
+
+
+# ------------------------------------------------------------------ q271
+@query(
+    "q271_xcorr",
+    """
+    WITH h AS (
+        SELECT date_trunc('day', ts) AS day, hour(ts) AS hr,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT day, x,
+               lead(y, 0) OVER w AS y0, lead(y, 1) OVER w AS y1,
+               lead(y, 2) OVER w AS y2, lead(y, 3) OVER w AS y3
+        FROM h WINDOW w AS (PARTITION BY day ORDER BY hr)
+    ),
+    s AS (
+        SELECT day, 0 AS lag, x, y0 AS y FROM l
+        UNION ALL SELECT day, 1, x, y1 FROM l
+        UNION ALL SELECT day, 2, x, y2 FROM l
+        UNION ALL SELECT day, 3, x, y3 FROM l
+    ),
+    f AS (SELECT * FROM s WHERE y IS NOT NULL AND x IS NOT NULL),
+    a AS (
+        SELECT day, lag, count(*) AS n_pairs,
+               CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+               CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+               CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+        FROM f GROUP BY day, lag
+    )
+    SELECT day, lag, n_pairs,
+           CASE WHEN (sxx - sx * sx / CAST(n_pairs AS DOUBLE)) > 0
+                 AND (syy - sy * sy / CAST(n_pairs AS DOUBLE)) > 0
+                THEN (sxy - sx * sy / CAST(n_pairs AS DOUBLE))
+                     / sqrt((sxx - sx * sx / CAST(n_pairs AS DOUBLE))
+                            * (syy - sy * sy / CAST(n_pairs AS DOUBLE))) END AS xcorr
+    FROM a
+    """,
+)
+def q271(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag cross-correlation (daily view-count series vs purchase
+    count at lags 0-3): one sort window builds every lead column,
+    pairs stack via a single explode, Pearson composes from exact
+    integer power sums per (day, lag)."""
+    from .operators.window import xcorr
+
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.hour("ts").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("bigint").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("bigint").alias("y"),
+    )
+    return xcorr(hourly, "day", "hr", "x", "y", lags=3)
+
+
+# ------------------------------------------------------------------ q272
+def _jkd_oracle() -> str:
+    left_cols = ["o_orderkey", "o_custkey", "o_orderpriority"]
+    right_cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    k = 128
+    sk = lambda table, cols, name: " UNION ALL ".join(
+        f"SELECT '{c}' AS col, ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))::BIGINT AS hv "
+        f"FROM {table} WHERE {c} IS NOT NULL" for c in cols
+    )
+    ea = " UNION ALL ".join(
+        f"SELECT col AS col_a, '{cb}' AS col_b, hv, 1 AS in_a, 0 AS in_b FROM ska"
+        for cb in right_cols
+    )
+    eb = " UNION ALL ".join(
+        f"SELECT '{ca}' AS col_a, col AS col_b, hv, 0 AS in_a, 1 AS in_b FROM skb"
+        for ca in left_cols
+    )
+    return f"""
+    WITH rawa AS ({sk('orders', left_cols, 'a')}),
+    rawb AS ({sk('lineitem', right_cols, 'b')}),
+    da AS (SELECT DISTINCT col, hv FROM rawa),
+    db AS (SELECT DISTINCT col, hv FROM rawb),
+    ska AS (SELECT col, hv FROM (
+        SELECT col, hv, row_number() OVER (PARTITION BY col ORDER BY hv) AS r FROM da
+    ) WHERE r <= {k}),
+    skb AS (SELECT col, hv FROM (
+        SELECT col, hv, row_number() OVER (PARTITION BY col ORDER BY hv) AS r FROM db
+    ) WHERE r <= {k}),
+    ea AS ({ea}),
+    eb AS ({eb}),
+    u AS (
+        SELECT col_a, col_b, hv, max(in_a) AS in_a, max(in_b) AS in_b
+        FROM (SELECT * FROM ea UNION ALL SELECT * FROM eb)
+        GROUP BY col_a, col_b, hv
+    ),
+    topu AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY col_a, col_b ORDER BY hv) AS r FROM u
+    ) WHERE r <= {k}),
+    agg AS (
+        SELECT col_a, col_b, count(*) AS k_union,
+               CAST(sum(in_a * in_b) AS BIGINT) AS m_both,
+               CAST(sum(in_a) AS BIGINT) AS m_a,
+               CAST(sum(in_b) AS BIGINT) AS m_b
+        FROM topu GROUP BY col_a, col_b
+    )
+    SELECT col_a, col_b, k_union, m_both,
+           m_both / k_union AS jaccard_est,
+           CASE WHEN m_a > 0 THEN m_both / m_a END AS containment_a_in_b,
+           CASE WHEN m_b > 0 THEN m_both / m_b END AS containment_b_in_a
+    FROM agg
+    """
+
+
+@query("q272_join_key_discovery", _jkd_oracle())
+def q272(spark: SparkSession, sf: str) -> DataFrame:
+    """FK-candidate discovery between orders and lineitem columns via
+    KMV bottom-k domain sketches: one scan per table builds ALL
+    columns' sketches, pairwise Jaccard/containment estimates come
+    from sketch-sized integer arithmetic. o_orderkey↔l_orderkey should
+    surface with containment ≈ 1."""
+    from .operators.profile import join_key_discovery
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return join_key_discovery(
+        o, li,
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        k=128,
+    )
+
+
+# ------------------------------------------------------------------ q273
+@query(
+    "q273_u_shaped_attribution",
+    """
+    WITH b AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        FROM events
+    ),
+    c AS (SELECT *, CASE WHEN event_type = 'purchase' THEN pos END AS convpos FROM b),
+    a AS (
+        SELECT *, min(convpos) OVER (PARTITION BY user_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_conv
+        FROM c
+    ),
+    t AS (
+        SELECT user_id, event_id, event_type, pos, next_conv FROM a
+        WHERE event_type IN ('view', 'click') AND next_conv IS NOT NULL
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, next_conv ORDER BY pos) AS i,
+               count(*) OVER (PARTITION BY user_id, next_conv) AS n
+        FROM t
+    ),
+    cv AS (SELECT user_id, pos AS next_conv, event_id AS conversion_id FROM a WHERE convpos IS NOT NULL)
+    SELECT r.user_id, cv.conversion_id, r.event_id AS touch_id, r.event_type AS channel,
+           CAST(i AS INT) AS position, CAST(n AS BIGINT) AS n_touches,
+           CASE WHEN n = 1 THEN CAST(10000 AS DOUBLE)
+                WHEN n = 2 THEN CAST(5000 AS DOUBLE)
+                WHEN i = 1 OR i = n THEN CAST(4000 AS DOUBLE)
+                ELSE CAST(2000 AS DOUBLE) / (n - 2) END AS credit_bp
+    FROM r JOIN cv ON r.user_id = cv.user_id AND r.next_conv = cv.next_conv
+    """,
+)
+def q273(spark: SparkSession, sf: str) -> DataFrame:
+    """U-shaped (40-20-40) multi-touch attribution: touches assign to
+    the NEXT conversion via a rows-to-end running MIN (linear — never
+    the conversions×touches quadratic join; no IGNORE NULLS), credits
+    are deterministic per-touch arithmetic with no cross-row float
+    sum baked in."""
+    from .operators.window import attribute_u_shaped
+
+    ev = load_table(spark, sf, "events")
+    return attribute_u_shaped(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        touch_types=["view", "click"], conversion_types=["purchase"],
+    )

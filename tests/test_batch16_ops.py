@@ -1,0 +1,91 @@
+"""Hand-computed semantics for xcorr, join_key_discovery,
+attribute_u_shaped."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from riptable_spark.operators.profile import join_key_discovery
+from riptable_spark.operators.window import attribute_u_shaped, xcorr
+
+
+def test_xcorr_detects_shift(spark):
+    # y is x shifted LEFT by 2 (y_t = x_{t+2}... i.e. x leads y by -2):
+    # xcorr at lag ℓ correlates x_t with y_{t+ℓ}; y_t = x_{t-2} ⇒ peak at lag 2
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 100, 60)
+    y = np.roll(x, 2)  # y_t = x_{t-2}
+    rows = [("k", int(t), int(x[t]), int(y[t])) for t in range(60)]
+    df = spark.createDataFrame(rows, "k string, t int, x long, y long")
+    out = {r["lag"]: r["xcorr"] for r in xcorr(df, "k", "t", "x", "y", lags=3).collect()}
+    # exact at the aligned pairs (roll wraps, so first 2 pairs are off — still far highest)
+    assert out[2] == max(out.values())
+    assert out[2] > 0.9
+
+
+def test_xcorr_lag0_is_pearson(spark):
+    rows = [("k", t, t, 2 * t + 1) for t in range(20)]
+    df = spark.createDataFrame(rows, "k string, t int, x long, y long")
+    out = {r["lag"]: r for r in xcorr(df, "k", "t", "x", "y", lags=1).collect()}
+    assert out[0]["xcorr"] == pytest.approx(1.0, abs=1e-12)
+    assert out[0]["n_pairs"] == 20
+    assert out[1]["n_pairs"] == 19
+
+
+def test_join_key_discovery_finds_fk(spark):
+    a = spark.createDataFrame([(i, i % 7) for i in range(200)], "ok long, ck long")
+    # fk column references a subset of a.ok; noise column is disjoint
+    b = spark.createDataFrame([(i % 150, 1000 + i) for i in range(300)], "fk long, noise long")
+    out = {(r["col_a"], r["col_b"]): r for r in join_key_discovery(a, b, ["ok", "ck"], ["fk", "noise"], k=64).collect()}
+    # fk ⊂ ok: containment of fk-in-ok ≈ 1 (b side contained in a side)
+    assert out[("ok", "fk")]["containment_b_in_a"] == pytest.approx(1.0, abs=0.05)
+    # disjoint noise column: zero overlap
+    assert out[("ok", "noise")]["m_both"] == 0
+    assert out[("ok", "noise")]["jaccard_est"] == 0.0
+
+
+def test_join_key_discovery_identical_columns(spark):
+    a = spark.createDataFrame([(i,) for i in range(500)], "v long")
+    out = join_key_discovery(a, a, ["v"], ["v"], k=64).collect()[0]
+    assert out["jaccard_est"] == 1.0
+    assert out["containment_a_in_b"] == 1.0 and out["containment_b_in_a"] == 1.0
+
+
+def test_u_shaped_attribution_hand(spark):
+    # user journey: v1 v2 v3 v4 P1 v5 P2  (all touches are views)
+    rows = [
+        ("u", 1, 1, "view"), ("u", 2, 2, "view"), ("u", 3, 3, "view"),
+        ("u", 4, 4, "view"), ("u", 5, 5, "purchase"), ("u", 6, 6, "view"),
+        ("u", 7, 7, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts int, event_id int, event_type string")
+    out = attribute_u_shaped(
+        df, "user_id", ["ts", "event_id"], "event_type", ["view", "click"], ["purchase"]
+    ).collect()
+    j1 = {r["touch_id"]: r for r in out if r["conversion_id"] == 5}
+    j2 = {r["touch_id"]: r for r in out if r["conversion_id"] == 7}
+    # journey 1: 4 touches → 40/10/10/40 (middles split 20 over 2)
+    assert [j1[t]["credit_bp"] for t in (1, 2, 3, 4)] == [4000.0, 1000.0, 1000.0, 4000.0]
+    assert j1[1]["n_touches"] == 4 and j1[1]["position"] == 1
+    # journey 2: single touch → 100%
+    assert j2[6]["credit_bp"] == 10000.0
+    # total credit per journey sums to 10000
+    assert sum(r["credit_bp"] for r in j1.values()) == pytest.approx(10000.0)
+
+
+def test_u_shaped_two_touch_journey(spark):
+    rows = [("u", 1, 1, "view"), ("u", 2, 2, "click"), ("u", 3, 3, "purchase")]
+    df = spark.createDataFrame(rows, "user_id string, ts int, event_id int, event_type string")
+    out = attribute_u_shaped(
+        df, "user_id", ["ts", "event_id"], "event_type", ["view", "click"], ["purchase"]
+    ).collect()
+    assert sorted(r["credit_bp"] for r in out) == [5000.0, 5000.0]
+    # trailing touches with no subsequent conversion are dropped
+    rows2 = rows + [("u", 4, 4, "view")]
+    df2 = spark.createDataFrame(rows2, "user_id string, ts int, event_id int, event_type string")
+    out2 = attribute_u_shaped(
+        df2, "user_id", ["ts", "event_id"], "event_type", ["view", "click"], ["purchase"]
+    ).collect()
+    assert {r["touch_id"] for r in out2} == {1, 2}
