@@ -752,3 +752,34 @@ def remove_repeated_spans(
     out = df.join(cov, id_col, "left")
     kept = F.filter(toks, lambda t, i: ~F.coalesce(F.array_contains("__cov__", i), F.lit(False)))
     return out.withColumn(out_col, F.array_join(kept, " ")).drop("__cov__")
+
+
+def doc_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's distinct
+    n-gram shingles that appear in NO other document (1 − shared/total)
+    — the memorization/boilerplate diagnostic between exact dedup
+    (whole-doc) and dedup_lines (corpus-frequency lines).
+
+    Shuffle budget: the shingle relation reduces to (doc, 8-byte hash)
+    before anything moves; one hash-keyed aggregation computes document
+    frequency, one join back + one per-doc aggregation scores.  The
+    ubiquitous-shingle skew that plagues pair generation doesn't apply —
+    df counting is a plain aggregate, never a self-join.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s__")).where(
+        F.col("__s__") != ""
+    )
+    hs = sh.select(F.col(id_col), _base_hash64(F.col("__s__"), hash_kind).alias("__h__")).distinct()
+    dfreq = hs.groupBy("__h__").agg(F.count(F.lit(1)).alias("__df__"))
+    j = hs.join(dfreq, on="__h__")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("__df__") >= 2, 1).otherwise(0)).cast("bigint").alias("n_shared"),
+        (1 - F.sum(F.when(F.col("__df__") >= 2, 1).otherwise(0)).cast("bigint") / F.count(F.lit(1))).alias("novelty"),
+    )

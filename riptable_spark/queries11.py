@@ -1057,3 +1057,89 @@ def q273(spark: SparkSession, sf: str) -> DataFrame:
         ev, "user_id", ["ts", "event_id"], "event_type",
         touch_types=["view", "click"], conversion_types=["purchase"],
     )
+
+
+# ------------------------------------------------------------------ q274
+@query(
+    "q274_tokenizer_fertility",
+    r"""
+    WITH d AS (
+        SELECT lang, n_chars,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_toks,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) END AS bpe_toks
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(ws_toks) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(bpe_toks) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_chars) AS BIGINT) / CAST(sum(ws_toks) AS BIGINT) AS chars_per_ws_token,
+           CAST(sum(n_chars) AS BIGINT) / CAST(sum(bpe_toks) AS BIGINT) AS chars_per_bpe_token
+    FROM d GROUP BY lang
+    """,
+)
+def q274(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language (chars per token, whitespace and
+    BPE-ish pre-tokenizer): the budget planner for multilingual token
+    accounting.  Pure codegen counting, one hash agg; ratios of exact
+    integer sums."""
+    from .operators import text as tx
+
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        "lang",
+        F.col("n_chars"),
+        tx.token_count(F.col("text")).cast("bigint").alias("ws_toks"),
+        F.when(F.col("text").isNotNull(), tx.bpe_ish_token_count(F.col("text")).cast("bigint")).alias("bpe_toks"),
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("ws_toks").cast("bigint").alias("total_ws_tokens"),
+        F.sum("bpe_toks").cast("bigint").alias("total_bpe_tokens"),
+        (F.sum("n_chars").cast("bigint") / F.sum("ws_toks").cast("bigint")).alias("chars_per_ws_token"),
+        (F.sum("n_chars").cast("bigint") / F.sum("bpe_toks").cast("bigint")).alias("chars_per_bpe_token"),
+    )
+
+
+# ------------------------------------------------------------------ q275
+@query(
+    "q275_doc_novelty",
+    r"""
+    WITH docs AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(t, ' ')) - 2, 1) + 1),
+                   i -> array_to_string((string_split(t, ' '))[i:i+2], ' ')))) AS s
+        FROM docs
+    ),
+    hs AS (
+        SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        FROM sh WHERE s != ''
+    ),
+    dfreq AS (SELECT h, count(*) AS df FROM hs GROUP BY h)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           1 - CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS novelty
+    FROM hs JOIN dfreq USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q275(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document novelty (fraction of distinct 3-gram shingles unique
+    to the document) — the memorization/boilerplate diagnostic.  The
+    shingle relation reduces to (doc, 8-byte hash) before any shuffle;
+    document frequency is a plain aggregate (no self-join, so no
+    ubiquitous-shingle skew)."""
+    from .operators.dedup import doc_novelty
+
+    d = load_table(spark, sf, "documents")
+    return doc_novelty(d, n=3)

@@ -89,3 +89,34 @@ def test_u_shaped_two_touch_journey(spark):
         df2, "user_id", ["ts", "event_id"], "event_type", ["view", "click"], ["purchase"]
     ).collect()
     assert {r["touch_id"] for r in out2} == {1, 2}
+
+
+def test_doc_novelty_hand(spark):
+    from riptable_spark.operators.dedup import doc_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # shares 3-grams with doc 2
+            (2, "the quick brown fox sleeps"),
+            (3, "completely different text here"),  # unique
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_novelty(docs, n=3).collect()}
+    # docs 1/2: 3 shingles each, share 'the quick brown' + 'quick brown fox'
+    assert out[1]["n_shingles"] == 3 and out[1]["n_shared"] == 2
+    assert out[1]["novelty"] == pytest.approx(1 / 3, abs=1e-12)
+    assert out[3]["n_shared"] == 0 and out[3]["novelty"] == 1.0
+    assert 4 not in out and 5 not in out  # NULL/empty text excluded
+
+
+def test_doc_novelty_exact_duplicates_share_everything(spark):
+    from riptable_spark.operators.dedup import doc_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in doc_novelty(docs, n=3).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0

@@ -487,3 +487,54 @@ def test_q263_triangles_no_cartesian(q):
     # scalar n_edges/n_triangles 1-row joins are BroadcastNestedLoop by
     # construction; the wedge-closure joins must stay equi-joins
     assert all("BroadcastNestedLoopJoin" in m for m in lint), lint
+
+
+def test_q264_pnl_single_keyed_window(q):
+    """P&L curve: one (user) exchange feeds both running sums; no
+    single-partition window, no cartesian."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q264_pnl_curve")
+    lint = pi.lint(df)
+    assert not [m for m in lint if "cartesian" in m.lower() or "single-partition" in m.lower()], lint
+    assert pi.count_shuffles(df) == 1
+
+
+def test_q268_stream_vwap_partial_agg(q):
+    """Streaming VWAP on a batch frame: map-side combine, one exchange."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q268_stream_vwap")
+    assert pi.has_partial_aggregate(df)
+    assert pi.count_shuffles(df) == 1
+
+
+def test_q271_xcorr_single_sort_shuffle(q):
+    """xcorr: every lead column from ONE sort window; the stacked
+    per-lag aggregation reuses the day-hash exchange family."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q271_xcorr")
+    lint = pi.lint(df)
+    assert not [m for m in lint if "cartesian" in m.lower() or "python" in m.lower()], lint
+
+
+def test_q273_attribution_lint_clean(q):
+    """U-shaped attribution must stay linear: no conversions×touches
+    cartesian, no Python UDF, all windows keyed."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q273_u_shaped_attribution")
+    lint = pi.lint(df)
+    assert not [m for m in lint if "cartesian" in m.lower() or "python" in m.lower()
+                or "single-partition" in m.lower()], lint
+
+
+def test_q275_novelty_exchanges_carry_hashes_not_text(q):
+    """Doc novelty: after the (doc, hash) reduce, no raw shingle string
+    crosses an exchange."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q275_doc_novelty")
+    for kind, cols in pi.exchanges(df):
+        assert not any("__s__" in c for c in cols), (kind, cols)
