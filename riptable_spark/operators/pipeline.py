@@ -832,3 +832,33 @@ def leakage_safe_kfold(
     return lab.withColumn(
         "fold", F.pmod(_base_hash64(key.cast("string"), hash_kind), F.lit(k)).cast("int")
     ).drop("component")
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    hash_kind: str = "md5",
+    rules: tuple[str, ...] = ("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_alpha", "r_stopwords"),
+) -> DataFrame:
+    """End-to-end batch curation: Gopher quality gate → exact dedup
+    (min-id survivor per normalized text) → deterministic hash split.
+    Returns the curated frame with a ``split`` column — the single-call
+    form of the standard pretraining data path.
+
+    Each stage is the already-verified operator (text.gopher_quality_
+    flags, dedup.dedup_exact, pipeline.hash_split) so the whole chain
+    stays SQL-replayable; shuffle budget = dedup's one fingerprint
+    exchange (quality gate and split are pure projections).
+    """
+    from .dedup import dedup_exact
+    from .text import gopher_quality_flags
+
+    flagged = gopher_quality_flags(df, text_col)
+    keep = None
+    for r in rules:
+        keep = F.col(r) if keep is None else keep & F.col(r)
+    gated = flagged.where(keep).select(*df.columns)
+    deduped = dedup_exact(gated, text_col, id_col)
+    return hash_split(deduped, id_col, weights or {"train": 0.8, "val": 0.1, "test": 0.1}, hash_kind=hash_kind)

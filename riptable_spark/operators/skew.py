@@ -61,3 +61,28 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[merge[fn](f"__p_{name}__").alias(name) for name, (fn, _) in exprs.items()]
     )
+
+
+def salt_plan(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int = 1_000_000,
+    min_salt: int = 1,
+) -> DataFrame:
+    """Per-key salting recommendation BEFORE an expensive join/agg: for
+    each key, salt_factor = ceil(rows / target_rows_per_task) — 1 for
+    well-behaved keys, >1 for the hot keys that need spreading.  The
+    output relation (key, n_rows, salt_factor) is what ``salted_join``
+    would broadcast; computing it is one hash aggregation over the key.
+
+    Exact integer arithmetic throughout (ceil via (n + t − 1) DIV t),
+    so the plan is engine-replayable and rerun-stable.
+    """
+    per = df.where(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    t = int(target_rows_per_task)
+    salt = F.greatest(
+        F.expr(f"(n_rows + {t - 1}) DIV {t}"), F.lit(int(min_salt)).cast("bigint")
+    )
+    return per.select(key_col, "n_rows", salt.alias("salt_factor"))

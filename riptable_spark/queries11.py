@@ -1143,3 +1143,83 @@ def q275(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return doc_novelty(d, n=3)
+
+
+# ------------------------------------------------------------------ q276
+@query(
+    "q276_curation_e2e",
+    r"""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars, text,
+               string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang, n_chars, text,
+               len(toks) BETWEEN 50 AND 100000 AS r_word_count,
+               (length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                / greatest(len(toks), 1) >= 0.8 AS r_alpha
+        FROM w
+    ),
+    gated AS (
+        SELECT doc_id, lang, n_chars, text FROM f
+        WHERE r_word_count AND r_mean_word_len AND r_alpha
+    ),
+    deduped AS (
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                                      ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    split AS (
+        SELECT lang, n_chars,
+               CASE WHEN (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000) < 800 THEN 'train'
+                    WHEN (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000) < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM deduped
+    )
+    SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM split GROUP BY split, lang
+    """,
+)
+def q276(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END batch curation (the standard pretraining data path in
+    one call): Gopher 5-rule quality gate → exact dedup (min-id per
+    normalized text) → deterministic 80/10/10 hash split, reported per
+    (split, lang).  Every stage is an already-verified operator and the
+    WHOLE chain replays in SQL — shuffle budget is dedup's single
+    fingerprint exchange."""
+    from .operators.pipeline import curate_corpus
+
+    d = load_table(spark, sf, "documents")
+    # the synthetic corpus carries few English stopwords — gate on the
+    # three structural rules (the full 7-rule conjunction is q146's
+    # audit; rules are a parameter precisely so corpora can tune them)
+    out = curate_corpus(d, rules=("r_word_count", "r_mean_word_len", "r_alpha"))
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars")
+    )
+
+
+# ------------------------------------------------------------------ q277
+@query(
+    "q277_salt_plan",
+    """
+    SELECT o_custkey, count(*) AS n_rows,
+           greatest((count(*) + 9) // 10, 1) AS salt_factor
+    FROM orders WHERE o_custkey IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def q277(spark: SparkSession, sf: str) -> DataFrame:
+    """Salting recommendation per join key (ceil(rows/target) via exact
+    integer arithmetic) — the relation salted_join broadcasts; one hash
+    aggregation, rerun-stable."""
+    from .operators.skew import salt_plan
+
+    o = load_table(spark, sf, "orders")
+    return salt_plan(o, "o_custkey", target_rows_per_task=10)

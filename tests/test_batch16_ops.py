@@ -120,3 +120,31 @@ def test_doc_novelty_exact_duplicates_share_everything(spark):
     )
     out = {r["doc_id"]: r for r in doc_novelty(docs, n=3).collect()}
     assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+
+
+def test_curate_corpus_stages(spark):
+    from riptable_spark.operators.pipeline import curate_corpus
+
+    long_good = " ".join(["alpha beta gamma delta"] * 20)  # 80 words, alpha-heavy
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),
+            (2, long_good),          # exact duplicate → dropped (min id kept)
+            (3, "too short"),        # fails word count
+            (4, None),               # NULL text fails the gate
+        ],
+        "doc_id int, text string",
+    )
+    out = curate_corpus(docs, rules=("r_word_count", "r_mean_word_len", "r_alpha"))
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["split"] in ("train", "val", "test")
+
+
+def test_salt_plan_hand(spark):
+    from riptable_spark.operators.skew import salt_plan
+
+    rows = [("hot",)] * 25 + [("cold",)] * 3 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["k"]: (r["n_rows"], r["salt_factor"]) for r in salt_plan(df, "k", target_rows_per_task=10).collect()}
+    assert out == {"hot": (25, 3), "cold": (3, 1)}  # ceil(25/10)=3; NULL keys excluded
