@@ -436,3 +436,51 @@ def lorenz_points(
         (cum / scale).alias("cum_value"),
         (cum / tot).alias("cum_share"),
     )
+
+
+def implementation_shortfall(
+    trades: DataFrame,
+    quotes: DataFrame,
+    by: str,
+    day: Column,
+    trade_order: list[str],
+    quote_order: list[str],
+    trade_price: str,
+    quote_mid: str,
+    qty: Column | str,
+    scale: int = 100,
+) -> DataFrame:
+    """Implementation shortfall vs the ARRIVAL price: each day's first
+    quote per key is the arrival benchmark; every trade pays
+    (p − arrival)·qty against it.  Σ shortfall per key is an exact
+    integer (scaled cents × integer qty), so the report is
+    engine-replayable.
+
+    Shape: the arrival relation reduces quotes to one row per (key,
+    day) — a windowed rank over the quote stream, same hash family —
+    then equi-joins onto trades by (key, day): no asof needed because
+    the benchmark is per-day constant.
+    """
+    q = (F.col(qty) if isinstance(qty, str) else qty).cast("bigint")
+    p = F.round(F.col(trade_price) * scale).cast("bigint")
+    m = F.round(F.col(quote_mid) * scale).cast("bigint")
+    wq = Window.partitionBy(by, "__day__").orderBy(*quote_order)
+    arrivals = (
+        quotes.withColumn("__day__", day)
+        .withColumn("__rn__", F.row_number().over(wq))
+        .where(F.col("__rn__") == 1)
+        .select(by, "__day__", m.alias("__arr__"))
+    )
+    t = trades.withColumn("__day__", day).select(
+        by, "__day__", p.alias("__p__"), q.alias("__q__")
+    )
+    j = t.join(arrivals, on=[by, "__day__"], how="inner")
+    return j.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("__q__").alias("total_qty"),
+        (F.sum((F.col("__p__") - F.col("__arr__")) * F.col("__q__")) / scale).alias("shortfall"),
+        (
+            F.sum((F.col("__p__") - F.col("__arr__")) * F.col("__q__"))
+            / F.sum("__q__") / scale
+        ).alias("shortfall_per_unit"),
+    )

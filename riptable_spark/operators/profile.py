@@ -207,3 +207,35 @@ def join_key_discovery(
         F.when(F.col("m_a") > 0, F.col("m_both") / F.col("m_a")).alias("containment_a_in_b"),
         F.when(F.col("m_b") > 0, F.col("m_both") / F.col("m_b")).alias("containment_b_in_a"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """EXACT pre-flight join cardinality: |A ⋈ B| = Σ_k n_A(k)·n_B(k)
+    over shared keys, plus per-side row/match counts — the number a
+    planner wants before firing a 100 TB join (is this 1:1, 1:N, or an
+    accidental M×N explosion?).
+
+    Cost: one hash agg per side reduces each table to (key, count) —
+    tiny relative to the data — then one join of the two count
+    relations.  All integer arithmetic.
+    """
+    a = left.where(F.col(left_key).isNotNull()).groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = right.where(F.col(right_key).isNotNull()).groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    j = a.join(b, on="k", how="full_outer")
+    return j.agg(
+        F.sum("na").cast("bigint").alias("n_left"),
+        F.sum("nb").cast("bigint").alias("n_right"),
+        F.sum(F.when(F.col("nb").isNotNull(), F.col("na"))).cast("bigint").alias("n_left_matched"),
+        F.sum(F.when(F.col("na").isNotNull(), F.col("nb"))).cast("bigint").alias("n_right_matched"),
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("n_join_rows"),
+        F.max(F.col("na") * F.col("nb")).cast("bigint").alias("max_key_contribution"),
+    )

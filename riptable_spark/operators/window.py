@@ -1061,3 +1061,40 @@ def attribute_u_shaped(
         n.alias("n_touches"),
         credit.alias("credit_bp"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[str] | str,
+    x_col: str,
+    y_col: str,
+    n: int = 20,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Rolling Pearson correlation between two columns over the trailing
+    ``n`` rows (rolling beta's numerator/denominator building block),
+    full-window only — the first n−1 rows are NULL per the reference's
+    rolling convention.
+
+    All six rolling power sums are exact integers (safe under
+    segment-tree window association); the per-row correlation applies
+    int64→double conversion, ·, /, sqrt — engine-identical.  One
+    per-key sort window computes every sum.
+    """
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key_col).orderBy(*order).rowsBetween(-(n - 1), 0)
+    xs = F.round(F.col(x_col) * x_scale).cast("bigint")
+    ys = F.round(F.col(y_col) * y_scale).cast("bigint")
+    cnt = F.count(F.lit(1)).over(w)
+    sx = F.sum(xs).over(w)
+    sy = F.sum(ys).over(w)
+    sxy = F.sum(xs * ys).over(w)
+    sxx = F.sum(xs * xs).over(w)
+    syy = F.sum(ys * ys).over(w)
+    num = F.lit(n) * sxy - sx * sy
+    dx = F.lit(n) * sxx - sx * sx
+    dy = F.lit(n) * syy - sy * sy
+    corr = F.when((cnt == n) & (dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
+    return df.select(key_col, *order, F.col(x_col), F.col(y_col), corr.alias("rolling_corr"))

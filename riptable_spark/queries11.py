@@ -1223,3 +1223,116 @@ def q277(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load_table(spark, sf, "orders")
     return salt_plan(o, "o_custkey", target_rows_per_task=10)
+
+
+# ------------------------------------------------------------------ q278
+@query(
+    "q278_implementation_shortfall",
+    """
+    WITH q AS (
+        SELECT user_id, date_trunc('day', ts) AS d, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS m
+        FROM events WHERE event_type = 'view'
+    ),
+    arr AS (
+        SELECT user_id, d, m AS arr FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS rn FROM q
+        ) WHERE rn = 1
+    ),
+    t AS (
+        SELECT user_id, date_trunc('day', ts) AS d,
+               CAST(round(value * 100) AS BIGINT) AS p, event_id % 5 + 1 AS q
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (SELECT t.user_id, p, q, arr FROM t JOIN arr ON t.user_id = arr.user_id AND t.d = arr.d)
+    SELECT user_id, count(*) AS n_trades, CAST(sum(q) AS BIGINT) AS total_qty,
+           CAST(sum((p - arr) * q) AS BIGINT) / 100 AS shortfall,
+           (CAST(sum((p - arr) * q) AS BIGINT) / CAST(sum(q) AS BIGINT)) / 100 AS shortfall_per_unit
+    FROM j GROUP BY user_id
+    """,
+)
+def q278(spark: SparkSession, sf: str) -> DataFrame:
+    """Implementation shortfall vs each day's arrival quote: the
+    benchmark relation is one row per (user, day) — a windowed rank on
+    the quote stream — then an equi-join onto trades; Σ(p−arrival)·qty
+    stays an exact integer."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    trades = ev.where(F.col("event_type") == "purchase")
+    quotes = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.col("value").alias("qv")
+    )
+    return finance.implementation_shortfall(
+        trades, quotes, by="user_id", day=F.date_trunc("day", F.col("ts")),
+        trade_order=["ts", "event_id"], quote_order=["ts", "event_id"],
+        trade_price="value", quote_mid="qv", qty=F.col("event_id") % 5 + 1,
+    )
+
+
+# ------------------------------------------------------------------ q279
+@query(
+    "q279_join_size_estimate",
+    """
+    WITH a AS (SELECT o_orderkey AS k, count(*) AS na FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+    j AS (SELECT na, nb FROM a FULL OUTER JOIN b USING (k))
+    SELECT CAST(sum(na) AS BIGINT) AS n_left,
+           CAST(sum(nb) AS BIGINT) AS n_right,
+           CAST(sum(CASE WHEN nb IS NOT NULL THEN na END) AS BIGINT) AS n_left_matched,
+           CAST(sum(CASE WHEN na IS NOT NULL THEN nb END) AS BIGINT) AS n_right_matched,
+           CAST(sum(na * nb) AS BIGINT) AS n_join_rows,
+           CAST(max(na * nb) AS BIGINT) AS max_key_contribution
+    FROM j
+    """,
+)
+def q279(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT pre-flight join cardinality (orders ⋈ lineitem on
+    orderkey): both tables reduce to (key, count) before the single
+    count-relation join — the 1:1 / 1:N / M×N-explosion check a planner
+    runs before firing a 100 TB join."""
+    from .operators.profile import join_size_estimate
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return join_size_estimate(o, li, "o_orderkey", "l_orderkey")
+
+
+# ------------------------------------------------------------------ q280
+@query(
+    "q280_rolling_corr",
+    """
+    WITH b AS (
+        SELECT user_id, ts, event_id, value,
+               event_id % 100 AS y,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, value, y,
+               count(*) OVER w AS cnt,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, value, y,
+           CASE WHEN cnt = 20 AND (20 * sxx - sx * sx) > 0 AND (20 * syy - sy * sy) > 0
+                THEN (20 * sxy - sx * sy)
+                     / (sqrt(20 * sxx - sx * sx) * sqrt(20 * syy - sy * sy)) END AS rolling_corr
+    FROM r
+    """,
+)
+def q280(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 20-row Pearson correlation (rolling-beta building block)
+    between the value series and a deterministic second signal: six
+    exact integer rolling sums in one per-key sort window, per-row corr
+    from IEEE-exact ops."""
+    from .operators.window import rolling_corr
+
+    ev = load_table(spark, sf, "events").withColumn("y", F.col("event_id") % 100)
+    return rolling_corr(ev, "user_id", ["ts", "event_id"], "value", "y", n=20, x_scale=100, y_scale=1)

@@ -148,3 +148,51 @@ def test_salt_plan_hand(spark):
     df = spark.createDataFrame(rows, "k string")
     out = {r["k"]: (r["n_rows"], r["salt_factor"]) for r in salt_plan(df, "k", target_rows_per_task=10).collect()}
     assert out == {"hot": (25, 3), "cold": (3, 1)}  # ceil(25/10)=3; NULL keys excluded
+
+
+def test_join_size_estimate_exact(spark):
+    from riptable_spark.operators.profile import join_size_estimate
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,), (None,)], "k int")
+    b = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k int")
+    r = join_size_estimate(a, b, "k", "k").collect()[0]
+    # key 1: 2×1, key 2: 1×2 → 4 join rows; key 3 and 9 unmatched; NULL dropped
+    assert (r["n_left"], r["n_right"], r["n_join_rows"]) == (4, 4, 4)
+    assert (r["n_left_matched"], r["n_right_matched"]) == (3, 3)
+    assert r["max_key_contribution"] == 2
+    # the estimate must equal the actual inner-join row count
+    actual = a.dropna().join(b, on="k").count()
+    assert r["n_join_rows"] == actual
+
+
+def test_implementation_shortfall_hand(spark):
+    from riptable_spark.operators import finance
+
+    # day 1: arrival quote 10; buys at 11 (q=2) and 9 (q=1) → (100·2 + (−100)·1)/100 = 1.0
+    trades = spark.createDataFrame(
+        [("u", 1, 1, 11.0, 2), ("u", 1, 2, 9.0, 1)],
+        "user_id string, d int, event_id int, value double, q int",
+    )
+    quotes = spark.createDataFrame(
+        [("u", 1, 0, 10.0), ("u", 1, 5, 99.0)],  # later quote must NOT be the benchmark
+        "user_id string, d int, event_id int, qv double",
+    )
+    out = finance.implementation_shortfall(
+        trades, quotes, by="user_id", day=F.col("d"),
+        trade_order=["event_id"], quote_order=["event_id"],
+        trade_price="value", quote_mid="qv", qty="q",
+    ).collect()[0]
+    assert (out["n_trades"], out["total_qty"]) == (2, 3)
+    assert out["shortfall"] == 1.0
+    assert out["shortfall_per_unit"] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_rolling_corr_perfect_and_window_gate(spark):
+    from riptable_spark.operators.window import rolling_corr
+
+    rows = [("k", t, float(t), 3 * t + 7) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, t int, x double, y long")
+    out = sorted(rolling_corr(df, "k", "t", "x", "y", n=5).collect(), key=lambda r: r["t"])
+    assert all(r["rolling_corr"] is None for r in out[:4])  # partial windows
+    for r in out[4:]:
+        assert r["rolling_corr"] == pytest.approx(1.0, abs=1e-12)  # y = 3x+7
