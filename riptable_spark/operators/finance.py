@@ -484,3 +484,40 @@ def implementation_shortfall(
             / F.sum("__q__") / scale
         ).alias("shortfall_per_unit"),
     )
+
+
+def drawdown_duration(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    price: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Longest underwater stretch per key: the maximum run length of
+    consecutive observations strictly below the running peak — the
+    time-dimension companion of ``max_drawdown``.
+
+    Runs materialize with the segment-id trick (cumsum of NOT-underwater
+    marks each recovery as a new segment); run lengths are a per-(key,
+    segment) count — integers end to end, one sort window + one agg on
+    the same key."""
+    oc = _order_cols(order)
+    p = F.round(F.col(price) * scale).cast("bigint")
+    w = Window.partitionBy(key).orderBy(*oc)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = df.select(F.col(key), p.alias("__p__"), *[F.col(c) for c in oc])
+    base = base.withColumn("__peak__", F.max("__p__").over(wrun))
+    under = (F.col("__p__") < F.col("__peak__")).cast("int")
+    base = base.withColumn("__u__", under).withColumn(
+        "__seg__", F.sum(1 - F.col("__u__")).over(wrun)
+    )
+    runs = (
+        base.where(F.col("__u__") == 1)
+        .groupBy(key, "__seg__")
+        .agg(F.count(F.lit(1)).alias("__len__"))
+    )
+    return runs.groupBy(key).agg(
+        F.max("__len__").alias("max_underwater_run"),
+        F.count(F.lit(1)).alias("n_drawdowns"),
+        F.sum("__len__").cast("bigint").alias("total_underwater_rows"),
+    )

@@ -761,3 +761,37 @@ def merge_asof_topk(
     # the backward-asof band
     out = cand.withColumn("asof_rank", F.row_number().over(w)).where(F.col("asof_rank") <= k)
     return out.drop("__pt__", "__start__", "__end__")
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Apply a change-data-capture batch to a keyed snapshot — the
+    MERGE INTO primitive (upsert + delete) without a table format:
+    the LATEST change per key wins (``order_by`` descending, so ties
+    need a total order), 'D' removes the key, anything else ('I'/'U')
+    replaces or inserts the row; untouched base rows pass through.
+
+    Physical shape: changes reduce to one row per key (windowed rank —
+    the change batch is small next to the snapshot), then ONE anti-join
+    knocks touched keys out of the base and a union appends the
+    surviving upserts; the base is never sorted or widened.  This is
+    exactly how Delta/Iceberg MERGE compiles when the source fits the
+    broadcast threshold.
+    """
+    oc = order_by or []
+    if oc:
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in oc])
+        latest = changes.withColumn("__rn__", F.row_number().over(w)).where(
+            F.col("__rn__") == 1
+        ).drop("__rn__")
+    else:
+        latest = changes
+    touched = latest.select(*keys)
+    kept = base.join(touched, on=keys, how="left_anti")
+    upserts = latest.where(F.col(op_col) != "D").select(*base.columns)
+    return kept.unionByName(upserts)

@@ -1336,3 +1336,84 @@ def q280(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events").withColumn("y", F.col("event_id") % 100)
     return rolling_corr(ev, "user_id", ["ts", "event_id"], "value", "y", n=20, x_scale=100, y_scale=1)
+
+
+# ------------------------------------------------------------------ q281
+@query(
+    "q281_apply_cdc",
+    """
+    WITH base AS (SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders),
+    changes AS (
+        SELECT o_orderkey, o_custkey, round(o_totalprice + 1, 2) AS price,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, round(o_totalprice, 2), 'I'
+        FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    touched AS (SELECT DISTINCT o_orderkey FROM changes),
+    kept AS (
+        SELECT b.* FROM base b LEFT JOIN touched t ON b.o_orderkey = t.o_orderkey
+        WHERE t.o_orderkey IS NULL
+    ),
+    ups AS (SELECT o_orderkey, o_custkey, price FROM changes WHERE op != 'D')
+    SELECT * FROM kept UNION ALL SELECT * FROM ups
+    """,
+)
+def q281(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC MERGE (upsert + delete) onto a keyed snapshot: deterministic
+    synthetic change batch (deletes, updates, inserts by key residue),
+    one anti-join + union — the Delta/Iceberg MERGE shape without a
+    table format."""
+    from .operators.merge import apply_cdc
+
+    o = load_table(spark, sf, "orders")
+    base = o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    upd = o.where(F.col("o_orderkey") % 10 <= 2).select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") + 1, 2).alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    ins = o.where(F.col("o_orderkey") % 10 == 3).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"), "o_custkey",
+        F.round("o_totalprice", 2).alias("price"), F.lit("I").alias("op"),
+    )
+    return apply_cdc(base, upd.unionByName(ins), keys=["o_orderkey"])
+
+
+# ------------------------------------------------------------------ q282
+@query(
+    "q282_drawdown_duration",
+    """
+    WITH r AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS p,
+               max(CAST(round(value * 100) AS BIGINT)) OVER w AS peak,
+               ts, event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    u AS (
+        SELECT user_id, CASE WHEN p < peak THEN 1 ELSE 0 END AS und,
+               CAST(sum(CASE WHEN p < peak THEN 0 ELSE 1 END) OVER w AS BIGINT) AS seg
+        FROM r
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    runs AS (
+        SELECT user_id, seg, count(*) AS len FROM u WHERE und = 1 GROUP BY user_id, seg
+    )
+    SELECT user_id, max(len) AS max_underwater_run, count(*) AS n_drawdowns,
+           CAST(sum(len) AS BIGINT) AS total_underwater_rows
+    FROM runs GROUP BY user_id
+    """,
+)
+def q282(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest underwater stretch per user (time-dimension companion of
+    q252's max drawdown): segment-id run lengths from integer windows —
+    one sort window + one agg on the same key."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    return finance.drawdown_duration(ev, "user_id", ["ts", "event_id"], "value")

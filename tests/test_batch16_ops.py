@@ -196,3 +196,26 @@ def test_rolling_corr_perfect_and_window_gate(spark):
     assert all(r["rolling_corr"] is None for r in out[:4])  # partial windows
     for r in out[4:]:
         assert r["rolling_corr"] == pytest.approx(1.0, abs=1e-12)  # y = 3x+7
+
+
+def test_apply_cdc_hand(spark):
+    from riptable_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(2, "b1", "U", 1), (2, "b2", "U", 2), (3, None, "D", 1), (4, "d", "I", 1)],
+        "k int, v string, op string, seq int",
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(base, changes, ["k"], order_by=["seq"]).collect()}
+    # latest update wins (b2), delete removes 3, insert adds 4, 1 untouched
+    assert out == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_drawdown_duration_hand(spark):
+    from riptable_spark.operators import finance
+
+    # path: 10 9 8 10 10 9 11 → runs below peak: [9,8] (len 2), [9] (len 1)
+    path = [10.0, 9.0, 8.0, 10.0, 10.0, 9.0, 11.0]
+    df = spark.createDataFrame([("u", t, p) for t, p in enumerate(path)], "k string, t int, price double")
+    r = finance.drawdown_duration(df, "k", "t", "price").collect()[0]
+    assert (r["max_underwater_run"], r["n_drawdowns"], r["total_underwater_rows"]) == (2, 2, 3)
