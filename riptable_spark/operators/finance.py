@@ -521,3 +521,41 @@ def drawdown_duration(
         F.count(F.lit(1)).alias("n_drawdowns"),
         F.sum("__len__").cast("bigint").alias("total_underwater_rows"),
     )
+
+
+def adjust_for_splits(
+    prices: DataFrame,
+    splits: DataFrame,
+    key: str,
+    order: str | list[str],
+    price: str,
+    split_order: str,
+    ratio_log2: str = "ratio_log2",
+) -> DataFrame:
+    """Back-adjust a price series for stock splits: every observation
+    BEFORE a 2^k-for-1 split divides by 2^k (equivalently multiplies by
+    2^−k), so the series is continuous in post-split units.
+
+    Split ratios are expressed as log2 integers (k=1 → 2:1, k=−1 →
+    reverse split), which makes the cumulative adjustment an INTEGER
+    exponent — a reverse-window sum — and the factor 2^−K exact in
+    binary floating point: the adjusted price is engine-identical, with
+    no cumulative float product anywhere.  One join of the (tiny) split
+    relation onto the series key + one reverse-frame window.
+    """
+    oc = _order_cols(order)
+    s = splits.select(
+        F.col(key), F.col(split_order).alias("__sat__"), F.col(ratio_log2).alias("__k__")
+    )
+    j = prices.join(s, on=key, how="left")
+    # an observation at time t is adjusted by splits occurring AFTER t
+    after = F.when(F.col("__sat__") > F.col(oc[0]), F.col("__k__")).otherwise(F.lit(0))
+    per_row = j.groupBy(key, *[F.col(c) for c in oc], F.col(price)).agg(
+        F.sum(after).cast("bigint").alias("__K__")
+    )
+    adj = F.col(price) * F.pow(F.lit(2.0), -F.col("__K__"))
+    return per_row.select(
+        key, *oc, F.col(price),
+        F.coalesce(F.col("__K__"), F.lit(0)).alias("split_log2"),
+        adj.alias("adj_price"),
+    )

@@ -1417,3 +1417,101 @@ def q282(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     return finance.drawdown_duration(ev, "user_id", ["ts", "event_id"], "value")
+
+
+# ------------------------------------------------------------------ q283
+@query(
+    "q283_split_adjust",
+    """
+    WITH s AS (
+        SELECT DISTINCT user_id, TIMESTAMP '2024-01-10 00:00:00' AS sat, 1 AS k
+        FROM events WHERE user_id % 5 = 0
+        UNION ALL
+        SELECT DISTINCT user_id, TIMESTAMP '2024-01-05 00:00:00', -1
+        FROM events WHERE user_id % 5 = 1
+    ),
+    j AS (
+        SELECT e.user_id, e.ts, e.event_id, e.value,
+               CASE WHEN s.sat > e.ts THEN s.k ELSE 0 END AS kk
+        FROM events e LEFT JOIN s ON e.user_id = s.user_id
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, value, CAST(sum(kk) AS BIGINT) AS K
+        FROM j GROUP BY user_id, ts, event_id, value
+    )
+    SELECT user_id, ts, event_id, value,
+           coalesce(K, 0) AS split_log2,
+           value * pow(2.0, -K) AS adj_price
+    FROM g
+    """,
+)
+def q283(spark: SparkSession, sf: str) -> DataFrame:
+    """Split back-adjustment with 2^k ratios: the cumulative adjustment
+    is an INTEGER exponent (reverse-looking sum over the tiny split
+    relation), and 2^−K is exact in binary floating point — no
+    cumulative float product, engine-identical adjusted prices."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    s1 = ev.where(F.col("user_id") % 5 == 0).select("user_id").distinct().select(
+        "user_id", F.lit("2024-01-10 00:00:00").cast("timestamp").alias("sat"), F.lit(1).alias("ratio_log2")
+    )
+    s2 = ev.where(F.col("user_id") % 5 == 1).select("user_id").distinct().select(
+        "user_id", F.lit("2024-01-05 00:00:00").cast("timestamp").alias("sat"), F.lit(-1).alias("ratio_log2")
+    )
+    splits = s1.unionByName(s2)
+    return finance.adjust_for_splits(
+        ev, splits, key="user_id", order=["ts", "event_id"], price="value",
+        split_order="sat",
+    )
+
+
+# ------------------------------------------------------------------ q284
+@query(
+    "q284_user_beta",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    mkt AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    v AS (SELECT user_id, x, y FROM hourly JOIN mkt USING (h)),
+    a AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM v GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n * sxx - sx * sx != 0 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           sy / n - (CASE WHEN n * sxx - sx * sx != 0
+                          THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * (sx / n) AS intercept,
+           CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+                THEN (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+    FROM a
+    """,
+)
+def q284(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user beta vs the market (hourly user value regressed on the
+    hourly aggregate): two hash aggs build the aligned integer series,
+    then lm_by's grouped closed forms — a pure composition of verified
+    operators."""
+    from .functions.stats import lm_by
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(cents).cast("bigint").alias("y")
+    )
+    mkt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(cents).cast("bigint").alias("x")
+    )
+    v = hourly.join(mkt, on="h")
+    return lm_by(v, "user_id", "x", "y", x_scale=1, y_scale=1)

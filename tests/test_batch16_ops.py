@@ -219,3 +219,33 @@ def test_drawdown_duration_hand(spark):
     df = spark.createDataFrame([("u", t, p) for t, p in enumerate(path)], "k string, t int, price double")
     r = finance.drawdown_duration(df, "k", "t", "price").collect()[0]
     assert (r["max_underwater_run"], r["n_drawdowns"], r["total_underwater_rows"]) == (2, 2, 3)
+
+
+def test_adjust_for_splits_hand(spark):
+    from riptable_spark.operators import finance
+
+    prices = spark.createDataFrame(
+        [("s", 1, 100.0), ("s", 2, 102.0), ("s", 3, 51.0), ("s", 4, 52.0)],
+        "k string, t int, price double",
+    )
+    # 2:1 split effective at t=3: rows before t=3 halve
+    splits = spark.createDataFrame([("s", 3, 1)], "k string, sat int, ratio_log2 int")
+    out = {r["t"]: (r["split_log2"], r["adj_price"]) for r in
+           finance.adjust_for_splits(prices, splits, "k", "t", "price", "sat").collect()}
+    assert out[1] == (1, 50.0) and out[2] == (1, 51.0)
+    assert out[3] == (0, 51.0) and out[4] == (0, 52.0)
+
+
+def test_adjust_for_splits_stacks_and_reverse(spark):
+    from riptable_spark.operators import finance
+
+    prices = spark.createDataFrame([("s", t, 80.0) for t in range(1, 5)], "k string, t int, price double")
+    splits = spark.createDataFrame(
+        [("s", 2, 1), ("s", 4, -1)], "k string, sat int, ratio_log2 int"
+    )  # 2:1 split at t=2, 1:2 reverse at t=4
+    out = {r["t"]: (r["split_log2"], r["adj_price"]) for r in
+           finance.adjust_for_splits(prices, splits, "k", "t", "price", "sat").collect()}
+    assert out[1] == (0, 80.0)   # +1 then −1 cancel
+    assert out[2] == (-1, 160.0)  # only the reverse split remains ahead
+    assert out[3] == (-1, 160.0)
+    assert out[4] == (0, 80.0)
