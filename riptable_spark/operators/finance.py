@@ -559,3 +559,79 @@ def adjust_for_splits(
         F.coalesce(F.col("__K__"), F.lit(0)).alias("split_log2"),
         adj.alias("adj_price"),
     )
+
+
+def twap(
+    df: DataFrame,
+    key: str,
+    bucket: Column,
+    order: str | list[str],
+    price: str,
+    ts_col: str = "ts",
+    scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average price per (key, bucket): each observation
+    is weighted by the microseconds until the NEXT observation in its
+    bucket (the interval it "held"); the last observation of a bucket
+    carries no weight (no forward interval — the standard left-closed
+    TWAP convention).
+
+    Weights are integer microsecond deltas and prices integer cents, so
+    Σ p·Δt is an exact BIGINT and the single division engine-identical.
+    One per-(key, bucket) sort window + one agg on the same keys.
+    """
+    oc = _order_cols(order)
+    p = F.round(F.col(price) * scale).cast("bigint")
+    sel = [F.col(key), bucket.alias("bucket"), p.alias("__p__")]
+    sel += [F.col(c) for c in dict.fromkeys([ts_col, *oc])]
+    base = df.select(*sel)
+    w = Window.partitionBy(key, "bucket").orderBy(*oc)
+    nxt = F.lead(F.unix_micros(F.col(ts_col))).over(w)
+    dt = nxt - F.unix_micros(F.col(ts_col))
+    weighted = base.withColumn("__dt__", dt).where(F.col("__dt__").isNotNull())
+    return weighted.groupBy(key, "bucket").agg(
+        (F.sum(F.col("__p__") * F.col("__dt__")) / F.sum("__dt__") / scale).alias("twap"),
+        F.sum("__dt__").cast("bigint").alias("total_micros"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+def event_study(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    value: str,
+    anchor: Column,
+    window_radius: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Event-study alignment (PSTH): for every anchor event, collect the
+    value path at relative offsets −r..+r within the key's ordered
+    stream, then average per offset across ALL anchors — "what does the
+    series do around the event".
+
+    One sort window produces every offset column (lead/lag family);
+    anchors stack their offsets via a single explode; the per-offset
+    mean composes from exact integer sums.  Returns (offset, n, mean).
+    """
+    oc = _order_cols(order)
+    w = Window.partitionBy(key).orderBy(*oc)
+    v = F.round(F.col(value) * scale).cast("bigint")
+    offs = list(range(-window_radius, window_radius + 1))
+    cols = [
+        (F.lead(v, o).over(w) if o > 0 else F.lag(v, -o).over(w) if o < 0 else v).alias(f"__o{i}__")
+        for i, o in enumerate(offs)
+    ]
+    base = df.select(F.col(key), anchor.alias("__anchor__"), *cols).where(F.col("__anchor__"))
+    stacked = base.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(o).alias("offset"), F.col(f"__o{i}__").alias("v"))
+                for i, o in enumerate(offs)
+            ])
+        ).alias("p")
+    ).select("p.offset", "p.v").where(F.col("v").isNotNull())
+    return stacked.groupBy("offset").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("v") / F.count(F.lit(1)) / scale).alias("mean_value"),
+    )

@@ -1515,3 +1515,84 @@ def q284(spark: SparkSession, sf: str) -> DataFrame:
     )
     v = hourly.join(mkt, on="h")
     return lm_by(v, "user_id", "x", "y", x_scale=1, y_scale=1)
+
+
+# ------------------------------------------------------------------ q285
+@query(
+    "q285_twap",
+    """
+    WITH b AS (
+        SELECT user_id, date_trunc('day', ts) AS bucket,
+               CAST(round(value * 100) AS BIGINT) AS p,
+               epoch_us(ts) AS tus, ts, event_id
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, bucket, p,
+               lead(tus) OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) - tus AS dt
+        FROM b
+    ),
+    f AS (SELECT * FROM d WHERE dt IS NOT NULL)
+    SELECT user_id, bucket,
+           (CAST(sum(p * dt) AS BIGINT) / CAST(sum(dt) AS BIGINT)) / 100 AS twap,
+           CAST(sum(dt) AS BIGINT) AS total_micros,
+           count(*) AS n_intervals
+    FROM f GROUP BY user_id, bucket
+    """,
+)
+def q285(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily TWAP per user: interval weights are integer microsecond
+    deltas, prices integer cents — Σp·Δt is an exact BIGINT and the one
+    division engine-identical. One per-(user, day) sort window + one
+    agg on the same keys."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    return finance.twap(
+        ev, "user_id", F.date_trunc("day", F.col("ts")), ["ts", "event_id"], "value"
+    )
+
+
+# ------------------------------------------------------------------ q286
+@query(
+    "q286_event_study",
+    """
+    WITH w AS (
+        SELECT user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               lag(CAST(round(value * 100) AS BIGINT), 3) OVER win AS m3,
+               lag(CAST(round(value * 100) AS BIGINT), 2) OVER win AS m2,
+               lag(CAST(round(value * 100) AS BIGINT), 1) OVER win AS m1,
+               lead(CAST(round(value * 100) AS BIGINT), 1) OVER win AS p1,
+               lead(CAST(round(value * 100) AS BIGINT), 2) OVER win AS p2,
+               lead(CAST(round(value * 100) AS BIGINT), 3) OVER win AS p3
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT -3 AS "offset", m3 AS v FROM w WHERE event_type = 'purchase'
+        UNION ALL SELECT -2, m2 FROM w WHERE event_type = 'purchase'
+        UNION ALL SELECT -1, m1 FROM w WHERE event_type = 'purchase'
+        UNION ALL SELECT 0, v FROM w WHERE event_type = 'purchase'
+        UNION ALL SELECT 1, p1 FROM w WHERE event_type = 'purchase'
+        UNION ALL SELECT 2, p2 FROM w WHERE event_type = 'purchase'
+        UNION ALL SELECT 3, p3 FROM w WHERE event_type = 'purchase'
+    ),
+    f AS (SELECT * FROM s WHERE v IS NOT NULL)
+    SELECT "offset", count(*) AS n,
+           (CAST(sum(v) AS BIGINT) / count(*)) / 100 AS mean_value
+    FROM f GROUP BY "offset"
+    """,
+)
+def q286(spark: SparkSession, sf: str) -> DataFrame:
+    """Event study around purchases (PSTH): the value path at relative
+    offsets −3..+3, averaged across all anchor events — one sort window
+    builds every offset, a single explode stacks them, exact integer
+    sums per offset."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    return finance.event_study(
+        ev, "user_id", ["ts", "event_id"], "value",
+        anchor=F.col("event_type") == "purchase", window_radius=3,
+    )

@@ -249,3 +249,33 @@ def test_adjust_for_splits_stacks_and_reverse(spark):
     assert out[2] == (-1, 160.0)  # only the reverse split remains ahead
     assert out[3] == (-1, 160.0)
     assert out[4] == (0, 80.0)
+
+
+def test_twap_hand(spark):
+    import datetime as dt
+
+    from riptable_spark.operators import finance
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0, 10.0, 1),
+        ("u", t0 + dt.timedelta(seconds=30), 20.0, 2),   # 10 held 30s
+        ("u", t0 + dt.timedelta(seconds=40), 30.0, 3),   # 20 held 10s; 30 has no interval
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, price double, event_id int")
+    r = finance.twap(df, "k", F.lit(1), ["ts", "event_id"], "price").collect()[0]
+    assert r["n_intervals"] == 2
+    assert r["total_micros"] == 40_000_000
+    assert r["twap"] == pytest.approx((10 * 30 + 20 * 10) / 40, abs=1e-12)  # 12.5
+
+
+def test_event_study_hand(spark):
+    from riptable_spark.operators import finance
+
+    # series 1..7, anchor at t=4 (value 4): offsets -1..+1
+    df = spark.createDataFrame(
+        [("k", t, float(t), t == 4) for t in range(1, 8)], "k string, t int, v double, a boolean"
+    )
+    out = {r["offset"]: (r["n"], r["mean_value"]) for r in
+           finance.event_study(df, "k", "t", "v", F.col("a"), window_radius=1).collect()}
+    assert out == {-1: (1, 3.0), 0: (1, 4.0), 1: (1, 5.0)}
