@@ -959,3 +959,40 @@ def knn_label_agreement(
         id_col, label_col, "n_agree",
         (F.col("n_agree").cast("double") / k).alias("agree_frac"),
     )
+
+
+def cluster_distortion(
+    embeddings: DataFrame,
+    list_col: Column,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-cluster quantization distortion (SSE about the cluster mean)
+    with EXACT arithmetic — the IVF/k-means quality audit that decides
+    whether a list needs splitting.
+
+    Uses the power-sum identity Σ‖x−c‖² = Σ_d[Σx_d²] − Σ_d[(Σx_d)²]/n:
+    both brackets are exact integer sums over round(v·scale) components
+    (a coarser scale than centroid math — (Σx)² must stay under 2^53),
+    so the only float ops are one division and one rescale, identical
+    in any engine.  One (list, dim)-keyed aggregation, map-side
+    combined; output is |lists| rows."""
+    ex = embeddings.select(list_col.alias("__l__"), F.posexplode(vec_col).alias("__d__", "__v__"))
+    ex = ex.withColumn("__xi__", F.round(F.col("__v__").cast("double") * scale).cast("bigint"))
+    comp = ex.groupBy("__l__", "__d__").agg(
+        F.sum(F.col("__xi__") * F.col("__xi__")).alias("__sxx__"),
+        F.sum("__xi__").alias("__sx__"),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    per_list = comp.groupBy("__l__").agg(
+        F.max("__n__").alias("n_vecs"),  # every dim sees every vector
+        F.sum("__sxx__").alias("__A__"),
+        F.sum(F.col("__sx__") * F.col("__sx__")).alias("__B__"),
+    )
+    sse = (F.col("__A__") - F.col("__B__") / F.col("n_vecs")) / (scale * scale)
+    return per_list.select(
+        F.col("__l__").alias("list_id"),
+        "n_vecs",
+        sse.alias("sse"),
+        (sse / F.col("n_vecs")).alias("mean_sse"),
+    )

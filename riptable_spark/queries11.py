@@ -1596,3 +1596,41 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
         ev, "user_id", ["ts", "event_id"], "value",
         anchor=F.col("event_type") == "purchase", window_radius=3,
     )
+
+
+# ------------------------------------------------------------------ q287
+@query(
+    "q287_cluster_distortion",
+    """
+    WITH ex AS (
+        SELECT vec_id % 8 AS l, d - 1 AS dim,
+               CAST(round(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xi
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(d)
+    ),
+    comp AS (
+        SELECT l, dim,
+               CAST(sum(xi * xi) AS BIGINT) AS sxx,
+               CAST(sum(xi) AS BIGINT) AS sx,
+               count(*) AS n
+        FROM ex GROUP BY l, dim
+    ),
+    pl AS (
+        SELECT l, max(n) AS n_vecs,
+               CAST(sum(sxx) AS BIGINT) AS A,
+               CAST(sum(sx * sx) AS BIGINT) AS B
+        FROM comp GROUP BY l
+    )
+    SELECT l AS list_id, n_vecs,
+           (A - B / n_vecs) / 1000000 AS sse,
+           ((A - B / n_vecs) / 1000000) / n_vecs AS mean_sse
+    FROM pl
+    """,
+)
+def q287(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster distortion audit (SSE about the mean per hash-assigned
+    list) via the power-sum identity — exact integer brackets, one
+    division; the IVF quality signal that decides list splitting."""
+    from .operators.similarity import cluster_distortion
+
+    emb = load_table(spark, sf, "embeddings")
+    return cluster_distortion(emb, F.col("vec_id") % 8)

@@ -279,3 +279,29 @@ def test_event_study_hand(spark):
     out = {r["offset"]: (r["n"], r["mean_value"]) for r in
            finance.event_study(df, "k", "t", "v", F.col("a"), window_radius=1).collect()}
     assert out == {-1: (1, 3.0), 0: (1, 4.0), 1: (1, 5.0)}
+
+
+def test_cluster_distortion_matches_numpy(spark):
+    import numpy as np
+
+    from riptable_spark.operators.similarity import cluster_distortion
+
+    rng = np.random.default_rng(5)
+    vecs = np.round(rng.normal(0, 0.5, (30, 4)), 3)  # 3dp values are exact at scale 1000
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["list_id"]: r for r in cluster_distortion(df, F.col("vec_id") % 3).collect()}
+    for lid in range(3):
+        sub = vecs[np.arange(30) % 3 == lid]
+        sse_np = ((sub - sub.mean(axis=0)) ** 2).sum()
+        assert out[lid]["n_vecs"] == len(sub)
+        assert out[lid]["sse"] == pytest.approx(sse_np, rel=1e-9)
+        assert out[lid]["mean_sse"] == pytest.approx(sse_np / len(sub), rel=1e-9)
+
+
+def test_cluster_distortion_zero_for_identical_vectors(spark):
+    from riptable_spark.operators.similarity import cluster_distortion
+
+    df = spark.createDataFrame([(i, [0.5, -0.25]) for i in range(6)], "vec_id int, embedding array<double>")
+    r = cluster_distortion(df, F.lit(0)).collect()[0]
+    assert r["sse"] == 0.0 and r["mean_sse"] == 0.0
