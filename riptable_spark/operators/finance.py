@@ -635,3 +635,40 @@ def event_study(
         F.count(F.lit(1)).alias("n"),
         (F.sum("v") / F.count(F.lit(1)) / scale).alias("mean_value"),
     )
+
+
+def factor_quintiles(
+    df: DataFrame,
+    key: str,
+    period: Column,
+    signal: Column,
+    buckets: int = 5,
+) -> DataFrame:
+    """Cross-sectional factor analysis: each period, rank keys by an
+    integer ``signal``, cut into ``buckets`` equal groups (integer-DIV
+    assignment, key tiebreak — deterministic sets), and report each
+    bucket's mean NEXT-period signal — the quantile-portfolio backtest
+    shape ("does high-signal persist?").
+
+    Periods must be consecutive integers.  Pipeline: one (period, key)
+    hash agg for the panel, one per-period rank window, one equi-join
+    to the next period's panel, one final agg — every value an exact
+    integer until the single mean division.  Returns (period, bucket,
+    n, mean_fwd).
+    """
+    panel = df.groupBy(period.alias("period"), F.col(key).alias("k")).agg(
+        F.sum(signal).alias("sig")
+    )
+    w = Window.partitionBy("period").orderBy(F.col("sig").desc(), F.col("k"))
+    wn = Window.partitionBy("period")
+    ranked = panel.withColumn("__r__", F.row_number().over(w)).withColumn(
+        "__n__", F.count(F.lit(1)).over(wn)
+    )
+    bucket = F.expr(f"((__r__ - 1) * {buckets}) DIV __n__") + 1
+    cur = ranked.select("period", "k", bucket.alias("bucket"))
+    nxt = panel.select((F.col("period") - 1).alias("period"), "k", F.col("sig").alias("fwd"))
+    j = cur.join(nxt, on=["period", "k"], how="inner")
+    return j.groupBy("period", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("fwd") / F.count(F.lit(1))).alias("mean_fwd"),
+    )

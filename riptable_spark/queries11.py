@@ -1634,3 +1634,38 @@ def q287(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     return cluster_distortion(emb, F.col("vec_id") % 8)
+
+
+# ------------------------------------------------------------------ q288
+@query(
+    "q288_factor_quintiles",
+    """
+    WITH panel AS (
+        SELECT (epoch(date_trunc('day', ts)) // 86400)::BIGINT AS period, user_id AS k,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sig
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT period, k, sig,
+               row_number() OVER (PARTITION BY period ORDER BY sig DESC, k) AS r,
+               count(*) OVER (PARTITION BY period) AS n
+        FROM panel
+    ),
+    cur AS (SELECT period, k, ((r - 1) * 5) // n + 1 AS bucket FROM ranked),
+    nxt AS (SELECT period - 1 AS period, k, sig AS fwd FROM panel),
+    j AS (SELECT cur.period, bucket, fwd FROM cur JOIN nxt ON cur.period = nxt.period AND cur.k = nxt.k)
+    SELECT period, bucket, count(*) AS n,
+           CAST(sum(fwd) AS BIGINT) / count(*) AS mean_fwd
+    FROM j GROUP BY period, bucket
+    """,
+)
+def q288(spark: SparkSession, sf: str) -> DataFrame:
+    """Quintile-portfolio persistence backtest: daily cross-section
+    ranked by user value, integer-DIV bucket cut, joined to the next
+    day's panel — every number exact until the one mean division."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    period = (F.unix_seconds(F.date_trunc("day", F.col("ts"))) / 86400).cast("bigint")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return finance.factor_quintiles(ev, "user_id", period, cents, buckets=5)

@@ -305,3 +305,19 @@ def test_cluster_distortion_zero_for_identical_vectors(spark):
     df = spark.createDataFrame([(i, [0.5, -0.25]) for i in range(6)], "vec_id int, embedding array<double>")
     r = cluster_distortion(df, F.lit(0)).collect()[0]
     assert r["sse"] == 0.0 and r["mean_sse"] == 0.0
+
+
+def test_factor_quintiles_hand(spark):
+    from riptable_spark.operators import finance
+
+    # period 1: signals a=40 b=30 c=20 d=10 → 2 buckets {a,b} {c,d}
+    # period 2: a=1 b=2 c=3 d=4 (the forward values for period 1)
+    rows = [(1, "a", 40), (1, "b", 30), (1, "c", 20), (1, "d", 10),
+            (2, "a", 1), (2, "b", 2), (2, "c", 3), (2, "d", 4)]
+    df = spark.createDataFrame(rows, "p int, k string, v int")
+    out = {(r["period"], r["bucket"]): (r["n"], r["mean_fwd"]) for r in
+           finance.factor_quintiles(df, "k", F.col("p").cast("bigint"), F.col("v").cast("bigint"), buckets=2).collect()}
+    # only period 1 has a next period; high bucket holds {a,b} → fwd mean 1.5
+    assert out[(1, 1)] == (2, 1.5)
+    assert out[(1, 2)] == (2, 3.5)
+    assert (2, 1) not in out
