@@ -823,3 +823,40 @@ def cuped_adjust(
         (theta * cov_scale / metric_scale).alias("theta"),
         rho2.alias("var_reduction"),
     )
+
+
+def theil_sen_consecutive(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    x: str,
+    y: str,
+    x_scale: int = 1,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Robust per-group trend: the MEDIAN of consecutive-pair slopes
+    (y_{i+1}−y_i)/(x_{i+1}−x_i) — the linear-cost Theil-Sen variant
+    (full Theil-Sen medians all O(n²) pairs; consecutive pairs keep the
+    breakdown robustness against outliers a mean-slope lacks while
+    staying one window pass).
+
+    Slopes are per-row divisions of exact integer deltas (identical
+    doubles in any engine), and the median of an identical multiset is
+    engine-identical under the standard interpolating definition.
+    Returns (key, n_slopes, ts_slope).
+    """
+    from pyspark.sql import Window
+
+    oc = [order] if isinstance(order, str) else list(order)
+    xs = F.round(F.col(x) * x_scale).cast("bigint")
+    ys = F.round(F.col(y) * y_scale).cast("bigint")
+    w = Window.partitionBy(key).orderBy(*oc)
+    dx = xs - F.lag(xs).over(w)
+    dy = ys - F.lag(ys).over(w)
+    slopes = df.select(F.col(key), (dy / dx).alias("__s__"), dx.alias("__dx__")).where(
+        F.col("__dx__").isNotNull() & (F.col("__dx__") != 0)
+    )
+    return slopes.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_slopes"),
+        F.percentile(F.col("__s__"), F.lit(0.5)).alias("ts_slope"),
+    )

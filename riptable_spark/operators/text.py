@@ -559,3 +559,29 @@ def flesch_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         syl.alias("n_syllables"),
         score.alias("flesch"),
     )
+
+
+def kwic(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context: int = 30,
+) -> DataFrame:
+    """Keyword-in-context: for documents containing ``pattern``
+    (case-insensitive, literal), emit the first match position and a
+    ±``context``-character snippet — the corpus-exploration view behind
+    every concordance tool.  Pure codegen string ops (instr + substr),
+    zero shuffles; at 100 TB this is a scan-speed filter."""
+    t = F.col(text_col)
+    pos = F.instr(F.lower(t), pattern.lower())
+    start = F.greatest(pos - context, F.lit(1))
+    length = F.lit(len(pattern) + 2 * context)
+    return (
+        df.where(t.isNotNull() & (pos > 0))
+        .select(
+            F.col(id_col),
+            pos.alias("match_pos"),
+            F.substring(t, start, length).alias("snippet"),
+        )
+    )

@@ -1669,3 +1669,58 @@ def q288(spark: SparkSession, sf: str) -> DataFrame:
     period = (F.unix_seconds(F.date_trunc("day", F.col("ts"))) / 86400).cast("bigint")
     cents = F.round(F.col("value") * 100).cast("bigint")
     return finance.factor_quintiles(ev, "user_id", period, cents, buckets=5)
+
+
+# ------------------------------------------------------------------ q289
+@query(
+    "q289_kwic",
+    """
+    SELECT doc_id,
+           strpos(lower(text), 'spark') AS match_pos,
+           substr(text, greatest(strpos(lower(text), 'spark') - 30, 1), 65) AS snippet
+    FROM documents
+    WHERE text IS NOT NULL AND strpos(lower(text), 'spark') > 0
+    """,
+)
+def q289(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword-in-context concordance for 'spark': first-match position
+    + a ±30-char snippet, pure codegen string ops at scan speed."""
+    from .operators.text import kwic
+
+    d = load_table(spark, sf, "documents")
+    return kwic(d, "spark", context=30)
+
+
+# ------------------------------------------------------------------ q290
+@query(
+    "q290_theil_sen",
+    """
+    WITH s AS (
+        SELECT user_id,
+               epoch_us(ts) AS x,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               ts, event_id
+        FROM events
+    ),
+    d AS (
+        SELECT user_id,
+               x - lag(x) OVER w AS dx,
+               y - lag(y) OVER w AS dy
+        FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    f AS (SELECT user_id, dy / dx AS sl FROM d WHERE dx IS NOT NULL AND dx != 0)
+    SELECT user_id, count(*) AS n_slopes, quantile_cont(sl, 0.5) AS ts_slope
+    FROM f GROUP BY user_id
+    """,
+)
+def q290(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-user value trend: median of consecutive-pair slopes
+    (linear-cost Theil-Sen) on the microsecond time axis.  Slopes are
+    divisions of exact integer deltas — identical double multisets — so
+    the interpolated median is engine-identical."""
+    from .functions.stats import theil_sen_consecutive
+
+    ev = load_table(spark, sf, "events").withColumn("__x__", F.unix_micros(F.col("ts")))
+    return theil_sen_consecutive(
+        ev, "user_id", ["ts", "event_id"], "__x__", "value", x_scale=1, y_scale=100
+    )

@@ -321,3 +321,29 @@ def test_factor_quintiles_hand(spark):
     assert out[(1, 1)] == (2, 1.5)
     assert out[(1, 2)] == (2, 3.5)
     assert (2, 1) not in out
+
+
+def test_kwic_hand(spark):
+    from riptable_spark.operators.text import kwic
+
+    docs = spark.createDataFrame(
+        [(1, "the quick Spark engine runs"), (2, "no match here"), (3, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in kwic(docs, "spark", context=4).collect()}
+    assert 2 not in out and 3 not in out
+    assert out[1]["match_pos"] == 11
+    assert out[1]["snippet"] == "ick Spark eng"  # 4 chars either side of 'Spark'
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from riptable_spark.functions.stats import theil_sen_consecutive
+
+    # slope 2 everywhere except one wild outlier point
+    ys = [2 * t for t in range(20)]
+    ys[10] = 500
+    rows = [("k", t, float(t), float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "k string, t int, x double, y double")
+    r = theil_sen_consecutive(df, "k", "t", "x", "y", x_scale=1, y_scale=1).collect()[0]
+    assert r["n_slopes"] == 19
+    assert r["ts_slope"] == 2.0  # the median shrugs off the spike (mean slope would not)
