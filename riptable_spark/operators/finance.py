@@ -672,3 +672,29 @@ def factor_quintiles(
         F.count(F.lit(1)).alias("n"),
         (F.sum("fwd") / F.count(F.lit(1))).alias("mean_fwd"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    value: str,
+    n: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Rolling z-score of a series over the trailing ``n`` rows
+    (full-window NULL heads) — the mean-reversion signal behind pairs
+    trading and anomaly gates.  Same exact-integer moment machinery as
+    ``bollinger``: z = (n·p − S1) / sqrt(n·S2 − S1²) uses only integer
+    operands, one subtraction and one sqrt/division — engine-identical
+    (note the algebraic form avoids dividing mean and std separately).
+    """
+    oc = _order_cols(order)
+    w = Window.partitionBy(key).orderBy(*oc).rowsBetween(-(n - 1), 0)
+    p = F.round(F.col(value) * scale).cast("bigint")
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum(p).over(w)
+    s2 = F.sum(p * p).over(w)
+    m2 = F.lit(n) * s2 - s1 * s1
+    z = F.when((cnt == n) & (m2 > 0), (F.lit(n) * p - s1) / F.sqrt(m2))
+    return df.select(key, *oc, F.col(value), z.alias("zscore"))

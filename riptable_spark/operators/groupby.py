@@ -708,3 +708,44 @@ def weighted_quantile(
             F.min("__tw__").alias("w_total"),
         )
     )
+
+
+def ltv_curve(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value: Column,
+    period: str = "month",
+) -> DataFrame:
+    """Cohort lifetime-value curves: users cohort by their FIRST-seen
+    period; revenue accumulates per (cohort, age) where age = periods
+    since cohort start — the cumulative-LTV table a growth dashboard
+    plots.
+
+    The first-seen period is a per-key min (one agg, broadcast-sized
+    for the join back); the cumulative sum runs over ≤#ages rows per
+    cohort — all exact integers until the final /100.  Returns (cohort,
+    age, n_active, revenue, cum_revenue).
+    """
+    from pyspark.sql import Window
+
+    pcol = F.date_trunc(period, F.col(ts_col))
+    firsts = df.groupBy(key).agg(F.min(pcol).alias("__cohort__"))
+    j = df.join(firsts, on=key)
+    if period == "week":
+        # both sides are week starts, so the day difference divides by 7
+        age = (F.datediff(F.date_trunc(period, F.col(ts_col)), F.col("__cohort__")) / 7).cast("bigint")
+    else:
+        age = F.months_between(F.date_trunc(period, F.col(ts_col)), F.col("__cohort__")).cast("bigint")
+    per = j.groupBy(F.col("__cohort__").alias("cohort"), age.alias("age")).agg(
+        F.countDistinct(key).alias("n_active"),
+        F.sum(value).alias("__rev__"),
+    )
+    wc = Window.partitionBy("cohort").orderBy("age").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "cohort",
+        "age",
+        "n_active",
+        (F.col("__rev__") / 100).alias("revenue"),
+        (F.sum("__rev__").over(wc) / 100).alias("cum_revenue"),
+    )

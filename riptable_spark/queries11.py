@@ -1724,3 +1724,85 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
     return theil_sen_consecutive(
         ev, "user_id", ["ts", "event_id"], "__x__", "value", x_scale=1, y_scale=100
     )
+
+
+# ------------------------------------------------------------------ q291
+@query(
+    "q291_pairs_spread_zscore",
+    """
+    WITH ha AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS b
+        FROM events GROUP BY 1
+    ),
+    sp AS (SELECT h, a - b AS spread FROM ha WHERE a IS NOT NULL AND b IS NOT NULL),
+    r AS (
+        SELECT h, spread,
+               count(*) OVER w AS cnt,
+               CAST(sum(spread) OVER w AS BIGINT) AS s1,
+               CAST(sum(spread * spread) OVER w AS BIGINT) AS s2
+        FROM sp
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h, spread / 100 AS spread,
+           CASE WHEN cnt = 24 AND 24 * s2 - s1 * s1 > 0
+                THEN (24 * spread - s1) / sqrt(24 * s2 - s1 * s1) END AS zscore
+    FROM r
+    """,
+)
+def q291(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs-trading spread monitor: hourly value spread between the two
+    user cohorts, 24-hour rolling z-score via the integer-moment
+    machinery (z = (n·p − S1)/√(n·S2 − S1²) — a single integer
+    numerator, no separate mean/std divisions)."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ha = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, cents)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, cents)).cast("bigint").alias("b"),
+    )
+    sp = ha.where(F.col("a").isNotNull() & F.col("b").isNotNull()).select(
+        "h", ((F.col("a") - F.col("b")) / 100).alias("spread"), F.lit(1).alias("__k__")
+    )
+    out = finance.rolling_zscore(sp, "__k__", "h", "spread", n=24, scale=100)
+    return out.select("h", "spread", "zscore")
+
+
+# ------------------------------------------------------------------ q292
+@query(
+    "q292_ltv_curves",
+    """
+    WITH p AS (
+        SELECT user_id, date_trunc('week', ts) AS m,
+               CAST(round(value * 100) AS BIGINT) AS cents, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    firsts AS (SELECT user_id, min(m) AS cohort FROM p GROUP BY user_id),
+    j AS (
+        SELECT p.user_id, f.cohort,
+               CAST(datediff('day', f.cohort, p.m) // 7 AS BIGINT) AS age, cents
+        FROM p JOIN firsts f ON p.user_id = f.user_id
+    ),
+    per AS (
+        SELECT cohort, age, count(DISTINCT user_id) AS n_active,
+               CAST(sum(cents) AS BIGINT) AS rev
+        FROM j GROUP BY cohort, age
+    )
+    SELECT cohort, age, n_active, rev / 100 AS revenue,
+           CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100 AS cum_revenue
+    FROM per
+    """,
+)
+def q292(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curves over purchase revenue: first-seen week cohorts,
+    cumulative integer revenue per cohort-age — the growth dashboard's
+    core table, exact to the final /100."""
+    from .operators.groupby import ltv_curve
+
+    ev = load_table(spark, sf, "events").where(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ltv_curve(ev, "user_id", "ts", cents, period="week")

@@ -347,3 +347,36 @@ def test_theil_sen_robust_to_outlier(spark):
     r = theil_sen_consecutive(df, "k", "t", "x", "y", x_scale=1, y_scale=1).collect()[0]
     assert r["n_slopes"] == 19
     assert r["ts_slope"] == 2.0  # the median shrugs off the spike (mean slope would not)
+
+
+def test_rolling_zscore_hand(spark):
+    from riptable_spark.operators.finance import rolling_zscore
+
+    # constant series → m2 = 0 → NULL z (no divide-by-zero); then a step
+    vals = [5.0] * 4 + [8.0]
+    df = spark.createDataFrame([("k", t, v) for t, v in enumerate(vals)], "k string, t int, v double")
+    out = sorted(rolling_zscore(df, "k", "t", "v", n=3).collect(), key=lambda r: r["t"])
+    assert out[0]["zscore"] is None and out[1]["zscore"] is None  # partial windows
+    assert out[2]["zscore"] is None and out[3]["zscore"] is None  # zero variance
+    # window [5,5,8]: mean=6, pop std=sqrt(2); z=(8-6)/sqrt(2)
+    import math
+    assert out[4]["zscore"] == pytest.approx(2 / math.sqrt(2), abs=1e-12)
+
+
+def test_ltv_curve_hand(spark):
+    import datetime as dt
+
+    from riptable_spark.operators.groupby import ltv_curve
+
+    w0 = dt.datetime(2024, 1, 1)   # a Monday
+    w1 = dt.datetime(2024, 1, 8)
+    rows = [
+        (1, w0, 1000), (1, w1, 500),     # cohort w0, ages 0 and 1
+        (2, w1, 200),                     # cohort w1, age 0
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, cents long")
+    out = {(str(r["cohort"])[:10], r["age"]): (r["n_active"], r["revenue"], r["cum_revenue"])
+           for r in ltv_curve(df, "user_id", "ts", F.col("cents"), period="week").collect()}
+    assert out[("2024-01-01", 0)] == (1, 10.0, 10.0)
+    assert out[("2024-01-01", 1)] == (1, 5.0, 15.0)
+    assert out[("2024-01-08", 0)] == (1, 2.0, 2.0)
