@@ -1806,3 +1806,148 @@ def q292(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").where(F.col("event_type") == "purchase")
     cents = F.round(F.col("value") * 100).cast("bigint")
     return ltv_curve(ev, "user_id", "ts", cents, period="week")
+
+
+# The TPC-H classics (Q3/Q5/Q10 shapes) — multi-join analytics where
+# Catalyst's join reordering + broadcast of the dimension chain is the
+# whole performance story.  Revenue is computed as the EXACT integer
+# p_cents · (100 − d_cents) (revenue × 10^4), so the top-k ordering and
+# the reported sums are engine-identical with no float-sum rounding.
+_REV = "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+
+def _rev_col():
+    p = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    return p * (100 - d)
+
+
+# ------------------------------------------------------------------ q293
+@query(
+    "q293_tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           CAST(sum({_REV}) AS BIGINT) / 10000 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY CAST(sum({_REV}) AS BIGINT) DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q293(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): customer-segment filter pushed to
+    the (broadcastable) dim, two joins, integer-exact revenue top-10
+    with an orderkey tiebreak."""
+    c = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"]).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_rev_col()).alias("__r__")
+    )
+    return (
+        agg.orderBy(F.col("__r__").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey", (F.col("__r__") / 10000).alias("revenue"),
+            "o_orderdate", "o_orderpriority",
+        )
+    )
+
+
+# ------------------------------------------------------------------ q294
+@query(
+    "q294_tpch_q5",
+    f"""
+    SELECT n_name, CAST(sum({_REV}) AS BIGINT) / 10000 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q294(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): the six-way join — region →
+    nation → customer/supplier co-location + fact table; every
+    dimension broadcasts, the fact shuffles once for the agg."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, (c["c_nationkey"] == F.col("n_nationkey")) & (F.col("s_nationkey") == F.col("n_nationkey")))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg((F.sum(_rev_col()) / 10000).alias("revenue"))
+
+
+# ------------------------------------------------------------------ q295
+@query(
+    "q295_tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_REV}) AS BIGINT) / 10000 AS revenue,
+           round(c.c_acctbal, 2) AS acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY CAST(sum({_REV}) AS BIGINT) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q295(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter of returned
+    lineitems joined back through orders to customer + nation,
+    integer-exact revenue top-20."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf, "nation")
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, c["c_nationkey"] == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(_rev_col()).alias("__r__")
+    )
+    return (
+        agg.orderBy(F.col("__r__").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", (F.col("__r__") / 10000).alias("revenue"),
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"), "n_name",
+        )
+    )

@@ -538,3 +538,22 @@ def test_q275_novelty_exchanges_carry_hashes_not_text(q):
     df = q("q275_doc_novelty")
     for kind, cols in pi.exchanges(df):
         assert not any("__s__" in c for c in cols), (kind, cols)
+
+
+def test_q294_tpch_q5_broadcasts_dims(q):
+    """The Q5 six-way join: dimension chain broadcasts; no cartesian."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q294_tpch_q5")
+    assert pi.has_broadcast_join(df)
+    lint = pi.lint(df)
+    assert not [m for m in lint if "cartesian" in m.lower()], lint
+
+
+def test_q293_tpch_q3_pushes_filters(q):
+    """Q3: segment/date predicates reach the scans."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q293_tpch_q3")
+    pushed = " ".join(p for p in pi.pushed_filters(df))
+    assert "c_mktsegment" in pushed and "l_shipdate" in pushed
