@@ -1951,3 +1951,114 @@ def q295(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("c_acctbal"), 2).alias("acctbal"), "n_name",
         )
     )
+
+
+# ------------------------------------------------------------------ q296
+@query(
+    "q296_tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q296(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS compiles to a
+    LEFT SEMI join on the order key — late-shipping orders (any line
+    shipped >60 days after order) counted per priority."""
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    j = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        how="left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ------------------------------------------------------------------ q297
+@query(
+    "q297_tpch_q18",
+    """
+    WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q297(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING subquery is
+    one fact aggregation whose (small) survivor set drives the joins —
+    exact integer quantity totals."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    j = big.join(o, big["l_orderkey"] == o["o_orderkey"]).join(
+        c, o["o_custkey"] == c["c_custkey"]
+    )
+    return j.select(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+        F.round(F.col("o_totalprice"), 2).alias("totalprice"), "total_qty",
+    )
+
+
+# ------------------------------------------------------------------ q298
+@query(
+    "q298_tpch_q22",
+    """
+    WITH thr AS (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               / count(*) AS avg_cents
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, count(*) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100 AS total_acctbal
+    FROM customer c, thr
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > thr.avg_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q298(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): above-average-balance
+    customers with no RECENT orders — a broadcast scalar threshold
+    (integer cents, no float-sum boundary) + LEFT ANTI join, grouped by
+    nation."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    thr = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(cents) / F.count(F.lit(1))).alias("avg_cents")
+    )
+    rich = c.withColumn("__cents__", cents).crossJoin(F.broadcast(thr)).where(
+        F.col("__cents__") > F.col("avg_cents")
+    )
+    no_orders = rich.join(o, rich["c_custkey"] == o["o_custkey"], how="left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("__cents__") / 100).alias("total_acctbal"),
+    )
