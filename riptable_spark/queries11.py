@@ -2062,3 +2062,69 @@ def q298(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("__cents__") / 100).alias("total_acctbal"),
     )
+
+
+# ------------------------------------------------------------------ q299
+@query(
+    "q299_tpch_q16",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type NOT LIKE 'STANDARD%' AND p.p_size IN (1, 5, 9, 14, 23)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q299(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): NOT-LIKE + IN
+    filters push to the (broadcast) part dim; exact COUNT(DISTINCT
+    suppkey) per (brand, size)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").where(
+        ~F.col("p_type").like("STANDARD%") & F.col("p_size").isin(1, 5, 9, 14, 23)
+    )
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ------------------------------------------------------------------ q300
+@query(
+    "q300_rank_family",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+    """,
+)
+def q300(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete SQL rank-function family in one pass (rank,
+    dense_rank, row_number, percent_rank, cume_dist, ntile) — a fully
+    total ORDER BY (cents + key tiebreak) makes every variant
+    engine-deterministic; all six share ONE sort window."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 37 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = W.partitionBy("o_orderpriority").orderBy(cents, F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
