@@ -698,3 +698,35 @@ def rolling_zscore(
     m2 = F.lit(n) * s2 - s1 * s1
     z = F.when((cnt == n) & (m2 > 0), (F.lit(n) * p - s1) / F.sqrt(m2))
     return df.select(key, *oc, F.col(value), z.alias("zscore"))
+
+
+def time_bars(
+    df: DataFrame,
+    key: str,
+    bucket: Column,
+    price: str,
+    qty: Column | str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """The canonical bar builder: OHLC + volume + VWAP + trade count per
+    (key, bucket) in ONE two-stage hash aggregation — no window, no
+    sort; open/close are min_by/max_by over a packed (µs, id) total
+    order, every other accumulator an exact integer.  This is the shape
+    that turns 100 TB of ticks into bars at scan speed."""
+    p = F.round(F.col(price) * scale).cast("bigint")
+    q = (F.col(qty) if isinstance(qty, str) else qty).cast("bigint")
+    okey = F.unix_micros(F.col(ts_col)) * 100 + F.col(id_col) % 100
+    return (
+        df.groupBy(F.col(key), bucket.alias("bucket"))
+        .agg(
+            (F.min_by(p, okey) / scale).alias("open"),
+            (F.max(p) / scale).alias("high"),
+            (F.min(p) / scale).alias("low"),
+            (F.max_by(p, okey) / scale).alias("close"),
+            F.sum(q).alias("volume"),
+            (F.sum(p * q) / F.sum(q) / scale).alias("vwap"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )

@@ -147,3 +147,39 @@ def topk_churn(
         "period", "retained", "entered", "dropped",
         F.when(union_n > 0, F.col("retained") / union_n).alias("jaccard"),
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group: str,
+    minimize: str,
+    maximize: str,
+    min_scale: int = 100,
+    max_scale: int = 1,
+) -> DataFrame:
+    """Per-group Pareto frontier over (minimize ↓, maximize ↑): a row
+    survives iff nothing in its group is weakly better on both axes and
+    strictly better on one — skyline queries, price/performance
+    curation, model-selection fronts.
+
+    LINEAR formulation (the naive NOT EXISTS is O(n²)): a row is
+    dominated iff the running MAX of ``maximize`` over STRICTLY-cheaper
+    rows reaches its value (a value-based range frame ending at −1
+    handles strictness exactly on integer keys), or a same-cost row
+    beats its ``maximize``.  Exact integers throughout; equal (cost,
+    value) duplicates all survive (no strict dominance), matching the
+    set semantics a SQL NOT EXISTS oracle replays.
+    """
+    lo = F.round(F.col(minimize) * min_scale).cast("bigint")
+    hi = F.round(F.col(maximize) * max_scale).cast("bigint")
+    base = df.withColumn("__lo__", lo).withColumn("__hi__", hi)
+    w_strict = (
+        Window.partitionBy(group).orderBy("__lo__").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_price = Window.partitionBy(group, "__lo__")
+    m_strict = F.max("__hi__").over(w_strict)
+    m_same = F.max("__hi__").over(w_price)
+    keep = (m_strict.isNull() | (m_strict < F.col("__hi__"))) & (F.col("__hi__") == m_same)
+    return base.withColumn("__keep__", keep).where(F.col("__keep__")).drop(
+        "__lo__", "__hi__", "__keep__"
+    )

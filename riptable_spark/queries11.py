@@ -2128,3 +2128,66 @@ def q300(spark: SparkSession, sf: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# ------------------------------------------------------------------ q301
+@query(
+    "q301_time_bars",
+    """
+    WITH t AS (
+        SELECT user_id, (floor(epoch(ts) / 900) * 900)::BIGINT AS bucket,
+               CAST(round(value * 100) AS BIGINT) AS p,
+               event_id % 5 + 1 AS q,
+               epoch_us(ts) * 100 + event_id % 100 AS okey
+        FROM events
+    )
+    SELECT user_id, bucket,
+           arg_min(p, okey) / 100 AS open,
+           max(p) / 100 AS high,
+           min(p) / 100 AS low,
+           arg_max(p, okey) / 100 AS close,
+           CAST(sum(q) AS BIGINT) AS volume,
+           (CAST(sum(p * q) AS BIGINT) / CAST(sum(q) AS BIGINT)) / 100 AS vwap,
+           count(*) AS n_trades
+    FROM t GROUP BY user_id, bucket
+    """,
+)
+def q301(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical 15-minute bar builder (OHLC + volume + VWAP +
+    count) in ONE two-stage hash agg — open/close via min_by/max_by on
+    a packed (µs, id) total order, every accumulator integral."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events")
+    bucket = (F.floor(F.unix_seconds(F.col("ts")) / 900) * 900).cast("bigint")
+    return finance.time_bars(ev, "user_id", bucket, "value", F.col("event_id") % 5 + 1)
+
+
+# ------------------------------------------------------------------ q302
+@query(
+    "q302_pareto_frontier",
+    """
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_brand = a.p_brand
+          AND CAST(round(b.p_retailprice * 100) AS BIGINT) <= CAST(round(a.p_retailprice * 100) AS BIGINT)
+          AND b.p_size >= a.p_size
+          AND (CAST(round(b.p_retailprice * 100) AS BIGINT) < CAST(round(a.p_retailprice * 100) AS BIGINT)
+               OR b.p_size > a.p_size)
+    )
+    """,
+)
+def q302(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand Pareto frontier (cheapest price for the biggest size):
+    the LINEAR range-frame formulation vs the oracle's O(n²) NOT
+    EXISTS — different algorithms, identical set semantics, exact
+    integer axes."""
+    from .operators.mining import pareto_frontier
+
+    p = load_table(spark, sf, "part")
+    out = pareto_frontier(p, "p_brand", "p_retailprice", "p_size", min_scale=100, max_scale=1)
+    return out.select(
+        "p_partkey", "p_brand", F.round(F.col("p_retailprice"), 2).alias("price"), "p_size"
+    )

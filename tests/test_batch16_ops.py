@@ -380,3 +380,42 @@ def test_ltv_curve_hand(spark):
     assert out[("2024-01-01", 0)] == (1, 10.0, 10.0)
     assert out[("2024-01-01", 1)] == (1, 5.0, 15.0)
     assert out[("2024-01-08", 0)] == (1, 2.0, 2.0)
+
+
+def test_time_bars_hand(spark):
+    import datetime as dt
+
+    from riptable_spark.operators.finance import time_bars
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0, 1, 10.0, 2),
+        ("u", t0 + dt.timedelta(seconds=10), 2, 30.0, 1),
+        ("u", t0 + dt.timedelta(seconds=20), 3, 5.0, 1),
+        ("u", t0 + dt.timedelta(seconds=30), 4, 20.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, event_id int, price double, q int")
+    r = time_bars(df, "k", F.lit(1), "price", F.col("q")).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (10.0, 30.0, 5.0, 20.0)
+    assert r["volume"] == 6 and r["n_trades"] == 4
+    assert r["vwap"] == pytest.approx((10*2 + 30 + 5 + 20*2) / 6, abs=1e-12)
+
+
+def test_pareto_frontier_hand(spark):
+    from riptable_spark.operators.mining import pareto_frontier
+
+    # (price, size): (1,5) frontier; (2,5) dominated (same size, pricier);
+    # (2,8) frontier; (3,8) dominated; (3,9) frontier; duplicates (1,5) both kept
+    rows = [("b", 1, 1.0, 5), ("b", 2, 2.0, 5), ("b", 3, 2.0, 8),
+            ("b", 4, 3.0, 8), ("b", 5, 3.0, 9), ("b", 6, 1.0, 5)]
+    df = spark.createDataFrame(rows, "g string, id int, cost double, sz int")
+    keep = {r["id"] for r in pareto_frontier(df, "g", "cost", "sz").collect()}
+    assert keep == {1, 3, 5, 6}
+
+
+def test_pareto_frontier_is_per_group(spark):
+    from riptable_spark.operators.mining import pareto_frontier
+
+    rows = [("a", 1, 1.0, 1), ("b", 2, 9.0, 1)]  # each alone in its group → both survive
+    df = spark.createDataFrame(rows, "g string, id int, cost double, sz int")
+    assert {r["id"] for r in pareto_frontier(df, "g", "cost", "sz").collect()} == {1, 2}
