@@ -1098,3 +1098,35 @@ def rolling_corr(
     dy = F.lit(n) * syy - sy * sy
     corr = F.when((cnt == n) & (dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
     return df.select(key_col, *order, F.col(x_col), F.col(y_col), corr.alias("rolling_corr"))
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Union-of-intervals per key: merge overlapping/touching [start,
+    end) intervals into islands and report total covered length, island
+    count, and gap count — uptime/coverage/SLA math over integer
+    timelines.
+
+    Gaps-and-islands: an interval starts a new island iff its start
+    exceeds the running MAX of all previous ends (exclusive frame);
+    the island id is the running sum of those flags.  Two frames over
+    ONE (key)-ordered window family + two aggs on the same key — all
+    integers, engine-exact.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col, id_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1).otherwise(0)
+    seg = df.withColumn("__isl__", F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands = seg.groupBy(key_col, "__isl__").agg(
+        (F.max(end_col) - F.min(start_col)).alias("__len__")
+    )
+    return islands.groupBy(key_col).agg(
+        F.sum("__len__").cast("bigint").alias("covered"),
+        F.count(F.lit(1)).alias("n_islands"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_gaps"),
+    )

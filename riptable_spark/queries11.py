@@ -2191,3 +2191,51 @@ def q302(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "p_partkey", "p_brand", F.round(F.col("p_retailprice"), 2).alias("price"), "p_size"
     )
+
+
+# ------------------------------------------------------------------ q303
+@query(
+    "q303_interval_coverage",
+    """
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000000 AS e
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme,
+               event_id
+        FROM iv
+    ),
+    seg AS (
+        SELECT user_id, s, e,
+               CAST(sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+        FROM m
+    ),
+    islands AS (
+        SELECT user_id, isl, max(e) - min(s) AS len FROM seg GROUP BY user_id, isl
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS covered,
+           count(*) AS n_islands, CAST(count(*) - 1 AS BIGINT) AS n_gaps
+    FROM islands GROUP BY user_id
+    """,
+)
+def q303(spark: SparkSession, sf: str) -> DataFrame:
+    """Union-of-intervals coverage per user (each event spans
+    value·seconds): gaps-and-islands with an exclusive-frame running
+    max — total covered microseconds, island and gap counts, all
+    integers."""
+    from .operators.window import interval_coverage
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.round(F.col("value") * 100).cast("bigint") * 1000000).alias("e"),
+    )
+    return interval_coverage(iv, "user_id", "s", "e", "event_id")

@@ -419,3 +419,24 @@ def test_pareto_frontier_is_per_group(spark):
     rows = [("a", 1, 1.0, 1), ("b", 2, 9.0, 1)]  # each alone in its group → both survive
     df = spark.createDataFrame(rows, "g string, id int, cost double, sz int")
     assert {r["id"] for r in pareto_frontier(df, "g", "cost", "sz").collect()} == {1, 2}
+
+
+def test_interval_coverage_hand(spark):
+    from riptable_spark.operators.window import interval_coverage
+
+    # [0,10) [5,15) merge → 15; [20,25) separate; [25,30) touches? start==prev end
+    # → start > pme is FALSE at equality, so touching intervals MERGE
+    rows = [("u", 1, 0, 10), ("u", 2, 5, 15), ("u", 3, 20, 25), ("u", 4, 25, 30)]
+    df = spark.createDataFrame(rows, "k string, id int, s long, e long")
+    r = interval_coverage(df, "k", "s", "e", "id").collect()[0]
+    assert (r["covered"], r["n_islands"], r["n_gaps"]) == (15 + 10, 2, 1)
+
+
+def test_interval_coverage_contained_interval(spark):
+    from riptable_spark.operators.window import interval_coverage
+
+    # [0,100) contains [10,20): one island of length 100
+    rows = [("u", 1, 0, 100), ("u", 2, 10, 20)]
+    df = spark.createDataFrame(rows, "k string, id int, s long, e long")
+    r = interval_coverage(df, "k", "s", "e", "id").collect()[0]
+    assert (r["covered"], r["n_islands"]) == (100, 1)

@@ -355,3 +355,21 @@ def test_stream_vwap_parity(spark, sf_dir, stream, tmp_path):
     got = got.sort_values("bucket_s").reset_index(drop=True)
     batch = batch.sort_values("bucket_s").reset_index(drop=True)
     assert got.equals(batch)
+
+
+def test_stream_time_bars_parity(spark, sf_dir, stream, tmp_path):
+    """OHLC bar building on a stream: min_by/max_by and integer sums all
+    commute with micro-batching — bit-exact vs the batch agg."""
+    from riptable_spark.operators.finance import time_bars
+
+    bucket = (F.floor(F.unix_seconds(F.col("ts")) / 900) * 900).cast("bigint")
+    qty = F.col("event_id") % 5 + 1
+    got = sw.run_available_now(
+        time_bars(stream.withWatermark("ts", "2 hours"), "user_id", bucket, "value", qty),
+        "bars_test", str(tmp_path / "ckptb"),
+    ).toPandas()
+    batch = time_bars(load_table(spark, sf_dir, "events"), "user_id", bucket, "value", qty).toPandas()
+    key = ["user_id", "bucket"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert got.equals(batch)
