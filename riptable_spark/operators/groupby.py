@@ -749,3 +749,41 @@ def ltv_curve(
         (F.col("__rev__") / 100).alias("revenue"),
         (F.sum("__rev__").over(wc) / 100).alias("cum_revenue"),
     )
+
+
+def growth_accounting(df: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Daily active-user growth accounting: every (user, day) activity
+    classifies as NEW (first day ever), RETAINED (also active the
+    previous day), or RESURRECTED (active before, but not yesterday);
+    CHURNED(d) = DAU(d−1) − retained(d).  The DAU decomposition every
+    growth dashboard opens with.
+
+    One (key)-ordered lag over the distinct user-day relation
+    classifies rows; one day-keyed agg + a self-join on (day−1) adds
+    churn.  All integer day arithmetic and exact counts.  Returns
+    (day, dau, n_new, n_retained, n_resurrected, n_churned — NULL for
+    the first observed day).
+    """
+    from pyspark.sql import Window
+
+    day = (F.unix_seconds(F.date_trunc("day", F.col(ts_col))) / 86400).cast("bigint")
+    ud = df.select(F.col(key).alias("k"), day.alias("day")).distinct()
+    w = Window.partitionBy("k").orderBy("day")
+    classified = ud.withColumn("__prev__", F.lag("day").over(w))
+    status = (
+        F.when(F.col("__prev__").isNull(), "new")
+        .when(F.col("__prev__") == F.col("day") - 1, "retained")
+        .otherwise("resurrected")
+    )
+    per_day = classified.withColumn("__s__", status).groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.when(F.col("__s__") == "new", 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("__s__") == "retained", 1).otherwise(0)).cast("bigint").alias("n_retained"),
+        F.sum(F.when(F.col("__s__") == "resurrected", 1).otherwise(0)).cast("bigint").alias("n_resurrected"),
+    )
+    prev = per_day.select((F.col("day") + 1).alias("day"), F.col("dau").alias("__prev_dau__"))
+    j = per_day.join(prev, on="day", how="left")
+    return j.select(
+        "day", "dau", "n_new", "n_retained", "n_resurrected",
+        (F.col("__prev_dau__") - F.col("n_retained")).alias("n_churned"),
+    )

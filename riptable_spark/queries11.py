@@ -2239,3 +2239,38 @@ def q303(spark: SparkSession, sf: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) + F.round(F.col("value") * 100).cast("bigint") * 1000000).alias("e"),
     )
     return interval_coverage(iv, "user_id", "s", "e", "event_id")
+
+
+# ------------------------------------------------------------------ q304
+@query(
+    "q304_growth_accounting",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id AS k, (epoch(date_trunc('day', ts)) // 86400)::BIGINT AS day
+        FROM events
+    ),
+    c AS (
+        SELECT k, day, lag(day) OVER (PARTITION BY k ORDER BY day) AS prev
+        FROM ud
+    ),
+    pd AS (
+        SELECT day, count(*) AS dau,
+               CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM c GROUP BY day
+    )
+    SELECT a.day, a.dau, a.n_new, a.n_retained, a.n_resurrected,
+           b.dau - a.n_retained AS n_churned
+    FROM pd a LEFT JOIN pd b ON b.day = a.day - 1
+    """,
+)
+def q304(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU growth accounting: new / retained / resurrected from one
+    per-user day-lag, churn from the previous day's DAU — the
+    decomposition identity DAU(d) = new + retained + resurrected and
+    DAU(d−1) = retained + churned holds exactly."""
+    from .operators.groupby import growth_accounting
+
+    ev = load_table(spark, sf, "events")
+    return growth_accounting(ev, "user_id", "ts")

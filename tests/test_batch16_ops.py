@@ -440,3 +440,26 @@ def test_interval_coverage_contained_interval(spark):
     df = spark.createDataFrame(rows, "k string, id int, s long, e long")
     r = interval_coverage(df, "k", "s", "e", "id").collect()[0]
     assert (r["covered"], r["n_islands"]) == (100, 1)
+
+
+def test_growth_accounting_hand(spark):
+    import datetime as dt
+
+    from riptable_spark.operators.groupby import growth_accounting
+
+    d = lambda i: dt.datetime(2024, 1, i)
+    # u1 active days 1,2,4; u2 active day 2 only
+    rows = [(1, d(1)), (1, d(2)), (1, d(4)), (2, d(2))]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {r["day"] - 19723: r for r in growth_accounting(df, "user_id", "ts").collect()}
+    # day1: u1 new. day2: u1 retained, u2 new. day3: none (absent row).
+    # day4: u1 resurrected; churned vs day3 absent → NULL (no prev row)
+    d1, d2, d4 = out[0], out[1], out[3]
+    assert (d1["dau"], d1["n_new"]) == (1, 1)
+    assert (d2["dau"], d2["n_new"], d2["n_retained"]) == (2, 1, 1)
+    assert d2["n_churned"] == 0  # day1 dau 1 − retained 1
+    assert (d4["dau"], d4["n_resurrected"]) == (1, 1)
+    assert d4["n_churned"] is None  # day3 had no activity row
+    # identity: dau = new + retained + resurrected on every day
+    for r in out.values():
+        assert r["dau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
