@@ -1130,3 +1130,48 @@ def interval_coverage(
         F.count(F.lit(1)).alias("n_islands"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_gaps"),
     )
+
+
+def session_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    gap_minutes: int = 30,
+    top: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Top session paths: sessionize by inactivity gap (gaps-and-islands
+    on the per-key timeline), render each session as its ordered
+    event-type string, and count path frequencies — "what do journeys
+    look like" analytics.
+
+    Ordering inside the aggregated array is made deterministic by
+    sorting (position, type) structs — collect_list alone has NO order
+    guarantee under partial aggregation (the classic silent
+    nondeterminism).  Counts are exact; the top-k is
+    (count desc, path) tiebroken.  One key-sorted window + one
+    (key, session) agg + one path count.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > gap_minutes * 60_000_000), 1
+    ).otherwise(0)
+    seg = df.withColumn("__sess__", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    pos = F.row_number().over(Window.partitionBy(key_col, "__sess__").orderBy(ts_col, id_col))
+    rows = seg.withColumn("__pos__", pos)
+    per_sess = rows.groupBy(key_col, "__sess__").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__pos__"), F.col(type_col).alias("t")))),
+                lambda s: s["t"],
+            ),
+        ).alias("path")
+    )
+    counts = per_sess.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions")).where(
+        F.col("n_sessions") >= min_count
+    )
+    return counts.orderBy(F.col("n_sessions").desc(), F.col("path")).limit(top)

@@ -2274,3 +2274,41 @@ def q304(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     return growth_accounting(ev, "user_id", "ts")
+
+
+# ------------------------------------------------------------------ q305
+@query(
+    "q305_session_paths",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(epoch_us(ts)) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        FROM s
+    ),
+    per AS (
+        SELECT user_id, sess,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM seg GROUP BY user_id, sess
+    ),
+    c AS (SELECT path, count(*) AS n_sessions FROM per GROUP BY path HAVING count(*) >= 2)
+    SELECT path, n_sessions FROM c ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q305(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 session journey paths (30-minute inactivity sessions):
+    position-sorted path strings — collect_list alone is
+    order-nondeterministic under partial aggregation, so the array
+    sorts (position, type) structs first."""
+    from .operators.window import session_paths
+
+    ev = load_table(spark, sf, "events")
+    return session_paths(ev, "user_id", "ts", "event_id", "event_type", gap_minutes=30)

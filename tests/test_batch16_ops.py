@@ -463,3 +463,21 @@ def test_growth_accounting_hand(spark):
     # identity: dau = new + retained + resurrected on every day
     for r in out.values():
         assert r["dau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+
+
+def test_session_paths_hand(spark):
+    import datetime as dt
+
+    from riptable_spark.operators.window import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        ("u1", m(0), 1, "view"), ("u1", m(1), 2, "click"),          # session: view>click
+        ("u1", m(60), 3, "view"), ("u1", m(61), 4, "click"),        # new session: view>click
+        ("u2", m(0), 5, "view"), ("u2", m(2), 6, "click"),          # view>click
+        ("u2", m(90), 7, "purchase"),                                # purchase (below min_count)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id int, event_type string")
+    out = session_paths(df, "user_id", "ts", "event_id", "event_type", gap_minutes=30, min_count=2).collect()
+    assert [(r["path"], r["n_sessions"]) for r in out] == [("view>click", 3)]
