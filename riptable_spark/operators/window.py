@@ -1175,3 +1175,56 @@ def session_paths(
         F.col("n_sessions") >= min_count
     )
     return counts.orderBy(F.col("n_sessions").desc(), F.col("path")).limit(top)
+
+
+def transition_dwell(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Mean dwell time per transition (from-type → to-type): the timing
+    companion of ``transition_matrix`` — how long journeys sit between
+    steps.  One per-key lag + one (from, to) agg; dwell is integer
+    microseconds, the mean a single division."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev_t = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_type = F.lag(F.col(type_col)).over(w)
+    steps = df.select(
+        prev_type.alias("from_type"),
+        F.col(type_col).alias("to_type"),
+        (F.unix_micros(F.col(ts_col)) - prev_t).alias("__dw__"),
+    ).where(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dw__").cast("bigint").alias("total_micros"),
+        (F.sum("__dw__") / F.count(F.lit(1))).alias("mean_micros"),
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak concurrent intervals per key (max sessions open at once,
+    peak load): the classic sweep line — explode each [start, end) to
+    (+1 at start, −1 at end), order by (time, delta) so closings at t
+    process before openings at t (half-open semantics), running-sum,
+    take the max.  The max is tie-safe within equal (time, delta)
+    blocks (prefix extremum lands at a block edge).  Integers end to
+    end; one sorted window per key."""
+    pts = df.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("p"),
+    ).select(key_col, "p.t", "p.d")
+    w = Window.partitionBy(key_col).orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
+    running = pts.withColumn("__c__", F.sum("d").over(w))
+    return running.groupBy(key_col).agg(F.max("__c__").cast("bigint").alias("max_concurrent"))

@@ -2312,3 +2312,71 @@ def q305(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     return session_paths(ev, "user_id", "ts", "event_id", "event_type", gap_minutes=30)
+
+
+# ------------------------------------------------------------------ q306
+@query(
+    "q306_transition_dwell",
+    """
+    WITH s AS (
+        SELECT event_type,
+               lag(event_type) OVER w AS from_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dw
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT from_type, event_type AS to_type, count(*) AS n,
+           CAST(sum(dw) AS BIGINT) AS total_micros,
+           CAST(sum(dw) AS BIGINT) / count(*) AS mean_micros
+    FROM s WHERE from_type IS NOT NULL
+    GROUP BY from_type, event_type
+    """,
+)
+def q306(spark: SparkSession, sf: str) -> DataFrame:
+    """Dwell time per journey transition (from → to): integer-µs sums,
+    one per-user lag + one (from, to) aggregation — transition_matrix's
+    timing companion."""
+    from .operators.window import transition_dwell
+
+    ev = load_table(spark, sf, "events")
+    return transition_dwell(ev, "user_id", "ts", "event_id", "event_type")
+
+
+# ------------------------------------------------------------------ q307
+@query(
+    "q307_max_concurrency",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000000 AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT user_id, s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT user_id, e, -1 FROM iv
+    ),
+    r AS (
+        SELECT user_id,
+               CAST(sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        FROM pts
+    )
+    SELECT user_id, CAST(max(c) AS BIGINT) AS max_concurrent
+    FROM r GROUP BY user_id
+    """,
+)
+def q307(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent activity spans per user (each event holds
+    value·seconds): sweep line with closings-before-openings ordering —
+    the half-open [s, e) concurrency maximum, integers end to end."""
+    from .operators.window import max_concurrency
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.round(F.col("value") * 100).cast("bigint") * 1000000).alias("e"),
+    )
+    return max_concurrency(iv, "user_id", "s", "e")

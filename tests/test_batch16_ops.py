@@ -481,3 +481,28 @@ def test_session_paths_hand(spark):
     df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id int, event_type string")
     out = session_paths(df, "user_id", "ts", "event_id", "event_type", gap_minutes=30, min_count=2).collect()
     assert [(r["path"], r["n_sessions"]) for r in out] == [("view>click", 3)]
+
+
+def test_max_concurrency_hand(spark):
+    from riptable_spark.operators.window import max_concurrency
+
+    # [0,10) [5,15) [10,20): at t=10 the first closes as the third opens → peak 2
+    rows = [("u", 0, 10), ("u", 5, 15), ("u", 10, 20)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    r = max_concurrency(df, "k", "s", "e").collect()[0]
+    assert r["max_concurrent"] == 2
+
+
+def test_transition_dwell_hand(spark):
+    import datetime as dt
+
+    from riptable_spark.operators.window import transition_dwell
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda k: t0 + dt.timedelta(seconds=k)
+    rows = [("u", sec(0), 1, "a"), ("u", sec(10), 2, "b"), ("u", sec(40), 3, "b")]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, event_id int, event_type string")
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["mean_micros"]) for r in
+           transition_dwell(df, "k", "ts", "event_id", "event_type").collect()}
+    assert out[("a", "b")] == (1, 10_000_000.0)
+    assert out[("b", "b")] == (1, 30_000_000.0)
