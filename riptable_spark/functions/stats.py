@@ -860,3 +860,37 @@ def theil_sen_consecutive(
         F.count(F.lit(1)).alias("n_slopes"),
         F.percentile(F.col("__s__"), F.lit(0.5)).alias("ts_slope"),
     )
+
+
+def confusion_matrix(df: DataFrame, label: str, pred: str) -> DataFrame:
+    """Per-class precision/recall/F1 from the confusion counts — the
+    standard classifier report as a RELATION (one row per class),
+    composed entirely from exact integer counts in two tiny
+    aggregations over one (label, pred) reduce.
+
+    support = true count of the class; predicted = rows predicted as
+    the class; tp = diagonal.  Classes appearing only in ``pred`` get
+    support 0 (NULL recall)."""
+    cm = df.groupBy(F.col(label).alias("y"), F.col(pred).alias("yhat")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tp = cm.where(F.col("y") == F.col("yhat")).select(F.col("y").alias("cls"), F.col("n").alias("tp"))
+    support = cm.groupBy(F.col("y").alias("cls")).agg(F.sum("n").cast("bigint").alias("support"))
+    predicted = cm.groupBy(F.col("yhat").alias("cls")).agg(F.sum("n").cast("bigint").alias("predicted"))
+    j = (
+        support.join(predicted, on="cls", how="full_outer")
+        .join(tp, on="cls", how="left")
+        .select(
+            "cls",
+            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+            F.coalesce(F.col("predicted"), F.lit(0)).alias("predicted"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    prec = F.when(F.col("predicted") > 0, F.col("tp") / F.col("predicted"))
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+    return j.select(
+        "cls", "support", "predicted", "tp",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )

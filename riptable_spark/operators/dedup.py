@@ -783,3 +783,34 @@ def doc_novelty(
         F.sum(F.when(F.col("__df__") >= 2, 1).otherwise(0)).cast("bigint").alias("n_shared"),
         (1 - F.sum(F.when(F.col("__df__") >= 2, 1).otherwise(0)).cast("bigint") / F.count(F.lit(1))).alias("novelty"),
     )
+
+
+def pair_eval(pred_pairs: DataFrame, true_pairs: DataFrame) -> DataFrame:
+    """Precision/recall/F1 of a candidate-pair generator against ground
+    truth — the evaluation harness for any dedup/blocking strategy
+    (how many true duplicate pairs does MinHash banding actually
+    recover, at what false-positive cost?).
+
+    Pairs canonicalize to (min, max) so orientation never miscounts;
+    TP/FP/FN come from one full-outer equi-join of the two (small)
+    pair relations; precision/recall/F1 compose from exact integer
+    counts (F1 = 2pr/(p+r) on identical doubles).
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("b"),
+        ).distinct()
+
+    p = canon(pred_pairs).withColumn("__p__", F.lit(1))
+    t = canon(true_pairs).withColumn("__t__", F.lit(1))
+    j = p.join(t, on=["a", "b"], how="full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("__p__").isNotNull() & F.col("__t__").isNotNull(), 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(F.col("__p__").isNotNull() & F.col("__t__").isNull(), 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(F.col("__p__").isNull() & F.col("__t__").isNotNull(), 1).otherwise(0)).cast("bigint").alias("fn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+    return agg.select("tp", "fp", "fn", prec.alias("precision"), rec.alias("recall"), f1.alias("f1"))

@@ -2380,3 +2380,136 @@ def q307(spark: SparkSession, sf: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) + F.round(F.col("value") * 100).cast("bigint") * 1000000).alias("e"),
     )
     return max_concurrency(iv, "user_id", "s", "e")
+
+
+# ------------------------------------------------------------------ q308
+@query(
+    "q308_pair_eval",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+        FROM documents WHERE doc_id < 100
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pred AS (
+        SELECT id_a AS a, id_b AS b FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.8
+    ),
+    truth AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM documents x JOIN documents y
+          ON regexp_replace(lower(trim(x.text)), '\s+', ' ', 'g')
+             = regexp_replace(lower(trim(y.text)), '\s+', ' ', 'g')
+         AND x.doc_id < y.doc_id
+        WHERE x.doc_id < 100 AND y.doc_id < 100 AND x.text IS NOT NULL
+    ),
+    j AS (
+        SELECT coalesce(p.a, t.a) AS a, coalesce(p.b, t.b) AS b,
+               p.a IS NOT NULL AS in_p, t.a IS NOT NULL AS in_t
+        FROM pred p FULL OUTER JOIN truth t ON p.a = t.a AND p.b = t.b
+    ),
+    agg AS (
+        SELECT CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM j
+    )
+    SELECT tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS precision,
+           CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END AS recall,
+           CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END)
+                   + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END) > 0
+                THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END)
+                       * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END)
+                     / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END)
+                        + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END)) END AS f1
+    FROM agg
+    """,
+)
+def q308(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-strategy evaluation: token-Jaccard ≥0.8 candidate pairs
+    scored against exact-duplicate ground truth — TP/FP/FN from one
+    pair-relation join, precision/recall/F1 from exact counts.  The
+    harness any dedup recall claim should ship with."""
+    from .operators import dedup
+
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
+    pred = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=1, threshold=0.8).select("id_a", "id_b")
+    dd = d.where(F.col("text").isNotNull())
+    norm = dedup.normalize_text(F.col("text"))
+    x = dd.select(F.col("doc_id").alias("id_a"), norm.alias("__n__"))
+    y = dd.select(F.col("doc_id").alias("id_b"), norm.alias("__n__"))
+    truth = x.join(y, on="__n__").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return dedup.pair_eval(pred, truth)
+
+
+# ------------------------------------------------------------------ q309
+@query(
+    "q309_langid_confusion",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               contains(' ' || lower(text) || ' ', ' the ')::INT + contains(' ' || lower(text) || ' ', ' and ')::INT
+             + contains(' ' || lower(text) || ' ', ' of ')::INT + contains(' ' || lower(text) || ' ', ' to ')::INT
+             + contains(' ' || lower(text) || ' ', ' in ')::INT AS s_en,
+               contains(' ' || lower(text) || ' ', ' der ')::INT + contains(' ' || lower(text) || ' ', ' die ')::INT
+             + contains(' ' || lower(text) || ' ', ' und ')::INT + contains(' ' || lower(text) || ' ', ' das ')::INT
+             + contains(' ' || lower(text) || ' ', ' nicht ')::INT AS s_de,
+               contains(' ' || lower(text) || ' ', ' le ')::INT + contains(' ' || lower(text) || ' ', ' la ')::INT
+             + contains(' ' || lower(text) || ' ', ' les ')::INT + contains(' ' || lower(text) || ' ', ' et ')::INT
+             + contains(' ' || lower(text) || ' ', ' est ')::INT AS s_fr,
+               contains(' ' || lower(text) || ' ', ' el ')::INT + contains(' ' || lower(text) || ' ', ' la ')::INT
+             + contains(' ' || lower(text) || ' ', ' los ')::INT + contains(' ' || lower(text) || ' ', ' que ')::INT
+             + contains(' ' || lower(text) || ' ', ' y ')::INT AS s_es,
+               lang
+        FROM documents
+    ),
+    p AS (
+        SELECT lang AS y,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    ELSE 'es' END AS yhat
+        FROM scored
+    ),
+    cm AS (SELECT y, yhat, count(*) AS n FROM p GROUP BY y, yhat),
+    tp AS (SELECT y AS cls, n AS tp FROM cm WHERE y = yhat),
+    sup AS (SELECT y AS cls, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY y),
+    prd AS (SELECT yhat AS cls, CAST(sum(n) AS BIGINT) AS predicted FROM cm GROUP BY yhat),
+    j AS (
+        SELECT coalesce(s.cls, q.cls) AS cls,
+               coalesce(support, 0) AS support, coalesce(predicted, 0) AS predicted,
+               CAST(coalesce(tp, 0) AS BIGINT) AS tp
+        FROM sup s FULL OUTER JOIN prd q ON s.cls = q.cls
+        LEFT JOIN tp t ON coalesce(s.cls, q.cls) = t.cls
+    )
+    SELECT cls, support, predicted, tp,
+           CASE WHEN predicted > 0 THEN tp / predicted END AS precision,
+           CASE WHEN support > 0 THEN tp / support END AS recall,
+           CASE WHEN (CASE WHEN predicted > 0 THEN tp / predicted END)
+                   + (CASE WHEN support > 0 THEN tp / support END) > 0
+                THEN 2 * (CASE WHEN predicted > 0 THEN tp / predicted END)
+                       * (CASE WHEN support > 0 THEN tp / support END)
+                     / ((CASE WHEN predicted > 0 THEN tp / predicted END)
+                        + (CASE WHEN support > 0 THEN tp / support END)) END AS f1
+    FROM j
+    """,
+)
+def q309(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the lang_id heuristic against
+    the true lang column — confusion_matrix as a relation, exact
+    integer counts; evaluates one of THIS engine's own operators."""
+    from .functions.stats import confusion_matrix
+    from .operators.text import lang_id
+
+    d = load_table(spark, sf, "documents")
+    pred = d.select(F.col("lang"), lang_id(F.col("text")).alias("lang_pred"))
+    return confusion_matrix(pred, "lang", "lang_pred")

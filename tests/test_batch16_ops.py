@@ -506,3 +506,28 @@ def test_transition_dwell_hand(spark):
            transition_dwell(df, "k", "ts", "event_id", "event_type").collect()}
     assert out[("a", "b")] == (1, 10_000_000.0)
     assert out[("b", "b")] == (1, 30_000_000.0)
+
+
+def test_pair_eval_hand(spark):
+    from riptable_spark.operators.dedup import pair_eval
+
+    pred = spark.createDataFrame([(1, 2), (3, 4), (6, 5)], "id_a int, id_b int")
+    truth = spark.createDataFrame([(2, 1), (5, 6), (7, 8)], "id_a int, id_b int")
+    r = pair_eval(pred, truth).collect()[0]
+    # (1,2) and (5,6) match after canonicalization; (3,4) FP; (7,8) FN
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+    assert r["precision"] == pytest.approx(2 / 3)
+    assert r["recall"] == pytest.approx(2 / 3)
+    assert r["f1"] == pytest.approx(2 / 3)
+
+
+def test_confusion_matrix_hand(spark):
+    from riptable_spark.functions.stats import confusion_matrix
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")]
+    df = spark.createDataFrame(rows, "y string, yhat string")
+    out = {r["cls"]: r for r in confusion_matrix(df, "y", "yhat").collect()}
+    assert (out["a"]["support"], out["a"]["predicted"], out["a"]["tp"]) == (2, 2, 1)
+    assert out["b"]["precision"] == pytest.approx(2 / 3)
+    assert out["b"]["recall"] == 1.0
+    assert out["c"]["tp"] == 0 and out["c"]["precision"] is None  # never predicted
