@@ -23,6 +23,8 @@ from riptable_spark import (  # noqa: F401 — register all batches
     queries7,
     queries8,
     queries9,
+    queries10,
+    queries11,
 )
 from riptable_spark.queries import ORACLES, QUERIES
 
