@@ -239,3 +239,31 @@ def join_size_estimate(
         F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("n_join_rows"),
         F.max(F.col("na") * F.col("nb")).cast("bigint").alias("max_key_contribution"),
     )
+
+
+def schema_report(df: DataFrame, expected: dict[str, str]) -> DataFrame:
+    """Data-contract schema check: one row per column with status
+    ``ok`` / ``type_mismatch`` / ``missing`` (expected, absent) /
+    ``extra`` (present, not in the contract) — pure METADATA, no scan,
+    so it costs nothing at any scale and belongs at the top of every
+    pipeline.
+
+    Returns (column, expected, actual, status), deterministic order-
+    free relation.
+    """
+    actual = dict(df.dtypes)
+    rows = []
+    for col, want in expected.items():
+        have = actual.get(col)
+        if have is None:
+            rows.append((col, want, None, "missing"))
+        elif have != want:
+            rows.append((col, want, have, "type_mismatch"))
+        else:
+            rows.append((col, want, have, "ok"))
+    for col, have in actual.items():
+        if col not in expected:
+            rows.append((col, None, have, "extra"))
+    return df.sparkSession.createDataFrame(
+        rows, "column string, expected string, actual string, status string"
+    )

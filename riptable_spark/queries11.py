@@ -2513,3 +2513,36 @@ def q309(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pred = d.select(F.col("lang"), lang_id(F.col("text")).alias("lang_pred"))
     return confusion_matrix(pred, "lang", "lang_pred")
+
+
+# ------------------------------------------------------------------ q310
+@query(
+    "q310_schema_contract",
+    """
+    SELECT * FROM (VALUES
+        ('doc_id', 'bigint', 'bigint', 'ok'),
+        ('text', 'string', 'string', 'ok'),
+        ('lang', 'string', 'string', 'ok'),
+        ('source', 'string', 'string', 'ok'),
+        ('n_chars', 'string', 'bigint', 'type_mismatch'),
+        ('embedding', 'array<float>', NULL, 'missing'),
+        ('quality', 'double', NULL, 'missing')
+    ) AS t("column", expected, actual, status)
+    """,
+)
+def q310(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-contract schema check against a deliberately drifted
+    contract (wrong n_chars type, two absent columns): pure metadata —
+    zero scan cost at any scale; the oracle pins the exact report."""
+    from .operators.profile import schema_report
+
+    d = load_table(spark, sf, "documents")
+    return schema_report(d, {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "string",        # wrong on purpose → type_mismatch
+        "embedding": "array<float>",  # absent → missing
+        "quality": "double",          # absent → missing
+    })

@@ -531,3 +531,14 @@ def test_confusion_matrix_hand(spark):
     assert out["b"]["precision"] == pytest.approx(2 / 3)
     assert out["b"]["recall"] == 1.0
     assert out["c"]["tp"] == 0 and out["c"]["precision"] is None  # never predicted
+
+
+def test_schema_report_hand(spark):
+    from riptable_spark.operators.profile import schema_report
+
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    out = {r["column"]: r["status"] for r in schema_report(df, {"a": "int", "b": "bigint", "c": "double"}).collect()}
+    assert out == {"a": "ok", "b": "type_mismatch", "c": "missing"}
+    df2 = spark.createDataFrame([(1, "x")], "a int, extra string")
+    out2 = {r["column"]: r["status"] for r in schema_report(df2, {"a": "int"}).collect()}
+    assert out2 == {"a": "ok", "extra": "extra"}
