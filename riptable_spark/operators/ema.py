@@ -396,3 +396,34 @@ def _blocked_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol
     return joined.withColumn(out_col, corrected).drop(
         "__blk__", "__t_start__", "__t_last__", "__local_last__", "__x_first__", "__adj__"
     )
+
+
+def ewm_stats(
+    df: DataFrame,
+    keys: list[str],
+    valcol: str,
+    timecol: str,
+    rate: float,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted running MEAN and VARIANCE (the RiskMetrics
+    volatility estimator): three decayed running sums over the SAME
+    window — Σw·x², Σw·x, Σw (w = exp(−rate·Δt)) — composed as
+    mean = S1/W and var = S2/W − mean².  All three ride ema_decay's
+    codegen closed form (one sort window, JVM-side, no Python), so the
+    marginal cost over a single EMA is two more window columns.
+
+    Appends ``ewm_mean`` and ``ewm_var`` (population-style; NULL-safe:
+    rows before any data in the key yield NULL).
+    """
+    work = df.withColumn("__one__", F.lit(1.0)).withColumn(
+        "__sq__", F.col(valcol).cast("double") * F.col(valcol).cast("double")
+    )
+    work = ema_decay(work, keys, valcol, timecol, rate, out_col="__s1__", order_col=order_col)
+    work = ema_decay(work, keys, "__sq__", timecol, rate, out_col="__s2__", order_col=order_col)
+    work = ema_decay(work, keys, "__one__", timecol, rate, out_col="__w__", order_col=order_col)
+    mean = F.col("__s1__") / F.col("__w__")
+    var = F.col("__s2__") / F.col("__w__") - mean * mean
+    return work.withColumn("ewm_mean", mean).withColumn(
+        "ewm_var", F.greatest(var, F.lit(0.0))
+    ).drop("__one__", "__sq__", "__s1__", "__s2__", "__w__")

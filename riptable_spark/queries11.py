@@ -2546,3 +2546,46 @@ def q310(spark: SparkSession, sf: str) -> DataFrame:
         "embedding": "array<float>",  # absent → missing
         "quality": "double",          # absent → missing
     })
+
+
+# ------------------------------------------------------------------ q311
+@query(
+    "q311_ewm_stats",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, value, epoch(ts) / 3600.0 AS t,
+               min(epoch(ts) / 3600.0) OVER (PARTITION BY user_id) AS tmin
+        FROM events
+    ),
+    sums AS (
+        SELECT event_id, user_id, value, t, tmin,
+               exp(-0.05 * (t - tmin)) * sum(value * exp(0.05 * (t - tmin))) OVER w AS s1,
+               exp(-0.05 * (t - tmin)) * sum(value * value * exp(0.05 * (t - tmin))) OVER w AS s2,
+               exp(-0.05 * (t - tmin)) * sum(exp(0.05 * (t - tmin))) OVER w AS wsum
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id,
+           round(s1 / wsum, 4) AS ewm_mean,
+           round(greatest(s2 / wsum - (s1 / wsum) * (s1 / wsum), 0.0), 4) AS ewm_var
+    FROM sums
+    """,
+)
+def q311(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted mean/variance (RiskMetrics volatility):
+    three decayed sums over ONE closed-form codegen window (q35's
+    telescoping identity), composed into mean and variance — rounded at
+    4dp like the ema family's oracles."""
+    from .operators.ema import ewm_stats
+
+    ev = (
+        load_table(spark, sf, "events")
+        .withColumn("t_hours", F.unix_micros(F.col("ts")) / 3.6e9)
+        .select("event_id", "user_id", "t_hours", "value")
+    )
+    out = ewm_stats(ev, ["user_id"], "value", "t_hours", rate=0.05, order_col="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("ewm_mean"), 4).alias("ewm_mean"),
+        F.round(F.col("ewm_var"), 4).alias("ewm_var"),
+    )

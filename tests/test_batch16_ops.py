@@ -542,3 +542,31 @@ def test_schema_report_hand(spark):
     df2 = spark.createDataFrame([(1, "x")], "a int, extra string")
     out2 = {r["column"]: r["status"] for r in schema_report(df2, {"a": "int"}).collect()}
     assert out2 == {"a": "ok", "extra": "extra"}
+
+
+def test_ewm_stats_constant_series(spark):
+    from riptable_spark.operators.ema import ewm_stats
+
+    df = spark.createDataFrame([("u", float(t), 7.0) for t in range(6)], "k string, t double, v double")
+    out = ewm_stats(df, ["k"], "v", "t", rate=0.5).collect()
+    for r in out:  # constant series: mean 7, variance 0 at every step
+        assert r["ewm_mean"] == pytest.approx(7.0, abs=1e-9)
+        assert r["ewm_var"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ewm_stats_matches_manual_recurrence(spark):
+    import math
+
+    from riptable_spark.operators.ema import ewm_stats
+
+    vals = [1.0, 5.0, 2.0, 8.0]
+    df = spark.createDataFrame([("u", float(t), v) for t, v in enumerate(vals)], "k string, t double, v double")
+    out = sorted(ewm_stats(df, ["k"], "v", "t", rate=0.3).collect(), key=lambda r: r["t"])
+    s1 = s2 = w = 0.0
+    prev_t = 0.0
+    for r, (t, x) in zip(out, enumerate(vals)):
+        d = math.exp(-0.3 * (t - prev_t))
+        s1, s2, w = s1 * d + x, s2 * d + x * x, w * d + 1.0
+        prev_t = t
+        assert r["ewm_mean"] == pytest.approx(s1 / w, rel=1e-9)
+        assert r["ewm_var"] == pytest.approx(max(s2 / w - (s1 / w) ** 2, 0.0), rel=1e-9, abs=1e-9)
