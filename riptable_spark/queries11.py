@@ -2589,3 +2589,89 @@ def q311(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("ewm_mean"), 4).alias("ewm_mean"),
         F.round(F.col("ewm_var"), 4).alias("ewm_var"),
     )
+
+
+# ------------------------------------------------------------------ q312
+@query(
+    "q312_cycle_time",
+    """
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               datediff('day', o.o_orderdate, max(l.l_shipdate)) AS days_to_last_ship
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority, count(*) AS n_orders,
+           quantile_cont(days_to_last_ship, 0.5) AS p50_days,
+           quantile_cont(days_to_last_ship, 0.9) AS p90_days,
+           CAST(max(days_to_last_ship) AS BIGINT) AS max_days
+    FROM per_order GROUP BY o_orderpriority
+    """,
+)
+def q312(spark: SparkSession, sf: str) -> DataFrame:
+    """Order fulfillment cycle time (order date → last shipment) per
+    priority: integer day lags per order, exact interpolated
+    percentiles — the supply-chain SLA view."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    per = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.datediff(F.max("l_shipdate"), F.first("o_orderdate")).alias("days_to_last_ship"))
+    )
+    return per.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile(F.col("days_to_last_ship"), F.lit(0.5)).alias("p50_days"),
+        F.percentile(F.col("days_to_last_ship"), F.lit(0.9)).alias("p90_days"),
+        F.max("days_to_last_ship").cast("bigint").alias("max_days"),
+    )
+
+
+# ------------------------------------------------------------------ q313
+@query(
+    "q313_open_order_backlog",
+    """
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               (epoch(o.o_orderdate) // 86400)::BIGINT AS d_open,
+               (epoch(max(l.l_shipdate)) // 86400)::BIGINT + 1 AS d_close
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    pts AS (
+        SELECT d_open AS day, 1 AS delta FROM spans
+        UNION ALL SELECT d_close, -1 FROM spans
+    ),
+    daily AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM pts GROUP BY day)
+    SELECT day, net,
+           CAST(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_orders
+    FROM daily
+    """,
+)
+def q313(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-order backlog curve: each order holds from order day until
+    its last shipment day; +1/−1 deltas aggregate per day FIRST (the
+    global running sum then runs over the day-cardinality relation —
+    the legitimate aggregated-input global window), integers
+    throughout."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    spans = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            # parquet NTZ timestamps: cast to (UTC-session) timestamp for epoch math
+            (F.unix_seconds(F.col("o_orderdate").cast("timestamp")) / 86400).cast("bigint").alias("d_open"),
+            ((F.unix_seconds(F.col("last_ship").cast("timestamp")) / 86400).cast("bigint") + 1).alias("d_close"),
+        )
+    )
+    pts = spans.select(F.col("d_open").alias("day"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.col("d_close").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = pts.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select("day", "net", F.sum("net").over(w).cast("bigint").alias("open_orders"))
