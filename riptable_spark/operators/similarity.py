@@ -996,3 +996,37 @@ def cluster_distortion(
         sse.alias("sse"),
         (sse / F.col("n_vecs")).alias("mean_sse"),
     )
+
+
+def l2_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    out_col: str = "unit_vec",
+) -> DataFrame:
+    """L2-normalize embeddings with ENGINE-EXACT arithmetic: the squared
+    norm accumulates as Σ round(x·scale)² — an integer fold, exact
+    under any association — so sqrt(S) is a correctly-rounded double
+    and every output component x·scale/√S is bit-identical across
+    engines (the float-fold norm would differ by ulps per association).
+
+    Zero vectors yield NULL (no 0/0).  Pure projection — zero shuffles,
+    the normalization a cosine-ANN ingest runs at scan speed.
+    Appends ``l2_norm`` (in original units) and ``out_col``.
+    """
+    v = F.col(vec_col)
+    s_int = F.aggregate(
+        F.transform(v, lambda x: {"i": F.round(x.cast("double") * scale).cast("bigint")}["i"]),
+        F.lit(0).cast("bigint"),
+        lambda acc, xi: acc + xi * xi,
+    )
+    root = F.sqrt(s_int)
+    unit = F.when(
+        s_int > 0, F.transform(v, lambda x: x.cast("double") * scale / root)
+    )
+    return df.select(
+        F.col(id_col), v,
+        F.when(s_int > 0, root / scale).alias("l2_norm"),
+        unit.alias(out_col),
+    )

@@ -2675,3 +2675,32 @@ def q313(spark: SparkSession, sf: str) -> DataFrame:
     daily = pts.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net"))
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     return daily.select("day", "net", F.sum("net").over(w).cast("bigint").alias("open_orders"))
+
+
+# ------------------------------------------------------------------ q314
+@query(
+    "q314_l2_normalize",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                         * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS si
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN si > 0 THEN sqrt(si) / 1000 END AS l2_norm,
+           CASE WHEN si > 0 THEN list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * 1000 / sqrt(si)) END AS unit_vec
+    FROM s
+    """,
+)
+def q314(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-exact L2 normalization: the squared norm is an INTEGER
+    fold (association-proof), so sqrt and the per-component divisions
+    are bit-identical — no float-fold ulps, no rounding in the oracle
+    compare.  Zero-shuffle projection."""
+    from .operators.similarity import l2_normalize
+
+    emb = load_table(spark, sf, "embeddings")
+    return l2_normalize(emb).select("vec_id", "l2_norm", "unit_vec")

@@ -570,3 +570,20 @@ def test_ewm_stats_matches_manual_recurrence(spark):
         prev_t = t
         assert r["ewm_mean"] == pytest.approx(s1 / w, rel=1e-9)
         assert r["ewm_var"] == pytest.approx(max(s2 / w - (s1 / w) ** 2, 0.0), rel=1e-9, abs=1e-9)
+
+
+def test_l2_normalize_unit_norm(spark):
+    import math
+
+    from riptable_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in l2_normalize(df).collect()}
+    assert out[1]["l2_norm"] == pytest.approx(5.0, abs=1e-9)
+    assert out[1]["unit_vec"][0] == pytest.approx(0.6, abs=1e-9)
+    assert math.hypot(*out[1]["unit_vec"]) == pytest.approx(1.0, abs=1e-9)
+    assert out[2]["l2_norm"] is None and out[2]["unit_vec"] is None  # zero vector
+    assert out[3]["unit_vec"] == [1.0, 0.0]
