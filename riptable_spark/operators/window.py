@@ -1063,7 +1063,7 @@ def attribute_u_shaped(
     )
 
 
-def rolling_corr(
+def rolling_corr_exact(
     df: DataFrame,
     key_col: str,
     order_by: list[str] | str,
@@ -1074,9 +1074,11 @@ def rolling_corr(
     y_scale: int = 1,
 ) -> DataFrame:
     """Rolling Pearson correlation between two columns over the trailing
-    ``n`` rows (rolling beta's numerator/denominator building block),
-    full-window only — the first n−1 rows are NULL per the reference's
-    rolling convention.
+    ``n`` rows (rolling beta's building block), full-window only — the
+    first n−1 rows are NULL per the reference's rolling convention.
+    The Column-form ``rolling_corr``/``rolling_cov``/``rolling_beta``
+    above are the native float aggregates; THIS form integer-scales so
+    a cross-engine oracle replays it bit-for-bit.
 
     All six rolling power sums are exact integers (safe under
     segment-tree window association); the per-row correlation applies

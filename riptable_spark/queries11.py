@@ -1332,10 +1332,10 @@ def q280(spark: SparkSession, sf: str) -> DataFrame:
     between the value series and a deterministic second signal: six
     exact integer rolling sums in one per-key sort window, per-row corr
     from IEEE-exact ops."""
-    from .operators.window import rolling_corr
+    from .operators.window import rolling_corr_exact
 
     ev = load_table(spark, sf, "events").withColumn("y", F.col("event_id") % 100)
-    return rolling_corr(ev, "user_id", ["ts", "event_id"], "value", "y", n=20, x_scale=100, y_scale=1)
+    return rolling_corr_exact(ev, "user_id", ["ts", "event_id"], "value", "y", n=20, x_scale=100, y_scale=1)
 
 
 # ------------------------------------------------------------------ q281

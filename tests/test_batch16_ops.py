@@ -188,11 +188,11 @@ def test_implementation_shortfall_hand(spark):
 
 
 def test_rolling_corr_perfect_and_window_gate(spark):
-    from riptable_spark.operators.window import rolling_corr
+    from riptable_spark.operators.window import rolling_corr_exact
 
     rows = [("k", t, float(t), 3 * t + 7) for t in range(10)]
     df = spark.createDataFrame(rows, "k string, t int, x double, y long")
-    out = sorted(rolling_corr(df, "k", "t", "x", "y", n=5).collect(), key=lambda r: r["t"])
+    out = sorted(rolling_corr_exact(df, "k", "t", "x", "y", n=5).collect(), key=lambda r: r["t"])
     assert all(r["rolling_corr"] is None for r in out[:4])  # partial windows
     for r in out[4:]:
         assert r["rolling_corr"] == pytest.approx(1.0, abs=1e-12)  # y = 3x+7

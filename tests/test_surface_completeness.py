@@ -1,0 +1,92 @@
+"""Tests for public surface functions that had no direct coverage —
+closing the dead-code/padding audit gap: every exported helper either
+has a test or a query."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from riptable_spark.functions import datetime as dtf
+from riptable_spark.functions import math as rmath
+from riptable_spark.functions import nullsafe
+from riptable_spark.functions.stats import mae
+from riptable_spark.operators import window as rw
+from riptable_spark.operators.dedup import hamming_distance
+
+
+def test_rolling_cov_corr_beta_columns(spark):
+    rows = [("k", t, float(t), float(3 * t + 1)) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, t int, x double, y double")
+    w = Window.partitionBy("k").orderBy("t")
+    out = df.select(
+        "t",
+        rw.rolling_cov(F.col("x"), F.col("y"), w, 4).alias("cov"),
+        rw.rolling_corr(F.col("x"), F.col("y"), w, 4).alias("corr"),
+        rw.rolling_beta(F.col("x"), F.col("y"), w, 4).alias("beta"),
+    ).orderBy("t").collect()
+    last = out[-1]
+    # y = 3x + 1 exactly: corr 1, beta 3, cov = 3·var(x of window [6..9])
+    assert last["corr"] == pytest.approx(1.0, abs=1e-9)
+    assert last["beta"] == pytest.approx(3.0, abs=1e-9)
+    assert last["cov"] == pytest.approx(3 * (5 / 3), abs=1e-9)  # var_samp of 4 consecutive ints
+
+
+def test_argsort_rank(spark):
+    df = spark.createDataFrame([(10.0,), (5.0,), (7.0,)], "v double")
+    out = rw.argsort_rank(df, "v")
+    got = {r["v"]: r["argsort_rank"] for r in out.collect()}
+    assert got == {5.0: 0, 7.0: 1, 10.0: 2}  # numpy argsort is 0-based
+
+
+def test_hamming_distance(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
+    assert df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"] == 2
+
+
+def test_mae(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 1.0)], "y double, yhat double")
+    assert mae(df, "y", "yhat") == pytest.approx(1.5)
+
+
+def test_nan_to_num_and_isnotna(spark):
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (float("-inf"),), (2.5,), (None,)], "v double"
+    )
+    out = df.select(
+        nullsafe.nan_to_num(F.col("v"), nan=0.0, posinf=9.0, neginf=-9.0).alias("n"),
+        nullsafe.isnotna(F.col("v")).alias("ok"),
+    ).collect()
+    vals = [r["n"] for r in out]
+    assert vals[0] == 0.0 and vals[1] == 9.0 and vals[2] == -9.0 and vals[3] == 2.5
+    assert [r["ok"] for r in out] == [False, True, True, True, False]
+
+
+def test_math_predicates_isnormal_signbit(spark):
+    df = spark.createDataFrame(
+        [(1.5,), (0.0,), (-2.0,), (float("nan"),), (float("inf"),)], "v double"
+    )
+    out = df.select(
+        rmath.isnormal(F.col("v")).alias("n"), rmath.signbit(F.col("v")).alias("s")
+    ).collect()
+    assert [r["n"] for r in out] == [True, False, True, False, False]
+    assert [r["s"] for r in out] == [False, False, True, False, False]
+
+
+def test_datetime_small_surface(spark):
+    df = spark.createDataFrame([("2024-03-02 01:02:03.123456",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    r = df.select(
+        dtf.millisecond(F.col("ts")).alias("ms"),
+        dtf.is_weekday(F.col("ts")).alias("wd"),
+        dtf.to_iso(F.col("ts")).alias("iso"),
+    ).collect()[0]
+    assert r["ms"] == pytest.approx(123.456)  # fractional ms, reference convention
+    assert r["wd"] is False  # 2024-03-02 is a Saturday
+    assert r["iso"].startswith("2024-03-02T01:02:03")
+    rng = spark.range(1).select(F.explode(dtf.date_range("2024-01-01", "2024-01-05", 2)).alias("d")).collect()
+    assert [str(r["d"]) for r in rng] == ["2024-01-01", "2024-01-03", "2024-01-05"]
