@@ -82,13 +82,18 @@ def span_scale(span: Column, k) -> Column:
 # A DayTimeInterval added to the zero epoch is a timestamp whose
 # unix_micros IS the span length — pure Column algebra, no expr-by-name.
 
-_EPOCH = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+def _epoch() -> Column:
+    # built lazily — a module-level Column literal would require an
+    # active SparkContext at IMPORT time (breaks `import riptable_spark`
+    # before the session exists)
+    return F.to_timestamp(F.lit("1970-01-01 00:00:00"))
 
 
 def span_micros(span: Column) -> Column:
     """Total microseconds — the full precision Spark carries. The
     epoch-anchor subtraction cancels the session-timezone offset."""
-    return F.unix_micros(_EPOCH + span) - F.unix_micros(_EPOCH)
+    e = _epoch()
+    return F.unix_micros(e + span) - F.unix_micros(e)
 
 
 def span_seconds(span: Column) -> Column:
