@@ -2704,3 +2704,48 @@ def q314(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     return l2_normalize(emb).select("vec_id", "l2_norm", "unit_vec")
+
+
+# ------------------------------------------------------------------ q315
+@query(
+    "q315_tpch_q17",
+    """
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               count(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100 AS total_price,
+           (CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 7) / 100 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS BIGINT) * pa.n * 5 < pa.sq
+    """,
+)
+def q315(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    'quantity < 0.2·avg(quantity) per part' subquery becomes one
+    per-part aggregate joined back; the threshold compares CROSS-
+    MULTIPLIED integers (q·n·5 < Σq) so no float average exists to
+    sit on a boundary."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(pa, li["l_partkey"] == pa["pk"])
+        .where(F.col("l_quantity").cast("bigint") * F.col("n") * 5 < F.col("sq"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+        (F.sum(cents) / 100).alias("total_price"),
+        ((F.sum(cents) / 7) / 100).alias("avg_yearly"),
+    )
