@@ -2749,3 +2749,105 @@ def q315(spark: SparkSession, sf: str) -> DataFrame:
         (F.sum(cents) / 100).alias("total_price"),
         ((F.sum(cents) / 7) / 100).alias("avg_yearly"),
     )
+
+
+# ------------------------------------------------------------------ q316
+@query(
+    "q316_tpch_q14",
+    f"""
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV} ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+           CAST(sum({_REV}) AS BIGINT) AS total_rev_e4,
+           CAST(100 AS DOUBLE) * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV} ELSE 0 END) AS BIGINT)
+               / CAST(sum({_REV}) AS BIGINT) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q316(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo revenue share for one month —
+    conditional integer-revenue sums in ONE agg over a broadcast part
+    join, a single IEEE-exact percentage at the end."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    rev = _rev_col()
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).cast("bigint")
+    total = F.sum(rev).cast("bigint")
+    return j.agg(
+        promo.alias("promo_rev_e4"),
+        total.alias("total_rev_e4"),
+        (F.lit(100.0) * promo / total).alias("promo_pct"),
+    )
+
+
+# ------------------------------------------------------------------ q317
+@query(
+    "q317_tpch_q19",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum({_REV}) AS BIGINT) / 10000 AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)
+    """,
+)
+def q317(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    three-way OR of brand/size/quantity bands rides the equi-join as a
+    post-join filter — Catalyst keeps the join hashed on partkey and
+    pushes the brand/size disjunction to the part scan."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    q = F.col("l_quantity").cast("bigint")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).where(cond)
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        (F.sum(_rev_col()) / 10000).alias("revenue"),
+    )
+
+
+# ------------------------------------------------------------------ q318
+@query(
+    "q318_tpch_q15",
+    f"""
+    WITH srev AS (
+        SELECT l_suppkey, CAST(sum({_REV}) AS BIGINT) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    ),
+    mx AS (SELECT max(rev) AS m FROM srev)
+    SELECT s.s_suppkey, s.s_name, srev.rev / 10000 AS total_revenue
+    FROM srev JOIN mx ON srev.rev = mx.m
+    JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+    """,
+)
+def q318(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the max-revenue view joins back on the
+    EXACT integer revenue, so ties surface every co-leader (the spec's
+    semantics) instead of an arbitrary limit-1."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf, "supplier")
+    srev = li.groupBy("l_suppkey").agg(F.sum(_rev_col()).cast("bigint").alias("rev"))
+    mx = srev.agg(F.max("rev").alias("m"))
+    top = srev.crossJoin(F.broadcast(mx)).where(F.col("rev") == F.col("m"))
+    return top.join(s, top["l_suppkey"] == s["s_suppkey"]).select(
+        "s_suppkey", "s_name", (F.col("rev") / 10000).alias("total_revenue")
+    )
