@@ -2851,3 +2851,97 @@ def q318(spark: SparkSession, sf: str) -> DataFrame:
     return top.join(s, top["l_suppkey"] == s["s_suppkey"]).select(
         "s_suppkey", "s_name", (F.col("rev") / 10000).alias("total_revenue")
     )
+
+
+# ------------------------------------------------------------------ q319
+@query(
+    "q319_littles_law",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               CAST(round(value * 100) AS BIGINT) * 1000000 AS dur
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(dur) AS BIGINT) AS total_dur,
+               max(s + dur) - min(s) AS span
+        FROM iv GROUP BY user_id
+    )
+    SELECT user_id, n, total_dur, CAST(span AS BIGINT) AS span,
+           CAST(total_dur AS BIGINT) / CAST(span AS BIGINT) AS avg_concurrency,
+           CAST(n AS BIGINT) / (CAST(span AS BIGINT) / CAST(1000000 AS BIGINT)) AS lambda_per_sec,
+           (CAST(total_dur AS BIGINT) / CAST(1000000 AS BIGINT)) / CAST(n AS BIGINT) AS mean_duration_sec
+    FROM agg WHERE span > 0
+    """,
+)
+def q319(spark: SparkSession, sf: str) -> DataFrame:
+    """Little's-law utilization per user (L = λ·W over activity spans):
+    average concurrency, arrival rate, and mean duration from exact
+    integer totals — the identity L = λW holds by construction and the
+    three reported ratios are each one IEEE-exact division."""
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.round(F.col("value") * 100).cast("bigint") * 1000000).alias("dur"),
+    )
+    agg = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dur").cast("bigint").alias("total_dur"),
+        (F.max(F.col("s") + F.col("dur")) - F.min("s")).cast("bigint").alias("span"),
+    )
+    return agg.where(F.col("span") > 0).select(
+        "user_id", "n", "total_dur", "span",
+        (F.col("total_dur") / F.col("span")).alias("avg_concurrency"),
+        (F.col("n") / (F.col("span") / F.lit(1000000).cast("bigint"))).alias("lambda_per_sec"),
+        ((F.col("total_dur") / F.lit(1000000).cast("bigint")) / F.col("n")).alias("mean_duration_sec"),
+    )
+
+
+# ------------------------------------------------------------------ q320
+@query(
+    "q320_price_elasticity",
+    """
+    WITH v AS (
+        SELECT p.p_brand,
+               CAST(round(l.l_extendedprice * 1) AS BIGINT) AS x,
+               CAST(l.l_quantity AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    a AS (
+        SELECT p_brand, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM v GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           CASE WHEN n * sxx - sx * sx != 0 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n * sxx - sx * sx != 0 AND sy != 0
+                THEN ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * ((sx / n) / (sy / n)) END AS elasticity_at_mean
+    FROM a
+    """,
+)
+def q320(spark: SparkSession, sf: str) -> DataFrame:
+    """Price elasticity at the mean per brand: OLS slope of quantity on
+    price × (x̄/ȳ) — the log-log elasticity's first-order equivalent
+    WITHOUT ln (cross-engine ulps), everything from exact power sums."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    v = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") * 1).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    a = v.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den != 0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
+    elast = F.when((den != 0) & (F.col("sy") != 0), slope * ((F.col("sx") / n) / (F.col("sy") / n)))
+    return a.select("p_brand", "n", slope.alias("slope"), elast.alias("elasticity_at_mean"))
