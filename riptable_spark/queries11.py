@@ -2945,3 +2945,128 @@ def q320(spark: SparkSession, sf: str) -> DataFrame:
     slope = F.when(den != 0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
     elast = F.when((den != 0) & (F.col("sy") != 0), slope * ((F.col("sx") / n) / (F.col("sy") / n)))
     return a.select("p_brand", "n", slope.alias("slope"), elast.alias("elasticity_at_mean"))
+
+
+# ------------------------------------------------------------------ q321
+@query(
+    "q321_tpch_q6",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND CAST(l_quantity AS BIGINT) < 24
+    """,
+)
+def q321(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical single-scan
+    predicate+aggregate — every filter pushes to the scan, revenue is
+    the exact integer p_cents·d_cents, no join at all."""
+    li = load_table(spark, sf, "lineitem")
+    p = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    j = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & d.between(5, 7)
+        & (F.col("l_quantity").cast("bigint") < 24)
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        (F.sum(p * d) / 10000).alias("revenue"),
+    )
+
+
+# ------------------------------------------------------------------ q322
+@query(
+    "q322_tpch_q21",
+    """
+    WITH per_line AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp,
+               max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+        FROM per_line GROUP BY l_orderkey
+    ),
+    blamed AS (
+        SELECT late_supp AS s_suppkey, count(*) AS numwait
+        FROM per_order
+        WHERE n_supp >= 2 AND n_late_supp = 1
+        GROUP BY late_supp
+    )
+    SELECT s.s_suppkey, s.s_name, b.numwait
+    FROM blamed b JOIN supplier s ON s.s_suppkey = b.s_suppkey
+    """,
+)
+def q322(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the nested
+    EXISTS/NOT-EXISTS pair becomes ONE per-order aggregate — multi-
+    supplier orders where exactly one supplier shipped late blame that
+    supplier; no correlated subquery survives the rewrite."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    s = load_table(spark, sf, "supplier")
+    per_line = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+        ).otherwise(0).alias("late"),
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = (
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return blamed.join(s, blamed["late_supp"] == s["s_suppkey"]).select(
+        "s_suppkey", "s_name", "numwait"
+    )
+
+
+# ------------------------------------------------------------------ q323
+@query(
+    "q323_value_functions",
+    """
+    SELECT event_id, user_id,
+           first_value(CAST(round(value * 100) AS BIGINT)) OVER w AS first_v,
+           last_value(CAST(round(value * 100) AS BIGINT)) OVER w AS running_last_v,
+           nth_value(CAST(round(value * 100) AS BIGINT), 2) OVER w AS second_v,
+           lag(CAST(round(value * 100) AS BIGINT), 1, -1) OVER w AS prev_or_default,
+           lead(CAST(round(value * 100) AS BIGINT), 1, -1) OVER w AS next_or_default
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q323(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL value-function window family in one pass (first_value,
+    running last_value, nth_value, lag/lead WITH DEFAULTS) under a
+    total order on integer values — the remaining ordered-access
+    parity surface after q300's rank family."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") < 20)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.first(cents).over(w).alias("first_v"),
+        F.last(cents).over(w).alias("running_last_v"),
+        F.nth_value(cents, 2).over(w).alias("second_v"),
+        F.lag(cents, 1, -1).over(wo).alias("prev_or_default"),
+        F.lead(cents, 1, -1).over(wo).alias("next_or_default"),
+    )
