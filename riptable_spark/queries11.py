@@ -3070,3 +3070,66 @@ def q323(spark: SparkSession, sf: str) -> DataFrame:
         F.lag(cents, 1, -1).over(wo).alias("prev_or_default"),
         F.lead(cents, 1, -1).over(wo).alias("next_or_default"),
     )
+
+
+# ------------------------------------------------------------------ q324
+@query(
+    "q324_set_ops_all",
+    """
+    WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+    b AS (SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+    i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys FROM i
+    UNION ALL
+    SELECT 'except_all', CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT) FROM e
+    """,
+)
+def q324(spark: SparkSession, sf: str) -> DataFrame:
+    """MULTISET set operations (INTERSECT ALL / EXCEPT ALL — Spark
+    intersectAll/exceptAll): bag semantics with per-key multiplicity
+    min/difference, summarized by row and key counts."""
+    li = load_table(spark, sf, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k"))
+    b = li.where(F.col("l_linestatus") == "F").select(F.col("l_partkey").alias("k"))
+    i = a.intersectAll(b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("k").cast("bigint").alias("n_keys"),
+    ).select(F.lit("intersect_all").alias("op"), "n_rows", "n_keys")
+    e = a.exceptAll(b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("k").cast("bigint").alias("n_keys"),
+    ).select(F.lit("except_all").alias("op"), "n_rows", "n_keys")
+    return i.unionByName(e)
+
+
+# ------------------------------------------------------------------ q325
+@query(
+    "q325_percentile_disc_cont",
+    """
+    SELECT o_orderpriority,
+           quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_disc,
+           quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cont,
+           quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_disc
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q325(spark: SparkSession, sf: str) -> DataFrame:
+    """percentile_disc vs percentile_cont parity on integer cents: the
+    discrete form returns an ACTUAL data value (lower-bound convention
+    in both engines), the continuous form interpolates — both exact on
+    the integer domain."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.groupBy("o_orderpriority").agg(
+        # Spark's percentile_disc returns DOUBLE; the discrete result IS a
+        # data value, so the bigint cast is exact and matches DuckDB's type
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))"
+        ).cast("bigint").alias("p50_disc"),
+        F.percentile(cents, F.lit(0.5)).alias("p50_cont"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))"
+        ).cast("bigint").alias("p90_disc"),
+    )
