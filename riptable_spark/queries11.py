@@ -3133,3 +3133,61 @@ def q325(spark: SparkSession, sf: str) -> DataFrame:
             "percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))"
         ).cast("bigint").alias("p90_disc"),
     )
+
+
+# ------------------------------------------------------------------ q326
+@query(
+    "q326_listagg",
+    """
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 997 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q326(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 listagg WITHIN GROUP ≡
+    DuckDB string_agg ORDER BY): deterministic CSV rendering under a
+    total order — the report-formatting primitive."""
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 997 == 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(CAST(o_orderkey AS STRING), ',') WITHIN GROUP (ORDER BY o_orderkey)"
+        ).alias("keys_csv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# ------------------------------------------------------------------ q327
+@query(
+    "q327_hof_array_family",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           CAST(round(CAST(list_max(embedding) AS DOUBLE) * 1000) AS BIGINT) AS max_e3,
+           CAST(round(CAST(list_min(embedding) AS DOUBLE) * 1000) AS BIGINT) AS min_e3,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS sum_e3,
+           list_contains(list_transform(embedding, x -> x > 0.5), true) AS any_big,
+           embedding[1] = list_min(embedding) AS first_is_min
+    FROM embeddings
+    """,
+)
+def q327(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array-function family over embeddings (filter,
+    transform, aggregate/fold, exists, min/max, indexing): per-row
+    integer-exact reductions — the HOF surface that keeps vector math
+    JVM-side instead of in Python."""
+    emb = load_table(spark, sf, "embeddings")
+    e = F.col("embedding")
+    to_i = lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(e).cast("double") * 1000).cast("bigint").alias("max_e3"),
+        F.round(F.array_min(e).cast("double") * 1000).cast("bigint").alias("min_e3"),
+        F.aggregate(F.transform(e, to_i), F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_e3"),
+        F.exists(e, lambda x: x > 0.5).alias("any_big"),
+        (F.element_at(e, 1) == F.array_min(e)).alias("first_is_min"),
+    )
