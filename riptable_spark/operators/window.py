@@ -1230,3 +1230,46 @@ def max_concurrency(
     w = Window.partitionBy(key_col).orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
     running = pts.withColumn("__c__", F.sum("d").over(w))
     return running.groupBy(key_col).agg(F.max("__c__").cast("bigint").alias("max_concurrent"))
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_minutes: int = 30,
+    value_col: str | None = None,
+    conversion: Column | None = None,
+) -> DataFrame:
+    """First-class sessionization: the per-SESSION summary table
+    (session id, start/end, duration, event count, optional value sum
+    and conversion flag) — the relation session analytics actually
+    joins against, complementing ``session_paths`` (journeys) and the
+    streaming session windows.
+
+    Inactivity-gap islands over one key-sorted window, then one
+    (key, session) aggregation.  Duration is exact integer µs; the
+    session id is the island ordinal (1-based, per key, time-ordered —
+    rerun-stable).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > gap_minutes * 60_000_000), 1
+    ).otherwise(0)
+    seg = df.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(F.unix_micros(F.col(ts_col))) - F.min(F.unix_micros(F.col(ts_col)))).alias("duration_micros"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).cast("bigint").alias("value_cents")
+        )
+    if conversion is not None:
+        aggs.append(F.max(conversion.cast("int")).cast("boolean").alias("converted"))
+    return seg.groupBy(key_col, "session_id").agg(*aggs)

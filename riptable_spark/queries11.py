@@ -3191,3 +3191,43 @@ def q327(spark: SparkSession, sf: str) -> DataFrame:
         F.exists(e, lambda x: x > 0.5).alias("any_big"),
         (F.element_at(e, 1) == F.array_min(e)).alias("first_is_min"),
     )
+
+
+# ------------------------------------------------------------------ q328
+@query(
+    "q328_sessionize",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               lag(epoch_us(ts)) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM s
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_micros,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS converted
+    FROM seg GROUP BY user_id, session_id
+    """,
+)
+def q328(spark: SparkSession, sf: str) -> DataFrame:
+    """First-class session table (30-minute inactivity gap): start/end,
+    exact µs duration, event count, integer value sum, conversion flag
+    — one sorted window + one (user, session) agg."""
+    from .operators.window import sessionize
+
+    ev = load_table(spark, sf, "events")
+    return sessionize(
+        ev, "user_id", "ts", "event_id", gap_minutes=30,
+        value_col="value", conversion=F.col("event_type") == "purchase",
+    )

@@ -587,3 +587,25 @@ def test_l2_normalize_unit_norm(spark):
     assert math.hypot(*out[1]["unit_vec"]) == pytest.approx(1.0, abs=1e-9)
     assert out[2]["l2_norm"] is None and out[2]["unit_vec"] is None  # zero vector
     assert out[3]["unit_vec"] == [1.0, 0.0]
+
+
+def test_sessionize_hand(spark):
+    import datetime as dt
+
+    from riptable_spark.operators.window import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        ("u", m(0), 1, 10.0, "view"), ("u", m(5), 2, 2.5, "purchase"),
+        ("u", m(60), 3, 1.0, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id int, value double, event_type string")
+    out = {r["session_id"]: r for r in sessionize(
+        df, "user_id", "ts", "event_id", gap_minutes=30,
+        value_col="value", conversion=F.col("event_type") == "purchase",
+    ).collect()}
+    s1, s2 = out[1], out[2]
+    assert s1["n_events"] == 2 and s1["duration_micros"] == 5 * 60 * 1_000_000
+    assert s1["value_cents"] == 1250 and s1["converted"] is True
+    assert s2["n_events"] == 1 and s2["duration_micros"] == 0 and s2["converted"] is False
