@@ -730,3 +730,74 @@ def time_bars(
             F.count(F.lit(1)).alias("n_trades"),
         )
     )
+
+
+def fifo_pnl(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    side: str,
+    price: str,
+    qty: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Lot-based FIFO realized P&L — the path-DEPENDENT accounting
+    ``pnl_curve`` deliberately avoids: each closing fill consumes the
+    oldest open lots, realizing (exit − entry)·matched_qty against
+    each; position flips open a new lot on the other side.
+
+    This recurrence has no closed form, so it runs as ONE Arrow-batched
+    applyInPandas scan per key (the EMA family's documented pattern —
+    a group must fit an Arrow batch; split giant keys upstream).  All
+    lot math is integer cents·qty.
+
+    Invariant (property-tested): realized(t) + position(t)·p(t) + cash
+    identity ⇒ realized + unrealized == pnl_curve's mark-to-market at
+    every row.  Appends ``realized_cents`` (running total) and
+    ``position_after``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = df.select(
+        F.col(key), *[F.col(c) for c in order],
+        F.col(side).cast("int").alias("__s__"),
+        F.round(F.col(price) * scale).cast("bigint").alias("__p__"),
+        F.col(qty).cast("bigint").alias("__q__"),
+    )
+    schema = T.StructType(
+        base.schema.fields
+        + [
+            T.StructField("realized_cents", T.LongType()),
+            T.StructField("position_after", T.LongType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        lots: list[list[int]] = []  # [sign, qty, price] open lots (FIFO)
+        realized = 0
+        out_r = np.zeros(len(pdf), dtype=np.int64)
+        out_pos = np.zeros(len(pdf), dtype=np.int64)
+        for i, (s, p, q) in enumerate(zip(pdf["__s__"], pdf["__p__"], pdf["__q__"])):
+            s, p, q = int(s), int(p), int(q)
+            remaining = q
+            while remaining > 0 and lots and lots[0][0] != s:
+                lot = lots[0]
+                m = min(remaining, lot[1])
+                # closing a lot: long lots realize (exit−entry), shorts the reverse
+                realized += (p - lot[2]) * m * lot[0]
+                lot[1] -= m
+                remaining -= m
+                if lot[1] == 0:
+                    lots.pop(0)
+            if remaining > 0:
+                lots.append([s, remaining, p])
+            out_r[i] = realized
+            out_pos[i] = sum(l[0] * l[1] for l in lots)
+        pdf["realized_cents"] = out_r
+        pdf["position_after"] = out_pos
+        return pdf
+
+    return base.groupBy(key).applyInPandas(scan, schema)

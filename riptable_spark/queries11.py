@@ -3231,3 +3231,28 @@ def q328(spark: SparkSession, sf: str) -> DataFrame:
         ev, "user_id", "ts", "event_id", gap_minutes=30,
         value_col="value", conversion=F.col("event_type") == "purchase",
     )
+
+
+# ------------------------------------------------------------------ q329
+@query("q329_fifo_pnl")  # rows-only: FIFO lot matching is a stateful
+# recurrence with no SQL closed form; correctness is pinned by the
+# hand-case tests and the flat-book invariant vs q264's linear MtM
+# (tests/test_batch16_ops.py::test_fifo_pnl_total_matches_linear_mtm).
+def q329(spark: SparkSession, sf: str) -> DataFrame:
+    """FIFO lot-based realized P&L over the signed fill stream
+    (purchase=buy, click=sell, deterministic qty): one Arrow-batched
+    applyInPandas scan per user — the path-dependent accounting the
+    linear pnl_curve cannot express."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events").where(F.col("event_type").isin("purchase", "click"))
+    fills = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("s"),
+        F.col("value").alias("price"),
+        (F.col("event_id") % 5 + 1).alias("q"),
+    )
+    out = finance.fifo_pnl(fills, "user_id", ["ts", "event_id"], "s", "price", "q")
+    return out.select(
+        "user_id", "event_id", "realized_cents", "position_after"
+    )

@@ -609,3 +609,42 @@ def test_sessionize_hand(spark):
     assert s1["n_events"] == 2 and s1["duration_micros"] == 5 * 60 * 1_000_000
     assert s1["value_cents"] == 1250 and s1["converted"] is True
     assert s2["n_events"] == 1 and s2["duration_micros"] == 0 and s2["converted"] is False
+
+
+def test_fifo_pnl_hand(spark):
+    from riptable_spark.operators.finance import fifo_pnl
+
+    # buy 2@10, buy 1@12, sell 2@15 (closes 2@10 → +10), sell 2@11
+    # (closes 1@12 → −1; flips short 1@11)
+    rows = [
+        ("u", 1, 1, 10.0, 2), ("u", 2, 1, 12.0, 1),
+        ("u", 3, -1, 15.0, 2), ("u", 4, -1, 11.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, s int, price double, q long")
+    out = sorted(fifo_pnl(df, "k", ["t"], "s", "price", "q").collect(), key=lambda r: r["t"])
+    assert [r["realized_cents"] for r in out] == [0, 0, 1000, 900]
+    assert [r["position_after"] for r in out] == [2, 3, 1, -1]
+
+
+def test_fifo_pnl_total_matches_linear_mtm(spark):
+    """Path-independence of TOTAL PnL: FIFO realized + unrealized must
+    equal pnl_curve's mark-to-market at every row."""
+    import numpy as np
+
+    from riptable_spark.operators.finance import fifo_pnl, pnl_curve
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for t in range(40):
+        rows.append(("u", t, int(rng.choice([1, -1])), float(rng.integers(5, 30)), int(rng.integers(1, 5))))
+    df = spark.createDataFrame(rows, "k string, t int, s int, price double, q long")
+    fifo = {r["t"]: r for r in fifo_pnl(df, "k", ["t"], "s", "price", "q").collect()}
+    lin = {r["t"]: r for r in pnl_curve(df, "k", "t", F.col("s"), "price", F.col("q")).collect()}
+    # positions agree row-by-row; whenever the book is FLAT, total PnL is
+    # path-independent, so FIFO realized == linear mark-to-market exactly
+    for t in range(40):
+        assert fifo[t]["position_after"] == lin[t]["position"]
+    flats = [t for t in range(40) if fifo[t]["position_after"] == 0]
+    assert flats, "random walk should cross flat at least once"
+    for t in flats:
+        assert fifo[t]["realized_cents"] == round(lin[t]["mtm_pnl"] * 100)
