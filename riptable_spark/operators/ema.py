@@ -427,3 +427,57 @@ def ewm_stats(
     return work.withColumn("ewm_mean", mean).withColumn(
         "ewm_var", F.greatest(var, F.lit(0.0))
     ).drop("__one__", "__sq__", "__s1__", "__s2__", "__w__")
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: list[str],
+    valcol: str,
+    order_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    out_prefix: str = "holt",
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per key:
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    initialized l_1 = x_1, b_1 = 0 — the standard trend-aware smoother
+    and one-step-ahead forecast (l + b).
+
+    Two COUPLED recurrences have no closed form (single EMAs do — see
+    ema_decay's codegen path), so this is an Arrow-batched
+    applyInPandas scan per key, the same giant-group contract as the
+    ema scan path.  Appends ``{prefix}_level``, ``{prefix}_trend``,
+    ``{prefix}_forecast``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(f"{out_prefix}_level", T.DoubleType()),
+            T.StructField(f"{out_prefix}_trend", T.DoubleType()),
+            T.StructField(f"{out_prefix}_forecast", T.DoubleType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        x = pdf[valcol].to_numpy(dtype=np.float64)
+        n = len(x)
+        lev = np.empty(n)
+        tr = np.empty(n)
+        if n:
+            lev[0], tr[0] = x[0], 0.0
+            for i in range(1, n):
+                prev = lev[i - 1]
+                lev[i] = alpha * x[i] + (1 - alpha) * (prev + tr[i - 1])
+                tr[i] = beta * (lev[i] - prev) + (1 - beta) * tr[i - 1]
+        pdf[f"{out_prefix}_level"] = lev
+        pdf[f"{out_prefix}_trend"] = tr
+        pdf[f"{out_prefix}_forecast"] = lev + tr
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(scan, schema)

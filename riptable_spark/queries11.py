@@ -3256,3 +3256,23 @@ def q329(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "realized_cents", "position_after"
     )
+
+
+# ------------------------------------------------------------------ q330
+@query("q330_holt_forecast")  # rows-only: two coupled recurrences have
+# no SQL closed form; pinned by manual-recurrence and convergence tests.
+def q330(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential level/trend smoothing of each user's
+    value path (one-step-ahead forecast): Arrow-batched scan per key —
+    the trend-aware sibling of the ema family."""
+    from .operators.ema import holt_linear
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    out = holt_linear(ev.withColumn("__o__", F.unix_micros(F.col("ts")) * 100 + F.col("event_id") % 100),
+                      ["user_id"], "value", "__o__")
+    return out.select(
+        "user_id", "event_id",
+        F.round(F.col("holt_level"), 6).alias("holt_level"),
+        F.round(F.col("holt_trend"), 6).alias("holt_trend"),
+        F.round(F.col("holt_forecast"), 6).alias("holt_forecast"),
+    )

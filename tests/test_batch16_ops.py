@@ -648,3 +648,32 @@ def test_fifo_pnl_total_matches_linear_mtm(spark):
     assert flats, "random walk should cross flat at least once"
     for t in flats:
         assert fifo[t]["realized_cents"] == round(lin[t]["mtm_pnl"] * 100)
+
+
+def test_holt_linear_constant_and_linear_series(spark):
+    from riptable_spark.operators.ema import holt_linear
+
+    const = spark.createDataFrame([("c", t, 5.0) for t in range(20)], "k string, t int, v double")
+    out = holt_linear(const, ["k"], "v", "t").orderBy("t").collect()
+    assert out[-1]["holt_level"] == pytest.approx(5.0, abs=1e-9)
+    assert out[-1]["holt_trend"] == pytest.approx(0.0, abs=1e-9)
+    lin = spark.createDataFrame([("l", t, 2.0 * t) for t in range(200)], "k string, t int, v double")
+    last = holt_linear(lin, ["k"], "v", "t").orderBy("t").collect()[-1]
+    assert last["holt_trend"] == pytest.approx(2.0, rel=0.02)  # converges to the slope
+    assert last["holt_forecast"] == pytest.approx(2.0 * 200, rel=0.02)
+
+
+def test_holt_linear_matches_manual_recurrence(spark):
+    from riptable_spark.operators.ema import holt_linear
+
+    vals = [3.0, 7.0, 4.0, 9.0, 12.0]
+    df = spark.createDataFrame([("k", t, v) for t, v in enumerate(vals)], "k string, t int, v double")
+    out = holt_linear(df, ["k"], "v", "t", alpha=0.5, beta=0.4).orderBy("t").collect()
+    lev, tr = vals[0], 0.0
+    for i, r in enumerate(out):
+        if i:
+            prev = lev
+            lev = 0.5 * vals[i] + 0.5 * (prev + tr)
+            tr = 0.4 * (lev - prev) + 0.6 * tr
+        assert r["holt_level"] == pytest.approx(lev, rel=1e-12)
+        assert r["holt_trend"] == pytest.approx(tr, rel=1e-12, abs=1e-12)
