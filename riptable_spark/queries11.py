@@ -3276,3 +3276,177 @@ def q330(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("holt_trend"), 6).alias("holt_trend"),
         F.round(F.col("holt_forecast"), 6).alias("holt_forecast"),
     )
+
+
+# ------------------------------------------------------------------ q331
+@query(
+    "q331_tpch_q7",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum({_REV}) AS BIGINT) / 10000 AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_0' AND cn.n_name = 'NATION_1')
+        OR (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_0'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def q331(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping; synthetic nations NATION_0/1): the
+    bi-directional nation-pair
+    disjunction over a double nation join — both nation dims broadcast
+    twice under different aliases; one fact shuffle."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(sn, s["s_nationkey"] == F.col("sn_key"))
+        .join(cn, c["c_nationkey"] == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1"))
+            | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+        )
+    )
+    return j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")).agg(
+        (F.sum(_rev_col()) / 10000).alias("revenue")
+    )
+
+
+# ------------------------------------------------------------------ q332
+@query(
+    "q332_tpch_q8",
+    f"""
+    WITH base AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CASE WHEN sn.n_name = 'NATION_5' THEN {_REV} ELSE 0 END AS nat_rev,
+               {_REV} AS rev
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(sum(nat_rev) AS BIGINT) AS nat_rev_e4,
+           CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+           CAST(sum(nat_rev) AS BIGINT) / CAST(sum(rev) AS BIGINT) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q332(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of ECONOMY-part
+    revenue sold into AMERICA per year — conditional integer revenue
+    over a seven-way broadcast-dim join, one exact share division."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(cn, c["c_nationkey"] == F.col("cn_key"))
+        .join(r, F.col("cn_reg") == r["r_regionkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(sn, s["s_nationkey"] == F.col("sn_key"))
+    )
+    rev = _rev_col()
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(0)).cast("bigint")
+    tot = F.sum(rev).cast("bigint")
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        nat.alias("nat_rev_e4"), tot.alias("total_rev_e4"), (nat / tot).alias("mkt_share")
+    )
+
+
+# ------------------------------------------------------------------ q333
+@query(
+    "q333_tpch_q9",
+    f"""
+    SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum({_REV}
+                    - CAST(l.l_quantity AS BIGINT)
+                      * ((CAST(round(p.p_retailprice * 100) AS BIGINT) * 3) // 5) * 100
+                ) AS BIGINT) / 10000 AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY sn.n_name, year(o.o_orderdate)
+    """,
+)
+def q333(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit = revenue −
+    qty·supply_cost with the cost synthesized as 60% of retail (integer
+    DIV — no partsupp table here); per (supplier nation, year), all
+    integer arithmetic to the final /1e4."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").where(F.col("p_name").like("%a%"))
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders")
+    cost = F.expr("(CAST(round(p_retailprice * 100) AS BIGINT) * 3) DIV 5")
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    profit = _rev_col() - F.col("l_quantity").cast("bigint") * cost * 100
+    return j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")).agg(
+        (F.sum(profit) / 10000).alias("profit")
+    )
+
+
+# ------------------------------------------------------------------ q334
+@query(
+    "q334_tpch_q13",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority != '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q334(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT join keeps zero-order
+    customers (count(o_orderkey) skips NULLs — the c_count=0 bucket),
+    then the count-of-counts histogram."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per = c.join(o, o["o_custkey"] == c["c_custkey"], how="left").groupBy(
+        c["c_custkey"]
+    ).agg(F.count(o["o_orderkey"]).alias("c_count"))
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
