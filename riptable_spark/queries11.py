@@ -3450,3 +3450,95 @@ def q334(spark: SparkSession, sf: str) -> DataFrame:
         c["c_custkey"]
     ).agg(F.count(o["o_orderkey"]).alias("c_count"))
     return per.groupBy("c_count").agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+
+
+# ------------------------------------------------------------------ q335
+@query(
+    "q335_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+           CAST(grouping(o_orderstatus) AS INT) AS g_st,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q335(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicator columns — the
+    multi-level report form between q47's cube and q63's rollup;
+    integer-exact totals at every level."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []], "o_orderpriority", "o_orderstatus"
+    ).agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(cents) / 100).alias("total"),
+    )
+
+
+# ------------------------------------------------------------------ q336
+@query(
+    "q336_regexp_family",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)(ing|ed)\b', 1) AS stem,
+           regexp_extract(text, '([a-z]+)(ing|ed)\b', 2) AS suffix,
+           len(regexp_extract_all(text, '\b[a-z]{4}\b')) AS n_four_letter,
+           regexp_matches(text, '^[A-Za-z]') AS starts_alpha
+    FROM documents WHERE text IS NOT NULL AND doc_id < 200
+    """,
+)
+def q336(spark: SparkSession, sf: str) -> DataFrame:
+    """Regexp surface parity: capture-group extraction (group 1 and 2),
+    match counting, anchored boolean matching — all inside the
+    Java∩RE2 syntax subset that behaves identically in both engines."""
+    d = load_table(spark, sf, "documents").where(
+        F.col("text").isNotNull() & (F.col("doc_id") < 200)
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([a-z]+)(ing|ed)\b", 1).alias("stem"),
+        F.regexp_extract(F.col("text"), r"([a-z]+)(ing|ed)\b", 2).alias("suffix"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{4}\b"), 0)).alias("n_four_letter"),
+        F.col("text").rlike("^[A-Za-z]").alias("starts_alpha"),
+    )
+
+
+# ------------------------------------------------------------------ q337
+@query(
+    "q337_calendar_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           last_day(o_orderdate)::DATE AS month_end,
+           (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3m
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+)
+def q337(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-function parity sweep: quarter/ISO week/day-of-year/
+    last_day/add_months — NOTE dayofweek conventions differ (Spark
+    1=Sunday, DuckDB 0=Sunday), reconciled with +1 on the DuckDB side."""
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 101 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("y"),
+        F.quarter(d).cast("int").alias("q"),
+        F.month(d).cast("int").alias("m"),
+        F.dayofweek(d).cast("int").alias("dow_sun1"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus3m"),
+    )
