@@ -3542,3 +3542,103 @@ def q337(spark: SparkSession, sf: str) -> DataFrame:
         F.last_day(d).alias("month_end"),
         F.add_months(d, 3).alias("plus3m"),
     )
+
+
+# ------------------------------------------------------------------ q338
+@query(
+    "q338_decimal_money",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS total_dec,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS min_dec,
+           CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS max_dec
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q338(spark: SparkSession, sf: str) -> DataFrame:
+    """DECIMAL-native money arithmetic: sums/min/max of DECIMAL(12,2)
+    are exact in BOTH engines by type (the alternative to this repo's
+    integer-cents discipline when the schema carries decimals) — avg is
+    deliberately absent (result-scale rules differ across engines)."""
+    o = load_table(spark, sf, "orders")
+    d = F.col("o_totalprice").cast("decimal(12,2)")
+    # decimals hash-compare as canonical scale-2 STRINGS — the pandas
+    # bridge converts low-precision DuckDB decimals to float64 otherwise
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(d).cast("string").alias("total_dec"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(d).cast("string").alias("min_dec"),
+        F.max(d).cast("string").alias("max_dec"),
+    )
+
+
+# ------------------------------------------------------------------ q339
+@query(
+    "q339_null_semantics",
+    """
+    WITH v AS (
+        SELECT event_id,
+               nullif(event_type, 'error') AS t,
+               lag(nullif(event_type, 'error')) OVER (ORDER BY event_id) AS prev_t
+        FROM events WHERE event_id < 2000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(t) AS BIGINT) AS n_nonnull,
+           CAST(sum(CASE WHEN t IS NOT DISTINCT FROM prev_t THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+           CAST(sum(CASE WHEN t = prev_t THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_nonnull,
+           coalesce(min(t), 'none') AS min_t
+    FROM v
+    """,
+)
+def q339(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-semantics parity sweep: null-safe equality (<=> vs IS NOT
+    DISTINCT FROM), NULL-skipping counts and DISTINCT, CASE over
+    three-valued logic, coalesce — pinned on an injected-NULL column."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").where(F.col("event_id") < 2000)
+    t = F.nullif(F.col("event_type"), F.lit("error"))
+    w = W.orderBy("event_id")
+    v = ev.select("event_id", t.alias("t")).withColumn("prev_t", F.lag("t").over(w))
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("t").cast("bigint").alias("n_nonnull"),
+        F.sum(F.when(F.col("t").eqNullSafe(F.col("prev_t")), 1).otherwise(0)).cast("bigint").alias("n_nullsafe_eq"),
+        F.sum(F.when(F.col("t") == F.col("prev_t"), 1).otherwise(0)).cast("bigint").alias("n_plain_eq"),
+        F.countDistinct("t").cast("bigint").alias("n_distinct_nonnull"),
+        F.coalesce(F.min("t"), F.lit("none")).alias("min_t"),
+    )
+
+
+# ------------------------------------------------------------------ q340
+@query(
+    "q340_string_functions",
+    """
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded,
+           reverse(o_orderpriority) AS rev_pri,
+           translate(o_orderstatus, 'OF', 'of') AS xlated,
+           repeat(left(o_orderpriority, 1), 3) AS rep3,
+           right(o_orderpriority, 3) AS tail3,
+           ascii(o_orderstatus) AS first_code,
+           CAST(levenshtein(o_orderpriority, o_orderstatus) AS INT) AS lev
+    FROM orders WHERE o_orderkey % 211 = 0
+    """,
+)
+def q340(spark: SparkSession, sf: str) -> DataFrame:
+    """String-function surface sweep (lpad/reverse/translate/repeat/
+    left/right/ascii/levenshtein) — identical semantics in both engines
+    on ASCII inputs."""
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 211 == 0)
+    return o.select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded"),
+        F.reverse(F.col("o_orderpriority")).alias("rev_pri"),
+        F.translate(F.col("o_orderstatus"), "OF", "of").alias("xlated"),
+        F.repeat(F.substring(F.col("o_orderpriority"), 1, 1), 3).alias("rep3"),
+        F.substring(F.col("o_orderpriority"), -3, 3).alias("tail3"),
+        F.ascii(F.col("o_orderstatus")).alias("first_code"),
+        F.levenshtein(F.col("o_orderpriority"), F.col("o_orderstatus")).cast("int").alias("lev"),
+    )
