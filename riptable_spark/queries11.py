@@ -3642,3 +3642,64 @@ def q340(spark: SparkSession, sf: str) -> DataFrame:
         F.ascii(F.col("o_orderstatus")).alias("first_code"),
         F.levenshtein(F.col("o_orderpriority"), F.col("o_orderstatus")).cast("int").alias("lev"),
     )
+
+
+# ------------------------------------------------------------------ q341
+@query(
+    "q341_bitwise_family",
+    """
+    SELECT user_id,
+           CAST(bit_and(event_id % 256) AS BIGINT) AS band,
+           CAST(bit_or(event_id % 256) AS BIGINT) AS bor,
+           CAST(bit_xor(event_id % 256) AS BIGINT) AS bxor,
+           CAST(sum(CAST(event_id << 2 AS BIGINT)) AS BIGINT) AS shifted_sum,
+           CAST(sum(event_id & 7) AS BIGINT) AS masked_sum
+    FROM events WHERE user_id < 10
+    GROUP BY user_id
+    """,
+)
+def q341(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise surface parity: bit_and/or/xor aggregates plus shift and
+    mask expressions — exact integer semantics in both engines."""
+    ev = load_table(spark, sf, "events").where(F.col("user_id") < 10)
+    e = F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.bit_and(e % 256).cast("bigint").alias("band"),
+        F.bit_or(e % 256).cast("bigint").alias("bor"),
+        F.bit_xor(e % 256).cast("bigint").alias("bxor"),
+        F.sum(F.shiftleft(e, 2).cast("bigint")).cast("bigint").alias("shifted_sum"),
+        F.sum(e.bitwiseAND(F.lit(7))).cast("bigint").alias("masked_sum"),
+    )
+
+
+# ------------------------------------------------------------------ q342
+@query(
+    "q342_conditional_family",
+    """
+    SELECT event_id,
+           ifnull(nullif(event_type, 'error'), 'E') AS t_or_e,
+           CASE WHEN nullif(value, 0) IS NULL THEN -1 ELSE 1 END AS nvl2_like,
+           greatest(CAST(round(value * 100) AS BIGINT), 500, event_id % 1000) AS g3,
+           least(CAST(round(value * 100) AS BIGINT), 500, event_id % 1000) AS l3,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) // greatest(event_id % 5, 1) END AS guarded_div
+    FROM events WHERE event_id < 3000
+    """,
+)
+def q342(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional-expression parity: ifnull∘nullif chains, an
+    nvl2-equivalent CASE, variadic greatest/least over mixed integer
+    operands, and guarded integer division."""
+    ev = load_table(spark, sf, "events").where(F.col("event_id") < 3000)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.ifnull(F.nullif(F.col("event_type"), F.lit("error")), F.lit("E")).alias("t_or_e"),
+        F.when(F.nullif(F.col("value"), F.lit(0.0)).isNull(), -1).otherwise(1).alias("nvl2_like"),
+        F.greatest(cents, F.lit(500).cast("bigint"), (e % 1000).cast("bigint")).alias("g3"),
+        F.least(cents, F.lit(500).cast("bigint"), (e % 1000).cast("bigint")).alias("l3"),
+        F.when(e % 3 == 0, F.lit(None)).otherwise(
+            F.expr("CAST(round(value * 100) AS BIGINT) DIV greatest(event_id % 5, 1)")
+        ).alias("guarded_div"),
+    )
