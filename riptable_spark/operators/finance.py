@@ -801,3 +801,90 @@ def fifo_pnl(
         return pdf
 
     return base.groupBy(key).applyInPandas(scan, schema)
+
+
+def wac_pnl(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    side: str,
+    price: str,
+    qty: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Weighted-average-cost (WAC) realized P&L — the other standard lot
+    accounting (IFRS-style moving average): position-increasing fills
+    re-average the open cost ``avg ← (|pos|·avg + q·p)/(|pos| + q)``;
+    position-reducing fills realize ``(p − avg)·m·sign`` against the
+    single blended lot; a flip opens a fresh lot at the fill price.
+
+    The average-cost recurrence is non-linear (a ratio of running
+    state), so like :func:`fifo_pnl` it runs as ONE Arrow-batched
+    applyInPandas scan per key.  Cost state is kept as the integer pair
+    (position, total_cost_cents·qty) — the closed basis is removed as
+    ``round(cost·m/|pos|)`` (half away from zero) and realized P&L is
+    derived from that SAME rounded quantity, so the cost ledger
+    conserves exactly and the scan is exact-integer end to end.
+
+    Path-independence invariant (property-tested): whenever
+    ``position_after == 0``, cumulative realized P&L equals cash flow
+    ``Σ −sign·p·q`` — identical to ``fifo_pnl``'s realized at the same
+    row, even though the two methods disagree mid-path.
+
+    Appends ``realized_cents`` (running total) and ``position_after``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = df.select(
+        F.col(key), *[F.col(c) for c in order],
+        F.col(side).cast("int").alias("__s__"),
+        F.round(F.col(price) * scale).cast("bigint").alias("__p__"),
+        F.col(qty).cast("bigint").alias("__q__"),
+    )
+    schema = T.StructType(
+        base.schema.fields
+        + [
+            T.StructField("realized_cents", T.LongType()),
+            T.StructField("position_after", T.LongType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        pos = 0          # signed open position
+        cost = 0         # total entry cost of the open position, cents·qty (unsigned basis)
+        realized = 0
+        out_r = np.zeros(len(pdf), dtype=np.int64)
+        out_pos = np.zeros(len(pdf), dtype=np.int64)
+        for i, (s, p, q) in enumerate(zip(pdf["__s__"], pdf["__p__"], pdf["__q__"])):
+            s, p, q = int(s), int(p), int(q)
+            if pos == 0 or (1 if pos > 0 else -1) == s:
+                # opening / adding: blend cost, no realization
+                pos += s * q
+                cost += p * q
+            else:
+                apos = abs(pos)
+                m = min(q, apos)
+                # basis removed for the closed portion: cost·m/apos rounded
+                # half away from zero — realized is DERIVED from the same
+                # rounded quantity so the cost ledger conserves exactly and
+                # the flat-book invariant holds to the cent
+                removed = (abs(cost) * m + apos // 2) // apos * (1 if cost >= 0 else -1)
+                realized += (p * m - removed) * (1 if pos > 0 else -1)
+                cost -= removed
+                pos += s * m
+                if pos == 0:
+                    cost = 0
+                rem = q - m
+                if rem > 0:  # flip: open the residual at the fill price
+                    pos = s * rem
+                    cost = p * rem
+            out_r[i] = realized
+            out_pos[i] = pos
+        pdf["realized_cents"] = out_r
+        pdf["position_after"] = out_pos
+        return pdf
+
+    return base.groupBy(key).applyInPandas(scan, schema)

@@ -795,3 +795,69 @@ def apply_cdc(
     kept = base.join(touched, on=keys, how="left_anti")
     upserts = latest.where(F.col(op_col) != "D").select(*base.columns)
     return kept.unionByName(upserts)
+
+
+def link_predict(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph: for
+    every NON-edge pair (lo, hi) sharing at least ``min_common``
+    neighbors, emit the common-neighbor count, both degrees, and the
+    neighborhood Jaccard — the classic friend-of-friend / related-item
+    candidate generator.
+
+    Plan shape (100 TB): edges canonicalize to ``lo < hi`` distinct
+    rows; wedges come from ONE self-equi-join of the node→neighbor
+    adjacency on the shared neighbor (never a cross join); existing
+    edges are removed with an anti-join; degrees join back per side
+    from one reused aggregate.  A node of degree d emits C(d,2)
+    wedges — quadratic in hub degree — so ``max_degree`` drops hub
+    PIVOTS from wedge generation before the join (their incident pairs
+    can still surface through other shared neighbors), the same skew
+    cap as ``basket_pairs(max_basket=...)``.
+
+    jaccard = cn / (deg_lo + deg_hi − cn) — exact int64 operands, one
+    IEEE divide, so a SQL oracle replays it bit-for-bit.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    # node → neighbor adjacency (both directions)
+    adj = e.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionAll(
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    pivots = adj
+    if max_degree is not None:
+        w = Window.partitionBy("node")
+        pivots = adj.withColumn("__d__", F.count(F.lit(1)).over(w)).where(
+            F.col("__d__") <= max_degree
+        ).drop("__d__")
+    left = pivots.select(F.col("node").alias("via"), F.col("nbr").alias("lo"))
+    right = pivots.select(F.col("node").alias("via"), F.col("nbr").alias("hi"))
+    cand = (
+        left.join(right, on="via")
+        .where(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    cand = cand.join(e, on=["lo", "hi"], how="left_anti")  # non-edges only
+    out = (
+        cand.join(deg.select(F.col("node").alias("lo"), F.col("degree").alias("deg_lo")), on="lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("degree").alias("deg_hi")), on="hi")
+    )
+    return out.select(
+        "lo", "hi", "common_neighbors", "deg_lo", "deg_hi",
+        (
+            F.col("common_neighbors")
+            / (F.col("deg_lo") + F.col("deg_hi") - F.col("common_neighbors"))
+        ).alias("jaccard"),
+    )

@@ -183,3 +183,48 @@ def pareto_frontier(
     return base.withColumn("__keep__", keep).where(F.col("__keep__")).drop(
         "__lo__", "__hi__", "__keep__"
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_basket: int | None = None,
+    topk: int | None = None,
+) -> DataFrame:
+    """Item-item cosine similarity from basket co-occurrence — the
+    classic "related items" recommender relation.
+
+    Composes :func:`basket_pairs` (equi-join candidate generation with
+    the mega-basket skew cap) and adds ``cosine = n_ab / sqrt(n_a·n_b)``
+    on the binary incidence vectors.  With ``topk`` set, keeps each
+    item's k best neighbors (both orientations are ranked, so every
+    item gets a neighbor list) via one per-item window over the pair
+    relation — pairs are already reduced, so the window input is tiny
+    next to the basket fact table.
+
+    The cosine is one int64 multiply, one correctly-rounded sqrt and
+    one divide on identical operands — bit-identical cross-engine, no
+    rounding needed in oracles.
+    """
+    pairs = basket_pairs(df, basket_col, item_col, min_count=min_count, max_basket=max_basket)
+    pairs = pairs.withColumn(
+        "cosine",
+        F.col("n_ab") / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+    )
+    if topk is None:
+        return pairs
+    both = pairs.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"),
+        "n_ab", "cosine",
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"),
+            "n_ab", "cosine",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("n_ab").desc(), F.col("neighbor")
+    )
+    return both.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= topk)

@@ -1,0 +1,151 @@
+"""Driver-contract query registry, batch 12 (round 3 continuation):
+weighted-average-cost lot accounting, graph link prediction, co-occurrence
+item similarity, sharded heavy-hitter sketches, and planar grid
+neighbor joins.  Registers into the same QUERIES/ORACLES dicts as
+queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.io import load_table
+
+
+# ------------------------------------------------------------------ q343
+@query("q343_wac_pnl")  # rows-only: the moving-average cost basis is a
+# non-linear recurrence (ratio of running state) with no SQL closed
+# form; correctness is pinned by hand-case tests and the flat-book
+# path-independence invariant vs fifo_pnl (tests/test_batch17_ops.py).
+def q343(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted-average-cost realized P&L over the same signed fill
+    stream as q329 (purchase=buy, click=sell): one Arrow-batched
+    applyInPandas scan per user.  The WAC ledger disagrees with FIFO
+    mid-path but must match it to the cent whenever the book is flat —
+    the property the tests pin."""
+    from .operators import finance
+
+    ev = load_table(spark, sf, "events").where(F.col("event_type").isin("purchase", "click"))
+    fills = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("s"),
+        F.col("value").alias("price"),
+        (F.col("event_id") % 5 + 1).alias("q"),
+    )
+    out = finance.wac_pnl(fills, "user_id", ["ts", "event_id"], "s", "price", "q")
+    return out.select(
+        "user_id", "event_id", "realized_cents", "position_after"
+    )
+
+
+# ------------------------------------------------------------------ q344
+@query(
+    "q344_link_predict",
+    """
+    WITH base AS (
+        SELECT doc_id % 200 AS s, (doc_id * 7 + 3) % 200 AS d FROM documents
+    ),
+    e AS (
+        SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi FROM base
+        WHERE s != d
+    ),
+    adj AS (
+        SELECT lo AS node, hi AS nbr FROM e
+        UNION ALL SELECT hi AS node, lo AS nbr FROM e
+    ),
+    deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY node),
+    cand AS (
+        SELECT l.nbr AS lo, r.nbr AS hi, count(*) AS common_neighbors
+        FROM adj l JOIN adj r ON l.node = r.node
+        WHERE l.nbr < r.nbr
+        GROUP BY l.nbr, r.nbr
+        HAVING count(*) >= 2
+    ),
+    nonedge AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.lo = c.lo AND e.hi = c.hi)
+    )
+    SELECT n.lo, n.hi,
+           CAST(n.common_neighbors AS BIGINT) AS common_neighbors,
+           dl.degree AS deg_lo, dh.degree AS deg_hi,
+           CAST(n.common_neighbors AS DOUBLE)
+             / (dl.degree + dh.degree - n.common_neighbors) AS jaccard
+    FROM nonedge n
+    JOIN deg dl ON dl.node = n.lo
+    JOIN deg dh ON dh.node = n.hi
+    """,
+)
+def q344(spark: SparkSession, sf: str) -> DataFrame:
+    """Friend-of-friend link prediction on the synthetic doc graph:
+    wedge equi-join candidates, anti-join removes existing edges,
+    neighborhood Jaccard from exact integer counts (one IEEE divide —
+    no rounding in the oracle)."""
+    from .operators.merge import link_predict
+
+    docs = load_table(spark, sf, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 200).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
+    )
+    return link_predict(edges, "src", "dst", min_common=2)
+
+
+# ------------------------------------------------------------------ q345
+@query(
+    "q345_item_similarity",
+    """
+    WITH bi AS (
+        SELECT DISTINCT user_id AS b, event_id % 100 AS i FROM events
+    ),
+    nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+    ic AS (SELECT i, count(*) AS cnt FROM bi GROUP BY i),
+    pc AS (
+        SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_ab
+        FROM bi l JOIN bi r ON l.b = r.b
+        WHERE l.i < r.i
+        GROUP BY l.i, r.i
+        HAVING count(*) >= 2
+    ),
+    pairs AS (
+        SELECT pc.item_a, pc.item_b, CAST(pc.n_ab AS BIGINT) AS n_ab,
+               ia.cnt AS n_a, ib.cnt AS n_b,
+               CAST(pc.n_ab AS DOUBLE) / sqrt(CAST(ia.cnt * ib.cnt AS DOUBLE)) AS cosine
+        FROM pc
+        JOIN ic ia ON ia.i = pc.item_a
+        JOIN ic ib ON ib.i = pc.item_b
+    ),
+    pair_sides AS (
+        SELECT item_a AS item, item_b AS neighbor, n_ab, cosine FROM pairs
+        UNION ALL
+        SELECT item_b AS item, item_a AS neighbor, n_ab, cosine FROM pairs
+    ),
+    ranked AS (
+        SELECT item, neighbor, n_ab, cosine,
+               row_number() OVER (
+                   PARTITION BY item
+                   ORDER BY cosine DESC, n_ab DESC, neighbor
+               ) AS rk
+        FROM pair_sides
+    )
+    SELECT item, neighbor, n_ab, round(cosine, 9) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q345(spark: SparkSession, sf: str) -> DataFrame:
+    """Related-items recommender: per-item top-5 neighbors by binary
+    cosine over (user, item-class) baskets — basket_pairs candidate
+    generation plus one per-item window over the reduced pair
+    relation."""
+    from .operators.mining import item_similarity
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", (F.col("event_id") % 100).alias("item_class")
+    )
+    sim = item_similarity(ev, "user_id", "item_class", min_count=2, topk=5)
+    return sim.select(
+        "item", "neighbor", "n_ab",
+        F.round(F.col("cosine"), 9).alias("cosine"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )

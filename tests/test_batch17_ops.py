@@ -1,0 +1,105 @@
+"""Hand-computed semantics for the batch-12 operators (WAC lot
+accounting and friends)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_wac_pnl_hand(spark):
+    from riptable_spark.operators.finance import wac_pnl
+
+    # buy 2@10, buy 1@12 (basis 3200c, pos 3) → sell 2@15: removed
+    # round(6400/3)=2133, realized 3000−2133=867 → sell 2@11: closes 1
+    # (removed 1067, +33 → 900) and flips short 1@11
+    rows = [
+        ("u", 1, 1, 10.0, 2), ("u", 2, 1, 12.0, 1),
+        ("u", 3, -1, 15.0, 2), ("u", 4, -1, 11.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, s int, price double, q long")
+    out = sorted(wac_pnl(df, "k", ["t"], "s", "price", "q").collect(), key=lambda r: r["t"])
+    assert [r["realized_cents"] for r in out] == [0, 0, 867, 900]
+    assert [r["position_after"] for r in out] == [2, 3, 1, -1]
+
+
+def test_wac_pnl_flat_book_matches_fifo(spark):
+    """Path-independence: realized P&L at a FLAT book equals cash flow,
+    so WAC and FIFO must agree exactly there (they diverge mid-path),
+    and both equal pnl_curve's linear mark-to-market."""
+    from riptable_spark.operators.finance import fifo_pnl, pnl_curve, wac_pnl
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for t in range(60):
+        rows.append(("u", t, int(rng.choice([1, -1])), float(rng.integers(5, 30)), int(rng.integers(1, 5))))
+    df = spark.createDataFrame(rows, "k string, t int, s int, price double, q long")
+    wac = {r["t"]: r for r in wac_pnl(df, "k", ["t"], "s", "price", "q").collect()}
+    fifo = {r["t"]: r for r in fifo_pnl(df, "k", ["t"], "s", "price", "q").collect()}
+    lin = {r["t"]: r for r in pnl_curve(df, "k", "t", F.col("s"), "price", F.col("q")).collect()}
+    for t in range(60):
+        assert wac[t]["position_after"] == fifo[t]["position_after"]
+    flats = [t for t in range(60) if wac[t]["position_after"] == 0]
+    assert flats, "random walk should cross flat at least once"
+    for t in flats:
+        assert wac[t]["realized_cents"] == fifo[t]["realized_cents"]
+        assert wac[t]["realized_cents"] == round(lin[t]["mtm_pnl"] * 100)
+
+
+def test_wac_pnl_divergence_from_fifo_midpath(spark):
+    """Sanity that this is genuinely a DIFFERENT accounting: with a
+    blended basis, a partial close realizes the average, not the oldest
+    lot."""
+    from riptable_spark.operators.finance import fifo_pnl, wac_pnl
+
+    rows = [("u", 1, 1, 10.0, 1), ("u", 2, 1, 20.0, 1), ("u", 3, -1, 30.0, 1)]
+    df = spark.createDataFrame(rows, "k string, t int, s int, price double, q long")
+    wac = sorted(wac_pnl(df, "k", ["t"], "s", "price", "q").collect(), key=lambda r: r["t"])
+    fifo = sorted(fifo_pnl(df, "k", ["t"], "s", "price", "q").collect(), key=lambda r: r["t"])
+    assert fifo[2]["realized_cents"] == 2000   # closes the 10 lot
+    assert wac[2]["realized_cents"] == 1500    # closes half the blended 15 basis
+
+
+def test_link_predict_hand(spark):
+    from riptable_spark.operators.merge import link_predict
+
+    # path graph 1-2-3-4 plus edge 1-5: non-edges sharing a neighbor:
+    # (1,3) via 2; (2,4) via 3; (2,5) via 1; (3,5) via 1? 3's nbrs {2,4},
+    # 5's nbrs {1} → none. So cn=1 candidates: (1,3),(2,4),(2,5)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5)], "src long, dst long"
+    )
+    out = {(r["lo"], r["hi"]): r for r in link_predict(edges, min_common=1).collect()}
+    assert set(out) == {(1, 3), (2, 4), (2, 5)}
+    r = out[(1, 3)]
+    # deg(1)=2 {2,5}, deg(3)=2 {2,4}, cn=1 → jaccard 1/3
+    assert r["common_neighbors"] == 1 and r["deg_lo"] == 2 and r["deg_hi"] == 2
+    assert abs(r["jaccard"] - 1 / 3) < 1e-15
+
+
+def test_link_predict_excludes_existing_edges_and_caps_hubs(spark):
+    from riptable_spark.operators.merge import link_predict
+
+    # star: hub 0 connected to 1..5 → every leaf pair is a candidate
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    full = link_predict(edges, min_common=1).collect()
+    assert len(full) == 10  # C(5,2) leaf pairs, no existing edge among them
+    # capping the hub's pivot degree removes ALL wedges
+    capped = link_predict(edges, min_common=1, max_degree=4).collect()
+    assert capped == []
+
+
+def test_item_similarity_hand(spark):
+    from riptable_spark.operators.mining import item_similarity
+
+    # baskets: {A,B} x3, {A,C} x1 → pairs (A,B) n=3, (A,C) n=1 (dropped by min_count=2)
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "B"), (4, "A"), (4, "C")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = item_similarity(df, "b", "i", min_count=2, topk=3).collect()
+    got = {(r["item"], r["neighbor"]): r for r in out}
+    assert set(got) == {("A", "B"), ("B", "A")}
+    r = got[("A", "B")]
+    # n_a=4, n_b=3, n_ab=3 → cosine 3/sqrt(12)
+    assert abs(r["cosine"] - 3 / (12 ** 0.5)) < 1e-15
+    assert r["rk"] == 1

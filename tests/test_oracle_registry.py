@@ -25,6 +25,7 @@ from riptable_spark import (  # noqa: F401 — register all batches
     queries9,
     queries10,
     queries11,
+    queries12,
 )
 from riptable_spark.queries import ORACLES, QUERIES
 
