@@ -1,0 +1,96 @@
+"""Spatial operators: planar grid neighbor joins and great-circle
+distance.
+
+The join shape is the spatial sibling of ``merge.range_join`` and the
+LSH bucket joins in ``dedup.py``: map every point to a grid cell sized
+to the search radius, explode the LEFT side to its 3×3 cell
+neighborhood, equi-join on the cell id, then apply the exact residual
+distance filter — NEVER a cross join.  Each candidate pair is generated
+exactly once (the right point owns one cell; the left point covers that
+cell exactly once in its 9-cell stencil), so no dedup pass is needed.
+
+At 100 TB: the shuffle is keyed on the cell id — points only meet
+points from adjacent cells.  A dense city cell is the skew analogue of
+a ubiquitous shingle; ``max_cell`` drops cells above the cap before the
+join (the same dial as ``basket_pairs(max_basket=...)``).
+
+Coordinates are INTEGER MICRO-DEGREES end to end, so cell assignment
+and the squared-distance residual are exact int64 arithmetic — a SQL
+oracle replays the whole join bit-for-bit with no float epsilon.
+``haversine_km`` is the one float output; both engines evaluate the
+identical operand chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km between two (degree-valued) points.
+
+    2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))), R = 6371.0088 km
+    (IUGG mean Earth radius).
+    """
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2
+    dlam = F.radians(lon2 - lon1) / 2
+    a = F.sin(dphi) * F.sin(dphi) + F.cos(p1) * F.cos(p2) * F.sin(dlam) * F.sin(dlam)
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))
+
+
+def grid_neighbor_join(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_udeg: int,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """All point pairs within ``radius_udeg`` micro-degrees (planar
+    L2) — self-join via a radius-sized grid: left side explodes to its
+    9-cell stencil, equi-join on cell, exact integer residual filter
+    ``Δlat² + Δlon² ≤ r²``, canonical ``id_a < id_b``.
+
+    Inputs must be integer micro-degree coordinates (lat·1e6); at that
+    scale one micro-degree ≈ 0.11 m, and r ≤ ~2e9 keeps Δ² sums far
+    inside int64.  Emits (id_a, id_b, dist2_udeg2).
+    """
+    r = int(radius_udeg)
+    base = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).cast("long").alias("la"),
+        F.col(lon_col).cast("long").alias("lo"),
+    )
+    cx = F.floor(F.col("la") / r)
+    cy = F.floor(F.col("lo") / r)
+    right = base.select("id", "la", "lo", cx.alias("cx"), cy.alias("cy"))
+    if max_cell is not None:
+        w = Window.partitionBy("cx", "cy")
+        right = right.withColumn("__n__", F.count(F.lit(1)).over(w)).where(
+            F.col("__n__") <= max_cell
+        ).drop("__n__")
+    off = F.explode(F.expr("sequence(-1, 1)"))
+    left = (
+        right.select("id", "la", "lo", "cx", "cy")
+        .withColumn("dx", off)
+        .withColumn("dy", F.explode(F.expr("sequence(-1, 1)")))
+        .select(
+            F.col("id").alias("id_a"), F.col("la").alias("la_a"), F.col("lo").alias("lo_a"),
+            (F.col("cx") + F.col("dx")).alias("cx"), (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = left.join(
+        right.select(
+            F.col("id").alias("id_b"), F.col("la").alias("la_b"), F.col("lo").alias("lo_b"),
+            "cx", "cy",
+        ),
+        on=["cx", "cy"],
+    ).where(F.col("id_a") < F.col("id_b"))
+    dla = F.col("la_a") - F.col("la_b")
+    dlo = F.col("lo_a") - F.col("lo_b")
+    d2 = dla * dla + dlo * dlo  # int64 multiplies — NOT pow(), which is double
+    return cand.withColumn("dist2_udeg2", d2.cast("long")).where(
+        F.col("dist2_udeg2") <= r * r
+    ).select("id_a", "id_b", "dist2_udeg2")

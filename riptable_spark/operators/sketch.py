@@ -21,7 +21,7 @@ registers with the 2.5m small-range linear-counting correction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _base_hash64
@@ -350,3 +350,48 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
         F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("hk").cast("double")
     )
     return agg.select(F.col("n").alias("n_in_sketch"), est.alias("estimate"))
+
+
+def topk_frequent(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+    n_shards: int = 64,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """EXACT global (or per-group) top-k most frequent items with a
+    bounded merge — the distributed heavy-hitters shape.
+
+    Counts reduce map-side (two-stage hash agg on the item), then each
+    of ``n_shards`` hash-shards of the ITEM domain keeps its local
+    top-k via a per-shard window (WindowGroupLimit: streaming k-row
+    heaps before the exchange).  Because sharding is BY ITEM, every
+    item's count lives in exactly one shard, so any global top-k item
+    ranks ≤ k inside its own shard — the union of shard winners
+    (≤ n_shards·k rows) provably contains the global top-k, which one
+    tiny final sort extracts.  No single reducer ever sees the full
+    item-count relation: the global sort input is n_shards·k rows
+    regardless of domain size.
+
+    Ties break by item value ascending (total order both stages), so
+    the result is deterministic and SQL-replayable.
+    """
+    grp = list(by or [])
+    counts = (
+        df.groupBy(*grp, F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("__shard__", F.pmod(F.xxhash64(F.col("item")), F.lit(n_shards)))
+    )
+    w_shard = Window.partitionBy(*grp, "__shard__").orderBy(
+        F.col("freq").desc(), F.col("item")
+    )
+    shortlist = counts.withColumn("__r__", F.row_number().over(w_shard)).where(
+        F.col("__r__") <= k
+    )
+    w_all = Window.partitionBy(*grp) if grp else Window.partitionBy(F.lit(1))
+    w_final = w_all.orderBy(F.col("freq").desc(), F.col("item"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+        .select(*grp, "item", "freq", F.col("rank").cast("long").alias("rank"))
+    )

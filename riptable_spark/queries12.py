@@ -149,3 +149,69 @@ def q345(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("cosine"), 9).alias("cosine"),
         F.col("rk").cast("bigint").alias("rk"),
     )
+
+
+# ------------------------------------------------------------------ q346
+@query(
+    "q346_topk_frequent",
+    """
+    WITH counts AS (
+        SELECT event_type, event_id % 997 AS item, count(*) AS freq
+        FROM events GROUP BY event_type, event_id % 997
+    ),
+    ranked AS (
+        SELECT event_type, item, CAST(freq AS BIGINT) AS freq,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY freq DESC, item
+               ) AS rank
+        FROM counts
+    )
+    SELECT event_type, item, freq, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q346(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed exact heavy hitters: per-event-type top-10 items via
+    hash-sharded local top-k (WindowGroupLimit heaps) + a bounded
+    merge — the oracle computes the same top-k directly, proving the
+    sharded shortlist loses nothing."""
+    from .operators.sketch import topk_frequent
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", (F.col("event_id") % 997).alias("item")
+    )
+    return topk_frequent(ev, "item", 10, n_shards=16, by=["event_type"])
+
+
+# ------------------------------------------------------------------ q347
+@query(
+    "q347_grid_neighbor_join",
+    """
+    WITH pts AS (
+        SELECT DISTINCT event_id AS id,
+               ((event_id * 37) % 400) * 500 AS la,
+               ((event_id * 91) % 400) * 500 AS lo
+        FROM events WHERE event_id < 5000
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.la - b.la) * (a.la - b.la)
+              + (a.lo - b.lo) * (a.lo - b.lo) AS BIGINT) AS dist2_udeg2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo)
+          <= 1200 * 1200
+    """,
+)
+def q347(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial self-join: all user-point pairs within 1200 µdeg —
+    radius-sized grid cells + 3×3 stencil equi-join + exact integer
+    residual (never a cross join); the oracle is the plain O(n²)
+    non-equi join, a genuinely independent formulation."""
+    from .operators.geo import grid_neighbor_join
+
+    ev = load_table(spark, sf, "events").where(F.col("event_id") < 5000)
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (((F.col("event_id") * 37) % 400) * 500).alias("la"),
+        (((F.col("event_id") * 91) % 400) * 500).alias("lo"),
+    ).distinct()
+    return grid_neighbor_join(pts, "id", "la", "lo", radius_udeg=1200)

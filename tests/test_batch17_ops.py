@@ -103,3 +103,52 @@ def test_item_similarity_hand(spark):
     # n_a=4, n_b=3, n_ab=3 → cosine 3/sqrt(12)
     assert abs(r["cosine"] - 3 / (12 ** 0.5)) < 1e-15
     assert r["rk"] == 1
+
+
+def test_topk_frequent_matches_direct_ranking(spark):
+    """The sharded shortlist must lose nothing: result == direct global
+    top-k at ANY shard count."""
+    rng = np.random.default_rng(7)
+    vals = rng.zipf(1.5, 2000) % 300
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    from collections import Counter
+
+    from riptable_spark.operators.sketch import topk_frequent
+
+    cnt = Counter(int(v) for v in vals)
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for shards in (1, 4, 64):
+        out = sorted(
+            topk_frequent(df, "x", 10, n_shards=shards).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [(r["item"], r["freq"]) for r in out] == expect
+
+
+def test_grid_neighbor_join_matches_brute_force(spark):
+    from itertools import combinations
+
+    from riptable_spark.operators.geo import grid_neighbor_join
+
+    rng = np.random.default_rng(5)
+    pts = [(i, int(rng.integers(-5000, 5000)), int(rng.integers(-5000, 5000))) for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, la long, lo long")
+    r = 1500
+    got = {(x["id_a"], x["id_b"]): x["dist2_udeg2"] for x in
+           grid_neighbor_join(df, "id", "la", "lo", r).collect()}
+    expect = {}
+    for (i1, a1, o1), (i2, a2, o2) in combinations(pts, 2):
+        d2 = (a1 - a2) ** 2 + (o1 - o2) ** 2
+        if d2 <= r * r:
+            expect[(min(i1, i2), max(i1, i2))] = d2
+    assert got == expect
+    assert expect, "brute-force set should be non-empty"
+
+
+def test_haversine_known_distance(spark):
+    from riptable_spark.operators.geo import haversine_km
+
+    # Paris (48.8566, 2.3522) → London (51.5074, -0.1278) ≈ 343.5 km
+    df = spark.createDataFrame([(48.8566, 2.3522, 51.5074, -0.1278)], "a double, b double, c double, d double")
+    km = df.select(haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")).head()["km"]
+    assert abs(km - 343.5) < 1.0
