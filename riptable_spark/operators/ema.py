@@ -481,3 +481,121 @@ def holt_linear(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(scan, schema)
+
+
+def ewm_cov(
+    df: DataFrame,
+    keys: list[str],
+    xcol: str,
+    ycol: str,
+    timecol: str,
+    rate: float,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted running COVARIANCE, CORRELATION and BETA
+    of y on x — the RiskMetrics pair estimator (hedge-ratio /
+    rolling-beta tracking without a fixed lookback).
+
+    Six decayed running sums over the SAME closed-form codegen window
+    (Σw, Σwx, Σwy, Σwx², Σwy², Σwxy with w = exp(−rate·Δt)), composed
+    as cov = Sxy/W − (Sx/W)(Sy/W), beta = cov/var_x, corr =
+    cov/√(var_x·var_y) — all JVM-side, no Python, one sort per key.
+
+    Appends ``ewm_cov``, ``ewm_beta``, ``ewm_corr`` (NULL where the
+    decayed variance of x (resp. x·y) is zero — degenerate windows).
+    """
+    x = F.col(xcol).cast("double")
+    y = F.col(ycol).cast("double")
+    work = (
+        df.withColumn("__one__", F.lit(1.0))
+        .withColumn("__xy__", x * y)
+        .withColumn("__xx__", x * x)
+        .withColumn("__yy__", y * y)
+    )
+    for src, dst in [(xcol, "__sx__"), (ycol, "__sy__"), ("__xy__", "__sxy__"),
+                     ("__xx__", "__sxx__"), ("__yy__", "__syy__"), ("__one__", "__w__")]:
+        work = ema_decay(work, keys, src, timecol, rate, out_col=dst, order_col=order_col)
+    w = F.col("__w__")
+    mx, my = F.col("__sx__") / w, F.col("__sy__") / w
+    cov = F.col("__sxy__") / w - mx * my
+    varx = F.greatest(F.col("__sxx__") / w - mx * mx, F.lit(0.0))
+    vary = F.greatest(F.col("__syy__") / w - my * my, F.lit(0.0))
+    out = (
+        work.withColumn("ewm_cov", cov)
+        .withColumn("ewm_beta", F.when(varx > 0, cov / varx))
+        .withColumn("ewm_corr", F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)))
+    )
+    return out.drop("__one__", "__xy__", "__xx__", "__yy__",
+                    "__sx__", "__sy__", "__sxy__", "__sxx__", "__syy__", "__w__")
+
+
+def holt_winters(
+    df: DataFrame,
+    keys: list[str],
+    valcol: str,
+    order_col: str,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    out_prefix: str = "hw",
+) -> DataFrame:
+    """Additive Holt-Winters triple-exponential smoothing per key:
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)·s_{t−m}
+    initialized l_1 = x_1, b_1 = 0, s = 0 — so with γ = 0 the seasonal
+    state stays identically zero and the recurrence degenerates to
+    EXACTLY :func:`holt_linear` (property-tested bit-for-bit), the same
+    way holt_linear(β=0) degenerates toward a plain EMA.
+
+    Three coupled recurrences (one with lag m) have no closed form, so
+    like holt_linear this is ONE Arrow-batched applyInPandas scan per
+    key.  Emits ``{prefix}_level/trend/season/forecast`` where forecast
+    is the one-step-ahead prediction l_{t−1} + b_{t−1} + s_{t−m} (NULL
+    for each key's first row).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = int(period)
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(f"{out_prefix}_level", T.DoubleType()),
+            T.StructField(f"{out_prefix}_trend", T.DoubleType()),
+            T.StructField(f"{out_prefix}_season", T.DoubleType()),
+            T.StructField(f"{out_prefix}_forecast", T.DoubleType()),
+        ]
+    )
+    cols = list(df.columns)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        x = pdf[valcol].to_numpy(dtype=np.float64)
+        n = len(x)
+        lvl = np.empty(n); trd = np.empty(n); ssn = np.empty(n); fct = np.empty(n)
+        seasons = [0.0] * m
+        l_prev, b_prev = 0.0, 0.0
+        for t in range(n):
+            s_lag = seasons[t % m]
+            if t == 0:
+                l, b = x[0], 0.0
+                fct[0] = np.nan
+            else:
+                fct[t] = l_prev + b_prev + s_lag
+                l = alpha * (x[t] - s_lag) + (1 - alpha) * (l_prev + b_prev)
+                b = beta * (l - l_prev) + (1 - beta) * b_prev
+            s = gamma * (x[t] - l) + (1 - gamma) * s_lag
+            seasons[t % m] = s
+            lvl[t], trd[t], ssn[t] = l, b, s
+            l_prev, b_prev = l, b
+        pdf[f"{out_prefix}_level"] = lvl
+        pdf[f"{out_prefix}_trend"] = trd
+        pdf[f"{out_prefix}_season"] = ssn
+        pdf[f"{out_prefix}_forecast"] = fct
+        return pdf[cols + [f"{out_prefix}_level", f"{out_prefix}_trend",
+                           f"{out_prefix}_season", f"{out_prefix}_forecast"]]
+
+    return df.groupBy(*keys).applyInPandas(scan, schema)

@@ -215,3 +215,105 @@ def q347(spark: SparkSession, sf: str) -> DataFrame:
         (((F.col("event_id") * 91) % 400) * 500).alias("lo"),
     ).distinct()
     return grid_neighbor_join(pts, "id", "la", "lo", radius_udeg=1200)
+
+
+# ------------------------------------------------------------------ q348
+@query(
+    "q348_ewm_cov",
+    """
+    WITH pre AS (
+        SELECT event_id, user_id,
+               value AS x,
+               value * (1.0 + CAST(event_id % 5 AS DOUBLE) / 10.0)
+                 + CAST(event_id % 7 AS DOUBLE) AS y,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS DOUBLE) AS t
+        FROM events
+    ),
+    base AS (
+        SELECT event_id, user_id, x, y, t,
+               min(t) OVER (PARTITION BY user_id) AS tmin
+        FROM pre
+    ),
+    sums AS (
+        SELECT event_id, user_id, t,
+               exp(-0.05 * (t - tmin)) * sum(x * exp(0.05 * (t - tmin))) OVER w AS sx,
+               exp(-0.05 * (t - tmin)) * sum(y * exp(0.05 * (t - tmin))) OVER w AS sy,
+               exp(-0.05 * (t - tmin)) * sum(x * y * exp(0.05 * (t - tmin))) OVER w AS sxy,
+               exp(-0.05 * (t - tmin)) * sum(x * x * exp(0.05 * (t - tmin))) OVER w AS sxx,
+               exp(-0.05 * (t - tmin)) * sum(y * y * exp(0.05 * (t - tmin))) OVER w AS syy,
+               exp(-0.05 * (t - tmin)) * sum(exp(0.05 * (t - tmin))) OVER w AS w
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+    ),
+    mom AS (
+        SELECT event_id, user_id,
+               sxy / w - (sx / w) * (sy / w) AS cov,
+               greatest(sxx / w - (sx / w) * (sx / w), 0.0) AS varx,
+               greatest(syy / w - (sy / w) * (sy / w), 0.0) AS vary
+        FROM sums
+    )
+    SELECT event_id, user_id,
+           round(cov, 4) AS ewm_cov,
+           CASE WHEN varx > 0 THEN round(cov / varx, 4) END AS ewm_beta,
+           CASE WHEN varx > 0 AND vary > 0
+                THEN round(cov / sqrt(varx * vary), 4) END AS ewm_corr
+    FROM mom
+    """,
+)
+def q348(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted covariance / beta / correlation of a
+    derived pair series (RiskMetrics pair estimator): six decayed sums
+    on ONE codegen window, replayed in SQL via the same telescoping
+    rebase identity as q311.  Time is the per-user row RANK, keeping
+    the exp rebase exponents small (≤ rate·group size) so the decayed
+    sums stay tie-free at 4dp across engines (the epoch-hour form put
+    one sf0.1 row exactly on the rounding boundary)."""
+    from .operators.ema import ewm_cov
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        load_table(spark, sf, "events")
+        .withColumn("t", F.row_number().over(w).cast("double"))
+        .withColumn("x", F.col("value"))
+        .withColumn(
+            "y",
+            F.col("value") * (F.lit(1.0) + (F.col("event_id") % 5).cast("double") / 10.0)
+            + (F.col("event_id") % 7).cast("double"),
+        )
+        .select("event_id", "user_id", "t", "x", "y")
+    )
+    out = ewm_cov(ev, ["user_id"], "x", "y", "t", rate=0.05, order_col="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("ewm_cov"), 4).alias("ewm_cov"),
+        F.round(F.col("ewm_beta"), 4).alias("ewm_beta"),
+        F.round(F.col("ewm_corr"), 4).alias("ewm_corr"),
+    )
+
+
+# ------------------------------------------------------------------ q349
+@query("q349_holt_winters")  # rows-only: three coupled recurrences
+# (one with a seasonal lag) have no SQL closed form; pinned by the
+# γ=0 ≡ holt_linear bit-for-bit property and seasonal-convergence
+# tests in tests/test_batch17_ops.py.
+def q349(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive Holt-Winters (level+trend+season, period 24) over each
+    user's value path — one Arrow-batched scan per key; completes the
+    ema_decay → holt_linear → holt_winters forecasting ladder."""
+    from .operators.ema import holt_winters
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "value")
+    out = holt_winters(
+        ev.withColumn("__o__", F.col("event_id")), ["user_id"], "value", "__o__",
+        period=24,
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round(F.col("hw_level"), 6).alias("hw_level"),
+        F.round(F.col("hw_trend"), 6).alias("hw_trend"),
+        F.round(F.col("hw_season"), 6).alias("hw_season"),
+        F.round(F.col("hw_forecast"), 6).alias("hw_forecast"),
+    )

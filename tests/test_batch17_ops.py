@@ -152,3 +152,51 @@ def test_haversine_known_distance(spark):
     df = spark.createDataFrame([(48.8566, 2.3522, 51.5074, -0.1278)], "a double, b double, c double, d double")
     km = df.select(haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")).head()["km"]
     assert abs(km - 343.5) < 1.0
+
+
+def test_ewm_cov_linear_relationship(spark):
+    from riptable_spark.operators.ema import ewm_cov, ewm_stats
+
+    rng = np.random.default_rng(3)
+    xs = rng.normal(0, 5, 80)
+    rows = [("k", float(t), float(x), float(2.0 * x)) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t double, x double, y double")
+    out = ewm_cov(df, ["k"], "x", "y", "t", rate=0.1, order_col="t").orderBy("t").collect()
+    # y = 2x exactly → beta → 2, corr → 1 once the window has mass
+    for r in out[5:]:
+        assert r["ewm_beta"] == pytest.approx(2.0, rel=1e-9)
+        assert r["ewm_corr"] == pytest.approx(1.0, rel=1e-9)
+    # x vs x: cov == var from ewm_stats
+    st = ewm_stats(df, ["k"], "x", "t", rate=0.1, order_col="t").orderBy("t").collect()
+    xx = ewm_cov(df, ["k"], "x", "x", "t", rate=0.1, order_col="t").orderBy("t").collect()
+    for a, b in list(zip(st, xx))[3:]:
+        assert b["ewm_cov"] == pytest.approx(a["ewm_var"], rel=1e-9, abs=1e-12)
+
+
+def test_holt_winters_gamma_zero_equals_holt_linear(spark):
+    from riptable_spark.operators.ema import holt_linear, holt_winters
+
+    rng = np.random.default_rng(9)
+    rows = [("k", t, float(v)) for t, v in enumerate(rng.normal(10, 3, 100))]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    hw = holt_winters(df, ["k"], "v", "t", period=7, alpha=0.3, beta=0.1, gamma=0.0)
+    hl = holt_linear(df, ["k"], "v", "t", alpha=0.3, beta=0.1)
+    hww = {r["t"]: r for r in hw.collect()}
+    hll = {r["t"]: r for r in hl.collect()}
+    for t in range(100):
+        assert hww[t]["hw_level"] == hll[t]["holt_level"]   # bit-for-bit
+        assert hww[t]["hw_trend"] == hll[t]["holt_trend"]
+        assert hww[t]["hw_season"] == 0.0
+
+
+def test_holt_winters_learns_pure_seasonal_pattern(spark):
+    from riptable_spark.operators.ema import holt_winters
+
+    pattern = [10.0, 20.0, 5.0, 15.0]
+    rows = [("k", t, pattern[t % 4]) for t in range(400)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = sorted(holt_winters(df, ["k"], "v", "t", period=4).collect(),
+                 key=lambda r: r["t"])
+    # after convergence the one-step-ahead forecast nails the cycle
+    for r in out[-8:]:
+        assert abs(r["hw_forecast"] - pattern[r["t"] % 4]) < 0.3

@@ -373,3 +373,86 @@ def test_stream_time_bars_parity(spark, sf_dir, stream, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     batch = batch.sort_values(key).reset_index(drop=True)
     assert got.equals(batch)
+
+
+def _cdc_changes(df):
+    """Events → change stream: key=user_id, op D on 'error' else U."""
+    return df.select(
+        F.col("user_id").alias("k"), "ts", "event_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+
+
+def test_stream_upsert_sink_parity(spark, sf_dir, tmp_path):
+    """foreachBatch CDC merge: the final snapshot must equal the direct
+    batch latest-change-wins table, REGARDLESS of how the input splits
+    into micro-batches (1 file vs one-file-per-trigger)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from riptable_spark.streaming.sinks import stream_upsert_sink
+
+    batch = _cdc_changes(load_table(spark, sf_dir, "events"))
+    # direct expectation: latest change per key (ts, event_id total order)
+    w = Window.partitionBy("k").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc(), F.col("op").desc()
+    )
+    expect = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .drop("rn")
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+
+    # split the change log into 4 files so availableNow produces
+    # multiple micro-batches with maxFilesPerTrigger=1
+    src = str(tmp_path / "changes")
+    batch.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = stream_upsert_sink(
+        stream, ["k"], ["ts", "event_id"], "op",
+        str(tmp_path / "snap_multi"), str(tmp_path / "ckpt_multi"),
+    ).toPandas().sort_values("k").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], expect[sorted(expect.columns)]
+    )
+
+    # single-batch run must commit the identical table (associativity)
+    stream1 = spark.readStream.schema(schema).parquet(src)
+    got1 = stream_upsert_sink(
+        stream1, ["k"], ["ts", "event_id"], "op",
+        str(tmp_path / "snap_one"), str(tmp_path / "ckpt_one"),
+    ).toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got1[sorted(got1.columns)], expect[sorted(expect.columns)]
+    )
+
+
+def test_stream_upsert_sink_tombstone_blocks_resurrection(spark, tmp_path):
+    """A delete with a LATER order than a straggler upsert must win even
+    when the upsert arrives in a later micro-batch."""
+    import os
+
+    from riptable_spark.streaming.sinks import stream_upsert_sink
+
+    src = str(tmp_path / "oo_changes")
+    os.makedirs(src)
+    # file 1: delete at t=10 ; file 2 (later batch): stale upsert at t=5
+    spark.createDataFrame([(1, 10, "D", 0.0)], "k long, t long, op string, v double") \
+        .coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame([(1, 5, "U", 9.9)], "k long, t long, op string, v double") \
+        .coalesce(1).write.parquet(src + "/f2")
+    schema = spark.read.parquet(src + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(src)
+    )
+    out = stream_upsert_sink(
+        stream, ["k"], ["t"], "op",
+        str(tmp_path / "snap_oo"), str(tmp_path / "ckpt_oo"),
+    ).collect()
+    assert out == []  # key stays deleted
