@@ -94,3 +94,72 @@ def grid_neighbor_join(
     return cand.withColumn("dist2_udeg2", d2.cast("long")).where(
         F.col("dist2_udeg2") <= r * r
     ).select("id_a", "id_b", "dist2_udeg2")
+
+
+def dbscan(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_udeg: int,
+    min_pts: int,
+    max_cell: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Distributed DBSCAN over integer micro-degree points — the
+    composition the grid join exists for:
+
+    1. ε-neighbor pairs from :func:`grid_neighbor_join` (cell equi-join,
+       exact integer residual — never a cross join);
+    2. core points = ``|N_ε(p)| ≥ min_pts`` (neighborhood INCLUDING the
+       point itself, the standard definition);
+    3. clusters = connected components over CORE–CORE pairs
+       (``dedup.connected_components`` min-label propagation, one
+       shuffle per round, diameter-bounded);
+    4. border points (non-core with ≥1 core ε-neighbor) join the MIN
+       cluster label among their core neighbors — DBSCAN leaves border
+       assignment implementation-defined; min-label makes it
+       deterministic and engine-replayable;
+    5. everything else is noise (``cluster`` NULL).
+
+    Returns (id, is_core, cluster).  Cluster labels are the min point
+    id in the core component — stable across runs and partitionings.
+    """
+    from .dedup import connected_components
+
+    pairs = grid_neighbor_join(
+        points, id_col, lat_col, lon_col, radius_udeg, max_cell=max_cell
+    ).select("id_a", "id_b")
+    sym = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    ids = points.select(F.col(id_col).alias("id")).distinct()
+    ncount = sym.groupBy(F.col("id_a").alias("id")).agg(
+        (F.count(F.lit(1)) + 1).alias("__n__")  # +1: the point itself
+    )
+    deg = ids.join(ncount, on="id", how="left").select(
+        "id", F.coalesce(F.col("__n__"), F.lit(1)).alias("__n__")
+    )
+    core = deg.where(F.col("__n__") >= min_pts).select("id")
+    core_pairs = (
+        pairs.join(core.select(F.col("id").alias("id_a")), on="id_a")
+        .join(core.select(F.col("id").alias("id_b")), on="id_b")
+    )
+    comp = connected_components(core_pairs, "id_a", "id_b", max_iter=max_iter)
+    core_lab = core.join(comp.withColumnRenamed("node", "id"), on="id", how="left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster")
+    )
+    # border: non-core adjacent to a core → min core-neighbor's cluster
+    border = (
+        sym.withColumnRenamed("id_a", "id")
+        .join(core_lab.select(F.col("id").alias("id_b"), F.col("cluster")), on="id_b")
+        .join(core.select("id"), on="id", how="left_anti")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labeled = core_lab.withColumn("is_core", F.lit(True)).unionByName(
+        border.withColumn("is_core", F.lit(False))
+    )
+    return ids.join(labeled, on="id", how="left").select(
+        "id", F.coalesce(F.col("is_core"), F.lit(False)).alias("is_core"), "cluster"
+    )

@@ -317,3 +317,80 @@ def q349(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("hw_season"), 6).alias("hw_season"),
         F.round(F.col("hw_forecast"), 6).alias("hw_forecast"),
     )
+
+
+# ------------------------------------------------------------------ q350
+@query(
+    "q350_dbscan",
+    """
+    WITH RECURSIVE pts AS (
+        SELECT DISTINCT event_id AS id,
+               ((event_id * 37) % 400) * 500 AS la,
+               ((event_id * 91) % 400) * 500 AS lo
+        FROM events WHERE event_id < 5000
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.la - b.la) * (a.la - b.la)
+            + (a.lo - b.lo) * (a.lo - b.lo) <= 1200 * 1200
+    ),
+    sym AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs
+    ),
+    deg AS (
+        SELECT p.id, coalesce(n.c, 0) + 1 AS n
+        FROM pts p LEFT JOIN (
+            SELECT id_a AS id, count(*) AS c FROM sym GROUP BY id_a
+        ) n USING (id)
+    ),
+    core AS (SELECT id FROM deg WHERE n >= 4),
+    core_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)
+    ),
+    cedges AS (
+        SELECT src, dst FROM core_edges
+        UNION SELECT dst AS src, src AS dst FROM core_edges
+    ),
+    walk(node, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM cedges)
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN cedges e ON w.reach = e.src
+    ),
+    comp AS (SELECT node AS id, min(reach) AS component FROM walk GROUP BY node),
+    core_lab AS (
+        SELECT c.id, coalesce(k.component, c.id) AS cluster
+        FROM core c LEFT JOIN comp k USING (id)
+    ),
+    border AS (
+        SELECT s.id_a AS id, min(cl.cluster) AS cluster
+        FROM sym s JOIN core_lab cl ON cl.id = s.id_b
+        WHERE s.id_a NOT IN (SELECT id FROM core)
+        GROUP BY s.id_a
+    ),
+    lab AS (
+        SELECT id, TRUE AS is_core, cluster FROM core_lab
+        UNION ALL SELECT id, FALSE AS is_core, cluster FROM border
+    )
+    SELECT p.id, coalesce(l.is_core, FALSE) AS is_core, l.cluster
+    FROM pts p LEFT JOIN lab l USING (id)
+    """,
+)
+def q350(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed DBSCAN over the q347 point lattice (ε=1200 µdeg,
+    min_pts=4): grid-join ε-pairs → core filter → min-label components
+    over core-core edges → deterministic border attach; the oracle
+    replays the whole thing with an O(n²) join and a recursive-CTE
+    transitive closure — two completely different algorithms, same
+    labeling."""
+    from .operators.geo import dbscan
+
+    ev = load_table(spark, sf, "events").where(F.col("event_id") < 5000)
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (((F.col("event_id") * 37) % 400) * 500).alias("la"),
+        (((F.col("event_id") * 91) % 400) * 500).alias("lo"),
+    ).distinct()
+    return dbscan(pts, "id", "la", "lo", radius_udeg=1200, min_pts=4)

@@ -200,3 +200,68 @@ def test_holt_winters_learns_pure_seasonal_pattern(spark):
     # after convergence the one-step-ahead forecast nails the cycle
     for r in out[-8:]:
         assert abs(r["hw_forecast"] - pattern[r["t"] % 4]) < 0.3
+
+
+def _dbscan_reference(pts, r, min_pts):
+    """Plain-Python DBSCAN with the same deterministic conventions:
+    min-label clusters, border → min core-neighbor cluster."""
+    ids = [p[0] for p in pts]
+    xy = {p[0]: (p[1], p[2]) for p in pts}
+    nbrs = {i: set() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d2 = (xy[i][0] - xy[j][0]) ** 2 + (xy[i][1] - xy[j][1]) ** 2
+                if d2 <= r * r:
+                    nbrs[i].add(j); nbrs[j].add(i)
+    core = {i for i in ids if len(nbrs[i]) + 1 >= min_pts}
+    # min-label components over core-core edges
+    label = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            for j in nbrs[i] & core:
+                m = min(label[i], label[j])
+                if label[i] != m or label[j] != m:
+                    label[i] = label[j] = m
+                    changed = True
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = (True, label[i])
+        else:
+            adj_core = [label[j] for j in nbrs[i] if j in core]
+            out[i] = (False, min(adj_core) if adj_core else None)
+    return out
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    from riptable_spark.operators.geo import dbscan
+
+    pts = []
+    # blob A around (0,0), blob B around (10000,10000), noise far away
+    for k in range(5):
+        pts.append((k, k * 10, k * 10))
+    for k in range(5):
+        pts.append((100 + k, 10000 + k * 10, 10000 + k * 10))
+    pts.append((999, 50000, 50000))
+    df = spark.createDataFrame(pts, "id long, la long, lo long")
+    out = {r["id"]: (r["is_core"], r["cluster"]) for r in
+           dbscan(df, "id", "la", "lo", radius_udeg=100, min_pts=3).collect()}
+    assert out == _dbscan_reference(pts, 100, 3)
+    clusters = {v[1] for v in out.values() if v[1] is not None}
+    assert clusters == {0, 100}
+    assert out[999] == (False, None)  # noise
+
+
+def test_dbscan_matches_reference_random(spark):
+    from riptable_spark.operators.geo import dbscan
+
+    rng = np.random.default_rng(31)
+    pts = [(i, int(rng.integers(0, 4000)), int(rng.integers(0, 4000))) for i in range(150)]
+    df = spark.createDataFrame(pts, "id long, la long, lo long")
+    for r, mp in [(500, 3), (800, 5)]:
+        got = {x["id"]: (x["is_core"], x["cluster"]) for x in
+               dbscan(df, "id", "la", "lo", radius_udeg=r, min_pts=mp).collect()}
+        assert got == _dbscan_reference(pts, r, mp)
