@@ -598,3 +598,40 @@ def test_q301_time_bars_partial_agg_single_shuffle(q):
     df = q("q301_time_bars")
     assert pi.has_partial_aggregate(df)
     assert pi.count_shuffles(df) == 1
+
+
+def test_q347_grid_join_is_cell_equijoin(q):
+    """The spatial self-join must be an equi-join keyed on the grid
+    cell — no CartesianProduct, no non-equi BroadcastNestedLoop over
+    the point relation."""
+    from riptable_spark import queries12  # noqa: F401
+
+    df = q("q347_grid_neighbor_join")
+    plan = pi.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lint = pi.lint(df)
+    assert lint == [], lint
+
+
+def test_q346_topk_frequent_window_group_limit(q):
+    """The sharded shortlist must compile to WindowGroupLimit (per-map
+    streaming top-k heaps) so the exchange carries ≤k rows per shard
+    per map task, and the count agg must combine map-side."""
+    from riptable_spark import queries12  # noqa: F401
+
+    df = q("q346_topk_frequent")
+    plan = pi.plan_string(df)
+    assert "WindowGroupLimit" in plan
+    assert pi.has_partial_aggregate(df)
+
+
+def test_q344_link_predict_no_cartesian(q):
+    """Wedge generation must stay an equi-join on the shared
+    neighbor."""
+    from riptable_spark import queries12  # noqa: F401
+
+    df = q("q344_link_predict")
+    plan = pi.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
