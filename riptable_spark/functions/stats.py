@@ -9,7 +9,7 @@ broadcast-cross-joined back — never a single-partition window.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -893,4 +893,112 @@ def confusion_matrix(df: DataFrame, label: str, pred: str) -> DataFrame:
     return j.select(
         "cls", "support", "predicted", "tp",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
+def ips_eval(
+    df: DataFrame,
+    by: list[str],
+    action_col: str,
+    target_col: str,
+    reward_col: str,
+    prop_num: str,
+    prop_den: str,
+    lcm: int,
+) -> DataFrame:
+    """Off-policy evaluation of a target policy from logged bandit data
+    by inverse-propensity scoring — the standard counterfactual "what
+    would policy π have earned" estimator.
+
+    Inputs carry the logging propensity of the LOGGED action as an
+    exact rational ``prop_num/prop_den``; ``lcm`` must be a common
+    multiple of every ``prop_num`` so the importance weight
+    ``w = prop_den·(lcm/prop_num)`` is an exact integer.  With integer
+    rewards the IPS numerator Σ 1[a=π]·w·r and the SNIPS normalizer
+    Σ 1[a=π]·w are exact BIGINT sums — one two-stage hash agg total,
+    and both estimates are single IEEE divides of exact integers
+    (engine-identical, no rounding needed):
+
+        ips   = Σ w·r·match / (lcm·n)      (unbiased value estimate)
+        snips = Σ w·r·match / Σ w·match    (self-normalized, lower var)
+
+    Emits per-group (n, n_match, ips_value, snips_value, ess) where
+    ess = (Σw)²/Σw² is Kish's effective sample size for the match set.
+    """
+    m = (F.col(action_col) == F.col(target_col)).cast("long")
+    w = F.col(prop_den).cast("long") * (F.lit(int(lcm)) / F.col(prop_num)).cast("long")
+    r = F.col(reward_col).cast("long")
+    work = df.select(
+        *by,
+        m.alias("__m__"),
+        (w * m).alias("__w__"),
+        (w * r * m).alias("__wr__"),
+        (w * w * m).alias("__w2__"),
+    )
+    g = work.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__m__").cast("long").alias("n_match"),
+        F.sum("__w__").cast("long").alias("sw"),
+        F.sum("__wr__").cast("long").alias("swr"),
+        F.sum("__w2__").cast("long").alias("sw2"),
+    )
+    return g.select(
+        *by, "n", "n_match",
+        (F.col("swr") / (F.lit(int(lcm)) * F.col("n"))).alias("ips_value"),
+        F.when(F.col("sw") > 0, F.col("swr") / F.col("sw")).alias("snips_value"),
+        F.when(F.col("sw2") > 0,
+               (F.col("sw") * F.col("sw")) / F.col("sw2")).alias("ess"),
+    )
+
+
+def qini_curve(
+    df: DataFrame,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Uplift (Qini) curve for a treatment-targeting model: at every
+    distinct score threshold taken descending, the incremental
+    conversions had everyone above the threshold been treated —
+
+        qini(s) = Y_t(s) − Y_c(s)·N_t(s)/N_c(s)
+
+    with Y/N the cumulative treated/control outcomes/counts above s.
+
+    Same value-domain scale shape as :func:`auc_exact`: one hash agg
+    collapses the table to per-distinct-score counts (4 exact integer
+    sums), the cumulative window runs over that tiny aggregated domain,
+    and the only float op is the final ratio of exact BIGINTs —
+    engine-identical, no rounding.  Rows with NULL score are dropped
+    (they cannot be ranked); control-empty prefixes yield NULL qini.
+    """
+    t = F.col(treat_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    per = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.sum(t).alias("nt"),
+            F.sum(1 - t).alias("nc"),
+            F.sum(t * y).alias("yt"),
+            F.sum((1 - t) * y).alias("yc"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "score",
+        F.sum("nt").over(w).cast("long").alias("cum_nt"),
+        F.sum("nc").over(w).cast("long").alias("cum_nc"),
+        F.sum("yt").over(w).cast("long").alias("cum_yt"),
+        F.sum("yc").over(w).cast("long").alias("cum_yc"),
+    )
+    return cum.withColumn(
+        "qini",
+        F.when(
+            F.col("cum_nc") > 0,
+            F.col("cum_yt")
+            - (F.col("cum_yc") * F.col("cum_nt")) / F.col("cum_nc"),
+        ),
     )

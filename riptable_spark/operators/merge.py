@@ -861,3 +861,69 @@ def link_predict(
             / (F.col("deg_lo") + F.col("deg_hi") - F.col("common_neighbors"))
         ).alias("jaccard"),
     )
+
+
+def graph_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected graph —
+    the standard "is this community structure real" score for the
+    output of :func:`~riptable_spark.operators.dedup.connected_components`
+    or any clustering of the link graph.
+
+        Q = Σ_c [ e_c/m − (d_c/2m)² ]  =  Σ_c (4·m·e_c − d_c²) / (4m²)
+
+    Every term is an exact BIGINT (e_c intra-community edges, d_c
+    community degree sum, m edge count ≤ 2^31 keeps d_c² < 2^63), so Q
+    is ONE IEEE divide of exact integers — engine-identical.  Plan:
+    two broadcast-joins of the (tiny) label relation onto the canonical
+    edge list + two hash aggs; the edge relation shuffles once on the
+    community key.
+
+    Returns one row per community (e_c, d_c, contribution numerator)
+    plus the scalar Q attached to every row for convenience.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    lab = labels.select(F.col(node_col).alias("__n__"), F.col(community_col).alias("__c__"))
+    tagged = (
+        e.join(F.broadcast(lab.withColumnRenamed("__n__", "lo").withColumnRenamed("__c__", "c_lo")), on="lo")
+        .join(F.broadcast(lab.withColumnRenamed("__n__", "hi").withColumnRenamed("__c__", "c_hi")), on="hi")
+    )
+    m_rel = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        tagged.where(F.col("c_lo") == F.col("c_hi"))
+        .groupBy(F.col("c_lo").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    deg = (
+        e.select(F.col("lo").alias("__n__")).unionAll(e.select(F.col("hi").alias("__n__")))
+        .join(F.broadcast(lab), on="__n__")
+        .groupBy(F.col("__c__").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    per = deg.join(intra, on="community", how="left").select(
+        "community",
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("e_c"),
+        "d_c",
+    ).crossJoin(F.broadcast(m_rel))
+    per = per.withColumn(
+        "num", 4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")
+    )
+    total = per.agg(
+        F.sum("num").alias("qnum"), F.min("m").alias("__m__")
+    ).select(
+        (F.col("qnum") / (4 * F.col("__m__") * F.col("__m__"))).alias("modularity")
+    )
+    return per.select("community", "e_c", "d_c", F.col("num").cast("long").alias("num")).crossJoin(
+        F.broadcast(total)
+    )

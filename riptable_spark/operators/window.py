@@ -1273,3 +1273,33 @@ def sessionize(
     if conversion is not None:
         aggs.append(F.max(conversion.cast("int")).cast("boolean").alias("converted"))
     return seg.groupBy(key_col, "session_id").agg(*aggs)
+
+
+def running_distinct(
+    df: DataFrame,
+    keys: list[str],
+    valcol: str,
+    order: list[str],
+    out_col: str = "running_distinct",
+) -> DataFrame:
+    """Running COUNT(DISTINCT) per key in event order — the window
+    Spark (and ANSI SQL) cannot express directly.
+
+    Scale-correct decomposition instead of a growing collect_set state:
+    (1) first-occurrence flag = row_number over (key, value) == 1, then
+    (2) running SUM of flags over (key) — two sort windows, both
+    whole-stage codegen, state O(1) per row.  NULL values never count
+    (SQL COUNT DISTINCT semantics).
+    """
+    w1 = Window.partitionBy(*keys, valcol).orderBy(*[F.col(c) for c in order])
+    w2 = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flag = F.when(
+        F.col(valcol).isNotNull() & (F.row_number().over(w1) == 1), 1
+    ).otherwise(0)
+    return df.withColumn("__fo__", flag).withColumn(
+        out_col, F.sum("__fo__").over(w2).cast("long")
+    ).drop("__fo__")

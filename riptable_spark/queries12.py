@@ -394,3 +394,186 @@ def q350(spark: SparkSession, sf: str) -> DataFrame:
         (((F.col("event_id") * 91) % 400) * 500).alias("lo"),
     ).distinct()
     return dbscan(pts, "id", "la", "lo", radius_udeg=1200, min_pts=4)
+
+
+# ------------------------------------------------------------------ q351
+@query(
+    "q351_ips_eval",
+    """
+    WITH log AS (
+        SELECT event_type,
+               event_id % 3 AS a,
+               (user_id + event_id) % 3 AS pi,
+               CAST(round(value * 100) AS BIGINT) AS r,
+               1 + event_id % 4 AS num,
+               10 AS den
+        FROM events
+    ),
+    w AS (
+        SELECT event_type,
+               CASE WHEN a = pi THEN 1 ELSE 0 END AS m,
+               den * (12 // num) * CASE WHEN a = pi THEN 1 ELSE 0 END AS w,
+               den * (12 // num) * r * CASE WHEN a = pi THEN 1 ELSE 0 END AS wr,
+               den * (12 // num) * den * (12 // num)
+                 * CASE WHEN a = pi THEN 1 ELSE 0 END AS w2
+        FROM log
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n, CAST(sum(m) AS BIGINT) AS n_match,
+               CAST(sum(w) AS BIGINT) AS sw, CAST(sum(wr) AS BIGINT) AS swr,
+               CAST(sum(w2) AS BIGINT) AS sw2
+        FROM w GROUP BY event_type
+    )
+    SELECT event_type, n, n_match,
+           CAST(swr AS DOUBLE) / (12 * n) AS ips_value,
+           CASE WHEN sw > 0 THEN CAST(swr AS DOUBLE) / sw END AS snips_value,
+           CASE WHEN sw2 > 0 THEN CAST(sw * sw AS DOUBLE) / sw2 END AS ess
+    FROM g
+    """,
+)
+def q351(spark: SparkSession, sf: str) -> DataFrame:
+    """Off-policy IPS/SNIPS evaluation of a deterministic target policy
+    from a synthetic logged-bandit view of events: exact-integer
+    importance weights (rational propensities × lcm), one hash agg,
+    ratios of exact BIGINTs — no rounding anywhere."""
+    from .functions.stats import ips_eval
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        (F.col("event_id") % 3).alias("a"),
+        ((F.col("user_id") + F.col("event_id")) % 3).alias("pi"),
+        F.round(F.col("value") * 100).cast("bigint").alias("r"),
+        (1 + F.col("event_id") % 4).alias("num"),
+        F.lit(10).alias("den"),
+    )
+    return ips_eval(ev, ["event_type"], "a", "pi", "r", "num", "den", lcm=12)
+
+
+# ------------------------------------------------------------------ q352
+@query(
+    "q352_running_distinct",
+    """
+    WITH flags AS (
+        SELECT user_id, ts, event_id, event_id % 25 AS v,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_id % 25 ORDER BY ts, event_id
+               ) = 1 THEN 1 ELSE 0 END AS fo
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(fo) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS running_distinct
+    FROM flags
+    """,
+)
+def q352(spark: SparkSession, sf: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user (the window ANSI SQL lacks):
+    first-occurrence flag + running integer sum — two codegen sort
+    windows, O(1) state per row instead of a growing collect_set."""
+    from .operators.window import running_distinct
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", (F.col("event_id") % 25).alias("v")
+    )
+    out = running_distinct(ev, ["user_id"], "v", ["ts", "event_id"])
+    return out.select("user_id", "event_id", "running_distinct")
+
+
+# ------------------------------------------------------------------ q353
+@query(
+    "q353_qini_curve",
+    """
+    WITH base AS (
+        SELECT CAST(event_id % 50 AS DOUBLE) AS score,
+               user_id % 2 AS t,
+               CASE WHEN value > 500 THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    per AS (
+        SELECT score, CAST(sum(t) AS BIGINT) AS nt,
+               CAST(sum(1 - t) AS BIGINT) AS nc,
+               CAST(sum(t * y) AS BIGINT) AS yt,
+               CAST(sum((1 - t) * y) AS BIGINT) AS yc
+        FROM base GROUP BY score
+    ),
+    cum AS (
+        SELECT score,
+               CAST(sum(nt) OVER w AS BIGINT) AS cum_nt,
+               CAST(sum(nc) OVER w AS BIGINT) AS cum_nc,
+               CAST(sum(yt) OVER w AS BIGINT) AS cum_yt,
+               CAST(sum(yc) OVER w AS BIGINT) AS cum_yc
+        FROM per
+        WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT score, cum_nt, cum_nc, cum_yt, cum_yc,
+           CASE WHEN cum_nc > 0
+                THEN cum_yt - CAST(cum_yc * cum_nt AS DOUBLE) / cum_nc END AS qini
+    FROM cum
+    """,
+)
+def q353(spark: SparkSession, sf: str) -> DataFrame:
+    """Uplift (Qini) curve at every score threshold: value-domain
+    aggregation (auc_exact's shape) then cumulative integer counts over
+    the tiny distinct-score relation; the only float is the final
+    exact-integer ratio."""
+    from .functions.stats import qini_curve
+
+    ev = load_table(spark, sf, "events").select(
+        (F.col("event_id") % 50).cast("double").alias("score"),
+        (F.col("user_id") % 2).alias("t"),
+        (F.col("value") > 500).cast("long").alias("y"),
+    )
+    return qini_curve(ev, "score", "t", "y")
+
+
+# ------------------------------------------------------------------ q354
+@query(
+    "q354_graph_modularity",
+    """
+    WITH base AS (
+        SELECT doc_id % 200 AS s, (doc_id * 7 + 3) % 200 AS d FROM documents
+    ),
+    e AS (
+        SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi FROM base
+        WHERE s != d
+    ),
+    m_rel AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    intra AS (
+        SELECT lo % 4 AS community, CAST(count(*) AS BIGINT) AS e_c
+        FROM e WHERE lo % 4 = hi % 4 GROUP BY lo % 4
+    ),
+    deg AS (
+        SELECT node % 4 AS community, CAST(count(*) AS BIGINT) AS d_c
+        FROM (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        GROUP BY node % 4
+    ),
+    per AS (
+        SELECT deg.community, coalesce(intra.e_c, 0) AS e_c, deg.d_c,
+               CAST(4 * m_rel.m * coalesce(intra.e_c, 0) - deg.d_c * deg.d_c
+                    AS BIGINT) AS num,
+               m_rel.m AS m
+        FROM deg LEFT JOIN intra USING (community) CROSS JOIN m_rel
+    )
+    SELECT community, e_c, d_c, num,
+           (SELECT CAST(sum(num) AS DOUBLE) FROM per) / (4 * m * m) AS modularity
+    FROM per
+    """,
+)
+def q354(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the node%4 partition of the synthetic doc
+    graph: exact-integer per-community contributions
+    (4·m·e_c − d_c²) and a single IEEE divide for Q."""
+    from .operators.merge import graph_modularity
+
+    docs = load_table(spark, sf, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 200).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    labels = nodes.select("node", (F.col("node") % 4).alias("community"))
+    return graph_modularity(edges, labels)

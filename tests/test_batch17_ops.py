@@ -265,3 +265,81 @@ def test_dbscan_matches_reference_random(spark):
         got = {x["id"]: (x["is_core"], x["cluster"]) for x in
                dbscan(df, "id", "la", "lo", radius_udeg=r, min_pts=mp).collect()}
         assert got == _dbscan_reference(pts, r, mp)
+
+
+def test_running_distinct_hand(spark):
+    from riptable_spark.operators.window import running_distinct
+
+    rows = [("k", 1, "a"), ("k", 2, "b"), ("k", 3, "a"), ("k", 4, None),
+            ("k", 5, "c"), ("k", 6, "b"), ("j", 1, "a")]
+    df = spark.createDataFrame(rows, "k string, t long, v string")
+    out = {(r["k"], r["t"]): r["running_distinct"] for r in
+           running_distinct(df, ["k"], "v", ["t"]).collect()}
+    assert out == {("k", 1): 1, ("k", 2): 2, ("k", 3): 2, ("k", 4): 2,
+                   ("k", 5): 3, ("k", 6): 3, ("j", 1): 1}
+
+
+def test_ips_eval_hand_and_identity(spark):
+    from riptable_spark.functions.stats import ips_eval
+
+    # logged: action, target, reward, propensity num/den (p = num/den)
+    rows = [
+        ("g", 0, 0, 10, 1, 2),   # match, p=1/2 → w = 2·(2/1)=4
+        ("g", 1, 0, 99, 1, 2),   # no match
+        ("g", 0, 0, 20, 2, 2),   # match, p=1 → w = 2·(2/2)=2
+        ("g", 1, 1, 30, 1, 2),   # match, p=1/2 → w = 4
+    ]
+    df = spark.createDataFrame(rows, "g string, a long, pi long, r long, num long, den long")
+    out = ips_eval(df, ["g"], "a", "pi", "r", "num", "den", lcm=2).head()
+    # swr = 4·10 + 2·20 + 4·30 = 200 ; ips = 200/(2·4) = 25
+    assert out["n"] == 4 and out["n_match"] == 3
+    assert out["ips_value"] == pytest.approx(25.0)
+    # snips = 200 / (4+2+4) = 20
+    assert out["snips_value"] == pytest.approx(20.0)
+    # ess = (10)²/(16+4+16) = 100/36
+    assert out["ess"] == pytest.approx(100 / 36)
+
+    # identity: target == logged and p ≡ 1 → both estimators = mean reward
+    rows1 = [("g", 0, 0, r, 3, 3) for r in (6, 12, 24)]
+    df1 = spark.createDataFrame(rows1, "g string, a long, pi long, r long, num long, den long")
+    o1 = ips_eval(df1, ["g"], "a", "pi", "r", "num", "den", lcm=3).head()
+    assert o1["ips_value"] == pytest.approx(14.0)
+    assert o1["snips_value"] == pytest.approx(14.0)
+
+
+def test_qini_curve_hand(spark):
+    from riptable_spark.functions.stats import qini_curve
+
+    # score 2: t=1 y=1 ; score 1: c y=1, t y=0 ; score 0: c y=0
+    rows = [(2.0, 1, 1), (1.0, 0, 1), (1.0, 1, 0), (0.0, 0, 0)]
+    df = spark.createDataFrame(rows, "s double, t long, y long")
+    out = {r["score"]: r for r in qini_curve(df, "s", "t", "y").collect()}
+    assert out[2.0]["qini"] is None                       # no control yet
+    # at s=1: cum_yt=1, cum_yc=1, cum_nt=2, cum_nc=1 → 1 − 1·2/1 = −1
+    assert out[1.0]["qini"] == pytest.approx(-1.0)
+    # at s=0: 1 − 1·2/2 = 0
+    assert out[0.0]["qini"] == pytest.approx(0.0)
+
+
+def test_graph_modularity_two_triangles(spark):
+    from riptable_spark.operators.merge import graph_modularity
+
+    # two triangles {0,1,2} and {3,4,5} bridged by (2,3): m=7
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "node long, community long"
+    )
+    out = graph_modularity(edges, labels).collect()
+    per = {r["community"]: r for r in out}
+    assert per[0]["e_c"] == 3 and per[0]["d_c"] == 7
+    assert per[1]["e_c"] == 3 and per[1]["d_c"] == 7
+    # Q = 2·(3/7 − (7/14)²) = 5/14
+    for r in out:
+        assert r["modularity"] == pytest.approx(5 / 14)
+    # putting everything in ONE community: Q = e/m − 1 = 0 minus... = 0
+    one = spark.createDataFrame([(i, 0) for i in range(6)], "node long, community long")
+    q1 = graph_modularity(edges, one).head()["modularity"]
+    assert q1 == pytest.approx(0.0)
