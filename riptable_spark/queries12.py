@@ -577,3 +577,139 @@ def q354(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
     labels = nodes.select("node", (F.col("node") % 4).alias("community"))
     return graph_modularity(edges, labels)
+
+
+# ------------------------------------------------------------------ q355
+@query(
+    "q355_try_cast_family",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN '123' WHEN 1 THEN '-45'
+                    WHEN 2 THEN 'abc' WHEN 3 THEN '' ELSE '7' END AS si,
+               CASE doc_id % 4 WHEN 0 THEN '12.5' WHEN 1 THEN '1e3'
+                    WHEN 2 THEN 'x' ELSE '-0.25' END AS sd,
+               CASE doc_id % 4 WHEN 0 THEN '2020-01-15' WHEN 1 THEN '2020-13-01'
+                    WHEN 2 THEN 'nope' ELSE '1999-12-31' END AS sdt
+        FROM documents
+    )
+    SELECT doc_id,
+           TRY_CAST(si AS BIGINT) AS as_int,
+           TRY_CAST(sd AS DOUBLE) AS as_double,
+           TRY_CAST(sdt AS DATE) AS as_date,
+           CAST(TRY_CAST(si AS BIGINT) IS NULL AS INTEGER) AS int_failed
+    FROM s
+    """,
+)
+def q355(spark: SparkSession, sf: str) -> DataFrame:
+    """Fault-tolerant parsing parity: try_cast on messy strings →
+    NULL-not-throw for int/double/date, plus a failure-audit flag —
+    the ingestion-hardening surface (ANSI mode is ON, so plain CAST
+    would throw)."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    si = (
+        F.when(F.col("doc_id") % 5 == 0, "123")
+        .when(F.col("doc_id") % 5 == 1, "-45")
+        .when(F.col("doc_id") % 5 == 2, "abc")
+        .when(F.col("doc_id") % 5 == 3, "")
+        .otherwise("7")
+    )
+    sd = (
+        F.when(F.col("doc_id") % 4 == 0, "12.5")
+        .when(F.col("doc_id") % 4 == 1, "1e3")
+        .when(F.col("doc_id") % 4 == 2, "x")
+        .otherwise("-0.25")
+    )
+    sdt = (
+        F.when(F.col("doc_id") % 4 == 0, "2020-01-15")
+        .when(F.col("doc_id") % 4 == 1, "2020-13-01")
+        .when(F.col("doc_id") % 4 == 2, "nope")
+        .otherwise("1999-12-31")
+    )
+    out = d.select(
+        "doc_id",
+        si.try_cast("bigint").alias("as_int"),
+        sd.try_cast("double").alias("as_double"),
+        sdt.try_cast("date").alias("as_date"),
+    )
+    return out.withColumn("int_failed", F.col("as_int").isNull().cast("int"))
+
+
+# ------------------------------------------------------------------ q356
+@query(
+    "q356_lag_lead_nth",
+    """
+    SELECT user_id, event_id,
+           lag(CAST(round(value * 100) AS BIGINT), 2, CAST(-1 AS BIGINT))
+               OVER w AS lag2,
+           lead(event_type, 1, 'END') OVER w AS next_type,
+           nth_value(CAST(round(value * 100) AS BIGINT), 3)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_seen,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS final_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q356(spark: SparkSession, sf: str) -> DataFrame:
+    """Offset/positional window sweep: lag with default, lead, nth_value
+    over the growing frame, first/last value with explicit frames —
+    one sort window per key, all passthrough values (no arithmetic, no
+    rounding concerns)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wg = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return ev.select(
+        "user_id", "event_id",
+        F.lag(cents, 2, -1).over(w).alias("lag2"),
+        F.lead("event_type", 1, "END").over(w).alias("next_type"),
+        F.nth_value(cents, 3).over(wg).alias("third_seen"),
+        F.first("event_type").over(wg).alias("first_type"),
+        F.last("event_type").over(wf).alias("final_type"),
+    )
+
+
+# ------------------------------------------------------------------ q357
+@query(
+    "q357_pivot_multi_agg",
+    """
+    SELECT user_id % 20 AS bucket,
+           CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS click_cents,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_n,
+           CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS view_cents,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view_n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS purchase_cents,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_n
+    FROM events
+    GROUP BY user_id % 20
+    """,
+)
+def q357(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-aggregate pivot (sum AND count per pivoted value): Spark's
+    pivot with an explicit value list compiles to the same ONE
+    conditional-aggregation pass as the oracle's CASE form — no extra
+    shuffle per measure."""
+    ev = load_table(spark, sf, "events").select(
+        (F.col("user_id") % 20).alias("bucket"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    p = ev.groupBy("bucket").pivot("event_type", ["click", "view", "purchase"]).agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")
+    )
+    return p.select(
+        "bucket",
+        F.col("click_cents").cast("bigint").alias("click_cents"),
+        F.col("click_n").cast("bigint").alias("click_n"),
+        F.col("view_cents").cast("bigint").alias("view_cents"),
+        F.col("view_n").cast("bigint").alias("view_n"),
+        F.col("purchase_cents").cast("bigint").alias("purchase_cents"),
+        F.col("purchase_n").cast("bigint").alias("purchase_n"),
+    )
