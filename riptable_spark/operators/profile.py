@@ -267,3 +267,32 @@ def schema_report(df: DataFrame, expected: dict[str, str]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         rows, "column string, expected string, actual string, status string"
     )
+
+
+def observe_metrics(
+    df: DataFrame, name: str, aggs: dict[str, Column]
+):
+    """Attach zero-cost pipeline metrics to a DataFrame: the aggregates
+    ride the SAME job as whatever action consumes ``df`` (Spark's
+    CollectMetrics operator accumulates them per task) — no second scan,
+    which at 100 TB is the difference between free observability and
+    doubling the read bill.
+
+    Returns ``(df_with_metrics, observation)``; after ANY action on the
+    returned frame, ``observation.get`` yields the metric dict.  Only
+    deterministic aggregate expressions are allowed (Spark enforces
+    this).
+
+        df2, obs = observe_metrics(df, "ingest", {
+            "rows": F.count(F.lit(1)),
+            "null_keys": F.count_if(F.col("k").isNull()),
+            "max_ts": F.max("ts"),
+        })
+        df2.write.parquet(...)          # metrics accumulate here
+        obs.get["null_keys"]
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(n) for n, c in aggs.items()])
+    return out, obs

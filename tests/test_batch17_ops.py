@@ -343,3 +343,17 @@ def test_graph_modularity_two_triangles(spark):
     one = spark.createDataFrame([(i, 0) for i in range(6)], "node long, community long")
     q1 = graph_modularity(edges, one).head()["modularity"]
     assert q1 == pytest.approx(0.0)
+
+
+def test_observe_metrics_ride_the_job(spark, tmp_path):
+    from riptable_spark.operators.profile import observe_metrics
+
+    df = spark.range(500).withColumn("v", F.col("id") % 9)
+    df2, obs = observe_metrics(df, "m", {
+        "rows": F.count(F.lit(1)),
+        "nulls": F.count_if(F.col("v").isNull()),
+        "vmax": F.max("v"),
+    })
+    df2.write.mode("overwrite").parquet(str(tmp_path / "obs"))
+    got = obs.get
+    assert got == {"rows": 500, "nulls": 0, "vmax": 8}
