@@ -927,3 +927,78 @@ def graph_modularity(
     return per.select("community", "e_c", "d_c", F.col("num").cast("long").alias("num")).crossJoin(
         F.broadcast(total)
     )
+
+
+def tree_closure(
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """All (node, ancestor) pairs of a forest, INCLUDING (node, node),
+    by path doubling: R ← R ∪ (R ∘ R) squares the reachable path length
+    every round, so ``max_rounds`` of 6 covers depth 2⁶ = 64 with six
+    self-joins — the log-depth alternative to one-step-per-level
+    iteration (and to a recursive CTE, which Spark lacks).
+
+    Each round is one equi-join of the pair relation with itself keyed
+    on the meet node plus a distinct; the relation size is
+    O(nodes · depth) — at 100 TB of fact rows the DIMENSION tree this
+    runs on is small, and the closure is what makes hierarchy rollups a
+    plain broadcast join downstream.
+    """
+    base = edges.select(
+        F.col(node_col).alias("node"), F.col(parent_col).alias("anc")
+    ).where(F.col("anc").isNotNull())
+    self_pairs = (
+        edges.select(F.col(node_col).alias("node"))
+        .unionAll(edges.select(F.col(parent_col).alias("node")))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("anc", F.col("node"))
+    )
+    closure = base.unionAll(self_pairs).distinct()
+    for _ in range(max_rounds):
+        ext = (
+            closure.alias("a")
+            .join(
+                closure.alias("b"),
+                F.col("a.anc") == F.col("b.node"),
+            )
+            .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+        )
+        new_closure = closure.unionAll(ext).distinct().localCheckpoint(eager=True)
+        if new_closure.count() == closure.count():
+            closure = new_closure
+            break
+        closure = new_closure
+    return closure
+
+
+def tree_rollup(
+    values: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    value_col: str,
+    edge_node_col: str = "node",
+    parent_col: str = "parent",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Hierarchy aggregation: for every node of a forest, the SUM of
+    ``value_col`` over its entire subtree (descendants + itself) —
+    org-chart totals, category-tree revenue, BOM cost rollups.
+
+    Plan: :func:`tree_closure` (log-depth path doubling over the small
+    dimension tree) then ONE join of the fact values onto the closure
+    and a hash agg by ancestor.  Emits (node, subtree_sum,
+    subtree_count).
+    """
+    cl = tree_closure(edges, edge_node_col, parent_col, max_rounds=max_rounds)
+    v = values.select(
+        F.col(node_col).alias("node"), F.col(value_col).cast("long").alias("__v__")
+    )
+    joined = cl.join(v, on="node")
+    return joined.groupBy(F.col("anc").alias("node")).agg(
+        F.sum("__v__").cast("long").alias("subtree_sum"),
+        F.count(F.lit(1)).cast("long").alias("subtree_count"),
+    )

@@ -135,3 +135,51 @@ def stack_rows(named: dict[str, DataFrame], label_col: str = "Cat") -> DataFrame
         df.withColumn(label_col, F.lit(name)) for name, df in named.items()
     ]
     return concat_rows(parts)
+
+
+def allocate_proportional(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    total: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    ``total`` across rows proportionally to ``weight_col`` such that
+    the parts are integers and sum EXACTLY to ``total`` — budget
+    allocation, seat apportionment, prorated quotas.
+
+    All arithmetic is exact int64: base = ⌊T·w/W⌋ via integer DIV,
+    remainder = T·w mod W, and the T − Σbase leftover units go to the
+    largest remainders (ties by key ascending — fully deterministic).
+    The ranking window runs over the AGGREGATED per-key relation (one
+    row per allocation target), not the fact table — the documented
+    tolerated global-window shape.  Requires non-negative weights and
+    W > 0.  Emits key cols + (weight, allocated).
+    """
+    from pyspark.sql import Window
+
+    t = int(total)
+    w = F.col(weight_col).cast("long")
+    tot = df.agg(F.sum(w).alias("__W__"))
+    g = df.select(*key_cols, w.alias("weight")).crossJoin(F.broadcast(tot))
+    g = g.withColumn("__base__", F.expr(f"CAST({t} AS BIGINT) * weight DIV __W__"))
+    g = g.withColumn(
+        "__rem__", (F.lit(t).cast("long") * F.col("weight")) % F.col("__W__")
+    )
+    leftover = F.lit(t).cast("long") - F.sum("__base__").over(
+        Window.partitionBy(F.lit(1))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(
+            F.col("__rem__").desc(), *[F.col(c) for c in key_cols]
+        )
+    )
+    g = g.withColumn("__left__", leftover).withColumn("__rk__", rk)
+    return g.select(
+        *key_cols,
+        "weight",
+        (
+            F.col("__base__")
+            + F.when(F.col("__rk__") <= F.col("__left__"), 1).otherwise(0)
+        ).cast("long").alias("allocated"),
+    )

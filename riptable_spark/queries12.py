@@ -713,3 +713,109 @@ def q357(spark: SparkSession, sf: str) -> DataFrame:
         F.col("purchase_cents").cast("bigint").alias("purchase_cents"),
         F.col("purchase_n").cast("bigint").alias("purchase_n"),
     )
+
+
+# ------------------------------------------------------------------ q358
+@query(
+    "q358_tree_rollup",
+    """
+    WITH RECURSIVE anc(node, anc) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT a.node, (a.anc - 1) // 2 FROM anc a WHERE a.anc >= 1
+    )
+    SELECT a.anc AS node,
+           CAST(sum(d.n_chars) AS BIGINT) AS subtree_sum,
+           CAST(count(*) AS BIGINT) AS subtree_count
+    FROM anc a JOIN documents d ON d.doc_id = a.node
+    GROUP BY a.anc
+    """,
+)
+def q358(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchy rollup over the implicit binary-heap tree of doc_ids
+    (parent = (id−1) DIV 2): subtree character totals for EVERY node
+    via log-depth path-doubling closure + one agg — Spark's answer to
+    the recursive CTE the oracle uses."""
+    from .operators.merge import tree_rollup
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") >= 1, F.expr("(doc_id - 1) DIV 2")).alias("parent"),
+    )
+    vals = d.select("doc_id", "n_chars")
+    return tree_rollup(vals, edges, "doc_id", "n_chars")
+
+
+# ------------------------------------------------------------------ q359
+@query(
+    "q359_largest_remainder",
+    """
+    WITH wts AS (
+        SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS weight
+        FROM customer GROUP BY c_nationkey
+    ),
+    tot AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM wts),
+    base AS (
+        SELECT nation, weight,
+               CAST(100000 AS BIGINT) * weight // W AS base,
+               (CAST(100000 AS BIGINT) * weight) % W AS rem
+        FROM wts CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT nation, weight, base, rem,
+               row_number() OVER (ORDER BY rem DESC, nation) AS rk,
+               100000 - sum(base) OVER () AS leftover
+        FROM base
+    )
+    SELECT nation, weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS allocated
+    FROM ranked
+    """,
+)
+def q359(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of 100k units across
+    nations by customer count: exact int64 quota math, leftover units
+    to the biggest remainders, deterministic ties — Σallocated ≡
+    100000 exactly."""
+    from .operators.reshape import allocate_proportional
+
+    c = load_table(spark, sf, "customer")
+    wts = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    return allocate_proportional(wts, ["nation"], "w", 100000)
+
+
+# ------------------------------------------------------------------ q360
+@query(
+    "q360_iso_calendar",
+    """
+    WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt FROM orders)
+    SELECT o_orderkey,
+           CAST(weekofyear(dt) AS BIGINT) AS iso_week,
+           CAST(isoyear(dt) AS BIGINT) AS iso_year,
+           CAST(quarter(dt) AS BIGINT) AS q,
+           CAST(dayofyear(dt) AS BIGINT) AS doy,
+           last_day(dt) AS month_end,
+           CAST(date_trunc('week', dt) AS DATE) AS week_start
+    FROM d
+    """,
+)
+def q360(spark: SparkSession, sf: str) -> DataFrame:
+    """ISO calendar parity: ISO week + ISO week-numbering year (both
+    engines put 2021-01-01 in 2020-W53), quarter, day-of-year,
+    month-end, Monday week start."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("dt")
+    )
+    return o.select(
+        "o_orderkey",
+        F.weekofyear("dt").cast("bigint").alias("iso_week"),
+        F.expr("extract(YEAROFWEEK FROM dt)").cast("bigint").alias("iso_year"),
+        F.quarter("dt").cast("bigint").alias("q"),
+        F.dayofyear("dt").cast("bigint").alias("doy"),
+        F.last_day("dt").alias("month_end"),
+        F.date_trunc("week", F.col("dt")).cast("date").alias("week_start"),
+    )

@@ -357,3 +357,67 @@ def test_observe_metrics_ride_the_job(spark, tmp_path):
     df2.write.mode("overwrite").parquet(str(tmp_path / "obs"))
     got = obs.get
     assert got == {"rows": 500, "nulls": 0, "vmax": 8}
+
+
+def test_tree_rollup_matches_reference(spark):
+    from riptable_spark.operators.merge import tree_rollup
+
+    # random forest: parent(i) = some j < i (or root), values = i+1
+    rng = np.random.default_rng(13)
+    n = 60
+    parent = {0: None, 1: None}
+    for i in range(2, n):
+        parent[i] = int(rng.integers(0, i)) if rng.random() < 0.9 else None
+    edges = spark.createDataFrame(
+        [(i, parent[i]) for i in range(n)], "node long, parent long"
+    )
+    vals = spark.createDataFrame([(i, i + 1) for i in range(n)], "node long, v long")
+
+    # python reference: ancestors by walking up
+    expect_sum = {i: 0 for i in range(n)}
+    expect_cnt = {i: 0 for i in range(n)}
+    for i in range(n):
+        j = i
+        while j is not None:
+            expect_sum[j] += i + 1
+            expect_cnt[j] += 1
+            j = parent[j]
+    got = {r["node"]: (r["subtree_sum"], r["subtree_count"]) for r in
+           tree_rollup(vals, edges, "node", "v").collect()}
+    assert got == {i: (expect_sum[i], expect_cnt[i]) for i in range(n)}
+
+
+def test_tree_closure_deep_chain(spark):
+    from riptable_spark.operators.merge import tree_closure
+
+    # a pure chain of depth 50: closure must have 51·52/2 pairs with
+    # max_rounds=6 (2^6 = 64 ≥ 50)
+    edges = spark.createDataFrame(
+        [(i, i - 1 if i > 0 else None) for i in range(51)], "node long, parent long"
+    )
+    n = tree_closure(edges).count()
+    assert n == 51 * 52 // 2
+
+
+def test_allocate_proportional_sums_exactly(spark):
+    from riptable_spark.operators.reshape import allocate_proportional
+
+    rng = np.random.default_rng(41)
+    rows = [(i, int(rng.integers(1, 100))) for i in range(37)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    for total in (7, 100, 12345):
+        out = allocate_proportional(df, ["k"], "w", total).collect()
+        assert sum(r["allocated"] for r in out) == total
+        wsum = sum(w for _, w in rows)
+        for r in out:
+            exact = total * dict(rows)[r["k"]] / wsum
+            assert exact - 1 < r["allocated"] < exact + 1  # Hamilton stays within 1 of quota
+
+
+def test_allocate_proportional_hand(spark):
+    from riptable_spark.operators.reshape import allocate_proportional
+
+    # weights 1,1,1 total 10 → 4,3,3 (remainders equal → lowest keys win)
+    df = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "k long, w long")
+    out = {r["k"]: r["allocated"] for r in allocate_proportional(df, ["k"], "w", 10).collect()}
+    assert out == {1: 4, 2: 3, 3: 3}
