@@ -814,3 +814,42 @@ def pair_eval(pred_pairs: DataFrame, true_pairs: DataFrame) -> DataFrame:
     rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn")))
     f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
     return agg.select("tp", "fp", "fn", prec.alias("precision"), rec.alias("recall"), f1.alias("f1"))
+
+
+def fingerprint_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The durable exact-dedup state: DISTINCT 64-bit fingerprints of
+    normalized text (8 bytes/doc) — persist this tiny relation between
+    pipeline runs instead of re-reading yesterday's corpus."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.xxhash64(normalize_text(F.col(text_col))).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup for a running ingestion pipeline: drop
+    new documents whose fingerprint is already in the ``seen`` index
+    (one anti-join on the 8-byte key — broadcast when the index fits,
+    shuffled-hash otherwise), then self-dedup the survivors with the
+    same keep-smallest-id rule as :func:`dedup_exact`.
+
+    The returned frame unions with ``fingerprint_index`` of itself to
+    produce the NEXT run's index — state grows by one long per novel
+    document, never by text.  NULL-text rows pass through (consistent
+    with dedup_exact: NULL is not a duplicate of NULL).
+    """
+    fp = F.when(
+        F.col(text_col).isNotNull(), F.xxhash64(normalize_text(F.col(text_col)))
+    )
+    tagged = new_df.withColumn("__fp__", fp)
+    survivors = tagged.join(
+        seen.select(F.col("fingerprint").alias("__fp__")),
+        on="__fp__", how="left_anti",
+    ).unionByName(tagged.where(F.col("__fp__").isNull()))
+    return dedup_exact(survivors.drop("__fp__"), text_col, id_col)

@@ -166,3 +166,58 @@ def top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df_t", "score_key", "rank")
     )
+
+
+def positional_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(id, term, pos) positional posting rows — the inverted-index
+    layout phrase and proximity queries need.  With ``terms`` given,
+    non-matching tokens are dropped BEFORE anything shuffles, so a
+    phrase query only moves the postings of its own words."""
+    d = _doc_tokens(df, text_col, id_col)
+    e = d.select(
+        id_col, F.posexplode("__toks__").alias("pos", "term")
+    )
+    if terms is not None:
+        e = e.where(F.col("term").isin(terms))
+    return e
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching via positional-posting adjacency joins —
+    "a b c" matches where pos(b) = pos(a)+1 and pos(c) = pos(a)+2,
+    the classic inverted-index phrase algorithm (never a regex scan of
+    the corpus).
+
+    Plan: one postings build filtered to the phrase's terms, then
+    k−1 equi-joins keyed on (doc, absolute position) — each join input
+    is only that term's postings.  Uses the same normalization as
+    BM25/term_postings, so phrase semantics match the rest of the
+    retrieval stack.  Emits (id, n_matches) for documents containing
+    the phrase at least once.
+    """
+    # phrase terms must be pre-normalized words (lowercase, no
+    # punctuation) — the corpus side runs the shared normalize_text
+    spark_norm = [t for t in phrase.lower().split() if t]
+    if not spark_norm:
+        raise ValueError("empty phrase")
+    posts = positional_postings(df, text_col, id_col, terms=list(set(spark_norm)))
+    base = (
+        posts.where(F.col("term") == spark_norm[0])
+        .select(F.col(id_col), F.col("pos").alias("__p0__"))
+    )
+    for i, t in enumerate(spark_norm[1:], start=1):
+        nxt = posts.where(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("__p0__")
+        )
+        base = base.join(nxt, on=[id_col, "__p0__"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

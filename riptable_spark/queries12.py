@@ -819,3 +819,78 @@ def q360(spark: SparkSession, sf: str) -> DataFrame:
         F.last_day("dt").alias("month_end"),
         F.date_trunc("week", F.col("dt")).cast("date").alias("week_start"),
     )
+
+
+# ------------------------------------------------------------------ q361
+@query(
+    "q361_phrase_search",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    posts AS (
+        SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM norm
+    ),
+    m0 AS (SELECT doc_id, pos FROM posts WHERE term = 'table'),
+    m1 AS (SELECT doc_id, pos FROM posts WHERE term = 'table')
+    SELECT m0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM m0 JOIN m1 ON m1.doc_id = m0.doc_id AND m1.pos = m0.pos + 1
+    GROUP BY m0.doc_id
+    """,
+)
+def q361(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index phrase search for "table table" (overlapping
+    occurrences count): positional postings filtered to the phrase's
+    terms before any shuffle, then adjacency equi-joins on
+    (doc, position) — never a regex scan of the corpus."""
+    from .operators.retrieval import phrase_search
+
+    d = load_table(spark, sf, "documents")
+    return phrase_search(d, "table table")
+
+
+# ------------------------------------------------------------------ q362
+@query(
+    "q362_dedup_incremental",
+    """
+    WITH norm AS (
+        SELECT doc_id, lang, n_chars,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    seen AS (
+        SELECT DISTINCT t FROM norm WHERE doc_id % 2 = 0 AND t IS NOT NULL
+    ),
+    novel AS (
+        SELECT * FROM norm
+        WHERE doc_id % 2 = 1
+          AND (t IS NULL OR t NOT IN (SELECT t FROM seen))
+    ),
+    kept AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY (t IS NULL), coalesce(t, CAST(doc_id AS VARCHAR))
+                   ORDER BY doc_id
+               ) AS rn
+        FROM novel
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM kept WHERE rn = 1
+    """,
+)
+def q362(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingestion dedup: even docs are yesterday's corpus
+    (8-byte fingerprint index is the ONLY carried state), odd docs are
+    today's batch — anti-join against the index, then keep-smallest-id
+    self-dedup; NULL text passes through."""
+    from .operators.dedup import dedup_incremental, fingerprint_index
+
+    d = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars", "text")
+    idx = fingerprint_index(d.where(F.col("doc_id") % 2 == 0))
+    new = d.where(F.col("doc_id") % 2 == 1)
+    out = dedup_incremental(new, idx)
+    return out.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))

@@ -421,3 +421,48 @@ def test_allocate_proportional_hand(spark):
     df = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "k long, w long")
     out = {r["k"]: r["allocated"] for r in allocate_proportional(df, ["k"], "w", 10).collect()}
     assert out == {1: 4, 2: 3, 3: 3}
+
+
+def test_phrase_search_hand(spark):
+    from riptable_spark.operators.retrieval import phrase_search
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "quick brown shoes and quick brown socks"),
+        (3, "brown quick nope"),
+        (4, "quick stop brown"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(df, "quick brown").collect()}
+    assert out == {1: 1, 2: 2}
+    out3 = {r["doc_id"]: r["n_matches"] for r in
+            phrase_search(df, "quick brown fox").collect()}
+    assert out3 == {1: 1}
+
+
+def test_dedup_incremental_vs_batch(spark):
+    from riptable_spark.operators.dedup import (
+        dedup_exact, dedup_incremental, fingerprint_index,
+    )
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, None)],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, None)],
+        "doc_id long, text string",
+    )
+    kept1 = dedup_exact(day1)
+    idx1 = fingerprint_index(kept1)
+    kept2 = dedup_incremental(day2, idx1)
+    got = sorted(r["doc_id"] for r in kept2.collect())
+    # beta already seen → dropped; gamma kept once; NULL passes
+    assert got == [11, 13]
+    # incremental result == batch dedup of the union, restricted to day2
+    batch = dedup_exact(day1.unionByName(day2))
+    batch_day2 = sorted(r["doc_id"] for r in batch.collect() if r["doc_id"] >= 10)
+    assert got == batch_day2
+    # state grows by the novel fingerprints only
+    idx2 = idx1.unionByName(fingerprint_index(kept2)).distinct()
+    assert idx2.count() == 3  # alpha, beta, gamma
