@@ -1002,3 +1002,52 @@ def tree_rollup(
         F.sum("__v__").cast("long").alias("subtree_sum"),
         F.count(F.lit(1)).cast("long").alias("subtree_count"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree ≥ k — the standard peel for separating a
+    dense interaction core from tendrils (spam rings, power users).
+
+    Iterative peeling: each round computes degrees (one agg over the
+    surviving symmetric edge list) and drops nodes below k; converges
+    when no node is dropped (the fixpoint is order-independent, so the
+    result is deterministic regardless of partitioning).  Rounds are
+    bounded by ``max_iter``; each is one shuffle + two semi-joins, with
+    lineage truncated per round like connected_components.
+
+    Returns (node, degree) of the surviving core (empty if none).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    for _ in range(max_iter):
+        sym = e.select(F.col("lo").alias("node")).unionAll(
+            e.select(F.col("hi").alias("node"))
+        )
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select("node")
+        new_e = (
+            e.join(keep.withColumnRenamed("node", "lo"), on="lo", how="left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), on="hi", how="left_semi")
+        )
+        new_e = new_e.localCheckpoint(eager=True)
+        old_n, new_n = e.count(), new_e.count()
+        e = new_e
+        if new_n == old_n:
+            break
+    sym = e.select(F.col("lo").alias("node")).unionAll(
+        e.select(F.col("hi").alias("node"))
+    )
+    return sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).where(F.col("degree") >= k)

@@ -466,3 +466,38 @@ def test_dedup_incremental_vs_batch(spark):
     # state grows by the novel fingerprints only
     idx2 = idx1.unionByName(fingerprint_index(kept2)).distinct()
     assert idx2.count() == 3  # alpha, beta, gamma
+
+
+def test_k_core_hand_and_reference(spark):
+    from riptable_spark.operators.merge import k_core
+
+    # triangle {0,1,2} with pendant 3-4 chain: 2-core = the triangle
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r["node"]: r["degree"] for r in k_core(edges, 2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
+    assert k_core(edges, 3).count() == 0
+
+    # random graph vs python peeling reference
+    rng = np.random.default_rng(19)
+    es = {(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2)) if a != b}
+    es = {(min(a, b), max(a, b)) for a, b in es}
+    df = spark.createDataFrame(sorted(es), "src long, dst long")
+    for k in (2, 3, 4):
+        cur = set(es)
+        while True:
+            deg = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                break
+            cur = {(a, b) for a, b in cur if a not in bad and b not in bad}
+        expect = {}
+        for a, b in cur:
+            expect[a] = expect.get(a, 0) + 1
+            expect[b] = expect.get(b, 0) + 1
+        got = {r["node"]: r["degree"] for r in k_core(df, k).collect()}
+        assert got == expect
