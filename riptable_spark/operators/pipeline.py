@@ -862,3 +862,54 @@ def curate_corpus(
     gated = flagged.where(keep).select(*df.columns)
     deduped = dedup_exact(gated, text_col, id_col)
     return hash_split(deduped, id_col, weights or {"train": 0.8, "val": 0.1, "test": 0.1}, hash_kind=hash_kind)
+
+
+def greedy_cover(
+    df,
+    id_col: str,
+    gram_col: str,
+    k: int,
+):
+    """Greedy maximum-coverage subset selection: pick ``k`` documents
+    that together cover the most distinct grams — the classic
+    diversity-selection heuristic for training-data curation (greedy is
+    (1−1/e)-optimal, and deterministic here: ties break by smallest id).
+
+    Input is the exploded (id, gram) relation (use the shingle/token
+    machinery in ``dedup``/``text`` to build it).  Each of the k rounds
+    is: anti-join the item relation against the covered-gram set (keyed
+    on the 8-byte gram), one count agg, and a 1-row argmax to the
+    driver — k scans total, with the covered set growing by the
+    winner's grams only.  At 100 TB choose k modest (selection budget),
+    or pre-reduce with ``dedup_exact``.
+
+    Returns a DataFrame (rank, id, marginal_gain) of the k picks
+    (fewer if coverage saturates first).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    items = df.select(F.col(id_col).alias("id"), F.col(gram_col).alias("gram")).distinct()
+    items = items.localCheckpoint(eager=True)
+    covered = None
+    picks = []
+    for rank in range(1, k + 1):
+        remaining = items if covered is None else items.join(
+            covered, on="gram", how="left_anti"
+        )
+        top = (
+            remaining.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .agg(F.max_by(F.struct(F.col("id"), F.col("gain")),
+                          F.struct(F.col("gain"), (-F.col("id")).alias("nid"))).alias("w"))
+            .select(F.col("w.id").alias("id"), F.col("w.gain").alias("gain"))
+            .collect()
+        )
+        if not top or top[0]["id"] is None or top[0]["gain"] is None or top[0]["gain"] == 0:
+            break
+        chosen, gain = top[0]["id"], int(top[0]["gain"])
+        picks.append((rank, chosen, gain))
+        won = items.where(F.col("id") == chosen).select("gram")
+        covered = won if covered is None else covered.unionAll(won).distinct()
+        covered = covered.localCheckpoint(eager=True)
+    return spark.createDataFrame(picks, "rank long, id long, marginal_gain long")

@@ -894,3 +894,57 @@ def q362(spark: SparkSession, sf: str) -> DataFrame:
     new = d.where(F.col("doc_id") % 2 == 1)
     out = dedup_incremental(new, idx)
     return out.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+# ------------------------------------------------------------------ q363
+@query(
+    "q363_greedy_cover",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    items AS (
+        SELECT DISTINCT doc_id AS id,
+               a || ' ' || b AS gram
+        FROM (
+            SELECT doc_id,
+                   unnest(toks[1:len(toks) - 1]) AS a,
+                   unnest(toks[2:len(toks)]) AS b
+            FROM norm WHERE len(toks) >= 2
+        )
+    ),
+    g1 AS (SELECT id, count(*) AS gain FROM items GROUP BY id),
+    w1 AS (SELECT id, gain FROM g1 ORDER BY gain DESC, id LIMIT 1),
+    c1 AS (SELECT DISTINCT gram FROM items WHERE id = (SELECT id FROM w1)),
+    i2 AS (SELECT * FROM items WHERE gram NOT IN (SELECT gram FROM c1)),
+    g2 AS (SELECT id, count(*) AS gain FROM i2 GROUP BY id),
+    w2 AS (SELECT id, gain FROM g2 ORDER BY gain DESC, id LIMIT 1),
+    c2 AS (SELECT gram FROM c1 UNION SELECT gram FROM i2 WHERE id = (SELECT id FROM w2)),
+    i3 AS (SELECT * FROM items WHERE gram NOT IN (SELECT gram FROM c2)),
+    g3 AS (SELECT id, count(*) AS gain FROM i3 GROUP BY id),
+    w3 AS (SELECT id, gain FROM g3 ORDER BY gain DESC, id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rank, id, CAST(gain AS BIGINT) AS marginal_gain FROM w1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), id, CAST(gain AS BIGINT) FROM w2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), id, CAST(gain AS BIGINT) FROM w3
+    """,
+)
+def q363(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy (1−1/e)-optimal coverage selection of 3 documents by
+    distinct word-bigram coverage: k driver-coordinated rounds of
+    anti-join + count + 1-row argmax; the oracle unrolls the identical
+    greedy recursion into three CTE layers."""
+    from .operators.dedup import shingles
+    from .operators.pipeline import greedy_cover
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    d = d.where(F.size(toks) >= 2)
+    items = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles(F.col("text"), n=2, mode="word")).alias("gram"),
+    )
+    return greedy_cover(items, "id", "gram", k=3)

@@ -501,3 +501,26 @@ def test_k_core_hand_and_reference(spark):
             expect[b] = expect.get(b, 0) + 1
         got = {r["node"]: r["degree"] for r in k_core(df, k).collect()}
         assert got == expect
+
+
+def test_greedy_cover_hand(spark):
+    from riptable_spark.operators.pipeline import greedy_cover
+
+    # doc 1 covers {a,b,c}; doc 2 {c,d}; doc 3 {d,e}; doc 4 {a}
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "c"), (2, "d"),
+            (3, "d"), (3, "e"), (4, "a")]
+    df = spark.createDataFrame(rows, "id long, gram string")
+    out = greedy_cover(df, "id", "gram", k=3).collect()
+    got = [(r["rank"], r["id"], r["marginal_gain"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    # greedy: 1 (3 new), then 3 (d,e → 2 new), then 2 (0 new → stop)
+    assert got == [(1, 1, 3), (2, 3, 2)]
+
+
+def test_greedy_cover_tie_breaks_by_smallest_id(spark):
+    from riptable_spark.operators.pipeline import greedy_cover
+
+    rows = [(5, "x"), (5, "y"), (2, "p"), (2, "q")]
+    df = spark.createDataFrame(rows, "id long, gram string")
+    out = sorted(greedy_cover(df, "id", "gram", k=2).collect(), key=lambda r: r["rank"])
+    assert [r["id"] for r in out] == [2, 5]
