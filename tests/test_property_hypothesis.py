@@ -446,3 +446,49 @@ def test_mixture_sample_properties(spark, rates, default):
     for i, dom in rows:
         thr = int(rates.get(dom, default) * 1000)
         assert (i in kept1) == (bucket[i] < thr), (i, dom, thr, bucket[i])
+
+
+WEIGHTS = st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=25)
+
+
+@given(ws=WEIGHTS, total=st.integers(min_value=0, max_value=100000))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_allocate_proportional_properties(spark, ws, total):
+    """Hamilton apportionment: exact total, quota-within-1, zero weight
+    gets zero."""
+    from riptable_spark.operators.reshape import allocate_proportional
+
+    if sum(ws) == 0:
+        return
+    df = spark.createDataFrame(list(enumerate(ws)), "k long, w long")
+    out = allocate_proportional(df, ["k"], "w", total).collect()
+    assert sum(r["allocated"] for r in out) == total
+    W = sum(ws)
+    for r in out:
+        quota = total * ws[r["k"]] / W
+        assert math.floor(quota) <= r["allocated"] <= math.ceil(quota)
+        if ws[r["k"]] == 0:
+            assert r["allocated"] == 0
+
+
+SEQ = st.lists(
+    st.tuples(st.integers(0, 2), st.one_of(st.integers(0, 5), st.none())),
+    min_size=1, max_size=50,
+)
+
+
+@given(rows=SEQ)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_running_distinct_matches_pandas(spark, rows):
+    from riptable_spark.operators.window import running_distinct
+
+    data = [(k, t, v) for t, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, t long, v long")
+    got = {(r["k"], r["t"]): r["running_distinct"] for r in
+           running_distinct(df, ["k"], "v", ["t"]).collect()}
+    seen: dict[int, set] = {}
+    for k, t, v in data:
+        s = seen.setdefault(k, set())
+        if v is not None:
+            s.add(v)
+        assert got[(k, t)] == len(s)
