@@ -10,6 +10,8 @@ already amortize storage.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -17,7 +19,6 @@ upper = F.upper  # rt_str.py:519
 lower = F.lower  # rt_str.py:534
 strlen = F.length  # rt_str.py:609
 reverse = F.reverse  # rt_str.py:564
-removetrailing = F.rtrim  # rt_str.py:591
 
 
 def contains(col: Column, sub: str) -> Column:  # rt_str.py:674 strstr
@@ -63,6 +64,14 @@ def substr(col: Column, start: int, length: int | None = None) -> Column:
 
 def char(col: Column, position: int) -> Column:  # rt_str.py:1278
     return F.substring(col, position + 1, 1)
+
+
+def removetrailing(col: Column, remove: int = 32) -> Column:  # rt_str.py:591
+    """FAString.removetrailing: strip the trailing character ``remove``
+    (an ASCII code, default 32 = space — the matlab-fixup semantics)."""
+    return F.rtrim(col) if remove == 32 else F.regexp_replace(
+        col, re.escape(chr(remove)) + "+$", ""
+    )
 
 
 def str_append(col: Column, other) -> Column:  # rt_fastarray.py:2266

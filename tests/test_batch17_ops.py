@@ -524,3 +524,21 @@ def test_greedy_cover_tie_breaks_by_smallest_id(spark):
     df = spark.createDataFrame(rows, "id long, gram string")
     out = sorted(greedy_cover(df, "id", "gram", k=2).collect(), key=lambda r: r["rank"])
     assert [r["id"] for r in out] == [2, 5]
+
+
+def test_fastring_reverse_removetrailing_strlen(spark):
+    from riptable_spark.functions.strings import removetrailing, reverse, strlen
+
+    df = spark.createDataFrame(
+        [("this ",), ("that..",), ("test",)], "s string"
+    )
+    out = df.select(
+        reverse(F.col("s")).alias("r"),
+        removetrailing(F.col("s")).alias("t32"),
+        removetrailing(F.col("s"), 46).alias("t46"),
+        strlen(F.col("s")).alias("n"),
+    ).collect()
+    assert [r["r"] for r in out] == [" siht", "..taht", "tset"]
+    assert [r["t32"] for r in out] == ["this", "that..", "test"]
+    assert [r["t46"] for r in out] == ["this ", "that", "test"]
+    assert [r["n"] for r in out] == [5, 6, 4]
