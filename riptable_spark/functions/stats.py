@@ -1002,3 +1002,51 @@ def qini_curve(
             - (F.col("cum_yc") * F.col("cum_nt")) / F.col("cum_nc"),
         ),
     )
+
+
+def did_estimate(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Difference-in-differences: the 2×2 causal estimator
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    ONE conditional-aggregate pass fuses all four cell sums and counts
+    (map-side combined); with integer outcomes every cell mean is a
+    single IEEE divide of exact BIGINTs, and the DiD composes from
+    those four exactly-rounded doubles identically in any engine.
+    Emits cell means, cell counts, and ``did``; NULL if any cell is
+    empty (the design is not identified).
+    """
+    grp = list(by or [])
+    t = F.col(treat_col).cast("long")
+    p = F.col(post_col).cast("long")
+    y = F.col(y_col).cast("long")
+    cells = {}
+    aggs = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            tag = f"{'t' if ti else 'c'}{'1' if pi else '0'}"
+            cond = (t == ti) & (p == pi)
+            aggs.append(F.sum(F.when(cond, y)).alias(f"s_{tag}"))
+            aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"n_{tag}"))
+            cells[tag] = (f"s_{tag}", f"n_{tag}")
+    g = df.groupBy(*grp).agg(*aggs)
+    means = {
+        tag: F.when(F.col(n) > 0, F.col(s) / F.col(n))
+        for tag, (s, n) in cells.items()
+    }
+    out = g.select(
+        *grp,
+        *[F.col(f"n_{tag}").cast("long").alias(f"n_{tag}") for tag in cells],
+        *[means[tag].alias(f"mean_{tag}") for tag in cells],
+    )
+    return out.withColumn(
+        "did",
+        (F.col("mean_t1") - F.col("mean_t0"))
+        - (F.col("mean_c1") - F.col("mean_c0")),
+    )

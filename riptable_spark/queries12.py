@@ -948,3 +948,56 @@ def q363(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(shingles(F.col("text"), n=2, mode="word")).alias("gram"),
     )
     return greedy_cover(items, "id", "gram", k=3)
+
+
+# ------------------------------------------------------------------ q364
+@query(
+    "q364_diff_in_diff",
+    """
+    WITH base AS (
+        SELECT event_type,
+               user_id % 2 AS t,
+               event_id % 2 AS p,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(CASE WHEN t = 0 AND p = 0 THEN 1 END) AS BIGINT) AS n_c0,
+               CAST(count(CASE WHEN t = 0 AND p = 1 THEN 1 END) AS BIGINT) AS n_c1,
+               CAST(count(CASE WHEN t = 1 AND p = 0 THEN 1 END) AS BIGINT) AS n_t0,
+               CAST(count(CASE WHEN t = 1 AND p = 1 THEN 1 END) AS BIGINT) AS n_t1,
+               sum(CASE WHEN t = 0 AND p = 0 THEN y END) AS s_c0,
+               sum(CASE WHEN t = 0 AND p = 1 THEN y END) AS s_c1,
+               sum(CASE WHEN t = 1 AND p = 0 THEN y END) AS s_t0,
+               sum(CASE WHEN t = 1 AND p = 1 THEN y END) AS s_t1
+        FROM base GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n_c0, n_c1, n_t0, n_t1,
+               CASE WHEN n_c0 > 0 THEN CAST(s_c0 AS DOUBLE) / n_c0 END AS mean_c0,
+               CASE WHEN n_c1 > 0 THEN CAST(s_c1 AS DOUBLE) / n_c1 END AS mean_c1,
+               CASE WHEN n_t0 > 0 THEN CAST(s_t0 AS DOUBLE) / n_t0 END AS mean_t0,
+               CASE WHEN n_t1 > 0 THEN CAST(s_t1 AS DOUBLE) / n_t1 END AS mean_t1
+        FROM g
+    )
+    SELECT event_type, n_c0, n_c1, n_t0, n_t1,
+           mean_c0, mean_c1, mean_t0, mean_t1,
+           (mean_t1 - mean_t0) - (mean_c1 - mean_c0) AS did
+    FROM m
+    """,
+)
+def q364(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences per event type (treat = user parity,
+    post = event parity, outcome = cents): four cell sums fused into
+    ONE conditional-aggregate pass; every mean is an exact-BIGINT
+    ratio, so the 2×2 composition is engine-identical unrounded."""
+    from .functions.stats import did_estimate
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("t"),
+        (F.col("event_id") % 2).alias("p"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return did_estimate(ev, "t", "p", "y", by=["event_type"])

@@ -542,3 +542,28 @@ def test_fastring_reverse_removetrailing_strlen(spark):
     assert [r["t32"] for r in out] == ["this", "that..", "test"]
     assert [r["t46"] for r in out] == ["this ", "that", "test"]
     assert [r["n"] for r in out] == [5, 6, 4]
+
+
+def test_did_estimate_recovers_known_effect(spark):
+    from riptable_spark.functions.stats import did_estimate
+
+    # baseline 10; time trend +5 for everyone; treatment effect +7
+    rows = []
+    for i in range(40):
+        rows.append(("g", 0, 0, 10))          # control pre
+        rows.append(("g", 0, 1, 15))          # control post (trend)
+        rows.append(("g", 1, 0, 12))          # treat pre (level diff 2)
+        rows.append(("g", 1, 1, 24))          # treat post = 12 + 5 + 7
+    df = spark.createDataFrame(rows, "g string, t long, p long, y long")
+    out = did_estimate(df, "t", "p", "y").head()
+    assert out["did"] == pytest.approx(7.0)
+    assert out["mean_c0"] == 10.0 and out["n_t1"] == 40
+
+
+def test_did_estimate_null_when_cell_empty(spark):
+    from riptable_spark.functions.stats import did_estimate
+
+    df = spark.createDataFrame(
+        [("g", 0, 0, 1), ("g", 0, 1, 2), ("g", 1, 0, 3)], "g string, t long, p long, y long"
+    )
+    assert did_estimate(df, "t", "p", "y").head()["did"] is None
