@@ -1050,3 +1050,54 @@ def did_estimate(
         (F.col("mean_t1") - F.col("mean_t0"))
         - (F.col("mean_c1") - F.col("mean_c0")),
     )
+
+
+def dr_eval(
+    df: DataFrame,
+    by: list[str],
+    action_col: str,
+    target_col: str,
+    reward_col: str,
+    prop_num: str,
+    prop_den: str,
+    qhat_target_col: str,
+    qhat_logged_col: str,
+    lcm: int,
+) -> DataFrame:
+    """Doubly-robust off-policy value estimate — the estimator that is
+    unbiased if EITHER the propensities or the reward model is right:
+
+        V_DR = (1/n) Σ [ q̂(x, π(x)) + ρ·(r − q̂(x, a)) ],
+        ρ = 1[a = π(x)] / p(a|x)
+
+    Same exact-integer discipline as :func:`ips_eval`: with
+    integer-scaled rewards and model predictions (q̂ in the same cents
+    scale) and rational propensities (``lcm`` a common multiple of
+    every ``prop_num``), both Σq̂_π and the correction sum are exact
+    BIGINTs; the estimate is one IEEE divide.  Emits per-group
+    (n, dr_value, dm_value, correction) where dm_value is the pure
+    direct-method baseline Σq̂_π/n — the gap between them is what the
+    propensity correction bought.
+    """
+    m = (F.col(action_col) == F.col(target_col)).cast("long")
+    w = F.col(prop_den).cast("long") * (F.lit(int(lcm)) / F.col(prop_num)).cast("long")
+    r = F.col(reward_col).cast("long")
+    qt = F.col(qhat_target_col).cast("long")
+    ql = F.col(qhat_logged_col).cast("long")
+    work = df.select(
+        *by,
+        qt.alias("__qt__"),
+        (w * (r - ql) * m).alias("__corr__"),
+    )
+    g = work.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__qt__").cast("long").alias("sq"),
+        F.sum("__corr__").cast("long").alias("sc"),
+    )
+    return g.select(
+        *by, "n",
+        ((F.col("sq") * F.lit(int(lcm)) + F.col("sc"))
+         / (F.lit(int(lcm)) * F.col("n"))).alias("dr_value"),
+        (F.col("sq") / F.col("n")).alias("dm_value"),
+        (F.col("sc") / (F.lit(int(lcm)) * F.col("n"))).alias("correction"),
+    )

@@ -1001,3 +1001,52 @@ def q364(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("y"),
     )
     return did_estimate(ev, "t", "p", "y", by=["event_type"])
+
+
+# ------------------------------------------------------------------ q365
+@query(
+    "q365_doubly_robust",
+    """
+    WITH log AS (
+        SELECT event_type,
+               event_id % 3 AS a,
+               (user_id + event_id) % 3 AS pi,
+               CAST(round(value * 100) AS BIGINT) AS r,
+               1 + event_id % 4 AS num,
+               10 AS den,
+               CAST(100 * ((user_id + event_id) % 3 + 1) AS BIGINT) AS qt,
+               CAST(100 * (event_id % 3 + 1) AS BIGINT) AS ql
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(qt) AS BIGINT) AS sq,
+               CAST(sum(den * (12 // num) * (r - ql)
+                        * CASE WHEN a = pi THEN 1 ELSE 0 END) AS BIGINT) AS sc
+        FROM log GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(sq * 12 + sc AS DOUBLE) / (12 * n) AS dr_value,
+           CAST(sq AS DOUBLE) / n AS dm_value,
+           CAST(sc AS DOUBLE) / (12 * n) AS correction
+    FROM g
+    """,
+)
+def q365(spark: SparkSession, sf: str) -> DataFrame:
+    """Doubly-robust policy value per event type: an action-linear
+    reward model (q̂ = 100·(action+1)) plus the exact-integer IPS
+    correction — Σq̂_π and the correction sum stay BIGINT, one divide
+    at the end."""
+    from .functions.stats import dr_eval
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        (F.col("event_id") % 3).alias("a"),
+        ((F.col("user_id") + F.col("event_id")) % 3).alias("pi"),
+        F.round(F.col("value") * 100).cast("bigint").alias("r"),
+        (1 + F.col("event_id") % 4).alias("num"),
+        F.lit(10).alias("den"),
+        (100 * ((F.col("user_id") + F.col("event_id")) % 3 + 1)).cast("bigint").alias("qt"),
+        (100 * (F.col("event_id") % 3 + 1)).cast("bigint").alias("ql"),
+    )
+    return dr_eval(ev, ["event_type"], "a", "pi", "r", "num", "den", "qt", "ql", lcm=12)

@@ -567,3 +567,38 @@ def test_did_estimate_null_when_cell_empty(spark):
         [("g", 0, 0, 1), ("g", 0, 1, 2), ("g", 1, 0, 3)], "g string, t long, p long, y long"
     )
     assert did_estimate(df, "t", "p", "y").head()["did"] is None
+
+
+def test_dr_eval_perfect_model_needs_no_correction(spark):
+    from riptable_spark.functions.stats import dr_eval, ips_eval
+
+    # reward depends only on action: r(a) = 10·(a+1); model is perfect
+    rows = []
+    for i in range(30):
+        a = i % 3
+        pi = (i + 1) % 3
+        rows.append(("g", a, pi, 10 * (a + 1), 1 + i % 2, 4, 10 * (pi + 1), 10 * (a + 1)))
+    df = spark.createDataFrame(
+        rows, "g string, a long, pi long, r long, num long, den long, qt long, ql long"
+    )
+    out = dr_eval(df, ["g"], "a", "pi", "r", "num", "den", "qt", "ql", lcm=2).head()
+    # perfect q̂ → correction term is exactly 0, DR = direct method = true value
+    true_v = sum(10 * (((i + 1) % 3) + 1) for i in range(30)) / 30
+    assert out["correction"] == 0.0
+    assert out["dr_value"] == pytest.approx(true_v)
+    assert out["dm_value"] == pytest.approx(true_v)
+
+
+def test_dr_eval_zero_model_reduces_to_ips(spark):
+    from riptable_spark.functions.stats import dr_eval, ips_eval
+
+    rows = []
+    for i in range(40):
+        a = i % 2
+        pi = (i // 2) % 2
+        rows.append(("g", a, pi, 5 + (i % 7), 1 + i % 4, 10))
+    df = spark.createDataFrame(rows, "g string, a long, pi long, r long, num long, den long")
+    dfz = df.withColumn("qt", F.lit(0)).withColumn("ql", F.lit(0))
+    dr = dr_eval(dfz, ["g"], "a", "pi", "r", "num", "den", "qt", "ql", lcm=12).head()
+    ips = ips_eval(df, ["g"], "a", "pi", "r", "num", "den", lcm=12).head()
+    assert dr["dr_value"] == pytest.approx(ips["ips_value"])
