@@ -1050,3 +1050,55 @@ def q365(spark: SparkSession, sf: str) -> DataFrame:
         (100 * (F.col("event_id") % 3 + 1)).cast("bigint").alias("ql"),
     )
     return dr_eval(ev, ["event_type"], "a", "pi", "r", "num", "den", "qt", "ql", lcm=12)
+
+
+# ------------------------------------------------------------------ q366
+@query(
+    "q366_stream_upsert_snapshot",
+    """
+    WITH chg AS (
+        SELECT user_id AS k, ts, event_id, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events
+    ),
+    latest AS (
+        SELECT k, event_id, event_type, value, op,
+               row_number() OVER (
+                   PARTITION BY k ORDER BY ts DESC, event_id DESC, op DESC
+               ) AS rn
+        FROM chg
+    )
+    SELECT k, event_id, event_type, round(value, 6) AS value
+    FROM latest WHERE rn = 1 AND op != 'D'
+    """,
+)
+def q366(spark: SparkSession, sf: str) -> DataFrame:
+    """Drain the events change stream (delete on 'error', upsert
+    otherwise) through the foreachBatch CDC merge sink and return the
+    committed snapshot — the lakehouse MERGE pattern end-to-end inside
+    the driver contract."""
+    import shutil
+    import tempfile
+
+    from .streaming.sinks import stream_upsert_sink
+    from .streaming.windows import stream_events
+
+    changes = stream_events(spark, sf).select(
+        F.col("user_id").alias("k"), "ts", "event_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="rts_q366_")
+    try:
+        out = stream_upsert_sink(
+            changes, ["k"], ["ts", "event_id"], "op",
+            f"{root}/snap", f"{root}/ckpt",
+        )
+        rows = out.select(
+            "k", "event_id", "event_type",
+            F.round(F.col("value"), 6).alias("value"),
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "k long, event_id long, event_type string, value double"
+    )
