@@ -1102,3 +1102,35 @@ def q366(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "k long, event_id long, event_type string, value double"
     )
+
+
+# ------------------------------------------------------------------ q367
+@query(
+    "q367_windowed_topk",
+    """
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_id % 40 AS item, CAST(count(*) AS BIGINT) AS freq
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, item, freq,
+               row_number() OVER (
+                   PARTITION BY window_start ORDER BY freq DESC, item
+               ) AS rank
+        FROM counts
+    )
+    SELECT window_start, item, freq, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q367(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed heavy hitters (6-hour tumbling windows, top-5 items):
+    the SAME windowed_item_counts code path the streaming parity test
+    drains with a watermark — here as a batch two-stage agg + rank over
+    the aggregated counts relation."""
+    from .streaming.windows import topk_per_window, windowed_item_counts
+
+    ev = load_table(spark, sf, "events")
+    counts = windowed_item_counts(ev, "6 hours", F.col("event_id") % 40)
+    return topk_per_window(counts, 5)

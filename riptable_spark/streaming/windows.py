@@ -339,3 +339,35 @@ def stream_vwap_bars(
             "n_trades",
         )
     )
+
+
+def windowed_item_counts(
+    events: DataFrame,
+    duration: str,
+    item: Column,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window item counts — ONE code path for batch and stream
+    (the parity discipline of this module): on a stream the watermark
+    bounds state and late data; on a batch frame the same expression
+    is a plain two-stage agg.  Feed the drained result to
+    :func:`topk_per_window` for windowed heavy hitters (rank windows
+    are not allowed ON a stream, and the counts relation is already
+    k-independent and tiny next to the input)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", duration).alias("win"), item.alias("item")
+    ).agg(F.count(F.lit(1)).cast("long").alias("freq")).select(
+        F.col("win.start").alias("window_start"), "item", "freq"
+    )
+
+
+def topk_per_window(counts: DataFrame, k: int) -> DataFrame:
+    """Rank the (already aggregated) per-window counts to k heavy
+    hitters per window — deterministic ties by item ascending."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.col("freq").desc(), F.col("item"))
+    return counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -456,3 +456,24 @@ def test_stream_upsert_sink_tombstone_blocks_resurrection(spark, tmp_path):
         str(tmp_path / "snap_oo"), str(tmp_path / "ckpt_oo"),
     ).collect()
     assert out == []  # key stays deleted
+
+
+def test_stream_windowed_topk_parity(spark, sf_dir, stream, tmp_path):
+    """Windowed heavy hitters: streaming windowed counts drained with
+    availableNow, then ranked — must equal the same two functions run
+    on the batch frame."""
+    import pandas as pd
+
+    item = F.col("event_id") % 40
+    got_counts = sw.run_available_now(
+        sw.windowed_item_counts(stream, "6 hours", item),
+        "wtopk_test", str(tmp_path / "ckptw"),
+    )
+    got = sw.topk_per_window(got_counts, 5).toPandas()
+    batch = sw.topk_per_window(
+        sw.windowed_item_counts(load_table(spark, sf_dir, "events"), "6 hours", item), 5
+    ).toPandas()
+    key = ["window_start", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], batch[sorted(batch.columns)])
