@@ -602,3 +602,29 @@ def test_dr_eval_zero_model_reduces_to_ips(spark):
     dr = dr_eval(dfz, ["g"], "a", "pi", "r", "num", "den", "qt", "ql", lcm=12).head()
     ips = ips_eval(df, ["g"], "a", "pi", "r", "num", "den", lcm=12).head()
     assert dr["dr_value"] == pytest.approx(ips["ips_value"])
+
+
+def test_wac_pnl_giant_single_key(spark):
+    """One 100k-row key through the Arrow scan: exercises the
+    single-group batch path and re-checks the flat-book identity
+    against the linear MtM at scale."""
+    from riptable_spark.operators.finance import pnl_curve, wac_pnl
+
+    rng = np.random.default_rng(2)
+    n = 100_000
+    sides = rng.choice([1, -1], n)
+    prices = rng.integers(5, 50, n).astype(float)
+    qtys = rng.integers(1, 4, n)
+    rows = [("u", t, int(sides[t]), float(prices[t]), int(qtys[t])) for t in range(n)]
+    df = spark.createDataFrame(rows, "k string, t long, s int, price double, q long")
+    wac = wac_pnl(df, "k", ["t"], "s", "price", "q").orderBy("t")
+    lin = pnl_curve(df, "k", "t", F.col("s"), "price", F.col("q")).orderBy("t")
+    wrows = wac.select("t", "realized_cents", "position_after").collect()
+    lrows = lin.select("t", "position", "mtm_pnl").collect()
+    flats = 0
+    for wr, lr in zip(wrows, lrows):
+        assert wr["position_after"] == lr["position"]
+        if wr["position_after"] == 0:
+            flats += 1
+            assert wr["realized_cents"] == round(lr["mtm_pnl"] * 100)
+    assert flats > 10  # the walk crosses flat many times at this length
