@@ -628,3 +628,16 @@ def test_wac_pnl_giant_single_key(spark):
             flats += 1
             assert wr["realized_cents"] == round(lr["mtm_pnl"] * 100)
     assert flats > 10  # the walk crosses flat many times at this length
+
+
+def test_grid_neighbor_join_max_cell_caps_dense_cells(spark):
+    from riptable_spark.operators.geo import grid_neighbor_join
+
+    # 50 points piled in one cell + 2 isolated neighbors elsewhere
+    pts = [(i, 10, 10) for i in range(50)] + [(100, 90000, 90000), (101, 90050, 90050)]
+    df = spark.createDataFrame(pts, "id long, la long, lo long")
+    full = grid_neighbor_join(df, "id", "la", "lo", 100).count()
+    assert full == 50 * 49 // 2 + 1
+    capped = grid_neighbor_join(df, "id", "la", "lo", 100, max_cell=10).collect()
+    # the dense cell is dropped entirely; the isolated pair survives
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
