@@ -1101,3 +1101,41 @@ def dr_eval(
         (F.col("sq") / F.col("n")).alias("dm_value"),
         (F.col("sc") / (F.lit(int(lcm)) * F.col("n"))).alias("correction"),
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    group_cols: list[str],
+    correct_col: str,
+    k: int,
+) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021, the standard
+    LLM code-eval metric): per problem with n samples of which c are
+    correct,
+
+        pass@k = 1 − C(n−c, k)/C(n, k)
+               = 1 − Π_{i=0..k−1} (n−c−i)/(n−i)
+
+    One count agg per problem, then the k-term product expanded as
+    LITERAL integer factors — numerator and denominator are exact
+    BIGINTs (n, k bounded by samples-per-problem, far inside int64 for
+    any real eval harness), so the estimate is one IEEE divide.
+    n < k yields NULL (undefined); c = 0 gives exactly 0.0; any
+    clamped factor makes pass@k exactly 1.0.
+
+    Emits group cols + (n, c, pass_at_k).
+    """
+    c = F.col(correct_col).cast("long")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("c"),
+    )
+    num = F.lit(1).cast("long")
+    den = F.lit(1).cast("long")
+    for i in range(k):
+        num = num * F.greatest(F.col("n") - F.col("c") - i, F.lit(0).cast("long"))
+        den = den * (F.col("n") - i)
+    return g.select(
+        *group_cols, "n", "c",
+        F.when(F.col("n") >= k, F.lit(1.0) - num / den).alias("pass_at_k"),
+    )

@@ -1134,3 +1134,95 @@ def q367(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     counts = windowed_item_counts(ev, "6 hours", F.col("event_id") % 40)
     return topk_per_window(counts, 5)
+
+
+# ------------------------------------------------------------------ q368
+@query(
+    "q368_pass_at_k",
+    """
+    WITH samples AS (
+        SELECT event_id % 200 AS problem,
+               CASE WHEN value > 500 THEN 1 ELSE 0 END AS ok
+        FROM events
+    ),
+    g AS (
+        SELECT problem, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ok) AS BIGINT) AS c
+        FROM samples GROUP BY problem
+    )
+    SELECT problem, n, c,
+           CASE WHEN n >= 5 THEN
+               1.0 - CAST(greatest(n - c, 0) * greatest(n - c - 1, 0)
+                        * greatest(n - c - 2, 0) * greatest(n - c - 3, 0)
+                        * greatest(n - c - 4, 0) AS DOUBLE)
+                   / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+           END AS pass_at_k
+    FROM g
+    """,
+)
+def q368(spark: SparkSession, sf: str) -> DataFrame:
+    """pass@5 per synthetic problem (200 problems, correct = value >
+    500): the unbiased combinatorial estimator as exact BIGINT factor
+    products and one divide — the LLM code-eval metric at relation
+    scale."""
+    from .functions.stats import pass_at_k
+
+    ev = load_table(spark, sf, "events").select(
+        (F.col("event_id") % 200).alias("problem"),
+        (F.col("value") > 500).cast("long").alias("ok"),
+    )
+    return pass_at_k(ev, ["problem"], "ok", 5)
+
+
+# ------------------------------------------------------------------ q369
+@query(
+    "q369_budget_mixture",
+    """
+    WITH toks AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source
+    ),
+    wts AS (
+        SELECT source, total_chars,
+               CAST(round(sqrt(CAST(total_chars AS DOUBLE)) * 1000) AS BIGINT) AS weight
+        FROM toks
+    ),
+    tot AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM wts),
+    base AS (
+        SELECT source, total_chars, weight,
+               CAST(1000000 AS BIGINT) * weight // W AS base,
+               (CAST(1000000 AS BIGINT) * weight) % W AS rem
+        FROM wts CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT source, total_chars, weight, base, rem,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk,
+               1000000 - sum(base) OVER () AS leftover
+        FROM base
+    )
+    SELECT source, total_chars, weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS allocated
+    FROM ranked
+    """,
+)
+def q369(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mixture token budgeting: per-source char mass →
+    temperature-flattened weights (T=2 ⇒ √mass — sqrt is correctly
+    rounded, so the integer weights are engine-identical) → Hamilton
+    apportionment of a 1M-token budget.  Composes text mass accounting
+    with allocate_proportional end to end."""
+    from .operators.reshape import allocate_proportional
+
+    d = load_table(spark, sf, "documents")
+    wts = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("total_chars")
+    ).select(
+        "source", "total_chars",
+        F.round(F.sqrt(F.col("total_chars").cast("double")) * 1000)
+        .cast("bigint").alias("w"),
+    )
+    out = allocate_proportional(wts, ["source", "total_chars"], "w", 1000000)
+    return out.select(
+        "source", "total_chars", F.col("weight"), "allocated"
+    )

@@ -641,3 +641,25 @@ def test_grid_neighbor_join_max_cell_caps_dense_cells(spark):
     capped = grid_neighbor_join(df, "id", "la", "lo", 100, max_cell=10).collect()
     # the dense cell is dropped entirely; the isolated pair survives
     assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+
+
+def test_pass_at_k_known_values(spark):
+    from math import comb
+
+    from riptable_spark.functions.stats import pass_at_k
+
+    # problem p: n samples, c correct → compare to the combinatorial form
+    cases = [("a", 10, 3), ("b", 5, 0), ("c", 5, 5), ("d", 2, 1)]  # d: n < k
+    rows = []
+    for p, n, c in cases:
+        rows += [(p, 1)] * c + [(p, 0)] * (n - c)
+    df = spark.createDataFrame(rows, "p string, ok long")
+    out = {r["p"]: r for r in pass_at_k(df, ["p"], "ok", 3).collect()}
+    for p, n, c in cases:
+        if n < 3:
+            assert out[p]["pass_at_k"] is None
+        else:
+            expect = 1 - comb(n - c, 3) / comb(n, 3)
+            assert out[p]["pass_at_k"] == pytest.approx(expect, abs=1e-15)
+    assert out["b"]["pass_at_k"] == 0.0
+    assert out["c"]["pass_at_k"] == 1.0
