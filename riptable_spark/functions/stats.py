@@ -1139,3 +1139,68 @@ def pass_at_k(
         *group_cols, "n", "c",
         F.when(F.col("n") >= k, F.lit(1.0) - num / den).alias("pass_at_k"),
     )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    val_col: str,
+    n_replicas: int = 50,
+    id_cols: list[str] | None = None,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the MEAN — the
+    online-Poisson-bootstrap construction (each replica gives every row
+    an independent multiplicity with E[m] = 1), made fully DETERMINISTIC
+    by drawing the multiplicity from a hash instead of an RNG, the same
+    no-RNG discipline as permutation_test / hash_split.
+
+    m_b(row) = #{j < 8 : h(row, b, j) ≡ 0 (mod 8)} ~ Binomial(8, 1/8)
+    ≈ Poisson(1).  One explode over the replica index, ONE two-stage
+    agg of (Σm·x, Σm) per replica (the fact table is scanned once for
+    all replicas), then the replica-mean quantiles over the tiny
+    B-row relation.  With integer values the per-replica sums are
+    exact, so the whole construction SQL-replays.
+
+    Returns one row: (mean, ci_lo, ci_hi, n_replicas).
+    """
+    ids = list(id_cols or [])
+    idexpr = F.concat_ws("|", *[F.col(c).cast("string") for c in ids]) if ids else F.col(val_col).cast("string")
+    from ..operators.dedup import _base_hash64
+
+    x = F.col(val_col).cast("long")
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_replicas) - 1))).alias("b")
+    work = df.select(x.alias("__x__"), idexpr.alias("__id__")).select(
+        "__x__", "__id__", b
+    )
+    draws = [
+        F.when(
+            F.pmod(
+                _base_hash64(
+                    F.concat_ws("#", F.col("__id__"), F.col("b").cast("string"), F.lit(str(j))),
+                    hash_kind,
+                ),
+                F.lit(8),
+            ) == 0,
+            1,
+        ).otherwise(0)
+        for j in range(8)
+    ]
+    m = draws[0]
+    for d in draws[1:]:
+        m = m + d
+    per = work.withColumn("__m__", m.cast("long")).groupBy("b").agg(
+        F.sum(F.col("__m__") * F.col("__x__")).cast("long").alias("sx"),
+        F.sum("__m__").cast("long").alias("sm"),
+    )
+    means = per.where(F.col("sm") > 0).select(
+        (F.col("sx") / F.col("sm")).alias("rep_mean")
+    )
+    base = df.agg((F.sum(x) / F.count(F.lit(1))).alias("mean"))
+    ci = means.agg(
+        F.percentile(F.col("rep_mean"), F.lit(float(lo_q))).alias("ci_lo"),
+        F.percentile(F.col("rep_mean"), F.lit(float(hi_q))).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+    )
+    return base.crossJoin(F.broadcast(ci))

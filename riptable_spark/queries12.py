@@ -1226,3 +1226,67 @@ def q369(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "source", "total_chars", F.col("weight"), "allocated"
     )
+
+
+# ------------------------------------------------------------------ q370
+@query(
+    "q370_bootstrap_ci",
+    """
+    WITH rows_in AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(event_id AS VARCHAR) AS id
+        FROM events
+    ),
+    reps AS (
+        SELECT x, id, b
+        FROM rows_in, unnest(range(0, 40)) AS t(b)
+    ),
+    mult AS (
+        SELECT b, x,
+            (CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#0'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#1'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#2'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#3'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#4'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#5'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#6'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#7'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
+            ) AS m
+        FROM reps
+    ),
+    per AS (
+        SELECT b, CAST(sum(m * x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm
+        FROM mult GROUP BY b
+    ),
+    means AS (
+        SELECT CAST(sx AS DOUBLE) / sm AS rep_mean FROM per WHERE sm > 0
+    ),
+    base AS (
+        SELECT CAST(sum(x) AS DOUBLE) / count(*) AS mean FROM rows_in
+    )
+    SELECT round(base.mean, 9) AS mean,
+           round((SELECT quantile_cont(rep_mean, 0.025) FROM means), 9) AS ci_lo,
+           round((SELECT quantile_cont(rep_mean, 0.975) FROM means), 9) AS ci_hi,
+           (SELECT CAST(count(*) AS BIGINT) FROM means) AS n_replicas
+    FROM base
+    """,
+)
+def q370(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Poisson-ish bootstrap CI for the mean of cents
+    (40 replicas, Binomial(8,1/8) hash multiplicities, portable md5
+    draws): one scan of the fact table for ALL replicas, exact integer
+    per-replica sums, quantiles over the 40-row replica relation —
+    fully SQL-replayed including the hash draws."""
+    from .functions.stats import bootstrap_ci
+
+    ev = load_table(spark, sf, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    out = bootstrap_ci(ev, "cents", n_replicas=40, id_cols=["event_id"])
+    return out.select(
+        F.round(F.col("mean"), 9).alias("mean"),
+        F.round(F.col("ci_lo"), 9).alias("ci_lo"),
+        F.round(F.col("ci_hi"), 9).alias("ci_hi"),
+        "n_replicas",
+    )

@@ -663,3 +663,35 @@ def test_pass_at_k_known_values(spark):
             assert out[p]["pass_at_k"] == pytest.approx(expect, abs=1e-15)
     assert out["b"]["pass_at_k"] == 0.0
     assert out["c"]["pass_at_k"] == 1.0
+
+
+def test_bootstrap_ci_brackets_mean_and_narrows(spark):
+    from riptable_spark.functions.stats import bootstrap_ci
+
+    rng = np.random.default_rng(8)
+    small = [(int(i), int(v)) for i, v in enumerate(rng.integers(0, 100, 50))]
+    big = [(int(i), int(v)) for i, v in enumerate(rng.integers(0, 100, 2000))]
+    out_s = bootstrap_ci(
+        spark.createDataFrame(small, "i long, v long"), "v",
+        n_replicas=40, id_cols=["i"],
+    ).head()
+    out_b = bootstrap_ci(
+        spark.createDataFrame(big, "i long, v long"), "v",
+        n_replicas=40, id_cols=["i"],
+    ).head()
+    for o, data in [(out_s, small), (out_b, big)]:
+        mean = sum(v for _, v in data) / len(data)
+        assert o["mean"] == pytest.approx(mean)
+        assert o["ci_lo"] <= mean <= o["ci_hi"]
+        assert o["n_replicas"] == 40
+    # more data → tighter interval
+    assert (out_b["ci_hi"] - out_b["ci_lo"]) < (out_s["ci_hi"] - out_s["ci_lo"])
+
+
+def test_bootstrap_ci_deterministic(spark):
+    from riptable_spark.functions.stats import bootstrap_ci
+
+    df = spark.createDataFrame([(i, i % 17) for i in range(300)], "i long, v long")
+    a = bootstrap_ci(df, "v", n_replicas=25, id_cols=["i"]).head()
+    b = bootstrap_ci(df, "v", n_replicas=25, id_cols=["i"]).head()
+    assert a == b
