@@ -1204,3 +1204,55 @@ def bootstrap_ci(
         F.count(F.lit(1)).cast("long").alias("n_replicas"),
     )
     return base.crossJoin(F.broadcast(ci))
+
+
+def isotonic_fit(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    y_col: str,
+    out_col: str = "iso_fit",
+) -> DataFrame:
+    """Per-key isotonic (monotone nondecreasing) L2 regression of ``y``
+    along the given row order — the calibration workhorse behind
+    monotone probability calibration and dose-response fits.
+
+    Pool-adjacent-violators (PAVA) is inherently sequential, so it runs
+    as ONE Arrow-batched applyInPandas scan per key (the ema/fifo
+    contract).  Block means are kept as INTEGER (sum, count) pairs and
+    divided once at the end, so with integer ``y`` the fitted values
+    are exact BIGINT ratios — bit-identical to the minimax
+    characterization ŷ_i = max_{j≤i} min_{k≥i} mean(y[j..k]) that the
+    oracle computes with a completely different O(n³) algorithm.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.DoubleType())]
+    )
+    cols = list(df.columns)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        y = pdf[y_col].to_numpy(dtype=np.int64)
+        # PAVA with (sum, count) integer blocks
+        sums: list[int] = []
+        cnts: list[int] = []
+        sizes: list[int] = []
+        for v in y:
+            sums.append(int(v)); cnts.append(1); sizes.append(1)
+            # pool while the last block mean < previous block mean
+            while len(sums) > 1 and sums[-2] * cnts[-1] > sums[-1] * cnts[-2]:
+                s, c, z = sums.pop(), cnts.pop(), sizes.pop()
+                sums[-1] += s; cnts[-1] += c; sizes[-1] += z
+        fit = np.empty(len(y), dtype=np.float64)
+        pos = 0
+        for s, c, z in zip(sums, cnts, sizes):
+            fit[pos: pos + z] = s / c
+            pos += z
+        pdf[out_col] = fit
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(*keys).applyInPandas(scan, schema)

@@ -1290,3 +1290,53 @@ def q370(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("ci_hi"), 9).alias("ci_hi"),
         "n_replicas",
     )
+
+
+# ------------------------------------------------------------------ q371
+@query(
+    "q371_isotonic",
+    """
+    WITH base AS (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE user_id < 40
+    ),
+    pre AS (
+        SELECT user_id, event_id, i, y,
+               CAST(sum(y) OVER (PARTITION BY user_id ORDER BY i) AS BIGINT) AS s
+        FROM base
+    ),
+    rng AS (
+        SELECT a.user_id, a.i AS j, b.i AS k,
+               CAST(b.s - a.s + a.y AS DOUBLE) / (b.i - a.i + 1) AS avg
+        FROM pre a JOIN pre b ON b.user_id = a.user_id AND b.i >= a.i
+    ),
+    inner_min AS (
+        SELECT r.user_id, p.i, r.j, min(r.avg) AS mn
+        FROM rng r
+        JOIN base p ON p.user_id = r.user_id AND p.i >= r.j AND p.i <= r.k
+        GROUP BY r.user_id, p.i, r.j
+    ),
+    fit AS (
+        SELECT user_id, i, max(mn) AS iso_fit
+        FROM inner_min GROUP BY user_id, i
+    )
+    SELECT b.user_id, b.event_id, f.iso_fit
+    FROM base b JOIN fit f ON f.user_id = b.user_id AND f.i = b.i
+    """,
+)
+def q371(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic regression of cents along each user's event order
+    (users < 40): Spark runs linear-time PAVA with integer (sum, count)
+    blocks; the oracle evaluates the O(n³) minimax characterization
+    max_{j≤i} min_{k≥i} mean(y[j..k]) from exact integer prefix sums —
+    two unrelated algorithms, bit-identical fits, no rounding."""
+    from .functions.stats import isotonic_fit
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") < 40).select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    out = isotonic_fit(ev, ["user_id"], ["ts", "event_id"], "y")
+    return out.select("user_id", "event_id", "iso_fit")

@@ -695,3 +695,43 @@ def test_bootstrap_ci_deterministic(spark):
     a = bootstrap_ci(df, "v", n_replicas=25, id_cols=["i"]).head()
     b = bootstrap_ci(df, "v", n_replicas=25, id_cols=["i"]).head()
     assert a == b
+
+
+def _isotonic_reference(ys):
+    """Minimax characterization: ŷ_i = max_{j≤i} min_{k≥i} mean(y[j..k])."""
+    n = len(ys)
+    pre = [0]
+    for v in ys:
+        pre.append(pre[-1] + v)
+    out = []
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            m = min((pre[k + 1] - pre[j]) / (k + 1 - j) for k in range(i, n))
+            best = m if best is None else max(best, m)
+        out.append(best)
+    return out
+
+
+def test_isotonic_fit_matches_minimax(spark):
+    from riptable_spark.functions.stats import isotonic_fit
+
+    rng = np.random.default_rng(27)
+    for trial in range(3):
+        ys = [int(v) for v in rng.integers(0, 50, 40)]
+        rows = [("k", t, ys[t]) for t in range(40)]
+        df = spark.createDataFrame(rows, "k string, t long, y long")
+        got = [r["iso_fit"] for r in
+               isotonic_fit(df, ["k"], ["t"], "y").orderBy("t").collect()]
+        expect = _isotonic_reference(ys)
+        assert got == pytest.approx(expect, abs=1e-12)
+        assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))  # monotone
+
+
+def test_isotonic_fit_monotone_input_unchanged(spark):
+    from riptable_spark.functions.stats import isotonic_fit
+
+    rows = [("k", t, t * 2) for t in range(20)]
+    df = spark.createDataFrame(rows, "k string, t long, y long")
+    got = [r["iso_fit"] for r in isotonic_fit(df, ["k"], ["t"], "y").orderBy("t").collect()]
+    assert got == [float(t * 2) for t in range(20)]
