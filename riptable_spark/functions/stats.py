@@ -1256,3 +1256,91 @@ def isotonic_fit(
         return pdf[cols + [out_col]]
 
     return df.groupBy(*keys).applyInPandas(scan, schema)
+
+
+def conformal_interval(
+    cal_df: DataFrame,
+    test_df: DataFrame,
+    yhat_col: str,
+    y_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split conformal prediction: the residual-quantile wrapper that
+    turns ANY point predictor into a distribution-free interval with
+    ≥ 1−α coverage guarantee (under exchangeability).
+
+    q̂ = the ⌈(n+1)(1−α)⌉/n empirical quantile of |y − ŷ| on the
+    calibration set — computed EXACTLY via the value-domain rank walk
+    (one agg to distinct-residual counts, cumulative over that tiny
+    relation; with integer-scaled inputs the residuals are exact
+    BIGINTs, so the threshold is a value from the data, not an
+    interpolation).  The test relation gets [ŷ − q̂, ŷ + q̂] attached
+    via a 1-row broadcast.
+    """
+    import math
+
+    r = F.abs(F.col(y_col).cast("long") - F.col(yhat_col).cast("long"))
+    per = cal_df.select(r.alias("res")).groupBy("res").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("res").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.withColumn("cum", F.sum("cnt").over(w))
+    n_row = cal_df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # rank ⌈(n+1)(1−α)⌉ clamped to n (conformal finite-sample correction)
+    qhat = (
+        cum.crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "need",
+            F.least(F.ceil((F.col("n") + 1) * F.lit(1.0 - alpha)).cast("long"), F.col("n")),
+        )
+        .where(F.col("cum") >= F.col("need"))
+        .agg(F.min("res").cast("long").alias("qhat"))
+    )
+    out = test_df.crossJoin(F.broadcast(qhat))
+    return out.withColumn(
+        "pi_lo", F.col(yhat_col).cast("long") - F.col("qhat")
+    ).withColumn("pi_hi", F.col(yhat_col).cast("long") + F.col("qhat"))
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_cols: list[str],
+    rank_col: str,
+    rel_col: str,
+    k: int,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Exact NDCG@k per query: discount weights 1/log2(rank+1) are
+    precomputed in PYTHON and shipped as the SAME integer literals
+    round(scale/log2(i+1)) to both engines — so DCG and ideal DCG are
+    exact BIGINT dot products (association-free), and NDCG is one
+    divide of exact integers.  The ideal ranking sorts relevance
+    descending within the query (ties don't matter — equal rel ⇒ equal
+    contribution).  Queries with zero total relevance yield NULL.
+    """
+    import math
+
+    weights = [int(round(scale / math.log2(i + 2))) for i in range(k)]
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(i + 1) for i in range(k)]),
+        F.array(*[F.lit(w).cast("long") for w in weights]),
+    )
+    rel = F.col(rel_col).cast("long")
+    d = df.select(*query_cols, F.col(rank_col).cast("int").alias("__rk__"), rel.alias("__rel__"))
+    dcg = d.where(F.col("__rk__") <= k).select(
+        *query_cols, (F.element_at(wmap, F.col("__rk__")) * F.col("__rel__")).alias("__g__")
+    ).groupBy(*query_cols).agg(F.sum("__g__").cast("long").alias("dcg_scaled"))
+    iw = Window.partitionBy(*query_cols).orderBy(F.col("__rel__").desc(), F.col("__rk__"))
+    ideal = d.withColumn("__irk__", F.row_number().over(iw)).where(
+        F.col("__irk__") <= k
+    ).select(
+        *query_cols, (F.element_at(wmap, F.col("__irk__")) * F.col("__rel__")).alias("__g__")
+    ).groupBy(*query_cols).agg(F.sum("__g__").cast("long").alias("idcg_scaled"))
+    out = ideal.join(dcg, on=query_cols, how="left")
+    return out.select(
+        *query_cols,
+        F.coalesce(F.col("dcg_scaled"), F.lit(0)).cast("long").alias("dcg_scaled"),
+        "idcg_scaled",
+        F.when(F.col("idcg_scaled") > 0,
+               F.coalesce(F.col("dcg_scaled"), F.lit(0)) / F.col("idcg_scaled")).alias("ndcg"),
+    )

@@ -1340,3 +1340,112 @@ def q371(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = isotonic_fit(ev, ["user_id"], ["ts", "event_id"], "y")
     return out.select("user_id", "event_id", "iso_fit")
+
+
+# ------------------------------------------------------------------ q372
+@query(
+    "q372_conformal_interval",
+    """
+    WITH base AS (
+        SELECT event_id, user_id,
+               CAST(500 + user_id % 100 AS BIGINT) AS yhat,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    cal AS (SELECT * FROM base WHERE event_id % 3 != 0),
+    res AS (
+        SELECT abs(y - yhat) AS res, count(*) AS cnt
+        FROM cal GROUP BY abs(y - yhat)
+    ),
+    cum AS (
+        SELECT res, sum(cnt) OVER (ORDER BY res ROWS UNBOUNDED PRECEDING) AS cum
+        FROM res
+    ),
+    nn AS (SELECT count(*) AS n FROM cal),
+    q AS (
+        SELECT CAST(min(res) AS BIGINT) AS qhat
+        FROM cum CROSS JOIN nn
+        WHERE cum >= least(CAST(ceil((n + 1) * 0.9) AS BIGINT), n)
+    )
+    SELECT b.event_id, b.user_id, b.y, q.qhat,
+           b.yhat - q.qhat AS pi_lo, b.yhat + q.qhat AS pi_hi
+    FROM base b CROSS JOIN q
+    WHERE b.event_id % 3 = 0
+    """,
+)
+def q372(spark: SparkSession, sf: str) -> DataFrame:
+    """Split conformal intervals for a toy model (ŷ = 500 + user%100)
+    on the event_id%3 holdout: the exact ⌈(n+1)(1−α)⌉ residual-rank
+    threshold via the value-domain cumulative walk, broadcast onto the
+    test relation — distribution-free coverage with zero floats."""
+    from .functions.stats import conformal_interval
+
+    base = load_table(spark, sf, "events").select(
+        "event_id", "user_id",
+        (500 + F.col("user_id") % 100).cast("bigint").alias("yhat"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    cal = base.where(F.col("event_id") % 3 != 0)
+    test = base.where(F.col("event_id") % 3 == 0)
+    out = conformal_interval(cal, test, "yhat", "y", alpha=0.1)
+    return out.select("event_id", "user_id", "y", "qhat", "pi_lo", "pi_hi")
+
+
+# ------------------------------------------------------------------ q373
+@query(
+    "q373_ndcg",
+    """
+    WITH ranked AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+               event_id % 4 AS rel
+        FROM events
+    ),
+    w(rk, wt) AS (
+        VALUES (1, 1000000000000), (2, 630929753571), (3, 500000000000),
+               (4, 430676558073), (5, 386852807235), (6, 356207187108),
+               (7, 333333333333), (8, 315464876786), (9, 301029995664),
+               (10, 289064826318)
+    ),
+    dcg AS (
+        SELECT r.user_id, CAST(sum(w.wt * r.rel) AS BIGINT) AS dcg_scaled
+        FROM ranked r JOIN w ON w.rk = r.rk
+        WHERE r.rk <= 10 GROUP BY r.user_id
+    ),
+    ideal_ranked AS (
+        SELECT user_id, rel,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY rel DESC, rk
+               ) AS irk
+        FROM ranked
+    ),
+    idcg AS (
+        SELECT i.user_id, CAST(sum(w.wt * i.rel) AS BIGINT) AS idcg_scaled
+        FROM ideal_ranked i JOIN w ON w.rk = i.irk
+        WHERE i.irk <= 10 GROUP BY i.user_id
+    )
+    SELECT idcg.user_id,
+           CAST(coalesce(dcg.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+           idcg.idcg_scaled,
+           CASE WHEN idcg.idcg_scaled > 0
+                THEN CAST(coalesce(dcg.dcg_scaled, 0) AS DOUBLE) / idcg.idcg_scaled
+           END AS ndcg
+    FROM idcg LEFT JOIN dcg ON dcg.user_id = idcg.user_id
+    """,
+)
+def q373(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 per user (relevance = event_id%4, system order = event
+    time): discount weights shipped as IDENTICAL integer literals to
+    both engines, so DCG/IDCG are exact BIGINT dot products and NDCG
+    is one divide — no float sum association anywhere."""
+    from .functions.stats import ndcg_at_k
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.row_number().over(w).alias("rk"),
+        (F.col("event_id") % 4).alias("rel"),
+    )
+    return ndcg_at_k(ev, ["user_id"], "rk", "rel", 10)

@@ -735,3 +735,54 @@ def test_isotonic_fit_monotone_input_unchanged(spark):
     df = spark.createDataFrame(rows, "k string, t long, y long")
     got = [r["iso_fit"] for r in isotonic_fit(df, ["k"], ["t"], "y").orderBy("t").collect()]
     assert got == [float(t * 2) for t in range(20)]
+
+
+def test_conformal_interval_coverage(spark):
+    from riptable_spark.functions.stats import conformal_interval
+
+    rng = np.random.default_rng(6)
+    # y = yhat + noise in [-20, 20]
+    def mk(n, seed_off):
+        return [(int(i), int(100 + (i % 37)), int(100 + (i % 37) + rng.integers(-20, 21)))
+                for i in range(n)]
+    cal = spark.createDataFrame(mk(400, 0), "i long, yhat long, y long")
+    test = spark.createDataFrame(mk(300, 1), "i long, yhat long, y long")
+    out = conformal_interval(cal, test, "yhat", "y", alpha=0.1).collect()
+    covered = sum(1 for r in out if r["pi_lo"] <= r["y"] <= r["pi_hi"])
+    assert covered / len(out) >= 0.88  # ≥ 1−α up to sampling noise
+    q = out[0]["qhat"]
+    assert 0 < q <= 20
+
+
+def test_conformal_qhat_exact_rank(spark):
+    from riptable_spark.functions.stats import conformal_interval
+
+    # residuals 1..10 on calibration; alpha=0.2 → need ceil(11·0.8)=9 → qhat=9
+    cal = spark.createDataFrame([(i, 0, i) for i in range(1, 11)], "i long, yhat long, y long")
+    test = spark.createDataFrame([(0, 50, 50)], "i long, yhat long, y long")
+    r = conformal_interval(cal, test, "yhat", "y", alpha=0.2).head()
+    assert r["qhat"] == 9 and r["pi_lo"] == 41 and r["pi_hi"] == 59
+
+
+def test_ndcg_at_k_known(spark):
+    import math
+
+    from riptable_spark.functions.stats import ndcg_at_k
+
+    # query q: ranked rels [3, 2, 3, 0, 1, 2] → classic example
+    rels = [3, 2, 3, 0, 1, 2]
+    rows = [("q", i + 1, rels[i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "q string, rank long, rel long")
+    out = ndcg_at_k(df, ["q"], "rank", "rel", 6).head()
+    dcg = sum(r / math.log2(i + 2) for i, r in enumerate(rels))
+    idcg = sum(r / math.log2(i + 2) for i, r in enumerate(sorted(rels, reverse=True)))
+    assert out["ndcg"] == pytest.approx(dcg / idcg, abs=1e-9)
+    # perfect ranking → 1.0 exactly
+    perfect = spark.createDataFrame(
+        [("p", i + 1, r) for i, r in enumerate(sorted(rels, reverse=True))],
+        "q string, rank long, rel long",
+    )
+    assert ndcg_at_k(perfect, ["q"], "rank", "rel", 6).head()["ndcg"] == 1.0
+    # zero relevance → NULL
+    zero = spark.createDataFrame([("z", 1, 0), ("z", 2, 0)], "q string, rank long, rel long")
+    assert ndcg_at_k(zero, ["q"], "rank", "rel", 2).head()["ndcg"] is None
