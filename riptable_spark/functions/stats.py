@@ -1344,3 +1344,47 @@ def ndcg_at_k(
         F.when(F.col("idcg_scaled") > 0,
                F.coalesce(F.col("dcg_scaled"), F.lit(0)) / F.col("idcg_scaled")).alias("ndcg"),
     )
+
+
+def map_at_k(
+    df: DataFrame,
+    query_cols: list[str],
+    rank_col: str,
+    rel_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact Average Precision @k per query (binary relevance):
+
+        AP@k = (1/R) Σ_{i≤k} rel_i · (hits_i / i),   hits_i = Σ_{j≤i} rel_j
+
+    Every term is made integer by scaling with L = lcm(1..k):
+    Σ rel_i·hits_i·(L/i) is an exact BIGINT, R = min(total relevant, k)
+    is the standard @k normalizer, and AP = scaled/(L·R) is one divide.
+    One running-sum window per query + one agg.  Queries with zero
+    relevant items yield NULL.
+    """
+    import math
+
+    L = math.lcm(*range(1, k + 1))
+    rel = F.col(rel_col).cast("long")
+    d = df.select(
+        *query_cols, F.col(rank_col).cast("int").alias("__rk__"), rel.alias("__rel__")
+    )
+    w = Window.partitionBy(*query_cols).orderBy("__rk__").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = d.withColumn("__hits__", F.sum("__rel__").over(w))
+    contrib = F.when(
+        (F.col("__rk__") <= k) & (F.col("__rel__") > 0),
+        F.col("__hits__") * F.lit(int(L)).cast("long") / F.col("__rk__"),
+    ).otherwise(F.lit(0)).cast("long")
+    g = d.groupBy(*query_cols).agg(
+        F.sum(contrib).cast("long").alias("ap_scaled"),
+        F.sum(F.when(F.col("__rk__") <= k, F.col("__rel__")).otherwise(0)).cast("long").alias("hits_at_k"),
+        F.sum("__rel__").cast("long").alias("total_rel"),
+    )
+    r_norm = F.least(F.col("total_rel"), F.lit(k).cast("long"))
+    return g.select(
+        *query_cols, "ap_scaled", "hits_at_k", "total_rel",
+        F.when(r_norm > 0, F.col("ap_scaled") / (F.lit(int(L)) * r_norm)).alias("ap_at_k"),
+    )

@@ -1449,3 +1449,52 @@ def q373(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_id") % 4).alias("rel"),
     )
     return ndcg_at_k(ev, ["user_id"], "rk", "rel", 10)
+
+
+# ------------------------------------------------------------------ q374
+@query(
+    "q374_map_at_k",
+    """
+    WITH ranked AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+               CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS rel
+        FROM events
+    ),
+    hits AS (
+        SELECT user_id, rk, rel,
+               CAST(sum(rel) OVER (
+                   PARTITION BY user_id ORDER BY rk ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS h
+        FROM ranked
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN rk <= 10 AND rel > 0
+                        THEN h * 2520 // rk ELSE 0 END) AS BIGINT) AS ap_scaled,
+               CAST(sum(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS BIGINT) AS hits_at_k,
+               CAST(sum(rel) AS BIGINT) AS total_rel
+        FROM hits GROUP BY user_id
+    )
+    SELECT user_id, ap_scaled, hits_at_k, total_rel,
+           CASE WHEN least(total_rel, 10) > 0
+                THEN CAST(ap_scaled AS DOUBLE) / (2520 * least(total_rel, 10)) END AS ap_at_k
+    FROM g
+    """,
+)
+def q374(spark: SparkSession, sf: str) -> DataFrame:
+    """MAP@10 per user (relevant = event_id divisible by 4): the
+    average-precision sum scaled by lcm(1..10)=2520 stays an exact
+    BIGINT; AP is one divide — completes the exact ranking-eval trio
+    with recall_at_k (q-tests) and NDCG (q373)."""
+    from pyspark.sql import Window
+
+    from .functions.stats import map_at_k
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.row_number().over(w).alias("rk"),
+        F.when(F.col("event_id") % 4 == 0, 1).otherwise(0).alias("rel"),
+    )
+    return map_at_k(ev, ["user_id"], "rk", "rel", 10)

@@ -786,3 +786,21 @@ def test_ndcg_at_k_known(spark):
     # zero relevance → NULL
     zero = spark.createDataFrame([("z", 1, 0), ("z", 2, 0)], "q string, rank long, rel long")
     assert ndcg_at_k(zero, ["q"], "rank", "rel", 2).head()["ndcg"] is None
+
+
+def test_map_at_k_known(spark):
+    from riptable_spark.functions.stats import map_at_k
+
+    # rels at ranks: [1,0,1,0,1] → AP@5 = (1/3)(1/1 + 2/3 + 3/5)
+    rows = [("q", i + 1, r) for i, r in enumerate([1, 0, 1, 0, 1])]
+    df = spark.createDataFrame(rows, "q string, rank long, rel long")
+    out = map_at_k(df, ["q"], "rank", "rel", 5).head()
+    assert out["ap_at_k"] == pytest.approx((1 + 2 / 3 + 3 / 5) / 3, abs=1e-12)
+    # perfect: all top-R relevant → AP = 1
+    perfect = spark.createDataFrame(
+        [("p", 1, 1), ("p", 2, 1), ("p", 3, 0)], "q string, rank long, rel long"
+    )
+    assert map_at_k(perfect, ["q"], "rank", "rel", 3).head()["ap_at_k"] == 1.0
+    # no relevant → NULL
+    none = spark.createDataFrame([("z", 1, 0)], "q string, rank long, rel long")
+    assert map_at_k(none, ["q"], "rank", "rel", 3).head()["ap_at_k"] is None
