@@ -585,3 +585,26 @@ def kwic(
             F.substring(t, start, length).alias("snippet"),
         )
     )
+
+
+def code_line_count(col: Column) -> Column:
+    """Lines that look like source code: braces/semicolon endings,
+    keyword starts (def/class/import/return/if(/for(), assignment with
+    operators, or ≥4-space indentation.  Pure regexp_count codegen."""
+    pat = (
+        r"(?m)^(\s{4,}\S.*"                       # deep indentation
+        r"|.*[;{}]\s*$"                            # C-ish line ends
+        r"|\s*(def |class |import |from |return |if\s*\(|for\s*\(|while\s*\(|#include|function ).*"
+        r"|\s*[A-Za-z_][A-Za-z0-9_\.\[\]]*\s*(=|\+=|-=|\*=|==)\s*\S.*)$"
+    )
+    return F.regexp_count(col, F.lit(pat))
+
+
+def code_score(col: Column) -> Column:
+    """Fraction of lines that look like code (0 when empty) — the
+    cheap code-vs-prose router for mixed corpora; threshold ~0.3 for
+    'mostly code'."""
+    lines = F.size(F.split(col, "\n"))
+    return F.when(
+        col.isNull() | (F.length(col) == 0), F.lit(0.0)
+    ).otherwise(code_line_count(col) / lines)

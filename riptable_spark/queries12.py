@@ -1498,3 +1498,53 @@ def q374(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("event_id") % 4 == 0, 1).otherwise(0).alias("rel"),
     )
     return map_at_k(ev, ["user_id"], "rk", "rel", 10)
+
+
+# ------------------------------------------------------------------ q375
+@query(
+    "q375_code_score",
+    """
+    WITH synth AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'def f(x):' || chr(10) || '    return x + 1;' || chr(10) || substr(text, 1, 40)
+               WHEN doc_id % 3 = 1 THEN
+                   substr(text, 1, 60) || chr(10) || 'y = f(2)' || chr(10) || 'import os'
+               ELSE substr(text, 1, 80) END AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t,
+                   '(?m)^(\\s{4,}\\S.*|.*[;{}]\\s*$|\\s*(def |class |import |from |return |if\\s*\\(|for\\s*\\(|while\\s*\\(|#include|function ).*|\\s*[A-Za-z_][A-Za-z0-9_\\.\\[\\]]*\\s*(=|\\+=|-=|\\*=|==)\\s*\\S.*)$'
+               )) AS code_lines,
+               len(string_split(t, chr(10))) AS n_lines
+        FROM synth
+    )
+    SELECT doc_id, CAST(code_lines AS BIGINT) AS code_lines,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(code_lines AS DOUBLE) / n_lines AS code_score
+    FROM scored
+    """,
+)
+def q375(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-vs-prose routing score over deterministically synthesized
+    mixed documents: regexp line classifier (Java∩RE2 pattern subset)
+    — exact integer line counts, one divide."""
+    from .operators.text import code_line_count
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    t = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("def f(x):\n    return x + 1;\n"), F.substring("text", 1, 40)))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.substring("text", 1, 60), F.lit("\ny = f(2)\nimport os")))
+        .otherwise(F.substring("text", 1, 80))
+    )
+    synth = d.select("doc_id", t.alias("t"))
+    return synth.select(
+        "doc_id",
+        code_line_count(F.col("t")).cast("bigint").alias("code_lines"),
+        F.size(F.split(F.col("t"), "\n")).cast("bigint").alias("n_lines"),
+        (code_line_count(F.col("t")) / F.size(F.split(F.col("t"), "\n"))).alias("code_score"),
+    )

@@ -804,3 +804,16 @@ def test_map_at_k_known(spark):
     # no relevant → NULL
     none = spark.createDataFrame([("z", 1, 0)], "q string, rank long, rel long")
     assert map_at_k(none, ["q"], "rank", "rel", 3).head()["ap_at_k"] is None
+
+
+def test_code_score_separates_code_from_prose(spark):
+    from riptable_spark.operators.text import code_score
+
+    code = "def f(x):\n    return x + 1\n\nimport os\ny = f(2);"
+    prose = "The quick brown fox jumps over the lazy dog.\nIt was a sunny day."
+    df = spark.createDataFrame([(1, code), (2, prose), (3, ""), (4, None)],
+                               "i long, t string")
+    out = {r["i"]: r["s"] for r in df.select("i", code_score(F.col("t")).alias("s")).collect()}
+    assert out[1] > 0.5
+    assert out[2] == 0.0 and out[3] == 0.0 and out[4] == 0.0
+    assert out[2] == 0.0
