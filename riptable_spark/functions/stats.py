@@ -1388,3 +1388,81 @@ def map_at_k(
         *query_cols, "ap_scaled", "hits_at_k", "total_rel",
         F.when(r_norm > 0, F.col("ap_scaled") / (F.lit(int(L)) * r_norm)).alias("ap_at_k"),
     )
+
+
+def f1_scores(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 plus the micro-averaged row — all
+    exact: tp/fp/fn are one contingency aggregate, and every metric is
+    a single divide of BIGINTs (F1 = 2tp/(2tp+fp+fn) — no float
+    composition, so no cross-engine association anywhere).  Classes
+    are the union of true and predicted labels; the micro row carries
+    class = NULL."""
+    t, p = F.col(true_col), F.col(pred_col)
+    tp = df.where(t == p).groupBy(t.alias("cls")).agg(F.count(F.lit(1)).alias("tp"))
+    byt = df.groupBy(t.alias("cls")).agg(F.count(F.lit(1)).alias("n_true"))
+    byp = df.groupBy(p.alias("cls")).agg(F.count(F.lit(1)).alias("n_pred"))
+    per = (
+        byt.join(byp, on="cls", how="full")
+        .join(tp, on="cls", how="left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce(F.col("n_pred"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).cast("long").alias("fp"),
+            (F.coalesce(F.col("n_true"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).cast("long").alias("fn"),
+        )
+    )
+    metric = per.select(
+        "cls", "tp", "fp", "fn",
+        F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            (2 * F.col("tp")) / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+        ).alias("f1"),
+    )
+    micro = per.agg(
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+    ).select(
+        F.lit(None).cast(metric.schema["cls"].dataType).alias("cls"),
+        "tp", "fp", "fn",
+        (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        (F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        ((2 * F.col("tp")) / (2 * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1"),
+    )
+    return metric.unionByName(micro)
+
+
+def cohen_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame:
+    """Cohen's κ inter-annotator agreement — the labeling-pipeline QA
+    metric:  κ = (n·Σdiag − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c),
+    every term an exact BIGINT from one contingency aggregate, κ one
+    divide.  Returns (n, observed_agree, expected_scaled, kappa)."""
+    a, b = F.col(rater_a_col), F.col(rater_b_col)
+    cont = df.groupBy(a.alias("ca"), b.alias("cb")).agg(F.count(F.lit(1)).alias("cnt"))
+    n_diag = cont.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), F.col("cnt")).otherwise(0)).cast("long").alias("diag"),
+    )
+    rows_ = cont.groupBy("ca").agg(F.sum("cnt").alias("row_n"))
+    cols_ = cont.groupBy("cb").agg(F.sum("cnt").alias("col_n"))
+    pe = (
+        rows_.join(cols_, rows_["ca"] == cols_["cb"])
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).cast("long").alias("exp_scaled"))
+    )
+    j = n_diag.crossJoin(F.broadcast(pe))
+    return j.select(
+        "n",
+        F.col("diag").alias("observed_agree"),
+        F.col("exp_scaled").alias("expected_scaled"),
+        F.when(
+            F.col("n") * F.col("n") != F.col("exp_scaled"),
+            (F.col("n") * F.col("diag") - F.col("exp_scaled"))
+            / (F.col("n") * F.col("n") - F.col("exp_scaled")),
+        ).alias("kappa"),
+    )

@@ -1548,3 +1548,98 @@ def q375(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split(F.col("t"), "\n")).cast("bigint").alias("n_lines"),
         (code_line_count(F.col("t")) / F.size(F.split(F.col("t"), "\n"))).alias("code_score"),
     )
+
+
+# ------------------------------------------------------------------ q376
+@query(
+    "q376_f1_scores",
+    """
+    WITH lab AS (
+        SELECT lang AS t,
+               CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS p
+        FROM documents
+    ),
+    tp AS (SELECT t AS cls, CAST(count(*) AS BIGINT) AS tp FROM lab WHERE t = p GROUP BY t),
+    byt AS (SELECT t AS cls, CAST(count(*) AS BIGINT) AS n_true FROM lab GROUP BY t),
+    byp AS (SELECT p AS cls, CAST(count(*) AS BIGINT) AS n_pred FROM lab GROUP BY p),
+    per AS (
+        SELECT coalesce(byt.cls, byp.cls) AS cls,
+               coalesce(tp.tp, 0) AS tp,
+               coalesce(byp.n_pred, 0) - coalesce(tp.tp, 0) AS fp,
+               coalesce(byt.n_true, 0) - coalesce(tp.tp, 0) AS fn
+        FROM byt
+        FULL JOIN byp ON byp.cls = byt.cls
+        LEFT JOIN tp ON tp.cls = coalesce(byt.cls, byp.cls)
+    ),
+    metric AS (
+        SELECT cls, tp, fp, fn,
+               CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+               CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+        FROM per
+    ),
+    micro AS (
+        SELECT CAST(NULL AS VARCHAR) AS cls,
+               CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+               CAST(sum(fn) AS BIGINT) AS fn,
+               CAST(sum(tp) AS DOUBLE) / (sum(tp) + sum(fp)) AS precision,
+               CAST(sum(tp) AS DOUBLE) / (sum(tp) + sum(fn)) AS recall,
+               CAST(2 * sum(tp) AS DOUBLE) / (2 * sum(tp) + sum(fp) + sum(fn)) AS f1
+        FROM per
+    )
+    SELECT * FROM metric UNION ALL SELECT * FROM micro
+    """,
+)
+def q376(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class + micro F1 of a perturbed language labeler (every 7th
+    doc forced to 'en') against the truth column: one contingency agg,
+    every metric an exact-BIGINT ratio."""
+    from .functions.stats import f1_scores
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("lang").alias("t"),
+        F.when(F.col("doc_id") % 7 == 0, "en").otherwise(F.col("lang")).alias("p"),
+    )
+    return f1_scores(d, "t", "p")
+
+
+# ------------------------------------------------------------------ q377
+@query(
+    "q377_cohen_kappa",
+    """
+    WITH lab AS (
+        SELECT lang AS a,
+               CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END AS b
+        FROM documents
+    ),
+    cont AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM lab GROUP BY a, b),
+    nd AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS diag
+        FROM cont
+    ),
+    rows_ AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS row_n FROM cont GROUP BY a),
+    cols_ AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS col_n FROM cont GROUP BY b),
+    pe AS (
+        SELECT CAST(sum(row_n * col_n) AS BIGINT) AS exp_scaled
+        FROM rows_ JOIN cols_ ON cols_.b = rows_.a
+    )
+    SELECT n, diag AS observed_agree, exp_scaled AS expected_scaled,
+           CASE WHEN n * n != exp_scaled
+                THEN CAST(n * diag - exp_scaled AS DOUBLE) / (n * n - exp_scaled)
+           END AS kappa
+    FROM nd CROSS JOIN pe
+    """,
+)
+def q377(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's κ between the lang column and a 1-in-5 perturbed copy:
+    exact contingency integers, κ = one divide — the labeling-QA
+    agreement metric."""
+    from .functions.stats import cohen_kappa
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("lang").alias("a"),
+        F.when(F.col("doc_id") % 5 == 0, "en").otherwise(F.col("lang")).alias("b"),
+    )
+    return cohen_kappa(d, "a", "b")

@@ -817,3 +817,35 @@ def test_code_score_separates_code_from_prose(spark):
     assert out[1] > 0.5
     assert out[2] == 0.0 and out[3] == 0.0 and out[4] == 0.0
     assert out[2] == 0.0
+
+
+def test_f1_scores_hand(spark):
+    from riptable_spark.functions.stats import f1_scores
+
+    # true:  a a a b b c ; pred: a b a b c c
+    rows = list(zip("aaabbc", "abab" + "cc"))
+    df = spark.createDataFrame(rows, "t string, p string")
+    out = {r["cls"]: r for r in f1_scores(df, "t", "p").collect()}
+    # class a: tp=2 fp=0 fn=1 → P=1, R=2/3, F1=4/5
+    assert out["a"]["precision"] == 1.0 and out["a"]["recall"] == pytest.approx(2 / 3)
+    assert out["a"]["f1"] == pytest.approx(0.8)
+    # class c: tp=1 fp=1 fn=0 → P=1/2 R=1 F1=2/3
+    assert out["c"]["f1"] == pytest.approx(2 / 3)
+    # micro: tp=4 fp=fn=2 → F1 = 8/12
+    micro = out[None]
+    assert micro["tp"] == 4 and micro["f1"] == pytest.approx(8 / 12)
+
+
+def test_cohen_kappa_known(spark):
+    from riptable_spark.functions.stats import cohen_kappa
+
+    # classic 2x2: raters agree 20+15 of 50; rows 25/25, cols 30/20
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = cohen_kappa(df, "a", "b").head()
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 2500
+    assert out["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-12)
+    # perfect agreement → 1
+    perf = spark.createDataFrame([("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string")
+    assert cohen_kappa(perf, "a", "b").head()["kappa"] == 1.0
