@@ -1643,3 +1643,81 @@ def q377(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("doc_id") % 5 == 0, "en").otherwise(F.col("lang")).alias("b"),
     )
     return cohen_kappa(d, "a", "b")
+
+
+# ------------------------------------------------------------------ q378
+@query(
+    "q378_datasheet",
+    """
+    WITH norm AS (
+        SELECT source, lang, n_chars, text,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS n_null_text,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT t) AS BIGINT) AS distinct_texts,
+               CAST(count(t) AS BIGINT) AS n_nonnull,
+               CAST(count(CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1 END) AS BIGINT) AS n_len_ok
+        FROM norm GROUP BY source
+    ),
+    lc AS (
+        SELECT source, lang, count(*) AS c FROM norm
+        WHERE lang IS NOT NULL GROUP BY source, lang
+    ),
+    ent AS (
+        SELECT source, sum(c)::BIGINT AS n,
+               sum(c::DOUBLE * ln(c::DOUBLE)) AS clc
+        FROM lc GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.n_null_text, b.total_chars,
+           CAST(b.total_chars AS DOUBLE) / b.n_docs AS mean_chars,
+           b.n_langs,
+           round(ln(e.n::DOUBLE) - e.clc / e.n, 6) AS lang_entropy,
+           b.distinct_texts, b.n_nonnull,
+           1.0 - CAST(b.distinct_texts AS DOUBLE) / b.n_nonnull AS dup_rate,
+           CAST(b.n_len_ok AS DOUBLE) / b.n_docs AS len_ok_rate
+    FROM base b JOIN ent e ON e.source = b.source
+    """,
+)
+def q378(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset datasheet (corpus card): volume, null rate,
+    char mass, language diversity + entropy, exact-dup rate from
+    normalized-text distincts, and a structural length gate — the
+    one-relation summary a data curator reads first.  Everything is
+    exact-integer ratios except the entropy (q204's rounding)."""
+    from .operators.dedup import normalize_text
+
+    d = load_table(spark, sf, "documents").withColumn(
+        "t", normalize_text(F.col("text"))
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("text").isNull(), 1)).cast("bigint").alias("n_null_text"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("t").cast("bigint").alias("distinct_texts"),
+        F.count("t").cast("bigint").alias("n_nonnull"),
+        F.count(F.when(F.col("n_chars").between(100, 20000), 1)).cast("bigint").alias("n_len_ok"),
+    )
+    lc = d.where(F.col("lang").isNotNull()).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ent = lc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("clc"),
+    )
+    out = base.join(ent, on="source")
+    return out.select(
+        "source", "n_docs", "n_null_text", "total_chars",
+        (F.col("total_chars") / F.col("n_docs")).alias("mean_chars"),
+        "n_langs",
+        F.round(F.log(F.col("n").cast("double")) - F.col("clc") / F.col("n"), 6).alias("lang_entropy"),
+        "distinct_texts", "n_nonnull",
+        (F.lit(1.0) - F.col("distinct_texts") / F.col("n_nonnull")).alias("dup_rate"),
+        (F.col("n_len_ok") / F.col("n_docs")).alias("len_ok_rate"),
+    )
