@@ -1721,3 +1721,55 @@ def q378(spark: SparkSession, sf: str) -> DataFrame:
         (F.lit(1.0) - F.col("distinct_texts") / F.col("n_nonnull")).alias("dup_rate"),
         (F.col("n_len_ok") / F.col("n_docs")).alias("len_ok_rate"),
     )
+
+
+# ------------------------------------------------------------------ q379
+@query(
+    "q379_trajectory_profile",
+    """
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               ((event_id * 37) % 400) * 500 AS la,
+               ((event_id * 91) % 400) * 500 AS lo
+        FROM events
+    ),
+    steps AS (
+        SELECT user_id,
+               la - lag(la) OVER w AS dla,
+               lo - lag(lo) OVER w AS dlo
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(dla) AS BIGINT) AS n_steps,
+           CAST(sum(dla * dla + dlo * dlo) AS BIGINT) AS sum_step2,
+           CAST(max(dla * dla + dlo * dlo) AS BIGINT) AS max_step2,
+           CAST(count(CASE WHEN dla = 0 AND dlo = 0 THEN 1 END) AS BIGINT) AS n_dwell
+    FROM steps GROUP BY user_id
+    """,
+)
+def q379(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user movement profile over the synthetic lattice walk:
+    consecutive-step squared displacements (one lag window per user),
+    then exact integer step-energy/max/dwell aggregates — the mobility
+    summary that stays engine-exact by never taking the square root."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        (((F.col("event_id") * 37) % 400) * 500).alias("la"),
+        (((F.col("event_id") * 91) % 400) * 500).alias("lo"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        (F.col("la") - F.lag("la").over(w)).alias("dla"),
+        (F.col("lo") - F.lag("lo").over(w)).alias("dlo"),
+    )
+    d2 = F.col("dla") * F.col("dla") + F.col("dlo") * F.col("dlo")
+    return steps.groupBy("user_id").agg(
+        F.count("dla").cast("bigint").alias("n_steps"),
+        F.sum(d2).cast("bigint").alias("sum_step2"),
+        F.max(d2).cast("bigint").alias("max_step2"),
+        F.count(F.when((F.col("dla") == 0) & (F.col("dlo") == 0), 1)).cast("bigint").alias("n_dwell"),
+    )
