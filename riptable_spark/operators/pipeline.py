@@ -20,7 +20,7 @@ oracle-checked contract queries; production callers keep the faster
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _base_hash64, shingles
@@ -913,3 +913,27 @@ def greedy_cover(
         covered = won if covered is None else covered.unionAll(won).distinct()
         covered = covered.localCheckpoint(eager=True)
     return spark.createDataFrame(picks, "rank long, id long, marginal_gain long")
+
+
+def stratified_kfold(
+    df: DataFrame,
+    id_col: str,
+    strat_col: str,
+    k: int = 5,
+    hash_kind: str = "xxhash64",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Stratified k-fold assignment: within each stratum, rows are
+    ordered by a deterministic hash of their id and dealt round-robin
+    into folds — every fold gets ⌊n_s/k⌋ or ⌈n_s/k⌉ rows of EVERY
+    stratum (the class-balance guarantee plain ``kfold_split`` lacks
+    for rare classes), while staying RNG-free and rerun-stable.
+
+    One sort window per stratum (hash order, id tiebreak); the hash
+    ordering is what makes the deal independent of input partitioning.
+    """
+    h = _base_hash64(F.col(id_col).cast("string"), hash_kind)
+    w = Window.partitionBy(strat_col).orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn(
+        out_col, F.pmod(F.row_number().over(w) - 1, F.lit(k)).cast("int")
+    )

@@ -1773,3 +1773,33 @@ def q379(spark: SparkSession, sf: str) -> DataFrame:
         F.max(d2).cast("bigint").alias("max_step2"),
         F.count(F.when((F.col("dla") == 0) & (F.col("dlo") == 0), 1)).cast("bigint").alias("n_dwell"),
     )
+
+
+# ------------------------------------------------------------------ q380
+@query(
+    "q380_stratified_kfold",
+    """
+    WITH h AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        FROM documents
+    ),
+    dealt AS (
+        SELECT doc_id, lang,
+               (row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) - 1) % 5 AS fold
+        FROM h
+    )
+    SELECT lang, CAST(fold AS INTEGER) AS fold, CAST(count(*) AS BIGINT) AS n
+    FROM dealt GROUP BY lang, fold
+    """,
+)
+def q380(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified 5-fold assignment by language (portable md5 deal
+    order so the oracle replays the exact fold of every row), rolled up
+    to per-(stratum, fold) counts — each language splits within-1
+    across folds by construction."""
+    from .operators.pipeline import stratified_kfold
+
+    d = load_table(spark, sf, "documents").select("doc_id", "lang")
+    out = stratified_kfold(d, "doc_id", "lang", k=5, hash_kind="md5")
+    return out.groupBy("lang", "fold").agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -849,3 +849,22 @@ def test_cohen_kappa_known(spark):
     # perfect agreement → 1
     perf = spark.createDataFrame([("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string")
     assert cohen_kappa(perf, "a", "b").head()["kappa"] == 1.0
+
+
+def test_stratified_kfold_balance(spark):
+    from riptable_spark.operators.pipeline import stratified_kfold
+
+    # rare class with 7 rows, common with 400: every fold must get
+    # 1-2 rare rows (⌊7/5⌋..⌈7/5⌉) and 80 common rows
+    rows = [(i, "rare") for i in range(7)] + [(100 + i, "common") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = stratified_kfold(df, "id", "cls", k=5).collect()
+    from collections import Counter
+
+    per = Counter((r["cls"], r["fold"]) for r in out)
+    for f in range(5):
+        assert per[("rare", f)] in (1, 2)
+        assert per[("common", f)] == 80
+    # deterministic across reruns
+    out2 = stratified_kfold(df, "id", "cls", k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
