@@ -1466,3 +1466,114 @@ def cohen_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame:
             / (F.col("n") * F.col("n") - F.col("exp_scaled")),
         ).alias("kappa"),
     )
+
+
+def mcc(df: DataFrame, true_col: str, pred_col: str) -> DataFrame:
+    """Matthews correlation coefficient for binary labels (0/1):
+    MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) — the four
+    cells from ONE conditional agg; numerator exact BIGINT; the
+    radicand is a product of four counts evaluated in a fixed
+    left-to-right double chain (identical ops both engines) and √ is
+    correctly rounded.  NULL when any marginal is zero."""
+    t = F.col(true_col).cast("long")
+    p = F.col(pred_col).cast("long")
+    g = df.agg(
+        F.sum(t * p).cast("long").alias("tp"),
+        F.sum((1 - t) * (1 - p)).cast("long").alias("tn"),
+        F.sum((1 - t) * p).cast("long").alias("fp"),
+        F.sum(t * (1 - p)).cast("long").alias("fn"),
+    )
+    rad = (
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn")).cast("double")
+        * (F.col("tn") + F.col("fp")).cast("double")
+        * (F.col("tn") + F.col("fn")).cast("double")
+    )
+    return g.select(
+        "tp", "tn", "fp", "fn",
+        F.when(
+            rad > 0,
+            (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")) / F.sqrt(rad),
+        ).alias("mcc"),
+    )
+
+
+def brier_score(
+    df: DataFrame, prob_pct_col: str, y_col: str, by: list[str] | None = None
+) -> DataFrame:
+    """Brier score for integer-percent probabilities (p ∈ 0..100):
+    mean((p/100 − y)²) = Σ(p − 100y)² / (10000·n) — the squared sum is
+    an exact BIGINT, the score one divide.  The probability-calibration
+    loss without a single float accumulation."""
+    grp = list(by or [])
+    p = F.col(prob_pct_col).cast("long")
+    y = F.col(y_col).cast("long")
+    d = p - 100 * y
+    g = df.groupBy(*grp).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d * d).cast("long").alias("ss"),
+    )
+    return g.select(*grp, "n", (F.col("ss") / (10000 * F.col("n"))).alias("brier"))
+
+
+def expected_calibration_error(
+    df: DataFrame, prob_pct_col: str, y_col: str, n_bins: int = 10
+) -> DataFrame:
+    """ECE with equal-width probability bins — made EXACT by the
+    identity  ECE = Σ_b |100·pos_b − Σp_b| / (100·n):  each bin's
+    |accuracy − confidence| times its weight collapses to an integer
+    absolute difference, so the whole metric is one divide of exact
+    BIGINTs (no per-bin float ratios are ever summed).  Returns the
+    per-bin relation plus the scalar attached (bin = ⌊p·n_bins/101⌋
+    so p=100 lands in the top bin)."""
+    p = F.col(prob_pct_col).cast("long")
+    y = F.col(y_col).cast("long")
+    b = F.floor(p * n_bins / 101).cast("int")
+    per = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(y).cast("long").alias("pos_b"),
+        F.sum(p).cast("long").alias("sum_p_b"),
+    )
+    dev = F.abs(100 * F.col("pos_b") - F.col("sum_p_b"))
+    tot = per.agg(
+        F.sum(dev).cast("long").alias("sdev"), F.sum("n_b").cast("long").alias("n")
+    ).select((F.col("sdev") / (100 * F.col("n"))).alias("ece"))
+    return per.withColumn("abs_dev_scaled", dev.cast("long")).crossJoin(F.broadcast(tot))
+
+
+def f1_threshold_curve(
+    df: DataFrame, score_col: str, y_col: str
+) -> DataFrame:
+    """Exact F1 at EVERY candidate threshold (predict positive when
+    score ≥ t, t over the distinct score domain, descending): the
+    threshold-tuning curve.  auc_exact's value-domain shape — one agg
+    to per-score (n, pos) counts, cumulative over that tiny relation:
+    tp(t), fp(t) are running sums, fn = P − tp, and
+    F1 = 2tp/(2tp+fp+fn) is one divide of BIGINTs.  argmax of the
+    curve IS the optimal operating point, with deterministic
+    tie-break to the higher threshold."""
+    y = F.col(y_col).cast("long")
+    per = df.where(F.col(score_col).isNotNull()).groupBy(
+        F.col(score_col).alias("threshold")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y).alias("pos")
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "threshold",
+        F.sum("pos").over(w).cast("long").alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).cast("long").alias("fp"),
+    )
+    total_pos = df.agg(F.sum(y).cast("long").alias("p_all"))
+    out = cum.crossJoin(F.broadcast(total_pos)).withColumn(
+        "fn", (F.col("p_all") - F.col("tp")).cast("long")
+    )
+    return out.select(
+        "threshold", "tp", "fp", "fn",
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            (2 * F.col("tp")) / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+        ).alias("f1"),
+    )

@@ -1803,3 +1803,143 @@ def q380(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").select("doc_id", "lang")
     out = stratified_kfold(d, "doc_id", "lang", k=5, hash_kind="md5")
     return out.groupBy("lang", "fold").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# ------------------------------------------------------------------ q381
+@query(
+    "q381_classifier_scorecard",
+    """
+    WITH base AS (
+        SELECT CASE WHEN value > 500 THEN 1 ELSE 0 END AS y,
+               CAST(round(value * 100) AS BIGINT) // 10000 + event_id % 7 AS s
+        FROM events
+    ),
+    lab AS (
+        SELECT y, CASE WHEN s >= 8 THEN 1 ELSE 0 END AS p,
+               least(s * 10, 100) AS prob
+        FROM base
+    ),
+    cells AS (
+        SELECT CAST(sum(y * p) AS BIGINT) AS tp,
+               CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn,
+               CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+               CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+               count(*) AS n,
+               CAST(sum((prob - 100 * y) * (prob - 100 * y)) AS BIGINT) AS ss
+        FROM lab
+    )
+    SELECT tp, tn, fp, fn,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0 THEN
+               CAST(tp * tn - fp * fn AS DOUBLE)
+               / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+           END AS mcc,
+           CAST(ss AS DOUBLE) / (10000 * n) AS brier
+    FROM cells
+    """,
+)
+def q381(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-classifier scorecard (MCC + Brier) for a noisy threshold
+    model of value>500: four exact cells, one exact squared sum, two
+    divides — the radicand double chain written identically in both
+    engines."""
+    from .functions.stats import brier_score, mcc
+
+    base = load_table(spark, sf, "events").select(
+        (F.col("value") > 500).cast("long").alias("y"),
+        (F.expr("CAST(round(value * 100) AS BIGINT) DIV 10000") + F.col("event_id") % 7).alias("s"),
+    )
+    lab = base.select(
+        "y",
+        (F.col("s") >= 8).cast("long").alias("p"),
+        F.least(F.col("s") * 10, F.lit(100)).alias("prob"),
+    )
+    m = mcc(lab, "y", "p")
+    b = brier_score(lab, "prob", "y")
+    return m.crossJoin(F.broadcast(b)).select("tp", "tn", "fp", "fn", "mcc", "brier")
+
+
+# ------------------------------------------------------------------ q382
+@query(
+    "q382_calibration_ece",
+    """
+    WITH lab AS (
+        SELECT least((CAST(round(value * 100) AS BIGINT) // 10000 + event_id % 7) * 10, 100) AS prob,
+               CASE WHEN value > 500 THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    per AS (
+        SELECT CAST(prob * 10 // 101 AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(y) AS BIGINT) AS pos_b,
+               CAST(sum(prob) AS BIGINT) AS sum_p_b
+        FROM lab GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(abs(100 * pos_b - sum_p_b)) AS BIGINT) AS sdev,
+               CAST(sum(n_b) AS BIGINT) AS n
+        FROM per
+    )
+    SELECT per.bin, per.n_b, per.pos_b, per.sum_p_b,
+           CAST(abs(100 * per.pos_b - per.sum_p_b) AS BIGINT) AS abs_dev_scaled,
+           CAST(tot.sdev AS DOUBLE) / (100 * tot.n) AS ece
+    FROM per CROSS JOIN tot
+    """,
+)
+def q382(spark: SparkSession, sf: str) -> DataFrame:
+    """Expected calibration error of the q381 probability model:
+    per-bin |accuracy − confidence| collapses to the integer
+    |100·pos − Σp|, so ECE is one divide of exact BIGINTs — zero
+    per-bin float ratios."""
+    from .functions.stats import expected_calibration_error
+
+    lab = load_table(spark, sf, "events").select(
+        F.least(
+            (F.expr("CAST(round(value * 100) AS BIGINT) DIV 10000") + F.col("event_id") % 7) * 10,
+            F.lit(100),
+        ).cast("long").alias("prob"),
+        (F.col("value") > 500).cast("long").alias("y"),
+    )
+    return expected_calibration_error(lab, "prob", "y", n_bins=10)
+
+
+# ------------------------------------------------------------------ q383
+@query(
+    "q383_f1_threshold_curve",
+    """
+    WITH lab AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 10000 + event_id % 7 AS s,
+               CASE WHEN value > 500 THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    per AS (
+        SELECT s AS threshold, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM lab GROUP BY s
+    ),
+    cum AS (
+        SELECT threshold,
+               CAST(sum(pos) OVER w AS BIGINT) AS tp,
+               CAST(sum(n) OVER w - sum(pos) OVER w AS BIGINT) AS fp
+        FROM per
+        WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT CAST(sum(y) AS BIGINT) AS p_all FROM lab)
+    SELECT c.threshold, c.tp, c.fp,
+           CAST(t.p_all - c.tp AS BIGINT) AS fn,
+           CASE WHEN 2 * c.tp + c.fp + (t.p_all - c.tp) > 0
+                THEN CAST(2 * c.tp AS DOUBLE) / (2 * c.tp + c.fp + (t.p_all - c.tp))
+           END AS f1
+    FROM cum c CROSS JOIN tot t
+    """,
+)
+def q383(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact F1 at every score threshold (value-domain cumulative
+    counts): the threshold-tuning curve whose argmax is the optimal
+    operating point — all BIGINT, one divide per row."""
+    from .functions.stats import f1_threshold_curve
+
+    lab = load_table(spark, sf, "events").select(
+        (F.expr("CAST(round(value * 100) AS BIGINT) DIV 10000") + F.col("event_id") % 7).alias("s"),
+        (F.col("value") > 500).cast("long").alias("y"),
+    )
+    return f1_threshold_curve(lab, "s", "y")

@@ -868,3 +868,57 @@ def test_stratified_kfold_balance(spark):
     # deterministic across reruns
     out2 = stratified_kfold(df, "id", "cls", k=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_mcc_known(spark):
+    from riptable_spark.functions.stats import mcc
+
+    rows = [(1, 1)] * 6 + [(0, 0)] * 5 + [(0, 1)] * 2 + [(1, 0)] * 1
+    df = spark.createDataFrame(rows, "t long, p long")
+    out = mcc(df, "t", "p").head()
+    import math
+    expect = (6 * 5 - 2 * 1) / math.sqrt(8 * 7 * 7 * 6)
+    assert out["mcc"] == pytest.approx(expect, abs=1e-12)
+    # constant prediction → NULL (zero marginal)
+    const = spark.createDataFrame([(1, 1), (0, 1)], "t long, p long")
+    assert mcc(const, "t", "p").head()["mcc"] is None
+
+
+def test_brier_and_ece(spark):
+    from riptable_spark.functions.stats import brier_score, expected_calibration_error
+
+    # perfectly calibrated at 2 levels: p=80 with 4/5 positive, p=20 with 1/5
+    rows = [(80, 1)] * 4 + [(80, 0)] + [(20, 1)] + [(20, 0)] * 4
+    df = spark.createDataFrame(rows, "p long, y long")
+    b = brier_score(df, "p", "y").head()
+    # Σ(p-100y)²: 4·400 + 6400 + 6400 + 4·400 = 16000 → /10000/10
+    assert b["brier"] == pytest.approx(0.16)
+    e = expected_calibration_error(df, "p", "y", n_bins=10).collect()
+    assert all(r["ece"] == 0.0 for r in e)  # perfectly calibrated
+    assert all(r["abs_dev_scaled"] == 0 for r in e)
+
+    # maximally miscalibrated: p=100 always wrong
+    bad = spark.createDataFrame([(100, 0)] * 10, "p long, y long")
+    eb = expected_calibration_error(bad, "p", "y").head()
+    assert eb["ece"] == pytest.approx(1.0)
+
+
+def test_f1_threshold_curve_matches_sklearnless_reference(spark):
+    from riptable_spark.functions.stats import f1_threshold_curve
+
+    rng = np.random.default_rng(12)
+    scores = rng.integers(0, 20, 200)
+    ys = (scores + rng.integers(-5, 6, 200) > 10).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(y)) for s, y in zip(scores, ys)], "s long, y long"
+    )
+    out = {r["threshold"]: r for r in f1_threshold_curve(df, "s", "y").collect()}
+    P = int(ys.sum())
+    for t in sorted(set(int(s) for s in scores)):
+        tp = int(((scores >= t) & (ys == 1)).sum())
+        fp = int(((scores >= t) & (ys == 0)).sum())
+        fn = P - tp
+        exp = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else None
+        r = out[t]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        assert r["f1"] == pytest.approx(exp)
