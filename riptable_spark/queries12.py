@@ -1,8 +1,12 @@
-"""Driver-contract query registry, batch 12 (round 3 continuation):
-weighted-average-cost lot accounting, graph link prediction, co-occurrence
-item similarity, sharded heavy-hitter sketches, and planar grid
-neighbor joins.  Registers into the same QUERIES/ORACLES dicts as
-queries.py.
+"""Driver-contract query registry, batch 12 (round-3 session 8,
+q343-q383): WAC lot accounting, graph link prediction / modularity /
+tree rollups, co-occurrence item similarity, sharded heavy hitters,
+planar grid joins + DBSCAN, EWM pair risk, Holt-Winters, off-policy
+evaluation (IPS/SNIPS/DR), causal (DiD, Qini), ranking + calibration
+eval (NDCG, MAP, F1/κ/MCC/Brier/ECE, pass@k), conformal + bootstrap
+uncertainty, isotonic regression, phrase search, incremental dedup,
+greedy coverage selection, apportionment, and the streaming CDC sink.
+Registers into the same QUERIES/ORACLES dicts as queries.py.
 """
 
 from __future__ import annotations
