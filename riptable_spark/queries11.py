@@ -3596,12 +3596,15 @@ def q339(spark: SparkSession, sf: str) -> DataFrame:
     """NULL-semantics parity sweep: null-safe equality (<=> vs IS NOT
     DISTINCT FROM), NULL-skipping counts and DISTINCT, CASE over
     three-valued logic, coalesce — pinned on an injected-NULL column."""
-    from pyspark.sql import Window as W
+    from .operators.window import shift_ungrouped
 
     ev = load_table(spark, sf, "events").where(F.col("event_id") < 2000)
     t = F.nullif(F.col("event_type"), F.lit("error"))
-    w = W.orderBy("event_id")
-    v = ev.select("event_id", t.alias("t")).withColumn("prev_t", F.lag("t").over(w))
+    # ungrouped lag via the blocked rank-arithmetic form — no
+    # single-partition global window even on this bounded slice
+    v = shift_ungrouped(
+        ev.select("event_id", t.alias("t")), {"prev_t": "t"}, 1, ["event_id"]
+    )
     return v.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.count("t").cast("bigint").alias("n_nonnull"),
