@@ -228,3 +228,89 @@ def item_similarity(
         F.col("cosine").desc(), F.col("n_ab").desc(), F.col("neighbor")
     )
     return both.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= topk)
+
+
+def shapley_attribution(
+    df: DataFrame,
+    user_col: str,
+    channel_col: str,
+    converted_col: str,
+    channels: list[str],
+) -> DataFrame:
+    """Shapley-value conversion attribution over marketing channels —
+    the game-theoretic split that last-touch/U-shaped heuristics
+    approximate.  Coalition value v(S) = conversions of users whose
+    ENTIRE touched-channel set lies within S ("S alone could have
+    served them"); each channel's credit is its exact Shapley value.
+
+    Scale shape: ONE hash agg collapses the fact table to per-user
+    (bitmask, converted), a second to per-(mask) conversion counts —
+    from there everything is algebra over ≤2^k rows (k = |channels|,
+    bounded at 6: the subset lattice is exponential BY DEFINITION, so
+    the cap is the honest contract).  v(S) comes from a bitwise
+    subset join of the tiny mask relation with the 2^k coalition
+    relation; Shapley weights |S|!(k−1−|S|)!/k! are shipped scaled by
+    k! so every credit is an exact integer ``shapley_scaled`` with
+    denominator k!·1 — one divide at the end.  Σ over channels of the
+    Shapley values = v(full set) (efficiency axiom — tested).
+    """
+    import math
+
+    k = len(channels)
+    if k < 1 or k > 6:
+        raise ValueError("channels must have 1..6 entries")
+    kfact = math.factorial(k)
+    bit = F.lit(0)
+    for i, ch in enumerate(channels):
+        bit = F.when(F.col(channel_col) == ch, F.lit(1 << i)).otherwise(bit)
+    per_user = (
+        df.where(F.col(channel_col).isin(channels))
+        .groupBy(user_col)
+        .agg(
+            F.bit_or(bit).alias("mask"),
+            F.max(F.col(converted_col).cast("long")).alias("conv"),
+        )
+    )
+    mask_counts = per_user.groupBy("mask").agg(
+        F.sum("conv").cast("long").alias("conversions")
+    )
+    spark = df.sparkSession
+    coalitions = spark.createDataFrame(
+        [(s,) for s in range(1 << k)], "s long"
+    )
+    # v(S) = Σ conversions over masks ⊆ S  (bitwise subset join; both
+    # relations are ≤ 2^k rows)
+    v = (
+        coalitions.join(
+            F.broadcast(mask_counts),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conversions"), F.lit(0)).cast("long").alias("v"))
+    )
+    # Shapley_i·k! = Σ_{S ∌ i} |S|!(k−1−|S|)! (v(S∪i) − v(S))
+    rows = []
+    for i, ch in enumerate(channels):
+        for s in range(1 << k):
+            if s & (1 << i):
+                continue
+            wgt = math.factorial(bin(s).count("1")) * math.factorial(k - 1 - bin(s).count("1"))
+            rows.append((ch, s, s | (1 << i), wgt))
+    terms = spark.createDataFrame(rows, "channel string, s long, s_with long, wgt long")
+    joined = (
+        terms.join(F.broadcast(v.withColumnRenamed("v", "v_s")), on="s")
+        .join(
+            F.broadcast(
+                v.select(F.col("s").alias("s_with"), F.col("v").alias("v_with"))
+            ),
+            on="s_with",
+        )
+    )
+    out = joined.groupBy("channel").agg(
+        F.sum(F.col("wgt") * (F.col("v_with") - F.col("v_s"))).cast("long").alias("shapley_scaled")
+    )
+    return out.select(
+        "channel", "shapley_scaled",
+        (F.col("shapley_scaled") / F.lit(kfact)).alias("shapley"),
+    )

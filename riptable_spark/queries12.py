@@ -1947,3 +1947,66 @@ def q383(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("value") > 500).cast("long").alias("y"),
     )
     return f1_threshold_curve(lab, "s", "y")
+
+
+# ------------------------------------------------------------------ q384
+@query(
+    "q384_shapley_attribution",
+    """
+    WITH conv AS (
+        SELECT user_id, max(CASE WHEN value > 900 THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    pu AS (
+        SELECT t.user_id,
+               bit_or(CASE t.event_type WHEN 'click' THEN 1
+                      WHEN 'view' THEN 2 ELSE 4 END) AS mask,
+               max(c.conv) AS conv
+        FROM events t JOIN conv c USING (user_id)
+        WHERE t.event_type IN ('click', 'view', 'error')
+        GROUP BY t.user_id
+    ),
+    mc AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS conversions FROM pu GROUP BY mask),
+    s_rel AS (SELECT unnest(range(0, 8)) AS s),
+    v AS (
+        SELECT s_rel.s, CAST(coalesce(sum(mc.conversions), 0) AS BIGINT) AS v
+        FROM s_rel LEFT JOIN mc ON (mc.mask & s_rel.s) = mc.mask
+        GROUP BY s_rel.s
+    ),
+    chans(channel, chbit) AS (VALUES ('click', 1), ('view', 2), ('error', 4)),
+    terms AS (
+        SELECT c.channel, s_rel.s, s_rel.s | c.chbit AS s_with,
+               CASE bit_count(s_rel.s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END AS wgt
+        FROM chans c CROSS JOIN s_rel
+        WHERE (s_rel.s & c.chbit) = 0
+    ),
+    scored AS (
+        SELECT t.channel,
+               CAST(sum(t.wgt * (vw.v - vs.v)) AS BIGINT) AS shapley_scaled
+        FROM terms t
+        JOIN v vs ON vs.s = t.s
+        JOIN v vw ON vw.s = t.s_with
+        GROUP BY t.channel
+    )
+    SELECT channel, shapley_scaled,
+           CAST(shapley_scaled AS DOUBLE) / 6 AS shapley
+    FROM scored
+    """,
+)
+def q384(spark: SparkSession, sf: str) -> DataFrame:
+    """Shapley conversion attribution across the click/view/error
+    channels (conversion = any value>900 event): per-user touch
+    bitmasks, subset-lattice coalition values, k!-scaled integer
+    credits — the efficiency axiom (Σ = v(full)) holds exactly."""
+    from .operators.mining import shapley_attribution
+
+    ev = load_table(spark, sf, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("value") > 900, 1).otherwise(0)).alias("conv")
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view", "error")).select(
+        "user_id", "event_type"
+    ).join(conv, on="user_id")
+    return shapley_attribution(
+        touches, "user_id", "event_type", "conv", ["click", "view", "error"]
+    )

@@ -922,3 +922,26 @@ def test_f1_threshold_curve_matches_sklearnless_reference(spark):
         r = out[t]
         assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
         assert r["f1"] == pytest.approx(exp)
+
+
+def test_shapley_attribution_efficiency_and_hand(spark):
+    from riptable_spark.operators.mining import shapley_attribution
+
+    # users: u1 touched {A}, converts; u2 {A,B}, converts; u3 {B}, no;
+    # u4 {C}, converts; u5 {B,C}, converts
+    rows = [
+        (1, "A", 1), (2, "A", 1), (2, "B", 1), (3, "B", 0),
+        (4, "C", 1), (5, "B", 1), (5, "C", 1),
+    ]
+    df = spark.createDataFrame(rows, "u long, ch string, conv long")
+    out = {r["channel"]: r for r in
+           shapley_attribution(df, "u", "ch", "conv", ["A", "B", "C"]).collect()}
+    # efficiency: Σ shapley == v(ABC) = total converting users = 4
+    assert sum(r["shapley"] for r in out.values()) == pytest.approx(4.0)
+    # v by subset: {}=0 A=1 B=0 C=1 AB=2 AC=2 BC=2 ABC=4
+    # hand Shapley for A: marginals — ∅→A:1(w2) B→AB:2(w1) C→AC:1(w1) BC→ABC:2(w2)
+    # = (2·1 + 1·2 + 1·1 + 2·2)/6 = 9/6 = 1.5
+    assert out["A"]["shapley"] == pytest.approx(1.5)
+    # symmetry check: B and C by the same arithmetic
+    assert out["B"]["shapley"] == pytest.approx((2 * 0 + 1 * 1 + 1 * 1 + 2 * 2) / 6)
+    assert out["C"]["shapley"] == pytest.approx((2 * 1 + 1 * 1 + 1 * 2 + 2 * 2) / 6)
