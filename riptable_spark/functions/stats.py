@@ -1577,3 +1577,57 @@ def f1_threshold_curve(
             (2 * F.col("tp")) / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
         ).alias("f1"),
     )
+
+
+def gini_split_curve(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Decision-stump split finding on a numeric feature with binary
+    labels: for every candidate threshold t (split = x ≤ t), the
+    weighted Gini impurity of the two children — the CART criterion as
+    a relation, with ``is_best`` marking the optimal split.
+
+    auc_exact's value-domain shape: one agg to per-distinct-x counts,
+    cumulative sums over that tiny relation give (n_l, pos_l) at every
+    t, and the score
+
+        G(t)·N·n_l·n_r = n_r·(n_l² − pos_l² − neg_l²)
+                       + n_l·(n_r² − pos_r² − neg_r²)
+
+    is evaluated as ONE divide of exact BIGINTs by (n_l·n_r) — the
+    relative ORDER of candidate scores is then identical across
+    engines, so the argmin (tie → lowest threshold) is deterministic.
+    The trivial splits (empty child) are excluded.
+    """
+    y = F.col(y_col).cast("long")
+    per = df.where(F.col(x_col).isNotNull()).groupBy(
+        F.col(x_col).alias("threshold")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("pos"))
+    w = Window.orderBy("threshold").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "threshold",
+        F.sum("n").over(w).cast("long").alias("n_l"),
+        F.sum("pos").over(w).cast("long").alias("pos_l"),
+    )
+    tot = df.where(F.col(x_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(y).cast("long").alias("pos_all"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    neg_l = n_l - pos_l
+    n_r = F.col("n_all") - n_l
+    pos_r = F.col("pos_all") - pos_l
+    neg_r = n_r - pos_r
+    num = n_r * (n_l * n_l - pos_l * pos_l - neg_l * neg_l) + n_l * (
+        n_r * n_r - pos_r * pos_r - neg_r * neg_r
+    )
+    scored = j.where(n_r > 0).select(
+        "threshold", "n_l", "pos_l",
+        n_r.alias("n_r"), pos_r.alias("pos_r"),
+        (num / (n_l * n_r)).alias("gini_scaled"),  # = G(t)·N, exact-int divide
+    )
+    wb = Window.orderBy(F.col("gini_scaled").asc(), F.col("threshold").asc())
+    return scored.withColumn(
+        "is_best", (F.row_number().over(wb) == 1)
+    )

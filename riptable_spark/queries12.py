@@ -2010,3 +2010,60 @@ def q384(spark: SparkSession, sf: str) -> DataFrame:
     return shapley_attribution(
         touches, "user_id", "event_type", "conv", ["click", "view", "error"]
     )
+
+
+# ------------------------------------------------------------------ q385
+@query(
+    "q385_gini_split",
+    """
+    WITH lab AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS x,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    per AS (
+        SELECT x AS threshold, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM lab GROUP BY x
+    ),
+    cum AS (
+        SELECT threshold,
+               CAST(sum(n) OVER w AS BIGINT) AS n_l,
+               CAST(sum(pos) OVER w AS BIGINT) AS pos_l
+        FROM per WINDOW w AS (ORDER BY threshold ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(y) AS BIGINT) AS pos_all
+        FROM lab
+    ),
+    scored AS (
+        SELECT c.threshold, c.n_l, c.pos_l,
+               t.n_all - c.n_l AS n_r, t.pos_all - c.pos_l AS pos_r,
+               CAST(
+                 (t.n_all - c.n_l) * (c.n_l * c.n_l - c.pos_l * c.pos_l
+                     - (c.n_l - c.pos_l) * (c.n_l - c.pos_l))
+                 + c.n_l * ((t.n_all - c.n_l) * (t.n_all - c.n_l)
+                     - (t.pos_all - c.pos_l) * (t.pos_all - c.pos_l)
+                     - ((t.n_all - c.n_l) - (t.pos_all - c.pos_l))
+                       * ((t.n_all - c.n_l) - (t.pos_all - c.pos_l)))
+               AS DOUBLE) / (c.n_l * (t.n_all - c.n_l)) AS gini_scaled
+        FROM cum c CROSS JOIN tot t
+        WHERE t.n_all - c.n_l > 0
+    )
+    SELECT threshold, n_l, pos_l, CAST(n_r AS BIGINT) AS n_r,
+           CAST(pos_r AS BIGINT) AS pos_r, gini_scaled,
+           row_number() OVER (ORDER BY gini_scaled, threshold) = 1 AS is_best
+    FROM scored
+    """,
+)
+def q385(spark: SparkSession, sf: str) -> DataFrame:
+    """CART split-finding curve for predicting 'purchase' from a
+    bucketed value feature: weighted child Gini at every threshold as
+    one exact-BIGINT divide — the argmin (is_best) is deterministic
+    cross-engine because the compared doubles are identical."""
+    from .functions.stats import gini_split_curve
+
+    lab = load_table(spark, sf, "events").select(
+        F.expr("CAST(round(value * 100) AS BIGINT) DIV 5000").alias("x"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    return gini_split_curve(lab, "x", "y")

@@ -945,3 +945,21 @@ def test_shapley_attribution_efficiency_and_hand(spark):
     # symmetry check: B and C by the same arithmetic
     assert out["B"]["shapley"] == pytest.approx((2 * 0 + 1 * 1 + 1 * 1 + 2 * 2) / 6)
     assert out["C"]["shapley"] == pytest.approx((2 * 1 + 1 * 1 + 1 * 2 + 2 * 2) / 6)
+
+
+def test_gini_split_finds_perfect_separator(spark):
+    from riptable_spark.functions.stats import gini_split_curve
+
+    # y = 1 iff x > 10: the best split is the largest x ≤ 10
+    rows = [(x, 1 if x > 10 else 0) for x in range(21) for _ in range(3)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = gini_split_curve(df, "x", "y").collect()
+    best = [r for r in out if r["is_best"]]
+    assert len(best) == 1 and best[0]["threshold"] == 10
+    assert best[0]["gini_scaled"] == 0.0  # pure children
+    # reference check of one interior point: t=5 → left 18 rows all 0
+    r5 = {r["threshold"]: r for r in out}[5]
+    n_l, pos_l, n_r, pos_r = 18, 0, 45, 30
+    gl = 1 - (pos_l / n_l) ** 2 - ((n_l - pos_l) / n_l) ** 2
+    gr = 1 - (pos_r / n_r) ** 2 - ((n_r - pos_r) / n_r) ** 2
+    assert r5["gini_scaled"] == pytest.approx(n_l * gl + n_r * gr, rel=1e-12)
