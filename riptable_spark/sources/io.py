@@ -366,3 +366,13 @@ def save_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def load_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def load_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written across SCHEMA VERSIONS as one frame:
+    ``mergeSchema`` unions the footers (added columns backfill NULL in
+    old files, dropped columns stay NULL in new ones) — the long-lived-
+    dataset read path where writers evolved the schema over months.
+    On a cluster the footer merge is a metadata-only operation; row
+    groups are untouched."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

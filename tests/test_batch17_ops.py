@@ -963,3 +963,45 @@ def test_gini_split_finds_perfect_separator(spark):
     gl = 1 - (pos_l / n_l) ** 2 - ((n_l - pos_l) / n_l) ** 2
     gr = 1 - (pos_r / n_r) ** 2 - ((n_r - pos_r) / n_r) ** 2
     assert r5["gini_scaled"] == pytest.approx(n_l * gl + n_r * gr, rel=1e-12)
+
+
+def test_load_evolved_merges_schema_versions(spark, tmp_path):
+    from riptable_spark.sources.io import load_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(v2)
+    out = load_evolved(spark, v1, v2).orderBy("id").collect()
+    assert [r["id"] for r in out] == [1, 2]
+    assert out[0]["score"] is None and out[1]["score"] == 9.5
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PTS = st.lists(
+    st.tuples(st.integers(-3000, 3000), st.integers(-3000, 3000)),
+    min_size=2, max_size=40,
+)
+
+
+@given(pts=PTS, r=st.integers(min_value=1, max_value=2000))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grid_neighbor_join_hypothesis(spark, pts, r):
+    from itertools import combinations
+
+    from riptable_spark.operators.geo import grid_neighbor_join
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, la long, lo long")
+    got = {(x["id_a"], x["id_b"]) for x in
+           grid_neighbor_join(df, "id", "la", "lo", r).collect()}
+    expect = {
+        (i1, i2)
+        for (i1, a1, o1), (i2, a2, o2) in combinations(rows, 2)
+        if (a1 - a2) ** 2 + (o1 - o2) ** 2 <= r * r
+    }
+    assert got == expect
