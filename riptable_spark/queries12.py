@@ -2067,3 +2067,90 @@ def q385(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
     return gini_split_curve(lab, "x", "y")
+
+
+# ------------------------------------------------------------------ q386
+@query(
+    "q386_feature_ranking",
+    """
+    WITH lab AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS f_value,
+               event_id % 24 AS f_hour,
+               user_id % 10 AS f_user,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    stacked AS (
+        SELECT 'f_value' AS feature, f_value AS x, y FROM lab
+        UNION ALL SELECT 'f_hour', f_hour, y FROM lab
+        UNION ALL SELECT 'f_user', f_user, y FROM lab
+    ),
+    per AS (
+        SELECT feature, x AS threshold, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM stacked GROUP BY feature, x
+    ),
+    cum AS (
+        SELECT feature, threshold,
+               CAST(sum(n) OVER w AS BIGINT) AS n_l,
+               CAST(sum(pos) OVER w AS BIGINT) AS pos_l
+        FROM per
+        WINDOW w AS (PARTITION BY feature ORDER BY threshold ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+        SELECT feature, CAST(sum(n) AS BIGINT) AS n_all, CAST(sum(pos) AS BIGINT) AS pos_all
+        FROM per GROUP BY feature
+    ),
+    scored AS (
+        SELECT c.feature, c.threshold,
+               CAST(
+                 (t.n_all - c.n_l) * (c.n_l * c.n_l - c.pos_l * c.pos_l
+                     - (c.n_l - c.pos_l) * (c.n_l - c.pos_l))
+                 + c.n_l * ((t.n_all - c.n_l) * (t.n_all - c.n_l)
+                     - (t.pos_all - c.pos_l) * (t.pos_all - c.pos_l)
+                     - ((t.n_all - c.n_l) - (t.pos_all - c.pos_l))
+                       * ((t.n_all - c.n_l) - (t.pos_all - c.pos_l)))
+               AS DOUBLE) / (c.n_l * (t.n_all - c.n_l)) AS gini_scaled
+        FROM cum c JOIN tot t USING (feature)
+        WHERE t.n_all - c.n_l > 0
+    ),
+    best AS (
+        SELECT feature, threshold, gini_scaled,
+               row_number() OVER (
+                   PARTITION BY feature ORDER BY gini_scaled, threshold
+               ) AS rn
+        FROM scored
+    )
+    SELECT feature, threshold AS best_threshold, gini_scaled AS best_gini_scaled,
+           CAST(row_number() OVER (ORDER BY gini_scaled, feature) AS BIGINT) AS feature_rank
+    FROM best WHERE rn = 1
+    """,
+)
+def q386(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-split feature ranking: stack three candidate features,
+    run the q385 Gini machinery per feature in ONE windowed pass, keep
+    each feature's best split, rank features by that score — the
+    stump-importance screen before any model training."""
+    from pyspark.sql import Window
+
+    from .functions.stats import gini_split_curve
+
+    ev = load_table(spark, sf, "events")
+    lab = ev.select(
+        F.expr("CAST(round(value * 100) AS BIGINT) DIV 5000").alias("f_value"),
+        (F.col("event_id") % 24).alias("f_hour"),
+        (F.col("user_id") % 10).alias("f_user"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    parts = []
+    for feat in ["f_value", "f_hour", "f_user"]:
+        curve = gini_split_curve(lab.select(F.col(feat).alias("x"), "y"), "x", "y")
+        parts.append(
+            curve.where(F.col("is_best")).select(
+                F.lit(feat).alias("feature"),
+                F.col("threshold").alias("best_threshold"),
+                F.col("gini_scaled").alias("best_gini_scaled"),
+            )
+        )
+    best = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    w = Window.orderBy(F.col("best_gini_scaled").asc(), F.col("feature").asc())
+    return best.withColumn("feature_rank", F.row_number().over(w).cast("bigint"))
