@@ -1631,3 +1631,53 @@ def gini_split_curve(
     return scored.withColumn(
         "is_best", (F.row_number().over(wb) == 1)
     )
+
+
+def gini_split_categorical(
+    df: DataFrame, cat_col: str, y_col: str
+) -> DataFrame:
+    """Optimal binary split of a CATEGORICAL feature for a binary
+    target — Breiman's theorem: the best subset split is always a
+    prefix of categories ordered by target rate, turning a 2^C search
+    into the same cumulative scan as :func:`gini_split_curve`.
+
+    Categories are ranked by (pos/n) — one exact-integer divide, so
+    the order (ties → category value) is engine-identical — then the
+    numeric machinery runs over the rank domain.  The returned
+    relation maps each category to its rate rank plus the split score
+    when the left child is ranks ≤ r; ``is_best`` marks the optimal
+    prefix (left = all categories with rank ≤ that row's)."""
+    y = F.col(y_col).cast("long")
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("pos"),
+    )
+    wr = Window.orderBy((F.col("pos") / F.col("n")).asc(), F.col("category").asc())
+    ranked = per.withColumn("rate_rank", F.row_number().over(wr).cast("long"))
+    wc = Window.orderBy("rate_rank").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "category", "rate_rank", "n", "pos",
+        F.sum("n").over(wc).cast("long").alias("n_l"),
+        F.sum("pos").over(wc).cast("long").alias("pos_l"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_all"), F.sum("pos").cast("long").alias("pos_all")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    neg_l = n_l - pos_l
+    n_r = F.col("n_all") - n_l
+    pos_r = F.col("pos_all") - pos_l
+    neg_r = n_r - pos_r
+    num = n_r * (n_l * n_l - pos_l * pos_l - neg_l * neg_l) + n_l * (
+        n_r * n_r - pos_r * pos_r - neg_r * neg_r
+    )
+    scored = j.select(
+        "category", "rate_rank", "n", "pos", "n_l", "pos_l",
+        F.when(n_r > 0, num / (n_l * n_r)).alias("gini_scaled"),
+    )
+    wb = Window.orderBy(
+        F.when(F.col("gini_scaled").isNull(), F.lit(float("inf"))).otherwise(F.col("gini_scaled")).asc(),
+        F.col("rate_rank").asc(),
+    )
+    return scored.withColumn("is_best", F.row_number().over(wb) == 1)

@@ -2154,3 +2154,66 @@ def q386(spark: SparkSession, sf: str) -> DataFrame:
     best = parts[0].unionByName(parts[1]).unionByName(parts[2])
     w = Window.orderBy(F.col("best_gini_scaled").asc(), F.col("feature").asc())
     return best.withColumn("feature_rank", F.row_number().over(w).cast("bigint"))
+
+
+# ------------------------------------------------------------------ q387
+@query(
+    "q387_categorical_split",
+    """
+    WITH lab AS (
+        SELECT source AS category,
+               CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    per AS (
+        SELECT category, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM lab GROUP BY category
+    ),
+    ranked AS (
+        SELECT category, n, pos,
+               CAST(row_number() OVER (
+                   ORDER BY CAST(pos AS DOUBLE) / n, category
+               ) AS BIGINT) AS rate_rank
+        FROM per
+    ),
+    cum AS (
+        SELECT category, rate_rank, n, pos,
+               CAST(sum(n) OVER w AS BIGINT) AS n_l,
+               CAST(sum(pos) OVER w AS BIGINT) AS pos_l
+        FROM ranked WINDOW w AS (ORDER BY rate_rank ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all, CAST(sum(pos) AS BIGINT) AS pos_all FROM per),
+    scored AS (
+        SELECT c.category, c.rate_rank, c.n, c.pos, c.n_l, c.pos_l,
+               CASE WHEN t.n_all - c.n_l > 0 THEN
+                 CAST(
+                   (t.n_all - c.n_l) * (c.n_l * c.n_l - c.pos_l * c.pos_l
+                       - (c.n_l - c.pos_l) * (c.n_l - c.pos_l))
+                   + c.n_l * ((t.n_all - c.n_l) * (t.n_all - c.n_l)
+                       - (t.pos_all - c.pos_l) * (t.pos_all - c.pos_l)
+                       - ((t.n_all - c.n_l) - (t.pos_all - c.pos_l))
+                         * ((t.n_all - c.n_l) - (t.pos_all - c.pos_l)))
+                 AS DOUBLE) / (c.n_l * (t.n_all - c.n_l))
+               END AS gini_scaled
+        FROM cum c CROSS JOIN tot t
+    )
+    SELECT category, rate_rank, n, pos, n_l, pos_l, gini_scaled,
+           row_number() OVER (
+               ORDER BY CASE WHEN gini_scaled IS NULL THEN 1 ELSE 0 END,
+                        gini_scaled, rate_rank
+           ) = 1 AS is_best
+    FROM scored
+    """,
+)
+def q387(spark: SparkSession, sf: str) -> DataFrame:
+    """Optimal categorical binary split (Breiman ordering) of document
+    sources against a long-document target: categories ranked by exact
+    target rate, the prefix-scan Gini choosing the best left set —
+    2^C subset search collapsed to C cumulative rows."""
+    from .functions.stats import gini_split_categorical
+
+    lab = load_table(spark, sf, "documents").select(
+        F.col("source").alias("c"),
+        (F.col("n_chars") > 2000).cast("long").alias("y"),
+    )
+    return gini_split_categorical(lab, "c", "y")

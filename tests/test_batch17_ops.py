@@ -1005,3 +1005,39 @@ def test_grid_neighbor_join_hypothesis(spark, pts, r):
         if (a1 - a2) ** 2 + (o1 - o2) ** 2 <= r * r
     }
     assert got == expect
+
+
+def test_gini_split_categorical_breiman(spark):
+    from itertools import combinations
+
+    from riptable_spark.functions.stats import gini_split_categorical
+
+    # 4 categories with distinct rates; check the prefix split found is
+    # the true optimum over ALL 2^4 subset splits
+    spec = {"a": (30, 2), "b": (20, 10), "c": (25, 20), "d": (10, 9)}
+    rows = []
+    for c, (n, p) in spec.items():
+        rows += [(c, 1)] * p + [(c, 0)] * (n - p)
+    df = spark.createDataFrame(rows, "c string, y long")
+    out = sorted(gini_split_categorical(df, "c", "y").collect(),
+                 key=lambda r: r["rate_rank"])
+    best = [r for r in out if r["is_best"]][0]
+    left = {r["category"] for r in out if r["rate_rank"] <= best["rate_rank"]}
+
+    def weighted_gini(groups):
+        tot = 0.0
+        for g in groups:
+            n = sum(spec[c][0] for c in g)
+            p = sum(spec[c][1] for c in g)
+            if n:
+                tot += n * (1 - (p / n) ** 2 - ((n - p) / n) ** 2)
+        return tot
+
+    cats = list(spec)
+    best_any = min(
+        weighted_gini([s, [c for c in cats if c not in s]])
+        for k in range(1, 4)
+        for s in map(list, combinations(cats, k))
+    )
+    assert best["gini_scaled"] == pytest.approx(best_any, rel=1e-12)
+    assert weighted_gini([list(left), [c for c in cats if c not in left]]) == pytest.approx(best_any, rel=1e-12)
