@@ -937,3 +937,33 @@ def stratified_kfold(
     return df.withColumn(
         out_col, F.pmod(F.row_number().over(w) - 1, F.lit(k)).cast("int")
     )
+
+
+def time_series_folds(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int = 5,
+    out_col: str = "segment",
+) -> DataFrame:
+    """Expanding-window time-series cross-validation assignment — the
+    temporally-correct eval protocol (each fold trains on the past,
+    tests on the next contiguous slice; random k-fold leaks the
+    future).
+
+    Rows are split into k+1 equal contiguous segments of the total
+    time order: fold f (1..k) trains on segments < f and tests on
+    segment f.  The segment id is pure integer arithmetic on the
+    global rank (``with_rowid``'s range-bucketed ranks — no
+    single-partition window), so the assignment is deterministic,
+    engine-replayable, and leakage-free by construction.
+    """
+    from ..sources.io import with_rowid
+
+    rid = with_rowid(df, *order_cols)
+    n = rid.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
+    out = rid.crossJoin(F.broadcast(n))
+    seg = F.least(
+        F.floor((F.col("__rowid__") * (k + 1)) / F.col("__n__")).cast("long"),
+        F.lit(k).cast("long"),
+    )
+    return out.withColumn(out_col, seg).drop("__n__")

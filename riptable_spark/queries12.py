@@ -2217,3 +2217,39 @@ def q387(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_chars") > 2000).cast("long").alias("y"),
     )
     return gini_split_categorical(lab, "c", "y")
+
+
+# ------------------------------------------------------------------ q388
+@query(
+    "q388_time_series_folds",
+    """
+    WITH ranked AS (
+        SELECT event_id,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rk,
+               count(*) OVER () AS n
+        FROM events WHERE event_id < 4000
+    )
+    SELECT least(CAST(rk * 6 // n AS BIGINT), 5) AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event
+    FROM ranked GROUP BY 1
+    """,
+)
+def q388(spark: SparkSession, sf: str) -> DataFrame:
+    """Expanding-window time-series CV: six contiguous time segments
+    (fold f trains on segments < f, tests on f) rolled up to per-
+    segment bounds — the oracle's single-partition rank is fine on its
+    side; Spark uses the range-bucketed with_rowid ranks.  Uniqueness
+    of (ts, event_id) makes both orders identical."""
+    from .operators.pipeline import time_series_folds
+
+    ev = load_table(spark, sf, "events").where(F.col("event_id") < 4000).select(
+        "event_id", "ts"
+    )
+    out = time_series_folds(ev, ["ts", "event_id"], k=5)
+    return out.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("first_event"),
+        F.max("event_id").cast("bigint").alias("last_event"),
+    )

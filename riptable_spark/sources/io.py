@@ -223,8 +223,16 @@ def with_rowid(df: DataFrame, *order_cols: str) -> DataFrame:
             fc = F.col(first).cast("double")
         edges = sorted(set(df.select(fc.alias("__e__")).approxQuantile("__e__", probs, 0.001)))
         if edges:
-            arr = F.array(*[F.lit(float(e)) for e in edges])
-            pid = F.coalesce(F.size(F.filter(arr, lambda e: e < fc)), F.lit(0))
+            # plain comparison-sum chain, NOT F.filter over a literal
+            # array: Catalyst's constraint inference mishandles the
+            # higher-order ArrayFilter lambda when this expression is
+            # propagated across the __pid__ self-join (binds the lambda
+            # in the offsets branch where the order column is gone —
+            # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on local relations)
+            pid = F.lit(0)
+            for e in edges:
+                pid = pid + F.when(F.lit(float(e)) < fc, 1).otherwise(0)
+            pid = F.coalesce(pid, F.lit(0))
         else:
             pid = F.lit(0)
         # Content-derived tiebreaker: without it, rows tied on order_cols

@@ -1041,3 +1041,25 @@ def test_gini_split_categorical_breiman(spark):
     )
     assert best["gini_scaled"] == pytest.approx(best_any, rel=1e-12)
     assert weighted_gini([list(left), [c for c in cats if c not in left]]) == pytest.approx(best_any, rel=1e-12)
+
+
+def test_time_series_folds_contiguous_and_balanced(spark):
+    from riptable_spark.operators.pipeline import time_series_folds
+
+    rows = [(i, 1000 + i) for i in range(121)]
+    df = spark.createDataFrame(rows, "id long, t long")
+    out = sorted(time_series_folds(df, ["t"], k=5).collect(), key=lambda r: r["t"])
+    segs = [r["segment"] for r in out]
+    # nondecreasing along time (contiguous slices), spans 0..5
+    assert segs == sorted(segs)
+    assert set(segs) == set(range(6))
+    from collections import Counter
+
+    c = Counter(segs)
+    assert max(c.values()) - min(c.values()) <= 1  # balanced within 1
+    # leakage-free: every row of segment f is later than all of < f
+    bounds = {}
+    for r in out:
+        bounds.setdefault(r["segment"], []).append(r["t"])
+    for f in range(1, 6):
+        assert min(bounds[f]) > max(bounds[f - 1])
