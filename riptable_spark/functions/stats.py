@@ -1681,3 +1681,58 @@ def gini_split_categorical(
         F.col("rate_rank").asc(),
     )
     return scored.withColumn("is_best", F.row_number().over(wb) == 1)
+
+
+def distribution_distance(
+    df_a: DataFrame, df_b: DataFrame, val_col: str, scale: int = 1
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance AND
+    Kolmogorov-Smirnov statistic between two samples of an ordered
+    variable — the drift metrics PSI cannot express (PSI ignores bin
+    ORDER; W1 is the cost of moving mass along the axis).
+
+    Value-domain construction: union both samples' per-value counts,
+    cumulative sums over the merged (tiny) domain give both CDFs at
+    every support point; with n_a, n_b the sample sizes,
+
+        KS  = max |cumA·n_b − cumB·n_a| / (n_a·n_b)
+        W1  = Σ gap_i · |cumA·n_b − cumB·n_a| / (n_a·n_b)
+
+    where gap_i is the distance to the next support value.  Every
+    numerator term is an exact BIGINT (``scale`` converts fractional
+    inputs to integers first), both statistics are single divides.
+    Returns one row: (n_a, n_b, ks_scaled, w1_scaled, ks, w1) with the
+    *_scaled columns the exact integer numerators.
+    """
+    v = (F.col(val_col) * scale).cast("long")
+    pa = df_a.select(v.alias("v")).groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+    pb = df_b.select(v.alias("v")).groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
+    dom = pa.join(pb, on="v", how="full").select(
+        "v",
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("v")
+    cum = dom.select(
+        "v",
+        F.sum("ca").over(w).cast("long").alias("cumA"),
+        F.sum("cb").over(w).cast("long").alias("cumB"),
+        (F.lead("v").over(wn) - F.col("v")).alias("gap"),
+    )
+    tot = (
+        df_a.agg(F.count(v).cast("long").alias("n_a"))
+        .crossJoin(df_b.agg(F.count(v).cast("long").alias("n_b")))
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    dev = F.abs(F.col("cumA") * F.col("n_b") - F.col("cumB") * F.col("n_a"))
+    agg = j.groupBy("n_a", "n_b").agg(
+        F.max(dev).cast("long").alias("ks_scaled"),
+        F.sum(F.when(F.col("gap").isNotNull(), dev * F.col("gap")).otherwise(0))
+        .cast("long").alias("w1_scaled"),
+    )
+    return agg.select(
+        "n_a", "n_b", "ks_scaled", "w1_scaled",
+        (F.col("ks_scaled") / (F.col("n_a") * F.col("n_b"))).alias("ks"),
+        (F.col("w1_scaled") / (F.col("n_a") * F.col("n_b") * F.lit(scale))).alias("w1"),
+    )

@@ -2253,3 +2253,61 @@ def q388(spark: SparkSession, sf: str) -> DataFrame:
         F.min("event_id").cast("bigint").alias("first_event"),
         F.max("event_id").cast("bigint").alias("last_event"),
     )
+
+
+# ------------------------------------------------------------------ q389
+@query(
+    "q389_wasserstein_ks",
+    """
+    WITH a AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        WHERE event_type = 'purchase'
+    ),
+    pa AS (SELECT v, count(*) AS ca FROM a GROUP BY v),
+    pb AS (SELECT v, count(*) AS cb FROM b GROUP BY v),
+    dom AS (
+        SELECT coalesce(pa.v, pb.v) AS v,
+               coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        FROM pa FULL JOIN pb ON pb.v = pa.v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(sum(ca) OVER w AS BIGINT) AS cumA,
+               CAST(sum(cb) OVER w AS BIGINT) AS cumB,
+               lead(v) OVER (ORDER BY v) - v AS gap
+        FROM dom WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b
+    )
+    SELECT t.n_a, t.n_b,
+           CAST(max(abs(c.cumA * t.n_b - c.cumB * t.n_a)) AS BIGINT) AS ks_scaled,
+           CAST(sum(CASE WHEN c.gap IS NOT NULL
+                    THEN abs(c.cumA * t.n_b - c.cumB * t.n_a) * c.gap
+                    ELSE 0 END) AS BIGINT) AS w1_scaled,
+           CAST(max(abs(c.cumA * t.n_b - c.cumB * t.n_a)) AS DOUBLE)
+               / (t.n_a * t.n_b) AS ks,
+           CAST(sum(CASE WHEN c.gap IS NOT NULL
+                    THEN abs(c.cumA * t.n_b - c.cumB * t.n_a) * c.gap
+                    ELSE 0 END) AS DOUBLE) / (t.n_a * t.n_b) AS w1
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.n_a, t.n_b
+    """,
+)
+def q389(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Wasserstein-1 and KS distance between the click and
+    purchase value distributions (in cents): cross-multiplied
+    integer CDF deviations over the merged value domain — the ordered
+    drift metrics, zero float accumulation."""
+    from .functions.stats import distribution_distance
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    a = ev.where(F.col("event_type") == "click").select(cents.alias("x"))
+    b = ev.where(F.col("event_type") == "purchase").select(cents.alias("x"))
+    return distribution_distance(a, b, "x", scale=1)  # cents units

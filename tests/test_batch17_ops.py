@@ -1063,3 +1063,44 @@ def test_time_series_folds_contiguous_and_balanced(spark):
         bounds.setdefault(r["segment"], []).append(r["t"])
     for f in range(1, 6):
         assert min(bounds[f]) > max(bounds[f - 1])
+
+
+def test_distribution_distance_known(spark):
+    from riptable_spark.functions.stats import distribution_distance
+
+    # shift by a constant c: W1 == c exactly, KS == 1 (disjoint supports)
+    a = spark.createDataFrame([(v,) for v in range(10)], "x long")
+    b = spark.createDataFrame([(v + 100,) for v in range(10)], "x long")
+    out = distribution_distance(a, b, "x").head()
+    assert out["w1"] == pytest.approx(100.0)
+    assert out["ks"] == 1.0
+    # identical samples → both zero
+    same = distribution_distance(a, a, "x").head()
+    assert same["w1"] == 0.0 and same["ks"] == 0.0
+
+
+def test_distribution_distance_matches_scipy_free_reference(spark):
+    from riptable_spark.functions.stats import distribution_distance
+
+    rng = np.random.default_rng(44)
+    xs = [int(v) for v in rng.integers(0, 50, 300)]
+    ys = [int(v) for v in rng.integers(10, 70, 200)]
+    a = spark.createDataFrame([(v,) for v in xs], "x long")
+    b = spark.createDataFrame([(v,) for v in ys], "x long")
+    out = distribution_distance(a, b, "x").head()
+
+    # reference: empirical CDFs on the merged support
+    support = sorted(set(xs) | set(ys))
+    import bisect
+
+    sx, sy = sorted(xs), sorted(ys)
+    ks_ref, w1_ref = 0.0, 0.0
+    for i, v in enumerate(support):
+        fa = bisect.bisect_right(sx, v) / len(xs)
+        fb = bisect.bisect_right(sy, v) / len(ys)
+        d = abs(fa - fb)
+        ks_ref = max(ks_ref, d)
+        if i + 1 < len(support):
+            w1_ref += d * (support[i + 1] - v)
+    assert out["ks"] == pytest.approx(ks_ref, abs=1e-12)
+    assert out["w1"] == pytest.approx(w1_ref, abs=1e-9)
