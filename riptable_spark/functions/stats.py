@@ -1736,3 +1736,53 @@ def distribution_distance(
         (F.col("ks_scaled") / (F.col("n_a") * F.col("n_b"))).alias("ks"),
         (F.col("w1_scaled") / (F.col("n_a") * F.col("n_b") * F.lit(scale))).alias("w1"),
     )
+
+
+def quantile_match(
+    df_a: DataFrame, df_b: DataFrame, val_col: str
+) -> DataFrame:
+    """Empirical quantile matching (histogram matching / inverse-CDF
+    transform): map every distinct value of cohort B onto cohort A's
+    value at the SAME empirical percentile — score normalization across
+    cohorts, domain adaptation, microarray-style normalization.
+
+        matched(x) = min{ v ∈ A : cumA(v)·n_b ≥ cumB(x)·n_a }
+
+    Everything is value-domain and integer-exact: both CDFs are
+    cumulative counts over the distinct-value relations, the percentile
+    comparison is cross-multiplied (no ratios), and the min-v lookup is
+    ONE searchsorted (union+window — merge_asof's shape), never a
+    non-equi join.  Returns (value, n_b_rows, matched_value).
+    """
+    from ..operators.window import searchsorted_union
+
+    va = F.col(val_col).cast("long")
+    pa = df_a.groupBy(va.alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    pb = df_b.groupBy(va.alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.orderBy("v")
+    na = df_a.agg(F.count(va).cast("long").alias("n_a"))
+    nb = df_b.agg(F.count(va).cast("long").alias("n_b"))
+    adist = (
+        pa.select("v", F.sum("c").over(wv).cast("long").alias("cumA"),
+                  F.row_number().over(wp).cast("long").alias("pos"))
+        .crossJoin(F.broadcast(nb))
+        .select("v", "pos", (F.col("cumA") * F.col("n_b")).alias("thr"))
+    )
+    bdist = (
+        pb.select("v", F.col("c").cast("long").alias("n_b_rows"),
+                  F.sum("c").over(wv).cast("long").alias("cumB"))
+        .crossJoin(F.broadcast(na))
+        .select(F.col("v").alias("value"), "n_b_rows",
+                (F.col("cumB") * F.col("n_a")).alias("target"))
+    )
+    m_rel = adist.agg(F.max("pos").cast("long").alias("m"))
+    idx = searchsorted_union(bdist, "target", adist.select(F.col("thr")), "thr",
+                             side="left", out_col="__idx__")
+    matched_pos = idx.crossJoin(F.broadcast(m_rel)).select(
+        "value", "n_b_rows",
+        F.least(F.col("__idx__").cast("long") + 1, F.col("m")).alias("pos"),
+    )
+    return matched_pos.join(
+        adist.select("pos", F.col("v").alias("matched_value")), on="pos"
+    ).select("value", "n_b_rows", "matched_value")

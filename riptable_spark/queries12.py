@@ -2311,3 +2311,51 @@ def q389(spark: SparkSession, sf: str) -> DataFrame:
     a = ev.where(F.col("event_type") == "click").select(cents.alias("x"))
     b = ev.where(F.col("event_type") == "purchase").select(cents.alias("x"))
     return distribution_distance(a, b, "x", scale=1)  # cents units
+
+
+# ------------------------------------------------------------------ q390
+@query(
+    "q390_quantile_match",
+    """
+    WITH a AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        WHERE event_type = 'view'
+    ),
+    b AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        WHERE event_type = 'purchase'
+    ),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b),
+    adist AS (
+        SELECT v, CAST(sum(count(*)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cumA
+        FROM a GROUP BY v
+    ),
+    bdist AS (
+        SELECT v AS value, CAST(count(*) AS BIGINT) AS n_b_rows,
+               CAST(sum(count(*)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cumB
+        FROM b GROUP BY v
+    )
+    SELECT bd.value, bd.n_b_rows,
+           coalesce(
+               (SELECT min(ad.v) FROM adist ad CROSS JOIN nb
+                WHERE ad.cumA * nb.n_b >= bd.cumB * na.n_a),
+               (SELECT max(v) FROM adist)
+           ) AS matched_value
+    FROM bdist bd CROSS JOIN na
+    """,
+)
+def q390(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile matching of purchase onto view value distributions
+    (cents): cross-multiplied integer percentile thresholds + ONE
+    searchsorted union — Spark's merge-shaped lookup vs the oracle's
+    correlated min subquery, same exact mapping."""
+    from .functions.stats import quantile_match
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    a = ev.where(F.col("event_type") == "view").select(cents.alias("x"))
+    b = ev.where(F.col("event_type") == "purchase").select(cents.alias("x"))
+    return quantile_match(a, b, "x")

@@ -1104,3 +1104,38 @@ def test_distribution_distance_matches_scipy_free_reference(spark):
             w1_ref += d * (support[i + 1] - v)
     assert out["ks"] == pytest.approx(ks_ref, abs=1e-12)
     assert out["w1"] == pytest.approx(w1_ref, abs=1e-9)
+
+
+def test_quantile_match_shift_and_identity(spark):
+    from riptable_spark.functions.stats import quantile_match
+
+    # B = A + 100 with identical shapes → matched(x) == x − 100 exactly
+    avals = [1, 3, 3, 7, 9, 9, 9, 12]
+    a = spark.createDataFrame([(v,) for v in avals], "x long")
+    b = spark.createDataFrame([(v + 100,) for v in avals], "x long")
+    out = {r["value"]: r["matched_value"] for r in quantile_match(a, b, "x").collect()}
+    assert out == {v + 100: v for v in set(avals)}
+    # identity: matching A onto itself is the identity map
+    same = {r["value"]: r["matched_value"] for r in quantile_match(a, a, "x").collect()}
+    assert same == {v: v for v in set(avals)}
+
+
+def test_quantile_match_reference_random(spark):
+    import bisect
+
+    from riptable_spark.functions.stats import quantile_match
+
+    rng = np.random.default_rng(55)
+    xs = sorted(int(v) for v in rng.integers(0, 40, 200))
+    ys = [int(v) for v in rng.integers(-20, 60, 150)]
+    a = spark.createDataFrame([(v,) for v in xs], "x long")
+    b = spark.createDataFrame([(v,) for v in ys], "x long")
+    got = {r["value"]: r["matched_value"] for r in quantile_match(a, b, "x").collect()}
+    n_a, n_b = len(xs), len(ys)
+    sy = sorted(ys)
+    support_a = sorted(set(xs))
+    cumA = {v: bisect.bisect_right(xs, v) for v in support_a}
+    for x in set(ys):
+        target = bisect.bisect_right(sy, x) * n_a
+        matched = next((v for v in support_a if cumA[v] * n_b >= target), support_a[-1])
+        assert got[x] == matched
