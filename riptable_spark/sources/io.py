@@ -384,3 +384,18 @@ def load_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     On a cluster the footer merge is a metadata-only operation; row
     groups are untouched."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def save_csv(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    header: bool = True, compression: str | None = "gzip",
+) -> None:
+    """CSV sink symmetric to :func:`load_csv` (reference load_csv_as_dataset
+    has no writer counterpart; interchange with spreadsheet/legacy
+    consumers needs one).  Compressed by default — at 100 TB an
+    uncompressed CSV export is a 4-5× storage regression vs parquet,
+    so the default at least gzips the damage."""
+    w = df.write.mode(mode).option("header", str(header).lower())
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)

@@ -1139,3 +1139,15 @@ def test_quantile_match_reference_random(spark):
         target = bisect.bisect_right(sy, x) * n_a
         matched = next((v for v in support_a if cumA[v] * n_b >= target), support_a[-1])
         assert got[x] == matched
+
+
+def test_save_csv_roundtrip(spark, tmp_path):
+    from riptable_spark.sources.io import load_csv, save_csv
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 2.5), (2, None, -1.0)], "id long, s string, x double"
+    )
+    p = str(tmp_path / "csv_out")
+    save_csv(df, p)
+    back = load_csv(spark, p).orderBy("id").collect()
+    assert [(r["id"], r["s"], r["x"]) for r in back] == [(1, "a,b", 2.5), (2, None, -1.0)]
