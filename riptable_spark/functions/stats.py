@@ -1786,3 +1786,55 @@ def quantile_match(
     return matched_pos.join(
         adist.select("pos", F.col("v").alias("matched_value")), on="pos"
     ).select("value", "n_b_rows", "matched_value")
+
+
+def spearman_corr(
+    df: DataFrame, x_col: str, y_col: str, by: list[str] | None = None
+) -> DataFrame:
+    """Exact Spearman rank correlation (ties → average ranks, the
+    standard convention): Pearson over DOUBLED ranks, which are exact
+    integers — 2·rank_avg(v) = 2·(#strictly below) + (#equal) + 1 —
+    so every power sum is an exact BIGINT and ρ composes from correctly
+    rounded doubles identically in both engines.
+
+    Scale shape: each variable's rank map is value-domain (one agg to
+    distinct values + a cumulative over that tiny relation, rankdata's
+    pattern) and broadcast-joined back; the moment pass is ONE hash
+    agg.  int64 budget: n·Σ(2r)² ≈ 4n³ needs n ≤ ~1.3M rows per group
+    (documented; widen to DECIMAL beyond that).
+    """
+    grp = list(by or [])
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        per = df.groupBy(*grp, F.col(col).alias("__v__")).agg(
+            F.count(F.lit(1)).alias("__c__")
+        )
+        w = (
+            Window.partitionBy(*grp) if grp else Window.partitionBy(F.lit(1))
+        ).orderBy("__v__").rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            *grp, "__v__",
+            (2 * F.coalesce(F.sum("__c__").over(w), F.lit(0)) + F.col("__c__") + 1)
+            .cast("long").alias(out),
+        )
+    rx = doubled_ranks(x_col, "__rx__").withColumnRenamed("__v__", x_col)
+    ry = doubled_ranks(y_col, "__ry__").withColumnRenamed("__v__", y_col)
+    j = df.join(F.broadcast(rx), on=grp + [x_col]).join(
+        F.broadcast(ry), on=grp + [y_col]
+    )
+    a, b = F.col("__rx__"), F.col("__ry__")
+    g = j.groupBy(*grp).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a).cast("long").alias("sa"),
+        F.sum(b).cast("long").alias("sb"),
+        F.sum(a * a).cast("long").alias("saa"),
+        F.sum(b * b).cast("long").alias("sbb"),
+        F.sum(a * b).cast("long").alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return g.select(
+        *grp, "n",
+        F.when((da > 0) & (db > 0), num / F.sqrt(da * db)).alias("spearman"),
+    )

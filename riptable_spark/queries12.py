@@ -2359,3 +2359,67 @@ def q390(spark: SparkSession, sf: str) -> DataFrame:
     a = ev.where(F.col("event_type") == "view").select(cents.alias("x"))
     b = ev.where(F.col("event_type") == "purchase").select(cents.alias("x"))
     return quantile_match(a, b, "x")
+
+
+# ------------------------------------------------------------------ q391
+@query(
+    "q391_spearman",
+    """
+    WITH lab AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               event_id % 50 AS y
+        FROM events
+    ),
+    rx AS (
+        SELECT user_id, x,
+               CAST(2 * coalesce(sum(count(*)) OVER (
+                   PARTITION BY user_id ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + count(*) + 1 AS BIGINT) AS drx
+        FROM lab GROUP BY user_id, x
+    ),
+    ry AS (
+        SELECT user_id, y,
+               CAST(2 * coalesce(sum(count(*)) OVER (
+                   PARTITION BY user_id ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + count(*) + 1 AS BIGINT) AS dry
+        FROM lab GROUP BY user_id, y
+    ),
+    j AS (
+        SELECT l.user_id, rx.drx AS a, ry.dry AS b
+        FROM lab l
+        JOIN rx ON rx.user_id = l.user_id AND rx.x = l.x
+        JOIN ry ON ry.user_id = l.user_id AND ry.y = l.y
+    ),
+    g AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+               CAST(sum(a * a) AS BIGINT) AS saa, CAST(sum(b * b) AS BIGINT) AS sbb,
+               CAST(sum(a * b) AS BIGINT) AS sab
+        FROM j GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0
+                 AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+                THEN CAST(n * sab - sa * sb AS DOUBLE)
+                     / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                            * CAST(n * sbb - sb * sb AS DOUBLE))
+           END AS spearman
+    FROM g
+    """,
+)
+def q391(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user Spearman rank correlation between value cents and an
+    event-class column: doubled average ranks (exact integers even
+    under ties) → exact power sums → one guarded divide — the robust
+    correlation without a single float accumulation."""
+    from .functions.stats import spearman_corr
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        (F.col("event_id") % 50).alias("y"),
+    )
+    return spearman_corr(ev, "x", "y", by=["user_id"])

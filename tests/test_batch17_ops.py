@@ -1151,3 +1151,42 @@ def test_save_csv_roundtrip(spark, tmp_path):
     save_csv(df, p)
     back = load_csv(spark, p).orderBy("id").collect()
     assert [(r["id"], r["s"], r["x"]) for r in back] == [(1, "a,b", 2.5), (2, None, -1.0)]
+
+
+def test_spearman_known_and_ties(spark):
+    from riptable_spark.functions.stats import spearman_corr
+
+    # perfect monotone (nonlinear) → ρ = 1 exactly
+    rows = [(t, t * t * t) for t in range(1, 30)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    assert spearman_corr(df, "x", "y").head()["spearman"] == 1.0
+    # reversed → −1
+    rows2 = [(t, -t) for t in range(1, 30)]
+    assert spearman_corr(
+        spark.createDataFrame(rows2, "x long, y long"), "x", "y"
+    ).head()["spearman"] == -1.0
+    # ties: compare against a scipy-free reference (average ranks)
+    rng = np.random.default_rng(66)
+    xs = [int(v) for v in rng.integers(0, 8, 60)]
+    ys = [int(v) for v in rng.integers(0, 8, 60)]
+    df3 = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+
+    def avg_ranks(vals):
+        import collections
+        c = collections.Counter(vals)
+        below = {}
+        run = 0
+        for v in sorted(c):
+            below[v] = run
+            run += c[v]
+        return [below[v] + (c[v] + 1) / 2 for v in vals]
+
+    ra, rb = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    sa, sb = sum(ra), sum(rb)
+    num = n * sum(p * q for p, q in zip(ra, rb)) - sa * sb
+    da = n * sum(p * p for p in ra) - sa * sa
+    db = n * sum(q * q for q in rb) - sb * sb
+    expect = num / (da * db) ** 0.5
+    got = spearman_corr(df3, "x", "y").head()["spearman"]
+    assert got == pytest.approx(expect, abs=1e-12)
