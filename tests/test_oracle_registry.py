@@ -38,7 +38,16 @@ SF_DIR = "/root/testdata/sf0.01"
 # registered queries are oracle-checked; adding a query without an oracle
 # fails test_every_query_has_an_oracle unless it is listed here with a
 # justification.
-NO_ORACLE_EXEMPT: set[str] = set()
+NO_ORACLE_EXEMPT: set[str] = {
+    # Path-dependent Arrow scans with no SQL closed form; each is
+    # pinned by hand-case + invariant tests (flat-book ≡ linear MtM,
+    # γ=0 ≡ holt_linear bit-for-bit, etc.) — see the rows-only
+    # comments at their @query registrations.
+    "q329_fifo_pnl",          # FIFO lot matching recurrence
+    "q330_holt_forecast",     # coupled level/trend recurrences
+    "q343_wac_pnl",           # moving-average cost recurrence
+    "q349_holt_winters",      # triple smoothing with seasonal lag
+}
 
 
 @pytest.fixture(scope="module")
