@@ -1838,3 +1838,38 @@ def spearman_corr(
         *grp, "n",
         F.when((da > 0) & (db > 0), num / F.sqrt(da * db)).alias("spearman"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a relation
+    of hypothesis p-values — the multiple-testing correction every
+    metrics platform needs once it tests thousands of segments.
+
+    Step-up rule made exact: with m tests and rank k (p ascending,
+    ties by p then arbitrary-stable), reject H_(1..k*) where k* is the
+    largest k with  p_k ≤ (k/m)·α  ⟺  p_k·m·α_den ≤ k·α_num (α passed
+    as the rational α_num/α_den, so the comparison is p·integers vs
+    integer — exact whenever p itself is exact, and engine-identical
+    regardless).  k* propagates via a running max over the ranked
+    (tiny, aggregated) relation.  Emits (p, rank, m, is_rejected).
+    """
+    grp = list(by or [])
+    w = (
+        Window.partitionBy(*grp) if grp else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col(p_col).asc())
+    wall = Window.partitionBy(*grp) if grp else Window.partitionBy(F.lit(1))
+    ranked = df.select(*grp, F.col(p_col).alias("p")).withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).withColumn("m", F.count(F.lit(1)).over(wall).cast("long"))
+    passes = F.when(
+        F.col("p") * F.col("m") * alpha_den <= F.col("rank") * alpha_num,
+        F.col("rank"),
+    ).otherwise(F.lit(0))
+    kstar = F.max(passes).over(wall)
+    return ranked.withColumn("is_rejected", F.col("rank") <= kstar)

@@ -2423,3 +2423,39 @@ def q391(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_id") % 50).alias("y"),
     )
     return spearman_corr(ev, "x", "y", by=["user_id"])
+
+
+# ------------------------------------------------------------------ q392
+@query(
+    "q392_bh_fdr",
+    """
+    WITH hyp AS (
+        SELECT event_id % 500 AS test_id,
+               CAST((event_id * 37) % 1000 AS DOUBLE) / 1000 AS p
+        FROM events WHERE event_id < 500
+    ),
+    ranked AS (
+        SELECT p, row_number() OVER (ORDER BY p) AS rank,
+               count(*) OVER () AS m
+        FROM hyp
+    ),
+    kstar AS (
+        SELECT max(CASE WHEN p * m * 100 <= rank * 5 THEN rank ELSE 0 END) AS k
+        FROM ranked
+    )
+    SELECT r.p, CAST(r.rank AS BIGINT) AS rank, CAST(r.m AS BIGINT) AS m,
+           r.rank <= kstar.k AS is_rejected
+    FROM ranked r CROSS JOIN kstar
+    """,
+)
+def q392(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over 500 synthetic exact-rational
+    p-values (α = 5/100): step-up k* via a running max over the ranked
+    relation, the rejection rule a cross-multiplied integer
+    comparison."""
+    from .functions.stats import bh_fdr
+
+    hyp = load_table(spark, sf, "events").where(F.col("event_id") < 500).select(
+        (((F.col("event_id") * 37) % 1000).cast("double") / 1000).alias("p")
+    )
+    return bh_fdr(hyp, "p", alpha_num=5, alpha_den=100)

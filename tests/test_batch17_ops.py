@@ -1190,3 +1190,21 @@ def test_spearman_known_and_ties(spark):
     expect = num / (da * db) ** 0.5
     got = spearman_corr(df3, "x", "y").head()["spearman"]
     assert got == pytest.approx(expect, abs=1e-12)
+
+
+def test_bh_fdr_textbook_case(spark):
+    from riptable_spark.functions.stats import bh_fdr
+
+    # classic example: m=10, alpha=0.05
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    out = sorted(bh_fdr(df, "p").collect(), key=lambda r: r["rank"])
+    # thresholds k/10·0.05: k*=4? p4=0.041 ≤ 0.020? no... compute:
+    # p_k ≤ 0.005k → k=1: .001≤.005 ✓; k=2: .008≤.01 ✓; k=3: .039≤.015 ✗;
+    # k=4: .041≤.02 ✗ ... k* = 2 → reject the two smallest
+    assert [r["is_rejected"] for r in out] == [True, True] + [False] * 8
+    # step-up property: a later k can rescue earlier failures
+    ps2 = [0.01, 0.02, 0.029]  # k=3: 0.029 ≤ 0.05 → reject ALL
+    df2 = spark.createDataFrame([(p,) for p in ps2], "p double")
+    out2 = bh_fdr(df2, "p").collect()
+    assert all(r["is_rejected"] for r in out2)
