@@ -1873,3 +1873,59 @@ def bh_fdr(
     ).otherwise(F.lit(0))
     kstar = F.max(passes).over(wall)
     return ranked.withColumn("is_rejected", F.col("rank") <= kstar)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    test that pairs with ttest_ind_welch for heavy-tailed metrics, plus
+    Cliff's delta effect size.
+
+    Everything exact until the final z: combined tie-averaged ranks as
+    DOUBLED integers (Spearman's machinery), so 2·R_a is an exact
+    BIGINT and
+
+        U      = R_a − n_a(n_a+1)/2           (2U exact integer)
+        delta  = 2U/(n_a·n_b) − 1             (one exact divide)
+        z      = (U − n_a·n_b/2) / σ,  σ² = n_a·n_b·[(n+1) − Σ(t³−t)/(n(n−1))]/12
+                 (tie-corrected; the σ² bracket is an exact rational of
+                 BIGINTs composed in an identical operation chain)
+
+    Returns one row (n_a, n_b, u2 = 2U, cliffs_delta, z).
+    """
+    sel = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"), F.col(val_col).cast("long").alias("v")
+    )
+    per = sel.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ta"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "v", "t", "ta",
+        (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1)
+        .cast("long").alias("dr"),  # doubled average rank of this value
+    )
+    agg = ranked.agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("ta")).cast("long").alias("n_b"),
+        F.sum(F.col("dr") * F.col("ta")).cast("long").alias("r2a"),  # 2·R_a
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("long").alias("ties"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u2 = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)  # exact 2U
+    mu2 = F.col("n_a") * F.col("n_b")                      # 2·mean of U
+    var = (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double") / 12.0
+        * ((n + 1).cast("double") - F.col("ties").cast("double") / (n * (n - 1)).cast("double"))
+    )
+    return agg.select(
+        "n_a", "n_b", u2.cast("long").alias("u2"),
+        F.when(mu2 > 0, u2 / mu2 - 1).alias("cliffs_delta"),
+        F.when(var > 0, (u2 - mu2) / (2 * F.sqrt(var))).alias("z"),
+    )

@@ -2459,3 +2459,54 @@ def q392(spark: SparkSession, sf: str) -> DataFrame:
         (((F.col("event_id") * 37) % 1000).cast("double") / 1000).alias("p")
     )
     return bh_fdr(hyp, "p", alpha_num=5, alpha_den=100)
+
+
+# ------------------------------------------------------------------ q393
+@query(
+    "q393_mann_whitney",
+    """
+    WITH sel AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    per AS (
+        SELECT v, count(*) AS t,
+               CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ta
+        FROM sel GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, t, ta,
+               CAST(2 * coalesce(sum(t) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + t + 1 AS BIGINT) AS dr
+        FROM per
+    ),
+    agg AS (
+        SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+               CAST(sum(t - ta) AS BIGINT) AS n_b,
+               CAST(sum(dr * ta) AS BIGINT) AS r2a,
+               CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        FROM ranked
+    )
+    SELECT n_a, n_b,
+           CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2,
+           CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / (n_a * n_b) - 1 AS cliffs_delta,
+           CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+             / (2 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 * (CAST(n_a + n_b + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))) AS z
+    FROM agg
+    """,
+)
+def q393(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U between click and purchase value distributions:
+    doubled tie-averaged ranks keep 2U and 2·R_a exact BIGINTs; Cliff's
+    delta is one exact divide and the tie-corrected z composes from an
+    identical double chain in both engines."""
+    from .functions.stats import mann_whitney_u
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return mann_whitney_u(ev, "event_type", "cents", "click", "purchase")

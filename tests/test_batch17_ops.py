@@ -1208,3 +1208,40 @@ def test_bh_fdr_textbook_case(spark):
     df2 = spark.createDataFrame([(p,) for p in ps2], "p double")
     out2 = bh_fdr(df2, "p").collect()
     assert all(r["is_rejected"] for r in out2)
+
+
+def test_mann_whitney_reference(spark):
+    from riptable_spark.functions.stats import mann_whitney_u
+
+    # scipy-free reference on random data with ties
+    rng = np.random.default_rng(77)
+    xs = [int(v) for v in rng.integers(0, 15, 40)]
+    ys = [int(v) for v in rng.integers(3, 18, 55)]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = mann_whitney_u(df, "g", "v", "a", "b").head()
+
+    allv = sorted(xs + ys)
+    import collections
+    cnt = collections.Counter(allv)
+    below, run = {}, 0
+    for v in sorted(cnt):
+        below[v] = run
+        run += cnt[v]
+    ranks = {v: below[v] + (cnt[v] + 1) / 2 for v in cnt}
+    ra = sum(ranks[v] for v in xs)
+    na, nb = len(xs), len(ys)
+    u = ra - na * (na + 1) / 2
+    assert out["u2"] == round(2 * u)
+    assert out["cliffs_delta"] == pytest.approx(2 * u / (na * nb) - 1, abs=1e-12)
+    nn = na + nb
+    ties = sum(t ** 3 - t for t in cnt.values())
+    var = na * nb / 12 * ((nn + 1) - ties / (nn * (nn - 1)))
+    assert out["z"] == pytest.approx((u - na * nb / 2) / var ** 0.5, abs=1e-10)
+
+    # identical distributions → U == mean, z == 0, delta == 0
+    same = spark.createDataFrame(
+        [("a", v) for v in range(10)] + [("b", v) for v in range(10)], "g string, v long"
+    )
+    o2 = mann_whitney_u(same, "g", "v", "a", "b").head()
+    assert o2["cliffs_delta"] == 0.0 and o2["z"] == 0.0
