@@ -1929,3 +1929,57 @@ def mann_whitney_u(
         F.when(mu2 > 0, u2 / mu2 - 1).alias("cliffs_delta"),
         F.when(var > 0, (u2 - mu2) / (2 * F.sqrt(var))).alias("z"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, val_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H — the k-sample rank ANOVA extending
+    :func:`mann_whitney_u`:
+
+        H = [ 12·Σ_g R_g²/n_g / (n(n+1)) − 3(n+1) ] / [1 − Σ(t³−t)/(n³−n)]
+
+    Doubled tie-averaged ranks make every R_g a half-integer → 2R_g
+    exact BIGINT; Σ (2R_g)²/n_g is evaluated as one exact divide per
+    group and the composition is an identical double chain cross-engine.
+    Returns one row (n, k, h) — compare h against χ²(k−1)."""
+    per = df.groupBy(F.col(val_col).cast("long").alias("v")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dr = per.select(
+        "v", "t",
+        (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1)
+        .cast("long").alias("dr"),
+    )
+    joined = df.select(
+        F.col(group_col).alias("g"), F.col(val_col).cast("long").alias("v")
+    ).join(F.broadcast(dr.select("v", "dr")), on="v")
+    byg = joined.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("dr").cast("long").alias("r2_g"),  # 2·R_g
+    )
+    ties = per.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("long").alias("ties")
+    )
+    # fixed-order (by group key) running fold — a plain hash-agg SUM of
+    # float terms reassociates differently per engine (1e-12 drift seen
+    # at sf0.01); the ordered cumulative is a left fold in BOTH engines
+    wg = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    folded = byg.withColumn(
+        "__cum__", F.sum((F.col("r2_g") * F.col("r2_g")) / F.col("n_g")).over(wg)
+    ).withColumn("__rn__", F.row_number().over(Window.orderBy("g")))
+    agg = folded.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max_by("__cum__", "__rn__").alias("sum_r2sq"),  # last of the ordered fold
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    h_raw = (
+        F.lit(12.0) * F.col("sum_r2sq") / (F.lit(4.0) * n * (n + 1)) - 3 * (n + 1)
+    )
+    corr = F.lit(1.0) - F.col("ties").cast("double") / (n * n * n - n)
+    return agg.select(
+        "n", "k",
+        F.when(corr > 0, h_raw / corr).alias("h"),
+    )

@@ -2510,3 +2510,60 @@ def q393(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
     return mann_whitney_u(ev, "event_type", "cents", "click", "purchase")
+
+
+# ------------------------------------------------------------------ q394
+@query(
+    "q394_kruskal_wallis",
+    """
+    WITH sel AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    per AS (SELECT v, count(*) AS t FROM sel GROUP BY v),
+    dr AS (
+        SELECT v,
+               CAST(2 * coalesce(sum(t) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + t + 1 AS BIGINT) AS dr
+        FROM per
+    ),
+    byg AS (
+        SELECT s.g, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(dr.dr) AS BIGINT) AS r2_g
+        FROM sel s JOIN dr ON dr.v = s.v
+        GROUP BY s.g
+    ),
+    ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM per),
+    folded AS (
+        SELECT n_g,
+               sum(CAST(r2_g * r2_g AS DOUBLE) / n_g) OVER (
+                   ORDER BY g ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               row_number() OVER (ORDER BY g) AS rn
+        FROM byg
+    ),
+    agg AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+               max_by(cum, rn) AS sum_r2sq
+        FROM folded
+    )
+    SELECT agg.n, agg.k,
+           (12.0 * agg.sum_r2sq / (4.0 * CAST(agg.n AS DOUBLE) * (agg.n + 1))
+              - 3 * (CAST(agg.n AS DOUBLE) + 1))
+           / (1.0 - CAST(ties.ties AS DOUBLE)
+               / (CAST(agg.n AS DOUBLE) * agg.n * agg.n - agg.n)) AS h
+    FROM agg CROSS JOIN ties
+    """,
+)
+def q394(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal-Wallis H across all five event types on value cents:
+    doubled tie-averaged ranks keep every 2R_g exact; the Σ(2R)²/n_g
+    fold is a sum of exact divides — the rank ANOVA completing the
+    nonparametric family."""
+    from .functions.stats import kruskal_wallis
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return kruskal_wallis(ev, "event_type", "cents")

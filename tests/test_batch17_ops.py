@@ -1245,3 +1245,35 @@ def test_mann_whitney_reference(spark):
     )
     o2 = mann_whitney_u(same, "g", "v", "a", "b").head()
     assert o2["cliffs_delta"] == 0.0 and o2["z"] == 0.0
+
+
+def test_kruskal_wallis_reference(spark):
+    from riptable_spark.functions.stats import kruskal_wallis
+
+    rng = np.random.default_rng(88)
+    groups = {"a": rng.integers(0, 20, 30), "b": rng.integers(5, 25, 40),
+              "c": rng.integers(0, 22, 25)}
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = kruskal_wallis(df, "g", "v").head()
+
+    import collections
+    allv = [v for _, v in rows]
+    cnt = collections.Counter(allv)
+    below, run = {}, 0
+    for v in sorted(cnt):
+        below[v] = run
+        run += cnt[v]
+    rank = {v: below[v] + (cnt[v] + 1) / 2 for v in cnt}
+    n = len(allv)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(rank[int(v)] for v in vs) ** 2 / len(vs) for vs in groups.values()
+    ) - 3 * (n + 1)
+    ties = sum(t ** 3 - t for t in cnt.values())
+    h /= 1 - ties / (n ** 3 - n)
+    assert out["h"] == pytest.approx(h, abs=1e-10)
+    # identical groups → H ≈ 0
+    same = spark.createDataFrame(
+        [(g, v) for g in "ab" for v in range(15)], "g string, v long"
+    )
+    assert abs(kruskal_wallis(same, "g", "v").head()["h"]) < 1e-9
