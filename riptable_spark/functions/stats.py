@@ -1983,3 +1983,56 @@ def kruskal_wallis(
         "n", "k",
         F.when(corr > 0, h_raw / corr).alias("h"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Kendall's τ-b (tie-adjusted) — the pairwise-concordance rank
+    correlation completing :func:`spearman_corr`:
+
+        τ-b = (C − D) / √((n₀−n₁)(n₀−n₂))
+
+    Computed on the CELL domain: one agg to per-(x,y) counts, then
+    concordant/discordant pair mass from a cell×cell dominance join —
+    O(cells²), NOT O(rows²), so bucket continuous inputs first (the
+    honest contract; with c cells the join is c² tiny rows).  Every
+    term (C, D, tie pair counts) is an exact BIGINT; the denominator
+    is an identical double chain.
+    """
+    cells = df.groupBy(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("c1")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    dom = a.join(b, (F.col("x2") > F.col("x1")) & (F.col("y2") != F.col("y1")), "inner")
+    cd = dom.agg(
+        F.sum(F.when(F.col("y2") > F.col("y1"), F.col("c1") * F.col("c2")).otherwise(0))
+        .cast("long").alias("concordant"),
+        F.sum(F.when(F.col("y2") < F.col("y1"), F.col("c1") * F.col("c2")).otherwise(0))
+        .cast("long").alias("discordant"),
+    )
+    xt = cells.groupBy("x").agg(F.sum("c").alias("tx")).agg(
+        F.sum(F.col("tx") * (F.col("tx") - 1)).cast("long").alias("tie_x2")  # 2·n₁
+    )
+    yt = cells.groupBy("y").agg(F.sum("c").alias("ty")).agg(
+        F.sum(F.col("ty") * (F.col("ty") - 1)).cast("long").alias("tie_y2")  # 2·n₂
+    )
+    n_rel = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = cd.crossJoin(F.broadcast(xt)).crossJoin(F.broadcast(yt)).crossJoin(
+        F.broadcast(n_rel)
+    )
+    n0x2 = F.col("n") * (F.col("n") - 1)  # 2·n₀
+    da = (n0x2 - F.col("tie_x2")).cast("double")
+    db = (n0x2 - F.col("tie_y2")).cast("double")
+    return j.select(
+        "n", "concordant", "discordant",
+        F.when(
+            (da > 0) & (db > 0),
+            (F.lit(2.0) * (F.col("concordant") - F.col("discordant"))) / F.sqrt(da * db),
+        ).alias("tau_b"),
+    )

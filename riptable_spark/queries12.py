@@ -2567,3 +2567,49 @@ def q394(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
     return kruskal_wallis(ev, "event_type", "cents")
+
+
+# ------------------------------------------------------------------ q395
+@query(
+    "q395_kendall_tau",
+    """
+    WITH lab AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 2000 AS x,
+               event_id % 30 AS y
+        FROM events
+    ),
+    cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY x, y),
+    cd AS (
+        SELECT
+            CAST(sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS concordant,
+            CAST(sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS discordant
+        FROM cells a JOIN cells b ON b.x > a.x AND b.y != a.y
+    ),
+    xt AS (
+        SELECT CAST(sum(tx * (tx - 1)) AS BIGINT) AS tie_x2
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS tx FROM cells GROUP BY x)
+    ),
+    yt AS (
+        SELECT CAST(sum(ty * (ty - 1)) AS BIGINT) AS tie_y2
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS ty FROM cells GROUP BY y)
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab)
+    SELECT nn.n, cd.concordant, cd.discordant,
+           2.0 * (cd.concordant - cd.discordant)
+             / sqrt(CAST(nn.n * (nn.n - 1) - xt.tie_x2 AS DOUBLE)
+                    * CAST(nn.n * (nn.n - 1) - yt.tie_y2 AS DOUBLE)) AS tau_b
+    FROM cd CROSS JOIN xt CROSS JOIN yt CROSS JOIN nn
+    """,
+)
+def q395(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall τ-b between bucketed value and an event-class column:
+    concordant/discordant mass from a cell-domain dominance join
+    (cells², never rows²), tie pair counts exact — the pairwise rank
+    correlation beside q391's Spearman."""
+    from .functions.stats import kendall_tau_b
+
+    lab = load_table(spark, sf, "events").select(
+        F.expr("CAST(round(value * 100) AS BIGINT) DIV 2000").alias("x"),
+        (F.col("event_id") % 30).alias("y"),
+    )
+    return kendall_tau_b(lab, "x", "y")

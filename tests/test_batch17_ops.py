@@ -1277,3 +1277,36 @@ def test_kruskal_wallis_reference(spark):
         [(g, v) for g in "ab" for v in range(15)], "g string, v long"
     )
     assert abs(kruskal_wallis(same, "g", "v").head()["h"]) < 1e-9
+
+
+def test_kendall_tau_b_reference(spark):
+    from itertools import combinations
+
+    from riptable_spark.functions.stats import kendall_tau_b
+
+    rng = np.random.default_rng(99)
+    xs = [int(v) for v in rng.integers(0, 10, 70)]
+    ys = [int(v) for v in rng.integers(0, 10, 70)]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    out = kendall_tau_b(df, "x", "y").head()
+
+    C = D = tx = ty = 0
+    for (x1, y1), (x2, y2) in combinations(zip(xs, ys), 2):
+        if x1 == x2 and y1 == y2:
+            tx += 1; ty += 1
+        elif x1 == x2:
+            tx += 1
+        elif y1 == y2:
+            ty += 1
+        elif (x2 - x1) * (y2 - y1) > 0:
+            C += 1
+        else:
+            D += 1
+    n = len(xs)
+    n0 = n * (n - 1) / 2
+    expect = (C - D) / ((n0 - tx) * (n0 - ty)) ** 0.5
+    assert out["concordant"] == C and out["discordant"] == D
+    assert out["tau_b"] == pytest.approx(expect, abs=1e-12)
+    # perfect monotone → 1
+    mono = spark.createDataFrame([(t, 2 * t) for t in range(25)], "x long, y long")
+    assert kendall_tau_b(mono, "x", "y").head()["tau_b"] == pytest.approx(1.0)
