@@ -2613,3 +2613,74 @@ def q395(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_id") % 30).alias("y"),
     )
     return kendall_tau_b(lab, "x", "y")
+
+
+# ------------------------------------------------------------------ q396
+@query(
+    "q396_seasonal_decomposition",
+    """
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT h, tot,
+               CASE WHEN count(*) OVER w = 24
+                    THEN CAST(sum(tot) OVER w AS BIGINT) END AS trend_sum
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ),
+    detr AS (
+        SELECT h, tot, trend_sum,
+               CASE WHEN trend_sum IS NOT NULL
+                    THEN tot * 24 - trend_sum END AS d24
+        FROM tr
+    ),
+    seas AS (
+        SELECT h % 24 AS phase,
+               CAST(sum(d24) AS BIGINT) AS s_sum,
+               CAST(count(d24) AS BIGINT) AS s_n
+        FROM detr GROUP BY h % 24
+    )
+    SELECT d.h, d.tot,
+           CAST(d.trend_sum AS DOUBLE) / 24 AS trend,
+           CAST(s.s_sum AS DOUBLE) / (24 * s.s_n) AS seasonal,
+           CASE WHEN d.trend_sum IS NOT NULL
+                THEN d.tot - CAST(d.trend_sum AS DOUBLE) / 24
+                     - CAST(s.s_sum AS DOUBLE) / (24 * s.s_n) END AS residual
+    FROM detr d JOIN seas s ON s.phase = d.h % 24
+    """,
+)
+def q396(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly revenue
+    series (period 24): centered 24-hour trend as an exact integer
+    window SUM (full-window gate), per-phase seasonal means from exact
+    ×24-scaled detrended integers, residual composed from the two
+    exact-divide doubles — STL-lite with zero float accumulation."""
+    from pyspark.sql import Window
+
+    hourly = load_table(spark, sf, "events").groupBy(
+        F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 3600).alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("tot"))
+    w = Window.orderBy("h").rowsBetween(-12, 11)
+    tr = hourly.select(
+        "h", "tot",
+        F.when(F.count(F.lit(1)).over(w) == 24, F.sum("tot").over(w).cast("bigint")).alias("trend_sum"),
+    )
+    detr = tr.withColumn(
+        "d24", F.when(F.col("trend_sum").isNotNull(), F.col("tot") * 24 - F.col("trend_sum"))
+    )
+    seas = detr.groupBy((F.col("h") % 24).alias("phase")).agg(
+        F.sum("d24").cast("bigint").alias("s_sum"),
+        F.count("d24").cast("bigint").alias("s_n"),
+    )
+    out = detr.join(F.broadcast(seas), (F.col("h") % 24) == F.col("phase"))
+    trend = F.col("trend_sum").cast("double") / 24
+    seasonal = F.col("s_sum").cast("double") / (24 * F.col("s_n"))
+    return out.select(
+        "h", "tot",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.when(F.col("trend_sum").isNotNull(), F.col("tot") - trend - seasonal).alias("residual"),
+    )
