@@ -2036,3 +2036,45 @@ def kendall_tau_b(
             (F.lit(2.0) * (F.col("concordant") - F.col("discordant"))) / F.sqrt(da * db),
         ).alias("tau_b"),
     )
+
+
+def effect_size(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Standardized mean difference between two groups: Cohen's d
+    (pooled SD) and the small-sample Hedges g correction
+    g = d·(1 − 3/(4(n_a+n_b)−9)) — the effect size that belongs next
+    to every t-test / Mann-Whitney p-value.
+
+    One conditional-aggregate pass collects both groups' exact integer
+    power sums; means, pooled variance, d and g compose from single
+    divides in an identical chain — engine-portable unrounded for
+    integer inputs."""
+    c = F.col(val_col).cast("long")
+    a = F.when(F.col(group_col) == group_a, c)
+    b = F.when(F.col(group_col) == group_b, c)
+    g = df.agg(
+        F.count(a).cast("long").alias("n_a"),
+        F.count(b).cast("long").alias("n_b"),
+        F.sum(a).cast("long").alias("sa"),
+        F.sum(b).cast("long").alias("sb"),
+        F.sum(a * a).cast("long").alias("saa"),
+        F.sum(b * b).cast("long").alias("sbb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    ssa = F.col("saa").cast("double") - na * ma * ma
+    ssb = F.col("sbb").cast("double") - nb * mb * mb
+    s_pooled = F.sqrt((ssa + ssb) / (na + nb - 2))
+    d = F.when(s_pooled > 0, (ma - mb) / s_pooled)
+    corr = F.lit(1.0) - F.lit(3.0) / (4 * (na + nb) - 9)
+    return g.select(
+        "n_a", "n_b",
+        ma.alias("mean_a"), mb.alias("mean_b"),
+        d.alias("cohens_d"),
+        (d * corr).alias("hedges_g"),
+    )

@@ -2684,3 +2684,46 @@ def q396(spark: SparkSession, sf: str) -> DataFrame:
         seasonal.alias("seasonal"),
         F.when(F.col("trend_sum").isNotNull(), F.col("tot") - trend - seasonal).alias("residual"),
     )
+
+
+# ------------------------------------------------------------------ q397
+@query(
+    "q397_effect_size",
+    """
+    WITH sel AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    g AS (
+        SELECT CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_a,
+               CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN event_type = 'click' THEN v END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN v END) AS BIGINT) AS sb,
+               CAST(sum(CASE WHEN event_type = 'click' THEN v * v END) AS BIGINT) AS saa,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN v * v END) AS BIGINT) AS sbb
+        FROM sel
+    )
+    SELECT n_a, n_b,
+           CAST(sa AS DOUBLE) / n_a AS mean_a,
+           CAST(sb AS DOUBLE) / n_b AS mean_b,
+           (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+             / sqrt(((CAST(saa AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(sa AS DOUBLE) / n_a) * (CAST(sa AS DOUBLE) / n_a))
+                     + (CAST(sbb AS DOUBLE) - CAST(n_b AS DOUBLE) * (CAST(sb AS DOUBLE) / n_b) * (CAST(sb AS DOUBLE) / n_b)))
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)) AS cohens_d,
+           ((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+             / sqrt(((CAST(saa AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(sa AS DOUBLE) / n_a) * (CAST(sa AS DOUBLE) / n_a))
+                     + (CAST(sbb AS DOUBLE) - CAST(n_b AS DOUBLE) * (CAST(sb AS DOUBLE) / n_b) * (CAST(sb AS DOUBLE) / n_b)))
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)))
+           * (1.0 - 3.0 / (4 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 9)) AS hedges_g
+    FROM g
+    """,
+)
+def q397(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's d and Hedges g between click and purchase cents: exact
+    integer power sums, identical double chains — the effect size
+    beside q172's Welch t and q393's Mann-Whitney."""
+    from .functions.stats import effect_size
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return effect_size(ev, "event_type", "cents", "click", "purchase")

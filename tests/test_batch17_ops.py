@@ -1310,3 +1310,21 @@ def test_kendall_tau_b_reference(spark):
     # perfect monotone → 1
     mono = spark.createDataFrame([(t, 2 * t) for t in range(25)], "x long, y long")
     assert kendall_tau_b(mono, "x", "y").head()["tau_b"] == pytest.approx(1.0)
+
+
+def test_effect_size_known(spark):
+    from riptable_spark.functions.stats import effect_size
+
+    # group a: mean 10, group b: mean 7; pooled sd from known data
+    av = [8, 10, 12, 10]
+    bv = [6, 7, 8, 7]
+    rows = [("a", v) for v in av] + [("b", v) for v in bv]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = effect_size(df, "g", "v", "a", "b").head()
+    ma, mb = sum(av) / 4, sum(bv) / 4
+    ssa = sum((v - ma) ** 2 for v in av)
+    ssb = sum((v - mb) ** 2 for v in bv)
+    sp = ((ssa + ssb) / 6) ** 0.5
+    d = (ma - mb) / sp
+    assert out["cohens_d"] == pytest.approx(d, abs=1e-12)
+    assert out["hedges_g"] == pytest.approx(d * (1 - 3 / (4 * 8 - 9)), abs=1e-12)
