@@ -2078,3 +2078,66 @@ def effect_size(
         d.alias("cohens_d"),
         (d * corr).alias("hedges_g"),
     )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, val_col: str
+) -> DataFrame:
+    """One-way ANOVA F — the parametric sibling of
+    :func:`kruskal_wallis`:
+
+        SSW = Σx² − Σ_g (Σx_g)²/n_g ,  SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N
+        F = (SSB/(k−1)) / (SSW/(N−k))
+
+    Per-group sums are exact BIGINTs; the one float fold
+    Σ_g (Σx_g)²/n_g runs as an ORDERED window cumsum (rule 19 in
+    ORACLES.md — hash-agg float sums reassociate), so F is
+    engine-identical.  Returns (n, k, ss_between, ss_within, f).
+    """
+    x = F.col(val_col).cast("long")
+    byg = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(x).cast("long").alias("s_g"),
+        F.sum(x * x).cast("long").alias("ss_g"),
+    )
+    wg = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    folded = byg.withColumn(
+        "__cum__", F.sum((F.col("s_g") * F.col("s_g")) / F.col("n_g")).over(wg)
+    ).withColumn("__rn__", F.row_number().over(Window.orderBy("g")))
+    agg = folded.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").cast("long").alias("s_all"),
+        F.sum("ss_g").cast("long").alias("ss_all"),
+        F.max_by("__cum__", "__rn__").alias("between_term"),
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    grand = (F.col("s_all") * F.col("s_all")).cast("double") / n
+    ssb = F.col("between_term") - grand
+    ssw = F.col("ss_all").cast("double") - F.col("between_term")
+    fstat = F.when(
+        (F.col("k") > 1) & (ssw > 0), (ssb / (k - 1)) / (ssw / (n - k))
+    )
+    return agg.select(
+        "n", "k", ssb.alias("ss_between"), ssw.alias("ss_within"), fstat.alias("f")
+    )
+
+
+def levene_bf(
+    df: DataFrame, group_col: str, val_col: str
+) -> DataFrame:
+    """Brown-Forsythe Levene test for variance homogeneity: one-way
+    ANOVA on z = |x − median_g|.  Group medians of integer inputs are
+    exact half-integers, so 2z is an exact BIGINT and the scale cancels
+    in F — the whole pipeline (median, deviations, ANOVA fold) stays
+    engine-exact.  Returns the :func:`anova_oneway` relation over 2z.
+    """
+    x = F.col(val_col).cast("long")
+    med = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.median(x).alias("__med__")
+    )
+    z2 = F.abs(2 * x - (2 * F.col("__med__")).cast("long"))
+    dev = df.select(F.col(group_col).alias("g"), x.alias("__x__")).join(
+        F.broadcast(med), on="g"
+    ).select("g", F.abs(2 * F.col("__x__") - (2 * F.col("__med__")).cast("long")).alias("z2"))
+    return anova_oneway(dev, "g", "z2")

@@ -2727,3 +2727,105 @@ def q397(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
     return effect_size(ev, "event_type", "cents", "click", "purchase")
+
+
+# ------------------------------------------------------------------ q398
+@query(
+    "q398_anova_oneway",
+    """
+    WITH sel AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    byg AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(v) AS BIGINT) AS s_g, CAST(sum(v * v) AS BIGINT) AS ss_g
+        FROM sel GROUP BY g
+    ),
+    folded AS (
+        SELECT n_g, s_g, ss_g,
+               sum(CAST(s_g * s_g AS DOUBLE) / n_g) OVER (
+                   ORDER BY g ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               row_number() OVER (ORDER BY g) AS rn
+        FROM byg
+    ),
+    agg AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(s_g) AS BIGINT) AS s_all, CAST(sum(ss_g) AS BIGINT) AS ss_all,
+               max_by(cum, rn) AS between_term
+        FROM folded
+    )
+    SELECT n, k,
+           between_term - CAST(s_all * s_all AS DOUBLE) / n AS ss_between,
+           CAST(ss_all AS DOUBLE) - between_term AS ss_within,
+           CASE WHEN k > 1 AND CAST(ss_all AS DOUBLE) - between_term > 0 THEN
+               ((between_term - CAST(s_all * s_all AS DOUBLE) / n) / (CAST(k AS DOUBLE) - 1))
+               / ((CAST(ss_all AS DOUBLE) - between_term) / (CAST(n AS DOUBLE) - k))
+           END AS f
+    FROM agg
+    """,
+)
+def q398(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F across event types on value cents: exact power
+    sums + the ordered between-groups fold (ORACLES.md rule 19) — the
+    parametric counterpart of q394."""
+    from .functions.stats import anova_oneway
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return anova_oneway(ev, "event_type", "cents")
+
+
+# ------------------------------------------------------------------ q399
+@query(
+    "q399_levene",
+    """
+    WITH sel AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    med AS (SELECT g, median(v) AS m FROM sel GROUP BY g),
+    dev AS (
+        SELECT sel.g, CAST(abs(2 * sel.v - CAST(2 * med.m AS BIGINT)) AS BIGINT) AS z2
+        FROM sel JOIN med ON med.g = sel.g
+    ),
+    byg AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(z2) AS BIGINT) AS s_g, CAST(sum(z2 * z2) AS BIGINT) AS ss_g
+        FROM dev GROUP BY g
+    ),
+    folded AS (
+        SELECT n_g, s_g, ss_g,
+               sum(CAST(s_g * s_g AS DOUBLE) / n_g) OVER (
+                   ORDER BY g ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               row_number() OVER (ORDER BY g) AS rn
+        FROM byg
+    ),
+    agg AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(s_g) AS BIGINT) AS s_all, CAST(sum(ss_g) AS BIGINT) AS ss_all,
+               max_by(cum, rn) AS between_term
+        FROM folded
+    )
+    SELECT n, k,
+           between_term - CAST(s_all * s_all AS DOUBLE) / n AS ss_between,
+           CAST(ss_all AS DOUBLE) - between_term AS ss_within,
+           CASE WHEN k > 1 AND CAST(ss_all AS DOUBLE) - between_term > 0 THEN
+               ((between_term - CAST(s_all * s_all AS DOUBLE) / n) / (CAST(k AS DOUBLE) - 1))
+               / ((CAST(ss_all AS DOUBLE) - between_term) / (CAST(n AS DOUBLE) - k))
+           END AS f
+    FROM agg
+    """,
+)
+def q399(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown-Forsythe Levene test across event types: ANOVA on doubled
+    |x − group median| (medians of integers are half-integers ⇒ 2z
+    exact BIGINT; scale cancels in F) — variance-homogeneity screening
+    before trusting q398's pooled assumptions."""
+    from .functions.stats import levene_bf
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return levene_bf(ev, "event_type", "cents")

@@ -1328,3 +1328,39 @@ def test_effect_size_known(spark):
     d = (ma - mb) / sp
     assert out["cohens_d"] == pytest.approx(d, abs=1e-12)
     assert out["hedges_g"] == pytest.approx(d * (1 - 3 / (4 * 8 - 9)), abs=1e-12)
+
+
+def test_anova_oneway_reference(spark):
+    from riptable_spark.functions.stats import anova_oneway
+
+    rng = np.random.default_rng(111)
+    groups = {"a": rng.integers(0, 30, 25), "b": rng.integers(10, 40, 35),
+              "c": rng.integers(5, 35, 30)}
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = anova_oneway(df, "g", "v").head()
+    allv = [v for _, v in rows]
+    n, k = len(allv), 3
+    gm = sum(allv) / n
+    ssb = sum(len(vs) * (sum(int(x) for x in vs) / len(vs) - gm) ** 2 for vs in groups.values())
+    ssw = sum(sum((int(x) - sum(int(y) for y in vs) / len(vs)) ** 2 for x in vs) for vs in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["ss_between"] == pytest.approx(ssb, rel=1e-12)
+    assert out["ss_within"] == pytest.approx(ssw, rel=1e-12)
+    assert out["f"] == pytest.approx(f, rel=1e-12)
+
+
+def test_levene_bf_detects_unequal_spread(spark):
+    from riptable_spark.functions.stats import levene_bf
+
+    rng = np.random.default_rng(5)
+    tight = [("t", int(v)) for v in rng.integers(99, 102, 60)]
+    wide = [("w", int(v)) for v in rng.integers(0, 200, 60)]
+    f_diff = levene_bf(spark.createDataFrame(tight + wide, "g string, v long"),
+                       "g", "v").head()["f"]
+    same = [("a", int(v)) for v in rng.integers(0, 50, 60)] + \
+           [("b", int(v)) for v in rng.integers(0, 50, 60)]
+    f_same = levene_bf(spark.createDataFrame(same, "g string, v long"),
+                       "g", "v").head()["f"]
+    assert f_diff > 50        # wildly unequal spreads
+    assert f_same < 5         # similar spreads
