@@ -2829,3 +2829,96 @@ def q399(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
     return levene_bf(ev, "event_type", "cents")
+
+
+# ------------------------------------------------------------------ q400
+@query(
+    "q400_experiment_readout",
+    """
+    WITH sel AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    pw AS (
+        SELECT CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS n_a,
+               CAST(count(CASE WHEN g = 'purchase' THEN 1 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN g = 'click' THEN v END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN g = 'purchase' THEN v END) AS BIGINT) AS sb,
+               CAST(sum(CASE WHEN g = 'click' THEN v * v END) AS BIGINT) AS saa,
+               CAST(sum(CASE WHEN g = 'purchase' THEN v * v END) AS BIGINT) AS sbb
+        FROM sel
+    ),
+    mom AS (
+        SELECT n_a, n_b,
+               CAST(sa AS DOUBLE) / n_a AS ma, CAST(sb AS DOUBLE) / n_b AS mb,
+               (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) / n_a * sa) / (n_a - 1) AS va,
+               (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) / n_b * sb) / (n_b - 1) AS vb,
+               CAST(saa AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(sa AS DOUBLE) / n_a) * (CAST(sa AS DOUBLE) / n_a) AS ssa,
+               CAST(sbb AS DOUBLE) - CAST(n_b AS DOUBLE) * (CAST(sb AS DOUBLE) / n_b) * (CAST(sb AS DOUBLE) / n_b) AS ssb
+        FROM pw
+    ),
+    per AS (
+        SELECT v, count(*) AS t,
+               CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ta
+        FROM sel GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, t, ta,
+               CAST(2 * coalesce(sum(t) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + t + 1 AS BIGINT) AS dr
+        FROM per
+    ),
+    mw AS (
+        SELECT CAST(sum(dr * ta) AS BIGINT) AS r2a,
+               CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        FROM ranked
+    )
+    SELECT m.n_a, m.n_b, m.ma AS mean_a, m.mb AS mean_b,
+           (m.ma - m.mb) / sqrt(m.va / m.n_a + m.vb / m.n_b) AS welch_t,
+           CAST(mw.r2a - m.n_a * (m.n_a + 1) AS DOUBLE) / (m.n_a * m.n_b) - 1 AS cliffs_delta,
+           CAST(mw.r2a - m.n_a * (m.n_a + 1) - m.n_a * m.n_b AS DOUBLE)
+             / (2 * sqrt(CAST(m.n_a AS DOUBLE) * CAST(m.n_b AS DOUBLE) / 12.0
+                 * (CAST(m.n_a + m.n_b + 1 AS DOUBLE)
+                    - CAST(mw.ties AS DOUBLE)
+                      / CAST((m.n_a + m.n_b) * (m.n_a + m.n_b - 1) AS DOUBLE)))) AS mw_z,
+           (m.ma - m.mb) / sqrt((m.ssa + m.ssb) / (CAST(m.n_a AS DOUBLE) + m.n_b - 2)) AS cohens_d,
+           ((m.ma - m.mb) / sqrt((m.ssa + m.ssb) / (CAST(m.n_a AS DOUBLE) + m.n_b - 2)))
+             * (1.0 - 3.0 / (4 * (CAST(m.n_a AS DOUBLE) + m.n_b) - 9)) AS hedges_g
+    FROM mom m CROSS JOIN mw
+    """,
+)
+def q400(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed experiment readout — Welch t, Mann-Whitney z,
+    Cliff's delta, Cohen's d, Hedges g between click and purchase in
+    ONE relation: the full parametric + nonparametric + effect-size
+    A/B verdict, every input an exact integer power/rank sum."""
+    from .functions.stats import effect_size, mann_whitney_u
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    es = effect_size(ev, "event_type", "cents", "click", "purchase")
+    mw = mann_whitney_u(ev, "event_type", "cents", "click", "purchase").select(
+        "cliffs_delta", F.col("z").alias("mw_z")
+    )
+    sel = ev.where(F.col("event_type").isin("click", "purchase"))
+    c = F.col("cents")
+    a = F.when(F.col("event_type") == "click", c)
+    b = F.when(F.col("event_type") == "purchase", c)
+    pw = sel.agg(
+        F.count(a).cast("long").alias("n_a"), F.count(b).cast("long").alias("n_b"),
+        F.sum(a).cast("long").alias("sa"), F.sum(b).cast("long").alias("sb"),
+        F.sum(a * a).cast("long").alias("saa"), F.sum(b * b).cast("long").alias("sbb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    va = (F.col("saa").cast("double") - ma * F.col("sa")) / (na - 1)
+    vb = (F.col("sbb").cast("double") - mb * F.col("sb")) / (nb - 1)
+    t_rel = pw.select(((ma - mb) / F.sqrt(va / na + vb / nb)).alias("welch_t"))
+    out = es.select("n_a", "n_b", "mean_a", "mean_b", "cohens_d", "hedges_g") \
+        .crossJoin(F.broadcast(t_rel)).crossJoin(F.broadcast(mw))
+    return out.select(
+        "n_a", "n_b", "mean_a", "mean_b", "welch_t",
+        "cliffs_delta", "mw_z", "cohens_d", "hedges_g",
+    )
