@@ -2141,3 +2141,55 @@ def levene_bf(
         F.broadcast(med), on="g"
     ).select("g", F.abs(2 * F.col("__x__") - (2 * F.col("__med__")).cast("long")).alias("z2"))
     return anova_oneway(dev, "g", "z2")
+
+
+def mcnemar(
+    df: DataFrame, correct_a_col: str, correct_b_col: str
+) -> DataFrame:
+    """McNemar's test for PAIRED classifiers (both scored on the same
+    examples) — the right significance test for "is model B actually
+    better than model A", where two independent-sample tests are wrong.
+
+    One conditional agg collects the 2×2 agreement cells; the statistic
+    (with continuity correction) is (|b−c|−1)²/(b+c) — exact integer
+    numerator, one divide.  b = A-only correct, c = B-only correct.
+    Returns (both, a_only, b_only, neither, chi2_cc).
+    """
+    a = F.col(correct_a_col).cast("long")
+    b = F.col(correct_b_col).cast("long")
+    g = df.agg(
+        F.sum(a * b).cast("long").alias("both"),
+        F.sum(a * (1 - b)).cast("long").alias("a_only"),
+        F.sum((1 - a) * b).cast("long").alias("b_only"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("neither"),
+    )
+    bb, cc = F.col("a_only"), F.col("b_only")
+    num = (F.abs(bb - cc) - 1) * (F.abs(bb - cc) - 1)
+    return g.withColumn(
+        "chi2_cc",
+        F.when(bb + cc > 0, F.greatest(num, F.lit(0)) / (bb + cc)),
+    )
+
+
+def durbin_watson(
+    df: DataFrame, keys: list[str], resid_col: str, order: list[str]
+) -> DataFrame:
+    """Durbin-Watson statistic per key — the serial-correlation
+    diagnostic for regression residuals (d ≈ 2 none, → 0 positive,
+    → 4 negative autocorrelation):
+
+        d = Σ_t (e_t − e_{t−1})² / Σ_t e_t²
+
+    With integer-scaled residuals both sums are exact BIGINTs via one
+    lag window per key + one agg — d is a single divide."""
+    e = F.col(resid_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    work = df.withColumn("__d__", e - F.lag(e).over(w))
+    return work.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__d__") * F.col("__d__")).cast("long").alias("ss_diff"),
+        F.sum(e * e).cast("long").alias("ss_resid"),
+    ).select(
+        *keys, "n",
+        F.when(F.col("ss_resid") > 0, F.col("ss_diff") / F.col("ss_resid")).alias("dw"),
+    )

@@ -2922,3 +2922,77 @@ def q400(spark: SparkSession, sf: str) -> DataFrame:
         "n_a", "n_b", "mean_a", "mean_b", "welch_t",
         "cliffs_delta", "mw_z", "cohens_d", "hedges_g",
     )
+
+
+# ------------------------------------------------------------------ q401
+@query(
+    "q401_mcnemar",
+    """
+    WITH paired AS (
+        SELECT CASE WHEN (value > 500) = (event_id % 2 = 0) THEN 1 ELSE 0 END AS a,
+               CASE WHEN (value > 500) = ((event_id * 7 + user_id) % 3 = 0) THEN 1 ELSE 0 END AS b
+        FROM events
+    ),
+    g AS (
+        SELECT CAST(sum(a * b) AS BIGINT) AS both_right,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS a_only,
+               CAST(sum((1 - a) * b) AS BIGINT) AS b_only,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS neither
+        FROM paired
+    )
+    SELECT both_right AS "both", a_only, b_only, neither,
+           CASE WHEN a_only + b_only > 0 THEN
+               CAST(greatest((abs(a_only - b_only) - 1)
+                             * (abs(a_only - b_only) - 1), 0) AS DOUBLE)
+               / (a_only + b_only)
+           END AS chi2_cc
+    FROM g
+    """,
+)
+def q401(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's paired test between two deterministic classifiers of
+    value>500 on the SAME rows: agreement cells from one conditional
+    agg, continuity-corrected χ² as an exact integer ratio — the
+    correct 'is model B better' test."""
+    from .functions.stats import mcnemar
+
+    ev = load_table(spark, sf, "events").select(
+        ((F.col("value") > 500) == (F.col("event_id") % 2 == 0)).cast("long").alias("a"),
+        ((F.col("value") > 500) == ((F.col("event_id") * 7 + F.col("user_id")) % 3 == 0))
+        .cast("long").alias("b"),
+    )
+    return mcnemar(ev, "a", "b")
+
+
+# ------------------------------------------------------------------ q402
+@query(
+    "q402_durbin_watson",
+    """
+    WITH resid AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) - 500 * (event_id % 3) AS e
+        FROM events
+    ),
+    lagd AS (
+        SELECT user_id,
+               e - lag(e) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d,
+               e
+        FROM resid
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CASE WHEN sum(e * e) > 0
+                THEN CAST(sum(d * d) AS DOUBLE) / sum(e * e) END AS dw
+    FROM lagd GROUP BY user_id
+    """,
+)
+def q402(spark: SparkSession, sf: str) -> DataFrame:
+    """Durbin-Watson per user on synthetic regression residuals: lag
+    window + two exact integer sums, one divide — the autocorrelation
+    screen for per-key model residuals."""
+    from .functions.stats import durbin_watson
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        (F.round(F.col("value") * 100).cast("bigint") - 500 * (F.col("event_id") % 3)).alias("e"),
+    )
+    return durbin_watson(ev, ["user_id"], "e", ["ts", "event_id"])

@@ -1364,3 +1364,37 @@ def test_levene_bf_detects_unequal_spread(spark):
                        "g", "v").head()["f"]
     assert f_diff > 50        # wildly unequal spreads
     assert f_same < 5         # similar spreads
+
+
+def test_mcnemar_hand(spark):
+    from riptable_spark.functions.stats import mcnemar
+
+    # both=40, a_only=12, b_only=4, neither=10 → χ²cc = (|12−4|−1)²/16
+    rows = ([(1, 1)] * 40 + [(1, 0)] * 12 + [(0, 1)] * 4 + [(0, 0)] * 10)
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = mcnemar(df, "a", "b").head()
+    assert (out["both"], out["a_only"], out["b_only"], out["neither"]) == (40, 12, 4, 10)
+    assert out["chi2_cc"] == pytest.approx(49 / 16)
+    # no discordant pairs → NULL
+    agree = spark.createDataFrame([(1, 1), (0, 0)], "a long, b long")
+    assert mcnemar(agree, "a", "b").head()["chi2_cc"] is None
+
+
+def test_durbin_watson_patterns(spark):
+    from riptable_spark.functions.stats import durbin_watson
+
+    # alternating residuals → d near 4; constant-sign random → smaller
+    alt = [("k", t, (-1) ** t * 10) for t in range(50)]
+    df = spark.createDataFrame(alt, "k string, t long, e long")
+    d_alt = durbin_watson(df, ["k"], "e", ["t"]).head()["dw"]
+    assert d_alt > 3.8
+    rng = np.random.default_rng(3)
+    iid = [("k", t, int(v)) for t, v in enumerate(rng.integers(-20, 21, 400))]
+    d_iid = durbin_watson(spark.createDataFrame(iid, "k string, t long, e long"),
+                          ["k"], "e", ["t"]).head()["dw"]
+    assert 1.6 < d_iid < 2.4
+    # exact check on a tiny case
+    e = [3, 1, 4]
+    tiny = spark.createDataFrame([("k", t, v) for t, v in enumerate(e)], "k string, t long, e long")
+    out = durbin_watson(tiny, ["k"], "e", ["t"]).head()
+    assert out["dw"] == pytest.approx(((1 - 3) ** 2 + (4 - 1) ** 2) / (9 + 1 + 16))
