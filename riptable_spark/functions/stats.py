@@ -2193,3 +2193,129 @@ def durbin_watson(
         *keys, "n",
         F.when(F.col("ss_resid") > 0, F.col("ss_diff") / F.col("ss_resid")).alias("dw"),
     )
+
+
+def mix_shift(
+    df: DataFrame,
+    period_col: str,
+    group_col: str,
+    val_col: str,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """Mix-shift decomposition of a ratio metric between two periods
+    (the Oaxaca-style "why did the average move" readout every metrics
+    review asks for).  With M_p = Σ value / N_p and per-group shares
+    w_gp = n_gp/N_p, rates r_gp = s_gp/n_gp:
+
+        mix_g  = (w_gb − w_ga) · r_ga      (composition moved)
+        rate_g = w_gb · (r_gb − r_ga)      (within-group value moved)
+
+    and Σ_g (mix_g + rate_g) = M_b − M_a exactly.  Groups absent from a
+    period fall back to that period's overall mean as their rate (share
+    0), which preserves the telescoping identity.
+
+    Exactness: counts and sums aggregate as BIGINTs; every emitted
+    double is a FIXED expression tree over those exact operands (shares
+    and rates are single divides), so the result is engine-identical
+    with no rounding.  Scale shape: one (period, group) hash agg plus a
+    two-row period-total agg broadcast back — the output is
+    group-cardinality-sized.
+
+    Returns one row per group: (group, n_a, n_b, s_a, s_b, share_a,
+    share_b, rate_a, rate_b, mix_effect, rate_effect).
+    """
+    p = F.col(period_col)
+    x = F.col(val_col).cast("long")
+    in_a = F.when(p == F.lit(period_a), 1).otherwise(0)
+    in_b = F.when(p == F.lit(period_b), 1).otherwise(0)
+    byg = (
+        df.where(p.isin(period_a, period_b))
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.sum(in_a).cast("long").alias("n_a"),
+            F.sum(in_b).cast("long").alias("n_b"),
+            F.sum(x * in_a).cast("long").alias("s_a"),
+            F.sum(x * in_b).cast("long").alias("s_b"),
+        )
+    )
+    # totals must NOT alias as N_a/S_a: Spark and DuckDB both resolve
+    # case-insensitively, so they would collide with n_a/s_a (ORACLES
+    # rule: never distinguish aliases by case)
+    tot = byg.groupBy().agg(
+        F.sum("n_a").cast("long").alias("na_tot"),
+        F.sum("n_b").cast("long").alias("nb_tot"),
+        F.sum("s_a").cast("long").alias("sa_tot"),
+        F.sum("s_b").cast("long").alias("sb_tot"),
+    )
+    j = byg.crossJoin(F.broadcast(tot))
+    m_a = F.col("sa_tot").cast("double") / F.col("na_tot")
+    m_b = F.col("sb_tot").cast("double") / F.col("nb_tot")
+    w_a = F.col("n_a").cast("double") / F.col("na_tot")
+    w_b = F.col("n_b").cast("double") / F.col("nb_tot")
+    r_a = F.when(F.col("n_a") > 0, F.col("s_a").cast("double") / F.col("n_a")).otherwise(m_a)
+    r_b = F.when(F.col("n_b") > 0, F.col("s_b").cast("double") / F.col("n_b")).otherwise(m_b)
+    return j.select(
+        "grp", "n_a", "n_b", "s_a", "s_b",
+        w_a.alias("share_a"), w_b.alias("share_b"),
+        r_a.alias("rate_a"), r_b.alias("rate_b"),
+        ((w_b - w_a) * r_a).alias("mix_effect"),
+        (w_b * (r_b - r_a)).alias("rate_effect"),
+    )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    keys: list[str],
+    actual_col: str,
+    forecast_col: str,
+    order: list[str],
+) -> DataFrame:
+    """Forecast-accuracy report per series — the metrics a demand/load
+    forecasting pipeline tracks, in the cross-engine-exact forms:
+
+        bias  = Σe / n                       (e = forecast − actual)
+        mae   = Σ|e| / n
+        wape  = Σ|e| / Σ|a|                  (weighted-absolute-% error —
+                                              the scale-free form that
+                                              cannot divide by a zero
+                                              actual, unlike plain MAPE)
+        smape = 2·Σ|e| / Σ(|a|+|f|)          (the AGGREGATE sMAPE form —
+                                              the per-row-ratio form is a
+                                              float group-sum no engine
+                                              pair folds identically,
+                                              ORACLES.md rules 11/19)
+        mase  = Σ|e| · (n−1) / (n · Σ|a_t − a_{t−1}|)
+                                             (scaled by the in-sample
+                                              naive one-step MAE)
+
+    Every numerator/denominator accumulates as an exact BIGINT from
+    integer-scaled inputs; each metric is ONE divide of exact operands,
+    so the report is engine-identical with no rounding.  One lag window
+    (for the naive baseline) + one hash agg per key.
+    """
+    a = F.col(actual_col).cast("long")
+    f_ = F.col(forecast_col).cast("long")
+    e = f_ - a
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    work = df.withColumn("__naive__", F.abs(a - F.lag(a).over(w)))
+    g = work.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(e).cast("long").alias("sum_e"),
+        F.sum(F.abs(e)).cast("long").alias("sum_ae"),
+        F.sum(F.abs(a)).cast("long").alias("sum_aa"),
+        F.sum(F.abs(a) + F.abs(f_)).cast("long").alias("sum_af"),
+        F.sum("__naive__").cast("long").alias("sum_naive"),
+    )
+    n = F.col("n")
+    return g.select(
+        *keys, "n",
+        (F.col("sum_e") / n).alias("bias"),
+        (F.col("sum_ae") / n).alias("mae"),
+        F.when(F.col("sum_aa") > 0, F.col("sum_ae") / F.col("sum_aa")).alias("wape"),
+        F.when(F.col("sum_af") > 0, (2 * F.col("sum_ae")) / F.col("sum_af")).alias("smape"),
+        F.when(
+            (n > 1) & (F.col("sum_naive") > 0),
+            (F.col("sum_ae") * (n - 1)) / (n * F.col("sum_naive")),
+        ).alias("mase"),
+    )

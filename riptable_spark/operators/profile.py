@@ -296,3 +296,45 @@ def observe_metrics(
     obs = Observation(name)
     out = df.observe(obs, *[c.alias(n) for n, c in aggs.items()])
     return out, obs
+
+
+def iqr_outliers(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier audit: Q1/Q3 (linear-interpolation
+    quantiles), fences at Q1 − k·IQR / Q3 + k·IQR, and how many rows
+    fall outside each fence — the standard numeric-quality gate.
+
+    Exactness: for integer-scaled inputs the .25/.75 quantiles
+    interpolate at quarter fractions, so every intermediate
+    (q, k·IQR with k a dyadic rational like 1.5, the fences) is exactly
+    representable in a double — ANY evaluation order yields the same
+    value, making the fences engine-identical without rounding.
+
+    Scale shape: one percentile aggregation per key (the fence relation
+    is group-cardinality-sized and BROADCASTS back onto the fact scan),
+    then one conditional count agg — two passes total, no sort of the
+    fact table.
+    """
+    x = F.col(val_col).cast("long")
+    fences = df.groupBy(*keys).agg(
+        F.percentile(x, F.lit(0.25)).alias("q1"),
+        F.percentile(x, F.lit(0.75)).alias("q3"),
+    ).select(
+        *keys, "q1", "q3",
+        (F.col("q1") - F.lit(float(k)) * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + F.lit(float(k)) * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    j = df.select(*keys, x.alias("__x__")).join(F.broadcast(fences), on=keys)
+    return j.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("q1").alias("q1"),
+        F.min("q3").alias("q3"),
+        F.min("lo_fence").alias("lo_fence"),
+        F.min("hi_fence").alias("hi_fence"),
+        F.sum((F.col("__x__") < F.col("lo_fence")).cast("long")).alias("n_out_low"),
+        F.sum((F.col("__x__") > F.col("hi_fence")).cast("long")).alias("n_out_high"),
+    )

@@ -26,6 +26,7 @@ from riptable_spark import (  # noqa: F401 — register all batches
     queries10,
     queries11,
     queries12,
+    queries13,
 )
 from riptable_spark.queries import ORACLES, QUERIES
 
