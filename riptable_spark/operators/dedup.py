@@ -853,3 +853,52 @@ def dedup_incremental(
         on="__fp__", how="left_anti",
     ).unionByName(tagged.where(F.col("__fp__").isNull()))
     return dedup_exact(survivors.drop("__fp__"), text_col, id_col)
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an undirected edge relation — the cheap community detector that
+    complements :func:`connected_components` (which merges everything
+    reachable) when near-dup graphs chain through weak bridges.
+
+    Every node starts labeled with itself; each round every node takes
+    the MOST FREQUENT label among its neighbors, ties broken by the
+    smallest label — fully deterministic, no RNG.  Each round is one
+    join + one (node, label) count agg + one argmax (min_by over the
+    packed (−count, label) struct), all integer-exact.  ``n_iter`` is
+    fixed rather than convergence-tested: synchronous LPA can oscillate
+    on bipartite subgraphs, so a bounded round count IS the algorithm.
+    Returns (node, label) after ``n_iter`` rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(n_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "label"), on="dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            nbr.groupBy("src")
+            .agg(
+                F.min_by(
+                    "label",
+                    F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("lb")),
+                ).alias("label")
+            )
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels

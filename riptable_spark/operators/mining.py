@@ -314,3 +314,209 @@ def shapley_attribution(
         "channel", "shapley_scaled",
         (F.col("shapley_scaled") / F.lit(kfact)).alias("shapley"),
     )
+
+
+def slope_one_deviations(
+    ratings: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    max_items_per_user: int | None = None,
+) -> DataFrame:
+    """Slope One deviation relation (Lemire & Maclachlan 2005): for every
+    ordered item pair (i, j), s_ij = Σ_u (r_ui − r_uj) and n_ij = the
+    co-rater count — the entire "model" of the Slope One recommender,
+    as a plain mergeable relation of exact BIGINTs.
+
+    Plan: distinct (user, item, rating) → optional per-user item cap
+    (the basket_pairs mega-user guard: one bot account otherwise emits
+    |items|² pairs) → self-equi-join on user → ONE (i, j) hash agg.
+    Both directions are emitted (dev(j,i) = −dev(i,j)) so prediction is
+    a single equi-join with no sign bookkeeping.
+    """
+    ur = ratings.groupBy(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).agg(F.max(F.col(rating_col).cast("long")).alias("r"))
+    if max_items_per_user is not None:
+        w = Window.partitionBy("u")
+        ur = ur.withColumn("__nu__", F.count(F.lit(1)).over(w)).where(
+            F.col("__nu__") <= max_items_per_user
+        ).drop("__nu__")
+    a = ur.select("u", F.col("i").alias("item_i"), F.col("r").alias("r_i"))
+    b = ur.select("u", F.col("i").alias("item_j"), F.col("r").alias("r_j"))
+    return (
+        a.join(b, on="u")
+        .where(F.col("item_i") != F.col("item_j"))
+        .groupBy("item_i", "item_j")
+        .agg(
+            F.sum(F.col("r_i") - F.col("r_j")).cast("long").alias("s_ij"),
+            F.count(F.lit(1)).cast("long").alias("n_ij"),
+        )
+    )
+
+
+def slope_one_predict(
+    ratings: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    max_items_per_user: int | None = None,
+) -> DataFrame:
+    """Weighted Slope One predictions for every (user, item) the user
+    rated, from that user's OTHER ratings:
+
+        P(u,i) = Σ_j (s_ij + r_uj·n_ij) / Σ_j n_ij
+
+    — the weighted form collapses to ONE ratio of exact BIGINT sums
+    (the per-pair deviation s_ij/n_ij never materializes as a float),
+    so the prediction is a single engine-exact divide.  Returns
+    (user, item, rating, pred_num, pred_den, pred).
+
+    Plan: the deviation relation (item²-bounded, usually ≪ ratings)
+    joins the user's rating list on (i, j) — one equi-join keyed by
+    item pair + one (user, item) hash agg.
+    """
+    devs = slope_one_deviations(ratings, user_col, item_col, rating_col, max_items_per_user)
+    ur = ratings.groupBy(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).agg(F.max(F.col(rating_col).cast("long")).alias("r"))
+    others = ur.select("u", F.col("i").alias("item_j"), F.col("r").alias("r_j"))
+    targets = ur.select("u", F.col("i").alias("item_i"), F.col("r").alias("rating"))
+    j = targets.join(others, on="u").where(F.col("item_i") != F.col("item_j")).join(
+        devs, on=["item_i", "item_j"]
+    )
+    out = j.groupBy("u", "item_i", "rating").agg(
+        F.sum(F.col("s_ij") + F.col("r_j") * F.col("n_ij")).cast("long").alias("pred_num"),
+        F.sum("n_ij").cast("long").alias("pred_den"),
+    )
+    return out.select(
+        F.col("u").alias(user_col),
+        F.col("item_i").alias(item_col),
+        "rating", "pred_num", "pred_den",
+        F.when(F.col("pred_den") > 0, F.col("pred_num") / F.col("pred_den")).alias("pred"),
+    )
+
+
+def intra_list_diversity(
+    recs: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "vec_id",
+    rank_col: str = "rank",
+    vec_col: str = "embedding",
+    catalog_size: int | None = None,
+) -> DataFrame:
+    """Recommendation-quality eval: intra-list diversity (mean pairwise
+    cosine DISSIMILARITY among each query's top-k) and catalog coverage
+    (share of the catalog that appears in any list) — the two standard
+    beyond-accuracy recommender metrics.
+
+    Exactness: each pair's dissimilarity is a fixed-tree float (linear
+    dot-product fold, q114 discipline); the C(k,2) pair terms pivot
+    into FIXED (rank_a, rank_b) columns and sum in literal order — the
+    bm25_search discipline — so the per-query mean is engine-identical.
+    The pair join is rank-bounded per query (k² rows per query, never
+    corpus-sized); coverage is one distinct-count broadcast back.
+    Returns (query, n_pairs, ild, coverage).
+    """
+    # cast to double BEFORE the fold: a float32 element squared in
+    # float32 loses bits vs DuckDB's double-cast arrays (q114 discipline)
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rv = recs.where(F.col(rank_col) <= k).join(
+        vectors.select(F.col(item_col), dvec.alias(vec_col)), on=item_col
+    ).select(
+        F.col(query_col).alias("q"), F.col(rank_col).alias("rk"),
+        F.col(item_col).alias("it"), F.col(vec_col).alias("v"),
+    )
+    a = rv.select("q", F.col("rk").alias("ra"), F.col("v").alias("va"))
+    b = rv.select("q", F.col("rk").alias("rb"), F.col("v").alias("vb"))
+    from .similarity import cosine
+
+    pairs = a.join(b, on="q").where(F.col("ra") < F.col("rb")).select(
+        "q", "ra", "rb", (F.lit(1.0) - cosine(F.col("va"), F.col("vb"))).alias("d")
+    )
+    cells = [
+        F.min(F.when((F.col("ra") == i) & (F.col("rb") == j), F.col("d"))).alias(f"__d_{i}_{j}__")
+        for i in range(1, k + 1) for j in range(i + 1, k + 1)
+    ]
+    g = pairs.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"), *cells)
+    total = None
+    for i in range(1, k + 1):
+        for j in range(i + 1, k + 1):
+            c = F.coalesce(F.col(f"__d_{i}_{j}__"), F.lit(0.0))
+            total = c if total is None else total + c
+    ncat = (
+        F.lit(int(catalog_size))
+        if catalog_size is not None
+        else F.broadcast(vectors.agg(F.countDistinct(item_col).alias("__ncat__")))
+    )
+    cov = recs.where(F.col(rank_col) <= k).agg(
+        F.countDistinct(item_col).cast("long").alias("__nrec__")
+    )
+    out = g.select("q", "n_pairs", (total / F.col("n_pairs")).alias("ild"))
+    out = out.crossJoin(F.broadcast(cov))
+    if catalog_size is not None:
+        return out.select("q", "n_pairs", "ild", (F.col("__nrec__") / ncat).alias("coverage"))
+    return out.crossJoin(ncat).select(
+        "q", "n_pairs", "ild", (F.col("__nrec__") / F.col("__ncat__")).alias("coverage")
+    )
+
+
+def elo_ratings(
+    matches: DataFrame,
+    group_col: str,
+    order: list[str],
+    player_a_col: str = "player_a",
+    player_b_col: str = "player_b",
+    score_a_col: str = "score_a",
+    k: float = 32.0,
+    base: float = 1500.0,
+    scale: float = 400.0,
+) -> DataFrame:
+    """Elo ratings per league — the classic sequential skill model.  The
+    update is inherently path-dependent (each game's expectation uses
+    the CURRENT ratings), so this is an ordered Arrow scan per league
+    (the fifo_pnl shape): leagues partition the work, games within a
+    league replay in order.  e_b is computed as 1 − e_a so each game's
+    update is exactly zero-sum in floating point — Σ(rating − base) per
+    league is identically 0 (tested).  Returns
+    (group, player, rating, n_games, n_wins).  Rows-only correctness
+    (no SQL closed form); pinned by hand cases + invariants.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} long, player long, rating double, n_games long, n_wins long"
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        ratings: dict = {}
+        games: dict = {}
+        wins: dict = {}
+        for pa, pb, sa in zip(pdf[player_a_col], pdf[player_b_col], pdf[score_a_col]):
+            ra = ratings.get(pa, base)
+            rb = ratings.get(pb, base)
+            e_a = 1.0 / (1.0 + 10.0 ** ((rb - ra) / scale))
+            e_b = 1.0 - e_a
+            sa = float(sa)
+            ratings[pa] = ra + k * (sa - e_a)
+            ratings[pb] = rb + k * ((1.0 - sa) - e_b)
+            games[pa] = games.get(pa, 0) + 1
+            games[pb] = games.get(pb, 0) + 1
+            wins[pa] = wins.get(pa, 0) + (1 if sa == 1.0 else 0)
+            wins[pb] = wins.get(pb, 0) + (1 if sa == 0.0 else 0)
+        gval = pdf[group_col].iloc[0] if len(pdf) else None
+        players = sorted(ratings)
+        return pd.DataFrame(
+            {
+                group_col: [gval] * len(players),
+                "player": players,
+                "rating": [ratings[p] for p in players],
+                "n_games": [games[p] for p in players],
+                "n_wins": [wins.get(p, 0) for p in players],
+            }
+        )
+
+    return matches.groupBy(group_col).applyInPandas(scan, out_schema)

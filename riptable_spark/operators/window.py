@@ -1303,3 +1303,59 @@ def running_distinct(
     return df.withColumn("__fo__", flag).withColumn(
         out_col, F.sum("__fo__").over(w2).cast("long")
     ).drop("__fo__")
+
+
+def burst_detect(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    bucket_seconds: int = 86400,
+    trailing: int = 7,
+    num: int = 2,
+    den: int = 1,
+    min_history: int | None = None,
+) -> DataFrame:
+    """Burst detection per key: bucket the event stream, compare each
+    bucket's count to the trailing-window average, and flag buckets
+    whose rate exceeds num/den times that baseline:
+
+        burst ⟺ n_t · trailing · den > num · Σ_{t-trailing ≤ s < t} n_s
+
+    — the cross-multiplied integer form, so the threshold test is exact
+    (no float rate ever materializes).  The trailing sum is a RANGE
+    frame over the bucket INDEX, so calendar gaps (empty buckets) count
+    as zero instead of silently shrinking the window.  Buckets with
+    fewer than ``min_history`` non-empty trailing buckets (default: the
+    full window) report burst = false — partial history makes the
+    baseline spuriously small and would flag the warm-up period.
+
+    Scale shape: one (key, bucket) pre-aggregation shrinks the stream
+    to bucket counts BEFORE the window, so the per-key sort is over
+    buckets, not raw events.  Returns
+    (keys..., bucket_start, n, trailing_n, burst).
+    """
+    b = F.floor(F.unix_seconds(F.col(time_col)) / F.lit(bucket_seconds)).cast("long")
+    counts = df.groupBy(*keys, b.alias("__bkt__")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__bkt__")
+        .rangeBetween(-trailing, -1)
+    )
+    need = trailing if min_history is None else min_history
+    work = counts.withColumn("trailing_n", F.sum("n").over(w)).withColumn(
+        "hist_buckets", F.count("n").over(w)
+    )
+    return work.select(
+        *keys,
+        # epoch seconds, not a timestamp: tz-aware/naive disagreement
+        # between engines makes timestamps hash-hostile
+        (F.col("__bkt__") * bucket_seconds).cast("long").alias("bucket_start"),
+        "n",
+        "trailing_n",
+        F.when(
+            F.col("trailing_n").isNotNull() & (F.col("hist_buckets") >= need),
+            F.col("n") * trailing * den > num * F.col("trailing_n"),
+        ).otherwise(F.lit(False)).alias("burst"),
+    )

@@ -167,3 +167,262 @@ def q405(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
     )
     return prof.iqr_outliers(li, ["flag"], "x", k=1.5)
+
+
+# ------------------------------------------------------------------ q406
+@query(
+    "q406_slope_one",
+    """
+    WITH ur AS (
+        SELECT user_id AS u, event_id % 20 AS i,
+               CAST(max((CAST(round(value * 100) AS BIGINT) % 5) + 1) AS BIGINT) AS r
+        FROM events GROUP BY 1, 2
+    ),
+    devs AS (
+        SELECT a.i AS item_i, b.i AS item_j,
+               CAST(sum(a.r - b.r) AS BIGINT) AS s_ij,
+               CAST(count(*) AS BIGINT) AS n_ij
+        FROM ur a JOIN ur b ON a.u = b.u AND a.i != b.i
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT t.u, t.i AS item_i, t.r AS rating,
+               CAST(sum(d.s_ij + o.r * d.n_ij) AS BIGINT) AS pred_num,
+               CAST(sum(d.n_ij) AS BIGINT) AS pred_den
+        FROM ur t
+        JOIN ur o ON o.u = t.u AND o.i != t.i
+        JOIN devs d ON d.item_i = t.i AND d.item_j = o.i
+        GROUP BY 1, 2, 3
+    )
+    SELECT u AS user_id, item_i AS item, rating, pred_num, pred_den,
+           CASE WHEN pred_den > 0 THEN CAST(pred_num AS DOUBLE) / pred_den END AS pred
+    FROM pred
+    """,
+)
+def q406(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted Slope One recommender (operators/mining.slope_one_predict)
+    over a deterministic (user, item, rating) relation derived from
+    events.  The weighted form collapses to one ratio of exact BIGINT
+    sums — the per-pair deviation never materializes as a float, so
+    predictions hash-match with no rounding."""
+    from .operators import mining as mn
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        (F.col("event_id") % 20).alias("item"),
+        ((F.round(F.col("value") * 100).cast("long") % 5) + 1).alias("rating"),
+    )
+    return mn.slope_one_predict(ev, "user_id", "item", "rating")
+
+
+# ------------------------------------------------------------------ q407
+def _q407_oracle() -> str:
+    cos = (
+        "list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])))"
+    )
+    k = 4
+    cells = ", ".join(
+        f"min(CASE WHEN ra = {i} AND rb = {j} THEN d END) AS d_{i}_{j}"
+        for i in range(1, k + 1) for j in range(i + 1, k + 1)
+    )
+    tsum = " + ".join(
+        f"coalesce(d_{i}_{j}, CAST(0.0 AS DOUBLE))"
+        for i in range(1, k + 1) for j in range(i + 1, k + 1)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT q.query_id, c.vec_id, {cos.format(a='c', b='q')} AS score
+        FROM embeddings c, q
+    ),
+    recs AS (
+        SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id, score,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    ),
+    rv AS (
+        SELECT r.query_id AS qid, r.rank AS rk, e.embedding
+        FROM recs r JOIN embeddings e ON e.vec_id = r.vec_id
+    ),
+    pairs AS (
+        SELECT a.qid, a.rk AS ra, b.rk AS rb,
+               CAST(1.0 AS DOUBLE) - ({cos.format(a='a', b='b')}) AS d
+        FROM rv a JOIN rv b ON a.qid = b.qid AND a.rk < b.rk
+    ),
+    g AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS n_pairs, {cells}
+        FROM pairs GROUP BY qid
+    ),
+    cov AS (
+        SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS nrec FROM recs
+    ),
+    ncat AS (
+        SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS ncat_n FROM embeddings
+    )
+    SELECT qid AS q, n_pairs, ({tsum}) / n_pairs AS ild,
+           CAST(nrec AS DOUBLE) / ncat_n AS coverage
+    FROM g, cov, ncat
+    """
+
+
+@query("q407_rec_diversity", _q407_oracle())
+def q407(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-accuracy recommender eval (operators/mining.
+    intra_list_diversity): intra-list diversity of each query's exact
+    top-4 cosine neighbors + catalog coverage.  Pair dissimilarities
+    pivot into FIXED (rank_a, rank_b) columns and sum in literal order
+    (the bm25_search float discipline), so the per-query mean is
+    engine-identical."""
+    from .operators import mining as mn
+    from .operators import similarity as sim
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    recs = sim.brute_force_topk(e, q, k=4)
+    return mn.intra_list_diversity(recs, e, k=4, query_col="query_id")
+
+
+# ------------------------------------------------------------------ q408
+@query(
+    "q408_label_propagation",
+    """
+    WITH base AS (
+        SELECT doc_id % 200 AS s, (doc_id * 7 + 3) % 200 AS d FROM documents
+    ),
+    e AS (
+        SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi FROM base WHERE s != d
+    ),
+    adj AS (
+        SELECT lo AS node, hi AS nbr FROM e
+        UNION SELECT hi AS node, lo AS nbr FROM e
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+    r1 AS (
+        SELECT a.node, l.label, count(*) AS cnt
+        FROM adj a JOIN l0 l ON l.node = a.nbr GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+            FROM r1
+        ) WHERE rn = 1
+    ),
+    r2 AS (
+        SELECT a.node, l.label, count(*) AS cnt
+        FROM adj a JOIN l1 l ON l.node = a.nbr GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+            FROM r2
+        ) WHERE rn = 1
+    ),
+    r3 AS (
+        SELECT a.node, l.label, count(*) AS cnt
+        FROM adj a JOIN l2 l ON l.node = a.nbr GROUP BY 1, 2
+    ),
+    l3 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+            FROM r3
+        ) WHERE rn = 1
+    )
+    SELECT node, label FROM l3
+    """,
+)
+def q408(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 rounds) over the
+    q344 synthetic document graph (operators/dedup.label_propagation):
+    most-frequent neighbor label, smallest-label tie-break — the cheap
+    community detector between connected_components (too coarse) and
+    modularity methods (too heavy).  The oracle unrolls all three
+    integer-exact rounds."""
+    from .operators import dedup as dd
+
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        (F.col("doc_id") % 200).alias("s"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("d"),
+    ).where(F.col("s") != F.col("d"))
+    e = base.select(
+        F.least("s", "d").alias("id_a"), F.greatest("s", "d").alias("id_b")
+    ).distinct()
+    return dd.label_propagation(e, n_iter=3)
+
+
+# ------------------------------------------------------------------ q409
+@query(
+    "q409_burst_detect",
+    """
+    WITH counts AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS bkt,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, bkt, n,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bkt
+                                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                 AS trailing_n,
+               count(n) OVER (PARTITION BY event_type ORDER BY bkt
+                              RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS hist
+        FROM counts
+    )
+    SELECT event_type, CAST(bkt * 86400 AS BIGINT) AS bucket_start, n, trailing_n,
+           CASE WHEN trailing_n IS NOT NULL AND hist >= 7
+                THEN n * 7 * 1 > 2 * trailing_n ELSE false END AS burst
+    FROM w
+    """,
+)
+def q409(spark: SparkSession, sf: str) -> DataFrame:
+    """Burst detection per event type (operators/window.burst_detect):
+    daily buckets vs the trailing-7-bucket baseline, flagged via the
+    cross-multiplied integer test n·7·den > num·Σtrailing — no float
+    rate exists.  The RANGE frame over the bucket index makes calendar
+    gaps count as zero instead of shrinking the window; the window runs
+    over pre-aggregated bucket counts, never raw events."""
+    from .operators import window as win
+
+    ev = load_table(spark, sf, "events")
+    return win.burst_detect(
+        ev, ["event_type"], "ts", bucket_seconds=86400, trailing=7, num=2, den=1
+    )
+
+
+# ------------------------------------------------------------------ q410
+@query("q410_elo_ratings")  # rows-only: each game's expectation uses the
+# CURRENT ratings — a path-dependent recurrence with no SQL closed form;
+# pinned by hand-case + exact zero-sum invariant tests
+# (tests/test_batch19_ops.py).
+def q410(spark: SparkSession, sf: str) -> DataFrame:
+    """Elo ratings per league (operators/mining.elo_ratings) over a
+    deterministic synthetic match stream: leagues partition the Arrow
+    scan (the fifo_pnl shape); e_b = 1 − e_a keeps every update exactly
+    zero-sum in floating point, so Σ(rating − 1500) ≡ 0 per league."""
+    from .operators import mining as mn
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = ev.select(
+        (F.col("user_id") % 5).alias("league"),
+        "ts", "event_id",
+        (F.col("event_id") % 40).alias("player_a"),
+        ((F.col("event_id") * 13 + 7) % 40).alias("player_b"),
+        F.when(cents % 10 == 0, F.lit(0.5))
+        .when(cents % 2 == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0))
+        .alias("score_a"),
+    ).where(F.col("player_a") != F.col("player_b"))
+    return mn.elo_ratings(
+        m, "league", ["ts", "event_id"], "player_a", "player_b", "score_a"
+    )

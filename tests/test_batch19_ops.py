@@ -69,3 +69,78 @@ def test_iqr_outliers_uniform_has_none(spark):
     df = spark.createDataFrame([("g", v) for v in range(100)], "k string, x long")
     r = iqr_outliers(df, ["k"], "x").collect()[0]
     assert r.n_out_low == 0 and r.n_out_high == 0
+
+
+def test_slope_one_hand_case(spark):
+    # classic Lemire example: users rate items A=1,B=2 ; predictions are exact
+    rows = [
+        ("u1", "A", 5), ("u1", "B", 3),
+        ("u2", "A", 3), ("u2", "B", 4),
+        ("u3", "A", 2), ("u3", "B", 2),  # third co-rater
+    ]
+    from riptable_spark.operators.mining import slope_one_deviations, slope_one_predict
+
+    df = spark.createDataFrame(rows, "user_id string, item string, rating long")
+    devs = {(r.item_i, r.item_j): (r.s_ij, r.n_ij) for r in slope_one_deviations(df, "user_id", "item", "rating").collect()}
+    # dev(A,B): (5-3)+(3-4)+(2-2) = 1 over 3 co-raters
+    assert devs[("A", "B")] == (1, 3)
+    assert devs[("B", "A")] == (-1, 3)
+    preds = {(r.user_id, r.item): r for r in slope_one_predict(df, "user_id", "item", "rating").collect()}
+    # P(u1, A) from B: (s_AB + r_B*n)/n = (1 + 3*3)/3
+    assert preds[("u1", "A")].pred_num == 10 and preds[("u1", "A")].pred_den == 3
+
+
+def test_label_propagation_two_cliques(spark):
+    from riptable_spark.operators.dedup import label_propagation
+
+    # two triangles joined by nothing: labels converge to each clique's min
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.node: r.label for r in label_propagation(df, n_iter=4).collect()}
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[10], out[11], out[12]} == {10}
+
+
+def test_burst_detect_flags_spike(spark):
+    from riptable_spark.operators.window import burst_detect
+
+    # 7 quiet days of 2 events, then a day with 10 -> burst
+    rows = []
+    for d in range(7):
+        rows += [("k", 86400 * d + h) for h in (100, 200)]
+    rows += [("k", 86400 * 7 + h) for h in range(10)]
+    df = spark.createDataFrame(rows, "k string, sec long").select(
+        "k", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = {r.bucket_start: r for r in burst_detect(df, ["k"], "ts", 86400, 7, 2, 1).collect()}
+    assert out[86400 * 7].burst is True  # 10*7 > 2*14
+    assert out[86400 * 3].burst is False
+    assert out[0].burst is False  # no history -> not a burst
+
+
+def test_elo_hand_case_and_zero_sum(spark):
+    from riptable_spark.operators.mining import elo_ratings
+
+    rows = [(1, 1, 10, 20, 1.0), (1, 2, 10, 30, 0.0), (1, 3, 20, 30, 0.5)]
+    df = spark.createDataFrame(rows, "league long, t long, player_a long, player_b long, score_a double")
+    out = {r.player: r for r in elo_ratings(df, "league", ["t"], k=32.0).collect()}
+    # game 1: equal ratings, expected 0.5, winner +16
+    assert abs(out[10].rating - (1500 + 16 + 32 * (0.0 - 1.0 / (1 + 10 ** ((1500 - 1516) / 400.0))))) < 1e-9
+    # zero-sum invariant: Σ(rating - 1500) == 0 exactly
+    assert sum(r.rating - 1500.0 for r in out.values()) == 0.0
+    assert out[10].n_games == 2 and out[10].n_wins == 1
+
+
+def test_intra_list_diversity_identical_vectors_is_zero(spark):
+    from riptable_spark.operators.mining import intra_list_diversity
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(3)] + [(3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    recs = spark.createDataFrame(
+        [(1, 0, 1), (1, 1, 2), (1, 2, 3)], "query_id long, vec_id long, rank long"
+    )
+    out = intra_list_diversity(recs, vecs, k=3).collect()[0]
+    assert out.n_pairs == 3 and abs(out.ild) < 1e-12
+    assert out.coverage == 0.75  # 3 of 4 catalog items recommended

@@ -48,6 +48,7 @@ NO_ORACLE_EXEMPT: set[str] = {
     "q330_holt_forecast",     # coupled level/trend recurrences
     "q343_wac_pnl",           # moving-average cost recurrence
     "q349_holt_winters",      # triple smoothing with seasonal lag
+    "q410_elo_ratings",       # sequential rating updates (current-state expectations)
 }
 
 
