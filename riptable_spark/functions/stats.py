@@ -2319,3 +2319,51 @@ def forecast_accuracy(
             (F.col("sum_ae") * (n - 1)) / (n * F.col("sum_naive")),
         ).alias("mase"),
     )
+
+
+def simpson_check(
+    df: DataFrame,
+    segment_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Simpson's-paradox audit for a binary treatment/outcome table:
+    per-segment conversion-rate direction vs the pooled direction, with
+    the paradox flag when a segment's sign contradicts the pooled sign.
+
+    All rate comparisons are integer CROSS-MULTIPLIED
+    (sign(s_t·n_c − s_c·n_t)) so no float rate decides a flag; the
+    emitted rates themselves are single divides of exact BIGINTs.  One
+    (segment) conditional agg + a broadcast pooled row.  Returns one
+    row per segment: (segment, n_treat, n_ctrl, conv_treat, conv_ctrl,
+    rate_treat, rate_ctrl, seg_sign, pooled_sign, paradox).
+    """
+    t = F.col(treat_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    byseg = df.groupBy(F.col(segment_col).alias("segment")).agg(
+        F.sum(t).cast("long").alias("n_treat"),
+        F.sum(1 - t).cast("long").alias("n_ctrl"),
+        F.sum(y * t).cast("long").alias("conv_treat"),
+        F.sum(y * (1 - t)).cast("long").alias("conv_ctrl"),
+    )
+    pooled = byseg.groupBy().agg(
+        F.sum("n_treat").cast("long").alias("pt"),
+        F.sum("n_ctrl").cast("long").alias("pc"),
+        F.sum("conv_treat").cast("long").alias("pst"),
+        F.sum("conv_ctrl").cast("long").alias("psc"),
+    )
+    j = byseg.crossJoin(F.broadcast(pooled))
+    seg_sign = F.signum(
+        (F.col("conv_treat") * F.col("n_ctrl") - F.col("conv_ctrl") * F.col("n_treat")).cast("double")
+    ).cast("int")
+    pooled_sign = F.signum(
+        (F.col("pst") * F.col("pc") - F.col("psc") * F.col("pt")).cast("double")
+    ).cast("int")
+    return j.select(
+        "segment", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
+        F.when(F.col("n_treat") > 0, F.col("conv_treat") / F.col("n_treat")).alias("rate_treat"),
+        F.when(F.col("n_ctrl") > 0, F.col("conv_ctrl") / F.col("n_ctrl")).alias("rate_ctrl"),
+        seg_sign.alias("seg_sign"),
+        pooled_sign.alias("pooled_sign"),
+        ((seg_sign * pooled_sign) < 0).alias("paradox"),
+    )

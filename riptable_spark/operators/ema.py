@@ -599,3 +599,61 @@ def holt_winters(
                            f"{out_prefix}_season", f"{out_prefix}_forecast"]]
 
     return df.groupBy(*keys).applyInPandas(scan, schema)
+
+
+def croston(
+    df: DataFrame,
+    keys: list[str],
+    demand_col: str,
+    order: list[str],
+    alpha: float = 0.1,
+    variant: str = "classic",
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (sparse series with many
+    zero periods, where plain EMA collapses toward zero between
+    demands): two coupled EWMAs — demand SIZE z and inter-demand
+    INTERVAL p, both updated only on nonzero-demand periods — with
+    forecast z/p (``variant='sba'`` applies the Syntetos-Boylan
+    (1−α/2) bias correction).
+
+    The interval EWMA makes the state update conditional on a
+    path-dependent counter (periods since last demand), so this is an
+    ordered Arrow scan per key (the holt_linear shape); correctness is
+    rows-only, pinned by the constant-demand fixpoint (z→d, p→gap,
+    forecast→d/gap) and hand cases.  Returns the last row per key:
+    (keys…, n_periods, n_demands, z, p, forecast).
+    """
+    import pandas as pd
+
+    key_schema = ", ".join(f"{k} string" for k in keys)
+    out_schema = (
+        f"{key_schema}, n_periods long, n_demands long, z double, p double, forecast double"
+    )
+    a = float(alpha)
+    sba = 1.0 - a / 2.0 if variant == "sba" else 1.0
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        z = None
+        p = None
+        since = 0
+        n_dem = 0
+        for d in pdf[demand_col]:
+            since += 1
+            d = float(d)
+            if d > 0:
+                n_dem += 1
+                if z is None:
+                    z, p = d, float(since)
+                else:
+                    z = z + a * (d - z)
+                    p = p + a * (since - p)
+                since = 0
+        fc = sba * (z / p) if z is not None and p and p > 0 else None
+        head = {k: [str(pdf[k].iloc[0])] for k in keys} if len(pdf) else {k: [None] for k in keys}
+        return pd.DataFrame(
+            {**head, "n_periods": [len(pdf)], "n_demands": [n_dem],
+             "z": [z], "p": [p], "forecast": [fc]}
+        )
+
+    return df.groupBy(*keys).applyInPandas(scan, out_schema)

@@ -888,3 +888,57 @@ def wac_pnl(
         return pdf
 
     return base.groupBy(key).applyInPandas(scan, schema)
+
+
+def price_index(
+    df: DataFrame,
+    period_col: str,
+    item_col: str,
+    price_col: str,
+    qty_col: str,
+    period_0,
+    period_1,
+) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between two periods
+    over an (item, period, unit-price, quantity) relation — the
+    standard inflation/price-change readout:
+
+        L = Σ p1·q0 / Σ p0·q0 ,  P = Σ p1·q1 / Σ p0·q1 ,  F = √(L·P)
+
+    restricted to items priced in BOTH periods (the matched basket).
+    Per-item representatives: price = MIN unit price (deterministic),
+    quantity = Σ qty — both exact BIGINTs, so all four basket sums are
+    exact and L/P are single divides; Fisher is one multiply + one
+    correctly-rounded sqrt of those two doubles — engine-identical.
+    One (item, period) hash agg + one item-sized self-join.
+    Returns a single row (n_items, laspeyres, paasche, fisher).
+    """
+    p = F.col(price_col).cast("long")
+    q = F.col(qty_col).cast("long")
+    per = F.col(period_col)
+    byip = (
+        df.where(per.isin(period_0, period_1))
+        .groupBy(
+            F.col(item_col).alias("item"),
+            F.when(per == F.lit(period_0), F.lit(0)).otherwise(F.lit(1)).alias("t"),
+        )
+        .agg(F.min(p).alias("p"), F.sum(q).cast("long").alias("q"))
+    )
+    b0 = byip.where(F.col("t") == 0).select("item", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    b1 = byip.where(F.col("t") == 1).select("item", F.col("p").alias("p1"), F.col("q").alias("q1"))
+    m = b0.join(b1, on="item")
+    g = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("p1") * F.col("q0")).cast("long").alias("s_p1q0"),
+        F.sum(F.col("p0") * F.col("q0")).cast("long").alias("s_p0q0"),
+        F.sum(F.col("p1") * F.col("q1")).cast("long").alias("s_p1q1"),
+        F.sum(F.col("p0") * F.col("q1")).cast("long").alias("s_p0q1"),
+    )
+    lasp = F.col("s_p1q0") / F.col("s_p0q0")
+    paas = F.col("s_p1q1") / F.col("s_p0q1")
+    return g.select(
+        "n_items",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )

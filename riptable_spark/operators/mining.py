@@ -520,3 +520,44 @@ def elo_ratings(
         )
 
     return matches.groupBy(group_col).applyInPandas(scan, out_schema)
+
+
+def abc_classification(
+    df: DataFrame,
+    item_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC (Pareto) inventory classification: rank items by total value,
+    class A = items up to ``a_pct``% of cumulative value, B to
+    ``b_pct``%, C the tail — the standard 80/15/5 revenue-concentration
+    cut.
+
+    Exactness: per-item totals and the running cumulative are BIGINT
+    window sums; class boundaries test cum·100 ≤ pct·total by integer
+    cross-multiplication, so no float share ever decides a class.  The
+    ranking window runs over the item-cardinality AGGREGATED relation
+    (never the raw fact table), with (value, item) as a total order.
+    Returns (item, value, rank, cum_value, cum_share, abc_class).
+    """
+    x = F.col(value_col).cast("long")
+    byi = df.groupBy(F.col(item_col).alias("item")).agg(F.sum(x).alias("value"))
+    w = Window.orderBy(F.col("value").desc(), F.col("item"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = byi.agg(F.sum("value").cast("long").alias("total"))
+    ranked = (
+        byi.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_value", F.sum("value").over(wrun).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    cls = (
+        F.when(F.col("cum_value") * 100 <= F.lit(int(a_pct)) * F.col("total"), "A")
+        .when(F.col("cum_value") * 100 <= F.lit(int(b_pct)) * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        "item", "value", "rank", "cum_value",
+        (F.col("cum_value") / F.col("total")).alias("cum_share"),
+        cls.alias("abc_class"),
+    )

@@ -338,3 +338,31 @@ def iqr_outliers(
         F.sum((F.col("__x__") < F.col("lo_fence")).cast("long")).alias("n_out_low"),
         F.sum((F.col("__x__") > F.col("hi_fence")).cast("long")).alias("n_out_high"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    data-governance gate before a table leaves the trust boundary:
+    every QI equivalence class smaller than ``k`` re-identifies its
+    members.  With ``sensitive_col``, also reports l-diversity (distinct
+    sensitive values per class): a class can be k-anonymous yet leak the
+    attribute when l = 1.
+
+    One hash agg on the QI columns (the same shuffle the release query
+    itself would pay); all outputs are exact integers.  Returns one row
+    per equivalence class: (qi..., n, violates_k[, l_distinct,
+    violates_l]).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(sensitive_col).cast("long").alias("l_distinct"))
+    g = df.groupBy(*qi_cols).agg(*aggs)
+    out = g.withColumn("violates_k", F.col("n") < k)
+    if sensitive_col is not None:
+        out = out.withColumn("violates_l", F.col("l_distinct") <= 1)
+    return out

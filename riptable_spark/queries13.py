@@ -426,3 +426,189 @@ def q410(spark: SparkSession, sf: str) -> DataFrame:
     return mn.elo_ratings(
         m, "league", ["ts", "event_id"], "player_a", "player_b", "score_a"
     )
+
+
+# ------------------------------------------------------------------ q411
+@query(
+    "q411_abc_classification",
+    """
+    WITH byi AS (
+        SELECT l_partkey % 500 AS item,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(value) AS BIGINT) AS total FROM byi),
+    r AS (
+        SELECT item, value,
+               row_number() OVER (ORDER BY value DESC, item) AS rank,
+               CAST(sum(value) OVER (ORDER BY value DESC, item
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value
+        FROM byi
+    )
+    SELECT item, value, rank, cum_value,
+           CAST(cum_value AS DOUBLE) / total AS cum_share,
+           CASE WHEN cum_value * 100 <= 80 * total THEN 'A'
+                WHEN cum_value * 100 <= 95 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r, tot
+    """,
+)
+def q411(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC/Pareto revenue classification of parts
+    (operators/mining.abc_classification): BIGINT running cumulative
+    over the item-sized aggregate, class boundaries decided by integer
+    cross-multiplication — no float share gates a class."""
+    from .operators import mining as mn
+
+    li = load_table(spark, sf, "lineitem").select(
+        (F.col("l_partkey") % 500).alias("item"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return mn.abc_classification(li, "item", "cents")
+
+
+# ------------------------------------------------------------------ q412
+@query(
+    "q412_price_index",
+    """
+    WITH byip AS (
+        SELECT l_partkey % 200 AS item,
+               CASE WHEN year(l_shipdate) = 1995 THEN 0 ELSE 1 END AS t,
+               CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem WHERE year(l_shipdate) IN (1995, 2000)
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT b0.item, b0.p AS p0, b0.q AS q0, b1.p AS p1, b1.q AS q1
+        FROM (SELECT * FROM byip WHERE t = 0) b0
+        JOIN (SELECT * FROM byip WHERE t = 1) b1 USING (item)
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(p1 * q0) AS BIGINT) AS s_p1q0,
+               CAST(sum(p0 * q0) AS BIGINT) AS s_p0q0,
+               CAST(sum(p1 * q1) AS BIGINT) AS s_p1q1,
+               CAST(sum(p0 * q1) AS BIGINT) AS s_p0q1
+        FROM m
+    )
+    SELECT n_items,
+           CAST(s_p1q0 AS DOUBLE) / s_p0q0 AS laspeyres,
+           CAST(s_p1q1 AS DOUBLE) / s_p0q1 AS paasche,
+           sqrt((CAST(s_p1q0 AS DOUBLE) / s_p0q0) * (CAST(s_p1q1 AS DOUBLE) / s_p0q1)) AS fisher
+    FROM g
+    """,
+)
+def q412(spark: SparkSession, sf: str) -> DataFrame:
+    """Laspeyres/Paasche/Fisher price indices 1995 → 2000 over the
+    matched part basket (operators/finance.price_index): all four
+    basket sums are exact BIGINTs; Fisher is one multiply + one
+    correctly-rounded sqrt of the two index doubles."""
+    from .operators import finance as fin
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.year("l_shipdate").alias("yr"),
+        (F.col("l_partkey") % 200).alias("item"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return fin.price_index(li, "yr", "item", "p_cents", "qty", 1995, 2000)
+
+
+# ------------------------------------------------------------------ q413
+@query(
+    "q413_k_anonymity",
+    """
+    SELECT o_custkey % 100 AS qi_bucket, o_orderpriority AS qi_priority,
+           CAST(year(o_orderdate) AS BIGINT) AS qi_year,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) < 5 AS violates_k,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct,
+           count(DISTINCT o_orderstatus) <= 1 AS violates_l
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q413(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity + l-diversity audit of a quasi-identifier combination
+    on orders (operators/profile.k_anonymity): equivalence-class sizes,
+    k=5 violations, and sensitive-attribute diversity — all exact
+    integers from one hash agg."""
+    from .operators import profile as prof
+
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_custkey") % 100).alias("qi_bucket"),
+        F.col("o_orderpriority").alias("qi_priority"),
+        F.year("o_orderdate").cast("long").alias("qi_year"),
+        "o_orderstatus",
+    )
+    return prof.k_anonymity(
+        o, ["qi_bucket", "qi_priority", "qi_year"], k=5, sensitive_col="o_orderstatus"
+    )
+
+
+# ------------------------------------------------------------------ q414
+@query(
+    "q414_simpson_check",
+    """
+    WITH f AS (
+        SELECT event_type AS segment,
+               CAST(user_id % 2 AS BIGINT) AS t,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) > 24500 THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    byseg AS (
+        SELECT segment,
+               CAST(sum(t) AS BIGINT) AS n_treat,
+               CAST(sum(1 - t) AS BIGINT) AS n_ctrl,
+               CAST(sum(y * t) AS BIGINT) AS conv_treat,
+               CAST(sum(y * (1 - t)) AS BIGINT) AS conv_ctrl
+        FROM f GROUP BY segment
+    ),
+    pooled AS (
+        SELECT CAST(sum(n_treat) AS BIGINT) AS pt, CAST(sum(n_ctrl) AS BIGINT) AS pc,
+               CAST(sum(conv_treat) AS BIGINT) AS pst, CAST(sum(conv_ctrl) AS BIGINT) AS psc
+        FROM byseg
+    )
+    SELECT segment, n_treat, n_ctrl, conv_treat, conv_ctrl,
+           CASE WHEN n_treat > 0 THEN CAST(conv_treat AS DOUBLE) / n_treat END AS rate_treat,
+           CASE WHEN n_ctrl > 0 THEN CAST(conv_ctrl AS DOUBLE) / n_ctrl END AS rate_ctrl,
+           CAST(sign(CAST(conv_treat * n_ctrl - conv_ctrl * n_treat AS DOUBLE)) AS INT) AS seg_sign,
+           CAST(sign(CAST(pst * pc - psc * pt AS DOUBLE)) AS INT) AS pooled_sign,
+           (CAST(sign(CAST(conv_treat * n_ctrl - conv_ctrl * n_treat AS DOUBLE)) AS INT)
+            * CAST(sign(CAST(pst * pc - psc * pt AS DOUBLE)) AS INT)) < 0 AS paradox
+    FROM byseg, pooled
+    """,
+)
+def q414(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson's-paradox audit (functions/stats.simpson_check): per-
+    segment vs pooled conversion direction, every sign decided by
+    integer cross-multiplication — no float rate gates the flag."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("event_type").alias("segment"),
+        (F.col("user_id") % 2).alias("t"),
+        (F.round(F.col("value") * 100).cast("long") > 24500).cast("long").alias("y"),
+    )
+    return st.simpson_check(ev, "segment", "t", "y")
+
+
+# ------------------------------------------------------------------ q415
+@query("q415_croston")  # rows-only: the interval EWMA updates on a
+# path-dependent periods-since-last-demand counter — no SQL closed
+# form; pinned by the constant-demand fixpoint + hand-case tests
+# (tests/test_batch19_ops.py).
+def q415(spark: SparkSession, sf: str) -> DataFrame:
+    """Croston intermittent-demand forecast per event type
+    (operators/ema.croston) over a deterministically sparsified demand
+    stream (zero except every 7th cent residue)."""
+    from .operators import ema
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "event_type", "ts", "event_id",
+        F.when(cents % 7 == 0, cents % 50).otherwise(F.lit(0)).alias("demand"),
+    )
+    return ema.croston(d, ["event_type"], "demand", ["ts", "event_id"], alpha=0.2)

@@ -144,3 +144,73 @@ def test_intra_list_diversity_identical_vectors_is_zero(spark):
     out = intra_list_diversity(recs, vecs, k=3).collect()[0]
     assert out.n_pairs == 3 and abs(out.ild) < 1e-12
     assert out.coverage == 0.75  # 3 of 4 catalog items recommended
+
+
+def test_abc_classification_hand_case(spark):
+    from riptable_spark.operators.mining import abc_classification
+
+    # values 50, 30, 15, 5 -> cum shares 50/80/95/100 -> A A B C at 80/95
+    df = spark.createDataFrame(
+        [("w", 50), ("x", 30), ("y", 15), ("z", 5)], "item string, v long"
+    )
+    out = {r.item: r.abc_class for r in abc_classification(df, "item", "v").collect()}
+    assert out == {"w": "A", "x": "A", "y": "B", "z": "C"}
+
+
+def test_price_index_doubling_prices(spark):
+    from riptable_spark.operators.finance import price_index
+
+    # every price doubles, quantities change arbitrarily -> all indices exactly 2
+    rows = [(0, "a", 100, 5), (0, "b", 200, 3), (1, "a", 200, 9), (1, "b", 400, 1)]
+    df = spark.createDataFrame(rows, "t long, item string, p long, q long")
+    r = price_index(df, "t", "item", "p", "q", 0, 1).collect()[0]
+    assert r.n_items == 2
+    assert r.laspeyres == 2.0 and r.paasche == 2.0 and r.fisher == 2.0
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from riptable_spark.operators.profile import k_anonymity
+
+    rows = [("a", 1, "s1")] * 6 + [("b", 2, "s1")] * 2 + [("b", 2, "s2")] * 1
+    df = spark.createDataFrame(rows, "qi1 string, qi2 long, sens string")
+    out = {(r.qi1, r.qi2): r for r in k_anonymity(df, ["qi1", "qi2"], k=5, sensitive_col="sens").collect()}
+    assert out[("a", 1)].violates_k is False and out[("a", 1)].violates_l is True
+    assert out[("b", 2)].n == 3 and out[("b", 2)].violates_k is True
+    assert out[("b", 2)].l_distinct == 2 and out[("b", 2)].violates_l is False
+
+
+def test_simpson_paradox_classic_example(spark):
+    from riptable_spark.functions.stats import simpson_check
+
+    # classic: treatment better within both segments, worse pooled
+    rows = []
+    rows += [("A", 1, 1)] * 81 + [("A", 1, 0)] * 6   # treat in A: 81/87
+    rows += [("A", 0, 1)] * 234 + [("A", 0, 0)] * 36  # ctrl in A: 234/270
+    rows += [("B", 1, 1)] * 192 + [("B", 1, 0)] * 71  # treat in B: 192/263
+    rows += [("B", 0, 1)] * 55 + [("B", 0, 0)] * 25   # ctrl in B: 55/80
+    df = spark.createDataFrame(rows, "seg string, t long, y long")
+    out = {r.segment: r for r in simpson_check(df, "seg", "t", "y").collect()}
+    assert out["A"].seg_sign == 1 and out["B"].seg_sign == 1
+    assert out["A"].pooled_sign == -1
+    assert out["A"].paradox is True and out["B"].paradox is True
+
+
+def test_croston_constant_demand_fixpoint(spark):
+    from riptable_spark.operators.ema import croston
+
+    # demand 10 every 2nd period: z -> 10 exactly, p -> 2 exactly
+    rows = [("k", i, 10 if i % 2 == 1 else 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, t long, d long")
+    r = croston(df, ["k"], "d", ["t"], alpha=0.3).collect()[0]
+    assert r.z == 10.0 and r.p == 2.0
+    assert r.forecast == 5.0
+    assert r.n_demands == 20
+
+
+def test_croston_sba_bias_correction(spark):
+    from riptable_spark.operators.ema import croston
+
+    rows = [("k", i, 10 if i % 2 == 1 else 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, t long, d long")
+    r = croston(df, ["k"], "d", ["t"], alpha=0.3, variant="sba").collect()[0]
+    assert r.forecast == (1 - 0.3 / 2) * 5.0

@@ -49,6 +49,7 @@ NO_ORACLE_EXEMPT: set[str] = {
     "q343_wac_pnl",           # moving-average cost recurrence
     "q349_holt_winters",      # triple smoothing with seasonal lag
     "q410_elo_ratings",       # sequential rating updates (current-state expectations)
+    "q415_croston",           # interval EWMA on a periods-since-demand counter
 }
 
 
