@@ -2367,3 +2367,36 @@ def simpson_check(
         pooled_sign.alias("pooled_sign"),
         ((seg_sign * pooled_sign) < 0).alias("paradox"),
     )
+
+
+def pinball_loss(
+    df: DataFrame,
+    keys: list[str],
+    actual_col: str,
+    forecast_col: str,
+    tau_num: int,
+    tau_den: int,
+) -> DataFrame:
+    """Pinball (quantile) loss per series — THE metric for evaluating a
+    quantile forecast (τ = tau_num/tau_den):
+
+        ℓ_τ(y, f) = max(τ·(y−f), (τ−1)·(y−f))
+
+    Scaled by ``tau_den`` every per-row loss is an exact BIGINT
+    (max of two integer products), so the group sum is exact and the
+    mean loss is ONE divide — engine-identical with no rounding.  A
+    well-calibrated τ-quantile forecast minimizes this in expectation.
+    Returns (keys…, n, sum_loss_scaled, pinball).
+    """
+    y = F.col(actual_col).cast("long")
+    f_ = F.col(forecast_col).cast("long")
+    d = y - f_
+    loss = F.greatest(F.lit(int(tau_num)) * d, F.lit(int(tau_num - tau_den)) * d)
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(loss).cast("long").alias("sum_loss_scaled"),
+    )
+    return g.select(
+        *keys, "n", "sum_loss_scaled",
+        (F.col("sum_loss_scaled") / (F.col("n") * F.lit(int(tau_den)))).alias("pinball"),
+    )

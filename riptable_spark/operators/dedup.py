@@ -902,3 +902,53 @@ def label_propagation(
             .select(F.col("src").alias("node"), "label")
         )
     return labels
+
+
+def snm_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs — the classic entity-
+    resolution blocking alternative to MinHash/LSH (:func:`fuzzy_join`):
+    sort records by a blocking key, pair every two records whose sort
+    RANKS are within ``window``.  Catches near-dups whose leading
+    characters agree (name/address dedup) where token-set methods miss
+    transpositions further in.
+
+    Scale shape: ranks come from the distinct-KEY relation (the
+    :func:`~riptable_spark.operators.window.rankdata` trick — the fact
+    table is never globally sorted), each record probes its own and the
+    next rank-bucket (stencil explode on ONE side, grid_neighbor_join's
+    each-pair-once discipline), and the join is an EQUI-join on the
+    bucket id.  Candidates = O(n·window), never n².  Returns
+    (id_a, id_b, key_a, key_b, rank_dist) with rank_dist < window.
+    """
+    from .window import rankdata
+
+    base = df.select(F.col(id_col).alias("__id__"), F.col(key_col).alias("__key__"))
+    ranked = rankdata(base, "__key__", out_col="__rank__", method="min").select(
+        "__id__", "__key__", F.col("__rank__").cast("long").alias("__rank__")
+    )
+    bkt = ((F.col("__rank__") - 1) / window).cast("long")
+    left = ranked.select(
+        F.col("__id__").alias("id_a"), F.col("__key__").alias("key_a"),
+        F.col("__rank__").alias("r_a"),
+        F.explode(F.array(bkt, bkt + 1)).alias("__b__"),
+    )
+    right = ranked.select(
+        F.col("__id__").alias("id_b"), F.col("__key__").alias("key_b"),
+        F.col("__rank__").alias("r_b"), bkt.alias("__b__"),
+    )
+    pairs = left.join(right, on="__b__").where(
+        (
+            (F.col("r_a") < F.col("r_b"))
+            | ((F.col("r_a") == F.col("r_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        & (F.col("r_b") - F.col("r_a") < window)
+    )
+    return pairs.select(
+        "id_a", "id_b", "key_a", "key_b",
+        (F.col("r_b") - F.col("r_a")).alias("rank_dist"),
+    )

@@ -366,3 +366,45 @@ def k_anonymity(
     if sensitive_col is not None:
         out = out.withColumn("violates_l", F.col("l_distinct") <= 1)
     return out
+
+
+def sla_burn(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    error_col: str,
+    windows: list[tuple[str, int]] = (("fast", 300), ("slow", 3600)),
+    budget_num: int = 1,
+    budget_den: int = 100,
+) -> DataFrame:
+    """Multi-window SLO error-budget burn report (the SRE
+    fast-burn/slow-burn alerting shape): bucket the event stream at each
+    window size, flag buckets whose error rate exceeds the budget via
+    the cross-multiplied integer test
+
+        burning ⟺ n_err · budget_den > budget_num · n
+
+    — no float rate exists, so the flags are engine-exact.  One hash agg
+    per window size over the same scan (unioned); the classic pairing is
+    a small fast window (page when it burns) and a long slow window
+    (ticket when it burns).  Returns
+    (keys…, win_name, bucket_start, n, n_err, burning).
+    """
+    e = F.col(error_col).cast("long")
+    parts = []
+    for name, secs in windows:
+        b = F.floor(F.unix_seconds(F.col(time_col)) / F.lit(secs)).cast("long")
+        g = df.groupBy(*keys, (b * secs).alias("bucket_start")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(e).cast("long").alias("n_err"),
+        )
+        parts.append(
+            g.select(
+                *keys, F.lit(name).alias("win_name"), "bucket_start", "n", "n_err",
+                (F.col("n_err") * budget_den > budget_num * F.col("n")).alias("burning"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1030,3 +1030,41 @@ def l2_normalize(
         F.when(s_int > 0, root / scale).alias("l2_norm"),
         unit.alias(out_col),
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the top-k most-similar corpus vectors whose label DIFFERS
+    from the query's — the examples a trainer wants in the batch
+    because the model currently confuses them.
+
+    Same plan as :func:`brute_force_topk` (queries broadcast, corpus
+    never shuffles, per-query top-k window) with the label-mismatch
+    predicate applied BEFORE scoring, so same-label rows never rank.
+    Returns (query_id, id, label, score, rank).
+    """
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dq = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    corpus = vectors.select(F.col(id_col), dvec.alias(vec_col), F.col(label_col))
+    qs = queries.select(
+        F.col(query_id_col), dq.alias(query_vec_col), F.col(query_label_col)
+    )
+    crossed = corpus.crossJoin(F.broadcast(qs)).where(
+        F.col(label_col) != F.col(query_label_col)
+    )
+    scored = crossed.select(
+        F.col(query_id_col), F.col(id_col), F.col(label_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

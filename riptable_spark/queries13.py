@@ -612,3 +612,172 @@ def q415(spark: SparkSession, sf: str) -> DataFrame:
         F.when(cents % 7 == 0, cents % 50).otherwise(F.lit(0)).alias("demand"),
     )
     return ema.croston(d, ["event_type"], "demand", ["ts", "event_id"], alpha=0.2)
+
+
+# ------------------------------------------------------------------ q416
+_Q416_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@query(
+    "q416_hard_negatives",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id, c.label,
+               {_Q416_COS.format(a='c.embedding', b='q.qv')} AS score
+        FROM embeddings c, q
+        WHERE c.label != q.ql
+    )
+    SELECT query_id, vec_id, label, score, rank FROM (
+        SELECT query_id, vec_id, label, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q416(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.hard_negatives): per query, the 5 most
+    cosine-similar corpus vectors with a DIFFERENT label.  Queries
+    broadcast, the corpus never shuffles, and the label-mismatch
+    predicate filters before scoring."""
+    from .operators import similarity as sim
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return sim.hard_negatives(e, q, k=5)
+
+
+# ------------------------------------------------------------------ q417
+@query(
+    "q417_pinball_loss",
+    """
+    WITH f AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               CAST(event_id % 40000 + 100 AS BIGINT) AS fc
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(greatest(9 * (y - fc), -1 * (y - fc))) AS BIGINT) AS sum_loss_scaled
+        FROM f GROUP BY user_id
+    )
+    SELECT user_id, n, sum_loss_scaled,
+           CAST(sum_loss_scaled AS DOUBLE) / (n * 10) AS pinball
+    FROM g
+    """,
+)
+def q417(spark: SparkSession, sf: str) -> DataFrame:
+    """Pinball (τ=0.9 quantile) loss of the q404 synthetic forecast per
+    user (functions/stats.pinball_loss): τ-scaled per-row losses are
+    exact BIGINTs (max of two integer products); the mean is one
+    divide."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        (F.col("event_id") % 40000 + 100).cast("long").alias("fc"),
+    )
+    return st.pinball_loss(ev, ["user_id"], "y", "fc", tau_num=9, tau_den=10)
+
+
+# ------------------------------------------------------------------ q418
+@query(
+    "q418_snm_pairs",
+    """
+    WITH f AS (
+        SELECT doc_id, substr(text, 1, 6) AS k
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+        SELECT doc_id, k, CAST(rank() OVER (ORDER BY k) AS BIGINT) AS r
+        FROM f
+    ),
+    lft AS (
+        SELECT doc_id AS id_a, k AS key_a, r AS r_a,
+               CAST((r - 1) // 8 AS BIGINT) + o AS b
+        FROM ranked, (SELECT unnest([0, 1]) AS o)
+    ),
+    rgt AS (
+        SELECT doc_id AS id_b, k AS key_b, r AS r_b,
+               CAST((r - 1) // 8 AS BIGINT) AS b
+        FROM ranked
+    )
+    SELECT id_a, id_b, key_a, key_b, CAST(r_b - r_a AS BIGINT) AS rank_dist
+    FROM lft JOIN rgt USING (b)
+    WHERE (r_a < r_b OR (r_a = r_b AND id_a < id_b)) AND r_b - r_a < 8
+    """,
+)
+def q418(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking
+    (operators/dedup.snm_pairs): candidate pairs whose 6-char blocking
+    keys sort within 8 ranks of each other.  Ranks come from the
+    distinct-key relation (the fact table is never globally sorted);
+    each record probes its own and the next rank-bucket, so every pair
+    is generated exactly once via an equi-join — O(n·window), never
+    n²."""
+    from .operators import dedup as dd
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", F.substring("text", 1, 6).alias("k")
+    )
+    return dd.snm_pairs(d, "doc_id", "k", window=8)
+
+
+# ------------------------------------------------------------------ q419
+@query(
+    "q419_sla_burn",
+    """
+    WITH f AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) % 50 = 0 THEN 1 ELSE 0 END AS err
+        FROM events
+    ),
+    fast AS (
+        SELECT event_type, 'fast' AS win_name,
+               CAST(floor(sec / 3600.0) AS BIGINT) * 3600 AS bucket_start,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(err) AS BIGINT) AS n_err
+        FROM f GROUP BY 1, 3
+    ),
+    slow AS (
+        SELECT event_type, 'slow' AS win_name,
+               CAST(floor(sec / 86400.0) AS BIGINT) * 86400 AS bucket_start,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(err) AS BIGINT) AS n_err
+        FROM f GROUP BY 1, 3
+    )
+    SELECT event_type, win_name, bucket_start, n, n_err,
+           n_err * 100 > 2 * n AS burning
+    FROM (SELECT * FROM fast UNION ALL SELECT * FROM slow)
+    """,
+)
+def q419(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-window SLO error-budget burn report
+    (operators/profile.sla_burn): hourly fast-burn and daily slow-burn
+    buckets per event type, each flagged by the cross-multiplied
+    integer test n_err·100 > 2·n — no float rate exists."""
+    from .operators import profile as prof
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "event_type", "ts", (cents % 50 == 0).cast("long").alias("err")
+    )
+    return prof.sla_burn(
+        d, ["event_type"], "ts", "err",
+        windows=[("fast", 3600), ("slow", 86400)], budget_num=2, budget_den=100,
+    )

@@ -214,3 +214,60 @@ def test_croston_sba_bias_correction(spark):
     df = spark.createDataFrame(rows, "k string, t long, d long")
     r = croston(df, ["k"], "d", ["t"], alpha=0.3, variant="sba").collect()[0]
     assert r.forecast == (1 - 0.3 / 2) * 5.0
+
+
+def test_pinball_loss_hand_case(spark):
+    from riptable_spark.functions.stats import pinball_loss
+
+    # tau=0.9: under-forecast (y>f) costs 9x the over-forecast per unit
+    rows = [("k", 10, 8), ("k", 10, 12)]  # d=+2 -> 18 ; d=-2 -> 2 (scaled by 10)
+    df = spark.createDataFrame(rows, "k string, y long, f long")
+    r = pinball_loss(df, ["k"], "y", "f", 9, 10).collect()[0]
+    assert r.sum_loss_scaled == 18 + 2
+    assert r.pinball == 20 / (2 * 10)
+
+
+def test_snm_pairs_window_semantics(spark):
+    from riptable_spark.operators.dedup import snm_pairs
+
+    # keys sort as a,b,c,...; window=2 pairs only adjacent ranks
+    rows = [(1, "aa"), (2, "bb"), (3, "cc"), (4, "dd")]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    pairs = {(r.id_a, r.id_b) for r in snm_pairs(df, "doc_id", "k", window=2).collect()}
+    assert pairs == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_snm_pairs_ties_pair_once(spark):
+    from riptable_spark.operators.dedup import snm_pairs
+
+    df = spark.createDataFrame([(1, "aa"), (2, "aa"), (3, "zz")], "doc_id long, k string")
+    out = snm_pairs(df, "doc_id", "k", window=2).collect()
+    pairs = sorted((r.id_a, r.id_b) for r in out)
+    assert pairs == [(1, 2)]  # tie pair once; zz is 2 ranks away
+
+
+def test_sla_burn_flags(spark):
+    from riptable_spark.operators.profile import sla_burn
+
+    # 100 ok + 3 errors in one fast bucket -> 3*100 > 2*103 -> burning
+    rows = [("svc", i, 1 if i < 3 else 0) for i in range(103)]
+    df = spark.createDataFrame(rows, "k string, sec long, err long").select(
+        "k", F.timestamp_seconds(F.col("sec")).alias("ts"), "err"
+    )
+    out = sla_burn(df, ["k"], "ts", "err", windows=[("fast", 300)], budget_num=2, budget_den=100).collect()
+    assert len(out) == 1 and out[0].burning is True and out[0].n_err == 3
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from riptable_spark.operators.similarity import hard_negatives
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.99, 0.1], 0), (2, [0.9, 0.2], 1), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "query_id long, query_vec array<double>, query_label int"
+    )
+    out = hard_negatives(vecs, q, k=2).collect()
+    ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ids == [2, 3]  # same-label 0 and 1 never rank
