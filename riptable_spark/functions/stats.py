@@ -2400,3 +2400,75 @@ def pinball_loss(
         *keys, "n", "sum_loss_scaled",
         (F.col("sum_loss_scaled") / (F.col("n") * F.lit(int(tau_den)))).alias("pinball"),
     )
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    p_col: str,
+    id_cols: list[str],
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Holm-Bonferroni step-down multiple-testing correction — the
+    uniformly-more-powerful replacement for plain Bonferroni, FWER
+    sibling of :func:`bh_fdr`: order p-values ascending, reject H_(i)
+    while p_(j)·(m−j+1) ≤ α holds for EVERY j ≤ i (the first failure
+    stops all later rejections).
+
+    Exactness: the adjusted p-value is a RUNNING MAX of p_j·(m−j+1) —
+    max is associative and exact in floating point, so unlike float
+    sums it is engine-identical under any fold; the α test is
+    cross-multiplied (p·(m−j+1)·den ≤ num never builds a float α); the
+    step-down stop is a running integer MIN of the pass flag.  One sort
+    window over the m-row p-value relation (tests are few; this is a
+    post-aggregation relation, never raw data).  Returns
+    (id…, p, p_rank, m, adj_p, reject).
+    """
+    w = Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in id_cols])
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    m = df.select(F.count(F.lit(1)).cast("long").alias("m"))
+    d = df.crossJoin(F.broadcast(m)).withColumn("p_rank", F.row_number().over(w))
+    mult = F.col("m") - F.col("p_rank") + 1
+    passes = (F.col(p_col) * mult * alpha_den <= F.lit(float(alpha_num))).cast("int")
+    d = d.withColumn("__adj__", F.max(F.col(p_col) * mult).over(wrun)).withColumn(
+        "__ok__", F.min(passes).over(wrun)
+    )
+    return d.select(
+        *id_cols, F.col(p_col).alias("p"), "p_rank", "m",
+        F.least(F.col("__adj__"), F.lit(1.0)).alias("adj_p"),
+        (F.col("__ok__") == 1).alias("reject"),
+    )
+
+
+def replay_eval(
+    df: DataFrame,
+    keys: list[str],
+    action_col: str,
+    policy_action_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """Offline policy evaluation by REPLAY (Li et al. 2011) — the
+    third OPE method beside :func:`ips_eval` and :func:`dr_eval`:
+    keep only the logged rounds where the target policy would have
+    chosen the SAME action the logging policy took, and average their
+    rewards.  Unbiased when logging was uniform-random; no propensity
+    weights, no value model.
+
+    Everything is exact: the match filter is an integer equality, the
+    reward sum a BIGINT, the estimate one divide.  One conditional hash
+    agg.  Returns (keys…, n_logged, n_matched, match_rate,
+    reward_sum, replay_value).
+    """
+    hit = (F.col(action_col) == F.col(policy_action_col)).cast("long")
+    r = F.col(reward_col).cast("long")
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_logged"),
+        F.sum(hit).cast("long").alias("n_matched"),
+        F.sum(r * hit).cast("long").alias("reward_sum"),
+    )
+    return g.select(
+        *keys, "n_logged", "n_matched",
+        (F.col("n_matched") / F.col("n_logged")).alias("match_rate"),
+        "reward_sum",
+        F.when(F.col("n_matched") > 0, F.col("reward_sum") / F.col("n_matched")).alias("replay_value"),
+    )

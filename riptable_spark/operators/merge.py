@@ -1051,3 +1051,43 @@ def k_core(
     return sym.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).where(F.col("degree") >= k)
+
+
+def scd2_build(
+    changes: DataFrame,
+    keys: list[str],
+    order_col: str,
+    attr_cols: list[str],
+    drop_noop: bool = True,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log — the warehouse-side WRITER that :func:`scd_join` reads: per
+    key, each change opens a version valid from its own timestamp until
+    the NEXT change (NULL = current version).
+
+    ``drop_noop=True`` first removes changes whose attributes equal the
+    previous row's (idempotent replays, heartbeat snapshots), so
+    versions only exist where something actually changed.  Validity
+    bounds are emitted as epoch MICROSECOND BIGINTs (timestamps are
+    hash-hostile across engines — ORACLES.md rule 21).  One sort window
+    per key, no joins.  Returns
+    (keys…, attrs…, valid_from_us, valid_to_us, version, is_current).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    d = changes
+    if drop_noop:
+        changed = None
+        for a in attr_cols:
+            neq = ~(F.col(a).eqNullSafe(F.lag(F.col(a)).over(w)))
+            changed = neq if changed is None else (changed | neq)
+        first = F.row_number().over(w) == 1
+        d = d.withColumn("__keep__", first | changed).where(F.col("__keep__")).drop("__keep__")
+    w2 = Window.partitionBy(*keys).orderBy(order_col)
+    t = F.unix_micros(F.col(order_col))
+    d = d.withColumn("valid_from_us", t).withColumn(
+        "valid_to_us", F.lead(t).over(w2)
+    ).withColumn("version", F.row_number().over(w2))
+    return d.select(
+        *keys, *attr_cols, "valid_from_us", "valid_to_us", "version",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    )

@@ -608,3 +608,49 @@ def code_score(col: Column) -> Column:
     return F.when(
         col.isNull() | (F.length(col) == 0), F.lit(0.0)
     ).otherwise(code_line_count(col) / lines)
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical-diversity report — the corpus-quality
+    signals next to the Gopher rules: token count, distinct types,
+    type-token ratio, and hapax share (types occurring once; high hapax
+    + low TTR both flag degenerate/boilerplate text).
+
+    Tokens come from the shared :func:`~riptable_spark.operators.dedup.
+    normalize_text` pipeline; all counts are exact integers folded
+    HORIZONTALLY with array algebra (aggregate over the sorted token
+    array — no explode, no shuffle: the whole report is a projection).
+    Returns (id, n_tokens, n_types, ttr, hapax_rate).
+    """
+    from .dedup import normalize_text
+
+    # NULL text reports 0 tokens (not NULL): a missing doc still gets a row
+    toks = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    toks = F.filter(toks, lambda x: x != "")
+    st = F.array_sort(toks)
+    n = F.size(st)
+    # boundary flags over the sorted array: token != its predecessor
+    is_new = F.transform(
+        st, lambda x, i: F.when(i == 0, 1).otherwise((x != F.element_at(st, i)).cast("int"))
+    )
+    # a type is hapax iff it differs from BOTH neighbors in sorted order
+    is_hapax = F.transform(
+        st,
+        lambda x, i: (
+            F.when(i == 0, F.lit(True)).otherwise(x != F.element_at(st, i))
+            & F.when(i == n - 1, F.lit(True)).otherwise(x != F.element_at(st, i + 2))
+        ).cast("int"),
+    )
+    n_types = F.aggregate(is_new, F.lit(0), lambda a, v: a + v)
+    n_hapax = F.aggregate(is_hapax, F.lit(0), lambda a, v: a + v)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        F.when(n > 0, n_types.cast("double") / n).alias("ttr"),
+        F.when(n_types > 0, n_hapax.cast("double") / n_types).alias("hapax_rate"),
+    )

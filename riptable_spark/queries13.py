@@ -781,3 +781,222 @@ def q419(spark: SparkSession, sf: str) -> DataFrame:
         d, ["event_type"], "ts", "err",
         windows=[("fast", 3600), ("slow", 86400)], budget_num=2, budget_den=100,
     )
+
+
+# ------------------------------------------------------------------ q420
+@query(
+    "q420_holm_bonferroni",
+    """
+    WITH tests AS (
+        SELECT user_id % 20 AS test_id,
+               CAST(min((CAST(round(value * 100) AS BIGINT) * 31 + 7) % 1000) AS DOUBLE)
+                 / 1000 AS p
+        FROM events GROUP BY 1
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tests),
+    r AS (
+        SELECT test_id, p, m,
+               CAST(row_number() OVER (ORDER BY p, test_id) AS BIGINT) AS p_rank
+        FROM tests, m
+    ),
+    s AS (
+        SELECT test_id, p, p_rank, m,
+               max(p * (m - p_rank + 1)) OVER (ORDER BY p, test_id
+                   ROWS UNBOUNDED PRECEDING) AS adj_raw,
+               min(CASE WHEN p * (m - p_rank + 1) * 100 <= CAST(5.0 AS DOUBLE)
+                        THEN 1 ELSE 0 END) OVER (ORDER BY p, test_id
+                   ROWS UNBOUNDED PRECEDING) AS ok
+        FROM r
+    )
+    SELECT test_id, p, p_rank, m,
+           least(adj_raw, CAST(1.0 AS DOUBLE)) AS adj_p,
+           ok = 1 AS reject
+    FROM s
+    """,
+)
+def q420(spark: SparkSession, sf: str) -> DataFrame:
+    """Holm-Bonferroni step-down over 20 synthetic p-values
+    (functions/stats.holm_bonferroni).  The adjusted p is a running
+    float MAX — max is exact under any fold, unlike sums — and the α
+    test is cross-multiplied, so the whole step-down is
+    engine-identical."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    tests = ev.groupBy((F.col("user_id") % 20).alias("test_id")).agg(
+        (F.min((cents * 31 + 7) % 1000).cast("double") / 1000).alias("p")
+    )
+    return st.holm_bonferroni(tests, "p", ["test_id"], alpha_num=5, alpha_den=100)
+
+
+# ------------------------------------------------------------------ q421
+@query(
+    "q421_scd2_build",
+    """
+    WITH ch AS (
+        SELECT user_id, ts, event_type,
+               CAST(round(value * 100) AS BIGINT) // 10000 AS val_bucket
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t,
+               lag(val_bucket) OVER (PARTITION BY user_id ORDER BY ts) AS prev_b
+        FROM ch
+    ),
+    kept AS (
+        SELECT user_id, ts, event_type, val_bucket FROM flagged
+        WHERE rn = 1
+           OR event_type IS DISTINCT FROM prev_t
+           OR val_bucket IS DISTINCT FROM prev_b
+    )
+    SELECT user_id, event_type, val_bucket,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to_us,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM kept
+    """,
+)
+def q421(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 SCD history builder (operators/merge.scd2_build): per-user
+    change log → validity intervals, no-op changes dropped first, bounds
+    emitted as epoch-microsecond BIGINTs (timestamps are hash-hostile —
+    ORACLES.md rule 21)."""
+    from .operators import merge as mg
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type",
+        (F.round(F.col("value") * 100).cast("long") / 10000).cast("long").alias("val_bucket"),
+    )
+    return mg.scd2_build(ev, ["user_id"], "ts", ["event_type", "val_bucket"])
+
+
+# ------------------------------------------------------------------ q422
+@query(
+    "q422_identity_resolution",
+    """
+    WITH RECURSIVE users AS (SELECT DISTINCT user_id AS u FROM events),
+    devices AS (
+        SELECT u, (u // 12) * 100 + (u % 12) // 4 AS dev FROM users
+        UNION ALL
+        SELECT u, (u // 12) * 100 + 50 + (u % 12) // 6 AS dev FROM users
+    ),
+    base AS (
+        SELECT a.u AS src, b.u AS dst
+        FROM devices a JOIN devices b ON a.dev = b.dev AND a.u < b.u
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM base
+        UNION SELECT dst, src FROM base
+    ),
+    walk(node, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT node, min(reach) AS component FROM walk GROUP BY node
+    """,
+)
+def q422(spark: SparkSession, sf: str) -> DataFrame:
+    """Identity resolution across two synthetic device-id spaces: the
+    bipartite user-device graph projects to user-user edges via shared
+    devices (one self-equi-join on device), then connected components
+    assign each user a canonical identity — the session-stitching
+    pipeline every cross-device analytics stack runs.  The oracle
+    replays the transitive closure with a recursive CTE (q150's
+    shape)."""
+    from .operators import dedup as dd
+
+    users = load_table(spark, sf, "events").select(F.col("user_id").alias("u")).distinct()
+    blk = F.floor(F.col("u") / 12).cast("long") * 100
+    devices = users.select("u", (blk + F.floor((F.col("u") % 12) / 4).cast("long")).alias("dev")).unionByName(
+        users.select("u", (blk + 50 + F.floor((F.col("u") % 12) / 6).cast("long")).alias("dev"))
+    )
+    a = devices.select("dev", F.col("u").alias("id_a"))
+    b = devices.select("dev", F.col("u").alias("id_b"))
+    edges = a.join(b, on="dev").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    return dd.connected_components(edges)
+
+
+# ------------------------------------------------------------------ q423
+@query(
+    "q423_replay_eval",
+    """
+    WITH f AS (
+        SELECT event_type,
+               event_id % 4 AS logged,
+               CAST(round(value * 100) AS BIGINT) % 4 AS policy,
+               CAST(round(value * 100) AS BIGINT) % 100 AS reward
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_logged,
+               CAST(sum(CASE WHEN logged = policy THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN logged = policy THEN reward ELSE 0 END) AS BIGINT) AS reward_sum
+        FROM f GROUP BY event_type
+    )
+    SELECT event_type, n_logged, n_matched,
+           CAST(n_matched AS DOUBLE) / n_logged AS match_rate,
+           reward_sum,
+           CASE WHEN n_matched > 0 THEN CAST(reward_sum AS DOUBLE) / n_matched END AS replay_value
+    FROM g
+    """,
+)
+def q423(spark: SparkSession, sf: str) -> DataFrame:
+    """Replay offline policy evaluation (functions/stats.replay_eval) —
+    the matched-action OPE estimator beside IPS (q351) and DR (q365):
+    integer match filter, BIGINT reward sum, one divide."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "event_type",
+        (F.col("event_id") % 4).alias("logged"),
+        (cents % 4).alias("policy"),
+        (cents % 100).alias("reward"),
+    )
+    return st.replay_eval(d, ["event_type"], "logged", "policy", "reward")
+
+
+# ------------------------------------------------------------------ q424
+@query(
+    "q424_lexical_diversity",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    nz AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM nz GROUP BY 1, 2),
+    g AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM tc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(g.n_tokens, 0) AS n_tokens,
+           coalesce(g.n_types, 0) AS n_types,
+           CASE WHEN g.n_tokens > 0 THEN CAST(g.n_types AS DOUBLE) / g.n_tokens END AS ttr,
+           CASE WHEN g.n_types > 0 THEN CAST(g.n_hapax AS DOUBLE) / g.n_types END AS hapax_rate
+    FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+    WHERE d.text IS NOT NULL
+    """,
+)
+def q424(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical-diversity corpus signals (operators/text.
+    lexical_diversity): token count, types, type-token ratio, hapax
+    share — computed HORIZONTALLY over each document's sorted token
+    array (no explode, no shuffle; the whole report is a projection),
+    while the oracle takes the explode-and-count route."""
+    from .operators import text as tx
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    return tx.lexical_diversity(d)

@@ -271,3 +271,60 @@ def test_hard_negatives_excludes_same_label(spark):
     out = hard_negatives(vecs, q, k=2).collect()
     ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
     assert ids == [2, 3]  # same-label 0 and 1 never rank
+
+
+def test_holm_stepdown_stops_at_first_failure(spark):
+    from riptable_spark.functions.stats import holm_bonferroni
+
+    # m=4, alpha=0.05: p=(0.001, 0.01, 0.04, 0.05)
+    # thresholds: 0.05/4=0.0125, /3=0.0167, /2=0.025, /1=0.05
+    # 0.001<=0.0125 ok; 0.01<=0.0167 ok; 0.04>0.025 STOP; 0.05 not rejected
+    df = spark.createDataFrame(
+        [(1, 0.001), (2, 0.01), (3, 0.04), (4, 0.05)], "tid long, p double"
+    )
+    out = {r.tid: r for r in holm_bonferroni(df, "p", ["tid"]).collect()}
+    assert [out[i].reject for i in (1, 2, 3, 4)] == [True, True, False, False]
+    # adjusted p is the running max of p*(m-rank+1)
+    assert out[1].adj_p == 0.004 and out[2].adj_p == 0.03
+
+
+def test_scd2_build_intervals(spark):
+    from riptable_spark.operators.merge import scd2_build
+
+    rows = [
+        ("k", 1_000_000, "a"), ("k", 2_000_000, "a"),  # no-op at t=2
+        ("k", 3_000_000, "b"), ("k", 4_000_000, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k string, us long, attr string").select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "attr"
+    )
+    out = sorted(scd2_build(df, ["k"], "ts", ["attr"]).collect(), key=lambda r: r.version)
+    assert len(out) == 3  # the t=2 heartbeat is dropped
+    assert out[0].valid_from_us == 1_000_000 and out[0].valid_to_us == 3_000_000
+    assert out[1].attr == "b" and out[1].valid_to_us == 4_000_000
+    assert out[2].is_current is True and out[2].valid_to_us is None
+
+
+def test_replay_eval_exact(spark):
+    from riptable_spark.functions.stats import replay_eval
+
+    rows = [("g", 0, 0, 10), ("g", 1, 0, 99), ("g", 2, 2, 20)]
+    df = spark.createDataFrame(rows, "g string, logged long, policy long, reward long")
+    r = replay_eval(df, ["g"], "logged", "policy", "reward").collect()[0]
+    assert r.n_logged == 3 and r.n_matched == 2
+    assert r.reward_sum == 30 and r.replay_value == 15.0
+
+
+def test_lexical_diversity_hand_case(spark):
+    from riptable_spark.operators.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog and a bird"), (2, None), (3, "x x x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lexical_diversity(df).collect()}
+    # doc 1: 8 tokens; types: the(2) cat and(2) dog a bird -> 6 types, 4 hapax
+    assert out[1].n_tokens == 8 and out[1].n_types == 6
+    assert out[1].hapax_rate == 4 / 6
+    assert out[3].n_tokens == 3 and out[3].n_types == 1 and out[3].hapax_rate == 0.0
+    assert out[2].n_tokens == 0 and out[2].ttr is None
