@@ -2472,3 +2472,41 @@ def replay_eval(
         "reward_sum",
         F.when(F.col("n_matched") > 0, F.col("reward_sum") / F.col("n_matched")).alias("replay_value"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    keys: list[str],
+    assign_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for experiments: chi-square
+    goodness-of-fit of observed arm counts against the DESIGNED ratio
+    (e.g. 50/50) — the first thing to check before reading any A/B
+    result, since a biased assignment invalidates everything downstream.
+
+        χ² = Σ_arms (o_a·D − N·d_a)² / (N·d_a·D)
+
+    with d_a the expected ratio weights and D = Σd.  Numerators are
+    exact BIGINTs; arms pivot into FIXED columns so the per-arm terms
+    add in literal order (never a float hash-agg).  One conditional
+    aggregation.  Returns (keys…, n, per-arm counts, chi2, df).
+    """
+    arms = list(expected.items())
+    dd = sum(int(w) for _, w in arms)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for arm, _ in arms:
+        aggs.append(
+            F.sum((F.col(assign_col) == F.lit(arm)).cast("long")).cast("long").alias(f"n_{arm}")
+        )
+    g = df.groupBy(*keys).agg(*aggs) if keys else df.groupBy().agg(*aggs)
+    chi2 = None
+    for arm, wgt in arms:
+        o = F.col(f"n_{arm}")
+        num = (o * dd - F.col("n") * int(wgt))
+        term = (num * num) / (F.col("n") * int(wgt) * dd)
+        chi2 = term if chi2 is None else chi2 + term
+    return g.select(
+        *keys, "n", *[f"n_{arm}" for arm, _ in arms],
+        chi2.alias("chi2"), F.lit(len(arms) - 1).cast("long").alias("dof"),
+    )

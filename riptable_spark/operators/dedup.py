@@ -952,3 +952,55 @@ def snm_pairs(
         "id_a", "id_b", "key_a", "key_b",
         (F.col("r_b") - F.col("r_a")).alias("rank_dist"),
     )
+
+
+def golden_record(
+    df: DataFrame,
+    component_col: str,
+    fields: dict,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Field-level survivorship: build ONE canonical ("golden") record
+    per duplicate cluster by choosing each field independently — the
+    merge step after :func:`connected_components`/:func:`keep_best`
+    (which keep a whole ROW; real MDM picks the freshest email from one
+    record and the most frequent name from another).
+
+    ``fields`` maps column → strategy: ``'latest'`` (value at the max
+    ``order_col`` among non-null rows — max_by ignores NULL keys in
+    both engines), ``'max'`` / ``'min'``, or ``'mode'`` (most frequent
+    value, smallest-value tie-break).  latest/max/min fuse into ONE
+    hash agg; each mode field adds one (component, value) count agg
+    joined back (mode is not a single-pass aggregate).  All choices are
+    integer/argmax-deterministic.  Returns one row per component.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_members")]
+    mode_fields = []
+    for col, strat in fields.items():
+        if strat == "latest":
+            if order_col is None:
+                raise ValueError("strategy 'latest' needs order_col")
+            key = F.when(F.col(col).isNotNull(), F.col(order_col))
+            aggs.append(F.max_by(F.col(col), key).alias(col))
+        elif strat == "max":
+            aggs.append(F.max(col).alias(col))
+        elif strat == "min":
+            aggs.append(F.min(col).alias(col))
+        elif strat == "mode":
+            mode_fields.append(col)
+        else:
+            raise ValueError(f"unknown strategy {strat!r} for {col}")
+    out = df.groupBy(F.col(component_col).alias("component")).agg(*aggs)
+    for col in mode_fields:
+        counts = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(F.col(component_col).alias("component"), F.col(col))
+            .agg(F.count(F.lit(1)).alias("__c__"))
+        )
+        best = counts.groupBy("component").agg(
+            F.min_by(
+                F.col(col), F.struct((-F.col("__c__")).alias("neg"), F.col(col).alias("v"))
+            ).alias(col)
+        )
+        out = out.join(best, on="component", how="left")
+    return out

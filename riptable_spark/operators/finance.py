@@ -942,3 +942,40 @@ def price_index(
         paas.alias("paasche"),
         F.sqrt(lasp * paas).alias("fisher"),
     )
+
+
+def rev_schedule(
+    df: DataFrame,
+    id_cols: list[str],
+    amount_col: str,
+    start_period_col: str,
+    n_periods_col: str,
+) -> DataFrame:
+    """Revenue-recognition schedule: spread each contract's amount
+    evenly over its service periods with the LARGEST-REMAINDER rule
+    (the :func:`~riptable_spark.operators.pipeline.allocate_proportional`
+    discipline applied per row): period i of n gets
+
+        amount DIV n  +  (1 if i < amount MOD n else 0)
+
+    so every contract's schedule sums back to its amount EXACTLY — no
+    float cents ever exist, the auditors' requirement.  One
+    posexplode(sequence(...)) projection, no shuffle.  Returns
+    (ids…, period, amount_p).
+    """
+    amt = F.col(amount_col).cast("long")
+    n = F.col(n_periods_col).cast("int")
+    exploded = df.select(
+        *id_cols, amt.alias("__amt__"), F.col(start_period_col).cast("long").alias("__sp__"),
+        n.alias("__np__"),
+        F.posexplode(F.sequence(F.lit(0), n - 1)).alias("__i__", "__dummy__"),
+    )
+    share = (
+        F.floor(F.col("__amt__") / F.col("__np__")).cast("long")
+        + (F.col("__i__") < F.pmod(F.col("__amt__"), F.col("__np__")).cast("int")).cast("long")
+    )
+    return exploded.select(
+        *id_cols,
+        (F.col("__sp__") + F.col("__i__")).alias("period"),
+        share.alias("amount_p"),
+    )

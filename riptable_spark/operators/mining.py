@@ -561,3 +561,46 @@ def abc_classification(
         (F.col("cum_value") / F.col("total")).alias("cum_share"),
         cls.alias("abc_class"),
     )
+
+
+def seq_pairs(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    time_col: str,
+    max_gap_seconds: int | None = None,
+    min_users: int = 2,
+    max_events_per_user: int | None = None,
+) -> DataFrame:
+    """Frequent sequential pairs (a THEN b) across user event streams —
+    the 2-element core of sequence mining (SPADE/PrefixSpan's first
+    level): for every ordered item pair, how many DISTINCT users
+    exhibit a followed by b (optionally within ``max_gap_seconds``).
+
+    Plan: self-equi-join on the user id (per-user quadratic, bounded by
+    ``max_events_per_user`` — the basket_pairs mega-user guard), strict
+    time order a < b as an integer microsecond comparison, DISTINCT
+    (user, a, b) before the count so a user contributes once however
+    often they repeat the pattern.  All counts exact.  Returns
+    (item_a, item_b, n_users).
+    """
+    t = F.unix_micros(F.col(time_col))
+    base = df.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i"), t.alias("tus")
+    )
+    if max_events_per_user is not None:
+        w = Window.partitionBy("u")
+        base = base.withColumn("__n__", F.count(F.lit(1)).over(w)).where(
+            F.col("__n__") <= max_events_per_user
+        ).drop("__n__")
+    a = base.select("u", F.col("i").alias("item_a"), F.col("tus").alias("ta"))
+    b = base.select("u", F.col("i").alias("item_b"), F.col("tus").alias("tb"))
+    cond = (F.col("ta") < F.col("tb")) & (F.col("item_a") != F.col("item_b"))
+    if max_gap_seconds is not None:
+        cond = cond & (F.col("tb") - F.col("ta") <= int(max_gap_seconds) * 1_000_000)
+    pairs = a.join(b, on="u").where(cond).select("u", "item_a", "item_b").distinct()
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.countDistinct("u").cast("long").alias("n_users"))
+        .where(F.col("n_users") >= min_users)
+    )

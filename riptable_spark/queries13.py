@@ -1000,3 +1000,154 @@ def q424(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     return tx.lexical_diversity(d)
+
+
+# ------------------------------------------------------------------ q425
+@query(
+    "q425_seq_pairs",
+    """
+    WITH base AS (
+        SELECT user_id AS u, event_type AS i, epoch_us(ts) AS tus FROM events
+    ),
+    hits AS (
+        SELECT DISTINCT a.u, a.i AS item_a, b.i AS item_b
+        FROM base a JOIN base b ON a.u = b.u
+        WHERE a.tus < b.tus AND a.i != b.i
+          AND b.tus - a.tus <= 86400000000
+    )
+    SELECT item_a, item_b, CAST(count(DISTINCT u) AS BIGINT) AS n_users
+    FROM hits GROUP BY 1, 2
+    HAVING count(DISTINCT u) >= 2
+    """,
+)
+def q425(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent sequential pairs (operators/mining.seq_pairs): which
+    event type follows which within a day, counted in distinct users —
+    the first level of sequence mining.  Per-user self-equi-join with a
+    microsecond-integer gap bound; DISTINCT before the count so repeat
+    patterns count once per user."""
+    from .operators import mining as mn
+
+    ev = load_table(spark, sf, "events")
+    return mn.seq_pairs(ev, "user_id", "event_type", "ts", max_gap_seconds=86400)
+
+
+# ------------------------------------------------------------------ q426
+@query(
+    "q426_golden_record",
+    """
+    WITH recs AS (
+        SELECT user_id % 40 AS component, user_id, ts, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    main AS (
+        SELECT component,
+               CAST(count(*) AS BIGINT) AS n_members,
+               max_by(cents, CASE WHEN cents IS NOT NULL THEN epoch_us(ts) END) AS cents,
+               max(user_id) AS user_id
+        FROM recs GROUP BY component
+    ),
+    tc AS (
+        SELECT component, event_type, count(*) AS c
+        FROM recs WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    md AS (
+        SELECT component, event_type FROM (
+            SELECT component, event_type,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY c DESC, event_type) AS rn
+            FROM tc
+        ) WHERE rn = 1
+    )
+    SELECT m.component, m.n_members, m.cents, m.user_id, md.event_type
+    FROM main m LEFT JOIN md USING (component)
+    """,
+)
+def q426(spark: SparkSession, sf: str) -> DataFrame:
+    """Field-level survivorship (operators/dedup.golden_record): one
+    canonical record per synthetic duplicate cluster — freshest cents
+    (latest), max user_id, most-frequent event type (smallest-value
+    tie-break).  latest/max fuse into one hash agg; mode adds one count
+    agg joined back."""
+    from .operators import dedup as dd
+
+    ev = load_table(spark, sf, "events").select(
+        (F.col("user_id") % 40).alias("component"),
+        "user_id", "ts", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("okey", F.unix_micros(F.col("ts")))
+    out = dd.golden_record(
+        ev, "component",
+        {"cents": "latest", "user_id": "max", "event_type": "mode"},
+        order_col="okey",
+    )
+    return out.select("component", "n_members", "cents", "user_id", "event_type")
+
+
+# ------------------------------------------------------------------ q427
+@query(
+    "q427_srm_check",
+    """
+    WITH f AS (
+        SELECT event_type,
+               CASE WHEN user_id % 2 = 0 THEN 'ctl' ELSE 'trt' END AS arm
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN arm = 'ctl' THEN 1 ELSE 0 END) AS BIGINT) AS n_ctl,
+               CAST(sum(CASE WHEN arm = 'trt' THEN 1 ELSE 0 END) AS BIGINT) AS n_trt
+        FROM f GROUP BY event_type
+    )
+    SELECT event_type, n, n_ctl, n_trt,
+           CAST((n_ctl * 2 - n * 1) * (n_ctl * 2 - n * 1) AS DOUBLE) / (n * 1 * 2)
+             + CAST((n_trt * 2 - n * 1) * (n_trt * 2 - n * 1) AS DOUBLE) / (n * 1 * 2) AS chi2,
+           CAST(1 AS BIGINT) AS dof
+    FROM g
+    """,
+)
+def q427(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (functions/stats.srm_check):
+    chi-square GOF of a 50/50 hash assignment per event type — exact
+    BIGINT numerators, arm terms added in fixed literal order."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "ctl").otherwise("trt").alias("arm"),
+    )
+    return st.srm_check(ev, ["event_type"], "arm", {"ctl": 1, "trt": 1})
+
+
+# ------------------------------------------------------------------ q428
+@query(
+    "q428_rev_schedule",
+    """
+    WITH contracts AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS amount,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS start_p,
+               CAST(o_orderkey % 11 + 2 AS INT) AS np
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderkey, start_p + i AS period,
+           amount // np + CASE WHEN i < amount % np THEN 1 ELSE 0 END AS amount_p
+    FROM contracts, LATERAL (SELECT unnest(range(0, np)) AS i)
+    """,
+)
+def q428(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue-recognition spread (operators/finance.rev_schedule):
+    each selected order's cents spread over 2-12 monthly periods by the
+    largest-remainder rule — every schedule sums back to its contract
+    EXACTLY (no float cents), via one posexplode projection."""
+    from .operators import finance as fin
+
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amount"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long").alias("start_p"),
+        (F.col("o_orderkey") % 11 + 2).cast("int").alias("np"),
+    )
+    return fin.rev_schedule(o, ["o_orderkey"], "amount", "start_p", "np")

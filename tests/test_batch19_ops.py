@@ -328,3 +328,74 @@ def test_lexical_diversity_hand_case(spark):
     assert out[1].hapax_rate == 4 / 6
     assert out[3].n_tokens == 3 and out[3].n_types == 1 and out[3].hapax_rate == 0.0
     assert out[2].n_tokens == 0 and out[2].ttr is None
+
+
+def test_seq_pairs_counts_user_once(spark):
+    from riptable_spark.operators.mining import seq_pairs
+
+    rows = [
+        ("u1", "a", 0), ("u1", "b", 10), ("u1", "a", 20), ("u1", "b", 30),  # a->b twice
+        ("u2", "a", 0), ("u2", "b", 5),
+        ("u3", "b", 0), ("u3", "a", 5),  # only b->a
+    ]
+    df = spark.createDataFrame(rows, "u string, i string, sec long").select(
+        "u", "i", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = {(r.item_a, r.item_b): r.n_users for r in seq_pairs(df, "u", "i", "ts").collect()}
+    assert out[("a", "b")] == 2  # u1 counted once despite two occurrences
+    assert out[("b", "a")] == 2  # u1 (b@10 -> a@20) and u3
+
+
+def test_seq_pairs_gap_bound(spark):
+    from riptable_spark.operators.mining import seq_pairs
+
+    rows = [("u", "a", 0), ("u", "b", 7200)]
+    df = spark.createDataFrame(rows, "u string, i string, sec long").select(
+        "u", "i", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    within = seq_pairs(df, "u", "i", "ts", max_gap_seconds=7200, min_users=1).collect()
+    beyond = seq_pairs(df, "u", "i", "ts", max_gap_seconds=7199, min_users=1).collect()
+    assert len(within) == 1 and len(beyond) == 0
+
+
+def test_golden_record_strategies(spark):
+    from riptable_spark.operators.dedup import golden_record
+
+    rows = [
+        (1, 10, None, "x", 100),
+        (1, 20, 55, "y", 200),   # latest non-null val at t=20
+        (1, 30, None, "y", 300),
+        (1, 5, 44, "z", 50),
+    ]
+    df = spark.createDataFrame(rows, "component long, t long, val long, name string, score long")
+    r = golden_record(
+        df, "component", {"val": "latest", "score": "max", "name": "mode"}, order_col="t"
+    ).collect()[0]
+    assert r.val == 55      # latest among non-null (t=20 beats t=5)
+    assert r.score == 300
+    assert r.name == "y"    # y appears twice
+    assert r.n_members == 4
+
+
+def test_srm_check_balanced_is_zero(spark):
+    from riptable_spark.functions.stats import srm_check
+
+    rows = [("g", "a")] * 50 + [("g", "b")] * 50
+    df = spark.createDataFrame(rows, "k string, arm string")
+    r = srm_check(df, ["k"], "arm", {"a": 1, "b": 1}).collect()[0]
+    assert r.chi2 == 0.0 and r.n_a == 50 and r.dof == 1
+
+
+def test_rev_schedule_sums_exactly(spark):
+    from riptable_spark.operators.finance import rev_schedule
+
+    df = spark.createDataFrame([(1, 1001, 0, 3), (2, 7, 5, 4)], "cid long, amount long, sp long, np int")
+    out = rev_schedule(df, ["cid"], "amount", "sp", "np").collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.cid, []).append((r.period, r.amount_p))
+    # 1001 over 3: 334, 334, 333 ; 7 over 4: 2,2,2,1
+    assert sorted(a for _, a in by_c[1]) == [333, 334, 334]
+    assert sum(a for _, a in by_c[1]) == 1001
+    assert sorted(a for _, a in by_c[2]) == [1, 2, 2, 2]
+    assert [p for p, _ in sorted(by_c[2])] == [5, 6, 7, 8]
