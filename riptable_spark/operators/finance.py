@@ -979,3 +979,57 @@ def rev_schedule(
         (F.col("__sp__") + F.col("__i__")).alias("period"),
         share.alias("amount_p"),
     )
+
+
+def mrr_movements(
+    df: DataFrame,
+    customer_col: str,
+    period_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """SaaS MRR movement waterfall: per period, decompose recurring-
+    revenue change into new / expansion / contraction / churned
+    business — the subscription analytics every board deck carries.
+
+    Per (customer, period) amounts aggregate first (exact cents); each
+    customer-period then compares against the SAME customer's previous
+    period via one full-outer self-join on (customer, period−1):
+    absent→present = new, present→absent = churn, else the signed
+    delta splits into expansion/contraction.  All movement columns are
+    exact BIGINT sums; net = new + expansion − contraction − churned
+    reconciles to the period-over-period MRR delta exactly (tested).
+    Periods must be consecutive integers (months since epoch).
+    Returns (period, mrr, new_mrr, expansion, contraction, churned,
+    net_change).
+    """
+    amt = F.col(amount_col).cast("long")
+    cp = df.groupBy(
+        F.col(customer_col).alias("c"), F.col(period_col).cast("long").alias("p")
+    ).agg(F.sum(amt).alias("a"))
+    cur = cp.select("c", "p", F.col("a").alias("a_cur"))
+    prev = cp.select("c", (F.col("p") + 1).alias("p"), F.col("a").alias("a_prev"))
+    j = cur.join(prev, on=["c", "p"], how="full_outer")
+    ac = F.coalesce(F.col("a_cur"), F.lit(0))
+    ap = F.coalesce(F.col("a_prev"), F.lit(0))
+    movements = j.select(
+        "p",
+        ac.alias("ac"), ap.alias("ap"),
+        F.when(F.col("a_prev").isNull(), ac).otherwise(F.lit(0)).alias("new_mrr"),
+        F.when(F.col("a_prev").isNotNull() & F.col("a_cur").isNotNull() & (ac > ap), ac - ap)
+        .otherwise(F.lit(0)).alias("expansion"),
+        F.when(F.col("a_prev").isNotNull() & F.col("a_cur").isNotNull() & (ac < ap), ap - ac)
+        .otherwise(F.lit(0)).alias("contraction"),
+        F.when(F.col("a_cur").isNull(), ap).otherwise(F.lit(0)).alias("churned"),
+    )
+    g = movements.groupBy("p").agg(
+        F.sum("ac").cast("long").alias("mrr"),
+        F.sum("new_mrr").cast("long").alias("new_mrr"),
+        F.sum("expansion").cast("long").alias("expansion"),
+        F.sum("contraction").cast("long").alias("contraction"),
+        F.sum("churned").cast("long").alias("churned"),
+    )
+    return g.select(
+        F.col("p").alias("period"), "mrr", "new_mrr", "expansion", "contraction", "churned",
+        (F.col("new_mrr") + F.col("expansion") - F.col("contraction") - F.col("churned"))
+        .alias("net_change"),
+    )

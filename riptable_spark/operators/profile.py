@@ -408,3 +408,33 @@ def sla_burn(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def missing_partitions(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Completeness audit for time-partitioned data: which calendar
+    buckets inside each key's observed span have NO rows — the
+    backfill planner's input (a silent missing day is the most common
+    ingest failure).
+
+    Per key: min/max observed bucket → expected = sequence(min..max)
+    exploded from the ONE-ROW-PER-KEY span relation (never the fact
+    table) → LEFT ANTI join against observed buckets.  All integer
+    bucket indices.  Returns (keys…, bucket_start) for each hole.
+    """
+    b = F.floor(F.unix_seconds(F.col(time_col)) / F.lit(bucket_seconds)).cast("long")
+    observed = df.groupBy(*keys, b.alias("__bkt__")).agg(F.count(F.lit(1)).alias("__n__"))
+    span = observed.groupBy(*keys).agg(
+        F.min("__bkt__").alias("__lo__"), F.max("__bkt__").alias("__hi__")
+    )
+    expected = span.select(
+        *keys, F.explode(F.sequence(F.col("__lo__"), F.col("__hi__"))).alias("__bkt__")
+    )
+    missing = expected.join(observed.select(*keys, "__bkt__"), on=[*keys, "__bkt__"], how="left_anti")
+    return missing.select(
+        *keys, (F.col("__bkt__") * bucket_seconds).cast("long").alias("bucket_start")
+    )

@@ -221,3 +221,49 @@ def phrase_search(
     return base.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
     )
+
+
+def trending_terms(
+    df: DataFrame,
+    period: Column,
+    text_col: str = "text",
+    min_count: int = 3,
+    lift_num: int = 2,
+    lift_den: int = 1,
+) -> DataFrame:
+    """Trending-term detection: terms whose within-period frequency
+    exceeds ``lift_num/lift_den`` times their corpus-wide rate — the
+    "what changed this week" feed over a document stream.
+
+    With c_tp the term's period count, c_t its corpus count, T_p the
+    period's token total and T the corpus total, the trend test
+
+        (c_tp/T_p) / (c_t/T) > lift  ⟺  c_tp·T·lift_den > c_t·T_p·lift_num
+
+    is exact BIGINT cross-multiplication; the reported lift is one
+    fixed-tree expression of the same integers.  One explode→(term,
+    period) agg; corpus totals reduce FROM that relation (no second
+    scan) and broadcast back.  Returns
+    (period, term, c_tp, c_t, t_p, t_total, lift, trending).
+    """
+    d = _doc_tokens(df.withColumn("__per__", period), text_col, "__per__")
+    e = d.select(F.col("__per__"), F.explode("__toks__").alias("term"))
+    tp = e.groupBy("__per__", "term").agg(F.count(F.lit(1)).cast("long").alias("c_tp"))
+    per_tot = tp.groupBy("__per__").agg(F.sum("c_tp").cast("long").alias("t_p"))
+    term_tot = tp.groupBy("term").agg(F.sum("c_tp").cast("long").alias("c_t"))
+    grand = per_tot.agg(F.sum("t_p").cast("long").alias("t_total"))
+    out = (
+        tp.where(F.col("c_tp") >= min_count)
+        .join(F.broadcast(per_tot), on="__per__")
+        .join(term_tot, on="term")
+        .crossJoin(F.broadcast(grand))
+    )
+    lift = (F.col("c_tp") * F.col("t_total")) / (F.col("c_t") * F.col("t_p"))
+    trending = (
+        F.col("c_tp") * F.col("t_total") * lift_den
+        > F.col("c_t") * F.col("t_p") * lift_num
+    )
+    return out.select(
+        F.col("__per__").alias("period"), "term", "c_tp", "c_t", "t_p", "t_total",
+        lift.alias("lift"), trending.alias("trending"),
+    )

@@ -1359,3 +1359,47 @@ def burst_detect(
             F.col("n") * trailing * den > num * F.col("trailing_n"),
         ).otherwise(F.lit(False)).alias("burst"),
     )
+
+
+def c_chart(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    bucket_seconds: int = 86400,
+    sigmas: int = 3,
+) -> DataFrame:
+    """Poisson c-chart (statistical process control for event counts):
+    bucket the stream, estimate the per-key baseline rate μ = T/B over
+    ALL buckets in the key's observed span (calendar gaps count as
+    zero-count buckets — they shrink μ, not the denominator), and flag
+    buckets outside μ ± k·√μ.
+
+    The control test never builds a float limit: with T = total events
+    and B = span buckets,
+
+        |c − μ| > k·√μ  ⟺  (c·B − T)² > k²·T·B
+
+    — exact BIGINT cross-multiplication on both sides, so flags are
+    engine-identical and a count can never sit ON the limit.  One
+    bucket agg + one per-key baseline agg broadcast back.  Returns
+    (keys…, bucket_start, n, total, span_buckets, out_high, out_low).
+    """
+    b = F.floor(F.unix_seconds(F.col(time_col)) / F.lit(bucket_seconds)).cast("long")
+    counts = df.groupBy(*keys, b.alias("__bkt__")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    base = counts.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("total"),
+        (F.max("__bkt__") - F.min("__bkt__") + 1).cast("long").alias("span_buckets"),
+    )
+    jn = counts.join(F.broadcast(base), on=keys)
+    k2 = int(sigmas) * int(sigmas)
+    dev = F.col("n") * F.col("span_buckets") - F.col("total")
+    thresh = F.lit(k2) * F.col("total") * F.col("span_buckets")
+    return jn.select(
+        *keys,
+        (F.col("__bkt__") * bucket_seconds).cast("long").alias("bucket_start"),
+        "n", "total", "span_buckets",
+        ((dev > 0) & (dev * dev > thresh)).alias("out_high"),
+        ((dev < 0) & (dev * dev > thresh)).alias("out_low"),
+    )

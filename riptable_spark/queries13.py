@@ -1151,3 +1151,154 @@ def q428(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_orderkey") % 11 + 2).cast("int").alias("np"),
     )
     return fin.rev_schedule(o, ["o_orderkey"], "amount", "start_p", "np")
+
+
+# ------------------------------------------------------------------ q429
+@query(
+    "q429_mrr_movements",
+    """
+    WITH cp AS (
+        SELECT o_custkey AS c,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS p,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS a
+        FROM orders GROUP BY 1, 2
+    ),
+    prev AS (SELECT c, p + 1 AS p, a FROM cp),
+    m AS (
+        SELECT coalesce(cur.p, prev.p) AS p,
+               coalesce(cur.a, 0) AS ac, coalesce(prev.a, 0) AS ap,
+               cur.a IS NULL AS gone, prev.a IS NULL AS fresh
+        FROM cp cur FULL OUTER JOIN prev ON cur.c = prev.c AND cur.p = prev.p
+    )
+    SELECT p AS period,
+           CAST(sum(ac) AS BIGINT) AS mrr,
+           CAST(sum(CASE WHEN fresh THEN ac ELSE 0 END) AS BIGINT) AS new_mrr,
+           CAST(sum(CASE WHEN NOT fresh AND NOT gone AND ac > ap THEN ac - ap ELSE 0 END) AS BIGINT) AS expansion,
+           CAST(sum(CASE WHEN NOT fresh AND NOT gone AND ac < ap THEN ap - ac ELSE 0 END) AS BIGINT) AS contraction,
+           CAST(sum(CASE WHEN gone THEN ap ELSE 0 END) AS BIGINT) AS churned,
+           CAST(sum(CASE WHEN fresh THEN ac ELSE 0 END)
+              + sum(CASE WHEN NOT fresh AND NOT gone AND ac > ap THEN ac - ap ELSE 0 END)
+              - sum(CASE WHEN NOT fresh AND NOT gone AND ac < ap THEN ap - ac ELSE 0 END)
+              - sum(CASE WHEN gone THEN ap ELSE 0 END) AS BIGINT) AS net_change
+    FROM m GROUP BY p
+    """,
+)
+def q429(spark: SparkSession, sf: str) -> DataFrame:
+    """SaaS-style MRR movement waterfall over customer order months
+    (operators/finance.mrr_movements): new / expansion / contraction /
+    churned cents per month from one (customer, month−1) full-outer
+    self-join — net reconciles to the MRR delta exactly."""
+    from .operators import finance as fin
+
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return fin.mrr_movements(o, "c", "p", "cents")
+
+
+# ------------------------------------------------------------------ q430
+@query(
+    "q430_c_chart",
+    """
+    WITH counts AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS bkt,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+               CAST(max(bkt) - min(bkt) + 1 AS BIGINT) AS span
+        FROM counts GROUP BY 1
+    )
+    SELECT c.event_type, CAST(c.bkt * 86400 AS BIGINT) AS bucket_start,
+           c.n, b.total, b.span AS span_buckets,
+           (c.n * b.span - b.total > 0)
+             AND ((c.n * b.span - b.total) * (c.n * b.span - b.total) > 9 * b.total * b.span)
+             AS out_high,
+           (c.n * b.span - b.total < 0)
+             AND ((c.n * b.span - b.total) * (c.n * b.span - b.total) > 9 * b.total * b.span)
+             AS out_low
+    FROM counts c JOIN base b USING (event_type)
+    """,
+)
+def q430(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson c-chart SPC over daily event counts per type
+    (operators/window.c_chart): the ±3σ control test runs as
+    (c·B − T)² > 9·T·B — exact BIGINT cross-multiplication, a count can
+    never sit ON the limit."""
+    from .operators import window as win
+
+    ev = load_table(spark, sf, "events")
+    return win.c_chart(ev, ["event_type"], "ts", bucket_seconds=86400, sigmas=3)
+
+
+# ------------------------------------------------------------------ q431
+@query(
+    "q431_trending_terms",
+    r"""
+    WITH docs AS (
+        SELECT doc_id % 4 AS per, text FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+        SELECT per,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        FROM docs
+    ),
+    nz AS (SELECT per, term FROM toks WHERE term != ''),
+    tp AS (SELECT per, term, CAST(count(*) AS BIGINT) AS c_tp FROM nz GROUP BY 1, 2),
+    pt AS (SELECT per, CAST(sum(c_tp) AS BIGINT) AS t_p FROM tp GROUP BY 1),
+    tt AS (SELECT term, CAST(sum(c_tp) AS BIGINT) AS c_t FROM tp GROUP BY 1),
+    g AS (SELECT CAST(sum(c_tp) AS BIGINT) AS t_total FROM tp)
+    SELECT CAST(tp.per AS BIGINT) AS period, tp.term, c_tp, c_t, t_p, t_total,
+           CAST(c_tp * t_total AS DOUBLE) / (c_t * t_p) AS lift,
+           c_tp * t_total * 2 > c_t * t_p * 3 AS trending
+    FROM tp JOIN pt USING (per) JOIN tt USING (term), g
+    WHERE c_tp >= 3
+    """,
+)
+def q431(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending-term detection across synthetic document periods
+    (operators/retrieval.trending_terms): within-period vs corpus-wide
+    term rates compared by exact BIGINT cross-multiplication (lift 3/2);
+    corpus totals reduce from the (term, period) relation — one explode,
+    no second scan."""
+    from .operators import retrieval as ret
+
+    d = load_table(spark, sf, "documents")
+    return ret.trending_terms(
+        d, (F.col("doc_id") % 4).cast("long"), min_count=3, lift_num=3, lift_den=2
+    )
+
+
+# ------------------------------------------------------------------ q432
+@query(
+    "q432_missing_partitions",
+    """
+    WITH f AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS bkt FROM events
+    ),
+    k AS (SELECT event_type, bkt FROM f WHERE bkt % 5 != 2),
+    obs AS (SELECT DISTINCT event_type, bkt FROM k),
+    span AS (SELECT event_type, min(bkt) AS lo, max(bkt) AS hi FROM obs GROUP BY 1),
+    expected AS (
+        SELECT event_type, unnest(range(lo, hi + 1)) AS bkt FROM span
+    )
+    SELECT e.event_type, CAST(e.bkt * 86400 AS BIGINT) AS bucket_start
+    FROM expected e LEFT JOIN obs o ON o.event_type = e.event_type AND o.bkt = e.bkt
+    WHERE o.bkt IS NULL
+    """,
+)
+def q432(spark: SparkSession, sf: str) -> DataFrame:
+    """Missing-partition audit (operators/profile.missing_partitions):
+    calendar holes inside each event type's observed span, after
+    deterministically dropping every 5th day — expected buckets explode
+    from the one-row-per-key span relation, then a LEFT ANTI join
+    exposes the holes."""
+    from .operators import profile as prof
+
+    ev = load_table(spark, sf, "events")
+    b = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    filtered = ev.withColumn("__b__", b).where(F.col("__b__") % 5 != 2).drop("__b__")
+    return prof.missing_partitions(filtered, ["event_type"], "ts", bucket_seconds=86400)

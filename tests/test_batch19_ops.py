@@ -399,3 +399,64 @@ def test_rev_schedule_sums_exactly(spark):
     assert sum(a for _, a in by_c[1]) == 1001
     assert sorted(a for _, a in by_c[2]) == [1, 2, 2, 2]
     assert [p for p, _ in sorted(by_c[2])] == [5, 6, 7, 8]
+
+
+def test_mrr_movements_reconciles(spark):
+    from riptable_spark.operators.finance import mrr_movements
+
+    rows = [
+        ("c1", 0, 100), ("c1", 1, 150),            # expansion 50
+        ("c2", 0, 200),                            # churns in p1
+        ("c3", 1, 80),                             # new in p1
+        ("c4", 0, 50), ("c4", 1, 30),              # contraction 20
+    ]
+    df = spark.createDataFrame(rows, "c string, p long, a long")
+    out = {r.period: r for r in mrr_movements(df, "c", "p", "a").collect()}
+    p1 = out[1]
+    assert p1.new_mrr == 80 and p1.expansion == 50
+    assert p1.contraction == 20 and p1.churned == 200
+    # net reconciles: mrr(1) - mrr(0) = 260 - 350 = -90
+    assert p1.net_change == p1.mrr - out[0].mrr == -90
+
+
+def test_c_chart_flags_outlier_day(spark):
+    from riptable_spark.operators.window import c_chart
+
+    # 9 days of 5 events + 1 day of 50: mu=9.5, 3sigma ~ 9.2 -> 50 flags high
+    rows = []
+    for d in range(9):
+        rows += [("k", 86400 * d + h) for h in range(5)]
+    rows += [("k", 86400 * 9 + h) for h in range(50)]
+    df = spark.createDataFrame(rows, "k string, sec long").select(
+        "k", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = {r.bucket_start // 86400: r for r in c_chart(df, ["k"], "ts").collect()}
+    assert out[9].out_high is True
+    assert out[0].out_high is False and out[0].out_low is False
+
+
+def test_missing_partitions_finds_hole(spark):
+    from riptable_spark.operators.profile import missing_partitions
+
+    # days 0,1,3,4 present; day 2 missing
+    rows = [("k", 86400 * d) for d in (0, 1, 3, 4)]
+    df = spark.createDataFrame(rows, "k string, sec long").select(
+        "k", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = missing_partitions(df, ["k"], "ts").collect()
+    assert [(r.k, r.bucket_start) for r in out] == [("k", 2 * 86400)]
+
+
+def test_trending_terms_cross_mult(spark):
+    from riptable_spark.operators.retrieval import trending_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple apple banana"), (1, "banana banana banana banana")],
+        "doc_id long, text string",
+    )
+    out = trending_terms(docs, F.col("doc_id"), min_count=3, lift_num=3, lift_den=2).collect()
+    rows = {(r.period, r.term): r for r in out}
+    # apple: 3 of 4 tokens in p0, 3 of 8 overall -> lift = (3/4)/(3/8) = 2 > 1.5
+    assert rows[(0, "apple")].trending is True and rows[(0, "apple")].lift == 2.0
+    # banana p1: (4/4)/(5/8) = 1.6 > 1.5
+    assert rows[(1, "banana")].trending is True
