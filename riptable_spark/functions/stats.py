@@ -2510,3 +2510,134 @@ def srm_check(
         *keys, "n", *[f"n_{arm}" for arm, _ in arms],
         chi2.alias("chi2"), F.lit(len(arms) - 1).cast("long").alias("dof"),
     )
+
+
+def yuen_trimmed_t(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a,
+    group_b,
+    trim_num: int = 1,
+    trim_den: int = 10,
+) -> DataFrame:
+    """Yuen's trimmed-mean t-test — the robust two-sample comparison
+    (outlier-resistant alternative to :func:`ttest_ind_welch`): trim
+    g = ⌊n·trim⌋ observations from EACH tail, compare trimmed means
+    with winsorized variances.
+
+    Exactness: tail cuts are RANK-based integers (no float quantile
+    decides membership); the winsorized sample replaces each trimmed
+    tail with its boundary order statistic, so the winsorized sum and
+    sum-of-squares are exact BIGINTs (middle sums + g·boundary terms).
+    The t statistic and Welch-style df are then fixed trees of single
+    divides/sqrt.  One sort window per group + one agg.  Returns
+    (n_a, n_b, h_a, h_b, tmean_a, tmean_b, t, dof).
+    """
+    x = F.col(val_col).cast("long")
+    sel = df.where(F.col(group_col).isin(group_a, group_b)).select(
+        F.when(F.col(group_col) == F.lit(group_a), F.lit(0)).otherwise(F.lit(1)).alias("g"),
+        x.alias("x"),
+    )
+    w = Window.partitionBy("g").orderBy("x")
+    wn = Window.partitionBy("g")
+    d = sel.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    gcut = F.floor(F.col("n") * trim_num / trim_den).cast("long")
+    mid = (F.col("rn") > gcut) & (F.col("rn") <= F.col("n") - gcut)
+    lo_b = F.col("rn") == gcut + 1          # lower winsorizing boundary value
+    hi_b = F.col("rn") == F.col("n") - gcut  # upper boundary value
+    agg = d.groupBy("g").agg(
+        F.min("n").alias("n"),
+        F.min(gcut).alias("gc"),
+        F.sum(F.when(mid, F.col("x"))).cast("long").alias("s_mid"),
+        F.sum(F.when(mid, F.col("x") * F.col("x"))).cast("long").alias("ss_mid"),
+        F.min(F.when(lo_b, F.col("x"))).cast("long").alias("x_lo"),
+        F.min(F.when(hi_b, F.col("x"))).cast("long").alias("x_hi"),
+    )
+    h = F.col("n") - 2 * F.col("gc")
+    sw = F.col("s_mid") + F.col("gc") * (F.col("x_lo") + F.col("x_hi"))
+    ssw = F.col("ss_mid") + F.col("gc") * (
+        F.col("x_lo") * F.col("x_lo") + F.col("x_hi") * F.col("x_hi")
+    )
+    # winsorized sample variance: (n·SSw − Sw²) / (n·(n−1)) — exact ints
+    # up to the one divide; trimmed mean = s_mid-adjusted… the trimmed
+    # mean uses ONLY the middle h values
+    per = agg.select(
+        "g", "n", "gc", h.alias("h"),
+        (F.col("s_mid") / h).alias("tmean"),
+        ((F.col("n") * ssw - sw * sw) / (F.col("n") * (F.col("n") - 1))).alias("s2w"),
+    ).withColumn("d_i", (F.col("n") - 1) * F.col("s2w") / (F.col("h") * (F.col("h") - 1)))
+    a = per.where(F.col("g") == 0).select(
+        F.col("n").alias("n_a"), F.col("h").alias("h_a"),
+        F.col("tmean").alias("tmean_a"), F.col("d_i").alias("d_a"),
+    )
+    b = per.where(F.col("g") == 1).select(
+        F.col("n").alias("n_b"), F.col("h").alias("h_b"),
+        F.col("tmean").alias("tmean_b"), F.col("d_i").alias("d_b"),
+    )
+    j = a.crossJoin(b)
+    tstat = (F.col("tmean_a") - F.col("tmean_b")) / F.sqrt(F.col("d_a") + F.col("d_b"))
+    dof = (
+        (F.col("d_a") + F.col("d_b")) * (F.col("d_a") + F.col("d_b"))
+        / (
+            F.col("d_a") * F.col("d_a") / (F.col("h_a") - 1)
+            + F.col("d_b") * F.col("d_b") / (F.col("h_b") - 1)
+        )
+    )
+    return j.select(
+        "n_a", "n_b", "h_a", "h_b", "tmean_a", "tmean_b",
+        tstat.alias("t"), dof.alias("dof"),
+    )
+
+
+def theil_sen_full(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    max_n: int | None = 200,
+) -> DataFrame:
+    """Full pairwise Theil-Sen estimator per key: slope = median over
+    ALL point pairs of (y_j−y_i)/(x_j−x_i) — the maximally robust
+    (29.3% breakdown) line fit, upgrading the O(n) consecutive-pair
+    variant (q290).  Intercept is the standard robust form
+    median over points of (y_i − slope·x_i) — a tail outlier shifts a
+    plain median(y) pairing but not the residual median.
+
+    Every pair slope is ONE divide of exact integer differences, so the
+    slope multiset is bit-identical cross-engine and its exact median
+    (percentile over identical doubles) matches too.  The pair join is
+    per-key quadratic — ``max_n`` caps series length (pairs ≤ C(max_n,
+    2)); at scale run it on pre-aggregated series (daily points), never
+    raw ticks.  Returns (keys…, n, n_pairs, slope, intercept).
+    """
+    xx = F.col(x_col).cast("long")
+    yy = F.col(y_col).cast("long")
+    base = df.select(*keys, xx.alias("__x__"), yy.alias("__y__"))
+    if max_n is not None:
+        w = Window.partitionBy(*keys)
+        base = base.withColumn("__n__", F.count(F.lit(1)).over(w)).where(
+            F.col("__n__") <= max_n
+        ).drop("__n__")
+    a = base.select(*keys, F.col("__x__").alias("xa"), F.col("__y__").alias("ya"))
+    b = base.select(*keys, F.col("__x__").alias("xb"), F.col("__y__").alias("yb"))
+    pairs = a.join(b, on=list(keys)).where(F.col("xa") < F.col("xb")).select(
+        *keys, ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("slope_ij")
+    )
+    med_slope = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile("slope_ij", F.lit(0.5)).alias("slope"),
+    )
+    resid = base.join(med_slope, on=list(keys)).select(
+        *keys, "n_pairs", "slope",
+        (F.col("__y__") - F.col("slope") * F.col("__x__")).alias("__r__"),
+    )
+    out = resid.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("n_pairs").alias("n_pairs"),
+        F.min("slope").alias("slope"),
+        F.percentile("__r__", F.lit(0.5)).alias("intercept"),
+    )
+    return out.select(*keys, "n", "n_pairs", "slope", "intercept")

@@ -1033,3 +1033,41 @@ def mrr_movements(
         (F.col("new_mrr") + F.col("expansion") - F.col("contraction") - F.col("churned"))
         .alias("net_change"),
     )
+
+
+def dup_charges(
+    df: DataFrame,
+    account_col: str,
+    amount_col: str,
+    time_col: str,
+    id_col: str,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Duplicate-charge detection (fintech ops staple): pairs of
+    transactions on the same account with the SAME amount within
+    ``window_seconds`` — double-submits, retry storms, replay bugs.
+
+    Self-equi-join on (account, amount) — candidate pairs only exist
+    inside identical-amount groups, which are naturally tiny — with the
+    gap bound as an integer microsecond comparison and the
+    each-pair-once discipline (t_a < t_b, id tiebreak on equal
+    timestamps).  Returns (account, amount, id_a, id_b, gap_seconds).
+    """
+    t = F.unix_micros(F.col(time_col))
+    base = df.select(
+        F.col(account_col).alias("acct"), F.col(amount_col).cast("long").alias("amount"),
+        t.alias("tus"), F.col(id_col).alias("txn"),
+    )
+    a = base.select("acct", "amount", F.col("tus").alias("ta"), F.col("txn").alias("id_a"))
+    b = base.select("acct", "amount", F.col("tus").alias("tb"), F.col("txn").alias("id_b"))
+    pairs = a.join(b, on=["acct", "amount"]).where(
+        (
+            (F.col("ta") < F.col("tb"))
+            | ((F.col("ta") == F.col("tb")) & (F.col("id_a") < F.col("id_b")))
+        )
+        & (F.col("tb") - F.col("ta") <= int(window_seconds) * 1_000_000)
+    )
+    return pairs.select(
+        F.col("acct").alias(account_col), "amount", "id_a", "id_b",
+        ((F.col("tb") - F.col("ta")) / 1_000_000).alias("gap_seconds"),
+    )

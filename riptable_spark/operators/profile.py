@@ -438,3 +438,33 @@ def missing_partitions(
     return missing.select(
         *keys, (F.col("__bkt__") * bucket_seconds).cast("long").alias("bucket_start")
     )
+
+
+def apdex(
+    df: DataFrame,
+    keys: list[str],
+    latency_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Apdex score per key (the standard user-satisfaction SLI):
+    satisfied = latency ≤ T, tolerating = T < latency ≤ 4T,
+
+        apdex = (satisfied + tolerating/2) / n = (2·sat + tol) / (2n)
+
+    — the doubled form keeps the numerator an exact BIGINT; the score
+    is ONE divide.  One conditional hash agg.  Returns
+    (keys…, n, satisfied, tolerating, frustrated, apdex).
+    """
+    lat = F.col(latency_col).cast("long")
+    sat = (lat <= threshold).cast("long")
+    tol = ((lat > threshold) & (lat <= 4 * threshold)).cast("long")
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(sat).cast("long").alias("satisfied"),
+        F.sum(tol).cast("long").alias("tolerating"),
+    )
+    return g.select(
+        *keys, "n", "satisfied", "tolerating",
+        (F.col("n") - F.col("satisfied") - F.col("tolerating")).alias("frustrated"),
+        ((2 * F.col("satisfied") + F.col("tolerating")) / (2 * F.col("n"))).alias("apdex"),
+    )

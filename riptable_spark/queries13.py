@@ -1302,3 +1302,168 @@ def q432(spark: SparkSession, sf: str) -> DataFrame:
     b = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
     filtered = ev.withColumn("__b__", b).where(F.col("__b__") % 5 != 2).drop("__b__")
     return prof.missing_partitions(filtered, ["event_type"], "ts", bucket_seconds=86400)
+
+
+# ------------------------------------------------------------------ q433
+@query(
+    "q433_yuen_trimmed_t",
+    """
+    WITH sel AS (
+        SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS g,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    d AS (
+        SELECT g, x,
+               row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+               CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM sel
+    ),
+    agg AS (
+        SELECT g, min(n) AS n, min(n // 10) AS gc,
+               CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN x END) AS BIGINT) AS s_mid,
+               CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN x * x END) AS BIGINT) AS ss_mid,
+               CAST(min(CASE WHEN rn = n // 10 + 1 THEN x END) AS BIGINT) AS x_lo,
+               CAST(min(CASE WHEN rn = n - n // 10 THEN x END) AS BIGINT) AS x_hi
+        FROM d GROUP BY g
+    ),
+    per AS (
+        SELECT g, n, gc, n - 2 * gc AS h,
+               CAST(s_mid AS DOUBLE) / (n - 2 * gc) AS tmean,
+               CAST(n * (ss_mid + gc * (x_lo * x_lo + x_hi * x_hi))
+                    - (s_mid + gc * (x_lo + x_hi)) * (s_mid + gc * (x_lo + x_hi)) AS DOUBLE)
+                 / (n * (n - 1)) AS s2w
+        FROM agg
+    ),
+    pd AS (
+        SELECT g, n, h, tmean, (n - 1) * s2w / (h * (h - 1)) AS d_i FROM per
+    )
+    SELECT a.n AS n_a, b.n AS n_b, a.h AS h_a, b.h AS h_b,
+           a.tmean AS tmean_a, b.tmean AS tmean_b,
+           (a.tmean - b.tmean) / sqrt(a.d_i + b.d_i) AS t,
+           (a.d_i + b.d_i) * (a.d_i + b.d_i)
+             / (a.d_i * a.d_i / (a.h - 1) + b.d_i * b.d_i / (b.h - 1)) AS dof
+    FROM (SELECT * FROM pd WHERE g = 0) a, (SELECT * FROM pd WHERE g = 1) b
+    """,
+)
+def q433(spark: SparkSession, sf: str) -> DataFrame:
+    """Yuen's 10%-trimmed robust t-test, click vs purchase value cents
+    (functions/stats.yuen_trimmed_t): rank-based tail cuts, winsorized
+    sums as exact BIGINTs (ties at the trim boundary are
+    value-invariant), t and Welch df as fixed float trees."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return st.yuen_trimmed_t(ev, "event_type", "cents", "click", "purchase")
+
+
+# ------------------------------------------------------------------ q434
+@query(
+    "q434_dup_charges",
+    """
+    WITH base AS (
+        SELECT user_id AS acct,
+               CAST(round(value * 100) AS BIGINT) % 20 AS amount,
+               epoch_us(ts) AS tus, event_id AS txn
+        FROM events
+    )
+    SELECT a.acct AS user_id, a.amount, a.txn AS id_a, b.txn AS id_b,
+           CAST(b.tus - a.tus AS DOUBLE) / 1000000 AS gap_seconds
+    FROM base a JOIN base b ON a.acct = b.acct AND a.amount = b.amount
+    WHERE (a.tus < b.tus OR (a.tus = b.tus AND a.txn < b.txn))
+      AND b.tus - a.tus <= 3600000000
+    """,
+)
+def q434(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-charge detection (operators/finance.dup_charges): same
+    account + same amount within an hour, each pair once via the
+    (time, id) tiebreak — the candidate join only exists inside
+    identical-amount groups."""
+    from .operators import finance as fin
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        (F.round(F.col("value") * 100).cast("long") % 20).alias("amt"),
+    )
+    return fin.dup_charges(ev, "user_id", "amt", "ts", "event_id", window_seconds=3600)
+
+
+# ------------------------------------------------------------------ q435
+@query(
+    "q435_apdex",
+    """
+    WITH f AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) % 5000 AS lat FROM events
+    ),
+    g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lat <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS satisfied,
+               CAST(sum(CASE WHEN lat > 1000 AND lat <= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS tolerating
+        FROM f GROUP BY event_type
+    )
+    SELECT event_type, n, satisfied, tolerating,
+           n - satisfied - tolerating AS frustrated,
+           CAST(2 * satisfied + tolerating AS DOUBLE) / (2 * n) AS apdex
+    FROM g
+    """,
+)
+def q435(spark: SparkSession, sf: str) -> DataFrame:
+    """Apdex satisfaction score per event type
+    (operators/profile.apdex): the doubled numerator 2·sat + tol stays
+    an exact BIGINT, the score is one divide."""
+    from .operators import profile as prof
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", (F.round(F.col("value") * 100).cast("long") % 5000).alias("lat")
+    )
+    return prof.apdex(ev, ["event_type"], "lat", threshold=1000)
+
+
+# ------------------------------------------------------------------ q436
+@query(
+    "q436_theil_sen_full",
+    """
+    WITH pts AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) % 60 AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope_ij
+        FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ms AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+               quantile_cont(slope_ij, 0.5) AS slope
+        FROM pairs GROUP BY event_type
+    ),
+    resid AS (
+        SELECT p.event_type, s.n_pairs, s.slope, p.y - s.slope * p.x AS r
+        FROM pts p JOIN ms s USING (event_type)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           min(n_pairs) AS n_pairs, min(slope) AS slope,
+           quantile_cont(r, 0.5) AS intercept
+    FROM resid GROUP BY event_type
+    """,
+)
+def q436(spark: SparkSession, sf: str) -> DataFrame:
+    """Full pairwise Theil-Sen line fit per event type over the
+    day-residue aggregated daily-revenue series
+    (functions/stats.theil_sen_full): every pair slope is one divide of
+    exact integer differences, the median selects among bit-identical
+    doubles, and the intercept is the residual median — robust where a
+    plain median(y) pairing is not.
+    Upgrades q290's consecutive-pair variant to the 29.3%-breakdown
+    estimator."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events")
+    pts = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long") % 60).alias("x"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    return st.theil_sen_full(pts, ["event_type"], "x", "y", max_n=200)

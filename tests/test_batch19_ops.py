@@ -460,3 +460,58 @@ def test_trending_terms_cross_mult(spark):
     assert rows[(0, "apple")].trending is True and rows[(0, "apple")].lift == 2.0
     # banana p1: (4/4)/(5/8) = 1.6 > 1.5
     assert rows[(1, "banana")].trending is True
+
+
+def test_yuen_ignores_tail_outliers(spark):
+    from riptable_spark.functions.stats import yuen_trimmed_t
+
+    # identical middles; group b has wild tails that a 10% trim removes
+    a = [("a", v) for v in range(10, 30)]
+    b = [("b", v) for v in range(10, 30)]
+    b[0] = ("b", -100000)
+    b[-1] = ("b", 100000)
+    df = spark.createDataFrame(a + b, "g string, x long")
+    r = yuen_trimmed_t(df, "g", "x", "a", "b").collect()[0]
+    # 10% trim of n=20 removes 2 each side; trimmed means use ranks 3..18
+    assert r.h_a == 16 and r.h_b == 16
+    # outliers sat at the tails, so the trimmed means are close and |t| small
+    assert abs(r.tmean_a - r.tmean_b) < 1.0
+
+
+def test_dup_charges_window(spark):
+    from riptable_spark.operators.finance import dup_charges
+
+    rows = [
+        (1, 500, 0, 100), (1, 500, 1800, 101),     # dup within 1h
+        (1, 500, 90000, 102),                       # same amount, next day
+        (1, 700, 60, 103),                          # different amount
+        (2, 500, 30, 104),                          # different account
+    ]
+    df = spark.createDataFrame(rows, "acct long, amt long, sec long, txn long").select(
+        "acct", "amt", F.timestamp_seconds(F.col("sec")).alias("ts"), "txn"
+    )
+    out = dup_charges(df, "acct", "amt", "ts", "txn", 3600).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(100, 101)]
+    assert out[0].gap_seconds == 1800.0
+
+
+def test_apdex_hand_case(spark):
+    from riptable_spark.operators.profile import apdex
+
+    # 6 satisfied, 2 tolerating, 2 frustrated -> (12+2)/20 = 0.7
+    lat = [100] * 6 + [2500] * 2 + [9000] * 2
+    df = spark.createDataFrame([("k", v) for v in lat], "k string, lat long")
+    r = apdex(df, ["k"], "lat", threshold=1000).collect()[0]
+    assert (r.satisfied, r.tolerating, r.frustrated) == (6, 2, 2)
+    assert r.apdex == 0.7
+
+
+def test_theil_sen_full_recovers_line_with_outlier(spark):
+    from riptable_spark.functions.stats import theil_sen_full
+
+    # y = 3x + 7 with one wild outlier the median slope shrugs off
+    pts = [("k", x, 3 * x + 7) for x in range(15)] + [("k", 20, -500)]
+    df = spark.createDataFrame(pts, "k string, x long, y long")
+    r = theil_sen_full(df, ["k"], "x", "y").collect()[0]
+    assert r.slope == 3.0
+    assert r.intercept == 7.0
