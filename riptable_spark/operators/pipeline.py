@@ -967,3 +967,32 @@ def time_series_folds(
         F.lit(k).cast("long"),
     )
     return out.withColumn(out_col, seg).drop("__n__")
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_items: int,
+    fpp: float = 0.01,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Semi-join where the BIG side is pre-filtered by a Bloom filter of
+    the small side's keys — the scale pattern for "keep fact rows whose
+    key appears in a selective-but-not-broadcastable dimension": the
+    fact table is pruned HORIZONTALLY (a projection predicate, no
+    shuffle, pushdown-friendly) before the exact semi-join sees it, so
+    the exchange carries only the ~fpp·|big| survivors plus true
+    matches.
+
+    The final exact semi-join makes the result IDENTICAL to a plain
+    semi-join (Bloom false positives are re-checked, negatives cannot
+    exist) — the filter only shapes the plan.  Returns the filtered
+    ``big`` rows.
+    """
+    keys_df = small.select(F.col(key)).distinct()
+    bf, m, k = build_bloom(keys_df, F.col(key).cast("string"), n_items, fpp, hash_kind)
+    pruned = big.crossJoin(F.broadcast(bf)).where(
+        bloom_hit(F.col(key).cast("string"), m, k, hash_kind=hash_kind)
+    ).drop(bf.columns[0])
+    return pruned.join(keys_df, on=key, how="left_semi")

@@ -654,3 +654,33 @@ def lexical_diversity(
         F.when(n > 0, n_types.cast("double") / n).alias("ttr"),
         F.when(n_types > 0, n_hapax.cast("double") / n_types).alias("hapax_rate"),
     )
+
+
+def log_templates(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Log-template mining (Drain-style, the deterministic core): mask
+    the variable parts of each log line — long hex identifiers first,
+    then digit runs — and aggregate identical templates.  Turns a
+    terabyte of log lines into the few-hundred-row template table an
+    on-call engineer actually reads.
+
+    Both masks are plain regexes in the Java∩RE2 subset (engine-
+    portable); the aggregation is one hash agg keyed on the masked
+    string; the representative example is a deterministic MIN.  Returns
+    (template, n, example).
+    """
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), "[0-9a-f]{8,}", "<HEX>"),
+        "[0-9]+",
+        "<N>",
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(masked.alias("template"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.col(text_col)).alias("example"),
+        )
+    )

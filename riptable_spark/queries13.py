@@ -1467,3 +1467,130 @@ def q436(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long") % 60).alias("x"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
     return st.theil_sen_full(pts, ["event_type"], "x", "y", max_n=200)
+
+
+# ------------------------------------------------------------------ q437
+_Q437_COS16 = (
+    "list_dot_product({a}[1:16]::DOUBLE[], {b}[1:16]::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}[1:16]::DOUBLE[], {a}[1:16]::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}[1:16]::DOUBLE[], {b}[1:16]::DOUBLE[])))"
+)
+
+
+@query(
+    "q437_matryoshka_recall",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_Q416_COS.format(a='c.embedding', b='q.embedding')} DESC,
+                                               c.vec_id) AS rank
+            FROM embeddings c, q
+        ) WHERE rank <= 10
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_Q437_COS16.format(a='c.embedding', b='q.embedding')} DESC,
+                                               c.vec_id) AS rank
+            FROM embeddings c, q
+        ) WHERE rank <= 10
+    )
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS recall
+    FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def q437(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style truncation eval: recall@10 of top-k search on
+    the FIRST 16 dimensions against the full-64-dim exact ranking —
+    the measurement that decides how far an embedding column can be
+    truncated before ANN quality collapses (composes brute_force_topk
+    over F.slice with similarity.recall_at_k)."""
+    from .operators import similarity as sim
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(e, q, k=10)
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = q.select("query_id", F.slice("query_vec", 1, 16).alias("query_vec"))
+    approx = sim.brute_force_topk(e16, q16, k=10)
+    return sim.recall_at_k(approx, exact)
+
+
+# ------------------------------------------------------------------ q438
+@query(
+    "q438_bloom_semi_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_custkey % 10 = 0
+    )
+    """,
+)
+def q438(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/pipeline.bloom_semi_join): the
+    lineitem scan is pre-filtered HORIZONTALLY by a broadcast Bloom
+    filter of the selective order-key set, so the exchange feeding the
+    exact semi-join carries only survivors; the final semi-join
+    re-checks every hit, so the result equals the plain semi-join the
+    oracle runs — the filter only shapes the plan."""
+    from .operators import pipeline as pl
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_custkey") % 10 == 0)
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    return pl.bloom_semi_join(li, o, "l_orderkey", n_items=2000)
+
+
+# ------------------------------------------------------------------ q439
+@query(
+    "q439_log_templates",
+    """
+    WITH logs AS (
+        SELECT event_type || ' /api/v' || (CAST(round(value * 100) AS BIGINT) % 3)
+               || '/users/' || user_id || ' took ' || CAST(round(value * 100) AS BIGINT)
+               || 'ms' AS line
+        FROM events
+    )
+    SELECT regexp_replace(regexp_replace(line, '[0-9a-f]{8,}', '<HEX>', 'g'),
+                          '[0-9]+', '<N>', 'g') AS template,
+           CAST(count(*) AS BIGINT) AS n,
+           min(line) AS example
+    FROM logs GROUP BY 1
+    """,
+)
+def q439(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-template mining (operators/text.log_templates): synthetic
+    request logs collapse to their masked templates (hex ids, then
+    digit runs) with counts and a deterministic example — the
+    Drain-style triage table, one regex projection + one hash agg."""
+    from .operators import text as tx
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    logs = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" /api/v"), (cents % 3).cast("string"),
+            F.lit("/users/"), F.col("user_id").cast("string"),
+            F.lit(" took "), cents.cast("string"), F.lit("ms"),
+        ).alias("line")
+    )
+    return tx.log_templates(logs, "line")

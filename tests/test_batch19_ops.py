@@ -515,3 +515,27 @@ def test_theil_sen_full_recovers_line_with_outlier(spark):
     r = theil_sen_full(df, ["k"], "x", "y").collect()[0]
     assert r.slope == 3.0
     assert r.intercept == 7.0
+
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    from riptable_spark.operators.pipeline import bloom_semi_join
+
+    big = spark.createDataFrame([(i, i * 10) for i in range(200)], "k long, v long")
+    small = spark.createDataFrame([(i,) for i in range(0, 200, 7)], "k long")
+    out = bloom_semi_join(big, small, "k", n_items=50)
+    expect = big.join(small, on="k", how="left_semi")
+    assert sorted(r.k for r in out.collect()) == sorted(r.k for r in expect.collect())
+
+
+def test_log_templates_masks(spark):
+    from riptable_spark.operators.text import log_templates
+
+    lines = [
+        "GET /u/12 took 8ms", "GET /u/99 took 1200ms",
+        "ERR deadbeef01 conn reset", "ERR cafebabe99 conn reset",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    out = {r.template: r for r in log_templates(df, "line").collect()}
+    assert out["GET /u/<N> took <N>ms"].n == 2
+    assert out["ERR <HEX> conn reset"].n == 2
+    assert out["GET /u/<N> took <N>ms"].example == "GET /u/12 took 8ms"
