@@ -1594,3 +1594,61 @@ def q439(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("line")
     )
     return tx.log_templates(logs, "line")
+
+
+# ------------------------------------------------------------------ q440
+@query(
+    "q440_jsonl_roundtrip",
+    """
+    SELECT doc_id, lang, source, n_chars, length(text) AS text_len
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def q440(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-Lines roundtrip (sources/io.save_jsonl/load_jsonl): export
+    the documents table to gzipped JSONL — the lingua franca of LLM
+    corpus interchange — read it back with an explicit schema, and
+    project; the oracle reads the ORIGINAL parquet, so the roundtrip
+    must be lossless."""
+    import tempfile
+
+    from .sources import io as rio
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    path = tempfile.mkdtemp(prefix="rts_q440_")
+    rio.save_jsonl(d, path)
+    back = rio.load_jsonl(
+        spark, path, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.length("text").alias("text_len")
+    )
+
+
+# ------------------------------------------------------------------ q441
+@query(
+    "q441_partitioned_write_prune",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY 1, 2
+    """,
+)
+def q441(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned-write → partition-pruned read
+    (sources/io.save_dataset(partition_by=...)): lineitem lands as
+    returnflag-partitioned parquet; the filtered re-read must touch only
+    the 'R' directory (PartitionFilters — plan-gated in
+    tests/test_plans.py), the layout a 100 TB fact table ships with."""
+    import tempfile
+
+    from .sources import io as rio
+
+    li = load_table(spark, sf, "lineitem")
+    path = tempfile.mkdtemp(prefix="rts_q441_")
+    rio.save_dataset(li, path, partition_by=["l_returnflag"])
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )

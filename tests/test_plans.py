@@ -635,3 +635,27 @@ def test_q344_link_predict_no_cartesian(q):
     plan = pi.plan_string(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q441_partitioned_read_prunes(q):
+    """The returnflag-partitioned re-read must prune to the 'R'
+    directory: PartitionFilters carries the predicate and the scan does
+    NOT read l_returnflag as data (it is a partition column)."""
+    from riptable_spark import queries13  # noqa: F401
+
+    df = q("q441_partitioned_write_prune")
+    plan = pi.plan_string(df)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_q438_bloom_prunes_before_semi_join(q):
+    """The Bloom pre-filter must sit on the fact side BELOW the exact
+    semi-join: the plan carries the bit-probe expressions (shiftright/
+    bitwise AND on the filter words) in a Filter above the lineitem
+    scan, and the final join is a LeftSemi, never a cartesian."""
+    from riptable_spark import queries13  # noqa: F401
+
+    df = q("q438_bloom_semi_join")
+    plan = pi.plan_string(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
