@@ -996,3 +996,31 @@ def bloom_semi_join(
         bloom_hit(F.col(key).cast("string"), m, k, hash_kind=hash_kind)
     ).drop(bf.columns[0])
     return pruned.join(keys_df, on=key, how="left_semi")
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str,
+) -> DataFrame:
+    """Inverse-frequency class weights for imbalanced training data
+    (sklearn's 'balanced' convention): w_c = N / (k·n_c) with k the
+    number of classes.  Emitted BOTH as the exact integer rational
+    (weight_num = N, weight_den = k·n_c) and as the one-divide double —
+    downstream samplers that multiply the rational avoid float error
+    entirely.  One hash agg + a broadcast totals row.  Returns
+    (label, n_c, n_total, k, weight_num, weight_den, weight).
+    """
+    byc = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    tot = byc.groupBy().agg(
+        F.sum("n_c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = byc.crossJoin(F.broadcast(tot))
+    return j.select(
+        "label", "n_c", "n_total", "k",
+        F.col("n_total").alias("weight_num"),
+        (F.col("k") * F.col("n_c")).alias("weight_den"),
+        (F.col("n_total") / (F.col("k") * F.col("n_c"))).alias("weight"),
+    )

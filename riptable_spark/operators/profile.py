@@ -468,3 +468,29 @@ def apdex(
         (F.col("n") - F.col("satisfied") - F.col("tolerating")).alias("frustrated"),
         ((2 * F.col("satisfied") + F.col("tolerating")) / (2 * F.col("n"))).alias("apdex"),
     )
+
+
+def first_seen_novelty(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Novelty audit (security/fraud staple): per time bucket, how many
+    entity combinations appear for the FIRST time ever, plus the
+    running distinct-entity total — "are we seeing new (user, action)
+    pairs today, and how fast is the universe growing".
+
+    One hash agg finds each entity's first bucket (min over the bucket
+    index); a second bucket-level agg + one running integer sum over
+    the AGGREGATED bucket relation produce the report.  All exact.
+    Returns (bucket_start, n_new, cum_entities).
+    """
+    b = F.floor(F.unix_seconds(F.col(time_col)) / F.lit(bucket_seconds)).cast("long")
+    firsts = df.groupBy(*entity_cols).agg(F.min(b).alias("__fb__"))
+    byb = firsts.groupBy("__fb__").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    w = Window.orderBy("__fb__").rowsBetween(Window.unboundedPreceding, 0)
+    return byb.withColumn("cum_entities", F.sum("n_new").over(w).cast("long")).select(
+        (F.col("__fb__") * bucket_seconds).cast("long").alias("bucket_start"),
+        "n_new", "cum_entities",
+    )

@@ -1652,3 +1652,112 @@ def q441(spark: SparkSession, sf: str) -> DataFrame:
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
     )
+
+
+# ------------------------------------------------------------------ q442
+@query(
+    "q442_first_seen_novelty",
+    """
+    WITH f AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS bkt
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, event_type, min(bkt) AS fb FROM f GROUP BY 1, 2
+    ),
+    byb AS (
+        SELECT fb, CAST(count(*) AS BIGINT) AS n_new FROM firsts GROUP BY fb
+    )
+    SELECT CAST(fb * 86400 AS BIGINT) AS bucket_start, n_new,
+           CAST(sum(n_new) OVER (ORDER BY fb ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_entities
+    FROM byb
+    """,
+)
+def q442(spark: SparkSession, sf: str) -> DataFrame:
+    """First-seen novelty audit (operators/profile.first_seen_novelty):
+    daily count of never-before-seen (user, event-type) pairs + the
+    running entity-universe size — the security/fraud "new behavior"
+    feed, all exact integers over aggregated buckets."""
+    from .operators import profile as prof
+
+    ev = load_table(spark, sf, "events")
+    return prof.first_seen_novelty(ev, ["user_id", "event_type"], "ts", 86400)
+
+
+# ------------------------------------------------------------------ q443
+@query(
+    "q443_class_weights",
+    """
+    WITH byc AS (
+        SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_c FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(n_c) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS k FROM byc
+    )
+    SELECT label, n_c, n_total, k,
+           n_total AS weight_num, k * n_c AS weight_den,
+           CAST(n_total AS DOUBLE) / (k * n_c) AS weight
+    FROM byc, tot
+    """,
+)
+def q443(spark: SparkSession, sf: str) -> DataFrame:
+    """Balanced class weights over document languages
+    (operators/pipeline.class_weights): sklearn's N/(k·n_c) convention,
+    emitted as the exact integer rational AND the one-divide double."""
+    from .operators import pipeline as pl
+
+    d = load_table(spark, sf, "documents")
+    return pl.class_weights(d, "lang")
+
+
+# ------------------------------------------------------------------ q444
+_Q444_HOLIDAYS = ["1996-12-25", "1997-01-01", "1996-11-28"]
+
+
+@query(
+    "q444_settlement_dates",
+    f"""
+    WITH trades AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS trade
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    cands AS (
+        SELECT o_orderkey, trade, trade + to_days(CAST(i AS INT)) AS cand
+        FROM trades, (SELECT unnest(range(0, 11)) AS i)
+    ),
+    biz AS (
+        SELECT o_orderkey, trade, cand FROM cands
+        WHERE dayofweek(cand) NOT IN (0, 6)
+          AND strftime(cand, '%Y-%m-%d') NOT IN ({", ".join(repr(h) for h in _Q444_HOLIDAYS)})
+    ),
+    r AS (
+        SELECT o_orderkey, trade, cand,
+               row_number() OVER (PARTITION BY o_orderkey ORDER BY cand) AS rn
+        FROM biz
+    )
+    SELECT o_orderkey, strftime(trade, '%Y-%m-%d') AS trade_date,
+           strftime(cand, '%Y-%m-%d') AS settle_date
+    FROM r WHERE rn = 3
+    """,
+)
+def q444(spark: SparkSession, sf: str) -> DataFrame:
+    """T+2 settlement dates over a holiday calendar
+    (functions/calendar.Calendar.add_business_days): roll the trade date
+    onto a business day, then walk two business days — the calendar
+    walks as literal-array codegen, no shuffle; the oracle ranks the
+    candidate window and picks the 3rd business day ≥ trade (identical
+    semantics)."""
+    from .functions.calendar import Calendar
+
+    cal = Calendar(holidays=_Q444_HOLIDAYS)
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.to_date("o_orderdate").alias("trade")
+    )
+    settle = cal.add_business_days(F.col("trade"), 2)
+    return o.select(
+        "o_orderkey",
+        F.date_format("trade", "yyyy-MM-dd").alias("trade_date"),
+        F.date_format(settle, "yyyy-MM-dd").alias("settle_date"),
+    )

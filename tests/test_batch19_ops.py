@@ -539,3 +539,39 @@ def test_log_templates_masks(spark):
     assert out["GET /u/<N> took <N>ms"].n == 2
     assert out["ERR <HEX> conn reset"].n == 2
     assert out["GET /u/<N> took <N>ms"].example == "GET /u/12 took 8ms"
+
+
+def test_first_seen_novelty(spark):
+    from riptable_spark.operators.profile import first_seen_novelty
+
+    rows = [("u1", "a", 0), ("u1", "a", 86400), ("u2", "a", 86400), ("u1", "b", 2 * 86400)]
+    df = spark.createDataFrame(rows, "u string, e string, sec long").select(
+        "u", "e", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = {r.bucket_start // 86400: r for r in first_seen_novelty(df, ["u", "e"], "ts").collect()}
+    assert out[0].n_new == 1 and out[1].n_new == 1 and out[2].n_new == 1
+    assert out[2].cum_entities == 3
+
+
+def test_class_weights_rational(spark):
+    from riptable_spark.operators.pipeline import class_weights
+
+    rows = [("a",)] * 30 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "label string")
+    out = {r.label: r for r in class_weights(df, "label").collect()}
+    assert out["a"].weight == 40 / (2 * 30) and out["b"].weight == 2.0
+    assert out["b"].weight_num == 40 and out["b"].weight_den == 20
+
+
+def test_settlement_skips_weekend_and_holiday(spark):
+    from riptable_spark.functions.calendar import Calendar
+
+    cal = Calendar(holidays=["2024-01-01"])
+    # Friday 2023-12-29 + 2 business days: skip weekend + New Year -> Wed 2024-01-03
+    df = spark.createDataFrame([("2023-12-29",)], "d string").select(
+        F.to_date("d").alias("trade")
+    )
+    out = df.select(
+        F.date_format(cal.add_business_days(F.col("trade"), 2), "yyyy-MM-dd").alias("s")
+    ).collect()[0]
+    assert out.s == "2024-01-03"
