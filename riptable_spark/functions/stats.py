@@ -2641,3 +2641,96 @@ def theil_sen_full(
         F.percentile("__r__", F.lit(0.5)).alias("intercept"),
     )
     return out.select(*keys, "n", "n_pairs", "slope", "intercept")
+
+
+def iv_estimate(
+    df: DataFrame,
+    instrument_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Instrumental-variables (2SLS, single instrument) causal estimate
+    — the workhorse when treatment is endogenous but an instrument z
+    shifts it exogenously:
+
+        β_IV = Cov(z, y) / Cov(z, x)
+             = (n·Σzy − Σz·Σy) / (n·Σzx − Σz·Σx)
+
+    plus the first-stage slope (n·Σzx − Σz·Σx)/(n·Σzz − (Σz)²) — a weak
+    instrument shows up as a tiny first stage.  Every moment is an
+    exact BIGINT from integer-scaled inputs; both estimates are single
+    divides of exact products (the LATE/Wald ratio when z is binary).
+    One hash aggregation.  Returns (n, beta_iv, first_stage,
+    reduced_form).
+    """
+    z = F.col(instrument_col).cast("long")
+    x = F.col(treatment_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    g = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(z).cast("long").alias("sz"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(z * x).cast("long").alias("szx"),
+        F.sum(z * y).cast("long").alias("szy"),
+        F.sum(z * z).cast("long").alias("szz"),
+    )
+    n = F.col("n")
+    cov_zy = n * F.col("szy") - F.col("sz") * F.col("sy")
+    cov_zx = n * F.col("szx") - F.col("sz") * F.col("sx")
+    var_z = n * F.col("szz") - F.col("sz") * F.col("sz")
+    return g.select(
+        "n",
+        F.when(cov_zx != 0, cov_zy / cov_zx).alias("beta_iv"),
+        F.when(var_z != 0, cov_zx / var_z).alias("first_stage"),
+        F.when(var_z != 0, cov_zy / var_z).alias("reduced_form"),
+    )
+
+
+def forecast_ensemble_imae(
+    df: DataFrame,
+    keys: list[str],
+    actual_col: str,
+    fa_col: str,
+    fb_col: str,
+) -> DataFrame:
+    """Inverse-MAE weighted two-model forecast combination — the
+    simplest ensemble that reliably beats both members: per key, weight
+    each model by the OTHER model's MAE,
+
+        blend = (f_a·mae_b + f_b·mae_a) / (mae_a + mae_b)
+
+    so the better model (smaller MAE) gets the larger weight.
+    Exactness: per-key MAEs are integer sums; the blend numerator and
+    denominator are exact BIGINTs per row, and the blended error is
+    reported in DENOMINATOR-SCALED integer form (|y·den − num| sums
+    exactly) — the comparison "did the blend beat both members" is
+    integer cross-multiplication, no float MAE is compared.  Two passes
+    (MAE agg + broadcast-back blend).  Returns per key: (n, mae_a_sum,
+    mae_b_sum, blend_abs_err_sum_scaled, mae_a, mae_b, mae_blend).
+    """
+    y = F.col(actual_col).cast("long")
+    fa = F.col(fa_col).cast("long")
+    fb = F.col(fb_col).cast("long")
+    maes = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(fa - y)).cast("long").alias("ea"),
+        F.sum(F.abs(fb - y)).cast("long").alias("eb"),
+    )
+    j = df.join(F.broadcast(maes), on=keys)
+    num = fa * F.col("eb") + fb * F.col("ea")
+    den = F.col("ea") + F.col("eb")
+    scaled_err = F.abs(y * den - num)
+    g = j.groupBy(*keys).agg(
+        F.min("n").alias("n"),
+        F.min("ea").alias("mae_a_sum"),
+        F.min("eb").alias("mae_b_sum"),
+        F.sum(scaled_err).cast("long").alias("blend_err_scaled"),
+    )
+    den_g = F.col("mae_a_sum") + F.col("mae_b_sum")
+    return g.select(
+        *keys, "n", "mae_a_sum", "mae_b_sum", "blend_err_scaled",
+        (F.col("mae_a_sum") / F.col("n")).alias("mae_a"),
+        (F.col("mae_b_sum") / F.col("n")).alias("mae_b"),
+        F.when(den_g > 0, F.col("blend_err_scaled") / (F.col("n") * den_g)).alias("mae_blend"),
+    )

@@ -1068,3 +1068,51 @@ def hard_negatives(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def sq8_params(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension min/max for int8 scalar quantization (SQ8) — ONE
+    aggregation pass producing a 1-row relation of two dim-length
+    arrays; broadcast it wherever codes are built or decoded."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = vectors.select(dvec.alias("__v__"))
+    mins = F.array(*[F.min(F.element_at("__v__", i + 1)) for i in range(dim)])
+    maxs = F.array(*[F.max(F.element_at("__v__", i + 1)) for i in range(dim)])
+    return v.agg(mins.alias("mins"), maxs.alias("maxs"))
+
+
+def sq8_reconstructed(
+    vectors: DataFrame,
+    params: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 quantize→decode in one projection: each component maps to a
+    0..255 bucket (FLOOR — identical doubles floor identically, unlike
+    round-at-a-half) and decodes to the bucket midpoint.  This is the
+    4× compression / recall trade the PQ family's scalar sibling makes;
+    compose with brute_force_topk + recall_at_k to measure it.
+
+    The params row broadcasts; the whole transform is a zero-shuffle
+    fixed-tree projection, so codes and reconstructions are
+    engine-identical.  Returns (id, vec) with the reconstructed vector.
+    """
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    j = vectors.select(F.col(id_col), dvec.alias("__v__")).crossJoin(F.broadcast(params))
+    def rec(i: int):
+        x = F.element_at("__v__", i + 1)
+        lo = F.element_at("mins", i + 1)
+        hi = F.element_at("maxs", i + 1)
+        scale = hi - lo
+        code = F.when(
+            scale > 0,
+            F.least(F.lit(255.0), F.floor((x - lo) * 255.0 / scale)),
+        ).otherwise(F.lit(0.0))
+        return F.when(scale > 0, lo + (code + 0.5) * scale / 255.0).otherwise(lo)
+    out = j.select(F.col(id_col), F.array(*[rec(i) for i in range(dim)]).alias(vec_col))
+    return out

@@ -1761,3 +1761,162 @@ def q444(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("trade", "yyyy-MM-dd").alias("trade_date"),
         F.date_format(settle, "yyyy-MM-dd").alias("settle_date"),
     )
+
+
+# ------------------------------------------------------------------ q445
+@query(
+    "q445_sq8_recall",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN (0, 1, 2)),
+    mm AS (
+        SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+        FROM base, range(1, 65) t(i) GROUP BY i
+    ),
+    rec AS (
+        SELECT b.vec_id,
+               list(CASE WHEN mm.hi > mm.lo
+                         THEN mm.lo + (least(CAST(255.0 AS DOUBLE),
+                                             floor((b.v[mm.i] - mm.lo) * CAST(255.0 AS DOUBLE)
+                                                   / (mm.hi - mm.lo))) + CAST(0.5 AS DOUBLE))
+                              * (mm.hi - mm.lo) / CAST(255.0 AS DOUBLE)
+                         ELSE mm.lo END ORDER BY mm.i) AS rv
+        FROM base b CROSS JOIN mm GROUP BY b.vec_id
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_Q416_COS.format(a='c.v', b='q.qv')} DESC,
+                                               c.vec_id) AS rank
+            FROM base c, q
+        ) WHERE rank <= 10
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, r.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_Q416_COS.format(a='r.rv', b='q.qv')} DESC,
+                                               r.vec_id) AS rank
+            FROM rec r, q
+        ) WHERE rank <= 10
+    )
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS recall
+    FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def q445(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar-quantization recall (operators/similarity.sq8_params/
+    sq8_reconstructed): recall@10 of search over SQ8-reconstructed
+    vectors vs the exact ranking — the 4×-compression sibling of the PQ
+    family.  FLOOR quantization keeps codes engine-identical (identical
+    doubles floor identically; a round at .5 would not)."""
+    from .operators import similarity as sim
+
+    e = load_table(spark, sf, "embeddings")
+    params = sim.sq8_params(e, dim=64)
+    recon = sim.sq8_reconstructed(e, params, dim=64)
+    q = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(e, q, k=10)
+    approx = sim.brute_force_topk(recon, q, k=10)
+    return sim.recall_at_k(approx, exact)
+
+
+# ------------------------------------------------------------------ q446
+@query(
+    "q446_iv_estimate",
+    """
+    WITH f AS (
+        SELECT user_id % 2 AS z,
+               (CAST(round(value * 100) AS BIGINT) % 10) + 3 * (user_id % 2) AS x,
+               2 * ((CAST(round(value * 100) AS BIGINT) % 10) + 3 * (user_id % 2))
+                 + CAST(round(value * 100) AS BIGINT) % 7 AS y
+        FROM events
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS sz, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z * x) AS BIGINT) AS szx, CAST(sum(z * y) AS BIGINT) AS szy,
+               CAST(sum(z * z) AS BIGINT) AS szz
+        FROM f
+    )
+    SELECT n,
+           CASE WHEN n * szx - sz * sx != 0
+                THEN CAST(n * szy - sz * sy AS DOUBLE) / (n * szx - sz * sx) END AS beta_iv,
+           CASE WHEN n * szz - sz * sz != 0
+                THEN CAST(n * szx - sz * sx AS DOUBLE) / (n * szz - sz * sz) END AS first_stage,
+           CASE WHEN n * szz - sz * sz != 0
+                THEN CAST(n * szy - sz * sy AS DOUBLE) / (n * szz - sz * sz) END AS reduced_form
+    FROM g
+    """,
+)
+def q446(spark: SparkSession, sf: str) -> DataFrame:
+    """Instrumental-variables (Wald/2SLS) estimate on a synthetic
+    endogenous treatment (functions/stats.iv_estimate): every moment an
+    exact BIGINT, both stages single divides.  The construction has
+    y = 2x + noise, so β_IV must recover ≈2."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    z = F.col("user_id") % 2
+    x = (cents % 10) + 3 * z
+    d = ev.select(z.alias("z"), x.alias("x"), (2 * x + cents % 7).alias("y"))
+    return st.iv_estimate(d, "z", "x", "y")
+
+
+# ------------------------------------------------------------------ q447
+@query(
+    "q447_forecast_ensemble",
+    """
+    WITH f AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               CAST(event_id % 40000 + 100 AS BIGINT) AS fa,
+               CAST((CAST(round(value * 100) AS BIGINT) * 7 + 500) % 45000 AS BIGINT) AS fb
+        FROM events
+    ),
+    maes AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(abs(fa - y)) AS BIGINT) AS ea,
+               CAST(sum(abs(fb - y)) AS BIGINT) AS eb
+        FROM f GROUP BY user_id
+    ),
+    j AS (
+        SELECT f.user_id, m.n, m.ea, m.eb,
+               abs(f.y * (m.ea + m.eb) - (f.fa * m.eb + f.fb * m.ea)) AS se
+        FROM f JOIN maes m USING (user_id)
+    )
+    SELECT user_id, min(n) AS n,
+           min(ea) AS mae_a_sum, min(eb) AS mae_b_sum,
+           CAST(sum(se) AS BIGINT) AS blend_err_scaled,
+           CAST(min(ea) AS DOUBLE) / min(n) AS mae_a,
+           CAST(min(eb) AS DOUBLE) / min(n) AS mae_b,
+           CASE WHEN min(ea) + min(eb) > 0
+                THEN CAST(sum(se) AS DOUBLE) / (min(n) * (min(ea) + min(eb))) END AS mae_blend
+    FROM j GROUP BY user_id
+    """,
+)
+def q447(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse-MAE two-model forecast ensemble per user
+    (functions/stats.forecast_ensemble_imae): the blend numerator/
+    denominator are exact BIGINTs per row and the blended error is
+    accumulated denominator-scaled, so no float MAE is ever summed or
+    compared."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "user_id", cents.alias("y"),
+        (F.col("event_id") % 40000 + 100).cast("long").alias("fa"),
+        ((cents * 7 + 500) % 45000).alias("fb"),
+    )
+    return st.forecast_ensemble_imae(d, ["user_id"], "y", "fa", "fb")

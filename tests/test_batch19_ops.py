@@ -575,3 +575,44 @@ def test_settlement_skips_weekend_and_holiday(spark):
         F.date_format(cal.add_business_days(F.col("trade"), 2), "yyyy-MM-dd").alias("s")
     ).collect()[0]
     assert out.s == "2024-01-03"
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    from riptable_spark.operators.similarity import sq8_params, sq8_reconstructed
+
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    params = sq8_params(df, dim=8)
+    rec = sq8_reconstructed(df, params, dim=8)
+    orig = {r.vec_id: r.embedding for r in df.collect()}
+    p = params.collect()[0]
+    for r in rec.collect():
+        for i, (a, b) in enumerate(zip(orig[r.vec_id], r.embedding)):
+            step = (p.maxs[i] - p.mins[i]) / 255.0
+            assert abs(a - b) <= step / 2 + 1e-12  # midpoint decode error bound
+
+
+def test_iv_recovers_known_effect(spark):
+    from riptable_spark.functions.stats import iv_estimate
+
+    # z randomizes x by +3; y = 2x exactly -> beta_iv = 2
+    rows = [(i % 2, (i * 13) % 10 + 3 * (i % 2)) for i in range(1000)]
+    df = spark.createDataFrame(
+        [(z, x, 2 * x) for z, x in rows], "z long, x long, y long"
+    )
+    r = iv_estimate(df, "z", "x", "y").collect()[0]
+    assert r.beta_iv == 2.0
+    assert r.first_stage is not None and r.first_stage > 0
+
+
+def test_forecast_ensemble_weights_better_model(spark):
+    from riptable_spark.functions.stats import forecast_ensemble_imae
+
+    # fa is perfect (mae 0) -> blend == fa exactly, mae_blend == 0
+    rows = [("k", v, v, v + 10) for v in range(10, 50)]
+    df = spark.createDataFrame(rows, "k string, y long, fa long, fb long")
+    r = forecast_ensemble_imae(df, ["k"], "y", "fa", "fb").collect()[0]
+    assert r.mae_a == 0.0 and r.mae_b == 10.0
+    assert r.mae_blend == 0.0  # weight of fb is mae_a/(ea+eb) = 0
