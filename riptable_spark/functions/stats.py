@@ -2734,3 +2734,48 @@ def forecast_ensemble_imae(
         (F.col("mae_b_sum") / F.col("n")).alias("mae_b"),
         F.when(den_g > 0, F.col("blend_err_scaled") / (F.col("n") * den_g)).alias("mae_blend"),
     )
+
+
+def multilabel_prf(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Micro-averaged multi-label precision/recall/F1 plus exact-match
+    (subset) accuracy — the eval block for taggers and multi-label
+    classifiers whose rows carry label ARRAYS.
+
+    Per-row intersection sizes come from ``array_intersect`` on
+    DISTINCT label sets (set semantics in both engines); the micro
+    forms are single divides of exact BIGINT sums,
+
+        P = Σ|t∩p| / Σ|p| ,  R = Σ|t∩p| / Σ|t| ,  F1 = 2PR/(P+R)
+          = 2Σ|t∩p| / (Σ|p| + Σ|t|)   (the all-integer form used here)
+
+    and exact-match counts rows whose sets are equal.  One hash agg;
+    per-row macro averages are deliberately absent (a float mean no
+    engine pair folds identically — ORACLES.md rule 22).  Returns
+    (n, inter_sum, pred_sum, true_sum, n_exact, micro_p, micro_r,
+    micro_f1, subset_accuracy).
+    """
+    t = F.array_distinct(F.col(true_col))
+    p = F.array_distinct(F.col(pred_col))
+    inter = F.size(F.array_intersect(t, p))
+    eq = (F.size(F.array_except(t, p)) == 0) & (F.size(F.array_except(p, t)) == 0)
+    g = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(inter).cast("long").alias("inter_sum"),
+        F.sum(F.size(p)).cast("long").alias("pred_sum"),
+        F.sum(F.size(t)).cast("long").alias("true_sum"),
+        F.sum(eq.cast("long")).cast("long").alias("n_exact"),
+    )
+    return g.select(
+        "n", "inter_sum", "pred_sum", "true_sum", "n_exact",
+        F.when(F.col("pred_sum") > 0, F.col("inter_sum") / F.col("pred_sum")).alias("micro_p"),
+        F.when(F.col("true_sum") > 0, F.col("inter_sum") / F.col("true_sum")).alias("micro_r"),
+        F.when(
+            F.col("pred_sum") + F.col("true_sum") > 0,
+            (2 * F.col("inter_sum")) / (F.col("pred_sum") + F.col("true_sum")),
+        ).alias("micro_f1"),
+        (F.col("n_exact") / F.col("n")).alias("subset_accuracy"),
+    )

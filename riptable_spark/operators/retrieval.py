@@ -267,3 +267,64 @@ def trending_terms(
         F.col("__per__").alias("period"), "term", "c_tp", "c_t", "t_p", "t_total",
         lift.alias("lift"), trending.alias("trending"),
     )
+
+
+def dirichlet_qlm(
+    df: DataFrame,
+    terms: list[str],
+    mu: int = 2000,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty) — the language-modeling counterpart of
+    :func:`bm25_search`:
+
+        score(d) = Π_t (tf_t,d + μ·p_c(t)) / (dl_d + μ)
+
+    with p_c the corpus unigram probability.  Instead of the usual
+    Σ log (a transcendental no engine pair reproduces), the ranking
+    key is the PRODUCT of per-term ratios in FIXED literal term order —
+    every factor is a single divide of exact integers
+    ((tf·T + μ·c_t) / ((dl+μ)·T)), so the product double is
+    engine-identical and the top-k selection deterministic.  Candidate
+    generation reads only the query terms' postings (documents matching
+    no term score 0 and never rank).  Returns (id, score, rank).
+    """
+    d = _doc_tokens(df, text_col, id_col)
+    total = d.agg(F.sum("dl").cast("long").alias("t_total"))
+    post = term_postings(df, text_col, id_col, terms)
+    cfreq = (
+        _doc_tokens(df, text_col, id_col)
+        .select(F.explode("__toks__").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    scored = post.join(F.broadcast(cfreq), on="term").crossJoin(F.broadcast(total))
+    per_term = [
+        F.min(
+            F.when(
+                F.col("term") == t,
+                (F.col("tf").cast("long") * F.col("t_total") + mu * F.col("c_t"))
+                / ((F.col("dl") + mu) * F.col("t_total")),
+            )
+        ).alias(f"__f{i}__")
+        for i, t in enumerate(terms)
+    ]
+    dl_and_factors = scored.groupBy(id_col, "dl").agg(*per_term).crossJoin(F.broadcast(total))
+    cmap = cfreq.collect()
+    c_by_term = {r["term"]: int(r["c_t"]) for r in cmap}
+    score = None
+    for i, t in enumerate(terms):
+        # absent term: smoothing-only factor μ·c_t / ((dl+μ)·T)
+        ct = c_by_term.get(t, 0)
+        fallback = (F.lit(mu) * F.lit(ct)) / ((F.col("dl") + mu) * F.col("t_total"))
+        fac = F.coalesce(F.col(f"__f{i}__"), fallback)
+        score = fac if score is None else score * fac
+    ranked = dl_and_factors.select(F.col(id_col), score.alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return ranked.orderBy(F.col("score").desc(), id_col).limit(k).withColumn(
+        "rank", F.row_number().over(w)
+    )

@@ -1920,3 +1920,213 @@ def q447(spark: SparkSession, sf: str) -> DataFrame:
         ((cents * 7 + 500) % 45000).alias("fb"),
     )
     return st.forecast_ensemble_imae(d, ["user_id"], "y", "fa", "fb")
+
+
+# ------------------------------------------------------------------ q448
+@query(
+    "q448_dirichlet_qlm",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                           x -> x != '') AS t
+        FROM documents
+    ),
+    d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+    tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt FROM d),
+    e AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+    post AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM e WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3
+    ),
+    cf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c_t
+        FROM e WHERE term IN ('hash', 'join', 'vector') GROUP BY 1
+    ),
+    cfs AS (
+        SELECT CAST(min(CASE WHEN term = 'hash' THEN c_t END) AS BIGINT) AS c0,
+               CAST(min(CASE WHEN term = 'join' THEN c_t END) AS BIGINT) AS c1,
+               CAST(min(CASE WHEN term = 'vector' THEN c_t END) AS BIGINT) AS c2
+        FROM cf
+    ),
+    f AS (
+        SELECT p.doc_id, p.dl,
+               min(CASE WHEN p.term = 'hash'
+                        THEN CAST(p.tf * tot.tt + 2000 * c.c_t AS DOUBLE)
+                             / ((p.dl + 2000) * tot.tt) END) AS f0,
+               min(CASE WHEN p.term = 'join'
+                        THEN CAST(p.tf * tot.tt + 2000 * c.c_t AS DOUBLE)
+                             / ((p.dl + 2000) * tot.tt) END) AS f1,
+               min(CASE WHEN p.term = 'vector'
+                        THEN CAST(p.tf * tot.tt + 2000 * c.c_t AS DOUBLE)
+                             / ((p.dl + 2000) * tot.tt) END) AS f2
+        FROM post p JOIN cf c USING (term), tot
+        GROUP BY p.doc_id, p.dl
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               coalesce(f0, CAST(2000 * cfs.c0 AS DOUBLE) / ((f.dl + 2000) * tot.tt))
+             * coalesce(f1, CAST(2000 * cfs.c1 AS DOUBLE) / ((f.dl + 2000) * tot.tt))
+             * coalesce(f2, CAST(2000 * cfs.c2 AS DOUBLE) / ((f.dl + 2000) * tot.tt)) AS score
+        FROM f, cfs, tot
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q448(spark: SparkSession, sf: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval
+    (operators/retrieval.dirichlet_qlm): the LM ranking beside BM25
+    (q195).  The score is a PRODUCT of per-term exact-integer ratios in
+    fixed literal order — no Σlog, so the ranking key is
+    engine-identical and the top-10 deterministic."""
+    from .operators import retrieval as ret
+
+    d = load_table(spark, sf, "documents")
+    return ret.dirichlet_qlm(d, ["hash", "join", "vector"], mu=2000, k=10)
+
+
+# ------------------------------------------------------------------ q449
+@query(
+    "q449_multilabel_eval",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               list_distinct([doc_id % 5, (doc_id * 3 + 1) % 5]) AS t,
+               list_distinct([doc_id % 5, (doc_id * 7 + 2) % 5]) AS p
+        FROM documents
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(len(list_intersect(t, p))) AS BIGINT) AS inter_sum,
+               CAST(sum(len(p)) AS BIGINT) AS pred_sum,
+               CAST(sum(len(t)) AS BIGINT) AS true_sum,
+               CAST(sum(CASE WHEN len(list_filter(t, x -> NOT list_contains(p, x))) = 0
+                              AND len(list_filter(p, x -> NOT list_contains(t, x))) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        FROM f
+    )
+    SELECT n, inter_sum, pred_sum, true_sum, n_exact,
+           CASE WHEN pred_sum > 0 THEN CAST(inter_sum AS DOUBLE) / pred_sum END AS micro_p,
+           CASE WHEN true_sum > 0 THEN CAST(inter_sum AS DOUBLE) / true_sum END AS micro_r,
+           CASE WHEN pred_sum + true_sum > 0
+                THEN CAST(2 * inter_sum AS DOUBLE) / (pred_sum + true_sum) END AS micro_f1,
+           CAST(n_exact AS DOUBLE) / n AS subset_accuracy
+    FROM g
+    """,
+)
+def q449(spark: SparkSession, sf: str) -> DataFrame:
+    """Micro-averaged multi-label P/R/F1 + subset accuracy over
+    synthetic label sets (functions/stats.multilabel_prf): intersection
+    sizes on DISTINCT label arrays, every metric one divide of exact
+    BIGINT sums (macro averages deliberately absent — rule 22)."""
+    from .functions import stats as st
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.array(F.col("doc_id") % 5, (F.col("doc_id") * 3 + 1) % 5)
+        ).alias("t"),
+        F.array_distinct(
+            F.array(F.col("doc_id") % 5, (F.col("doc_id") * 7 + 2) % 5)
+        ).alias("p"),
+    )
+    return st.multilabel_prf(d, "t", "p")
+
+
+# ------------------------------------------------------------------ q450
+@query(
+    "q450_curation_release",
+    r"""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars, text,
+               string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang, n_chars, text,
+               len(toks) BETWEEN 50 AND 100000 AS r_word_count,
+               (length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                / greatest(len(toks), 1) >= 0.8 AS r_alpha
+        FROM w
+    ),
+    gated AS (
+        SELECT doc_id, lang, n_chars, text FROM f
+        WHERE r_word_count AND r_mean_word_len AND r_alpha
+    ),
+    deduped AS (
+        SELECT doc_id, lang, n_chars, text FROM (
+            SELECT doc_id, lang, n_chars, text,
+                   row_number() OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                                      ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    bench_toks AS (
+        SELECT string_split(regexp_replace(lower(trim(substr(text, 1, 120))), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE doc_id % 101 = 0 AND text IS NOT NULL
+    ),
+    bench AS (
+        SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+        FROM bench_toks, unnest(generate_series(1, greatest(len(t)-2, 1))) AS u(i)
+    ),
+    cur_toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM deduped
+    ),
+    cur_grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        FROM cur_toks, unnest(generate_series(1, greatest(len(t)-2, 1))) AS u(i)
+    ),
+    contaminated AS (
+        SELECT doc_id FROM cur_grams JOIN bench USING (g)
+        GROUP BY doc_id HAVING count(*) >= 8
+    ),
+    marked AS (
+        SELECT d.doc_id, d.lang, d.n_chars,
+               CASE WHEN (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000) < 800 THEN 'train'
+                    WHEN (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000) < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+               c.doc_id IS NOT NULL AS contam
+        FROM deduped d LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    )
+    SELECT split,
+           CAST(sum(CASE WHEN NOT contam THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT contam THEN n_chars ELSE 0 END) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT CASE WHEN NOT contam THEN lang END) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN contam THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM marked GROUP BY split
+    """,
+)
+def q450(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL curation release (the flagship end-to-end chain): Gopher
+    structural quality gate → exact dedup → benchmark decontamination
+    (3-gram type overlap ≥8 vs a synthetic eval slice) → deterministic
+    80/10/10 split → per-split release datasheet.  Every stage is an
+    already-verified operator (pipeline.curate_corpus +
+    pipeline.decontaminate) and the WHOLE chain replays in SQL — the
+    strongest composition oracle in the repo: quality regexes, dedup
+    tie-breaks, shingle hashing, split hashing, and the release rollup
+    must all agree at once."""
+    from .operators.pipeline import curate_corpus, decontaminate
+
+    d = load_table(spark, sf, "documents")
+    cur = curate_corpus(d, rules=("r_word_count", "r_mean_word_len", "r_alpha"))
+    bench = d.where((F.col("doc_id") % 101 == 0) & F.col("text").isNotNull()).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    cont = decontaminate(cur, bench, "text", "doc_id", n=3, min_hits=8).select("doc_id")
+    marked = cur.join(
+        cont.withColumn("__c__", F.lit(1)), on="doc_id", how="left"
+    ).withColumn("contam", F.col("__c__").isNotNull())
+    keep = ~F.col("contam")
+    return marked.groupBy("split").agg(
+        F.sum(keep.cast("long")).cast("long").alias("n_docs"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0))).cast("long").alias("total_chars"),
+        F.countDistinct(F.when(keep, F.col("lang"))).cast("long").alias("n_langs"),
+        F.sum(F.col("contam").cast("long")).cast("long").alias("n_removed"),
+    )

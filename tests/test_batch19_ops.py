@@ -616,3 +616,37 @@ def test_forecast_ensemble_weights_better_model(spark):
     r = forecast_ensemble_imae(df, ["k"], "y", "fa", "fb").collect()[0]
     assert r.mae_a == 0.0 and r.mae_b == 10.0
     assert r.mae_blend == 0.0  # weight of fb is mae_a/(ea+eb) = 0
+
+
+def test_multilabel_prf_hand_case(spark):
+    from riptable_spark.functions.stats import multilabel_prf
+
+    rows = [
+        ([1, 2], [1, 2]),      # exact match: inter 2
+        ([1, 2, 3], [2, 4]),   # inter 1, pred 2, true 3
+        ([5], [6]),            # inter 0
+    ]
+    df = spark.createDataFrame(rows, "t array<long>, p array<long>")
+    r = multilabel_prf(df, "t", "p").collect()[0]
+    assert r.inter_sum == 3 and r.pred_sum == 5 and r.true_sum == 6
+    assert r.micro_p == 3 / 5 and r.micro_r == 3 / 6
+    assert r.micro_f1 == 6 / 11
+    assert r.n_exact == 1 and r.subset_accuracy == 1 / 3
+
+
+def test_dirichlet_qlm_ranks_matching_doc_first(spark):
+    from riptable_spark.operators.retrieval import dirichlet_qlm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark shuffle"),
+            (2, "spark shuffle join join"),
+            (3, "completely unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(dirichlet_qlm(docs, ["spark"], mu=10, k=3).collect(), key=lambda r: r.rank)
+    assert out[0].doc_id == 1  # highest tf for 'spark'
+    assert all(r.score > 0 for r in out)
+    # doc 3 has no query term and must not appear
+    assert 3 not in {r.doc_id for r in out}
