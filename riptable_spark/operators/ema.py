@@ -657,3 +657,52 @@ def croston(
         )
 
     return df.groupBy(*keys).applyInPandas(scan, out_schema)
+
+
+def dtw_pairs(
+    df: DataFrame,
+    pair_col: str,
+    side_col: str,
+    order: list[str],
+    val_col: str,
+    band: int | None = None,
+) -> DataFrame:
+    """Dynamic-time-warping distance per series pair — the classic
+    elastic similarity for time series that plain L1/L2 misaligns
+    (shifted peaks, stretched seasons).  Input rows carry (pair id,
+    side 'a'/'b', order, value); each pair's two series run the O(n·m)
+    DP in one Arrow batch (the fifo_pnl shape: pairs partition the
+    work).  ``band`` is the Sakoe-Chiba constraint (|i−j| ≤ band) that
+    keeps long series affordable.  Integer inputs make the DP exact
+    (sums of |Δ| are ints), so results are reproducible bit-for-bit.
+    Rows-only correctness: dtw(x, x) = 0, symmetry, and hand-case DPs
+    are pinned in tests.  Returns (pair, n_a, n_b, dtw).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        a = pdf.loc[pdf[side_col] == "a", val_col].to_numpy(dtype=np.int64)
+        b = pdf.loc[pdf[side_col] == "b", val_col].to_numpy(dtype=np.int64)
+        n, m = len(a), len(b)
+        pair = pdf[pair_col].iloc[0] if len(pdf) else None
+        if n == 0 or m == 0:
+            return pd.DataFrame({pair_col: [pair], "n_a": [n], "n_b": [m], "dtw": [None]})
+        INF = np.iinfo(np.int64).max // 4
+        prev = np.full(m + 1, INF, dtype=np.int64)
+        prev[0] = 0
+        for i in range(1, n + 1):
+            cur = np.full(m + 1, INF, dtype=np.int64)
+            lo = 1 if band is None else max(1, i - band)
+            hi = m if band is None else min(m, i + band)
+            for j in range(lo, hi + 1):
+                cost = abs(int(a[i - 1]) - int(b[j - 1]))
+                cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return pd.DataFrame(
+            {pair_col: [pair], "n_a": [n], "n_b": [m], "dtw": [int(prev[m])]}
+        )
+
+    out_schema = f"{pair_col} string, n_a long, n_b long, dtw long"
+    return df.groupBy(pair_col).applyInPandas(scan, out_schema)

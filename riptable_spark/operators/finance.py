@@ -1071,3 +1071,145 @@ def dup_charges(
         F.col("acct").alias(account_col), "amount", "id_a", "id_b",
         ((F.col("tb") - F.col("ta")) / 1_000_000).alias("gap_seconds"),
     )
+
+
+def var_es(
+    df: DataFrame,
+    keys: list[str],
+    pnl_col: str,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per key at level
+    α = alpha_num/alpha_den: VaR is the ⌈n·α⌉-th WORST outcome (an
+    actual order statistic — the historical-simulation convention), ES
+    the mean of outcomes at or beyond it.
+
+    The tail cut is rank-based integer arithmetic (rank·den ≤ n·num —
+    no float quantile decides membership); the tail sum is an exact
+    BIGINT so ES is one divide.  One per-key sort window + one agg.
+    Returns (keys…, n, tail_n, var, es) with var/es in the input's
+    integer scale (losses negative).
+    """
+    x = F.col(pnl_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(x.asc())
+    wn = Window.partitionBy(*keys)
+    d = df.withColumn("__rn__", F.row_number().over(w)).withColumn(
+        "__n__", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    in_tail = F.col("__rn__") * alpha_den <= F.col("__n__") * alpha_num
+    g = d.groupBy(*keys).agg(
+        F.min("__n__").alias("n"),
+        F.sum(in_tail.cast("long")).cast("long").alias("tail_n"),
+        F.max(F.when(in_tail, x)).cast("long").alias("var_scaled"),
+        F.sum(F.when(in_tail, x)).cast("long").alias("tail_sum"),
+    )
+    return g.select(
+        *keys, "n", "tail_n",
+        F.col("var_scaled").alias("var"),
+        F.when(F.col("tail_n") > 0, F.col("tail_sum") / F.col("tail_n")).alias("es"),
+    )
+
+
+def portfolio_turnover(
+    df: DataFrame,
+    period_col: str,
+    asset_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Period-over-period portfolio turnover: with w_i = v_i/V the
+    value weights,
+
+        turnover_t = ½ Σ_i |w_i,t − w_i,t−1|
+                   = Σ_i |v_i,t·V_{t−1} − v_i,t−1·V_t| / (2·V_t·V_{t−1})
+
+    — the cross-multiplied form keeps every numerator an exact BIGINT
+    (weights never materialize as floats); the final value is one
+    divide.  UNIT CONSTRAINT: v_i·V_total must stay under 2^63 — pick
+    the coarsest unit that holds value (dollars, not cents, for a
+    billion-dollar book); ANSI mode turns an overflow into an error,
+    never a silent wrap.  One (period, asset) agg, one asset-keyed
+    full-outer self-join on (period−1), one period agg.  Periods must
+    be consecutive integers.  Returns
+    (period, n_assets, abs_num_sum, v_cur, v_prev, turnover).
+    """
+    v = F.col(value_col).cast("long")
+    pa = df.groupBy(
+        F.col(period_col).cast("long").alias("p"), F.col(asset_col).alias("a")
+    ).agg(F.sum(v).alias("v"))
+    tot = pa.groupBy("p").agg(F.sum("v").cast("long").alias("vt"))
+    cur = pa.select("p", "a", F.col("v").alias("v_cur"))
+    prev = pa.select((F.col("p") + 1).alias("p"), "a", F.col("v").alias("v_prev"))
+    j = cur.join(prev, on=["p", "a"], how="full_outer").select(
+        "p", "a",
+        F.coalesce(F.col("v_cur"), F.lit(0)).alias("vc"),
+        F.coalesce(F.col("v_prev"), F.lit(0)).alias("vp"),
+    )
+    jt = (
+        j.join(tot.select(F.col("p"), F.col("vt").alias("v_t")), on="p")
+        .join(tot.select((F.col("p") + 1).alias("p"), F.col("vt").alias("v_tm1")), on="p")
+    )
+    g = jt.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum(F.abs(F.col("vc") * F.col("v_tm1") - F.col("vp") * F.col("v_t")))
+        .cast("long").alias("abs_num_sum"),
+        F.min("v_t").alias("v_cur"),
+        F.min("v_tm1").alias("v_prev"),
+    )
+    return g.select(
+        F.col("p").alias("period"), "n_assets", "abs_num_sum", "v_cur", "v_prev",
+        F.when(
+            (F.col("v_cur") > 0) & (F.col("v_prev") > 0),
+            F.col("abs_num_sum") / (2 * F.col("v_cur") * F.col("v_prev")),
+        ).alias("turnover"),
+    )
+
+
+def chain_ladder(
+    df: DataFrame,
+    origin_col: str,
+    dev_col: str,
+    amount_col: str,
+    max_dev: int,
+) -> DataFrame:
+    """Chain-ladder loss development (the classic actuarial reserving
+    triangle): cumulative paid per (origin, dev age), volume-weighted
+    development factors f_d = Σ_origins C_{o,d+1} / Σ_origins C_{o,d}
+    over origins that HAVE age d+1, and each origin's projected
+    ultimate = latest cumulative × Π remaining factors.
+
+    Exactness: cumulative cells are exact BIGINT sums; each factor is
+    one divide of exact totals; the ultimate multiplies the factors in
+    FIXED ascending dev order (a ≤max_dev-term fixed tree, not a float
+    aggregation).  Factors are a max_dev-row relation that broadcasts.
+    Returns one row per origin: (origin, latest_dev, latest_cum,
+    ultimate, reserve).
+    """
+    a = F.col(amount_col).cast("long")
+    inc = df.groupBy(
+        F.col(origin_col).alias("o"), F.col(dev_col).cast("int").alias("d")
+    ).agg(F.sum(a).alias("inc"))
+    wcum = Window.partitionBy("o").orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = inc.withColumn("c", F.sum("inc").over(wcum).cast("long"))
+    nxt = cum.select(F.col("o"), (F.col("d") - 1).alias("d"), F.col("c").alias("c_next"))
+    fpairs = cum.join(nxt, on=["o", "d"]).groupBy("d").agg(
+        F.sum("c").cast("long").alias("den"),
+        F.sum("c_next").cast("long").alias("num"),
+    )
+    frows = {int(r["d"]): (int(r["num"]), int(r["den"])) for r in fpairs.collect()}
+    latest = cum.groupBy("o").agg(
+        F.max("d").alias("latest_dev"),
+        F.max_by("c", "d").alias("latest_cum"),
+    )
+    ult = F.col("latest_cum").cast("double")
+    for d in range(max_dev):
+        if d in frows and frows[d][1] > 0:
+            num, den = frows[d]
+            ult = F.when(
+                F.col("latest_dev") <= d, ult * F.lit(num) / F.lit(den)
+            ).otherwise(ult)
+    return latest.select(
+        F.col("o").alias(origin_col), "latest_dev", "latest_cum",
+        ult.alias("ultimate"),
+        (ult - F.col("latest_cum")).alias("reserve"),
+    )

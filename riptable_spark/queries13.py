@@ -2130,3 +2130,170 @@ def q450(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct(F.when(keep, F.col("lang"))).cast("long").alias("n_langs"),
         F.sum(F.col("contam").cast("long")).cast("long").alias("n_removed"),
     )
+
+
+# ------------------------------------------------------------------ q451
+@query(
+    "q451_var_es",
+    """
+    WITH f AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) - 24500 AS pnl FROM events
+    ),
+    d AS (
+        SELECT event_type, pnl,
+               row_number() OVER (PARTITION BY event_type ORDER BY pnl) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM f
+    )
+    SELECT event_type, min(n) AS n,
+           CAST(sum(CASE WHEN rn * 100 <= n * 5 THEN 1 ELSE 0 END) AS BIGINT) AS tail_n,
+           CAST(max(CASE WHEN rn * 100 <= n * 5 THEN pnl END) AS BIGINT) AS var,
+           CASE WHEN sum(CASE WHEN rn * 100 <= n * 5 THEN 1 ELSE 0 END) > 0
+                THEN CAST(sum(CASE WHEN rn * 100 <= n * 5 THEN pnl END) AS DOUBLE)
+                     / sum(CASE WHEN rn * 100 <= n * 5 THEN 1 ELSE 0 END) END AS es
+    FROM d GROUP BY event_type
+    """,
+)
+def q451(spark, sf):
+    """Historical VaR and Expected Shortfall at 5% per event type
+    (operators/finance.var_es): the tail cut is rank-based integer
+    arithmetic, VaR an actual order statistic, ES one divide of an
+    exact tail sum."""
+    from .operators import finance as fin
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", (F.round(F.col("value") * 100).cast("long") - 24500).alias("pnl")
+    )
+    return fin.var_es(ev, ["event_type"], "pnl", alpha_num=5, alpha_den=100)
+
+
+# ------------------------------------------------------------------ q452
+@query(
+    "q452_portfolio_turnover",
+    """
+    WITH pa AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS p,
+               o_orderpriority AS a,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT p, CAST(sum(v) AS BIGINT) AS vt FROM pa GROUP BY p),
+    j AS (
+        SELECT coalesce(cur.p, prev.p) AS p, coalesce(cur.a, prev.a) AS a,
+               coalesce(cur.v, 0) AS vc, coalesce(prev.v, 0) AS vp
+        FROM pa cur FULL OUTER JOIN (SELECT p + 1 AS p, a, v FROM pa) prev
+          ON cur.p = prev.p AND cur.a = prev.a
+    ),
+    jt AS (
+        SELECT j.p, j.a, j.vc, j.vp, t1.vt AS v_t, t2.vt AS v_tm1
+        FROM j JOIN tot t1 ON t1.p = j.p
+               JOIN tot t2 ON t2.p = j.p - 1
+    )
+    SELECT p AS period, CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(abs(vc * v_tm1 - vp * v_t)) AS BIGINT) AS abs_num_sum,
+           min(v_t) AS v_cur, min(v_tm1) AS v_prev,
+           CASE WHEN min(v_t) > 0 AND min(v_tm1) > 0
+                THEN CAST(sum(abs(vc * v_tm1 - vp * v_t)) AS DOUBLE)
+                     / (2 * min(v_t) * min(v_tm1)) END AS turnover
+    FROM jt GROUP BY p
+    """,
+)
+def q452(spark, sf):
+    """Monthly portfolio turnover across order priorities
+    (operators/finance.portfolio_turnover): weights never materialize —
+    the cross-multiplied /v_t*V_prev − v_prev*V_t/ numerators are exact
+    BIGINTs, turnover one divide."""
+    from .operators import finance as fin
+
+    # dollar units, not cents: the cross-multiplied |v·V'| numerators
+    # need v·V < 2^63 (see portfolio_turnover docstring) — at sf0.1 the
+    # cents scale overflows the product
+    o = load_table(spark, sf, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long").alias("p"),
+        F.col("o_orderpriority").alias("a"),
+        F.round(F.col("o_totalprice")).cast("long").alias("dollars"),
+    )
+    return fin.portfolio_turnover(o, "p", "a", "dollars")
+
+
+# ------------------------------------------------------------------ q453
+@query(
+    "q453_chain_ladder",
+    """
+    WITH base AS (
+        SELECT year(o_orderdate) AS o, CAST(o_orderkey % 4 AS INT) AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS a
+        FROM orders WHERE year(o_orderdate) + (o_orderkey % 4) <= 2001
+    ),
+    inc AS (SELECT o, d, CAST(sum(a) AS BIGINT) AS inc FROM base GROUP BY 1, 2),
+    cum AS (
+        SELECT o, d,
+               CAST(sum(inc) OVER (PARTITION BY o ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM inc
+    ),
+    nxt AS (SELECT o, d - 1 AS d, c AS c_next FROM cum),
+    fct AS (
+        SELECT cum.d, CAST(sum(cum.c) AS BIGINT) AS den,
+               CAST(sum(n.c_next) AS BIGINT) AS num
+        FROM cum JOIN nxt n ON n.o = cum.o AND n.d = cum.d GROUP BY cum.d
+    ),
+    latest AS (
+        SELECT o, max(d) AS latest_dev, max_by(c, d) AS latest_cum FROM cum GROUP BY o
+    )
+    SELECT o AS origin, latest_dev, latest_cum,
+           CASE WHEN latest_dev <= 3 AND (SELECT den FROM fct WHERE d = 3) > 0 THEN (CASE WHEN latest_dev <= 2 AND (SELECT den FROM fct WHERE d = 2) > 0 THEN (CASE WHEN latest_dev <= 1 AND (SELECT den FROM fct WHERE d = 1) > 0 THEN (CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END * (SELECT num FROM fct WHERE d = 1)) / (SELECT den FROM fct WHERE d = 1) ELSE CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END END * (SELECT num FROM fct WHERE d = 2)) / (SELECT den FROM fct WHERE d = 2) ELSE CASE WHEN latest_dev <= 1 AND (SELECT den FROM fct WHERE d = 1) > 0 THEN (CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END * (SELECT num FROM fct WHERE d = 1)) / (SELECT den FROM fct WHERE d = 1) ELSE CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END END END * (SELECT num FROM fct WHERE d = 3)) / (SELECT den FROM fct WHERE d = 3) ELSE CASE WHEN latest_dev <= 2 AND (SELECT den FROM fct WHERE d = 2) > 0 THEN (CASE WHEN latest_dev <= 1 AND (SELECT den FROM fct WHERE d = 1) > 0 THEN (CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END * (SELECT num FROM fct WHERE d = 1)) / (SELECT den FROM fct WHERE d = 1) ELSE CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END END * (SELECT num FROM fct WHERE d = 2)) / (SELECT den FROM fct WHERE d = 2) ELSE CASE WHEN latest_dev <= 1 AND (SELECT den FROM fct WHERE d = 1) > 0 THEN (CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END * (SELECT num FROM fct WHERE d = 1)) / (SELECT den FROM fct WHERE d = 1) ELSE CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END END END END AS ultimate,
+           CASE WHEN latest_dev <= 3 AND (SELECT den FROM fct WHERE d = 3) > 0 THEN (CASE WHEN latest_dev <= 2 AND (SELECT den FROM fct WHERE d = 2) > 0 THEN (CASE WHEN latest_dev <= 1 AND (SELECT den FROM fct WHERE d = 1) > 0 THEN (CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END * (SELECT num FROM fct WHERE d = 1)) / (SELECT den FROM fct WHERE d = 1) ELSE CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END END * (SELECT num FROM fct WHERE d = 2)) / (SELECT den FROM fct WHERE d = 2) ELSE CASE WHEN latest_dev <= 1 AND (SELECT den FROM fct WHERE d = 1) > 0 THEN (CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END * (SELECT num FROM fct WHERE d = 1)) / (SELECT den FROM fct WHERE d = 1) ELSE CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END END END * (SELECT num FROM fct WHERE d = 3)) / (SELECT den FROM fct WHERE d = 3) ELSE CASE WHEN latest_dev <= 2 AND (SELECT den FROM fct WHERE d = 2) > 0 THEN (CASE WHEN latest_dev <= 1 AND (SELECT den FROM fct WHERE d = 1) > 0 THEN (CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END * (SELECT num FROM fct WHERE d = 1)) / (SELECT den FROM fct WHERE d = 1) ELSE CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END END * (SELECT num FROM fct WHERE d = 2)) / (SELECT den FROM fct WHERE d = 2) ELSE CASE WHEN latest_dev <= 1 AND (SELECT den FROM fct WHERE d = 1) > 0 THEN (CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END * (SELECT num FROM fct WHERE d = 1)) / (SELECT den FROM fct WHERE d = 1) ELSE CASE WHEN latest_dev <= 0 AND (SELECT den FROM fct WHERE d = 0) > 0 THEN (CAST(latest_cum AS DOUBLE) * (SELECT num FROM fct WHERE d = 0)) / (SELECT den FROM fct WHERE d = 0) ELSE CAST(latest_cum AS DOUBLE) END END END END - latest_cum AS reserve
+    FROM latest
+""",
+)
+def q453(spark, sf):
+    """Chain-ladder loss development over a synthetic (origin-year, dev
+    age) triangle (operators/finance.chain_ladder): volume-weighted
+    factors as single divides of exact cumulative totals; each origin's
+    ultimate multiplies its remaining factors in FIXED ascending dev
+    order — the actuarial reserving classic (factors are a 4-row
+    broadcast)."""
+    from .operators import finance as fin
+
+    o = load_table(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("origin"),
+        (F.col("o_orderkey") % 4).cast("int").alias("dev"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).where(F.col("origin") + F.col("dev") <= 2001)
+    return fin.chain_ladder(o, "origin", "dev", "cents", max_dev=4)
+
+
+# ------------------------------------------------------------------ q454
+@query("q454_dtw_distance")  # rows-only: the DTW DP is a full O(n·m)
+# path-dependent recurrence with no SQL closed form; pinned by
+# identity/symmetry/hand-case tests (tests/test_batch19_ops.py).
+def q454(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic-time-warping distances between event-type daily-revenue
+    series (operators/ema.dtw_pairs): 'click vs view' and 'purchase vs
+    signup', Sakoe-Chiba band 14 — exact-integer DP over one Arrow
+    batch per pair."""
+    from .operators import ema
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("rev"))
+    pairs = [("click", "view"), ("purchase", "signup")]
+    parts = []
+    for a, b in pairs:
+        parts.append(
+            daily.where(F.col("event_type") == a).select(
+                F.lit(f"{a}|{b}").alias("pair"), F.lit("a").alias("side"), "day", "rev"
+            )
+        )
+        parts.append(
+            daily.where(F.col("event_type") == b).select(
+                F.lit(f"{a}|{b}").alias("pair"), F.lit("b").alias("side"), "day", "rev"
+            )
+        )
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    return ema.dtw_pairs(stacked, "pair", "side", ["day"], "rev", band=14)

@@ -650,3 +650,73 @@ def test_dirichlet_qlm_ranks_matching_doc_first(spark):
     assert all(r.score > 0 for r in out)
     # doc 3 has no query term and must not appear
     assert 3 not in {r.doc_id for r in out}
+
+
+def test_var_es_hand_case(spark):
+    from riptable_spark.operators.finance import var_es
+
+    # pnl = -100..-81 then 80 positives; 5% of 100 -> 5 worst
+    vals = list(range(-100, -80)) + list(range(1, 81))
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, pnl long")
+    r = var_es(df, ["k"], "pnl", 5, 100).collect()[0]
+    assert r.tail_n == 5
+    assert r.var == -96  # 5th worst
+    assert r.es == (-100 - 99 - 98 - 97 - 96) / 5
+
+
+def test_portfolio_turnover_no_change_is_zero(spark):
+    from riptable_spark.operators.finance import portfolio_turnover
+
+    rows = [(0, "x", 60), (0, "y", 40), (1, "x", 120), (1, "y", 80)]  # same weights, 2x scale
+    df = spark.createDataFrame(rows, "p long, a string, v long")
+    out = {r.period: r for r in portfolio_turnover(df, "p", "a", "v").collect()}
+    assert out[1].turnover == 0.0
+
+
+def test_portfolio_turnover_full_swap_is_one(spark):
+    from riptable_spark.operators.finance import portfolio_turnover
+
+    rows = [(0, "x", 100), (1, "y", 100)]
+    df = spark.createDataFrame(rows, "p long, a string, v long")
+    out = {r.period: r for r in portfolio_turnover(df, "p", "a", "v").collect()}
+    assert out[1].turnover == 1.0
+
+
+def test_chain_ladder_hand_triangle(spark):
+    from riptable_spark.operators.finance import chain_ladder
+
+    # classic 3x3 cumulative triangle (given as increments):
+    # origin 0: 100, +50, +10 ; origin 1: 200, +100 ; origin 2: 400
+    rows = [(0, 0, 100), (0, 1, 50), (0, 2, 10), (1, 0, 200), (1, 1, 100), (2, 0, 400)]
+    df = spark.createDataFrame(rows, "origin long, dev int, a long")
+    out = {r.origin: r for r in chain_ladder(df, "origin", "dev", "a", max_dev=3).collect()}
+    # f0 = (150+300)/(100+200) = 1.5 ; f1 = 160/150
+    assert out[0].ultimate == 160.0 and out[0].reserve == 0.0
+    assert out[1].ultimate == 300 * (160 / 150)
+    assert out[2].ultimate == ((400 * 450) / 300) * 160 / 150
+
+
+def test_dtw_identity_and_symmetry(spark):
+    from riptable_spark.operators.ema import dtw_pairs
+
+    a = [5, 9, 2, 7, 7, 3]
+    rows = []
+    for t, v in enumerate(a):
+        rows += [("same|x", "a", t, v), ("same|x", "b", t, v)]
+    # shifted copy: DTW should be far below L1 of misaligned series
+    b = [0] + a[:-1]
+    for t in range(len(a)):
+        rows += [("shift|x", "a", t, a[t]), ("shift|x", "b", t, b[t])]
+        rows += [("rev|x", "a", t, a[t]), ("rev|x", "b", t, a[len(a) - 1 - t])]
+    df = spark.createDataFrame(rows, "pair string, side string, t long, v long")
+    out = {r.pair: r.dtw for r in dtw_pairs(df, "pair", "side", ["t"], "v").collect()}
+    assert out["same|x"] == 0
+    l1_shift = sum(abs(x - y) for x, y in zip(a, b))
+    assert out["shift|x"] <= l1_shift
+    # symmetry: dtw(a, rev) == dtw(rev, a) by construction of the DP
+    rows2 = []
+    for t in range(len(a)):
+        rows2 += [("r2|x", "a", t, a[len(a) - 1 - t]), ("r2|x", "b", t, a[t])]
+    df2 = spark.createDataFrame(rows2, "pair string, side string, t long, v long")
+    out2 = dtw_pairs(df2, "pair", "side", ["t"], "v").collect()[0].dtw
+    assert out2 == out["rev|x"]

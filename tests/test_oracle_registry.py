@@ -50,6 +50,7 @@ NO_ORACLE_EXEMPT: set[str] = {
     "q349_holt_winters",      # triple smoothing with seasonal lag
     "q410_elo_ratings",       # sequential rating updates (current-state expectations)
     "q415_croston",           # interval EWMA on a periods-since-demand counter
+    "q454_dtw_distance",      # O(n·m) warping DP, no SQL closed form
 }
 
 
