@@ -2297,3 +2297,167 @@ def q454(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         stacked = stacked.unionByName(p)
     return ema.dtw_pairs(stacked, "pair", "side", ["day"], "rev", band=14)
+
+
+# ------------------------------------------------------------------ q455
+@query(
+    "q455_isotonic_apply",
+    """
+    WITH train AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) % 1000 AS s,
+               CASE WHEN (CAST(round(value * 100) AS BIGINT) * 7) % 1000
+                         < CAST(round(value * 100) AS BIGINT) % 1000
+                    THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_id % 499 = 0
+    ),
+    base AS (
+        SELECT event_id, s, y,
+               row_number() OVER (ORDER BY s, event_id) AS i
+        FROM train
+    ),
+    pre AS (
+        SELECT event_id, s, i, y,
+               CAST(sum(y) OVER (ORDER BY i) AS BIGINT) AS ps
+        FROM base
+    ),
+    rng AS (
+        SELECT a.i AS j, b.i AS k,
+               CAST(b.ps - a.ps + a.y AS DOUBLE) / (b.i - a.i + 1) AS avg
+        FROM pre a JOIN pre b ON b.i >= a.i
+    ),
+    inner_min AS (
+        SELECT p.i, r.j, min(r.avg) AS mn
+        FROM rng r JOIN base p ON p.i >= r.j AND p.i <= r.k
+        GROUP BY p.i, r.j
+    ),
+    fit AS (SELECT i, max(mn) AS iso_fit FROM inner_min GROUP BY i),
+    step AS (
+        SELECT b.s, max(f.iso_fit) AS cal FROM base b JOIN fit f ON f.i = b.i
+        GROUP BY b.s
+    ),
+    apply_set AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) % 1000 AS s
+        FROM events WHERE event_id % 499 != 0 AND event_id % 97 = 0
+    )
+    SELECT a.event_id, a.s,
+           (SELECT max(st.cal) FROM step st
+            WHERE st.s <= a.s
+              AND st.s = (SELECT max(s2.s) FROM step s2 WHERE s2.s <= a.s)) AS calibrated
+    FROM apply_set a
+    """,
+)
+def q455(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic calibration APPLY — the serving half of q371's fit: the
+    fitted monotone step function (per-score max of PAVA fits on a
+    sparse training slice) maps held-out scores via an as-of backward
+    join (merge.merge_asof); scores below the smallest training score
+    calibrate to NULL.  The oracle refits with the O(n³) minimax
+    characterization and applies via a correlated step lookup — two
+    unrelated algorithms end to end."""
+    from .functions.stats import isotonic_fit
+    from .operators.merge import merge_asof
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    train = ev.where(F.col("event_id") % 499 == 0).select(
+        "event_id", (cents % 1000).alias("s"),
+        ((cents * 7) % 1000 < cents % 1000).cast("long").alias("y"),
+    ).withColumn("grp", F.lit(1))
+    fitted = isotonic_fit(train, ["grp"], ["s", "event_id"], "y")
+    step = fitted.groupBy("s").agg(F.max("iso_fit").alias("cal"))
+    apply_set = ev.where((F.col("event_id") % 499 != 0) & (F.col("event_id") % 97 == 0)).select(
+        "event_id", (cents % 1000).alias("s")
+    )
+    out = merge_asof(apply_set, step, on="s", direction="backward")
+    return out.select("event_id", "s", F.col("cal").alias("calibrated"))
+
+
+# ------------------------------------------------------------------ q456
+@query(
+    "q456_null_safe_join",
+    """
+    WITH a AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE event_id % 5 END AS k,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+        SELECT CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE event_id % 5 END AS k,
+               CAST(count(*) AS BIGINT) AS n_b
+        FROM events WHERE event_id % 2 = 1
+        GROUP BY 1
+    )
+    SELECT a.k, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(a.v) AS BIGINT) AS v_sum, min(b.n_b) AS n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def q456(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join parity: Spark's <=> (eqNullSafe) must match
+    SQL IS NOT DISTINCT FROM — NULL keys join each other instead of
+    vanishing, the semantics CDC/dimension pipelines rely on when NULL
+    is a legitimate key value."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("event_id") % 5).alias("k"),
+        cents.alias("v"),
+    )
+    b = ev.where(F.col("event_id") % 2 == 1).groupBy(
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("event_id") % 5).alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    j = a.join(b, a["k"].eqNullSafe(b["k"]), "inner")
+    return j.groupBy(a["k"].alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("v_sum"),
+        F.min("n_b").alias("n_b"),
+    )
+
+
+# ------------------------------------------------------------------ q457
+@query(
+    "q457_array_functions",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               [doc_id % 7, (doc_id * 3) % 7, (doc_id * 5 + 1) % 7, doc_id % 7] AS arr
+        FROM documents
+    )
+    SELECT doc_id,
+           list_position(arr, doc_id % 7) AS pos_first,
+           len(list_filter(arr, x -> x != doc_id % 7)) AS n_removed_len,
+           list_sort(list_distinct(arr)) AS distinct_sorted,
+           arr[2:3] AS middle_slice,
+           len(flatten([arr, arr])) AS flat_len,
+           list_contains(arr, 3) AS has_three,
+           CAST(list_sum(arr) AS BIGINT) AS arr_sum
+    FROM f
+    """,
+)
+def q457(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function surface parity II (beyond q327's HOF reductions):
+    position, remove-by-value, distinct+sort, slice, flatten, contains,
+    integer sum — identical semantics cross-engine on integer arrays
+    (1-based positions in both)."""
+    d = load_table(spark, sf, "documents")
+    arr = F.array(
+        F.col("doc_id") % 7, (F.col("doc_id") * 3) % 7,
+        (F.col("doc_id") * 5 + 1) % 7, F.col("doc_id") % 7,
+    )
+    f = d.select("doc_id", arr.alias("arr"))
+    return f.select(
+        "doc_id",
+        F.array_position("arr", F.col("doc_id") % 7).alias("pos_first"),
+        F.size(F.array_remove("arr", F.col("doc_id") % 7)).alias("n_removed_len"),
+        F.array_sort(F.array_distinct("arr")).alias("distinct_sorted"),
+        F.slice("arr", 2, 2).alias("middle_slice"),
+        F.size(F.flatten(F.array(F.col("arr"), F.col("arr")))).alias("flat_len"),
+        F.array_contains("arr", F.lit(3)).alias("has_three"),
+        F.aggregate("arr", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("arr_sum"),
+    )
