@@ -1004,3 +1004,43 @@ def golden_record(
         )
         out = out.join(best, on="component", how="left")
     return out
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-round single-source(-set) shortest paths by Bellman-Ford
+    relaxation: after ``n_rounds`` rounds every distance using ≤
+    n_rounds hops is exact (the full algorithm runs V−1 rounds; bounded
+    rounds ARE the scale contract, like :func:`label_propagation`).
+
+    Each round is one equi-join (edges ⋈ current distances on the
+    source endpoint) + one min-aggregation — integer weights make every
+    distance an exact BIGINT.  Seeds come from ``sources`` (node ids at
+    distance 0).  Returns (node, dist, settled_hops≤n_rounds) for every
+    reached node.
+    """
+    dist = sources.select(F.col(node_col).alias("n")).distinct().withColumn(
+        "d", F.lit(0).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("es"), F.col(dst_col).alias("ed"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    for _ in range(n_rounds):
+        relaxed = (
+            e.join(dist.select(F.col("n").alias("es"), "d"), on="es")
+            .select(F.col("ed").alias("n"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("n")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.select(F.col("n").alias(node_col), F.col("d").alias("dist"))

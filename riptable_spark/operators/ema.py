@@ -706,3 +706,64 @@ def dtw_pairs(
 
     out_schema = f"{pair_col} string, n_a long, n_b long, dtw long"
     return df.groupBy(pair_col).applyInPandas(scan, out_schema)
+
+
+def viterbi_two_state(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    obs_col: str,
+    emit_cost,
+    switch_cost: int,
+) -> DataFrame:
+    """Two-state min-sum Viterbi decoding per key — the integer-cost
+    HMM decoder (burst/quiet regime labeling, Kleinberg's burst model's
+    decoding half): state path minimizing Σ emission_cost(state, obs) +
+    switch_cost · (#state changes).
+
+    ``emit_cost`` is a Python callable (state, obs_int) → int cost,
+    applied inside ONE Arrow scan per key (path-dependent DP — the
+    fifo/holt contract).  Integer costs make the DP exact and
+    rerun-stable.  Rows-only correctness: pinned by hand cases and the
+    invariants cost(best) ≤ cost(all-0) and ≤ cost(all-1).  Returns per
+    row: (keys…, order…, obs, state, total_cost on last row semantics —
+    total_cost repeated per key).
+    """
+    import pandas as pd
+
+    key_schema = ", ".join(f"{k} string" for k in keys)
+    order_schema = ", ".join(f"{c} long" for c in order)
+    out_schema = f"{key_schema}, {order_schema}, obs long, state int, total_cost long"
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        obs = pdf[obs_col].astype("int64").tolist()
+        n = len(obs)
+        if n == 0:
+            return pd.DataFrame(columns=[*keys, *order, "obs", "state", "total_cost"])
+        c0 = [emit_cost(0, o) for o in obs]
+        c1 = [emit_cost(1, o) for o in obs]
+        d0, d1 = c0[0], c1[0]
+        back = []
+        for t in range(1, n):
+            n0 = c0[t] + min(d0, d1 + switch_cost)
+            n1 = c1[t] + min(d1, d0 + switch_cost)
+            back.append((0 if d0 <= d1 + switch_cost else 1,
+                         1 if d1 <= d0 + switch_cost else 0))
+            d0, d1 = n0, n1
+        total = min(d0, d1)
+        state = 0 if d0 <= d1 else 1
+        path = [state]
+        for t in range(n - 2, -1, -1):
+            state = back[t][0] if state == 0 else back[t][1]
+            path.append(state)
+        path.reverse()
+        out = {k: pdf[k].astype(str) for k in keys}
+        for c in order:
+            out[c] = pdf[c].astype("int64")
+        out["obs"] = obs
+        out["state"] = path
+        out["total_cost"] = [total] * n
+        return pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandas(scan, out_schema)

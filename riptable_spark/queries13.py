@@ -2461,3 +2461,91 @@ def q457(spark: SparkSession, sf: str) -> DataFrame:
         F.array_contains("arr", F.lit(3)).alias("has_three"),
         F.aggregate("arr", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("arr_sum"),
     )
+
+
+# ------------------------------------------------------------------ q458
+@query(
+    "q458_bellman_ford",
+    """
+    WITH RECURSIVE nothing AS (SELECT 1),
+    base AS (
+        SELECT doc_id % 200 AS s, (doc_id * 7 + 3) % 200 AS d,
+               CAST(doc_id % 9 + 1 AS BIGINT) AS w
+        FROM documents WHERE doc_id % 200 != (doc_id * 7 + 3) % 200
+    ),
+    e AS (
+        SELECT s AS es, d AS ed, min(w) AS w FROM base GROUP BY 1, 2
+        UNION ALL
+        SELECT d AS es, s AS ed, min(w) AS w FROM base GROUP BY 1, 2
+    ),
+    d0 AS (SELECT DISTINCT s % 10 AS n, CAST(0 AS BIGINT) AS d FROM base WHERE s < 10),
+    r1 AS (
+        SELECT n, min(d) AS d FROM (
+            SELECT n, d FROM d0
+            UNION ALL
+            SELECT e.ed AS n, d0.d + e.w AS d FROM e JOIN d0 ON d0.n = e.es
+        ) GROUP BY n
+    ),
+    r2 AS (
+        SELECT n, min(d) AS d FROM (
+            SELECT n, d FROM r1
+            UNION ALL
+            SELECT e.ed AS n, r1.d + e.w AS d FROM e JOIN r1 ON r1.n = e.es
+        ) GROUP BY n
+    ),
+    r3 AS (
+        SELECT n, min(d) AS d FROM (
+            SELECT n, d FROM r2
+            UNION ALL
+            SELECT e.ed AS n, r2.d + e.w AS d FROM e JOIN r2 ON r2.n = e.es
+        ) GROUP BY n
+    )
+    SELECT n AS node, d AS dist FROM r3
+    """,
+)
+def q458(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-round Bellman-Ford shortest paths over the weighted q344
+    document graph from the seed set {nodes < 10}
+    (operators/dedup.bellman_ford): three relaxation rounds, each one
+    equi-join + one min-agg on exact integer distances; the oracle
+    unrolls the identical three rounds."""
+    from .operators import dedup as dd
+
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        (F.col("doc_id") % 200).alias("s"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("d"),
+        (F.col("doc_id") % 9 + 1).cast("long").alias("w"),
+    ).where(F.col("s") != F.col("d"))
+    emin = base.groupBy("s", "d").agg(F.min("w").alias("w"))
+    edges = emin.select(F.col("s").alias("src"), F.col("d").alias("dst"), "w").unionByName(
+        emin.select(F.col("d").alias("src"), F.col("s").alias("dst"), "w")
+    )
+    seeds = base.where(F.col("s") < 10).select((F.col("s") % 10).alias("node")).distinct()
+    return dd.bellman_ford(edges, seeds, n_rounds=3)
+
+
+# ------------------------------------------------------------------ q459
+@query("q459_viterbi_regimes")  # rows-only: the min-sum Viterbi DP is a
+# path-dependent recurrence (each step's costs depend on the previous
+# argmin); pinned by hand-case + dominance-invariant tests
+# (tests/test_batch19_ops.py).
+def q459(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-state burst/quiet regime decoding per event type
+    (operators/ema.viterbi_two_state): emission cost |obs − level_s|
+    with integer levels, switch cost 2000 — min-sum Viterbi in one
+    Arrow scan per key; reports per-day regimes and the exact path
+    cost."""
+    from .operators import ema
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def emit(state: int, obs: int) -> int:
+        level = 30 if state == 1 else 10
+        return abs(int(obs) - level)
+
+    return ema.viterbi_two_state(daily, ["event_type"], ["day"], "n", emit, switch_cost=2000)

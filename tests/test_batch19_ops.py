@@ -720,3 +720,49 @@ def test_dtw_identity_and_symmetry(spark):
     df2 = spark.createDataFrame(rows2, "pair string, side string, t long, v long")
     out2 = dtw_pairs(df2, "pair", "side", ["t"], "v").collect()[0].dtw
     assert out2 == out["rev|x"]
+
+
+def test_bellman_ford_line_graph(spark):
+    from riptable_spark.operators.dedup import bellman_ford
+
+    # path 0-1-2-3 with weights 5, 1, 7 ; source {0}
+    edges = [(0, 1, 5), (1, 0, 5), (1, 2, 1), (2, 1, 1), (2, 3, 7), (3, 2, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.dist for r in bellman_ford(e, s, n_rounds=3).collect()}
+    assert out == {0: 0, 1: 5, 2: 6, 3: 13}
+
+
+def test_bellman_ford_takes_cheaper_detour(spark):
+    from riptable_spark.operators.dedup import bellman_ford
+
+    # direct 0->2 costs 10; detour via 1 costs 2+3=5
+    edges = [(0, 2, 10), (0, 1, 2), (1, 2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.dist for r in bellman_ford(e, s, n_rounds=2).collect()}
+    assert out[2] == 5
+
+
+def test_viterbi_decodes_regimes(spark):
+    from riptable_spark.operators.ema import viterbi_two_state
+
+    # 5 quiet days (~10), 5 bursty (~30), 5 quiet; switch cost forbids flicker
+    obs = [10, 11, 9, 10, 12, 30, 29, 31, 30, 28, 10, 9, 11, 10, 10]
+    rows = [("k", t, v) for t, v in enumerate(obs)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+
+    def emit(state, o):
+        return abs(int(o) - (30 if state == 1 else 10))
+
+    out = sorted(viterbi_two_state(df, ["k"], ["t"], "v", emit, switch_cost=5).collect(),
+                 key=lambda r: r.t)
+    path = [r.state for r in out]
+    assert path == [0] * 5 + [1] * 5 + [0] * 5
+    # dominance: the best cost beats both constant paths
+    all0 = sum(abs(v - 10) for v in obs)
+    all1 = sum(abs(v - 30) for v in obs)
+    assert out[0].total_cost <= min(all0, all1)
+    # exact cost: emissions of the true path + 2 switches * 5
+    emis = sum(abs(v - (30 if 5 <= t < 10 else 10)) for t, v in enumerate(obs))
+    assert out[0].total_cost == emis + 10

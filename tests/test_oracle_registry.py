@@ -51,6 +51,7 @@ NO_ORACLE_EXEMPT: set[str] = {
     "q410_elo_ratings",       # sequential rating updates (current-state expectations)
     "q415_croston",           # interval EWMA on a periods-since-demand counter
     "q454_dtw_distance",      # O(n·m) warping DP, no SQL closed form
+    "q459_viterbi_regimes",   # min-sum Viterbi DP (argmin-dependent recurrence)
 }
 
 
