@@ -2779,3 +2779,55 @@ def multilabel_prf(
         ).alias("micro_f1"),
         (F.col("n_exact") / F.col("n")).alias("subset_accuracy"),
     )
+
+
+def rd_estimate(
+    df: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: int,
+    bandwidth: int,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: fit a separate OLS line
+    to the outcome on each side of the cutoff within ``bandwidth`` of
+    it, and report the jump (right intercept − left intercept, both
+    evaluated AT the cutoff) — the causal effect when treatment flips
+    deterministically at a threshold.
+
+    Centering the running variable at the cutoff (x′ = x − c) makes the
+    effect a plain intercept difference; both fits come from exact
+    BIGINT moments in ONE conditional aggregation (no second scan), so
+    slopes/intercepts/effect are fixed trees of single divides.
+    Returns (n_left, n_right, slope_left, slope_right,
+    intercept_left, intercept_right, effect).
+    """
+    x = (F.col(running_col).cast("long") - cutoff)
+    y = F.col(outcome_col).cast("long")
+    inb = (x >= -bandwidth) & (x <= bandwidth)
+    right = (x >= 0).cast("long")
+    sel = df.where(inb).select(x.alias("x"), y.alias("y"), right.alias("r"))
+    g = sel.groupBy().agg(
+        F.sum(1 - F.col("r")).cast("long").alias("nl"),
+        F.sum("r").cast("long").alias("nr"),
+        F.sum(F.col("x") * (1 - F.col("r"))).cast("long").alias("sxl"),
+        F.sum(F.col("x") * F.col("r")).cast("long").alias("sxr"),
+        F.sum(F.col("y") * (1 - F.col("r"))).cast("long").alias("syl"),
+        F.sum(F.col("y") * F.col("r")).cast("long").alias("syr"),
+        F.sum(F.col("x") * F.col("x") * (1 - F.col("r"))).cast("long").alias("sxxl"),
+        F.sum(F.col("x") * F.col("x") * F.col("r")).cast("long").alias("sxxr"),
+        F.sum(F.col("x") * F.col("y") * (1 - F.col("r"))).cast("long").alias("sxyl"),
+        F.sum(F.col("x") * F.col("y") * F.col("r")).cast("long").alias("sxyr"),
+    )
+    def fit(n, sx, sy, sxx, sxy):
+        den = n * F.col(sxx) - F.col(sx) * F.col(sx)
+        slope = F.when(den != 0, (n * F.col(sxy) - F.col(sx) * F.col(sy)) / den)
+        intercept = (F.col(sy) - slope * F.col(sx)) / n
+        return slope, intercept
+    sl, il = fit(F.col("nl"), "sxl", "syl", "sxxl", "sxyl")
+    sr, ir = fit(F.col("nr"), "sxr", "syr", "sxxr", "sxyr")
+    return g.select(
+        F.col("nl").alias("n_left"), F.col("nr").alias("n_right"),
+        sl.alias("slope_left"), sr.alias("slope_right"),
+        il.alias("intercept_left"), ir.alias("intercept_right"),
+        (ir - il).alias("effect"),
+    )

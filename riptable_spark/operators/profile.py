@@ -494,3 +494,66 @@ def first_seen_novelty(
         (F.col("__fb__") * bucket_seconds).cast("long").alias("bucket_start"),
         "n_new", "cum_entities",
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t_num: int = 1,
+    t_den: int = 5,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    :func:`k_anonymity`'s k and l (an attacker learns something whenever
+    a class's SENSITIVE DISTRIBUTION differs from the table's): per QI
+    equivalence class, the Earth-Mover's Distance between the class's
+    sensitive-value distribution and the global one over the ORDERED
+    value domain,
+
+        EMD = (1/(V−1)) Σ_v |cum_c(v)·N − cum_g(v)·n| / (n·N)
+
+    — cumulative counts are exact BIGINTs, the per-value terms sum as
+    exact integers over the (class × value-domain) grid, and the t
+    threshold tests by cross-multiplication.  Shape: one (class, value)
+    count agg, a dense grid join against the value domain (domain
+    cardinality is small by definition of a sensitive attribute), one
+    running-sum window over the AGGREGATED grid.  Returns per class:
+    (qi…, n, emd, violates_t).
+    """
+    g_counts = df.groupBy(F.col(sensitive_col).alias("__val__")).agg(
+        F.count(F.lit(1)).cast("long").alias("__gc__")
+    )
+    totals = g_counts.agg(
+        F.sum("__gc__").cast("long").alias("__nn__"),
+        F.count(F.lit(1)).cast("long").alias("__nv__"),
+    )
+    c_counts = df.groupBy(*qi_cols, F.col(sensitive_col).alias("__val__")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cc__")
+    )
+    classes = c_counts.groupBy(*qi_cols).agg(F.sum("__cc__").cast("long").alias("n"))
+    grid = classes.crossJoin(F.broadcast(g_counts)).join(
+        c_counts, on=[*qi_cols, "__val__"], how="left"
+    ).select(
+        *qi_cols, "n", "__val__", "__gc__",
+        F.coalesce(F.col("__cc__"), F.lit(0)).alias("__cc__"),
+    )
+    wrun = Window.partitionBy(*qi_cols).orderBy("__val__").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("__cumc__", F.sum("__cc__").over(wrun).cast("long")).withColumn(
+        "__cumg__", F.sum("__gc__").over(wrun).cast("long")
+    ).crossJoin(F.broadcast(totals))
+    terms = cum.groupBy(*qi_cols, "n", "__nn__", "__nv__").agg(
+        F.sum(F.abs(F.col("__cumc__") * F.col("__nn__") - F.col("__cumg__") * F.col("n")))
+        .cast("long").alias("__num__")
+    )
+    emd = F.col("__num__") / (
+        (F.col("__nv__") - 1) * F.col("n") * F.col("__nn__")
+    )
+    violates = (
+        F.col("__num__") * t_den
+        > F.lit(t_num) * (F.col("__nv__") - 1) * F.col("n") * F.col("__nn__")
+    )
+    return terms.select(
+        *qi_cols, "n", emd.alias("emd"), violates.alias("violates_t")
+    )

@@ -1116,3 +1116,75 @@ def sq8_reconstructed(
         return F.when(scale > 0, lo + (code + 0.5) * scale / 255.0).otherwise(lo)
     out = j.select(F.col(id_col), F.array(*[rec(i) for i in range(dim)]).alias(vec_col))
     return out
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 10,
+    k_select: int = 3,
+    lam_pct: int = 70,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein):
+    from each query's top-``k_candidates`` cosine shortlist, greedily
+    pick ``k_select`` items maximizing
+
+        λ·rel(i) − (1−λ)·max_{s ∈ selected} sim(i, s)
+
+    — the standard diversity-aware serving layer over ANN results.
+
+    The greedy rounds unroll at PLAN level (selected sets are ≤ round
+    rows per query, every join is shortlist-sized); λ rides as the
+    rational ``lam_pct``/100 evaluated in one fixed float tree, and
+    ties break on item id, so selection is engine-deterministic (the
+    greedy_cover q363 oracle discipline).  Returns
+    (query_id, id, mmr_rank ∈ 1..k_select, rel).
+    """
+    lam = F.lit(lam_pct).cast("double") / 100.0
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dq = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    corpus = vectors.select(F.col(id_col), dvec.alias("__v__"))
+    qs = queries.select(F.col(query_id_col).alias("__q__"), dq.alias("__qv__"))
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "__q__", F.col(id_col).alias("__id__"), "__v__",
+        cosine(F.col("__v__"), F.col("__qv__")).alias("rel"),
+    )
+    w = Window.partitionBy("__q__").orderBy(F.col("rel").desc(), F.col("__id__"))
+    cand = scored.withColumn("__r__", F.row_number().over(w)).where(
+        F.col("__r__") <= k_candidates
+    ).drop("__r__")
+    selected = None  # (__q__, __id__, __v__, rel, mmr_rank)
+    for rnd in range(1, k_select + 1):
+        if selected is None:
+            w1 = Window.partitionBy("__q__").orderBy(F.col("rel").desc(), F.col("__id__"))
+            pick = cand.withColumn("__rn__", F.row_number().over(w1)).where(
+                F.col("__rn__") == 1
+            ).select("__q__", "__id__", "__v__", "rel", F.lit(rnd).alias("mmr_rank"))
+            selected = pick
+        else:
+            rem = cand.join(
+                selected.select("__q__", "__id__"), on=["__q__", "__id__"], how="left_anti"
+            )
+            sims = rem.join(
+                selected.select(
+                    "__q__", F.col("__v__").alias("__sv__")
+                ),
+                on="__q__",
+            ).groupBy("__q__", "__id__", "rel").agg(
+                F.max(cosine(F.col("__v__"), F.col("__sv__"))).alias("__msim__"),
+                F.first("__v__").alias("__v__"),
+            )
+            score = lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("__msim__")
+            w2 = Window.partitionBy("__q__").orderBy(score.desc(), F.col("__id__"))
+            pick = sims.withColumn("__rn__", F.row_number().over(w2)).where(
+                F.col("__rn__") == 1
+            ).select("__q__", "__id__", "__v__", "rel", F.lit(rnd).alias("mmr_rank"))
+            selected = selected.unionByName(pick)
+    return selected.select(
+        F.col("__q__").alias(query_id_col), F.col("__id__").alias(id_col),
+        "mmr_rank", "rel",
+    )

@@ -2549,3 +2549,196 @@ def q459(spark: SparkSession, sf: str) -> DataFrame:
         return abs(int(obs) - level)
 
     return ema.viterbi_two_state(daily, ["event_type"], ["day"], "n", emit, switch_cost=2000)
+
+
+# ------------------------------------------------------------------ q460
+@query(
+    "q460_mmr_rerank",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    cand AS (
+        SELECT query_id, vec_id, rel FROM (
+            SELECT q.query_id, c.vec_id,
+                   list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[]) / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS rel,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[]) / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) DESC,
+                                               c.vec_id) AS rn
+            FROM embeddings c, q
+        ) WHERE rn <= 10
+    ),
+    s1 AS (
+        SELECT query_id, vec_id, rel FROM (
+            SELECT query_id, vec_id, rel,
+                   row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ),
+    r2 AS (
+        SELECT c.query_id, c.vec_id, c.rel,
+               list_dot_product(ce.embedding::DOUBLE[], se.embedding::DOUBLE[]) / (sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[])) * sqrt(list_dot_product(se.embedding::DOUBLE[], se.embedding::DOUBLE[]))) AS msim
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id AND s1.vec_id != c.vec_id
+        JOIN embeddings ce ON ce.vec_id = c.vec_id
+        JOIN embeddings se ON se.vec_id = s1.vec_id
+    ),
+    s2 AS (
+        SELECT query_id, vec_id, rel FROM (
+            SELECT query_id, vec_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY (CAST(70 AS DOUBLE) / 100) * rel - (CAST(1.0 AS DOUBLE) - (CAST(70 AS DOUBLE) / 100)) * msim DESC,
+                                               vec_id) AS rn
+            FROM r2
+        ) WHERE rn = 1
+    ),
+    sel12 AS (SELECT query_id, vec_id FROM s1 UNION ALL SELECT query_id, vec_id FROM s2),
+    r3 AS (
+        SELECT c.query_id, c.vec_id, c.rel,
+               max(list_dot_product(ce.embedding::DOUBLE[], se.embedding::DOUBLE[]) / (sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[])) * sqrt(list_dot_product(se.embedding::DOUBLE[], se.embedding::DOUBLE[])))) AS msim
+        FROM cand c
+        JOIN sel12 s ON s.query_id = c.query_id
+        JOIN embeddings ce ON ce.vec_id = c.vec_id
+        JOIN embeddings se ON se.vec_id = s.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+                          WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+        GROUP BY c.query_id, c.vec_id, c.rel
+    ),
+    s3 AS (
+        SELECT query_id, vec_id, rel FROM (
+            SELECT query_id, vec_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY (CAST(70 AS DOUBLE) / 100) * rel - (CAST(1.0 AS DOUBLE) - (CAST(70 AS DOUBLE) / 100)) * msim DESC,
+                                               vec_id) AS rn
+            FROM r3
+        ) WHERE rn = 1
+    )
+    SELECT query_id, vec_id, 1 AS mmr_rank, rel FROM s1
+    UNION ALL SELECT query_id, vec_id, 2, rel FROM s2
+    UNION ALL SELECT query_id, vec_id, 3, rel FROM s3
+""",
+)
+def q460(spark, sf):
+    """Maximal-Marginal-Relevance diversity re-ranking of each query's
+    top-10 cosine shortlist (operators/similarity.mmr_rerank, lambda =
+    70/100): three greedy rounds unrolled at plan level, id tie-breaks,
+    all scores fixed float trees — the oracle unrolls the identical
+    rounds (the greedy_cover discipline)."""
+    from .operators import similarity as sim
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.mmr_rerank(e, q, k_candidates=10, k_select=3, lam_pct=70)
+    return out.select("query_id", "vec_id", F.col("mmr_rank").cast("int").alias("mmr_rank"), "rel")
+
+
+# ------------------------------------------------------------------ q461
+@query(
+    "q461_t_closeness",
+    """
+    WITH gc AS (
+        SELECT o_orderstatus AS val, CAST(count(*) AS BIGINT) AS g FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(g) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS nv FROM gc
+    ),
+    cc AS (
+        SELECT o_custkey % 50 AS qi_bucket, CAST(year(o_orderdate) AS BIGINT) AS qi_year,
+               o_orderstatus AS val, CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT qi_bucket, qi_year, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT cls.qi_bucket, cls.qi_year, cls.n, gc.val, gc.g,
+               coalesce(cc.c, 0) AS c
+        FROM cls CROSS JOIN gc
+        LEFT JOIN cc ON cc.qi_bucket = cls.qi_bucket AND cc.qi_year = cls.qi_year
+                    AND cc.val = gc.val
+    ),
+    cum AS (
+        SELECT qi_bucket, qi_year, n, val,
+               CAST(sum(c) OVER (PARTITION BY qi_bucket, qi_year ORDER BY val
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+               CAST(sum(g) OVER (PARTITION BY qi_bucket, qi_year ORDER BY val
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumg
+        FROM grid
+    ),
+    terms AS (
+        SELECT qi_bucket, qi_year, n, tot.nn, tot.nv,
+               CAST(sum(abs(cumc * tot.nn - cumg * n)) AS BIGINT) AS num
+        FROM cum, tot GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT qi_bucket, qi_year, n,
+           CAST(num AS DOUBLE) / ((nv - 1) * n * nn) AS emd,
+           num * 5 > 1 * (nv - 1) * n * nn AS violates_t
+    FROM terms
+    """,
+)
+def q461(spark, sf):
+    """t-closeness audit (operators/profile.t_closeness) — the third
+    privacy rung after q413's k/l: per QI class, the exact EMD between
+    the class's order-status distribution and the table's, all integer
+    cumulative cross-products, threshold t = 1/5 by
+    cross-multiplication."""
+    from .operators import profile as prof
+
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_custkey") % 50).alias("qi_bucket"),
+        F.year("o_orderdate").cast("long").alias("qi_year"),
+        "o_orderstatus",
+    )
+    return prof.t_closeness(o, ["qi_bucket", "qi_year"], "o_orderstatus", t_num=1, t_den=5)
+
+
+# ------------------------------------------------------------------ q462
+@query(
+    "q462_rd_estimate",
+    """
+    WITH f AS (
+        SELECT CAST(round(value * 100) AS BIGINT) % 2001 - 1000 AS x,
+               3 * (CAST(round(value * 100) AS BIGINT) % 2001 - 1000)
+                 + 5000 * CASE WHEN CAST(round(value * 100) AS BIGINT) % 2001 - 1000 >= 0
+                               THEN 1 ELSE 0 END
+                 + (CAST(round(value * 100) AS BIGINT) % 13) * 10 AS y
+        FROM events
+    ),
+    sel AS (
+        SELECT x, y, CASE WHEN x >= 0 THEN 1 ELSE 0 END AS r
+        FROM f WHERE x BETWEEN -500 AND 500
+    ),
+    g AS (
+        SELECT CAST(sum(1 - r) AS BIGINT) AS nl, CAST(sum(r) AS BIGINT) AS nr,
+               CAST(sum(x * (1 - r)) AS BIGINT) AS sxl, CAST(sum(x * r) AS BIGINT) AS sxr,
+               CAST(sum(y * (1 - r)) AS BIGINT) AS syl, CAST(sum(y * r) AS BIGINT) AS syr,
+               CAST(sum(x * x * (1 - r)) AS BIGINT) AS sxxl, CAST(sum(x * x * r) AS BIGINT) AS sxxr,
+               CAST(sum(x * y * (1 - r)) AS BIGINT) AS sxyl, CAST(sum(x * y * r) AS BIGINT) AS sxyr
+        FROM sel
+    )
+    SELECT nl AS n_left, nr AS n_right,
+           CAST(nl * sxyl - sxl * syl AS DOUBLE) / (nl * sxxl - sxl * sxl) AS slope_left,
+           CAST(nr * sxyr - sxr * syr AS DOUBLE) / (nr * sxxr - sxr * sxr) AS slope_right,
+           (syl - (CAST(nl * sxyl - sxl * syl AS DOUBLE) / (nl * sxxl - sxl * sxl)) * sxl) / nl AS intercept_left,
+           (syr - (CAST(nr * sxyr - sxr * syr AS DOUBLE) / (nr * sxxr - sxr * sxr)) * sxr) / nr AS intercept_right,
+           (syr - (CAST(nr * sxyr - sxr * syr AS DOUBLE) / (nr * sxxr - sxr * sxr)) * sxr) / nr
+             - (syl - (CAST(nl * sxyl - sxl * syl AS DOUBLE) / (nl * sxxl - sxl * sxl)) * sxl) / nl AS effect
+    FROM g
+    """,
+)
+def q462(spark, sf):
+    """Sharp regression discontinuity on a synthetic threshold jump
+    (functions/stats.rd_estimate): both side-fits from exact BIGINT
+    moments in ONE conditional agg; the constructed effect is ~5000 at
+    the cutoff.  Completes the causal family (DiD q364, IV q446, CUPED
+    q267, OPE q351/q365/q423)."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    x = cents % 2001 - 1000
+    y = 3 * x + 5000 * (x >= 0).cast("long") + (cents % 13) * 10
+    d = ev.select((x + 1000).alias("run"), y.alias("y"))
+    return st.rd_estimate(d, "run", "y", cutoff=1000, bandwidth=500)

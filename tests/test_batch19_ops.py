@@ -766,3 +766,51 @@ def test_viterbi_decodes_regimes(spark):
     # exact cost: emissions of the true path + 2 switches * 5
     emis = sum(abs(v - (30 if 5 <= t < 10 else 10)) for t, v in enumerate(obs))
     assert out[0].total_cost == emis + 10
+
+
+def test_mmr_diversifies(spark):
+    from riptable_spark.operators.similarity import mmr_rerank
+
+    # three near-duplicates of the query direction + one orthogonal:
+    # plain top-3 would pick the three dupes; MMR must bring in the
+    # orthogonal item by rank 3
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.998, 0.02]),
+            (4, [0.2, 0.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    # with the query equal to item 1, rel(i) == sim(i, item1), so
+    # lambda=0.5 ties every round-2 score at 0 — use a diversity-leaning
+    # lambda to make the orthogonal item win round 2
+    out = sorted(
+        mmr_rerank(vecs, q, k_candidates=4, k_select=3, lam_pct=30).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert out[0].vec_id == 1            # pure relevance first
+    assert out[1].vec_id == 4            # diversity term promotes the orthogonal item
+
+
+def test_t_closeness_uniform_class_passes(spark):
+    from riptable_spark.operators.profile import t_closeness
+
+    # big class A close to the global mix; tiny all-'x' class B leaks
+    rows = [("A", "x")] * 8 + [("A", "y")] * 8 + [("B", "x")] * 4
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r.qi: r for r in t_closeness(df, ["qi"], "s", 1, 5).collect()}
+    # A: |8*20 - 12*16| = 32 -> 32/(16*20) = 0.1 ; B: 32/(4*20) = 0.4
+    assert out["A"].emd == 0.1 and out["B"].emd == 0.4
+    assert out["A"].violates_t is False and out["B"].violates_t is True
+
+
+def test_rd_recovers_jump(spark):
+    from riptable_spark.functions.stats import rd_estimate
+
+    # y = 2x + 100·1[x>=50], no noise: effect must be exactly 100
+    rows = [(x, 2 * x + (100 if x >= 50 else 0)) for x in range(0, 101)]
+    df = spark.createDataFrame(rows, "run long, y long")
+    r = rd_estimate(df, "run", "y", cutoff=50, bandwidth=30).collect()[0]
+    assert r.slope_left == 2.0 and r.slope_right == 2.0
+    assert r.effect == 100.0
