@@ -2742,3 +2742,248 @@ def q462(spark, sf):
     y = 3 * x + 5000 * (x >= 0).cast("long") + (cents % 13) * 10
     d = ev.select((x + 1000).alias("run"), y.alias("y"))
     return st.rd_estimate(d, "run", "y", cutoff=1000, bandwidth=500)
+
+
+# ------------------------------------------------------------------ q463
+@query(
+    "q463_textrank_terms",
+    r"""
+    WITH toks AS (
+        SELECT list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                           x -> x != '') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    adj AS (
+        SELECT t[i] AS a, t[i + 1] AS b
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+        WHERE len(t) >= 2 AND t[i] != t[i + 1]
+    ),
+    edges AS (
+        SELECT DISTINCT a AS src, b AS dst FROM adj
+        UNION SELECT b, a FROM adj
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    c1 AS (
+        SELECT e.dst AS node, sum(r0.rank / deg.d) AS m
+        FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ),
+    r1 AS (
+        SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c1.m, 0) AS rank
+        FROM nodes LEFT JOIN c1 ON c1.node = nodes.node CROSS JOIN nn
+    ),
+    c2 AS (
+        SELECT e.dst AS node, sum(r1.rank / deg.d) AS m
+        FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c2.m, 0) AS rank
+        FROM nodes LEFT JOIN c2 ON c2.node = nodes.node CROSS JOIN nn
+    )
+    SELECT node AS term, round(rank, 9) AS rank
+    FROM r2 ORDER BY rank DESC, node LIMIT 25
+    """,
+)
+def q463(spark: SparkSession, sf: str) -> DataFrame:
+    """TextRank keyword extraction: adjacent-token co-occurrence builds
+    an undirected word graph; two PageRank iterations
+    (operators/merge.pagerank — q175's machinery on a vocabulary-sized
+    graph) rank terms, top-25 reported.  The oracle rebuilds the graph
+    and replays both iterations."""
+    from .operators import merge as mg
+    from .operators.dedup import normalize_text
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(F.split(normalize_text(F.col("text")), " "), lambda x: x != "")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("a"), F.slice(toks, 2, n - 1).alias("b")
+    )
+    adj = (
+        d.select(F.explode(F.when(n >= 2, pairs)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    edges = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    pr = mg.pagerank(edges, n_iter=2, damping=0.85)
+    return (
+        pr.select(F.col("node").alias("term"), F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "term")
+        .limit(25)
+    )
+
+
+# ------------------------------------------------------------------ q464
+@query(
+    "q464_min_variance_pair",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT day,
+               CAST(min(CASE WHEN event_type = 'click' THEN rev END) AS BIGINT) AS ra,
+               CAST(min(CASE WHEN event_type = 'purchase' THEN rev END) AS BIGINT) AS rb
+        FROM daily GROUP BY day
+        HAVING min(CASE WHEN event_type = 'click' THEN rev END) IS NOT NULL
+           AND min(CASE WHEN event_type = 'purchase' THEN rev END) IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+               CAST(sum(ra * ra) AS BIGINT) AS saa, CAST(sum(rb * rb) AS BIGINT) AS sbb,
+               CAST(sum(ra * rb) AS BIGINT) AS sab
+        FROM wide
+    )
+    SELECT n,
+           CAST((n * sbb - sb * sb) - (n * sab - sa * sb) AS DOUBLE)
+             / ((n * saa - sa * sa) + (n * sbb - sb * sb) - 2 * (n * sab - sa * sb)) AS w_a,
+           CAST(1.0 AS DOUBLE)
+             - CAST((n * sbb - sb * sb) - (n * sab - sa * sb) AS DOUBLE)
+               / ((n * saa - sa * sa) + (n * sbb - sb * sb) - 2 * (n * sab - sa * sb)) AS w_b,
+           CAST(n * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * (n * sbb - sb * sb)) AS corr
+    FROM m
+    """,
+)
+def q464(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-variance two-asset weights over the click/purchase daily
+    revenue pair: w_a = (σ²_b − σ_ab)/(σ²_a + σ²_b − 2σ_ab) with every
+    moment an exact BIGINT (the common n-scale cancels), one divide —
+    Markowitz's closed form without a float covariance ever
+    materializing (native composition over the corr_matrix moment
+    machinery)."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("rev"))
+    wide = daily.groupBy("day").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("rev"))).alias("ra"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rev"))).alias("rb"),
+    ).where(F.col("ra").isNotNull() & F.col("rb").isNotNull())
+    m = wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").cast("long").alias("sa"), F.sum("rb").cast("long").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).cast("long").alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sab"),
+    )
+    n = F.col("n")
+    va = n * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    cab = n * F.col("sab") - F.col("sa") * F.col("sb")
+    wa = (vb - cab) / (va + vb - 2 * cab)
+    return m.select(
+        "n", wa.alias("w_a"), (F.lit(1.0) - wa).alias("w_b"),
+        (cab / F.sqrt(va.cast("double") * vb)).alias("corr"),
+    )
+
+
+# ------------------------------------------------------------------ q465
+@query(
+    "q465_design_effect",
+    """
+    WITH f AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) % 10 + 1 AS w FROM events
+    ),
+    g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * w) AS BIGINT) AS sww
+        FROM f GROUP BY event_type
+    )
+    SELECT event_type, n, sw, sww,
+           CAST(n * sww AS DOUBLE) / (sw * sw) AS deff,
+           CAST(sw * sw AS DOUBLE) / sww AS n_effective
+    FROM g
+    """,
+)
+def q465(spark: SparkSession, sf: str) -> DataFrame:
+    """Kish design effect and effective sample size per event type over
+    synthetic survey weights: deff = n·Σw²/(Σw)², n_eff = (Σw)²/Σw² —
+    single divides of exact BIGINTs (native composition; the
+    weighted_stats q209 family's sampling-efficiency sibling)."""
+    ev = load_table(spark, sf, "events")
+    w = F.round(F.col("value") * 100).cast("long") % 10 + 1
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(w).cast("long").alias("sw"),
+        F.sum(w * w).cast("long").alias("sww"),
+    )
+    return g.select(
+        "event_type", "n", "sw", "sww",
+        ((F.col("n") * F.col("sww")) / (F.col("sw") * F.col("sw"))).alias("deff"),
+        ((F.col("sw") * F.col("sw")) / F.col("sww")).alias("n_effective"),
+    )
+
+
+# ------------------------------------------------------------------ q466
+@query(
+    "q466_span_eval",
+    """
+    WITH f AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) % 50 AS s1,
+               CAST(round(value * 100) AS BIGINT) % 50 + CAST(round(value * 100) AS BIGINT) % 7 AS e1,
+               (CAST(round(value * 100) AS BIGINT) * 3) % 50 AS s2,
+               (CAST(round(value * 100) AS BIGINT) * 3) % 50 + CAST(round(value * 100) AS BIGINT) % 5 AS e2
+        FROM events
+    ),
+    pr AS (
+        SELECT event_id,
+               greatest(0, least(e1, e2) - greatest(s1, s2) + 1) AS ov,
+               e1 - s1 + 1 AS lt, e2 - s2 + 1 AS lp,
+               CASE WHEN s1 = s2 AND e1 = e2 THEN 1 ELSE 0 END AS em
+        FROM f
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ov) AS BIGINT) AS overlap_sum,
+           CAST(sum(lt) AS BIGINT) AS true_len_sum,
+           CAST(sum(lp) AS BIGINT) AS pred_len_sum,
+           CAST(sum(em) AS BIGINT) AS n_exact,
+           CAST(2 * sum(ov) AS DOUBLE) / (sum(lt) + sum(lp)) AS micro_f1,
+           CAST(sum(em) AS DOUBLE) / count(*) AS exact_match
+    FROM pr
+    """,
+)
+def q466(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-extraction eval (SQuAD-style token-overlap F1 + exact
+    match) over synthetic true/pred intervals: overlaps are integer
+    interval intersections, micro-F1 one divide of exact sums (native
+    composition beside multilabel_prf q449)."""
+    ev = load_table(spark, sf, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    f = ev.select(
+        "event_id",
+        (c % 50).alias("s1"), (c % 50 + c % 7).alias("e1"),
+        ((c * 3) % 50).alias("s2"), ((c * 3) % 50 + c % 5).alias("e2"),
+    )
+    ov = F.greatest(F.lit(0), F.least("e1", "e2") - F.greatest("s1", "s2") + 1)
+    pr = f.select(
+        ov.alias("ov"),
+        (F.col("e1") - F.col("s1") + 1).alias("lt"),
+        (F.col("e2") - F.col("s2") + 1).alias("lp"),
+        ((F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2"))).cast("long").alias("em"),
+    )
+    g = pr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ov").cast("long").alias("overlap_sum"),
+        F.sum("lt").cast("long").alias("true_len_sum"),
+        F.sum("lp").cast("long").alias("pred_len_sum"),
+        F.sum("em").cast("long").alias("n_exact"),
+    )
+    return g.select(
+        "n", "overlap_sum", "true_len_sum", "pred_len_sum", "n_exact",
+        ((2 * F.col("overlap_sum")) / (F.col("true_len_sum") + F.col("pred_len_sum"))).alias("micro_f1"),
+        (F.col("n_exact") / F.col("n")).alias("exact_match"),
+    )
