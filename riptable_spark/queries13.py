@@ -8,7 +8,7 @@ Registers into the same QUERIES/ORACLES dicts as queries.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import query
@@ -2986,4 +2986,182 @@ def q466(spark: SparkSession, sf: str) -> DataFrame:
         "n", "overlap_sum", "true_len_sum", "pred_len_sum", "n_exact",
         ((2 * F.col("overlap_sum")) / (F.col("true_len_sum") + F.col("pred_len_sum"))).alias("micro_f1"),
         (F.col("n_exact") / F.col("n")).alias("exact_match"),
+    )
+
+
+# ------------------------------------------------------------------ q467
+@query(
+    "q467_p99_attribution",
+    """
+    WITH f AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) % 5000 AS lat FROM events
+    ),
+    thr AS (SELECT quantile_cont(lat, 0.99) AS p99 FROM f),
+    above AS (
+        SELECT f.event_type, CAST(count(*) AS BIGINT) AS n_above
+        FROM f, thr WHERE f.lat > thr.p99 GROUP BY f.event_type
+    ),
+    tot AS (SELECT CAST(sum(n_above) AS BIGINT) AS total_above FROM above),
+    base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1)
+    SELECT b.event_type, b.n, coalesce(a.n_above, 0) AS n_above,
+           CAST(coalesce(a.n_above, 0) AS DOUBLE) / t.total_above AS share_of_tail,
+           CAST(coalesce(a.n_above, 0) AS DOUBLE) / b.n AS own_tail_rate
+    FROM base b LEFT JOIN above a USING (event_type), tot t
+    """,
+)
+def q467(spark: SparkSession, sf: str) -> DataFrame:
+    """Tail-latency attribution: which event type owns the global p99
+    tail — per-key counts above the exact interpolated p99 threshold
+    (identical double in both engines over integer latencies), shares
+    as single divides.  The on-call "who is slow" query (native
+    composition over the exact-percentile machinery)."""
+    ev = load_table(spark, sf, "events")
+    f = ev.select(
+        "event_type", (F.round(F.col("value") * 100).cast("long") % 5000).alias("lat")
+    )
+    thr = f.agg(F.percentile("lat", F.lit(0.99)).alias("p99"))
+    above = (
+        f.crossJoin(F.broadcast(thr))
+        .where(F.col("lat") > F.col("p99"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_above"))
+    )
+    tot = above.agg(F.sum("n_above").cast("long").alias("total_above"))
+    base = f.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = base.join(above, on="event_type", how="left").crossJoin(F.broadcast(tot))
+    na = F.coalesce(F.col("n_above"), F.lit(0))
+    return j.select(
+        "event_type", "n", na.alias("n_above"),
+        (na / F.col("total_above")).alias("share_of_tail"),
+        (na / F.col("n")).alias("own_tail_rate"),
+    )
+
+
+# ------------------------------------------------------------------ q468
+@query(
+    "q468_payback_period",
+    """
+    WITH purch AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 2592000.0) AS BIGINT) AS m,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cohorts AS (SELECT user_id, min(m) AS cohort FROM purch GROUP BY user_id),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM cohorts GROUP BY cohort),
+    rev AS (
+        SELECT c.cohort, p.m - c.cohort AS month_since,
+               CAST(sum(p.cents) AS BIGINT) AS rev
+        FROM purch p JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, month_since,
+               CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY month_since
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev
+        FROM rev
+    )
+    SELECT s.cohort, s.n_users,
+           min(CASE WHEN c.cum_rev >= 5000 * s.n_users THEN c.month_since END) AS payback_month
+    FROM sizes s JOIN cum c USING (cohort)
+    GROUP BY s.cohort, s.n_users
+    """,
+)
+def q468(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort payback period: first month-since-acquisition where a
+    cohort's cumulative purchase revenue covers its acquisition cost
+    (5000 cents per user) — all integer cumulative sums and an integer
+    threshold, so the crossing month is exact (native composition over
+    the cohort_retention machinery)."""
+    ev = load_table(spark, sf, "events").where(F.col("event_type") == "purchase")
+    purch = ev.select(
+        "user_id",
+        F.floor(F.unix_seconds(F.col("ts")) / 2592000).cast("long").alias("m"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cohorts = purch.groupBy("user_id").agg(F.min("m").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    rev = (
+        purch.join(cohorts, on="user_id")
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("month_since"))
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("month_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("cum_rev", F.sum("rev").over(w).cast("long"))
+    j = sizes.join(cum, on="cohort")
+    return j.groupBy("cohort", "n_users").agg(
+        F.min(
+            F.when(F.col("cum_rev") >= 5000 * F.col("n_users"), F.col("month_since"))
+        ).alias("payback_month")
+    )
+
+
+# ------------------------------------------------------------------ q469
+@query(
+    "q469_mtbf_mttr",
+    """
+    WITH f AS (
+        SELECT event_type, epoch_us(ts) AS tus, event_id,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) % 50 = 0 THEN 1 ELSE 0 END AS down
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, down,
+               lead(tus) OVER (PARTITION BY event_type ORDER BY tus, event_id) - tus AS dur,
+               lead(down) OVER (PARTITION BY event_type ORDER BY tus, event_id) AS next_down
+        FROM f
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN down = 0 THEN dur ELSE 0 END) AS BIGINT) AS uptime_us,
+           CAST(sum(CASE WHEN down = 1 THEN dur ELSE 0 END) AS BIGINT) AS downtime_us,
+           CAST(sum(CASE WHEN down = 0 AND next_down = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_failures,
+           CAST(sum(CASE WHEN down = 1 AND next_down = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recoveries,
+           CASE WHEN sum(CASE WHEN down = 0 AND next_down = 1 THEN 1 ELSE 0 END) > 0
+                THEN CAST(sum(CASE WHEN down = 0 THEN dur ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN down = 0 AND next_down = 1 THEN 1 ELSE 0 END) / 1000000 END AS mtbf_s,
+           CASE WHEN sum(CASE WHEN down = 1 AND next_down = 0 THEN 1 ELSE 0 END) > 0
+                THEN CAST(sum(CASE WHEN down = 1 THEN dur ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN down = 1 AND next_down = 0 THEN 1 ELSE 0 END) / 1000000 END AS mttr_s
+    FROM seg WHERE dur IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q469(spark: SparkSession, sf: str) -> DataFrame:
+    """MTBF / MTTR per service (event type) from an up/down status
+    stream: inter-event intervals carry their LEADING state, failures
+    are up→down transitions — exact microsecond integer durations and
+    transition counts, one divide each (native composition over the
+    transitions/drawdown_duration run machinery)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = ev.select(
+        "event_type", F.unix_micros(F.col("ts")).alias("tus"), "event_id",
+        (cents % 50 == 0).cast("long").alias("down"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    seg = f.select(
+        "event_type", "down",
+        (F.lead("tus").over(w) - F.col("tus")).alias("dur"),
+        F.lead("down").over(w).alias("next_down"),
+    ).where(F.col("dur").isNotNull())
+    up = F.col("down") == 0
+    fail = up & (F.col("next_down") == 1)
+    rec = (F.col("down") == 1) & (F.col("next_down") == 0)
+    g = seg.groupBy("event_type").agg(
+        F.sum(F.when(up, F.col("dur")).otherwise(F.lit(0))).cast("long").alias("uptime_us"),
+        F.sum(F.when(~up, F.col("dur")).otherwise(F.lit(0))).cast("long").alias("downtime_us"),
+        F.sum(fail.cast("long")).cast("long").alias("n_failures"),
+        F.sum(rec.cast("long")).cast("long").alias("n_recoveries"),
+    )
+    return g.select(
+        "event_type", "uptime_us", "downtime_us", "n_failures", "n_recoveries",
+        F.when(
+            F.col("n_failures") > 0,
+            F.col("uptime_us") / F.col("n_failures") / 1_000_000,
+        ).alias("mtbf_s"),
+        F.when(
+            F.col("n_recoveries") > 0,
+            F.col("downtime_us") / F.col("n_recoveries") / 1_000_000,
+        ).alias("mttr_s"),
     )
