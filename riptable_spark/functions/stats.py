@@ -2831,3 +2831,42 @@ def rd_estimate(
         il.alias("intercept_left"), ir.alias("intercept_right"),
         (ir - il).alias("effect"),
     )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    max_n: int | None = 500,
+) -> DataFrame:
+    """Hodges-Lehmann location estimator per key: the median of all
+    pairwise Walsh averages (x_i + x_j)/2 over i ≤ j — the robust
+    location estimate associated with the Wilcoxon test (~29%
+    breakdown, ~95% Gaussian efficiency, far less affected by skew than
+    the mean).
+
+    Walsh averages of integers are exact half-integers (one /2 of an
+    exact sum), so the pair multiset is bit-identical cross-engine and
+    its exact median matches.  The pair join is per-key quadratic —
+    ``max_n`` caps series length; run it on pre-aggregated series at
+    scale (the theil_sen_full contract).  Returns
+    (keys…, n, n_pairs, hl_estimate).
+    """
+    x = F.col(val_col).cast("long")
+    base = df.select(*keys, x.alias("__x__"), F.monotonically_increasing_id().alias("__i__"))
+    if max_n is not None:
+        w = Window.partitionBy(*keys)
+        base = base.withColumn("__n__", F.count(F.lit(1)).over(w)).where(
+            F.col("__n__") <= max_n
+        ).drop("__n__")
+    a = base.select(*keys, F.col("__x__").alias("xa"), F.col("__i__").alias("ia"))
+    b = base.select(*keys, F.col("__x__").alias("xb"), F.col("__i__").alias("ib"))
+    pairs = a.join(b, on=list(keys)).where(F.col("ia") <= F.col("ib")).select(
+        *keys, ((F.col("xa") + F.col("xb")) / 2).alias("walsh")
+    )
+    meta = base.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    est = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile("walsh", F.lit(0.5)).alias("hl_estimate"),
+    )
+    return meta.join(est, on=list(keys)).select(*keys, "n", "n_pairs", "hl_estimate")

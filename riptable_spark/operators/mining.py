@@ -604,3 +604,49 @@ def seq_pairs(
         .agg(F.countDistinct("u").cast("long").alias("n_users"))
         .where(F.col("n_users") >= min_users)
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman): the Pearson
+    correlation of endpoint degrees over the undirected edge list —
+    positive means hubs attach to hubs (social networks), negative
+    means hubs attach to leaves (the internet, dedup star clusters).
+
+    Edges canonicalize and each contributes BOTH orientations to the
+    correlation (the standard undirected convention).  Degrees are
+    exact integers, so all five correlation moments are exact BIGINTs
+    and r is a fixed tree with one sqrt.  Two hash aggs + one edge
+    join.  Returns (n_edges, n_nodes, assortativity).
+    """
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct()
+    both = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    j = (
+        both.join(deg.select(F.col("u"), F.col("d").alias("du")), on="u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), on="v")
+    )
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("du").cast("long").alias("sx"),
+        F.sum("dv").cast("long").alias("sy"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("syy"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+    ).crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))))
+    n = F.col("m2")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.select(
+        (n / 2).cast("long").alias("n_edges"), "n_nodes",
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx.cast("double") * vy)).alias("assortativity"),
+    )

@@ -1,0 +1,219 @@
+"""Driver-contract query registry, batch 14 (round-3 session 9,
+q470+): entity-resolution threshold curves, graph assortativity,
+robust location estimation, and the continuing analytics surface.
+Registers into the same QUERIES/ORACLES dicts as queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.io import load_table
+
+
+
+# ------------------------------------------------------------------ q470
+@query(
+    "q470_blocking_threshold_curve",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+        FROM documents WHERE doc_id < 100
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM documents x JOIN documents y
+          ON regexp_replace(lower(trim(x.text)), '\s+', ' ', 'g')
+             = regexp_replace(lower(trim(y.text)), '\s+', ' ', 'g')
+         AND x.doc_id < y.doc_id
+        WHERE x.doc_id < 100 AND y.doc_id < 100 AND x.text IS NOT NULL
+    ),
+    pred_a AS (
+        SELECT id_a AS a, id_b AS b FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE n_shared / (sa.sz + sb.sz - n_shared) >= CAST('0.3' AS DOUBLE)
+    ),
+    j_a AS (
+        SELECT coalesce(p.a, t.a) AS a, coalesce(p.b, t.b) AS b,
+               p.a IS NOT NULL AS in_p, t.a IS NOT NULL AS in_t
+        FROM pred_a p FULL OUTER JOIN truth t ON p.a = t.a AND p.b = t.b
+    ),
+    agg_a AS (
+        SELECT CAST('0.3' AS DOUBLE) AS threshold,
+               CAST(coalesce(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+               CAST(coalesce(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+        FROM j_a
+    ),
+    pred_b AS (
+        SELECT id_a AS a, id_b AS b FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE n_shared / (sa.sz + sb.sz - n_shared) >= CAST('0.5' AS DOUBLE)
+    ),
+    j_b AS (
+        SELECT coalesce(p.a, t.a) AS a, coalesce(p.b, t.b) AS b,
+               p.a IS NOT NULL AS in_p, t.a IS NOT NULL AS in_t
+        FROM pred_b p FULL OUTER JOIN truth t ON p.a = t.a AND p.b = t.b
+    ),
+    agg_b AS (
+        SELECT CAST('0.5' AS DOUBLE) AS threshold,
+               CAST(coalesce(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+               CAST(coalesce(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+        FROM j_b
+    ),
+    pred_c AS (
+        SELECT id_a AS a, id_b AS b FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE n_shared / (sa.sz + sb.sz - n_shared) >= CAST('0.8' AS DOUBLE)
+    ),
+    j_c AS (
+        SELECT coalesce(p.a, t.a) AS a, coalesce(p.b, t.b) AS b,
+               p.a IS NOT NULL AS in_p, t.a IS NOT NULL AS in_t
+        FROM pred_c p FULL OUTER JOIN truth t ON p.a = t.a AND p.b = t.b
+    ),
+    agg_c AS (
+        SELECT CAST('0.8' AS DOUBLE) AS threshold,
+               CAST(coalesce(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+               CAST(coalesce(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+        FROM j_c
+    ),
+    unioned AS (
+        SELECT * FROM agg_a UNION ALL SELECT * FROM agg_b UNION ALL SELECT * FROM agg_c
+    )
+    SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+    FROM unioned
+""",
+)
+def q470(spark, sf):
+    """Blocking-threshold precision/recall curve: q308's token-Jaccard
+    candidate generator evaluated against exact-duplicate truth at
+    thresholds 0.3/0.5/0.8 — the pair relation is computed ONCE at the
+    loosest threshold and filtered per point, so the curve costs one
+    extra filter per threshold (operators/dedup.ngram_jaccard_pairs +
+    pair_eval machinery)."""
+    from .operators import dedup
+
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=1, threshold=0.3)
+    dd = d.where(F.col("text").isNotNull())
+    norm = dedup.normalize_text(F.col("text"))
+    x = dd.select(F.col("doc_id").alias("id_a"), norm.alias("__n__"))
+    y = dd.select(F.col("doc_id").alias("id_b"), norm.alias("__n__"))
+    truth = x.join(y, on="__n__").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    parts = []
+    for thr in (0.3, 0.5, 0.8):
+        ev = dedup.pair_eval(pairs.where(F.col("jaccard") >= thr), truth)
+        parts.append(ev.select(
+            F.lit(thr).alias("threshold"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.col("fp"), F.lit(0)).cast("long").alias("fp"),
+            F.coalesce(F.col("fn"), F.lit(0)).cast("long").alias("fn"),
+            "precision", "recall",
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------------------------------------ q471
+@query(
+    "q471_degree_assortativity",
+    """
+    WITH base AS (
+        SELECT doc_id % 200 AS s, (doc_id * 7 + 3) % 200 AS d FROM documents
+        WHERE doc_id % 200 != (doc_id * 7 + 3) % 200
+    ),
+    e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM base),
+    bothdir AS (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM bothdir GROUP BY u),
+    j AS (
+        SELECT du.d AS du, dv.d AS dv
+        FROM bothdir JOIN deg du ON du.u = bothdir.u JOIN deg dv ON dv.u = bothdir.v
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS m2,
+               CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
+               CAST(sum(du * du) AS BIGINT) AS sxx, CAST(sum(dv * dv) AS BIGINT) AS syy,
+               CAST(sum(du * dv) AS BIGINT) AS sxy
+        FROM j
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges, nn.n_nodes,
+           CASE WHEN m2 * sxx - sx * sx > 0 AND m2 * syy - sy * sy > 0
+                THEN CAST(m2 * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE) * (m2 * syy - sy * sy)) END
+             AS assortativity
+    FROM g, nn
+    """,
+)
+def q471(spark, sf):
+    """Degree assortativity of the q344 document graph
+    (operators/mining.degree_assortativity): Pearson correlation of
+    endpoint degrees over both edge orientations — exact BIGINT
+    moments, one sqrt."""
+    from .operators import mining as mn
+
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        (F.col("doc_id") % 200).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return mn.degree_assortativity(base)
+
+
+# ------------------------------------------------------------------ q472
+@query(
+    "q472_hodges_lehmann",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, rev,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.event_type, (a.rev + b.rev) / 2 AS walsh
+        FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i <= b.i
+    ),
+    meta AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1)
+    SELECT m.event_type, m.n, CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(walsh, 0.5) AS hl_estimate
+    FROM pairs p JOIN meta m USING (event_type)
+    GROUP BY m.event_type, m.n
+    """,
+)
+def q472(spark, sf):
+    """Hodges-Lehmann robust location of each event type's daily
+    revenue (functions/stats.hodges_lehmann): the median of all Walsh
+    pairwise averages — exact half-integers, so the pair multiset and
+    its median are engine-identical."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("rev"))
+    return st.hodges_lehmann(daily, ["event_type"], "rev", max_n=500)

@@ -814,3 +814,24 @@ def test_rd_recovers_jump(spark):
     r = rd_estimate(df, "run", "y", cutoff=50, bandwidth=30).collect()[0]
     assert r.slope_left == 2.0 and r.slope_right == 2.0
     assert r.effect == 100.0
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    from riptable_spark.operators.mining import degree_assortativity
+
+    # star graph: hub 0 to leaves 1..5 -> perfectly disassortative (-1)
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = degree_assortativity(df).collect()[0]
+    assert r.n_edges == 5 and r.assortativity == -1.0
+
+
+def test_hodges_lehmann_shrugs_off_outlier(spark):
+    from riptable_spark.functions.stats import hodges_lehmann
+
+    vals = list(range(100, 121)) + [100000]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, x long")
+    r = hodges_lehmann(df, ["k"], "x").collect()[0]
+    # HL stays near the bulk center despite the huge outlier
+    assert 100 <= r.hl_estimate <= 125
+    assert r.n == 22 and r.n_pairs == 22 * 23 // 2

@@ -27,6 +27,7 @@ from riptable_spark import (  # noqa: F401 — register all batches
     queries11,
     queries12,
     queries13,
+    queries14,
 )
 from riptable_spark.queries import ORACLES, QUERIES
 
