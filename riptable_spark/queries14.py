@@ -217,3 +217,153 @@ def q472(spark, sf):
         F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("rev"))
     return st.hodges_lehmann(daily, ["event_type"], "rev", max_n=500)
+
+
+# ------------------------------------------------------------------ q473
+@query(
+    "q473_reorder_point",
+    """
+    WITH daily AS (
+        SELECT l_partkey % 100 AS part, CAST(floor(epoch(l_shipdate) / 86400.0) AS BIGINT) AS day,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+        FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT part, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS s, CAST(sum(d * d) AS BIGINT) AS ss
+        FROM daily GROUP BY part
+    )
+    SELECT part, n,
+           CAST(s AS DOUBLE) / n AS mean_daily,
+           sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * n)) AS sd_daily,
+           (CAST(s AS DOUBLE) / n) * 7
+             + CAST('1.645' AS DOUBLE) * sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * n))
+               * sqrt(CAST(7.0 AS DOUBLE)) AS reorder_point
+    FROM m WHERE n > 1
+    """,
+)
+def q473(spark: SparkSession, sf: str) -> DataFrame:
+    """Inventory reorder point per part family: μ_d·L + z·σ_d·√L with a
+    7-day lead time and z = 1.645 shipped as a STRING literal (DuckDB's
+    decimal-literal→double cast is not correctly rounded — ORACLES rule)
+    — population moments from exact BIGINT sums, sqrt/divide fixed
+    trees (native composition)."""
+    li = load_table(spark, sf, "lineitem")
+    daily = li.groupBy(
+        (F.col("l_partkey") % 100).alias("part"),
+        F.floor(F.unix_seconds(F.col("l_shipdate").cast("timestamp")) / 86400).cast("long").alias("day"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("d"))
+    m = daily.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+    ).where(F.col("n") > 1)
+    n = F.col("n")
+    mean = F.col("s") / n
+    sd = F.sqrt((n * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (n * n))
+    z = F.lit(1.645)
+    return m.select(
+        "part", "n", mean.alias("mean_daily"), sd.alias("sd_daily"),
+        (mean * 7 + z * sd * F.sqrt(F.lit(7.0))).alias("reorder_point"),
+    )
+
+
+# ------------------------------------------------------------------ q474
+def _q474_oracle() -> str:
+    # Erlang-B recurrence B_k = rho*B_{k-1} / (k + rho*B_{k-1}), B_0 = 1,
+    # unrolled for k = 1..10 as ONE fixed expression tree per row.
+    b = "CAST(1.0 AS DOUBLE)"
+    for k in range(1, 11):
+        b = f"((rho * {b}) / ({k} + rho * {b}))"
+    return f"""
+    WITH traffic AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               CAST(sum(CAST(round(value * 100) AS BIGINT) % 600 + 60) AS BIGINT)
+                 AS hold_s
+        FROM events GROUP BY event_type
+    ),
+    f AS (
+        SELECT event_type, n_calls, hold_s,
+               CAST(hold_s AS DOUBLE) / 86400 AS rho
+        FROM traffic
+    )
+    SELECT event_type, n_calls, hold_s, rho, {b} AS blocking_prob
+    FROM f
+    """
+
+
+@query("q474_erlang_b", _q474_oracle())
+def q474(spark: SparkSession, sf: str) -> DataFrame:
+    """Erlang-B blocking probability at 10 servers per event type: the
+    classic recurrence B_k = ρB_{k−1}/(k + ρB_{k−1}) UNROLLED into one
+    fixed expression tree (offered load ρ from exact integer hold-time
+    sums), so the whole telecom formula is engine-identical without a
+    single loop or UDF (native composition)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    traffic = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.sum(cents % 600 + 60).cast("long").alias("hold_s"),
+    )
+    rho = F.col("hold_s").cast("double") / 86400
+    b = F.lit(1.0)
+    for k in range(1, 11):
+        b = (rho * b) / (F.lit(k) + rho * b)
+    return traffic.select(
+        "event_type", "n_calls", "hold_s", rho.alias("rho"), b.alias("blocking_prob")
+    )
+
+
+# ------------------------------------------------------------------ q475
+@query(
+    "q475_impossible_travel",
+    """
+    WITH f AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id,
+               (CAST(round(value * 100) AS BIGINT) * 37) % 1000 AS gx,
+               (CAST(round(value * 100) AS BIGINT) * 91) % 1000 AS gy
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, event_id, tus, gx, gy,
+               lag(gx) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px,
+               lag(gy) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS py,
+               lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pt
+        FROM f
+    )
+    SELECT user_id, event_id,
+           CAST((gx - px) * (gx - px) + (gy - py) * (gy - py) AS BIGINT) AS d2,
+           CAST((tus - pt) // 1000000 AS BIGINT) AS dt_s,
+           ((gx - px) * (gx - px) + (gy - py) * (gy - py)) * 12960000
+             > 25 * ((tus - pt) // 1000000) * ((tus - pt) // 1000000) AS impossible
+    FROM lagged WHERE pt IS NOT NULL
+    """,
+)
+def q475(spark: SparkSession, sf: str) -> DataFrame:
+    """Impossible-travel detection (security staple): consecutive
+    logins per user on a synthetic planar grid, flagged when implied
+    speed exceeds 5 units/hour — the test runs as the cross-multiplied
+    integer comparison d²·(3600µs/h)² > v²·Δt², so no float speed or
+    sqrt ever exists (native composition over the lag machinery)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = ev.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("tus"), "event_id",
+        ((cents * 37) % 1000).alias("gx"), ((cents * 91) % 1000).alias("gy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    lagged = f.select(
+        "user_id", "event_id", "tus", "gx", "gy",
+        F.lag("gx").over(w).alias("px"), F.lag("gy").over(w).alias("py"),
+        F.lag("tus").over(w).alias("pt"),
+    ).where(F.col("pt").isNotNull())
+    dx = F.col("gx") - F.col("px")
+    dy = F.col("gy") - F.col("py")
+    d2 = dx * dx + dy * dy
+    dt_s = F.floor((F.col("tus") - F.col("pt")) / 1_000_000).cast("long")
+    return lagged.select(
+        "user_id", "event_id",
+        d2.cast("long").alias("d2"), dt_s.alias("dt_s"),
+        (d2 * F.lit(12_960_000) > F.lit(25) * dt_s * dt_s).alias("impossible"),
+    )
