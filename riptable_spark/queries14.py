@@ -367,3 +367,152 @@ def q475(spark: SparkSession, sf: str) -> DataFrame:
         d2.cast("long").alias("d2"), dt_s.alias("dt_s"),
         (d2 * F.lit(12_960_000) > F.lit(25) * dt_s * dt_s).alias("impossible"),
     )
+
+
+# ------------------------------------------------------------------ q476
+@query(
+    "q476_ledger_match",
+    """
+    WITH pay AS (
+        SELECT event_id AS pay_id, user_id AS acct, epoch_us(ts) AS ptus,
+               CAST(round(value * 100) AS BIGINT) AS amount
+        FROM events WHERE event_id % 3 = 0
+    ),
+    inv AS (
+        SELECT event_id AS inv_id, user_id AS acct, epoch_us(ts) AS itus,
+               CAST(round(value * 100) AS BIGINT) + (event_id % 150) - 75 AS amount
+        FROM events WHERE event_id % 3 = 1
+    ),
+    cand AS (
+        SELECT p.pay_id, p.acct, p.amount AS pay_amount,
+               i.inv_id, i.amount AS inv_amount,
+               abs(p.amount - i.amount) AS amt_diff,
+               abs(p.ptus - i.itus) AS t_diff
+        FROM pay p JOIN inv i
+          ON i.acct = p.acct AND abs(p.amount - i.amount) <= 100
+    ),
+    best AS (
+        SELECT pay_id, acct, pay_amount, inv_id, inv_amount, amt_diff,
+               row_number() OVER (PARTITION BY pay_id
+                                  ORDER BY amt_diff, t_diff, inv_id) AS rn
+        FROM cand
+    )
+    SELECT pay_id, acct, pay_amount, inv_id, inv_amount, amt_diff
+    FROM best WHERE rn = 1
+    """,
+)
+def q476(spark: SparkSession, sf: str) -> DataFrame:
+    """Payment-to-invoice reconciliation: per payment, the best invoice
+    on the same account within 100 cents (closest amount, then closest
+    time, then id — a fully integer deterministic ranking).  The
+    candidate join is an equi-join on the account (amounts filter
+    post-join), never a cartesian — the fintech matching staple
+    (native composition over grouped_topk ranking)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pay = ev.where(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("pay_id"), F.col("user_id").alias("acct"),
+        F.unix_micros(F.col("ts")).alias("ptus"), cents.alias("pay_amount"),
+    )
+    inv = ev.where(F.col("event_id") % 3 == 1).select(
+        F.col("event_id").alias("inv_id"), F.col("user_id").alias("acct"),
+        F.unix_micros(F.col("ts")).alias("itus"),
+        (cents + (F.col("event_id") % 150) - 75).alias("inv_amount"),
+    )
+    cand = pay.join(inv, on="acct").where(
+        F.abs(F.col("pay_amount") - F.col("inv_amount")) <= 100
+    ).select(
+        "pay_id", "acct", "pay_amount", "inv_id", "inv_amount",
+        F.abs(F.col("pay_amount") - F.col("inv_amount")).alias("amt_diff"),
+        F.abs(F.col("ptus") - F.col("itus")).alias("t_diff"),
+    )
+    w = Window.partitionBy("pay_id").orderBy("amt_diff", "t_diff", "inv_id")
+    return cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+        "pay_id", "acct", "pay_amount", "inv_id", "inv_amount", "amt_diff"
+    )
+
+
+# ------------------------------------------------------------------ q477
+def _q477_oracle() -> str:
+    cells = ", ".join(
+        f"CAST(coalesce(min(CASE WHEN pos = {p} THEN c END), 0) AS BIGINT) AS c{p}, "
+        f"CAST(coalesce(min(CASE WHEN pos = {p} THEN i END), 0) AS BIGINT) AS i{p}"
+        for p in range(1, 6)
+    )
+    # expected clicks per type: Σ_p i_p(type) · ctr_p(global), summed in
+    # fixed position order as one expression
+    exp_terms = " + ".join(
+        f"(t.i{p} * (CAST(g.c{p} AS DOUBLE) / g.i{p}))" for p in range(1, 6)
+    )
+    return f"""
+    WITH f AS (
+        SELECT event_type, CAST(event_id % 5 + 1 AS BIGINT) AS pos,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) % (event_id % 5 + 2) = 0
+                    THEN 1 ELSE 0 END AS click
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, pos, CAST(sum(click) AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS i
+        FROM f GROUP BY 1, 2
+    ),
+    per_type AS (SELECT event_type, {cells} FROM cnt GROUP BY event_type),
+    gbl AS (
+        SELECT {cells} FROM (
+            SELECT pos, CAST(sum(c) AS BIGINT) AS c, CAST(sum(i) AS BIGINT) AS i
+            FROM cnt GROUP BY pos
+        )
+    )
+    SELECT t.event_type,
+           CAST(t.c1 + t.c2 + t.c3 + t.c4 + t.c5 AS BIGINT) AS clicks,
+           CAST(t.i1 + t.i2 + t.i3 + t.i4 + t.i5 AS BIGINT) AS impressions,
+           ({exp_terms}) AS expected_clicks,
+           CAST(t.c1 + t.c2 + t.c3 + t.c4 + t.c5 AS DOUBLE) / ({exp_terms}) AS coec
+    FROM per_type t, gbl g
+    """
+
+
+@query("q477_coec_ctr", _q477_oracle())
+def q477(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-normalized click quality (COEC — clicks over expected
+    clicks): each type's clicks divided by the clicks expected from the
+    GLOBAL per-position CTR curve at its impression mix.  The five
+    position terms pivot into fixed columns and sum in literal order
+    (the bm25 float discipline); every count is an exact BIGINT (native
+    composition)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pos = (F.col("event_id") % 5 + 1).cast("long")
+    f = ev.select(
+        "event_type", pos.alias("pos"),
+        (cents % (F.col("event_id") % 5 + 2) == 0).cast("long").alias("click"),
+    )
+    cnt = f.groupBy("event_type", "pos").agg(
+        F.sum("click").cast("long").alias("c"), F.count(F.lit(1)).cast("long").alias("i")
+    )
+    def pivot(df, keys):
+        aggs = []
+        for p in range(1, 6):
+            aggs.append(F.coalesce(F.min(F.when(F.col("pos") == p, F.col("c"))), F.lit(0)).cast("long").alias(f"c{p}"))
+            aggs.append(F.coalesce(F.min(F.when(F.col("pos") == p, F.col("i"))), F.lit(0)).cast("long").alias(f"i{p}"))
+        return df.groupBy(*keys).agg(*aggs) if keys else df.groupBy().agg(*aggs)
+    per_type = pivot(cnt, ["event_type"])
+    glob = pivot(
+        cnt.groupBy("pos").agg(F.sum("c").cast("long").alias("c"), F.sum("i").cast("long").alias("i")),
+        [],
+    )
+    j = per_type.crossJoin(F.broadcast(glob.select(*[F.col(f"c{p}").alias(f"gc{p}") for p in range(1, 6)],
+                                                   *[F.col(f"i{p}").alias(f"gi{p}") for p in range(1, 6)])))
+    clicks = sum((F.col(f"c{p}") for p in range(2, 6)), F.col("c1"))
+    imps = sum((F.col(f"i{p}") for p in range(2, 6)), F.col("i1"))
+    expected = None
+    for p in range(1, 6):
+        term = F.col(f"i{p}") * (F.col(f"gc{p}").cast("double") / F.col(f"gi{p}"))
+        expected = term if expected is None else expected + term
+    return j.select(
+        "event_type",
+        clicks.cast("long").alias("clicks"),
+        imps.cast("long").alias("impressions"),
+        expected.alias("expected_clicks"),
+        (clicks.cast("double") / expected).alias("coec"),
+    )
