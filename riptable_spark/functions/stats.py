@@ -2870,3 +2870,72 @@ def hodges_lehmann(
         F.percentile("walsh", F.lit(0.5)).alias("hl_estimate"),
     )
     return meta.join(est, on=list(keys)).select(*keys, "n", "n_pairs", "hl_estimate")
+
+
+def raking_ipf(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: dict,
+    col_targets: dict,
+) -> DataFrame:
+    """Survey raking (one full IPF cycle): adjust cell weights so the
+    weighted table hits literal ROW targets exactly and COL targets
+    after the column pass — the post-stratification workhorse when only
+    marginal population totals are known.
+
+        f_r = T_r / n_r              (row factor, one divide)
+        m_c = Σ_r n_rc · f_r         (FIXED literal-order sum — the row
+                                      domain comes from ``row_targets``,
+                                      so the fold is a fixed expression,
+                                      never a float aggregation)
+        g_c = U_c / m_c              (column factor)
+        w_rc = f_r · g_c
+
+    Exactness: counts are BIGINTs; factors and weights are fixed float
+    trees over them — engine-identical.  One (row, col) hash agg; the
+    cell grid is category-sized and broadcasts.  Returns one row per
+    cell: (row, col, n, row_factor, col_factor, weight,
+    weighted_mass).
+    """
+    rows = list(row_targets.items())
+    cols = list(col_targets.items())
+    cell = df.groupBy(
+        F.col(row_col).alias("__r__"), F.col(col_col).alias("__c__")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rown = cell.groupBy("__r__").agg(F.sum("n").cast("long").alias("__nr__"))
+    cellf = cell.join(F.broadcast(rown), on="__r__")
+    # row factor as a literal CASE over the target dict
+    fexpr = None
+    for rv, tr in rows:
+        cond = F.col("__r__") == F.lit(rv)
+        val = F.lit(int(tr)).cast("double") / F.col("__nr__")
+        fexpr = F.when(cond, val) if fexpr is None else fexpr.when(cond, val)
+    cellf = cellf.withColumn("row_factor", fexpr)
+    # column mass m_c = Σ_r n_rc·f_r in FIXED row order: pivot rows to columns
+    piv = cellf.groupBy("__c__").agg(
+        *[
+            F.coalesce(
+                F.min(F.when(F.col("__r__") == F.lit(rv), F.col("n") * F.col("row_factor"))),
+                F.lit(0.0),
+            ).alias(f"__m{i}__")
+            for i, (rv, _) in enumerate(rows)
+        ]
+    )
+    m = None
+    for i in range(len(rows)):
+        t = F.col(f"__m{i}__")
+        m = t if m is None else m + t
+    gexpr = None
+    for cv, uc in cols:
+        cond = F.col("__c__") == F.lit(cv)
+        val = F.lit(int(uc)).cast("double") / m
+        gexpr = F.when(cond, val) if gexpr is None else gexpr.when(cond, val)
+    colf = piv.select("__c__", gexpr.alias("col_factor"))
+    out = cellf.join(F.broadcast(colf), on="__c__")
+    return out.select(
+        F.col("__r__").alias(row_col), F.col("__c__").alias(col_col), "n",
+        "row_factor", "col_factor",
+        (F.col("row_factor") * F.col("col_factor")).alias("weight"),
+        (F.col("n") * F.col("row_factor") * F.col("col_factor")).alias("weighted_mass"),
+    )

@@ -516,3 +516,55 @@ def q477(spark: SparkSession, sf: str) -> DataFrame:
         expected.alias("expected_clicks"),
         (clicks.cast("double") / expected).alias("coec"),
     )
+
+
+# ------------------------------------------------------------------ q478
+@query(
+    "q478_raking_ipf",
+    """
+    WITH f AS (
+        SELECT event_type AS r,
+               CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS c
+        FROM events
+    ),
+    cell AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+    rown AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM cell GROUP BY r),
+    cellf AS (
+        SELECT cell.r, cell.c, cell.n, rown.nr, CASE WHEN r = 'click' THEN CAST(2000 AS DOUBLE) / nr WHEN r = 'error' THEN CAST(2000 AS DOUBLE) / nr WHEN r = 'purchase' THEN CAST(2000 AS DOUBLE) / nr WHEN r = 'signup' THEN CAST(2000 AS DOUBLE) / nr WHEN r = 'view' THEN CAST(2000 AS DOUBLE) / nr END AS rf
+        FROM cell JOIN rown USING (r)
+    ),
+    piv AS (
+        SELECT c, coalesce(min(CASE WHEN r = 'click' THEN n * rf END), CAST(0.0 AS DOUBLE)) AS m0, coalesce(min(CASE WHEN r = 'error' THEN n * rf END), CAST(0.0 AS DOUBLE)) AS m1, coalesce(min(CASE WHEN r = 'purchase' THEN n * rf END), CAST(0.0 AS DOUBLE)) AS m2, coalesce(min(CASE WHEN r = 'signup' THEN n * rf END), CAST(0.0 AS DOUBLE)) AS m3, coalesce(min(CASE WHEN r = 'view' THEN n * rf END), CAST(0.0 AS DOUBLE)) AS m4 FROM cellf GROUP BY c
+    ),
+    colf AS (
+        SELECT c,
+               CASE WHEN c = 'even' THEN CAST(5000 AS DOUBLE) / (m0 + m1 + m2 + m3 + m4)
+                    WHEN c = 'odd' THEN CAST(5000 AS DOUBLE) / (m0 + m1 + m2 + m3 + m4) END AS gf
+        FROM piv
+    )
+    SELECT cellf.r AS event_type, cellf.c AS parity, cellf.n,
+           cellf.rf AS row_factor, colf.gf AS col_factor,
+           cellf.rf * colf.gf AS weight,
+           cellf.n * cellf.rf * colf.gf AS weighted_mass
+    FROM cellf JOIN colf ON colf.c = cellf.c
+""",
+)
+def q478(spark, sf):
+    """Survey raking / iterative proportional fitting, one full cycle
+    (functions/stats.raking_ipf): cell weights hitting literal row
+    targets (2000 per event type) then column targets (5000 per user
+    parity).  The column-mass fold runs over FIXED literal row columns
+    (rule 22 — never a float aggregation), so factors and weights are
+    engine-identical fixed trees."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("parity"),
+    )
+    out = st.raking_ipf(
+        ev, "event_type", "parity",
+        {"click": 2000, "error": 2000, "purchase": 2000, "signup": 2000, "view": 2000},
+        {"even": 5000, "odd": 5000},
+    )
+    return out

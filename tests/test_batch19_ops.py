@@ -835,3 +835,19 @@ def test_hodges_lehmann_shrugs_off_outlier(spark):
     # HL stays near the bulk center despite the huge outlier
     assert 100 <= r.hl_estimate <= 125
     assert r.n == 22 and r.n_pairs == 22 * 23 // 2
+
+
+def test_raking_hits_both_margins(spark):
+    from riptable_spark.functions.stats import raking_ipf
+
+    rows = [("a", "x")] * 30 + [("a", "y")] * 10 + [("b", "x")] * 20 + [("b", "y")] * 40
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = raking_ipf(df, "r", "c", {"a": 50, "b": 50}, {"x": 60, "y": 40}).collect()
+    # column targets hold exactly after the column pass
+    from collections import defaultdict
+    col_mass = defaultdict(float)
+    for rr in out:
+        col_mass[rr.c] += rr.weighted_mass
+    assert abs(col_mass["x"] - 60) < 1e-9 and abs(col_mass["y"] - 40) < 1e-9
+    # weights are positive and cells complete
+    assert len(out) == 4 and all(rr.weight > 0 for rr in out)
