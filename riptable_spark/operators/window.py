@@ -1403,3 +1403,60 @@ def c_chart(
         ((dev > 0) & (dev * dev > thresh)).alias("out_high"),
         ((dev < 0) & (dev * dev > thresh)).alias("out_low"),
     )
+
+
+def attribute_time_decay(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    is_touch_col: str,
+    is_conversion_col: str,
+    half_life_days: int = 7,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-decay multi-touch attribution with DYADIC decay: a touch
+    ``k`` half-lives before the conversion earns raw weight 2^−k — and
+    because the decay base is 2, every weight is an EXACT power of two:
+    scaling by 2^K (K = the deepest half-life bucket) turns the whole
+    credit computation into integer arithmetic.  credit = w/Σw is then
+    one divide of exact BIGINTs — no exp(), no float decay anywhere
+    (the engine-portable twist on the classic e^−λt rule).
+
+    Touches attribute to the NEXT conversion (running-min of conversion
+    time over the reversed frame — the attribute_u_shaped discipline,
+    no IGNORE NULLS).  Buckets deeper than 62 half-lives clamp (their
+    weight is 0 at int64 scale anyway).  Returns per touch:
+    (user, touch order col(s), age_buckets, weight_scaled, total_scaled,
+    credit).
+    """
+    order = [time_col] + ([order_tiebreak] if order_tiebreak else [])
+    t = F.unix_micros(F.col(time_col))
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order])
+    wfwd = w.rowsBetween(0, Window.unboundedFollowing)
+    conv_t = F.when(F.col(is_conversion_col).cast("int") == 1, t)
+    next_conv = F.min(conv_t).over(wfwd)
+    touches = df.withColumn("__ct__", next_conv).where(
+        (F.col(is_touch_col).cast("int") == 1) & F.col("__ct__").isNotNull()
+    )
+    hl_us = int(half_life_days) * 86_400_000_000
+    bucket = F.least(F.floor((F.col("__ct__") - t) / F.lit(hl_us)).cast("long"), F.lit(62))
+    touches = touches.withColumn("__b__", bucket)
+    kmax = Window.partitionBy(user_col, "__ct__")
+    touches = touches.withColumn("__k__", F.max("__b__").over(kmax))
+    # weight_scaled = 2^(K − b): an exact integer (dynamic shift amount —
+    # F.shiftleft only takes literal counts, the build_bloom discipline)
+    touches = touches.withColumn(
+        "weight_scaled",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__k__ - __b__ AS INT))"),
+    )
+    tot = Window.partitionBy(user_col, "__ct__")
+    touches = touches.withColumn(
+        "total_scaled", F.sum("weight_scaled").over(tot).cast("long")
+    )
+    return touches.select(
+        F.col(user_col), *[F.col(c) for c in order],
+        F.col("__ct__").alias("conversion_us"),
+        F.col("__b__").alias("age_buckets"),
+        "weight_scaled", "total_scaled",
+        (F.col("weight_scaled") / F.col("total_scaled")).alias("credit"),
+    )

@@ -568,3 +568,189 @@ def q478(spark, sf):
         {"even": 5000, "odd": 5000},
     )
     return out
+
+
+# ------------------------------------------------------------------ q479
+@query(
+    "q479_time_decay_attribution",
+    """
+    WITH f AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id,
+               CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS touch,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    nxt AS (
+        SELECT user_id, tus, event_id, touch,
+               min(CASE WHEN conv = 1 THEN tus END)
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ct
+        FROM f
+    ),
+    touches AS (
+        SELECT user_id, tus, event_id, ct,
+               least(CAST((ct - tus) // 604800000000 AS BIGINT), 62) AS b
+        FROM nxt WHERE touch = 1 AND ct IS NOT NULL
+    ),
+    kk AS (
+        SELECT user_id, tus, event_id, ct, b,
+               max(b) OVER (PARTITION BY user_id, ct) AS k
+        FROM touches
+    ),
+    wts AS (
+        SELECT user_id, tus, event_id, ct, b,
+               (CAST(1 AS BIGINT) << CAST(k - b AS INT)) AS ws
+        FROM kk
+    )
+    SELECT user_id, tus, event_id, ct AS conversion_us, b AS age_buckets,
+           ws AS weight_scaled,
+           CAST(sum(ws) OVER (PARTITION BY user_id, ct) AS BIGINT) AS total_scaled,
+           CAST(ws AS DOUBLE)
+             / sum(ws) OVER (PARTITION BY user_id, ct) AS credit
+    FROM wts
+    """,
+)
+def q479(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-decay multi-touch attribution with DYADIC half-life decay
+    (operators/window.attribute_time_decay): a touch k half-lives (7
+    days) before its next conversion weighs 2^−k — powers of two make
+    every weight an exact integer after rebasing, so credits are single
+    divides with no exp() anywhere."""
+    from .operators import window as win
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").isin("click", "view").cast("int").alias("touch"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    out = win.attribute_time_decay(
+        ev, "user_id", "ts", "touch", "conv", half_life_days=7, order_tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("tus"), "event_id",
+        "conversion_us", "age_buckets", "weight_scaled", "total_scaled", "credit",
+    )
+
+
+# ------------------------------------------------------------------ q480
+@query(
+    "q480_prefix_autocomplete",
+    r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> length(x) >= 3)) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT substr(tok, 1, 3) AS prefix, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT prefix, tok AS completion, cnt FROM (
+        SELECT prefix, tok, cnt,
+               row_number() OVER (PARTITION BY prefix ORDER BY cnt DESC, tok) AS rn
+        FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def q480(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix autocomplete table: the most frequent completion for
+    every 3-character token prefix (count desc, lexicographic
+    tie-break) — the WindowGroupLimit streaming-top-k shape over the
+    (prefix, token) aggregate (native composition with
+    window.grouped_topk)."""
+    from .operators.dedup import normalize_text
+    from .operators.window import grouped_topk
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda x: F.length(x) >= 3
+    )
+    counts = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy(F.substring("tok", 1, 3).alias("prefix"), "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = grouped_topk(counts, ["prefix"], "cnt", k=1, tiebreak=["tok"])
+    return top.select("prefix", F.col("tok").alias("completion"), "cnt")
+
+
+# ------------------------------------------------------------------ q481
+@query(
+    "q481_hotspot_gi",
+    """
+    WITH pts AS (
+        SELECT (CAST(round(value * 100) AS BIGINT) * 37) % 1000 // 100 AS cx,
+               (CAST(round(value * 100) AS BIGINT) * 91) % 1000 // 100 AS cy
+        FROM events
+    ),
+    cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS nc,
+               CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        FROM cells
+    ),
+    stencil AS (
+        SELECT c.cx, c.cy, c.n, c.cx + dx.o AS px, c.cy + dy.o AS py
+        FROM cells c,
+             (SELECT unnest([-1, 0, 1]) AS o) dx,
+             (SELECT unnest([-1, 0, 1]) AS o) dy
+    ),
+    nbr AS (
+        SELECT s.cx, s.cy, min(s.n) AS n,
+               CAST(sum(o.n) AS BIGINT) AS s_i, CAST(count(o.n) AS BIGINT) AS k_i
+        FROM stencil s JOIN cells o ON o.cx = s.px AND o.cy = s.py
+        GROUP BY s.cx, s.cy
+    )
+    SELECT nbr.cx, nbr.cy, nbr.n, nbr.s_i, nbr.k_i,
+           (nbr.s_i - nbr.k_i * (CAST(st.s1 AS DOUBLE) / st.nc))
+             / (sqrt(CAST(st.nc * st.s2 - st.s1 * st.s1 AS DOUBLE) / (st.nc * st.nc))
+                * sqrt(CAST(st.nc * nbr.k_i - nbr.k_i * nbr.k_i AS DOUBLE) / (st.nc - 1)))
+             AS gi_z
+    FROM nbr, stats st
+    """,
+)
+def q481(spark: SparkSession, sf: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over a synthetic 10×10 activity
+    grid: each cell's 3×3 neighborhood sum against the global cell-count
+    distribution — the stencil is the grid_neighbor_join equi-join
+    discipline, and every statistic composes from exact BIGINT moments
+    with fixed divide/sqrt trees (native composition)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pts = ev.select(
+        F.floor(((cents * 37) % 1000) / 100).cast("long").alias("cx"),
+        F.floor(((cents * 91) % 1000) / 100).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    stencil = cells.select(
+        "cx", "cy", "n",
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + dx).alias("px"), (F.col("cy") + dy).alias("py"))
+            for dx, dy in offs
+        ])).alias("p"),
+    ).select("cx", "cy", "n", F.col("p.px").alias("px"), F.col("p.py").alias("py"))
+    other = cells.select(
+        F.col("cx").alias("px"), F.col("cy").alias("py"), F.col("n").alias("no")
+    )
+    nbr = stencil.join(other, on=["px", "py"]).groupBy("cx", "cy").agg(
+        F.min("n").alias("n"),
+        F.sum("no").cast("long").alias("s_i"),
+        F.count("no").cast("long").alias("k_i"),
+    )
+    j = nbr.crossJoin(F.broadcast(stats))
+    mu = F.col("s1").cast("double") / F.col("nc")
+    sigma = F.sqrt((F.col("nc") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+                   / (F.col("nc") * F.col("nc")))
+    denom2 = F.sqrt((F.col("nc") * F.col("k_i") - F.col("k_i") * F.col("k_i")).cast("double")
+                    / (F.col("nc") - 1))
+    return j.select(
+        "cx", "cy", "n", "s_i", "k_i",
+        ((F.col("s_i") - F.col("k_i") * mu) / (sigma * denom2)).alias("gi_z"),
+    )

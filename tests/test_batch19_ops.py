@@ -851,3 +851,25 @@ def test_raking_hits_both_margins(spark):
     assert abs(col_mass["x"] - 60) < 1e-9 and abs(col_mass["y"] - 40) < 1e-9
     # weights are positive and cells complete
     assert len(out) == 4 and all(rr.weight > 0 for rr in out)
+
+
+def test_time_decay_attribution_dyadic_weights(spark):
+    from riptable_spark.operators.window import attribute_time_decay
+
+    day = 86_400_000_000
+    # touches 0, 7, 14 days before a conversion at t=14d (half-life 7d):
+    # buckets 2, 1, 0 -> scaled weights 1, 2, 4 ; credits 1/7, 2/7, 4/7
+    rows = [
+        ("u", 0, 1, 1, 0), ("u", 7 * 86400, 2, 1, 0), ("u", 14 * 86400 - 1, 3, 1, 0),
+        ("u", 14 * 86400, 4, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "u string, sec long, eid long, touch int, conv int").select(
+        "u", F.timestamp_seconds(F.col("sec")).alias("ts"), "eid", "touch", "conv"
+    )
+    out = sorted(
+        attribute_time_decay(df, "u", "ts", "touch", "conv", 7, "eid").collect(),
+        key=lambda r: r.eid,
+    )
+    assert [r.weight_scaled for r in out] == [1, 2, 4]
+    assert [r.total_scaled for r in out] == [7, 7, 7]
+    assert abs(sum(r.credit for r in out) - 1.0) < 1e-12
