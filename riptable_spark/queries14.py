@@ -754,3 +754,215 @@ def q481(spark: SparkSession, sf: str) -> DataFrame:
         "cx", "cy", "n", "s_i", "k_i",
         ((F.col("s_i") - F.col("k_i") * mu) / (sigma * denom2)).alias("gi_z"),
     )
+
+
+# ------------------------------------------------------------------ q482
+@query(
+    "q482_forecast_reconcile",
+    """
+    WITH hist AS (
+        SELECT o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS w
+        FROM orders WHERE year(o_orderdate) < 2000 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM hist),
+    months AS (SELECT unnest(range(0, 6)) AS m),
+    tops AS (SELECT m, CAST(10000 + 500 * m AS BIGINT) AS top_forecast FROM months),
+    alloc AS (
+        SELECT t.m, t.top_forecast, h.prio, h.w, tt.tw,
+               t.top_forecast * h.w // tt.tw AS base_share,
+               t.top_forecast * h.w % tt.tw AS rem,
+               row_number() OVER (PARTITION BY t.m
+                                  ORDER BY t.top_forecast * h.w % tt.tw DESC, h.prio) AS rr
+        FROM tops t CROSS JOIN hist h CROSS JOIN tot tt
+    ),
+    need AS (
+        SELECT m, top_forecast - sum(base_share) AS extra FROM alloc GROUP BY m, top_forecast
+    )
+    SELECT a.m AS month, a.prio,
+           CAST(a.base_share + CASE WHEN a.rr <= n.extra THEN 1 ELSE 0 END AS BIGINT)
+             AS forecast_units
+    FROM alloc a JOIN need n ON n.m = a.m
+    """,
+)
+def q482(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-down forecast reconciliation: six monthly top-level forecasts
+    apportioned to order priorities by historical share with the
+    LARGEST-REMAINDER rule per month — every month's allocation sums
+    back to its top-level number EXACTLY (the allocate_proportional /
+    rev_schedule discipline applied per group; native composition)."""
+    o = load_table(spark, sf, "orders").where(F.year("o_orderdate") < 2000)
+    hist = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    tot = hist.agg(F.sum("w").cast("long").alias("tw"))
+    months = load_table(spark, sf, "region").sparkSession.range(0, 6).select(
+        F.col("id").alias("m"), (10000 + 500 * F.col("id")).cast("long").alias("top_forecast")
+    )
+    alloc = months.crossJoin(hist).crossJoin(F.broadcast(tot)).select(
+        "m", "top_forecast", "prio", "w", "tw",
+        F.floor(F.col("top_forecast") * F.col("w") / F.col("tw")).cast("long").alias("base_share"),
+        (F.col("top_forecast") * F.col("w") % F.col("tw")).alias("rem"),
+    )
+    w = Window.partitionBy("m").orderBy(F.col("rem").desc(), "prio")
+    alloc = alloc.withColumn("rr", F.row_number().over(w))
+    need = alloc.groupBy("m", "top_forecast").agg(
+        (F.min("top_forecast") - F.sum("base_share")).cast("long").alias("extra")
+    ).select("m", "extra")
+    j = alloc.join(need, on="m")
+    return j.select(
+        F.col("m").alias("month"), "prio",
+        (F.col("base_share") + (F.col("rr") <= F.col("extra")).cast("long")).cast("long")
+        .alias("forecast_units"),
+    )
+
+
+# ------------------------------------------------------------------ q483
+@query(
+    "q483_partial_corr",
+    """
+    WITH f AS (
+        SELECT CAST(round(value * 100) AS BIGINT) % 100 AS z,
+               (CAST(round(value * 100) AS BIGINT) % 100) * 2 + CAST(round(value * 100) AS BIGINT) % 7 AS x,
+               (CAST(round(value * 100) AS BIGINT) % 100) * 3 + CAST(round(value * 100) AS BIGINT) % 11 AS y
+        FROM events
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * z) AS BIGINT) AS sxz,
+               CAST(sum(y * z) AS BIGINT) AS syz,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(z * z) AS BIGINT) AS szz
+        FROM f
+    ),
+    r AS (
+        SELECT n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)) AS rxy,
+               CAST(n * sxz - sx * sz AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * szz - sz * sz)) AS rxz,
+               CAST(n * syz - sy * sz AS DOUBLE)
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE) * (n * szz - sz * sz)) AS ryz
+        FROM m
+    )
+    SELECT n, rxy, rxz, ryz,
+           (rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) AS partial_rxy_z
+    FROM r
+    """,
+)
+def q483(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial correlation r_xy·z on a synthetic confounded triple: the
+    three pairwise correlations come from exact BIGINT moments, the
+    partial from the standard fixed-tree formula — with x and y both
+    driven by z plus independent noise, controlling for z must collapse
+    the raw correlation (native composition over the corr_matrix
+    moment machinery)."""
+    ev = load_table(spark, sf, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    z = c % 100
+    f = ev.select(
+        z.alias("z"), (z * 2 + c % 7).alias("x"), (z * 3 + c % 11).alias("y")
+    )
+    m = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"), F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+    )
+    n = F.col("n")
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    out = m.select("n", rxy.alias("rxy"), rxz.alias("rxz"), ryz.alias("ryz"))
+    return out.select(
+        "n", "rxy", "rxz", "ryz",
+        ((F.col("rxy") - F.col("rxz") * F.col("ryz"))
+         / F.sqrt((1 - F.col("rxz") * F.col("rxz")) * (1 - F.col("ryz") * F.col("ryz"))))
+        .alias("partial_rxy_z"),
+    )
+
+
+# ------------------------------------------------------------------ q484
+_Q484_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@query(
+    "q484_nearest_centroid_eval",
+    f"""
+    WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sums AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_l, i,
+               sum(v[i]) AS s
+        FROM base, range(1, 65) t(i) GROUP BY label, i
+    ),
+    cents AS (
+        SELECT label, list(s / n_l ORDER BY i) AS cv FROM sums GROUP BY label, n_l
+    ),
+    assigned AS (
+        SELECT b.vec_id, b.label AS true_label, c.label AS pred_label
+        FROM (
+            SELECT b.vec_id, b.label, c.label AS clabel,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_Q484_COS.format(a='b.v', b='c.cv')} DESC,
+                                               c.label) AS rn
+            FROM base b, cents c
+        ) x
+        JOIN base b ON b.vec_id = x.vec_id
+        JOIN cents c ON c.label = x.clabel
+        WHERE x.rn = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS accuracy
+    FROM assigned
+    """,
+)
+def q484(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation on the embeddings table:
+    per-label mean vectors (exact per-dim sums, one divide), each
+    vector assigned to its max-cosine centroid (identical-double
+    ranking, label tie-break), accuracy from exact counts — the
+    sanity-check eval every embedding space gets (native composition
+    over group_centroids/ivf_assign machinery)."""
+    from .operators.similarity import cosine
+
+    e = load_table(spark, sf, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", "label", dvec.alias("v"))
+    sums = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(64)],
+    )
+    cents = sums.select(
+        F.col("label").alias("clabel"),
+        F.array(*[F.col(f"s{i}") / F.col("n_l") for i in range(64)]).alias("cv"),
+    )
+    crossed = base.crossJoin(F.broadcast(cents))
+    scored = crossed.select(
+        "vec_id", "label", "clabel", cosine(F.col("v"), F.col("cv")).alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("clabel"))
+    assigned = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return assigned.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("label") == F.col("clabel")).cast("long")).cast("long").alias("n_correct"),
+    ).select(
+        "n", "n_correct", (F.col("n_correct") / F.col("n")).alias("accuracy")
+    )
