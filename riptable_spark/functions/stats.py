@@ -2270,6 +2270,7 @@ def forecast_accuracy(
     actual_col: str,
     forecast_col: str,
     order: list[str],
+    seasonal_period: int = 1,
 ) -> DataFrame:
     """Forecast-accuracy report per series — the metrics a demand/load
     forecasting pipeline tracks, in the cross-engine-exact forms:
@@ -2285,9 +2286,12 @@ def forecast_accuracy(
                                               float group-sum no engine
                                               pair folds identically,
                                               ORACLES.md rules 11/19)
-        mase  = Σ|e| · (n−1) / (n · Σ|a_t − a_{t−1}|)
+        mase  = Σ|e| · (n−m) / (n · Σ|a_t − a_{t−m}|)
                                              (scaled by the in-sample
-                                              naive one-step MAE)
+                                              naive MAE at lag m =
+                                              ``seasonal_period``; m=1
+                                              is the classic MASE, m=7
+                                              the seasonal variant)
 
     Every numerator/denominator accumulates as an exact BIGINT from
     integer-scaled inputs; each metric is ONE divide of exact operands,
@@ -2297,8 +2301,9 @@ def forecast_accuracy(
     a = F.col(actual_col).cast("long")
     f_ = F.col(forecast_col).cast("long")
     e = f_ - a
+    m = int(seasonal_period)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
-    work = df.withColumn("__naive__", F.abs(a - F.lag(a).over(w)))
+    work = df.withColumn("__naive__", F.abs(a - F.lag(a, m).over(w)))
     g = work.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(e).cast("long").alias("sum_e"),
@@ -2315,8 +2320,8 @@ def forecast_accuracy(
         F.when(F.col("sum_aa") > 0, F.col("sum_ae") / F.col("sum_aa")).alias("wape"),
         F.when(F.col("sum_af") > 0, (2 * F.col("sum_ae")) / F.col("sum_af")).alias("smape"),
         F.when(
-            (n > 1) & (F.col("sum_naive") > 0),
-            (F.col("sum_ae") * (n - 1)) / (n * F.col("sum_naive")),
+            (n > m) & (F.col("sum_naive") > 0),
+            (F.col("sum_ae") * (n - m)) / (n * F.col("sum_naive")),
         ).alias("mase"),
     )
 

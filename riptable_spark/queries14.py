@@ -966,3 +966,182 @@ def q484(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "n", "n_correct", (F.col("n_correct") / F.col("n")).alias("accuracy")
     )
+
+
+# ------------------------------------------------------------------ q485
+@query(
+    "q485_graph_summary",
+    """
+    WITH base AS (
+        SELECT doc_id % 200 AS s, (doc_id * 7 + 3) % 200 AS d FROM documents
+        WHERE doc_id % 200 != (doc_id * 7 + 3) % 200
+    ),
+    e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM base),
+    bothdir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM bothdir GROUP BY u),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tri FROM (
+            SELECT ab.a, ab.b, bc.b AS c
+            FROM e ab JOIN e bc ON bc.a = ab.b
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        )
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d) AS BIGINT) AS deg_sum,
+               CAST(max(d) AS BIGINT) AS max_degree
+        FROM deg
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT agg.n_nodes, ne.n_edges, agg.max_degree,
+           CAST(agg.deg_sum AS DOUBLE) / agg.n_nodes AS avg_degree,
+           CAST(2 * ne.n_edges AS DOUBLE) / (agg.n_nodes * (agg.n_nodes - 1)) AS density,
+           tri.n_tri AS n_triangles
+    FROM agg, ne, tri
+    """,
+)
+def q485(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row graph profile of the q344 document graph: nodes, edges,
+    max/avg degree, density, and the oriented triangle count — the
+    summary card a graph pipeline prints before running anything
+    expensive (composes operators/mining.triangle_count with the degree
+    machinery; all exact integers + single divides)."""
+    from .operators import mining as mn
+
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        (F.col("doc_id") % 200).alias("s"), ((F.col("doc_id") * 7 + 3) % 200).alias("d")
+    ).where(F.col("s") != F.col("d"))
+    e = base.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct()
+    bothdir = e.select(F.col("a").alias("u")).unionByName(e.select(F.col("b").alias("u")))
+    deg = bothdir.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("dg").cast("long").alias("deg_sum"),
+        F.max("dg").cast("long").alias("max_degree"),
+    )
+    tri = mn.triangle_count(e.select(F.col("a").alias("item_a"), F.col("b").alias("item_b")))
+    j = agg.crossJoin(F.broadcast(tri))
+    return j.select(
+        "n_nodes", "n_edges", "max_degree",
+        (F.col("deg_sum") / F.col("n_nodes")).alias("avg_degree"),
+        ((2 * F.col("n_edges")) / (F.col("n_nodes") * (F.col("n_nodes") - 1))).alias("density"),
+        F.col("n_triangles").alias("n_triangles"),
+    )
+
+
+# ------------------------------------------------------------------ q486
+@query(
+    "q486_seasonal_mase",
+    """
+    WITH f AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hr,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS a
+        FROM events GROUP BY 1, 2
+    ),
+    fc AS (
+        SELECT event_type, hr, a, CAST(hr % 40000 + 100 AS BIGINT) AS pred FROM f
+    ),
+    w AS (
+        SELECT event_type, a, pred, pred - a AS e,
+               abs(a - lag(a, 24) OVER (PARTITION BY event_type ORDER BY hr)) AS naive
+        FROM fc
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(e) AS BIGINT) AS sum_e,
+               CAST(sum(abs(e)) AS BIGINT) AS sum_ae,
+               CAST(sum(abs(a)) AS BIGINT) AS sum_aa,
+               CAST(sum(abs(a) + abs(pred)) AS BIGINT) AS sum_af,
+               CAST(sum(naive) AS BIGINT) AS sum_naive
+        FROM w GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(sum_e AS DOUBLE) / n AS bias,
+           CAST(sum_ae AS DOUBLE) / n AS mae,
+           CASE WHEN sum_aa > 0 THEN CAST(sum_ae AS DOUBLE) / sum_aa END AS wape,
+           CASE WHEN sum_af > 0 THEN CAST(2 * sum_ae AS DOUBLE) / sum_af END AS smape,
+           CASE WHEN n > 24 AND sum_naive > 0
+                THEN CAST(sum_ae * (n - 24) AS DOUBLE) / (n * sum_naive) END AS mase
+    FROM g
+    """,
+)
+def q486(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal MASE (m = 24 hours) over hourly revenue series
+    (functions/stats.forecast_accuracy(seasonal_period=24)): the scaled
+    error now benchmarks against the seasonal-naive lag-24 walk — the
+    fair baseline for any series with a daily cycle."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events")
+    f = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("hr"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("a"))
+    fc = f.select(
+        "event_type", "hr", "a", (F.col("hr") % 40000 + 100).cast("long").alias("pred")
+    )
+    return st.forecast_accuracy(fc, ["event_type"], "a", "pred", ["hr"], seasonal_period=24)
+
+
+# ------------------------------------------------------------------ q487
+@query(
+    "q487_cost_allocation",
+    """
+    WITH direct AS (
+        SELECT user_id % 8 AS team,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS direct_cents,
+               CAST(count(*) AS BIGINT) AS usage
+        FROM events GROUP BY 1
+    ),
+    shared AS (SELECT CAST(1000000 AS BIGINT) AS pool),
+    tot AS (SELECT CAST(sum(usage) AS BIGINT) AS tu FROM direct),
+    alloc AS (
+        SELECT d.team, d.direct_cents, d.usage,
+               s.pool * d.usage // t.tu AS base_share,
+               s.pool * d.usage % t.tu AS rem,
+               row_number() OVER (ORDER BY s.pool * d.usage % t.tu DESC, d.team) AS rr,
+               s.pool
+        FROM direct d, shared s, tot t
+    ),
+    need AS (SELECT CAST(min(pool) - sum(base_share) AS BIGINT) AS extra FROM alloc)
+    SELECT a.team, a.direct_cents, a.usage,
+           CAST(a.base_share + CASE WHEN a.rr <= n.extra THEN 1 ELSE 0 END AS BIGINT)
+             AS shared_cents,
+           CAST(a.direct_cents + a.base_share
+                + CASE WHEN a.rr <= n.extra THEN 1 ELSE 0 END AS BIGINT) AS total_cents
+    FROM alloc a, need n
+    """,
+)
+def q487(spark: SparkSession, sf: str) -> DataFrame:
+    """FinOps cost allocation: each team's direct spend plus its
+    largest-remainder share of a fixed shared pool (1,000,000 cents)
+    apportioned by usage — the shared pool conserves EXACTLY across
+    teams (the rev_schedule/q482 discipline; native composition)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    direct = ev.groupBy((F.col("user_id") % 8).alias("team")).agg(
+        F.sum(cents).cast("long").alias("direct_cents"),
+        F.count(F.lit(1)).cast("long").alias("usage"),
+    )
+    tot = direct.agg(F.sum("usage").cast("long").alias("tu"))
+    pool = 1_000_000
+    alloc = direct.crossJoin(F.broadcast(tot)).select(
+        "team", "direct_cents", "usage",
+        F.floor(F.lit(pool) * F.col("usage") / F.col("tu")).cast("long").alias("base_share"),
+        (F.lit(pool) * F.col("usage") % F.col("tu")).alias("rem"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), "team")
+    alloc = alloc.withColumn("rr", F.row_number().over(w))
+    need = alloc.agg((F.lit(pool) - F.sum("base_share")).cast("long").alias("extra"))
+    j = alloc.crossJoin(F.broadcast(need))
+    sh = F.col("base_share") + (F.col("rr") <= F.col("extra")).cast("long")
+    return j.select(
+        "team", "direct_cents", "usage",
+        sh.cast("long").alias("shared_cents"),
+        (F.col("direct_cents") + sh).cast("long").alias("total_cents"),
+    )
