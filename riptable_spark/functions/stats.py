@@ -2944,3 +2944,50 @@ def raking_ipf(
         (F.col("row_factor") * F.col("col_factor")).alias("weight"),
         (F.col("n") * F.col("row_factor") * F.col("col_factor")).alias("weighted_mass"),
     )
+
+
+def mrr_at_k(
+    df: DataFrame,
+    query_cols: list[str],
+    rank_col: str,
+    rel_col: str,
+    k: int,
+) -> DataFrame:
+    """Mean Reciprocal Rank @k — the third classic ranking metric beside
+    :func:`ndcg_at_k` and :func:`map_at_k`: per query, 1/rank of the
+    FIRST relevant result within the top k (0 if none).
+
+    Exact form: with L = lcm(1..k), the per-query score L/first_rank is
+    an exact BIGINT, so the cross-query mean is one divide of exact
+    sums — no float reciprocals ever aggregate.  Returns the per-query
+    relation (query…, first_rel_rank, rr_scaled) plus a 1-row global
+    (n_queries, mrr) via a second agg; callers wanting just the global
+    can aggregate ``rr_scaled`` themselves.  This function returns the
+    PER-QUERY relation with the global columns broadcast onto it.
+    """
+    import math
+
+    L = math.lcm(*range(1, k + 1))
+    rel = F.col(rel_col).cast("long")
+    d = df.select(
+        *query_cols, F.col(rank_col).cast("long").alias("__rk__"), rel.alias("__rel__")
+    )
+    per = d.groupBy(*query_cols).agg(
+        F.min(
+            F.when((F.col("__rel__") > 0) & (F.col("__rk__") <= k), F.col("__rk__"))
+        ).alias("first_rel_rank")
+    )
+    rr_scaled = F.when(
+        F.col("first_rel_rank").isNotNull(),
+        F.lit(int(L)).cast("long") / F.col("first_rel_rank"),
+    ).otherwise(F.lit(0.0))
+    per = per.withColumn("rr_scaled", rr_scaled.cast("long"))
+    glob = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("rr_scaled").cast("long").alias("rr_sum_scaled"),
+    )
+    out = per.crossJoin(F.broadcast(glob))
+    return out.select(
+        *query_cols, "first_rel_rank", "rr_scaled", "n_queries",
+        (F.col("rr_sum_scaled") / (F.lit(int(L)) * F.col("n_queries"))).alias("mrr"),
+    )

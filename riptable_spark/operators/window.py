@@ -1460,3 +1460,31 @@ def attribute_time_decay(
         "weight_scaled", "total_scaled",
         (F.col("weight_scaled") / F.col("total_scaled")).alias("credit"),
     )
+
+
+def wma(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    val_col: str,
+    weights: list[int],
+    out_col: str = "wma",
+) -> DataFrame:
+    """Weighted moving average with INTEGER weights (triangular/linear
+    WMA, the technical-analysis staple between SMA and EMA): the window
+    is expressed as ``len(weights)`` explicit lag terms added in fixed
+    order, so the weighted sum is an exact BIGINT and the average one
+    divide — no rolling float sum exists (weights[0] applies to the
+    current row, weights[i] to lag i).  Rows without a full window
+    yield NULL (the reference rolling convention).  One per-key sort
+    window.
+    """
+    x = F.col(val_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    num = None
+    for i, wt in enumerate(weights):
+        term = F.lit(int(wt)) * (x if i == 0 else F.lag(x, i).over(w))
+        num = term if num is None else num + term
+    den = sum(int(wt) for wt in weights)
+    full = F.lag(x, len(weights) - 1).over(w).isNotNull()
+    return df.withColumn(out_col, F.when(full, num / F.lit(den)))

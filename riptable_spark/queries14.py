@@ -1145,3 +1145,128 @@ def q487(spark: SparkSession, sf: str) -> DataFrame:
         sh.cast("long").alias("shared_cents"),
         (F.col("direct_cents") + sh).cast("long").alias("total_cents"),
     )
+
+
+# ------------------------------------------------------------------ q488
+@query(
+    "q488_mrr_at_k",
+    """
+    WITH ranked AS (
+        SELECT user_id AS q,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+        FROM events
+    ),
+    per AS (
+        SELECT q, min(CASE WHEN rel > 0 AND rk <= 10 THEN rk END) AS first_rel_rank
+        FROM ranked GROUP BY q
+    ),
+    scaled AS (
+        SELECT q, first_rel_rank,
+               CAST(CASE WHEN first_rel_rank IS NOT NULL
+                         THEN 2520 / first_rel_rank ELSE 0 END AS BIGINT) AS rr_scaled
+        FROM per
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(rr_scaled) AS BIGINT) AS rr_sum FROM scaled
+    )
+    SELECT s.q AS user_id, s.first_rel_rank, s.rr_scaled, g.n_queries,
+           CAST(g.rr_sum AS DOUBLE) / (2520 * g.n_queries) AS mrr
+    FROM scaled s, g
+    """,
+)
+def q488(spark: SparkSession, sf: str) -> DataFrame:
+    """MRR@10 treating each user's event stream as a ranking and
+    purchases as the relevant items (functions/stats.mrr_at_k): with
+    L = lcm(1..10) = 2520, every reciprocal rank is an exact BIGINT, so
+    the mean is one divide — completes the ranking-eval trio beside
+    NDCG (q373) and MAP (q374)."""
+    from .functions import stats as st
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        F.col("user_id").alias("q"),
+        F.row_number().over(w).alias("rk"),
+        (F.col("event_type") == "purchase").cast("long").alias("rel"),
+    )
+    out = st.mrr_at_k(ranked, ["q"], "rk", "rel", k=10)
+    return out.select(
+        F.col("q").alias("user_id"), "first_rel_rank", "rr_scaled", "n_queries", "mrr"
+    )
+
+
+# ------------------------------------------------------------------ q489
+@query(
+    "q489_wma",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, rev,
+           CASE WHEN lag(rev, 4) OVER (PARTITION BY event_type ORDER BY day) IS NOT NULL
+                THEN CAST(5 * rev
+                          + 4 * lag(rev, 1) OVER (PARTITION BY event_type ORDER BY day)
+                          + 3 * lag(rev, 2) OVER (PARTITION BY event_type ORDER BY day)
+                          + 2 * lag(rev, 3) OVER (PARTITION BY event_type ORDER BY day)
+                          + 1 * lag(rev, 4) OVER (PARTITION BY event_type ORDER BY day)
+                      AS DOUBLE) / 15 END AS wma
+    FROM daily
+    """,
+)
+def q489(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangular 5-day weighted moving average of daily revenue per
+    event type (operators/window.wma): the window is five explicit lag
+    terms in fixed order — an exact BIGINT weighted sum, one divide,
+    NULL until the window fills; no rolling float sum exists."""
+    from .operators import window as win
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("rev"))
+    return win.wma(daily, ["event_type"], ["day"], "rev", [5, 4, 3, 2, 1])
+
+
+# ------------------------------------------------------------------ q490
+@query(
+    "q490_int_division_semantics",
+    """
+    WITH f AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) % 97 - 48 AS a,
+               CAST(event_id % 7 + 3 AS BIGINT) AS b
+        FROM events WHERE event_id % 11 = 0
+    )
+    SELECT event_id, a, b,
+           a % b AS c_mod,
+           ((a % b) + b) % b AS pmod,
+           CAST(trunc(CAST(a AS DOUBLE) / b) AS BIGINT) AS div_trunc,
+           CAST(floor(CAST(a AS DOUBLE) / b) AS BIGINT) AS div_floor
+    FROM f
+    """,
+)
+def q490(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer division/modulo semantics parity on NEGATIVE operands:
+    C-style % (sign of the dividend) agrees between engines, pmod is
+    the ((a%b)+b)%b rewrite, truncating division is Spark's DIV ==
+    trunc(a/b), flooring division is floor(a/b) — the translation table
+    any cross-engine port needs pinned (native parity sweep; the
+    integer quotients are exact doubles below 2^53 so trunc/floor are
+    boundary-safe)."""
+    ev = load_table(spark, sf, "events").where(F.col("event_id") % 11 == 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = ev.select(
+        "event_id", (cents % 97 - 48).alias("a"), (F.col("event_id") % 7 + 3).alias("b")
+    )
+    return f.select(
+        "event_id", "a", "b",
+        (F.col("a") % F.col("b")).alias("c_mod"),
+        F.pmod(F.col("a"), F.col("b")).alias("pmod"),
+        F.expr("a DIV b").alias("div_trunc"),
+        F.floor(F.col("a") / F.col("b")).cast("long").alias("div_floor"),
+    )
