@@ -1270,3 +1270,228 @@ def q490(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("a DIV b").alias("div_trunc"),
         F.floor(F.col("a") / F.col("b")).cast("long").alias("div_floor"),
     )
+
+
+# ------------------------------------------------------------------ q491
+@query(
+    "q491_luhn_check",
+    """
+    WITH f AS (
+        SELECT event_id,
+               lpad(CAST(CAST(round(value * 100) AS BIGINT) * 9973 % 1000000000 AS VARCHAR),
+                    10, '0') AS pan
+        FROM events WHERE event_id % 5 = 0
+    ),
+    digits AS (
+        SELECT event_id, pan, i,
+               CAST(substr(pan, len(pan) - i + 1, 1) AS BIGINT) AS d
+        FROM f, unnest(generate_series(1, 10)) AS u(i)
+    ),
+    scored AS (
+        SELECT event_id, pan,
+               CAST(sum(CASE WHEN i % 2 = 0
+                             THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+                             ELSE d END) AS BIGINT) AS luhn_sum
+        FROM digits GROUP BY event_id, pan
+    )
+    SELECT event_id, pan, luhn_sum, luhn_sum % 10 = 0 AS luhn_valid
+    FROM scored
+    """,
+)
+def q491(spark: SparkSession, sf: str) -> DataFrame:
+    """Luhn checksum validation over synthetic 10-digit account numbers:
+    right-to-left digit walk with even-position doubling (the 2d−9
+    fold), all exact integer arithmetic over an exploded digit-position
+    grid — the payments-ingest validity gate (native parity sweep)."""
+    ev = load_table(spark, sf, "events").where(F.col("event_id") % 5 == 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = ev.select(
+        "event_id",
+        F.lpad((cents * 9973 % 1_000_000_000).cast("string"), 10, "0").alias("pan"),
+    )
+    digits = f.select(
+        "event_id", "pan", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i")
+    ).withColumn(
+        "d", F.substring_index(F.expr("substr(pan, length(pan) - i + 1, 1)"), " ", 1).cast("long")
+    )
+    doubled = F.when(
+        F.col("i") % 2 == 0,
+        F.when(F.col("d") * 2 > 9, F.col("d") * 2 - 9).otherwise(F.col("d") * 2),
+    ).otherwise(F.col("d"))
+    scored = digits.groupBy("event_id", "pan").agg(
+        F.sum(doubled).cast("long").alias("luhn_sum")
+    )
+    return scored.select(
+        "event_id", "pan", "luhn_sum", (F.col("luhn_sum") % 10 == 0).alias("luhn_valid")
+    )
+
+
+# ------------------------------------------------------------------ q492
+@query(
+    "q492_auto_histogram",
+    """
+    WITH f AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+    ),
+    meta AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi,
+               CAST(length(bin(count(*))) AS BIGINT) AS bits
+        FROM f GROUP BY event_type
+    ),
+    binned AS (
+        SELECT f.event_type, m.n, m.bits AS n_bins,
+               least(CAST((f.x - m.lo) * m.bits // (m.hi - m.lo + 1) AS BIGINT),
+                     m.bits - 1) AS bin
+        FROM f JOIN meta m USING (event_type)
+    )
+    SELECT event_type, n_bins, bin, CAST(count(*) AS BIGINT) AS cnt
+    FROM binned GROUP BY 1, 2, 3
+    """,
+)
+def q492(spark: SparkSession, sf: str) -> DataFrame:
+    """Sturges auto-binned histogram per event type: the bin count is
+    ⌊log2 n⌋+1 computed as the BIT LENGTH of n (pure integer — no
+    float log), bins assigned by exact integer scaling — the
+    automatic-histogram shape with zero float boundaries (native
+    composition)."""
+    ev = load_table(spark, sf, "events")
+    f = ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("x"))
+    meta = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.length(F.bin(F.count(F.lit(1)))).cast("long").alias("bits"),
+    )
+    j = f.join(F.broadcast(meta), on="event_type")
+    bin_ = F.least(
+        F.floor((F.col("x") - F.col("lo")) * F.col("bits") / (F.col("hi") - F.col("lo") + 1)).cast("long"),
+        F.col("bits") - 1,
+    )
+    return j.groupBy("event_type", F.col("bits").alias("n_bins"), bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+# ------------------------------------------------------------------ q493
+@query(
+    "q493_sla_credits",
+    """
+    WITH f AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) % 50 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, n_err,
+           CAST(n - n_err AS DOUBLE) / n AS attainment,
+           CASE WHEN (n - n_err) * 1000 >= 999 * n THEN 0
+                WHEN (n - n_err) * 1000 >= 990 * n THEN 10
+                WHEN (n - n_err) * 1000 >= 950 * n THEN 25
+                ELSE 100 END AS credit_pct
+    FROM f
+    """,
+)
+def q493(spark: SparkSession, sf: str) -> DataFrame:
+    """SLA attainment and contractual service credits per event type:
+    tier thresholds (99.9/99/95%) tested by integer cross-
+    multiplication — no float attainment ever gates a credit (native
+    composition beside sla_burn q419)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((cents % 50 == 0).cast("long")).cast("long").alias("n_err"),
+    )
+    ok = F.col("n") - F.col("n_err")
+    credit = (
+        F.when(ok * 1000 >= 999 * F.col("n"), 0)
+        .when(ok * 1000 >= 990 * F.col("n"), 10)
+        .when(ok * 1000 >= 950 * F.col("n"), 25)
+        .otherwise(100)
+    )
+    return f.select(
+        "event_type", "n", "n_err",
+        (ok / F.col("n")).alias("attainment"),
+        credit.cast("int").alias("credit_pct"),
+    )
+
+
+# ------------------------------------------------------------------ q494
+@query(
+    "q494_validity_audit",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'user' || doc_id || '@example.com'
+                    WHEN doc_id % 3 = 1 THEN 'not-an-email-' || doc_id
+                    ELSE 'u' || doc_id || '@bad' END AS email,
+               CASE WHEN doc_id % 2 = 0
+                    THEN '10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                    ELSE '999.12.' || doc_id END AS ip
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN regexp_matches(email,
+                '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid_email,
+           CAST(sum(CASE WHEN regexp_matches(ip,
+                '^([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])(\.([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])){3}$')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_ip
+    FROM seeded
+    """,
+)
+def q494(spark: SparkSession, sf: str) -> DataFrame:
+    """Field-validity audit: RFC-ish email and strict dotted-quad IPv4
+    validation rates over deterministically seeded good/bad values —
+    the regexes stay in the Java∩RE2 subset (the scrub_pii q148
+    discipline turned from redaction to validation)."""
+    d = load_table(spark, sf, "documents")
+    email = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("not-an-email-"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit("@bad")))
+    )
+    ip = (
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"),
+                        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(F.concat(F.lit("999.12."), F.col("doc_id").cast("string")))
+    )
+    seeded = d.select("doc_id", email.alias("email"), ip.alias("ip"))
+    em_re = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+    ip_re = r"^([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])(\.([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])){3}$"
+    return seeded.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("email").rlike(em_re).cast("long")).cast("long").alias("n_valid_email"),
+        F.sum(F.col("ip").rlike(ip_re).cast("long")).cast("long").alias("n_valid_ip"),
+    )
+
+
+# ------------------------------------------------------------------ q495
+@query(
+    "q495_jains_index",
+    """
+    WITH f AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS total,
+           CAST(sum(x) * sum(x) AS DOUBLE) / (count(*) * sum(x * x)) AS jains_index
+    FROM f
+    """,
+)
+def q495(spark: SparkSession, sf: str) -> DataFrame:
+    """Jain's fairness index of per-user event counts: (Σx)²/(n·Σx²) —
+    1 when perfectly even, →1/n under monopoly; exact BIGINT sums, one
+    divide (native composition; the fairness twin of q254's Gini)."""
+    ev = load_table(spark, sf, "events")
+    f = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+        ((F.sum("x") * F.sum("x")) / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))))
+        .alias("jains_index"),
+    )
