@@ -1495,3 +1495,309 @@ def q495(spark: SparkSession, sf: str) -> DataFrame:
         ((F.sum("x") * F.sum("x")) / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))))
         .alias("jains_index"),
     )
+
+
+# ------------------------------------------------------------------ q496
+@query(
+    "q496_peak_to_average",
+    """
+    WITH hourly AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n) AS BIGINT) AS total,
+           CAST(max(n) AS BIGINT) AS peak,
+           CAST(max(n) * count(*) AS DOUBLE) / sum(n) AS peak_to_avg,
+           CAST(sum(n) AS DOUBLE) / (max(n) * count(*)) AS load_factor
+    FROM hourly GROUP BY event_type
+    """,
+)
+def q496(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak-to-average ratio and load factor per event type over hourly
+    traffic — the capacity-planning pair (provision for peak, bill for
+    average); exact integer counts, single divides (native
+    composition)."""
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("peak"),
+    )
+    return g.select(
+        "event_type", "n_hours", "total", "peak",
+        ((F.col("peak") * F.col("n_hours")) / F.col("total")).alias("peak_to_avg"),
+        (F.col("total") / (F.col("peak") * F.col("n_hours"))).alias("load_factor"),
+    )
+
+
+# ------------------------------------------------------------------ q497
+@query(
+    "q497_generalization_ladder",
+    """
+    WITH lvl AS (
+        SELECT unnest([10, 50, 200]) AS coarseness
+    ),
+    classes AS (
+        SELECT l.coarseness, o.o_custkey // l.coarseness AS qi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders o CROSS JOIN lvl l
+        GROUP BY 1, 2
+    ),
+    audit AS (
+        SELECT coarseness,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               CAST(min(n) AS BIGINT) AS min_class
+        FROM classes GROUP BY coarseness
+    )
+    SELECT coarseness, n_classes, n_violations, min_class,
+           n_violations = 0 AS k_satisfied
+    FROM audit
+    """,
+)
+def q497(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity generalization ladder: the same quasi-identifier at
+    three coarsening levels (customer-key buckets of 10/50/200), each
+    audited for k=5 — release at the FINEST level with zero violations.
+    Completes the k/l/t privacy family (q413/q461) with the mitigation
+    step (native composition over profile.k_anonymity machinery)."""
+    o = load_table(spark, sf, "orders")
+    parts = []
+    for c in (10, 50, 200):
+        cl = o.groupBy(F.floor(F.col("o_custkey") / c).cast("long").alias("qi")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        parts.append(
+            cl.agg(
+                F.lit(c).cast("long").alias("coarseness"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.sum((F.col("n") < 5).cast("long")).cast("long").alias("n_violations"),
+                F.min("n").cast("long").alias("min_class"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "coarseness", "n_classes", "n_violations", "min_class",
+        (F.col("n_violations") == 0).alias("k_satisfied"),
+    )
+
+
+# ------------------------------------------------------------------ q498
+@query(
+    "q498_dup_cluster_histogram",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    comp AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cluster_size FROM norm GROUP BY t
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM comp GROUP BY cluster_size
+    """,
+)
+def q498(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster size histogram: exact-dup clusters by
+    normalized text, reported as the count-of-counts distribution
+    (1 = unique docs, 2+ = duplicate families) — the dedup report that
+    says what a dedup pass will actually delete (native composition
+    over the fingerprint machinery)."""
+    from .operators.dedup import normalize_text
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    comp = d.groupBy(normalize_text(F.col("text")).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.min("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+# ------------------------------------------------------------------ q499
+@query(
+    "q499_retention_ttl_audit",
+    """
+    WITH snap AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS now_us FROM events),
+    ttl AS (
+        SELECT event_type,
+               CASE event_type WHEN 'error' THEN 7 WHEN 'click' THEN 30
+                    WHEN 'view' THEN 30 ELSE 365 END AS ttl_days
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_type, t.ttl_days,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN a.now_us - epoch_us(e.ts) > t.ttl_days * 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+           CAST(sum(CASE WHEN a.now_us - epoch_us(e.ts) > t.ttl_days * 86400000000
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS expired_share
+    FROM events e JOIN ttl t USING (event_type), snap a
+    GROUP BY e.event_type, t.ttl_days
+    """,
+)
+def q499(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-retention TTL compliance audit: rows past their class's
+    retention window measured against the dataset's own max timestamp
+    (no wall clock — determinism), exact microsecond age comparisons —
+    the GDPR/records-management sweep every governed table runs
+    (native composition)."""
+    ev = load_table(spark, sf, "events")
+    asof = ev.agg(F.max(F.unix_micros(F.col("ts"))).cast("long").alias("now_us"))
+    ttl = (
+        F.when(F.col("event_type") == "error", 7)
+        .when(F.col("event_type").isin("click", "view"), 30)
+        .otherwise(365)
+        .cast("long")
+    )
+    j = ev.select("event_type", F.unix_micros(F.col("ts")).alias("tus")).withColumn(
+        "ttl_days", ttl
+    ).crossJoin(F.broadcast(asof))
+    expired = (F.col("now_us") - F.col("tus") > F.col("ttl_days") * 86_400_000_000).cast("long")
+    g = j.groupBy("event_type", "ttl_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(expired).cast("long").alias("n_expired"),
+    )
+    return g.select(
+        "event_type", "ttl_days", "n_rows", "n_expired",
+        (F.col("n_expired") / F.col("n_rows")).alias("expired_share"),
+    )
+
+
+# ------------------------------------------------------------------ q500
+@query(
+    "q500_pipeline_scorecard",
+    r"""
+    WITH w AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM w GROUP BY source),
+    f AS (
+        SELECT doc_id, source, lang, n_chars, text, len(toks) AS n_toks,
+               len(toks) BETWEEN 50 AND 100000 AS r_word_count,
+               (length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                / greatest(len(toks), 1) >= 0.8 AS r_alpha
+        FROM w
+    ),
+    gated AS (
+        SELECT * FROM f WHERE r_word_count AND r_mean_word_len AND r_alpha
+    ),
+    ng AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gated FROM gated GROUP BY source),
+    deduped AS (
+        SELECT doc_id, source, lang, n_chars, text, n_toks FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    bench_toks AS (
+        SELECT string_split(regexp_replace(lower(trim(substr(text, 1, 120))), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE doc_id % 101 = 0 AND text IS NOT NULL
+    ),
+    bench AS (
+        SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+        FROM bench_toks, unnest(generate_series(1, greatest(len(t)-2, 1))) AS u(i)
+    ),
+    cur_toks AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM deduped
+    ),
+    cur_grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        FROM cur_toks, unnest(generate_series(1, greatest(len(t)-2, 1))) AS u(i)
+    ),
+    contaminated AS (
+        SELECT doc_id FROM cur_grams JOIN bench USING (g)
+        GROUP BY doc_id HAVING count(*) >= 8
+    ),
+    marked AS (
+        SELECT d.*, c.doc_id IS NOT NULL AS contam,
+               CASE WHEN (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000) < 800 THEN 'train'
+                    WHEN (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000) < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM deduped d LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    ),
+    released AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(CASE WHEN contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(sum(CASE WHEN NOT contam THEN 1 ELSE 0 END) AS BIGINT) AS n_released,
+               CAST(sum(CASE WHEN NOT contam THEN n_toks ELSE 0 END) AS BIGINT) AS token_sum,
+               CAST(count(DISTINCT CASE WHEN NOT contam THEN lang END) AS BIGINT) AS n_langs,
+               CAST(sum(CASE WHEN NOT contam AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN NOT contam AND split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+               CAST(sum(CASE WHEN NOT contam AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM marked GROUP BY source
+    )
+    SELECT r.source, r.n_raw, ng.n_gated, rel.n_unique, rel.n_contaminated,
+           rel.n_released, rel.token_sum, rel.n_langs,
+           rel.n_train, rel.n_val, rel.n_test,
+           CAST(ng.n_gated AS DOUBLE) / r.n_raw AS gate_pass_rate,
+           CAST(rel.n_unique AS DOUBLE) / ng.n_gated AS unique_rate
+    FROM raw r JOIN ng USING (source) JOIN released rel USING (source)
+    """,
+)
+def q500(spark: SparkSession, sf: str) -> DataFrame:
+    """QUERY 500 — the per-source pipeline scorecard: raw counts →
+    quality-gate pass rate → exact-dedup survivors → decontamination
+    removals → released docs/tokens/langs/split mix, all in ONE
+    relation whose ENTIRE chain (regex quality rules, dedup tie-breaks,
+    3-gram contamination, md5 split hashing, per-source rollup) replays
+    in SQL — the corpus release card a 100 TB curation run prints,
+    composing pipeline.curate_corpus + decontaminate end to end."""
+    from .operators.pipeline import curate_corpus, decontaminate
+    from .operators.text import token_count
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    raw = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    cur = curate_corpus(d, rules=("r_word_count", "r_mean_word_len", "r_alpha"))
+    # gate counts BEFORE dedup: recompute the gate flags (same codepath)
+    from .operators import text as tx
+
+    flags = tx.gopher_quality_flags(d)
+    gated = flags.where(
+        F.col("r_word_count") & F.col("r_mean_word_len") & F.col("r_alpha")
+    )
+    ng = gated.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_gated"))
+    bench = d.where((F.col("doc_id") % 101 == 0)).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    cont = decontaminate(cur, bench, "text", "doc_id", n=3, min_hits=8).select("doc_id")
+    marked = cur.join(
+        cont.withColumn("__c__", F.lit(1)), on="doc_id", how="left"
+    ).withColumn("contam", F.col("__c__").isNotNull()).withColumn(
+        "n_toks", token_count(F.col("text"))
+    )
+    keep = ~F.col("contam")
+    rel = marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.col("contam").cast("long")).cast("long").alias("n_contaminated"),
+        F.sum(keep.cast("long")).cast("long").alias("n_released"),
+        F.sum(F.when(keep, F.col("n_toks")).otherwise(0)).cast("long").alias("token_sum"),
+        F.countDistinct(F.when(keep, F.col("lang"))).cast("long").alias("n_langs"),
+        F.sum((keep & (F.col("split") == "train")).cast("long")).cast("long").alias("n_train"),
+        F.sum((keep & (F.col("split") == "val")).cast("long")).cast("long").alias("n_val"),
+        F.sum((keep & (F.col("split") == "test")).cast("long")).cast("long").alias("n_test"),
+    )
+    j = raw.join(ng, on="source").join(rel, on="source")
+    return j.select(
+        "source", "n_raw", "n_gated", "n_unique", "n_contaminated",
+        "n_released", "token_sum", "n_langs", "n_train", "n_val", "n_test",
+        (F.col("n_gated") / F.col("n_raw")).alias("gate_pass_rate"),
+        (F.col("n_unique") / F.col("n_gated")).alias("unique_rate"),
+    )
