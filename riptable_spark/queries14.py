@@ -1801,3 +1801,240 @@ def q500(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_gated") / F.col("n_raw")).alias("gate_pass_rate"),
         (F.col("n_unique") / F.col("n_gated")).alias("unique_rate"),
     )
+
+
+# ------------------------------------------------------------------ q501
+@query(
+    "q501_wilson_ranking",
+    """
+    WITH f AS (
+        SELECT user_id % 40 AS item,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) % 3 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM events GROUP BY 1
+    ),
+    sc AS (
+        SELECT item, n, pos,
+               (CAST(pos AS DOUBLE) / n
+                + CAST('1.9208' AS DOUBLE) / n
+                - CAST('1.96' AS DOUBLE)
+                  * sqrt((CAST(pos AS DOUBLE) / n) * (1 - CAST(pos AS DOUBLE) / n) / n
+                         + CAST('0.9604' AS DOUBLE) / (n * n)))
+               / (1 + CAST('3.8416' AS DOUBLE) / n) AS wilson_lb
+        FROM f WHERE n > 0
+    )
+    SELECT item, n, pos, wilson_lb,
+           CAST(row_number() OVER (ORDER BY wilson_lb DESC, item) AS BIGINT) AS rank
+    FROM sc
+    """,
+)
+def q501(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilson-lower-bound ranking (the "how not to sort by average
+    rating" fix): items ordered by the 95% Wilson interval's lower
+    bound — all constants shipped as STRING literals (z=1.96, z²,
+    z²/2, z⁴/4), the formula one fixed tree over exact counts, ranking
+    deterministic with an item tie-break (native composition beside
+    proportion_ci q235)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = ev.groupBy((F.col("user_id") % 40).alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((cents % 3 == 0).cast("long")).cast("long").alias("pos"),
+    )
+    p = F.col("pos").cast("double") / F.col("n")
+    n = F.col("n")
+    z, z2, z2h, z4q = F.lit(1.96), F.lit(3.8416), F.lit(1.9208), F.lit(0.9604)
+    lb = (p + z2h / n - z * F.sqrt(p * (1 - p) / n + z4q / (n * n))) / (1 + z2 / n)
+    sc = f.where(n > 0).withColumn("wilson_lb", lb)
+    w = Window.orderBy(F.col("wilson_lb").desc(), "item")
+    return sc.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ------------------------------------------------------------------ q502
+@query(
+    "q502_bayes_rating",
+    """
+    WITH f AS (
+        SELECT user_id % 40 AS item,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((CAST(round(value * 100) AS BIGINT) % 5) + 1) AS BIGINT) AS rating_sum
+        FROM events GROUP BY 1
+    ),
+    prior AS (
+        SELECT CAST(sum(rating_sum) AS BIGINT) AS gs, CAST(sum(n) AS BIGINT) AS gn FROM f
+    )
+    SELECT f.item, f.n, f.rating_sum,
+           CAST(f.rating_sum AS DOUBLE) / f.n AS raw_mean,
+           CAST(20 * p.gs + f.rating_sum * p.gn AS DOUBLE)
+             / (p.gn * (20 + f.n)) AS bayes_mean
+    FROM f, prior p
+    """,
+)
+def q502(spark: SparkSession, sf: str) -> DataFrame:
+    """Bayesian-average rating with prior strength C=20 toward the
+    global mean: the IMDb-style shrinkage (C·μ + Σx)/(C + n) kept as
+    ONE divide of exact integer cross-products (μ never materializes —
+    the target_encode exact-mode discipline)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = ev.groupBy((F.col("user_id") % 40).alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((cents % 5) + 1).cast("long").alias("rating_sum"),
+    )
+    prior = f.agg(
+        F.sum("rating_sum").cast("long").alias("gs"), F.sum("n").cast("long").alias("gn")
+    )
+    j = f.crossJoin(F.broadcast(prior))
+    return j.select(
+        "item", "n", "rating_sum",
+        (F.col("rating_sum") / F.col("n")).alias("raw_mean"),
+        ((20 * F.col("gs") + F.col("rating_sum") * F.col("gn"))
+         / (F.col("gn") * (20 + F.col("n")))).alias("bayes_mean"),
+    )
+
+
+# ------------------------------------------------------------------ q503
+@query(
+    "q503_rand_ari",
+    """
+    WITH f AS (
+        SELECT label AS t, vec_id % 7 AS p FROM embeddings
+    ),
+    cont AS (SELECT t, p, CAST(count(*) AS BIGINT) AS nij FROM f GROUP BY 1, 2),
+    rows_ AS (SELECT t, CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY t),
+    cols_ AS (SELECT p, CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY p),
+    tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cont),
+    sums AS (
+        SELECT (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) FROM cont) AS s_ij,
+               (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) FROM rows_) AS s_a,
+               (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) FROM cols_) AS s_b,
+               (SELECT CAST(n * (n - 1) // 2 AS BIGINT) FROM tot) AS s_n
+    )
+    SELECT s_ij, s_a, s_b, s_n,
+           CAST(s_n + 2 * s_ij - s_a - s_b AS DOUBLE) / s_n AS rand_index,
+           CAST(s_ij * s_n - s_a * s_b AS DOUBLE)
+             / ((s_a + s_b) * s_n // 2 - s_a * s_b) AS ari
+    FROM sums
+    """,
+)
+def q503(spark: SparkSession, sf: str) -> DataFrame:
+    """Rand index and Adjusted Rand Index between the embedding labels
+    and a synthetic clustering: pure pair-counting — every term a
+    C(n,2)-style exact BIGINT, RI and ARI single divides of integer
+    cross-products (the clustering-eval counterpart of q308's pair
+    eval; no per-item float average exists)."""
+    e = load_table(spark, sf, "embeddings")
+    f = e.select(F.col("label").alias("t"), (F.col("vec_id") % 7).alias("p"))
+    cont = f.groupBy("t", "p").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    s_ij = cont.agg(F.sum(F.col("nij") * (F.col("nij") - 1) / 2).cast("long").alias("s_ij"))
+    rows_ = cont.groupBy("t").agg(F.sum("nij").cast("long").alias("ai"))
+    cols_ = cont.groupBy("p").agg(F.sum("nij").cast("long").alias("bj"))
+    s_a = rows_.agg(F.sum(F.col("ai") * (F.col("ai") - 1) / 2).cast("long").alias("s_a"))
+    s_b = cols_.agg(F.sum(F.col("bj") * (F.col("bj") - 1) / 2).cast("long").alias("s_b"))
+    s_n = cont.agg((F.sum("nij") * (F.sum("nij") - 1) / 2).cast("long").alias("s_n"))
+    j = s_ij.crossJoin(s_a).crossJoin(s_b).crossJoin(s_n)
+    return j.select(
+        "s_ij", "s_a", "s_b", "s_n",
+        ((F.col("s_n") + 2 * F.col("s_ij") - F.col("s_a") - F.col("s_b")) / F.col("s_n"))
+        .alias("rand_index"),
+        ((F.col("s_ij") * F.col("s_n") - F.col("s_a") * F.col("s_b"))
+         / (F.floor((F.col("s_a") + F.col("s_b")) * F.col("s_n") / 2).cast("long")
+            - F.col("s_a") * F.col("s_b")))
+        .alias("ari"),
+    )
+
+
+# ------------------------------------------------------------------ q504
+@query(
+    "q504_symspell_suggest",
+    r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> length(x) >= 4)) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
+    vkeys AS (
+        SELECT w, cnt, unnest(list_append(
+            list_transform(generate_series(1, length(w)),
+                           i -> substr(w, 1, i - 1) || substr(w, i + 1, 100)), w)) AS k
+        FROM vocab
+    ),
+    queries AS (
+        SELECT w AS orig,
+               substr(w, 1, (ascii(w) % length(w))) ||
+               substr(w, (ascii(w) % length(w)) + 2, 100) AS q
+        FROM vocab
+        WHERE length(w) >= 6 AND (ascii(w) + length(w)) % 7 = 0
+    ),
+    qkeys AS (
+        SELECT orig, q, unnest(list_append(
+            list_transform(generate_series(1, length(q)),
+                           i -> substr(q, 1, i - 1) || substr(q, i + 1, 100)), q)) AS k
+        FROM queries
+    ),
+    cand AS (
+        SELECT DISTINCT qk.orig, qk.q, vk.w, vk.cnt
+        FROM qkeys qk JOIN vkeys vk USING (k)
+    ),
+    verified AS (
+        SELECT orig, q, w, cnt, levenshtein(q, w) AS lev
+        FROM cand WHERE levenshtein(q, w) <= 1
+    )
+    SELECT orig, q, w AS suggestion, cnt, CAST(lev AS BIGINT) AS lev FROM (
+        SELECT orig, q, w, cnt, lev,
+               row_number() OVER (PARTITION BY q ORDER BY lev, cnt DESC, w) AS rn
+        FROM verified
+    ) WHERE rn = 1
+    """,
+)
+def q504(spark: SparkSession, sf: str) -> DataFrame:
+    """SymSpell-style spelling correction: vocabulary words index THEIR
+    1-deletion variants; deterministically corrupted query tokens look
+    up candidates by DELETE-KEY EQUI-JOIN (never a levenshtein cross
+    product — the 100 TB trick), then an exact edit-distance ≤1 verify
+    and a (distance, frequency, word) ranking pick the suggestion —
+    both engines share identical levenshtein semantics (native
+    composition; the lexical sibling of fuzzy_join)."""
+    from .operators.dedup import normalize_text
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda x: F.length(x) >= 4
+    )
+    vocab = d.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+    vkeys = vocab.select(
+        "w", "cnt",
+        F.explode(
+            F.concat(
+                F.expr("transform(sequence(1, length(w)), i -> concat(substr(w, 1, i - 1), substr(w, i + 1, 100)))"),
+                F.array(F.col("w")),
+            )
+        ).alias("k"),
+    )
+    queries = vocab.where(
+        (F.length("w") >= 6) & ((F.ascii("w") + F.length("w")) % 7 == 0)
+    ).select(
+        F.col("w").alias("orig"),
+        F.expr("concat(substr(w, 1, ascii(w) % length(w)), substr(w, ascii(w) % length(w) + 2, 100))").alias("q"),
+    )
+    qkeys = queries.select(
+        "orig", "q",
+        F.explode(
+            F.concat(
+                F.expr("transform(sequence(1, length(q)), i -> concat(substr(q, 1, i - 1), substr(q, i + 1, 100)))"),
+                F.array(F.col("q")),
+            )
+        ).alias("k"),
+    )
+    cand = qkeys.join(vkeys, on="k").select("orig", "q", "w", "cnt").distinct()
+    verified = cand.withColumn("lev", F.levenshtein("q", "w")).where(F.col("lev") <= 1)
+    w = Window.partitionBy("q").orderBy("lev", F.col("cnt").desc(), "w")
+    return verified.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+        "orig", "q", F.col("w").alias("suggestion"), "cnt", F.col("lev").cast("long").alias("lev")
+    )
