@@ -1213,3 +1213,160 @@ def chain_ladder(
         ult.alias("ultimate"),
         (ult - F.col("latest_cum")).alias("reserve"),
     )
+
+
+def lob_match(
+    orders: DataFrame,
+    symbol_col: str,
+    order: list[str],
+    side_col: str,
+    price_col: str,
+    qty_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Limit-order-book matching with PRICE-TIME priority per symbol —
+    the exchange-core replay: orders arrive in sequence; a buy crosses
+    the lowest-priced resting sell with price ≤ its limit (earliest
+    first on ties), partial fills rest on the book.
+
+    Inherently path-dependent (the book IS the state), so it runs as
+    one Arrow scan per symbol (the fifo_pnl contract).  Integer prices
+    and quantities keep every fill exact; trade price is the RESTING
+    order's price (standard continuous-auction rule).  Rows-only
+    correctness: conservation (Σ filled buy qty == Σ filled sell qty),
+    no-crossed-book invariant, and hand-case fills are pinned in tests.
+    Returns the trade tape: (symbol, buy_id, sell_id, price, qty,
+    seq).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{symbol_col} string, buy_id long, sell_id long, price long, qty long, seq long"
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import heapq
+
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        bids: list = []   # (-price, seq, id, qty)
+        asks: list = []   # (price, seq, id, qty)
+        tape = []
+        seq = 0
+        sym = str(pdf[symbol_col].iloc[0]) if len(pdf) else None
+        for i in range(len(pdf)):
+            side = pdf[side_col].iloc[i]
+            px = int(pdf[price_col].iloc[i])
+            qty = int(pdf[qty_col].iloc[i])
+            oid = int(pdf[id_col].iloc[i])
+            seq += 1
+            if side == "B":
+                while qty > 0 and asks and asks[0][0] <= px:
+                    apx, aseq, aid, aqty = heapq.heappop(asks)
+                    fill = min(qty, aqty)
+                    tape.append((sym, oid, aid, apx, fill, seq))
+                    qty -= fill
+                    if aqty > fill:
+                        heapq.heappush(asks, (apx, aseq, aid, aqty - fill))
+                if qty > 0:
+                    heapq.heappush(bids, (-px, seq, oid, qty))
+            else:
+                while qty > 0 and bids and -bids[0][0] >= px:
+                    nbpx, bseq, bid_, bqty = heapq.heappop(bids)
+                    fill = min(qty, bqty)
+                    tape.append((sym, bid_, oid, -nbpx, fill, seq))
+                    qty -= fill
+                    if bqty > fill:
+                        heapq.heappush(bids, (nbpx, bseq, bid_, bqty - fill))
+                if qty > 0:
+                    heapq.heappush(asks, (px, seq, oid, qty))
+        return pd.DataFrame(
+            tape, columns=[symbol_col, "buy_id", "sell_id", "price", "qty", "seq"]
+        )
+
+    return orders.groupBy(symbol_col).applyInPandas(scan, out_schema)
+
+
+def eoq_plan(
+    demand: DataFrame,
+    keys: list[str],
+    qty_col: str,
+    unit_cost_cents_col: str,
+    order_cost_cents: int,
+    holding_rate_pct: int = 20,
+    period_days: int = 365,
+) -> DataFrame:
+    """Economic order quantity per item: EOQ = √(2·D·S / H) with annual
+    demand D (exact integer Σqty), fixed order cost S (cents), and
+    holding cost H = holding_rate_pct% of unit cost per period.
+
+    The radicand is ONE exact integer ratio — 2·D·S·100 and
+    holding_rate_pct·unit_cents stay far under 2^53 — so the single
+    sqrt is correctly rounded and engine-identical (the price_index
+    discipline).  Derived cycle stats reuse the same exact operands in
+    a fixed expression tree.  One two-stage hash agg; the exchange
+    carries one row per key.  Returns (keys…, demand, unit_cost_cents,
+    eoq_units, order_cycle_days, orders_per_period).
+    """
+    agg = demand.groupBy(*keys).agg(
+        F.sum(F.col(qty_col).cast("long")).cast("long").alias("demand"),
+        F.max(F.col(unit_cost_cents_col).cast("long")).alias("unit_cost_cents"),
+    )
+    h = F.lit(int(holding_rate_pct)) * F.col("unit_cost_cents")
+    radicand = (F.lit(2 * int(order_cost_cents) * 100) * F.col("demand")) / h
+    eoq = F.sqrt(radicand)
+    return agg.select(
+        *keys,
+        "demand", "unit_cost_cents",
+        eoq.alias("eoq_units"),
+        (F.lit(float(period_days)) * eoq / F.col("demand")).alias("order_cycle_days"),
+        (F.col("demand") / eoq).alias("orders_per_period"),
+    )
+
+
+def stochastic_kd(
+    prices: DataFrame,
+    keys: list[str],
+    price_cents_col: str,
+    order: list[str],
+    k_window: int = 14,
+) -> DataFrame:
+    """Stochastic oscillator %K/%D per key: %K = 100·(close − LL) /
+    (HH − LL) over the trailing ``k_window`` rows, %D = 3-period simple
+    average of %K.
+
+    HH/LL are rolling max/min of INTEGER cents (exact, order-free), so
+    each %K is one divide of exact operands; %D is rebuilt from the two
+    LAGGED integer pairs — (n₀/d₀ + n₁/d₁ + n₂/d₂)·100/3 as a fixed
+    expression tree, never a float window SUM (DuckDB segment trees
+    reassociate those — ORACLES rule 19/22).  Rows without a full %K
+    window or with HH = LL yield NULL; %D requires three non-NULL %Ks.
+    One per-key sort window.  Returns the input order columns plus
+    (hh, ll, pct_k, pct_d).
+    """
+    p = F.col(price_cents_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(-(k_window - 1), 0)
+    wcnt = Window.partitionBy(*keys).orderBy(*order)
+    hh = F.max(p).over(w)
+    ll = F.min(p).over(w)
+    full = F.row_number().over(wcnt) >= k_window
+    num = F.when(full & (hh > ll), p - ll)
+    den = F.when(full & (hh > ll), hh - ll)
+    work = prices.select(
+        *keys, *order, p.alias("__p__"),
+        hh.alias("hh"), ll.alias("ll"), num.alias("__n0__"), den.alias("__d0__"),
+    )
+    n1 = F.lag("__n0__", 1).over(wcnt)
+    d1 = F.lag("__d0__", 1).over(wcnt)
+    n2 = F.lag("__n0__", 2).over(wcnt)
+    d2 = F.lag("__d0__", 2).over(wcnt)
+    k0 = F.col("__n0__") / F.col("__d0__")
+    pct_d = (
+        F.lit(100.0)
+        * (k0 + n1 / d1 + n2 / d2)
+        / F.lit(3.0)
+    )
+    return work.select(
+        *keys, *order, "hh", "ll",
+        (F.lit(100.0) * k0).alias("pct_k"),
+        pct_d.alias("pct_d"),
+    )

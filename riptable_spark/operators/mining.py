@@ -650,3 +650,58 @@ def degree_assortativity(
         (n / 2).cast("long").alias("n_edges"), "n_nodes",
         F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx.cast("double") * vy)).alias("assortativity"),
     )
+
+
+def beacon_detect(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    order_col: str,
+    cv_num: int = 1,
+    cv_den: int = 10,
+    min_gaps: int = 10,
+) -> DataFrame:
+    """C2-beacon detection (security analytics): a compromised host
+    calls home on a timer, so its inter-arrival gaps are unusually
+    REGULAR — flag keys whose gap coefficient-of-variation is below
+    cv_num/cv_den with at least ``min_gaps`` observed gaps.
+
+    Gaps are whole seconds (µs² overflows int64 — the impossible-travel
+    lesson), and the CV test is exact integer cross-multiplication:
+
+        CV² < (c_n/c_d)²  ⟺  c_d²·n·Σg² < (c_d² + c_n²)·(Σg)²
+
+    with both sides in DECIMAL(38,0) (Σg² can pass 2^63 for sparse
+    keys).  The modal gap rides a packed cnt·2³² + (2³¹−gap) argmax, so
+    ties break to the SMALLEST gap deterministically.  One per-key lag
+    window + two hash aggs; only (keys, gap) pairs shuffle.  Returns
+    (keys…, n_gaps, span_s, mean_gap_s, modal_gap_s, modal_count,
+    is_beacon).
+    """
+    t = F.unix_seconds(F.col(time_col))
+    w = Window.partitionBy(*keys).orderBy(t, F.col(order_col))
+    gap = (t - F.lag(t).over(w)).alias("gap")
+    gaps = df.select(*keys, gap).where(F.col("gap").isNotNull())
+    gapcnt = gaps.groupBy(*keys, "gap").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pack = F.col("cnt") * F.lit(4294967296) + (F.lit(2147483647) - F.col("gap"))
+    agg = gapcnt.groupBy(*keys).agg(
+        F.sum("cnt").cast("long").alias("n_gaps"),
+        F.sum(F.col("gap") * F.col("cnt")).cast("long").alias("span_s"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap") * F.col("cnt")).alias("__g2__"),
+        F.max(pack).alias("__pk__"),
+    )
+    den2 = int(cv_den) * int(cv_den)
+    lhs = F.lit(den2) * F.col("n_gaps").cast("decimal(38,0)") * F.col("__g2__")
+    rhs = (
+        F.lit(den2 + int(cv_num) * int(cv_num))
+        * F.col("span_s").cast("decimal(38,0)")
+        * F.col("span_s")
+    )
+    return agg.select(
+        *keys,
+        "n_gaps", "span_s",
+        (F.col("span_s") / F.col("n_gaps")).alias("mean_gap_s"),
+        (F.lit(2147483647) - F.col("__pk__") % F.lit(4294967296)).cast("long").alias("modal_gap_s"),
+        (F.col("__pk__") / F.lit(4294967296)).cast("long").alias("modal_count"),
+        ((F.col("n_gaps") >= min_gaps) & (lhs < rhs)).alias("is_beacon"),
+    )

@@ -561,6 +561,39 @@ def flesch_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# Gunning-fog constant as a shared literal (the SQL oracle casts the
+# same string so both engines hold the identical double).
+FOG_W = 0.4
+
+
+def gunning_fog(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gunning fog index per document:
+    0.4 · (words/sentences + 100 · complex_words/words), where a
+    complex word has ≥ 3 vowel groups (the standard ≥3-syllable
+    heuristic, sharing syllable_count's [aeiouy]+ rule).
+
+    All three counts are exact integers (the complex-word count is a
+    codegen lambda filter over the whitespace split — zero shuffles);
+    the score is a fixed expression tree over exact operands, so a SQL
+    oracle reproduces it bit-for-bit.  Wordless docs yield NULL.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(F.lower(t)), r"\s+"), lambda w: F.length(w) > 0)
+    wc = F.size(words).cast("bigint")
+    sc_ = sentence_count(t)
+    cw = F.size(
+        F.filter(words, lambda w: F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)) >= 3)
+    ).cast("bigint")
+    fog = F.when(wc > 0, F.lit(FOG_W) * (wc / sc_ + F.lit(100.0) * (cw / wc)))
+    return df.select(
+        F.col(id_col),
+        wc.alias("n_words"),
+        sc_.alias("n_sentences"),
+        cw.alias("n_complex"),
+        fog.alias("fog"),
+    )
+
+
 def kwic(
     df: DataFrame,
     pattern: str,

@@ -1405,6 +1405,55 @@ def c_chart(
     )
 
 
+def p_chart(
+    df: DataFrame,
+    keys: list[str],
+    subgroup_col,
+    defect_col,
+    sigmas: int = 3,
+) -> DataFrame:
+    """Proportion p-chart (SPC for defect RATES with varying subgroup
+    sizes): per (keys, subgroup) count trials n and defects x, pool the
+    baseline rate p̄ = X/N per key, and flag subgroups outside
+    p̄ ± k·√(p̄(1−p̄)/n).
+
+    Like c_chart, the control test never builds a float limit:
+
+        (x/n − X/N)² > k²·(X/N)(1−X/N)/n  ⟺  (x·N − n·X)² > k²·n·X·(N−X)
+
+    with the square taken in DECIMAL(38,0) (x·N can pass 2^31.5 so its
+    square breaks int64 — the q200 widening rule), so flags are
+    engine-identical and a rate can never sit ON the limit.  One
+    subgroup agg + one per-key baseline agg broadcast back.  Returns
+    (keys…, subgroup, n, x, total_n, total_x, p_hat, p_bar,
+    out_high, out_low).
+    """
+    sub = F.col(subgroup_col) if isinstance(subgroup_col, str) else subgroup_col
+    d = F.col(defect_col) if isinstance(defect_col, str) else defect_col
+    counts = df.groupBy(*keys, sub.alias("subgroup")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d.cast("long")).cast("long").alias("x"),
+    )
+    base = counts.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("total_n"),
+        F.sum("x").cast("long").alias("total_x"),
+    )
+    jn = counts.join(F.broadcast(base), on=keys)
+    k2 = int(sigmas) * int(sigmas)
+    dev = (F.col("x") * F.col("total_n") - F.col("n") * F.col("total_x")).cast("decimal(38,0)")
+    thresh = (
+        F.lit(k2) * F.col("n") * F.col("total_x") * (F.col("total_n") - F.col("total_x"))
+    ).cast("decimal(38,0)")
+    return jn.select(
+        *keys,
+        "subgroup", "n", "x", "total_n", "total_x",
+        (F.col("x") / F.col("n")).alias("p_hat"),
+        (F.col("total_x") / F.col("total_n")).alias("p_bar"),
+        ((dev > 0) & (dev * dev > thresh)).alias("out_high"),
+        ((dev < 0) & (dev * dev > thresh)).alias("out_low"),
+    )
+
+
 def attribute_time_decay(
     df: DataFrame,
     user_col: str,

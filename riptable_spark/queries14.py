@@ -2038,3 +2038,110 @@ def q504(spark: SparkSession, sf: str) -> DataFrame:
     return verified.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
         "orig", "q", F.col("w").alias("suggestion"), "cnt", F.col("lev").cast("long").alias("lev")
     )
+
+
+# ------------------------------------------------------------------ q505
+@query("q505_lob_match")  # rows-only: the order book is sequential
+# state (price-time priority heaps); pinned by conservation +
+# no-crossed-book invariants and hand-case fills
+# (tests/test_batch19_ops.py).
+def q505(spark: SparkSession, sf: str) -> DataFrame:
+    """Limit-order-book replay per symbol (operators/finance.lob_match):
+    synthetic buy/sell flow from events matched under price-time
+    priority, integer prices/quantities — returns the exact trade
+    tape."""
+    from .operators import finance as fin
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    o = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("sym"),
+        "ts", "event_id",
+        F.when(F.col("event_id") % 2 == 0, "B").otherwise("S").alias("side"),
+        (cents % 20 + 90).alias("px"),
+        (F.col("event_id") % 7 + 1).alias("qty"),
+    )
+    return fin.lob_match(o, "sym", ["ts", "event_id"], "side", "px", "qty", "event_id")
+
+
+# ------------------------------------------------------------------ q506
+@query(
+    "q506_pert_estimate",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(min(n) AS BIGINT) AS optimistic,
+           median(n) AS most_likely,
+           CAST(max(n) AS BIGINT) AS pessimistic,
+           (min(n) + 4 * median(n) + max(n)) / 6 AS pert_estimate,
+           CAST(max(n) - min(n) AS DOUBLE) / 6 AS pert_sd
+    FROM daily GROUP BY event_type
+    """,
+)
+def q506(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-point PERT estimate of daily volume per event type:
+    (optimistic + 4·mode + pessimistic)/6 with the beta-approximation
+    σ = range/6 — min/max exact integers, the median an exact
+    half-integer, the estimate one fixed tree (native composition)."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.min("n").cast("long").alias("optimistic"),
+        F.median("n").alias("most_likely"),
+        F.max("n").cast("long").alias("pessimistic"),
+        ((F.min("n") + 4 * F.median("n") + F.max("n")) / 6).alias("pert_estimate"),
+        ((F.max("n") - F.min("n")).cast("double") / 6).alias("pert_sd"),
+    )
+
+
+# ------------------------------------------------------------------ q507
+@query(
+    "q507_budget_projection",
+    """
+    WITH bounds AS (
+        SELECT CAST(min(floor(epoch(ts) / 86400.0)) AS BIGINT) AS d0,
+               CAST(max(floor(epoch(ts) / 86400.0)) AS BIGINT) AS d1
+        FROM events
+    ),
+    spend AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) % 50 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.n, s.errors,
+           b.d1 - b.d0 + 1 AS days_elapsed,
+           CAST(s.errors * 30 AS DOUBLE) / (b.d1 - b.d0 + 1) AS projected_30d_errors,
+           s.errors * 30 * 100 > 2 * s.n * 30 AS projected_over_budget
+    FROM spend s, bounds b
+    """,
+)
+def q507(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-budget projection: linear extrapolation of the observed
+    error count to a 30-day window (exact integer cross-products; the
+    over-budget test never builds a float rate) — the month-end
+    forecast an SRE posts mid-cycle (native composition beside
+    sla_burn/sla_credits)."""
+    ev = load_table(spark, sf, "events")
+    day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    bounds = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    spend = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((cents % 50 == 0).cast("long")).cast("long").alias("errors"),
+    )
+    j = spend.crossJoin(F.broadcast(bounds))
+    days = F.col("d1") - F.col("d0") + 1
+    return j.select(
+        "event_type", "n", "errors", days.alias("days_elapsed"),
+        ((F.col("errors") * 30) / days).alias("projected_30d_errors"),
+        (F.col("errors") * 30 * 100 > 2 * F.col("n") * 30).alias("projected_over_budget"),
+    )

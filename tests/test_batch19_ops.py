@@ -873,3 +873,43 @@ def test_time_decay_attribution_dyadic_weights(spark):
     assert [r.weight_scaled for r in out] == [1, 2, 4]
     assert [r.total_scaled for r in out] == [7, 7, 7]
     assert abs(sum(r.credit for r in out) - 1.0) < 1e-12
+
+
+def test_lob_match_hand_case(spark):
+    from riptable_spark.operators.finance import lob_match
+
+    # sell 5@100 rests; buy 3@101 crosses at RESTING price 100;
+    # buy 4@99 rests (no cross); sell 2@98 crosses best bid 99
+    rows = [
+        ("X", 1, 1, "S", 100, 5),
+        ("X", 2, 2, "B", 101, 3),
+        ("X", 3, 3, "B", 99, 4),
+        ("X", 4, 4, "S", 98, 2),
+    ]
+    df = spark.createDataFrame(rows, "sym string, t long, oid long, side string, px long, qty long")
+    tape = sorted(
+        lob_match(df, "sym", ["t", "oid"], "side", "px", "qty", "oid").collect(),
+        key=lambda r: r.seq,
+    )
+    assert [(r.buy_id, r.sell_id, r.price, r.qty) for r in tape] == [
+        (2, 1, 100, 3),   # buy 2 fills against resting sell 1 at 100
+        (3, 4, 99, 2),    # sell 4 hits resting bid 3 at 99
+    ]
+
+
+def test_lob_match_conservation_and_priority(spark):
+    from riptable_spark.operators.finance import lob_match
+
+    # two resting sells at same price: earlier one must fill first
+    rows = [
+        ("X", 1, 1, "S", 100, 2),
+        ("X", 2, 2, "S", 100, 2),
+        ("X", 3, 3, "B", 100, 3),
+    ]
+    df = spark.createDataFrame(rows, "sym string, t long, oid long, side string, px long, qty long")
+    tape = sorted(
+        lob_match(df, "sym", ["t", "oid"], "side", "px", "qty", "oid").collect(),
+        key=lambda r: (r.seq, r.sell_id),
+    )
+    assert [(r.sell_id, r.qty) for r in tape] == [(1, 2), (2, 1)]  # time priority
+    assert sum(r.qty for r in tape) == 3  # conservation: buy qty fully matched

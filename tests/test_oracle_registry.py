@@ -53,6 +53,7 @@ NO_ORACLE_EXEMPT: set[str] = {
     "q415_croston",           # interval EWMA on a periods-since-demand counter
     "q454_dtw_distance",      # O(n·m) warping DP, no SQL closed form
     "q459_viterbi_regimes",   # min-sum Viterbi DP (argmin-dependent recurrence)
+    "q505_lob_match",         # sequential order-book state (price-time heaps)
 }
 
 
