@@ -2145,3 +2145,235 @@ def q507(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("errors") * 30) / days).alias("projected_30d_errors"),
         (F.col("errors") * 30 * 100 > 2 * F.col("n") * 30).alias("projected_over_budget"),
     )
+
+
+# ------------------------------------------------------------------ q508
+@query(
+    "q508_eoq_plan",
+    """
+    WITH d AS (
+        SELECT p.p_brand,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand,
+               max(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS unit_cost_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, demand, unit_cost_cents,
+           sqrt((1000000 * demand) / (20 * unit_cost_cents)) AS eoq_units,
+           (CAST(365 AS DOUBLE) * sqrt((1000000 * demand) / (20 * unit_cost_cents))) / demand
+               AS order_cycle_days,
+           demand / sqrt((1000000 * demand) / (20 * unit_cost_cents)) AS orders_per_period
+    FROM d
+    """,
+)
+def q508(spark: SparkSession, sf: str) -> DataFrame:
+    """Economic order quantity per brand (operators/finance.eoq_plan):
+    EOQ = √(2DS/H) with exact-integer demand and cent costs — the
+    radicand is one BIGINT ratio, so the single sqrt is engine-
+    identical; cycle stats reuse the same operands in a fixed tree."""
+    from .operators import finance as fin
+
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+    pt = load_table(spark, sf, "part").select(
+        "p_partkey", "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cost_cents"),
+    )
+    d = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    return fin.eoq_plan(d, ["p_brand"], "l_quantity", "cost_cents",
+                        order_cost_cents=5000, holding_rate_pct=20, period_days=365)
+
+
+# ------------------------------------------------------------------ q509
+@query(
+    "q509_beacon_detect",
+    """
+    WITH pts AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id FROM events
+        UNION ALL
+        SELECT -1, 1700000000 + i * 60, i FROM range(400) r(i)
+    ),
+    g AS (
+        SELECT user_id,
+               t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        FROM pts
+    ),
+    gc AS (
+        SELECT user_id, gap, CAST(count(*) AS BIGINT) AS cnt
+        FROM g WHERE gap IS NOT NULL GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT user_id,
+               CAST(sum(cnt) AS BIGINT) AS n_gaps,
+               CAST(sum(gap * cnt) AS BIGINT) AS span_s,
+               sum(CAST(gap AS HUGEINT) * gap * cnt) AS g2,
+               max(cnt * 4294967296 + (2147483647 - gap)) AS pk
+        FROM gc GROUP BY 1
+    )
+    SELECT user_id, n_gaps, span_s,
+           span_s / n_gaps AS mean_gap_s,
+           CAST(2147483647 - pk % 4294967296 AS BIGINT) AS modal_gap_s,
+           CAST(pk // 4294967296 AS BIGINT) AS modal_count,
+           n_gaps >= 10 AND CAST(100 AS HUGEINT) * n_gaps * g2
+                            < CAST(101 AS HUGEINT) * span_s * span_s AS is_beacon
+    FROM a
+    """,
+)
+def q509(spark: SparkSession, sf: str) -> DataFrame:
+    """C2-beacon detection (operators/mining.beacon_detect): whole-
+    second inter-arrival gaps per user, exact cross-multiplied CV
+    test, packed-argmax modal gap; a synthesized 60-second timer user
+    (id −1) guarantees a true beacon in the result."""
+    from .operators.mining import beacon_detect
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id")
+    timer = spark.range(400).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    pts = ev.unionByName(timer)
+    return beacon_detect(pts, ["user_id"], "ts", "event_id",
+                         cv_num=1, cv_den=10, min_gaps=10)
+
+
+# ------------------------------------------------------------------ q510
+def _fog_oracle() -> str:
+    from .operators.text import FOG_W
+
+    return rf"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> len(x) > 0) AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(len(list_filter(words,
+                        x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3)) AS BIGINT)
+                   AS n_complex
+        FROM w
+    )
+    SELECT doc_id, n_words, n_sentences, n_complex,
+           CASE WHEN n_words > 0 THEN
+               CAST('{FOG_W!r}' AS DOUBLE)
+               * (n_words / n_sentences + CAST(100 AS DOUBLE) * (n_complex / n_words))
+           END AS fog
+    FROM c
+    """
+
+
+@query("q510_gunning_fog", _fog_oracle())
+def q510(spark: SparkSession, sf: str) -> DataFrame:
+    """Gunning fog readability per document (operators/text.gunning_fog):
+    exact integer word/sentence/complex-word counts via codegen lambda
+    filters, score as a fixed float tree on identical operands."""
+    from .operators.text import gunning_fog
+
+    d = load_table(spark, sf, "documents")
+    return gunning_fog(d)
+
+
+# ------------------------------------------------------------------ q511
+@query(
+    "q511_p_chart",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS subgroup,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) % 50 = 0
+                    THEN 1 ELSE 0 END AS defect
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, subgroup,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(defect) AS BIGINT) AS x
+        FROM base GROUP BY 1, 2
+    ),
+    pooled AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS total_n,
+               CAST(sum(x) AS BIGINT) AS total_x
+        FROM counts GROUP BY 1
+    )
+    SELECT c.event_type, c.subgroup, c.n, c.x, p.total_n, p.total_x,
+           c.x / c.n AS p_hat,
+           p.total_x / p.total_n AS p_bar,
+           CAST(c.x * p.total_n - c.n * p.total_x AS HUGEINT)
+               * CAST(c.x * p.total_n - c.n * p.total_x AS HUGEINT)
+               > CAST(9 * c.n * p.total_x * (p.total_n - p.total_x) AS HUGEINT)
+             AND c.x * p.total_n - c.n * p.total_x > 0 AS out_high,
+           CAST(c.x * p.total_n - c.n * p.total_x AS HUGEINT)
+               * CAST(c.x * p.total_n - c.n * p.total_x AS HUGEINT)
+               > CAST(9 * c.n * p.total_x * (p.total_n - p.total_x) AS HUGEINT)
+             AND c.x * p.total_n - c.n * p.total_x < 0 AS out_low
+    FROM counts c JOIN pooled p ON c.event_type = p.event_type
+    """,
+)
+def q511(spark: SparkSession, sf: str) -> DataFrame:
+    """Proportion p-chart (operators/window.p_chart): daily defect
+    rates per event type against the pooled baseline, flags via exact
+    DECIMAL cross-multiplication — a rate can never sit ON a limit."""
+    from .operators.window import p_chart
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+        (cents % 50 == 0).cast("long").alias("defect"),
+    )
+    return p_chart(base, ["event_type"], "day", "defect", sigmas=3)
+
+
+# ------------------------------------------------------------------ q512
+@query(
+    "q512_stochastic_kd",
+    """
+    WITH p AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS px
+        FROM events WHERE user_id % 20 = 0
+    ),
+    w AS (
+        SELECT user_id, ts, event_id, px,
+               max(px) OVER win AS hh, min(px) OVER win AS ll,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM p
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT user_id, ts, event_id, hh, ll,
+               CASE WHEN rn >= 14 AND hh > ll THEN px - ll END AS n0,
+               CASE WHEN rn >= 14 AND hh > ll THEN hh - ll END AS d0
+        FROM w
+    ),
+    l AS (
+        SELECT user_id, ts, event_id, hh, ll, n0, d0,
+               lag(n0, 1) OVER win2 AS n1, lag(d0, 1) OVER win2 AS d1,
+               lag(n0, 2) OVER win2 AS n2, lag(d0, 2) OVER win2 AS d2
+        FROM k
+        WINDOW win2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, event_id, hh, ll,
+           CAST(100 AS DOUBLE) * (n0 / d0) AS pct_k,
+           (CAST(100 AS DOUBLE) * (n0 / d0 + n1 / d1 + n2 / d2)) / CAST(3 AS DOUBLE)
+               AS pct_d
+    FROM l
+    """,
+)
+def q512(spark: SparkSession, sf: str) -> DataFrame:
+    """Stochastic oscillator %K/%D (operators/finance.stochastic_kd):
+    rolling integer-cents HH/LL extremes (exact under any fold), %K one
+    divide, %D rebuilt from lagged integer pairs as a fixed expression
+    tree — never a float window sum."""
+    from .operators.finance import stochastic_kd
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") % 20 == 0)
+    p = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("px"),
+    )
+    return stochastic_kd(p, ["user_id"], "px", ["ts", "event_id"], k_window=14)

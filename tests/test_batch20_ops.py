@@ -1,0 +1,87 @@
+"""Batch-20 operators (round-3 session 10): EOQ planning, beacon
+detection, Gunning fog, p-chart SPC, stochastic oscillator."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_eoq_plan_hand_case(spark):
+    from riptable_spark.operators.finance import eoq_plan
+
+    # D=1000 units, S=5000 cents, H = 20% of 100 cents = 2000 hundredths
+    # radicand = 2*5000*100*1000 / (20*100) = 500_000 -> EOQ = sqrt(5e5)
+    df = spark.createDataFrame([("a", 400, 100), ("a", 600, 100)], "k string, q long, c long")
+    r = eoq_plan(df, ["k"], "q", "c", order_cost_cents=5000, holding_rate_pct=20).collect()[0]
+    assert r.demand == 1000 and r.unit_cost_cents == 100
+    assert math.isclose(r.eoq_units, math.sqrt(500_000), rel_tol=0, abs_tol=0)
+    assert math.isclose(r.orders_per_period, 1000 / math.sqrt(500_000), abs_tol=1e-12)
+
+
+def test_beacon_detect_timer_vs_noise(spark):
+    from riptable_spark.operators.mining import beacon_detect
+
+    rows = [("bot", 1000 + 60 * i, i) for i in range(20)]
+    rows += [("human", t, 100 + i) for i, t in enumerate([0, 7, 100, 130, 900, 905, 2000, 2300, 2400, 5000, 5100, 5110, 6000, 6500])]
+    df = spark.createDataFrame(rows, "k string, sec long, oid long").select(
+        "k", F.timestamp_seconds(F.col("sec")).alias("ts"), "oid"
+    )
+    out = {r.k: r for r in beacon_detect(df, ["k"], "ts", "oid", min_gaps=10).collect()}
+    assert out["bot"].is_beacon and out["bot"].modal_gap_s == 60
+    assert out["bot"].n_gaps == 19 and out["bot"].mean_gap_s == 60.0
+    assert not out["human"].is_beacon
+
+
+def test_beacon_modal_tie_breaks_smallest(spark):
+    from riptable_spark.operators.mining import beacon_detect
+
+    # gaps: 10,10,30,30 -> modal count tie at 2, break to smaller gap 10
+    secs = [0, 10, 20, 50, 80]
+    df = spark.createDataFrame(
+        [("k", s, i) for i, s in enumerate(secs)], "k string, sec long, oid long"
+    ).select("k", F.timestamp_seconds(F.col("sec")).alias("ts"), "oid")
+    r = beacon_detect(df, ["k"], "ts", "oid", min_gaps=1).collect()[0]
+    assert r.modal_gap_s == 10 and r.modal_count == 2
+
+
+def test_gunning_fog_hand_case(spark):
+    from riptable_spark.operators.text import gunning_fog
+
+    txt = "The quick beautiful avocado arrangement runs. It is fine."
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = gunning_fog(df).collect()[0]
+    # complex (>=3 vowel groups): beautiful, avocado, arrangement
+    assert r.n_words == 9 and r.n_sentences == 2 and r.n_complex == 3
+    assert math.isclose(r.fog, 0.4 * (9 / 2 + 100 * (3 / 9)), abs_tol=1e-12)
+
+
+def test_p_chart_flags_shifted_subgroup(spark):
+    from riptable_spark.operators.window import p_chart
+
+    # 9 in-control subgroups at 5% plus one at 60%
+    rows = []
+    for g in range(9):
+        rows += [("k", g, 1)] * 5 + [("k", g, 0)] * 95
+    rows += [("k", 9, 1)] * 60 + [("k", 9, 0)] * 40
+    df = spark.createDataFrame(rows, "k string, sub long, d long")
+    out = {r.subgroup: r for r in p_chart(df, ["k"], "sub", "d").collect()}
+    assert out[9].out_high and not out[9].out_low
+    assert not any(out[g].out_high or out[g].out_low for g in range(9))
+    assert out[9].p_hat == 0.6 and out[9].n == 100
+
+
+def test_stochastic_kd_hand_case(spark):
+    from riptable_spark.operators.finance import stochastic_kd
+
+    px = [10, 20, 30, 25, 35]
+    df = spark.createDataFrame(
+        [("k", i, p) for i, p in enumerate(px)], "k string, t long, px long"
+    )
+    out = sorted(stochastic_kd(df, ["k"], "px", ["t"], k_window=3).collect(),
+                 key=lambda r: r.t)
+    assert out[0].pct_k is None and out[1].pct_k is None
+    assert out[2].pct_k == 100.0          # (30-10)/(30-10)
+    assert out[3].pct_k == 50.0           # (25-20)/(30-20)
+    assert out[4].pct_k == 100.0          # (35-25)/(35-25)
+    assert out[2].pct_d is None and out[3].pct_d is None
+    assert math.isclose(out[4].pct_d, (100 + 50 + 100) / 3, abs_tol=1e-12)
