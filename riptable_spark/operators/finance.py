@@ -1370,3 +1370,78 @@ def stochastic_kd(
         (F.lit(100.0) * k0).alias("pct_k"),
         pct_d.alias("pct_d"),
     )
+
+
+def rsi_cutler(
+    prices: DataFrame,
+    keys: list[str],
+    price_cents_col: str,
+    order: list[str],
+    period: int = 14,
+) -> DataFrame:
+    """Relative Strength Index, Cutler's SMA form: RSI = 100·G/(G+L)
+    with G/L the trailing ``period``-row sums of integer-cent gains and
+    losses.  Unlike Wilder's EMA form (see ema_decay for that shape),
+    the SMA variant is EXACT: rolling sums of integers are fold-order-
+    free, so the single divide is engine-identical — no float decay
+    anywhere.  Rows without ``period`` full diffs, or with a flat
+    window (G+L=0), yield NULL.  One per-key sort window.  Returns the
+    key/order columns plus (gain_sum, loss_sum, rsi).
+    """
+    p = F.col(price_cents_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wr = w.rowsBetween(-(period - 1), 0)
+    diff = p - F.lag(p).over(w)
+    work = prices.select(
+        *keys, *order,
+        F.when(diff > 0, diff).otherwise(F.lit(0)).alias("__g__"),
+        F.when(diff < 0, -diff).otherwise(F.lit(0)).alias("__l__"),
+        F.row_number().over(w).alias("__rn__"),
+    )
+    g = F.sum("__g__").over(wr)
+    ls = F.sum("__l__").over(wr)
+    full = F.col("__rn__") >= period + 1
+    gg = F.when(full, g).cast("long")
+    ll = F.when(full, ls).cast("long")
+    return work.select(
+        *keys, *order,
+        gg.alias("gain_sum"),
+        ll.alias("loss_sum"),
+        F.when(gg + ll > 0, (F.lit(100) * gg) / (gg + ll)).alias("rsi"),
+    )
+
+
+def newsvendor_stock(
+    demand: DataFrame,
+    keys: list[str],
+    qty_col: str,
+    subgroup_col: str,
+    cu: int,
+    co: int,
+) -> DataFrame:
+    """Newsvendor optimal stock per key: the smallest stocking level
+    whose empirical demand CDF reaches the critical ratio cu/(cu+co) —
+    i.e. the ⌈CR·n⌉-th smallest observed demand.  The index is an
+    exact integer ceil-division (cu·n + cu + co − 1) div (cu+co), so
+    the selection can never sit on a float boundary; the rank window
+    totals on (qty, subgroup) for determinism under ties.  Returns
+    (keys…, n_periods, pick_rank, stock_level, service_target,
+    achieved_service).
+    """
+    q = F.col(qty_col)
+    w = Window.partitionBy(*keys).orderBy(q, F.col(subgroup_col))
+    wa = Window.partitionBy(*keys)
+    ranked = demand.select(
+        *keys, q.alias("__q__"),
+        F.row_number().over(w).alias("__rn__"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n_periods"),
+    )
+    b = int(cu) + int(co)
+    idx = F.floor((F.lit(int(cu)) * F.col("n_periods") + F.lit(b - 1)) / F.lit(b)).cast("long")
+    return ranked.where(F.col("__rn__") == idx).select(
+        *keys, "n_periods",
+        idx.alias("pick_rank"),
+        F.col("__q__").alias("stock_level"),
+        (F.lit(int(cu)) / F.lit(b)).alias("service_target"),
+        (idx / F.col("n_periods")).alias("achieved_service"),
+    )

@@ -705,3 +705,66 @@ def beacon_detect(
         (F.col("__pk__") / F.lit(4294967296)).cast("long").alias("modal_count"),
         ((F.col("n_gaps") >= min_gaps) & (lhs < rhs)).alias("is_beacon"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Per-node local clustering coefficient: cc(v) = 2·T(v) /
+    (d(v)·(d(v)−1)) with T(v) the triangles through v.
+
+    Triangles enumerate once each under the canonical a<b<c
+    orientation (two equi-joins — triangle_count's shape, never a
+    cross join), then explode to their three corners for per-node
+    counts; the coefficient is one divide of exact integers.
+    ``max_degree`` drops hub nodes from wedge generation before the
+    self-join — the link_predict quadratic-wedge cap — marking their
+    cc NULL instead of exploding d² candidate pairs at scale.  Returns
+    (node, degree, n_triangles, clustering); degree-<2 nodes get
+    clustering NULL.
+    """
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct()
+    both = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    work = e
+    capped = None
+    if max_degree is not None:
+        hubs = deg.where(F.col("degree") > int(max_degree)).select(F.col("u").alias("__hub__"))
+        capped = hubs
+        work = (
+            e.join(F.broadcast(hubs), e.a == F.col("__hub__"), "left_anti")
+            .join(F.broadcast(hubs), e.b == F.col("__hub__"), "left_anti")
+        )
+    e1 = work.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = work.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = work.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, on="y").join(e3, on=["x", "z"])
+    tn = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = deg.join(tn, on="u", how="left").select(
+        F.col("u").alias("node"), "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2) * F.col("n_triangles")) / (F.col("degree") * (F.col("degree") - F.lit(1))),
+    )
+    if capped is not None:
+        out = out.join(
+            F.broadcast(capped.withColumn("__capped__", F.lit(True))),
+            out.node == F.col("__hub__"), "left",
+        ).drop("__hub__")
+        cc = F.when(F.col("__capped__").isNotNull(), F.lit(None).cast("double")).otherwise(cc)
+        return out.select("node", "degree", "n_triangles", cc.alias("clustering"))
+    return out.select("node", "degree", "n_triangles", cc.alias("clustering"))

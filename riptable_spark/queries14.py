@@ -2377,3 +2377,131 @@ def q512(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("px"),
     )
     return stochastic_kd(p, ["user_id"], "px", ["ts", "event_id"], k_window=14)
+
+
+# ------------------------------------------------------------------ q513
+@query(
+    "q513_rsi_cutler",
+    """
+    WITH p AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS px
+        FROM events WHERE user_id % 20 = 0
+    ),
+    d AS (
+        SELECT user_id, ts, event_id,
+               px - lag(px) OVER win AS diff,
+               row_number() OVER win AS rn
+        FROM p WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, rn,
+               CAST(sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER win2 AS BIGINT) AS g,
+               CAST(sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER win2 AS BIGINT) AS lo
+        FROM d
+        WINDOW win2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id,
+           CASE WHEN rn >= 15 THEN g END AS gain_sum,
+           CASE WHEN rn >= 15 THEN lo END AS loss_sum,
+           CASE WHEN rn >= 15 AND g + lo > 0 THEN (100 * g) / (g + lo) END AS rsi
+    FROM r
+    """,
+)
+def q513(spark: SparkSession, sf: str) -> DataFrame:
+    """Cutler-form RSI (operators/finance.rsi_cutler): trailing
+    integer-cent gain/loss sums (fold-order-free) and one divide —
+    the bit-exact sibling of Wilder's EMA form."""
+    from .operators.finance import rsi_cutler
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") % 20 == 0)
+    p = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("px"),
+    )
+    return rsi_cutler(p, ["user_id"], "px", ["ts", "event_id"], period=14)
+
+
+# ------------------------------------------------------------------ q514
+@query(
+    "q514_newsvendor",
+    """
+    WITH daily AS (
+        SELECT p.p_brand, l.l_shipdate AS day,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p_brand, q,
+               row_number() OVER (PARTITION BY p_brand ORDER BY q, day) AS rn,
+               CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n_periods
+        FROM daily
+    )
+    SELECT p_brand, n_periods,
+           (3 * n_periods + 3) // 4 AS pick_rank,
+           q AS stock_level,
+           3 / CAST(4 AS BIGINT) AS service_target,
+           ((3 * n_periods + 3) // 4) / n_periods AS achieved_service
+    FROM ranked WHERE rn = (3 * n_periods + 3) // 4
+    """,
+)
+def q514(spark: SparkSession, sf: str) -> DataFrame:
+    """Newsvendor optimal stock per brand (operators/finance.
+    newsvendor_stock): the ⌈CR·n⌉-th smallest daily demand at critical
+    ratio 3/4 — exact integer ceil-division rank selection, total
+    order under demand ties."""
+    from .operators.finance import newsvendor_stock
+
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_shipdate", "l_quantity")
+    pt = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", F.col("l_shipdate").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    return newsvendor_stock(daily, ["p_brand"], "q", "day", cu=3, co=1)
+
+
+# ------------------------------------------------------------------ q515
+@query(
+    "q515_clustering_coefficient",
+    """
+    WITH base AS (
+        SELECT doc_id % 200 AS s, (doc_id * 7 + 3) % 200 AS d FROM documents
+        WHERE doc_id % 200 != (doc_id * 7 + 3) % 200
+    ),
+    e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM base),
+    bothdir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM bothdir GROUP BY u),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tn AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT unnest([x, y, z]) AS u FROM tri
+        ) GROUP BY u
+    )
+    SELECT deg.u AS node, degree,
+           CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN degree >= 2
+                THEN (2 * COALESCE(tn.n_triangles, 0)) / (degree * (degree - 1))
+           END AS clustering
+    FROM deg LEFT JOIN tn ON tn.u = deg.u
+    """,
+)
+def q515(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient over the q471 document graph
+    (operators/mining.clustering_coefficient): canonical-orientation
+    triangle enumeration exploded to corners, cc = 2T/(d(d−1)) as one
+    exact-integer divide."""
+    from .operators.mining import clustering_coefficient
+
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        (F.col("doc_id") % 200).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return clustering_coefficient(base)

@@ -85,3 +85,52 @@ def test_stochastic_kd_hand_case(spark):
     assert out[4].pct_k == 100.0          # (35-25)/(35-25)
     assert out[2].pct_d is None and out[3].pct_d is None
     assert math.isclose(out[4].pct_d, (100 + 50 + 100) / 3, abs_tol=1e-12)
+
+
+def test_rsi_cutler_hand_case(spark):
+    from riptable_spark.operators.finance import rsi_cutler
+
+    df = spark.createDataFrame(
+        [("k", i, p) for i, p in enumerate([10, 12, 11, 15])], "k string, t long, px long"
+    )
+    out = sorted(rsi_cutler(df, ["k"], "px", ["t"], period=2).collect(), key=lambda r: r.t)
+    assert out[0].rsi is None and out[1].rsi is None
+    assert math.isclose(out[2].rsi, 100 * 2 / 3, abs_tol=1e-12)   # gains 2, losses 1
+    assert out[3].gain_sum == 4 and out[3].loss_sum == 1
+    assert math.isclose(out[3].rsi, 80.0, abs_tol=0)
+
+
+def test_newsvendor_hand_case(spark):
+    from riptable_spark.operators.finance import newsvendor_stock
+
+    # demands 10,20,30,40 with CR=3/4 -> pick ceil(3)=3rd smallest = 30
+    df = spark.createDataFrame(
+        [("k", d, q) for d, q in enumerate([20, 40, 10, 30])], "k string, day long, q long"
+    )
+    r = newsvendor_stock(df, ["k"], "q", "day", cu=3, co=1).collect()[0]
+    assert r.n_periods == 4 and r.pick_rank == 3 and r.stock_level == 30
+    assert r.service_target == 0.75
+
+
+def test_clustering_coefficient_triangle_pendant(spark):
+    from riptable_spark.operators.mining import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r.node: r for r in clustering_coefficient(edges, "src", "dst").collect()}
+    assert out[1].clustering == 1.0 and out[2].clustering == 1.0
+    assert math.isclose(out[3].clustering, 1 / 3, abs_tol=1e-12)
+    assert out[4].clustering is None and out[4].degree == 1
+    assert out[3].n_triangles == 1
+
+
+def test_clustering_coefficient_hub_cap(spark):
+    from riptable_spark.operators.mining import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r.node: r for r in clustering_coefficient(edges, "src", "dst", max_degree=2).collect()}
+    assert out[3].clustering is None          # hub: capped, marked NULL
+    assert out[1].n_triangles == 0 and out[1].clustering == 0.0
