@@ -1044,3 +1044,40 @@ def bellman_ford(
             .agg(F.min("d").alias("d"))
         )
     return dist.select(F.col("n").alias(node_col), F.col("d").alias("dist"))
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    fields: list[tuple[str, tuple[int, int], tuple[int, int]]],
+    threshold: tuple[int, int] = (2, 1),
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring over
+    candidate pairs: each field contributes likelihood ratio m/u on
+    agreement and (1−m)/(1−u) on disagreement; the match weight is the
+    product.
+
+    All probabilities are RATIONAL parameters (m = m_num/m_den,
+    u = u_num/u_den), so the weight accumulates as exact integer
+    numerator/denominator products (a handful of small factors — far
+    under 2^53), the weight itself is ONE divide, and the match
+    decision is an integer cross-multiplication against the rational
+    threshold — no log-odds float sums anywhere (the dirichlet_qlm
+    product-of-ratios discipline).  ``fields`` is a list of
+    (agreement_bool_col, (m_num, m_den), (u_num, u_den)); NULL
+    agreements count as disagreement.  Returns the input plus
+    (fs_num, fs_den, fs_weight, is_match).
+    """
+    num = F.lit(1).cast("long")
+    den = F.lit(1).cast("long")
+    for col, (mn, md), (un, ud) in fields:
+        a = F.coalesce(F.col(col), F.lit(False))
+        num = num * F.when(a, F.lit(int(mn) * int(ud))).otherwise(F.lit((int(md) - int(mn)) * int(ud)))
+        den = den * F.when(a, F.lit(int(md) * int(un))).otherwise(F.lit(int(md) * (int(ud) - int(un))))
+    tn, td = int(threshold[0]), int(threshold[1])
+    return pairs.select(
+        "*",
+        num.alias("fs_num"),
+        den.alias("fs_den"),
+        (num / den).alias("fs_weight"),
+        (num * F.lit(td) > den * F.lit(tn)).alias("is_match"),
+    )

@@ -557,3 +557,38 @@ def t_closeness(
     return terms.select(
         *qi_cols, "n", emd.alias("emd"), violates.alias("violates_t")
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of bucketed event counts per
+    key: F = Var/Mean — 1 for a Poisson process, >1 for bursty
+    (overdispersed) streams, <1 for regular ones.
+
+    With S = Σc and Q = Σc² over the key's n observed buckets,
+    F = (n·Q − S²)/(n·S): exact BIGINT numerator/denominator and ONE
+    divide, so the statistic — and the overdispersion flag
+    n·Q − S² > n·S — is engine-identical.  Two hash aggs; the shuffle
+    carries one row per (key, bucket).  Returns (keys…, n_buckets,
+    total, mean_count, fano, overdispersed).
+    """
+    b = F.floor(F.unix_seconds(F.col(time_col)) / F.lit(int(bucket_seconds))).cast("long")
+    counts = df.groupBy(*keys, b.alias("__bkt__")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = counts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("__q__"),
+    )
+    n, s, q = F.col("n_buckets"), F.col("total"), F.col("__q__")
+    return agg.select(
+        *keys, "n_buckets", "total",
+        (s / n).alias("mean_count"),
+        ((n * q - s * s) / (n * s)).alias("fano"),
+        (n * q - s * s > n * s).alias("overdispersed"),
+    )

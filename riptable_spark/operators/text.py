@@ -7,7 +7,7 @@ speed and scale linearly with executors. No shuffle unless aggregated.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -716,4 +716,38 @@ def log_templates(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.min(F.col(text_col)).alias("example"),
         )
+    )
+
+
+def vocab_growth(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heaps-law vocabulary growth curve: reading documents in id
+    order, the running total of tokens seen vs the running size of the
+    distinct vocabulary — the sublinear V ≈ K·Nᵝ curve that sizes a
+    tokenizer against a corpus.
+
+    The running-distinct decomposition (q352's discipline): a token's
+    FIRST document is a plain min-aggregate, per-doc new-token counts
+    are a second aggregate, and both cumulative sums run over the
+    per-document relation — an aggregated-input window (one row per
+    doc), never a raw-data global window.  All counts exact BIGINTs.
+    Returns (id, n_tokens, n_new_tokens, cum_tokens, cum_vocab).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: F.length(w) > 0
+    )
+    ex = df.select(F.col(id_col).alias("__id__"), F.explode(toks).alias("__t__"))
+    totals = ex.groupBy("__id__").agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    firsts = (
+        ex.groupBy("__t__").agg(F.min("__id__").alias("__id__"))
+        .groupBy("__id__").agg(F.count(F.lit(1)).cast("long").alias("n_new_tokens"))
+    )
+    per_doc = totals.join(firsts, on="__id__", how="left").select(
+        "__id__", "n_tokens",
+        F.coalesce(F.col("n_new_tokens"), F.lit(0)).cast("long").alias("n_new_tokens"),
+    )
+    w = Window.orderBy("__id__").rowsBetween(Window.unboundedPreceding, 0)
+    return per_doc.select(
+        F.col("__id__").alias(id_col), "n_tokens", "n_new_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("n_new_tokens").over(w).cast("long").alias("cum_vocab"),
     )

@@ -2505,3 +2505,135 @@ def q515(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
     return clustering_coefficient(base)
+
+
+# ------------------------------------------------------------------ q516
+@query(
+    "q516_fellegi_sunter",
+    """
+    WITH p AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_nationkey = b.c_nationkey AS same_nation,
+               a.c_mktsegment = b.c_mktsegment AS same_segment,
+               floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0) AS same_bal_band,
+               (a.c_acctbal >= 0) = (b.c_acctbal >= 0) AS same_bal_sign
+        FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+    ),
+    s AS (
+        SELECT *,
+               CAST(CASE WHEN coalesce(same_nation, false) THEN 225 ELSE 25 END AS BIGINT)
+               * (CASE WHEN coalesce(same_segment, false) THEN 45 ELSE 5 END)
+               * (CASE WHEN coalesce(same_bal_band, false) THEN 380 ELSE 20 END)
+               * (CASE WHEN coalesce(same_bal_sign, false) THEN 98 ELSE 2 END) AS fs_num,
+               CAST(CASE WHEN coalesce(same_nation, false) THEN 10 ELSE 240 END AS BIGINT)
+               * (CASE WHEN coalesce(same_segment, false) THEN 10 ELSE 40 END)
+               * (CASE WHEN coalesce(same_bal_band, false) THEN 20 ELSE 380 END)
+               * (CASE WHEN coalesce(same_bal_sign, false) THEN 50 ELSE 50 END) AS fs_den
+        FROM p
+    )
+    SELECT id_a, id_b, same_nation, same_segment, same_bal_band, same_bal_sign,
+           fs_num, fs_den, fs_num / fs_den AS fs_weight,
+           fs_num * 1 > fs_den * 2 AS is_match
+    FROM s
+    """,
+)
+def q516(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring over consecutive customer
+    pairs (operators/dedup.fellegi_sunter): rational m/u likelihood
+    ratios accumulate as exact integer products, one divide for the
+    weight, cross-multiplied match decision — no log-odds floats."""
+    from .operators.dedup import fellegi_sunter
+
+    c = load_table(spark, sf, "customer")
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = a.join(b, F.col("a_c_custkey") + 1 == F.col("b_c_custkey")).select(
+        F.col("a_c_custkey").alias("id_a"),
+        F.col("b_c_custkey").alias("id_b"),
+        (F.col("a_c_nationkey") == F.col("b_c_nationkey")).alias("same_nation"),
+        (F.col("a_c_mktsegment") == F.col("b_c_mktsegment")).alias("same_segment"),
+        (F.floor(F.col("a_c_acctbal") / 1000.0) == F.floor(F.col("b_c_acctbal") / 1000.0)).alias("same_bal_band"),
+        ((F.col("a_c_acctbal") >= 0) == (F.col("b_c_acctbal") >= 0)).alias("same_bal_sign"),
+    )
+    return fellegi_sunter(
+        pairs,
+        [
+            ("same_nation", (9, 10), (1, 25)),
+            ("same_segment", (9, 10), (1, 5)),
+            ("same_bal_band", (19, 20), (1, 20)),
+            ("same_bal_sign", (49, 50), (1, 2)),
+        ],
+        threshold=(2, 1),
+    )
+
+
+# ------------------------------------------------------------------ q517
+@query(
+    "q517_vocab_growth",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> len(x) > 0)) AS t
+        FROM documents
+    ),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+    firsts AS (
+        SELECT fid AS doc_id, CAST(count(*) AS BIGINT) AS n_new FROM (
+            SELECT t, min(doc_id) AS fid FROM tok GROUP BY t
+        ) GROUP BY 1
+    ),
+    per AS (
+        SELECT totals.doc_id, n_tokens,
+               CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_tokens
+        FROM totals LEFT JOIN firsts ON firsts.doc_id = totals.doc_id
+    )
+    SELECT doc_id, n_tokens, n_new_tokens,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(n_new_tokens) OVER w AS BIGINT) AS cum_vocab
+    FROM per WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q517(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary growth (operators/text.vocab_growth):
+    running distinct-vocab size via the first-occurrence decomposition,
+    cumulative sums over the aggregated per-document relation — exact
+    integer window sums."""
+    from .operators.text import vocab_growth
+
+    d = load_table(spark, sf, "documents")
+    return vocab_growth(d)
+
+
+# ------------------------------------------------------------------ q518
+@query(
+    "q518_dispersion_index",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(c * c) AS BIGINT) AS q
+        FROM c GROUP BY 1
+    )
+    SELECT event_type, n_buckets, total,
+           total / n_buckets AS mean_count,
+           (n_buckets * q - total * total) / (n_buckets * total) AS fano,
+           n_buckets * q - total * total > n_buckets * total AS overdispersed
+    FROM a
+    """,
+)
+def q518(spark: SparkSession, sf: str) -> DataFrame:
+    """Fano-factor burstiness of daily event counts per type
+    (operators/profile.dispersion_index): Var/Mean as one divide of
+    exact BIGINT moments; the overdispersion flag never builds a float
+    limit."""
+    from .operators.profile import dispersion_index
+
+    ev = load_table(spark, sf, "events")
+    return dispersion_index(ev, ["event_type"], "ts", bucket_seconds=86400)

@@ -134,3 +134,49 @@ def test_clustering_coefficient_hub_cap(spark):
     out = {r.node: r for r in clustering_coefficient(edges, "src", "dst", max_degree=2).collect()}
     assert out[3].clustering is None          # hub: capped, marked NULL
     assert out[1].n_triangles == 0 and out[1].clustering == 0.0
+
+
+def test_fellegi_sunter_hand_case(spark):
+    from riptable_spark.operators.dedup import fellegi_sunter
+
+    df = spark.createDataFrame(
+        [(1, True, True), (2, True, False), (3, None, False)],
+        "pid long, f1 boolean, f2 boolean",
+    )
+    out = {r.pid: r for r in fellegi_sunter(
+        df, [("f1", (9, 10), (1, 10)), ("f2", (4, 5), (1, 5))], threshold=(10, 1)
+    ).collect()}
+    # pid 1: (9/10)/(1/10) * (4/5)/(1/5) = 9*4 = 36 -> match
+    assert out[1].fs_num / out[1].fs_den == 36.0 and out[1].is_match
+    # pid 2: 9 * ((1/5)/(4/5)) = 9/4 -> no match at threshold 10
+    assert math.isclose(out[2].fs_weight, 9 / 4, abs_tol=1e-12) and not out[2].is_match
+    # NULL agreement counts as disagreement: (1/10)/(9/10) * 1/4 = 1/36
+    assert math.isclose(out[3].fs_weight, 1 / 36, abs_tol=1e-15)
+
+
+def test_vocab_growth_hand_case(spark):
+    from riptable_spark.operators.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c c d a")], "doc_id long, text string"
+    )
+    out = sorted(vocab_growth(df).collect(), key=lambda r: r.doc_id)
+    assert [(r.n_tokens, r.n_new_tokens) for r in out] == [(3, 2), (2, 1), (4, 1)]
+    assert [(r.cum_tokens, r.cum_vocab) for r in out] == [(3, 2), (5, 3), (9, 4)]
+
+
+def test_dispersion_index_hand_case(spark):
+    from riptable_spark.operators.profile import dispersion_index
+
+    # key a: counts per bucket 2,2,2 -> var 0, fano 0, not overdispersed
+    # key b: counts 1,5 -> mean 3, pop var 4 -> fano 4/3 > 1
+    rows = []
+    for b in range(3):
+        rows += [("a", 100 + b * 86400)] * 2
+    rows += [("b", 100)] * 1 + [("b", 100 + 86400)] * 5
+    df = spark.createDataFrame(rows, "k string, sec long").select(
+        "k", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = {r.k: r for r in dispersion_index(df, ["k"], "ts").collect()}
+    assert out["a"].fano == 0.0 and not out["a"].overdispersed
+    assert math.isclose(out["b"].fano, 4 / 3, abs_tol=1e-12) and out["b"].overdispersed
