@@ -751,3 +751,79 @@ def vocab_growth(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
         F.sum("n_new_tokens").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+RAKE_STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "that", "it", "for"]
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    top_k: int = 5,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs between stopwords/punctuation; each word scores
+    deg(w)/freq(w) over the whole candidate set (deg = Σ phrase length
+    over phrases containing w), and a phrase scores the sum of its
+    word scores.  Top-k phrases per document.
+
+    Cross-engine exactness: each word ratio is ONE divide of exact
+    integer corpus stats, and the per-phrase sum is a position-ordered
+    LEFT FOLD over ≤ ``max_phrase_len`` ratios (F.aggregate here,
+    list_reduce in SQL — never a hash-agg float sum, ORACLES rule 22).
+    Corpus stats are one hash agg over exploded words; ranking
+    tie-breaks (score DESC, phrase) for a total order.  Returns
+    (id, phrase, n_words, score, rank).
+    """
+    sw = stopwords or RAKE_STOPWORDS
+    pat = r"\b(?:" + "|".join(sw) + r")\b"
+    segs = F.split(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z ]+", "|"), pat, "|"
+        ),
+        r"\|",
+    )
+    seg = df.select(F.col(id_col).alias("__id__"), F.posexplode(segs).alias("__sidx__", "__seg__"))
+    words = F.filter(F.split(F.trim(F.col("__seg__")), " +"), lambda w: F.length(w) > 0)
+    phrases = seg.select(
+        "__id__", "__sidx__", words.alias("__ws__")
+    ).where((F.size("__ws__") >= 1) & (F.size("__ws__") <= max_phrase_len))
+    exploded = phrases.select(
+        "__id__", "__sidx__",
+        F.size("__ws__").cast("long").alias("__plen__"),
+        F.array_join(F.col("__ws__"), " ").alias("phrase"),
+        F.posexplode("__ws__").alias("__wpos__", "__w__"),
+    )
+    stats = exploded.groupBy("__w__").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq__"),
+        F.sum("__plen__").cast("long").alias("__deg__"),
+    )
+    scored = (
+        exploded.join(stats, on="__w__")
+        .withColumn("__ratio__", F.col("__deg__") / F.col("__freq__"))
+        .groupBy("__id__", "__sidx__", "phrase")
+        .agg(
+            F.max("__plen__").alias("n_words"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__wpos__", "__ratio__"))),
+                    lambda s: s.getField("__ratio__"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    dedup = scored.groupBy("__id__", "phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"), F.max("score").alias("score")
+    )
+    w = Window.partitionBy("__id__").orderBy(F.col("score").desc(), F.col("phrase"))
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("__id__").alias(id_col), "phrase", "n_words", "score",
+                F.col("rank").cast("long").alias("rank"))
+    )

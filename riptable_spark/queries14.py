@@ -2637,3 +2637,57 @@ def q518(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     return dispersion_index(ev, ["event_type"], "ts", bucket_seconds=86400)
+
+
+# ------------------------------------------------------------------ q519
+@query(
+    "q519_rake_keywords",
+    r"""
+    WITH seg AS (
+        SELECT doc_id, unnest(regexp_split_to_array(
+            regexp_replace(regexp_replace(lower(text), '[^a-z ]+', '|', 'g'),
+                           '\b(?:the|and|of|to|in|a|is|that|it|for)\b', '|', 'g'),
+            '\|')) AS s
+        FROM documents WHERE doc_id < 200
+    ),
+    pz AS (
+        SELECT doc_id, ws, len(ws) AS plen, array_to_string(ws, ' ') AS phrase
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(s), ' +'), w -> len(w) > 0) AS ws
+            FROM seg
+        ) WHERE len(ws) BETWEEN 1 AND 4
+    ),
+    wx AS (
+        SELECT doc_id, phrase, plen, i, ws[i] AS w
+        FROM pz, unnest(generate_series(1, len(ws))) AS t(i)
+    ),
+    stats AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+        FROM wx GROUP BY w
+    ),
+    sc AS (
+        SELECT doc_id, phrase,
+               CAST(max(plen) AS BIGINT) AS n_words,
+               list_reduce([CAST(0 AS DOUBLE)] || list(deg / freq ORDER BY i),
+                           (a, b) -> a + b) AS score
+        FROM (SELECT DISTINCT doc_id, phrase, plen, i, w FROM wx) d
+        JOIN stats USING (w)
+        GROUP BY doc_id, phrase
+    )
+    SELECT doc_id, phrase, n_words, score, CAST(r AS BIGINT) AS "rank"
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, phrase) AS r
+          FROM sc)
+    WHERE r <= 5
+    """,
+)
+def q519(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (operators/text.rake_keywords): stopword-
+    delimited candidate phrases scored by Σ deg(w)/freq(w) — exact
+    integer corpus stats, one divide per word, position-ordered left
+    fold per phrase (never a hash-agg float sum), top-5 per doc."""
+    from .operators.text import rake_keywords
+
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return rake_keywords(d, top_k=5, max_phrase_len=4)

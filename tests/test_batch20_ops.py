@@ -180,3 +180,16 @@ def test_dispersion_index_hand_case(spark):
     out = {r.k: r for r in dispersion_index(df, ["k"], "ts").collect()}
     assert out["a"].fano == 0.0 and not out["a"].overdispersed
     assert math.isclose(out["b"].fano, 4 / 3, abs_tol=1e-12) and out["b"].overdispersed
+
+
+def test_rake_keywords_hand_case(spark):
+    from riptable_spark.operators.text import rake_keywords
+
+    txt = "deep learning of deep networks. the networks run"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    out = sorted(rake_keywords(df, top_k=5).collect(), key=lambda r: r.rank)
+    # deg/freq: deep 4/2, learning 2/1, networks 4/2, run 2/1 -> all phrases score 4
+    assert [r.phrase for r in out] == ["deep learning", "deep networks", "networks run"]
+    assert all(r.score == 4.0 for r in out)
+    assert [r.n_words for r in out] == [2, 2, 2]
+    assert [r.rank for r in out] == [1, 2, 3]
