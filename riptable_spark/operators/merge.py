@@ -1091,3 +1091,59 @@ def scd2_build(
         *keys, *attr_cols, "valid_from_us", "valid_to_us", "version",
         F.col("valid_to_us").isNull().alias("is_current"),
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    by: list[str] | None = None,
+    l_prefix: str = "l_",
+    r_prefix: str = "r_",
+) -> DataFrame:
+    """Interval-OVERLAP join on half-open integer intervals: pairs
+    where l.start < r.end AND r.start < l.end (optionally also equal
+    on ``by`` keys) — the two-sided sibling of :func:`range_join`.
+
+    Physical strategy (the 100 TB shape): both sides explode onto a
+    coarse integer grid (floor(start/w) … floor((end−1)/w)) and the
+    candidate join is a plain EQUI-join on (by…, cell) — never a
+    nested loop.  A pair spanning several shared cells would be
+    reported once PER cell, so each pair is claimed exactly once by
+    the cell containing max(l.start, r.start) (exact integer
+    arithmetic — the grid_neighbor_join report-once trick, no dedup
+    pass), then the exact overlap predicate filters residuals.
+    Intervals longer than ~dozens of cells explode proportionally —
+    pick ``bucket_width`` near the typical interval length.  Returns
+    by-keys plus every left/right column under ``l_prefix``/
+    ``r_prefix`` and the overlap length ``overlap``.
+    """
+    by = by or []
+    w = int(bucket_width)
+
+    def explode_side(df: DataFrame, s: str, e: str, prefix: str) -> DataFrame:
+        cols = [F.col(c).alias(prefix + c) for c in df.columns if c not in by]
+        cell = F.explode(
+            F.sequence(
+                F.floor(F.col(s) / w).cast("long"),
+                F.floor((F.col(e) - 1) / w).cast("long"),
+            )
+        )
+        return df.where(F.col(s) < F.col(e)).select(*by, *cols, cell.alias("__cell__"))
+
+    le = explode_side(left, l_start, l_end, l_prefix)
+    re_ = explode_side(right, r_start, r_end, r_prefix)
+    ls, le_c = F.col(l_prefix + l_start), F.col(l_prefix + l_end)
+    rs, re_c = F.col(r_prefix + r_start), F.col(r_prefix + r_end)
+    j = le.join(re_, on=[*by, "__cell__"])
+    claimed = j.where(
+        (F.col("__cell__") == F.floor(F.greatest(ls, rs) / w).cast("long"))
+        & (ls < re_c) & (rs < le_c)
+    )
+    return claimed.drop("__cell__").withColumn(
+        "overlap", (F.least(le_c, re_c) - F.greatest(ls, rs)).cast("long")
+    )

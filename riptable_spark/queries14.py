@@ -2691,3 +2691,82 @@ def q519(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").where(F.col("doc_id") < 200)
     return rake_keywords(d, top_k=5, max_phrase_len=4)
+
+
+# ------------------------------------------------------------------ q520
+@query(
+    "q520_interval_join",
+    """
+    WITH base AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events WHERE user_id % 5 = 0
+    ),
+    l AS (SELECT user_id, event_id AS lid, s, s + event_id % 20000 + 1000 AS e
+          FROM base WHERE event_id % 2 = 0),
+    r AS (SELECT user_id, event_id AS rid, s, s + event_id % 20000 + 1000 AS e
+          FROM base WHERE event_id % 2 = 1)
+    SELECT l.user_id,
+           l.lid AS l_lid, l.s AS l_s, l.e AS l_e,
+           r.rid AS r_rid, r.s AS r_s, r.e AS r_e,
+           CAST(least(l.e, r.e) - greatest(l.s, r.s) AS BIGINT) AS overlap
+    FROM l JOIN r ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
+    """,
+)
+def q520(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join on synthetic per-user activity intervals
+    (operators/merge.interval_join): grid-cell equi-join candidates,
+    exact report-once claim on the overlap-start cell, integer residual
+    predicate — never a nested loop; the oracle is the plain non-equi
+    SQL."""
+    from .operators.merge import interval_join
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") % 5 == 0)
+    base = ev.select(
+        "user_id", "event_id", F.unix_seconds(F.col("ts")).alias("s")
+    ).withColumn("e", F.col("s") + F.col("event_id") % 20000 + 1000)
+    left = base.where(F.col("event_id") % 2 == 0).select(
+        "user_id", F.col("event_id").alias("lid"), "s", "e"
+    )
+    right = base.where(F.col("event_id") % 2 == 1).select(
+        "user_id", F.col("event_id").alias("rid"), "s", "e"
+    )
+    return interval_join(left, right, "s", "e", "s", "e",
+                         bucket_width=16384, by=["user_id"])
+
+
+# ------------------------------------------------------------------ q521
+@query(
+    "q521_yules_k",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    nz AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM nz GROUP BY 1, 2),
+    g AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c * c) AS BIGINT) AS sum_f2
+        FROM tc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(g.n, 0) AS n_tokens,
+           coalesce(g.n_types, 0) AS n_types,
+           coalesce(g.sum_f2, 0) AS sum_f2,
+           CASE WHEN g.n >= 2 THEN (10000 * (g.sum_f2 - g.n)) / (g.n * g.n) END AS yules_k,
+           CASE WHEN g.n >= 2 THEN (g.sum_f2 - g.n) / (g.n * (g.n - 1)) END AS simpson
+    FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+    """,
+)
+def q521(spark: SparkSession, sf: str) -> DataFrame:
+    """Yule's K + Simpson repeat rate per document (operators/text.
+    yules_k): Σf² folds horizontally over the sorted token array (zero
+    shuffle — the whole statistic is a projection), one exact-integer
+    divide each; the oracle takes the explode-and-count route."""
+    from .operators.text import yules_k
+
+    d = load_table(spark, sf, "documents")
+    return yules_k(d)

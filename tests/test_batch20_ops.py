@@ -193,3 +193,32 @@ def test_rake_keywords_hand_case(spark):
     assert all(r.score == 4.0 for r in out)
     assert [r.n_words for r in out] == [2, 2, 2]
     assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_yules_k_hand_case(spark):
+    from riptable_spark.operators.text import yules_k
+
+    df = spark.createDataFrame([(1, "a b b a c"), (2, "x"), (3, None)],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in yules_k(df).collect()}
+    # freqs a:2 b:2 c:1 -> sum_f2 9, K = 1e4*(9-5)/25 = 1600, D = 4/20
+    assert out[1].n_tokens == 5 and out[1].n_types == 3 and out[1].sum_f2 == 9
+    assert out[1].yules_k == 1600.0 and out[1].simpson == 0.2
+    assert out[2].n_tokens == 1 and out[2].yules_k is None
+    assert out[3].n_tokens == 0 and out[3].simpson is None
+
+
+def test_interval_join_report_once_and_half_open(spark):
+    from riptable_spark.operators.merge import interval_join
+
+    left = spark.createDataFrame([("k", 1, 0, 25), ("k", 2, 40, 50)],
+                                 "g string, lid long, s long, e long")
+    right = spark.createDataFrame([("k", 7, 18, 22), ("k", 8, 50, 60), ("k", 9, 24, 41)],
+                                  "g string, rid long, s long, e long")
+    out = interval_join(left, right, "s", "e", "s", "e",
+                        bucket_width=10, by=["g"])
+    rows = sorted([(r.l_lid, r.r_rid, r.overlap) for r in out.collect()])
+    # (1,7): overlap spans cells 1-2 -> reported ONCE, overlap 4
+    # (1,9): [24,25) overlap 1; (2,9): [40,41) overlap 1
+    # (2,8): touching at 50 -> half-open, NO match
+    assert rows == [(1, 7, 4), (1, 9, 1), (2, 9, 1)]
