@@ -661,10 +661,17 @@ def lexical_diversity(
     """
     from .dedup import normalize_text
 
-    # NULL text reports 0 tokens (not NULL): a missing doc still gets a row
+    # NULL text reports 0 tokens (not NULL): a missing doc still gets a
+    # row.  The sorted array materializes in its OWN projection stage —
+    # inlining array_sort into the per-element lambdas makes Catalyst
+    # re-sort per element access, O(n² log n) per doc (the yules_k
+    # lesson; measured ~20 s extra at sf0.1).
     toks = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
-    toks = F.filter(toks, lambda x: x != "")
-    st = F.array_sort(toks)
+    s0 = df.select(
+        F.col(id_col),
+        F.array_sort(F.filter(toks, lambda x: x != "")).alias("__st__"),
+    )
+    st = F.col("__st__")
     n = F.size(st)
     # boundary flags over the sorted array: token != its predecessor
     is_new = F.transform(
@@ -678,9 +685,14 @@ def lexical_diversity(
             & F.when(i == n - 1, F.lit(True)).otherwise(x != F.element_at(st, i + 2))
         ).cast("int"),
     )
-    n_types = F.aggregate(is_new, F.lit(0), lambda a, v: a + v)
-    n_hapax = F.aggregate(is_hapax, F.lit(0), lambda a, v: a + v)
-    return df.select(
+    s1 = s0.select(
+        id_col,
+        n.alias("__n__"),
+        F.aggregate(is_new, F.lit(0), lambda a, v: a + v).alias("__types__"),
+        F.aggregate(is_hapax, F.lit(0), lambda a, v: a + v).alias("__hapax__"),
+    )
+    n, n_types, n_hapax = F.col("__n__"), F.col("__types__"), F.col("__hapax__")
+    return s1.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         n_types.cast("long").alias("n_types"),
