@@ -592,3 +592,45 @@ def dispersion_index(
         ((n * q - s * s) / (n * s)).alias("fano"),
         (n * q - s * s > n * s).alias("overdispersed"),
     )
+
+
+def grubbs_stat(
+    df: DataFrame,
+    keys: list[str],
+    value_scaled_col: str,
+) -> DataFrame:
+    """Grubbs outlier statistic per key: G = max|x − x̄| / s over an
+    integer-scaled value column.
+
+    Engine-exact composition: the deviation |x·n − S| is an exact
+    BIGINT per row, its group MAX is fold-order-free, and
+    G = M / (n·s) with s = √((nQ − S²)/(n(n−1))) is a fixed float
+    tree over exact operands (one sqrt, two divides — all correctly
+    rounded).  The suspect value rides a packed (dev, value) argmax so
+    ties break deterministically to the LARGER value.  Two hash aggs +
+    one broadcast join.  Returns (keys…, n, mean, stddev,
+    suspect_scaled, g_stat).
+    """
+    x = F.col(value_scaled_col).cast("long")
+    m = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("__s__"),
+        F.sum(x * x).cast("long").alias("__q__"),
+    )
+    j = df.join(F.broadcast(m), on=keys)
+    dev = F.abs(x * F.col("n") - F.col("__s__"))
+    # pack: dev * 2^20 + (value - min_possible)? value can be negative;
+    # use struct max instead — Spark max on struct orders lexically.
+    packed = F.struct(dev.alias("d"), x.alias("v"))
+    agg = j.groupBy(*keys, "n", "__s__", "__q__").agg(F.max(packed).alias("__p__"))
+    n, s, q = F.col("n"), F.col("__s__"), F.col("__q__")
+    var = (n * q - s * s) / (n * (n - 1))
+    sd = F.sqrt(var)
+    mdev = F.col("__p__.d")
+    return agg.select(
+        *keys, "n",
+        (s / n).alias("mean"),
+        F.when(n >= 2, sd).alias("stddev"),
+        F.col("__p__.v").alias("suspect_scaled"),
+        F.when((n >= 2) & (n * q - s * s > 0), (mdev / n) / sd).alias("g_stat"),
+    )

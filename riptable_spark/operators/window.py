@@ -1537,3 +1537,83 @@ def wma(
     den = sum(int(wt) for wt in weights)
     full = F.lag(x, len(weights) - 1).over(w).isNotNull()
     return df.withColumn(out_col, F.when(full, num / F.lit(den)))
+
+
+def durbin_watson(
+    df: DataFrame,
+    keys: list[str],
+    value_scaled_col: str,
+    order: list[str],
+) -> DataFrame:
+    """Durbin–Watson autocorrelation statistic per key over an
+    integer-scaled ordered series:
+
+        DW = Σ(x_t − x_{t−1})² / Σ(x − x̄)²  =  n·Σ(Δx)² / (n·Q − S²)
+
+    Both numerator and denominator are exact BIGINTs (Δx via one lag
+    window, moments in the same pass), so the statistic is ONE divide —
+    engine-identical, DW∈[0,4], ≈2 for white noise.  One per-key sort
+    window + one hash agg.  Returns (keys…, n, sum_sq_diff, dw).
+    """
+    x = F.col(value_scaled_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d = x - F.lag(x).over(w)
+    work = df.select(*keys, x.alias("__x__"), d.alias("__d__"))
+    agg = work.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x__").cast("long").alias("__s__"),
+        F.sum(F.col("__x__") * F.col("__x__")).cast("long").alias("__q__"),
+        F.sum(F.col("__d__") * F.col("__d__")).cast("long").alias("sum_sq_diff"),
+    )
+    n, s, q = F.col("n"), F.col("__s__"), F.col("__q__")
+    return agg.select(
+        *keys, "n", "sum_sq_diff",
+        F.when(n * q - s * s > 0, (n * F.col("sum_sq_diff")) / (n * q - s * s)).alias("dw"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    keys: list[str],
+    value_scaled_col: str,
+    order: list[str],
+) -> DataFrame:
+    """Wald–Wolfowitz runs test about the mean per key: classify each
+    row strictly above (+) or below (−) the key mean (ties drop), count
+    sign runs R, and form z = (R − E[R])/√Var(R) with
+    E = 1 + 2·n₁n₂/n and Var = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)).
+
+    The classification x·n > S is an exact integer cross-product (a
+    value can never sit ON the mean boundary), R and n₁/n₂ are exact
+    integers, and z is a fixed float tree over exact operands.  Two
+    passes: one moment agg broadcast back, one sign-transition window.
+    Returns (keys…, n_signs, n_plus, n_minus, runs, z).
+    """
+    x = F.col(value_scaled_col).cast("long")
+    m = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt__"),
+        F.sum(x).cast("long").alias("__s__"),
+    )
+    j = df.join(F.broadcast(m), on=keys)
+    sgn = F.when(x * F.col("__cnt__") > F.col("__s__"), F.lit(1)).when(
+        x * F.col("__cnt__") < F.col("__s__"), F.lit(-1)
+    )
+    signs = j.select(*keys, *order, sgn.alias("__sgn__")).where(F.col("__sgn__").isNotNull())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    trans = (F.col("__sgn__") != F.lag("__sgn__").over(w)).cast("long")
+    work = signs.select(*keys, "__sgn__", F.coalesce(trans, F.lit(1)).alias("__new__"))
+    agg = work.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_signs"),
+        F.sum((F.col("__sgn__") == 1).cast("long")).cast("long").alias("n_plus"),
+        F.sum((F.col("__sgn__") == -1).cast("long")).cast("long").alias("n_minus"),
+        F.sum("__new__").cast("long").alias("runs"),
+    )
+    n, n1, n2, r = F.col("n_signs"), F.col("n_plus"), F.col("n_minus"), F.col("runs")
+    two = F.lit(2) * n1 * n2
+    e = F.lit(1.0) + two / n
+    v = (two * (two - n)) / (n * n * (n - 1))
+    return agg.select(
+        *keys, "n_signs", "n_plus", "n_minus", "runs",
+        F.when((n >= 2) & (n1 > 0) & (n2 > 0) & (two * (two - n) > 0),
+               (r - e) / F.sqrt(v)).alias("z"),
+    )

@@ -2770,3 +2770,140 @@ def q521(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return yules_k(d)
+
+
+# ------------------------------------------------------------------ q522
+@query(
+    "q522_grubbs",
+    """
+    WITH v AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+        FROM v GROUP BY 1
+    ),
+    d AS (
+        SELECT v.event_type, v.c, abs(v.c * m.n - m.s) AS dev, m.n, m.s, m.q
+        FROM v JOIN m ON m.event_type = v.event_type
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY dev DESC, c DESC) AS rn
+        FROM d
+    )
+    SELECT event_type, n,
+           s / n AS mean,
+           CASE WHEN n >= 2 THEN sqrt((n * q - s * s) / (n * (n - 1))) END AS stddev,
+           c AS suspect_scaled,
+           CASE WHEN n >= 2 AND n * q - s * s > 0
+                THEN (dev / n) / sqrt((n * q - s * s) / (n * (n - 1))) END AS g_stat
+    FROM r WHERE rn = 1
+    """,
+)
+def q522(spark: SparkSession, sf: str) -> DataFrame:
+    """Grubbs outlier statistic per event type (operators/profile.
+    grubbs_stat): exact-BIGINT deviations |x·n − S| with fold-free max,
+    G as a fixed float tree over exact operands — the single-most-
+    outlying value and its test statistic."""
+    from .operators.profile import grubbs_stat
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    return grubbs_stat(ev, ["event_type"], "c")
+
+
+# ------------------------------------------------------------------ q523
+@query(
+    "q523_durbin_watson",
+    """
+    WITH v AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE user_id % 20 = 0
+    ),
+    d AS (
+        SELECT user_id, c,
+               c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dx
+        FROM v
+    ),
+    a AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q,
+               CAST(coalesce(sum(dx * dx), 0) AS BIGINT) AS sum_sq_diff
+        FROM d GROUP BY 1
+    )
+    SELECT user_id, n, sum_sq_diff,
+           CASE WHEN n * q - s * s > 0
+                THEN (n * sum_sq_diff) / (n * q - s * s) END AS dw
+    FROM a
+    """,
+)
+def q523(spark: SparkSession, sf: str) -> DataFrame:
+    """Durbin–Watson autocorrelation statistic per user (operators/
+    window.durbin_watson): n·Σ(Δx)²/(n·Q−S²) as ONE divide of exact
+    BIGINTs — white noise ≈ 2, trending < 2."""
+    from .operators.window import durbin_watson
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") % 20 == 0)
+    v = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    return durbin_watson(v, ["user_id"], "c", ["ts", "event_id"])
+
+
+# ------------------------------------------------------------------ q524
+@query(
+    "q524_runs_test",
+    """
+    WITH v AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE user_id % 20 = 0
+    ),
+    m AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(c) AS BIGINT) AS s
+        FROM v GROUP BY 1
+    ),
+    sg AS (
+        SELECT v.user_id, v.ts, v.event_id,
+               CASE WHEN v.c * m.cnt > m.s THEN 1
+                    WHEN v.c * m.cnt < m.s THEN -1 END AS sgn
+        FROM v JOIN m ON m.user_id = v.user_id
+    ),
+    t AS (
+        SELECT user_id, sgn,
+               CASE WHEN lag(sgn) OVER w IS NULL THEN 1
+                    WHEN sgn != lag(sgn) OVER w THEN 1 ELSE 0 END AS new_run
+        FROM sg WHERE sgn IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    a AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_signs,
+               CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+               CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+               CAST(sum(new_run) AS BIGINT) AS runs
+        FROM t GROUP BY 1
+    )
+    SELECT user_id, n_signs, n_plus, n_minus, runs,
+           CASE WHEN n_signs >= 2 AND n_plus > 0 AND n_minus > 0
+                     AND (2 * n_plus * n_minus) * (2 * n_plus * n_minus - n_signs) > 0
+                THEN (runs - (CAST(1 AS DOUBLE) + (2 * n_plus * n_minus) / n_signs))
+                     / sqrt(((2 * n_plus * n_minus) * (2 * n_plus * n_minus - n_signs))
+                            / (n_signs * n_signs * (n_signs - 1))) END AS z
+    FROM a
+    """,
+)
+def q524(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald–Wolfowitz runs test about the mean per user (operators/
+    window.runs_test): exact cross-product sign classification (never
+    ON the mean), integer run counts, z as a fixed float tree."""
+    from .operators.window import runs_test
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") % 20 == 0)
+    v = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    return runs_test(v, ["user_id"], "c", ["ts", "event_id"])

@@ -222,3 +222,39 @@ def test_interval_join_report_once_and_half_open(spark):
     # (1,9): [24,25) overlap 1; (2,9): [40,41) overlap 1
     # (2,8): touching at 50 -> half-open, NO match
     assert rows == [(1, 7, 4), (1, 9, 1), (2, 9, 1)]
+
+
+def test_grubbs_hand_case(spark):
+    from riptable_spark.operators.profile import grubbs_stat
+
+    # values 1,2,3,4,100 -> mean 22, sd ~ 43.67, suspect 100
+    df = spark.createDataFrame([("k", v) for v in [1, 2, 3, 4, 100]], "k string, c long")
+    r = grubbs_stat(df, ["k"], "c").collect()[0]
+    assert r.suspect_scaled == 100 and r.n == 5
+    sd = math.sqrt((5 * (1 + 4 + 9 + 16 + 10000) - 110 * 110) / 20)
+    assert math.isclose(r.g_stat, (100 - 22) / sd, rel_tol=1e-12)
+
+
+def test_durbin_watson_hand_case(spark):
+    from riptable_spark.operators.window import durbin_watson
+
+    # alternating series -> DW near 4; x = 1,-1,1,-1
+    df = spark.createDataFrame([("k", i, v) for i, v in enumerate([1, -1, 1, -1])],
+                               "k string, t long, c long")
+    r = durbin_watson(df, ["k"], "c", ["t"]).collect()[0]
+    # sum_sq_diff = 3*4 = 12; n*q - s*s = 4*4 - 0 = 16; dw = 4*12/16 = 3
+    assert r.sum_sq_diff == 12 and r.dw == 3.0
+
+
+def test_runs_test_hand_case(spark):
+    from riptable_spark.operators.window import runs_test
+
+    # + + - - + -> 3 runs, n1=3 n2=2 (mean is 0 with values ±1... use 10/-10)
+    vals = [10, 10, -10, -10, 10]
+    df = spark.createDataFrame([("k", i, v) for i, v in enumerate(vals)],
+                               "k string, t long, c long")
+    r = runs_test(df, ["k"], "c", ["t"]).collect()[0]
+    assert (r.n_plus, r.n_minus, r.runs) == (3, 2, 3)
+    e = 1 + 2 * 3 * 2 / 5
+    v = (2 * 3 * 2) * (2 * 3 * 2 - 5) / (25 * 4)
+    assert math.isclose(r.z, (3 - e) / math.sqrt(v), rel_tol=1e-12)
