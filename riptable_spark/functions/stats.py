@@ -2991,3 +2991,86 @@ def mrr_at_k(
         *query_cols, "first_rel_rank", "rr_scaled", "n_queries",
         (F.col("rr_sum_scaled") / (F.lit(int(L)) * F.col("n_queries"))).alias("mrr"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    keys: list[str],
+    truth_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+    continuity: bool = True,
+) -> DataFrame:
+    """McNemar paired test comparing two classifiers on the SAME rows:
+    with b = (A right, B wrong) and c = (A wrong, B right) discordant
+    counts, χ² = (|b−c|−1)²/(b+c) (continuity-corrected; set
+    ``continuity=False`` for the plain (b−c)²/(b+c)).
+
+    b and c are exact integers from one fused conditional aggregate, so
+    the statistic is ONE divide — engine-identical, and a paired
+    difference can never sit on a float boundary.  Returns
+    (keys…, n, b_only_a, c_only_b, chi2).
+    """
+    ra = F.col(pred_a_col) == F.col(truth_col)
+    rb = F.col(pred_b_col) == F.col(truth_col)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((ra & ~rb).cast("long")).cast("long").alias("b_only_a"),
+        F.sum((~ra & rb).cast("long")).cast("long").alias("c_only_b"),
+    )
+    b, c = F.col("b_only_a"), F.col("c_only_b")
+    num = (
+        (F.abs(b - c) - 1) * (F.abs(b - c) - 1)
+        if continuity
+        else (b - c) * (b - c)
+    )
+    return agg.select(
+        *keys, "n", "b_only_a", "c_only_b",
+        F.when(b + c > 0, num / (b + c)).alias("chi2"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+    category_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa for FIXED-size multi-rater agreement: each item
+    carries exactly ``n_raters`` categorical ratings;
+
+        P̄ = (ΣᵢΣⱼ n²ᵢⱼ − N·n) / (N·n·(n−1))      (observed agreement)
+        Pₑ = Σⱼ Cⱼ² / (N·n)²                      (chance agreement)
+        κ  = (P̄ − Pₑ) / (1 − Pₑ)
+
+    Both P̄ and Pₑ are ONE divide of exact BIGINTs (same denominator
+    inside each sum — no varying-denominator rational sums), and κ is
+    a fixed float tree over those two exact doubles.  Two hash aggs
+    ((item, category) counts → moments).  Returns (keys…, n_items,
+    n_raters, p_bar, p_e, kappa).
+    """
+    cnt = df.groupBy(*keys, item_col, category_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c__")
+    )
+    per_key = cnt.groupBy(*keys).agg(
+        F.count_distinct(F.col(item_col)).cast("long").alias("n_items"),
+        F.sum(F.col("__c__") * F.col("__c__")).cast("long").alias("__ss__"),
+    )
+    cat = cnt.groupBy(*keys, category_col).agg(F.sum("__c__").cast("long").alias("__cj__"))
+    catm = cat.groupBy(*keys).agg(
+        F.sum(F.col("__cj__") * F.col("__cj__")).cast("long").alias("__cb__")
+    )
+    m = per_key.join(catm, on=keys)
+    n = F.lit(int(n_raters))
+    N = F.col("n_items")
+    p_bar = (F.col("__ss__") - N * n) / (N * n * (n - 1))
+    p_e = F.col("__cb__") / ((N * n) * (N * n))
+    return m.select(
+        *keys,
+        "n_items",
+        n.cast("long").alias("n_raters"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        F.when(p_e < 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+    )

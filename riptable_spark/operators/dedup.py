@@ -1081,3 +1081,47 @@ def fellegi_sunter(
         (num / den).alias("fs_weight"),
         (num * F.lit(td) > den * F.lit(tn)).alias("is_match"),
     )
+
+
+def gower_distance(
+    pairs: DataFrame,
+    numeric_fields: list[tuple[str, str, int]],
+    categorical_fields: list[tuple[str, str]],
+) -> DataFrame:
+    """Gower mixed-type record distance over candidate pairs: numeric
+    fields contribute |a−b|/range, categorical fields contribute
+    0/1 mismatch, and the distance is the mean over fields.
+
+    ``numeric_fields`` is a list of (col_a, col_b, range_scaled) with
+    INTEGER-scaled columns and a caller-supplied positive integer range
+    (compute it with one tiny agg first — keeping it a parameter keeps
+    this a pure projection); ``categorical_fields`` is (col_a, col_b).
+    Each numeric term is ONE divide of exact integers; the mean is a
+    fixed float tree (k ≤ a handful of terms), so the distance is
+    engine-identical.  NULL on either side makes a field contribute
+    its worst case (1).  Returns the input plus per-field ``d_<col>``
+    terms and ``gower``.
+    """
+    terms = []
+    names = []
+    for ca, cb, rng in numeric_fields:
+        t = F.when(
+            F.col(ca).isNotNull() & F.col(cb).isNotNull(),
+            F.abs(F.col(ca).cast("long") - F.col(cb).cast("long")) / F.lit(int(rng)),
+        ).otherwise(F.lit(1.0))
+        t = F.least(t, F.lit(1.0))
+        terms.append(t)
+        names.append(f"d_{ca}")
+    for ca, cb in categorical_fields:
+        t = F.when(F.col(ca).isNotNull() & F.col(cb).isNotNull(),
+                   (F.col(ca) != F.col(cb)).cast("double")).otherwise(F.lit(1.0))
+        terms.append(t)
+        names.append(f"d_{ca}")
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    k = len(terms)
+    sel = [F.col(c) for c in pairs.columns]
+    sel += [t.alias(nm) for t, nm in zip(terms, names)]
+    sel.append((total / F.lit(float(k))).alias("gower"))
+    return pairs.select(*sel)

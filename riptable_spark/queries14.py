@@ -2907,3 +2907,138 @@ def q524(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("c"),
     )
     return runs_test(v, ["user_id"], "c", ["ts", "event_id"])
+
+
+# ------------------------------------------------------------------ q525
+@query(
+    "q525_mcnemar",
+    """
+    WITH p AS (
+        SELECT event_type,
+               (CAST(round(value * 100) AS BIGINT) % 7 < 3) AS t,
+               (CAST(round(value * 100) AS BIGINT) % 7 < 2) AS a,
+               ((CAST(round(value * 100) AS BIGINT) + 3) % 7 < 3) AS b
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = t AND NOT (b = t) THEN 1 ELSE 0 END) AS BIGINT) AS b_only_a,
+               CAST(sum(CASE WHEN NOT (a = t) AND b = t THEN 1 ELSE 0 END) AS BIGINT) AS c_only_b
+        FROM p GROUP BY 1
+    )
+    SELECT event_type, n, b_only_a, c_only_b,
+           CASE WHEN b_only_a + c_only_b > 0
+                THEN ((abs(b_only_a - c_only_b) - 1) * (abs(b_only_a - c_only_b) - 1))
+                     / (b_only_a + c_only_b) END AS chi2
+    FROM g
+    """,
+)
+def q525(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar paired classifier comparison per event type (functions/
+    stats.mcnemar_test): exact integer discordant counts from one fused
+    conditional agg, continuity-corrected χ² as one divide."""
+    from .functions.stats import mcnemar_test
+
+    ev = load_table(spark, sf, "events")
+    m = F.round(F.col("value") * 100).cast("long") % 7
+    p = ev.select(
+        "event_type",
+        (m < 3).alias("t"),
+        (m < 2).alias("a"),
+        ((F.round(F.col("value") * 100).cast("long") + 3) % 7 < 3).alias("b"),
+    )
+    return mcnemar_test(p, ["event_type"], "t", "a", "b", continuity=True)
+
+
+# ------------------------------------------------------------------ q526
+@query(
+    "q526_fleiss_kappa",
+    """
+    WITH r AS (
+        SELECT doc_id % 7 AS g, doc_id, (doc_id * 7 + 0) % 4 AS cat FROM documents
+        UNION ALL SELECT doc_id % 7, doc_id, (doc_id * 11 + 1) % 4 FROM documents
+        UNION ALL SELECT doc_id % 7, doc_id, (doc_id * 13 + 2) % 4 FROM documents
+    ),
+    cnt AS (SELECT g, doc_id, cat, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2, 3),
+    pk AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items,
+                  CAST(sum(c * c) AS BIGINT) AS ss FROM cnt GROUP BY 1),
+    cj AS (SELECT g, cat, CAST(sum(c) AS BIGINT) AS cj FROM cnt GROUP BY 1, 2),
+    cb AS (SELECT g, CAST(sum(cj * cj) AS BIGINT) AS cb FROM cj GROUP BY 1)
+    SELECT pk.g, n_items, CAST(3 AS BIGINT) AS n_raters,
+           (ss - n_items * 3) / (n_items * 3 * (3 - 1)) AS p_bar,
+           cb / ((n_items * 3) * (n_items * 3)) AS p_e,
+           CASE WHEN cb / ((n_items * 3) * (n_items * 3)) < 1
+                THEN ((ss - n_items * 3) / (n_items * 3 * (3 - 1))
+                      - cb / ((n_items * 3) * (n_items * 3)))
+                     / (CAST(1 AS DOUBLE) - cb / ((n_items * 3) * (n_items * 3))) END AS kappa
+    FROM pk JOIN cb ON cb.g = pk.g
+    """,
+)
+def q526(spark: SparkSession, sf: str) -> DataFrame:
+    """Fleiss' kappa over three synthesized raters of the documents
+    table (functions/stats.fleiss_kappa): P̄ and Pₑ each ONE divide of
+    exact BIGINT moments (identical denominators inside each sum), κ a
+    fixed float tree."""
+    from .functions.stats import fleiss_kappa
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    parts = []
+    for j, p in enumerate([7, 11, 13]):
+        parts.append(
+            d.select(
+                (F.col("doc_id") % 7).alias("g"),
+                "doc_id",
+                ((F.col("doc_id") * p + j) % 4).alias("cat"),
+            )
+        )
+    ratings = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return fleiss_kappa(ratings, ["g"], "doc_id", "cat", n_raters=3)
+
+
+# ------------------------------------------------------------------ q527
+@query(
+    "q527_gower_distance",
+    """
+    WITH p AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(round(a.c_acctbal * 100) AS BIGINT) AS a_bal,
+               CAST(round(b.c_acctbal * 100) AS BIGINT) AS b_bal,
+               a.c_nationkey AS a_nat, b.c_nationkey AS b_nat,
+               a.c_mktsegment AS a_seg, b.c_mktsegment AS b_seg
+        FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+    )
+    SELECT id_a, id_b, a_bal, b_bal, a_nat, b_nat, a_seg, b_seg,
+           least(abs(a_bal - b_bal) / 1100000, CAST(1 AS DOUBLE)) AS d_a_bal,
+           CAST(a_nat != b_nat AS DOUBLE) AS d_a_nat,
+           CAST(a_seg != b_seg AS DOUBLE) AS d_a_seg,
+           ((least(abs(a_bal - b_bal) / 1100000, CAST(1 AS DOUBLE))
+             + CAST(a_nat != b_nat AS DOUBLE))
+            + CAST(a_seg != b_seg AS DOUBLE)) / CAST(3 AS DOUBLE) AS gower
+    FROM p
+    """,
+)
+def q527(spark: SparkSession, sf: str) -> DataFrame:
+    """Gower mixed-type distance over consecutive customer pairs
+    (operators/dedup.gower_distance): integer-scaled numeric term (one
+    divide against a literal range), 0/1 categorical mismatches, fixed
+    float-tree mean — the ER distance beside Fellegi–Sunter."""
+    from .operators.dedup import gower_distance
+
+    c = load_table(spark, sf, "customer")
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = a.join(b, F.col("a_c_custkey") + 1 == F.col("b_c_custkey")).select(
+        F.col("a_c_custkey").alias("id_a"),
+        F.col("b_c_custkey").alias("id_b"),
+        F.round(F.col("a_c_acctbal") * 100).cast("long").alias("a_bal"),
+        F.round(F.col("b_c_acctbal") * 100).cast("long").alias("b_bal"),
+        F.col("a_c_nationkey").alias("a_nat"),
+        F.col("b_c_nationkey").alias("b_nat"),
+        F.col("a_c_mktsegment").alias("a_seg"),
+        F.col("b_c_mktsegment").alias("b_seg"),
+    )
+    return gower_distance(
+        pairs,
+        numeric_fields=[("a_bal", "b_bal", 1100000)],
+        categorical_fields=[("a_nat", "b_nat"), ("a_seg", "b_seg")],
+    )

@@ -258,3 +258,43 @@ def test_runs_test_hand_case(spark):
     e = 1 + 2 * 3 * 2 / 5
     v = (2 * 3 * 2) * (2 * 3 * 2 - 5) / (25 * 4)
     assert math.isclose(r.z, (3 - e) / math.sqrt(v), rel_tol=1e-12)
+
+
+def test_mcnemar_hand_case(spark):
+    from riptable_spark.functions.stats import mcnemar_test
+
+    # truth all True; A right on 1-6, B right on 1-2 -> b=4, c=0
+    rows = [("k", True, True, i < 2) for i in range(6)]
+    rows[5] = ("k", True, False, False)  # both wrong once
+    df = spark.createDataFrame(rows, "k string, t boolean, a boolean, b boolean")
+    r = mcnemar_test(df, ["k"], "t", "a", "b").collect()[0]
+    assert (r.b_only_a, r.c_only_b) == (3, 0)
+    assert r.chi2 == (abs(3 - 0) - 1) ** 2 / 3
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    from riptable_spark.functions.stats import fleiss_kappa
+
+    # 4 items, 3 raters, all agree within item, two categories evenly
+    rows = []
+    for item in range(4):
+        for _ in range(3):
+            rows.append(("k", item, item % 2))
+    df = spark.createDataFrame(rows, "g string, item long, cat long")
+    r = fleiss_kappa(df, ["g"], "item", "cat", n_raters=3).collect()[0]
+    assert r.p_bar == 1.0 and r.kappa == 1.0
+    assert r.p_e == 0.5  # two balanced categories
+
+
+def test_gower_distance_hand_case(spark):
+    from riptable_spark.operators.dedup import gower_distance
+
+    df = spark.createDataFrame(
+        [(1, 0, 50, "x", "x"), (2, 0, 200, "x", "y")],
+        "pid long, a_v long, b_v long, a_c string, b_c string",
+    )
+    out = {r.pid: r for r in gower_distance(
+        df, [("a_v", "b_v", 100)], [("a_c", "b_c")]
+    ).collect()}
+    assert out[1].d_a_v == 0.5 and out[1].d_a_c == 0.0 and out[1].gower == 0.25
+    assert out[2].d_a_v == 1.0 and out[2].d_a_c == 1.0 and out[2].gower == 1.0  # capped
