@@ -634,3 +634,72 @@ def grubbs_stat(
         F.col("__p__.v").alias("suspect_scaled"),
         F.when((n >= 2) & (n * q - s * s > 0), (mdev / n) / sd).alias("g_stat"),
     )
+
+
+def prr_signal(
+    df: DataFrame,
+    group_col: str,
+    flag_col,
+) -> DataFrame:
+    """Proportional-reporting-ratio signal detection (the
+    pharmacovigilance 2×2 per group): with a = flagged in group,
+    b = unflagged in group, c = flagged elsewhere, d = unflagged
+    elsewhere,
+
+        PRR = (a/(a+b)) / (c/(c+d)) = a·(c+d) / ((a+b)·c)
+        ROR = a·d / (b·c)
+
+    — each ONE divide of exact BIGINT cross-products (never a float
+    rate).  One group agg + one broadcast total.  Returns
+    (group, a, b, c, d, prr, ror).
+    """
+    f = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    g = df.groupBy(group_col).agg(
+        F.sum(f.cast("long")).cast("long").alias("a"),
+        F.sum((~f).cast("long")).cast("long").alias("b"),
+    )
+    tot = g.agg(
+        F.sum("a").cast("long").alias("__ta__"), F.sum("b").cast("long").alias("__tb__")
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    a, b = F.col("a"), F.col("b")
+    c = F.col("__ta__") - a
+    d = F.col("__tb__") - b
+    return j.select(
+        group_col, "a", "b",
+        c.alias("c"), d.alias("d"),
+        F.when(c > 0, (a * (c + d)) / ((a + b) * c)).alias("prr"),
+        F.when((b > 0) & (c > 0), (a * d) / (b * c)).alias("ror"),
+    )
+
+
+def nb_overdispersion(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Negative-binomial overdispersion α by method of moments over
+    bucketed event counts: Var = Mean + α·Mean² ⟹
+
+        α = (Var − Mean)/Mean² = (n·Q − S² − n·S) / S²
+
+    — ONE divide of exact BIGINT moments (dispersion_index's Fano
+    sibling; α>0 calls for NB rather than Poisson modeling).  Returns
+    (keys…, n_buckets, total, mean_count, alpha).
+    """
+    b = F.floor(F.unix_seconds(F.col(time_col)) / F.lit(int(bucket_seconds))).cast("long")
+    counts = df.groupBy(*keys, b.alias("__bkt__")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = counts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("__q__"),
+    )
+    n, s, q = F.col("n_buckets"), F.col("total"), F.col("__q__")
+    return agg.select(
+        *keys, "n_buckets", "total",
+        (s / n).alias("mean_count"),
+        F.when(s > 0, (n * q - s * s - n * s) / (s * s)).alias("alpha"),
+    )

@@ -3042,3 +3042,123 @@ def q527(spark: SparkSession, sf: str) -> DataFrame:
         numeric_fields=[("a_bal", "b_bal", 1100000)],
         categorical_fields=[("a_nat", "b_nat"), ("a_seg", "b_seg")],
     )
+
+
+# ------------------------------------------------------------------ q528
+@query(
+    "q528_prr_signal",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) % 10 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) % 10 = 0
+                             THEN 0 ELSE 1 END) AS BIGINT) AS b
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM g)
+    SELECT g.event_type, g.a, g.b,
+           t.ta - g.a AS c, t.tb - g.b AS d,
+           CASE WHEN t.ta - g.a > 0
+                THEN (g.a * ((t.ta - g.a) + (t.tb - g.b)))
+                     / ((g.a + g.b) * (t.ta - g.a)) END AS prr,
+           CASE WHEN g.b > 0 AND t.ta - g.a > 0
+                THEN (g.a * (t.tb - g.b)) / (g.b * (t.ta - g.a)) END AS ror
+    FROM g, t
+    """,
+)
+def q528(spark: SparkSession, sf: str) -> DataFrame:
+    """Proportional reporting ratio + reporting odds ratio per event
+    type (operators/profile.prr_signal): the pharmacovigilance 2×2 as
+    exact BIGINT cross-products, PRR/ROR one divide each."""
+    from .operators.profile import prr_signal
+
+    ev = load_table(spark, sf, "events")
+    flag = F.round(F.col("value") * 100).cast("long") % 10 == 0
+    return prr_signal(ev.select("event_type", flag.alias("f")), "event_type", "f")
+
+
+# ------------------------------------------------------------------ q529
+@query(
+    "q529_nb_overdispersion",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(c * c) AS BIGINT) AS q
+        FROM c GROUP BY 1
+    )
+    SELECT event_type, n_buckets, total,
+           total / n_buckets AS mean_count,
+           CASE WHEN total > 0
+                THEN (n_buckets * q - total * total - n_buckets * total)
+                     / (total * total) END AS alpha
+    FROM a
+    """,
+)
+def q529(spark: SparkSession, sf: str) -> DataFrame:
+    """Negative-binomial overdispersion α by method of moments per
+    event type (operators/profile.nb_overdispersion):
+    (nQ−S²−nS)/S² as one exact divide — the Poisson-vs-NB model
+    dial next to q518's Fano factor."""
+    from .operators.profile import nb_overdispersion
+
+    ev = load_table(spark, sf, "events")
+    return nb_overdispersion(ev, ["event_type"], "ts", bucket_seconds=86400)
+
+
+# ------------------------------------------------------------------ q530
+@query(
+    "q530_bitemporal_asof",
+    """
+    WITH ch AS (
+        SELECT user_id, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS valid_us,
+               epoch_us(ts) + (event_id % 1000) * 1000000 AS tx_us
+        FROM events
+    ),
+    q AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY valid_us DESC, event_id DESC) AS rn
+        FROM ch
+        WHERE valid_us <= 1705276800000000 AND tx_us <= 1705277300000000
+    )
+    SELECT user_id, valid_us, tx_us, event_id, event_type, cents
+    FROM q WHERE rn = 1
+    """,
+)
+def q530(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitemporal as-of lookup: the latest VALID-time version of each
+    user's state among changes already RECORDED by transaction time T
+    (late arrivals excluded exactly) — per-user packed-struct argmax
+    over exact µs bounds, no join (the scd2_build axis discipline)."""
+    ev = load_table(spark, sf, "events")
+    v_us = F.unix_micros(F.col("ts"))
+    ch = ev.select(
+        "user_id", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        v_us.alias("valid_us"),
+        (v_us + (F.col("event_id") % 1000) * 1000000).alias("tx_us"),
+    )
+    V, T = 1705276800000000, 1705277300000000
+    qual = ch.where((F.col("valid_us") <= V) & (F.col("tx_us") <= T))
+    packed = F.struct(
+        F.col("valid_us"), F.col("event_id"), F.col("tx_us"),
+        F.col("event_type"), F.col("cents"),
+    )
+    top = qual.groupBy("user_id").agg(F.max(packed).alias("__p__"))
+    return top.select(
+        "user_id",
+        F.col("__p__.valid_us").alias("valid_us"),
+        F.col("__p__.tx_us").alias("tx_us"),
+        F.col("__p__.event_id").alias("event_id"),
+        F.col("__p__.event_type").alias("event_type"),
+        F.col("__p__.cents").alias("cents"),
+    )

@@ -298,3 +298,32 @@ def test_gower_distance_hand_case(spark):
     ).collect()}
     assert out[1].d_a_v == 0.5 and out[1].d_a_c == 0.0 and out[1].gower == 0.25
     assert out[2].d_a_v == 1.0 and out[2].d_a_c == 1.0 and out[2].gower == 1.0  # capped
+
+
+def test_prr_signal_hand_case(spark):
+    from riptable_spark.operators.profile import prr_signal
+
+    # group X: 8 flagged / 2 not; group Y: 2 flagged / 8 not
+    rows = [("X", True)] * 8 + [("X", False)] * 2 + [("Y", True)] * 2 + [("Y", False)] * 8
+    df = spark.createDataFrame(rows, "g string, f boolean")
+    out = {r.g: r for r in prr_signal(df, "g", "f").collect()}
+    # PRR(X) = (8/10)/(2/10) = 4; ROR(X) = 8*8/(2*2) = 16
+    assert out["X"].prr == 4.0 and out["X"].ror == 16.0
+    assert out["Y"].prr == 0.25 and out["Y"].ror == 1 / 16
+
+
+def test_nb_overdispersion_poisson_vs_bursty(spark):
+    from riptable_spark.operators.profile import nb_overdispersion
+
+    rows = []
+    for b in range(4):
+        rows += [("flat", 100 + b * 86400)] * 3        # counts 3,3,3,3 -> var 0
+    rows += [("bursty", 100)] * 1 + [("bursty", 100 + 86400)] * 9
+    df = spark.createDataFrame(rows, "k string, sec long").select(
+        "k", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = {r.k: r for r in nb_overdispersion(df, ["k"], "ts").collect()}
+    # flat: var < mean -> alpha negative (underdispersed)
+    assert out["flat"].alpha < 0
+    # bursty: n=2,S=10,Q=82: alpha = (2*82-100-20)/100 = 0.44
+    assert math.isclose(out["bursty"].alpha, 0.44, abs_tol=1e-12)
