@@ -3074,3 +3074,139 @@ def fleiss_kappa(
         p_e.alias("p_e"),
         F.when(p_e < 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
     )
+
+
+def two_prop_z(
+    df: DataFrame,
+    keys: list[str],
+    group_col,
+    success_col,
+) -> DataFrame:
+    """Two-proportion z-test per key (the A/B readout primitive):
+    z = (p₁ − p₂) / √(p̄(1−p̄)·(n₁+n₂)/(n₁n₂)) with pooled p̄.
+
+    Every operand is an exact integer ratio from ONE fused conditional
+    aggregate, and z is a fixed float tree (two divides, one sqrt) over
+    those exact doubles — engine-identical, no float accumulation.
+    Returns (keys…, n1, x1, n2, x2, p1, p2, z).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    agg = df.groupBy(*keys).agg(
+        F.sum(g.cast("long")).cast("long").alias("n1"),
+        F.sum((g & s).cast("long")).cast("long").alias("x1"),
+        F.sum((~g).cast("long")).cast("long").alias("n2"),
+        F.sum((~g & s).cast("long")).cast("long").alias("x2"),
+    )
+    n1, x1, n2, x2 = F.col("n1"), F.col("x1"), F.col("n2"), F.col("x2")
+    p1 = x1 / n1
+    p2 = x2 / n2
+    p = (x1 + x2) / (n1 + n2)
+    v = (p * (F.lit(1.0) - p)) * ((n1 + n2) / (n1 * n2))
+    return agg.select(
+        *keys, "n1", "x1", "n2", "x2",
+        p1.alias("p1"), p2.alias("p2"),
+        F.when((n1 > 0) & (n2 > 0) & (x1 + x2 > 0) & (x1 + x2 < n1 + n2),
+               (p1 - p2) / F.sqrt(v)).alias("z"),
+    )
+
+
+# Standard normal quantiles for alpha=0.05 (two-sided) and power=0.80,
+# shipped as shared string literals so both engines hold identical
+# doubles (DuckDB decimal-literal lesson).
+Z_ALPHA_05 = 1.959963984540054
+Z_BETA_80 = 0.8416212335729143
+
+
+def sample_size_plan(
+    df: DataFrame,
+    keys: list[str],
+    success_col,
+    mdes_pp: list[int],
+) -> DataFrame:
+    """Experiment sample-size planner per key: from the observed
+    baseline rate p₁ = x/n, the per-arm n required to detect each
+    absolute lift in ``mdes_pp`` (percentage points) at α=0.05 /
+    power 0.80:
+
+        n = (z_α + z_β)² · (p₁(1−p₁) + p₂(1−p₂)) / (p₂ − p₁)²
+
+    p₁ is an exact ratio, p₂ = p₁ + mde/100 a fixed float add, and the
+    whole formula a fixed tree — the emitted ``required_n`` is
+    floor(n)+1 in BOTH engines (strictly-next-integer: deterministic
+    on identical doubles, no ceil boundary case).  The MDE grid
+    explodes from a literal array.  Returns (keys…, n_obs, baseline,
+    mde_pp, required_n).
+    """
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(s.cast("long")).cast("long").alias("__x__"),
+    )
+    grid = agg.select(
+        *keys, "n_obs", "__x__",
+        F.explode(F.array(*[F.lit(int(m)) for m in mdes_pp])).alias("mde_pp"),
+    )
+    p1 = F.col("__x__") / F.col("n_obs")
+    p2 = p1 + F.col("mde_pp") / F.lit(100.0)
+    zsum = F.lit(Z_ALPHA_05) + F.lit(Z_BETA_80)
+    nreq = (zsum * zsum) * (p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)) / (
+        (p2 - p1) * (p2 - p1)
+    )
+    return grid.select(
+        *keys, "n_obs",
+        p1.alias("baseline"),
+        F.col("mde_pp").cast("long").alias("mde_pp"),
+        F.when(p2 < 1.0, (F.floor(nreq) + 1).cast("long")).alias("required_n"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    cat_col: str,
+    flag_col,
+    categories: list[str],
+) -> DataFrame:
+    """Chi-square test of independence + Cramér's V for a k×2
+    contingency table with a FIXED literal category list: per-cell
+    (O·N − row·col)² / (N·row·col) terms summed in literal order — a
+    fixed expression tree, never a float hash-agg (cells pivot to
+    2k conditional sums in ONE aggregate; the dev² square is taken in
+    DOUBLE since dev can pass 2^31.5).
+
+        V = √(χ² / (N·min(r−1, c−1)))  =  √(χ²/N) for two columns.
+
+    Returns one row: (n, chi2, dof, cramers_v).
+    """
+    f = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    aggs = []
+    for i, c in enumerate(categories):
+        e = F.col(cat_col) == c
+        aggs.append(F.sum((e & f).cast("long")).cast("long").alias(f"__x{i}__"))
+        aggs.append(F.sum((e & ~f).cast("long")).cast("long").alias(f"__y{i}__"))
+    agg = df.agg(*aggs)
+    k = len(categories)
+    xs = [F.col(f"__x{i}__") for i in range(k)]
+    ys = [F.col(f"__y{i}__") for i in range(k)]
+    c1 = xs[0]
+    for t in xs[1:]:
+        c1 = c1 + t
+    c2 = ys[0]
+    for t in ys[1:]:
+        c2 = c2 + t
+    n = c1 + c2
+    chi2 = None
+    for i in range(k):
+        ra = xs[i] + ys[i]
+        dev1 = (xs[i] * n - ra * c1).cast("double")
+        dev2 = (ys[i] * n - ra * c2).cast("double")
+        t1 = F.when(ra > 0, (dev1 * dev1) / (n * ra * c1)).otherwise(F.lit(0.0))
+        t2 = F.when(ra > 0, (dev2 * dev2) / (n * ra * c2)).otherwise(F.lit(0.0))
+        cell = t1 + t2
+        chi2 = cell if chi2 is None else chi2 + cell
+    return agg.select(
+        n.cast("long").alias("n"),
+        chi2.alias("chi2"),
+        F.lit(k - 1).cast("long").alias("dof"),
+        F.sqrt(chi2 / n).alias("cramers_v"),
+    )

@@ -3162,3 +3162,144 @@ def q530(spark: SparkSession, sf: str) -> DataFrame:
         F.col("__p__.event_type").alias("event_type"),
         F.col("__p__.cents").alias("cents"),
     )
+
+
+# ------------------------------------------------------------------ q531
+@query(
+    "q531_two_prop_z",
+    """
+    WITH v AS (
+        SELECT event_type, user_id % 2 = 0 AS g,
+               CAST(round(value * 100) AS BIGINT) % 10 = 0 AS s
+        FROM events
+    ),
+    a AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g AND s THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+               CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN NOT g AND s THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        FROM v GROUP BY 1
+    )
+    SELECT event_type, n1, x1, n2, x2,
+           x1 / n1 AS p1, x2 / n2 AS p2,
+           CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2
+                THEN (x1 / n1 - x2 / n2)
+                     / sqrt(((x1 + x2) / (n1 + n2)
+                             * (CAST(1 AS DOUBLE) - (x1 + x2) / (n1 + n2)))
+                            * ((n1 + n2) / (n1 * n2))) END AS z
+    FROM a
+    """,
+)
+def q531(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test per event type on a synthetic A/B split
+    (functions/stats.two_prop_z): exact integer arm counts from one
+    fused agg, z as a fixed float tree — the A/B readout primitive."""
+    from .functions.stats import two_prop_z
+
+    ev = load_table(spark, sf, "events")
+    v = ev.select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("g"),
+        (F.round(F.col("value") * 100).cast("long") % 10 == 0).alias("s"),
+    )
+    return two_prop_z(v, ["event_type"], "g", "s")
+
+
+# ------------------------------------------------------------------ q532
+def _sample_size_oracle() -> str:
+    from .functions.stats import Z_ALPHA_05, Z_BETA_80
+
+    return f"""
+    WITH a AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) % 10 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT a.*, unnest([1, 2, 5]) AS mde_pp FROM a),
+    c AS (
+        SELECT event_type, n_obs, CAST(mde_pp AS BIGINT) AS mde_pp,
+               x / n_obs AS p1,
+               x / n_obs + mde_pp / CAST(100 AS DOUBLE) AS p2
+        FROM g
+    )
+    SELECT event_type, n_obs, p1 AS baseline, mde_pp,
+           CASE WHEN p2 < 1 THEN CAST(floor(
+               ((CAST('{Z_ALPHA_05!r}' AS DOUBLE) + CAST('{Z_BETA_80!r}' AS DOUBLE))
+                * (CAST('{Z_ALPHA_05!r}' AS DOUBLE) + CAST('{Z_BETA_80!r}' AS DOUBLE)))
+               * (p1 * (CAST(1 AS DOUBLE) - p1) + p2 * (CAST(1 AS DOUBLE) - p2))
+               / ((p2 - p1) * (p2 - p1))) AS BIGINT) + 1 END AS required_n
+    FROM c
+    """
+
+
+@query("q532_sample_size_plan", _sample_size_oracle())
+def q532(spark: SparkSession, sf: str) -> DataFrame:
+    """Experiment sample-size planner per event type (functions/stats.
+    sample_size_plan): observed baseline rate × literal MDE grid,
+    required per-arm n as floor(formula)+1 — a fixed float tree over
+    exact ratios with the z-quantiles shipped as identical string
+    literals."""
+    from .functions.stats import sample_size_plan
+
+    ev = load_table(spark, sf, "events")
+    v = ev.select(
+        "event_type",
+        (F.round(F.col("value") * 100).cast("long") % 10 == 0).alias("s"),
+    )
+    return sample_size_plan(v, ["event_type"], "s", mdes_pp=[1, 2, 5])
+
+
+# ------------------------------------------------------------------ q533
+def _cramers_oracle() -> str:
+    cats = ["click", "error", "purchase", "signup", "view"]
+    xs = []
+    for i, c in enumerate(cats):
+        xs.append(
+            f"CAST(sum(CASE WHEN event_type = '{c}' AND f THEN 1 ELSE 0 END) AS BIGINT) AS x{i},\n"
+            f"               CAST(sum(CASE WHEN event_type = '{c}' AND NOT f THEN 1 ELSE 0 END) AS BIGINT) AS y{i}"
+        )
+    c1 = " + ".join(f"x{i}" for i in range(5))
+    c2 = " + ".join(f"y{i}" for i in range(5))
+    cells = []
+    for i in range(5):
+        ra = f"(x{i} + y{i})"
+        d1 = f"CAST(x{i} * n - {ra} * c1 AS DOUBLE)"
+        d2 = f"CAST(y{i} * n - {ra} * c2 AS DOUBLE)"
+        t1 = f"(CASE WHEN {ra} > 0 THEN ({d1} * {d1}) / (n * {ra} * c1) ELSE CAST(0 AS DOUBLE) END)"
+        t2 = f"(CASE WHEN {ra} > 0 THEN ({d2} * {d2}) / (n * {ra} * c2) ELSE CAST(0 AS DOUBLE) END)"
+        cells.append(f"({t1} + {t2})")
+    chi = cells[0]
+    for cell in cells[1:]:
+        chi = f"({chi} + {cell})"
+    return f"""
+    WITH v AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) % 10 = 0 AS f FROM events
+    ),
+    a AS (
+        SELECT {", ".join(xs)}
+        FROM v
+    ),
+    m AS (SELECT *, ({c1}) AS c1, ({c2}) AS c2, ({c1}) + ({c2}) AS n FROM a)
+    SELECT CAST(n AS BIGINT) AS n, {chi} AS chi2, CAST(4 AS BIGINT) AS dof,
+           sqrt({chi} / n) AS cramers_v
+    FROM m
+    """
+
+
+@query("q533_cramers_v", _cramers_oracle())
+def q533(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence + Cramér's V for event_type × value-flag
+    (functions/stats.cramers_v): 5×2 cells as ONE fused conditional
+    agg, per-cell terms summed in literal order as a fixed expression
+    tree (dev² in DOUBLE — the q200 widening rule), V = √(χ²/N)."""
+    from .functions.stats import cramers_v
+
+    ev = load_table(spark, sf, "events")
+    v = ev.select(
+        "event_type",
+        (F.round(F.col("value") * 100).cast("long") % 10 == 0).alias("f"),
+    )
+    return cramers_v(v, "event_type", "f",
+                     ["click", "error", "purchase", "signup", "view"])

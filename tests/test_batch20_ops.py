@@ -327,3 +327,44 @@ def test_nb_overdispersion_poisson_vs_bursty(spark):
     assert out["flat"].alpha < 0
     # bursty: n=2,S=10,Q=82: alpha = (2*82-100-20)/100 = 0.44
     assert math.isclose(out["bursty"].alpha, 0.44, abs_tol=1e-12)
+
+
+def test_two_prop_z_hand_case(spark):
+    from riptable_spark.functions.stats import two_prop_z
+
+    # arm A: 6/10, arm B: 3/10 -> pooled 0.45
+    rows = [("k", True, i < 6) for i in range(10)] + [("k", False, i < 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, g boolean, s boolean")
+    r = two_prop_z(df, ["k"], "g", "s").collect()[0]
+    p = 9 / 20
+    expected = (0.6 - 0.3) / math.sqrt(p * (1 - p) * (20 / 100))
+    assert math.isclose(r.z, expected, rel_tol=1e-12)
+    assert (r.n1, r.x1, r.n2, r.x2) == (10, 6, 10, 3)
+
+
+def test_sample_size_monotone_in_mde(spark):
+    from riptable_spark.functions.stats import sample_size_plan
+
+    rows = [("k", i < 20) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, s boolean")
+    out = {r.mde_pp: r.required_n for r in
+           sample_size_plan(df, ["k"], "s", mdes_pp=[1, 2, 5]).collect()}
+    assert out[1] > out[2] > out[5]          # smaller MDE needs more samples
+    # classic check: p1=0.2, mde=5pp -> ~1200-1300 per arm
+    assert 1000 < out[5] < 1500
+
+
+def test_cramers_v_independence_and_association(spark):
+    from riptable_spark.functions.stats import cramers_v
+
+    # perfectly associated: category decides the flag
+    rows = [("a", True)] * 10 + [("b", False)] * 10
+    df = spark.createDataFrame(rows, "c string, f boolean")
+    r = cramers_v(df, "c", "f", ["a", "b"]).collect()[0]
+    assert math.isclose(r.cramers_v, 1.0, abs_tol=1e-12) and r.n == 20
+    # independent: same flag rate in both categories
+    rows = ([("a", True)] * 5 + [("a", False)] * 5
+            + [("b", True)] * 5 + [("b", False)] * 5)
+    df = spark.createDataFrame(rows, "c string, f boolean")
+    r = cramers_v(df, "c", "f", ["a", "b"]).collect()[0]
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
