@@ -159,3 +159,25 @@ def json_has(col: Column, field: str) -> Column:
     """True when the field exists (even with a null value the path
     resolves; missing paths return NULL)."""
     return F.get_json_object(col, f"$.{field}").isNotNull()
+
+
+def soundex_simple(col: Column) -> Column:
+    """Engine-portable Soundex (the phonetic blocking key): keep the
+    first letter, map the rest to the classic digit classes, collapse
+    adjacent runs, drop vowels' zeros, pad to 3 digits.
+
+    This is the textbook algorithm minus the H/W-separation subtlety,
+    built ONLY from translate / global regexp_replace / substr / rpad —
+    primitives DuckDB reproduces exactly (its regexp_replace needs the
+    'g' flag; Spark's is global by default), so a SQL oracle matches
+    byte-for-byte.  Agrees with Spark's builtin ``F.soundex`` on names
+    without the H/W edge case (unit-tested).  reference
+    rt_str.py-style FAString member in spirit; blocking-key use mirrors
+    snm_pairs.
+    """
+    u = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    d = F.translate(u, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    for c in "0123456":
+        d = F.regexp_replace(d, c + "+", c)
+    tail = F.replace(d.substr(F.lit(2), F.lit(999)), F.lit("0"), F.lit(""))
+    return F.concat(u.substr(F.lit(1), F.lit(1)), F.rpad(tail.substr(F.lit(1), F.lit(3)), 3, "0"))

@@ -3303,3 +3303,121 @@ def q533(spark: SparkSession, sf: str) -> DataFrame:
     )
     return cramers_v(v, "event_type", "f",
                      ["click", "error", "purchase", "signup", "view"])
+
+
+# ------------------------------------------------------------------ q534
+def _geohash_oracle(precision: int = 5) -> str:
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    xq = (f"least(greatest(CAST(floor(((lon + CAST(180 AS DOUBLE)) / CAST(360 AS DOUBLE))"
+          f" * CAST({1 << lon_bits} AS DOUBLE)) AS BIGINT), 0), {(1 << lon_bits) - 1})")
+    yq = (f"least(greatest(CAST(floor(((lat + CAST(90 AS DOUBLE)) / CAST(180 AS DOUBLE))"
+          f" * CAST({1 << lat_bits} AS DOUBLE)) AS BIGINT), 0), {(1 << lat_bits) - 1})")
+    terms = []
+    xi, yi = lon_bits - 1, lat_bits - 1
+    for pos in range(total - 1, -1, -1):
+        if (total - 1 - pos) % 2 == 0:
+            terms.append(f"(((x >> {xi}) & 1) << {pos})")
+            xi -= 1
+        else:
+            terms.append(f"(((y >> {yi}) & 1) << {pos})")
+            yi -= 1
+    code = " + ".join(terms)
+    chars = []
+    for c in range(precision):
+        sh = total - 5 * (c + 1)
+        chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((code >> {sh}) & 31 AS INT) + 1, 1)"
+        )
+    gh = " || ".join(chars)
+    return f"""
+    WITH pts AS (
+        SELECT (CAST(round(value * 100) AS BIGINT) % 18000) / CAST(100 AS DOUBLE)
+                   - CAST(90 AS DOUBLE) AS lat,
+               (event_id % 36000) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE) AS lon
+        FROM events
+    ),
+    q AS (SELECT {xq} AS x, {yq} AS y FROM pts),
+    k AS (SELECT {code} AS code FROM q)
+    SELECT {gh} AS cell, CAST(count(*) AS BIGINT) AS n
+    FROM k GROUP BY 1
+    """
+
+
+@query("q534_geohash_cells", _geohash_oracle(5))
+def q534(spark: SparkSession, sf: str) -> DataFrame:
+    """Geohash spatial bucketing of synthetic event coordinates
+    (operators/geo.geohash_cell): quantize → fixed-tree bit interleave
+    → literal base-32 lookup, all integer shifts/masks (no UDF, fully
+    codegen); per-cell counts — the standard spatial partition key at
+    scale."""
+    from .operators.geo import geohash_cell
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pts = ev.select(
+        ((cents % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+        ((F.col("event_id") % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+    )
+    cell = geohash_cell(F.col("lat"), F.col("lon"), precision=5)
+    return pts.select(cell.alias("cell")).groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# ------------------------------------------------------------------ q535
+@query(
+    "q535_soundex_blocks",
+    """
+    WITH w AS (
+        SELECT p_partkey, regexp_extract(p_name, '^[A-Za-z]+') AS fw FROM part
+    ),
+    sx AS (
+        SELECT p_partkey, fw,
+               upper(regexp_replace(fw, '[^A-Za-z]', '', 'g')) AS u
+        FROM w
+    ),
+    d0 AS (
+        SELECT p_partkey, fw, u,
+               translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            '01230120022455012623010202') AS d
+        FROM sx
+    ),
+    dc AS (
+        SELECT p_partkey, fw, u,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(d,
+                   '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'),
+                   '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'),
+                   '6+', '6', 'g') AS d
+        FROM d0
+    ),
+    code AS (
+        SELECT p_partkey, fw,
+               substr(u, 1, 1)
+               || rpad(substr(replace(substr(d, 2, 999), '0', ''), 1, 3), 3, '0')
+                   AS sx_code
+        FROM dc
+    )
+    SELECT sx_code, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT fw) AS BIGINT) AS n_words
+    FROM code GROUP BY 1
+    """,
+)
+def q535(spark: SparkSession, sf: str) -> DataFrame:
+    """Soundex phonetic blocking over part-name first words
+    (functions/strings.soundex_simple): translate + global run
+    collapse + zero drop, byte-identical cross-engine; per-block sizes
+    — the ER blocking-key audit beside snm_pairs."""
+    from .functions.strings import soundex_simple
+
+    pt = load_table(spark, sf, "part")
+    w = pt.select(
+        "p_partkey", F.regexp_extract(F.col("p_name"), "^[A-Za-z]+", 0).alias("fw")
+    )
+    code = w.select("fw", soundex_simple(F.col("fw")).alias("sx_code"))
+    return code.groupBy("sx_code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.count_distinct(F.col("fw")).cast("long").alias("n_words"),
+    )

@@ -368,3 +368,28 @@ def test_cramers_v_independence_and_association(spark):
     df = spark.createDataFrame(rows, "c string, f boolean")
     r = cramers_v(df, "c", "f", ["a", "b"]).collect()[0]
     assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+
+def test_geohash_known_vectors(spark):
+    from riptable_spark.operators.geo import geohash_cell
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (37.7749, -122.4194), (0.0, 0.0)],
+        "lat double, lon double",
+    )
+    out = [r[0] for r in df.select(geohash_cell(F.col("lat"), F.col("lon"), 6)).collect()]
+    assert out[0] == "u4pruy"            # canonical geohash test vector
+    assert out[1].startswith("9q8yy")    # San Francisco
+    assert out[2].startswith("s00")      # null island
+
+
+def test_soundex_matches_spark_builtin(spark):
+    from riptable_spark.functions.strings import soundex_simple
+
+    names = ["Robert", "Rupert", "Tymczak", "Jackson", "Washington", "Gutierrez"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    out = df.select(
+        soundex_simple(F.col("name")).alias("mine"), F.soundex(F.col("name")).alias("ref")
+    ).collect()
+    for r in out:
+        assert r.mine == r.ref, (r.mine, r.ref)
