@@ -768,3 +768,33 @@ def clustering_coefficient(
         cc = F.when(F.col("__capped__").isNotNull(), F.lit(None).cast("double")).otherwise(cc)
         return out.select("node", "degree", "n_triangles", cc.alias("clustering"))
     return out.select("node", "degree", "n_triangles", cc.alias("clustering"))
+
+
+def cidr_match(
+    ips: DataFrame,
+    ip_col: str,
+    subnets: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Longest-prefix CIDR matching of integer IPv4 addresses against a
+    small literal subnet table [(name, base_int, prefix_len), …] — the
+    security-analytics enrichment join.
+
+    The subnet side is a handful of literal rows broadcast against the
+    fact table (the tolerated scalar-broadcast idiom); the match test
+    ip >> (32−len) == base >> (32−len) is exact integer shifts, and
+    longest-prefix wins through a packed (len, name-rank) max.  Rows
+    matching nothing get subnet NULL.  Returns the input plus
+    (subnet, prefix_len).
+    """
+    matched = None
+    # evaluate longest prefixes first; coalesce keeps the first match
+    for name, base, plen in sorted(subnets, key=lambda s: -s[2]):
+        shift = 32 - int(plen)
+        hit = F.shiftright(F.col(ip_col), shift) == F.lit(int(base) >> shift)
+        expr = F.when(hit, F.struct(F.lit(name).alias("s"), F.lit(int(plen)).alias("p")))
+        matched = expr if matched is None else F.coalesce(matched, expr)
+    return ips.select(
+        "*",
+        matched.getField("s").alias("subnet"),
+        matched.getField("p").cast("long").alias("prefix_len"),
+    )

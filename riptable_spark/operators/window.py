@@ -1617,3 +1617,60 @@ def runs_test(
         F.when((n >= 2) & (n1 > 0) & (n2 > 0) & (two * (two - n) > 0),
                (r - e) / F.sqrt(v)).alias("z"),
     )
+
+
+def hampel_filter(
+    df: DataFrame,
+    keys: list[str],
+    value_scaled_col: str,
+    order: list[str],
+    half_window: int = 5,
+    k_scaled: int = 3,
+) -> DataFrame:
+    """Hampel outlier filter per key: flag rows where
+    |x − rolling_median| > k · rolling_MAD over the centered window of
+    2·half_window+1 rows (the robust despiking standard).
+
+    With integer-scaled values and an ODD full window, both the median
+    and the MAD of the window are computed HORIZONTALLY from ONE
+    window collect_list (sorted in-row), doubled to stay exact
+    half-integers: the flag compares 2·|x−med| ·… as pure BIGINTs —
+    no float boundary.  Rows without a full window are unflagged
+    (NULL).  Returns input order cols plus (med2, mad2, is_outlier).
+    """
+    x = F.col(value_scaled_col).cast("long")
+    full = 2 * int(half_window) + 1
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-int(half_window), int(half_window))
+    )
+    work = df.select(
+        *keys, *order, x.alias("__x__"),
+        F.collect_list(x).over(w).alias("__wl__"),
+    )
+    sorted_w = F.array_sort(F.col("__wl__"))
+    staged = work.select(
+        *keys, *order, "__x__",
+        F.size("__wl__").alias("__wn__"),
+        sorted_w.alias("__ws__"),
+    )
+    mid = int(half_window)  # 0-based middle index of the full window
+    med2 = (F.element_at(F.col("__ws__"), mid + 1) * 2).cast("long")
+    devs = F.transform(
+        F.col("__ws__"), lambda v: F.abs(v * 2 - med2)
+    )
+    staged2 = staged.select(
+        *keys, *order, "__x__", "__wn__", med2.alias("med2"),
+        F.array_sort(devs).alias("__ds__"),
+    )
+    mad2 = F.element_at(F.col("__ds__"), mid + 1).cast("long")
+    dev_self = F.abs(F.col("__x__") * 2 - F.col("med2"))
+    return staged2.select(
+        *keys, *order, F.col("__x__").alias(value_scaled_col),
+        F.when(F.col("__wn__") == full, F.col("med2")).alias("med2"),
+        F.when(F.col("__wn__") == full, mad2).alias("mad2"),
+        F.when(
+            F.col("__wn__") == full, dev_self > F.lit(int(k_scaled)) * mad2
+        ).alias("is_outlier"),
+    )

@@ -3421,3 +3421,115 @@ def q535(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.count_distinct(F.col("fw")).cast("long").alias("n_words"),
     )
+
+
+# ------------------------------------------------------------------ q536
+@query(
+    "q536_cidr_match",
+    """
+    WITH ips AS (
+        SELECT CASE event_id % 4
+                   WHEN 0 THEN 167772160 + 655360 + (event_id * 2654435761) % 65536
+                   WHEN 1 THEN 167772160 + 1310720 + (event_id * 2654435761) % 65536
+                   WHEN 2 THEN 3232235520 + (event_id * 2654435761) % 512
+                   ELSE 3405774848 + (event_id * 2654435761) % 65536
+               END AS ip
+        FROM events
+    ),
+    m AS (
+        SELECT ip,
+               COALESCE(
+                   CASE WHEN ip >> 8 = 12625921 THEN 'guest' END,
+                   CASE WHEN ip >> 16 = 2570 THEN 'vpn' END,
+                   CASE WHEN ip >> 16 = 49320 THEN 'dmz' END,
+                   CASE WHEN ip >> 24 = 10 THEN 'corp' END
+               ) AS subnet,
+               COALESCE(
+                   CASE WHEN ip >> 8 = 12625921 THEN 24 END,
+                   CASE WHEN ip >> 16 = 2570 THEN 16 END,
+                   CASE WHEN ip >> 16 = 49320 THEN 16 END,
+                   CASE WHEN ip >> 24 = 10 THEN 8 END
+               ) AS prefix_len
+        FROM ips
+    )
+    SELECT subnet, CAST(prefix_len AS BIGINT) AS prefix_len,
+           CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q536(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest-prefix CIDR enrichment of synthetic IPv4 traffic
+    (operators/mining.cidr_match): literal subnet table, exact integer
+    shift matching, longest prefix via ordered coalesce — per-subnet
+    traffic counts (unmatched → NULL)."""
+    from .operators.mining import cidr_match
+
+    ev = load_table(spark, sf, "events")
+    low = (F.col("event_id") * 2654435761) % 65536
+    ips = ev.select(
+        F.when(F.col("event_id") % 4 == 0, F.lit(167772160 + 655360) + low)
+        .when(F.col("event_id") % 4 == 1, F.lit(167772160 + 1310720) + low)
+        .when(F.col("event_id") % 4 == 2, F.lit(3232235520) + low % 512)
+        .otherwise(F.lit(3405774848) + low)
+        .alias("ip")
+    )
+    out = cidr_match(
+        ips, "ip",
+        [
+            ("corp", 10 << 24, 8),            # 10.0.0.0/8
+            ("vpn", (10 << 24) + (10 << 16), 16),   # 10.10.0.0/16
+            ("dmz", (192 << 24) + (168 << 16), 16), # 192.168.0.0/16
+            ("guest", (192 << 24) + (168 << 16) + (1 << 8), 24),  # 192.168.1.0/24
+        ],
+    )
+    return out.groupBy("subnet", "prefix_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# ------------------------------------------------------------------ q537
+@query(
+    "q537_hampel_filter",
+    """
+    WITH v AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE user_id % 20 = 0
+    ),
+    w AS (
+        SELECT user_id, ts, event_id, c,
+               list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS wl
+        FROM v
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, c, len(wl) AS wn, list_sort(wl) AS ws
+        FROM w
+    ),
+    m AS (
+        SELECT *, CAST(ws[6] * 2 AS BIGINT) AS med2_raw FROM s
+    ),
+    d AS (
+        SELECT *, list_sort(list_transform(ws, x -> abs(x * 2 - med2_raw))) AS ds
+        FROM m
+    )
+    SELECT user_id, ts, event_id, c,
+           CASE WHEN wn = 11 THEN med2_raw END AS med2,
+           CASE WHEN wn = 11 THEN CAST(ds[6] AS BIGINT) END AS mad2,
+           CASE WHEN wn = 11 THEN abs(c * 2 - med2_raw) > 3 * ds[6] END AS is_outlier
+    FROM d
+    """,
+)
+def q537(spark: SparkSession, sf: str) -> DataFrame:
+    """Hampel rolling-median despiking per user (operators/window.
+    hampel_filter): centered 11-row window, median and MAD doubled to
+    exact half-integers from ONE window collect — the outlier flag is
+    a pure BIGINT comparison, never on a float boundary."""
+    from .operators.window import hampel_filter
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") % 20 == 0)
+    v = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    return hampel_filter(v, ["user_id"], "c", ["ts", "event_id"],
+                         half_window=5, k_scaled=3)

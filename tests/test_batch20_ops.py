@@ -393,3 +393,30 @@ def test_soundex_matches_spark_builtin(spark):
     ).collect()
     for r in out:
         assert r.mine == r.ref, (r.mine, r.ref)
+
+
+def test_cidr_longest_prefix(spark):
+    from riptable_spark.operators.mining import cidr_match
+
+    subnets = [("corp", 10 << 24, 8), ("vpn", (10 << 24) + (10 << 16), 16)]
+    df = spark.createDataFrame(
+        [((10 << 24) + (10 << 16) + 5,), ((10 << 24) + (20 << 16) + 5,), ((11 << 24) + 1,)],
+        "ip long",
+    )
+    out = [(r.subnet, r.prefix_len) for r in cidr_match(df, "ip", subnets).collect()]
+    assert out[0] == ("vpn", 16)      # longest prefix wins over corp/8
+    assert out[1] == ("corp", 8)
+    assert out[2] == (None, None)
+
+
+def test_hampel_flags_spike(spark):
+    from riptable_spark.operators.window import hampel_filter
+
+    vals = [10, 11, 10, 9, 10, 500, 10, 11, 10, 9, 10]
+    df = spark.createDataFrame([("k", i, v) for i, v in enumerate(vals)],
+                               "k string, t long, c long")
+    out = sorted(hampel_filter(df, ["k"], "c", ["t"], half_window=5, k_scaled=3).collect(),
+                 key=lambda r: r.t)
+    # only the middle row has a full 11-row window; it is the spike
+    assert out[5].is_outlier is True and out[5].med2 == 20
+    assert all(r.is_outlier is None for i, r in enumerate(out) if i != 5)
