@@ -798,3 +798,87 @@ def cidr_match(
         matched.getField("s").alias("subnet"),
         matched.getField("p").cast("long").alias("prefix_len"),
     )
+
+
+def triple_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_basket: int | None = 10,
+) -> DataFrame:
+    """Three-itemset association rules {a,b} → c: canonical a<b<c
+    triples via TWO basket equi-joins (never a cross join — the
+    triangle_count shape with basket_pairs' mega-basket cap), then all
+    three rotations scored with
+
+        confidence = n_abc / n_pair        lift = n_abc·N / (n_pair·n_c)
+
+    — each ONE divide of exact BIGINTs.  Returns
+    (ante_a, ante_b, conseq, n_triple, n_pair, n_conseq, confidence,
+    lift).
+    """
+    bi = df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i")).distinct()
+    if max_basket is not None:
+        w = Window.partitionBy("b")
+        bi = bi.withColumn("__bs__", F.count(F.lit(1)).over(w)).where(
+            F.col("__bs__") <= int(max_basket)
+        ).drop("__bs__")
+    n_baskets = bi.select("b").distinct().count()
+    e1 = bi.select("b", F.col("i").alias("x"))
+    e2 = bi.select("b", F.col("i").alias("y"))
+    e3 = bi.select("b", F.col("i").alias("z"))
+    triples = (
+        e1.join(e2, on="b").where(F.col("x") < F.col("y"))
+        .join(e3, on="b").where(F.col("y") < F.col("z"))
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triple"))
+        .where(F.col("n_triple") >= int(min_count))
+    )
+    pairs = (
+        e1.join(e2, on="b").where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    items = bi.groupBy(F.col("i").alias("c_item")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conseq")
+    )
+    rots = []
+    for pa, pb, pc in [("x", "y", "z"), ("x", "z", "y"), ("y", "z", "x")]:
+        r = triples.select(
+            F.col(pa).alias("ante_a"), F.col(pb).alias("ante_b"),
+            F.col(pc).alias("conseq"), "n_triple",
+        )
+        rots.append(r)
+    allr = rots[0].unionByName(rots[1]).unionByName(rots[2])
+    j = (
+        allr.join(
+            pairs.select(F.col("x").alias("ante_a"), F.col("y").alias("ante_b"), "n_pair"),
+            on=["ante_a", "ante_b"],
+        )
+        .join(items, allr.conseq == items.c_item)
+    )
+    return j.select(
+        "ante_a", "ante_b", "conseq", "n_triple", "n_pair", "n_conseq",
+        (F.col("n_triple") / F.col("n_pair")).alias("confidence"),
+        ((F.col("n_triple") * F.lit(int(n_baskets))) / (F.col("n_pair") * F.col("n_conseq"))).alias("lift"),
+    )
+
+
+def reciprocity(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Directed-graph reciprocity: the fraction of distinct non-loop
+    edges whose reverse edge also exists — one self-equi-join on the
+    reversed key pair (never a cross join) and ONE divide of exact
+    counts.  Returns one row (n_edges, n_mutual, reciprocity)."""
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).where(F.col("s") != F.col("d")).distinct()
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    mutual = e.join(rev, on=["s", "d"], how="left_semi")
+    n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_m = mutual.agg(F.count(F.lit(1)).cast("long").alias("n_mutual"))
+    j = n_e.crossJoin(n_m)
+    return j.select(
+        "n_edges", "n_mutual",
+        (F.col("n_mutual") / F.col("n_edges")).alias("reciprocity"),
+    )

@@ -3533,3 +3533,87 @@ def q537(spark: SparkSession, sf: str) -> DataFrame:
     )
     return hampel_filter(v, ["user_id"], "c", ["ts", "event_id"],
                          half_window=5, k_scaled=3)
+
+
+# ------------------------------------------------------------------ q538
+@query(
+    "q538_triple_rules",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 40 AS i FROM lineitem),
+    capped AS (
+        SELECT b, i FROM (
+            SELECT b, i, count(*) OVER (PARTITION BY b) AS bs FROM bi
+        ) WHERE bs <= 10
+    ),
+    nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM capped),
+    tr AS (
+        SELECT a.i AS x, c.i AS y, d.i AS z, CAST(count(*) AS BIGINT) AS n_triple
+        FROM capped a
+        JOIN capped c ON a.b = c.b AND a.i < c.i
+        JOIN capped d ON c.b = d.b AND c.i < d.i
+        GROUP BY 1, 2, 3 HAVING count(*) >= 5
+    ),
+    pr AS (
+        SELECT a.i AS x, c.i AS y, CAST(count(*) AS BIGINT) AS n_pair
+        FROM capped a JOIN capped c ON a.b = c.b AND a.i < c.i
+        GROUP BY 1, 2
+    ),
+    it AS (SELECT i, CAST(count(*) AS BIGINT) AS n_conseq FROM capped GROUP BY 1),
+    rot AS (
+        SELECT x AS ante_a, y AS ante_b, z AS conseq, n_triple FROM tr
+        UNION ALL SELECT x, z, y, n_triple FROM tr
+        UNION ALL SELECT y, z, x, n_triple FROM tr
+    )
+    SELECT r.ante_a, r.ante_b, r.conseq, r.n_triple, p.n_pair, it.n_conseq,
+           r.n_triple / p.n_pair AS confidence,
+           (r.n_triple * nb.n) / (p.n_pair * it.n_conseq) AS lift
+    FROM rot r
+    JOIN pr p ON p.x = r.ante_a AND p.y = r.ante_b
+    JOIN it ON it.i = r.conseq
+    CROSS JOIN nb
+    """,
+)
+def q538(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-itemset association rules over order baskets of part
+    pseudo-categories (operators/mining.triple_rules): canonical
+    a<b<c triples via two equi-joins with the mega-basket cap, all
+    three rotations scored — confidence and lift one exact divide
+    each."""
+    from .operators.mining import triple_rules
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 40).alias("cat")
+    )
+    return triple_rules(li, "l_orderkey", "cat", min_count=5, max_basket=10)
+
+
+# ------------------------------------------------------------------ q539
+@query(
+    "q539_reciprocity",
+    """
+    WITH e AS (
+        SELECT DISTINCT doc_id % 200 AS s, (doc_id * 7 + 3) % 200 AS d
+        FROM documents
+        WHERE doc_id % 200 != (doc_id * 7 + 3) % 200
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_mutual
+        FROM e WHERE EXISTS (SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s)
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT t.n_edges, m.n_mutual, m.n_mutual / t.n_edges AS reciprocity
+    FROM t, m
+    """,
+)
+def q539(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocity of the directed q471 document graph
+    (operators/mining.reciprocity): reversed-key self-semi-join, one
+    exact divide."""
+    from .operators.mining import reciprocity
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 200).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
+    )
+    return reciprocity(edges)

@@ -420,3 +420,28 @@ def test_hampel_flags_spike(spark):
     # only the middle row has a full 11-row window; it is the spike
     assert out[5].is_outlier is True and out[5].med2 == 20
     assert all(r.is_outlier is None for i, r in enumerate(out) if i != 5)
+
+
+def test_triple_rules_hand_case(spark):
+    from riptable_spark.operators.mining import triple_rules
+
+    # baskets: {1,2,3} x2, {1,2} x1 -> triple (1,2,3) n=2; pair (1,2) n=3
+    rows = [(b, i) for b in (10, 20) for i in (1, 2, 3)] + [(30, 1), (30, 2)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    out = {(r.ante_a, r.ante_b, r.conseq): r
+           for r in triple_rules(df, "b", "i", min_count=2).collect()}
+    r = out[(1, 2, 3)]
+    assert r.n_triple == 2 and r.n_pair == 3 and r.n_conseq == 2
+    assert math.isclose(r.confidence, 2 / 3, abs_tol=1e-12)
+    assert r.lift == (2 * 3) / (3 * 2)       # = 1.0
+    assert out[(1, 3, 2)].n_pair == 2 and out[(1, 3, 2)].confidence == 1.0
+
+
+def test_reciprocity_hand_case(spark):
+    from riptable_spark.operators.mining import reciprocity
+
+    # edges: 1->2, 2->1 (mutual), 1->3 (one way)
+    df = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], "src long, dst long")
+    r = reciprocity(df).collect()[0]
+    assert (r.n_edges, r.n_mutual) == (3, 2)
+    assert math.isclose(r.reciprocity, 2 / 3, abs_tol=1e-12)
