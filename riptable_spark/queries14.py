@@ -3617,3 +3617,183 @@ def q539(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
     )
     return reciprocity(edges)
+
+
+# ------------------------------------------------------------------ q540
+@query(
+    "q540_security_scorecard",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_id FROM events WHERE user_id % 10 = 0
+    ),
+    -- beacon component (q509 discipline)
+    g AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+        FROM ev
+    ),
+    gc AS (SELECT user_id, gap, CAST(count(*) AS BIGINT) AS cnt
+           FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+    bc AS (
+        SELECT user_id,
+               CAST(sum(cnt) AS BIGINT) AS n_gaps,
+               CAST(sum(gap * cnt) AS BIGINT) AS span_s,
+               sum(CAST(gap AS HUGEINT) * gap * cnt) AS g2
+        FROM gc GROUP BY 1
+    ),
+    beacon AS (
+        SELECT user_id,
+               n_gaps >= 10 AND CAST(100 AS HUGEINT) * n_gaps * g2
+                                < CAST(101 AS HUGEINT) * span_s * span_s AS is_beacon
+        FROM bc
+    ),
+    -- offnet component (q536 ip synthesis; unmatched = offnet)
+    ipm AS (
+        SELECT user_id,
+               CASE event_id % 4
+                   WHEN 0 THEN 167772160 + 655360 + (event_id * 2654435761) % 65536
+                   WHEN 1 THEN 167772160 + 1310720 + (event_id * 2654435761) % 65536
+                   WHEN 2 THEN 3232235520 + (event_id * 2654435761) % 512
+                   ELSE 3405774848 + (event_id * 2654435761) % 65536
+               END AS ip
+        FROM ev
+    ),
+    offn AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN COALESCE(
+                   CASE WHEN ip >> 8 = 12625921 THEN 1 END,
+                   CASE WHEN ip >> 16 = 2570 THEN 1 END,
+                   CASE WHEN ip >> 16 = 49320 THEN 1 END,
+                   CASE WHEN ip >> 24 = 10 THEN 1 END) IS NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS offnet_events
+        FROM ipm GROUP BY 1
+    ),
+    -- burst component (c-chart cross-mult, daily buckets)
+    daily AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS total,
+               CAST(max(b) - min(b) + 1 AS BIGINT) AS span_b
+        FROM daily GROUP BY 1
+    ),
+    burst AS (
+        SELECT d.user_id,
+               CAST(sum(CASE WHEN d.n * b.span_b - b.total > 0
+                             AND (d.n * b.span_b - b.total) * (d.n * b.span_b - b.total)
+                                 > 9 * b.total * b.span_b
+                             THEN 1 ELSE 0 END) AS BIGINT) AS burst_days
+        FROM daily d JOIN base b ON b.user_id = d.user_id
+        GROUP BY 1
+    ),
+    -- night + volume component
+    vol AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN CAST(floor(epoch(ts) / 3600.0) AS BIGINT) % 24 < 6
+                             THEN 1 ELSE 0 END) AS BIGINT) AS night_events
+        FROM ev GROUP BY 1
+    ),
+    comp AS (
+        SELECT v.user_id, v.n_events, v.night_events,
+               COALESCE(b.is_beacon, false) AS is_beacon,
+               o.offnet_events,
+               COALESCE(bu.burst_days, 0) AS burst_days
+        FROM vol v
+        LEFT JOIN beacon b ON b.user_id = v.user_id
+        JOIN offn o ON o.user_id = v.user_id
+        LEFT JOIN burst bu ON bu.user_id = v.user_id
+    )
+    SELECT user_id, n_events, is_beacon, offnet_events,
+           CAST(burst_days AS BIGINT) AS burst_days, night_events,
+           CAST(CASE WHEN is_beacon THEN 3 ELSE 0 END
+                + CASE WHEN offnet_events * 5 > n_events THEN 2 ELSE 0 END
+                + CASE WHEN burst_days > 0 THEN 2 ELSE 0 END
+                + CASE WHEN night_events * 4 > n_events THEN 1 ELSE 0 END AS BIGINT)
+               AS risk_score,
+           CASE WHEN (CASE WHEN is_beacon THEN 3 ELSE 0 END
+                      + CASE WHEN offnet_events * 5 > n_events THEN 2 ELSE 0 END
+                      + CASE WHEN burst_days > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN night_events * 4 > n_events THEN 1 ELSE 0 END) >= 5
+                THEN 'high'
+                WHEN (CASE WHEN is_beacon THEN 3 ELSE 0 END
+                      + CASE WHEN offnet_events * 5 > n_events THEN 2 ELSE 0 END
+                      + CASE WHEN burst_days > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN night_events * 4 > n_events THEN 1 ELSE 0 END) >= 3
+                THEN 'medium' ELSE 'low' END AS tier
+    FROM comp
+    """,
+)
+def q540(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user security-posture scorecard — the SOC capstone composing
+    FOUR engine operators over one user subset: beacon_detect (timer
+    C2), cidr_match off-network share, c_chart burst days, and a
+    night-hours profile, fused into an integer risk score and tier.
+    Every component flag is exact integer cross-multiplication; the
+    ENTIRE chain is replayed in one SQL oracle (the q450/q500
+    discipline)."""
+    from .operators.mining import beacon_detect, cidr_match
+    from .operators.window import c_chart
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") % 10 == 0).select(
+        "user_id", "ts", "event_id"
+    )
+    beacon = beacon_detect(ev, ["user_id"], "ts", "event_id", min_gaps=10).select(
+        "user_id", "is_beacon"
+    )
+    low = (F.col("event_id") * 2654435761) % 65536
+    ips = ev.select(
+        "user_id",
+        F.when(F.col("event_id") % 4 == 0, F.lit(167772160 + 655360) + low)
+        .when(F.col("event_id") % 4 == 1, F.lit(167772160 + 1310720) + low)
+        .when(F.col("event_id") % 4 == 2, F.lit(3232235520) + low % 512)
+        .otherwise(F.lit(3405774848) + low)
+        .alias("ip"),
+    )
+    matched = cidr_match(
+        ips, "ip",
+        [
+            ("corp", 10 << 24, 8),
+            ("vpn", (10 << 24) + (10 << 16), 16),
+            ("dmz", (192 << 24) + (168 << 16), 16),
+            ("guest", (192 << 24) + (168 << 16) + (1 << 8), 24),
+        ],
+    )
+    offn = matched.groupBy("user_id").agg(
+        F.sum(F.col("subnet").isNull().cast("long")).cast("long").alias("offnet_events")
+    )
+    chart = c_chart(ev, ["user_id"], "ts", bucket_seconds=86400, sigmas=3)
+    burst = chart.groupBy("user_id").agg(
+        F.sum(F.col("out_high").cast("long")).cast("long").alias("burst_days")
+    )
+    vol = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            (F.floor(F.unix_seconds(F.col("ts")) / 3600).cast("long") % 24 < 6).cast("long")
+        ).cast("long").alias("night_events"),
+    )
+    comp = (
+        vol.join(beacon, on="user_id", how="left")
+        .join(offn, on="user_id")
+        .join(burst, on="user_id", how="left")
+        .select(
+            "user_id", "n_events", "night_events",
+            F.coalesce(F.col("is_beacon"), F.lit(False)).alias("is_beacon"),
+            "offnet_events",
+            F.coalesce(F.col("burst_days"), F.lit(0)).cast("long").alias("burst_days"),
+        )
+    )
+    score = (
+        F.when(F.col("is_beacon"), 3).otherwise(0)
+        + F.when(F.col("offnet_events") * 5 > F.col("n_events"), 2).otherwise(0)
+        + F.when(F.col("burst_days") > 0, 2).otherwise(0)
+        + F.when(F.col("night_events") * 4 > F.col("n_events"), 1).otherwise(0)
+    )
+    return comp.select(
+        "user_id", "n_events", "is_beacon", "offnet_events", "burst_days", "night_events",
+        score.cast("long").alias("risk_score"),
+        F.when(score >= 5, "high").when(score >= 3, "medium").otherwise("low").alias("tier"),
+    )
