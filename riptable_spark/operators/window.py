@@ -1674,3 +1674,62 @@ def hampel_filter(
             F.col("__wn__") == full, dev_self > F.lit(int(k_scaled)) * mad2
         ).alias("is_outlier"),
     )
+
+
+def lindley_waits(
+    df: DataFrame,
+    keys: list[str],
+    arrival_col: str,
+    service_col: str,
+    order: list[str],
+) -> DataFrame:
+    """Single-server FIFO queue waiting times (Lindley's recurrence)
+    per key: W₁ = 0, W_{i+1} = max(0, W_i + s_i − (a_{i+1} − a_i)).
+
+    The recurrence LOOKS sequential but has the exact closed form
+
+        W_n = max(0, P_{n−1} − min_{0≤j≤n−2} P_j),   P_m = Σ_{i≤m} U_i
+
+    with U_i = s_i − (a_{i+1} − a_i) — so with INTEGER arrival seconds
+    and service times it is two exact BIGINT windows (prefix sum +
+    shifted running min), no scan operator and no float state (compare
+    cusum_changepoint's identity).  Also emits start/departure times.
+    One per-key sort window.  Returns order cols plus
+    (arrival, service, wait, depart).
+    """
+    a = F.col(arrival_col).cast("long")
+    s = F.col(service_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(*order)
+    u_prev = (F.lag(s).over(w) - (a - F.lag(a).over(w))).alias("__u__")
+    work = df.select(*keys, *order, a.alias("__a__"), s.alias("__s__"), u_prev)
+    wp = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    # P_{i-1} = prefix sum of U up to (and including) this row's __u__
+    # (row i carries U_{i-1}); min over P_0..P_{i-2} = shifted running
+    # min — staged selects: window-over-window can't nest in one expr
+    work2 = work.select(
+        *keys, *order, "__a__", "__s__",
+        F.coalesce(F.sum("__u__").over(wp), F.lit(0)).cast("long").alias("__p__"),
+        F.row_number().over(w2).alias("__rn__"),
+    )
+    work2b = work2.select(
+        *keys, *order, "__a__", "__s__", "__p__", "__rn__",
+        F.lag("__p__").over(w2).alias("__lp__"),
+    )
+    work3 = work2b.select(
+        *keys, *order, "__a__", "__s__", "__p__", "__rn__",
+        F.coalesce(F.min("__lp__").over(wp), F.lit(0)).cast("long").alias("__m__"),
+    )
+    work4 = work3
+    wait = F.when(F.col("__rn__") == 1, F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.col("__p__") - F.least(F.col("__m__"), F.lit(0)))
+    ).cast("long")
+    return work4.select(
+        *keys, *order,
+        F.col("__a__").alias("arrival"),
+        F.col("__s__").alias("service"),
+        wait.alias("wait"),
+        (F.col("__a__") + wait + F.col("__s__")).alias("depart"),
+    )

@@ -3797,3 +3797,60 @@ def q540(spark: SparkSession, sf: str) -> DataFrame:
         score.cast("long").alias("risk_score"),
         F.when(score >= 5, "high").when(score >= 3, "medium").otherwise("low").alias("tier"),
     )
+
+
+# ------------------------------------------------------------------ q541
+@query(
+    "q541_lindley_queue",
+    """
+    WITH v AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS a,
+               event_id % 30 + 1 AS s
+        FROM events WHERE user_id % 20 = 0
+    ),
+    u AS (
+        SELECT user_id, event_id, a, s,
+               lag(s) OVER w - (a - lag(a) OVER w) AS uu
+        FROM v WINDOW w AS (PARTITION BY user_id ORDER BY a, event_id)
+    ),
+    p AS (
+        SELECT user_id, event_id, a, s,
+               CAST(COALESCE(sum(uu) OVER wr, 0) AS BIGINT) AS pp,
+               row_number() OVER w AS rn
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY a, event_id),
+               wr AS (PARTITION BY user_id ORDER BY a, event_id ROWS UNBOUNDED PRECEDING)
+    ),
+    lp AS (
+        SELECT *, lag(pp) OVER (PARTITION BY user_id ORDER BY a, event_id) AS lpp
+        FROM p
+    ),
+    m AS (
+        SELECT *, CAST(COALESCE(min(lpp) OVER
+                   (PARTITION BY user_id ORDER BY a, event_id ROWS UNBOUNDED PRECEDING), 0)
+                   AS BIGINT) AS mm
+        FROM lp
+    )
+    SELECT user_id, event_id,
+           a AS arrival, CAST(s AS BIGINT) AS service,
+           CAST(CASE WHEN rn = 1 THEN 0
+                ELSE greatest(0, pp - least(mm, 0)) END AS BIGINT) AS wait,
+           a + (CASE WHEN rn = 1 THEN 0 ELSE greatest(0, pp - least(mm, 0)) END) + s
+               AS depart
+    FROM m
+    """,
+)
+def q541(spark: SparkSession, sf: str) -> DataFrame:
+    """FIFO queue waiting times per user via Lindley's recurrence
+    (operators/window.lindley_waits): the sequential-looking recurrence
+    solved EXACTLY as prefix-sum minus shifted running-min of integer
+    U_i — two BIGINT windows, no scan operator, no float state."""
+    from .operators.window import lindley_waits
+
+    ev = load_table(spark, sf, "events").where(F.col("user_id") % 20 == 0)
+    v = ev.select(
+        "user_id", "event_id",
+        F.unix_seconds(F.col("ts")).alias("a"),
+        (F.col("event_id") % 30 + 1).alias("s"),
+    )
+    return lindley_waits(v, ["user_id"], "a", "s", ["a", "event_id"]).drop("a")

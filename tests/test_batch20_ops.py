@@ -445,3 +445,26 @@ def test_reciprocity_hand_case(spark):
     r = reciprocity(df).collect()[0]
     assert (r.n_edges, r.n_mutual) == (3, 2)
     assert math.isclose(r.reciprocity, 2 / 3, abs_tol=1e-12)
+
+
+def test_lindley_waits_matches_direct_recurrence(spark):
+    from riptable_spark.operators.window import lindley_waits
+    import random
+
+    random.seed(3)
+    rows, expect = [], {}
+    for k in range(4):
+        n = random.randint(2, 14)
+        arr = sorted(random.sample(range(0, 150), n))
+        srv = [random.randint(1, 30) for _ in range(n)]
+        W = [0]
+        for i in range(1, n):
+            W.append(max(0, W[-1] + srv[i - 1] - (arr[i] - arr[i - 1])))
+        for i in range(n):
+            rows.append((str(k), i, arr[i], srv[i]))
+            expect[(str(k), i)] = W[i]
+    df = spark.createDataFrame(rows, "k string, oid long, a long, s long")
+    out = lindley_waits(df, ["k"], "a", "s", ["a", "oid"]).collect()
+    assert all(expect[(r.k, r.oid)] == r.wait for r in out)
+    # departures are consistent: arrival + wait + service
+    assert all(r.depart == r.arrival + r.wait + r.service for r in out)
