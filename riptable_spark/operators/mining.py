@@ -882,3 +882,35 @@ def reciprocity(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") ->
         "n_edges", "n_mutual",
         (F.col("n_mutual") / F.col("n_edges")).alias("reciprocity"),
     )
+
+
+def greedy_knapsack(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    value_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy fractional-knapsack selection per key: rank items by
+    value/weight density (descending, id tie-break — the ratio of two
+    exact integers is an identical double cross-engine, so the sort is
+    deterministic), then keep the prefix whose INTEGER running weight
+    fits the budget — the classic 2-approximation shelf-stocking /
+    capacity-planning heuristic as one sort window.
+
+    Returns selected rows only: (keys…, id, value, weight,
+    running_weight, density).
+    """
+    v = F.col(value_col).cast("long")
+    wt = F.col(weight_col).cast("long")
+    density = v / wt
+    w = Window.partitionBy(*keys).orderBy(
+        density.desc(), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    work = df.select(
+        *keys, F.col(id_col), v.alias("value"), wt.alias("weight"),
+        density.alias("density"),
+        F.sum(wt).over(w).cast("long").alias("running_weight"),
+    )
+    return work.where(F.col("running_weight") <= int(budget))

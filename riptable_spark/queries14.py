@@ -3854,3 +3854,109 @@ def q541(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_id") % 30 + 1).alias("s"),
     )
     return lindley_waits(v, ["user_id"], "a", "s", ["a", "event_id"]).drop("a")
+
+
+# ------------------------------------------------------------------ q542
+@query(
+    "q542_greedy_knapsack",
+    """
+    WITH items AS (
+        SELECT p_brand, p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS value,
+               CAST(p_size AS BIGINT) AS weight
+        FROM part
+    ),
+    ranked AS (
+        SELECT p_brand, p_partkey, value, weight,
+               value / weight AS density,
+               CAST(sum(weight) OVER (PARTITION BY p_brand
+                                      ORDER BY value / weight DESC, p_partkey
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS running_weight
+        FROM items
+    )
+    SELECT p_brand, p_partkey, value, weight, density, running_weight
+    FROM ranked WHERE running_weight <= 200
+    """,
+)
+def q542(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy knapsack selection per brand (operators/mining.
+    greedy_knapsack): density sort on the exact-integer ratio (double
+    identical cross-engine, id tie-break), integer running weight
+    against the budget — the shelf-capacity planner."""
+    from .operators.mining import greedy_knapsack
+
+    pt = load_table(spark, sf, "part").select(
+        "p_brand", "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("val"),
+        F.col("p_size").alias("wt"),
+    )
+    return greedy_knapsack(pt, ["p_brand"], "p_partkey", "val", "wt", budget=200)
+
+
+# ------------------------------------------------------------------ q543
+@query(
+    "q543_psi_daily",
+    """
+    WITH bins AS (SELECT unnest(range(0, 10)) AS bin),
+    days AS (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day
+        FROM events WHERE event_type = 'click'
+    ),
+    hd AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(greatest(0, least(9, floor((value - 0.0) / 200.0 * 10))) AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    hb AS (
+        SELECT CAST(greatest(0, least(9, floor((value - 0.0) / 200.0 * 10))) AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS cb
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    td AS (SELECT day, CAST(sum(c) AS BIGINT) AS nd FROM hd GROUP BY 1),
+    tb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM hb),
+    grid AS (SELECT d.day, b.bin FROM days d CROSS JOIN bins b)
+    SELECT g.day, round(sum((pa - pb) * ln(pa / pb)), 6) AS psi FROM (
+        SELECT g.day,
+               (coalesce(hd.c, 0) + 1) / CAST(td.nd + 10 AS DOUBLE) AS pa,
+               (coalesce(hb.cb, 0) + 1) / CAST(tb.nb + 10 AS DOUBLE) AS pb
+        FROM grid g
+        LEFT JOIN hd ON hd.day = g.day AND hd.bin = g.bin
+        LEFT JOIN hb ON hb.bin = g.bin
+        JOIN td ON td.day = g.day
+        CROSS JOIN tb
+    ) g GROUP BY g.day
+    """,
+)
+def q543(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily PSI drift of the click-value distribution against the
+    full-period baseline over a fixed 10-bin grid (q206's Laplace-
+    smoothed discipline per day): exact integer masses, ≤10 ln terms
+    per day, 6dp round."""
+    ev = load_table(spark, sf, "events").where(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    )
+    day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    b = F.greatest(F.lit(0), F.least(F.lit(9), F.floor((F.col("value") - 0.0) / 200.0 * 10))).cast("int")
+    base = ev.select(day.alias("day"), b.alias("bin"))
+    days = base.select("day").distinct()
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    hd = base.groupBy("day", "bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hb = base.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    td = hd.groupBy("day").agg(F.sum("c").cast("long").alias("nd"))
+    tb = hb.agg(F.sum("cb").cast("long").alias("nb"))
+    grid = days.crossJoin(F.broadcast(bins))
+    j = (
+        grid.join(hd, on=["day", "bin"], how="left")
+        .join(F.broadcast(hb), on="bin", how="left")
+        .join(F.broadcast(td), on="day")
+        .crossJoin(F.broadcast(tb))
+    )
+    pa = (F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("nd") + 10).cast("double")
+    pb = (F.coalesce(F.col("cb"), F.lit(0)) + 1) / (F.col("nb") + 10).cast("double")
+    return j.select("day", pa.alias("pa"), pb.alias("pb")).groupBy("day").agg(
+        F.round(F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6).alias("psi")
+    )

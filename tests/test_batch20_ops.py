@@ -468,3 +468,17 @@ def test_lindley_waits_matches_direct_recurrence(spark):
     assert all(expect[(r.k, r.oid)] == r.wait for r in out)
     # departures are consistent: arrival + wait + service
     assert all(r.depart == r.arrival + r.wait + r.service for r in out)
+
+
+def test_greedy_knapsack_hand_case(spark):
+    from riptable_spark.operators.mining import greedy_knapsack
+
+    # densities: a=10, b=5, c=4; budget 5 fits a(w1)+b(w2) but not c(w5)
+    df = spark.createDataFrame(
+        [("k", "a", 10, 1), ("k", "b", 10, 2), ("k", "c", 20, 5)],
+        "g string, pid string, v long, w long",
+    )
+    out = sorted(greedy_knapsack(df, ["g"], "pid", "v", "w", budget=5).collect(),
+                 key=lambda r: r.running_weight)
+    assert [r.pid for r in out] == ["a", "b"]
+    assert out[-1].running_weight == 3
