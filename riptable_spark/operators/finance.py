@@ -1445,3 +1445,157 @@ def newsvendor_stock(
         (F.lit(int(cu)) / F.lit(b)).alias("service_target"),
         (idx / F.col("n_periods")).alias("achieved_service"),
     )
+
+
+def risk_ratios(pnl: DataFrame, keys: list[str], pnl_col: str) -> DataFrame:
+    """Sharpe and Sortino ratios per key from an exact-integer
+    per-period P&L relation.
+
+    The reference's trading users compute these off Accum2 P&L rollups
+    (rt_accumtable.py docstrings); here the kernel is one two-stage
+    hash aggregation collecting n, Σr, Σr², and the downside Σr²
+    (all exact BIGINTs — order-free under partial aggregation), then
+    the moment algebra runs in DOUBLE on identically-converted
+    operands: mean = S/n, m2 = Q/n − mean², sample vol =
+    √(m2·n/(n−1)), downside vol = √(DQ/n).  Keep the integer power
+    sums under 2^53 (use whole-currency P&L units, not cents, for
+    large books) so the int→double conversion is exact cross-engine.
+
+    Sharpe is NULL when n ≤ 1 or the variance underflows to ≤ 0;
+    Sortino is NULL when no losing period exists.  One shuffle on the
+    key; at 100 TB the partial aggregates reduce map-side so the
+    exchange carries one row per key.
+    """
+    r = F.col(pnl_col).cast("long")
+    agg = pnl.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(r).cast("long").alias("s"),
+        F.sum(r * r).cast("long").alias("q"),
+        F.sum(F.when(r < 0, r * r).otherwise(F.lit(0))).cast("long").alias("dq"),
+    )
+    mean = F.col("s") / F.col("n")
+    m2 = F.col("q") / F.col("n") - mean * mean
+    sv = (m2 * F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        *keys, "n", "s", "q", "dq",
+        mean.alias("mean_pnl"),
+        F.when((F.col("n") > 1) & (m2 > 0), mean / F.sqrt(sv)).alias("sharpe"),
+        F.when(F.col("dq") > 0, mean / F.sqrt(F.col("dq") / F.col("n"))).alias("sortino"),
+    )
+
+
+def roll_spread(
+    df: DataFrame,
+    keys: list[str],
+    price: str,
+    order: str | list[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Roll (1984) implied bid-ask spread per key: 2·√(−cov(Δp_t,
+    Δp_{t−1})) in scaled price units, NULL when the serial covariance
+    is non-negative (no bounce signal).
+
+    Both lag terms ride ONE per-key ordered window (the Δp column is
+    lagged again over the same (key, order) sort — Catalyst reuses the
+    exchange and the sort), and every accumulator is an exact BIGINT:
+    A = ΣΔp_t·Δp_{t−1}, S1 = ΣΔp_t, S0 = ΣΔp_{t−1}, m = pairs.  The
+    covariance is assembled in DOUBLE as A/m − (S1/m)·(S0/m) on
+    identically-converted operands, so the estimate is bit-identical
+    cross-engine.  One shuffle on the key.
+    """
+    oc = _order_cols(order)
+    w = Window.partitionBy(*keys).orderBy(*oc)
+    p = F.round(F.col(price) * scale).cast("long")
+    d = df.select(*keys, *oc, (p - F.lag(p).over(w)).alias("__d__"))
+    dd = d.select(
+        *keys,
+        F.col("__d__"),
+        F.lag(F.col("__d__")).over(w).alias("__dprev__"),
+    ).where(F.col("__d__").isNotNull() & F.col("__dprev__").isNotNull())
+    agg = dd.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("__d__") * F.col("__dprev__")).cast("long").alias("a"),
+        F.sum(F.col("__d__")).cast("long").alias("s1"),
+        F.sum(F.col("__dprev__")).cast("long").alias("s0"),
+    )
+    cov = F.col("a") / F.col("n_pairs") - (F.col("s1") / F.col("n_pairs")) * (
+        F.col("s0") / F.col("n_pairs")
+    )
+    return agg.select(
+        *keys, "n_pairs", "a", "s1", "s0",
+        cov.alias("autocov"),
+        F.when(cov < 0, 2 * F.sqrt(-cov)).alias("spread_scaled"),
+    )
+
+
+def amihud_illiquidity(
+    df: DataFrame,
+    keys: list[str],
+    bucket: Column,
+    price: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Range-based Amihud illiquidity per key: mean over buckets
+    (days) of |price range| · 1e6 DIV activity — the price-impact-per-
+    trade proxy, kept exact end to end.
+
+    Per (key, bucket) the range is max(px) − min(px) in scaled integer
+    units (pure agg — no ordering requirement, unlike the classical
+    close-to-close |return| form), activity is the row count, and the
+    per-bucket ratio is an exact integer DIV in parts-per-million.
+    The final mean is ONE divide of two BIGINTs.  Two cheap hash aggs
+    that share the key prefix; no window, no float sums anywhere.
+    """
+    p = F.round(F.col(price) * scale).cast("long")
+    daily = df.groupBy(*keys, bucket.alias("bucket")).agg(
+        (F.max(p) - F.min(p)).alias("__range__"),
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+    )
+    ratio = F.expr("(__range__ * 1000000) DIV __n__")
+    per = daily.select(*keys, ratio.alias("__ppm__"))
+    return per.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("__ppm__")).cast("long").alias("ppm_sum"),
+        (F.sum(F.col("__ppm__")) / F.count(F.lit(1))).alias("illiq_ppm"),
+    )
+
+
+def volume_profile(
+    df: DataFrame,
+    keys: list[str],
+    price: str,
+    band: int,
+    scale: int = 100,
+) -> DataFrame:
+    """Volume profile per key: notional traded per price band, each
+    band's share in parts-per-million (integer DIV — no float share
+    can sit on a rounding boundary), and the point-of-control flag
+    (band with max notional).
+
+    The band id is an integer DIV of the scaled price, so banding is
+    exact; the per-key total and max ride a window over the ALREADY
+    AGGREGATED relation (one row per (key, band) — bounded state, the
+    aggregated-input window discipline), never over raw ticks.  One
+    shuffle for the agg; the window reuses the key exchange.
+    """
+    p = F.round(F.col(price) * scale).cast("long")
+    bands = (
+        df.select(*keys, p.alias("__p__"))
+        .withColumn("band", F.expr(f"__p__ DIV {int(band)}"))
+        .groupBy(*keys, "band")
+        .agg(
+            F.sum(F.col("__p__")).cast("long").alias("notional"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+    )
+    wk = Window.partitionBy(*keys)
+    return bands.select(
+        *keys, "band", "notional", "n_trades",
+        F.expr("notional * 1000000").alias("__scaled__"),
+        F.sum("notional").over(wk).cast("long").alias("__total__"),
+        F.max("notional").over(wk).cast("long").alias("__peak__"),
+    ).select(
+        *keys, "band", "notional", "n_trades",
+        F.expr("__scaled__ DIV __total__").alias("share_ppm"),
+        (F.col("notional") == F.col("__peak__")).alias("is_poc"),
+    )

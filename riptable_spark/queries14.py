@@ -3960,3 +3960,263 @@ def q543(spark: SparkSession, sf: str) -> DataFrame:
     return j.select("day", pa.alias("pa"), pb.alias("pb")).groupBy("day").agg(
         F.round(F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6).alias("psi")
     )
+
+
+# ------------------------------------------------------------------ q544
+def _q544_sql_term(k: int) -> str:
+    # rho^k / k! as a left-associative product over k factors — linear
+    # size, unlike the B_k recurrence whose unrolling doubles per step
+    # (2^14 leaves at s=14 kills Janino codegen; q474 survives only
+    # because s=10).
+    import math
+
+    if k == 0:
+        return "CAST(1.0 AS DOUBLE)"
+    p = "rho"
+    for _ in range(k - 1):
+        p = f"({p} * rho)"
+    return f"({p} / CAST({math.factorial(k)} AS DOUBLE))"
+
+
+def _q544_oracle() -> str:
+    picks = []
+    for s in (8, 10, 12, 14):
+        terms = [_q544_sql_term(k) for k in range(s + 1)]
+        ssum = terms[0]
+        for t in terms[1:]:
+            ssum = f"({ssum} + {t})"
+        b = f"({terms[s]} / {ssum})"
+        c = f"({b} / (CAST(1.0 AS DOUBLE) - (rho / {s}) * (CAST(1.0 AS DOUBLE) - {b})))"
+        picks.append(
+            f"SELECT event_type, n_calls, rho, CAST({s} AS BIGINT) AS servers,\n"
+            f"       CASE WHEN rho < {s} THEN {c} END AS erlang_c,\n"
+            f"       CASE WHEN rho < {s} THEN ({c} * aht) / ({s} - rho) END AS asa_s\n"
+            f"FROM f"
+        )
+    body = "\nUNION ALL\n".join(picks)
+    return f"""
+    WITH traffic AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               CAST(sum(CAST(round(value * 100) AS BIGINT) % 600 + 60) AS BIGINT)
+                 AS hold_s
+        FROM events GROUP BY event_type
+    ),
+    f AS (
+        SELECT event_type, n_calls,
+               CAST(hold_s AS DOUBLE) / 86400 AS rho,
+               hold_s / n_calls AS aht
+        FROM traffic
+    )
+    {body}
+    """
+
+
+def _q544_col_term(rho, k: int):
+    import math
+
+    if k == 0:
+        return F.lit(1.0)
+    p = rho
+    for _ in range(k - 1):
+        p = p * rho
+    return p / F.lit(float(math.factorial(k)))
+
+
+@query("q544_erlang_c_grid", _q544_oracle())
+def q544(spark: SparkSession, sf: str) -> DataFrame:
+    """Erlang-C staffing grid per event type: for each server count in
+    {8,10,12,14}, wait probability C = B/(1 − (ρ/s)(1−B)) and average
+    speed of answer. Erlang-B comes from the CLOSED FORM
+    B = (ρ^s/s!) / Σ_{k≤s} ρ^k/k! — each term a linear-size
+    left-associative product — because the q474 recurrence unrolling
+    doubles per step and 2^14 leaves at s=14 breaks whole-stage
+    codegen; the closed form is O(s²) nodes and bit-identical
+    cross-engine (fixed association order, exact factorial literals).
+    Offered load and AHT are exact integer ratios; the
+    workforce-planning what-if relation."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    traffic = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.sum(cents % 600 + 60).cast("long").alias("hold_s"),
+    )
+    f = traffic.select(
+        "event_type", "n_calls",
+        (F.col("hold_s").cast("double") / 86400).alias("rho"),
+        (F.col("hold_s") / F.col("n_calls")).alias("aht"),
+    )
+    outs = []
+    for s in (8, 10, 12, 14):
+        rho = F.col("rho")
+        terms = [_q544_col_term(rho, k) for k in range(s + 1)]
+        ssum = terms[0]
+        for t in terms[1:]:
+            ssum = ssum + t
+        b = terms[s] / ssum
+        c = b / (F.lit(1.0) - (rho / F.lit(s)) * (F.lit(1.0) - b))
+        outs.append(
+            f.select(
+                "event_type", "n_calls", "rho",
+                F.lit(s).cast("long").alias("servers"),
+                F.when(rho < s, c).alias("erlang_c"),
+                F.when(rho < s, (c * F.col("aht")) / (F.lit(s) - rho)).alias("asa_s"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ------------------------------------------------------------------ q545
+@query(
+    "q545_risk_ratios",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(sum((CASE WHEN user_id % 2 = 0 THEN 1 ELSE -1 END)
+                        * CAST(round(value) AS BIGINT)) AS BIGINT) AS pnl
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pnl) AS BIGINT) AS s,
+               CAST(sum(pnl * pnl) AS BIGINT) AS q,
+               CAST(sum(CASE WHEN pnl < 0 THEN pnl * pnl ELSE 0 END) AS BIGINT) AS dq
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n, s, q, dq,
+           s / n AS mean_pnl,
+           CASE WHEN n > 1 AND (q / n - (s / n) * (s / n)) > 0
+                THEN (s / n) / sqrt(((q / n - (s / n) * (s / n)) * n) / (n - 1))
+           END AS sharpe,
+           CASE WHEN dq > 0 THEN (s / n) / sqrt(dq / n) END AS sortino
+    FROM s
+    """,
+)
+def q545(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharpe and Sortino ratios per event type over a signed daily
+    P&L series (operators/finance.risk_ratios): exact BIGINT power
+    sums (whole-dollar P&L keeps Σr² far under 2^53), moment algebra
+    on identically-converted doubles — one two-stage hash agg."""
+    from .operators.finance import risk_ratios
+
+    ev = load_table(spark, sf, "events")
+    sgn = F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).agg(F.sum(sgn * F.round(F.col("value")).cast("long")).cast("long").alias("pnl"))
+    return risk_ratios(daily, ["event_type"], "pnl")
+
+
+# ------------------------------------------------------------------ q546
+@query(
+    "q546_roll_spread",
+    """
+    WITH p AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS px
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, ts, event_id,
+               px - lag(px) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+        FROM p
+    ),
+    dd AS (
+        SELECT user_id, d,
+               lag(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dprev
+        FROM d
+    ),
+    agg AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(d * dprev) AS BIGINT) AS a,
+               CAST(sum(d) AS BIGINT) AS s1,
+               CAST(sum(dprev) AS BIGINT) AS s0
+        FROM dd WHERE d IS NOT NULL AND dprev IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT user_id, n_pairs, a, s1, s0,
+           a / n_pairs - (s1 / n_pairs) * (s0 / n_pairs) AS autocov,
+           CASE WHEN a / n_pairs - (s1 / n_pairs) * (s0 / n_pairs) < 0
+                THEN 2 * sqrt(-(a / n_pairs - (s1 / n_pairs) * (s0 / n_pairs)))
+           END AS spread_scaled
+    FROM agg
+    """,
+)
+def q546(spark: SparkSession, sf: str) -> DataFrame:
+    """Roll (1984) implied bid-ask spread per user path
+    (operators/finance.roll_spread): 2·√(−serial autocovariance of
+    price changes) from exact BIGINT sums over ONE per-key ordered
+    window (the Δ column lagged again over the same sort), covariance
+    assembled in double on identically-converted operands."""
+    from .operators.finance import roll_spread
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    return roll_spread(ev, ["user_id"], "value", ["ts", "event_id"], scale=100)
+
+
+# ------------------------------------------------------------------ q547
+@query(
+    "q547_amihud_illiq",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(max(CAST(round(value * 100) AS BIGINT))
+                    - min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rng,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT user_id, (rng * 1000000) // n AS ppm FROM daily
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(ppm) AS BIGINT) AS ppm_sum,
+           sum(ppm) / count(*) AS illiq_ppm
+    FROM per GROUP BY 1
+    """,
+)
+def q547(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-based Amihud illiquidity per user
+    (operators/finance.amihud_illiquidity): per-day price range ·1e6
+    DIV activity as an exact integer ppm, mean as ONE divide of two
+    BIGINTs — two hash aggs sharing the key prefix, no window, no
+    float sums."""
+    from .operators.finance import amihud_illiquidity
+
+    ev = load_table(spark, sf, "events")
+    day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    return amihud_illiquidity(ev, ["user_id"], day, "value", scale=100)
+
+
+# ------------------------------------------------------------------ q548
+@query(
+    "q548_volume_profile",
+    """
+    WITH p AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS px FROM events
+    ),
+    bands AS (
+        SELECT event_type, px // 5000 AS band,
+               CAST(sum(px) AS BIGINT) AS notional,
+               CAST(count(*) AS BIGINT) AS n_trades
+        FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, band, notional, n_trades,
+           (notional * 1000000) // (CAST(sum(notional) OVER (PARTITION BY event_type) AS BIGINT))
+             AS share_ppm,
+           notional = CAST(max(notional) OVER (PARTITION BY event_type) AS BIGINT) AS is_poc
+    FROM bands
+    """,
+)
+def q548(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume profile per event type (operators/finance.
+    volume_profile): $50 price bands, notional share in exact integer
+    ppm, point-of-control flag — per-key totals ride a window over
+    the ALREADY AGGREGATED band relation (bounded state), never raw
+    ticks."""
+    from .operators.finance import volume_profile
+
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    return volume_profile(ev, ["event_type"], "value", band=5000, scale=100)
