@@ -3210,3 +3210,53 @@ def cramers_v(
         F.lit(k - 1).cast("long").alias("dof"),
         F.sqrt(chi2 / n).alias("cramers_v"),
     )
+
+
+def weighted_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame:
+    """Quadratically weighted Cohen's κ for ORDINAL ratings — the
+    standard agreement metric when disagreeing by one grade should
+    cost less than disagreeing by four:
+
+        κ_w = 1 − (n · Σ_ij w_ij O_ij) / (Σ_ij w_ij r_i c_j),
+        w_ij = (i − j)².
+
+    One contingency aggregate gives the observed cells O_ij; marginals
+    come from re-aggregating the (tiny) cell relation; the expected
+    term is a cross join of the two marginal relations (L² rows,
+    broadcast).  Every sum is an exact BIGINT (keep n·Σw·O under 2^63:
+    fine for any L ≤ ~50 ordinal scale at billions of rows), κ_w is
+    ONE divide.  Returns (n, sum_w_obs, sum_w_exp, kappa_w).
+    """
+    a, b = F.col(rater_a_col).cast("long"), F.col(rater_b_col).cast("long")
+    cont = df.groupBy(a.alias("ca"), b.alias("cb")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wobs = cont.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")) * F.col("cnt"))
+        .cast("long")
+        .alias("sum_w_obs"),
+    )
+    rows_ = cont.groupBy("ca").agg(F.sum("cnt").cast("long").alias("row_n"))
+    cols_ = cont.groupBy("cb").agg(F.sum("cnt").cast("long").alias("col_n"))
+    wexp = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .agg(
+            F.sum(
+                (F.col("ca") - F.col("cb"))
+                * (F.col("ca") - F.col("cb"))
+                * F.col("row_n")
+                * F.col("col_n")
+            )
+            .cast("long")
+            .alias("sum_w_exp")
+        )
+    )
+    j = wobs.crossJoin(F.broadcast(wexp))
+    return j.select(
+        "n", "sum_w_obs", "sum_w_exp",
+        F.when(
+            F.col("sum_w_exp") != 0,
+            1 - (F.col("n") * F.col("sum_w_obs")) / F.col("sum_w_exp"),
+        ).alias("kappa_w"),
+    )

@@ -1188,3 +1188,58 @@ def mmr_rerank(
         F.col("__q__").alias(query_id_col), F.col("__id__").alias(id_col),
         "mmr_rank", "rel",
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez 2-approximation) diversity selection
+    over an embedding column — the classic coreset seed for diverse
+    training-data sampling.
+
+    Vectors are integer-scaled (round(v·scale)) so every squared
+    distance is an exact BIGINT and every argmax is tie-free under the
+    (dist DESC, id ASC) total order: the selection is deterministic
+    and replayable in SQL with no float comparison anywhere.  Seeded
+    at min(id); each round broadcasts ONE center vector (a k×dim
+    driver round-trip, the kmeans_fit contract), computes the running
+    min-distance, and takes the farthest point.  Returns one row per
+    round: (sel_round, id, dist = distance² at selection, in scaled²
+    units) plus a final row (sel_round = k+1) holding the coverage
+    radius — the farthest remaining point after all k picks.
+
+    At 100 TB: k bounded passes over the corpus, each a broadcast
+    projection + one TakeOrdered(1); the corpus never shuffles.
+    """
+    x = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("__id__"), x.alias("__x__")).persist()
+    first = base.orderBy("__id__").limit(1).collect()[0]
+    picks = [(1, first["__id__"], 0)]
+    center = first["__x__"]
+    mind = None
+    for rnd in range(2, k + 2):
+        c_lit = F.array(*[F.lit(int(v)) for v in center])
+        d_new = F.aggregate(
+            F.zip_with(F.col("__x__"), c_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        mind = d_new if mind is None else F.least(mind, d_new)
+        # materialize the running min so each round's plan stays linear
+        base = base.select("__id__", "__x__", mind.alias("__d__")).persist()
+        mind = F.col("__d__")
+        far = base.orderBy(F.desc("__d__"), "__id__").limit(1).collect()[0]
+        picks.append((rnd, far["__id__"], far["__d__"]))
+        if rnd <= k:
+            center = base.where(F.col("__id__") == far["__id__"]).collect()[0]["__x__"]
+    base.unpersist()
+    rows = [(int(r), int(i), int(d)) for r, i, d in picks]
+    return df.sparkSession.createDataFrame(
+        rows, f"sel_round bigint, {id_col} bigint, dist bigint"
+    )

@@ -904,3 +904,97 @@ def yules_k(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.when(n >= 2, (F.lit(10000) * (sum_f2 - n)) / (n * n)).alias("yules_k"),
         F.when(n >= 2, (sum_f2 - n) / (n * (n - 1))).alias("simpson"),
     )
+
+
+def naive_bayes_classify(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+    k_tokens: int = 12,
+) -> DataFrame:
+    """Multinomial Naive Bayes over whitespace unigrams: train per-class
+    add-1-smoothed token models on ``train``, score each ``test`` doc's
+    first ``k_tokens`` tokens, return the argmax class per doc.
+
+    Cross-engine exactness: every model quantity is an exact BIGINT
+    (token counts, class token totals, vocab size, doc counts); each
+    per-token likelihood is ONE divide (cnt+1)/(tok_c+V); the per-doc
+    per-class product is a position-ordered LEFT FOLD (F.aggregate /
+    list_reduce — the rake_keywords discipline, never a hash-agg float
+    product), then one prior multiply (n_c/N)·Π.  Bounding the scored
+    prefix at ``k_tokens`` keeps the product ≥ ~(1/(tok_c+V))^k — far
+    above double underflow — and bounds per-row work.
+
+    At 100 TB: the model relation is |V|·|C| rows → broadcast to both
+    joins; test tokens shuffle once on (doc, class) for the fold; the
+    argmax is a 5-row-per-doc window over aggregated input.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tr = train.where(F.col(text_col).isNotNull())
+    te = test.where(F.col(text_col).isNotNull())
+
+    tr_tok = tr.select(
+        F.col(label_col).alias("__cls__"), F.explode(toks).alias("__tok__")
+    )
+    counts = tr_tok.groupBy("__cls__", "__tok__").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt__")
+    )
+    cls_stats = counts.groupBy("__cls__").agg(
+        F.sum("__cnt__").cast("long").alias("__tok_c__")
+    )
+    priors = tr.groupBy(F.col(label_col).alias("__cls__")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_c__")
+    )
+    vocab = counts.select("__tok__").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__V__")
+    )
+    n_total = tr.agg(F.count(F.lit(1)).cast("long").alias("__N__"))
+    classes = (
+        cls_stats.join(priors, "__cls__")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_total))
+    )
+
+    te_tok = te.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(F.slice(toks, 1, k_tokens)).alias("__pos__", "__tok__"),
+    )
+    scored = (
+        te_tok.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(counts), ["__cls__", "__tok__"], "left")
+        .select(
+            "__id__", "__cls__", "__pos__", "__n_c__", "__N__",
+            (
+                (F.coalesce(F.col("__cnt__"), F.lit(0)) + 1)
+                / (F.col("__tok_c__") + F.col("__V__"))
+            ).alias("__ratio__"),
+        )
+    )
+    folded = scored.groupBy("__id__", "__cls__").agg(
+        F.max("__n_c__").alias("__n_c__"),
+        F.max("__N__").alias("__N__"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__ratio__"))),
+                lambda s: s.getField("__ratio__"),
+            ),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("__prod__"),
+    )
+    per_class = folded.select(
+        "__id__", "__cls__",
+        ((F.col("__n_c__") / F.col("__N__")) * F.col("__prod__")).alias("score"),
+    )
+    w = Window.partitionBy("__id__").orderBy(F.desc("score"), F.col("__cls__"))
+    return (
+        per_class.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select(
+            F.col("__id__").alias(id_col),
+            F.col("__cls__").alias("pred_" + label_col),
+            "score",
+        )
+    )

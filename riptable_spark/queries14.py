@@ -4220,3 +4220,165 @@ def q548(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events").select("event_type", "value")
     return volume_profile(ev, ["event_type"], "value", band=5000, scale=100)
+
+
+# ------------------------------------------------------------------ q549
+@query(
+    "q549_naive_bayes_lang",
+    r"""
+    WITH tr AS (
+        SELECT lang, doc_id FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    ),
+    tr_tok AS (
+        SELECT lang AS cls, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    ),
+    counts AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS cnt FROM tr_tok GROUP BY 1, 2),
+    cls_stats AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tok_c FROM counts GROUP BY 1),
+    priors AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_c FROM tr GROUP BY 1),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM counts),
+    ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+    classes AS (
+        SELECT cls, tok_c, n_c, v, n
+        FROM cls_stats JOIN priors USING (cls) CROSS JOIN vocab CROSS JOIN ntot
+    ),
+    te AS (
+        SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+')[1:12] AS toks
+        FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+    ),
+    te_tok AS (
+        SELECT doc_id, i AS pos, toks[i] AS tok
+        FROM te, unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    scored AS (
+        SELECT doc_id, cls, pos, n_c, n,
+               (coalesce(cnt, 0) + 1) / (tok_c + v) AS ratio
+        FROM te_tok CROSS JOIN classes
+        LEFT JOIN counts USING (cls, tok)
+    ),
+    folded AS (
+        SELECT doc_id, cls, max(n_c) AS n_c, max(n) AS n,
+               list_reduce([CAST(1.0 AS DOUBLE)] || list(ratio ORDER BY pos),
+                           (a, b) -> a * b) AS prod
+        FROM scored GROUP BY 1, 2
+    ),
+    per AS (SELECT doc_id, cls, (n_c / n) * prod AS score FROM folded),
+    pred AS (
+        SELECT doc_id, cls, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        FROM per
+    )
+    SELECT p.doc_id, p.cls AS pred_lang, t.lang AS true_lang,
+           p.cls = t.lang AS correct, p.score
+    FROM pred p JOIN te t USING (doc_id) WHERE rn = 1
+    """,
+)
+def q549(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (operators/text.
+    naive_bayes_classify): add-1-smoothed per-class unigram models
+    trained on even doc_ids, odd doc_ids scored over their first 12
+    tokens — per-token likelihood is ONE exact-integer divide, the
+    per-doc product a position-ordered LEFT FOLD (never a hash-agg
+    float product), broadcast model joins, argmax under a (score DESC,
+    class) total order; accuracy vs the lang label rides along."""
+    from .operators.text import naive_bayes_classify
+
+    d = load_table(spark, sf, "documents")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    test = d.where(F.col("doc_id") % 2 == 1)
+    preds = naive_bayes_classify(train, test, "doc_id", "lang", "text", k_tokens=12)
+    truth = test.where(F.col("text").isNotNull()).select("doc_id", F.col("lang").alias("true_lang"))
+    return preds.join(truth, "doc_id").select(
+        "doc_id", "pred_lang", "true_lang",
+        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+        "score",
+    )
+
+
+# ------------------------------------------------------------------ q550
+@query(
+    "q550_kcenter_diverse",
+    """
+    WITH ex AS (
+        SELECT vec_id, d AS dim,
+               CAST(round(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xi
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(d)
+    ),
+    c1 AS (SELECT dim, xi AS ci FROM ex WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    d1 AS (SELECT vec_id, CAST(sum((xi - ci) * (xi - ci)) AS BIGINT) AS dist
+           FROM ex JOIN c1 USING (dim) GROUP BY 1),
+    p2 AS (SELECT vec_id, dist FROM d1 ORDER BY dist DESC, vec_id LIMIT 1),
+    c2 AS (SELECT dim, xi AS ci FROM ex WHERE vec_id = (SELECT vec_id FROM p2)),
+    d2 AS (SELECT d1.vec_id, least(d1.dist, x.dist2) AS dist
+           FROM d1 JOIN (SELECT vec_id, CAST(sum((xi - ci) * (xi - ci)) AS BIGINT) AS dist2
+                         FROM ex JOIN c2 USING (dim) GROUP BY 1) x USING (vec_id)),
+    p3 AS (SELECT vec_id, dist FROM d2 ORDER BY dist DESC, vec_id LIMIT 1),
+    c3 AS (SELECT dim, xi AS ci FROM ex WHERE vec_id = (SELECT vec_id FROM p3)),
+    d3 AS (SELECT d2.vec_id, least(d2.dist, x.dist3) AS dist
+           FROM d2 JOIN (SELECT vec_id, CAST(sum((xi - ci) * (xi - ci)) AS BIGINT) AS dist3
+                         FROM ex JOIN c3 USING (dim) GROUP BY 1) x USING (vec_id)),
+    p4 AS (SELECT vec_id, dist FROM d3 ORDER BY dist DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS sel_round,
+           (SELECT min(vec_id) FROM embeddings) AS vec_id, CAST(0 AS BIGINT) AS dist
+    UNION ALL SELECT CAST(2 AS BIGINT), vec_id, dist FROM p2
+    UNION ALL SELECT CAST(3 AS BIGINT), vec_id, dist FROM p3
+    UNION ALL SELECT CAST(4 AS BIGINT), vec_id, dist FROM p4
+    """,
+)
+def q550(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center diverse selection over embeddings
+    (operators/similarity.kcenter_greedy, k=3): integer-scaled vectors
+    make every squared distance an exact BIGINT and every farthest-
+    point argmax tie-free under (dist DESC, id); row 4 is the coverage
+    radius after the three picks.  Bounded passes, corpus never
+    shuffles — the diverse-coreset seed for training-data sampling."""
+    from .operators.similarity import kcenter_greedy
+
+    emb = load_table(spark, sf, "embeddings")
+    return kcenter_greedy(emb, "vec_id", "embedding", k=3, scale=1000)
+
+
+# ------------------------------------------------------------------ q551
+@query(
+    "q551_weighted_kappa",
+    r"""
+    WITH r AS (
+        SELECT least(n_chars // 200, 4) AS ra,
+               least(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) // 40,
+                     4) AS rb
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cont AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1, 2),
+    wobs AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum((ra - rb) * (ra - rb) * cnt) AS BIGINT) AS sum_w_obs
+        FROM cont
+    ),
+    rows_ AS (SELECT ra, CAST(sum(cnt) AS BIGINT) AS row_n FROM cont GROUP BY 1),
+    cols_ AS (SELECT rb, CAST(sum(cnt) AS BIGINT) AS col_n FROM cont GROUP BY 1),
+    wexp AS (
+        SELECT CAST(sum((ra - rb) * (ra - rb) * row_n * col_n) AS BIGINT) AS sum_w_exp
+        FROM rows_ CROSS JOIN cols_
+    )
+    SELECT n, sum_w_obs, sum_w_exp,
+           CASE WHEN sum_w_exp != 0 THEN 1 - (n * sum_w_obs) / sum_w_exp END AS kappa_w
+    FROM wobs CROSS JOIN wexp
+    """,
+)
+def q551(spark: SparkSession, sf: str) -> DataFrame:
+    """Quadratically weighted Cohen's κ (functions/stats.
+    weighted_kappa) between two ordinal document graders (length
+    quintile vs token-count quintile): w_ij = (i−j)², all sums exact
+    BIGINTs from one contingency pass + a broadcast marginal cross
+    join, κ_w ONE divide — the ordinal labeling-QA metric."""
+    from .functions.stats import weighted_kappa
+
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    r = d.select(
+        F.least(F.expr("n_chars DIV 200"), F.lit(4).cast("long")).alias("ra"),
+        F.least(F.expr(
+            "CAST(size(split(lower(trim(text)), '\\\\s+')) AS BIGINT) DIV 40"
+        ), F.lit(4).cast("long")).alias("rb"),
+    )
+    return weighted_kappa(r, "ra", "rb")
