@@ -703,3 +703,45 @@ def nb_overdispersion(
         (s / n).alias("mean_count"),
         F.when(s > 0, (n * q - s * s - n * s) / (s * s)).alias("alpha"),
     )
+
+
+def fd_violations(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency audit: for each candidate (determinant →
+    dependent) column pair, how many determinant groups map to more
+    than one dependent value — the data-contract check behind "is this
+    column derivable from that key?".
+
+    Per pair: ONE hash agg on the determinant collecting
+    count(DISTINCT dependent), then a tiny roll-up — n_groups,
+    violating groups, excess (Σ extra dependent values), and the holds
+    flag.  All integers; all-NULL dependent groups count distinct 0
+    and are clamped with greatest(·,1) so they never report −1 excess.
+    Each pair is an independent scan+agg unioned at the end (pairs on
+    the same determinant could share a scan; at a handful of audited
+    pairs the simple form wins).
+    """
+    outs = []
+    for det, dep in pairs:
+        g = df.groupBy(F.col(det).alias("__det__")).agg(
+            F.countDistinct(F.col(dep)).cast("long").alias("__nd__")
+        )
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("__nd__") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("viol_groups"),
+                F.sum(F.greatest(F.col("__nd__"), F.lit(1).cast("long")) - 1)
+                .cast("long")
+                .alias("excess"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_groups", "viol_groups", "excess",
+                (F.col("viol_groups") == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4382,3 +4382,105 @@ def q551(spark: SparkSession, sf: str) -> DataFrame:
         ), F.lit(4).cast("long")).alias("rb"),
     )
     return weighted_kappa(r, "ra", "rb")
+
+
+# ------------------------------------------------------------------ q552
+@query(
+    "q552_fd_discovery",
+    """
+    SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups,
+           CAST(sum(greatest(nd, 1) - 1) AS BIGINT) AS excess,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT o_orderkey, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'o_custkey', 'o_orderstatus',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(greatest(nd, 1) - 1) AS BIGINT),
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+    FROM (SELECT o_custkey, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'o_orderpriority', 'o_orderstatus',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(greatest(nd, 1) - 1) AS BIGINT),
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+    FROM (SELECT o_orderpriority, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd
+          FROM orders GROUP BY 1)
+    """,
+)
+def q552(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit over orders (operators/profile.
+    fd_violations): per candidate det→dep pair, ONE count-distinct agg
+    on the determinant + an integer roll-up — n_groups, violating
+    groups, excess values, holds flag.  o_orderkey→o_custkey holds
+    (key FD); the behavioral pairs do not."""
+    from .operators.profile import fd_violations
+
+    o = load_table(spark, sf, "orders")
+    return fd_violations(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    )
+
+
+# ------------------------------------------------------------------ q553
+@query(
+    "q553_personalized_pagerank",
+    """
+    WITH base AS (
+        SELECT doc_id % 60 AS src, (doc_id * 11 + 5) % 60 AS dst FROM documents
+        WHERE doc_id % 60 != (doc_id * 11 + 5) % 60
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM base),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, CASE WHEN node = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank FROM nodes),
+    c1 AS (
+        SELECT e.dst AS node, sum(r0.rank / deg.d) AS m
+        FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ),
+    r1 AS (
+        SELECT nodes.node,
+               0.15 * (CASE WHEN nodes.node = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+               + 0.85 * coalesce(c1.m, 0) AS rank
+        FROM nodes LEFT JOIN c1 ON c1.node = nodes.node
+    ),
+    c2 AS (
+        SELECT e.dst AS node, sum(r1.rank / deg.d) AS m
+        FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT nodes.node,
+               0.15 * (CASE WHEN nodes.node = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+               + 0.85 * coalesce(c2.m, 0) AS rank
+        FROM nodes LEFT JOIN c2 ON c2.node = nodes.node
+    )
+    SELECT node, round(rank, 9) AS rank FROM r2
+    """,
+)
+def q553(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from seed node 0 (operators/merge.
+    personalized_pagerank): the pagerank join+agg shape with ALL
+    teleport mass on the seed — proximity ranking for
+    recommendations; two distributed rounds replayed exactly by the
+    oracle CTE chain (q175 discipline, 9dp-rounded)."""
+    from .operators.merge import personalized_pagerank
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 60).alias("src"),
+        ((F.col("doc_id") * 11 + 5) % 60).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    pr = personalized_pagerank(edges, 0, n_iter=2, damping=0.85)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
