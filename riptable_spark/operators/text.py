@@ -998,3 +998,4 @@ def naive_bayes_classify(
             "score",
         )
     )
+

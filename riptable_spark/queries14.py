@@ -4484,3 +4484,63 @@ def q553(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("src") != F.col("dst")).distinct()
     pr = personalized_pagerank(edges, 0, n_iter=2, damping=0.85)
     return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+# ------------------------------------------------------------------ q554
+def _q554_oracle() -> str:
+    rounds = []
+    for r in (1, 2, 3):
+        rounds.append(f"""
+    p{r} AS (
+        SELECT t[i] || ' ' || t[i + 1] AS pair, CAST(sum(c) AS BIGINT) AS n
+        FROM (SELECT c, string_split(trim(s), '  ') AS t FROM u{r - 1}) x,
+             unnest(generate_series(1, len(t) - 1)) AS g(i)
+        GROUP BY 1
+    ),
+    b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+    u{r} AS (
+        SELECT w, c,
+               replace(s,
+                       ' ' || split_part(b.pair, ' ', 1) || '  '
+                           || split_part(b.pair, ' ', 2) || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS s
+        FROM u{r - 1} CROSS JOIN b{r} b
+    )""")
+    body = ",".join(rounds)
+    return rf"""
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+            FROM documents
+        ) WHERE w != '' GROUP BY w
+    ),
+    u0 AS (
+        SELECT w, c, ' ' || substr(base, 1, length(base) - 1) AS s
+        FROM (SELECT w, c, regexp_replace(w, '(.)', '\1  ', 'g') AS base FROM words)
+    ),{body}
+    SELECT CAST(1 AS BIGINT) AS merge_round,
+           split_part(pair, ' ', 1) AS left_sym,
+           split_part(pair, ' ', 2) AS right_sym, n AS pair_count FROM b1
+    UNION ALL SELECT CAST(2 AS BIGINT), split_part(pair, ' ', 1), split_part(pair, ' ', 2), n FROM b2
+    UNION ALL SELECT CAST(3 AS BIGINT), split_part(pair, ' ', 1), split_part(pair, ' ', 2), n FROM b3
+    """
+
+
+@query("q554_bpe_train", _q554_oracle())
+def q554(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer merge training, 3 rounds (operators/bpe.bpe_train —
+    the 100 TB design: after ONE corpus pass to (distinct word, count),
+    every round runs on that small weighted relation; pair counts are
+    exact BIGINT aggs tie-broken (n DESC, pair); the greedy leftmost-
+    non-overlapping merge is ONE literal double-space replace).  The
+    oracle replays every round — unit-string construction, pair
+    explode, argmax, replace — term for term in SQL."""
+    from .operators.bpe import bpe_train
+
+    d = load_table(spark, sf, "documents")
+    merges = bpe_train(d, "text", n_merges=3)
+    rows = [(m["step"], m["left"], m["right"], m["n"]) for m in merges]
+    return spark.createDataFrame(
+        rows, "merge_round bigint, left_sym string, right_sym string, pair_count bigint"
+    )
