@@ -4544,3 +4544,129 @@ def q554(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_round bigint, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+# ------------------------------------------------------------------ q555
+def _q555_oracle() -> str:
+    # reuse q554's training CTE chain, then segment the vocabulary with
+    # the learned merges and report the subword-fertility histogram
+    base = _q554_oracle()
+    head = base[: base.rindex("SELECT CAST(1 AS BIGINT) AS merge_round")]
+    return (
+        head.rstrip()
+        + """,
+    seg AS (
+        SELECT w, c,
+               replace(replace(replace(u0.s,
+                   ' ' || split_part(b1.pair, ' ', 1) || '  ' || split_part(b1.pair, ' ', 2) || ' ',
+                   ' ' || replace(b1.pair, ' ', '') || ' '),
+                   ' ' || split_part(b2.pair, ' ', 1) || '  ' || split_part(b2.pair, ' ', 2) || ' ',
+                   ' ' || replace(b2.pair, ' ', '') || ' '),
+                   ' ' || split_part(b3.pair, ' ', 1) || '  ' || split_part(b3.pair, ' ', 2) || ' ',
+                   ' ' || replace(b3.pair, ' ', '') || ' ') AS s
+        FROM u0 CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3
+    ),
+    fert AS (
+        SELECT CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_units,
+               length(w) AS n_chars, c
+        FROM seg
+    )
+    SELECT n_units,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(c) AS BIGINT) AS n_occurrences,
+           CAST(sum(n_chars * c) AS BIGINT) AS chars_weighted
+    FROM fert GROUP BY 1
+    """
+    )
+    # NOTE: u0's s is rebuilt from scratch here (not u3) so the replay
+    # applies the merges in ORDER to the original char segmentation —
+    # exactly what bpe_segment does.
+
+
+@query("q555_bpe_segment", _q555_oracle())
+def q555(spark: SparkSession, sf: str) -> DataFrame:
+    """Subword-fertility histogram after applying the 3 learned BPE
+    merges (operators/bpe.bpe_segment): per distinct word the merge
+    chain replays IN ORDER as literal replaces, then words group by
+    their unit count — n_words, corpus occurrences, char mass.  The
+    tokenizer-quality relation (fertility = units per word) that
+    decides whether a merge table is worth shipping."""
+    from .operators.bpe import bpe_segment, bpe_train, word_counts
+
+    d = load_table(spark, sf, "documents")
+    merges = bpe_train(d, "text", n_merges=3)
+    wc = word_counts(d, "text")
+    seg = bpe_segment(d, merges, "text").dropDuplicates(["w"]).join(wc, "w")
+    return (
+        seg.select(
+            F.size("units").cast("long").alias("n_units"),
+            F.length("w").cast("long").alias("n_chars"),
+            "c",
+        )
+        .groupBy("n_units")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.sum(F.col("n_chars") * F.col("c")).cast("long").alias("chars_weighted"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q556
+@query(
+    "q556_dau_wau_mau",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM active),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY 1),
+    contrib7 AS (
+        SELECT user_id, day + o AS day
+        FROM active, unnest(generate_series(0, 6)) AS t(o)
+    ),
+    wau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib7 GROUP BY 1
+    ),
+    contrib28 AS (
+        SELECT user_id, day + o AS day
+        FROM active, unnest(generate_series(0, 27)) AS t(o)
+    ),
+    mau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM contrib28 GROUP BY 1
+    )
+    SELECT d.day, dau.dau, wau.wau, mau.mau,
+           (dau.dau * 1000000) // mau.mau AS stickiness_ppm
+    FROM days d JOIN dau USING (day) JOIN wau USING (day) JOIN mau USING (day)
+    """,
+)
+def q556(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / WAU / MAU engagement with DAU/MAU stickiness in exact
+    integer ppm: trailing-window DISTINCT users computed by exploding
+    each (user, active-day) into the bounded set of future days it
+    contributes to (7 / 28 rows) — turning a sliding distinct-count
+    window (unbounded state) into plain hash aggs; only observed days
+    report (the days relation gates the calendar)."""
+    ev = load_table(spark, sf, "events")
+    active = ev.select(
+        "user_id",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).distinct()
+    days = active.select("day").distinct()
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    c7 = active.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+    )
+    wau = c7.groupBy("day").agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    c28 = active.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 27)).alias("day")
+    )
+    mau = c28.groupBy("day").agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    out = days.join(dau, "day").join(wau, "day").join(mau, "day")
+    return out.select(
+        "day", "dau", "wau", "mau",
+        F.expr("(dau * 1000000) DIV mau").alias("stickiness_ppm"),
+    )
