@@ -3260,3 +3260,63 @@ def weighted_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFra
             1 - (F.col("n") * F.col("sum_w_obs")) / F.col("sum_w_exp"),
         ).alias("kappa_w"),
     )
+
+
+def ransac_line(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    n_rounds: int = 3,
+    threshold: int = 1000,
+) -> DataFrame:
+    """Deterministic RANSAC line fit on integer coordinates: each round
+    draws a 2-point sample by PORTABLE HASH ORDER (md5 of id:round —
+    no RNG, replayable in any engine), forms the exact rational model
+    through the pair, and counts inliers with the fully cross-
+    multiplied residual test
+
+        |y·dx − x·dy − (y1·dx − x1·dy)| ≤ threshold·|dx|
+
+    — every term a BIGINT, so membership can never sit on a float
+    boundary.  The second sample point is the hash-first point with
+    x ≠ x1 (slope always defined).  Returns one row per round
+    (sel_round, x1, y1, x2, y2, n_inliers, is_best); is_best marks the
+    consensus model(s).
+
+    Scale shape: per round two TakeOrdered(1) probes + one broadcast
+    1-row cross join + one count agg over the corpus — the corpus
+    never shuffles; rounds are bounded and ARE the algorithm (the
+    fixed-round RANSAC budget)."""
+    pts = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(x_col).cast("long").alias("__x__"),
+        F.col(y_col).cast("long").alias("__y__"),
+    ).persist()
+    rows = []
+    for rnd in range(1, n_rounds + 1):
+        h = F.md5(F.concat(F.col("__id__").cast("string"), F.lit(f":{rnd}")))
+        p1 = pts.orderBy(h.alias("__h__")).limit(1).collect()[0]
+        x1, y1 = int(p1["__x__"]), int(p1["__y__"])
+        p2 = (
+            pts.where(F.col("__x__") != x1)
+            .orderBy(h.alias("__h__"))
+            .limit(1)
+            .collect()[0]
+        )
+        x2, y2 = int(p2["__x__"]), int(p2["__y__"])
+        dx, dy = x2 - x1, y2 - y1
+        c = y1 * dx - x1 * dy
+        resid = F.abs(F.col("__y__") * dx - F.col("__x__") * dy - c)
+        n_in = pts.agg(
+            F.sum(F.when(resid <= threshold * abs(dx), 1).otherwise(0))
+            .cast("long")
+            .alias("n")
+        ).collect()[0]["n"]
+        rows.append((rnd, x1, y1, x2, y2, int(n_in)))
+    pts.unpersist()
+    out = df.sparkSession.createDataFrame(
+        rows, "sel_round bigint, x1 bigint, y1 bigint, x2 bigint, y2 bigint, n_inliers bigint"
+    )
+    wall = Window.partitionBy()
+    return out.withColumn("is_best", F.col("n_inliers") == F.max("n_inliers").over(wall))

@@ -207,3 +207,41 @@ def geohash_cell(lat: Column, lon: Column, precision: int = 6) -> Column:
         )
         out = ch if out is None else F.concat(out, ch)
     return out
+
+
+def point_in_polygon(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    polygon: list[tuple[int, int]],
+) -> DataFrame:
+    """Point-in-polygon test against a LITERAL polygon (geofence /
+    service-area tagging) on integer coordinates — the even-odd ray
+    casting rule with every edge term an exact integer cross product,
+    so the boundary decision can never sit on a float epsilon.
+
+    For each edge (x1,y1)→(x2,y2) a rightward horizontal ray from
+    (x,y) crosses iff (y1 > y) ≠ (y2 > y) and
+    x·(y2−y1) < x1·(y2−y1) + (y−y1)·(x2−x1) when y2>y1 (inequality
+    flips when the edge descends — encoded by multiplying through
+    without dividing).  The edge set is unrolled into one fixed
+    expression (bounded vertices are the contract, like the Erlang /
+    Shapley unrolls) — pure codegen, zero shuffle, zero joins.
+    Returns the input plus an ``inside`` boolean.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    crossings = F.lit(0)
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses a horizontal ray
+        straddles = (F.lit(y1) > y) != (F.lit(y2) > y)
+        # x < x1 + (y - y1) * (x2 - x1) / (y2 - y1), cross-multiplied by
+        # (y2 - y1) with the sign handled by flipping the comparison
+        lhs = (x - F.lit(x1)) * F.lit(y2 - y1)
+        rhs = (y - F.lit(y1)) * F.lit(x2 - x1)
+        hit = lhs < rhs if y2 > y1 else lhs > rhs
+        crossings = crossings + F.when(straddles & hit, 1).otherwise(0)
+    return df.withColumn("inside", crossings % 2 == 1)

@@ -4670,3 +4670,107 @@ def q556(spark: SparkSession, sf: str) -> DataFrame:
         "day", "dau", "wau", "mau",
         F.expr("(dau * 1000000) DIV mau").alias("stickiness_ppm"),
     )
+
+
+# ------------------------------------------------------------------ q557
+_Q557_POLY = [(100, 100), (900, 200), (700, 800), (500, 400), (200, 700)]
+
+
+def _q557_oracle() -> str:
+    terms = []
+    n = len(_Q557_POLY)
+    for i in range(n):
+        x1, y1 = _Q557_POLY[i]
+        x2, y2 = _Q557_POLY[(i + 1) % n]
+        if y1 == y2:
+            continue
+        op = "<" if y2 > y1 else ">"
+        terms.append(
+            f"CASE WHEN ({y1} > gy) != ({y2} > gy)"
+            f" AND (gx - {x1}) * ({y2 - y1}) {op} (gy - {y1}) * ({x2 - x1})"
+            f" THEN 1 ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"""
+    WITH pts AS (
+        SELECT event_id,
+               (CAST(round(value * 100) AS BIGINT) * 37) % 1000 AS gx,
+               (CAST(round(value * 100) AS BIGINT) * 91) % 1000 AS gy
+        FROM events WHERE event_id % 7 = 0
+    )
+    SELECT event_id, gx, gy, ({total}) % 2 = 1 AS inside
+    FROM pts
+    """
+
+
+@query("q557_point_in_polygon", _q557_oracle())
+def q557(spark: SparkSession, sf: str) -> DataFrame:
+    """Geofence tagging (operators/geo.point_in_polygon): even-odd ray
+    casting against a literal concave pentagon, every edge term an
+    exact integer cross product (cross-multiplied — no division, no
+    epsilon), the edge set unrolled into ONE codegen expression — zero
+    shuffles, zero joins."""
+    from .operators.geo import point_in_polygon
+
+    ev = load_table(spark, sf, "events").where(F.col("event_id") % 7 == 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    pts = ev.select(
+        "event_id",
+        ((cents * 37) % 1000).alias("gx"),
+        ((cents * 91) % 1000).alias("gy"),
+    )
+    return point_in_polygon(pts, "gx", "gy", _Q557_POLY)
+
+
+# ------------------------------------------------------------------ q558
+def _q558_oracle() -> str:
+    rounds = []
+    for r in (1, 2, 3):
+        rounds.append(f"""
+    p1_{r} AS (SELECT x, y FROM pts ORDER BY md5(CAST(id AS VARCHAR) || ':{r}') LIMIT 1),
+    p2_{r} AS (SELECT x, y FROM pts WHERE x != (SELECT x FROM p1_{r})
+               ORDER BY md5(CAST(id AS VARCHAR) || ':{r}') LIMIT 1),
+    r{r} AS (
+        SELECT CAST({r} AS BIGINT) AS sel_round,
+               a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+               CAST(sum(CASE WHEN abs(p.y * (b.x - a.x) - p.x * (b.y - a.y)
+                                      - (a.y * (b.x - a.x) - a.x * (b.y - a.y)))
+                                  <= 1000 * abs(b.x - a.x) THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_inliers
+        FROM pts p CROSS JOIN p1_{r} a CROSS JOIN p2_{r} b
+        GROUP BY a.x, a.y, b.x, b.y
+    )""")
+    body = ",".join(rounds)
+    return f"""
+    WITH pts AS (
+        SELECT event_id AS id,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               3 * CAST(round(value * 100) AS BIGINT) + event_id % 1000 - 500
+                 + CASE WHEN event_id % 50 = 0 THEN 70000 ELSE 0 END AS y
+        FROM events
+    ),{body},
+    m AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+    SELECT *, n_inliers = max(n_inliers) OVER () AS is_best FROM m
+    """
+
+
+@query("q558_ransac_line", _q558_oracle())
+def q558(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic RANSAC line fit (functions/stats.ransac_line) on a
+    synthetic noisy line with 2% gross outliers: 2-point samples drawn
+    by portable md5 hash order (no RNG), exact rational models, fully
+    cross-multiplied BIGINT inlier tests — the consensus flag marks
+    the round(s) that dodge the outliers."""
+    from .functions.stats import ransac_line
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        cents.alias("x"),
+        (
+            3 * cents + F.col("event_id") % 1000 - 500
+            + F.when(F.col("event_id") % 50 == 0, 70000).otherwise(0)
+        ).alias("y"),
+    )
+    return ransac_line(pts, "id", "x", "y", n_rounds=3, threshold=1000)
