@@ -1599,3 +1599,93 @@ def volume_profile(
         F.expr("__scaled__ DIV __total__").alias("share_ppm"),
         (F.col("notional") == F.col("__peak__")).alias("is_poc"),
     )
+
+
+def second_price_auction(
+    df: DataFrame,
+    keys: list[str],
+    bidder_col: str,
+    bid_col: str,
+    reserve: int = 0,
+) -> DataFrame:
+    """Second-price (Vickrey) auction clearing per key: winner = top
+    bid under the (bid DESC, bidder ASC) total order, clearing price =
+    max(second-highest bid, reserve), unsold when the top bid misses
+    the reserve.  One per-key window ranks, the top-2 rows pivot into
+    fixed columns via conditional max — exact integer money end to
+    end.  WindowGroupLimit prunes each key's stream to 2 rows before
+    the shuffle, so the exchange carries ≤ 2 rows per auction.
+    Returns (keys…, n_bids, winner, win_bid, clearing_price, sold).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(bid_col).desc(), F.col(bidder_col))
+    ranked = df.select(
+        *keys,
+        F.col(bidder_col).alias("__bidder__"),
+        F.col(bid_col).cast("long").alias("__bid__"),
+        F.row_number().over(w).alias("__rn__"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).cast("long").alias("__n__"),
+    ).where(F.col("__rn__") <= 2)
+    agg = ranked.groupBy(*keys).agg(
+        F.max("__n__").alias("n_bids"),
+        F.max(F.when(F.col("__rn__") == 1, F.col("__bidder__"))).alias("winner"),
+        F.max(F.when(F.col("__rn__") == 1, F.col("__bid__"))).alias("win_bid"),
+        F.max(F.when(F.col("__rn__") == 2, F.col("__bid__"))).alias("__second__"),
+    )
+    sold = F.col("win_bid") >= reserve
+    return agg.select(
+        *keys, "n_bids", 
+        F.when(sold, F.col("winner")).alias("winner"),
+        "win_bid",
+        F.when(sold, F.greatest(F.coalesce(F.col("__second__"), F.lit(0).cast("long")),
+                                F.lit(int(reserve)).cast("long"))).alias("clearing_price"),
+        sold.alias("sold"),
+    )
+
+
+def vpin(
+    df: DataFrame,
+    keys: list[str],
+    order: str | list[str],
+    price: str,
+    bucket_size: int = 50,
+    window_buckets: int = 4,
+    scale: int = 100,
+) -> DataFrame:
+    """VPIN order-flow toxicity (Easley/López de Prado/O'Hara, volume-
+    synchronized PIN) with trade-count buckets: classify each nonzero
+    tick by its price change sign, bucket every ``bucket_size`` ticks,
+    take each bucket's |buys − sells| imbalance in exact integer ppm,
+    and average the trailing ``window_buckets`` buckets with an
+    integer rolling sum + ONE divide.  Zero ticks are excluded (the
+    sign-carry variant is lee_ready's job); everything stays BIGINT so
+    the toxicity series is engine-exact.  One shuffle on the key; the
+    bucket roll-up and trailing window run on the aggregated relation.
+    """
+    oc = _order_cols(order)
+    w = Window.partitionBy(*keys).orderBy(*oc)
+    p = F.round(F.col(price) * scale).cast("long")
+    d = df.select(*keys, *oc, (p - F.lag(p).over(w)).alias("__dp__")).where(
+        F.col("__dp__").isNotNull() & (F.col("__dp__") != 0)
+    )
+    seq = d.select(
+        *keys,
+        F.when(F.col("__dp__") > 0, 1).otherwise(0).alias("__buy__"),
+        F.row_number().over(w).alias("__rn__"),
+    ).select(
+        *keys, "__buy__",
+        # integer DIV, never a float-divide-then-cast (1-ulp trap)
+        F.expr(f"(__rn__ - 1) DIV {int(bucket_size)}").alias("bucket"),
+    )
+    b = seq.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.sum("__buy__").cast("long").alias("n_buys"),
+    )
+    imb = b.select(
+        *keys, "bucket", "n_ticks", "n_buys",
+        F.expr("(abs(2 * n_buys - n_ticks) * 1000000) DIV n_ticks").alias("imb_ppm"),
+    )
+    wb = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(-(window_buckets - 1), 0)
+    return imb.select(
+        *keys, "bucket", "n_ticks", "n_buys", "imb_ppm",
+        (F.sum("imb_ppm").over(wb) / F.count(F.lit(1)).over(wb)).alias("vpin_ppm"),
+    )

@@ -4774,3 +4774,107 @@ def q558(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("y"),
     )
     return ransac_line(pts, "id", "x", "y", n_rounds=3, threshold=1000)
+
+
+# ------------------------------------------------------------------ q559
+@query(
+    "q559_second_price_auction",
+    """
+    WITH bids AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               user_id AS bidder, CAST(round(value * 100) AS BIGINT) AS bid
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, day, bidder, bid,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY bid DESC, bidder) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+        FROM bids
+    ),
+    agg AS (
+        SELECT event_type, day,
+               CAST(max(n) AS BIGINT) AS n_bids,
+               max(CASE WHEN rn = 1 THEN bidder END) AS winner,
+               max(CASE WHEN rn = 1 THEN bid END) AS win_bid,
+               max(CASE WHEN rn = 2 THEN bid END) AS second
+        FROM ranked WHERE rn <= 2 GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_bids,
+           CASE WHEN win_bid >= 5000 THEN winner END AS winner,
+           win_bid,
+           CASE WHEN win_bid >= 5000
+                THEN greatest(coalesce(second, 0), 5000) END AS clearing_price,
+           win_bid >= 5000 AS sold
+    FROM agg
+    """,
+)
+def q559(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-price auction clearing per (event_type, day) lot
+    (operators/finance.second_price_auction): top-2 bids under a
+    total order pivot to fixed columns, clearing price =
+    max(second bid, $50 reserve) — exact integer money;
+    WindowGroupLimit prunes each lot to 2 rows pre-shuffle."""
+    from .operators.finance import second_price_auction
+
+    ev = load_table(spark, sf, "events")
+    bids = ev.select(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+        F.col("user_id").alias("bidder"),
+        F.round(F.col("value") * 100).cast("long").alias("bid"),
+    )
+    return second_price_auction(bids, ["event_type", "day"], "bidder", "bid", reserve=5000)
+
+
+# ------------------------------------------------------------------ q560
+@query(
+    "q560_vpin",
+    """
+    WITH p AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS px
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, ts, event_id,
+               px - lag(px) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dp
+        FROM p
+    ),
+    nz AS (SELECT * FROM d WHERE dp IS NOT NULL AND dp != 0),
+    seq AS (
+        SELECT user_id,
+               CASE WHEN dp > 0 THEN 1 ELSE 0 END AS buy,
+               (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 50
+                 AS bucket
+        FROM nz
+    ),
+    b AS (
+        SELECT user_id, bucket,
+               CAST(count(*) AS BIGINT) AS n_ticks,
+               CAST(sum(buy) AS BIGINT) AS n_buys
+        FROM seq GROUP BY 1, 2
+    ),
+    imb AS (
+        SELECT user_id, bucket, n_ticks, n_buys,
+               (abs(2 * n_buys - n_ticks) * 1000000) // n_ticks AS imb_ppm
+        FROM b
+    )
+    SELECT user_id, bucket, n_ticks, n_buys, imb_ppm,
+           CAST(sum(imb_ppm) OVER w AS BIGINT)
+             / CAST(count(*) OVER w AS BIGINT) AS vpin_ppm
+    FROM imb
+    WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q560(spark: SparkSession, sf: str) -> DataFrame:
+    """VPIN order-flow toxicity per user path (operators/finance.vpin):
+    sign-of-Δp classification, 50-tick volume buckets, |buys−sells|
+    imbalance in exact integer ppm, trailing-4-bucket mean as an
+    integer rolling sum + ONE divide — the flow-toxicity monitor, all
+    BIGINT until the final division."""
+    from .operators.finance import vpin
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    return vpin(ev, ["user_id"], ["ts", "event_id"], "value",
+                bucket_size=50, window_buckets=4, scale=100)
