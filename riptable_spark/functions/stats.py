@@ -3320,3 +3320,50 @@ def ransac_line(
     )
     wall = Window.partitionBy()
     return out.withColumn("is_best", F.col("n_inliers") == F.max("n_inliers").over(wall))
+
+
+def fairness_audit(
+    df: DataFrame,
+    group_col: str,
+    y_true_col: str,
+    y_pred_col: str,
+    gap_threshold_ppm: int = 100_000,
+) -> DataFrame:
+    """Group-fairness audit for a binary classifier: per protected
+    group the selection rate, TPR and FPR as exact integer ppm
+    (count·1e6 DIV base — no float rate can sit on a boundary), plus
+    the cross-group max−min gaps (demographic parity on selection
+    rate, equalized odds on TPR/FPR) and a pass flag per the ppm
+    threshold.  One conditional-agg contingency pass per group; the
+    gap columns ride a window over the tiny per-group relation.
+    """
+    t = F.col(y_true_col).cast("long")
+    p = F.col(y_pred_col).cast("long")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(p).cast("long").alias("n_selected"),
+        F.sum(t).cast("long").alias("n_pos"),
+        F.sum(t * p).cast("long").alias("tp"),
+        F.sum((1 - t) * p).cast("long").alias("fp"),
+    )
+    rates = g.select(
+        "grp", "n", "n_selected", "n_pos",
+        F.expr("(n_selected * 1000000) DIV n").alias("sel_ppm"),
+        F.expr("CASE WHEN n_pos > 0 THEN (tp * 1000000) DIV n_pos END").alias("tpr_ppm"),
+        F.expr("CASE WHEN n - n_pos > 0 THEN (fp * 1000000) DIV (n - n_pos) END").alias("fpr_ppm"),
+    )
+    wall = Window.partitionBy()
+    gap = lambda c: F.max(c).over(wall) - F.min(c).over(wall)  # noqa: E731
+    out = rates.select(
+        "grp", "n", "n_selected", "n_pos", "sel_ppm", "tpr_ppm", "fpr_ppm",
+        gap(F.col("sel_ppm")).alias("parity_gap_ppm"),
+        gap(F.col("tpr_ppm")).alias("tpr_gap_ppm"),
+        gap(F.col("fpr_ppm")).alias("fpr_gap_ppm"),
+    )
+    thr = F.lit(int(gap_threshold_ppm)).cast("long")
+    return out.withColumn(
+        "passes",
+        (F.col("parity_gap_ppm") <= thr)
+        & (F.col("tpr_gap_ppm") <= thr)
+        & (F.col("fpr_gap_ppm") <= thr),
+    )

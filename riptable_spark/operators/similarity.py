@@ -1243,3 +1243,47 @@ def kcenter_greedy(
     return df.sparkSession.createDataFrame(
         rows, f"sel_round bigint, {id_col} bigint, dist bigint"
     )
+
+
+def hubness(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """k-occurrence hubness diagnostic: how often each vector appears in
+    OTHER vectors' exact top-k neighbor lists — the high-dimensional
+    pathology check (hub points poison ANN recall and dedup
+    thresholds).
+
+    Distances are integer-scaled squared euclidean (exact BIGINTs), so
+    the top-k cut under (dist ASC, id ASC) is tie-free and the whole
+    relation replays in SQL.  The scoring pass broadcasts the corpus
+    against itself (the deliberate brute-force baseline — LSH/IVF are
+    the scale path, and hubness is typically run on a bounded sample);
+    zero-occurrence vectors report via the left join.  Returns
+    (id, k_occurrences).
+    """
+    x = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("__id__"), x.alias("__x__"))
+    right = base.select(F.col("__id__").alias("__nid__"), F.col("__x__").alias("__nx__"))
+    pairs = base.crossJoin(F.broadcast(right)).where(F.col("__id__") != F.col("__nid__"))
+    dist = F.aggregate(
+        F.zip_with(F.col("__x__"), F.col("__nx__"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("__id__").orderBy(F.col("__d__"), F.col("__nid__"))
+    topk = (
+        pairs.select("__id__", "__nid__", dist.alias("__d__"))
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+    )
+    occ = topk.groupBy("__nid__").agg(F.count(F.lit(1)).cast("long").alias("k_occurrences"))
+    return base.join(occ, base["__id__"] == occ["__nid__"], "left").select(
+        F.col("__id__").alias(id_col),
+        F.coalesce(F.col("k_occurrences"), F.lit(0).cast("long")).alias("k_occurrences"),
+    )

@@ -4878,3 +4878,101 @@ def q560(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
     return vpin(ev, ["user_id"], ["ts", "event_id"], "value",
                 bucket_size=50, window_buckets=4, scale=100)
+
+
+# ------------------------------------------------------------------ q561
+@query(
+    "q561_hubness",
+    """
+    WITH ex AS (
+        SELECT vec_id, d AS dim,
+               CAST(round(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xi
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(d)
+        WHERE vec_id < 300
+    ),
+    ids AS (SELECT DISTINCT vec_id FROM ex),
+    pd AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST(sum((a.xi - b.xi) * (a.xi - b.xi)) AS BIGINT) AS d
+        FROM ex a JOIN ex b ON a.dim = b.dim AND a.vec_id != b.vec_id
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+            FROM pd
+        ) WHERE rn <= 5
+    ),
+    occ AS (SELECT nid, CAST(count(*) AS BIGINT) AS k_occurrences FROM topk GROUP BY 1)
+    SELECT ids.vec_id, coalesce(occ.k_occurrences, 0) AS k_occurrences
+    FROM ids LEFT JOIN occ ON ids.vec_id = occ.nid
+    """,
+)
+def q561(spark: SparkSession, sf: str) -> DataFrame:
+    """k-occurrence hubness over a 300-vector sample
+    (operators/similarity.hubness, k=5): exact integer squared
+    distances make the top-k cut tie-free, the scoring pass is the
+    deliberate broadcast brute-force baseline, zero-occurrence vectors
+    report 0 — the ANN-pathology diagnostic."""
+    from .operators.similarity import hubness
+
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+    return hubness(emb, "vec_id", "embedding", k=5, scale=1000)
+
+
+# ------------------------------------------------------------------ q562
+@query(
+    "q562_fairness_audit",
+    """
+    WITH f AS (
+        SELECT user_id % 3 AS grp,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) % 5 < 2 THEN 1 ELSE 0 END AS y_true,
+               CASE WHEN (CASE WHEN CAST(round(value * 100) AS BIGINT) % 5 < 2 THEN 1 ELSE 0 END)
+                         != (CASE WHEN (CAST(round(value * 100) AS BIGINT) * (user_id % 3 + 1)) % 13 = 0
+                                  THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS y_pred
+        FROM events
+    ),
+    g AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y_pred) AS BIGINT) AS n_selected,
+               CAST(sum(y_true) AS BIGINT) AS n_pos,
+               CAST(sum(y_true * y_pred) AS BIGINT) AS tp,
+               CAST(sum((1 - y_true) * y_pred) AS BIGINT) AS fp
+        FROM f GROUP BY 1
+    ),
+    rates AS (
+        SELECT grp, n, n_selected, n_pos,
+               (n_selected * 1000000) // n AS sel_ppm,
+               CASE WHEN n_pos > 0 THEN (tp * 1000000) // n_pos END AS tpr_ppm,
+               CASE WHEN n - n_pos > 0 THEN (fp * 1000000) // (n - n_pos) END AS fpr_ppm
+        FROM g
+    )
+    SELECT grp, n, n_selected, n_pos, sel_ppm, tpr_ppm, fpr_ppm,
+           max(sel_ppm) OVER () - min(sel_ppm) OVER () AS parity_gap_ppm,
+           max(tpr_ppm) OVER () - min(tpr_ppm) OVER () AS tpr_gap_ppm,
+           max(fpr_ppm) OVER () - min(fpr_ppm) OVER () AS fpr_gap_ppm,
+           (max(sel_ppm) OVER () - min(sel_ppm) OVER ()) <= 100000
+           AND (max(tpr_ppm) OVER () - min(tpr_ppm) OVER ()) <= 100000
+           AND (max(fpr_ppm) OVER () - min(fpr_ppm) OVER ()) <= 100000 AS passes
+    FROM rates
+    """,
+)
+def q562(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-fairness audit (functions/stats.fairness_audit): per
+    protected group the selection rate / TPR / FPR in exact integer
+    ppm, demographic-parity and equalized-odds gaps as cross-group
+    max−min over the tiny per-group relation, pass flag at a 10% gap
+    budget — a classifier with group-dependent noise trips it."""
+    from .functions.stats import fairness_audit
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    truth = (cents % 5 < 2).cast("long")
+    flip = ((cents * (F.col("user_id") % 3 + 1)) % 13 == 0).cast("long")
+    f = ev.select(
+        (F.col("user_id") % 3).alias("grp"),
+        truth.alias("y_true"),
+        (truth != flip).cast("long").alias("y_pred"),
+    )
+    return fairness_audit(f, "grp", "y_true", "y_pred", gap_threshold_ppm=100_000)
