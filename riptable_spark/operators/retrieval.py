@@ -328,3 +328,78 @@ def dirichlet_qlm(
     return ranked.orderBy(F.col("score").desc(), id_col).limit(k).withColumn(
         "rank", F.row_number().over(w)
     )
+
+
+def position_bias_em(
+    df: DataFrame,
+    item_col: str,
+    pos_col: str,
+    click_col: str,
+) -> DataFrame:
+    """Position-bias model (PBM) estimation for search/ads ranking —
+    P(click) = θ_position · γ_item — via two unrolled EM rounds
+    (bounded rounds ARE the algorithm, the pagerank contract).
+
+    From the (item, position) contingency cells: γ¹ is each item's CTR
+    (θ⁰ ≡ 1), θ¹_p = clicks_p / Σ_i n_ip·γ¹_i, then γ²_i = c_i /
+    Σ_p n_ip·θ¹_p and θ²_p = c_p / Σ_i n_ip·γ²_i.  Every denominator
+    is a POSITION/ITEM-ORDERED LEFT FOLD over the tiny aggregated cell
+    relation (F.aggregate / list_reduce — never a hash-agg float sum,
+    ORACLES rule 22), every per-cell term is exact-integer arithmetic
+    with ONE divide, so both EM rounds are engine-exact.  Returns one
+    row per position: (pos, n_impressions, n_clicks, theta1, theta2).
+
+    At 100 TB the raw log reduces to |items|×|positions| cells in one
+    two-stage agg; everything after runs on that bounded relation.
+    """
+    i, p = F.col(item_col), F.col(pos_col)
+    c = F.col(click_col).cast("long")
+    cells = df.groupBy(i.alias("item"), p.alias("pos")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ip"),
+        F.sum(c).cast("long").alias("c_ip"),
+    )
+    item_stats = cells.groupBy("item").agg(
+        F.sum("n_ip").cast("long").alias("n_i"),
+        F.sum("c_ip").cast("long").alias("c_i"),
+    )
+    pos_stats = cells.groupBy("pos").agg(
+        F.sum("n_ip").cast("long").alias("n_p"),
+        F.sum("c_ip").cast("long").alias("c_p"),
+    )
+
+    def _fold(grouped, key_col, sort_col, term):
+        return grouped.groupBy(key_col).agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(sort_col), term.alias("t")))),
+                    lambda s: s.getField("t"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("den")
+        )
+
+    j1 = cells.join(item_stats, "item")
+    den1 = _fold(j1, "pos", "item", (F.col("n_ip") * F.col("c_i")) / F.col("n_i"))
+    theta1 = pos_stats.join(den1, "pos").select(
+        "pos", "n_p", "c_p", (F.col("c_p") / F.col("den")).alias("theta1")
+    )
+
+    j2 = cells.join(theta1.select("pos", "theta1"), "pos")
+    den2 = _fold(j2, "item", "pos", F.col("n_ip") * F.col("theta1"))
+    gamma2 = item_stats.join(den2, "item").select(
+        "item", (F.col("c_i") / F.col("den")).alias("gamma2")
+    )
+
+    j3 = cells.join(gamma2, "item")
+    den3 = _fold(j3, "pos", "item", F.col("n_ip") * F.col("gamma2"))
+    return (
+        theta1.join(den3, "pos")
+        .select(
+            "pos",
+            F.col("n_p").alias("n_impressions"),
+            F.col("c_p").alias("n_clicks"),
+            "theta1",
+            (F.col("c_p") / F.col("den")).alias("theta2"),
+        )
+    )

@@ -4976,3 +4976,74 @@ def q562(spark: SparkSession, sf: str) -> DataFrame:
         (truth != flip).cast("long").alias("y_pred"),
     )
     return fairness_audit(f, "grp", "y_true", "y_pred", gap_threshold_ppm=100_000)
+
+
+# ------------------------------------------------------------------ q563
+@query(
+    "q563_position_bias_em",
+    """
+    WITH f AS (
+        SELECT CAST(round(value * 100) AS BIGINT) % 40 AS item,
+               event_id % 10 + 1 AS pos,
+               CASE WHEN (CAST(round(value * 100) AS BIGINT) * 7 + event_id)
+                         % (event_id % 10 + 3) = 0 THEN 1 ELSE 0 END AS click
+        FROM events
+    ),
+    cells AS (
+        SELECT item, pos, CAST(count(*) AS BIGINT) AS n_ip,
+               CAST(sum(click) AS BIGINT) AS c_ip
+        FROM f GROUP BY 1, 2
+    ),
+    item_stats AS (
+        SELECT item, CAST(sum(n_ip) AS BIGINT) AS n_i, CAST(sum(c_ip) AS BIGINT) AS c_i
+        FROM cells GROUP BY 1
+    ),
+    pos_stats AS (
+        SELECT pos, CAST(sum(n_ip) AS BIGINT) AS n_p, CAST(sum(c_ip) AS BIGINT) AS c_p
+        FROM cells GROUP BY 1
+    ),
+    den1 AS (
+        SELECT pos, list_reduce([CAST(0.0 AS DOUBLE)] || list((n_ip * c_i) / n_i ORDER BY item),
+                                (a, b) -> a + b) AS den
+        FROM cells JOIN item_stats USING (item) GROUP BY pos
+    ),
+    theta1 AS (
+        SELECT pos, n_p, c_p, c_p / den AS theta1
+        FROM pos_stats JOIN den1 USING (pos)
+    ),
+    den2 AS (
+        SELECT item, list_reduce([CAST(0.0 AS DOUBLE)] || list(n_ip * theta1 ORDER BY pos),
+                                 (a, b) -> a + b) AS den
+        FROM cells JOIN theta1 USING (pos) GROUP BY item
+    ),
+    gamma2 AS (
+        SELECT item, c_i / den AS gamma2
+        FROM item_stats JOIN den2 USING (item)
+    ),
+    den3 AS (
+        SELECT pos, list_reduce([CAST(0.0 AS DOUBLE)] || list(n_ip * gamma2 ORDER BY item),
+                                (a, b) -> a + b) AS den
+        FROM cells JOIN gamma2 USING (item) GROUP BY pos
+    )
+    SELECT t.pos, t.n_p AS n_impressions, t.c_p AS n_clicks, t.theta1, t.c_p / d.den AS theta2
+    FROM theta1 t JOIN den3 d USING (pos)
+    """,
+)
+def q563(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-bias model estimation, two unrolled EM rounds
+    (operators/retrieval.position_bias_em): synthetic click log with
+    rate ∝ 1/(pos+2); every EM denominator is an item/position-ordered
+    LEFT FOLD over the aggregated contingency cells, every term
+    exact-integer with one divide — the examination-probability curve
+    search ranking needs before training on clicks."""
+    from .operators.retrieval import position_bias_em
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pos = F.col("event_id") % 10 + 1
+    f = ev.select(
+        (cents % 40).alias("item"),
+        pos.alias("pos"),
+        ((cents * 7 + F.col("event_id")) % (pos + 2) == 0).cast("long").alias("click"),
+    )
+    return position_bias_em(f, "item", "pos", "click")
