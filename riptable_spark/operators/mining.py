@@ -914,3 +914,84 @@ def greedy_knapsack(
         F.sum(wt).over(w).cast("long").alias("running_weight"),
     )
     return work.where(F.col("running_weight") <= int(budget))
+
+
+_MARKOV_STATES = ["click", "error", "signup", "view"]
+
+
+def markov_conversion_expr(conv: str = "purchase", removed: str | None = None) -> str:
+    """3-step conversion probability from 'start' as ONE SQL expression
+    over the pivoted transition-cell columns t_<i>_<j> — generated text
+    that both Spark (F.expr) and the SQL oracle evaluate verbatim, so
+    the float arithmetic is identical by construction.  ``removed``
+    drops a channel without renormalizing (the classic removal-effect
+    semantics: journeys through the removed channel simply fail)."""
+    chs = [c for c in _MARKOV_STATES if c != removed]
+    q = {i: f"t_{i}_{conv}" for i in ["start"] + _MARKOV_STATES}
+    for _ in range(2):
+        q = {
+            i: "(" + f"t_{i}_{conv}"
+            + "".join(f" + t_{i}_{j} * {q[j]}" for j in chs)
+            + ")"
+            for i in ["start"] + _MARKOV_STATES
+        }
+    return q["start"]
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    order: list[str],
+    conv: str = "purchase",
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.): credit each
+    channel by how much the 3-step start→conversion probability drops
+    when journeys through it fail.
+
+    The journey log reduces to transition counts (one per-user ordered
+    window + one hash agg), conversion-state outflows are excluded
+    (absorbing), each transition probability is ONE exact-integer
+    divide, and the 25 cells pivot onto a SINGLE row (the Cramér's-V
+    fixed-cell unroll).  The 3-step absorption polynomial and its four
+    removal variants are generated EXPRESSION TEXT shared verbatim
+    with the SQL oracle — engine-identical float chains by
+    construction.  Returns (channel, conv_full, conv_removed,
+    removal_effect) — effect = (full − removed)/full.
+    """
+    w = Window.partitionBy(user_col).orderBy(*order)
+    t = F.col(type_col)
+    ordered = df.select(
+        t.alias("__j__"), F.lag(t).over(w).alias("__prev__")
+    )
+    trans = ordered.where(
+        F.col("__prev__").isNull() | (F.col("__prev__") != conv)
+    ).select(F.coalesce(F.col("__prev__"), F.lit("start")).alias("i"), F.col("__j__").alias("j"))
+    counts = trans.groupBy("i", "j").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.groupBy("i").agg(F.sum("n").cast("long").alias("ni"))
+    cells = counts.join(tot, "i").select("i", "j", (F.col("n") / F.col("ni")).alias("t"))
+    pivot_cols = [
+        F.coalesce(
+            F.max(F.when((F.col("i") == i) & (F.col("j") == j), F.col("t"))),
+            F.lit(0.0),
+        ).alias(f"t_{i}_{j}")
+        for i in ["start"] + _MARKOV_STATES
+        for j in _MARKOV_STATES + [conv]
+    ]
+    m = cells.agg(*pivot_cols)
+    full = markov_conversion_expr(conv, None)
+    outs = []
+    for c in _MARKOV_STATES:
+        rem = markov_conversion_expr(conv, c)
+        outs.append(
+            m.select(
+                F.lit(c).alias("channel"),
+                F.expr(full).alias("conv_full"),
+                F.expr(rem).alias("conv_removed"),
+                ((F.expr(full) - F.expr(rem)) / F.expr(full)).alias("removal_effect"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

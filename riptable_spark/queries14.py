@@ -5047,3 +5047,53 @@ def q563(spark: SparkSession, sf: str) -> DataFrame:
         ((cents * 7 + F.col("event_id")) % (pos + 2) == 0).cast("long").alias("click"),
     )
     return position_bias_em(f, "item", "pos", "click")
+
+
+# ------------------------------------------------------------------ q564
+def _q564_oracle() -> str:
+    from .operators.mining import _MARKOV_STATES, markov_conversion_expr
+
+    pivot = ",\n               ".join(
+        f"coalesce(max(CASE WHEN i = '{i}' AND j = '{j}' THEN t END), CAST(0.0 AS DOUBLE))"
+        f" AS t_{i}_{j}"
+        for i in ["start"] + _MARKOV_STATES
+        for j in _MARKOV_STATES + ["purchase"]
+    )
+    full = markov_conversion_expr("purchase", None)
+    picks = []
+    for c in _MARKOV_STATES:
+        rem = markov_conversion_expr("purchase", c)
+        picks.append(
+            f"SELECT '{c}' AS channel, {full} AS conv_full, {rem} AS conv_removed,\n"
+            f"       ({full} - {rem}) / {full} AS removal_effect FROM m"
+        )
+    body = "\nUNION ALL\n".join(picks)
+    return f"""
+    WITH ordered AS (
+        SELECT event_type AS j,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT coalesce(prev, 'start') AS i, j FROM ordered
+        WHERE prev IS NULL OR prev != 'purchase'
+    ),
+    counts AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM trans GROUP BY 1, 2),
+    tot AS (SELECT i, CAST(sum(n) AS BIGINT) AS ni FROM counts GROUP BY 1),
+    cells AS (SELECT i, j, n / ni AS t FROM counts JOIN tot USING (i)),
+    m AS (SELECT {pivot} FROM cells)
+    {body}
+    """
+
+
+@query("q564_markov_attribution", _q564_oracle())
+def q564(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov removal-effect attribution (operators/mining.
+    markov_attribution): journeys reduce to 25 transition cells on ONE
+    row, the 3-step absorption polynomial and its per-channel removal
+    variants are generated expression text evaluated VERBATIM by both
+    engines (F.expr = oracle SQL) — float-identical by construction."""
+    from .operators.mining import markov_attribution
+
+    ev = load_table(spark, sf, "events")
+    return markov_attribution(ev, "user_id", "event_type", ["ts", "event_id"], "purchase")
