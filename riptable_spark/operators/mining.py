@@ -995,3 +995,64 @@ def markov_attribution(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def als_rank1(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Rank-1 alternating least squares (the distributed recommender
+    trainer in miniature): item factors v and user factors u alternate
+    closed-form updates u_u = Σ_j r·v_j / Σ_j v_j², v_j = Σ_u r·u_u /
+    Σ_u u_u², starting from v ≡ 1.
+
+    Every update denominator and numerator is a KEY-ORDERED LEFT FOLD
+    over the rating relation's per-key factor arrays (F.aggregate /
+    list_reduce — never a hash-agg float sum), and each rating is an
+    exact integer, so both engines produce bit-identical factors after
+    any bounded number of rounds (bounded rounds ARE the algorithm —
+    the pagerank/kmeans contract).  Scale shape: each half-step is one
+    equi-join of the rating relation with the current factor vector +
+    one grouped fold — the classic ALS shuffle; factors never visit
+    the driver.  Returns (item, v) after ``n_rounds`` full rounds.
+    """
+    r = F.col(rating_col).cast("long")
+    ratings = df.select(
+        F.col(user_col).alias("__u__"), F.col(item_col).alias("__j__"), r.alias("__r__")
+    )
+
+    def _fold2(grouped, key, sort_key, num_term, den_term, out_name):
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col(sort_key), num_term.alias("n"), den_term.alias("d")))
+        )
+        num = F.aggregate(
+            F.transform(arr, lambda s: s.getField("n")), F.lit(0.0), lambda a, x: a + x
+        )
+        den = F.aggregate(
+            F.transform(arr, lambda s: s.getField("d")), F.lit(0.0), lambda a, x: a + x
+        )
+        return grouped.groupBy(key).agg((num / den).alias(out_name))
+
+    v = None  # v ≡ 1.0 on the first round
+    for _ in range(n_rounds):
+        if v is None:
+            withv = ratings.withColumn("__v__", F.lit(1.0))
+        else:
+            withv = ratings.join(v, "__j__")
+        u = _fold2(
+            withv, "__u__", "__j__",
+            F.col("__r__") * F.col("__v__"),
+            F.col("__v__") * F.col("__v__"),
+            "__uf__",
+        )
+        withu = ratings.join(u, "__u__")
+        v = _fold2(
+            withu, "__j__", "__u__",
+            F.col("__r__") * F.col("__uf__"),
+            F.col("__uf__") * F.col("__uf__"),
+            "__v__",
+        )
+    return v.select(F.col("__j__").alias(item_col), F.col("__v__").alias("v"))

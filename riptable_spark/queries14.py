@@ -5097,3 +5097,56 @@ def q564(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     return markov_attribution(ev, "user_id", "event_type", ["ts", "event_id"], "purchase")
+
+
+# ------------------------------------------------------------------ q565
+@query(
+    "q565_als_rank1",
+    """
+    WITH f AS (
+        SELECT user_id AS u, CAST(round(value * 100) AS BIGINT) % 40 AS j
+        FROM events
+    ),
+    ratings AS (SELECT u, j, CAST(count(*) AS BIGINT) AS r FROM f GROUP BY 1, 2),
+    u1 AS (
+        SELECT u,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(r * CAST(1.0 AS DOUBLE) ORDER BY j),
+                           (a, b) -> a + b)
+             / list_reduce([CAST(0.0 AS DOUBLE)] || list(CAST(1.0 AS DOUBLE) * CAST(1.0 AS DOUBLE) ORDER BY j),
+                           (a, b) -> a + b) AS uf
+        FROM ratings GROUP BY u
+    ),
+    v1 AS (
+        SELECT j,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(r * uf ORDER BY u), (a, b) -> a + b)
+             / list_reduce([CAST(0.0 AS DOUBLE)] || list(uf * uf ORDER BY u), (a, b) -> a + b) AS v
+        FROM ratings JOIN u1 USING (u) GROUP BY j
+    ),
+    u2 AS (
+        SELECT u,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(r * v ORDER BY j), (a, b) -> a + b)
+             / list_reduce([CAST(0.0 AS DOUBLE)] || list(v * v ORDER BY j), (a, b) -> a + b) AS uf
+        FROM ratings JOIN v1 USING (j) GROUP BY u
+    ),
+    v2 AS (
+        SELECT j,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(r * uf ORDER BY u), (a, b) -> a + b)
+             / list_reduce([CAST(0.0 AS DOUBLE)] || list(uf * uf ORDER BY u), (a, b) -> a + b) AS v
+        FROM ratings JOIN u2 USING (u) GROUP BY j
+    )
+    SELECT j AS item, v FROM v2
+    """,
+)
+def q565(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-1 ALS recommender training, two full alternating rounds
+    (operators/mining.als_rank1) on implicit play-count ratings:
+    every factor update is a key-ordered LEFT FOLD ratio over the
+    rating relation (never a hash-agg float sum) — bit-identical item
+    factors cross-engine; the classic join+grouped-agg ALS shuffle."""
+    from .operators.mining import als_rank1
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = ev.select(F.col("user_id").alias("u"), (cents % 40).alias("j"))
+    ratings = f.groupBy("u", "j").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    return als_rank1(ratings, "u", "j", "r", n_rounds=2).withColumnRenamed("j", "item")
