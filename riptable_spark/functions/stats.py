@@ -3367,3 +3367,75 @@ def fairness_audit(
         & (F.col("tpr_gap_ppm") <= thr)
         & (F.col("fpr_gap_ppm") <= thr),
     )
+
+
+def ps_stratified_ate(
+    df: DataFrame,
+    bucket_col: str,
+    treat_col: str,
+    outcome_col: str,
+    n_strata: int = 3,
+) -> DataFrame:
+    """Propensity-score-stratified average treatment effect — the
+    workhorse observational-causal estimator alongside DiD/IV/RD:
+    covariate buckets get an empirical propensity (treated share in
+    exact integer ppm — never a float to bin on), buckets rank into
+    ``n_strata`` strata by that ppm (integer-DIV cut under a (ppm,
+    bucket) total order), and the ATE is the stratum-size-weighted sum
+    of within-stratum mean differences.
+
+    Every mean is ONE divide of exact BIGINTs; the final ATE combines
+    the ≤ ``n_strata`` stratum terms as a FIXED-ORDER pivoted
+    expression (the Cramér's-V fixed-cell unroll — no float hash-agg
+    sum anywhere).  Returns one row: (n_total, ate, and per-stratum
+    n_s / diff_s columns).
+    """
+    t = F.col(treat_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    b = df.groupBy(F.col(bucket_col).alias("bkt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(t).cast("long").alias("nt_b"),
+        F.sum(t * y).cast("long").alias("sy1"),
+        F.sum((1 - t) * y).cast("long").alias("sy0"),
+    )
+    ranked = b.select(
+        "*", F.expr("(nt_b * 1000000) DIV n_b").alias("ppm")
+    ).select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("ppm", "bkt"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nbkt"),
+    )
+    strata = ranked.select(
+        "*", F.expr(f"((rk - 1) * {int(n_strata)}) DIV nbkt").alias("stratum")
+    )
+    s = strata.groupBy("stratum").agg(
+        F.sum("n_b").cast("long").alias("n_s"),
+        F.sum("nt_b").cast("long").alias("n1"),
+        F.sum(F.col("n_b") - F.col("nt_b")).cast("long").alias("n0"),
+        F.sum("sy1").cast("long").alias("s1"),
+        F.sum("sy0").cast("long").alias("s0"),
+    )
+    cells = []
+    for k in range(n_strata):
+        is_k = F.col("stratum") == k
+        cells += [
+            F.coalesce(F.max(F.when(is_k, F.col("n_s"))), F.lit(0).cast("long")).alias(f"n_s{k}"),
+            F.max(
+                F.when(
+                    is_k & (F.col("n1") > 0) & (F.col("n0") > 0),
+                    F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0"),
+                )
+            ).alias(f"diff_s{k}"),
+        ]
+    wide = s.agg(*cells)
+    total = " + ".join(f"n_s{k}" for k in range(n_strata))
+    ate = " + ".join(
+        f"coalesce(n_s{k} * diff_s{k}, CAST(0.0 AS DOUBLE))" for k in range(n_strata)
+    )
+    return wide.select(
+        "*",
+        F.expr(f"({total})").alias("n_total"),
+        F.expr(f"({ate}) / ({total})").alias("ate"),
+    )

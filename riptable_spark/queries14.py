@@ -5150,3 +5150,75 @@ def q565(spark: SparkSession, sf: str) -> DataFrame:
     f = ev.select(F.col("user_id").alias("u"), (cents % 40).alias("j"))
     ratings = f.groupBy("u", "j").agg(F.count(F.lit(1)).cast("long").alias("r"))
     return als_rank1(ratings, "u", "j", "r", n_rounds=2).withColumnRenamed("j", "item")
+
+
+# ------------------------------------------------------------------ q566
+def _q566_oracle() -> str:
+    n_strata = 3
+    cells = []
+    for k in range(n_strata):
+        cells.append(
+            f"coalesce(max(CASE WHEN stratum = {k} THEN n_s END), CAST(0 AS BIGINT)) AS n_s{k},\n"
+            f"           max(CASE WHEN stratum = {k} AND n1 > 0 AND n0 > 0\n"
+            f"                    THEN s1 / n1 - s0 / n0 END) AS diff_s{k}"
+        )
+    pivot = ",\n           ".join(cells)
+    total = " + ".join(f"n_s{k}" for k in range(n_strata))
+    ate = " + ".join(f"coalesce(n_s{k} * diff_s{k}, CAST(0.0 AS DOUBLE))" for k in range(n_strata))
+    return f"""
+    WITH f AS (
+        SELECT CAST(round(value * 100) AS BIGINT) % 8 AS bkt,
+               CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+               CAST(round(value * 100) AS BIGINT) % 100
+                 + 10 * (CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                 + 5 * (CAST(round(value * 100) AS BIGINT) % 8) AS y
+        FROM events
+    ),
+    b AS (
+        SELECT bkt, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(t) AS BIGINT) AS nt_b,
+               CAST(sum(t * y) AS BIGINT) AS sy1,
+               CAST(sum((1 - t) * y) AS BIGINT) AS sy0
+        FROM f GROUP BY 1
+    ),
+    ranked AS (
+        SELECT *, (nt_b * 1000000) // n_b AS ppm FROM b
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (ORDER BY ppm, bkt) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS nbkt
+        FROM ranked
+    ),
+    strata AS (SELECT *, ((rk - 1) * 3) // nbkt AS stratum FROM rk),
+    s AS (
+        SELECT stratum, CAST(sum(n_b) AS BIGINT) AS n_s,
+               CAST(sum(nt_b) AS BIGINT) AS n1,
+               CAST(sum(n_b - nt_b) AS BIGINT) AS n0,
+               CAST(sum(sy1) AS BIGINT) AS s1,
+               CAST(sum(sy0) AS BIGINT) AS s0
+        FROM strata GROUP BY 1
+    ),
+    wide AS (SELECT {pivot} FROM s)
+    SELECT *, ({total}) AS n_total, ({ate}) / ({total}) AS ate FROM wide
+    """
+
+
+@query("q566_ps_stratified_ate", _q566_oracle())
+def q566(spark: SparkSession, sf: str) -> DataFrame:
+    """Propensity-stratified ATE (functions/stats.ps_stratified_ate) on
+    a synthetic confounded outcome with a planted +10 effect:
+    empirical propensities in exact integer ppm, integer-DIV stratum
+    cut under a total order, within-stratum mean differences as
+    one-divide rationals, ATE as a fixed-order pivoted expression —
+    no float hash-agg sum anywhere."""
+    from .functions.stats import ps_stratified_ate
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    t = (F.col("event_id") % 3 == 0).cast("long")
+    f = ev.select(
+        (cents % 8).alias("bkt"),
+        t.alias("t"),
+        (cents % 100 + 10 * t + 5 * (cents % 8)).alias("y"),
+    )
+    return ps_stratified_ate(f, "bkt", "t", "y", n_strata=3)
