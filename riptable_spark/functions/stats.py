@@ -3439,3 +3439,73 @@ def ps_stratified_ate(
         F.expr(f"({total})").alias("n_total"),
         F.expr(f"({ate}) / ({total})").alias("ate"),
     )
+
+
+def huber_fit(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    k: int = 10,
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Huber-loss robust line fit via bounded IRLS rounds: an exact-
+    integer OLS seed, then per round the Huber weights w = min(1,
+    k/|resid|) reweight a closed-form WLS whose five moment sums are
+    ID-ORDERED LEFT FOLDS over the point set (F.aggregate /
+    list_reduce — the only engine-exact way to sum data-dependent
+    floats).  Bounded rounds ARE the algorithm (IRLS budget, the
+    pagerank contract); run it on a bounded sample (folds materialize
+    the point list per group).  Returns one row with the seed and
+    per-round (slope, intercept).
+    """
+    pts = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(x_col).cast("long").alias("__x__"),
+        F.col(y_col).cast("long").alias("__y__"),
+    )
+    seed = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x__").cast("long").alias("sx"),
+        F.sum("__y__").cast("long").alias("sy"),
+        F.sum(F.col("__x__") * F.col("__x__")).cast("long").alias("sxx"),
+        F.sum(F.col("__x__") * F.col("__y__")).cast("long").alias("sxy"),
+        F.array_sort(F.collect_list(F.struct("__id__", "__x__", "__y__"))).alias("__pts__"),
+    )
+    a = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    b = (F.col("sy") - a * F.col("sx")) / F.col("n")
+    cur = seed.select("n", "__pts__", a.alias("a0"), b.alias("b0"))
+    for rnd in range(1, n_rounds + 1):
+        pa, pb = F.col(f"a{rnd - 1}"), F.col(f"b{rnd - 1}")
+
+        def _w(s, pa=pa, pb=pb):
+            r = F.abs(s.getField("__y__") - (pa * s.getField("__x__") + pb))
+            return F.when(r <= k, F.lit(1.0)).otherwise(k / r)
+
+        def _fold(term):
+            return F.aggregate(
+                F.transform(F.col("__pts__"), term), F.lit(0.0), lambda acc, v: acc + v
+            )
+
+        # stage each fold as its own column — inlining them into the
+        # slope/intercept formulas would re-run the O(n) folds once per
+        # reference (catalyst HOF re-evaluation)
+        cur = cur.select(
+            "*",
+            _fold(lambda s: _w(s)).alias("__sw__"),
+            _fold(lambda s: _w(s) * s.getField("__x__")).alias("__swx__"),
+            _fold(lambda s: _w(s) * s.getField("__y__")).alias("__swy__"),
+            _fold(lambda s: _w(s) * s.getField("__x__") * s.getField("__x__")).alias("__swxx__"),
+            _fold(lambda s: _w(s) * s.getField("__x__") * s.getField("__y__")).alias("__swxy__"),
+        )
+        sw, swx, swy = F.col("__sw__"), F.col("__swx__"), F.col("__swy__")
+        swxx, swxy = F.col("__swxx__"), F.col("__swxy__")
+        an = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+        cur = cur.select("*", an.alias(f"a{rnd}"))
+        cur = cur.select(
+            "*",
+            ((swy - F.col(f"a{rnd}") * swx) / sw).alias(f"b{rnd}"),
+        ).drop("__sw__", "__swx__", "__swy__", "__swxx__", "__swxy__")
+    return cur.drop("__pts__")

@@ -5222,3 +5222,87 @@ def q566(spark: SparkSession, sf: str) -> DataFrame:
         (cents % 100 + 10 * t + 5 * (cents % 8)).alias("y"),
     )
     return ps_stratified_ate(f, "bkt", "t", "y", n_strata=3)
+
+
+# ------------------------------------------------------------------ q567
+def _q567_oracle() -> str:
+    w = (
+        "CASE WHEN abs(y - ({a} * x + {b})) <= 10 THEN CAST(1.0 AS DOUBLE) "
+        "ELSE 10 / abs(y - ({a} * x + {b})) END"
+    )
+    folds = {
+        "sw": "{w}",
+        "swx": "{w} * x",
+        "swy": "{w} * y",
+        "swxx": "{w} * x * x",
+        "swxy": "{w} * x * y",
+    }
+
+    def round_ctes(r):
+        wr = w.format(a=f"a{r - 1}", b=f"b{r - 1}")
+        fold_cols = ",\n               ".join(
+            f"list_reduce([CAST(0.0 AS DOUBLE)] || list({t.format(w=wr)} ORDER BY id),"
+            f" (p, q) -> p + q) AS {name}"
+            for name, t in folds.items()
+        )
+        prev = "seed" if r == 1 else f"r{r - 1}b"
+        carry = ", ".join(["n"] + [f"a{i}, b{i}" for i in range(r)])
+        return f"""
+    r{r} AS (
+        SELECT {carry},
+               {fold_cols}
+        FROM pts CROSS JOIN {prev}
+        GROUP BY {carry}
+    ),
+    r{r}s AS (
+        SELECT *, (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS a{r} FROM r{r}
+    ),
+    r{r}b AS (
+        SELECT * EXCLUDE (sw, swx, swy, swxx, swxy),
+               (swy - a{r} * swx) / sw AS b{r}
+        FROM r{r}s
+    )"""
+
+    return f"""
+    WITH pts AS (
+        SELECT event_id AS id, CAST(round(value) AS BIGINT) AS x,
+               3 * CAST(round(value) AS BIGINT) + event_id % 11 - 5
+                 + CASE WHEN event_id % 40 = 0 THEN 700 ELSE 0 END AS y
+        FROM events WHERE event_id % 97 = 0
+    ),
+    seed0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts
+    ),
+    seed AS (
+        SELECT n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS a0,
+               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS b0
+        FROM seed0
+    ),{round_ctes(1)},{round_ctes(2)}
+    SELECT n, a0, b0, a1, b1, a2, b2 FROM r2b
+    """
+
+
+@query("q567_huber_fit", _q567_oracle())
+def q567(spark: SparkSession, sf: str) -> DataFrame:
+    """Huber robust line fit, 2 IRLS rounds (functions/stats.huber_fit)
+    on a planted slope-3 line with 2.5% gross outliers: exact-integer
+    OLS seed, id-ordered fold weighted moments per round (staged
+    columns — never re-evaluated per reference), closed-form WLS —
+    the per-round slopes walk from the outlier-dragged seed toward 3."""
+    from .functions.stats import huber_fit
+
+    ev = load_table(spark, sf, "events").where(F.col("event_id") % 97 == 0)
+    dollars = F.round(F.col("value")).cast("long")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        dollars.alias("x"),
+        (
+            3 * dollars + F.col("event_id") % 11 - 5
+            + F.when(F.col("event_id") % 40 == 0, 700).otherwise(0)
+        ).alias("y"),
+    )
+    return huber_fit(pts, "id", "x", "y", k=10, n_rounds=2)
