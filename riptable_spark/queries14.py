@@ -5306,3 +5306,88 @@ def q567(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("y"),
     )
     return huber_fit(pts, "id", "x", "y", k=10, n_rounds=2)
+
+
+# ------------------------------------------------------------------ q568
+@query(
+    "q568_aa_calibration",
+    """
+    WITH users AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    splits AS (
+        SELECT k, user_id, y,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 2
+                 AS treat
+        FROM users, unnest(generate_series(1, 20)) AS t(k)
+    ),
+    agg AS (
+        SELECT k,
+               CAST(sum(treat) AS BIGINT) AS n1,
+               CAST(sum(1 - treat) AS BIGINT) AS n0,
+               CAST(sum(treat * y) AS BIGINT) AS s1,
+               CAST(sum((1 - treat) * y) AS BIGINT) AS s0
+        FROM splits GROUP BY 1
+    ),
+    flags AS (
+        SELECT CAST(k AS BIGINT) AS split_id, n1, n0, s1, s0,
+               10000 * (s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1) * (n1 + n0)
+                 > 38416 * (s1 + s0) * (n1 + n0 - s1 - s0) * (n1 * n0) AS significant
+        FROM agg
+    )
+    SELECT split_id, n1, n0, s1, s0, significant,
+           CAST(sum(CASE WHEN significant THEN 1 ELSE 0 END) OVER () AS BIGINT)
+             AS n_false_positives
+    FROM flags
+    """,
+)
+def q568(spark: SparkSession, sf: str) -> DataFrame:
+    """A/A-test calibration sweep: 20 portable-md5 hash splits of the
+    user base, each tested with the two-proportion z at α=0.05 via the
+    FULLY INTEGER cross-multiplied form 10⁴·(s₁n₀−s₀n₁)²·N >
+    38416·S(N−S)·n₁n₀ (c² = 1.96² as the exact rational 38416/10⁴ —
+    zero float ops, zero boundary risk).  The false-positive count
+    audits the experimentation stack's calibration: ~1 of 20 expected."""
+    ev = load_table(spark, sf, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y")
+    )
+    splits = users.select(
+        "user_id", "y", F.explode(F.sequence(F.lit(1), F.lit(20))).alias("k")
+    ).select(
+        "k", "y",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                                   F.col("k").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % 2
+        ).alias("treat"),
+    )
+    agg = splits.groupBy("k").agg(
+        F.sum("treat").cast("long").alias("n1"),
+        F.sum(1 - F.col("treat")).cast("long").alias("n0"),
+        F.sum(F.col("treat") * F.col("y")).cast("long").alias("s1"),
+        F.sum((1 - F.col("treat")) * F.col("y")).cast("long").alias("s0"),
+    )
+    d = F.col("s1") * F.col("n0") - F.col("s0") * F.col("n1")
+    n = F.col("n1") + F.col("n0")
+    s = F.col("s1") + F.col("s0")
+    flags = agg.select(
+        F.col("k").cast("long").alias("split_id"), "n1", "n0", "s1", "s0",
+        (10000 * d * d * n > 38416 * s * (n - s) * (F.col("n1") * F.col("n0")))
+        .alias("significant"),
+    )
+    wall = Window.partitionBy()
+    return flags.withColumn(
+        "n_false_positives",
+        F.sum(F.when(F.col("significant"), 1).otherwise(0)).over(wall).cast("long"),
+    )
