@@ -1187,3 +1187,40 @@ def personalized_pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def scc_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_doubling: int = 6,
+) -> DataFrame:
+    """Strongly connected components of a directed graph via transitive
+    closure: path-doubling (R ← R ∪ R∘R, each round DOUBLES the
+    reachable path length, so ``max_doubling`` rounds cover paths up to
+    2^rounds) then mutual reachability u→*v ∧ v→*u; each node's
+    component is the smallest mutually-reachable node id (itself
+    included, so acyclic nodes form singletons).
+
+    Every round is an equi-join + distinct — exact set algebra, no
+    scores.  This is the small/medium-graph exact path (closure is
+    O(n²) pairs); web-scale SCC swaps in iterative forward-backward
+    label propagation, but the component CONTRACT (min mutual id) is
+    identical.  Returns (node, component).
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).distinct()
+    r = e
+    for _ in range(max_doubling):
+        step = (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.d") == F.col("b.s"))
+            .select(F.col("a.s").alias("s"), F.col("b.d").alias("d"))
+        )
+        r = r.unionByName(step).distinct().persist()
+    rev = r.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    mutual = r.intersect(rev)
+    nodes = e.select(F.col("s").alias("node")).union(e.select(F.col("d").alias("node"))).distinct()
+    pairs = mutual.select(F.col("s").alias("node"), F.col("d").alias("peer")).unionByName(
+        nodes.select("node", F.col("node").alias("peer"))
+    )
+    return pairs.groupBy("node").agg(F.min("peer").alias("component"))

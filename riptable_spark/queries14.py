@@ -5391,3 +5391,46 @@ def q568(spark: SparkSession, sf: str) -> DataFrame:
         "n_false_positives",
         F.sum(F.when(F.col("significant"), 1).otherwise(0)).over(wall).cast("long"),
     )
+
+
+# ------------------------------------------------------------------ q569
+@query(
+    "q569_scc",
+    """
+    WITH RECURSIVE base AS (
+        SELECT doc_id % 60 AS src, (doc_id * 13 + 7) % 60 AS dst FROM documents
+        WHERE doc_id % 60 != (doc_id * 13 + 7) % 60
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM base),
+    closure AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+    ),
+    mutual AS (
+        SELECT a.src AS node, a.dst AS peer
+        FROM closure a JOIN closure b ON a.src = b.dst AND a.dst = b.src
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    pairs AS (
+        SELECT node, peer FROM mutual
+        UNION ALL
+        SELECT node, node AS peer FROM nodes
+    )
+    SELECT node, min(peer) AS component FROM pairs GROUP BY 1
+    """,
+)
+def q569(spark: SparkSession, sf: str) -> DataFrame:
+    """Strongly connected components (operators/merge.scc_components)
+    of the synthetic 60-node digraph: path-doubling transitive closure
+    (6 rounds cover length-64 paths) ∩ its reverse = mutual
+    reachability, component = min mutual id — exact set algebra; the
+    oracle replays with a recursive CTE."""
+    from .operators.merge import scc_components
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 60).alias("src"),
+        ((F.col("doc_id") * 13 + 7) % 60).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    return scc_components(edges, "src", "dst", max_doubling=6)
