@@ -5434,3 +5434,118 @@ def q569(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("doc_id") * 13 + 7) % 60).alias("dst"),
     ).where(F.col("src") != F.col("dst")).distinct()
     return scc_components(edges, "src", "dst", max_doubling=6)
+
+
+# ------------------------------------------------------------------ q570
+_Q570_T = "(CAST(1.0 AS DOUBLE) - (((s_jac * s_jac) * s_jac) * s_jac))"
+_Q570_P = (
+    f"CAST(1.0 AS DOUBLE) - ((({_Q570_T} * {_Q570_T}) * ({_Q570_T} * {_Q570_T}))"
+    f" * (({_Q570_T} * {_Q570_T}) * ({_Q570_T} * {_Q570_T})))"
+)
+
+
+def _q570_oracle() -> str:
+    from .operators import dedup as _dd
+
+    num_perm, bands, rpb, p = 32, 8, 4, _dd._MERSENNE
+    params = _dd._hash_params(num_perm)
+    mh_cols = ", ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    band_terms = " + ".join(
+        "(CASE WHEN "
+        + " AND ".join(f"sa.mh{b * rpb + r} = sb.mh{b * rpb + r}" for r in range(rpb))
+        + " THEN 1 ELSE 0 END)"
+        for b in range(bands)
+    )
+    return rf"""
+    WITH docs AS (
+        SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 100000 AS id,
+               regexp_replace(lower(trim(text || ' calibration tail')), '\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+    ),
+    sh AS (
+        SELECT id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(t, ' ')) - 2, 1) + 1),
+                   i -> array_to_string((string_split(t, ' '))[i:i+2], ' ')))) AS s
+        FROM docs
+    ),
+    hs AS (SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h FROM sh),
+    sig AS (SELECT id, {mh_cols} FROM hs GROUP BY id),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT ia, ib, n_shared,
+               n_shared / (za.sz + zb.sz - n_shared) AS s_jac
+        FROM inter JOIN sizes za ON za.id = ia JOIN sizes zb ON zb.id = ib
+    ),
+    withsig AS (
+        SELECT j.*, CAST({band_terms} AS BIGINT) AS bands_equal
+        FROM j JOIN sig sa ON sa.id = j.ia JOIN sig sb ON sb.id = j.ib
+    )
+    SELECT ia AS doc_a, ib AS doc_b, n_shared, s_jac,
+           {_Q570_P} AS p_candidate,
+           bands_equal, bands_equal >= 1 AS is_candidate
+    FROM withsig
+    """
+
+
+@query("q570_lsh_calibration", _q570_oracle())
+def q570(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding calibration audit: for every shingle-sharing doc
+    pair, the exact Jaccard (one rational divide), the THEORETICAL
+    candidate probability 1−(1−s⁴)⁸ as a mirrored fixed-association
+    double chain, and the ACTUAL number of agreeing (32-perm, 8×4)
+    portable-md5 minhash bands — the self-audit that the engine's own
+    dedup banding matches the S-curve it promises
+    (operators/dedup.minhash_signature_df)."""
+    from .operators.dedup import minhash_signature_df, shingles
+
+    base = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    d = base.where(F.col("doc_id") < 100).select("doc_id", "text").unionByName(
+        base.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" calibration tail")).alias("text"),
+        )
+    )
+    sig = minhash_signature_df(d, "text", "doc_id", num_perm=32, shingle_n=3, hash_kind="md5")
+    ex = d.select(F.col("doc_id").alias("id"), F.explode(shingles(F.col("text"), 3)).alias("s"))
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    za = sizes.select(F.col("id").alias("ia"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("id").alias("ib"), F.col("sz").alias("szb"))
+    j = inter.join(za, "ia").join(zb, "ib").select(
+        "ia", "ib", "n_shared",
+        (F.col("n_shared") / (F.col("sza") + F.col("szb") - F.col("n_shared"))).alias("s_jac"),
+    )
+    sa = sig.select(F.col("doc_id").alias("ia"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(32)])
+    sb = sig.select(F.col("doc_id").alias("ib"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(32)])
+    band_terms = " + ".join(
+        "(CASE WHEN "
+        + " AND ".join(f"a{bb * 4 + r} = b{bb * 4 + r}" for r in range(4))
+        + " THEN 1 ELSE 0 END)"
+        for bb in range(8)
+    )
+    withsig = j.join(sa, "ia").join(sb, "ib").select(
+        "ia", "ib", "n_shared", "s_jac",
+        F.expr(f"CAST({band_terms} AS BIGINT)").alias("bands_equal"),
+    )
+    return withsig.select(
+        F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"),
+        "n_shared", "s_jac",
+        F.expr(_Q570_P).alias("p_candidate"),
+        "bands_equal",
+        (F.col("bands_equal") >= 1).alias("is_candidate"),
+    )
