@@ -5549,3 +5549,268 @@ def q570(spark: SparkSession, sf: str) -> DataFrame:
         "bands_equal",
         (F.col("bands_equal") >= 1).alias("is_candidate"),
     )
+
+
+# ---------------------------------------------------------------- q571-q574
+# TPC-H Q2/Q11/Q12/Q20 shapes. The synthetic schema has no partsupp and
+# no l_shipmode/commitdate/receiptdate; both engines derive them
+# DETERMINISTICALLY from existing keys (identical arithmetic), so the
+# remaining four TPC-H query SHAPES are exercised end to end.
+_PS_SQL = """
+    nsupp AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM supplier),
+    ps AS (
+        SELECT p_partkey,
+               (p_partkey * 7 + i * 13) % ns AS ps_suppkey,
+               (p_partkey * 31 + i * 7) % 100000 + 1 AS ps_supplycost,
+               (p_partkey * 17 + i * 11) % 10000 + 1 AS ps_availqty
+        FROM part CROSS JOIN nsupp, unnest(generate_series(0, 3)) AS t(i)
+    )"""
+
+
+def _synth_partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """part × 4 pseudo-suppliers with hash-derived cost/availability —
+    the deterministic stand-in for TPC-H partsupp (see _PS_SQL)."""
+    part = load_table(spark, sf, "part")
+    ns = load_table(spark, sf, "supplier").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    return (
+        part.crossJoin(F.broadcast(ns))
+        .select("p_partkey", "ns", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+        .select(
+            "p_partkey",
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % F.col("ns")).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 31 + F.col("i") * 7) % 100000 + 1).alias("ps_supplycost"),
+            ((F.col("p_partkey") * 17 + F.col("i") * 11) % 10000 + 1).alias("ps_availqty"),
+        )
+    )
+
+
+@query(
+    "q571_tpch_q2",
+    f"""
+    WITH {_PS_SQL},
+    eu AS (
+        SELECT s_suppkey, s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+               n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p.p_partkey, p.p_type, e.s_name, e.n_name, e.acctbal_cents,
+               CAST(ps.ps_supplycost AS BIGINT) AS cost_cents
+        FROM ps JOIN eu e ON ps.ps_suppkey = e.s_suppkey
+        JOIN part p ON ps.p_partkey = p.p_partkey
+        WHERE p.p_size = 15
+    ),
+    mins AS (SELECT p_partkey, CAST(min(cost_cents) AS BIGINT) AS mc FROM cand GROUP BY 1)
+    SELECT c.acctbal_cents, c.s_name, c.n_name, c.p_partkey, c.p_type, c.cost_cents
+    FROM cand c JOIN mins m ON c.p_partkey = m.p_partkey AND c.cost_cents = m.mc
+    """,
+)
+def q571(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): correlated-min rewritten as
+    a per-part min-aggregate join (the scale-correct form), European
+    suppliers broadcast, exact cent costs — over the deterministic
+    synthetic partsupp (_synth_partsupp)."""
+    ps = _synth_partsupp(spark, sf)
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    part = load_table(spark, sf, "part").where(F.col("p_size") == 15)
+    eu = (
+        supp.join(nat, supp["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .where(F.col("r_name") == "EUROPE")
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            "n_name",
+        )
+    )
+    cand = (
+        ps.join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+        .join(part, "p_partkey")
+        .select(
+            "p_partkey", "p_type", "s_name", "n_name", "acctbal_cents",
+            F.col("ps_supplycost").cast("long").alias("cost_cents"),
+        )
+    )
+    mins = cand.groupBy("p_partkey").agg(F.min("cost_cents").cast("long").alias("mc"))
+    mins = mins.select(F.col("p_partkey").alias("mp"), "mc")
+    return cand.join(
+        mins, (F.col("p_partkey") == F.col("mp")) & (F.col("cost_cents") == F.col("mc"))
+    ).select("acctbal_cents", "s_name", "n_name", "p_partkey", "p_type", "cost_cents")
+
+
+@query(
+    "q572_tpch_q11",
+    f"""
+    WITH {_PS_SQL},
+    asia AS (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+    ),
+    vals AS (
+        SELECT ps.p_partkey, CAST(sum(ps_supplycost * ps_availqty) AS BIGINT) AS pv
+        FROM ps JOIN asia ON ps.ps_suppkey = asia.s_suppkey GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(pv) AS BIGINT) AS tv, CAST(count(*) AS BIGINT) AS np FROM vals)
+    SELECT p_partkey, pv FROM vals CROSS JOIN tot WHERE pv * np > 2 * tv
+    """,
+)
+def q572(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part Σ cost·qty over one
+    region's suppliers, HAVING above 2× the mean share — the fraction
+    threshold cross-multiplied (pv·n_parts > 2·total) so it stays
+    discriminative at EVERY scale factor (the classic 0.0001 constant
+    goes vacuous as parts grow)."""
+    ps = _synth_partsupp(spark, sf)
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    asia = (
+        supp.join(nat, supp["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .where(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    vals = (
+        ps.join(F.broadcast(asia), ps["ps_suppkey"] == asia["s_suppkey"])
+        .groupBy("p_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).cast("long").alias("pv"))
+    )
+    tot = vals.agg(
+        F.sum("pv").cast("long").alias("tv"), F.count(F.lit(1)).cast("long").alias("np")
+    )
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .where(F.col("pv") * F.col("np") > 2 * F.col("tv"))
+        .select("p_partkey", "pv")
+    )
+
+
+@query(
+    "q573_tpch_q12",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(floor(epoch(l_shipdate) / 86400.0) AS BIGINT) AS d0,
+               (l_orderkey * 3 + l_linenumber * 5) % 7 AS mi,
+               (l_orderkey * 11 + l_linenumber * 3) % 30 + 1 AS rlag,
+               (l_orderkey * 5 + l_linenumber * 7) % 35 AS clag
+        FROM lineitem
+    ),
+    f AS (
+        SELECT l_orderkey,
+               CASE mi WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+                       WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'RAIL' WHEN 5 THEN 'REG AIR'
+                       ELSE 'FOB' END AS shipmode,
+               d0, d0 + clag AS cday, d0 + rlag AS rday
+        FROM li
+    )
+    SELECT shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                AS BIGINT) AS low_line_count
+    FROM f JOIN orders ON l_orderkey = o_orderkey
+    WHERE shipmode IN ('MAIL', 'SHIP') AND cday < rday AND d0 < cday
+      AND rday >= 9496 AND rday < 9861
+    GROUP BY shipmode
+    """,
+)
+def q573(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode priority split): ship mode and
+    commit/receipt lags derived deterministically from line keys,
+    ALL date logic in exact epoch-day integers (receipt in 1996,
+    commit < receipt, shipped before commit), one broadcast-dim join +
+    one conditional agg."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    d0 = F.floor(F.unix_seconds(F.col("l_shipdate").cast("timestamp")) / 86400).cast("long")
+    mi = (ok * 3 + ln * 5) % 7
+    f = li.select(
+        ok.alias("l_orderkey"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "REG AIR", "FOB"]]),
+            (mi + 1).cast("int"),
+        ).alias("shipmode"),
+        d0.alias("d0"),
+        (d0 + (ok * 5 + ln * 7) % 35).alias("cday"),
+        (d0 + (ok * 11 + ln * 3) % 30 + 1).alias("rday"),
+    ).where(
+        F.col("shipmode").isin("MAIL", "SHIP")
+        & (F.col("cday") < F.col("rday"))
+        & (F.col("d0") < F.col("cday"))
+        & (F.col("rday") >= 9496) & (F.col("rday") < 9861)
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        f.join(o, f["l_orderkey"] == o["o_orderkey"])
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q574_tpch_q20",
+    f"""
+    WITH {_PS_SQL},
+    q AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem
+        WHERE CAST(floor(epoch(l_shipdate) / 86400.0) AS BIGINT) >= 9131
+          AND CAST(floor(epoch(l_shipdate) / 86400.0) AS BIGINT) < 9496
+        GROUP BY 1, 2
+    ),
+    pr AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    hits AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM ps JOIN pr ON ps.p_partkey = pr.p_partkey
+        JOIN q ON q.l_partkey = ps.p_partkey AND q.l_suppkey = ps.ps_suppkey
+        WHERE 2 * (ps.ps_availqty % 50) > q.sq
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN hits ON s.s_suppkey = hits.ps_suppkey
+    """,
+)
+def q574(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers): the nested
+    EXISTS/IN chain rewritten as semi-join relations — promo parts ⋈
+    synthetic partsupp ⋈ 1995 shipped quantity, the half-of-shipped
+    threshold cross-multiplied (2·avail > Σqty), distinct suppliers
+    joined back to names."""
+    ps = _synth_partsupp(spark, sf)
+    li = load_table(spark, sf, "lineitem")
+    d = F.floor(F.unix_seconds(F.col("l_shipdate").cast("timestamp")) / 86400).cast("long")
+    q = (
+        li.where((d >= 9131) & (d < 9496))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sq"))
+    )
+    pr = load_table(spark, sf, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    hits = (
+        ps.join(pr, "p_partkey")
+        .join(
+            q,
+            (q["l_partkey"] == ps["p_partkey"]) & (q["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .where(2 * (F.col("ps_availqty") % 50) > F.col("sq"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    return (
+        s.join(hits, "s_suppkey")
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
