@@ -1733,3 +1733,59 @@ def lindley_waits(
         wait.alias("wait"),
         (F.col("__a__") + wait + F.col("__s__")).alias("depart"),
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+    window_s: int,
+) -> DataFrame:
+    """ClickHouse-style windowFunnel: per key, the deepest strictly-
+    ordered prefix of ``steps`` completable within ``window_s`` seconds
+    of SOME step-1 event (every step-1 occurrence anchors its own
+    attempt; the key reports its best attempt).
+
+    Everything is µs-integer time logic: step-2 is the min step-2
+    timestamp strictly after the anchor and within the window, step-3
+    the min after that, etc. — each level is ONE per-key equi-join +
+    conditional min-agg (never a range/cartesian join; per-key fanout
+    is |anchors|×|step events| within the key only).  Returns
+    (key, n_anchors, max_depth).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(
+        F.col(key_col).alias("__k__"), F.col(type_col).alias("__t__"), us.alias("__us__")
+    )
+    win_us = int(window_s) * 1_000_000
+    anchors = ev.where(F.col("__t__") == steps[0]).select(
+        "__k__", F.col("__us__").alias("t1")
+    )
+    cur = anchors  # carries (key, t1, ..., t_i)
+    prev = "t1"
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("__t__") == step).select("__k__", F.col("__us__").alias("__s__"))
+        # no pre-group filter: an anchor whose step events are ALL out of
+        # range must still survive with a NULL min (left join + the
+        # conditional inside the aggregate), or n_anchors undercounts
+        joined = cur.join(nxt, "__k__", "left")
+        group_cols = ["__k__", "t1"] + [f"t{j}" for j in range(2, i)]
+        cur = joined.groupBy(*group_cols).agg(
+            F.min(
+                F.when(
+                    (F.col("__s__") > F.col(prev)) & (F.col("__s__") <= F.col("t1") + win_us),
+                    F.col("__s__"),
+                )
+            ).alias(f"t{i}")
+        )
+        prev = f"t{i}"
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = F.when(F.col(f"t{i}").isNotNull(), i).otherwise(depth)
+    per_anchor = cur.select("__k__", depth.alias("__depth__"))
+    return per_anchor.groupBy("__k__").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.max("__depth__").cast("long").alias("max_depth"),
+    ).withColumnRenamed("__k__", key_col)

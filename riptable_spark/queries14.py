@@ -5814,3 +5814,170 @@ def q574(spark: SparkSession, sf: str) -> DataFrame:
         .join(n, s["s_nationkey"] == n["n_nationkey"])
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# ------------------------------------------------------------------ q575
+@query(
+    "q575_window_funnel",
+    """
+    WITH ev AS (SELECT user_id AS k, event_type AS t, epoch_us(ts) AS us FROM events),
+    a AS (SELECT k, us AS t1 FROM ev WHERE t = 'signup'),
+    s2 AS (SELECT k, us AS s FROM ev WHERE t = 'click'),
+    l2 AS (
+        SELECT a.k, a.t1,
+               min(CASE WHEN s2.s > a.t1 AND s2.s <= a.t1 + 86400000000 THEN s2.s END) AS t2
+        FROM a LEFT JOIN s2 ON a.k = s2.k GROUP BY a.k, a.t1
+    ),
+    s3 AS (SELECT k, us AS s FROM ev WHERE t = 'purchase'),
+    l3 AS (
+        SELECT l2.k, l2.t1, l2.t2,
+               min(CASE WHEN s3.s > l2.t2 AND s3.s <= l2.t1 + 86400000000 THEN s3.s END) AS t3
+        FROM l2 LEFT JOIN s3 ON l2.k = s3.k GROUP BY l2.k, l2.t1, l2.t2
+    ),
+    d AS (SELECT k, CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+          FROM l3)
+    SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM d GROUP BY 1
+    """,
+)
+def q575(spark: SparkSession, sf: str) -> DataFrame:
+    """windowFunnel (operators/window.window_funnel): deepest
+    strictly-ordered signup→click→purchase prefix within 24 h of each
+    signup anchor — µs-integer time logic, one per-key equi-join +
+    conditional min per level, anchors with out-of-window steps
+    survive with NULL mins (no pre-group filter)."""
+    from .operators.window import window_funnel
+
+    ev = load_table(spark, sf, "events")
+    return window_funnel(
+        ev, "user_id", "event_type", "ts", ["signup", "click", "purchase"], 86400
+    )
+
+
+# ------------------------------------------------------------------ q576
+@query(
+    "q576_conformance",
+    """
+    WITH f AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               epoch_us(ts) AS us, event_id,
+               CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'view' THEN 'v' ELSE 'e' END AS ini
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id, day, string_agg(ini, '' ORDER BY us, event_id) AS path
+        FROM f GROUP BY 1, 2
+    )
+    SELECT user_id, day, path,
+           CAST(levenshtein(path, 'scp') AS BIGINT) AS edit_dist,
+           levenshtein(path, 'scp') <= 2 AS conformant
+    FROM paths
+    """,
+)
+def q576(spark: SparkSession, sf: str) -> DataFrame:
+    """Process-mining conformance check: each (user, day) journey
+    renders to an initial-string under the (µs, event_id) total order
+    (sorted-struct fold — collect_list alone is order-nondeterministic)
+    and scores its Levenshtein edit distance to the reference
+    signup→click→purchase path — the deviation report."""
+    ev = load_table(spark, sf, "events")
+    ini = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "view", "v")
+        .otherwise("e")
+    )
+    f = ev.select(
+        "user_id",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        ini.alias("ini"),
+    )
+    paths = f.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("us", "event_id", "ini"))),
+                lambda s: s.getField("ini"),
+            ),
+            "",
+        ).alias("path")
+    )
+    dist = F.levenshtein(F.col("path"), F.lit("scp"))
+    return paths.select(
+        "user_id", "day", "path",
+        dist.cast("long").alias("edit_dist"),
+        (dist <= 2).alias("conformant"),
+    )
+
+
+# ------------------------------------------------------------------ q577
+@query(
+    "q577_sparse_cosine",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    ),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    capped AS (SELECT tf.* FROM tf JOIN dfreq USING (tok) WHERE dfreq.df <= 50),
+    norms AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM capped GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cos AS (
+        SELECT ia, ib, dot,
+               dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+        FROM dots JOIN norms na ON na.doc_id = ia JOIN norms nb ON nb.doc_id = ib
+    )
+    SELECT ia AS doc_a, ib AS doc_b, dot, cosine FROM cos WHERE cosine >= 0.5
+    """,
+)
+def q577(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact sparse-vector cosine similarity via the inverted-index
+    join (the IR-classic scale path for sparse vectors — dot products
+    only touch SHARED tokens): integer tf products, a document-
+    frequency cap kills the stopword O(n²) bucket, norms √ of exact
+    BIGINTs, one divide per pair."""
+    d = (
+        load_table(spark, sf, "documents")
+        .where((F.col("doc_id") < 200) & F.col("text").isNotNull())
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    capped = tf.join(dfreq, "tok").where(F.col("df") <= 50).select("doc_id", "tok", "c")
+    norms = capped.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"))
+    a = capped.select(F.col("doc_id").alias("ia"), "tok", F.col("c").alias("ca"))
+    b = capped.select(F.col("doc_id").alias("ib"), "tok", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("ia"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("ib"), F.col("n2").alias("nb2"))
+    cos = (
+        dots.join(na, "ia")
+        .join(nb, "ib")
+        .select(
+            "ia", "ib", "dot",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    return cos.where(F.col("cosine") >= 0.5).select(
+        F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), "dot", "cosine"
+    )
