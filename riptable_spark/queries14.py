@@ -5981,3 +5981,107 @@ def q577(spark: SparkSession, sf: str) -> DataFrame:
     return cos.where(F.col("cosine") >= 0.5).select(
         F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), "dot", "cosine"
     )
+
+
+# ------------------------------------------------------------------ q578
+def _q578_oracle() -> str:
+    from .queries import ORACLES
+
+    roll = ORACLES["q546_roll_spread"]
+    vpin = ORACLES["q560_vpin"]
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    r AS ({roll}),
+    v AS ({vpin}),
+    vm AS (SELECT user_id, max(vpin_ppm) AS vmax FROM v GROUP BY 1),
+    g AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    gc AS (SELECT user_id, gap, CAST(count(*) AS BIGINT) AS cnt
+           FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+    ba AS (
+        SELECT user_id,
+               CAST(sum(cnt) AS BIGINT) AS n_gaps,
+               CAST(sum(gap * cnt) AS BIGINT) AS span_s,
+               sum(CAST(gap AS HUGEINT) * gap * cnt) AS g2
+        FROM gc GROUP BY 1
+    ),
+    b AS (
+        SELECT user_id,
+               n_gaps >= 10 AND CAST(100 AS HUGEINT) * n_gaps * g2
+                                < CAST(101 AS HUGEINT) * span_s * span_s AS is_beacon
+        FROM ba
+    ),
+    sig AS (
+        SELECT u.user_id,
+               coalesce(r.spread_scaled > 10000, false) AS sig_bounce,
+               coalesce(vm.vmax >= 200000, false) AS sig_toxic,
+               coalesce(b.is_beacon, false) AS sig_beacon
+        FROM users u
+        LEFT JOIN r ON r.user_id = u.user_id
+        LEFT JOIN vm ON vm.user_id = u.user_id
+        LEFT JOIN b ON b.user_id = u.user_id
+    )
+    SELECT user_id, sig_bounce, sig_toxic, sig_beacon,
+           CAST((CASE WHEN sig_bounce THEN 1 ELSE 0 END)
+              + (CASE WHEN sig_toxic THEN 1 ELSE 0 END)
+              + (CASE WHEN sig_beacon THEN 1 ELSE 0 END) AS BIGINT) AS n_signals,
+           (CASE WHEN sig_bounce THEN 1 ELSE 0 END)
+              + (CASE WHEN sig_toxic THEN 1 ELSE 0 END)
+              + (CASE WHEN sig_beacon THEN 1 ELSE 0 END) >= 2 AS flagged
+    FROM sig
+    """
+
+
+@query("q578_surveillance_scorecard", _q578_oracle())
+def q578(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-surveillance capstone: per user the Roll bid-ask-bounce
+    signal (q546), max VPIN flow toxicity (q560) and timer-beacon
+    cadence (q509's CV test) compose into a risk scorecard — flagged
+    at ≥2 signals.  The oracle replays ALL THREE pipelines by reusing
+    their registered SQL verbatim (composition, one codepath per
+    signal)."""
+    from .operators.finance import roll_spread, vpin
+    from .operators.mining import beacon_detect
+
+    ev = load_table(spark, sf, "events")
+    users = ev.select("user_id").distinct()
+    r = roll_spread(
+        ev.select("user_id", "ts", "event_id", "value"), ["user_id"], "value",
+        ["ts", "event_id"], scale=100,
+    ).select("user_id", "spread_scaled")
+    vm = (
+        vpin(ev.select("user_id", "ts", "event_id", "value"), ["user_id"],
+             ["ts", "event_id"], "value", bucket_size=50, window_buckets=4, scale=100)
+        .groupBy("user_id")
+        .agg(F.max("vpin_ppm").alias("vmax"))
+    )
+    b = beacon_detect(
+        ev.select("user_id", "ts", "event_id"), ["user_id"], "ts", "event_id",
+        cv_num=1, cv_den=10, min_gaps=10,
+    ).select("user_id", "is_beacon")
+    sig = (
+        users.join(r, "user_id", "left")
+        .join(vm, "user_id", "left")
+        .join(b, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("spread_scaled") > 10000, F.lit(False)).alias("sig_bounce"),
+            F.coalesce(F.col("vmax") >= 200000, F.lit(False)).alias("sig_toxic"),
+            F.coalesce(F.col("is_beacon"), F.lit(False)).alias("sig_beacon"),
+        )
+    )
+    n_sig = (
+        F.when(F.col("sig_bounce"), 1).otherwise(0)
+        + F.when(F.col("sig_toxic"), 1).otherwise(0)
+        + F.when(F.col("sig_beacon"), 1).otherwise(0)
+    )
+    return sig.select(
+        "user_id", "sig_bounce", "sig_toxic", "sig_beacon",
+        n_sig.cast("long").alias("n_signals"),
+        (n_sig >= 2).alias("flagged"),
+    )
