@@ -6085,3 +6085,141 @@ def q578(spark: SparkSession, sf: str) -> DataFrame:
         n_sig.cast("long").alias("n_signals"),
         (n_sig >= 2).alias("flagged"),
     )
+
+
+# ------------------------------------------------------------------ q579
+@query(
+    "q579_xyz_class",
+    """
+    WITH daily AS (
+        SELECT p.p_brand, CAST(floor(epoch(l.l_shipdate) / 86400.0) AS BIGINT) AS day,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q * q) AS BIGINT) AS qq
+        FROM daily GROUP BY 1
+    )
+    SELECT p_brand, n, s, qq,
+           CASE WHEN 16 * (n * qq - s * s) <= s * s THEN 'X'
+                WHEN 4 * (n * qq - s * s) <= s * s THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM s
+    """,
+)
+def q579(spark: SparkSession, sf: str) -> DataFrame:
+    """XYZ demand-variability classification per brand (the partner of
+    ABC value classification): CV thresholds 0.25/0.5 applied as the
+    FULLY INTEGER cross-multiplications 16·(nQ−S²) ≤ S² and
+    4·(nQ−S²) ≤ S² — no float CV can sit on a class boundary."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    day = F.floor(
+        F.unix_seconds(F.col("l_shipdate").cast("timestamp")) / 86400
+    ).cast("long")
+    daily = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", day.alias("day"))
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("q"))
+    )
+    s = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("qq"),
+    )
+    m2 = F.col("n") * F.col("qq") - F.col("s") * F.col("s")
+    s2 = F.col("s") * F.col("s")
+    return s.select(
+        "p_brand", "n", "s", "qq",
+        F.when(16 * m2 <= s2, "X").when(4 * m2 <= s2, "Y").otherwise("Z").alias("xyz_class"),
+    )
+
+
+# ------------------------------------------------------------------ q580
+@query(
+    "q580_triplet_eval",
+    """
+    WITH ex AS (
+        SELECT vec_id, label, d AS dim,
+               CAST(round(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xi
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(d)
+        WHERE vec_id < 400
+    ),
+    pos_pick AS (
+        SELECT vec_id, label,
+               lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS pos_id
+        FROM (SELECT DISTINCT vec_id, label FROM ex)
+    ),
+    neg_anchor AS (
+        SELECT label, CAST(min(vec_id) AS BIGINT) AS neg_id
+        FROM (SELECT DISTINCT vec_id, label FROM ex) GROUP BY 1
+    ),
+    trip AS (
+        SELECT p.vec_id AS a, p.pos_id AS pos, na.neg_id AS neg, p.label
+        FROM pos_pick p
+        JOIN neg_anchor na ON na.label = (p.label + 1) % 10
+        WHERE p.pos_id IS NOT NULL
+    ),
+    dp AS (
+        SELECT t.a, t.label, CAST(sum((xa.xi - xp.xi) * (xa.xi - xp.xi)) AS BIGINT) AS d_pos
+        FROM trip t JOIN ex xa ON xa.vec_id = t.a JOIN ex xp
+          ON xp.vec_id = t.pos AND xp.dim = xa.dim
+        GROUP BY 1, 2
+    ),
+    dn AS (
+        SELECT t.a, CAST(sum((xa.xi - xn.xi) * (xa.xi - xn.xi)) AS BIGINT) AS d_neg
+        FROM trip t JOIN ex xa ON xa.vec_id = t.a JOIN ex xn
+          ON xn.vec_id = t.neg AND xn.dim = xa.dim
+        GROUP BY 1
+    )
+    SELECT dp.label, CAST(count(*) AS BIGINT) AS n_triplets,
+           CAST(sum(CASE WHEN d_pos >= d_neg THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           (CAST(sum(CASE WHEN d_pos >= d_neg THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*) AS violation_ppm
+    FROM dp JOIN dn ON dp.a = dn.a
+    GROUP BY 1
+    """,
+)
+def q580(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding triplet evaluation: deterministic (anchor, next same-
+    label vector, min-id vector of the next label) triplets, exact
+    integer squared distances, per-label margin-violation rate in
+    integer ppm — the metric-learning quality check (random synthetic
+    embeddings violate ~half the time; a trained space wouldn't)."""
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") < 400)
+    x = F.transform(F.col("embedding"), lambda v: F.round(v.cast("double") * 1000).cast("long"))
+    base = emb.select("vec_id", "label", x.alias("x"))
+    w = Window.partitionBy("label").orderBy("vec_id")
+    pos_pick = base.select(
+        "vec_id", "label", "x", F.lead("vec_id").over(w).alias("pos_id")
+    ).where(F.col("pos_id").isNotNull())
+    neg_anchor = base.groupBy("label").agg(F.min("vec_id").cast("long").alias("neg_id"))
+    trip = pos_pick.join(
+        neg_anchor.select(F.col("label").alias("nl"), "neg_id"),
+        F.col("nl") == (F.col("label") + 1) % 10,
+    )
+    pv = base.select(F.col("vec_id").alias("pos_id"), F.col("x").alias("xp"))
+    nv = base.select(F.col("vec_id").alias("neg_id"), F.col("x").alias("xn"))
+    j = trip.join(pv, "pos_id").join(nv, "neg_id")
+    dist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda u, v: (u - v) * (u - v)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = j.select(
+        "label",
+        dist(F.col("x"), F.col("xp")).alias("d_pos"),
+        dist(F.col("x"), F.col("xn")).alias("d_neg"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triplets"),
+        F.sum(F.when(F.col("d_pos") >= F.col("d_neg"), 1).otherwise(0))
+        .cast("long")
+        .alias("violations"),
+    ).select(
+        "label", "n_triplets", "violations",
+        F.expr("(violations * 1000000) DIV n_triplets").alias("violation_ppm"),
+    )
