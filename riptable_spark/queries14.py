@@ -6223,3 +6223,194 @@ def q580(spark: SparkSession, sf: str) -> DataFrame:
         "label", "n_triplets", "violations",
         F.expr("(violations * 1000000) DIV n_triplets").alias("violation_ppm"),
     )
+
+
+# ------------------------------------------------------------------ q581
+@query(
+    "q581_clv_geometric",
+    """
+    WITH f AS (
+        SELECT user_id % 5 AS seg, user_id,
+               CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS week,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    uw AS (SELECT seg, user_id, week, CAST(sum(cents) AS BIGINT) AS spend
+           FROM f GROUP BY 1, 2, 3),
+    ret AS (
+        SELECT a.seg,
+               CAST(count(*) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n
+        FROM uw a LEFT JOIN uw b
+          ON a.user_id = b.user_id AND a.seg = b.seg AND b.week = a.week + 1
+        GROUP BY 1
+    ),
+    margin AS (
+        SELECT seg, CAST(sum(spend) AS BIGINT) AS sp, CAST(count(*) AS BIGINT) AS nw
+        FROM uw GROUP BY 1
+    ),
+    base AS (
+        SELECT r.seg, r.n, r.d, n / d AS rr, sp / nw AS m
+        FROM ret r JOIN margin USING (seg)
+    )
+    SELECT seg, n, d, rr, m,
+           m * ((rr * CAST('0.95' AS DOUBLE))
+              + ((rr * CAST('0.95' AS DOUBLE)) * (rr * CAST('0.95' AS DOUBLE)))
+              + (((rr * CAST('0.95' AS DOUBLE)) * (rr * CAST('0.95' AS DOUBLE)))
+                 * (rr * CAST('0.95' AS DOUBLE)))
+              + (((rr * CAST('0.95' AS DOUBLE)) * (rr * CAST('0.95' AS DOUBLE)))
+                 * ((rr * CAST('0.95' AS DOUBLE)) * (rr * CAST('0.95' AS DOUBLE)))))
+             AS clv_cents
+    FROM base
+    """,
+)
+def q581(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based customer lifetime value per segment: weekly repeat
+    rate as ONE exact rational (user-weeks with a following active
+    week / user-weeks), mean weekly spend as ONE rational, CLV =
+    m·Σ_{t=1..4}(r·δ)^t with δ=0.95 shipped as a STRING-cast double
+    (ORACLES rule: decimal-literal casts are not correctly rounded)
+    and every power a fixed-association product — the planning
+    sibling of the empirical ltv_curve."""
+    ev = load_table(spark, sf, "events")
+    f = ev.select(
+        (F.col("user_id") % 5).alias("seg"),
+        "user_id",
+        F.floor(F.unix_seconds(F.col("ts")) / 604800).cast("long").alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    uw = f.groupBy("seg", "user_id", "week").agg(
+        F.sum("cents").cast("long").alias("spend")
+    )
+    b = uw.select(
+        F.col("seg").alias("bseg"), F.col("user_id").alias("bu"), F.col("week").alias("bw")
+    )
+    ret = (
+        uw.join(
+            b,
+            (F.col("user_id") == F.col("bu"))
+            & (F.col("seg") == F.col("bseg"))
+            & (F.col("bw") == F.col("week") + 1),
+            "left",
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("d"),
+            F.sum(F.when(F.col("bu").isNotNull(), 1).otherwise(0)).cast("long").alias("n"),
+        )
+    )
+    margin = uw.groupBy("seg").agg(
+        F.sum("spend").cast("long").alias("sp"), F.count(F.lit(1)).cast("long").alias("nw")
+    )
+    base = ret.join(margin, "seg").select(
+        "seg", "n", "d",
+        (F.col("n") / F.col("d")).alias("rr"),
+        (F.col("sp") / F.col("nw")).alias("m"),
+    )
+    g = F.col("rr") * F.lit(0.95)
+    g2 = g * g
+    clv = F.col("m") * (g + g2 + (g2 * g) + (g2 * g2))
+    return base.select("seg", "n", "d", "rr", "m", clv.alias("clv_cents"))
+
+
+# ------------------------------------------------------------------ q582
+@query(
+    "q582_bradley_terry",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score
+        FROM events GROUP BY 1, 2
+    ),
+    matches AS (
+        SELECT a.event_type AS i, b.event_type AS j,
+               CASE WHEN a.score > b.score THEN 1
+                    WHEN a.score < b.score THEN 0 END AS won
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+    ),
+    counts AS (
+        SELECT i, j, CAST(count(*) AS BIGINT) AS n_ij,
+               CAST(sum(won) AS BIGINT) AS w_ij
+        FROM matches WHERE won IS NOT NULL GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i AS p, j AS o, n_ij AS n, w_ij AS w FROM counts
+        UNION ALL
+        SELECT j AS p, i AS o, n_ij AS n, n_ij - w_ij AS w FROM counts
+    ),
+    wins AS (SELECT p, CAST(sum(w) AS BIGINT) AS tw FROM pairs GROUP BY 1),
+    r1 AS (
+        SELECT p, tw / list_reduce([CAST(0.0 AS DOUBLE)]
+                 || list(n / (CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)) ORDER BY o),
+                 (a, b) -> a + b) AS s
+        FROM pairs JOIN wins USING (p) GROUP BY p, tw
+    ),
+    r2 AS (
+        SELECT pr.p, wins.tw / list_reduce([CAST(0.0 AS DOUBLE)]
+                 || list(pr.n / (sp.s + so.s) ORDER BY pr.o),
+                 (a, b) -> a + b) AS s
+        FROM pairs pr JOIN wins ON wins.p = pr.p
+        JOIN r1 sp ON sp.p = pr.p JOIN r1 so ON so.p = pr.o
+        GROUP BY pr.p, wins.tw
+    )
+    SELECT p AS player, s AS strength FROM r2
+    """,
+)
+def q582(spark: SparkSession, sf: str) -> DataFrame:
+    """Bradley-Terry pairwise-strength model over daily event-type
+    score contests, two unrolled MM rounds (p_i ← W_i / Σ_j
+    n_ij/(p_i+p_j), seeded at 1): every denominator an opponent-
+    ordered LEFT FOLD, win counts exact BIGINTs — the SQL-replayable
+    sibling of the rows-only Elo scan."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("score"))
+    a = daily.select(F.col("event_type").alias("i"), "day", F.col("score").alias("sa"))
+    b = daily.select(F.col("event_type").alias("j"), F.col("day").alias("bd"), F.col("score").alias("sb"))
+    matches = a.join(b, (F.col("day") == F.col("bd")) & (F.col("i") < F.col("j"))).select(
+        "i", "j",
+        F.when(F.col("sa") > F.col("sb"), 1).when(F.col("sa") < F.col("sb"), 0).alias("won"),
+    )
+    counts = matches.where(F.col("won").isNotNull()).groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ij"),
+        F.sum("won").cast("long").alias("w_ij"),
+    )
+    pairs = counts.select(
+        F.col("i").alias("p"), F.col("j").alias("o"),
+        F.col("n_ij").alias("n"), F.col("w_ij").alias("w"),
+    ).unionByName(
+        counts.select(
+            F.col("j").alias("p"), F.col("i").alias("o"),
+            F.col("n_ij").alias("n"), (F.col("n_ij") - F.col("w_ij")).alias("w"),
+        )
+    )
+    wins = pairs.groupBy("p").agg(F.sum("w").cast("long").alias("tw"))
+
+    def _fold(grouped_term_df, term):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("o"), term.alias("t")))),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    j1 = pairs.join(wins, "p")
+    r1 = j1.groupBy("p", "tw").agg(
+        _fold(j1, F.col("n") / (F.lit(1.0) + F.lit(1.0))).alias("den")
+    ).select("p", (F.col("tw") / F.col("den")).alias("s"))
+    sp = r1.select(F.col("p").alias("p2"), F.col("s").alias("s_self"))
+    so = r1.select(F.col("p").alias("o2"), F.col("s").alias("s_opp"))
+    j2 = (
+        pairs.join(wins, "p")
+        .join(sp, F.col("p") == F.col("p2"))
+        .join(so, F.col("o") == F.col("o2"))
+    )
+    r2 = j2.groupBy("p", "tw").agg(
+        _fold(j2, F.col("n") / (F.col("s_self") + F.col("s_opp"))).alias("den")
+    ).select(F.col("p").alias("player"), (F.col("tw") / F.col("den")).alias("strength"))
+    return r2
