@@ -3315,11 +3315,15 @@ def ransac_line(
         ).collect()[0]["n"]
         rows.append((rnd, x1, y1, x2, y2, int(n_in)))
     pts.unpersist()
-    out = df.sparkSession.createDataFrame(
-        rows, "sel_round bigint, x1 bigint, y1 bigint, x2 bigint, y2 bigint, n_inliers bigint"
+    # rows are already driver-side (one per round): flag the consensus in
+    # Python rather than spinning up a global window over a local relation
+    best = max(r[5] for r in rows)
+    rows = [r + (r[5] == best,) for r in rows]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "sel_round bigint, x1 bigint, y1 bigint, x2 bigint, y2 bigint, "
+        "n_inliers bigint, is_best boolean",
     )
-    wall = Window.partitionBy()
-    return out.withColumn("is_best", F.col("n_inliers") == F.max("n_inliers").over(wall))
 
 
 def fairness_audit(
