@@ -6414,3 +6414,89 @@ def q582(spark: SparkSession, sf: str) -> DataFrame:
         _fold(j2, F.col("n") / (F.col("s_self") + F.col("s_opp"))).alias("den")
     ).select(F.col("p").alias("player"), (F.col("tw") / F.col("den")).alias("strength"))
     return r2
+
+
+# ------------------------------------------------------------------ q583
+def _q583_oracle() -> str:
+    from .queries10 import _HLL_A
+
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, CAST(hv >> 52 AS INT) AS bucket,
+               CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                    ELSE 52 - length(bin(hv & ((1::BIGINT << 52) - 1))) + 1 END AS INT) AS rho0
+        FROM h
+    ),
+    regs AS (SELECT event_type, bucket, max(rho0) AS rho FROM r GROUP BY 1, 2),
+    agg AS (
+        SELECT event_type, count(*) AS used,
+               sum((1::BIGINT << (53 - rho))) AS s
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, used,
+               round(CASE WHEN {_HLL_A} / ((s + (256 - used) * (1::BIGINT << 53)))::DOUBLE
+                               <= 640.0 AND (256 - used) > 0
+                          THEN 256.0 * ln(256.0 / (256 - used))
+                          ELSE {_HLL_A} / ((s + (256 - used) * (1::BIGINT << 53)))::DOUBLE
+                     END, 6) AS estimate
+        FROM agg
+    ),
+    exact AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type, exact_distinct, estimate,
+           round((estimate - exact_distinct) * 1000000 / exact_distinct, 3) AS err_ppm
+    FROM est e JOIN exact USING (event_type)
+    """
+
+
+@query("q583_hll_error_audit", _q583_oracle())
+def q583(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL accuracy self-audit: per event type the portable-md5 HLL
+    estimate (operators/sketch.hll_registers_by, p=8) side by side
+    with the EXACT distinct-user count and the signed relative error
+    in ppm — the sketch-governance relation that tells you whether
+    p=8 is honest at your cardinalities."""
+    from .operators.sketch import hll_registers_by
+    from .queries10 import _HLL_A
+
+    ev = load_table(spark, sf, "events")
+    regs = hll_registers_by(ev, ["event_type"], "user_id", p=8, hash_kind="md5")
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("CAST(shiftleft(1L, 53 - rho) AS BIGINT)")).alias("s"),
+    )
+    a = float(_HLL_A)
+    raw = F.lit(a) / (
+        (F.col("s") + (F.lit(256) - F.col("used")) * F.lit(1 << 53)).cast("double")
+    )
+    v = F.lit(256) - F.col("used")
+    est = agg.select(
+        "event_type", F.col("used"),
+        F.round(
+            F.when(
+                (raw <= 640.0) & (v > 0),
+                F.lit(256.0) * F.log(F.lit(256.0) / v),
+            ).otherwise(raw),
+            6,
+        ).alias("estimate"),
+    )
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "exact_distinct", "estimate",
+        F.round(
+            (F.col("estimate") - F.col("exact_distinct")) * 1000000 / F.col("exact_distinct"),
+            3,
+        ).alias("err_ppm"),
+    )
