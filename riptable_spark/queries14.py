@@ -6500,3 +6500,134 @@ def q583(spark: SparkSession, sf: str) -> DataFrame:
             3,
         ).alias("err_ppm"),
     )
+
+
+# ------------------------------------------------------------------ q584
+_Q584_TERMS = ["lorem ipsum", "javascript", "click here", "subscribe", "copyright"]
+
+
+def _q584_oracle() -> str:
+    picks = []
+    for t in _Q584_TERMS:
+        picks.append(
+            f"SELECT '{t}' AS term,\n"
+            f"       CAST(sum(CASE WHEN len(regexp_extract_all(lower(text), '{t}')) > 0"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,\n"
+            f"       CAST(sum(len(regexp_extract_all(lower(text), '{t}'))) AS BIGINT)"
+            f" AS total_hits\n"
+            f"FROM documents WHERE text IS NOT NULL"
+        )
+    return "\nUNION ALL\n".join(picks)
+
+
+@query("q584_blocklist_audit", _q584_oracle())
+def q584(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-policy blocklist audit: per term the documents affected
+    and total occurrences via regexp_count over the lowered text —
+    pure codegen, one scan per term unioned (a handful of audited
+    terms is the contract; a big lexicon would explode tokens and
+    join instead — the trending_terms path)."""
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    outs = []
+    for t in _Q584_TERMS:
+        c = F.expr(f"regexp_count(lower(text), '{t}')")
+        outs.append(
+            d.agg(
+                F.sum(F.when(c > 0, 1).otherwise(0)).cast("long").alias("n_docs"),
+                F.sum(c).cast("long").alias("total_hits"),
+            ).select(F.lit(t).alias("term"), "n_docs", "total_hits")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ------------------------------------------------------------------ q586
+@query(
+    "q586_neyman_allocation",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rev) AS BIGINT) AS sv,
+               CAST(sum(rev * rev) AS BIGINT) AS q
+        FROM daily GROUP BY 1
+    ),
+    w AS (
+        SELECT event_type, n,
+               n * (sqrt(CAST(n * q - sv * sv AS DOUBLE)) / n) AS wh
+        FROM s
+    ),
+    tot AS (
+        SELECT list_reduce([CAST(0.0 AS DOUBLE)] || list(wh ORDER BY event_type),
+                           (a, b) -> a + b) AS tw
+        FROM w
+    ),
+    base AS (
+        SELECT event_type, n, wh,
+               CAST(floor(1000 * wh / tw) AS BIGINT) AS base_n,
+               1000 * wh / tw - floor(1000 * wh / tw) AS rem
+        FROM w CROSS JOIN tot
+    ),
+    d2 AS (
+        SELECT *, CAST(1000 - sum(base_n) OVER () AS BIGINT) AS deficit,
+               row_number() OVER (ORDER BY rem DESC, event_type) AS rk
+        FROM base
+    )
+    SELECT event_type, n, base_n,
+           base_n + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS alloc
+    FROM d2
+    """,
+)
+def q586(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (n_h ∝ N_h·σ_h) for
+    a 1000-unit budget: stratum σ from exact integer power sums, the
+    float weight total as an ORDERED sum over the 5-row stratum
+    relation (deterministic association), floor + largest-remainder
+    rounding so the allocation conserves exactly — survey-methods
+    machinery on the engine's exactness discipline."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value")).cast("long")).cast("long").alias("rev"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("sv"),
+        F.sum(F.col("rev") * F.col("rev")).cast("long").alias("q"),
+    )
+    wh = F.col("n") * (
+        F.sqrt((F.col("n") * F.col("q") - F.col("sv") * F.col("sv")).cast("double"))
+        / F.col("n")
+    )
+    w = s.select("event_type", "n", wh.alias("wh"))
+    tot = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("event_type"), F.col("wh").alias("t")))),
+                lambda x: x.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("tw")
+    )
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n", "wh",
+        F.floor(1000 * F.col("wh") / F.col("tw")).cast("long").alias("base_n"),
+        (1000 * F.col("wh") / F.col("tw") - F.floor(1000 * F.col("wh") / F.col("tw"))).alias("rem"),
+    )
+    wall = Window.partitionBy()
+    d2 = base.select(
+        "*",
+        (1000 - F.sum("base_n").over(wall)).cast("long").alias("deficit"),
+        F.row_number().over(Window.partitionBy().orderBy(F.desc("rem"), "event_type")).alias("rk"),
+    )
+    return d2.select(
+        "event_type", "n", "base_n",
+        (F.col("base_n") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)).alias("alloc"),
+    )
