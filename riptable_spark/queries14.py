@@ -6503,7 +6503,7 @@ def q583(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ q584
-_Q584_TERMS = ["lorem ipsum", "javascript", "click here", "subscribe", "copyright"]
+_Q584_TERMS = ["slow join", "table scan", "batch batch", "spark", "lorem ipsum"]
 
 
 def _q584_oracle() -> str:
