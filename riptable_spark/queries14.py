@@ -6631,3 +6631,174 @@ def q586(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", "n", "base_n",
         (F.col("base_n") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)).alias("alloc"),
     )
+
+
+# ------------------------------------------------------------------ q585
+@query(
+    "q585_novelty_effect",
+    """
+    WITH f AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+               CAST(round(value) AS BIGINT) AS y
+        FROM events
+    ),
+    daily AS (
+        SELECT day,
+               CAST(sum(t) AS BIGINT) AS n1,
+               CAST(sum(1 - t) AS BIGINT) AS n0,
+               CAST(sum(t * y) AS BIGINT) AS s1,
+               CAST(sum((1 - t) * y) AS BIGINT) AS s0
+        FROM f GROUP BY 1
+    ),
+    diffs AS (
+        SELECT day - (SELECT min(day) FROM daily) AS x,
+               s1 / n1 - s0 / n0 AS diff
+        FROM daily WHERE n1 > 0 AND n0 > 0
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(diff ORDER BY x),
+                           (a, b) -> a + b) AS sy,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(x * diff ORDER BY x),
+                           (a, b) -> a + b) AS sxy
+        FROM diffs
+    )
+    SELECT n, sy / n AS mean_effect,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day
+    FROM s
+    """,
+)
+def q585(spark: SparkSession, sf: str) -> DataFrame:
+    """Novelty-effect detector for experiments: the daily treatment
+    effect (one-divide rationals) regressed on exposure day — Σ diff
+    and Σ x·diff as DAY-ORDERED LEFT FOLDS (float terms never meet a
+    hash agg), integer Σx/Σx², slope one closed form.  A decaying
+    slope says the lift is novelty, not value."""
+    ev = load_table(spark, sf, "events")
+    t = (F.col("user_id") % 2 == 0).cast("long")
+    f = ev.select(
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+        t.alias("t"),
+        F.round(F.col("value")).cast("long").alias("y"),
+    )
+    daily = f.groupBy("day").agg(
+        F.sum("t").cast("long").alias("n1"),
+        F.sum(1 - F.col("t")).cast("long").alias("n0"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("s1"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("s0"),
+    )
+    dmin = daily.agg(F.min("day").alias("d0"))
+    diffs = (
+        daily.where((F.col("n1") > 0) & (F.col("n0") > 0))
+        .crossJoin(F.broadcast(dmin))
+        .select(
+            (F.col("day") - F.col("d0")).alias("x"),
+            (F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")).alias("diff"),
+        )
+    )
+
+    def _fold(term):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("x"), term.alias("t")))),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    s = diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        _fold(F.col("diff")).alias("sy"),
+        _fold(F.col("x") * F.col("diff")).alias("sxy"),
+    )
+    return s.select(
+        "n",
+        (F.col("sy") / F.col("n")).alias("mean_effect"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope_per_day"),
+    )
+
+
+# ------------------------------------------------------------------ q587
+def _q587_oracle() -> str:
+    picks = []
+    for r in (0, 2500, 5000, 7500):
+        picks.append(f"""
+    SELECT CAST({r} AS BIGINT) AS reserve,
+           CAST(sum(CASE WHEN win_bid >= {r} THEN 1 ELSE 0 END) AS BIGINT) AS n_sold,
+           CAST(sum(CASE WHEN win_bid >= {r}
+                         THEN greatest(coalesce(second, 0), {r}) ELSE 0 END) AS BIGINT)
+             AS revenue_cents
+    FROM agg""")
+    body = "\nUNION ALL".join(picks)
+    return f"""
+    WITH bids AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               user_id AS bidder, CAST(round(value * 100) AS BIGINT) AS bid
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, day, bid,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY bid DESC, bidder) AS rn
+        FROM bids
+    ),
+    agg AS (
+        SELECT event_type, day,
+               max(CASE WHEN rn = 1 THEN bid END) AS win_bid,
+               max(CASE WHEN rn = 2 THEN bid END) AS second
+        FROM ranked WHERE rn <= 2 GROUP BY 1, 2
+    )
+    {body}
+    """
+
+
+@query("q587_reserve_sweep", _q587_oracle())
+def q587(spark: SparkSession, sf: str) -> DataFrame:
+    """Optimal-reserve what-if for the q559 auctions: ONE top-2
+    ranking pass, then every candidate reserve is a conditional
+    integer aggregate over the same tiny clearing relation — lots
+    sold and total revenue per reserve, all exact cents (the revenue
+    curve whose argmax prices the auction)."""
+    ev = load_table(spark, sf, "events")
+    bids = ev.select(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+        F.col("user_id").alias("bidder"),
+        F.round(F.col("value") * 100).cast("long").alias("bid"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(F.desc("bid"), "bidder")
+    ranked = bids.select(
+        "event_type", "day", "bid", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 2)
+    agg = ranked.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("bid"))).alias("win_bid"),
+        F.max(F.when(F.col("rn") == 2, F.col("bid"))).alias("second"),
+    )
+    outs = []
+    for r in (0, 2500, 5000, 7500):
+        sold = F.col("win_bid") >= r
+        outs.append(
+            agg.agg(
+                F.sum(F.when(sold, 1).otherwise(0)).cast("long").alias("n_sold"),
+                F.sum(
+                    F.when(
+                        sold,
+                        F.greatest(F.coalesce(F.col("second"), F.lit(0).cast("long")),
+                                   F.lit(r).cast("long")),
+                    ).otherwise(0)
+                ).cast("long").alias("revenue_cents"),
+            ).select(F.lit(r).cast("long").alias("reserve"), "n_sold", "revenue_cents")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
