@@ -6802,3 +6802,90 @@ def q587(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ------------------------------------------------------------------ q588
+@query(
+    "q588_kmeans1d_exact",
+    """
+    WITH f AS (
+        SELECT event_type, CAST(round(value) AS BIGINT) AS x, event_id
+        FROM events WHERE event_id % 5 = 0
+    ),
+    ordered AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) AS k,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(sum(x) OVER (PARTITION BY event_type
+                                 ORDER BY x, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl,
+               CAST(sum(x * x) OVER (PARTITION BY event_type
+                                     ORDER BY x, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ql,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+               CAST(sum(x * x) OVER (PARTITION BY event_type) AS BIGINT) AS qt
+        FROM f
+    ),
+    costs AS (
+        SELECT event_type, x AS split_at, k, n,
+               (ql - CAST(sl * sl AS DOUBLE) / k)
+             + ((qt - ql) - CAST((st - sl) * (st - sl) AS DOUBLE) / (n - k)) AS cost
+        FROM ordered WHERE k < n
+    ),
+    best AS (
+        SELECT event_type, min(cost) AS mc FROM costs GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(min(c.split_at) AS BIGINT) AS split_at,
+           CAST(min(c.k) AS BIGINT) AS n_left,
+           CAST(max(c.n) AS BIGINT) AS n,
+           min(c.cost) AS sse
+    FROM costs c JOIN best b ON c.event_type = b.event_type AND c.cost = b.mc
+    GROUP BY 1
+    """,
+)
+def q588(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT 1-D 2-means per event type (the optimal split minimizing
+    within-cluster SSE — k-means' verifiable baseline): one ordered
+    prefix-sum window gives every candidate split's cost from exact
+    integer power sums via the bracket identity Q−S²/n (the only float
+    ops are two identically-formed divides), argmin tie-broken on the
+    smallest split value.  O(n log n) per key, no iteration, no seed."""
+    ev = load_table(spark, sf, "events").where(F.col("event_id") % 5 == 0)
+    f = ev.select(
+        "event_type", F.round(F.col("value")).cast("long").alias("x"), "event_id"
+    )
+    wo = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wa = Window.partitionBy("event_type")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    ordered = f.select(
+        "event_type", "x",
+        F.row_number().over(wo).alias("k"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+        F.sum("x").over(run).cast("long").alias("sl"),
+        F.sum(F.col("x") * F.col("x")).over(run).cast("long").alias("ql"),
+        F.sum("x").over(wa).cast("long").alias("st"),
+        F.sum(F.col("x") * F.col("x")).over(wa).cast("long").alias("qt"),
+    )
+    cost = (
+        F.col("ql") - (F.col("sl") * F.col("sl")).cast("double") / F.col("k")
+    ) + (
+        (F.col("qt") - F.col("ql"))
+        - ((F.col("st") - F.col("sl")) * (F.col("st") - F.col("sl"))).cast("double")
+        / (F.col("n") - F.col("k"))
+    )
+    costs = ordered.where(F.col("k") < F.col("n")).select(
+        "event_type", F.col("x").alias("split_at"), "k", "n", cost.alias("cost")
+    )
+    best = costs.groupBy("event_type").agg(F.min("cost").alias("mc"))
+    return (
+        costs.join(best, "event_type")
+        .where(F.col("cost") == F.col("mc"))
+        .groupBy("event_type")
+        .agg(
+            F.min("split_at").cast("long").alias("split_at"),
+            F.min("k").cast("long").alias("n_left"),
+            F.max("n").cast("long").alias("n"),
+            F.min("cost").alias("sse"),
+        )
+    )
