@@ -6889,3 +6889,157 @@ def q588(spark: SparkSession, sf: str) -> DataFrame:
             F.min("cost").alias("sse"),
         )
     )
+
+
+# ------------------------------------------------------------------ q589
+def _q589_oracle() -> str:
+    from .operators.text import _LANG_MARKERS
+    from .queries import ORACLES
+
+    nb = ORACLES["q549_naive_bayes_lang"]
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        s = " + ".join(
+            f"contains(' ' || lower(text) || ' ', '{m}')::INT" for m in markers
+        )
+        score_cols.append(f"{s} AS s_{lang}")
+    scores = ",\n               ".join(score_cols)
+    langs = list(_LANG_MARKERS.keys())
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pick = f"CASE WHEN {g} = 0 THEN 'und' "
+    for l in langs[:-1]:
+        pick += f"WHEN s_{l} = {g} THEN '{l}' "
+    pick += f"ELSE '{langs[-1]}' END"
+    return f"""
+    WITH nb AS ({nb}),
+    li AS (
+        SELECT doc_id, {pick} AS pred FROM (
+            SELECT doc_id, {scores}
+            FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+        )
+    ),
+    lptrain AS (
+        SELECT n_chars // 100 AS bucket, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL GROUP BY 1, 2
+    ),
+    lpmap AS (
+        SELECT bucket, lang AS pred FROM (
+            SELECT bucket, lang,
+                   row_number() OVER (PARTITION BY bucket ORDER BY n DESC, lang) AS rk
+            FROM lptrain
+        ) WHERE rk = 1
+    ),
+    gmode AS (
+        SELECT lang AS m FROM (
+            SELECT lang, CAST(sum(n) AS BIGINT) AS tn FROM lptrain GROUP BY 1
+            ORDER BY tn DESC, lang LIMIT 1
+        )
+    ),
+    te AS (
+        SELECT doc_id, n_chars // 100 AS bucket
+        FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+    ),
+    v AS (
+        SELECT nb.doc_id, nb.true_lang, nb.pred_lang AS p_nb, li.pred AS p_li,
+               coalesce(lpmap.pred, gmode.m) AS p_lp
+        FROM nb JOIN li ON nb.doc_id = li.doc_id
+        JOIN te ON te.doc_id = nb.doc_id
+        LEFT JOIN lpmap ON lpmap.bucket = te.bucket
+        CROSS JOIN gmode
+    ),
+    scored AS (
+        SELECT *, CASE WHEN p_li = p_lp THEN p_li ELSE p_nb END AS p_ens FROM v
+    )
+    SELECT 'naive_bayes' AS method, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p_nb = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           (CAST(sum(CASE WHEN p_nb = true_lang THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*) AS accuracy_ppm
+    FROM scored
+    UNION ALL
+    SELECT 'lang_id', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p_li = true_lang THEN 1 ELSE 0 END) AS BIGINT),
+           (CAST(sum(CASE WHEN p_li = true_lang THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*)
+    FROM scored
+    UNION ALL
+    SELECT 'length_prior', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p_lp = true_lang THEN 1 ELSE 0 END) AS BIGINT),
+           (CAST(sum(CASE WHEN p_lp = true_lang THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*)
+    FROM scored
+    UNION ALL
+    SELECT 'ensemble', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p_ens = true_lang THEN 1 ELSE 0 END) AS BIGINT),
+           (CAST(sum(CASE WHEN p_ens = true_lang THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*)
+    FROM scored
+    """
+
+
+@query("q589_classifier_ensemble", _q589_oracle())
+def q589(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-classifier ensemble with majority vote: Naive Bayes
+    (q549's trained model), the marker-based lang_id heuristic, and a
+    length-bucket prior (argmax train language per n_chars DIV 100) —
+    vote = the pair that agrees, else NB.  The relation reports each
+    method's accuracy in exact integer ppm side by side; the oracle
+    reuses q549's registered SQL verbatim and replays the other two."""
+    from .operators.text import lang_id, naive_bayes_classify
+
+    d = load_table(spark, sf, "documents")
+    train = d.where((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+    test = d.where((F.col("doc_id") % 2 == 1) & F.col("text").isNotNull())
+    nb = naive_bayes_classify(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1),
+        "doc_id", "lang", "text", k_tokens=12,
+    ).select("doc_id", F.col("pred_lang").alias("p_nb"))
+    li = test.select("doc_id", lang_id(F.col("text")).alias("p_li"))
+    lptrain = train.groupBy(
+        F.expr("n_chars DIV 100").alias("bucket"), "lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wb = Window.partitionBy("bucket").orderBy(F.desc("n"), "lang")
+    lpmap = (
+        lptrain.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") == 1)
+        .select("bucket", F.col("lang").alias("p_bucket"))
+    )
+    gmode = (
+        lptrain.groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("tn"))
+        .orderBy(F.desc("tn"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("m"))
+    )
+    te = test.select("doc_id", F.expr("n_chars DIV 100").alias("bucket"),
+                     F.col("lang").alias("true_lang"))
+    v = (
+        te.join(nb, "doc_id")
+        .join(li, "doc_id")
+        .join(F.broadcast(lpmap), "bucket", "left")
+        .crossJoin(F.broadcast(gmode))
+        .select(
+            "doc_id", "true_lang", "p_nb", "p_li",
+            F.coalesce(F.col("p_bucket"), F.col("m")).alias("p_lp"),
+        )
+    )
+    scored = v.withColumn(
+        "p_ens",
+        F.when(F.col("p_li") == F.col("p_lp"), F.col("p_li")).otherwise(F.col("p_nb")),
+    )
+    outs = []
+    for name, col in [("naive_bayes", "p_nb"), ("lang_id", "p_li"),
+                      ("length_prior", "p_lp"), ("ensemble", "p_ens")]:
+        hit = F.when(F.col(col) == F.col("true_lang"), 1).otherwise(0)
+        outs.append(
+            scored.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(hit).cast("long").alias("n_correct"),
+            ).select(
+                F.lit(name).alias("method"), "n_docs", "n_correct",
+                F.expr("(n_correct * 1000000) DIV n_docs").alias("accuracy_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
