@@ -7043,3 +7043,109 @@ def q589(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ------------------------------------------------------------------ q590
+def _q590_oracle() -> str:
+    from .queries import ORACLES
+
+    lt = ORACLES["q218_last_touch_attribution"]
+    us = ORACLES["q273_u_shaped_attribution"]
+    mk = ORACLES["q564_markov_attribution"]
+    mk_cells = ", ".join(
+        f"coalesce(max(CASE WHEN channel = '{c}' THEN removal_effect END),"
+        f" CAST(0.0 AS DOUBLE)) AS e_{c}"
+        for c in ("click", "error", "signup", "view")
+    )
+    return f"""
+    WITH lt AS ({lt}),
+    us AS ({us}),
+    mk AS ({mk}),
+    lts AS (SELECT touch_type AS channel, CAST(count(*) AS BIGINT) AS n FROM lt GROUP BY 1),
+    ltt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM lts),
+    uss AS (
+        SELECT channel,
+               list_reduce([CAST(0.0 AS DOUBLE)]
+                   || list(credit_bp ORDER BY user_id, conversion_id, touch_id),
+                   (a, b) -> a + b) AS bp
+        FROM us GROUP BY 1
+    ),
+    ust AS (
+        SELECT list_reduce([CAST(0.0 AS DOUBLE)] || list(bp ORDER BY channel),
+                           (a, b) -> a + b) AS t
+        FROM uss
+    ),
+    mkp AS (SELECT {mk_cells} FROM mk)
+    SELECT m.channel,
+           coalesce((lts.n * 1000000) // ltt.t, 0) AS lt_share_ppm,
+           coalesce(CAST(floor(uss.bp * 1000000 / ust.t) AS BIGINT), 0) AS us_share_ppm,
+           m.removal_effect / (((e_click + e_error) + e_signup) + e_view) AS markov_share
+    FROM mk m CROSS JOIN mkp CROSS JOIN ltt CROSS JOIN ust
+    LEFT JOIN lts ON lts.channel = m.channel
+    LEFT JOIN uss ON uss.channel = m.channel
+    """
+
+
+@query("q590_attribution_comparison", _q590_oracle())
+def q590(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution-model comparison capstone: per channel the credit
+    share under last-touch (q218), U-shaped 40-20-40 (q273) and Markov
+    removal effect (q564) side by side — integer-ppm shares for the
+    counting models, a fixed-order normalized double for Markov.  Both
+    the Spark side and the oracle COMPOSE the three registered
+    pipelines verbatim; the disagreement between columns is the
+    marketing-mix insight."""
+    from .queries import QUERIES
+
+    lt = QUERIES["q218_last_touch_attribution"](spark, sf)
+    us = QUERIES["q273_u_shaped_attribution"](spark, sf)
+    mk = QUERIES["q564_markov_attribution"](spark, sf)
+    lts = lt.groupBy(F.col("touch_type").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ltt = lts.agg(F.sum("n").cast("long").alias("t_lt"))
+    def _fold(sort_cols, term):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(*sort_cols, term.alias("t")))),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    uss = us.groupBy("channel").agg(
+        _fold(
+            [F.col("user_id"), F.col("conversion_id"), F.col("touch_id")],
+            F.col("credit_bp"),
+        ).alias("bp")
+    )
+    ust = uss.agg(_fold([F.col("channel")], F.col("bp")).alias("t_us"))
+    mkp = mk.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("channel") == c, F.col("removal_effect"))),
+                F.lit(0.0),
+            ).alias(f"e_{c}")
+            for c in ("click", "error", "signup", "view")
+        ]
+    )
+    den = (
+        (F.col("e_click") + F.col("e_error")) + F.col("e_signup")
+    ) + F.col("e_view")
+    return (
+        mk.crossJoin(F.broadcast(mkp))
+        .crossJoin(F.broadcast(ltt))
+        .crossJoin(F.broadcast(ust))
+        .join(lts.withColumnRenamed("channel", "c2"), F.col("channel") == F.col("c2"), "left")
+        .join(uss.withColumnRenamed("channel", "c3"), F.col("channel") == F.col("c3"), "left")
+        .select(
+            "channel",
+            F.coalesce(F.expr("(n * 1000000) DIV t_lt"), F.lit(0).cast("long")).alias("lt_share_ppm"),
+            F.coalesce(
+                F.floor(F.col("bp") * 1000000 / F.col("t_us")).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("us_share_ppm"),
+            (F.col("removal_effect") / den).alias("markov_share"),
+        )
+    )
