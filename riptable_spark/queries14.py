@@ -7149,3 +7149,70 @@ def q590(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("removal_effect") / den).alias("markov_share"),
         )
     )
+
+
+# ------------------------------------------------------------------ q591
+@query(
+    "q591_partition_advisor",
+    """
+    WITH cand_day AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS pk FROM events
+    ),
+    cand_type AS (SELECT event_type AS pk FROM events),
+    cand_user AS (SELECT CAST(user_id % 16 AS VARCHAR) AS pk FROM events),
+    s_day AS (
+        SELECT 'day' AS candidate, CAST(count(DISTINCT pk) AS BIGINT) AS n_partitions,
+               CAST(max(c) AS BIGINT) AS max_rows, CAST(sum(c) AS BIGINT) AS total_rows
+        FROM (SELECT pk, count(*) AS c FROM cand_day GROUP BY 1)
+    ),
+    s_type AS (
+        SELECT 'event_type', CAST(count(DISTINCT pk) AS BIGINT),
+               CAST(max(c) AS BIGINT), CAST(sum(c) AS BIGINT)
+        FROM (SELECT pk, count(*) AS c FROM cand_type GROUP BY 1)
+    ),
+    s_user AS (
+        SELECT 'user_bucket16', CAST(count(DISTINCT pk) AS BIGINT),
+               CAST(max(c) AS BIGINT), CAST(sum(c) AS BIGINT)
+        FROM (SELECT pk, count(*) AS c FROM cand_user GROUP BY 1)
+    ),
+    u AS (SELECT * FROM s_day UNION ALL SELECT * FROM s_type UNION ALL SELECT * FROM s_user)
+    SELECT candidate, n_partitions, max_rows, total_rows,
+           (max_rows * n_partitions * 1000000) // total_rows AS skew_ppm,
+           total_rows // n_partitions AS mean_rows,
+           n_partitions <= 10000
+             AND (max_rows * n_partitions * 1000000) // total_rows <= 3000000 AS acceptable
+    FROM u
+    """,
+)
+def q591(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-key advisor: for each candidate layout (day /
+    event_type / 16 user buckets) the partition count, the skew ratio
+    max/mean in exact integer ppm, and an acceptance verdict
+    (≤10k partitions, skew ≤3×) — the physical-design pre-flight a
+    100 TB writer runs before save_bucketed/partitionBy."""
+    ev = load_table(spark, sf, "events")
+    cands = {
+        "day": F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").cast("string"),
+        "event_type": F.col("event_type"),
+        "user_bucket16": (F.col("user_id") % 16).cast("string"),
+    }
+    outs = []
+    for name, pk in cands.items():
+        per = ev.groupBy(pk.alias("pk")).agg(F.count(F.lit(1)).alias("c"))
+        outs.append(
+            per.agg(
+                F.count(F.lit(1)).cast("long").alias("n_partitions"),
+                F.max("c").cast("long").alias("max_rows"),
+                F.sum("c").cast("long").alias("total_rows"),
+            ).select(F.lit(name).alias("candidate"), "n_partitions", "max_rows", "total_rows")
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    skew = F.expr("(max_rows * n_partitions * 1000000) DIV total_rows")
+    return u.select(
+        "candidate", "n_partitions", "max_rows", "total_rows",
+        skew.alias("skew_ppm"),
+        F.expr("total_rows DIV n_partitions").alias("mean_rows"),
+        ((F.col("n_partitions") <= 10000) & (skew <= 3000000)).alias("acceptable"),
+    )
