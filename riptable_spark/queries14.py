@@ -7216,3 +7216,96 @@ def q591(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("total_rows DIV n_partitions").alias("mean_rows"),
         ((F.col("n_partitions") <= 10000) & (skew <= 3000000)).alias("acceptable"),
     )
+
+
+# ------------------------------------------------------------------ q592
+@query(
+    "q592_temporal_cooccurrence",
+    """
+    WITH w AS (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 300.0) AS BIGINT) AS win, event_type
+        FROM events
+    ),
+    n_w AS (SELECT CAST(count(DISTINCT win) AS BIGINT) AS nw FROM w),
+    singles AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, CAST(count(*) AS BIGINT) AS n_ab
+        FROM w a JOIN w b ON a.win = b.win AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT ta, tb, n_ab, sa.n AS n_a, sb.n AS n_b, nw,
+           (n_ab * nw * 1000000) // (sa.n * sb.n) AS lift_ppm
+    FROM pairs JOIN singles sa ON sa.event_type = ta
+    JOIN singles sb ON sb.event_type = tb
+    CROSS JOIN n_w
+    """,
+)
+def q592(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal co-occurrence lift between event types in 5-minute
+    windows: baskets are time buckets (the incident-correlation
+    reading of association mining), lift = P(ab)/(P(a)P(b)) as the
+    exact integer cross-product n_ab·N·10⁶ DIV (n_a·n_b) — >1e6 means
+    the two types cluster in time."""
+    ev = load_table(spark, sf, "events")
+    w = ev.select(
+        F.floor(F.unix_seconds(F.col("ts")) / 300).cast("long").alias("win"),
+        "event_type",
+    ).distinct()
+    nw = w.select("win").distinct().agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    singles = w.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = w.select(F.col("win"), F.col("event_type").alias("ta"))
+    b = w.select(F.col("win").alias("bw"), F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, (F.col("win") == F.col("bw")) & (F.col("ta") < F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(sa, "ta").join(sb, "tb").crossJoin(F.broadcast(nw))
+        .select(
+            "ta", "tb", "n_ab", "n_a", "n_b", "nw",
+            F.expr("(n_ab * nw * 1000000) DIV (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q593
+@query(
+    "q593_asof_native_parity",
+    """
+    WITH trades AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+        SELECT user_id, ts, value AS qv FROM events WHERE event_type = 'view'
+    )
+    SELECT t.event_id, t.user_id,
+           round(t.value, 2) AS trade_value,
+           round(q.qv, 2) AS quote_value
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def q593(spark: SparkSession, sf: str) -> DataFrame:
+    """merge_asof checked against DuckDB's NATIVE ``ASOF LEFT JOIN``
+    syntax — a third, independent implementation of the backward-asof
+    semantics (q13's oracle is hand-written SQL; this one is the
+    engine's built-in operator), so the semantics are pinned by three
+    codebases agreeing."""
+    from .operators import merge
+
+    ev = load_table(spark, sf, "events")
+    trades = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    quotes = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("qv")
+    )
+    j = merge.merge_asof(trades, quotes, on="ts", by="user_id", direction="backward")
+    return j.select(
+        "event_id", "user_id",
+        F.round(F.col("value"), 2).alias("trade_value"),
+        F.round(F.col("qv"), 2).alias("quote_value"),
+    )
