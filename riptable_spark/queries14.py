@@ -7309,3 +7309,149 @@ def q593(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("value"), 2).alias("trade_value"),
         F.round(F.col("qv"), 2).alias("quote_value"),
     )
+
+
+# ------------------------------------------------------------------ q594
+def _q594_oracle() -> str:
+    picks = []
+    # pinball loss at tau = 3/4, slope grid in scaled thousandths
+    for m in (2800, 3000, 3200):
+        picks.append(f"""
+    SELECT CAST({m} AS BIGINT) AS slope_milli,
+           CAST(sum(CASE WHEN 1000 * y - {m} * x >= 0
+                         THEN 3 * (1000 * y - {m} * x)
+                         ELSE 1 * ({m} * x - 1000 * y) END) AS BIGINT) AS loss4x
+    FROM pts""")
+    body = "\nUNION ALL".join(picks)
+    return f"""
+    WITH pts AS (
+        SELECT CAST(round(value) AS BIGINT) AS x,
+               3 * CAST(round(value) AS BIGINT) + event_id % 21 - 5 AS y
+        FROM events WHERE event_id % 11 = 0
+    ),
+    losses AS ({body})
+    SELECT slope_milli, loss4x,
+           loss4x = min(loss4x) OVER () AS is_best
+    FROM losses
+    """
+
+
+@query("q594_quantile_reg_grid", _q594_oracle())
+def q594(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile regression (τ=0.75) by slope grid search: each
+    candidate slope scores the EXACT integer pinball loss
+    Σ[3·r⁺ + 1·r⁻] on millicent-scaled residuals (τ weights as the
+    integer ratio 3:1, no float loss anywhere); the argmin flag marks
+    the grid winner.  The asymmetric noise (+15/−5 range) pulls the
+    0.75-quantile line above the planted median slope."""
+    ev = load_table(spark, sf, "events").where(F.col("event_id") % 11 == 0)
+    dollars = F.round(F.col("value")).cast("long")
+    pts = ev.select(
+        dollars.alias("x"),
+        (3 * dollars + F.col("event_id") % 21 - 5).alias("y"),
+    )
+    outs = []
+    for m in (2800, 3000, 3200):
+        r = 1000 * F.col("y") - m * F.col("x")
+        loss = F.when(r >= 0, 3 * r).otherwise(1 * (-r))
+        outs.append(
+            pts.agg(F.sum(loss).cast("long").alias("loss4x")).select(
+                F.lit(m).cast("long").alias("slope_milli"), "loss4x"
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    wall = Window.partitionBy()
+    return u.withColumn("is_best", F.col("loss4x") == F.min("loss4x").over(wall))
+
+
+# ------------------------------------------------------------------ q595
+@query(
+    "q595_hashed_centroid_classifier",
+    r"""
+    WITH tr AS (
+        SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    ),
+    trh AS (
+        SELECT lang,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS dim
+        FROM tr
+    ),
+    cents AS (SELECT lang, dim, CAST(count(*) AS BIGINT) AS c FROM trh GROUP BY 1, 2),
+    te AS (
+        SELECT doc_id, lang AS true_lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:24]) AS tok
+        FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+    ),
+    teh AS (
+        SELECT doc_id, true_lang,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS dim
+        FROM te
+    ),
+    tf AS (SELECT doc_id, true_lang, dim, CAST(count(*) AS BIGINT) AS f
+           FROM teh GROUP BY 1, 2, 3),
+    scores AS (
+        SELECT tf.doc_id, tf.true_lang, cents.lang,
+               CAST(sum(tf.f * cents.c) AS BIGINT) AS dot
+        FROM tf JOIN cents USING (dim)
+        GROUP BY 1, 2, 3
+    ),
+    norms AS (SELECT lang, CAST(sum(c * c) AS BIGINT) AS n2 FROM cents GROUP BY 1),
+    ranked AS (
+        SELECT s.doc_id, s.true_lang, s.lang, s.dot, n.n2,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY CAST(s.dot * s.dot AS DOUBLE) / n.n2 DESC, s.lang) AS rk
+        FROM scores s JOIN norms n ON n.lang = s.lang
+    )
+    SELECT true_lang, lang AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rk = 1 GROUP BY 1, 2
+    """,
+)
+def q595(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick nearest-centroid classifier: train tokens hash
+    into 64 dimensions (portable md5), per-class centroids are raw
+    integer counts, and each test doc picks the class maximizing
+    dot²/‖c‖² — EVERY score an exact integer ratio compared via one
+    identically-formed double divide, tie-broken on class.  The
+    integer-exact third member of the classifier family (NB q549,
+    markers q309); output is the confusion relation."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % 64  # noqa: E731
+    tr = (
+        d.where((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        .select("lang", F.explode(toks).alias("tok"))
+        .select("lang", h(F.col("tok")).alias("dim"))
+    )
+    cents = tr.groupBy("lang", "dim").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    te = (
+        d.where((F.col("doc_id") % 2 == 1) & F.col("text").isNotNull())
+        .select("doc_id", F.col("lang").alias("true_lang"),
+                F.explode(F.slice(toks, 1, 24)).alias("tok"))
+        .select("doc_id", "true_lang", h(F.col("tok")).alias("dim"))
+    )
+    tf = te.groupBy("doc_id", "true_lang", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    scores = (
+        tf.join(F.broadcast(cents), "dim")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum(F.col("f") * F.col("c")).cast("long").alias("dot"))
+    )
+    norms = cents.groupBy("lang").agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"))
+    ranked = scores.join(F.broadcast(norms), "lang").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc((F.col("dot") * F.col("dot")).cast("double") / F.col("n2")),
+                F.col("lang"),
+            )
+        ),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
