@@ -7455,3 +7455,106 @@ def q595(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("true_lang", F.col("lang").alias("pred_lang"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# ------------------------------------------------------------------ q596
+def _q596_support_sql(edges: str) -> str:
+    return f"""
+        SELECT e.lo, e.hi, CAST(count(*) AS BIGINT) AS support
+        FROM {edges} e
+        JOIN (SELECT lo AS u, hi AS w FROM {edges}
+              UNION ALL SELECT hi AS u, lo AS w FROM {edges}) adj
+          ON adj.u = e.lo AND adj.w != e.hi
+        JOIN {edges} y ON y.lo = least(adj.w, e.hi) AND y.hi = greatest(adj.w, e.hi)
+        GROUP BY 1, 2
+    """
+
+
+@query(
+    "q596_ktruss_peel",
+    f"""
+    WITH base AS (
+        SELECT doc_id % 40 AS a, (doc_id * 17 + 3) % 40 AS b FROM documents
+        WHERE doc_id % 40 != (doc_id * 17 + 3) % 40
+        UNION ALL
+        SELECT doc_id % 40, (doc_id * 11 + 5) % 40 FROM documents
+        WHERE doc_id % 40 != (doc_id * 11 + 5) % 40
+        UNION ALL
+        SELECT doc_id % 40, (doc_id % 40 + 1) % 40 FROM documents
+        UNION ALL
+        SELECT doc_id % 40, (doc_id % 40 + 2) % 40 FROM documents
+    ),
+    e0 AS (
+        SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM base
+    ),
+    sup0 AS ({_q596_support_sql("e0")}),
+    e1 AS (
+        SELECT e0.lo, e0.hi FROM e0 JOIN sup0 USING (lo, hi) WHERE support >= 2
+    ),
+    sup1 AS ({_q596_support_sql("e1")}),
+    e2 AS (
+        SELECT e1.lo, e1.hi FROM e1 JOIN sup1 USING (lo, hi) WHERE support >= 2
+    )
+    SELECT CAST(0 AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_edges FROM e0
+    UNION ALL SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT) FROM e1
+    UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM e2
+    """,
+)
+def q596(spark: SparkSession, sf: str) -> DataFrame:
+    """4-truss peeling, two rounds: each edge's triangle support
+    counts third vertices adjacent to the edge's LOW endpoint in
+    EITHER role (adjacency is the symmetrized edge list — anchoring
+    on canonical lows alone misses triangles whose third vertex sits
+    below the anchor), closed by the canonical edge lookup; edges
+    with support < 2 peel, support recomputes on the survivors.
+    Bounded rounds of exact set algebra — the community-core
+    extractor."""
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    parts = [
+        d.select((k % 40).alias("a"), ((k * mul + add) % 40).alias("b")).where(
+            F.col("a") != F.col("b")
+        )
+        for mul, add in ((17, 3), (11, 5))
+    ]
+    # ring + chord edges guarantee triangles (x, x+1, x+2)
+    parts.append(d.select((k % 40).alias("a"), ((k % 40 + 1) % 40).alias("b")))
+    parts.append(d.select((k % 40).alias("a"), ((k % 40 + 2) % 40).alias("b")))
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    e = base.select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).distinct()
+
+    def support(edges):
+        adj = edges.select(F.col("lo").alias("u"), F.col("hi").alias("w")).unionByName(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("w"))
+        )
+        y = edges.select(F.col("lo").alias("ylo"), F.col("hi").alias("yhi"))
+        return (
+            edges.join(adj, (F.col("u") == F.col("lo")) & (F.col("w") != F.col("hi")))
+            .join(
+                y,
+                (F.col("ylo") == F.least("w", "hi"))
+                & (F.col("yhi") == F.greatest("w", "hi")),
+            )
+            .groupBy("lo", "hi")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+
+    counts = [e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).select(
+        F.lit(0).cast("long").alias("round"), "n_edges")]
+    cur = e
+    for r in (1, 2):
+        sup = support(cur)
+        cur = cur.join(sup, ["lo", "hi"]).where(F.col("support") >= 2).select("lo", "hi")
+        counts.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).select(
+                F.lit(r).cast("long").alias("round"), "n_edges"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
