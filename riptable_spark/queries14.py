@@ -7558,3 +7558,137 @@ def q596(spark: SparkSession, sf: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ------------------------------------------------------------------ q597
+def _q597_oracle() -> str:
+    from .queries import ORACLES
+
+    return f"""
+    WITH hll AS ({ORACLES["q583_hll_error_audit"]}),
+    cms AS ({ORACLES["q233_count_min"]}),
+    kmv AS ({ORACLES["q241_kmv_sketch"]}),
+    ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
+           FROM orders WHERE o_custkey IS NOT NULL)
+    SELECT 'hll_p8_distinct' AS sketch, CAST(max(abs(err_ppm)) AS DOUBLE) AS worst_err_ppm
+    FROM hll
+    UNION ALL
+    SELECT 'cms_4x256_freq',
+           CAST(max(((est - exact) * 1000000) // greatest(exact, 1)) AS DOUBLE)
+    FROM cms
+    UNION ALL
+    SELECT 'kmv64_distinct',
+           round(abs(kmv.estimate - ex.exact) * 1000000 / ex.exact, 3)
+    FROM kmv CROSS JOIN ex
+    """
+
+
+@query("q597_sketch_scorecard", _q597_oracle())
+def q597(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-accuracy scorecard: worst observed relative error (ppm)
+    for the three mergeable sketch families — HLL distinct (q583's
+    per-group audit), Count-Min frequency (q233's probes; CMS error is
+    one-sided so the worst OVERestimate is the metric), KMV distinct
+    (q241 vs the exact count).  Both sides compose the registered
+    pipelines verbatim — the governance table that says whether the
+    sketch parameters are honest at this data scale."""
+    from .queries import QUERIES
+
+    hll = QUERIES["q583_hll_error_audit"](spark, sf)
+    cms = QUERIES["q233_count_min"](spark, sf)
+    kmv = QUERIES["q241_kmv_sketch"](spark, sf)
+    o = load_table(spark, sf, "orders")
+    ex = o.where(F.col("o_custkey").isNotNull()).agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact")
+    )
+    r1 = hll.agg(F.max(F.abs(F.col("err_ppm"))).cast("double").alias("worst_err_ppm")).select(
+        F.lit("hll_p8_distinct").alias("sketch"), "worst_err_ppm"
+    )
+    r2 = cms.agg(
+        F.max(
+            F.expr("((est - exact) * 1000000) DIV greatest(exact, 1)")
+        ).cast("double").alias("worst_err_ppm")
+    ).select(F.lit("cms_4x256_freq").alias("sketch"), "worst_err_ppm")
+    r3 = kmv.crossJoin(F.broadcast(ex)).select(
+        F.lit("kmv64_distinct").alias("sketch"),
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact")) * 1000000 / F.col("exact"), 3
+        ).alias("worst_err_ppm"),
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+# ------------------------------------------------------------------ q598
+@query(
+    "q598_median_of_means",
+    """
+    WITH f AS (
+        SELECT CAST(round(value) AS BIGINT)
+                 + CASE WHEN event_id % 30000 = 0 THEN 100000000 ELSE 0 END AS x,
+               ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 8 AS g
+        FROM events
+    ),
+    groups AS (
+        SELECT g, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM f GROUP BY 1
+    ),
+    means AS (
+        SELECT g, s / n AS m,
+               row_number() OVER (ORDER BY s / n, g) AS rk
+        FROM groups
+    ),
+    tot AS (
+        SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt FROM groups
+    )
+    SELECT nt AS n,
+           st / nt AS plain_mean,
+           (max(CASE WHEN rk = 4 THEN m END) + max(CASE WHEN rk = 5 THEN m END)) / 2
+             AS median_of_means
+    FROM means CROSS JOIN tot
+    GROUP BY nt, st
+    """,
+)
+def q598(spark: SparkSession, sf: str) -> DataFrame:
+    """Median-of-means robust location estimator: 8 portable-hash
+    groups, each mean ONE exact rational, the median the midpoint of
+    the 4th/5th order statistics under a (mean, group) total order —
+    the heavy-tail-robust estimator: a handful of planted
+    hundred-million-dollar rows poison at most their own hash groups,
+    so the median holds while the plain mean is dragged thousands of
+    dollars off."""
+    ev = load_table(spark, sf, "events")
+    x = F.round(F.col("value")).cast("long") + F.when(
+        F.col("event_id") % 30000 == 0, 100000000
+    ).otherwise(0)
+    g = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 8
+    )
+    f = ev.select(x.alias("x"), g.alias("g"))
+    groups = f.groupBy("g").agg(
+        F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    means = groups.select(
+        "g", (F.col("s") / F.col("n")).alias("m"),
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("s") / F.col("n"), F.col("g")))
+        .alias("rk"),
+    )
+    tot = groups.agg(
+        F.sum("s").cast("long").alias("st"), F.sum("n").cast("long").alias("nt")
+    )
+    return (
+        means.crossJoin(F.broadcast(tot))
+        .groupBy("nt", "st")
+        .agg(
+            (
+                (F.max(F.when(F.col("rk") == 4, F.col("m")))
+                 + F.max(F.when(F.col("rk") == 5, F.col("m")))) / 2
+            ).alias("median_of_means")
+        )
+        .select(
+            F.col("nt").alias("n"),
+            (F.col("st") / F.col("nt")).alias("plain_mean"),
+            "median_of_means",
+        )
+    )
