@@ -7692,3 +7692,82 @@ def q598(spark: SparkSession, sf: str) -> DataFrame:
             "median_of_means",
         )
     )
+
+
+# ------------------------------------------------------------------ q599
+@query(
+    "q599_poststrat_variance",
+    """
+    WITH f AS (
+        SELECT user_id % 4 AS stratum,
+               CAST(round(value) AS BIGINT) + 50 * (user_id % 4) AS y
+        FROM events
+    ),
+    pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS q
+        FROM f
+    ),
+    strata AS (
+        SELECT stratum, CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(y) AS BIGINT) AS s_h,
+               CAST(sum(y * y) AS BIGINT) AS q_h
+        FROM f GROUP BY 1
+    ),
+    within AS (
+        SELECT CAST(sum(n_h * q_h - s_h * s_h) AS BIGINT) AS w_num,
+               CAST(sum(n_h) AS BIGINT) AS n2
+        FROM (SELECT n_h, q_h, s_h FROM strata)
+    )
+    SELECT p.n,
+           (CAST(p.n * p.q - p.s * p.s AS DOUBLE)) / (CAST(p.n AS DOUBLE) * p.n * p.n)
+             AS pooled_se2,
+           (CAST(w.w_num AS DOUBLE)) / (CAST(p.n AS DOUBLE) * p.n * p.n) AS strat_se2,
+           CAST(floor(CAST((p.n * p.q - p.s * p.s) - w.w_num AS DOUBLE) * 1000000
+                / CAST(p.n * p.q - p.s * p.s AS DOUBLE)) AS BIGINT) AS var_reduction_ppm
+    FROM pooled p CROSS JOIN within w
+    """,
+)
+def q599(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-stratification variance-reduction audit for experiments:
+    pooled vs within-stratum variance of the outcome from exact
+    integer power sums (n_h·Q_h − S_h² per stratum sums EXACTLY —
+    integer, not float), reduction in integer ppm — quantifies how
+    much a stratified estimator would shrink the CI before anyone
+    runs the test.  The planted +50·stratum shift makes strata
+    explain real variance."""
+    ev = load_table(spark, sf, "events")
+    f = ev.select(
+        (F.col("user_id") % 4).alias("stratum"),
+        (F.round(F.col("value")).cast("long") + 50 * (F.col("user_id") % 4)).alias("y"),
+    )
+    pooled = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    )
+    strata = f.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("y").cast("long").alias("s_h"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q_h"),
+    )
+    within = strata.agg(
+        F.sum(F.col("n_h") * F.col("q_h") - F.col("s_h") * F.col("s_h"))
+        .cast("long")
+        .alias("w_num"),
+        F.sum("n_h").cast("long").alias("n2"),
+    )
+    j = pooled.crossJoin(F.broadcast(within))
+    tot = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return j.select(
+        "n",
+        (tot.cast("double") / (F.col("n").cast("double") * F.col("n") * F.col("n"))).alias("pooled_se2"),
+        (F.col("w_num").cast("double") / (F.col("n").cast("double") * F.col("n") * F.col("n"))).alias("strat_se2"),
+        # the diff·1e6 cross-mult overflows int64 at sf0.1 — floor the
+        # identical double ratio instead (operands < 2^53, exact)
+        F.expr(
+            "CAST(floor(CAST((n * q - s * s) - w_num AS DOUBLE) * 1000000"
+            " / CAST(n * q - s * s AS DOUBLE)) AS BIGINT)"
+        ).alias("var_reduction_ppm"),
+    )
