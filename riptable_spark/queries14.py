@@ -7771,3 +7771,64 @@ def q599(spark: SparkSession, sf: str) -> DataFrame:
             " / CAST(n * q - s * s AS DOUBLE)) AS BIGINT)"
         ).alias("var_reduction_ppm"),
     )
+
+
+# ------------------------------------------------------------------ q600
+def _q600_oracle() -> str:
+    from .queries import ORACLES
+
+    return f"""
+    WITH sk AS ({ORACLES["q597_sketch_scorecard"]}),
+    lsh AS ({ORACLES["q570_lsh_calibration"]}),
+    ens AS ({ORACLES["q589_classifier_ensemble"]})
+    SELECT 'sketch:' || sketch AS component, worst_err_ppm AS value FROM sk
+    UNION ALL
+    SELECT 'lsh:recall_high_jaccard_ppm',
+           CAST((sum(CASE WHEN is_candidate THEN 1 ELSE 0 END) * 1000000)
+                // greatest(count(*), 1) AS DOUBLE)
+    FROM lsh WHERE s_jac >= CAST('0.9' AS DOUBLE)
+    UNION ALL
+    SELECT 'lsh:false_candidate_ppm',
+           CAST((sum(CASE WHEN is_candidate THEN 1 ELSE 0 END) * 1000000)
+                // greatest(count(*), 1) AS DOUBLE)
+    FROM lsh WHERE s_jac < CAST('0.3' AS DOUBLE)
+    UNION ALL
+    SELECT 'classifier:best_accuracy_ppm', CAST(max(accuracy_ppm) AS DOUBLE) FROM ens
+    """
+
+
+@query("q600_engine_self_audit", _q600_oracle())
+def q600(spark: SparkSession, sf: str) -> DataFrame:
+    """QUERY 600 — the engine self-audit scorecard: one relation that
+    composes the registered sketch-accuracy scorecard (q597), the LSH
+    banding calibration (q570: recall on near-duplicates and the
+    false-candidate rate on far pairs) and the classifier ensemble
+    (q589: best accuracy) — every number produced AND oracle-replayed
+    by pipelines this engine itself registered.  The meta-claim of the
+    whole registry: the engine can measure its own approximations
+    exactly."""
+    from .queries import QUERIES
+
+    sk = QUERIES["q597_sketch_scorecard"](spark, sf)
+    lsh = QUERIES["q570_lsh_calibration"](spark, sf)
+    ens = QUERIES["q589_classifier_ensemble"](spark, sf)
+    r1 = sk.select(
+        F.concat(F.lit("sketch:"), F.col("sketch")).alias("component"),
+        F.col("worst_err_ppm").alias("value"),
+    )
+
+    def _rate(df, name):
+        return df.agg(
+            F.sum(F.when(F.col("is_candidate"), 1).otherwise(0)).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            F.lit(name).alias("component"),
+            F.expr("CAST((c * 1000000) DIV greatest(n, 1) AS DOUBLE)").alias("value"),
+        )
+
+    r2 = _rate(lsh.where(F.col("s_jac") >= 0.9), "lsh:recall_high_jaccard_ppm")
+    r3 = _rate(lsh.where(F.col("s_jac") < 0.3), "lsh:false_candidate_ppm")
+    r4 = ens.agg(F.max("accuracy_ppm").cast("double").alias("value")).select(
+        F.lit("classifier:best_accuracy_ppm").alias("component"), "value"
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)
