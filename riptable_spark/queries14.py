@@ -7832,3 +7832,128 @@ def q600(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("classifier:best_accuracy_ppm").alias("component"), "value"
     )
     return r1.unionByName(r2).unionByName(r3).unionByName(r4)
+
+
+# ------------------------------------------------------------------ q601
+_Q601_EDGES_SQL = """
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+            SELECT doc_id % 30 AS a, (doc_id * 7 + 2) % 30 AS b FROM documents
+            WHERE doc_id % 30 != (doc_id * 7 + 2) % 30
+            UNION ALL
+            SELECT doc_id % 30, (doc_id % 30 + 1) % 30 FROM documents
+        )
+"""
+
+
+@query(
+    "q601_graph_distances",
+    f"""
+    WITH RECURSIVE e AS ({_Q601_EDGES_SQL}),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    walk AS (
+        SELECT u, v, 1 AS d FROM sym
+        UNION
+        SELECT w.u, s.v, w.d + 1
+        FROM walk w JOIN sym s ON w.v = s.u
+        WHERE w.d < 30 AND w.u != s.v
+    ),
+    dist AS (SELECT u, v, CAST(min(d) AS BIGINT) AS d FROM walk GROUP BY 1, 2)
+    SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(max(d) AS BIGINT) AS diameter,
+           (CAST(sum(d) AS BIGINT) * 1000000) // count(*) AS avg_dist_ppm
+    FROM dist
+    """,
+)
+def q601(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact all-pairs shortest-path summary on a 30-node undirected
+    graph: min-plus DOUBLING (5 rounds cover 32 hops — each round one
+    equi-join + min-agg, the log-depth APSP for bounded graphs) vs the
+    oracle's hop-bounded recursive walk; diameter and mean distance in
+    exact integers.  The small-graph exact path — web-scale swaps in
+    landmark/HyperANF approximations."""
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    base = d.select((k % 30).alias("a"), ((k * 7 + 2) % 30).alias("b")).where(
+        F.col("a") != F.col("b")
+    ).unionByName(d.select((k % 30).alias("a"), ((k % 30) + 1) % 30).toDF("a", "b"))
+    e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    cur = sym.select("u", "v", F.lit(1).alias("d"))
+    for _ in range(5):  # doubling: paths up to 2^5 = 32 > 30
+        right = cur.select(F.col("u").alias("m"), F.col("v").alias("w"), F.col("d").alias("d2"))
+        step = (
+            cur.join(right, cur["v"] == right["m"])
+            .where(F.col("u") != F.col("w"))
+            .select("u", F.col("w").alias("v"), (F.col("d") + F.col("d2")).alias("d"))
+        )
+        cur = (
+            cur.unionByName(step)
+            .groupBy("u", "v")
+            .agg(F.min("d").alias("d"))
+            .persist()
+        )
+    return cur.agg(
+        F.countDistinct("u").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.max("d").cast("long").alias("diameter"),
+        F.expr("(CAST(sum(d) AS BIGINT) * 1000000) DIV count(*)").alias("avg_dist_ppm"),
+    )
+
+
+# ------------------------------------------------------------------ q602
+@query(
+    "q602_harmonic_centrality",
+    f"""
+    WITH RECURSIVE e AS ({_Q601_EDGES_SQL}),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    walk AS (
+        SELECT u, v, 1 AS d FROM sym
+        UNION
+        SELECT w.u, s.v, w.d + 1
+        FROM walk w JOIN sym s ON w.v = s.u
+        WHERE w.d < 30 AND w.u != s.v
+    ),
+    dist AS (SELECT u, v, CAST(min(d) AS BIGINT) AS d FROM walk GROUP BY 1, 2)
+    SELECT u AS node,
+           CAST(count(*) AS BIGINT) AS n_reachable,
+           list_reduce([CAST(0.0 AS DOUBLE)] || list(CAST(1 AS BIGINT) / d ORDER BY v),
+                       (a, b) -> a + b) AS harmonic
+    FROM dist GROUP BY 1
+    """,
+)
+def q602(spark: SparkSession, sf: str) -> DataFrame:
+    """Harmonic centrality per node — Σ 1/d(u,v) over reachable peers,
+    the disconnected-graph-safe closeness: reuses q601's exact
+    min-plus distances, each reciprocal ONE integer divide, the
+    per-node sum a PEER-ORDERED LEFT FOLD.  The influence ranking for
+    the link graph."""
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    base = d.select((k % 30).alias("a"), ((k * 7 + 2) % 30).alias("b")).where(
+        F.col("a") != F.col("b")
+    ).unionByName(d.select((k % 30).alias("a"), ((k % 30) + 1) % 30).toDF("a", "b"))
+    e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    cur = sym.select("u", "v", F.lit(1).alias("d"))
+    for _ in range(5):
+        right = cur.select(F.col("u").alias("m"), F.col("v").alias("w"), F.col("d").alias("d2"))
+        step = (
+            cur.join(right, cur["v"] == right["m"])
+            .where(F.col("u") != F.col("w"))
+            .select("u", F.col("w").alias("v"), (F.col("d") + F.col("d2")).alias("d"))
+        )
+        cur = cur.unionByName(step).groupBy("u", "v").agg(F.min("d").alias("d")).persist()
+    return cur.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("v"), (F.lit(1).cast("long") / F.col("d")).alias("t")))
+                ),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("harmonic"),
+    )
