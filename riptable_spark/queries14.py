@@ -7957,3 +7957,118 @@ def q602(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("harmonic"),
     )
+
+
+# ------------------------------------------------------------------ q603
+@query(
+    "q603_hyperanf",
+    f"""
+    WITH e AS ({_Q601_EDGES_SQL}),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    h AS (
+        SELECT u AS node,
+               ('0x' || substr(md5(u::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM (SELECT DISTINCT u FROM sym)
+    ),
+    r0 AS (
+        SELECT node, CAST(hv >> 52 AS INT) AS bucket,
+               CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                    ELSE 52 - length(bin(hv & ((1::BIGINT << 52) - 1))) + 1 END AS INT) AS rho
+        FROM h
+    ),
+    r1 AS (
+        SELECT node, bucket, max(rho) AS rho FROM (
+            SELECT s.u AS node, r.bucket, r.rho FROM sym s JOIN r0 r ON r.node = s.v
+            UNION ALL SELECT node, bucket, rho FROM r0
+        ) GROUP BY 1, 2
+    ),
+    r2 AS (
+        SELECT node, bucket, max(rho) AS rho FROM (
+            SELECT s.u AS node, r.bucket, r.rho FROM sym s JOIN r1 r ON r.node = s.v
+            UNION ALL SELECT node, bucket, rho FROM r1
+        ) GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT 'r1' AS radius, node, count(*) AS used,
+               sum((1::BIGINT << (53 - rho))) AS s
+        FROM r1 GROUP BY 2
+        UNION ALL
+        SELECT 'r2', node, count(*), sum((1::BIGINT << (53 - rho)))
+        FROM r2 GROUP BY 2
+    )
+    SELECT radius,
+           CAST(sum(used) AS BIGINT) AS total_buckets_used,
+           round(list_reduce([CAST(0.0 AS DOUBLE)] || list(
+               CASE WHEN {4.2399330249068963e+20} / ((s + (256 - used) * (1::BIGINT << 53)))::DOUBLE <= 640.0
+                         AND (256 - used) > 0
+                    THEN 256.0 * ln(256.0 / (256 - used))
+                    ELSE {4.2399330249068963e+20} / ((s + (256 - used) * (1::BIGINT << 53)))::DOUBLE
+               END ORDER BY node), (a, b) -> a + b), 6) AS sum_neighborhood
+    FROM est GROUP BY 1
+    """,
+)
+def q603(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperANF (Boldi et al.) — the neighborhood function N(r) at
+    graph scale: every node carries an HLL register set of its
+    r-ball; one round = join registers across edges + per-(node,
+    bucket) MAX (registers are mergeable, so the frontier never
+    materializes).  Two rounds on the 30-node graph, per-node ball
+    estimates summed in a NODE-ORDERED FOLD — this is the scale path
+    whose exact sibling is q601's min-plus distances."""
+    from .queries10 import _HLL_A
+    from .operators.sketch import hll_registers_by
+
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    base = d.select((k % 30).alias("a"), ((k * 7 + 2) % 30).alias("b")).where(
+        F.col("a") != F.col("b")
+    ).unionByName(d.select((k % 30).alias("a"), ((k % 30) + 1) % 30).toDF("a", "b"))
+    e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    nodes = sym.select("u").distinct()
+    r0 = hll_registers_by(
+        nodes.select("u", F.col("u").alias("member")), ["u"], "member", p=8, hash_kind="md5"
+    ).withColumnRenamed("u", "node")
+    regs = r0
+    ests = []
+    for rname in ("r1", "r2"):
+        via = (
+            sym.join(regs, regs["node"] == sym["v"])
+            .select(sym["u"].alias("node"), "bucket", "rho")
+        )
+        regs = (
+            via.unionByName(regs.select("node", "bucket", "rho"))
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .persist()
+        )
+        agg = regs.groupBy("node").agg(
+            F.count(F.lit(1)).alias("used"),
+            F.sum(F.expr("CAST(shiftleft(1L, 53 - rho) AS BIGINT)")).alias("s"),
+        )
+        a = float(_HLL_A)
+        raw = F.lit(a) / (
+            (F.col("s") + (F.lit(256) - F.col("used")) * F.lit(1 << 53)).cast("double")
+        )
+        v = F.lit(256) - F.col("used")
+        est = F.when(
+            (raw <= 640.0) & (v > 0), F.lit(256.0) * F.log(F.lit(256.0) / v)
+        ).otherwise(raw)
+        ests.append(
+            agg.select(F.lit(rname).alias("radius"), "node", "used", est.alias("est"))
+        )
+    u = ests[0].unionByName(ests[1])
+    return u.groupBy("radius").agg(
+        F.sum("used").cast("long").alias("total_buckets_used"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("node"), F.col("est").alias("t")))),
+                    lambda s: s.getField("t"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sum_neighborhood"),
+    )
