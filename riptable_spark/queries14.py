@@ -8072,3 +8072,81 @@ def q603(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("sum_neighborhood"),
     )
+
+
+# ------------------------------------------------------------------ q604
+@query(
+    "q604_bipartite_check",
+    f"""
+    WITH RECURSIVE e AS ({_Q601_EDGES_SQL}),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    walk AS (
+        SELECT u, v, 1 AS d FROM sym
+        UNION
+        SELECT w.u, s.v, w.d + 1
+        FROM walk w JOIN sym s ON w.v = s.u
+        WHERE w.d < 30 AND w.u != s.v
+    ),
+    dist AS (SELECT u, v, CAST(min(d) AS BIGINT) AS d FROM walk GROUP BY 1, 2),
+    comp AS (
+        SELECT v AS node, min(u) AS root FROM (
+            SELECT u, v FROM dist UNION SELECT u, u FROM dist
+        ) GROUP BY 1
+    ),
+    lvl AS (
+        SELECT c.node, c.root,
+               CASE WHEN c.node = c.root THEN 0 ELSE d.d END % 2 AS side
+        FROM comp c LEFT JOIN dist d ON d.u = c.root AND d.v = c.node
+    ),
+    odd AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_odd_edges
+        FROM e JOIN lvl a ON a.node = e.u JOIN lvl b ON b.node = e.v
+        WHERE a.side = b.side
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           n_odd_edges, n_odd_edges = 0 AS is_bipartite
+    FROM odd
+    """,
+)
+def q604(spark: SparkSession, sf: str) -> DataFrame:
+    """Bipartite test via BFS level parity: each node's side is its
+    exact shortest-path distance (q601's min-plus doubling) from its
+    component's min-id root, mod 2; the graph is two-colorable iff NO
+    edge joins same-side endpoints (each same-side edge witnesses an
+    odd cycle).  Exact set algebra end to end."""
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    base = d.select((k % 30).alias("a"), ((k * 7 + 2) % 30).alias("b")).where(
+        F.col("a") != F.col("b")
+    ).unionByName(d.select((k % 30).alias("a"), ((k % 30) + 1) % 30).toDF("a", "b"))
+    e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    cur = sym.select("u", "v", F.lit(1).alias("d"))
+    for _ in range(5):
+        right = cur.select(F.col("u").alias("m"), F.col("v").alias("w"), F.col("d").alias("d2"))
+        step = (
+            cur.join(right, cur["v"] == right["m"])
+            .where(F.col("u") != F.col("w"))
+            .select("u", F.col("w").alias("v"), (F.col("d") + F.col("d2")).alias("d"))
+        )
+        cur = cur.unionByName(step).groupBy("u", "v").agg(F.min("d").alias("d")).persist()
+    pairs = cur.select("u", "v").unionByName(cur.select(F.col("u").alias("u"), F.col("u").alias("v")))
+    comp = pairs.groupBy(F.col("v").alias("node")).agg(F.min("u").alias("root"))
+    lvl = comp.join(
+        cur.select(F.col("u").alias("root"), F.col("v").alias("node"), "d"),
+        ["root", "node"], "left",
+    ).select(
+        "node", "root",
+        (F.when(F.col("node") == F.col("root"), 0).otherwise(F.col("d")) % 2).alias("side"),
+    )
+    la = lvl.select(F.col("node").alias("u"), F.col("side").alias("sa"))
+    lb = lvl.select(F.col("node").alias("v"), F.col("side").alias("sb"))
+    odd = (
+        e.join(la, "u").join(lb, "v")
+        .where(F.col("sa") == F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_odd_edges"))
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return ne.crossJoin(odd).select(
+        "n_edges", "n_odd_edges", (F.col("n_odd_edges") == 0).alias("is_bipartite")
+    )
