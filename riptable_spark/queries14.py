@@ -8150,3 +8150,97 @@ def q604(spark: SparkSession, sf: str) -> DataFrame:
     return ne.crossJoin(odd).select(
         "n_edges", "n_odd_edges", (F.col("n_odd_edges") == 0).alias("is_bipartite")
     )
+
+
+# ------------------------------------------------------------------ q605
+@query(
+    "q605_percolation",
+    """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT least(doc_id % 31, (doc_id * 12 + 5) % 31) AS u,
+               greatest(doc_id % 31, (doc_id * 12 + 5) % 31) AS v
+        FROM documents WHERE doc_id % 31 != (doc_id * 12 + 5) % 31
+    ),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1),
+    hubs AS (
+        SELECT node FROM (
+            SELECT node, row_number() OVER (ORDER BY degree DESC, node) AS rk FROM deg
+        ) WHERE rk <= 2
+    ),
+    sym2 AS (
+        SELECT s.u, s.v FROM sym s
+        WHERE s.u NOT IN (SELECT node FROM hubs) AND s.v NOT IN (SELECT node FROM hubs)
+    ),
+    full_walk AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT w.u, s.v FROM full_walk w JOIN sym s ON w.v = s.u WHERE w.u != s.v
+    ),
+    full_comp AS (
+        SELECT node, min(peer) AS component FROM (
+            SELECT u AS node, v AS peer FROM full_walk UNION ALL SELECT u, u FROM sym
+        ) GROUP BY 1
+    ),
+    cut_walk AS (
+        SELECT u, v FROM sym2
+        UNION
+        SELECT w.u, s.v FROM cut_walk w JOIN sym2 s ON w.v = s.u WHERE w.u != s.v
+    ),
+    cut_comp AS (
+        SELECT node, min(peer) AS component FROM (
+            SELECT u AS node, v AS peer FROM cut_walk UNION ALL SELECT u, u FROM sym2
+        ) GROUP BY 1
+    )
+    SELECT 'full' AS variant,
+           (SELECT CAST(count(*) AS BIGINT) FROM full_comp) AS n_nodes,
+           (SELECT CAST(max(c) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM full_comp GROUP BY component)) AS largest_cc
+    UNION ALL
+    SELECT 'hubs_removed',
+           (SELECT CAST(count(*) AS BIGINT) FROM cut_comp),
+           (SELECT CAST(max(c) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM cut_comp GROUP BY component))
+    """,
+)
+def q605(spark: SparkSession, sf: str) -> DataFrame:
+    """Percolation robustness: largest connected component before and
+    after removing the top-2 degree hubs (operators/dedup.
+    connected_components on both graphs) — the attack-surface metric
+    for link/identity graphs; exact set algebra, recursive-CTE
+    replay."""
+    from .operators.dedup import connected_components
+
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    base = d.select((k % 31).alias("a"), ((k * 12 + 5) % 31).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    hubs = (
+        deg.withColumn(
+            "rk", F.row_number().over(Window.partitionBy().orderBy(F.desc("degree"), "node"))
+        )
+        .where(F.col("rk") <= 2)
+        .select("node")
+    )
+    ha = hubs.select(F.col("node").alias("u"))
+    hb = hubs.select(F.col("node").alias("v"))
+    sym2 = sym.join(ha, "u", "left_anti").join(hb, "v", "left_anti")
+
+    def summary(edges, name):
+        # pruned permutation graphs leave long paths: diameter can exceed
+        # the default 20 label-propagation rounds, so raise the budget
+        cc = connected_components(
+            edges.select(F.col("u").alias("id_a"), F.col("v").alias("id_b")), max_iter=40
+        )
+        node_col, comp_col = cc.columns[0], cc.columns[1]
+        sizes = cc.groupBy(comp_col).agg(F.count(F.lit(1)).alias("c"))
+        return sizes.agg(
+            F.sum("c").cast("long").alias("n_nodes"),
+            F.max("c").cast("long").alias("largest_cc"),
+        ).select(F.lit(name).alias("variant"), "n_nodes", "largest_cc")
+
+    return summary(sym, "full").unionByName(summary(sym2, "hubs_removed"))
