@@ -8244,3 +8244,65 @@ def q605(spark: SparkSession, sf: str) -> DataFrame:
         ).select(F.lit(name).alias("variant"), "n_nodes", "largest_cc")
 
     return summary(sym, "full").unionByName(summary(sym2, "hubs_removed"))
+
+
+# ------------------------------------------------------------------ q606
+@query(
+    "q606_script_mix_audit",
+    """
+    WITH seeded AS (
+        SELECT lang,
+               text || CASE WHEN lang = 'zh' THEN ' 中文内容样本' ELSE '' END AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(t, '[a-zA-Z]')) AS BIGINT) AS latin_chars,
+               CAST(len(regexp_extract_all(t, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS cjk_chars,
+               CAST(length(t) AS BIGINT) AS total_chars
+        FROM seeded
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(latin_chars) AS BIGINT) AS latin_chars,
+           CAST(sum(cjk_chars) AS BIGINT) AS cjk_chars,
+           CAST(sum(CASE WHEN latin_chars > 0 AND cjk_chars > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mixed,
+           (CAST(sum(cjk_chars) AS BIGINT) * 1000000)
+             // greatest(CAST(sum(total_chars) AS BIGINT), 1) AS cjk_ppm
+    FROM f GROUP BY 1
+    """,
+)
+def q606(spark: SparkSession, sf: str) -> DataFrame:
+    """Script-mix corpus audit per language label: Latin vs CJK
+    character mass (explicit \\u4e00-\\u9fff range — Java and RE2 name
+    unicode classes differently, the raw range is the portable form),
+    mixed-script doc counts, CJK share in integer ppm — the
+    multilingual-curation hygiene check (the synthetic corpus is all-Latin, so the
+    zh docs carry a deterministic planted CJK suffix on BOTH sides to
+    exercise the counters)."""
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("lang") == "zh", F.lit(" 中文内容样本")).otherwise(F.lit("")),
+    )
+    seeded = d.select("lang", t.alias("t"))
+    latin = F.expr("CAST(regexp_count(t, '[a-zA-Z]') AS BIGINT)")
+    cjk = F.expr("CAST(regexp_count(t, '[\\\\x{4e00}-\\\\x{9fff}]') AS BIGINT)")
+    f = seeded.select(
+        "lang",
+        latin.alias("latin_chars"),
+        cjk.alias("cjk_chars"),
+        F.length("t").cast("long").alias("total_chars"),
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("latin_chars").cast("long").alias("latin_chars"),
+        F.sum("cjk_chars").cast("long").alias("cjk_chars"),
+        F.sum(F.when((F.col("latin_chars") > 0) & (F.col("cjk_chars") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mixed"),
+        F.expr(
+            "(CAST(sum(cjk_chars) AS BIGINT) * 1000000)"
+            " DIV greatest(CAST(sum(total_chars) AS BIGINT), 1)"
+        ).alias("cjk_ppm"),
+    )
