@@ -8306,3 +8306,134 @@ def q606(spark: SparkSession, sf: str) -> DataFrame:
             " DIV greatest(CAST(sum(total_chars) AS BIGINT), 1)"
         ).alias("cjk_ppm"),
     )
+
+
+# ------------------------------------------------------------------ q607
+_Q607_FKS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _q607_oracle() -> str:
+    picks = []
+    for name, child, ck, parent, pk in _Q607_FKS:
+        picks.append(
+            f"SELECT '{name}' AS fk,\n"
+            f"       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,\n"
+            f"       (SELECT CAST(count(*) AS BIGINT) FROM {child} c\n"
+            f"        WHERE c.{ck} IS NOT NULL AND NOT EXISTS\n"
+            f"          (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS n_orphans"
+        )
+    body = "\nUNION ALL\n".join(picks)
+    return f"SELECT fk, n_child, n_orphans, n_orphans = 0 AS intact FROM ({body})"
+
+
+@query("q607_ri_audit", _q607_oracle())
+def q607(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across every foreign key of the
+    star schema in one relation: each FK is ONE anti-join count
+    (broadcast the parent keys — the dim side is always the small
+    side), orphan counts exact — the data-contract sweep a warehouse
+    runs after every load."""
+    outs = []
+    for name, child, ck, parent, pk in _Q607_FKS:
+        c = load_table(spark, sf, child)
+        p = load_table(spark, sf, parent).select(F.col(pk).alias("__pk__"))
+        n_child = c.count()
+        orphans = (
+            c.where(F.col(ck).isNotNull())
+            .join(F.broadcast(p), F.col(ck) == F.col("__pk__"), "left_anti")
+            .count()
+        )
+        outs.append((name, int(n_child), int(orphans)))
+    rows = [(n, c_, o, o == 0) for n, c_, o in outs]
+    return spark.createDataFrame(rows, "fk string, n_child bigint, n_orphans bigint, intact boolean")
+
+
+# ------------------------------------------------------------------ q608
+@query(
+    "q608_watermark_advisor",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               epoch_us(ts) + ((event_id * 37) % 172800 - 86400) * 1000000 AS ak
+        FROM events
+    ),
+    runm AS (
+        SELECT user_id, us,
+               max(us) OVER (PARTITION BY user_id ORDER BY ak, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+        FROM seq
+    ),
+    late AS (
+        SELECT greatest(seen - us, 0) AS late_us
+        FROM runm WHERE seen IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_arrivals,
+               CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM late
+    ),
+    ranked AS (
+        SELECT late_us, row_number() OVER (ORDER BY late_us) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM late
+    ),
+    p99 AS (
+        SELECT CAST(late_us AS BIGINT) AS p99_late_us FROM ranked
+        WHERE rk = (99 * n + 99) // 100
+    )
+    SELECT a.n_arrivals, a.n_late,
+           (a.n_late * 1000000) // a.n_arrivals AS late_ppm,
+           p.p99_late_us,
+           (p.p99_late_us + 999999) // 1000000 AS recommended_watermark_s
+    FROM agg a CROSS JOIN p99 p
+    """,
+)
+def q608(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-sizing advisor for streaming ingest: arrival order is a
+    deterministically jittered clock (±1 day from event time — the
+    shuffle a real transport inflicts), lateness = how far an event's
+    event time sits BEHIND the max already-arrived event time per
+    user (an exact integer running max — fold-safe), late fraction in ppm, the p99 lateness by ⌈99n/100⌉ rank
+    selection, and the ceil-seconds watermark that would admit 99% of
+    late data.  The relation withWatermark() should be configured
+    from."""
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id", "event_id", us.alias("us"),
+        (us + ((F.col("event_id") * 37) % 172800 - 86400) * 1000000).alias("ak"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ak", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runm = seq.select("user_id", "us", F.max("us").over(w).alias("seen"))
+    late = runm.where(F.col("seen").isNotNull()).select(
+        F.greatest(F.col("seen") - F.col("us"), F.lit(0).cast("long")).alias("late_us")
+    )
+    agg = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).cast("long").alias("n_late"),
+    )
+    ranked = late.select(
+        "late_us",
+        F.row_number().over(Window.partitionBy().orderBy("late_us")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    p99 = ranked.where(
+        F.col("rk") == F.expr("(99 * n + 99) DIV 100")
+    ).select(F.col("late_us").cast("long").alias("p99_late_us"))
+    return agg.crossJoin(F.broadcast(p99)).select(
+        "n_arrivals", "n_late",
+        F.expr("(n_late * 1000000) DIV n_arrivals").alias("late_ppm"),
+        "p99_late_us",
+        F.expr("(p99_late_us + 999999) DIV 1000000").alias("recommended_watermark_s"),
+    )
