@@ -8437,3 +8437,127 @@ def q608(spark: SparkSession, sf: str) -> DataFrame:
         "p99_late_us",
         F.expr("(p99_late_us + 999999) DIV 1000000").alias("recommended_watermark_s"),
     )
+
+
+# ------------------------------------------------------------------ q609
+@query(
+    "q609_dedup_savings",
+    r"""
+    WITH d AS (
+        SELECT source, doc_id, n_chars,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents WHERE text IS NOT NULL
+    ),
+    keep AS (
+        SELECT source, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rk
+            FROM d
+        ) WHERE rk = 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS bytes_raw,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k2.n_chars), 0) AS BIGINT) AS bytes_kept,
+           ((CAST(sum(d.n_chars) AS BIGINT) - CAST(coalesce(sum(k2.n_chars), 0) AS BIGINT))
+              * 1000000) // greatest(CAST(sum(d.n_chars) AS BIGINT), 1) AS savings_ppm
+    FROM d
+    LEFT JOIN keep k ON k.doc_id = d.doc_id
+    LEFT JOIN keep k2 ON k2.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def q609(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup storage-savings report per source: exact dedup keeps the
+    min-id doc per normalized text (the dedup_exact rule), bytes
+    before/after and savings in integer ppm — the ROI line a curation
+    run reports before anyone green-lights the near-dup pass."""
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = d.select("source", "doc_id", "n_chars", norm.alias("norm"))
+    keep = (
+        base.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("norm").orderBy("doc_id"))
+        )
+        .where(F.col("rk") == 1)
+        .select(F.col("doc_id").alias("kid"), F.col("n_chars").alias("kchars"))
+    )
+    j = base.join(keep, base["doc_id"] == keep["kid"], "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("bytes_raw"),
+        F.count("kid").cast("long").alias("n_kept"),
+        F.coalesce(F.sum("kchars"), F.lit(0)).cast("long").alias("bytes_kept"),
+    ).select(
+        "source", "n_docs", "bytes_raw", "n_kept", "bytes_kept",
+        F.expr(
+            "((bytes_raw - bytes_kept) * 1000000) DIV greatest(bytes_raw, 1)"
+        ).alias("savings_ppm"),
+    )
+
+
+# ------------------------------------------------------------------ q610
+@query(
+    "q610_reciprocal_best_match",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    ),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    capped AS (SELECT tf.* FROM tf JOIN dfreq USING (tok) WHERE dfreq.df <= 50),
+    dots AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT ia, ib, dot FROM (
+            SELECT ia, ib, dot,
+                   row_number() OVER (PARTITION BY ia ORDER BY dot DESC, ib) AS rk
+            FROM dots
+        ) WHERE rk = 1
+    )
+    SELECT a.ia AS doc_a, a.ib AS doc_b, a.dot
+    FROM best a JOIN best b ON a.ib = b.ia AND b.ib = a.ia
+    WHERE a.ia < a.ib
+    """,
+)
+def q610(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal best match entity linking: each doc's single best
+    sparse-dot neighbor (inverted-index join, df-capped, tie-broken on
+    id), kept only when the choice is MUTUAL — the high-precision
+    pairing rule record linkage uses before any threshold tuning."""
+    d = (
+        load_table(spark, sf, "documents")
+        .where((F.col("doc_id") < 200) & F.col("text").isNotNull())
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    capped = tf.join(dfreq, "tok").where(F.col("df") <= 50).select("doc_id", "tok", "c")
+    a = capped.select(F.col("doc_id").alias("ia"), "tok", F.col("c").alias("ca"))
+    b = capped.select(F.col("doc_id").alias("ib"), "tok", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    best = (
+        dots.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("ia").orderBy(F.desc("dot"), "ib"))
+        )
+        .where(F.col("rk") == 1)
+        .select("ia", "ib", "dot")
+    )
+    rev = best.select(F.col("ia").alias("ib"), F.col("ib").alias("ia"))
+    return (
+        best.join(rev, ["ia", "ib"])
+        .where(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), "dot")
+    )
