@@ -8379,14 +8379,18 @@ def q607(spark: SparkSession, sf: str) -> DataFrame:
                CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         FROM late
     ),
-    ranked AS (
-        SELECT late_us, row_number() OVER (ORDER BY late_us) AS rk,
-               CAST(count(*) OVER () AS BIGINT) AS n
-        FROM late
+    hist AS (SELECT late_us, CAST(count(*) AS BIGINT) AS c FROM late GROUP BY 1),
+    cum AS (
+        SELECT late_us,
+               CAST(sum(c) OVER (ORDER BY late_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cc,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM hist
     ),
     p99 AS (
-        SELECT CAST(late_us AS BIGINT) AS p99_late_us FROM ranked
-        WHERE rk = (99 * n + 99) // 100
+        SELECT CAST(min(late_us) AS BIGINT) AS p99_late_us
+        FROM cum WHERE cc >= (99 * n + 99) // 100
     )
     SELECT a.n_arrivals, a.n_late,
            (a.n_late * 1000000) // a.n_arrivals AS late_ppm,
@@ -8423,14 +8427,19 @@ def q608(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_arrivals"),
         F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).cast("long").alias("n_late"),
     )
-    ranked = late.select(
+    # p99 by rank over the VALUE histogram (bounded, aggregated input) —
+    # ranking raw arrivals globally is the single-task bottleneck lint
+    # rightly flags
+    hist = late.groupBy("late_us").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.partitionBy().orderBy("late_us").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
         "late_us",
-        F.row_number().over(Window.partitionBy().orderBy("late_us")).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
     )
-    p99 = ranked.where(
-        F.col("rk") == F.expr("(99 * n + 99) DIV 100")
-    ).select(F.col("late_us").cast("long").alias("p99_late_us"))
+    p99 = cum.where(F.col("cc") >= F.expr("(99 * n + 99) DIV 100")).agg(
+        F.min("late_us").cast("long").alias("p99_late_us")
+    )
     return agg.crossJoin(F.broadcast(p99)).select(
         "n_arrivals", "n_late",
         F.expr("(n_late * 1000000) DIV n_arrivals").alias("late_ppm"),
