@@ -8570,3 +8570,93 @@ def q610(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("ia") < F.col("ib"))
         .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), "dot")
     )
+
+
+# ------------------------------------------------------------------ q611
+@query(
+    "q611_critical_path",
+    """
+    WITH RECURSIVE tasks AS (
+        SELECT DISTINCT doc_id % 25 AS task,
+               (doc_id % 25) * 13 % 47 + 1 AS dur
+        FROM documents
+    ),
+    e AS (
+        SELECT DISTINCT t.task AS u, (t.task * 7 + 3) % 25 AS v
+        FROM tasks t WHERE t.task < (t.task * 7 + 3) % 25
+        UNION
+        SELECT DISTINCT t.task, t.task + 1 FROM tasks t WHERE t.task + 1 < 25
+    ),
+    wd AS (
+        SELECT e.u, e.v, td.dur AS w FROM e JOIN tasks td ON td.task = e.u
+    ),
+    walk AS (
+        SELECT u, v, w AS len FROM wd
+        UNION
+        SELECT wk.u, s.v, wk.len + s.w
+        FROM walk wk JOIN wd s ON wk.v = s.u
+    ),
+    lp AS (SELECT u, v, CAST(max(len) AS BIGINT) AS longest FROM walk GROUP BY 1, 2),
+    fin AS (SELECT DISTINCT v AS task FROM e WHERE v NOT IN (SELECT u FROM e)),
+    ends AS (
+        SELECT lp.u, lp.v, lp.longest + td.dur AS total
+        FROM lp JOIN fin ON fin.task = lp.v JOIN tasks td ON td.task = lp.v
+    )
+    SELECT CAST(max(total) AS BIGINT) AS critical_path_len,
+           CAST(min(u) FILTER (WHERE total = (SELECT max(total) FROM ends)) AS BIGINT)
+             AS start_task,
+           CAST(min(v) FILTER (WHERE total = (SELECT max(total) FROM ends)) AS BIGINT)
+             AS end_task
+    FROM ends
+    """,
+)
+def q611(spark: SparkSession, sf: str) -> DataFrame:
+    """Critical path of a task DAG (project-scheduling / pipeline-DAG
+    analytics): edges always point to HIGHER task ids (acyclic by
+    construction), weights are source-task durations, and the longest
+    path is MAX-PLUS doubling — the mirror of q601's min-plus APSP (5
+    rounds cover the 25-deep DAG); terminal tasks add their own
+    duration.  Exact integers, recursive-CTE replay, deterministic
+    argmax endpoints."""
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    tasks = d.select(
+        (k % 25).alias("task"), ((k % 25) * 13 % 47 + 1).alias("dur")
+    ).distinct()
+    e1 = tasks.select(
+        F.col("task").alias("u"), ((F.col("task") * 7 + 3) % 25).alias("v")
+    ).where(F.col("u") < F.col("v"))
+    e2 = tasks.select(F.col("task").alias("u"), (F.col("task") + 1).alias("v")).where(
+        F.col("v") < 25
+    )
+    e = e1.unionByName(e2).distinct()
+    wd = e.join(tasks.withColumnRenamed("task", "u"), "u").select(
+        "u", "v", F.col("dur").alias("w")
+    )
+    cur = wd.select("u", "v", F.col("w").alias("len"))
+    for _ in range(5):  # doubling: path length up to 32 > 25 hops
+        right = cur.select(
+            F.col("u").alias("m"), F.col("v").alias("w2"), F.col("len").alias("l2")
+        )
+        step = cur.join(right, cur["v"] == right["m"]).select(
+            "u", F.col("w2").alias("v"), (F.col("len") + F.col("l2")).alias("len")
+        )
+        cur = cur.unionByName(step).groupBy("u", "v").agg(F.max("len").alias("len")).persist()
+    fin = e.select(F.col("v").alias("task")).exceptAll(
+        e.select(F.col("u").alias("task"))
+    ).distinct()
+    ends = (
+        cur.join(fin, cur["v"] == fin["task"])
+        .join(tasks.select(F.col("task").alias("v"), "dur"), "v")
+        .select("u", "v", (F.col("len") + F.col("dur")).alias("total"))
+    )
+    best = ends.agg(F.max("total").alias("mt"))
+    return (
+        ends.crossJoin(F.broadcast(best))
+        .where(F.col("total") == F.col("mt"))
+        .agg(
+            F.max("total").cast("long").alias("critical_path_len"),
+            F.min("u").cast("long").alias("start_task"),
+            F.min("v").cast("long").alias("end_task"),
+        )
+    )
