@@ -292,3 +292,35 @@ def test_hubness_star_configuration(spark):
     )
     out = {r.vec_id: r.k_occurrences for r in hubness(df, k=1, scale=1000).collect()}
     assert out[0] == 5  # every spoke's top-1 is the center
+
+
+def test_window_funnel_keeps_out_of_window_anchors(spark):
+    from riptable_spark.operators.window import window_funnel
+
+    rows = [
+        # u1: full funnel inside the window
+        (1, "a", 0), (1, "b", 10), (1, "c", 20),
+        # u2: step-2 exists but OUTSIDE the window -> depth 1, anchor kept
+        (2, "a", 0), (2, "b", 5000),
+        # u3: two anchors; only the second completes
+        (3, "a", 0), (3, "a", 100), (3, "b", 150),
+    ]
+    df = spark.createDataFrame(rows, "k long, t string, sec long").select(
+        "k", "t", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = {r.k: r for r in window_funnel(df, "k", "t", "ts", ["a", "b", "c"], 1000).collect()}
+    assert out[1].max_depth == 3 and out[1].n_anchors == 1
+    assert out[2].max_depth == 1 and out[2].n_anchors == 1  # the fixed bug
+    assert out[3].max_depth == 2 and out[3].n_anchors == 2
+
+
+def test_window_funnel_strict_order(spark):
+    from riptable_spark.operators.window import window_funnel
+
+    # step-2 BEFORE the anchor must not count
+    rows = [(1, "b", 0), (1, "a", 10)]
+    df = spark.createDataFrame(rows, "k long, t string, sec long").select(
+        "k", "t", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    r = window_funnel(df, "k", "t", "ts", ["a", "b"], 1000).collect()[0]
+    assert r.max_depth == 1
