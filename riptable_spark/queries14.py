@@ -8660,3 +8660,111 @@ def q611(spark: SparkSession, sf: str) -> DataFrame:
             F.min("v").cast("long").alias("end_task"),
         )
     )
+
+
+# ------------------------------------------------------------------ q612
+@query(
+    "q612_cpm_schedule",
+    """
+    WITH RECURSIVE tasks AS (
+        SELECT DISTINCT doc_id % 25 AS task,
+               (doc_id % 25) * 13 % 47 + 1 AS dur
+        FROM documents
+    ),
+    e AS (
+        SELECT DISTINCT t.task AS u, (t.task * 7 + 3) % 25 AS v
+        FROM tasks t WHERE t.task < (t.task * 7 + 3) % 25
+        UNION
+        SELECT DISTINCT t.task, t.task + 2 FROM tasks t WHERE t.task + 2 < 25
+        UNION
+        SELECT DISTINCT t.task, t.task + 3 FROM tasks t WHERE t.task + 3 < 25
+    ),
+    wd AS (SELECT e.u, e.v, td.dur AS w FROM e JOIN tasks td ON td.task = e.u),
+    walk AS (
+        SELECT u, v, w AS len FROM wd
+        UNION
+        SELECT wk.u, s.v, wk.len + s.w FROM walk wk JOIN wd s ON wk.v = s.u
+    ),
+    lp AS (SELECT u, v, CAST(max(len) AS BIGINT) AS longest FROM walk GROUP BY 1, 2),
+    es AS (
+        SELECT t.task, t.dur,
+               coalesce((SELECT max(lp.longest) FROM lp WHERE lp.v = t.task), 0) AS es
+        FROM tasks t
+    ),
+    lt AS (
+        SELECT t.task,
+               greatest(t.dur,
+                        coalesce((SELECT max(lp.longest + t2.dur)
+                                  FROM lp JOIN tasks t2 ON t2.task = lp.v
+                                  WHERE lp.u = t.task), 0)) AS tail_len
+        FROM tasks t
+    ),
+    proj AS (SELECT CAST(max(es + dur) AS BIGINT) AS plen FROM es)
+    SELECT es.task, es.dur,
+           CAST(es.es AS BIGINT) AS earliest_start,
+           CAST(es.es + es.dur AS BIGINT) AS earliest_finish,
+           CAST(proj.plen - lt.tail_len - es.es AS BIGINT) AS slack,
+           proj.plen - lt.tail_len - es.es = 0 AS critical
+    FROM es JOIN lt ON lt.task = es.task CROSS JOIN proj
+    """,
+)
+def q612(spark: SparkSession, sf: str) -> DataFrame:
+    """Full critical-path-method schedule over the q611 task DAG:
+    earliest start = longest inbound path (max-plus doubling), latest
+    start = project length − longest outbound chain (the same
+    relation read from the other endpoint), slack = LS − ES, critical
+    tasks at slack 0 — the zero-float scheduling relation every
+    pipeline orchestrator wants."""
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    tasks = d.select(
+        (k % 25).alias("task"), ((k % 25) * 13 % 47 + 1).alias("dur")
+    ).distinct()
+    e1 = tasks.select(
+        F.col("task").alias("u"), ((F.col("task") * 7 + 3) % 25).alias("v")
+    ).where(F.col("u") < F.col("v"))
+    e2 = tasks.select(F.col("task").alias("u"), (F.col("task") + 2).alias("v")).where(
+        F.col("v") < 25
+    )
+    e3 = tasks.select(F.col("task").alias("u"), (F.col("task") + 3).alias("v")).where(
+        F.col("v") < 25
+    )
+    e = e1.unionByName(e2).unionByName(e3).distinct()
+    wd = e.join(tasks.withColumnRenamed("task", "u"), "u").select(
+        "u", "v", F.col("dur").alias("w")
+    )
+    cur = wd.select("u", "v", F.col("w").alias("len"))
+    for _ in range(5):
+        right = cur.select(
+            F.col("u").alias("m"), F.col("v").alias("w2"), F.col("len").alias("l2")
+        )
+        step = cur.join(right, cur["v"] == right["m"]).select(
+            "u", F.col("w2").alias("v"), (F.col("len") + F.col("l2")).alias("len")
+        )
+        cur = cur.unionByName(step).groupBy("u", "v").agg(F.max("len").alias("len")).persist()
+    inbound = cur.groupBy(F.col("v").alias("task")).agg(F.max("len").alias("in_len"))
+    es = tasks.join(inbound, "task", "left").select(
+        "task", "dur", F.coalesce(F.col("in_len"), F.lit(0)).alias("es")
+    )
+    out_chain = (
+        cur.join(tasks.select(F.col("task").alias("v"), F.col("dur").alias("vd")), "v")
+        .groupBy(F.col("u").alias("task"))
+        .agg(F.max(F.col("len") + F.col("vd")).alias("chain"))
+    )
+    lt = tasks.join(out_chain, "task", "left").select(
+        "task",
+        F.greatest(F.col("dur").cast("long"), F.coalesce(F.col("chain"), F.lit(0)).cast("long")).alias("tail_len"),
+    )
+    proj = es.agg(F.max(F.col("es") + F.col("dur")).cast("long").alias("plen"))
+    slack = F.col("plen") - F.col("tail_len") - F.col("es")
+    return (
+        es.join(lt, "task")
+        .crossJoin(F.broadcast(proj))
+        .select(
+            "task", "dur",
+            F.col("es").cast("long").alias("earliest_start"),
+            (F.col("es") + F.col("dur")).cast("long").alias("earliest_finish"),
+            slack.cast("long").alias("slack"),
+            (slack == 0).alias("critical"),
+        )
+    )
