@@ -8768,3 +8768,37 @@ def q612(spark: SparkSession, sf: str) -> DataFrame:
             (slack == 0).alias("critical"),
         )
     )
+
+
+# ------------------------------------------------------------------ q613
+@query(
+    "q613_lateral_topk",
+    """
+    SELECT o.o_orderkey, t.l_linenumber, t.cents
+    FROM orders o JOIN LATERAL (
+        SELECT l_linenumber, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY cents DESC, l_linenumber LIMIT 2
+    ) t ON true
+    WHERE o.o_orderkey % 50 = 0
+    """,
+)
+def q613(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL top-k parity: Spark 4's LATERAL subquery and
+    DuckDB's LATERAL both rank each order's two priciest lines under a
+    (cents DESC, linenumber) total order — the modern SQL surface for
+    per-row top-k, checked engine against engine with exact cent
+    values."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("__q613_o")
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("__q613_l")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.cents
+        FROM __q613_o o JOIN LATERAL (
+            SELECT l_linenumber, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM __q613_l l WHERE l.l_orderkey = o.o_orderkey
+            ORDER BY cents DESC, l_linenumber LIMIT 2
+        ) t
+        WHERE o.o_orderkey % 50 = 0
+        """
+    )
