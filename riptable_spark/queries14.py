@@ -8802,3 +8802,40 @@ def q613(spark: SparkSession, sf: str) -> DataFrame:
         WHERE o.o_orderkey % 50 = 0
         """
     )
+
+
+# ------------------------------------------------------------------ q614
+@query(
+    "q614_unpivot_parity",
+    """
+    WITH wide AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even_users,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS odd_users,
+               CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS revenue
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, metric, val
+    FROM (UNPIVOT wide ON even_users, odd_users, revenue INTO NAME metric VALUE val)
+    """,
+)
+def q614(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT surface parity (the melt/wide-to-long SQL form): Spark
+    4's ``UNPIVOT (val FOR metric IN …)`` vs DuckDB's ``UNPIVOT … INTO
+    NAME … VALUE …`` over the same exact-integer wide aggregate —
+    column-to-row semantics and name/value pairing checked engine
+    against engine."""
+    load_table(spark, sf, "events").createOrReplaceTempView("__q614_e")
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even_users,
+                   CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS odd_users,
+                   CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS revenue
+            FROM __q614_e GROUP BY 1
+        )
+        SELECT event_type, metric, val
+        FROM wide UNPIVOT (val FOR metric IN (even_users, odd_users, revenue))
+        """
+    )
