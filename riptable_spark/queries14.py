@@ -8839,3 +8839,128 @@ def q614(spark: SparkSession, sf: str) -> DataFrame:
         FROM wide UNPIVOT (val FOR metric IN (even_users, odd_users, revenue))
         """
     )
+
+
+# ------------------------------------------------------------------ q615
+def _q615_oracle() -> str:
+    rounds = []
+    for r in (1, 2, 3):
+        rounds.append(f"""
+    props{r} AS (
+        SELECT s.w, rk.f, rk.t_score
+        FROM st{r - 1} s JOIN rk ON rk.w = s.w AND rk.wrank = s.n_prop + 1
+        WHERE s.f IS NULL
+    ),
+    cand{r} AS (
+        SELECT w, f, t_score FROM props{r}
+        UNION ALL
+        SELECT s.w, s.f, rk.t_score
+        FROM st{r - 1} s JOIN rk ON rk.w = s.w AND rk.f = s.f
+        WHERE s.f IS NOT NULL
+    ),
+    win{r} AS (
+        SELECT w, f FROM (
+            SELECT w, f, row_number() OVER (PARTITION BY f ORDER BY t_score DESC, w) AS b
+            FROM cand{r}
+        ) WHERE b = 1
+    ),
+    st{r} AS (
+        SELECT s.w,
+               win{r}.f AS f,
+               s.n_prop + (CASE WHEN p.w IS NOT NULL THEN 1 ELSE 0 END) AS n_prop
+        FROM st{r - 1} s
+        LEFT JOIN props{r} p ON p.w = s.w
+        LEFT JOIN win{r} ON win{r}.w = s.w
+    )""")
+    body = ",".join(rounds)
+    return f"""
+    WITH agents AS (SELECT DISTINCT doc_id % 20 AS a FROM documents),
+    prefs AS (
+        SELECT w.a AS w, f.a AS f,
+               ('0x' || substr(md5(w.a::VARCHAR || ':' || f.a::VARCHAR), 1, 15))::BIGINT AS s_score,
+               ('0x' || substr(md5(f.a::VARCHAR || '>' || w.a::VARCHAR), 1, 15))::BIGINT AS t_score
+        FROM agents w CROSS JOIN agents f
+    ),
+    rk AS (
+        SELECT w, f, s_score, t_score,
+               row_number() OVER (PARTITION BY w ORDER BY s_score DESC, f) AS wrank
+        FROM prefs
+    ),
+    st0 AS (SELECT a AS w, CAST(NULL AS BIGINT) AS f, 0 AS n_prop FROM agents),{body}
+    SELECT w, f AS firm, CAST(n_prop AS BIGINT) AS n_proposals,
+           f IS NOT NULL AS matched
+    FROM st3
+    """
+
+
+@query("q615_stable_matching", _q615_oracle())
+def q615(spark: SparkSession, sf: str) -> DataFrame:
+    """Gale-Shapley deferred acceptance, three unrolled parallel
+    rounds on a 20×20 market with portable-hash preferences: each
+    round the unmatched side proposes to its next-ranked counterparty
+    (rank = proposals already made + 1), every firm keeps the best of
+    incumbents + proposals under its own hash preference (tie-free
+    BIGINT scores), displaced workers rejoin the pool.  Bounded rounds
+    ARE the algorithm (the market-design/assignment primitive);
+    state is a plain (worker, firm, n_proposals) relation per round."""
+    d = load_table(spark, sf, "documents")
+    agents = d.select((F.col("doc_id") % 20).alias("a")).distinct()
+    w = agents.select(F.col("a").alias("w"))
+    f = agents.select(F.col("a").alias("f"))
+    h = lambda c1, sep, c2: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(c1.cast("string"), F.lit(sep), c2.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    prefs = w.crossJoin(f).select(
+        "w", "f",
+        h(F.col("w"), ":", F.col("f")).alias("s_score"),
+        h(F.col("f"), ">", F.col("w")).alias("t_score"),
+    )
+    rk = prefs.withColumn(
+        "wrank",
+        F.row_number().over(Window.partitionBy("w").orderBy(F.desc("s_score"), "f")),
+    ).persist()
+    st = agents.select(
+        F.col("a").alias("w"),
+        F.lit(None).cast("long").alias("f"),
+        F.lit(0).alias("n_prop"),
+    )
+    for _ in range(3):
+        props = (
+            st.where(F.col("f").isNull())
+            .select("w", "n_prop")
+            .join(rk, ["w"])
+            .where(F.col("wrank") == F.col("n_prop") + 1)
+            .select("w", "f", "t_score")
+        )
+        incumbents = (
+            st.where(F.col("f").isNotNull())
+            .select("w", "f")
+            .join(rk.select("w", "f", "t_score"), ["w", "f"])
+        )
+        cand = props.select("w", "f", "t_score").unionByName(incumbents)
+        win = (
+            cand.withColumn(
+                "b",
+                F.row_number().over(Window.partitionBy("f").orderBy(F.desc("t_score"), "w")),
+            )
+            .where(F.col("b") == 1)
+            .select(F.col("w").alias("ww"), F.col("f").alias("wf"))
+        )
+        pw = props.select(F.col("w").alias("pw")).distinct()
+        st = (
+            st.select("w", "n_prop")
+            .join(pw, st["w"] == pw["pw"], "left")
+            .join(win, st["w"] == win["ww"], "left")
+            .select(
+                "w",
+                F.col("wf").alias("f"),
+                (F.col("n_prop") + F.when(F.col("pw").isNotNull(), 1).otherwise(0)).alias("n_prop"),
+            )
+            .persist()
+        )
+    return st.select(
+        "w", F.col("f").alias("firm"),
+        F.col("n_prop").cast("long").alias("n_proposals"),
+        F.col("f").isNotNull().alias("matched"),
+    )
