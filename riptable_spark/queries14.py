@@ -8964,3 +8964,193 @@ def q615(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_prop").cast("long").alias("n_proposals"),
         F.col("f").isNotNull().alias("matched"),
     )
+
+
+# ------------------------------------------------------------------ q616
+@query(
+    "q616_revenue_equivalence",
+    """
+    WITH bids AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               user_id AS bidder, CAST(round(value * 100) AS BIGINT) AS bid
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, day, bid,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY bid DESC, bidder) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+        FROM bids
+    ),
+    lots AS (
+        SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rn = 1 THEN bid END) AS b1,
+               max(CASE WHEN rn = 2 THEN bid END) AS b2
+        FROM ranked WHERE rn <= 2 GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lots,
+           CAST(sum(coalesce(b2, 0)) AS BIGINT) AS second_price_revenue,
+           CAST(sum((b1 * (n - 1)) // n) AS BIGINT) AS shaded_first_price_revenue
+    FROM lots WHERE n >= 2
+    """,
+)
+def q616(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue-equivalence check: per lot the second-price revenue vs
+    the risk-neutral first-price equilibrium bid b·(n−1)/n (exact
+    integer DIV) — auction theory says the two columns should be close
+    under symmetric bidders, and the relation measures how close on
+    real bid data.  One top-2 ranking pass, conditional aggregates."""
+    ev = load_table(spark, sf, "events")
+    bids = ev.select(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+        F.col("user_id").alias("bidder"),
+        F.round(F.col("value") * 100).cast("long").alias("bid"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(F.desc("bid"), "bidder")
+    wc = Window.partitionBy("event_type", "day")
+    ranked = bids.select(
+        "event_type", "day", "bid",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    ).where(F.col("rn") <= 2)
+    lots = ranked.groupBy("event_type", "day").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == 1, F.col("bid"))).alias("b1"),
+        F.max(F.when(F.col("rn") == 2, F.col("bid"))).alias("b2"),
+    )
+    return lots.where(F.col("n") >= 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lots"),
+        F.sum(F.coalesce(F.col("b2"), F.lit(0))).cast("long").alias("second_price_revenue"),
+        F.sum(F.expr("(b1 * (n - 1)) DIV n")).cast("long").alias("shaded_first_price_revenue"),
+    )
+
+
+# ------------------------------------------------------------------ q617
+def _q617_oracle() -> str:
+    base = _q615_oracle()
+    head = base[: base.rindex("SELECT w, f AS firm")]
+    return (
+        head.rstrip().rstrip(",")
+        + """,
+    matches AS (SELECT w, f FROM st3 WHERE f IS NOT NULL),
+    wcur AS (
+        SELECT m.w, rk.s_score AS cur_s FROM matches m
+        JOIN rk ON rk.w = m.w AND rk.f = m.f
+    ),
+    fcur AS (
+        SELECT m.f, rk.t_score AS cur_t FROM matches m
+        JOIN rk ON rk.w = m.w AND rk.f = m.f
+    ),
+    blocking AS (
+        SELECT rk.w, rk.f
+        FROM rk
+        LEFT JOIN matches mm ON mm.w = rk.w AND mm.f = rk.f
+        LEFT JOIN wcur ON wcur.w = rk.w
+        LEFT JOIN fcur ON fcur.f = rk.f
+        WHERE mm.w IS NULL
+          AND (wcur.w IS NULL OR rk.s_score > wcur.cur_s)
+          AND (fcur.f IS NULL OR rk.t_score > fcur.cur_t)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM matches) AS n_matched,
+           CAST(count(*) AS BIGINT) AS n_blocking_pairs,
+           count(*) = 0 AS stable
+    FROM blocking
+    """
+    )
+
+
+@query("q617_blocking_pairs", _q617_oracle())
+def q617(spark: SparkSession, sf: str) -> DataFrame:
+    """Stability audit of q615's 3-round deferred-acceptance outcome:
+    a blocking pair is an unmatched (w, f) where BOTH sides prefer
+    each other to their current partners (unmatched counts as
+    infinitely undesirable) — exact hash-score comparisons; after a
+    bounded-round run the count is the distance-to-stability metric
+    (full GS drives it to zero)."""
+    from .queries import QUERIES
+
+    st = QUERIES["q615_stable_matching"](spark, sf)
+    d = load_table(spark, sf, "documents")
+    agents = d.select((F.col("doc_id") % 20).alias("a")).distinct()
+    wdf = agents.select(F.col("a").alias("w"))
+    fdf = agents.select(F.col("a").alias("f"))
+    h = lambda c1, sep, c2: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(c1.cast("string"), F.lit(sep), c2.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    rk = wdf.crossJoin(fdf).select(
+        "w", "f",
+        h(F.col("w"), ":", F.col("f")).alias("s_score"),
+        h(F.col("f"), ">", F.col("w")).alias("t_score"),
+    )
+    matches = st.where(F.col("matched")).select("w", F.col("firm").alias("f"))
+    wcur = matches.join(rk, ["w", "f"]).select("w", F.col("s_score").alias("cur_s"))
+    fcur = matches.join(rk, ["w", "f"]).select("f", F.col("t_score").alias("cur_t"))
+    blocking = (
+        rk.join(matches.withColumn("mm", F.lit(1)), ["w", "f"], "left")
+        .join(wcur, "w", "left")
+        .join(fcur, "f", "left")
+        .where(
+            F.col("mm").isNull()
+            & (F.col("cur_s").isNull() | (F.col("s_score") > F.col("cur_s")))
+            & (F.col("cur_t").isNull() | (F.col("t_score") > F.col("cur_t")))
+        )
+    )
+    nm = matches.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    nb = blocking.agg(F.count(F.lit(1)).cast("long").alias("n_blocking_pairs"))
+    return nm.crossJoin(nb).select(
+        "n_matched", "n_blocking_pairs", (F.col("n_blocking_pairs") == 0).alias("stable")
+    )
+
+
+# ------------------------------------------------------------------ q618
+def _q618_oracle() -> str:
+    picks = []
+    for gap in (300, 1800, 7200):
+        picks.append(f"""
+    SELECT CAST({gap} AS BIGINT) AS gap_s,
+           CAST(sum(CASE WHEN prev IS NULL OR sec - prev > {gap} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g""")
+    body = "\nUNION ALL".join(picks)
+    return f"""
+    WITH g AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    {body}
+    """
+
+
+@query("q618_session_gap_curve", _q618_oracle())
+def q618(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization sensitivity curve: total session counts at 5-min
+    / 30-min / 2-h inactivity gaps from ONE lag pass (a session starts
+    where the whole-second gap exceeds the threshold) — the relation
+    that picks the gap parameter before anyone ships a sessionize
+    job."""
+    ev = load_table(spark, sf, "events")
+    sec = F.floor(F.unix_seconds(F.col("ts"))).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select("user_id", "ts", "event_id", sec.alias("sec")).withColumn(
+        "prev", F.lag("sec").over(w)
+    )
+    outs = []
+    for gap in (300, 1800, 7200):
+        outs.append(
+            g.agg(
+                F.sum(
+                    F.when(F.col("prev").isNull() | (F.col("sec") - F.col("prev") > gap), 1)
+                    .otherwise(0)
+                ).cast("long").alias("n_sessions"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+            ).select(F.lit(gap).cast("long").alias("gap_s"), "n_sessions", "n_events")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
