@@ -9154,3 +9154,99 @@ def q618(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ------------------------------------------------------------------ q619
+def _q619_oracle() -> str:
+    rounds = []
+    for r in (1, 2, 3):
+        rounds.append(f"""
+    h{r} AS MATERIALIZED (
+        SELECT u, v, ('0x' || substr(md5(u::VARCHAR || '-' || v::VARCHAR), 1, 15))::BIGINT AS h
+        FROM e{r - 1}
+    ),
+    mu{r} AS MATERIALIZED (
+        SELECT node, min(h) AS mh FROM (
+            SELECT u AS node, h FROM h{r} UNION ALL SELECT v, h FROM h{r}
+        ) GROUP BY 1
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT t.u, t.v FROM h{r} t
+        JOIN mu{r} a ON a.node = t.u AND a.mh = t.h
+        JOIN mu{r} b ON b.node = t.v AND b.mh = t.h
+    ),
+    mn{r} AS MATERIALIZED (SELECT u AS node FROM sel{r} UNION SELECT v FROM sel{r}),
+    e{r} AS MATERIALIZED (
+        SELECT t.u, t.v FROM e{r - 1} t
+        WHERE t.u NOT IN (SELECT node FROM mn{r})
+          AND t.v NOT IN (SELECT node FROM mn{r})
+    )""")
+    body = ",".join(rounds)
+    return f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT least(doc_id % 40, (doc_id * 17 + 3) % 40) AS u,
+               greatest(doc_id % 40, (doc_id * 17 + 3) % 40) AS v
+        FROM documents WHERE doc_id % 40 != (doc_id * 17 + 3) % 40
+        UNION
+        SELECT DISTINCT doc_id % 40, (doc_id % 40 + 1) % 40 FROM documents
+        WHERE doc_id % 40 < (doc_id % 40 + 1) % 40
+    ),{body}
+    SELECT CAST(1 AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM sel1) AS n_matched,
+           (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges_remaining
+    UNION ALL SELECT 2, (SELECT count(*) FROM sel2), (SELECT count(*) FROM e2)
+    UNION ALL SELECT 3, (SELECT count(*) FROM sel3), (SELECT count(*) FROM e3)
+    """
+
+
+@query("q619_maximal_matching", _q619_oracle())
+def q619(spark: SparkSession, sf: str) -> DataFrame:
+    """Parallel maximal matching (the 2-approx vertex-cover kernel),
+    three hash-symmetry-breaking rounds: an edge joins the matching
+    when its portable-md5 id is the MINIMUM among all edges at BOTH
+    endpoints (local decision, no coordination — the classic
+    distributed symmetry breaker), matched endpoints drop their
+    remaining edges, repeat.  Per-round matched/remaining counts;
+    the remaining-edge column shows the geometric die-off."""
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    aff = d.select((k % 40).alias("a"), ((k * 17 + 3) % 40).alias("b")).where(
+        F.col("a") != F.col("b")
+    ).select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+    ring = d.select((k % 40).alias("u"), ((k % 40 + 1) % 40).alias("v")).where(
+        F.col("u") < F.col("v")
+    )
+    e = aff.unionByName(ring).distinct()
+    hcol = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("u").cast("string"), F.lit("-"), F.col("v").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    stats = []
+    for r in (1, 2, 3):
+        h = e.select("u", "v", hcol.alias("h")).persist()
+        mu = (
+            h.select(F.col("u").alias("node"), "h")
+            .unionByName(h.select(F.col("v").alias("node"), "h"))
+            .groupBy("node")
+            .agg(F.min("h").alias("mh"))
+        )
+        a = mu.select(F.col("node").alias("u"), F.col("mh").alias("mha"))
+        b = mu.select(F.col("node").alias("v"), F.col("mh").alias("mhb"))
+        sel = (
+            h.join(a, "u").join(b, "v")
+            .where((F.col("h") == F.col("mha")) & (F.col("h") == F.col("mhb")))
+            .select("u", "v")
+        )
+        mn = sel.select(F.col("u").alias("node")).union(sel.select(F.col("v").alias("node"))).distinct()
+        e = (
+            e.join(mn.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(mn.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint()  # truncate per-round lineage (CC discipline)
+        )
+        stats.append((r, sel.count(), e.count()))
+    rows = [(int(r), int(m), int(rem)) for r, m, rem in stats]
+    return spark.createDataFrame(rows, "round bigint, n_matched bigint, n_edges_remaining bigint")
