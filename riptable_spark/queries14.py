@@ -9250,3 +9250,72 @@ def q619(spark: SparkSession, sf: str) -> DataFrame:
         stats.append((r, sel.count(), e.count()))
     rows = [(int(r), int(m), int(rem)) for r, m, rem in stats]
     return spark.createDataFrame(rows, "round bigint, n_matched bigint, n_edges_remaining bigint")
+
+
+# ------------------------------------------------------------------ q620
+def _q620_oracle() -> str:
+    from .queries import ORACLES
+
+    return f"""
+    WITH gs AS ({ORACLES["q615_stable_matching"]}),
+    bp AS ({ORACLES["q617_blocking_pairs"]}),
+    mm AS ({ORACLES["q619_maximal_matching"]}),
+    pc AS ({ORACLES["q605_percolation"]})
+    SELECT 'gale_shapley' AS kernel, 'n_matched' AS metric,
+           CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS value
+    FROM gs
+    UNION ALL
+    SELECT 'gale_shapley', 'blocking_pairs', n_blocking_pairs FROM bp
+    UNION ALL
+    SELECT 'maximal_matching', 'edges_after_round3',
+           (SELECT n_edges_remaining FROM mm WHERE round = 3)
+    UNION ALL
+    SELECT 'maximal_matching', 'total_matched',
+           (SELECT CAST(sum(n_matched) AS BIGINT) FROM mm)
+    UNION ALL
+    SELECT 'percolation', 'largest_cc_drop_ppm',
+           ((SELECT largest_cc FROM pc WHERE variant = 'full')
+            - (SELECT largest_cc FROM pc WHERE variant = 'hubs_removed')) * 1000000
+             // (SELECT largest_cc FROM pc WHERE variant = 'full')
+    """
+
+
+@query("q620_kernels_scorecard", _q620_oracle())
+def q620(spark: SparkSession, sf: str) -> DataFrame:
+    """QUERY 620 — bounded-round kernel scorecard: convergence metrics
+    of the session's distributed algorithms in one relation —
+    Gale-Shapley match count and its blocking-pair distance to
+    stability (q615/q617), maximal-matching completion (q619), and
+    the percolation robustness drop (q605) — every number composed
+    from registered pipelines on BOTH sides."""
+    from .queries import QUERIES
+
+    gs = QUERIES["q615_stable_matching"](spark, sf)
+    bp = QUERIES["q617_blocking_pairs"](spark, sf)
+    mm = QUERIES["q619_maximal_matching"](spark, sf)
+    pc = QUERIES["q605_percolation"](spark, sf)
+    r1 = gs.agg(
+        F.sum(F.when(F.col("matched"), 1).otherwise(0)).cast("long").alias("value")
+    ).select(F.lit("gale_shapley").alias("kernel"), F.lit("n_matched").alias("metric"), "value")
+    r2 = bp.select(
+        F.lit("gale_shapley").alias("kernel"),
+        F.lit("blocking_pairs").alias("metric"),
+        F.col("n_blocking_pairs").alias("value"),
+    )
+    r3 = mm.where(F.col("round") == 3).select(
+        F.lit("maximal_matching").alias("kernel"),
+        F.lit("edges_after_round3").alias("metric"),
+        F.col("n_edges_remaining").alias("value"),
+    )
+    r4 = mm.agg(F.sum("n_matched").cast("long").alias("value")).select(
+        F.lit("maximal_matching").alias("kernel"),
+        F.lit("total_matched").alias("metric"), "value",
+    )
+    full = pc.where(F.col("variant") == "full").select(F.col("largest_cc").alias("fc"))
+    cut = pc.where(F.col("variant") == "hubs_removed").select(F.col("largest_cc").alias("cc"))
+    r5 = full.crossJoin(cut).select(
+        F.lit("percolation").alias("kernel"),
+        F.lit("largest_cc_drop_ppm").alias("metric"),
+        F.expr("((fc - cc) * 1000000) DIV fc").alias("value"),
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
