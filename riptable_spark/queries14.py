@@ -9319,3 +9319,90 @@ def q620(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("((fc - cc) * 1000000) DIV fc").alias("value"),
     )
     return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+
+
+# ------------------------------------------------------------------ q621
+def _q621_oracle() -> str:
+    rounds = []
+    for r in (1, 2, 3):
+        rounds.append(f"""
+    pri{r} AS MATERIALIZED (
+        SELECT node,
+               ('0x' || substr(md5(node::VARCHAR || '#{r}'), 1, 15))::BIGINT AS p
+        FROM und{r - 1}
+    ),
+    win{r} AS MATERIALIZED (
+        SELECT a.node FROM pri{r} a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sym s JOIN pri{r} b ON b.node = s.v
+            WHERE s.u = a.node AND (b.p < a.p OR (b.p = a.p AND b.node < a.node))
+        )
+    ),
+    dead{r} AS MATERIALIZED (
+        SELECT DISTINCT s.v AS node FROM sym s JOIN win{r} w ON w.node = s.u
+    ),
+    und{r} AS MATERIALIZED (
+        SELECT node FROM und{r - 1}
+        WHERE node NOT IN (SELECT node FROM win{r})
+          AND node NOT IN (SELECT node FROM dead{r})
+    )""")
+    body = ",".join(rounds)
+    return f"""
+    WITH e AS MATERIALIZED ({_Q601_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    und0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),{body}
+    SELECT CAST(1 AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM win1) AS n_selected,
+           (SELECT CAST(count(*) AS BIGINT) FROM und1) AS n_undecided
+    UNION ALL SELECT 2, (SELECT count(*) FROM win2), (SELECT count(*) FROM und2)
+    UNION ALL SELECT 3, (SELECT count(*) FROM win3), (SELECT count(*) FROM und3)
+    """
+
+
+@query("q621_luby_mis", _q621_oracle())
+def q621(spark: SparkSession, sf: str) -> DataFrame:
+    """Luby's maximal-independent-set, three rounds: each undecided
+    node draws a fresh portable-md5 priority per round and joins the
+    set when it beats EVERY undecided neighbor (tie-broken on id);
+    selected nodes kill their neighbors.  The canonical distributed
+    symmetry breaker (scheduling, graph coloring seeds) — per-round
+    selected/undecided counts show the expected geometric collapse."""
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    base = d.select((k % 30).alias("a"), ((k * 7 + 2) % 30).alias("b")).where(
+        F.col("a") != F.col("b")
+    ).unionByName(d.select((k % 30).alias("a"), ((k % 30) + 1) % 30).toDF("a", "b"))
+    e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    und = sym.select(F.col("u").alias("node")).distinct()
+    stats = []
+    for r in (1, 2, 3):
+        pri = und.select(
+            "node",
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("node").cast("string"), F.lit(f"#{r}"))), 1, 15),
+                16, 10,
+            ).cast("long").alias("p"),
+        ).persist()
+        nb = (
+            sym.join(pri.withColumnRenamed("node", "u").withColumnRenamed("p", "pu"), "u")
+            .join(pri.withColumnRenamed("node", "v").withColumnRenamed("p", "pv"), "v")
+        )
+        losers = nb.where(
+            (F.col("pv") < F.col("pu"))
+            | ((F.col("pv") == F.col("pu")) & (F.col("v") < F.col("u")))
+        ).select(F.col("u").alias("node")).distinct()
+        win = pri.select("node").join(losers, "node", "left_anti").persist()
+        dead = (
+            sym.join(win.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        und = (
+            und.join(win, "node", "left_anti")
+            .join(dead, "node", "left_anti")
+            .localCheckpoint()
+        )
+        stats.append((r, win.count(), und.count()))
+    rows = [(int(r), int(w), int(u)) for r, w, u in stats]
+    return spark.createDataFrame(rows, "round bigint, n_selected bigint, n_undecided bigint")
