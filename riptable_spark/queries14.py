@@ -9406,3 +9406,78 @@ def q621(spark: SparkSession, sf: str) -> DataFrame:
         stats.append((r, win.count(), und.count()))
     rows = [(int(r), int(w), int(u)) for r, w, u in stats]
     return spark.createDataFrame(rows, "round bigint, n_selected bigint, n_undecided bigint")
+
+
+# ------------------------------------------------------------------ q622
+@query(
+    "q622_pacing_audit",
+    """
+    WITH hourly AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(floor(epoch(ts) / 3600.0) AS BIGINT) % 24 AS hr,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+        FROM events GROUP BY 1, 2, 3
+    ),
+    daily AS (
+        SELECT event_type, day, CAST(sum(spend) AS BIGINT) AS budget FROM hourly
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT h.event_type, h.day, h.hr, d.budget,
+               CAST(sum(h.spend) OVER (PARTITION BY h.event_type, h.day ORDER BY h.hr
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_spend
+        FROM hourly h JOIN daily d ON d.event_type = h.event_type AND d.day = h.day
+    ),
+    breach AS (
+        SELECT event_type, day,
+               min(CASE WHEN 24 * cum_spend > budget * (hr + 1) + budget THEN hr END)
+                 AS first_breach_hr
+        FROM cum GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN first_breach_hr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS days_overpaced,
+           CAST(min(first_breach_hr) AS BIGINT) AS earliest_breach_hr
+    FROM breach GROUP BY 1
+    """,
+)
+def q622(spark: SparkSession, sf: str) -> DataFrame:
+    """Budget-pacing audit: per (campaign=event_type, day) the first
+    hour whose cumulative spend runs more than one hour AHEAD of the
+    linear schedule — the overspend test 24·cum > budget·(h+2) is a
+    pure integer cross-multiplication on exact cent sums (cumulative
+    integer window over the tiny hourly relation).  Days overpaced
+    and earliest breach hour per campaign."""
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+        (F.floor(F.unix_seconds(F.col("ts")) / 3600) % 24).cast("long").alias("hr"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("spend"))
+    daily = hourly.groupBy("event_type", "day").agg(F.sum("spend").cast("long").alias("budget"))
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hourly.join(daily, ["event_type", "day"]).select(
+        "event_type", "day", "hr", "budget",
+        F.sum("spend").over(w).cast("long").alias("cum_spend"),
+    )
+    breach = cum.groupBy("event_type", "day").agg(
+        F.min(
+            F.when(
+                24 * F.col("cum_spend") > F.col("budget") * (F.col("hr") + 1) + F.col("budget"),
+                F.col("hr"),
+            )
+        ).alias("first_breach_hr")
+    )
+    return breach.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("first_breach_hr").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("days_overpaced"),
+        F.min("first_breach_hr").cast("long").alias("earliest_breach_hr"),
+    )
