@@ -9481,3 +9481,72 @@ def q622(spark: SparkSession, sf: str) -> DataFrame:
         .alias("days_overpaced"),
         F.min("first_breach_hr").cast("long").alias("earliest_breach_hr"),
     )
+
+
+# ------------------------------------------------------------------ q623
+@query(
+    "q623_truncated_dup",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 200000,
+               substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      1, CAST(greatest(n_chars // 2, 60) AS INT))
+        FROM documents WHERE doc_id < 30 AND text IS NOT NULL
+    ),
+    keyed AS (
+        SELECT doc_id, t, length(t) AS len, substr(t, 1, 50) AS k
+        FROM corpus WHERE length(t) >= 50
+    ),
+    cand AS (
+        SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+               a.len AS short_len, b.len AS long_len
+        FROM keyed a JOIN keyed b
+          ON a.k = b.k AND a.len < b.len
+        WHERE substr(b.t, 1, CAST(a.len AS INT)) = a.t
+    )
+    SELECT short_id, long_id, short_len, long_len,
+           (short_len * 1000000) // long_len AS coverage_ppm
+    FROM cand
+    """,
+)
+def q623(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated-duplicate detection (the partial-crawl curation
+    hazard): candidates block on the first 50 normalized chars (an
+    equi-join — never a substring scan across all pairs), then the
+    exact prefix test verifies; planted half-length truncations of 30
+    docs guarantee positives, coverage in integer ppm."""
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    full = d.select("doc_id", norm.alias("t"))
+    trunc = d.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "substr(regexp_replace(lower(trim(text)), '\\\\s+', ' '),"
+            " 1, CAST(greatest(n_chars DIV 2, 60) AS INT))"
+        ).alias("t"),
+    )
+    corpus = full.unionByName(trunc)
+    keyed = corpus.where(F.length("t") >= 50).select(
+        "doc_id", "t",
+        F.length("t").cast("long").alias("len"),
+        F.substring("t", 1, 50).alias("k"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("short_id"), F.col("t").alias("ta"),
+        F.col("len").alias("short_len"), "k",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("long_id"), F.col("t").alias("tb"),
+        F.col("len").alias("long_len"), F.col("k").alias("kb"),
+    )
+    cand = (
+        a.join(b, (F.col("k") == F.col("kb")) & (F.col("short_len") < F.col("long_len")))
+        .where(F.expr("substr(tb, 1, CAST(short_len AS INT)) = ta"))
+        .select("short_id", "long_id", "short_len", "long_len")
+    )
+    return cand.select(
+        "*", F.expr("(short_len * 1000000) DIV long_len").alias("coverage_ppm")
+    )
