@@ -9550,3 +9550,91 @@ def q623(spark: SparkSession, sf: str) -> DataFrame:
     return cand.select(
         "*", F.expr("(short_len * 1000000) DIV long_len").alias("coverage_ppm")
     )
+
+
+# ------------------------------------------------------------------ q624
+def _q624_oracle() -> str:
+    picks = []
+    # events span epoch days 19723-19752; the +25 effect is planted at
+    # >= 19743. Placebo tests run ONLY on pre-treatment data.
+    for label, day, flt in (
+        ("placebo_19733", 19733, "WHERE day < 19743"),
+        ("placebo_19738", 19738, "WHERE day < 19743"),
+        ("true_19743", 19743, ""),
+    ):
+        picks.append(f"""
+    SELECT '{label}' AS test, CAST({day} AS BIGINT) AS cutover_day,
+           CAST(sum(CASE WHEN treat = 1 AND day >= {day} THEN y ELSE 0 END) AS BIGINT) AS s_t1,
+           CAST(sum(CASE WHEN treat = 1 AND day >= {day} THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+           CAST(sum(CASE WHEN treat = 1 AND day < {day} THEN y ELSE 0 END) AS BIGINT) AS s_t0,
+           CAST(sum(CASE WHEN treat = 1 AND day < {day} THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+           CAST(sum(CASE WHEN treat = 0 AND day >= {day} THEN y ELSE 0 END) AS BIGINT) AS s_c1,
+           CAST(sum(CASE WHEN treat = 0 AND day >= {day} THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+           CAST(sum(CASE WHEN treat = 0 AND day < {day} THEN y ELSE 0 END) AS BIGINT) AS s_c0,
+           CAST(sum(CASE WHEN treat = 0 AND day < {day} THEN 1 ELSE 0 END) AS BIGINT) AS n_c0
+    FROM f {flt}""")
+    body = "\nUNION ALL".join(picks)
+    return f"""
+    WITH f AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+               CAST(round(value) AS BIGINT)
+                 + CASE WHEN user_id % 2 = 0
+                             AND CAST(floor(epoch(ts) / 86400.0) AS BIGINT) >= 19743
+                        THEN 25 ELSE 0 END AS y
+        FROM events
+    ),
+    cells AS ({body})
+    SELECT test, cutover_day,
+           (s_t1 / n_t1 - s_t0 / n_t0) - (s_c1 / n_c1 - s_c0 / n_c0) AS did_estimate
+    FROM cells
+    """
+
+
+@query("q624_did_placebo", _q624_oracle())
+def q624(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences with PLACEBO cutovers: the 2×2 DiD
+    (one fused conditional agg per test date) at the true policy day
+    and two PRE-TREATMENT placebo days (placebos see only
+    pre-treatment data — a placebo window crossing the real cutover
+    would absorb the true effect) — the planted +25 shows only at the
+    true date, the robustness check every DiD readout should ship
+    with.  All cells exact BIGINTs, estimates one-divide rationals."""
+    ev = load_table(spark, sf, "events")
+    day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    treat = (F.col("user_id") % 2 == 0).cast("long")
+    y = F.round(F.col("value")).cast("long") + F.when(
+        (F.col("user_id") % 2 == 0) & (day >= 19743), 25
+    ).otherwise(0)
+    f = ev.select(day.alias("day"), treat.alias("treat"), y.alias("y"))
+    outs = []
+    for label, cd, pre_only in (
+        ("placebo_19733", 19733, True),
+        ("placebo_19738", 19738, True),
+        ("true_19743", 19743, False),
+    ):
+        base = f.where(F.col("day") < 19743) if pre_only else f
+        cells = base.agg(
+            *[
+                F.sum(
+                    F.when((F.col("treat") == t) & cond, F.col("y") if s else 1).otherwise(0)
+                ).cast("long").alias(f"{'s' if s else 'n'}_{'t' if t else 'c'}{p}")
+                for t in (1, 0)
+                for p, cond in ((1, F.col("day") >= cd), (0, F.col("day") < cd))
+                for s in (True, False)
+            ]
+        )
+        did = (
+            F.col("s_t1") / F.col("n_t1") - F.col("s_t0") / F.col("n_t0")
+        ) - (F.col("s_c1") / F.col("n_c1") - F.col("s_c0") / F.col("n_c0"))
+        outs.append(
+            cells.select(
+                F.lit(label).alias("test"),
+                F.lit(cd).cast("long").alias("cutover_day"),
+                did.alias("did_estimate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
