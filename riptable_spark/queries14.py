@@ -9638,3 +9638,57 @@ def q624(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ------------------------------------------------------------------ q625
+@query(
+    "q625_training_set_assembly",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           CAST(coalesce(sum(n_view) OVER w_feat, 0) AS BIGINT) AS f_views_7d,
+           CAST(coalesce(sum(n_click) OVER w_feat, 0) AS BIGINT) AS f_clicks_7d,
+           CAST(coalesce(sum(n_error) OVER w_feat, 0) AS BIGINT) AS f_errors_7d,
+           CAST(coalesce(sum(cents) OVER w_feat, 0) AS BIGINT) AS f_spend_7d,
+           coalesce(sum(n_buy) OVER w_label, 0) > 0 AS label_buys_next_7d
+    FROM daily
+    WINDOW w_feat AS (PARTITION BY user_id ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING),
+           w_label AS (PARTITION BY user_id ORDER BY day RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING)
+    """,
+)
+def q625(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly (the feature-store
+    contract): per (user, active day) the trailing-7d behavioral
+    features use STRICTLY-BEFORE range frames and the label (purchase
+    within the NEXT 7 days) uses strictly-after — leakage-safe by
+    window construction, no as-of join needed because features and
+    labels come from one daily relation; all counts exact integers."""
+    ev = load_table(spark, sf, "events")
+    day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(c)
+            for t, c in [("view", "n_view"), ("click", "n_click"),
+                         ("error", "n_error"), ("purchase", "n_buy")]
+        ],
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+    )
+    w_feat = Window.partitionBy("user_id").orderBy("day").rangeBetween(-7, -1)
+    w_label = Window.partitionBy("user_id").orderBy("day").rangeBetween(1, 7)
+    z = F.lit(0).cast("long")
+    return daily.select(
+        "user_id", "day",
+        F.coalesce(F.sum("n_view").over(w_feat), z).cast("long").alias("f_views_7d"),
+        F.coalesce(F.sum("n_click").over(w_feat), z).cast("long").alias("f_clicks_7d"),
+        F.coalesce(F.sum("n_error").over(w_feat), z).cast("long").alias("f_errors_7d"),
+        F.coalesce(F.sum("cents").over(w_feat), z).cast("long").alias("f_spend_7d"),
+        (F.coalesce(F.sum("n_buy").over(w_label), z) > 0).alias("label_buys_next_7d"),
+    )
