@@ -9692,3 +9692,54 @@ def q625(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.sum("cents").over(w_feat), z).cast("long").alias("f_spend_7d"),
         (F.coalesce(F.sum("n_buy").over(w_label), z) > 0).alias("label_buys_next_7d"),
     )
+
+
+# ------------------------------------------------------------------ q626
+def _q626_oracle() -> str:
+    from .queries import ORACLES
+
+    base = ORACLES["q549_naive_bayes_lang"]
+    picks = []
+    for k in (6, 12):
+        inner = base.replace("[1:12]", f"[1:{k}]")
+        picks.append(
+            f"SELECT CAST({k} AS BIGINT) AS k_tokens,\n"
+            f"       CAST(count(*) AS BIGINT) AS n_docs,\n"
+            f"       CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,\n"
+            f"       (CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) * 1000000)\n"
+            f"         // count(*) AS accuracy_ppm\n"
+            f"FROM ({inner})"
+        )
+    return "\nUNION ALL\n".join(picks)
+
+
+@query("q626_nb_hyperparam", _q626_oracle())
+def q626(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperparameter comparison as a relation: the Naive Bayes
+    classifier (q549) evaluated at scoring-prefix lengths 6 and 12
+    tokens side by side, accuracy in exact integer ppm — both sides
+    reuse the registered q549 pipeline verbatim with only the prefix
+    parameter changed (the grid-search shape without a grid-search
+    framework)."""
+    from .operators.text import naive_bayes_classify
+
+    d = load_table(spark, sf, "documents")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    test = d.where(F.col("doc_id") % 2 == 1)
+    truth = test.where(F.col("text").isNotNull()).select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    outs = []
+    for k in (6, 12):
+        preds = naive_bayes_classify(train, test, "doc_id", "lang", "text", k_tokens=k)
+        hit = F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+        outs.append(
+            preds.join(truth, "doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(hit).cast("long").alias("n_correct"),
+            ).select(
+                F.lit(k).cast("long").alias("k_tokens"), "n_docs", "n_correct",
+                F.expr("(n_correct * 1000000) DIV n_docs").alias("accuracy_ppm"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
