@@ -9743,3 +9743,127 @@ def q626(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+# ------------------------------------------------------------------ q627
+def _q627_oracle() -> str:
+    from .operators import dedup as _dd
+
+    p = _dd._MERSENNE
+    params = _dd._hash_params(32)
+    mh_cols = ", ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    cfg_rows = []
+    for bands, rpb in ((8, 4), (4, 8)):
+        band_terms = " + ".join(
+            "(CASE WHEN "
+            + " AND ".join(f"sa.mh{b * rpb + r} = sb.mh{b * rpb + r}" for r in range(rpb))
+            + " THEN 1 ELSE 0 END)"
+            for b in range(bands)
+        )
+        cfg_rows.append(f"""
+    SELECT '{bands}x{rpb}' AS config,
+           (SELECT CAST((sum(CASE WHEN cand THEN 1 ELSE 0 END) * 1000000)
+                        // greatest(count(*), 1) AS BIGINT)
+            FROM (SELECT ({band_terms}) >= 1 AS cand, j.s_jac
+                  FROM j JOIN sig sa ON sa.id = j.ia JOIN sig sb ON sb.id = j.ib) x
+            WHERE s_jac >= CAST('0.9' AS DOUBLE)) AS recall_ppm,
+           (SELECT CAST((sum(CASE WHEN cand THEN 1 ELSE 0 END) * 1000000)
+                        // greatest(count(*), 1) AS BIGINT)
+            FROM (SELECT ({band_terms}) >= 1 AS cand, j.s_jac
+                  FROM j JOIN sig sa ON sa.id = j.ia JOIN sig sb ON sb.id = j.ib) x
+            WHERE s_jac < CAST('0.3' AS DOUBLE)) AS false_candidate_ppm""")
+    body = "\nUNION ALL".join(cfg_rows)
+    return rf"""
+    WITH docs AS (
+        SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 100000 AS id,
+               regexp_replace(lower(trim(text || ' calibration tail')), '\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+    ),
+    sh AS (
+        SELECT id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(t, ' ')) - 2, 1) + 1),
+                   i -> array_to_string((string_split(t, ' '))[i:i+2], ' ')))) AS s
+        FROM docs
+    ),
+    hs AS (SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h FROM sh),
+    sig AS (SELECT id, {mh_cols} FROM hs GROUP BY id),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT ia, ib, n_shared / (za.sz + zb.sz - n_shared) AS s_jac
+        FROM inter JOIN sizes za ON za.id = ia JOIN sizes zb ON zb.id = ib
+    )
+    {body}
+    """
+
+
+@query("q627_lsh_band_sweep", _q627_oracle())
+def q627(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding-config sweep over the SAME 32-perm signatures: 8×4
+    (high recall, more false candidates) vs 4×8 (stricter) evaluated
+    on the q570 planted corpus — recall on jaccard ≥ 0.9 pairs and the
+    false-candidate rate on < 0.3 pairs, both exact integer ppm; the
+    config table a dedup pipeline consults before committing shuffle
+    budget."""
+    from .operators.dedup import minhash_signature_df, shingles
+
+    base = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    d = base.where(F.col("doc_id") < 100).select("doc_id", "text").unionByName(
+        base.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" calibration tail")).alias("text"),
+        )
+    )
+    sig = minhash_signature_df(d, "text", "doc_id", num_perm=32, shingle_n=3, hash_kind="md5")
+    ex = d.select(F.col("doc_id").alias("id"), F.explode(shingles(F.col("text"), 3)).alias("s"))
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    za = sizes.select(F.col("id").alias("ia"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("id").alias("ib"), F.col("sz").alias("szb"))
+    j = inter.join(za, "ia").join(zb, "ib").select(
+        "ia", "ib",
+        (F.col("n_shared") / (F.col("sza") + F.col("szb") - F.col("n_shared"))).alias("s_jac"),
+    )
+    sa = sig.select(F.col("doc_id").alias("ia"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(32)])
+    sb = sig.select(F.col("doc_id").alias("ib"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(32)])
+    scored = j.join(sa, "ia").join(sb, "ib").persist()
+    outs = []
+    for bands, rpb in ((8, 4), (4, 8)):
+        band_terms = " + ".join(
+            "(CASE WHEN "
+            + " AND ".join(f"a{bb * rpb + r} = b{bb * rpb + r}" for r in range(rpb))
+            + " THEN 1 ELSE 0 END)"
+            for bb in range(bands)
+        )
+        cand = scored.select("s_jac", (F.expr(f"({band_terms})") >= 1).alias("cand"))
+        hi = cand.where(F.col("s_jac") >= 0.9).agg(
+            F.expr(
+                "CAST((sum(CASE WHEN cand THEN 1 ELSE 0 END) * 1000000)"
+                " DIV greatest(count(*), 1) AS BIGINT)"
+            ).alias("recall_ppm")
+        )
+        lo = cand.where(F.col("s_jac") < 0.3).agg(
+            F.expr(
+                "CAST((sum(CASE WHEN cand THEN 1 ELSE 0 END) * 1000000)"
+                " DIV greatest(count(*), 1) AS BIGINT)"
+            ).alias("false_candidate_ppm")
+        )
+        outs.append(
+            hi.crossJoin(lo).select(
+                F.lit(f"{bands}x{rpb}").alias("config"), "recall_ppm", "false_candidate_ppm"
+            )
+        )
+    return outs[0].unionByName(outs[1])
