@@ -9867,3 +9867,85 @@ def q627(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+# ------------------------------------------------------------------ q628
+def _q628_oracle() -> str:
+    picks = []
+    for p in (6, 8):
+        m = 1 << p
+        rem = 60 - p
+        alpha = repr(0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << 53))
+        picks.append(f"""
+    SELECT CAST({p} AS BIGINT) AS p, CAST({m} AS BIGINT) AS m, exact_distinct,
+           round(CASE WHEN {alpha} / ((s + ({m} - used) * (1::BIGINT << 53)))::DOUBLE
+                           <= CAST('2.5' AS DOUBLE) * {m} AND ({m} - used) > 0
+                      THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / ({m} - used))
+                      ELSE {alpha} / ((s + ({m} - used) * (1::BIGINT << 53)))::DOUBLE
+                 END, 6) AS estimate
+    FROM (
+        SELECT count(*) AS used, sum((1::BIGINT << (53 - rho))) AS s
+        FROM (
+            SELECT CAST(hv >> {rem} AS INT) AS bucket,
+                   max(CAST(CASE WHEN (hv & ((1::BIGINT << {rem}) - 1)) = 0 THEN {rem + 1}
+                        ELSE {rem} - length(bin(hv & ((1::BIGINT << {rem}) - 1))) + 1
+                   END AS INT)) AS rho
+            FROM h GROUP BY 1
+        )
+    ) CROSS JOIN ex""")
+    body = "\nUNION ALL".join(picks)
+    return f"""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    ex AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events WHERE user_id IS NOT NULL
+    )
+    {body}
+    """
+
+
+@query("q628_hll_p_sweep", _q628_oracle())
+def q628(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL precision sweep: the SAME portable hash stream estimated at
+    p=6 (64 registers) and p=8 (256) beside the exact distinct count —
+    the register-budget sizing table (4× memory buys ~2× lower
+    standard error); integer-harmonic sums, the 2.5m small-range
+    switch with m-scaled thresholds (operators/sketch.hll_registers_by
+    parameterization)."""
+    from .operators.sketch import hll_registers_by
+
+    ev = load_table(spark, sf, "events")
+    ex = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    outs = []
+    for p in (6, 8):
+        m = 1 << p
+        alpha = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << 53)
+        regs = hll_registers_by(
+            ev.select(F.lit(1).alias("g"), "user_id"), ["g"], "user_id", p=p, hash_kind="md5"
+        )
+        agg = regs.agg(
+            F.count(F.lit(1)).alias("used"),
+            F.sum(F.expr("CAST(shiftleft(1L, 53 - rho) AS BIGINT)")).alias("s"),
+        )
+        raw = F.lit(alpha) / (
+            (F.col("s") + (F.lit(m) - F.col("used")) * F.lit(1 << 53)).cast("double")
+        )
+        v = F.lit(m) - F.col("used")
+        est = F.when(
+            (raw <= F.lit(2.5) * m) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        ).otherwise(raw)
+        outs.append(
+            agg.crossJoin(F.broadcast(ex)).select(
+                F.lit(p).cast("long").alias("p"),
+                F.lit(m).cast("long").alias("m"),
+                "exact_distinct",
+                F.round(est, 6).alias("estimate"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
