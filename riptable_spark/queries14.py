@@ -9949,3 +9949,103 @@ def q628(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+# ------------------------------------------------------------------ q629
+@query(
+    "q629_bloom_fpr_audit",
+    """
+    WITH members AS (
+        SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS key
+        FROM events WHERE event_type = 'purchase'
+    ),
+    probes AS (
+        SELECT DISTINCT 'absent' || CAST(event_id % 5000 AS VARCHAR) AS key FROM events
+    ),
+    ks(i) AS (VALUES (0), (1), (2)),
+    bpos AS (
+        SELECT DISTINCT
+               (('0x' || substr(md5(key || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 8192)
+                 AS pos
+        FROM members CROSS JOIN ks
+    ),
+    words AS (
+        SELECT pos // 63 AS w, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        FROM bpos GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS set_bits FROM words
+    ),
+    ppos AS (
+        SELECT key,
+               (('0x' || substr(md5(key || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 8192)
+                 AS pos
+        FROM probes CROSS JOIN ks
+    ),
+    hits AS (
+        SELECT key FROM ppos JOIN words ON words.w = ppos.pos // 63
+        WHERE ((words.bits >> CAST(pos % 63 AS INT)) & 1) = 1
+        GROUP BY key HAVING count(*) = 3
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+           s.set_bits,
+           (s.set_bits * 1000000) // 8192 AS density_ppm,
+           (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+           ((SELECT CAST(count(*) AS BIGINT) FROM hits) * 1000000)
+             // (SELECT count(*) FROM probes) AS measured_fp_ppm,
+           round((s.set_bits / CAST(8192.0 AS DOUBLE))
+                 * (s.set_bits / CAST(8192.0 AS DOUBLE))
+                 * (s.set_bits / CAST(8192.0 AS DOUBLE)) * 1000000, 3) AS theory_fp_ppm
+    FROM stats s
+    """,
+)
+def q629(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter false-positive audit: an 8192-bit / 3-hash filter
+    over purchase users is probed with a DISJOINT key namespace —
+    measured FP rate in exact integer ppm beside the density³ theory
+    (mirrored double chain); the bit array itself is rebuilt by both
+    engines (63-bit word convention), so filter, probes, and theory
+    all replay."""
+    from .operators.pipeline import _bloom_pos
+
+    m, k = 8192, 3
+    ev = load_table(spark, sf, "events")
+    members = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("key"))
+        .distinct()
+    )
+    probes = ev.select(
+        F.concat(F.lit("absent"), (F.col("event_id") % 5000).cast("string")).alias("key")
+    ).distinct()
+    entries = F.explode(
+        F.array(*[_bloom_pos(F.col("key"), i, m, "md5") for i in range(k)])
+    ).alias("pos")
+    bpos = members.select(entries).distinct()
+    words = bpos.select(
+        F.expr("pos DIV 63").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("b"),
+    ).groupBy("w").agg(F.bit_or("b").alias("bits"))
+    stats = words.agg(F.sum(F.bit_count("bits")).cast("long").alias("set_bits"))
+    ppos = probes.select("key", entries)
+    hits = (
+        ppos.join(words, F.col("w") == F.expr("pos DIV 63"))
+        .where(F.expr("((bits >> CAST(pos % 63 AS INT)) & 1) = 1"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == k)
+    )
+    nm = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    np_ = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    d = F.col("set_bits") / F.lit(8192.0)
+    return (
+        stats.crossJoin(F.broadcast(nm)).crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nh))
+        .select(
+            "n_members", "set_bits",
+            F.expr("(set_bits * 1000000) DIV 8192").alias("density_ppm"),
+            "n_probes",
+            F.expr("(n_fp * 1000000) DIV n_probes").alias("measured_fp_ppm"),
+            F.round(d * d * d * 1000000, 3).alias("theory_fp_ppm"),
+        )
+    )
