@@ -10049,3 +10049,59 @@ def q629(spark: SparkSession, sf: str) -> DataFrame:
             F.round(d * d * d * 1000000, 3).alias("theory_fp_ppm"),
         )
     )
+
+
+# ------------------------------------------------------------------ q630
+def _q630_oracle() -> str:
+    from .queries import ORACLES
+
+    return f"""
+    WITH lsh AS ({ORACLES["q627_lsh_band_sweep"]}),
+    hll AS ({ORACLES["q628_hll_p_sweep"]}),
+    bloom AS ({ORACLES["q629_bloom_fpr_audit"]})
+    SELECT 'lsh_bands:' || config AS technique, 'recall_ppm' AS metric,
+           CAST(recall_ppm AS DOUBLE) AS value
+    FROM lsh
+    UNION ALL
+    SELECT 'hll_p' || CAST(p AS VARCHAR), 'abs_err_ppm',
+           round(abs(estimate - exact_distinct) * 1000000 / exact_distinct, 3)
+    FROM hll
+    UNION ALL
+    SELECT 'bloom_8192x3', 'theory_gap_ppm',
+           round(abs(measured_fp_ppm - theory_fp_ppm), 3)
+    FROM bloom
+    """
+
+
+@query("q630_approximation_board", _q630_oracle())
+def q630(spark: SparkSession, sf: str) -> DataFrame:
+    """QUERY 630 — the approximation audit board: LSH banding recalls
+    (q627), HLL precision errors (q628), and the Bloom measured-vs-
+    theory gap (q629) in one relation, every number produced AND
+    SQL-replayed by registered pipelines — the one-page answer to
+    "which approximation parameters are safe on this corpus"."""
+    from .queries import QUERIES
+
+    lsh = QUERIES["q627_lsh_band_sweep"](spark, sf)
+    hll = QUERIES["q628_hll_p_sweep"](spark, sf)
+    bloom = QUERIES["q629_bloom_fpr_audit"](spark, sf)
+    r1 = lsh.select(
+        F.concat(F.lit("lsh_bands:"), F.col("config")).alias("technique"),
+        F.lit("recall_ppm").alias("metric"),
+        F.col("recall_ppm").cast("double").alias("value"),
+    )
+    r2 = hll.select(
+        F.concat(F.lit("hll_p"), F.col("p").cast("string")).alias("technique"),
+        F.lit("abs_err_ppm").alias("metric"),
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct")) * 1000000
+            / F.col("exact_distinct"),
+            3,
+        ).alias("value"),
+    )
+    r3 = bloom.select(
+        F.lit("bloom_8192x3").alias("technique"),
+        F.lit("theory_gap_ppm").alias("metric"),
+        F.round(F.abs(F.col("measured_fp_ppm") - F.col("theory_fp_ppm")), 3).alias("value"),
+    )
+    return r1.unionByName(r2).unionByName(r3)
