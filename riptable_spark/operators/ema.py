@@ -433,7 +433,7 @@ def holt_linear(
     df: DataFrame,
     keys: list[str],
     valcol: str,
-    order_col: str,
+    order_col: str | list[str],
     alpha: float = 0.3,
     beta: float = 0.1,
     out_prefix: str = "holt",
@@ -442,7 +442,9 @@ def holt_linear(
         l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
         b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
     initialized l_1 = x_1, b_1 = 0 — the standard trend-aware smoother
-    and one-step-ahead forecast (l + b).
+    and one-step-ahead forecast (l + b).  ``order_col`` may be a list of
+    columns for a composite total order (required for hash-stable
+    output when a single column has ties).
 
     Two COUPLED recurrences have no closed form (single EMAs do — see
     ema_decay's codegen path), so this is an Arrow-batched

@@ -8,7 +8,7 @@ Registers into the same QUERIES/ORACLES dicts as queries.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import query
@@ -3234,47 +3234,162 @@ def q328(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ q329
-@query("q329_fifo_pnl")  # rows-only: FIFO lot matching is a stateful
-# recurrence with no SQL closed form; correctness is pinned by the
-# hand-case tests and the flat-book invariant vs q264's linear MtM
-# (tests/test_batch16_ops.py::test_fifo_pnl_total_matches_linear_mtm).
+@query(
+    "q329_fifo_pnl",
+    # Full SQL replay via the cumulative-quantity interval identity: with
+    # a synthetic opening buy sized to cover every later sell (position
+    # never flips, all lots long), FIFO matching is EXACTLY the overlap
+    # of each sell's cumulative-sell interval [cumS_prev, cumS) with the
+    # buys' cumulative-buy intervals [cumB_prev, cumB) — an equi+range
+    # join, no recursion.  All cents·qty math is integer, so the DP scan
+    # and the interval join agree bit-for-bit.
+    """
+    WITH fills0 AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS s,
+               CAST(round(value * 100) AS BIGINT) AS p,
+               event_id % 5 + 1 AS q,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    openrow AS (
+        SELECT user_id, CAST(-1 AS BIGINT) AS event_id, 1 AS s,
+               CAST(5000 AS BIGINT) AS p,
+               CAST(sum(CASE WHEN s = -1 THEN q ELSE 0 END) + 1 AS BIGINT) AS q,
+               CAST(0 AS BIGINT) AS rk
+        FROM fills0 GROUP BY user_id
+    ),
+    fills AS (
+        SELECT user_id, event_id, s, p, CAST(q AS BIGINT) AS q, CAST(rk AS BIGINT) AS rk
+        FROM fills0
+        UNION ALL SELECT * FROM openrow
+    ),
+    buys AS (
+        SELECT user_id, rk, p,
+               sum(q) OVER (PARTITION BY user_id ORDER BY rk
+                            ROWS UNBOUNDED PRECEDING) - q AS lo,
+               sum(q) OVER (PARTITION BY user_id ORDER BY rk
+                            ROWS UNBOUNDED PRECEDING) AS hi
+        FROM fills WHERE s = 1
+    ),
+    sells AS (
+        SELECT user_id, rk, p,
+               sum(q) OVER (PARTITION BY user_id ORDER BY rk
+                            ROWS UNBOUNDED PRECEDING) - q AS lo,
+               sum(q) OVER (PARTITION BY user_id ORDER BY rk
+                            ROWS UNBOUNDED PRECEDING) AS hi
+        FROM fills WHERE s = -1
+    ),
+    matched AS (
+        SELECT s.user_id, s.rk,
+               sum((least(b.hi, s.hi) - greatest(b.lo, s.lo)) * (s.p - b.p)) AS r
+        FROM sells s
+        JOIN buys b ON b.user_id = s.user_id AND b.lo < s.hi AND s.lo < b.hi
+        GROUP BY 1, 2
+    ),
+    perrow AS (
+        SELECT f.user_id, f.event_id, f.rk, f.s * f.q AS dq, COALESCE(m.r, 0) AS r
+        FROM fills f
+        LEFT JOIN matched m ON m.user_id = f.user_id AND m.rk = f.rk
+    )
+    SELECT user_id, event_id,
+           CAST(sum(r) OVER (PARTITION BY user_id ORDER BY rk
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS realized_cents,
+           CAST(sum(dq) OVER (PARTITION BY user_id ORDER BY rk
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS position_after
+    FROM perrow
+    QUALIFY event_id >= 0
+    """,
+)
 def q329(spark: SparkSession, sf: str) -> DataFrame:
     """FIFO lot-based realized P&L over the signed fill stream
-    (purchase=buy, click=sell, deterministic qty): one Arrow-batched
-    applyInPandas scan per user — the path-dependent accounting the
-    linear pnl_curve cannot express."""
+    (purchase=buy, click=sell, deterministic qty) with a synthetic
+    opening buy per user sized to cover all later sells — one
+    Arrow-batched applyInPandas scan per user (the path-dependent
+    accounting the linear pnl_curve cannot express), hash-checked
+    against the cumulative-interval FIFO identity."""
     from .operators import finance
 
     ev = load_table(spark, sf, "events").where(F.col("event_type").isin("purchase", "click"))
-    fills = ev.select(
-        "user_id", "ts", "event_id",
+    fills0 = ev.select(
+        "user_id",
+        "event_id",
         F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("s"),
         F.col("value").alias("price"),
         (F.col("event_id") % 5 + 1).alias("q"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("rk"),
     )
-    out = finance.fifo_pnl(fills, "user_id", ["ts", "event_id"], "s", "price", "q")
-    return out.select(
+    openrow = fills0.groupBy("user_id").agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(1).alias("s"),
+        F.lit(50.0).alias("price"),
+        (F.sum(F.when(F.col("s") == -1, F.col("q")).otherwise(0)) + 1)
+        .cast("long")
+        .alias("q"),
+        F.lit(0).cast("long").alias("rk"),
+    )
+    fills = fills0.unionByName(openrow)
+    out = finance.fifo_pnl(fills, "user_id", ["rk", "event_id"], "s", "price", "q")
+    return out.where(F.col("event_id") >= 0).select(
         "user_id", "event_id", "realized_cents", "position_after"
     )
 
 
 # ------------------------------------------------------------------ q330
-@query("q330_holt_forecast")  # rows-only: two coupled recurrences have
-# no SQL closed form; pinned by manual-recurrence and convergence tests.
+_HOLT_A, _HOLT_B = 0.3, 0.1
+_HOLT_LEV = (
+    f"CAST('{_HOLT_A!r}' AS DOUBLE) * f.x"
+    f" + CAST('{1 - _HOLT_A!r}' AS DOUBLE) * (s.lev + s.tr)"
+)
+
+
+@query(
+    "q330_holt_forecast",
+    # Full SQL replay: the coupled level/trend recurrence advances one
+    # ranked row per user per recursive-CTE iteration with the IDENTICAL
+    # IEEE-double expression tree the numpy scan evaluates (constants
+    # shipped as quoted strings, each +,·,− correctly rounded in both
+    # engines) — bit-identical, no rounding needed.
+    f"""
+    WITH RECURSIVE v AS (
+        SELECT user_id, event_id, value AS x,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) AS rk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, rk, event_id, x AS lev, CAST(0 AS DOUBLE) AS tr
+        FROM v WHERE rk = 1
+        UNION ALL
+        SELECT f.user_id, f.rk, f.event_id,
+               {_HOLT_LEV} AS lev,
+               CAST('{_HOLT_B!r}' AS DOUBLE) * (({_HOLT_LEV}) - s.lev)
+                   + CAST('{1 - _HOLT_B!r}' AS DOUBLE) * s.tr AS tr
+        FROM s JOIN v f ON f.user_id = s.user_id AND f.rk = s.rk + 1
+    )
+    SELECT user_id, event_id, lev AS holt_level, tr AS holt_trend,
+           lev + tr AS holt_forecast
+    FROM s
+    """,
+)
 def q330(spark: SparkSession, sf: str) -> DataFrame:
     """Holt double-exponential level/trend smoothing of each user's
     value path (one-step-ahead forecast): Arrow-batched scan per key —
-    the trend-aware sibling of the ema family."""
+    the trend-aware sibling of the ema family.  Ordered by the
+    (ts, event_id) composite total order so the replay is
+    deterministic; hash-checked bit-for-bit against a recursive-CTE
+    replay of the same IEEE expression tree."""
     from .operators.ema import holt_linear
 
     ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
-    out = holt_linear(ev.withColumn("__o__", F.unix_micros(F.col("ts")) * 100 + F.col("event_id") % 100),
-                      ["user_id"], "value", "__o__")
+    out = holt_linear(ev, ["user_id"], "value", ["ts", "event_id"],
+                      alpha=_HOLT_A, beta=_HOLT_B)
     return out.select(
         "user_id", "event_id",
-        F.round(F.col("holt_level"), 6).alias("holt_level"),
-        F.round(F.col("holt_trend"), 6).alias("holt_trend"),
-        F.round(F.col("holt_forecast"), 6).alias("holt_forecast"),
+        F.col("holt_level"), F.col("holt_trend"), F.col("holt_forecast"),
     )
 
 

@@ -19,10 +19,62 @@ from .sources.io import load_table
 
 
 # ------------------------------------------------------------------ q343
-@query("q343_wac_pnl")  # rows-only: the moving-average cost basis is a
-# non-linear recurrence (ratio of running state) with no SQL closed
-# form; correctness is pinned by hand-case tests and the flat-book
-# path-independence invariant vs fifo_pnl (tests/test_batch17_ops.py).
+@query(
+    "q343_wac_pnl",
+    # Full SQL replay of the WAC ledger: a recursive CTE advances the
+    # integer state (position, cost basis, realized) one fill at a time
+    # per user — every operation (blend, rounded basis removal, flip)
+    # is exact BIGINT arithmetic, so the replay is bit-identical to the
+    # Arrow scan.  Iteration count = max fills per user (≤ ~45 at any
+    # SF), working set = one row per user.
+    """
+    WITH RECURSIVE fills AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS s,
+               CAST(round(value * 100) AS BIGINT) AS p,
+               CAST(event_id % 5 + 1 AS BIGINT) AS q,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) AS rk
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    steps AS (
+        SELECT user_id, CAST(0 AS BIGINT) AS rk, CAST(NULL AS BIGINT) AS event_id,
+               CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost,
+               CAST(0 AS BIGINT) AS realized
+        FROM (SELECT DISTINCT user_id FROM fills)
+        UNION ALL
+        SELECT user_id, rk, event_id,
+               CASE WHEN opening THEN pos + s * q
+                    WHEN q - m > 0 THEN s * (q - m)
+                    ELSE pos + s * m END AS pos,
+               CASE WHEN opening THEN cost + p * q
+                    WHEN q - m > 0 THEN p * (q - m)
+                    WHEN pos + s * m = 0 THEN 0
+                    ELSE cost - removed END AS cost,
+               CASE WHEN opening THEN realized
+                    ELSE realized + (p * m - removed)
+                         * (CASE WHEN pos > 0 THEN 1 ELSE -1 END) END AS realized
+        FROM (
+            SELECT st.user_id, f.rk, f.event_id, st.pos, st.cost, st.realized,
+                   f.s, f.p, f.q,
+                   (st.pos = 0 OR (CASE WHEN st.pos > 0 THEN 1 ELSE -1 END) = f.s)
+                       AS opening,
+                   least(f.q, abs(st.pos)) AS m,
+                   CASE WHEN st.pos = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (abs(st.cost) * least(f.q, abs(st.pos))
+                              + abs(st.pos) // 2) // abs(st.pos)
+                             * (CASE WHEN st.cost >= 0 THEN 1 ELSE -1 END)
+                   END AS removed
+            FROM steps st JOIN fills f
+              ON f.user_id = st.user_id AND f.rk = st.rk + 1
+        )
+    )
+    SELECT user_id, event_id,
+           CAST(realized AS BIGINT) AS realized_cents,
+           CAST(pos AS BIGINT) AS position_after
+    FROM steps WHERE rk >= 1
+    """,
+)
 def q343(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted-average-cost realized P&L over the same signed fill
     stream as q329 (purchase=buy, click=sell): one Arrow-batched

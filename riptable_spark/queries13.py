@@ -2526,10 +2526,57 @@ def q458(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ q459
-@query("q459_viterbi_regimes")  # rows-only: the min-sum Viterbi DP is a
-# path-dependent recurrence (each step's costs depend on the previous
-# argmin); pinned by hand-case + dominance-invariant tests
-# (tests/test_batch19_ops.py).
+@query(
+    "q459_viterbi_regimes",
+    # Full SQL replay of the min-sum Viterbi DP: a forward recursive CTE
+    # carries the two state costs (d0, d1) per step — integer-exact, so
+    # the recurrence is engine-identical — and a backward recursive CTE
+    # re-derives each back pointer from the stored forward costs (the
+    # Python scan's `back[t]` tuple is a pure function of d0_t, d1_t and
+    # the switch cost, same `<=` tie-breaks).
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+        FROM daily
+    ),
+    fwd AS (
+        SELECT event_type, t, day, n,
+               abs(n - 10) AS d0, abs(n - 30) AS d1
+        FROM r WHERE t = 1
+        UNION ALL
+        SELECT r.event_type, r.t, r.day, r.n,
+               abs(r.n - 10) + least(f.d0, f.d1 + 2000) AS d0,
+               abs(r.n - 30) + least(f.d1, f.d0 + 2000) AS d1
+        FROM fwd f JOIN r ON r.event_type = f.event_type AND r.t = f.t + 1
+    ),
+    bwd AS (
+        SELECT f.event_type, f.t,
+               CASE WHEN f.d0 <= f.d1 THEN 0 ELSE 1 END AS state,
+               least(f.d0, f.d1) AS total
+        FROM fwd f
+        JOIN (SELECT event_type, max(t) AS mt FROM fwd GROUP BY 1) m
+          ON m.event_type = f.event_type AND f.t = m.mt
+        UNION ALL
+        SELECT p.event_type, p.t,
+               CASE WHEN b.state = 0
+                    THEN (CASE WHEN p.d0 <= p.d1 + 2000 THEN 0 ELSE 1 END)
+                    ELSE (CASE WHEN p.d1 <= p.d0 + 2000 THEN 1 ELSE 0 END)
+               END AS state,
+               b.total
+        FROM bwd b JOIN fwd p ON p.event_type = b.event_type AND p.t = b.t - 1
+    )
+    SELECT f.event_type, f.day, f.n AS obs,
+           CAST(b.state AS INT) AS state,
+           CAST(b.total AS BIGINT) AS total_cost
+    FROM fwd f JOIN bwd b ON b.event_type = f.event_type AND b.t = f.t
+    """,
+)
 def q459(spark: SparkSession, sf: str) -> DataFrame:
     """Two-state burst/quiet regime decoding per event type
     (operators/ema.viterbi_two_state): emission cost |obs − level_s|
