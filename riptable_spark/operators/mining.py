@@ -473,6 +473,7 @@ def elo_ratings(
     k: float = 32.0,
     base: float = 1500.0,
     scale: float = 400.0,
+    expectation: str = "logistic",
 ) -> DataFrame:
     """Elo ratings per league — the classic sequential skill model.  The
     update is inherently path-dependent (each game's expectation uses
@@ -481,11 +482,19 @@ def elo_ratings(
     league replay in order.  e_b is computed as 1 − e_a so each game's
     update is exactly zero-sum in floating point — Σ(rating − base) per
     league is identically 0 (tested).  Returns
-    (group, player, rating, n_games, n_wins).  Rows-only correctness
-    (no SQL closed form); pinned by hand cases + invariants.
+    (group, player, rating, n_games, n_wins).
+
+    ``expectation`` picks the win-probability curve: ``"logistic"`` is
+    the classic 1/(1+10^(Δ/scale)) (transcendental — pow is not
+    cross-engine bit-reproducible, so correctness there is pinned by
+    hand cases + the zero-sum invariant); ``"linear"`` is the clamped
+    piecewise-linear table approximation 0.5 + Δ/(2·scale), every step
+    a correctly-rounded IEEE op, which makes the whole scan
+    hash-checkable against a recursive-SQL replay (q410's oracle).
     """
     import pandas as pd
 
+    linear = expectation == "linear"
     out_schema = (
         f"{group_col} long, player long, rating double, n_games long, n_wins long"
     )
@@ -498,7 +507,14 @@ def elo_ratings(
         for pa, pb, sa in zip(pdf[player_a_col], pdf[player_b_col], pdf[score_a_col]):
             ra = ratings.get(pa, base)
             rb = ratings.get(pb, base)
-            e_a = 1.0 / (1.0 + 10.0 ** ((rb - ra) / scale))
+            if linear:
+                e_a = 0.5 + (ra - rb) / (2.0 * scale)
+                if e_a < 0.0:
+                    e_a = 0.0
+                elif e_a > 1.0:
+                    e_a = 1.0
+            else:
+                e_a = 1.0 / (1.0 + 10.0 ** ((rb - ra) / scale))
             e_b = 1.0 - e_a
             sa = float(sa)
             ratings[pa] = ra + k * (sa - e_a)

@@ -351,27 +351,76 @@ def q348(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ q349
-@query("q349_holt_winters")  # rows-only: three coupled recurrences
-# (one with a seasonal lag) have no SQL closed form; pinned by the
-# γ=0 ≡ holt_linear bit-for-bit property and seasonal-convergence
-# tests in tests/test_batch17_ops.py.
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2
+_HW_SLAG = (
+    "CASE (f.rk - 1) % 4 WHEN 0 THEN st.s0 WHEN 1 THEN st.s1"
+    " WHEN 2 THEN st.s2 ELSE st.s3 END"
+)
+
+
+@query(
+    "q349_holt_winters",
+    # Full SQL replay of the triple recurrence at period 4: the four
+    # seasonal slots ride the recursive CTE as explicit columns; each
+    # step evaluates the IDENTICAL IEEE-double expression tree as the
+    # numpy scan (lateral aliases name s_lag → level → trend → season
+    # in dependency order), so the replay is bit-identical unrounded.
+    f"""
+    WITH RECURSIVE v AS (
+        SELECT user_id, event_id, value AS x,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS BIGINT) AS rk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, rk, event_id, x AS l, CAST(0 AS DOUBLE) AS b,
+               CAST(0 AS DOUBLE) AS s0, CAST(0 AS DOUBLE) AS s1,
+               CAST(0 AS DOUBLE) AS s2, CAST(0 AS DOUBLE) AS s3,
+               CAST(0 AS DOUBLE) AS s_out, CAST('NaN' AS DOUBLE) AS fct
+        FROM v WHERE rk = 1
+        UNION ALL
+        SELECT user_id, rk, event_id, l_new AS l, b_new AS b,
+               CASE WHEN tmod = 0 THEN s_new ELSE s0 END AS s0,
+               CASE WHEN tmod = 1 THEN s_new ELSE s1 END AS s1,
+               CASE WHEN tmod = 2 THEN s_new ELSE s2 END AS s2,
+               CASE WHEN tmod = 3 THEN s_new ELSE s3 END AS s3,
+               s_new AS s_out, fct
+        FROM (
+            SELECT st.user_id, f.rk, f.event_id,
+                   st.s0, st.s1, st.s2, st.s3,
+                   (f.rk - 1) % 4 AS tmod,
+                   {_HW_SLAG} AS s_lag,
+                   st.l + st.b + s_lag AS fct,
+                   CAST('{_HW_A!r}' AS DOUBLE) * (f.x - s_lag)
+                       + CAST('{1 - _HW_A!r}' AS DOUBLE) * (st.l + st.b) AS l_new,
+                   CAST('{_HW_B!r}' AS DOUBLE) * (l_new - st.l)
+                       + CAST('{1 - _HW_B!r}' AS DOUBLE) * st.b AS b_new,
+                   CAST('{_HW_G!r}' AS DOUBLE) * (f.x - l_new)
+                       + CAST('{1 - _HW_G!r}' AS DOUBLE) * s_lag AS s_new
+            FROM s st JOIN v f ON f.user_id = st.user_id AND f.rk = st.rk + 1
+        )
+    )
+    SELECT user_id, event_id, l AS hw_level, b AS hw_trend,
+           s_out AS hw_season, fct AS hw_forecast
+    FROM s
+    """,
+)
 def q349(spark: SparkSession, sf: str) -> DataFrame:
-    """Additive Holt-Winters (level+trend+season, period 24) over each
+    """Additive Holt-Winters (level+trend+season, period 4) over each
     user's value path — one Arrow-batched scan per key; completes the
-    ema_decay → holt_linear → holt_winters forecasting ladder."""
+    ema_decay → holt_linear → holt_winters forecasting ladder.
+    Hash-checked bit-for-bit against a recursive-CTE replay carrying
+    the four seasonal slots as columns."""
     from .operators.ema import holt_winters
 
     ev = load_table(spark, sf, "events").select("user_id", "event_id", "value")
     out = holt_winters(
         ev.withColumn("__o__", F.col("event_id")), ["user_id"], "value", "__o__",
-        period=24,
+        period=4, alpha=_HW_A, beta=_HW_B, gamma=_HW_G,
     )
     return out.select(
         "user_id", "event_id",
-        F.round(F.col("hw_level"), 6).alias("hw_level"),
-        F.round(F.col("hw_trend"), 6).alias("hw_trend"),
-        F.round(F.col("hw_season"), 6).alias("hw_season"),
-        F.round(F.col("hw_forecast"), 6).alias("hw_forecast"),
+        F.col("hw_level"), F.col("hw_trend"), F.col("hw_season"), F.col("hw_forecast"),
     )
 
 

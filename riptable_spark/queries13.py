@@ -400,31 +400,120 @@ def q409(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ q410
-@query("q410_elo_ratings")  # rows-only: each game's expectation uses the
-# CURRENT ratings — a path-dependent recurrence with no SQL closed form;
-# pinned by hand-case + exact zero-sum invariant tests
-# (tests/test_batch19_ops.py).
+@query(
+    "q410_elo_ratings",
+    # Full SQL replay: one recursive-CTE row per league carries all 40
+    # player ratings (plus game/win counters) as lists; each iteration
+    # replays one game with the scan's exact IEEE expression tree —
+    # clamped LINEAR expectation, so every step is a correctly-rounded
+    # +,−,·,/ (no transcendental pow) and the replay is bit-identical.
+    """
+    WITH RECURSIVE g0 AS (
+        SELECT user_id % 5 AS league, ts, event_id,
+               event_id % 40 AS pa, (event_id * 13 + 7) % 40 AS pb,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) % 10 = 0
+                         THEN CAST('0.5' AS DOUBLE)
+                    WHEN CAST(round(value * 100) AS BIGINT) % 2 = 0
+                         THEN CAST('0.0' AS DOUBLE)
+                    ELSE CAST('1.0' AS DOUBLE) END AS sa
+        FROM events
+        WHERE event_id % 40 != (event_id * 13 + 7) % 40
+    ),
+    g AS (
+        SELECT * FROM (
+            SELECT league, pa, pb, sa,
+                   row_number() OVER (PARTITION BY league
+                                      ORDER BY ts, event_id) AS t
+            FROM g0
+        ) WHERE t <= 300
+    ),
+    st AS (
+        SELECT league, CAST(0 AS BIGINT) AS t,
+               [CAST(1500 AS DOUBLE) FOR _ IN range(40)] AS r,
+               [CAST(0 AS BIGINT) FOR _ IN range(40)] AS ng,
+               [CAST(0 AS BIGINT) FOR _ IN range(40)] AS nw
+        FROM (SELECT DISTINCT league FROM g)
+        UNION ALL
+        SELECT league, t,
+               list_transform(r, (x, i) ->
+                   CASE WHEN i - 1 = pa THEN x + upd_a
+                        WHEN i - 1 = pb THEN x + upd_b
+                        ELSE x END) AS r,
+               list_transform(ng, (x, i) ->
+                   CASE WHEN i - 1 = pa OR i - 1 = pb THEN x + 1
+                        ELSE x END) AS ng,
+               list_transform(nw, (x, i) ->
+                   CASE WHEN (i - 1 = pa AND sa = CAST('1.0' AS DOUBLE))
+                          OR (i - 1 = pb AND sa = CAST('0.0' AS DOUBLE))
+                        THEN x + 1 ELSE x END) AS nw
+        FROM (
+            SELECT s.league, gm.t, gm.pa, gm.pb, gm.sa, s.r, s.ng, s.nw,
+                   least(CAST('1.0' AS DOUBLE), greatest(CAST('0.0' AS DOUBLE),
+                       CAST('0.5' AS DOUBLE)
+                       + (s.r[gm.pa + 1] - s.r[gm.pb + 1])
+                         / CAST('800.0' AS DOUBLE))) AS e_a,
+                   CAST('32.0' AS DOUBLE)
+                       * (gm.sa - least(CAST('1.0' AS DOUBLE),
+                              greatest(CAST('0.0' AS DOUBLE),
+                                  CAST('0.5' AS DOUBLE)
+                                  + (s.r[gm.pa + 1] - s.r[gm.pb + 1])
+                                    / CAST('800.0' AS DOUBLE)))) AS upd_a,
+                   CAST('32.0' AS DOUBLE)
+                       * ((CAST('1.0' AS DOUBLE) - gm.sa)
+                          - (CAST('1.0' AS DOUBLE)
+                             - least(CAST('1.0' AS DOUBLE),
+                                   greatest(CAST('0.0' AS DOUBLE),
+                                       CAST('0.5' AS DOUBLE)
+                                       + (s.r[gm.pa + 1] - s.r[gm.pb + 1])
+                                         / CAST('800.0' AS DOUBLE))))) AS upd_b
+            FROM st s JOIN g gm ON gm.league = s.league AND gm.t = s.t + 1
+        )
+    ),
+    fin AS (
+        SELECT s.league, s.r, s.ng, s.nw
+        FROM st s
+        JOIN (SELECT league, max(t) AS mt FROM st GROUP BY 1) m
+          ON m.league = s.league AND s.t = m.mt
+    )
+    SELECT f.league, CAST(p.p - 1 AS BIGINT) AS player,
+           f.r[p.p] AS rating, f.ng[p.p] AS n_games, f.nw[p.p] AS n_wins
+    FROM fin f, range(1, 41) p(p)
+    WHERE f.ng[p.p] > 0
+    """,
+)
 def q410(spark: SparkSession, sf: str) -> DataFrame:
     """Elo ratings per league (operators/mining.elo_ratings) over a
-    deterministic synthetic match stream: leagues partition the Arrow
-    scan (the fifo_pnl shape); e_b = 1 − e_a keeps every update exactly
+    deterministic synthetic match stream, first 300 games per league:
+    leagues partition the Arrow scan (the fifo_pnl shape); the clamped
+    LINEAR expectation curve makes every update a correctly-rounded
+    IEEE op, so the scan is hash-checked bit-for-bit against a
+    recursive-SQL replay; e_b = 1 − e_a keeps every update exactly
     zero-sum in floating point, so Σ(rating − 1500) ≡ 0 per league."""
     from .operators import mining as mn
 
     ev = load_table(spark, sf, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    m = ev.select(
-        (F.col("user_id") % 5).alias("league"),
-        "ts", "event_id",
-        (F.col("event_id") % 40).alias("player_a"),
-        ((F.col("event_id") * 13 + 7) % 40).alias("player_b"),
-        F.when(cents % 10 == 0, F.lit(0.5))
-        .when(cents % 2 == 0, F.lit(0.0))
-        .otherwise(F.lit(1.0))
-        .alias("score_a"),
-    ).where(F.col("player_a") != F.col("player_b"))
+    m = (
+        ev.select(
+            (F.col("user_id") % 5).alias("league"),
+            "ts", "event_id",
+            (F.col("event_id") % 40).alias("player_a"),
+            ((F.col("event_id") * 13 + 7) % 40).alias("player_b"),
+            F.when(cents % 10 == 0, F.lit(0.5))
+            .when(cents % 2 == 0, F.lit(0.0))
+            .otherwise(F.lit(1.0))
+            .alias("score_a"),
+        )
+        .where(F.col("player_a") != F.col("player_b"))
+        .withColumn(
+            "__t__",
+            F.row_number().over(Window.partitionBy("league").orderBy("ts", "event_id")),
+        )
+        .where(F.col("__t__") <= 300)
+    )
     return mn.elo_ratings(
-        m, "league", ["ts", "event_id"], "player_a", "player_b", "score_a"
+        m, "league", ["ts", "event_id"], "player_a", "player_b", "score_a",
+        expectation="linear",
     )
 
 
@@ -595,23 +684,81 @@ def q414(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ q415
-@query("q415_croston")  # rows-only: the interval EWMA updates on a
-# path-dependent periods-since-last-demand counter — no SQL closed
-# form; pinned by the constant-demand fixpoint + hand-case tests
-# (tests/test_batch19_ops.py).
+@query(
+    "q415_croston",
+    # Full SQL replay: zero-demand periods only advance the
+    # periods-since-last-demand counter, so the stream compresses to
+    # DEMAND rows with gap = rank difference; the coupled (z, p) EWMAs
+    # then advance one demand per recursive-CTE iteration with the
+    # numpy scan's exact IEEE expression tree (alpha shipped as a
+    # quoted string) — bit-identical, unrounded.
+    """
+    WITH RECURSIVE per AS (
+        SELECT event_type || '#' || CAST(user_id % 20 AS VARCHAR) AS series,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) % 7 = 0
+                    THEN CAST(round(value * 100) AS BIGINT) % 50
+                    ELSE 0 END AS d,
+               row_number() OVER (PARTITION BY series
+                                  ORDER BY ts, event_id) AS pk
+        FROM events
+    ),
+    tot AS (
+        SELECT series, CAST(count(*) AS BIGINT) AS n_periods
+        FROM per GROUP BY 1
+    ),
+    dem AS (
+        SELECT series, d, pk,
+               CAST(row_number() OVER (PARTITION BY series
+                                       ORDER BY pk) AS BIGINT) AS dr,
+               pk - COALESCE(lag(pk) OVER (PARTITION BY series
+                                           ORDER BY pk), 0) AS gap
+        FROM per WHERE d > 0
+    ),
+    rec AS (
+        SELECT series, dr, CAST(d AS DOUBLE) AS z, CAST(gap AS DOUBLE) AS p
+        FROM dem WHERE dr = 1
+        UNION ALL
+        SELECT r.series, f.dr,
+               r.z + CAST('0.2' AS DOUBLE) * (CAST(f.d AS DOUBLE) - r.z) AS z,
+               r.p + CAST('0.2' AS DOUBLE) * (CAST(f.gap AS DOUBLE) - r.p) AS p
+        FROM rec r JOIN dem f ON f.series = r.series AND f.dr = r.dr + 1
+    ),
+    fin AS (
+        SELECT r.series, r.z, r.p
+        FROM rec r
+        JOIN (SELECT series, max(dr) AS md FROM rec GROUP BY 1) m
+          ON m.series = r.series AND r.dr = m.md
+    ),
+    nd AS (
+        SELECT series, CAST(count(*) AS BIGINT) AS n_demands
+        FROM dem GROUP BY 1
+    )
+    SELECT t.series, t.n_periods,
+           COALESCE(nd.n_demands, 0) AS n_demands,
+           f.z, f.p,
+           CASE WHEN f.z IS NOT NULL AND f.p > 0 THEN f.z / f.p END AS forecast
+    FROM tot t
+    LEFT JOIN nd ON nd.series = t.series
+    LEFT JOIN fin f ON f.series = t.series
+    """,
+)
 def q415(spark: SparkSession, sf: str) -> DataFrame:
-    """Croston intermittent-demand forecast per event type
-    (operators/ema.croston) over a deterministically sparsified demand
-    stream (zero except every 7th cent residue)."""
+    """Croston intermittent-demand forecast per (event type, user
+    cohort) series (operators/ema.croston) over a deterministically
+    sparsified demand stream (zero except every 7th cent residue) —
+    100 series keep the recursive-CTE replay's iteration count (max
+    demands per series) bounded at every SF."""
     from .operators import ema
 
     ev = load_table(spark, sf, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     d = ev.select(
-        "event_type", "ts", "event_id",
+        F.concat_ws("#", F.col("event_type"), (F.col("user_id") % 20).cast("string"))
+        .alias("series"),
+        "ts", "event_id",
         F.when(cents % 7 == 0, cents % 50).otherwise(F.lit(0)).alias("demand"),
     )
-    return ema.croston(d, ["event_type"], "demand", ["ts", "event_id"], alpha=0.2)
+    return ema.croston(d, ["series"], "demand", ["ts", "event_id"], alpha=0.2)
 
 
 # ------------------------------------------------------------------ q416
@@ -2265,20 +2412,85 @@ def q453(spark, sf):
 
 
 # ------------------------------------------------------------------ q454
-@query("q454_dtw_distance")  # rows-only: the DTW DP is a full O(n·m)
-# path-dependent recurrence with no SQL closed form; pinned by
-# identity/symmetry/hand-case tests (tests/test_batch19_ops.py).
+def _dtw_unrolled_oracle(n: int = 10) -> str:
+    """Generate the fully-unrolled n×n DTW DP as lateral column aliases:
+    c_i_j = |a_i − b_j| + min(c_{i−1,j}, c_{i,j−1}, c_{i−1,j−1}) with the
+    first row/column degenerating to running sums — exact BIGINT, so the
+    unroll is bit-identical to the Arrow scan's integer DP."""
+    piv = ",\n           ".join(
+        f"max(CASE WHEN side = '{s}' AND day = {d} THEN rev END) AS {s}{d + 1}"
+        for s in ("a", "b")
+        for d in range(n)
+    )
+    # One nested subquery per DP row: within a row the cells chain as
+    # lateral aliases (linear expansion), across rows they are real
+    # projected columns — NEVER 100 aliases in one SELECT, which would
+    # inline each cell's three predecessors textually and blow up
+    # exponentially at plan time.
+    inner = "piv"
+    for i in range(1, n + 1):
+        row_cells = []
+        for j in range(1, n + 1):
+            cost = f"abs(a{i} - b{j})"
+            if i == 1 and j == 1:
+                prev = ""
+            elif i == 1:
+                prev = f" + c_1_{j - 1}"
+            elif j == 1:
+                prev = f" + c_{i - 1}_1"
+            else:
+                prev = f" + least(c_{i - 1}_{j}, c_{i}_{j - 1}, c_{i - 1}_{j - 1})"
+            row_cells.append(f"{cost}{prev} AS c_{i}_{j}")
+        inner = f"(SELECT *, {', '.join(row_cells)} FROM {inner})"
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) % {n} AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    sides AS (
+        SELECT 'click|view' AS pair, 'a' AS side, day, rev FROM daily
+        WHERE event_type = 'click'
+        UNION ALL SELECT 'click|view', 'b', day, rev FROM daily
+        WHERE event_type = 'view'
+        UNION ALL SELECT 'purchase|signup', 'a', day, rev FROM daily
+        WHERE event_type = 'purchase'
+        UNION ALL SELECT 'purchase|signup', 'b', day, rev FROM daily
+        WHERE event_type = 'signup'
+    ),
+    piv AS (
+        SELECT pair,
+           CAST(count(CASE WHEN side = 'a' THEN 1 END) AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN side = 'b' THEN 1 END) AS BIGINT) AS n_b,
+           {piv}
+        FROM sides GROUP BY pair
+    )
+    SELECT pair, n_a, n_b, CAST(c_{n}_{n} AS BIGINT) AS dtw FROM {inner}
+    """
+
+
+@query(
+    "q454_dtw_distance",
+    # Full SQL replay: the day%10 bucketing fixes both series at exactly
+    # 10 points per side at every SF, so the O(n·m) integer DP unrolls
+    # into 100 lateral-alias cells — bit-identical to the Arrow scan
+    # (the band (14) is inert at 10×10; long-series banding stays
+    # pytest-pinned).
+    _dtw_unrolled_oracle(10),
+)
 def q454(spark: SparkSession, sf: str) -> DataFrame:
-    """Dynamic-time-warping distances between event-type daily-revenue
-    series (operators/ema.dtw_pairs): 'click vs view' and 'purchase vs
-    signup', Sakoe-Chiba band 14 — exact-integer DP over one Arrow
-    batch per pair."""
+    """Dynamic-time-warping distances between event-type day-of-cycle
+    (day % 10) revenue series (operators/ema.dtw_pairs): 'click vs
+    view' and 'purchase vs signup', Sakoe-Chiba band 14 — exact-integer
+    DP over one Arrow batch per pair, hash-checked against a fully
+    unrolled SQL DP."""
     from .operators import ema
 
     ev = load_table(spark, sf, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("day"),
+        (F.floor(F.unix_seconds(F.col("ts")) / 86400) % 10).cast("long").alias("day"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("rev"))
     pairs = [("click", "view"), ("purchase", "signup")]
     parts = []

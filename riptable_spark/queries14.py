@@ -2041,25 +2041,89 @@ def q504(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ q505
-@query("q505_lob_match")  # rows-only: the order book is sequential
-# state (price-time priority heaps); pinned by conservation +
-# no-crossed-book invariants and hand-case fills
-# (tests/test_batch19_ops.py).
+@query(
+    "q505_lob_match",
+    # Full SQL replay: with unit quantities every arrival causes at most
+    # one fill, so the book advances one order per recursive-CTE
+    # iteration carrying both sides as price-time-SORTED struct lists
+    # (insert = filter-split on price, since seq is strictly increasing;
+    # pop = head drop) — all-integer, bit-identical to the heap scan.
+    # Partial fills / multi-fill sweeps stay pytest-pinned
+    # (tests/test_batch19_ops.py hand cases).
+    """
+    WITH RECURSIVE o AS (
+        SELECT CAST(user_id AS VARCHAR) AS sym,
+               CASE WHEN event_id % 2 = 0 THEN 'B' ELSE 'S' END AS side,
+               CAST(round(value * 100) AS BIGINT) % 20 + 90 AS px,
+               event_id AS id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) AS t
+        FROM events
+    ),
+    st AS (
+        SELECT sym, CAST(0 AS BIGINT) AS t,
+               CAST([] AS STRUCT(np BIGINT, sq BIGINT, id BIGINT)[]) AS bids,
+               CAST([] AS STRUCT(p BIGINT, sq BIGINT, id BIGINT)[]) AS asks,
+               CAST(NULL AS BIGINT) AS buy_id, CAST(NULL AS BIGINT) AS sell_id,
+               CAST(NULL AS BIGINT) AS price
+        FROM (SELECT DISTINCT sym FROM o)
+        UNION ALL
+        SELECT sym, t,
+               CASE WHEN side = 'B' AND matched THEN bids
+                    WHEN side = 'B' THEN
+                        list_concat(list_concat(
+                            list_filter(bids, x -> x.np <= -px),
+                            [{'np': -px, 'sq': t, 'id': id}]),
+                            list_filter(bids, x -> x.np > -px))
+                    WHEN matched THEN bids[2:]
+                    ELSE bids END AS bids,
+               CASE WHEN side = 'S' AND matched THEN asks
+                    WHEN side = 'S' THEN
+                        list_concat(list_concat(
+                            list_filter(asks, x -> x.p <= px),
+                            [{'p': px, 'sq': t, 'id': id}]),
+                            list_filter(asks, x -> x.p > px))
+                    WHEN matched THEN asks[2:]
+                    ELSE asks END AS asks,
+               CASE WHEN matched AND side = 'B' THEN id
+                    WHEN matched THEN bb_id END AS buy_id,
+               CASE WHEN matched AND side = 'S' THEN id
+                    WHEN matched THEN ba_id END AS sell_id,
+               CASE WHEN matched AND side = 'B' THEN ba_p
+                    WHEN matched THEN bb_p END AS price
+        FROM (
+            SELECT s.sym, ord.t, ord.side, ord.px, ord.id, s.bids, s.asks,
+                   CASE WHEN len(s.asks) > 0 THEN s.asks[1].p END AS ba_p,
+                   CASE WHEN len(s.asks) > 0 THEN s.asks[1].id END AS ba_id,
+                   CASE WHEN len(s.bids) > 0 THEN -s.bids[1].np END AS bb_p,
+                   CASE WHEN len(s.bids) > 0 THEN s.bids[1].id END AS bb_id,
+                   CASE WHEN ord.side = 'B'
+                        THEN len(s.asks) > 0 AND s.asks[1].p <= ord.px
+                        ELSE len(s.bids) > 0 AND -s.bids[1].np >= ord.px
+                   END AS matched
+            FROM st s JOIN o ord ON ord.sym = s.sym AND ord.t = s.t + 1
+        )
+    )
+    SELECT sym, buy_id, sell_id, price, CAST(1 AS BIGINT) AS qty, t AS seq
+    FROM st WHERE buy_id IS NOT NULL
+    """,
+)
 def q505(spark: SparkSession, sf: str) -> DataFrame:
     """Limit-order-book replay per symbol (operators/finance.lob_match):
-    synthetic buy/sell flow from events matched under price-time
-    priority, integer prices/quantities — returns the exact trade
-    tape."""
+    synthetic unit-quantity buy/sell flow from events (one symbol per
+    user bounds orders per book) matched under price-time priority,
+    integer prices — the exact trade tape, hash-checked against a
+    sorted-list recursive-SQL book replay."""
     from .operators import finance as fin
 
     ev = load_table(spark, sf, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     o = ev.select(
-        (F.col("user_id") % 4).cast("string").alias("sym"),
+        F.col("user_id").cast("string").alias("sym"),
         "ts", "event_id",
         F.when(F.col("event_id") % 2 == 0, "B").otherwise("S").alias("side"),
         (cents % 20 + 90).alias("px"),
-        (F.col("event_id") % 7 + 1).alias("qty"),
+        F.lit(1).alias("qty"),
     )
     return fin.lob_match(o, "sym", ["ts", "event_id"], "side", "px", "qty", "event_id")
 

@@ -40,21 +40,18 @@ SF_DIR = "/root/testdata/sf0.01"
 # registered queries are oracle-checked; adding a query without an oracle
 # fails test_every_query_has_an_oracle unless it is listed here with a
 # justification.
-NO_ORACLE_EXEMPT: set[str] = {
-    # Path-dependent Arrow scans with no SQL closed form; each is
-    # pinned by hand-case + invariant tests (flat-book ≡ linear MtM,
-    # γ=0 ≡ holt_linear bit-for-bit, etc.) — see the rows-only
-    # comments at their @query registrations.
-    "q329_fifo_pnl",          # FIFO lot matching recurrence
-    "q330_holt_forecast",     # coupled level/trend recurrences
-    "q343_wac_pnl",           # moving-average cost recurrence
-    "q349_holt_winters",      # triple smoothing with seasonal lag
-    "q410_elo_ratings",       # sequential rating updates (current-state expectations)
-    "q415_croston",           # interval EWMA on a periods-since-demand counter
-    "q454_dtw_distance",      # O(n·m) warping DP, no SQL closed form
-    "q459_viterbi_regimes",   # min-sum Viterbi DP (argmin-dependent recurrence)
-    "q505_lob_match",         # sequential order-book state (price-time heaps)
-}
+NO_ORACLE_EXEMPT: set[str] = set()
+# (Round 4 emptied this: the nine former rows-only recurrences —
+# fifo/wac/lob, holt/holt-winters/croston, elo/dtw/viterbi — now have
+# exact replays: recursive-CTE integer or IEEE-identical float state
+# machines, interval-overlap FIFO identity, unrolled integer DP.)
+
+
+def test_registry_fully_oracled():
+    assert len(QUERIES) == len(ORACLES), (
+        f"{len(QUERIES)} queries vs {len(ORACLES)} oracles: "
+        f"missing {sorted(set(QUERIES) - set(ORACLES))}"
+    )
 
 
 @pytest.fixture(scope="module")
