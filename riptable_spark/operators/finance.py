@@ -740,6 +740,7 @@ def fifo_pnl(
     price: str,
     qty: str,
     scale: int = 100,
+    max_rows_per_key: int = 10_000_000,
 ) -> DataFrame:
     """Lot-based FIFO realized P&L — the path-DEPENDENT accounting
     ``pnl_curve`` deliberately avoids: each closing fill consumes the
@@ -750,6 +751,13 @@ def fifo_pnl(
     applyInPandas scan per key (the EMA family's documented pattern —
     a group must fit an Arrow batch; split giant keys upstream).  All
     lot math is integer cents·qty.
+
+    GIANT-KEY CONTRACT: sized for market-data shapes (many keys ×
+    bounded per-key history).  Unlike :func:`wac_pnl`, the carried
+    state is the open-lot QUEUE — unbounded (a one-sided stream keeps
+    every lot open), so no seed-carry blocked path exists; a key longer
+    than ``max_rows_per_key`` raises loudly instead of OOMing the
+    executor.
 
     Invariant (property-tested): realized(t) + position(t)·p(t) + cash
     identity ⇒ realized + unrealized == pnl_curve's mark-to-market at
@@ -775,6 +783,14 @@ def fifo_pnl(
     )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_rows_per_key:
+            raise ValueError(
+                f"fifo_pnl: key {pdf[key].iloc[0]!r} has {len(pdf)} fills > "
+                f"max_rows_per_key={max_rows_per_key}; one Arrow batch per "
+                "key would exhaust executor memory — split the key upstream "
+                "(e.g. by account or venue); no blocked path exists because "
+                "the open-lot queue is unbounded carried state"
+            )
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         lots: list[list[int]] = []  # [sign, qty, price] open lots (FIFO)
         realized = 0
@@ -803,6 +819,43 @@ def fifo_pnl(
     return base.groupBy(key).applyInPandas(scan, schema)
 
 
+def _wac_scan_arrays(ss, ps, qs, pos=0, cost=0, realized=0):
+    """Core WAC ledger over aligned (side, price_cents, qty) sequences,
+    starting from carried state — shared by the one-shot scan and the
+    blocked seed-carry path.  Returns (realized[], pos[], exit_state)."""
+    import numpy as np
+
+    n = len(ss)
+    out_r = np.zeros(n, dtype=np.int64)
+    out_pos = np.zeros(n, dtype=np.int64)
+    for i, (s, p, q) in enumerate(zip(ss, ps, qs)):
+        s, p, q = int(s), int(p), int(q)
+        if pos == 0 or (1 if pos > 0 else -1) == s:
+            # opening / adding: blend cost, no realization
+            pos += s * q
+            cost += p * q
+        else:
+            apos = abs(pos)
+            m = min(q, apos)
+            # basis removed for the closed portion: cost·m/apos rounded
+            # half away from zero — realized is DERIVED from the same
+            # rounded quantity so the cost ledger conserves exactly and
+            # the flat-book invariant holds to the cent
+            removed = (abs(cost) * m + apos // 2) // apos * (1 if cost >= 0 else -1)
+            realized += (p * m - removed) * (1 if pos > 0 else -1)
+            cost -= removed
+            pos += s * m
+            if pos == 0:
+                cost = 0
+            rem = q - m
+            if rem > 0:  # flip: open the residual at the fill price
+                pos = s * rem
+                cost = p * rem
+        out_r[i] = realized
+        out_pos[i] = pos
+    return out_r, out_pos, (pos, cost, realized)
+
+
 def wac_pnl(
     df: DataFrame,
     key: str,
@@ -811,6 +864,9 @@ def wac_pnl(
     price: str,
     qty: str,
     scale: int = 100,
+    method: str = "scan",
+    block_rows: int | None = None,
+    max_rows_per_key: int = 10_000_000,
 ) -> DataFrame:
     """Weighted-average-cost (WAC) realized P&L — the other standard lot
     accounting (IFRS-style moving average): position-increasing fills
@@ -826,6 +882,19 @@ def wac_pnl(
     derived from that SAME rounded quantity, so the cost ledger
     conserves exactly and the scan is exact-integer end to end.
 
+    GIANT-KEY CONTRACT: ``method='scan'`` materializes each key's whole
+    fill stream as one Arrow batch — right for market-data shapes (many
+    symbols × bounded history).  A key longer than ``max_rows_per_key``
+    raises loudly instead of OOMing the executor.  For few-keys × giant
+    streams use ``method='blocked'`` with ``block_rows``: blocks of the
+    per-key rank run as SEQUENTIAL jobs (the recurrence's state
+    transformation is non-linear and piecewise, so unlike the ema
+    family's closed-form seed correction, later blocks genuinely cannot
+    start before earlier blocks finish), each task holding only one
+    block per key while the driver carries just (pos, cost, realized) —
+    three BIGINTs per key — between rounds.  Property-tested equal to
+    the plain scan at two block widths.
+
     Path-independence invariant (property-tested): whenever
     ``position_after == 0``, cumulative realized P&L equals cash flow
     ``Σ −sign·p·q`` — identical to ``fifo_pnl``'s realized at the same
@@ -833,7 +902,6 @@ def wac_pnl(
 
     Appends ``realized_cents`` (running total) and ``position_after``.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -851,43 +919,98 @@ def wac_pnl(
         ]
     )
 
+    if method == "blocked":
+        return _wac_blocked(base, key, order, schema, block_rows)
+
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_rows_per_key:
+            raise ValueError(
+                f"wac_pnl: key {pdf[key].iloc[0]!r} has {len(pdf)} fills > "
+                f"max_rows_per_key={max_rows_per_key}; one Arrow batch per "
+                "key would exhaust executor memory — use method='blocked' "
+                "with block_rows, or split the key upstream"
+            )
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        pos = 0          # signed open position
-        cost = 0         # total entry cost of the open position, cents·qty (unsigned basis)
-        realized = 0
-        out_r = np.zeros(len(pdf), dtype=np.int64)
-        out_pos = np.zeros(len(pdf), dtype=np.int64)
-        for i, (s, p, q) in enumerate(zip(pdf["__s__"], pdf["__p__"], pdf["__q__"])):
-            s, p, q = int(s), int(p), int(q)
-            if pos == 0 or (1 if pos > 0 else -1) == s:
-                # opening / adding: blend cost, no realization
-                pos += s * q
-                cost += p * q
-            else:
-                apos = abs(pos)
-                m = min(q, apos)
-                # basis removed for the closed portion: cost·m/apos rounded
-                # half away from zero — realized is DERIVED from the same
-                # rounded quantity so the cost ledger conserves exactly and
-                # the flat-book invariant holds to the cent
-                removed = (abs(cost) * m + apos // 2) // apos * (1 if cost >= 0 else -1)
-                realized += (p * m - removed) * (1 if pos > 0 else -1)
-                cost -= removed
-                pos += s * m
-                if pos == 0:
-                    cost = 0
-                rem = q - m
-                if rem > 0:  # flip: open the residual at the fill price
-                    pos = s * rem
-                    cost = p * rem
-            out_r[i] = realized
-            out_pos[i] = pos
+        out_r, out_pos, _ = _wac_scan_arrays(pdf["__s__"], pdf["__p__"], pdf["__q__"])
         pdf["realized_cents"] = out_r
         pdf["position_after"] = out_pos
         return pdf
 
     return base.groupBy(key).applyInPandas(scan, schema)
+
+
+def _wac_blocked(base: DataFrame, key: str, order: list[str], schema, block_rows: int | None) -> DataFrame:
+    """Sequential seed-carry evaluation of the WAC ledger in rank blocks.
+
+    Block b's scan starts from block b−1's exit state (pos, cost,
+    realized) — collected to the driver as three BIGINTs per key and
+    broadcast into the next round.  Executor memory is bounded by
+    ``block_rows`` per task regardless of key length; wall-clock is
+    inherently ≥ n_blocks sequential stages (the per-key recurrence has
+    no parallel decomposition — see wac_pnl's docstring)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql import Window
+
+    if not block_rows or block_rows <= 0:
+        raise ValueError("method='blocked' requires block_rows > 0")
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    work = base.withColumn(
+        "__blk__", F.floor((F.row_number().over(w) - 1) / block_rows).cast("long")
+    ).persist()
+    n_blocks = int(work.agg(F.max("__blk__")).collect()[0][0] or 0) + 1
+    spark = base.sparkSession
+
+    seed_fields = [("__pos0__", 0), ("__cost0__", 0), ("__real0__", 0)]
+    scan_schema = T.StructType(
+        schema.fields
+        + [
+            T.StructField("__pos_x__", T.LongType()),
+            T.StructField("__cost_x__", T.LongType()),
+            T.StructField("__real_x__", T.LongType()),
+        ]
+    )
+
+    def scan_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        out_r, out_pos, exit_state = _wac_scan_arrays(
+            pdf["__s__"], pdf["__p__"], pdf["__q__"],
+            pos=int(pdf["__pos0__"].iloc[0]),
+            cost=int(pdf["__cost0__"].iloc[0]),
+            realized=int(pdf["__real0__"].iloc[0]),
+        )
+        pdf["realized_cents"] = out_r
+        pdf["position_after"] = out_pos
+        pdf["__pos_x__"], pdf["__cost_x__"], pdf["__real_x__"] = exit_state
+        return pdf.drop(columns=["__blk__", "__pos0__", "__cost0__", "__real0__"])
+
+    seeds = None  # list[(key, pos, cost, realized)]
+    outs = []
+    out_cols = [f.name for f in schema.fields]
+    for b in range(n_blocks):
+        cur = work.where(F.col("__blk__") == b)
+        if seeds is None:
+            for c, v in seed_fields:
+                cur = cur.withColumn(c, F.lit(v).cast("long"))
+        else:
+            seed_df = spark.createDataFrame(
+                seeds, [key] + [c for c, _ in seed_fields]
+            )
+            cur = cur.join(F.broadcast(seed_df), on=key, how="left").fillna(
+                {c: v for c, v in seed_fields}
+            )
+        scanned = cur.groupBy(key).applyInPandas(scan_block, scan_schema).persist()
+        outs.append(scanned.select(*out_cols))
+        seeds = [
+            (r[0], int(r[1]), int(r[2]), int(r[3]))
+            for r in scanned.groupBy(key)
+            .agg(F.first("__pos_x__"), F.first("__cost_x__"), F.first("__real_x__"))
+            .collect()
+        ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def price_index(
@@ -1223,11 +1346,19 @@ def lob_match(
     price_col: str,
     qty_col: str,
     id_col: str,
+    max_rows_per_key: int = 10_000_000,
 ) -> DataFrame:
     """Limit-order-book matching with PRICE-TIME priority per symbol —
     the exchange-core replay: orders arrive in sequence; a buy crosses
     the lowest-priced resting sell with price ≤ its limit (earliest
     first on ties), partial fills rest on the book.
+
+    GIANT-KEY CONTRACT: one symbol's whole order stream is one Arrow
+    batch (exchange books are inherently sequential; the resting book
+    is unbounded carried state, so no seed-carry blocked path exists).
+    A symbol longer than ``max_rows_per_key`` raises loudly instead of
+    OOMing the executor — shard upstream by session/day if a replay
+    exceeds it.
 
     Inherently path-dependent (the book IS the state), so it runs as
     one Arrow scan per symbol (the fifo_pnl contract).  Integer prices
@@ -1247,6 +1378,13 @@ def lob_match(
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         import heapq
 
+        if len(pdf) > max_rows_per_key:
+            raise ValueError(
+                f"lob_match: symbol {pdf[symbol_col].iloc[0]!r} has "
+                f"{len(pdf)} orders > max_rows_per_key={max_rows_per_key}; "
+                "shard the replay upstream (by session/day) — the resting "
+                "book is unbounded carried state, so no blocked path exists"
+            )
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         bids: list = []   # (-price, seq, id, qty)
         asks: list = []   # (price, seq, id, qty)

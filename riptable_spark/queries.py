@@ -162,6 +162,14 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     # and broadcast-joins back: putting countDistinct in the same agg as
     # the percentiles makes Catalyst Expand every input row (2× the scan
     # through the aggregation) — measured 2.2× slower at sf0.1.
+    # Round-4 re-measurement of the single-scan alternative (GROUPING
+    # SETS ((flag),(flag,partkey)) computing stats on the flag branch
+    # and n_parts from the partkey branch): 1.222 s vs 1.120 s min-of-5
+    # at sf0.1 — the Expand feeds 2× rows through the percentile maps
+    # and builds per-(flag,partkey) partials, costing more than the
+    # second column-pruned scan (2 light columns) saves.  The dual scan
+    # stays; at 100 TB the extra scan reads 2 of 16 columns and both
+    # aggregations stay map-side-combining, so the tradeoff holds.
     agg = li.groupBy("l_returnflag").agg(
         F.round(gb.median(q), 6).alias("med_qty"),
         F.round(gb.nanvar(q), 6).alias("var_qty"),

@@ -1398,3 +1398,52 @@ def test_durbin_watson_patterns(spark):
     tiny = spark.createDataFrame([("k", t, v) for t, v in enumerate(e)], "k string, t long, e long")
     out = durbin_watson(tiny, ["k"], "e", ["t"]).head()
     assert out["dw"] == pytest.approx(((1 - 3) ** 2 + (4 - 1) ** 2) / (9 + 1 + 16))
+
+
+def test_wac_pnl_blocked_equals_scan_two_widths(spark):
+    """Round-4 giant-key guard: the sequential seed-carry blocked path
+    must reproduce the one-shot Arrow scan bit-for-bit at two block
+    widths that straddle block boundaries differently (7 and 17 do not
+    divide the 60-fill stream, so every seed handoff shape occurs,
+    including mid-flip states)."""
+    from riptable_spark.operators.finance import wac_pnl
+
+    rng = np.random.default_rng(7)
+    n, keys = 60, ["a", "b", "c"]
+    rows = [
+        (k, t, int(rng.choice([1, -1])), float(rng.integers(5, 30)),
+         int(rng.integers(1, 5)))
+        for k in keys for t in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, s int, price double, q long")
+    plain = {
+        (r["k"], r["t"]): (r["realized_cents"], r["position_after"])
+        for r in wac_pnl(df, "k", ["t"], "s", "price", "q").collect()
+    }
+    for width in (7, 17):
+        blocked = {
+            (r["k"], r["t"]): (r["realized_cents"], r["position_after"])
+            for r in wac_pnl(
+                df, "k", ["t"], "s", "price", "q",
+                method="blocked", block_rows=width,
+            ).collect()
+        }
+        assert blocked == plain, f"block_rows={width} diverged"
+
+
+def test_wac_and_fifo_giant_key_guard_raises(spark):
+    """Keys above max_rows_per_key must fail LOUDLY (a clear ValueError
+    naming the key and the remedy), never OOM silently."""
+    from riptable_spark.operators.finance import fifo_pnl, lob_match, wac_pnl
+
+    rows = [("u", t, 1 if t % 2 == 0 else -1, 10.0, 1) for t in range(50)]
+    df = spark.createDataFrame(rows, "k string, t long, s int, price double, q long")
+    for op in (wac_pnl, fifo_pnl):
+        with pytest.raises(Exception, match="max_rows_per_key"):
+            op(df, "k", ["t"], "s", "price", "q", max_rows_per_key=10).collect()
+    orders = [
+        ("s", t, "B" if t % 2 == 0 else "S", 100 + t % 3, 1, t) for t in range(50)
+    ]
+    odf = spark.createDataFrame(orders, "sym string, t long, side string, px long, q long, oid long")
+    with pytest.raises(Exception, match="max_rows_per_key"):
+        lob_match(odf, "sym", ["t"], "side", "px", "q", "oid", max_rows_per_key=10).collect()
