@@ -28,6 +28,8 @@ from riptable_spark import (  # noqa: F401 — register all batches
     queries12,
     queries13,
     queries14,
+    queries15,
+    queries16,
 )
 from riptable_spark.queries import ORACLES, QUERIES
 
@@ -79,3 +81,20 @@ def test_query_matches_oracle(name, spark, duck):
     odf = duck.execute(ORACLES[name]).fetchdf()
     ok, msg = compare(normalize(sdf), normalize(odf))
     assert ok, f"{name}: {msg}"
+
+
+def test_registry_order_snapshot():
+    """The driver walks queries() in insertion order and capped harnesses
+    see a prefix — mechanical file reorganizations (like the round-4
+    queries14 three-way split) must NOT reorder registration.  The
+    snapshot was captured immediately before that split."""
+    import os
+
+    snap_path = os.path.join(os.path.dirname(__file__), "data", "registry_order.txt")
+    with open(snap_path) as fh:
+        snapshot = fh.read().split()
+    current = list(QUERIES)
+    assert current[: len(snapshot)] == snapshot, (
+        "registered query order changed vs tests/data/registry_order.txt "
+        "(new queries may only APPEND)"
+    )

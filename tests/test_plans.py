@@ -665,7 +665,7 @@ def test_q571_tpch_q2_pushdown_and_broadcast(q):
     """The Q2 shape must push the p_size filter to the part scan and
     broadcast the European supplier dim; the min-cost join stays an
     equi-join (no cartesian)."""
-    from riptable_spark import queries14  # noqa: F401
+    from riptable_spark import queries14, queries15, queries16  # noqa: F401
 
     df = q("q571_tpch_q2")
     plan = pi.plan_string(df)
@@ -677,7 +677,7 @@ def test_q571_tpch_q2_pushdown_and_broadcast(q):
 def test_q575_window_funnel_equi_joins_only(q):
     """Every funnel level must join on the key alone — no range/
     cartesian join; the time window lives in the conditional min."""
-    from riptable_spark import queries14  # noqa: F401
+    from riptable_spark import queries14, queries15, queries16  # noqa: F401
 
     df = q("q575_window_funnel")
     plan = pi.plan_string(df)
@@ -689,7 +689,7 @@ def test_q577_sparse_cosine_inverted_index_shape(q):
     """The sparse-cosine dot product must be an equi-join on the token
     (inverted index), never a cartesian; partial aggregation reduces
     map-side."""
-    from riptable_spark import queries14  # noqa: F401
+    from riptable_spark import queries14, queries15, queries16  # noqa: F401
 
     df = q("q577_sparse_cosine")
     plan = pi.plan_string(df)
