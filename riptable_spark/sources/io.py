@@ -276,7 +276,13 @@ def load_h5(spark, path: str, dataset: str | None = None):
     """HDF5 → DataFrame (rt_utils.py:49 load_h5). Gated on h5py being
     available (not shipped in this container): reads the group's 1-D
     datasets as columns via pandas, then distributes. For 100 TB inputs
-    convert to parquet upstream — HDF5 has no parallel row-group reader."""
+    convert to parquet upstream — HDF5 has no parallel row-group reader.
+
+    EXPERIMENTAL: this path has never executed in the build container
+    (h5py absent); tests/test_io_and_entry.py carries a self-generating
+    round-trip test that runs automatically wherever h5py IS installed
+    (skipped otherwise), so the first environment with h5py exercises
+    it in CI rather than in production."""
     try:
         import h5py  # noqa: F401
     except ImportError as e:

@@ -249,3 +249,43 @@ def test_jsonl_and_orc_roundtrip(spark, tmp_path):
     oback = rio.load_orc(spark, op)
     assert [(f.name, f.dataType) for f in oback.schema] == [(f.name, f.dataType) for f in df.schema]
     assert sorted(map(tuple, oback.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_load_h5_roundtrip_when_h5py_present(spark, tmp_path):
+    """Self-generating gated round-trip for the experimental HDF5 reader
+    (io.load_h5): skipped in this container (no h5py), runs in any
+    environment that has it — the fixture is generated on the fly so no
+    binary blob rides the repo."""
+    h5py = pytest.importorskip("h5py")
+    import numpy as np
+
+    from riptable_spark.sources.io import h5io_to_struct, load_h5
+
+    path = str(tmp_path / "fixture.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("k", data=np.arange(5, dtype=np.int64))
+        f.create_dataset("v", data=np.array([1.5, 2.5, 3.5, 4.5, 5.5]))
+        g = f.create_group("sub")
+        g.create_dataset("w", data=np.arange(3, dtype=np.int64) * 10)
+    df = load_h5(spark, path)
+    rows = sorted(df.collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[1]["v"] == 2.5
+    st = h5io_to_struct(spark, path)
+    assert sorted(st["sub"].toPandas()["w"]) == [0, 10, 20]
+
+
+def test_load_h5_raises_cleanly_without_h5py(spark):
+    """In this container h5py is absent: the gate must raise the
+    documented NotImplementedError with the parquet remedy, not an
+    ImportError mid-read."""
+    try:
+        import h5py  # noqa: F401
+
+        pytest.skip("h5py installed here; the roundtrip test covers this env")
+    except ImportError:
+        pass
+    from riptable_spark.sources.io import load_h5
+
+    with pytest.raises(NotImplementedError, match="parquet"):
+        load_h5(spark, "/nonexistent.h5")
