@@ -24,7 +24,7 @@ from riptable_spark import queries10  # noqa: F401 — registers batch-10 querie
 from riptable_spark import queries11  # noqa: F401 — registers batch-11 queries
 from riptable_spark import queries12  # noqa: F401 — registers batch-12 queries
 from riptable_spark import queries13  # noqa: F401 — registers batch-13 queries
-from riptable_spark import queries14, queries15, queries16  # noqa: F401 — registers batch-14 queries
+from riptable_spark import queries14, queries15, queries16, queries17  # noqa: F401 — registers batch-14 queries
 from riptable_spark.queries import ORACLES, QUERIES
 
 

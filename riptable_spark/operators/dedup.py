@@ -754,6 +754,94 @@ def remove_repeated_spans(
     return out.withColumn(out_col, F.array_join(kept, " ")).drop("__cov__")
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    w: int = 4,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS fingerprinting algorithm): hash every k-token window, then
+    keep only the RIGHTMOST MINIMUM of each w-window of those hashes.
+    Returns (id, pos, fp) with pos the 0-based token offset of the
+    selected k-gram.
+
+    Why it earns its place next to :func:`span_windows`: the sketch is
+    ~2/(w+1) of full span density but GUARANTEES that any substring of
+    ≥ w+k−1 shared tokens between two documents yields at least one
+    shared fingerprint — the principled middle ground between exact
+    span dedup (full density) and MinHash (whole-doc granularity).  At
+    100 TB that density factor is the difference between shuffling
+    every window hash and shuffling a fifth of them.
+
+    All codegen: the k-gram hash array is STAGED in its own projection
+    (a lambda indexing an inlined array re-evaluates it per element),
+    then one transform over window starts takes slice-minima; only
+    (id, pos, fp) longs leave the document's partition."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    d = df.select(F.col(id_col), toks.alias("__t__")).where(
+        F.size("__t__") >= k + w - 1
+    )
+    staged = d.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t__") - k),
+            lambda i: _base_hash64(
+                F.concat_ws(" ", F.slice(F.col("__t__"), i + 1, k)), hash_kind
+            ),
+        ).alias("__h__"),
+    )
+
+    # explode window starts FIRST (the span_windows pattern), then pick
+    # the rightmost min per row: feeding a struct-returning lambda into
+    # explode trips a Catalyst Generate rewrite that re-binds the lambda
+    # into a context where the sequence bound is wrong (slice start 0 at
+    # runtime) — row-wise expressions over the staged column are safe.
+    starts = staged.select(
+        id_col, "__h__",
+        F.explode(F.sequence(F.lit(0), F.size("__h__") - w)).alias("__j__"),
+    ).select(
+        id_col, "__j__", F.slice(F.col("__h__"), F.col("__j__") + 1, w).alias("__w__")
+    )
+    mn = F.array_min(F.col("__w__"))
+    # rightmost occurrence of the min: first position in the reversed
+    # window, mapped back (robust-winnowing tie rule)
+    return starts.select(
+        F.col(id_col),
+        (F.col("__j__") + w - F.array_position(F.reverse(F.col("__w__")), mn))
+        .cast("long")
+        .alias("pos"),
+        mn.alias("fp"),
+    ).distinct()
+
+
+def winnow_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    w: int = 4,
+    min_docs: int = 2,
+    max_docs: int | None = None,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document shared-span candidates from the winnowing sketch:
+    fingerprints selected by ≥ ``min_docs`` distinct documents, joined
+    back to their occurrences → (fp, id, pos, n_docs).  One shuffle
+    keyed on the 8-byte fingerprint; ``max_docs`` is the ubiquity skew
+    cap (the doc-freq guard every candidate-generation join in this
+    module carries — a boilerplate span in every document belongs to
+    dedup_lines, not to a join bucket)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, hash_kind)
+    cond = F.col("n_docs") >= min_docs
+    counts = fps.groupBy("fp").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    ).where(cond if max_docs is None else cond & (F.col("n_docs") <= max_docs))
+    return fps.join(counts, "fp").select("fp", id_col, "pos", "n_docs")
+
+
 def doc_novelty(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,128 @@
+"""Driver-contract query registry, batch 17 (round 4, q631+):
+winnowing fingerprint sketches and the continuing analytics surface.
+Registers into the same QUERIES/ORACLES dicts; imported AFTER
+queries16 everywhere so registration order stays append-only
+(snapshot-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.io import load_table
+
+_WINNOW_K, _WINNOW_W = 8, 4
+
+# shared oracle prelude: tokenized docs → k-gram md5-60bit hash lists →
+# winnowing selection (rightmost min of each w-window of hashes),
+# exactly the Spark operator's expression tree in DuckDB list algebra
+_WINNOW_SEL = f"""
+    d AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS t
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, t, len(t) AS n FROM d
+        WHERE len(t) >= {_WINNOW_K + _WINNOW_W - 1}
+    ),
+    hs AS (
+        SELECT doc_id, n,
+               list_transform(range(0, n - {_WINNOW_K} + 1), i ->
+                   CAST(('0x' || substr(md5(array_to_string(
+                       t[i + 1 : i + {_WINNOW_K}], ' ')), 1, 15)) AS BIGINT)) AS h
+        FROM s
+    ),
+    sel AS (
+        SELECT doc_id, n,
+               list_transform(range(0, len(h) - {_WINNOW_W} + 1), j ->
+                   {{'pos': j + {_WINNOW_W}
+                            - list_position(list_reverse(h[j + 1 : j + {_WINNOW_W}]),
+                                            list_aggregate(h[j + 1 : j + {_WINNOW_W}], 'min')),
+                     'fp': list_aggregate(h[j + 1 : j + {_WINNOW_W}], 'min')}}) AS sels
+        FROM hs
+    ),
+    fps AS (SELECT DISTINCT doc_id, n, pos, fp FROM (
+        SELECT doc_id, n, unnest(sels, recursive := true) FROM sel))
+"""
+
+
+# ------------------------------------------------------------------ q631
+@query(
+    "q631_winnow_matches",
+    # Full SQL replay of the winnowing sketch + cross-doc match join:
+    # DuckDB list algebra reproduces the k-gram hashing (portable
+    # md5-60bit), the rightmost-min w-window selection, and the
+    # fingerprint-keyed match count — the whole pipeline hash-checks.
+    f"""
+    WITH {_WINNOW_SEL},
+    counts AS (
+        SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM fps GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT c.fp, f.doc_id, CAST(f.pos AS BIGINT) AS pos, c.n_docs
+    FROM fps f JOIN counts c USING (fp)
+    """,
+)
+def q631(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document shared-span candidates via the winnowing sketch
+    (operators/dedup.winnow_matches — Schleimer et al., SIGMOD'03):
+    ~2/(w+1) of full span density with a guaranteed hit on any shared
+    run of ≥ w+k−1 tokens; one shuffle keyed on the 8-byte
+    fingerprint."""
+    from .operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    return dedup.winnow_matches(
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W, hash_kind="md5"
+    )
+
+
+# ------------------------------------------------------------------ q632
+@query(
+    "q632_winnow_density",
+    # The sketch's measured selectivity per document vs the 2/(w+1)
+    # winnowing expectation — the approximation-audit pattern (compare
+    # what the sketch DID to what the theory promises), replayed by the
+    # same list-algebra selection.
+    f"""
+    WITH {_WINNOW_SEL},
+    per AS (
+        SELECT doc_id,
+               CAST(max(n) - {_WINNOW_K} + 1 AS BIGINT) AS n_kgrams,
+               CAST(count(*) AS BIGINT) AS n_selected
+        FROM fps GROUP BY doc_id
+    )
+    SELECT doc_id, n_kgrams, n_selected,
+           CAST(n_selected AS DOUBLE) / n_kgrams AS density,
+           CAST(2.0 AS DOUBLE) / {_WINNOW_W + 1} AS expected_density
+    FROM per
+    """,
+)
+def q632(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing sketch density audit per document: selected
+    fingerprints over total k-grams against the theoretical 2/(w+1)
+    expectation — n_selected/n_kgrams is one exact integer ratio, so
+    the lone divide is engine-identical."""
+    from .operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    fps = dedup.winnow_fingerprints(
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W, hash_kind="md5"
+    )
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    base = docs.select(
+        "doc_id", (F.size(toks) - _WINNOW_K + 1).cast("long").alias("n_kgrams")
+    ).where(F.col("n_kgrams") >= _WINNOW_W)
+    per = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_selected"))
+    return base.join(per, "doc_id").select(
+        "doc_id", "n_kgrams", "n_selected",
+        (F.col("n_selected").cast("double") / F.col("n_kgrams")).alias("density"),
+        (F.lit(2.0) / F.lit(_WINNOW_W + 1)).alias("expected_density"),
+    )

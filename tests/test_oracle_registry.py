@@ -30,6 +30,7 @@ from riptable_spark import (  # noqa: F401 — register all batches
     queries14,
     queries15,
     queries16,
+    queries17,
 )
 from riptable_spark.queries import ORACLES, QUERIES
 
