@@ -842,6 +842,51 @@ def winnow_matches(
     return fps.join(counts, "fp").select("fp", id_col, "pos", "n_docs")
 
 
+def remove_winnowed_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    w: int = 4,
+    min_docs: int = 2,
+    max_docs: int | None = None,
+    hash_kind: str = "xxhash64",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Sketch-driven boilerplate removal: cut every token covered by a
+    k-span whose winnowing fingerprint matched ≥ ``min_docs`` documents
+    (the sampled-sketch sibling of :func:`remove_repeated_spans` — at
+    ~2/(w+1) of the candidate volume it removes the spans the sketch
+    SELECTED, a guaranteed-recall subset for runs ≥ w+k−1 tokens).
+    Appends ``n_before`` (token count), ``n_removed`` (covered
+    positions) and ``out_col`` (whitespace-normalized text with covered
+    tokens cut).  The per-doc rebuild is a higher-order index filter —
+    JVM-side, no UDF; only (id, pos) pairs shuffle."""
+    m = winnow_matches(df, text_col, id_col, k, w, min_docs, max_docs, hash_kind)
+    cov = m.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.sequence(
+                        F.col("pos").cast("int"), (F.col("pos") + k - 1).cast("int")
+                    )
+                )
+            )
+        ).alias("__cov__")
+    )
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    out = df.join(cov, id_col, "left")
+    kept = F.filter(
+        toks, lambda t, i: ~F.coalesce(F.array_contains("__cov__", i), F.lit(False))
+    )
+    return out.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_before"),
+        F.coalesce(F.size("__cov__"), F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias(out_col),
+    )
+
+
 def doc_novelty(
     df: DataFrame,
     text_col: str = "text",

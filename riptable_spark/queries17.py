@@ -126,3 +126,46 @@ def q632(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_selected").cast("double") / F.col("n_kgrams")).alias("density"),
         (F.lit(2.0) / F.lit(_WINNOW_W + 1)).alias("expected_density"),
     )
+
+
+# ------------------------------------------------------------------ q633
+@query(
+    "q633_winnow_boilerplate_removal",
+    # End-to-end replay of the sketch-driven removal PIPELINE: sketch
+    # selection -> cross-doc match -> position coverage -> index-filtered
+    # text rebuild, all in DuckDB list algebra; the cleaned TEXT itself
+    # hash-checks, so the whole composition is pinned, not just counts.
+    f"""
+    WITH {_WINNOW_SEL},
+    counts AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT f.doc_id,
+               list_distinct(flatten(list(range(f.pos, f.pos + {_WINNOW_K})))) AS cv
+        FROM fps f JOIN counts c USING (fp)
+        GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.t) AS BIGINT) AS n_before,
+           CAST(COALESCE(len(c.cv), 0) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+               list_filter(d.t, (x, i) ->
+                   NOT list_contains(COALESCE(c.cv, []), i - 1)), ' '), '')
+               AS text_clean
+    FROM d LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def q633(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-driven boilerplate removal over the documents corpus
+    (operators/dedup.remove_winnowed_spans): winnow -> match -> cut
+    covered tokens — the cleaned text is hash-compared byte-for-byte
+    against the SQL replay of the full pipeline."""
+    from .operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    return dedup.remove_winnowed_spans(
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W, min_docs=2,
+        hash_kind="md5",
+    )

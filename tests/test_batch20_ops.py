@@ -88,3 +88,26 @@ def test_winnow_matches_min_docs_and_skew_cap(spark):
     assert m and all(r["n_docs"] >= 2 for r in m)
     capped = winnow_matches(df, k=4, w=4, min_docs=2, max_docs=3).collect()
     assert not capped  # every shared fp spans all 6 docs -> capped away
+
+
+def test_remove_winnowed_spans_hand_case(spark):
+    """Docs sharing a long run get it cut; disjoint docs pass through
+    normalized-but-intact; fully-boilerplate docs empty out."""
+    from riptable_spark.operators.dedup import remove_winnowed_spans
+
+    run = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"
+    rows = [
+        (1, "u1 u2 " + run + " v1"),
+        (2, "w1 " + run + " x1 x2"),
+        (3, " ".join(f"solo{i}" for i in range(20))),
+        (4, run),  # nothing but the shared run (plus nothing else)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_winnowed_spans(
+        df, k=4, w=4, min_docs=2).collect()}
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_clean"] == " ".join(f"solo{i}" for i in range(20))
+    for d in (1, 2):
+        assert out[d]["n_removed"] > 0
+        assert "c5" not in out[d]["text_clean"].split()
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == out[4]["n_before"]
