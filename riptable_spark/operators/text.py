@@ -999,3 +999,32 @@ def naive_bayes_classify(
         )
     )
 
+
+
+def normalize_nfc(df: DataFrame, text_col: str = "text", out_col: str = "text_nfc") -> DataFrame:
+    """Unicode NFC normalization — canonical composition (e + combining
+    acute → é, Hangul jamo → syllables), the standard first step of any
+    multilingual corpus pipeline (mixed-source crawls carry both forms
+    of the same word, which breaks exact dedup, shingling, and token
+    counts).
+
+    The JVM exposes no normalizer through Spark SQL (collation support
+    in Spark 4 compares, but cannot REWRITE), so this is the documented
+    Pandas-UDF exception: one Arrow-batched ``unicodedata.normalize``
+    pass, ~O(bytes), no shuffle, NULL-safe.  Cross-engine parity with
+    DuckDB's utf8proc ``nfc_normalize`` is oracle-checked on injected
+    composed/decomposed pairs (q634)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_series(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    # functional form: the module uses `from __future__ import
+    # annotations`, which stringifies type hints and breaks pyspark's
+    # decorator-time eval-type inference
+    _nfc = pandas_udf(_nfc_series, "string")
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

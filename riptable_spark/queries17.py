@@ -169,3 +169,46 @@ def q633(spark: SparkSession, sf: str) -> DataFrame:
         docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W, min_docs=2,
         hash_kind="md5",
     )
+
+
+# ------------------------------------------------------------------ q634
+_Q634_SUFFIX_SQL = (
+    "' nfc:cafe' || chr(769) || ' caf' || chr(233) || ' ' || chr(4352) || chr(4449)"
+)
+
+
+@query(
+    "q634_nfc_normalize",
+    # Deterministic composed/decomposed forms are INJECTED identically on
+    # both sides (combining acute, precomposed e-acute, Hangul jamo pair)
+    # so the normalizer's behavior — not just ASCII pass-through — is
+    # what hash-checks: CPython's unicodedata vs DuckDB's utf8proc must
+    # produce byte-identical NFC strings and codepoint counts.
+    f"""
+    SELECT doc_id,
+           CAST(length(text || {_Q634_SUFFIX_SQL}) AS BIGINT) AS len_before,
+           CAST(length(nfc_normalize(text || {_Q634_SUFFIX_SQL})) AS BIGINT)
+               AS len_after,
+           nfc_normalize(text || {_Q634_SUFFIX_SQL}) AS text_nfc
+    FROM documents
+    """,
+)
+def q634(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization (operators/text.normalize_nfc) over the
+    documents corpus with injected decomposed sequences: é as e+U+0301
+    composes, precomposed é passes through, Hangul jamo U+1100 U+1161
+    compose to U+AC00 — lengths shrink accordingly and the normalized
+    text hash-checks byte-for-byte."""
+    from .operators import text as tx
+
+    suffix = " nfc:café café 가"
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("__raw__")
+    )
+    out = tx.normalize_nfc(docs, "__raw__", "text_nfc")
+    return out.select(
+        "doc_id",
+        F.length("__raw__").cast("long").alias("len_before"),
+        F.length("text_nfc").cast("long").alias("len_after"),
+        "text_nfc",
+    )

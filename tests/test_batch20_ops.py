@@ -1,4 +1,4 @@
-"""Round-4 operator batch: winnowing fingerprint sketches."""
+"""Round-4 operator batch: winnowing fingerprint sketches + NFC."""
 
 from __future__ import annotations
 
@@ -74,7 +74,10 @@ def test_winnow_rightmost_tie_and_selection_hand_case(spark):
         mn = min(win)
         rp = list(reversed(win)).index(mn) + 1  # first in reversed = rightmost
         expect.add((j + w - rp, mn))
-    out = {(r["pos"], r["fp"]) for r in _fps(spark, [(1, text)], k=k, w=w, hash_kind="md5").collect()}
+    out = {
+        (r["pos"], r["fp"])
+        for r in _fps(spark, [(1, text)], k=k, w=w, hash_kind="md5").collect()
+    }
     assert out == expect
 
 
@@ -111,3 +114,27 @@ def test_remove_winnowed_spans_hand_case(spark):
         assert out[d]["n_removed"] > 0
         assert "c5" not in out[d]["text_clean"].split()
     assert out[4]["text_clean"] == "" and out[4]["n_removed"] == out[4]["n_before"]
+
+
+def test_normalize_nfc_semantics(spark):
+    """Composed == decomposed after NFC; ASCII and NULL pass through;
+    idempotent."""
+    from riptable_spark.operators.text import normalize_nfc
+
+    rows = [
+        (1, "caf" + "é"),   # decomposed e + combining acute
+        (2, "café"),         # precomposed
+        (3, "plain ascii"),
+        (4, None),
+        (5, "가"),       # Hangul jamo pair -> U+AC00
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_nfc"] for r in normalize_nfc(df).collect()}
+    assert out[1] == out[2] == "café"
+    assert out[3] == "plain ascii"
+    assert out[4] is None
+    assert out[5] == "가"
+    again = normalize_nfc(
+        spark.createDataFrame([(1, out[1])], "doc_id long, text string")
+    ).collect()[0]["text_nfc"]
+    assert again == out[1]
