@@ -842,6 +842,51 @@ def winnow_matches(
     return fps.join(counts, "fp").select("fp", id_col, "pos", "n_docs")
 
 
+def winnow_shared_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    w: int = 4,
+    max_docs: int = 50,
+    min_anchors: int = 2,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """MOSS-style match reporting: chain shared fingerprints into
+    maximal aligned runs per document pair.  Two docs sharing a token
+    run anchor fingerprints at identical offsets, so grouping matched
+    positions by (id_a, id_b, pos_a − pos_b) and spanning min→max+k
+    yields a LOWER BOUND on each shared run — pure integer aggregation,
+    no token arrays ever join or shuffle (the payload is (id, pos, fp)
+    longs).  Returns (id_a, id_b, diag, start_a, start_b,
+    run_len, n_anchors) with id_a < id_b.
+
+    ``max_docs`` is the mandatory ubiquity cap on fingerprint document
+    frequency (the fp self-join is quadratic per bucket);
+    ``min_anchors`` drops single-anchor coincidences (a lone shared
+    k-gram), keeping runs the sketch actually chained."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, hash_kind)
+    counts = fps.groupBy("fp").agg(F.countDistinct(id_col).alias("__nd__")).where(
+        (F.col("__nd__") >= 2) & (F.col("__nd__") <= max_docs)
+    )
+    fp2 = fps.join(counts.select("fp"), "fp")
+    a = fp2.select(F.col("fp"), F.col(id_col).alias("id_a"), F.col("pos").alias("pa"))
+    b = fp2.select(F.col("fp"), F.col(id_col).alias("id_b"), F.col("pos").alias("pb"))
+    pairs = a.join(b, "fp").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy(
+            "id_a", "id_b", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .agg(
+            F.min("pa").alias("start_a"),
+            (F.min("pa") - F.col("diag")).alias("start_b"),
+            (F.max("pa") - F.min("pa") + k).cast("long").alias("run_len"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        )
+        .where(F.col("n_anchors") >= min_anchors)
+    )
+
+
 def remove_winnowed_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -212,3 +212,42 @@ def q634(spark: SparkSession, sf: str) -> DataFrame:
         F.length("text_nfc").cast("long").alias("len_after"),
         "text_nfc",
     )
+
+
+# ------------------------------------------------------------------ q635
+@query(
+    "q635_winnow_shared_runs",
+    # The pair self-join on fingerprints + diagonal chaining replay —
+    # all-integer aggregation over the same list-algebra sketch.
+    f"""
+    WITH {_WINNOW_SEL},
+    counts AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+    ),
+    fp2 AS (SELECT f.doc_id, f.pos, f.fp FROM fps f JOIN counts USING (fp)),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+        FROM fp2 a JOIN fp2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(pa - pb AS BIGINT) AS diag,
+           CAST(min(pa) AS BIGINT) AS start_a,
+           CAST(min(pa) - (pa - pb) AS BIGINT) AS start_b,
+           CAST(max(pa) - min(pa) + {_WINNOW_K} AS BIGINT) AS run_len,
+           CAST(count(*) AS BIGINT) AS n_anchors
+    FROM pairs GROUP BY id_a, id_b, pa - pb
+    HAVING count(*) >= 2
+    """,
+)
+def q635(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style shared-run reporting over the documents corpus
+    (operators/dedup.winnow_shared_runs): matched fingerprints chain
+    along aligned diagonals (pos_a − pos_b) into per-pair run spans —
+    integer-exact, token arrays never shuffle."""
+    from .operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    return dedup.winnow_shared_runs(
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W,
+        max_docs=50, min_anchors=2, hash_kind="md5",
+    )

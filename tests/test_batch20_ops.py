@@ -138,3 +138,24 @@ def test_normalize_nfc_semantics(spark):
         spark.createDataFrame([(1, out[1])], "doc_id long, text string")
     ).collect()[0]["text_nfc"]
     assert again == out[1]
+
+
+def test_winnow_shared_runs_diagonal_chaining(spark):
+    """Two docs sharing one long run report ONE dominant diagonal whose
+    span lower-bounds the true run length and sits inside it."""
+    from riptable_spark.operators.dedup import winnow_shared_runs
+
+    run_toks = [f"r{i}" for i in range(40)]
+    rows = [
+        (1, "a1 a2 a3 " + " ".join(run_toks) + " a4"),
+        (2, " ".join(run_toks) + " b1 b2 b3 b4 b5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_shared_runs(df, k=5, w=4, min_anchors=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["diag"]) == (1, 2, 3)  # doc1 offset 3
+    assert r["run_len"] <= 40                      # lower bound, never over
+    assert r["run_len"] >= 40 - (4 + 5 - 1)        # sketch can miss < w+k-1 at edges
+    assert r["start_a"] - r["diag"] == r["start_b"]
+    assert r["n_anchors"] >= 2
