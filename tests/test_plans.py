@@ -696,3 +696,35 @@ def test_q577_sparse_cosine_inverted_index_shape(q):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert pi.has_partial_aggregate(df)
+
+
+def test_q631_winnow_exchange_carries_no_token_arrays(q, spark):
+    """The winnowing sketch's only shuffles are the fp-keyed count and
+    match joins — the staged token/hash ARRAYS must stay inside the
+    document's partition (shipping them is corpus-bytes on the wire at
+    100 TB; the whole point of the sketch is that only (id, pos, fp)
+    longs leave). Broadcast disabled so the small-SF plan shows the
+    cluster-shape exchanges."""
+    from riptable_spark import queries17  # noqa: F401
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q("q631_winnow_matches")
+        exs = pi.exchanges(df)
+        assert exs, "expected fp-keyed exchanges"
+        for part, types in exs:
+            assert not any("array" in t.lower() for t in types), (part, types)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q635_shared_runs_single_agg_over_pairs(q):
+    """Diagonal chaining must be ONE hash aggregation over the fp-joined
+    pairs — no window over raw positions, no cartesian."""
+    from riptable_spark import queries17  # noqa: F401
+
+    df = q("q635_winnow_shared_runs")
+    plan = pi.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -5,6 +5,10 @@ oracle_sql() in DuckDB over the same parquet files, and compares
 (columns sorted by name, rows sorted, values exact-after-normalization).
 
 Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+       python tools/verify_local.py [sf_dir] --shard I/N   (run the I-th
+       of N interleaved slices of the full registry — each shard is its
+       own process/SparkSession, so N shards sweep ~N× faster on a box
+       with spare cores; tools/verify_sharded.sh drives all N)
 """
 
 from __future__ import annotations
@@ -84,7 +88,16 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    names = [a for a in sys.argv[1:] if not os.path.isdir(a)] or list(QUERIES)
+    args = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    shard = None
+    if "--shard" in args:
+        i = args.index("--shard")
+        shard = tuple(int(x) for x in args[i + 1].split("/"))
+        args = args[:i] + args[i + 2:]
+    names = args or list(QUERIES)
+    if shard is not None:
+        idx, n = shard
+        names = [q for j, q in enumerate(names) if j % n == idx]
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         print(f"ERROR: unknown query name(s) {unknown} (a mistyped sf dir lands here too)")
