@@ -887,6 +887,74 @@ def winnow_shared_runs(
     )
 
 
+def winnow_verify_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    w: int = 4,
+    max_docs: int = 50,
+    min_anchors: int = 2,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Exact verification of :func:`winnow_shared_runs` candidates — the
+    verify stage every sketch family here pairs with its candidate
+    generator (minhash→jaccard, simhash→hamming, banding→editdist):
+    re-join the two token arrays for each CANDIDATE pair only (bounded
+    by the fp doc-frequency cap and ``min_anchors``; raw corpora never
+    join all-pairs), test the claimed span token-by-token, and extend
+    it left/right to the TRUE maximal shared run.
+
+    Appends ``run_exact`` (every position inside the sketch's
+    lower-bound span matches), ``true_start_a`` and ``true_len`` (the
+    maximal extension around it).  All comparisons are JVM array
+    expressions (zip_with / array_position); exact-integer output."""
+    runs = winnow_shared_runs(
+        df, text_col, id_col, k, w, max_docs, min_anchors, hash_kind
+    )
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    ta = df.select(F.col(id_col).alias("id_a"), toks.alias("__ta__"))
+    tb = df.select(F.col(id_col).alias("id_b"), toks.alias("__tb__"))
+    j = runs.join(ta, "id_a").join(tb, "id_b")
+
+    def first_false(eq_arr):
+        # Spark array_position returns 0 when absent (all-equal)
+        return F.array_position(eq_arr, F.lit(False))
+
+    run_a = F.slice(F.col("__ta__"), F.col("start_a") + 1, F.col("run_len"))
+    run_b = F.slice(F.col("__tb__"), F.col("start_b") + 1, F.col("run_len"))
+    exact = first_false(F.zip_with(run_a, run_b, lambda x, y: x == y)) == 0
+
+    pre_m = F.least(F.col("start_a"), F.col("start_b"))
+    pre_a = F.reverse(F.slice(F.col("__ta__"), 1, F.col("start_a")))
+    pre_b = F.reverse(F.slice(F.col("__tb__"), 1, F.col("start_b")))
+    eq_pre = F.zip_with(
+        F.slice(pre_a, 1, pre_m), F.slice(pre_b, 1, pre_m), lambda x, y: x == y
+    )
+    left_ext = F.when(first_false(eq_pre) == 0, pre_m).otherwise(first_false(eq_pre) - 1)
+
+    end_a = F.col("start_a") + F.col("run_len")
+    end_b = F.col("start_b") + F.col("run_len")
+    suf_m = F.least(F.size("__ta__") - end_a, F.size("__tb__") - end_b)
+    suf_a = F.slice(F.col("__ta__"), end_a + 1, suf_m)
+    suf_b = F.slice(F.col("__tb__"), end_b + 1, suf_m)
+    eq_suf = F.zip_with(suf_a, suf_b, lambda x, y: x == y)
+    right_ext = F.when(first_false(eq_suf) == 0, suf_m).otherwise(first_false(eq_suf) - 1)
+
+    return j.select(
+        "id_a", "id_b", "diag", "start_a", "start_b", "run_len", "n_anchors",
+        exact.alias("run_exact"),
+        F.when(exact, F.col("start_a") - left_ext)
+        .otherwise(F.col("start_a"))
+        .cast("long")
+        .alias("true_start_a"),
+        F.when(exact, F.col("run_len") + left_ext + right_ext)
+        .otherwise(F.col("run_len"))
+        .cast("long")
+        .alias("true_len"),
+    )
+
+
 def remove_winnowed_spans(
     df: DataFrame,
     text_col: str = "text",

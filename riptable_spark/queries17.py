@@ -251,3 +251,82 @@ def q635(spark: SparkSession, sf: str) -> DataFrame:
         docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W,
         max_docs=50, min_anchors=2, hash_kind="md5",
     )
+
+
+# ------------------------------------------------------------------ q636
+@query(
+    "q636_winnow_verified_runs",
+    # Replay of candidate generation + the exact token-level verify and
+    # maximal extension: DuckDB indexes the token lists directly where
+    # Spark zips slices — same booleans, same first-mismatch positions,
+    # exact integers throughout.
+    f"""
+    WITH {_WINNOW_SEL},
+    counts AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+    ),
+    fp2 AS (SELECT f.doc_id, f.pos, f.fp FROM fps f JOIN counts USING (fp)),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+        FROM fp2 a JOIN fp2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT id_a, id_b, CAST(pa - pb AS BIGINT) AS diag,
+               CAST(min(pa) AS BIGINT) AS start_a,
+               CAST(min(pa) - (pa - pb) AS BIGINT) AS start_b,
+               CAST(max(pa) - min(pa) + {_WINNOW_K} AS BIGINT) AS run_len,
+               CAST(count(*) AS BIGINT) AS n_anchors
+        FROM pairs GROUP BY id_a, id_b, pa - pb
+        HAVING count(*) >= 2
+    ),
+    joined AS (
+        SELECT r.*, da.t AS ta, db.t AS tb,
+               len(da.t) AS na, len(db.t) AS nb
+        FROM runs r
+        JOIN d da ON da.doc_id = r.id_a
+        JOIN d db ON db.doc_id = r.id_b
+    ),
+    verified AS (
+        SELECT *,
+               COALESCE(list_position(list_transform(range(1, run_len + 1),
+                   i -> ta[start_a + i] = tb[start_b + i]), false), 0) AS ff_run,
+               least(start_a, start_b) AS pre_m,
+               least(na - (start_a + run_len), nb - (start_b + run_len)) AS suf_m
+        FROM joined
+    ),
+    ext AS (
+        SELECT *,
+               (ff_run = 0) AS run_exact,
+               COALESCE(list_position(list_transform(range(1, pre_m + 1),
+                   i -> ta[start_a + 1 - i] = tb[start_b + 1 - i]), false), 0)
+                   AS ff_pre,
+               COALESCE(list_position(list_transform(range(1, suf_m + 1),
+                   i -> ta[start_a + run_len + i] = tb[start_b + run_len + i]),
+                   false), 0) AS ff_suf
+        FROM verified
+    )
+    SELECT id_a, id_b, diag, start_a, start_b, run_len, n_anchors, run_exact,
+           CAST(CASE WHEN run_exact THEN start_a
+                     - (CASE WHEN ff_pre = 0 THEN pre_m ELSE ff_pre - 1 END)
+                ELSE start_a END AS BIGINT) AS true_start_a,
+           CAST(CASE WHEN run_exact THEN run_len
+                     + (CASE WHEN ff_pre = 0 THEN pre_m ELSE ff_pre - 1 END)
+                     + (CASE WHEN ff_suf = 0 THEN suf_m ELSE ff_suf - 1 END)
+                ELSE run_len END AS BIGINT) AS true_len
+    FROM ext
+    """,
+)
+def q636(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing candidates verified exactly (operators/dedup.
+    winnow_verify_runs): the claimed span is tested token-by-token and
+    extended to the true maximal shared run — candidate-bounded array
+    joins only, the generate→verify contract of every sketch family
+    here."""
+    from .operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    return dedup.winnow_verify_runs(
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W,
+        max_docs=50, min_anchors=2, hash_kind="md5",
+    )

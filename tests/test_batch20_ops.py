@@ -159,3 +159,43 @@ def test_winnow_shared_runs_diagonal_chaining(spark):
     assert r["run_len"] >= 40 - (4 + 5 - 1)        # sketch can miss < w+k-1 at edges
     assert r["start_a"] - r["diag"] == r["start_b"]
     assert r["n_anchors"] >= 2
+
+
+def test_winnow_verify_runs_exact_extension(spark):
+    """The verifier must (a) confirm the sketch's lower-bound span, and
+    (b) extend it to the TRUE maximal run — which the sketch alone can
+    under-report by up to w+k-2 tokens at each edge."""
+    from riptable_spark.operators.dedup import winnow_verify_runs
+
+    run_toks = [f"r{i}" for i in range(40)]
+    rows = [
+        (1, "a1 a2 a3 " + " ".join(run_toks) + " a4"),
+        (2, "b9 " + " ".join(run_toks) + " b1 b2 b3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_verify_runs(df, k=5, w=4, min_anchors=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["run_exact"] is True
+    assert r["true_start_a"] == 3 and r["true_len"] == 40  # exact maximal run
+    assert r["true_len"] >= r["run_len"]
+
+
+def test_winnow_verify_runs_flags_inexact_diagonal(spark):
+    """A diagonal stitched from two separate shared runs (same offset,
+    mismatching middle) must verify run_exact=False and keep the
+    sketch's span untouched."""
+    from riptable_spark.operators.dedup import winnow_verify_runs
+
+    r1 = [f"p{i}" for i in range(12)]
+    r2 = [f"q{i}" for i in range(12)]
+    rows = [
+        (1, " ".join(r1) + " mid1a mid1b " + " ".join(r2)),
+        (2, " ".join(r1) + " mid2a mid2b " + " ".join(r2)),  # same offsets!
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_verify_runs(df, k=4, w=3, min_anchors=2).collect()
+    assert len(out) == 1  # both runs share diag 0 -> one stitched span
+    r = out[0]
+    assert r["run_exact"] is False
+    assert r["true_len"] == r["run_len"] and r["true_start_a"] == r["start_a"]
