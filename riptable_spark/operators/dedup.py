@@ -955,6 +955,61 @@ def winnow_verify_runs(
     )
 
 
+def winnow_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    w: int = 4,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Durable near-dup state for continuous ingestion: the DISTINCT
+    winnowing fingerprints of a corpus (8 bytes per ~(w+1)/2 tokens —
+    the span-level sibling of :func:`fingerprint_index`).  Persist this
+    tiny relation between pipeline runs instead of re-reading
+    yesterday's corpus."""
+    return winnow_fingerprints(df, text_col, id_col, k, w, hash_kind).select(
+        "fp"
+    ).distinct()
+
+
+def winnow_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    w: int = 4,
+    min_hits: int = 2,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Incremental span-level dup screening for a running crawl: score
+    each NEW document by how many of its winnowing fingerprints are
+    already in the ``seen`` index (one join on the 8-byte fp — broadcast
+    when the index fits, shuffled-hash otherwise; the historical CORPUS
+    is never re-read).  Returns (id, n_fps, n_hits, is_dup) with
+    ``is_dup = n_hits ≥ min_hits`` — the boilerplate/near-dup flag; the
+    caller unions :func:`winnow_index` of the survivors to produce the
+    next run's index, so state grows by fingerprints, never text.
+    Documents too short to fingerprint (< w+k−1 tokens) pass through
+    with n_fps = 0, never flagged."""
+    fps = winnow_fingerprints(new_df, text_col, id_col, k, w, hash_kind)
+    hit = fps.join(
+        seen.select(F.col("fp")).withColumn("__hit__", F.lit(1)), "fp", "left"
+    )
+    per = hit.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.sum(F.coalesce("__hit__", F.lit(0))).cast("long").alias("n_hits"),
+    )
+    base = new_df.select(id_col)
+    return base.join(per, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("is_dup"),
+    )
+
+
 def remove_winnowed_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -330,3 +330,50 @@ def q636(spark: SparkSession, sf: str) -> DataFrame:
         docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W,
         max_docs=50, min_anchors=2, hash_kind="md5",
     )
+
+
+# ------------------------------------------------------------------ q637
+@query(
+    "q637_winnow_incremental",
+    # The ingestion split (even doc_ids = yesterday's corpus -> index,
+    # odd = today's batch) replays exactly: the seen-index DISTINCT, the
+    # fp hit-join, and the per-doc hit counting are one SQL pipeline.
+    f"""
+    WITH {_WINNOW_SEL},
+    seen AS (
+        SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0
+    ),
+    newfps AS (
+        SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1
+    ),
+    per AS (
+        SELECT n.doc_id,
+               CAST(count(*) AS BIGINT) AS n_fps,
+               CAST(count(s.fp) AS BIGINT) AS n_hits
+        FROM newfps n LEFT JOIN seen s ON s.fp = n.fp
+        GROUP BY n.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_fps, 0) AS n_fps,
+           COALESCE(p.n_hits, 0) AS n_hits,
+           COALESCE(p.n_hits, 0) >= 2 AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+)
+def q637(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental span-level dup screening (operators/dedup.
+    winnow_incremental): odd-id documents screened against the
+    winnow_index of even-id documents — the historical corpus never
+    re-read, only its 8-byte fingerprints."""
+    from .operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    seen = dedup.winnow_index(
+        docs.where(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        k=_WINNOW_K, w=_WINNOW_W, hash_kind="md5",
+    )
+    return dedup.winnow_incremental(
+        docs.where(F.col("doc_id") % 2 == 1), seen, "text", "doc_id",
+        k=_WINNOW_K, w=_WINNOW_W, min_hits=2, hash_kind="md5",
+    )

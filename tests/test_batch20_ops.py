@@ -199,3 +199,26 @@ def test_winnow_verify_runs_flags_inexact_diagonal(spark):
     r = out[0]
     assert r["run_exact"] is False
     assert r["true_len"] == r["run_len"] and r["true_start_a"] == r["start_a"]
+
+
+def test_winnow_incremental_screens_against_index(spark):
+    from riptable_spark.operators.dedup import winnow_incremental, winnow_index
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    old = spark.createDataFrame(
+        [(1, "x " + boiler), (2, boiler + " y z")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "h1 h2 " + boiler),                      # dup of history
+            (11, " ".join(f"fresh{i}" for i in range(25))),  # novel
+            (12, "tiny doc"),                              # too short: passes
+        ],
+        "doc_id long, text string",
+    )
+    idx = winnow_index(old, k=4, w=4)
+    out = {r["doc_id"]: r for r in winnow_incremental(
+        new, idx, k=4, w=4, min_hits=2).collect()}
+    assert out[10]["is_dup"] and out[10]["n_hits"] >= 2
+    assert not out[11]["is_dup"] and out[11]["n_hits"] == 0 and out[11]["n_fps"] > 0
+    assert not out[12]["is_dup"] and out[12]["n_fps"] == 0
