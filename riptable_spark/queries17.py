@@ -377,3 +377,40 @@ def q637(spark: SparkSession, sf: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 1), seen, "text", "doc_id",
         k=_WINNOW_K, w=_WINNOW_W, min_hits=2, hash_kind="md5",
     )
+
+
+# ------------------------------------------------------------------ q638
+@query(
+    "q638_stream_winnow_screen",
+    # Same even/odd split as q637, but through the STREAMING codepath's
+    # shape (fp hit-join + per-doc streaming agg; short docs absent by
+    # contract — the stream cannot self-join its own aggregate).
+    f"""
+    WITH {_WINNOW_SEL},
+    seen AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    newfps AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1)
+    SELECT n.doc_id,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(count(s.fp) AS BIGINT) AS n_hits,
+           count(s.fp) >= 2 AS is_dup
+    FROM newfps n LEFT JOIN seen s ON s.fp = n.fp
+    GROUP BY n.doc_id
+    """,
+)
+def q638(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming span-level dup screen (streaming/windows.
+    stream_winnow_screen) run on a batch frame — the identical
+    transformation a real readStream executes (pinned against an
+    actual availableNow drain in tests/test_batch20_ops.py)."""
+    from .operators import dedup
+    from .streaming.windows import stream_winnow_screen
+
+    docs = load_table(spark, sf, "documents")
+    seen = dedup.winnow_index(
+        docs.where(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        k=_WINNOW_K, w=_WINNOW_W, hash_kind="md5",
+    )
+    return stream_winnow_screen(
+        docs.where(F.col("doc_id") % 2 == 1), seen,
+        k=_WINNOW_K, w=_WINNOW_W, min_hits=2, hash_kind="md5",
+    )

@@ -371,3 +371,35 @@ def topk_per_window(counts: DataFrame, k: int) -> DataFrame:
     return counts.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def stream_winnow_screen(
+    docs: DataFrame,
+    seen: DataFrame,
+    k: int = 10,
+    w: int = 4,
+    min_hits: int = 2,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Span-level near-dup screening on a LIVE document stream: winnow
+    fingerprints are pure narrow expressions (they stream), the ``seen``
+    index is the static side of a stream-static join (broadcast — it is
+    8 bytes per historical span), and the per-doc hit count is one
+    streaming aggregation.  Unlike the batch
+    ``dedup.winnow_incremental``, docs too short to fingerprint never
+    enter the stream's output (joining the raw stream back to its own
+    aggregation would be a stream-stream self-join needing watermarks —
+    the caller treats absence as "not a dup").
+
+    Returns (doc_id, n_fps, n_hits, is_dup)."""
+    from ..operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, "text", "doc_id", k, w, hash_kind)
+    hit = fps.join(
+        F.broadcast(seen.select("fp").withColumn("__hit__", F.lit(1))), "fp", "left"
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.sum(F.coalesce("__hit__", F.lit(0))).cast("long").alias("n_hits"),
+        (F.sum(F.coalesce("__hit__", F.lit(0))) >= min_hits).alias("is_dup"),
+    )

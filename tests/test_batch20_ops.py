@@ -222,3 +222,36 @@ def test_winnow_incremental_screens_against_index(spark):
     assert out[10]["is_dup"] and out[10]["n_hits"] >= 2
     assert not out[11]["is_dup"] and out[11]["n_hits"] == 0 and out[11]["n_fps"] > 0
     assert not out[12]["is_dup"] and out[12]["n_fps"] == 0
+
+
+def test_stream_winnow_screen_real_readstream_parity(spark, tmp_path):
+    """The streaming screen over a REAL readStream (availableNow drain)
+    must equal the batch transformation row-for-row."""
+    from riptable_spark.operators.dedup import winnow_index
+    from riptable_spark.streaming.windows import (
+        run_available_now,
+        stream_documents,
+        stream_winnow_screen,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = winnow_index(
+        docs.where(F.col("doc_id") % 2 == 0), k=8, w=4, hash_kind="md5"
+    )
+    batch = {
+        r["doc_id"]: (r["n_fps"], r["n_hits"], r["is_dup"])
+        for r in stream_winnow_screen(
+            docs.where(F.col("doc_id") % 2 == 1), seen,
+            k=8, w=4, min_hits=2, hash_kind="md5",
+        ).collect()
+    }
+    stream = stream_documents(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
+    out = run_available_now(
+        stream_winnow_screen(stream, seen, k=8, w=4, min_hits=2, hash_kind="md5"),
+        "winnow_screen_t", str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["doc_id"]: (r["n_fps"], r["n_hits"], r["is_dup"]) for r in out.collect()
+    }
+    assert got == batch and len(got) > 0
