@@ -85,12 +85,12 @@ _PRIORITY = [
     "q158_grouped_topk",
     "q176_fuzzy_join",
     "q194_tfidf",
-    "q216_cusum_changepoint",
+    "q631_winnow_matches",
     "q297_tpch_q18",
     "q350_dbscan",
     "q362_dedup_incremental",
     "q368_pass_at_k",
-    "q370_bootstrap_ci",
+    "q636_winnow_verified_runs",
     "q630_approximation_board",
 ]
 
