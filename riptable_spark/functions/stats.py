@@ -3513,3 +3513,146 @@ def huber_fit(
             ((swy - F.col(f"a{rnd}") * swx) / sw).alias(f"b{rnd}"),
         ).drop("__sw__", "__swx__", "__swy__", "__swxx__", "__swxy__")
     return cur.drop("__pts__")
+
+
+def acf_ljung_box(
+    df: DataFrame,
+    keys: list[str],
+    val_col,
+    order: list[str],
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation function r_1..r_m per series plus the Ljung-Box
+    portmanteau statistic Q = n(n+2)·Σ r_k²/(n−k) — the standard
+    whiteness test.
+
+    Exactness discipline (the q483 moments pattern): with integer
+    inputs, every lag's numerator and the common denominator assemble
+    from exact BIGINT sums multiplied through by n (r_k =
+    [n²Σx_t·x_{t+k} − n·sx·(Σhead_k+Σtail_k) + (n−k)·sx²] /
+    [n·(n·Σx² − sx²)]), so each r_k is ONE divide of two
+    correctly-rounded int→double casts — engine-identical.  The lags
+    come from lead() windows over the per-key order (partitioned — no
+    global window), one aggregation total.  Q is a fixed expression
+    tree over the r_k columns.  Keep per-key n·²·Σxy under 2^63
+    (ANSI): integer inputs ≤ ~100 and series ≤ ~100k rows are safe."""
+    x = F.col("__x__")
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    d = df.select(*keys, F.col(val_col).cast("long").alias("__x__"), *order)
+    for k in range(1, max_lag + 1):
+        d = d.withColumn(f"__l{k}__", F.lead("__x__", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x * x).cast("long").alias("sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}__")
+        aggs += [
+            F.sum(x * lk).cast("long").alias(f"sxy{k}"),
+            F.sum(F.when(lk.isNotNull(), x)).cast("long").alias(f"sh{k}"),
+            F.sum(lk).cast("long").alias(f"st{k}"),
+        ]
+    g = d.groupBy(*keys).agg(*aggs)
+    n = F.col("n")
+    den = (n * (n * F.col("sxx") - F.col("sx") * F.col("sx"))).cast("double")
+    out = g
+    for k in range(1, max_lag + 1):
+        num = (
+            n * n * F.col(f"sxy{k}")
+            - n * F.col("sx") * (F.col(f"sh{k}") + F.col(f"st{k}"))
+            + (n - k) * F.col("sx") * F.col("sx")
+        ).cast("double")
+        out = out.withColumn(f"r{k}", num / den)
+    q = None
+    for k in range(1, max_lag + 1):
+        term = F.col(f"r{k}") * F.col(f"r{k}") / (n - k).cast("double")
+        q = term if q is None else q + term
+    out = out.withColumn("q_stat", (n * (n + 2)).cast("double") * q)
+    return out.select(*keys, "n", *[f"r{k}" for k in range(1, max_lag + 1)], "q_stat")
+
+
+def cooks_distance(
+    df: DataFrame,
+    keys: list[str],
+    x_col,
+    y_col,
+    id_cols: list[str],
+) -> DataFrame:
+    """Per-point regression influence diagnostics for y ~ x (simple
+    OLS): leverage h_i = 1/n + (x_i−x̄)²/Sxx, residual e_i, and Cook's
+    D_i = e_i²·h_i / (p·s²·(1−h_i)²) with p = 2 and s² = SSE/(n−2).
+
+    One exact-BIGINT moment aggregation per key (n, Σx, Σy, Σxx, Σxy,
+    Σyy) broadcast back to the rows; every per-row quantity is a fixed
+    double expression tree over those integers — engine-identical, no
+    float accumulations.  SSE assembles from the same moments
+    (Syy − b1·Sxy form, kept in exact integer cross-multiples until the
+    final divides)."""
+    xi = F.col(x_col).cast("long")
+    yi = F.col(y_col).cast("long")
+    d = df.select(*keys, *id_cols, xi.alias("__x__"), yi.alias("__y__"))
+    m = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x__").cast("long").alias("sx"),
+        F.sum("__y__").cast("long").alias("sy"),
+        F.sum(F.col("__x__") * F.col("__x__")).cast("long").alias("sxx"),
+        F.sum(F.col("__x__") * F.col("__y__")).cast("long").alias("sxy"),
+        F.sum(F.col("__y__") * F.col("__y__")).cast("long").alias("syy"),
+    )
+    j = d.join(F.broadcast(m), keys)
+    n = F.col("n")
+    sxx_c = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")  # n·Sxx
+    sxy_c = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    syy_c = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    b1 = sxy_c / sxx_c
+    # e_i = y_i − ȳ − b1(x_i − x̄), assembled via n-scaled integers
+    dx = (n * F.col("__x__") - F.col("sx")).cast("double")  # n(x_i − x̄)
+    dy = (n * F.col("__y__") - F.col("sy")).cast("double")
+    e_n = (dy - b1 * dx) / n.cast("double")  # e_i
+    h = F.lit(1.0) / n.cast("double") + (dx * dx) / (n.cast("double") * sxx_c)
+    # Σe_i² = (Syy_c − b1·Sxy_c)/n  (both _c terms carry one factor n)
+    sse = (syy_c - b1 * sxy_c) / n.cast("double")
+    s2 = sse / (n - 2).cast("double")
+    cook = (e_n * e_n) * h / (F.lit(2.0) * s2 * (F.lit(1.0) - h) * (F.lit(1.0) - h))
+    return j.select(
+        *keys, *id_cols,
+        F.col("__x__").alias("x"), F.col("__y__").alias("y"),
+        e_n.alias("residual"), h.alias("leverage"), cook.alias("cooks_d"),
+    )
+
+
+def crps_ensemble(
+    df: DataFrame,
+    keys: list[str],
+    member_cols: list[str],
+    obs_col,
+) -> DataFrame:
+    """Continuous ranked probability score for an m-member ensemble
+    forecast against integer observations:  per case
+    CRPS = (1/m)Σ|x_j − y| − (1/(2m²))ΣΣ|x_j − x_k|, averaged per
+    group.  Exactness: each case's bracket 2m·Σ|x_j−y| − ΣΣ|x_j−x_k| is
+    an exact BIGINT (integer members/observations), summed as BIGINT
+    across cases; the group mean is ONE divide by (2m²·n) — no float
+    accumulation anywhere (the brier_score discipline)."""
+    m = len(member_cols)
+    y = F.col(obs_col).cast("long")
+    s1 = None
+    for c in member_cols:
+        t = F.abs(F.col(c).cast("long") - y)
+        s1 = t if s1 is None else s1 + t
+    s2 = None
+    for a in member_cols:
+        for b in member_cols:
+            t = F.abs(F.col(a).cast("long") - F.col(b).cast("long"))
+            s2 = t if s2 is None else s2 + t
+    bracket = (F.lit(2 * m) * s1 - s2).cast("long")
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(bracket).cast("long").alias("tot"),
+    )
+    return g.select(
+        *keys, "n",
+        (F.col("tot").cast("double") / (2 * m * m * F.col("n")).cast("double"))
+        .alias("crps"),
+    )

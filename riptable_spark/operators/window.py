@@ -1789,3 +1789,50 @@ def window_funnel(
         F.count(F.lit(1)).cast("long").alias("n_anchors"),
         F.max("__depth__").cast("long").alias("max_depth"),
     ).withColumnRenamed("__k__", key_col)
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[str] | str,
+    value_col: str,
+    delta: int = 0,
+    lam: int = 100,
+) -> DataFrame:
+    """Per-key Page-Hinkley drift detector (offline form, integer
+    inputs): with M_t = Σ_{i≤t}(x_i − x̄ − δ), raise an alarm the first
+    time M_t − min_{s≤t} M_s exceeds λ — the classic mean-shift
+    sequential test, the one-sided sibling of :func:`cusum_changepoint`.
+
+    Exactness: everything is multiplied through by n so the recurrence
+    never touches the rational mean — Mn_t = n·cum_t − t·(sx + n·δ) is
+    an exact BIGINT prefix expression, its running min is exact, and
+    the alarm test Mn_t − min > n·λ cross-multiplies.  One key
+    aggregation (n, Σx broadcast back) + one sort-window pass; the
+    reported deviations divide by n once at the end.  Returns (key, n,
+    first_alarm_pos [NULL if never], max_dev — both in value units)."""
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    x = F.col(value_col).cast("long")
+    m = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.sum(x).cast("long").alias("__sx__"),
+    )
+    j = df.join(F.broadcast(m), on=key_col)
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    t = F.row_number().over(w).cast("long")
+    cum = F.sum(x).over(wrun).cast("long")
+    mn = F.col("__n__") * cum - t * (F.col("__sx__") + F.col("__n__") * F.lit(int(delta)))
+    d = j.select(
+        key_col, F.col("__n__"), t.alias("__t__"), mn.alias("__m__"),
+    ).withColumn("__runmin__", F.min("__m__").over(
+        Window.partitionBy(key_col).orderBy("__t__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    dev = F.col("__m__") - F.col("__runmin__")
+    alarm = dev > F.col("__n__") * F.lit(int(lam))
+    return d.groupBy(key_col).agg(
+        F.max("__n__").alias("n"),
+        F.min(F.when(alarm, F.col("__t__"))).alias("first_alarm_pos"),
+        (F.max(dev).cast("double") / F.max("__n__").cast("double")).alias("max_dev"),
+    )

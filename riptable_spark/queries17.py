@@ -414,3 +414,239 @@ def q638(spark: SparkSession, sf: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 1), seen,
         k=_WINNOW_K, w=_WINNOW_W, min_hits=2, hash_kind="md5",
     )
+
+
+# ------------------------------------------------------------------ q639
+_Q639_RK = "\n".join(
+    f"""           CAST(n * n * sxy{k} - n * sx * (sh{k} + st{k})
+                + (n - {k}) * sx * sx AS DOUBLE)
+               / CAST(n * (n * sxx - sx * sx) AS DOUBLE) AS r{k},"""
+    for k in range(1, 6)
+)
+
+
+@query(
+    "q639_acf_ljung_box",
+    # Exact-BIGINT lagged moments (lead windows over the per-key order)
+    # assemble each autocorrelation as one divide; the Ljung-Box Q is
+    # the identical fixed left-associated chain over the r_k doubles.
+    f"""
+    WITH f AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) % 100 AS x
+        FROM events
+    ),
+    l AS (
+        SELECT event_type, x,
+               {", ".join(f"lead(x, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS l{k}" for k in range(1, 6))}
+        FROM f
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               {", ".join(
+                   f"CAST(sum(x * l{k}) AS BIGINT) AS sxy{k}, "
+                   f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS BIGINT) AS sh{k}, "
+                   f"CAST(sum(l{k}) AS BIGINT) AS st{k}" for k in range(1, 6))}
+        FROM l GROUP BY event_type
+    ),
+    r AS (
+        SELECT event_type, n,
+{_Q639_RK}
+               0 AS __pad__
+        FROM m
+    )
+    SELECT event_type, n, r1, r2, r3, r4, r5,
+           CAST(n * (n + 2) AS DOUBLE)
+               * (r1 * r1 / CAST(n - 1 AS DOUBLE)
+                  + r2 * r2 / CAST(n - 2 AS DOUBLE)
+                  + r3 * r3 / CAST(n - 3 AS DOUBLE)
+                  + r4 * r4 / CAST(n - 4 AS DOUBLE)
+                  + r5 * r5 / CAST(n - 5 AS DOUBLE)) AS q_stat
+    FROM r
+    """,
+)
+def q639(spark: SparkSession, sf: str) -> DataFrame:
+    """ACF r_1..r_5 + Ljung-Box whiteness statistic per event-type
+    series (functions/stats.acf_ljung_box) on the integer cent
+    residuals — exact lagged moments, one divide per lag."""
+    from .functions.stats import acf_ljung_box
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select("event_type", "ts", "event_id", (cents % 100).alias("x"))
+    return acf_ljung_box(d, ["event_type"], "x", ["ts", "event_id"], max_lag=5)
+
+
+# ------------------------------------------------------------------ q640
+@query(
+    "q640_page_hinkley",
+    # n-scaled integer prefix deviations + exact running min; the alarm
+    # threshold cross-multiplies, the reported deviation divides once.
+    """
+    WITH f AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) % 100 AS x
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM f GROUP BY event_type
+    ),
+    w AS (
+        SELECT f.event_type, m.n,
+               CAST(row_number() OVER (PARTITION BY f.event_type
+                                       ORDER BY ts, event_id) AS BIGINT) AS t,
+               m.n * CAST(sum(x) OVER (PARTITION BY f.event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 - CAST(row_number() OVER (PARTITION BY f.event_type
+                                           ORDER BY ts, event_id) AS BIGINT)
+                   * (m.sx + m.n * 0) AS mt
+        FROM f JOIN m ON m.event_type = f.event_type
+    ),
+    d AS (
+        SELECT event_type, n, t,
+               mt - min(mt) OVER (PARTITION BY event_type ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS dev
+        FROM w
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN dev > n * 300 THEN t END) AS BIGINT)
+               AS first_alarm_pos,
+           CAST(max(dev) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS max_dev
+    FROM d GROUP BY event_type
+    """,
+)
+def q640(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-Hinkley mean-shift detector per event-type series
+    (operators/window.page_hinkley, δ=0, λ=300 value units (alarms fire mid-series at every SF; two sf0.001 series never alarm — the NULL path is exercised)) — the
+    one-sided sequential sibling of the CUSUM locator (q216), exact
+    integer prefix state."""
+    from .operators.window import page_hinkley
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select("event_type", "ts", "event_id", (cents % 100).alias("x"))
+    return page_hinkley(d, "event_type", ["ts", "event_id"], "x", delta=0, lam=300)
+
+
+# ------------------------------------------------------------------ q641
+@query(
+    "q641_cooks_distance",
+    # Per-row influence from exact per-key BIGINT moments; every double
+    # mirrors the Spark expression tree term for term.
+    """
+    WITH f AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) % 100 AS x,
+               (CAST(round(value * 100) AS BIGINT) % 100) * 3
+                 + CAST(round(value * 100) AS BIGINT) % 13 AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM f GROUP BY event_type
+    ),
+    j AS (
+        SELECT f.event_type, f.event_id, f.x, f.y, m.n,
+               CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS sxx_c,
+               CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) AS sxy_c,
+               CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE) AS syy_c,
+               CAST(m.n * f.x - m.sx AS DOUBLE) AS dx,
+               CAST(m.n * f.y - m.sy AS DOUBLE) AS dy
+        FROM f JOIN m ON m.event_type = f.event_type
+    ),
+    e AS (
+        SELECT event_type, event_id, x, y, n,
+               sxy_c / sxx_c AS b1,
+               (dy - (sxy_c / sxx_c) * dx) / CAST(n AS DOUBLE) AS residual,
+               CAST('1.0' AS DOUBLE) / CAST(n AS DOUBLE)
+                 + (dx * dx) / (CAST(n AS DOUBLE) * sxx_c) AS leverage,
+               (syy_c - (sxy_c / sxx_c) * sxy_c) / CAST(n AS DOUBLE) AS sse
+        FROM j
+    )
+    SELECT event_type, event_id, x, y, residual, leverage,
+           (residual * residual) * leverage
+             / (CAST('2.0' AS DOUBLE) * (sse / CAST(n - 2 AS DOUBLE))
+                * (CAST('1.0' AS DOUBLE) - leverage)
+                * (CAST('1.0' AS DOUBLE) - leverage)) AS cooks_d
+    FROM e
+    """,
+)
+def q641(spark: SparkSession, sf: str) -> DataFrame:
+    """Cook's distance / leverage / residual per point for y ~ x per
+    event type (functions/stats.cooks_distance) on a synthetic
+    confounded pair — per-row regression influence diagnostics from
+    exact BIGINT moments."""
+    from .functions.stats import cooks_distance
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "event_type", "event_id",
+        (cents % 100).alias("x"),
+        ((cents % 100) * 3 + cents % 13).alias("y"),
+    )
+    return cooks_distance(d, ["event_type"], "x", "y", ["event_id"])
+
+
+# ------------------------------------------------------------------ q642
+@query(
+    "q642_crps_ensemble",
+    # Each case's 2m·Σ|x−y| − ΣΣ|x−x'| bracket is exact BIGINT; the
+    # group mean is one divide by 2m²·n.
+    """
+    WITH f AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) % 50 AS y,
+               CAST(round(value * 100) AS BIGINT) % 50 + event_id % 7 - 3 AS e1,
+               CAST(round(value * 100) AS BIGINT) % 50 + (event_id * 3) % 9 - 4 AS e2,
+               CAST(round(value * 100) AS BIGINT) % 50 + (event_id * 5) % 11 - 5 AS e3,
+               CAST(round(value * 100) AS BIGINT) % 50 + (event_id * 7) % 13 - 6 AS e4,
+               CAST(round(value * 100) AS BIGINT) % 50 + (event_id * 11) % 15 - 7 AS e5
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               10 * (abs(e1 - y) + abs(e2 - y) + abs(e3 - y) + abs(e4 - y)
+                     + abs(e5 - y))
+               - (abs(e1-e1)+abs(e1-e2)+abs(e1-e3)+abs(e1-e4)+abs(e1-e5)
+                  +abs(e2-e1)+abs(e2-e2)+abs(e2-e3)+abs(e2-e4)+abs(e2-e5)
+                  +abs(e3-e1)+abs(e3-e2)+abs(e3-e3)+abs(e3-e4)+abs(e3-e5)
+                  +abs(e4-e1)+abs(e4-e2)+abs(e4-e3)+abs(e4-e4)+abs(e4-e5)
+                  +abs(e5-e1)+abs(e5-e2)+abs(e5-e3)+abs(e5-e4)+abs(e5-e5))
+                 AS bracket
+        FROM f
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bracket) AS DOUBLE) / CAST(50 * count(*) AS DOUBLE) AS crps
+    FROM b GROUP BY event_type
+    """,
+)
+def q642(spark: SparkSession, sf: str) -> DataFrame:
+    """CRPS of a deterministic 5-member synthetic ensemble against the
+    cent-residual observation, per event type
+    (functions/stats.crps_ensemble) — the proper scoring rule
+    completing the brier/pinball family, exact integer brackets."""
+    from .functions.stats import crps_ensemble
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "event_type",
+        (cents % 50).alias("y"),
+        (cents % 50 + F.col("event_id") % 7 - 3).alias("e1"),
+        (cents % 50 + (F.col("event_id") * 3) % 9 - 4).alias("e2"),
+        (cents % 50 + (F.col("event_id") * 5) % 11 - 5).alias("e3"),
+        (cents % 50 + (F.col("event_id") * 7) % 13 - 6).alias("e4"),
+        (cents % 50 + (F.col("event_id") * 11) % 15 - 7).alias("e5"),
+    )
+    return crps_ensemble(d, ["event_type"], ["e1", "e2", "e3", "e4", "e5"], "y")

@@ -255,3 +255,55 @@ def test_stream_winnow_screen_real_readstream_parity(spark, tmp_path):
         r["doc_id"]: (r["n_fps"], r["n_hits"], r["is_dup"]) for r in out.collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_page_hinkley_detects_planted_shift(spark):
+    from riptable_spark.operators.window import page_hinkley
+
+    rows = [("k", t, 10 if t <= 50 else 30) for t in range(1, 101)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    r = page_hinkley(df, "k", ["t"], "x", delta=0, lam=5).collect()[0]
+    assert r["first_alarm_pos"] is not None and 50 < r["first_alarm_pos"] <= 60
+    flat = spark.createDataFrame(
+        [("k", t, 10) for t in range(1, 101)], "k string, t long, x long"
+    )
+    rf = page_hinkley(flat, "k", ["t"], "x", delta=0, lam=5).collect()[0]
+    assert rf["first_alarm_pos"] is None and rf["max_dev"] == 0.0
+
+
+def test_acf_lag1_of_alternating_series(spark):
+    """x = +1/-1 alternating: r1 -> -1, r2 -> +1 (up to edge terms)."""
+    from riptable_spark.functions.stats import acf_ljung_box
+
+    rows = [("k", t, 1 if t % 2 == 0 else -1) for t in range(200)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    r = acf_ljung_box(df, ["k"], "x", ["t"], max_lag=2).collect()[0]
+    assert r["r1"] == pytest.approx(-1.0, abs=0.02)
+    assert r["r2"] == pytest.approx(1.0, abs=0.02)
+    assert r["q_stat"] > 100  # wildly non-white
+
+
+def test_cooks_distance_flags_planted_outlier(spark):
+    from riptable_spark.functions.stats import cooks_distance
+
+    rows = [("k", i, i, 2 * i) for i in range(30)] + [("k", 99, 40, 0)]
+    df = spark.createDataFrame(rows, "k string, id long, x long, y long")
+    out = cooks_distance(df, ["k"], "x", "y", ["id"]).collect()
+    top = max(out, key=lambda r: r["cooks_d"])
+    assert top["id"] == 99
+    assert top["cooks_d"] > 10 * sorted(r["cooks_d"] for r in out)[-2]
+
+
+def test_crps_perfect_ensemble_is_zero_and_scale_monotone(spark):
+    from riptable_spark.functions.stats import crps_ensemble
+
+    perfect = spark.createDataFrame(
+        [("k", 5, 5, 5, 5) for _ in range(10)], "k string, y long, a long, b long, c long"
+    )
+    r = crps_ensemble(perfect, ["k"], ["a", "b", "c"], "y").collect()[0]
+    assert r["crps"] == 0.0
+    off = spark.createDataFrame(
+        [("k", 5, 8, 8, 8) for _ in range(10)], "k string, y long, a long, b long, c long"
+    )
+    r2 = crps_ensemble(off, ["k"], ["a", "b", "c"], "y").collect()[0]
+    assert r2["crps"] == pytest.approx(3.0)  # degenerate ensemble: |bias|
