@@ -3656,3 +3656,75 @@ def crps_ensemble(
         (F.col("tot").cast("double") / (2 * m * m * F.col("n")).cast("double"))
         .alias("crps"),
     )
+
+
+def vif3(
+    df: DataFrame,
+    keys: list[str],
+    x1_col,
+    x2_col,
+    x3_col,
+) -> DataFrame:
+    """Variance inflation factors for a THREE-regressor design — the
+    multicollinearity screen: VIF_i = 1/(1−R_i²) where R_i² regresses
+    x_i on the other two; for three variables R_i² has the closed
+    correlation-matrix form (r_jk² + r_jl² − 2·r_jk·r_jl·r_kl)/(1−r_kl²)
+    so the whole diagnostic is a fixed double tree over the three
+    pairwise correlations — which assemble from ONE exact-BIGINT moment
+    aggregation (the q483 partial-correlation discipline).  Returns
+    (keys…, n, r12, r13, r23, vif1, vif2, vif3)."""
+    a = F.col(x1_col).cast("long")
+    b = F.col(x2_col).cast("long")
+    c = F.col(x3_col).cast("long")
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a).cast("long").alias("s1"),
+        F.sum(b).cast("long").alias("s2"),
+        F.sum(c).cast("long").alias("s3"),
+        F.sum(a * a).cast("long").alias("s11"),
+        F.sum(b * b).cast("long").alias("s22"),
+        F.sum(c * c).cast("long").alias("s33"),
+        F.sum(a * b).cast("long").alias("s12"),
+        F.sum(a * c).cast("long").alias("s13"),
+        F.sum(b * c).cast("long").alias("s23"),
+    )
+    n = F.col("n")
+
+    def corr(sij, si, sj, sii, sjj):
+        num = (n * F.col(sij) - F.col(si) * F.col(sj)).cast("double")
+        den = F.sqrt(
+            (n * F.col(sii) - F.col(si) * F.col(si)).cast("double")
+            * (n * F.col(sjj) - F.col(sj) * F.col(sj)).cast("double")
+        )
+        return num / den
+
+    g = (
+        g.withColumn("r12", corr("s12", "s1", "s2", "s11", "s22"))
+        .withColumn("r13", corr("s13", "s1", "s3", "s11", "s33"))
+        .withColumn("r23", corr("s23", "s2", "s3", "s22", "s33"))
+        # the cross term 2·r12·r13·r23 is the SAME quantity in all three
+        # R²s — compute it ONCE in one fixed order. Spelling it per-VIF
+        # with different associations invites Spark codegen''s
+        # common-subexpression elimination to canonicalize the three
+        # commutatively-reordered products as equal and substitute ONE
+        # evaluation order for all — bit-diverging from an oracle that
+        # evaluates each spelling as written (observed: one near-singular
+        # series flipped vif2''s last 3 digits at sf0.001).
+        .withColumn(
+            "cross",
+            F.lit(2.0) * F.col("r12") * F.col("r13") * F.col("r23"),
+        )
+    )
+
+    def r2_of(rij, rik, rjk):
+        # R² of x_i on (x_j, x_k); shared symmetric cross term
+        return (
+            F.col(rij) * F.col(rij) + F.col(rik) * F.col(rik) - F.col("cross")
+        ) / (F.lit(1.0) - F.col(rjk) * F.col(rjk))
+
+    return g.select(
+        *keys, "n", "r12", "r13", "r23",
+        (F.lit(1.0) / (F.lit(1.0) - r2_of("r12", "r13", "r23"))).alias("vif1"),
+        (F.lit(1.0) / (F.lit(1.0) - r2_of("r12", "r23", "r13"))).alias("vif2"),
+        (F.lit(1.0) / (F.lit(1.0) - r2_of("r13", "r23", "r12"))).alias("vif3"),
+    )

@@ -650,3 +650,79 @@ def q642(spark: SparkSession, sf: str) -> DataFrame:
         (cents % 50 + (F.col("event_id") * 11) % 15 - 7).alias("e5"),
     )
     return crps_ensemble(d, ["event_type"], ["e1", "e2", "e3", "e4", "e5"], "y")
+
+
+# ------------------------------------------------------------------ q643
+_Q643_CORR = (
+    "CAST(n * s{ij} - s{i} * s{j} AS DOUBLE)"
+    " / sqrt(CAST(n * s{ii} - s{i} * s{i} AS DOUBLE)"
+    " * CAST(n * s{jj} - s{j} * s{j} AS DOUBLE))"
+)
+_Q643_R2 = (
+    "(r{ij} * r{ij} + r{ik} * r{ik} - crossterm)"
+    " / (CAST('1.0' AS DOUBLE) - r{jk} * r{jk})"
+)
+
+
+@query(
+    "q643_vif",
+    # One exact-BIGINT moment aggregation -> three pairwise correlations
+    # -> the closed-form three-variable R-squares -> VIFs; every double
+    # mirrors the Spark tree.
+    f"""
+    WITH f AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) % 100 AS x1,
+               event_id % 97 AS x2,
+               (CAST(round(value * 100) AS BIGINT) % 100) * 2 + event_id % 97
+                 + event_id % 5 AS x3
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(x3) AS BIGINT) AS s3,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               CAST(sum(x3 * x3) AS BIGINT) AS s33,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(x1 * x3) AS BIGINT) AS s13,
+               CAST(sum(x2 * x3) AS BIGINT) AS s23
+        FROM f GROUP BY event_type
+    ),
+    r AS (
+        SELECT event_type, n,
+               {_Q643_CORR.format(ij='12', i='1', j='2', ii='11', jj='22')} AS r12,
+               {_Q643_CORR.format(ij='13', i='1', j='3', ii='11', jj='33')} AS r13,
+               {_Q643_CORR.format(ij='23', i='2', j='3', ii='22', jj='33')} AS r23
+        FROM m
+    ),
+    rc AS (
+        SELECT *, CAST('2.0' AS DOUBLE) * r12 * r13 * r23 AS crossterm FROM r
+    )
+    SELECT event_type, n, r12, r13, r23,
+           CAST('1.0' AS DOUBLE) / (CAST('1.0' AS DOUBLE)
+               - {_Q643_R2.format(ij='12', ik='13', jk='23')}) AS vif1,
+           CAST('1.0' AS DOUBLE) / (CAST('1.0' AS DOUBLE)
+               - {_Q643_R2.format(ij='12', ik='23', jk='13')}) AS vif2,
+           CAST('1.0' AS DOUBLE) / (CAST('1.0' AS DOUBLE)
+               - {_Q643_R2.format(ij='13', ik='23', jk='12')}) AS vif3
+    FROM rc
+    """,
+)
+def q643(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance inflation factors (functions/stats.vif3) on a planted
+    collinear triple (x3 ≈ 2·x1 + x2 + noise): x1/x2 near-orthogonal →
+    VIFs near 1 for the noise-dominated view, x3's VIF large — the
+    multicollinearity screen from one exact-moment aggregation."""
+    from .functions.stats import vif3
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "event_type",
+        (cents % 100).alias("x1"),
+        (F.col("event_id") % 97).alias("x2"),
+        ((cents % 100) * 2 + F.col("event_id") % 97 + F.col("event_id") % 5).alias("x3"),
+    )
+    return vif3(d, ["event_type"], "x1", "x2", "x3")

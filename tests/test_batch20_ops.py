@@ -307,3 +307,24 @@ def test_crps_perfect_ensemble_is_zero_and_scale_monotone(spark):
     )
     r2 = crps_ensemble(off, ["k"], ["a", "b", "c"], "y").collect()[0]
     assert r2["crps"] == pytest.approx(3.0)  # degenerate ensemble: |bias|
+
+
+def test_vif3_planted_collinearity(spark):
+    """x3 = 2·x1 + x2 exactly → perfect collinearity blows all VIFs up;
+    independent-ish regressors keep them near 1."""
+    import random
+
+    from riptable_spark.functions.stats import vif3
+
+    rng = random.Random(3)
+    rows = [("k", a := rng.randrange(100), b := rng.randrange(100), 2 * a + b + rng.randrange(3))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "k string, x1 long, x2 long, x3 long")
+    r = vif3(df, ["k"], "x1", "x2", "x3").collect()[0]
+    assert r["vif3"] > 100  # near-exact linear combination
+    indep = [("k", rng.randrange(100), rng.randrange(100), rng.randrange(100))
+             for _ in range(500)]
+    r2 = vif3(spark.createDataFrame(indep, "k string, x1 long, x2 long, x3 long"),
+              ["k"], "x1", "x2", "x3").collect()[0]
+    for c in ("vif1", "vif2", "vif3"):
+        assert 1.0 <= r2[c] < 1.1
