@@ -3534,8 +3534,11 @@ def acf_ljung_box(
     correctly-rounded int→double casts — engine-identical.  The lags
     come from lead() windows over the per-key order (partitioned — no
     global window), one aggregation total.  Q is a fixed expression
-    tree over the r_k columns.  Keep per-key n·²·Σxy under 2^63
-    (ANSI): integer inputs ≤ ~100 and series ≤ ~100k rows are safe."""
+    tree over the r_k columns.  Keep per-key n²·Σx_t·x_{t+k} under
+    2^63 (ANSI ARITHMETIC_OVERFLOW otherwise): the bound scales as
+    n³·x², so integer inputs |x| ≤ 100 are safe only up to ~45k rows
+    per series (100k rows needs |x| ≤ ~30).  For longer/larger series
+    pre-scale or pre-demean the input to double instead."""
     x = F.col("__x__")
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
     d = df.select(*keys, F.col(val_col).cast("long").alias("__x__"), *order)
@@ -3634,7 +3637,10 @@ def crps_ensemble(
     group.  Exactness: each case's bracket 2m·Σ|x_j−y| − ΣΣ|x_j−x_k| is
     an exact BIGINT (integer members/observations), summed as BIGINT
     across cases; the group mean is ONE divide by (2m²·n) — no float
-    accumulation anywhere (the brier_score discipline)."""
+    accumulation anywhere (the brier_score discipline).  A case with
+    any NULL member or observation has a NULL bracket; such cases are
+    excluded from BOTH the numerator and n (count(bracket), not
+    count(*)), so the mean divides by exactly the rows it summed."""
     m = len(member_cols)
     y = F.col(obs_col).cast("long")
     s1 = None
@@ -3648,7 +3654,7 @@ def crps_ensemble(
             s2 = t if s2 is None else s2 + t
     bracket = (F.lit(2 * m) * s1 - s2).cast("long")
     g = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(bracket).cast("long").alias("n"),
         F.sum(bracket).cast("long").alias("tot"),
     )
     return g.select(

@@ -992,10 +992,17 @@ def winnow_incremental(
     caller unions :func:`winnow_index` of the survivors to produce the
     next run's index, so state grows by fingerprints, never text.
     Documents too short to fingerprint (< w+k−1 tokens) pass through
-    with n_fps = 0, never flagged."""
+    with n_fps = 0, never flagged.
+
+    The ``seen`` index is deduplicated on fp before the join: the
+    documented maintenance pattern (union winnow_index outputs across
+    runs) would otherwise carry duplicate fps, and a left join against
+    a duplicated key multiplies rows — inflating n_fps AND n_hits."""
     fps = winnow_fingerprints(new_df, text_col, id_col, k, w, hash_kind)
     hit = fps.join(
-        seen.select(F.col("fp")).withColumn("__hit__", F.lit(1)), "fp", "left"
+        seen.select(F.col("fp")).distinct().withColumn("__hit__", F.lit(1)),
+        "fp",
+        "left",
     )
     per = hit.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_fps"),

@@ -395,8 +395,14 @@ def stream_winnow_screen(
     from ..operators.dedup import winnow_fingerprints
 
     fps = winnow_fingerprints(docs, "text", "doc_id", k, w, hash_kind)
+    # distinct() before the join: a seen index built by unioning
+    # winnow_index outputs across runs carries duplicate fps, and a
+    # left join on a duplicated key multiplies rows (inflating both
+    # n_fps and n_hits).
     hit = fps.join(
-        F.broadcast(seen.select("fp").withColumn("__hit__", F.lit(1))), "fp", "left"
+        F.broadcast(seen.select("fp").distinct().withColumn("__hit__", F.lit(1))),
+        "fp",
+        "left",
     )
     return hit.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fps"),

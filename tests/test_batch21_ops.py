@@ -224,6 +224,50 @@ def test_winnow_incremental_screens_against_index(spark):
     assert not out[12]["is_dup"] and out[12]["n_fps"] == 0
 
 
+def test_winnow_incremental_duplicated_index_invariant(spark):
+    """The documented maintenance pattern (union winnow_index outputs
+    across runs) produces duplicate fps in the seen index; the screen
+    must return identical counts for a self-unioned index (a duplicated
+    join key must not multiply rows into n_fps / n_hits)."""
+    from riptable_spark.operators.dedup import winnow_incremental, winnow_index
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    old = spark.createDataFrame(
+        [(1, "x " + boiler), (2, boiler + " y z")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "h1 h2 " + boiler),
+         (11, " ".join(f"fresh{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    idx = winnow_index(old, k=4, w=4)
+    clean = {r["doc_id"]: (r["n_fps"], r["n_hits"], r["is_dup"])
+             for r in winnow_incremental(new, idx, k=4, w=4).collect()}
+    doubled = {r["doc_id"]: (r["n_fps"], r["n_hits"], r["is_dup"])
+               for r in winnow_incremental(
+                   new, idx.union(idx), k=4, w=4).collect()}
+    assert clean == doubled and clean[10][1] >= 2
+
+
+def test_stream_winnow_screen_duplicated_index_invariant(spark, tmp_path):
+    """Same invariant for the streaming screen (batch-mode call)."""
+    from riptable_spark.operators.dedup import winnow_index
+    from riptable_spark.streaming.windows import stream_winnow_screen
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen = winnow_index(
+        docs.where(F.col("doc_id") % 2 == 0), k=8, w=4, hash_kind="md5"
+    )
+    newer = docs.where(F.col("doc_id") % 2 == 1)
+    one = {r["doc_id"]: (r["n_fps"], r["n_hits"])
+           for r in stream_winnow_screen(
+               newer, seen, k=8, w=4, hash_kind="md5").collect()}
+    two = {r["doc_id"]: (r["n_fps"], r["n_hits"])
+           for r in stream_winnow_screen(
+               newer, seen.union(seen), k=8, w=4, hash_kind="md5").collect()}
+    assert one == two and len(one) > 0
+
+
 def test_stream_winnow_screen_real_readstream_parity(spark, tmp_path):
     """The streaming screen over a REAL readStream (availableNow drain)
     must equal the batch transformation row-for-row."""
@@ -307,6 +351,20 @@ def test_crps_perfect_ensemble_is_zero_and_scale_monotone(spark):
     )
     r2 = crps_ensemble(off, ["k"], ["a", "b", "c"], "y").collect()[0]
     assert r2["crps"] == pytest.approx(3.0)  # degenerate ensemble: |bias|
+
+
+def test_crps_null_cases_excluded_from_numerator_and_n(spark):
+    """A case with a NULL member (or observation) must drop out of BOTH
+    the sum and n — a null-bracket row skipped by sum but counted by n
+    would bias crps toward 0."""
+    from riptable_spark.functions.stats import crps_ensemble
+
+    rows = [("k", 5, 8, 8, 8)] * 10 + [("k", 5, None, 8, 8), ("k", None, 8, 8, 8)]
+    df = spark.createDataFrame(
+        rows, "k string, y long, a long, b long, c long"
+    )
+    r = crps_ensemble(df, ["k"], ["a", "b", "c"], "y").collect()[0]
+    assert r["n"] == 10 and r["crps"] == pytest.approx(3.0)
 
 
 def test_vif3_planted_collinearity(spark):
