@@ -63,35 +63,38 @@ _PRIORITY = [
     "q106_salted_join",
     "q111_apply_rows",
     "q114_lsh_dedup",
-    # --- rotating back half (round 4): the nine newly-oracled
-    # path-dependent recurrences + never-driver-checked family reps,
-    # so successive CORRECTNESS_r*.json files accumulate driver-side
-    # coverage of the registry tail (core reps above stay pinned).
-    "q329_fifo_pnl",
-    "q330_holt_forecast",
-    "q343_wac_pnl",
-    "q349_holt_winters",
-    "q410_elo_ratings",
-    "q415_croston",
-    "q454_dtw_distance",
-    "q459_viterbi_regimes",
-    "q505_lob_match",
-    "q51_rolling_median",
-    "q84_resample",
-    "q99_stacked_read",
-    "q104_session_windows",
-    "q128_lexsort",
-    "q139_imatrix",
-    "q158_grouped_topk",
-    "q176_fuzzy_join",
-    "q194_tfidf",
-    "q631_winnow_matches",
-    "q297_tpch_q18",
-    "q350_dbscan",
-    "q362_dedup_incremental",
-    "q368_pass_at_k",
-    "q636_winnow_verified_runs",
-    "q630_approximation_board",
+    # --- rotating back half (round 5): all 25 are never-driver-checked
+    # (absent from CORRECTNESS_r01..r04) — the round-4 tail (winnow
+    # audits, NFC, diagnostics) plus one representative of each
+    # still-unchecked family (TPC-H joins, sketches, tokenizer, record
+    # linkage, SCD, ANN scale path), so successive CORRECTNESS_r*.json
+    # files accumulate driver-side coverage of the registry tail (core
+    # reps above stay pinned).
+    "q632_winnow_density",
+    "q633_winnow_boilerplate_removal",
+    "q634_nfc_normalize",
+    "q635_winnow_shared_runs",
+    "q637_winnow_incremental",
+    "q638_stream_winnow_screen",
+    "q639_acf_ljung_box",
+    "q640_page_hinkley",
+    "q641_cooks_distance",
+    "q642_crps_ensemble",
+    "q643_vif",
+    "q189_repeated_spans",
+    "q276_curation_e2e",
+    "q321_tpch_q6",
+    "q322_tpch_q21",
+    "q384_shapley_attribution",
+    "q66_text_quality",
+    "q138_ivf_topk",
+    "q162_bloom_decontaminate",
+    "q192_bpe_train",
+    "q230_hll_distinct",
+    "q293_tpch_q3",
+    "q421_scd2_build",
+    "q516_fellegi_sunter",
+    "q571_tpch_q2",
 ]
 
 

@@ -55,6 +55,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # Secondary (non-anchor) metric: q33's recorded number pays the md5
+    # portable hash that only the DuckDB oracle replay needs; a cluster
+    # runs xxhash64 (JVM intrinsic — no hex/conv detour). Report the
+    # production-path time alongside, without touching the anchor keys.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from riptable_spark.operators import dedup  # noqa: E402
+    from riptable_spark.sources.io import load_table  # noqa: E402
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+        dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", num_perm=32, bands=8, shingle_n=3,
+            hash_kind="xxhash64",
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    secondary = {"q33_minhash_pairs_xxhash64": round(best, 3)}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -67,6 +87,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "secondary": secondary,
                 "sf": sf_val,
             }
         )

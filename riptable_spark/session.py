@@ -47,6 +47,15 @@ def get_spark(app_name: str = "riptable_spark", master: str | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # opt-in event logging so scale benches can MEASURE spills (the event
+    # log's TaskEnd metrics carry Memory/Disk Bytes Spilled per task —
+    # tools/bench_scale.py sums them) instead of eyeballing the UI
+    eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", f"file://{os.path.abspath(eventlog_dir)}"
+        )
     env_master = os.environ.get("SPARK_MASTER")
     if master is not None:
         builder = builder.master(master)

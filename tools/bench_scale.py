@@ -1,0 +1,118 @@
+"""Scale-curve bench: run the headline queries at several SFs and
+compute per-query scaling exponents.
+
+The exponent e = log(wall_b/wall_a) / log(rows_b/rows_a) between
+consecutive SF points is the empirical cost growth: e < 1 means
+sublinear (fixed overheads amortizing, partial aggregation collapsing),
+e = 1 linear, e > 1 a scale problem.  At 100 TB what matters is that no
+query's exponent exceeds ~1 except those with a documented reason and a
+named scale path (brute-force cosine -> IVF/PQ).
+
+Usage: python tools/bench_scale.py SF_DIR [SF_DIR ...]
+       python tools/bench_scale.py /root/testdata/sf0.1 .scratch/sf1 .scratch/sf3
+
+Prints one JSON line per SF dir (bench.py format) and a final JSON line
+{"metric": "scale_exponents", ...} with per-query exponents between the
+last two points and across the full range.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+
+import duckdb
+
+
+def spill_bytes(eventlog_dir: str) -> tuple[int, int]:
+    """Sum (memory, disk) bytes spilled across all TaskEnd events in
+    every event-log file under eventlog_dir."""
+    mem = disk = 0
+    for name in os.listdir(eventlog_dir):
+        path = os.path.join(eventlog_dir, name)
+        if not os.path.isfile(path):
+            continue
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                if '"Event":"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                tm = (ev.get("Task Metrics") or {})
+                mem += tm.get("Memory Bytes Spilled", 0)
+                disk += tm.get("Disk Bytes Spilled", 0)
+    return mem, disk
+
+
+def rows_total(sf_dir: str) -> int:
+    con = duckdb.connect()
+    n = 0
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        n += con.sql(f"SELECT count(*) FROM '{sf_dir}/{t}.parquet'").fetchone()[0]
+    return n
+
+
+def main() -> None:
+    dirs = sys.argv[1:]
+    if len(dirs) < 2:
+        sys.exit("usage: python tools/bench_scale.py SF_DIR SF_DIR [SF_DIR ...]")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    points = []
+    for idx, d in enumerate(dirs):
+        evdir = os.path.join(repo, ".scratch", f"eventlog_{idx}")
+        os.makedirs(evdir, exist_ok=True)
+        for old in os.listdir(evdir):
+            os.unlink(os.path.join(evdir, old))
+        env = dict(
+            os.environ, SPARK_GRAFT_SF_DIR=d, SPARK_GRAFT_EVENTLOG_DIR=evdir
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout.strip().splitlines()[-1]
+        rec = json.loads(out)
+        rec["rows"] = rows_total(d)
+        rec["dir"] = d
+        mem, disk = spill_bytes(evdir)
+        rec["spill_memory_bytes"], rec["spill_disk_bytes"] = mem, disk
+        print(json.dumps(rec), flush=True)
+        points.append(rec)
+
+    def expo(a: dict, b: dict, q: str) -> float:
+        return round(
+            math.log(b["queries"][q] / a["queries"][q])
+            / math.log(b["rows"] / a["rows"]),
+            3,
+        )
+
+    first, last = points[0], points[-1]
+    prev = points[-2]
+    result = {
+        "metric": "scale_exponents",
+        "dirs": dirs,
+        "rows": [p["rows"] for p in points],
+        "total_wall": [p["value"] for p in points],
+        "exponent_total_full_range": round(
+            math.log(last["value"] / first["value"])
+            / math.log(last["rows"] / first["rows"]), 3),
+        "exponent_total_last_step": round(
+            math.log(last["value"] / prev["value"])
+            / math.log(last["rows"] / prev["rows"]), 3),
+        "per_query_full_range": {
+            q: expo(first, last, q) for q in first["queries"]
+        },
+        "per_query_last_step": {
+            q: expo(prev, last, q) for q in first["queries"]
+        },
+        "spill_disk_bytes": [p["spill_disk_bytes"] for p in points],
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
