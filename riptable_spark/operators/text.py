@@ -1028,3 +1028,212 @@ def normalize_nfc(df: DataFrame, text_col: str = "text", out_col: str = "text_nf
     # decorator-time eval-type inference
     _nfc = pandas_udf(_nfc_series, "string")
     return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+# -------------------------------------------------- corpus statistics
+def zipf_fit(df: DataFrame, text_col: str = "text", top_r: int = 40) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept of
+    ln(freq) on ln(rank) for the top ``top_r`` tokens — the standard
+    corpus-health diagnostic (natural language sits near slope −1;
+    boilerplate-heavy or templated corpora flatten, spam steepens).
+
+    Scale shape: one corpus-sized explode + hash-count builds the
+    vocabulary (map-side combined); everything after runs on the top-R
+    relation (≤ top_r rows).  Exactness: the float sums fold LEFT over
+    a rank-sorted staged array (F.aggregate is a linear left fold), so
+    the oracle replays the identical association via DuckDB's
+    list_reduce over a rank-ordered list — no orderless float sum
+    anywhere (ORACLES rule 19/22).  Reference: riptable has no corpus
+    module; this extends the training-data surface (SURVEY §2.9)."""
+    v = build_vocab(df, text_col).where(F.col("rank") <= top_r)
+    pts = v.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct(F.col("rank"), F.col("n")))).alias("__pts__"),
+        F.count(F.lit(1)).cast("long").alias("r_used"),
+    )
+
+    def _fold(term):
+        return F.aggregate(F.col("__pts__"), F.lit(0.0), lambda acc, s: acc + term(s))
+
+    def _lx(s):
+        return F.log(s.getField("rank").cast("double"))
+
+    def _ly(s):
+        return F.log(s.getField("n").cast("double"))
+
+    # stage each fold as its own column (catalyst HOF re-evaluation:
+    # inlining them into the slope formula re-runs the O(R) folds once
+    # per reference)
+    pts = pts.select(
+        "r_used",
+        _fold(_lx).alias("__sx__"),
+        _fold(_ly).alias("__sy__"),
+        _fold(lambda s: _lx(s) * _lx(s)).alias("__sxx__"),
+        _fold(lambda s: _lx(s) * _ly(s)).alias("__sxy__"),
+    )
+    n = F.col("r_used").cast("double")
+    slope = (n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")) / (
+        n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    )
+    # stage slope before intercept references it (codegen CSE exactness:
+    # one evaluation, one spelling)
+    staged = pts.select("*", slope.alias("slope"))
+    intercept = (F.col("__sy__") - F.col("slope") * F.col("__sx__")) / n
+    return staged.select("r_used", "slope", intercept.alias("intercept"))
+
+
+def good_turing(df: DataFrame, text_col: str = "text", max_r: int = 10) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table: for r = 1..max_r the
+    count-of-counts N_r (tokens seen exactly r times), the smoothed
+    count r* = (r+1)·N_{r+1}/N_r, and the Good-Turing probability
+    mass p_gt = N_r·r*/N assigned to that frequency class.  N_1/N is
+    the classic unseen-mass estimate — the quantity an LM-data curator
+    watches to judge how much of a corpus's token distribution is
+    still singleton noise.
+
+    Scale shape: token hash-count (corpus-sized, map-side combined) →
+    count-of-counts (vocabulary-sized) → a ≤ max_r+1-row relation; the
+    N_{r+1} lookup is a self-join on that tiny relation (NOT a lead()
+    window — a missing frequency class would make lead() read the next
+    POPULATED class, silently wrong).  Exactness: r* and the class
+    share are single divides of exact BIGINTs — bit-identical
+    cross-engine."""
+    toks = _words(F.lower(F.col(text_col)))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    nr = (
+        counts.where(F.col("__n__") <= max_r + 1)
+        .groupBy(F.col("__n__").alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    total = counts.agg(F.sum("__n__").cast("long").alias("__N__"))
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    out = (
+        nr.where(F.col("r") <= max_r)
+        .join(nxt, on="r", how="left")
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        F.col("r").cast("long").alias("r"),
+        "n_r",
+        F.coalesce("n_r1", F.lit(0)).cast("long").alias("n_r_plus1"),
+        (
+            (F.col("r") + 1).cast("double")
+            * F.coalesce("n_r1", F.lit(0)).cast("double")
+            / F.col("n_r").cast("double")
+        ).alias("r_star"),
+        (
+            (F.col("n_r") * F.col("r")).cast("double")
+            / F.col("__N__").cast("double")
+        ).alias("class_token_share"),
+    )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    min_count: int = 3,
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities — the
+    standard n-gram LM smoother (Kneser & Ney 1995; the KenLM default):
+
+        p_kn(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1) · (N1+(·w2)/N1+(··))
+
+    where c12 = bigram count, c1 = w1's bigram-first count, N1+(w1·) =
+    distinct continuations of w1, N1+(·w2) = distinct left-contexts of
+    w2 (the continuation probability — KN's insight: "Francisco" is
+    frequent but follows almost nothing), and N1+(··) = distinct
+    bigrams.  Rows with c12 ≥ min_count are returned (min_count ≥ 1
+    keeps c12 − D positive, so the max(·,0) clamp is vacuous).
+
+    Scale shape: ONE corpus-sized explode feeds the bigram hash-count;
+    every other component (c1, both N1+ families, the bigram total)
+    derives from that AGGREGATED relation, and the small sides
+    broadcast into the final join.  Exactness: all components are
+    exact BIGINTs; p_kn is a fixed float expression tree over them
+    with D shipped as a dyadic-rational literal — bit-identical
+    cross-engine."""
+    toks = _words(F.lower(F.col(text_col)))
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks__) - 1),"
+            " i -> concat(element_at(_toks__, i), ' ', element_at(_toks__, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("_toks__", toks)
+        .select(F.explode(bg).alias("__bg__"))
+    )
+    c12 = ex.groupBy("__bg__").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c12 = c12.select(
+        F.split(F.col("__bg__"), " ").getItem(0).alias("w1"),
+        F.split(F.col("__bg__"), " ").getItem(1).alias("w2"),
+        "c12",
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1_fw"),
+    )
+    bw = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1_bw"))
+    nbi = c12.agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+    out = (
+        c12.where(F.col("c12") >= min_count)
+        .join(F.broadcast(c1), on="w1")
+        .join(F.broadcast(bw), on="w2")
+        .crossJoin(F.broadcast(nbi))
+    )
+    d = F.lit(discount).cast("double")
+    p_kn = (F.col("c12").cast("double") - d) / F.col("c1").cast("double") + (
+        d * F.col("n1_fw").cast("double") / F.col("c1").cast("double")
+    ) * (F.col("n1_bw").cast("double") / F.col("n_bi").cast("double"))
+    return out.select(
+        "w1", "w2", "c12", "c1", "n1_fw", "n1_bw", "n_bi", p_kn.alias("p_kn")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each cutoff k, the share of ALL
+    corpus tokens covered by the k most frequent types — the number a
+    tokenizer designer reads off before choosing a vocab size (and the
+    flip side of the OOV rate at that size).
+
+    Scale shape: one corpus-sized explode + hash-count; the cumulative
+    sum is an integer window over the AGGREGATED vocabulary ordered by
+    (n desc, token) — exact under any engine (integer window sums
+    don't reassociate).  Cutoffs larger than the vocabulary clamp to
+    the full vocabulary.  Returns (k, rank_used, covered_tokens,
+    total_tokens, coverage) with coverage = one exact-BIGINT divide."""
+    v = build_vocab(df, text_col)
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = v.select(
+        "rank", F.sum("n").over(w).cast("long").alias("__cum__")
+    )
+    stats = cum.agg(
+        F.max("rank").cast("long").alias("__vmax__"),
+        F.max("__cum__").cast("long").alias("__total__"),
+    )
+    kdf = (
+        cum.sparkSession.createDataFrame([(int(k),) for k in ks], "k long")
+        .crossJoin(F.broadcast(stats))
+        .select("k", F.least(F.col("k"), F.col("__vmax__")).alias("rank_used"), "__total__")
+    )
+    out = kdf.join(cum, kdf["rank_used"] == cum["rank"]).select(
+        "k",
+        "rank_used",
+        F.col("__cum__").alias("covered_tokens"),
+        F.col("__total__").alias("total_tokens"),
+        (F.col("__cum__").cast("double") / F.col("__total__").cast("double")).alias(
+            "coverage"
+        ),
+    )
+    return out
