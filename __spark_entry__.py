@@ -25,6 +25,7 @@ from riptable_spark import queries11  # noqa: F401 — registers batch-11 querie
 from riptable_spark import queries12  # noqa: F401 — registers batch-12 queries
 from riptable_spark import queries13  # noqa: F401 — registers batch-13 queries
 from riptable_spark import queries14, queries15, queries16, queries17  # noqa: F401 — registers batch-14 queries
+from riptable_spark import queries18  # noqa: F401 — registers batch-18 queries
 from riptable_spark.queries import ORACLES, QUERIES
 
 

@@ -1433,3 +1433,69 @@ def gower_distance(
     sel += [t.alias(nm) for t, nm in zip(terms, names)]
     sel.append((total / F.lit(float(k))).alias("gower"))
     return pairs.select(*sel)
+
+
+def tf_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq_frac: float | None = None,
+) -> DataFrame:
+    """Exact TERM-FREQUENCY-weighted Jaccard similarity for all pairs
+    sharing ≥1 token:  J_w(A,B) = Σ_t min(tf_A(t), tf_B(t)) /
+    Σ_t max(tf_A(t), tf_B(t)) — the multiset generalization of
+    :func:`ngram_jaccard_pairs` (set Jaccard saturates on documents that
+    repeat a small shared vocabulary; the weighted form keeps
+    discriminating, which is what near-dup detection over templated /
+    boilerplate-heavy corpora needs).
+
+    The union weight never needs its own pass:  Σmax = S_A + S_B − Σmin
+    (tokens on one side only contribute their tf; shared tokens
+    contribute a+b−min).  So the plan is the set-Jaccard plan with tf
+    carried through: one explode + (doc, token) count, a token-keyed
+    equi-join producing Σ min(tf_a, tf_b) per pair, and per-doc total
+    sizes joined in.  All integers; the final similarity is ONE divide.
+    ``max_doc_freq_frac`` is the same stopword-skew guard as the set
+    version: a token present in more than that fraction of documents is
+    dropped BEFORE the self-join (documented filtered-universe
+    semantics)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("token_h", F.xxhash64("token"))
+    )
+    if max_doc_freq_frac is not None:
+        n_docs = df.select(F.countDistinct(id_col)).first()[0]
+        cap = int(max_doc_freq_frac * n_docs)
+        dfreq = tf.groupBy("token_h").agg(F.count(F.lit(1)).alias("__df__"))
+        keep = dfreq.where(F.col("__df__") <= cap).select("token_h")
+        tf = tf.join(keep, on="token_h")
+    sizes = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("__size__"))
+    a, b = tf.alias("a"), tf.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.token_h") == F.col("b.token_h"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.sum(F.least(F.col("a.tf"), F.col("b.tf"))).cast("long").alias("w_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size__").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__size__").alias("size_b"))
+    inter = inter.join(sa, on="id_a").join(sb, on="id_b")
+    jac = F.col("w_shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("w_shared")
+    ).cast("double")
+    return inter.select(
+        "id_a", "id_b", "w_shared", "size_a", "size_b", jac.alias("w_jaccard")
+    ).where(jac >= F.lit(threshold).cast("double"))

@@ -1081,14 +1081,18 @@ def zipf_fit(df: DataFrame, text_col: str = "text", top_r: int = 40) -> DataFram
     return staged.select("r_used", "slope", intercept.alias("intercept"))
 
 
-def good_turing(df: DataFrame, text_col: str = "text", max_r: int = 10) -> DataFrame:
+def good_turing(
+    df: DataFrame, text_col: str = "text", max_r: int = 10, ngram: int = 1
+) -> DataFrame:
     """Good-Turing frequency-of-frequencies table: for r = 1..max_r the
-    count-of-counts N_r (tokens seen exactly r times), the smoothed
-    count r* = (r+1)·N_{r+1}/N_r, and the Good-Turing probability
-    mass p_gt = N_r·r*/N assigned to that frequency class.  N_1/N is
-    the classic unseen-mass estimate — the quantity an LM-data curator
-    watches to judge how much of a corpus's token distribution is
-    still singleton noise.
+    count-of-counts N_r (n-gram types seen exactly r times), the
+    smoothed count r* = (r+1)·N_{r+1}/N_r, and the corpus-token share
+    of each class.  N_1/N is the classic unseen-mass estimate — the
+    quantity an LM-data curator watches to judge how much of a corpus's
+    distribution is still singleton noise.  ``ngram`` picks the unit
+    (1 = word types; 3 = trigrams, the usual LM-smoothing view — and
+    the one with a populated low-r tail on bounded-vocabulary
+    corpora).
 
     Scale shape: token hash-count (corpus-sized, map-side combined) →
     count-of-counts (vocabulary-sized) → a ≤ max_r+1-row relation; the
@@ -1098,8 +1102,21 @@ def good_turing(df: DataFrame, text_col: str = "text", max_r: int = 10) -> DataF
     share are single divides of exact BIGINTs — bit-identical
     cross-engine."""
     toks = _words(F.lower(F.col(text_col)))
+    if ngram > 1:
+        # greatest(.., 1): sequence(1, 0) would generate DESCENDING [1, 0];
+        # the when() guard below already drops short docs, this keeps the
+        # unevaluated branch well-formed
+        cnt = F.greatest(F.size(toks) - (ngram - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), cnt)
+        unit = F.when(
+            F.size(toks) >= ngram,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram))),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        unit = toks
     counts = (
-        df.select(F.explode(toks).alias("token"))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(unit).alias("token"))
         .where(F.length("token") > 0)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("__n__"))

@@ -1,0 +1,245 @@
+"""Driver-contract query registry, batch 18 (round 5, q644+):
+LM-corpus statistics (Zipf fit, Good-Turing, Kneser-Ney, vocabulary
+coverage) and weighted near-dup similarity.  Registers into the same
+QUERIES/ORACLES dicts; imported AFTER queries17 everywhere so
+registration order stays append-only (snapshot-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.io import load_table
+
+# shared oracle prelude: q173's tokenization (lower, whitespace-
+# normalize, split, drop empties) -> token frequency table
+_VOCAB_PRELUDE = """
+    toks AS (
+        SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+        FROM documents
+    ),
+    t AS (SELECT token FROM toks WHERE length(token) > 0),
+    counts AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+"""
+
+
+# ------------------------------------------------------------------ q644
+@query(
+    "q644_zipf_fit",
+    f"""
+    WITH {_VOCAB_PRELUDE},
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts
+    ),
+    top AS (SELECT rank, n FROM ranked WHERE rank <= 40),
+    arrs AS (
+        SELECT CAST(count(*) AS BIGINT) AS r_used,
+               list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS lx,
+               list(ln(CAST(n AS DOUBLE)) ORDER BY rank) AS ly,
+               list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS lxx,
+               list(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE)) ORDER BY rank) AS lxy
+        FROM top
+    ),
+    -- left folds replay F.aggregate's ((0+t1)+t2)+... association
+    -- exactly (list_reduce seeds with t1; 0.0+t1 == t1 bit-for-bit)
+    sums AS (
+        SELECT r_used,
+               list_reduce(lx, (a, b) -> a + b) AS sx,
+               list_reduce(ly, (a, b) -> a + b) AS sy,
+               list_reduce(lxx, (a, b) -> a + b) AS sxx,
+               list_reduce(lxy, (a, b) -> a + b) AS sxy
+        FROM arrs
+    ),
+    sl AS (
+        SELECT r_used, sx, sy,
+               (CAST(r_used AS DOUBLE) * sxy - sx * sy)
+               / (CAST(r_used AS DOUBLE) * sxx - sx * sx) AS slope
+        FROM sums
+    )
+    SELECT r_used, round(slope, 6) AS slope,
+           round((sy - slope * sx) / CAST(r_used AS DOUBLE), 6) AS intercept
+    FROM sl
+    """,
+)
+def q644(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law OLS fit (ln freq on ln rank, top-40 types) over the
+    documents corpus (operators/text.zipf_fit) — the corpus-health
+    diagnostic.  Float sums are order-pinned left folds on both
+    engines, but ln itself is NOT universally cross-engine exact
+    (Java Math.log(936.0) differs from libm by 1 ulp — found by this
+    query's sf0.01 gate), so outputs are rounded at 6 dp like the
+    other ln-based scores (q173/q198)."""
+    from .operators import text as _tx
+
+    d = load_table(spark, sf, "documents")
+    out = _tx.zipf_fit(d, top_r=40)
+    return out.select(
+        "r_used",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+# ------------------------------------------------------------------ q645
+@query(
+    "q645_good_turing",
+    """
+    WITH docs AS (
+        SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tg AS (
+        SELECT unnest(list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS token
+        FROM docs
+    ),
+    counts AS (SELECT token, count(*) AS n FROM tg WHERE length(token) > 0 GROUP BY token),
+    nr AS (
+        SELECT n AS r, CAST(count(*) AS BIGINT) AS n_r
+        FROM counts WHERE n <= 11 GROUP BY n
+    ),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM counts),
+    nxt AS (SELECT r - 1 AS r, n_r AS n_r1 FROM nr)
+    SELECT CAST(nr.r AS BIGINT) AS r, nr.n_r,
+           CAST(coalesce(nxt.n_r1, 0) AS BIGINT) AS n_r_plus1,
+           CAST(nr.r + 1 AS DOUBLE) * CAST(coalesce(nxt.n_r1, 0) AS DOUBLE)
+             / CAST(nr.n_r AS DOUBLE) AS r_star,
+           CAST(nr.n_r * nr.r AS DOUBLE) / CAST(total.N AS DOUBLE) AS class_token_share
+    FROM nr LEFT JOIN nxt ON nr.r = nxt.r CROSS JOIN total
+    WHERE nr.r <= 10
+    """,
+)
+def q645(spark: SparkSession, sf: str) -> DataFrame:
+    """Good-Turing count-of-counts table r = 1..10 over TRIGRAM types
+    with smoothed r* and per-class corpus-token share
+    (operators/text.good_turing, ngram=3 — the word-type view is
+    vacuous on this corpus's fixed 31-token vocabulary; trigrams have
+    the populated low-r tail an LM smoother actually consumes).  The
+    N_{r+1} lookup is a self-join, not lead(), so a missing frequency
+    class yields 0, never the next populated class."""
+    from .operators import text as _tx
+
+    d = load_table(spark, sf, "documents")
+    return _tx.good_turing(d, max_r=10, ngram=3)
+
+
+# ------------------------------------------------------------------ q646
+@query(
+    "q646_kneser_ney",
+    """
+    WITH docs AS (
+        SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+        FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+                                     i -> l[i] || ' ' || l[i+1])) AS b
+        FROM docs
+    ),
+    c12 AS (
+        SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+               CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY b
+    ),
+    c1 AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1_fw
+        FROM c12 GROUP BY w1
+    ),
+    bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_bw FROM c12 GROUP BY w2),
+    nbi AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM c12)
+    SELECT c12.w1, c12.w2, c12.c12, c1.c1, c1.n1_fw, bw.n1_bw, nbi.n_bi,
+           (CAST(c12.c12 AS DOUBLE) - CAST('0.75' AS DOUBLE)) / CAST(c1.c1 AS DOUBLE)
+           + (CAST('0.75' AS DOUBLE) * CAST(c1.n1_fw AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+             * (CAST(bw.n1_bw AS DOUBLE) / CAST(nbi.n_bi AS DOUBLE)) AS p_kn
+    FROM c12 JOIN c1 USING (w1) JOIN bw USING (w2) CROSS JOIN nbi
+    WHERE c12.c12 >= 3
+    """,
+)
+def q646(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities with D = 0.75 over
+    the documents corpus (operators/text.kneser_ney_bigram), rows with
+    bigram count ≥ 3.  All smoothing components are exact BIGINTs; p_kn
+    is a fixed float tree — bit-identical cross-engine."""
+    from .operators import text as _tx
+
+    d = load_table(spark, sf, "documents")
+    return _tx.kneser_ney_bigram(d, discount=0.75, min_count=3)
+
+
+# ------------------------------------------------------------------ q647
+@query(
+    "q647_vocab_coverage",
+    f"""
+    WITH {_VOCAB_PRELUDE},
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts
+    ),
+    cum AS (
+        SELECT rank, CAST(sum(n) OVER (ORDER BY rank) AS BIGINT) AS cumn
+        FROM ranked
+    ),
+    stats AS (
+        SELECT CAST(max(rank) AS BIGINT) AS vmax,
+               (SELECT CAST(sum(n) AS BIGINT) FROM counts) AS total
+        FROM ranked
+    ),
+    ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (100), (1000), (10000)) v(k)),
+    sel AS (
+        SELECT k, least(k, stats.vmax) AS rank_used, stats.total
+        FROM ks CROSS JOIN stats
+    )
+    SELECT k, CAST(rank_used AS BIGINT) AS rank_used,
+           cum.cumn AS covered_tokens, total AS total_tokens,
+           CAST(cum.cumn AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+    FROM sel JOIN cum ON sel.rank_used = cum.rank
+    """,
+)
+def q647(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve at k = 100 / 1k / 10k types
+    (operators/text.vocab_coverage) — share of all corpus tokens the
+    top-k types cover; integer window cumsum over the aggregated
+    vocabulary, one exact divide per row."""
+    from .operators import text as _tx
+
+    d = load_table(spark, sf, "documents")
+    return _tx.vocab_coverage(d, ks=(100, 1000, 10000))
+
+
+# ------------------------------------------------------------------ q648
+@query(
+    "q648_tf_jaccard",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents WHERE doc_id < 100
+    ),
+    t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, tok),
+    sizes AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sz FROM tf GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS w_shared
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, w_shared, sa.sz AS size_a, sb.sz AS size_b,
+           CAST(w_shared AS DOUBLE) / CAST(sa.sz + sb.sz - w_shared AS DOUBLE) AS w_jaccard
+    FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+               JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE CAST(w_shared AS DOUBLE) / CAST(sa.sz + sb.sz - w_shared AS DOUBLE)
+          >= CAST('0.6' AS DOUBLE)
+    """,
+)
+def q648(spark: SparkSession, sf: str) -> DataFrame:
+    """Term-frequency-weighted Jaccard near-dup pairs, doc_id < 100,
+    threshold 0.6 (operators/dedup.tf_jaccard_pairs) — the multiset
+    Jaccard that keeps discriminating on templated corpora where set
+    Jaccard saturates.  Integer min/max identity Σmax = S_A+S_B−Σmin;
+    one exact divide."""
+    from .operators import dedup
+
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return dedup.tf_jaccard_pairs(d, "text", "doc_id", threshold=0.6)

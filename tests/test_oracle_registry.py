@@ -31,6 +31,7 @@ from riptable_spark import (  # noqa: F401 — register all batches
     queries15,
     queries16,
     queries17,
+    queries18,
 )
 from riptable_spark.queries import ORACLES, QUERIES
 
