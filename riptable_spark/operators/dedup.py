@@ -1499,3 +1499,67 @@ def tf_jaccard_pairs(
     return inter.select(
         "id_a", "id_b", "w_shared", "size_a", "size_b", jac.alias("w_jaccard")
     ).where(jac >= F.lit(threshold).cast("double"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq_frac: float | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT C(A,B) = |A∩B| / |A| for ordered pairs
+    sharing ≥1 shingle — the asymmetric sibling of
+    :func:`ngram_jaccard_pairs` (Broder's distinction: resemblance
+    finds near-COPIES; containment finds docs EMBEDDED in larger ones —
+    a quote-with-commentary page scores low Jaccard against its source
+    but containment ≈ 1, exactly the case corpus dedup misses on
+    resemblance alone).
+
+    Both directions of every unordered pair are emitted (C(A,B) and
+    C(B,A) differ).  The plan is the Jaccard plan — explode distinct
+    shingles, token-keyed equi-join, per-pair intersection count, sizes
+    joined in; the similarity is ONE divide of exact BIGINTs.
+    ``max_doc_freq_frac`` is the same ubiquitous-shingle skew guard
+    (filtered-universe semantics)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    if n > 1:
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), cnt - 1)
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    else:
+        sh = toks
+    exploded = (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .groupBy(id_col, "shingle")
+        .agg(F.xxhash64("shingle").alias("shingle_h"))
+    )
+    if max_doc_freq_frac is not None:
+        n_docs = df.select(F.countDistinct(id_col)).first()[0]
+        cap = int(max_doc_freq_frac * n_docs)
+        dfreq = exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df__"))
+        keep = dfreq.where(F.col("__df__") <= cap).select("shingle_h")
+        exploded = exploded.join(keep, on="shingle_h")
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("__size__"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle_h") == F.col("b.shingle_h"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size__").alias("size_a"))
+    inter = inter.join(sa, on="id_a")
+    c = F.col("n_shared").cast("double") / F.col("size_a").cast("double")
+    return inter.select("id_a", "id_b", "n_shared", "size_a", c.alias("containment")).where(
+        c >= F.lit(threshold).cast("double")
+    )

@@ -243,3 +243,59 @@ def q648(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
     return dedup.tf_jaccard_pairs(d, "text", "doc_id", threshold=0.6)
+
+
+# ------------------------------------------------------------------ q649
+@query(
+    "q649_containment",
+    r"""
+    WITH base AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents WHERE doc_id < 150
+    ),
+    -- planted positives (ORACLES rule 28): a 12-token "quote" of every
+    -- doc_id < 50 is embedded verbatim in its source, so containment
+    -- pairs with C = 1 exist at EVERY sf (natural near-embeddings
+    -- vanish at sf0.1)
+    docs AS (
+        SELECT doc_id, w FROM base
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, w[1:12] AS w
+        FROM base WHERE doc_id < 50
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS s
+        FROM docs
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared, sa.sz AS size_a,
+           CAST(n_shared AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+    FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= CAST('0.8' AS DOUBLE)
+    """,
+)
+def q649(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram containment pairs C(A,B) = |A∩B|/|A| ≥ 0.8 over trigram
+    shingles, doc_id < 150 (operators/dedup.containment_pairs) —
+    Broder's asymmetric similarity: finds documents EMBEDDED in larger
+    ones, which resemblance-based dedup misses.  A 12-token quote of
+    every doc_id < 50 is planted (union) so C = 1 positives exist at
+    every sf.  Exact BIGINT counts, one divide."""
+    from .operators import dedup
+    from .operators.dedup import normalize_text
+
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") < 150)
+    toks = F.split(normalize_text(F.col("text")), " ")
+    quotes = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 12), " ").alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(quotes)
+    return dedup.containment_pairs(both, "text", "doc_id", n=3, threshold=0.8)

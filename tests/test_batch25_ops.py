@@ -153,3 +153,33 @@ def test_tf_jaccard_doc_freq_cap_drops_ubiquitous_tokens(spark):
     assert with_cap == []
     without = tf_jaccard_pairs(docs, threshold=0.0).collect()
     assert len(without) == 6  # all pairs share "the"
+
+
+def test_containment_asymmetric_quote_detection(spark):
+    from riptable_spark.operators.dedup import containment_pairs
+
+    src = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    quote = "alpha beta gamma delta epsilon"  # embedded prefix
+    other = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [src, quote, other])
+    out = {(r["id_a"], r["id_b"]): r for r in containment_pairs(
+        docs, n=3, threshold=0.0).collect()}
+    # quote (id 1) fully contained in src (id 0): C(1,0) = 1
+    assert out[(1, 0)]["containment"] == 1.0
+    # src only partially covered by the quote's shingles: C(0,1) = 3/8
+    assert out[(0, 1)]["containment"] == pytest.approx(3 / 8)
+    # no shared shingles with `other` in either direction
+    assert (2, 0) not in out and (0, 2) not in out
+    # threshold keeps only the embedded direction
+    kept = containment_pairs(docs, n=3, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in kept] == [(1, 0)]
+
+
+def test_containment_doc_freq_cap(spark):
+    from riptable_spark.operators.dedup import containment_pairs
+
+    # the shared trigram "x y z" appears in ALL docs; cap drops it
+    docs = _docs(spark, ["x y z a", "x y z b", "x y z c", "x y z d"])
+    assert containment_pairs(
+        docs, n=3, threshold=0.0, max_doc_freq_frac=0.5
+    ).collect() == []
