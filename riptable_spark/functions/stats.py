@@ -1156,12 +1156,16 @@ def bootstrap_ci(
     by drawing the multiplicity from a hash instead of an RNG, the same
     no-RNG discipline as permutation_test / hash_split.
 
-    m_b(row) = #{j < 8 : h(row, b, j) ≡ 0 (mod 8)} ~ Binomial(8, 1/8)
-    ≈ Poisson(1).  One explode over the replica index, ONE two-stage
-    agg of (Σm·x, Σm) per replica (the fact table is scanned once for
-    all replicas), then the replica-mean quantiles over the tiny
-    B-row relation.  With integer values the per-replica sums are
-    exact, so the whole construction SQL-replays.
+    m_b(row) = #{j < 8 : bits 3j..3j+2 of h(row, b) = 0} ~
+    Binomial(8, 1/8) ≈ Poisson(1) — all eight Bernoulli(1/8) draws come
+    from DISJOINT 3-bit fields of ONE 60-bit hash per (row, replica)
+    (independent by construction; one md5 instead of eight was the
+    whole cost of this operator — 32M hashes → 4M at sf0.1).  One
+    explode over the replica index, ONE two-stage agg of (Σm·x, Σm)
+    per replica (the fact table is scanned once for all replicas),
+    then the replica-mean quantiles over the tiny B-row relation.
+    With integer values the per-replica sums are exact, so the whole
+    construction SQL-replays.
 
     Returns one row: (mean, ci_lo, ci_hi, n_replicas).
     """
@@ -1174,16 +1178,13 @@ def bootstrap_ci(
     work = df.select(x.alias("__x__"), idexpr.alias("__id__")).select(
         "__x__", "__id__", b
     )
+    h = _base_hash64(
+        F.concat_ws("#", F.col("__id__"), F.col("b").cast("string")), hash_kind
+    )
+    work = work.withColumn("__h__", h)
     draws = [
         F.when(
-            F.pmod(
-                _base_hash64(
-                    F.concat_ws("#", F.col("__id__"), F.col("b").cast("string"), F.lit(str(j))),
-                    hash_kind,
-                ),
-                F.lit(8),
-            ) == 0,
-            1,
+            F.shiftrightunsigned(F.col("__h__"), 3 * j).bitwiseAND(F.lit(7)) == 0, 1
         ).otherwise(0)
         for j in range(8)
     ]

@@ -396,41 +396,71 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the
     candidate-pair graph by iterative min-label propagation — the step
     that turns near-dup PAIRS into KEEP/DROP decisions when clusters
     chain (a~b, b~c ⇒ {a,b,c} even though a~c never collided).
 
-    Each round is one shuffle: labels = min over the node's neighborhood
-    (including itself) of current labels; converged when no label
-    changes. Rounds needed = graph diameter (dup chains are short — a
-    handful); ``max_iter`` bounds pathological chains. Labels materialize
-    per round (collect-free: only the CHANGE COUNT comes to the driver).
-    Returns (node, component) with component = min node id reachable.
+    Each round is one neighborhood-min shuffle followed by a POINTER
+    JUMP (component ← label of the node the label points at — a
+    label's value is always a node id in the same component whose own
+    label is ≤ it, so jumping preserves the min-reachable-id fixed
+    point while squaring the propagation distance).  Rounds needed
+    drop from O(diameter) to O(log diameter) — a 31-node path
+    converges in 5 rounds, not 30 (q605's hub-percolation graphs).
+    ``max_iter`` still bounds pathological cases.  Labels materialize
+    per round (collect-free: only the CHANGE COUNT comes to the
+    driver).  Returns (node, component) with component = min node id
+    reachable.
+
+    ``group_cols`` runs INDEPENDENT component resolutions per group in
+    the SAME loop (labels keyed by (groups…, node); every join carries
+    the group key) — N disjoint graphs cost max-diameter rounds, not
+    the sum (q605 runs its full and hub-pruned variants together).
     """
+    g = list(group_cols or [])
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(*g, F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(*g, F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # edges drive 3 jobs per round (checkpoint, change count, next
+        # join) — materialize ONCE or the whole upstream pair pipeline
+        # (LSH, windows, …) re-executes every round
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
+    labels = (
+        edges.select(*g, F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
     for _ in range(max_iter):
         # neighbor labels: for each node, the min label among neighbors
         nbr = (
-            edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
-            .groupBy("src")
+            edges.join(labels.withColumnRenamed("node", "dst"), on=[*g, "dst"])
+            .groupBy(*g, "src")
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
         new_labels = (
-            labels.join(nbr, on="node", how="left")
-            .select("node", F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"))
+            labels.join(nbr, on=[*g, "node"], how="left")
+            .select(*g, "node", F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"))
+        )
+        # pointer jump: component <- label of the node `component` names
+        # (always <= component; same fixed point, exponentially faster)
+        jump = new_labels.select(
+            *g, F.col("node").alias("component"), F.col("component").alias("__jump__")
+        )
+        new_labels = new_labels.join(jump, on=[*g, "component"], how="left").select(
+            *g,
+            "node",
+            F.coalesce(F.col("__jump__"), F.col("component")).alias("component"),
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
+            .join(labels.alias("o"), on=[*g, "node"])
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )

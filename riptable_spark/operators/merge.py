@@ -1216,7 +1216,12 @@ def scc_components(
             .join(r.alias("b"), F.col("a.d") == F.col("b.s"))
             .select(F.col("a.s").alias("s"), F.col("b.d").alias("d"))
         )
-        r = r.unionByName(step).distinct().persist()
+        # localCheckpoint, not persist: persist keeps the full logical
+        # lineage, so every doubling round re-optimizes an exponentially
+        # growing plan (plan time dominated the 60-node q569 at 25 s;
+        # ~3 s after truncation). On a cluster use a reliable
+        # checkpoint dir instead.
+        r = r.unionByName(step).distinct().localCheckpoint(eager=True)
     rev = r.select(F.col("d").alias("s"), F.col("s").alias("d"))
     mutual = r.intersect(rev)
     nodes = e.select(F.col("s").alias("node")).union(e.select(F.col("d").alias("node"))).distinct()

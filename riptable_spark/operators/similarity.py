@@ -314,12 +314,25 @@ def pairwise_cosine(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str 
     # double-precision accumulation: float32 dot products can round a
     # near-threshold cosine the other way vs a double-computing oracle
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    a = embeddings.select(F.col(id_col).alias("id_a"), dvec.alias("__va__"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), dvec.alias("__vb__"))
+    # norms computed ONCE per vector BEFORE the pair join: HOF lambdas
+    # are interpreted (~µs per array), so evaluating norm() per PAIR
+    # costs 3 array folds x O(n²) pairs — measured 3x the whole query.
+    # Same bits as computing it inside the pair expression (it is the
+    # identical fold, evaluated once), so the oracle replay (which
+    # spells sqrt(dot(a,a)) per pair) still hash-matches.
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), dvec.alias("__va__")
+    ).withColumn("__na__", norm(F.col("__va__")))
+    b = a.select(
+        F.col("id_a").alias("id_b"),
+        F.col("__va__").alias("__vb__"),
+        F.col("__na__").alias("__nb__"),
+    )
     pairs = a.join(b, on=F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim")
-    ).where(F.col("cos_sim") >= threshold)
+    sim = dot(F.col("__va__"), F.col("__vb__")) / (F.col("__na__") * F.col("__nb__"))
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
+    )
 
 
 def ivf_probe(

@@ -1346,18 +1346,25 @@ def q369(spark: SparkSession, sf: str) -> DataFrame:
         SELECT x, id, b
         FROM rows_in, unnest(range(0, 40)) AS t(b)
     ),
+    hashed AS (
+        SELECT b, x,
+               CAST('0x' || substr(md5(id || '#' || b), 1, 15) AS BIGINT) AS h
+        FROM reps
+    ),
+    -- all eight Bernoulli(1/8) draws from disjoint 3-bit fields of the
+    -- ONE 60-bit hash (mirrors stats.bootstrap_ci: 1 md5, not 8)
     mult AS (
         SELECT b, x,
-            (CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#0'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
-           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#1'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
-           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#2'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
-           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#3'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
-           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#4'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
-           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#5'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
-           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#6'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
-           + CASE WHEN CAST('0x' || substr(md5(id || '#' || b || '#7'), 1, 15) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END
+            (CASE WHEN (h >> 0) & 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN (h >> 3) & 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN (h >> 6) & 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN (h >> 9) & 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN (h >> 12) & 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN (h >> 15) & 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN (h >> 18) & 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN (h >> 21) & 7 = 0 THEN 1 ELSE 0 END
             ) AS m
-        FROM reps
+        FROM hashed
     ),
     per AS (
         SELECT b, CAST(sum(m * x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm

@@ -1101,7 +1101,9 @@ def q601(spark: SparkSession, sf: str) -> DataFrame:
             cur.unionByName(step)
             .groupBy("u", "v")
             .agg(F.min("d").alias("d"))
-            .persist()
+            # truncate per-round lineage (persist keeps the logical plan,
+            # which doubles every round — plan optimization dominates)
+            .localCheckpoint(eager=True)
         )
     return cur.agg(
         F.countDistinct("u").cast("long").alias("n_nodes"),
@@ -1153,7 +1155,11 @@ def q602(spark: SparkSession, sf: str) -> DataFrame:
             .where(F.col("u") != F.col("w"))
             .select("u", F.col("w").alias("v"), (F.col("d") + F.col("d2")).alias("d"))
         )
-        cur = cur.unionByName(step).groupBy("u", "v").agg(F.min("d").alias("d")).persist()
+        # localCheckpoint, not persist: persist keeps the full logical
+        # lineage, so each doubling round re-optimizes an exponentially
+        # growing plan (measured 60 s at sf0.1, ~1 s after truncation).
+        # On a cluster swap for a reliable checkpoint dir.
+        cur = cur.unionByName(step).groupBy("u", "v").agg(F.min("d").alias("d")).localCheckpoint(eager=True)
     return cur.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("n_reachable"),
         F.aggregate(
@@ -1250,7 +1256,7 @@ def q603(spark: SparkSession, sf: str) -> DataFrame:
             via.unionByName(regs.select("node", "bucket", "rho"))
             .groupBy("node", "bucket")
             .agg(F.max("rho").alias("rho"))
-            .persist()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
         )
         agg = regs.groupBy("node").agg(
             F.count(F.lit(1)).alias("used"),
@@ -1339,7 +1345,11 @@ def q604(spark: SparkSession, sf: str) -> DataFrame:
             .where(F.col("u") != F.col("w"))
             .select("u", F.col("w").alias("v"), (F.col("d") + F.col("d2")).alias("d"))
         )
-        cur = cur.unionByName(step).groupBy("u", "v").agg(F.min("d").alias("d")).persist()
+        # localCheckpoint, not persist: persist keeps the full logical
+        # lineage, so each doubling round re-optimizes an exponentially
+        # growing plan (measured 60 s at sf0.1, ~1 s after truncation).
+        # On a cluster swap for a reliable checkpoint dir.
+        cur = cur.unionByName(step).groupBy("u", "v").agg(F.min("d").alias("d")).localCheckpoint(eager=True)
     pairs = cur.select("u", "v").unionByName(cur.select(F.col("u").alias("u"), F.col("u").alias("v")))
     comp = pairs.groupBy(F.col("v").alias("node")).agg(F.min("u").alias("root"))
     lvl = comp.join(
@@ -1440,20 +1450,27 @@ def q605(spark: SparkSession, sf: str) -> DataFrame:
     hb = hubs.select(F.col("node").alias("v"))
     sym2 = sym.join(ha, "u", "left_anti").join(hb, "v", "left_anti")
 
-    def summary(edges, name):
-        # pruned permutation graphs leave long paths: diameter can exceed
-        # the default 20 label-propagation rounds, so raise the budget
-        cc = connected_components(
-            edges.select(F.col("u").alias("id_a"), F.col("v").alias("id_b")), max_iter=40
+    # BOTH variants resolve in ONE grouped label-propagation loop
+    # (group_cols=variant): disjoint graphs cost max-diameter rounds,
+    # not the sum of two runs.  Pruned permutation graphs leave long
+    # paths, so keep the raised round budget (pointer jumping makes
+    # each diameter-30 chain converge in ~6 rounds anyway).
+    tagged = (
+        sym.select(F.lit("full").alias("variant"), F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+        .unionByName(
+            sym2.select(
+                F.lit("hubs_removed").alias("variant"),
+                F.col("u").alias("id_a"),
+                F.col("v").alias("id_b"),
+            )
         )
-        node_col, comp_col = cc.columns[0], cc.columns[1]
-        sizes = cc.groupBy(comp_col).agg(F.count(F.lit(1)).alias("c"))
-        return sizes.agg(
-            F.sum("c").cast("long").alias("n_nodes"),
-            F.max("c").cast("long").alias("largest_cc"),
-        ).select(F.lit(name).alias("variant"), "n_nodes", "largest_cc")
-
-    return summary(sym, "full").unionByName(summary(sym2, "hubs_removed"))
+    )
+    cc = connected_components(tagged, max_iter=40, group_cols=["variant"])
+    sizes = cc.groupBy("variant", "component").agg(F.count(F.lit(1)).alias("c"))
+    return sizes.groupBy("variant").agg(
+        F.sum("c").cast("long").alias("n_nodes"),
+        F.max("c").cast("long").alias("largest_cc"),
+    )
 
 
 # ------------------------------------------------------------------ q606
@@ -1851,7 +1868,8 @@ def q611(spark: SparkSession, sf: str) -> DataFrame:
         step = cur.join(right, cur["v"] == right["m"]).select(
             "u", F.col("w2").alias("v"), (F.col("len") + F.col("l2")).alias("len")
         )
-        cur = cur.unionByName(step).groupBy("u", "v").agg(F.max("len").alias("len")).persist()
+        # localCheckpoint truncates the per-round plan (see q601 note)
+        cur = cur.unionByName(step).groupBy("u", "v").agg(F.max("len").alias("len")).localCheckpoint(eager=True)
     fin = e.select(F.col("v").alias("task")).exceptAll(
         e.select(F.col("u").alias("task"))
     ).distinct()
@@ -1951,7 +1969,8 @@ def q612(spark: SparkSession, sf: str) -> DataFrame:
         step = cur.join(right, cur["v"] == right["m"]).select(
             "u", F.col("w2").alias("v"), (F.col("len") + F.col("l2")).alias("len")
         )
-        cur = cur.unionByName(step).groupBy("u", "v").agg(F.max("len").alias("len")).persist()
+        # localCheckpoint truncates the per-round plan (see q601 note)
+        cur = cur.unionByName(step).groupBy("u", "v").agg(F.max("len").alias("len")).localCheckpoint(eager=True)
     inbound = cur.groupBy(F.col("v").alias("task")).agg(F.max("len").alias("in_len"))
     es = tasks.join(inbound, "task", "left").select(
         "task", "dur", F.coalesce(F.col("in_len"), F.lit(0)).alias("es")
@@ -2167,7 +2186,7 @@ def q615(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("wf").alias("f"),
                 (F.col("n_prop") + F.when(F.col("pw").isNotNull(), 1).otherwise(0)).alias("n_prop"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
         )
     return st.select(
         "w", F.col("f").alias("firm"),
