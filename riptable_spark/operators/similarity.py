@@ -775,12 +775,26 @@ def semantic_dedup(
         sample_frac=train_sample_frac,
     ).select("centroid_id", "centroid_vec")
     assigned = ivf_assign(embeddings, cents, id_col=id_col, vec_col=vec_col)
-    a = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
-    b = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    # norms once per vector BEFORE the within-cluster pair join (the
+    # pairwise_cosine discipline: interpreted HOF folds cost 3x per
+    # pair otherwise; same bits — it is the identical fold)
+    a = assigned.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__")
+    ).withColumn("__na__", norm(F.col("__va__")))
+    b = a.select(
+        F.col("centroid_id"),
+        F.col("id_a").alias("id_b"),
+        F.col("__va__").alias("__vb__"),
+        F.col("__na__").alias("__nb__"),
+    )
     pairs = (
         a.join(b, on="centroid_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("__va__"), F.col("__vb__")) / (F.col("__na__") * F.col("__nb__"))).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b")
     )
