@@ -2542,7 +2542,10 @@ def q620(spark: SparkSession, sf: str) -> DataFrame:
     )
     full = pc.where(F.col("variant") == "full").select(F.col("largest_cc").alias("fc"))
     cut = pc.where(F.col("variant") == "hubs_removed").select(F.col("largest_cc").alias("cc"))
-    r5 = full.crossJoin(cut).select(
+    # explicit broadcast: both sides are 1-row filters of a
+    # localCheckpointed relation, whose stats no longer advertise
+    # broadcastability — without the hint this plans a CartesianProduct
+    r5 = full.crossJoin(F.broadcast(cut)).select(
         F.lit("percolation").alias("kernel"),
         F.lit("largest_cc_drop_ppm").alias("metric"),
         F.expr("((fc - cc) * 1000000) DIV fc").alias("value"),
