@@ -492,3 +492,68 @@ def test_running_distinct_matches_pandas(spark, rows):
         if v is not None:
             s.add(v)
         assert got[(k, t)] == len(s)
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1, max_size=120,
+)
+
+
+@given(edges=EDGES)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-jumping label propagation must equal a plain union-find
+    on arbitrary random graphs (the round-5 perf rewrite changed the
+    ROUND structure; the fixed point — min reachable id — must not
+    move)."""
+    from riptable_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    nodes = {n for e in edges for n in e}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    want = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+    assert got == want
+
+
+@given(edges=EDGES)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_connected_components_isolated_per_group(spark, edges):
+    """group_cols= must resolve each group's graph independently: running
+    the SAME graph under two group keys gives identical per-group labels,
+    and never lets labels leak across groups."""
+    from riptable_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    rows = [("g1", a, b) for a, b in edges] + [("g2", a, b) for a, b in edges]
+    df = spark.createDataFrame(rows, "grp string, id_a long, id_b long")
+    out = connected_components(df, group_cols=["grp"]).collect()
+    by_grp: dict[str, dict] = {"g1": {}, "g2": {}}
+    for r in out:
+        by_grp[r["grp"]][r["node"]] = r["component"]
+    assert by_grp["g1"] == by_grp["g2"] and len(by_grp["g1"]) > 0

@@ -90,6 +90,17 @@ def main() -> None:
             3,
         )
 
+    def ols_expo(vals: list[float], rows: list[int]) -> float:
+        """OLS slope of log(wall) on log(rows) over ALL points — less
+        endpoint-noise-sensitive than the two-point ratios."""
+        xs = [math.log(r) for r in rows]
+        ys = [math.log(v) for v in vals]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        return round((n * sxy - sx * sy) / (n * sxx - sx * sx), 3)
+
     first, last = points[0], points[-1]
     prev = points[-2]
     result = {
@@ -109,6 +120,14 @@ def main() -> None:
         "per_query_last_step": {
             q: expo(prev, last, q) for q in first["queries"]
         },
+        "per_query_ols_fit": {
+            q: ols_expo([p["queries"][q] for p in points],
+                        [p["rows"] for p in points])
+            for q in first["queries"]
+        },
+        "exponent_total_ols_fit": ols_expo(
+            [p["value"] for p in points], [p["rows"] for p in points]
+        ),
         "spill_disk_bytes": [p["spill_disk_bytes"] for p in points],
     }
     print(json.dumps(result), flush=True)
