@@ -745,3 +745,62 @@ def fd_violations(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def recursive_cl_diversity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+    c: int = 2,
+) -> DataFrame:
+    """Recursive (c, l)-diversity audit (Machanavajjhala et al. 2007) —
+    the stronger sibling of the distinct-l check in :func:`k_anonymity`:
+    a QI equivalence class is (c, l)-diverse iff, with sensitive-value
+    counts sorted descending r1 ≥ r2 ≥ …, the most frequent value does
+    not dominate the tail:
+
+        r1 < c · (r_l + r_{l+1} + … + r_m)
+
+    (distinct-l passes a class where one value holds 99% of rows;
+    recursive (c, l) catches it).  Chosen over ENTROPY l-diversity for
+    the audit flag because the test is pure INTEGER cross-multiplication
+    — engine-exact, no ln boundary (the entropy itself is reported too,
+    rounded, for dashboards).
+
+    Scale shape: one hash agg on (QI, sensitive) → per-class rank
+    window over that AGGREGATED relation (≤ distinct combinations, not
+    rows) → one class-level agg.  Returns one row per class:
+    (qi…, n, l_distinct, r1, tail_from_l, cl_diverse, entropy).
+    """
+    counts = df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c__")
+    )
+    w = Window.partitionBy(*qi_cols).orderBy(
+        F.col("__c__").desc(), F.col(sensitive_col)
+    )
+    ranked = counts.withColumn("__rk__", F.row_number().over(w))
+    per = ranked.groupBy(*qi_cols).agg(
+        F.sum("__c__").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.max(F.when(F.col("__rk__") == 1, F.col("__c__"))).cast("long").alias("r1"),
+        F.sum(F.when(F.col("__rk__") >= l, F.col("__c__")))
+        .cast("long")
+        .alias("__tail__"),
+        # entropy = ln(n) − (Σ c·ln c)/n, assembled from one pass
+        F.sum(F.col("__c__").cast("double") * F.log(F.col("__c__").cast("double")))
+        .alias("__clnc__"),
+    )
+    tail = F.coalesce(F.col("__tail__"), F.lit(0))
+    entropy = F.log(F.col("n").cast("double")) - F.col("__clnc__") / F.col("n").cast(
+        "double"
+    )
+    return per.select(
+        *qi_cols,
+        "n",
+        "l_distinct",
+        "r1",
+        tail.alias("tail_from_l"),
+        (F.col("r1") < F.lit(int(c)) * tail).alias("cl_diverse"),
+        F.round(entropy, 6).alias("entropy"),
+    )

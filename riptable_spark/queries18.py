@@ -299,3 +299,53 @@ def q649(spark: SparkSession, sf: str) -> DataFrame:
     )
     both = d.select("doc_id", "text").unionByName(quotes)
     return dedup.containment_pairs(both, "text", "doc_id", n=3, threshold=0.8)
+
+
+# ------------------------------------------------------------------ q650
+@query(
+    "q650_cl_diversity",
+    """
+    WITH counts AS (
+        SELECT o_custkey % 100 AS qi_bucket, o_orderpriority AS qi_priority,
+               o_orderstatus AS s, CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT qi_bucket, qi_priority, s, c,
+               row_number() OVER (PARTITION BY qi_bucket, qi_priority
+                                  ORDER BY c DESC, s) AS rk
+        FROM counts
+    ),
+    per AS (
+        SELECT qi_bucket, qi_priority,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS l_distinct,
+               CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS r1,
+               CAST(coalesce(sum(CASE WHEN rk >= 2 THEN c END), 0) AS BIGINT)
+                 AS tail_from_l,
+               sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT qi_bucket, qi_priority, n, l_distinct, r1, tail_from_l,
+           r1 < 2 * tail_from_l AS cl_diverse,
+           round(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6) AS entropy
+    FROM per
+    """,
+)
+def q650(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive (c=2, l=2)-diversity audit of (custkey bucket,
+    priority) classes with o_orderstatus as the sensitive attribute
+    (operators/profile.recursive_cl_diversity) — the integer-exact
+    dominance test distinct-l misses (one value holding 99% of a class
+    passes distinct-l, fails (c,l)); entropy reported alongside,
+    rounded per the ln ulp rule (ORACLES rule 5)."""
+    from .operators import profile as prof
+
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_custkey") % 100).alias("qi_bucket"),
+        F.col("o_orderpriority").alias("qi_priority"),
+        "o_orderstatus",
+    )
+    return prof.recursive_cl_diversity(
+        o, ["qi_bucket", "qi_priority"], "o_orderstatus", l=2, c=2
+    )

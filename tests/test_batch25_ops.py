@@ -183,3 +183,31 @@ def test_containment_doc_freq_cap(spark):
     assert containment_pairs(
         docs, n=3, threshold=0.0, max_doc_freq_frac=0.5
     ).collect() == []
+
+
+def test_recursive_cl_diversity_dominance(spark):
+    from riptable_spark.operators.profile import recursive_cl_diversity
+
+    # class A: one value holds 9/10 rows — distinct-l (=2) passes,
+    # recursive (2,2) must FAIL (r1=9 >= 2*1)
+    # class B: 4/3/3 split — r1=4 < 2*(3+3)=12, passes
+    rows = (
+        [("A", "x")] * 9 + [("A", "y")]
+        + [("B", "p")] * 4 + [("B", "q")] * 3 + [("B", "r")] * 3
+    )
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r["qi"]: r for r in recursive_cl_diversity(
+        df, ["qi"], "s", l=2, c=2).collect()}
+    a, b = out["A"], out["B"]
+    assert a["l_distinct"] == 2 and not a["cl_diverse"]
+    assert a["r1"] == 9 and a["tail_from_l"] == 1
+    assert b["cl_diverse"] and b["r1"] == 4 and b["tail_from_l"] == 6
+    # entropy: class B has -sum(p ln p) for 0.4/0.3/0.3
+    import math
+
+    want = -(0.4 * math.log(0.4) + 2 * 0.3 * math.log(0.3))
+    assert b["entropy"] == pytest.approx(want, abs=1e-6)
+    # single-valued class: tail 0, never diverse, entropy 0
+    one = spark.createDataFrame([("C", "z")] * 5, "qi string, s string")
+    r = recursive_cl_diversity(one, ["qi"], "s").collect()[0]
+    assert r["tail_from_l"] == 0 and not r["cl_diverse"] and r["entropy"] == 0.0
