@@ -92,6 +92,10 @@ def main() -> None:
             }
         )
     )
+    # finalize the (optional) event log so scale benches read COMPLETE
+    # TaskEnd metrics — without stop() the log stays .inprogress and
+    # partially flushed, silently under-counting spills
+    spark.stop()
 
 
 if __name__ == "__main__":

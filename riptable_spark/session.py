@@ -53,8 +53,13 @@ def get_spark(app_name: str = "riptable_spark", master: str | None = None) -> Sp
     eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
     if eventlog_dir:
         os.makedirs(eventlog_dir, exist_ok=True)
-        builder = builder.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", f"file://{os.path.abspath(eventlog_dir)}"
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{os.path.abspath(eventlog_dir)}")
+            # single plain-text file (no rolling dir, no zstd) so the
+            # bench's TaskEnd spill reader can parse it directly
+            .config("spark.eventLog.rolling.enabled", "false")
+            .config("spark.eventLog.compress", "false")
         )
     env_master = os.environ.get("SPARK_MASTER")
     if master is not None:

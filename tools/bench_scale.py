@@ -27,14 +27,24 @@ import sys
 import duckdb
 
 
-def spill_bytes(eventlog_dir: str) -> tuple[int, int]:
+def spill_bytes(eventlog_dir: str) -> tuple[int, int, int]:
     """Sum (memory, disk) bytes spilled across all TaskEnd events in
-    every event-log file under eventlog_dir."""
-    mem = disk = 0
-    for name in os.listdir(eventlog_dir):
-        path = os.path.join(eventlog_dir, name)
-        if not os.path.isfile(path):
-            continue
+    every event-log file under eventlog_dir (recursing into rolling
+    event-log DIRECTORIES — silently skipping them once under-reported
+    spills as zero)."""
+    mem = disk = seen = 0
+    paths = []
+    for root, _dirs, files in os.walk(eventlog_dir):
+        for name in files:
+            if name.endswith((".zstd", ".lz4", ".snappy")):
+                raise RuntimeError(
+                    f"compressed event log {name}: run with "
+                    "spark.eventLog.compress=false (session.py sets it)"
+                )
+            if "appstatus" in name:
+                continue
+            paths.append(os.path.join(root, name))
+    for path in paths:
         with open(path, errors="replace") as fh:
             for line in fh:
                 if '"Event":"SparkListenerTaskEnd"' not in line:
@@ -44,9 +54,15 @@ def spill_bytes(eventlog_dir: str) -> tuple[int, int]:
                 except json.JSONDecodeError:
                     continue
                 tm = (ev.get("Task Metrics") or {})
+                seen += 1
                 mem += tm.get("Memory Bytes Spilled", 0)
                 disk += tm.get("Disk Bytes Spilled", 0)
-    return mem, disk
+    if seen == 0:
+        raise RuntimeError(
+            f"no TaskEnd events parsed under {eventlog_dir} — the spill "
+            "reader is blind; a zero-spill claim would be vacuous"
+        )
+    return mem, disk, seen
 
 
 def rows_total(sf_dir: str) -> int:
@@ -65,9 +81,10 @@ def main() -> None:
     points = []
     for idx, d in enumerate(dirs):
         evdir = os.path.join(repo, ".scratch", f"eventlog_{idx}")
+        import shutil
+
+        shutil.rmtree(evdir, ignore_errors=True)
         os.makedirs(evdir, exist_ok=True)
-        for old in os.listdir(evdir):
-            os.unlink(os.path.join(evdir, old))
         env = dict(
             os.environ, SPARK_GRAFT_SF_DIR=d, SPARK_GRAFT_EVENTLOG_DIR=evdir
         )
@@ -78,8 +95,9 @@ def main() -> None:
         rec = json.loads(out)
         rec["rows"] = rows_total(d)
         rec["dir"] = d
-        mem, disk = spill_bytes(evdir)
+        mem, disk, seen = spill_bytes(evdir)
         rec["spill_memory_bytes"], rec["spill_disk_bytes"] = mem, disk
+        rec["taskend_events_parsed"] = seen
         print(json.dumps(rec), flush=True)
         points.append(rec)
 
