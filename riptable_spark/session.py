@@ -30,9 +30,19 @@ def get_spark(app_name: str = "riptable_spark", master: str | None = None) -> Sp
     skew-join) because it is about *plan quality*, not machine sizing.
     """
     cpus = _cpus()
+    # shuffle partitions default to the thread count but can be raised
+    # independently (SPARK_GRAFT_SHUFFLE_PARTITIONS) — the spill dial:
+    # at fixed executor memory, per-task hash tables shrink linearly
+    # with partition count (AQE coalesces the small ones back)
+    try:
+        shuffle_parts = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+        )
+    except ValueError:
+        shuffle_parts = cpus
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
