@@ -1024,3 +1024,142 @@ def class_weights(
         (F.col("k") * F.col("n_c")).alias("weight_den"),
         (F.col("n_total") / (F.col("k") * F.col("n_c"))).alias("weight"),
     )
+
+
+def epoch_allocation(
+    domains: DataFrame,
+    domain_col: str,
+    avail_col: str,
+    weight_col: str,
+    budget: int | None = None,
+    max_epochs: int = 4,
+    weight_scale: int | None = None,
+    budget_ratio: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Token-budget allocation across domains under per-domain epoch
+    caps — the data-constrained-pretraining planner ("repeating data up
+    to ~4 epochs is nearly as good as fresh data"; Muennighoff et al.
+    2023, public result): give each domain its target-mixture share
+    λ·w_i of the budget, but never more than cap_i = max_epochs·avail_i;
+    the surplus of capacity-saturated domains WATERFALLS to the rest
+    (exact water-filling, not one renormalization pass).
+
+    Exactness: domains sort by the capacity/weight ratio via the exact
+    integer key cap_i·(L/w_i) (``weight_scale`` L must be a common
+    multiple of the weights — loud ValueError otherwise; a float-ratio
+    sort key could reorder near-ties differently per engine); the
+    saturation frontier is a prefix of that order, found by the
+    cross-multiplied test cap_k·(W−cumw_{k−1}) ≤ (B−cumcap_{k−1})·w_k —
+    pure BIGINT.  Unsaturated domains get floor shares plus
+    largest-remainder distribution (the q369 pattern), so allocations
+    are integers summing EXACTLY to min(budget, Σcap).
+
+    ``budget`` is an absolute token count; ``budget_ratio=(num, den)``
+    instead sets spend = (Σcap·num) div den — an exact fraction of
+    total capacity, which keeps the saturation branch exercised at any
+    corpus size (an absolute budget saturates everything at one SF and
+    nothing at 10×).
+
+    Scale shape: ``domains`` is the per-domain AGGREGATE (one row per
+    corpus source) — every window here runs over that tiny relation,
+    never raw data.  Returns (domain, available, weight, capacity,
+    saturated, alloc_tokens, epochs_ppm)."""
+    if (budget is None) == (budget_ratio is None):
+        raise ValueError("pass exactly one of budget / budget_ratio")
+    base = domains.select(
+        F.col(domain_col).alias("domain"),
+        F.col(avail_col).cast("long").alias("available"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    rows = base.collect() if weight_scale is None else None
+    if weight_scale is None:
+        # derive L = lcm of the (few) weights driver-side
+        import math as _m
+
+        ws = [int(r["weight"]) for r in rows]
+        weight_scale = 1
+        for w_ in ws:
+            weight_scale = weight_scale * w_ // _m.gcd(weight_scale, w_)
+        base = domains.sparkSession.createDataFrame(rows, base.schema)
+    L = int(weight_scale)
+    E = int(max_epochs)
+    cap = (F.lit(E) * F.col("available")).cast("long")
+    d = base.select("domain", "available", "weight", cap.alias("cap"))
+    # exact ratio sort key: cap * (L / w) — integer iff w | L
+    d = d.withColumn("__lw__", (F.lit(L) / F.col("weight")).cast("long"))
+    chk = d.where(F.col("__lw__") * F.col("weight") != L).count()
+    if chk:
+        raise ValueError(
+            f"weight_scale={L} is not a common multiple of every weight"
+        )
+    d = d.withColumn("__key__", F.col("cap") * F.col("__lw__"))
+    w_ord = Window.orderBy("__key__", "domain")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    d = d.select(
+        "*",
+        F.coalesce(F.sum("cap").over(w_prev), F.lit(0)).cast("long").alias("__pcap__"),
+        F.coalesce(F.sum("weight").over(w_prev), F.lit(0)).cast("long").alias("__pw__"),
+    )
+    tot = d.agg(
+        F.sum("cap").cast("long").alias("__allcap__"),
+        F.sum("weight").cast("long").alias("__allw__"),
+    )
+    d = d.crossJoin(F.broadcast(tot))
+    if budget_ratio is not None:
+        num, den = int(budget_ratio[0]), int(budget_ratio[1])
+        d = d.withColumn(
+            "__spend__", F.expr(f"(__allcap__ * {num}) div {den}").cast("long")
+        )
+    else:
+        d = d.withColumn(
+            "__spend__",
+            F.least(F.lit(int(budget)), F.col("__allcap__")).cast("long"),
+        )
+    spend = F.col("__spend__")
+    # saturated: the domain hits its cap before the fair share at its
+    # frontier position (prefix property of the ratio order)
+    sat = F.col("cap") * (F.col("__allw__") - F.col("__pw__")) <= (
+        spend - F.col("__pcap__")
+    ) * F.col("weight")
+    d = d.withColumn("saturated", sat)
+    sats = d.where("saturated").agg(
+        F.coalesce(F.sum("cap"), F.lit(0)).cast("long").alias("__scap__"),
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("__sw__"),
+    )
+    d = d.crossJoin(F.broadcast(sats))
+    # integer div throughout: `/` on longs is DOUBLE division in Spark
+    # (rounding error above 2^53); stage the operands and use `div`
+    d = d.select(
+        "*",
+        (spend - F.col("__scap__")).cast("long").alias("__rb__"),
+        (F.col("__allw__") - F.col("__sw__")).cast("long").alias("__rw__"),
+    )
+    alloc_floor = F.when(F.col("saturated"), F.col("cap")).otherwise(
+        F.expr("(__rb__ * weight) div __rw__")
+    ).cast("long")
+    rem = F.when(F.col("saturated"), F.lit(0)).otherwise(
+        F.expr("(__rb__ * weight) % __rw__")
+    ).cast("long")
+    d = d.select("*", alloc_floor.alias("__fl__"), rem.alias("__rem__"))
+    # largest-remainder: distribute the leftover units to the biggest
+    # remainders (ties by domain) so the total hits spend exactly
+    short = spend - F.sum("__fl__").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rem = Window.orderBy(F.col("__rem__").desc(), "domain")
+    d = d.withColumn("__rk__", F.row_number().over(w_rem)).withColumn(
+        "__short__", short.cast("long")
+    )
+    alloc = F.col("__fl__") + F.when(
+        (~F.col("saturated")) & (F.col("__rk__") <= F.col("__short__")), 1
+    ).otherwise(0)
+    d = d.withColumn("alloc_tokens", alloc.cast("long"))
+    return d.select(
+        "domain",
+        "available",
+        "weight",
+        F.col("cap").alias("capacity"),
+        "saturated",
+        "alloc_tokens",
+        F.expr("(alloc_tokens * 1000000) div available").cast("long").alias("epochs_ppm"),
+    )

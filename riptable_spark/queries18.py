@@ -349,3 +349,87 @@ def q650(spark: SparkSession, sf: str) -> DataFrame:
     return prof.recursive_cl_diversity(
         o, ["qi_bucket", "qi_priority"], "o_orderstatus", l=2, c=2
     )
+
+
+# ------------------------------------------------------------------ q651
+@query(
+    "q651_epoch_allocation",
+    """
+    WITH d AS (
+        SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS available,
+               CAST((CAST(substr(source, 4) AS INT) % 5) * 5 + 10 AS BIGINT) AS weight
+        FROM documents GROUP BY source
+    ),
+    caps AS (
+        SELECT domain, available, weight,
+               CAST(4 * available AS BIGINT) AS cap,
+               CAST(4 * available AS BIGINT) * (300 // weight) AS key
+        FROM d
+    ),
+    ord AS (
+        SELECT *,
+            CAST(coalesce(sum(cap) OVER (ORDER BY key, domain
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pcap,
+            CAST(coalesce(sum(weight) OVER (ORDER BY key, domain
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pw,
+            CAST(sum(cap) OVER () AS BIGINT) AS allcap,
+            CAST(sum(weight) OVER () AS BIGINT) AS allw
+        FROM caps
+    ),
+    st AS (
+        SELECT *, (allcap * 2) // 3 AS spend,
+               cap * (allw - pw) <= ((allcap * 2) // 3 - pcap) * weight AS saturated
+        FROM ord
+    ),
+    agg AS (
+        SELECT CAST(coalesce(sum(CASE WHEN saturated THEN cap END), 0) AS BIGINT) AS scap,
+               CAST(coalesce(sum(CASE WHEN saturated THEN weight END), 0) AS BIGINT) AS sw
+        FROM st
+    ),
+    f2 AS (
+        SELECT st.*, spend - agg.scap AS rb, allw - agg.sw AS rw
+        FROM st CROSS JOIN agg
+    ),
+    f3 AS (
+        SELECT *,
+               CASE WHEN saturated THEN cap ELSE (rb * weight) // rw END AS fl,
+               CASE WHEN saturated THEN 0 ELSE (rb * weight) % rw END AS rem
+        FROM f2
+    ),
+    f4 AS (
+        SELECT *, CAST(spend - sum(fl) OVER () AS BIGINT) AS short,
+               row_number() OVER (ORDER BY rem DESC, domain) AS rk
+        FROM f3
+    ),
+    f5 AS (
+        SELECT *, CAST(fl + CASE WHEN NOT saturated AND rk <= short
+                                 THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        FROM f4
+    )
+    SELECT domain, available, weight, cap AS capacity, saturated, alloc_tokens,
+           CAST((alloc_tokens * 1000000) // available AS BIGINT) AS epochs_ppm
+    FROM f5
+    """,
+)
+def q651(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-constrained epoch allocation over the 20 corpus sources
+    (operators/pipeline.epoch_allocation): exact water-filling of 2/3
+    of the total 4-epoch capacity across source-derived mixture weights
+    {10..30}; saturated domains give their surplus to the rest, floor
+    shares settle by largest remainder — all BIGINT, the ratio sort
+    uses the exact cap·(L/w) integer key (L = 300)."""
+    from .operators.pipeline import epoch_allocation
+
+    d = (
+        load_table(spark, sf, "documents")
+        .groupBy(F.col("source").alias("domain"))
+        .agg(F.sum("n_chars").cast("long").alias("available"))
+        .withColumn(
+            "weight",
+            ((F.expr("CAST(substring(domain, 4) AS INT)") % 5) * 5 + 10).cast("long"),
+        )
+    )
+    return epoch_allocation(
+        d, "domain", "available", "weight",
+        budget_ratio=(2, 3), max_epochs=4, weight_scale=300,
+    )

@@ -211,3 +211,54 @@ def test_recursive_cl_diversity_dominance(spark):
     one = spark.createDataFrame([("C", "z")] * 5, "qi string, s string")
     r = recursive_cl_diversity(one, ["qi"], "s").collect()[0]
     assert r["tail_from_l"] == 0 and not r["cl_diverse"] and r["entropy"] == 0.0
+
+
+def test_epoch_allocation_waterfall_and_caps(spark):
+    from riptable_spark.operators.pipeline import epoch_allocation
+
+    # A: tiny capacity, huge weight -> saturates at 4 epochs; its surplus
+    # waterfalls to B and C proportionally to weights 10:20
+    d = spark.createDataFrame(
+        [("A", 100, 30), ("B", 10_000, 10), ("C", 10_000, 20)],
+        "domain string, available long, weight long",
+    )
+    out = {r["domain"]: r for r in epoch_allocation(
+        d, "domain", "available", "weight", budget=30_000, weight_scale=60
+    ).collect()}
+    a, b, c = out["A"], out["B"], out["C"]
+    assert a["saturated"] and a["alloc_tokens"] == 400  # 4 epochs of 100
+    assert not b["saturated"] and not c["saturated"]
+    # remaining 29600 split 10:20 between B and C
+    assert b["alloc_tokens"] + c["alloc_tokens"] == 29_600
+    assert abs(c["alloc_tokens"] - 2 * b["alloc_tokens"]) <= 1
+    assert a["epochs_ppm"] == 4_000_000
+    # total spend is exact
+    assert sum(r["alloc_tokens"] for r in out.values()) == 30_000
+
+
+def test_epoch_allocation_budget_above_capacity(spark):
+    from riptable_spark.operators.pipeline import epoch_allocation
+
+    d = spark.createDataFrame(
+        [("A", 100, 1), ("B", 200, 1)], "domain string, available long, weight long"
+    )
+    out = {r["domain"]: r for r in epoch_allocation(
+        d, "domain", "available", "weight", budget=10_000, max_epochs=2,
+        weight_scale=1,
+    ).collect()}
+    assert all(r["saturated"] for r in out.values())
+    assert out["A"]["alloc_tokens"] == 200 and out["B"]["alloc_tokens"] == 400
+
+
+def test_epoch_allocation_weight_scale_validation(spark):
+    from riptable_spark.operators.pipeline import epoch_allocation
+
+    d = spark.createDataFrame(
+        [("A", 100, 7)], "domain string, available long, weight long"
+    )
+    with pytest.raises(ValueError, match="common multiple"):
+        epoch_allocation(
+            d, "domain", "available", "weight", budget=100, weight_scale=10
+        ).collect()
+    with pytest.raises(ValueError, match="exactly one"):
+        epoch_allocation(d, "domain", "available", "weight")
