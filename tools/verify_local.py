@@ -106,8 +106,11 @@ def main() -> int:
     spark = get_spark("verify_local")
     con = duck_connection(sf_dir)
     failures = []
+    import time as _time
+
     for name in names:
         fn = QUERIES[name]
+        t0 = _time.perf_counter()
         try:
             if name not in ORACLES:
                 # rows-only check: count on the cluster, never collect
@@ -132,7 +135,8 @@ def main() -> int:
         status = "PASS " if ok else "FAIL "
         if not ok:
             failures.append(name)
-        print(f"{status} {name}: rows={len(sdf)} {msg if not ok else ''}")
+        dt = _time.perf_counter() - t0
+        print(f"{status} {name}: rows={len(sdf)} t={dt:.2f}s {msg if not ok else ''}")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     return 1 if failures else 0
 
