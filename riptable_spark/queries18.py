@@ -433,3 +433,101 @@ def q651(spark: SparkSession, sf: str) -> DataFrame:
         d, "domain", "available", "weight",
         budget_ratio=(2, 3), max_epochs=4, weight_scale=300,
     )
+
+
+# ------------------------------------------------------------------ q652
+def _q652_oracle() -> str:
+    from .queries import ORACLES
+
+    # compose the registered q633 pipeline (oracle side) with the q651
+    # allocation chain over POST-CLEANING availability — the q578/q600
+    # composition pattern: both engines run the same two pipelines
+    return f"""
+    WITH clean AS ({ORACLES["q633_winnow_boilerplate_removal"]}),
+    d AS (
+        SELECT doc.source AS domain,
+               CAST(sum(clean.n_before - clean.n_removed) AS BIGINT) AS available,
+               CAST((CAST(substr(doc.source, 4) AS INT) % 5) * 5 + 10 AS BIGINT) AS weight
+        FROM clean JOIN documents doc USING (doc_id)
+        GROUP BY doc.source
+    ),
+    caps AS (
+        SELECT domain, available, weight,
+               CAST(4 * available AS BIGINT) AS cap,
+               CAST(4 * available AS BIGINT) * (300 // weight) AS key
+        FROM d
+    ),
+    ord AS (
+        SELECT *,
+            CAST(coalesce(sum(cap) OVER (ORDER BY key, domain
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pcap,
+            CAST(coalesce(sum(weight) OVER (ORDER BY key, domain
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pw,
+            CAST(sum(cap) OVER () AS BIGINT) AS allcap,
+            CAST(sum(weight) OVER () AS BIGINT) AS allw
+        FROM caps
+    ),
+    st AS (
+        SELECT *, (allcap * 2) // 3 AS spend,
+               cap * (allw - pw) <= ((allcap * 2) // 3 - pcap) * weight AS saturated
+        FROM ord
+    ),
+    agg AS (
+        SELECT CAST(coalesce(sum(CASE WHEN saturated THEN cap END), 0) AS BIGINT) AS scap,
+               CAST(coalesce(sum(CASE WHEN saturated THEN weight END), 0) AS BIGINT) AS sw
+        FROM st
+    ),
+    f2 AS (
+        SELECT st.*, spend - agg.scap AS rb, allw - agg.sw AS rw
+        FROM st CROSS JOIN agg
+    ),
+    f3 AS (
+        SELECT *,
+               CASE WHEN saturated THEN cap ELSE (rb * weight) // rw END AS fl,
+               CASE WHEN saturated THEN 0 ELSE (rb * weight) % rw END AS rem
+        FROM f2
+    ),
+    f4 AS (
+        SELECT *, CAST(spend - sum(fl) OVER () AS BIGINT) AS short,
+               row_number() OVER (ORDER BY rem DESC, domain) AS rk
+        FROM f3
+    ),
+    f5 AS (
+        SELECT *, CAST(fl + CASE WHEN NOT saturated AND rk <= short
+                                 THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        FROM f4
+    )
+    SELECT domain, available, weight, cap AS capacity, saturated, alloc_tokens,
+           CAST((alloc_tokens * 1000000) // available AS BIGINT) AS epochs_ppm
+    FROM f5
+    """
+
+
+@query("q652_corpus_plan", _q652_oracle())
+def q652(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus planning: availability is the POST-CLEANING
+    token count from the registered winnow boilerplate-removal pipeline
+    (q633, ~9% of tokens cut), rolled up per source and fed into the
+    exact epoch-capped water-filling allocator (q651's operator) — the
+    two round-5 capabilities composed, both engines running the same
+    two registered pipelines (the q578/q600 composition pattern)."""
+    from .operators.pipeline import epoch_allocation
+    from .queries import QUERIES
+
+    clean = QUERIES["q633_winnow_boilerplate_removal"](spark, sf)
+    src = load_table(spark, sf, "documents").select("doc_id", "source")
+    d = (
+        clean.join(src, "doc_id")
+        .groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.sum(F.col("n_before") - F.col("n_removed")).cast("long").alias("available")
+        )
+        .withColumn(
+            "weight",
+            ((F.expr("CAST(substring(domain, 4) AS INT)") % 5) * 5 + 10).cast("long"),
+        )
+    )
+    return epoch_allocation(
+        d, "domain", "available", "weight",
+        budget_ratio=(2, 3), max_epochs=4, weight_scale=300,
+    )
