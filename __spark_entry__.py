@@ -90,12 +90,14 @@ _PRIORITY = [
     "q66_text_quality",
     "q138_ivf_topk",
     "q162_bloom_decontaminate",
-    "q192_bpe_train",
-    "q230_hll_distinct",
     "q293_tpch_q3",
     "q421_scd2_build",
-    "q516_fellegi_sunter",
     "q571_tpch_q2",
+    # round-5 batch-18 reps (also never driver-checked; the freshest
+    # code, so driver-side verification is most valuable here)
+    "q644_zipf_fit",
+    "q648_tf_jaccard",
+    "q652_corpus_plan",
 ]
 
 
