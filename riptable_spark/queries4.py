@@ -390,11 +390,12 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q108_embedding_dups",
     """
+    WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 1000)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
@@ -405,10 +406,13 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
     flavor): exact all-pairs baseline kept ONLY as the recall oracle;
     the production path is similarity.lsh_dedup_pairs (q114), whose
     candidate generation is an equi-join on LSH buckets. Threshold 0.4 (synthetic embeddings peak at cos≈0.51) yields a
-    non-trivial pair set; no pair sits within float error of it."""
+    non-trivial pair set; no pair sits within float error of it.
+    vec_id < 1000 caps the O(n²) baseline's gate cost (covers the full
+    corpus at sf≤0.01; at sf0.1 a 1000-vector slice is plenty for a
+    recall oracle — the LSH/IVF/PQ family is the scale path)."""
     from .operators import similarity
 
-    e = load_table(spark, sf, "embeddings")
+    e = load_table(spark, sf, "embeddings").where(F.col("vec_id") < 1000)
     out = similarity.pairwise_cosine(e, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
