@@ -557,3 +557,37 @@ def test_grouped_connected_components_isolated_per_group(spark, edges):
     for r in out:
         by_grp[r["grp"]][r["node"]] = r["component"]
     assert by_grp["g1"] == by_grp["g2"] and len(by_grp["g1"]) > 0
+
+
+DOMAINS = st.lists(
+    st.tuples(st.integers(1, 5000), st.sampled_from([10, 15, 20, 25, 30])),
+    min_size=1, max_size=8,
+)
+
+
+@given(doms=DOMAINS, budget=st.integers(1, 60_000))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_epoch_allocation_invariants(spark, doms, budget):
+    """Water-filling invariants on random inputs: allocations are
+    non-negative, never exceed the per-domain cap, sum EXACTLY to
+    min(budget, total capacity), and every saturated domain's cap/w
+    ratio is <= every unsaturated domain's (the frontier is a prefix
+    of the ratio order)."""
+    from riptable_spark.operators.pipeline import epoch_allocation
+
+    rows = [(f"d{i}", a, w) for i, (a, w) in enumerate(doms)]
+    df = spark.createDataFrame(rows, "domain string, available long, weight long")
+    out = epoch_allocation(
+        df, "domain", "available", "weight",
+        budget=budget, max_epochs=4, weight_scale=300,
+    ).collect()
+    total_cap = sum(4 * a for _, a, _ in rows)
+    assert all(0 <= r["alloc_tokens"] <= r["capacity"] for r in out)
+    assert sum(r["alloc_tokens"] for r in out) == min(budget, total_cap)
+    sat_ratios = [(r["capacity"], r["weight"]) for r in out if r["saturated"]]
+    uns_ratios = [(r["capacity"], r["weight"]) for r in out if not r["saturated"]]
+    for cs, ws in sat_ratios:
+        for cu, wu in uns_ratios:
+            assert cs * wu <= cu * ws  # cap/w sorted: saturated prefix
+    # saturated domains hit the cap exactly
+    assert all(r["alloc_tokens"] == r["capacity"] for r in out if r["saturated"])
