@@ -1163,3 +1163,39 @@ def epoch_allocation(
         "alloc_tokens",
         F.expr("(alloc_tokens * 1000000) div available").cast("long").alias("epochs_ppm"),
     )
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+    budget: int,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Fill-rate audit of a :func:`pack_sequences` run — the report a
+    pipeline owner reads before choosing the bin budget: per group, the
+    bin count, exact mean fill (ppm of budget, integer div), the count
+    of OVERFLOWING bins (contiguous packing lets a bin exceed budget by
+    at most its last document — how often that happens is the knob
+    check), and the min/max bin fill.
+
+    Two hash aggregations over the already-packed relation ((group,
+    bin) → group); all outputs exact integers — engine-exact."""
+    per_bin = packed.groupBy(*group_cols, bin_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.sum(token_col).cast("long").alias("__t__"),
+    )
+    b = int(budget)
+    return per_bin.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("__n__").cast("long").alias("n_docs"),
+        F.sum("__t__").cast("long").alias("total_tokens"),
+        F.expr(f"CAST((sum(__t__) * 1000000) div (count(1) * {b}) AS BIGINT)").alias(
+            "mean_fill_ppm"
+        ),
+        F.sum(F.when(F.col("__t__") > b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_overflow_bins"),
+        F.min("__t__").cast("long").alias("min_bin_tokens"),
+        F.max("__t__").cast("long").alias("max_bin_tokens"),
+    )

@@ -531,3 +531,50 @@ def q652(spark: SparkSession, sf: str) -> DataFrame:
         d, "domain", "available", "weight",
         budget_ratio=(2, 3), max_epochs=4, weight_scale=300,
     )
+
+
+# ------------------------------------------------------------------ q653
+@query(
+    "q653_packing_efficiency",
+    """
+    WITH packed AS (
+        SELECT grp, toks,
+               floor(coalesce(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)::BIGINT AS bin
+        FROM (
+            SELECT doc_id, doc_id % 16 AS grp,
+                   len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS toks
+            FROM documents
+        )
+    ),
+    per_bin AS (
+        SELECT grp, bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(toks) AS BIGINT) AS t
+        FROM packed GROUP BY grp, bin
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           CAST((sum(t) * 1000000) // (count(*) * 512) AS BIGINT) AS mean_fill_ppm,
+           CAST(sum(CASE WHEN t > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_bins,
+           CAST(min(t) AS BIGINT) AS min_bin_tokens,
+           CAST(max(t) AS BIGINT) AS max_bin_tokens
+    FROM per_bin GROUP BY grp
+    """,
+)
+def q653(spark: SparkSession, sf: str) -> DataFrame:
+    """Fill-rate audit of the q134 packing run
+    (operators/pipeline.packing_efficiency): per shard group the bin
+    count, exact integer mean fill (ppm of the 512 budget), overflow
+    bin count (contiguous packing overshoots by at most the last doc),
+    and min/max bin fills — the report that chooses the bin budget."""
+    from .operators import text as tx
+    from .operators.pipeline import pack_sequences, packing_efficiency
+
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("grp"),
+        tx.token_count(F.col("text")).alias("toks"),
+    )
+    packed = pack_sequences(base, ["grp"], "doc_id", "toks", budget=512)
+    return packing_efficiency(packed, ["grp"], "toks", budget=512)

@@ -262,3 +262,20 @@ def test_epoch_allocation_weight_scale_validation(spark):
         ).collect()
     with pytest.raises(ValueError, match="exactly one"):
         epoch_allocation(d, "domain", "available", "weight")
+
+
+def test_packing_efficiency_hand_case(spark):
+    from riptable_spark.operators.pipeline import pack_sequences, packing_efficiency
+
+    # tokens 300,300,300,700 in order -> bins: prefix 0/300/600/900 ->
+    # bins 0,0,1,1 at budget 512; bin0 = 600 tokens (overflow), bin1 = 1000
+    df = spark.createDataFrame(
+        [("g", 1, 300), ("g", 2, 300), ("g", 3, 300), ("g", 4, 700)],
+        "grp string, doc_id long, toks long",
+    )
+    packed = pack_sequences(df, ["grp"], "doc_id", "toks", budget=512)
+    r = packing_efficiency(packed, ["grp"], "toks", budget=512).collect()[0]
+    assert r["n_bins"] == 2 and r["n_docs"] == 4 and r["total_tokens"] == 1600
+    assert r["n_overflow_bins"] == 2  # 600 and 1000 both exceed 512
+    assert r["min_bin_tokens"] == 600 and r["max_bin_tokens"] == 1000
+    assert r["mean_fill_ppm"] == (1600 * 1_000_000) // (2 * 512)
