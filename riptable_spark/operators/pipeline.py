@@ -1087,10 +1087,14 @@ def epoch_allocation(
     d = base.select("domain", "available", "weight", cap.alias("cap"))
     # exact ratio sort key: cap * (L / w) — integer iff w | L
     d = d.withColumn("__lw__", (F.lit(L) / F.col("weight")).cast("long"))
-    chk = d.where(F.col("__lw__") * F.col("weight") != L).count()
+    chk = d.where(
+        (F.col("__lw__") * F.col("weight") != L) | (F.col("available") <= 0)
+    ).count()
     if chk:
         raise ValueError(
-            f"weight_scale={L} is not a common multiple of every weight"
+            f"weight_scale={L} is not a common multiple of every weight, "
+            "or a domain has available <= 0 (epochs_ppm divides by "
+            "available; a zero-capacity domain has no defined epoch count)"
         )
     d = d.withColumn("__key__", F.col("cap") * F.col("__lw__"))
     w_ord = Window.orderBy("__key__", "domain")

@@ -1467,9 +1467,22 @@ def q605(spark: SparkSession, sf: str) -> DataFrame:
     )
     cc = connected_components(tagged, max_iter=40, group_cols=["variant"])
     sizes = cc.groupBy("variant", "component").agg(F.count(F.lit(1)).alias("c"))
-    return sizes.groupBy("variant").agg(
+    agg = sizes.groupBy("variant").agg(
         F.sum("c").cast("long").alias("n_nodes"),
         F.max("c").cast("long").alias("largest_cc"),
+    )
+    # Two-variant spine: a fully hub-pruned graph has zero edges, so
+    # the grouped CC relation would drop that variant's row entirely —
+    # the oracle's scalar subqueries still emit (variant, 0, NULL).
+    spine = spark.createDataFrame([("full",), ("hubs_removed",)], ["variant"])
+    return (
+        F.broadcast(spine)
+        .join(agg, "variant", "left")
+        .select(
+            "variant",
+            F.coalesce(F.col("n_nodes"), F.lit(0)).cast("long").alias("n_nodes"),
+            F.col("largest_cc").cast("long").alias("largest_cc"),
+        )
     )
 
 

@@ -626,8 +626,9 @@ def q641(spark: SparkSession, sf: str) -> DataFrame:
                  AS bracket
         FROM f
     )
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(bracket) AS DOUBLE) / CAST(50 * count(*) AS DOUBLE) AS crps
+    SELECT event_type, CAST(count(bracket) AS BIGINT) AS n,
+           CAST(sum(bracket) AS DOUBLE)
+               / CAST(50 * count(bracket) AS DOUBLE) AS crps
     FROM b GROUP BY event_type
     """,
 )

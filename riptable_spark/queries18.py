@@ -543,7 +543,9 @@ def q652(spark: SparkSession, sf: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)::BIGINT AS bin
         FROM (
             SELECT doc_id, doc_id % 16 AS grp,
-                   len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS toks
+                   CASE WHEN trim(text) = '' THEN 0 ELSE
+                   len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+                   END AS toks
             FROM documents
         )
     ),

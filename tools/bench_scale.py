@@ -102,17 +102,21 @@ def main() -> None:
         points.append(rec)
 
     def expo(a: dict, b: dict, q: str) -> float:
+        # bench.py rounds per-query walls to 3 dp: a sub-millisecond
+        # query records 0.0 — clamp so log() can't raise and discard
+        # the whole multi-SF run after all benches completed.
         return round(
-            math.log(b["queries"][q] / a["queries"][q])
+            math.log(max(b["queries"][q], 1e-3) / max(a["queries"][q], 1e-3))
             / math.log(b["rows"] / a["rows"]),
             3,
         )
 
     def ols_expo(vals: list[float], rows: list[int]) -> float:
         """OLS slope of log(wall) on log(rows) over ALL points — less
-        endpoint-noise-sensitive than the two-point ratios."""
+        endpoint-noise-sensitive than the two-point ratios.  Walls are
+        clamped to 1 ms (bench.py's recording resolution) before log."""
         xs = [math.log(r) for r in rows]
-        ys = [math.log(v) for v in vals]
+        ys = [math.log(max(v, 1e-3)) for v in vals]
         n = len(xs)
         sx, sy = sum(xs), sum(ys)
         sxx = sum(x * x for x in xs)
