@@ -64,40 +64,39 @@ _PRIORITY = [
     "q106_salted_join",
     "q111_apply_rows",
     "q114_lsh_dedup",
-    # --- rotating back half (round 5): all 25 are never-driver-checked
-    # (absent from CORRECTNESS_r01..r04) — the round-4 tail (winnow
-    # audits, NFC, diagnostics) plus one representative of each
-    # still-unchecked family (TPC-H joins, sketches, tokenizer, record
-    # linkage, SCD, ANN scale path), so successive CORRECTNESS_r*.json
-    # files accumulate driver-side coverage of the registry tail (core
-    # reps above stay pinned).
-    "q632_winnow_density",
-    "q633_winnow_boilerplate_removal",
-    "q634_nfc_normalize",
-    "q635_winnow_shared_runs",
-    "q637_winnow_incremental",
-    "q638_stream_winnow_screen",
-    "q639_acf_ljung_box",
-    "q640_page_hinkley",
-    "q641_cooks_distance",
-    "q642_crps_ensemble",
-    "q643_vif",
-    "q189_repeated_spans",
-    "q276_curation_e2e",
-    "q321_tpch_q6",
-    "q322_tpch_q21",
-    "q384_shapley_attribution",
-    "q66_text_quality",
-    "q138_ivf_topk",
-    "q162_bloom_decontaminate",
-    "q293_tpch_q3",
-    "q421_scd2_build",
-    "q571_tpch_q2",
-    # round-5 batch-18 reps (also never driver-checked; the freshest
-    # code, so driver-side verification is most valuable here)
-    "q644_zipf_fit",
-    "q648_tf_jaccard",
-    "q652_corpus_plan",
+    # --- rotating back half (round 6): all 25 are never-driver-checked
+    # (absent from CORRECTNESS_r01..r05) — the batch-18 tail first (the
+    # freshest code, incl. the two queries whose oracles were touched by
+    # the r5 advice fixes), then the graph-kernel family, sketches,
+    # tokenizer/geometry/market/fairness analytics tail, and the ANN /
+    # streaming reps still unseen — successive CORRECTNESS_r*.json
+    # files accumulate driver-side coverage (core reps above stay
+    # pinned; cumulative driver-checked after this round ≥155).
+    "q645_good_turing",
+    "q646_kneser_ney",
+    "q647_vocab_coverage",
+    "q649_containment",
+    "q650_cl_diversity",
+    "q651_epoch_allocation",
+    "q653_packing_efficiency",
+    "q605_percolation",
+    "q301_time_bars",
+    "q615_stable_matching",
+    "q617_blocking_pairs",
+    "q619_maximal_matching",
+    "q621_luby_mis",
+    "q230_hll_distinct",
+    "q237_hll_trailing_dau",
+    "q555_bpe_segment",
+    "q556_dau_wau_mau",
+    "q557_point_in_polygon",
+    "q558_ransac_line",
+    "q559_second_price_auction",
+    "q560_vpin",
+    "q561_hubness",
+    "q562_fairness_audit",
+    "q83_lsh_topk",
+    "q103_stateful_stream",
 ]
 
 
