@@ -430,6 +430,20 @@ def connected_components(
         # (LSH, windows, …) re-executes every round
         .localCheckpoint(eager=True)
     )
+    # Checkpointed relations advertise NO stats, so Catalyst would never
+    # broadcast the label side and every round pays full shuffle-join
+    # barriers even on a 31-node graph. The edges are materialized, so
+    # ONE cheap count picks the loop mode: small graphs run broadcast
+    # joins on coalesced partitions (the per-round cost becomes job
+    # scheduling, not 32-task exchanges); big graphs keep the
+    # shuffle-join path that scales to billions of edges.
+    small = edges.count() <= 500_000
+    if small:
+        edges = edges.coalesce(8)
+
+    def _bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     labels = (
         edges.select(*g, F.col("src").alias("node"))
         .distinct()
@@ -438,29 +452,58 @@ def connected_components(
     for _ in range(max_iter):
         # neighbor labels: for each node, the min label among neighbors
         nbr = (
-            edges.join(labels.withColumnRenamed("node", "dst"), on=[*g, "dst"])
+            edges.join(_bcast(labels.withColumnRenamed("node", "dst")), on=[*g, "dst"])
             .groupBy(*g, "src")
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
         new_labels = (
-            labels.join(nbr, on=[*g, "node"], how="left")
+            labels.join(_bcast(nbr), on=[*g, "node"], how="left")
             .select(*g, "node", F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"))
         )
+        # small-star PUSH: the node each OLD label points at learns the
+        # minimum of its children's NEW labels (one grouped min along
+        # the label-pointer star). Neighbor-min alone can crawl one
+        # node per round on pruned fragments — q605's hub-cut graph
+        # took 18 rounds without this step, 5 with it (pushing STALE
+        # child labels does not fix the tail; it must be the new ones).
+        # Pushed values are labels of same-component nodes, so the
+        # min-reachable fixed point is unchanged.
+        push = (
+            labels.select(*g, F.col("component").alias("__parent__"), "node")
+            .join(
+                _bcast(new_labels.select(*g, "node", F.col("component").alias("__newc__"))),
+                on=[*g, "node"],
+            )
+            .groupBy(*g, "__parent__")
+            .agg(F.min("__newc__").alias("__push__"))
+            .select(*g, F.col("__parent__").alias("node"), "__push__")
+        )
+        new_labels = new_labels.join(_bcast(push), on=[*g, "node"], how="left").select(
+            *g,
+            "node",
+            F.least(F.col("component"), F.coalesce(F.col("__push__"), F.col("component"))).alias("component"),
+        )
         # pointer jump: component <- label of the node `component` names
-        # (always <= component; same fixed point, exponentially faster)
+        # (always <= component; same fixed point, exponentially faster).
+        # ONE jump per round: a second jump would self-join the
+        # UN-materialized new_labels plan — each extra jump level
+        # doubles the recompute of everything above it (measured: a
+        # 2-jump variant blew q605 from 8 s to a 10-minute timeout).
         jump = new_labels.select(
             *g, F.col("node").alias("component"), F.col("component").alias("__jump__")
         )
-        new_labels = new_labels.join(jump, on=[*g, "component"], how="left").select(
+        new_labels = new_labels.join(_bcast(jump), on=[*g, "component"], how="left").select(
             *g,
             "node",
             F.coalesce(F.col("__jump__"), F.col("component")).alias("component"),
         )
+        if small:
+            new_labels = new_labels.coalesce(8)
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), on=[*g, "node"])
+            .join(_bcast(labels.alias("o")), on=[*g, "node"])
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )

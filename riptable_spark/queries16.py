@@ -1436,8 +1436,20 @@ def q605(spark: SparkSession, sf: str) -> DataFrame:
     base = d.select((k % 31).alias("a"), ((k * 12 + 5) % 31).alias("b")).where(
         F.col("a") != F.col("b")
     )
-    e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # ≤60 undirected edges on 31 nodes: materialize e once — sym is
+    # e ∪ swap(e), which would otherwise re-run the documents scan
+    # twice, and sym itself feeds FOUR consumers (degrees, hub
+    # pruning, both tagged variants)
+    e = (
+        base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
     hubs = (
         deg.withColumn(
@@ -2158,10 +2170,14 @@ def q615(spark: SparkSession, sf: str) -> DataFrame:
         h(F.col("w"), ":", F.col("f")).alias("s_score"),
         h(F.col("f"), ">", F.col("w")).alias("t_score"),
     )
+    # 400-row preference table joined 2×/round for 3 rounds: eager
+    # localCheckpoint scans documents ONCE and truncates the lineage
+    # each round's joins would otherwise re-optimize (persist does
+    # neither — the q604/q611 lesson).
     rk = prefs.withColumn(
         "wrank",
         F.row_number().over(Window.partitionBy("w").orderBy(F.desc("s_score"), "f")),
-    ).persist()
+    ).localCheckpoint(eager=True)
     st = agents.select(
         F.col("a").alias("w"),
         F.lit(None).cast("long").alias("f"),
@@ -2321,11 +2337,14 @@ def q617(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(F.md5(F.concat(c1.cast("string"), F.lit(sep), c2.cast("string"))), 1, 15),
         16, 10,
     ).cast("long")
+    # the 400-row score table is joined four times below (matches,
+    # wcur, fcur, blocking) — materialize once instead of four
+    # documents-scan cross joins
     rk = wdf.crossJoin(fdf).select(
         "w", "f",
         h(F.col("w"), ":", F.col("f")).alias("s_score"),
         h(F.col("f"), ">", F.col("w")).alias("t_score"),
-    )
+    ).localCheckpoint(eager=True)
     matches = st.where(F.col("matched")).select("w", F.col("firm").alias("f"))
     wcur = matches.join(rk, ["w", "f"]).select("w", F.col("s_score").alias("cur_s"))
     fcur = matches.join(rk, ["w", "f"]).select("f", F.col("t_score").alias("cur_t"))
@@ -2458,7 +2477,9 @@ def q619(spark: SparkSession, sf: str) -> DataFrame:
     ring = d.select((k % 40).alias("u"), ((k % 40 + 1) % 40).alias("v")).where(
         F.col("u") < F.col("v")
     )
-    e = aff.unionByName(ring).distinct()
+    # ≤780 edges on 40 nodes: one eager materialization replaces the
+    # 2×3-round documents re-scans the count jobs would otherwise pay
+    e = aff.unionByName(ring).distinct().localCheckpoint(eager=True)
     hcol = F.conv(
         F.substring(
             F.md5(F.concat(F.col("u").cast("string"), F.lit("-"), F.col("v").cast("string"))),
@@ -2532,13 +2553,18 @@ def q620(spark: SparkSession, sf: str) -> DataFrame:
     from registered pipelines on BOTH sides."""
     from .queries import QUERIES
 
-    gs = QUERIES["q615_stable_matching"](spark, sf)
-    bp = QUERIES["q617_blocking_pairs"](spark, sf)
+    # q617 composes q615 internally and already emits the match count —
+    # running q615 again here would pay the 3-round GS loop twice.
+    # Materialize bp once (1 row) since it feeds both r1 and r2.
+    bp = QUERIES["q617_blocking_pairs"](spark, sf).localCheckpoint(eager=True)
     mm = QUERIES["q619_maximal_matching"](spark, sf)
-    pc = QUERIES["q605_percolation"](spark, sf)
-    r1 = gs.agg(
-        F.sum(F.when(F.col("matched"), 1).otherwise(0)).cast("long").alias("value")
-    ).select(F.lit("gale_shapley").alias("kernel"), F.lit("n_matched").alias("metric"), "value")
+    # 2 rows feeding two filtered consumers (full / hubs_removed)
+    pc = QUERIES["q605_percolation"](spark, sf).localCheckpoint(eager=True)
+    r1 = bp.select(
+        F.lit("gale_shapley").alias("kernel"),
+        F.lit("n_matched").alias("metric"),
+        F.col("n_matched").alias("value"),
+    )
     r2 = bp.select(
         F.lit("gale_shapley").alias("kernel"),
         F.lit("blocking_pairs").alias("metric"),
