@@ -26,6 +26,7 @@ from riptable_spark import queries12  # noqa: F401 — registers batch-12 querie
 from riptable_spark import queries13  # noqa: F401 — registers batch-13 queries
 from riptable_spark import queries14, queries15, queries16, queries17  # noqa: F401 — registers batch-14 queries
 from riptable_spark import queries18  # noqa: F401 — registers batch-18 queries
+from riptable_spark import queries19  # noqa: F401 — registers batch-19 queries
 from riptable_spark.queries import ORACLES, QUERIES
 
 

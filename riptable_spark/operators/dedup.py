@@ -513,6 +513,65 @@ def connected_components(
     return labels
 
 
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Bounded-round k-core peeling over an undirected pair graph: each
+    round drops every node with degree < k, then every edge touching a
+    dropped node, and repeats — the classic density filter that
+    isolates the tightly inter-duplicated community inside a near-dup
+    candidate graph (a hub chained to many loose matches survives
+    connected-components but not a 3-core).
+
+    Returns one row per round (round, n_nodes, n_edges) — the peel
+    curve a pipeline owner reads to pick k.  ``max_rounds`` bounds the
+    rounds exactly like the other bounded-round kernels (q619/q621);
+    peeling converges when a round removes nothing.
+
+    Scale shape: each round is one degree aggregation plus two
+    semi-joins, with the surviving edge relation
+    ``localCheckpoint(eager=True)``-ed per round (the iterative-operator
+    discipline — persist does not truncate lineage)."""
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for r in range(1, max_rounds + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__d__"))
+        )
+        keep = deg.where(F.col("__d__") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .distinct()
+            .count()
+        )
+        n_edges = e.count()
+        rows.append((r, n_nodes, n_edges))
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in rows],
+        "round bigint, n_nodes bigint, n_edges bigint",
+    )
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

@@ -335,6 +335,96 @@ def pairwise_cosine(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str 
     )
 
 
+def dominant_direction(
+    vectors: DataFrame,
+    n_iter: int = 2,
+    quant_scale: int = 1000,
+    rescale_to: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dominant direction of the (uncentered) embedding second-moment
+    matrix by EXACT-INTEGER power iteration — the "all-but-the-top"
+    preprocessing direction (Mu & Viswanath, ICLR'18, public result):
+    corpora concentrate mass along one dominant vector, and removing it
+    sharpens cosine similarity for dedup/ANN.
+
+    Exactness: vectors quantize to q = round(x·quant_scale) BIGINTs;
+    each iteration computes u = Xv (per-row integer fold) and w = Xᵀu
+    (explode dims → 64-group partial-agg sum), then rescales v to
+    max |v_d| = rescale_to via one exact integer max + div — every
+    intermediate is a BIGINT, so the DuckDB replay is bit-identical and
+    ANSI mode throws LOUDLY on overflow instead of silently wrapping.
+    Overflow envelope: n·dim·quant_max²·rescale_to < 2^63 — ~5e6 rows
+    at |x|≤5, dim 64, defaults; lower ``rescale_to`` for bigger
+    corpora, or hash-sample: the direction is a corpus STATISTIC.
+
+    Scale shape: per iteration ONE pass for u (no shuffle — per-row
+    fold), ONE explode+partial-agg for w (64 groups), and the 64-row v
+    relation broadcasts back — no driver-side collect, no full shuffle
+    of the embedding column.  Returns (dim, weight) with dim 1-based
+    and weight the final integer v."""
+    # float→double BEFORE the multiply (a float-precision product would
+    # round differently from the oracle's double arithmetic)
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * quant_scale).cast("long")
+    )
+    base = vectors.select(F.col(id_col).alias("__id__"), qv.alias("__q__"))
+    base = base.localCheckpoint(eager=True)  # n_iter passes reuse the scan
+    dim_probe = base.select(F.size("__q__").alias("d")).first()
+    dim = int(dim_probe["d"])
+    spark = vectors.sparkSession
+    v = spark.createDataFrame(
+        [(d, 1) for d in range(1, dim + 1)], "dim int, w long"
+    )
+    for _ in range(n_iter):
+        # deterministic dim-ordered array (collect_list order is
+        # plan-dependent — sort structs, then project)
+        varr = v.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "w"))),
+                lambda s: s["w"],
+            ).alias("__v__")
+        )
+        # one pass: the row dot u = q·v AND the quantized vector stay
+        # in the same projection (no self-join back to the scan)
+        with_u = base.crossJoin(F.broadcast(varr)).select(
+            "__q__",
+            F.aggregate(
+                F.zip_with("__q__", "__v__", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("__u__"),
+        )
+        # w_d = Σ_rows q_d · u_row: explode (dim, q_d) with the row's u
+        exploded = with_u.select(
+            F.col("__u__"), F.posexplode("__q__").alias("__p__", "__qd__")
+        )
+        w = exploded.groupBy("__p__").agg(
+            F.sum(F.col("__qd__") * F.col("__u__")).cast("long").alias("__w__")
+        )
+        mx = w.agg(F.max(F.abs("__w__")).cast("long").alias("__m__"))
+        # rescale by DIVISION only (never |w|·S — that multiply is the
+        # overflow): d = (max|w| div S)+1, v = sign(w)·(|w| div d), so
+        # max |v| ≈ S with no intermediate above |w|. abs before div
+        # keeps floor-division (DuckDB //) and truncating division
+        # (Spark div) identical — they differ on negatives.
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("__p__") + 1).cast("int").alias("dim"),
+                F.expr(
+                    "CAST(sign(__w__) AS BIGINT)"
+                    f" * (abs(__w__) div ((greatest(__m__, 1) div {int(rescale_to)}) + 1))"
+                )
+                .cast("long")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select("dim", F.col("w").alias("weight"))
+
+
 def ivf_probe(
     queries: DataFrame,
     centroids: DataFrame,
@@ -539,6 +629,46 @@ def pq_search_columnar(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_search_rerank(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The production PQ serving pattern: ADC SHORTLIST then EXACT
+    rerank. ``pq_search_columnar`` retrieves ``candidates`` ids per
+    query from the compressed codes (the cheap full scan — m bytes per
+    vector), then the shortlist (|queries|·candidates rows — broadcast
+    sized by construction) equi-joins back to the RAW vectors for exact
+    cosine, and a top-k window keeps the final k. Quantization error
+    only costs recall when a true neighbor falls outside the shortlist,
+    so recall@k rises steeply with ``candidates`` while the exact work
+    stays |queries|·candidates, independent of corpus size.
+
+    Scale shape: the codes scan never shuffles; the raw-vector side is
+    touched only via a BROADCAST semi-style join on id (the 100 TB
+    corpus stays put and most of it is never read under a columnar
+    format with id-clustered layout)."""
+    shortlist = pq_search_columnar(
+        codes, queries, codebooks, k=candidates,
+        id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    cand_vecs = vectors.join(F.broadcast(shortlist), on=id_col)
+    rescored = cand_vecs.join(F.broadcast(queries), on=query_id_col).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return rescored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def pq_adc_expr(qv: Column, codes: Column, codebooks: list[list[list[float]]]) -> Column:

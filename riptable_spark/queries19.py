@@ -1,0 +1,264 @@
+"""Driver-contract query registry, batch 19 (round 6, q654+):
+embedding-space linear algebra (exact-integer power iteration), graph
+density (k-core peel curve), and the MinHash-LSH band planner.
+Registers into the same QUERIES/ORACLES dicts; imported AFTER queries18
+everywhere so registration order stays append-only (snapshot-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries import query
+from .sources.io import load_table
+
+
+# ------------------------------------------------------------------ q654
+@query(
+    "q654_dominant_direction",
+    """
+    WITH x AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              e -> CAST(round(e * 1000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    u1 AS (SELECT vec_id, q, list_reduce(q, (a, b) -> a + b) AS u FROM x),
+    e1 AS (
+        SELECT unnest(list_transform(q, (e, i) -> i)) AS p,
+               unnest(list_transform(q, (e, i) -> e * u)) AS term
+        FROM u1
+    ),
+    w1 AS (SELECT p, CAST(sum(term) AS BIGINT) AS w FROM e1 GROUP BY p),
+    m1 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w1),
+    v1 AS (
+        SELECT p,
+               CAST(sign(w) AS BIGINT) * (abs(w) // ((m // 1000) + 1)) AS vw
+        FROM w1, m1
+    ),
+    va1 AS (SELECT list(vw ORDER BY p) AS v FROM v1),
+    u2 AS (
+        SELECT vec_id, q,
+               list_reduce(list_transform(q, (e, i) -> e * v[i]),
+                           (a, b) -> a + b) AS u
+        FROM x, va1
+    ),
+    e2 AS (
+        SELECT unnest(list_transform(q, (e, i) -> i)) AS p,
+               unnest(list_transform(q, (e, i) -> e * u)) AS term
+        FROM u2
+    ),
+    w2 AS (SELECT p, CAST(sum(term) AS BIGINT) AS w FROM e2 GROUP BY p),
+    m2 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w2)
+    SELECT CAST(p AS INT) AS dim,
+           CAST(sign(w) AS BIGINT) * (abs(w) // ((m // 1000) + 1)) AS weight
+    FROM w2, m2
+    """,
+)
+def q654(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant corpus direction by exact-integer power iteration
+    (operators/similarity.dominant_direction) — the "all-but-the-top"
+    embedding-postprocessing vector (Mu & Viswanath '18): two
+    iterations of v ← Xᵀ(Xv) on round(1000·x) BIGINT vectors with a
+    division-only rescale, so every intermediate is exact and the
+    replay hash-matches bit-for-bit.  Reference rt_fastarray reductions
+    have no distributed analogue for this; it completes the
+    SemDeDup/ANN embedding-hygiene family."""
+    from .operators.similarity import dominant_direction
+
+    e = load_table(spark, sf, "embeddings")
+    return dominant_direction(e, n_iter=2, quant_scale=1000, rescale_to=1000)
+
+
+# ------------------------------------------------------------------ q655
+def _q655_graph_sql() -> str:
+    return """
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+            SELECT doc_id % 37 AS a, (doc_id * 15 + 4) % 37 AS b FROM documents
+            UNION ALL
+            SELECT doc_id % 37, (doc_id * 7 + 2) % 37 FROM documents
+        ) WHERE a != b
+    """
+
+
+def _q655_oracle() -> str:
+    rounds = []
+    for r in (1, 2, 3):
+        rounds.append(f"""
+    d{r} AS (
+        SELECT node, count(*) AS c FROM (
+            SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+        ) GROUP BY 1
+    ),
+    k{r} AS (SELECT node FROM d{r} WHERE c >= 3),
+    e{r} AS (
+        SELECT u, v FROM e{r - 1}
+        WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r})
+    )""")
+    body = ",".join(rounds)
+    picks = "\n    UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+           (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (
+                SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"""
+        for r in (1, 2, 3)
+    )
+    return f"""
+    WITH e0 AS ({_q655_graph_sql()}),{body}
+    {picks}
+    """
+
+
+@query("q655_kcore_peel", _q655_oracle())
+def q655(spark: SparkSession, sf: str) -> DataFrame:
+    """3-core peel curve of the synthetic doc-affinity graph
+    (operators/dedup.k_core): each round drops nodes with degree < 3
+    and their edges — the density filter that separates tightly
+    inter-duplicated communities from hub-chained loose matches, with
+    the per-round (nodes, edges) curve a pipeline owner reads to pick
+    k.  Bounded rounds, eager-checkpointed edges (the q619/q621 kernel
+    discipline)."""
+    from .operators.dedup import k_core
+
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    pairs = (
+        d.select((k % 37).alias("id_a"), ((k * 15 + 4) % 37).alias("id_b"))
+        .unionByName(
+            d.select((k % 37).alias("id_a"), ((k * 7 + 2) % 37).alias("id_b"))
+        )
+    )
+    return k_core(pairs, k=3, max_rounds=3)
+
+
+# ------------------------------------------------------------------ q656
+# (bands, rows) splits of a 128-hash signature — all powers of two, so
+# s50 = (1/b)^(1/r) is a NESTED-SQRT chain and ŝ^r / (1−ŝ^r)^b are
+# REPEATED-SQUARING chains: every step is one correctly-rounded IEEE op,
+# bit-identical cross-engine (the q570 fixed-association discipline) —
+# no pow() anywhere.
+_Q656_GRID = [(64, 2), (32, 4), (16, 8), (8, 16)]
+
+
+def _sqrt_chain_sql(x: str, r: int) -> str:
+    out = x
+    while r > 1:
+        out = f"sqrt({out})"
+        r //= 2
+    return out
+
+
+def _square_chain_sql(x: str, k: int) -> str:
+    out = x
+    while k > 1:
+        out = f"(({out}) * ({out}))"
+        k //= 2
+    return out
+
+
+def _q656_oracle() -> str:
+    rows = []
+    for b, r in _Q656_GRID:
+        s50 = _sqrt_chain_sql(f"1.0 / {b}", r)
+        sr = _square_chain_sql("med.s_ppm / 1000000.0", r)
+        p = f"1 - {_square_chain_sql(f'(1 - {sr})', b)}"
+        rows.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band,
+           med.s_ppm AS median_jaccard_ppm,
+           round({s50}, 6) AS s50,
+           round({p}, 6) AS p_at_median
+    FROM med"""
+        )
+    picks = "\n    UNION ALL ".join(rows)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+        SELECT CAST(floor(1000000.0 * n_shared / (sa.sz + sb.sz - n_shared))
+                    AS BIGINT) AS s_ppm
+        FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                   JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE n_shared / (sa.sz + sb.sz - n_shared) >= 0.1
+    ),
+    dist AS (SELECT s_ppm, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dist),
+    cum AS (
+        SELECT s_ppm,
+               sum(c) OVER (ORDER BY s_ppm
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM dist
+    ),
+    med AS (
+        SELECT min(s_ppm) AS s_ppm FROM cum, tot WHERE cum >= (n + 1) // 2
+    )
+    {picks}
+    """
+
+
+@query("q656_lsh_band_planner", _q656_oracle())
+def q656(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH band planner: for every (bands, rows) split of a
+    128-hash signature, the S-curve half-point s50 = (1/b)^(1/r) and
+    the collision probability 1−(1−ŝ^r)^b AT the corpus's own median
+    candidate-pair Jaccard ŝ (exact integer ppm; LOW median via the
+    cumulative-count aggregate, never a raw-pair global sort) — the
+    relation an operator reads to pick banding before an LSH run
+    (completes q570's calibration with the corpus-tied planning view).
+    pow outputs are round(6)-ed on both sides (the q644 ln/exp rule)."""
+    from .operators import dedup
+
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=1, threshold=0.1)
+    sppm = pairs.select(
+        F.floor(F.col("jaccard") * 1000000).cast("long").alias("s_ppm")
+    )
+    dist = sppm.groupBy("s_ppm").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = dist.agg(F.sum("c").cast("long").alias("n"))
+    wcum = Window.orderBy("s_ppm").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select("s_ppm", F.sum("c").over(wcum).alias("cum"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("s_ppm").alias("s_ppm"))
+        .localCheckpoint(eager=True)  # 1 row feeding four union branches
+    )
+
+    def sqrt_chain(x, r: int):
+        while r > 1:
+            x = F.sqrt(x)
+            r //= 2
+        return x
+
+    def square_chain(x, k: int):
+        while k > 1:
+            x = x * x
+            k //= 2
+        return x
+
+    shat = F.col("s_ppm") / 1000000.0
+    outs = []
+    for b, r in _Q656_GRID:
+        p = 1 - square_chain(1 - square_chain(shat, r), b)
+        outs.append(
+            med.select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.col("s_ppm").alias("median_jaccard_ppm"),
+                F.round(sqrt_chain(F.lit(1.0) / b, r), 6).alias("s50"),
+                F.round(p, 6).alias("p_at_median"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

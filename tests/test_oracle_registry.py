@@ -32,6 +32,7 @@ from riptable_spark import (  # noqa: F401 — register all batches
     queries16,
     queries17,
     queries18,
+    queries19,
 )
 from riptable_spark.queries import ORACLES, QUERIES
 

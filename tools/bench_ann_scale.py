@@ -1,0 +1,209 @@
+"""ANN scale measurement: brute-force cosine top-k vs the indexed paths
+(IVF partition-pruned serving, PQ columnar ADC) on the synthetic scale
+replicas, with recall@k against the brute ground truth.
+
+Why: the headline q32 brute cosine is inherently linear in corpus size
+(measured exponent 0.955 at sf10→sf30) — the documented scale answer is
+the IVF/PQ family, and this tool turns that claim into measured numbers:
+search wall + recall@k at each corpus size, plus the build cost paid
+once per index.
+
+Protocol (per scale dir):
+  - corpus = embeddings (vec_id, embedding→double), queries = vec_id<20
+  - brute_force_topk k=10 (collect) -> ground truth + brute wall
+  - IVF: kmeans_fit k=64 (n_iter=3, hash-sampled at big SFs) +
+    save_ivf_index (partitioned parquet) = build wall;
+    ivf_topk_indexed nprobe=8 (collect) = search wall; recall@10
+  - PQ: L2-normalized vectors (ADC L2 then ranks like cosine),
+    pq_train m=8 ksub=64 + pq_encode_columnar written to parquet =
+    build wall; pq_search_columnar k=10 = search wall; recall@10
+
+Walls are best-of-2 for the search paths (first run pays codegen).
+Writes BENCH_ANN.json at the repo root and prints one JSON line.
+
+Usage: python tools/bench_ann_scale.py [dir ...]
+  (default: /root/testdata/sf0.1 .scratch/sf1 .scratch/sf3 .scratch/sf10
+   .scratch/sf30)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from riptable_spark.operators import similarity as sim  # noqa: E402
+from riptable_spark.session import get_spark  # noqa: E402
+
+K = 10
+N_QUERIES = 20
+IVF_K = 64
+NPROBE = 8
+PQ_M = 8
+PQ_KSUB = 64
+
+
+def recall_at_k(gt: dict[int, set[int]], got: dict[int, set[int]]) -> float:
+    per_q = [
+        len(gt[q] & got.get(q, set())) / len(gt[q]) for q in gt if gt[q]
+    ]
+    return round(sum(per_q) / len(per_q), 4)
+
+
+def rows_to_sets(rows, qcol: str, idcol: str) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(int(r[qcol]), set()).add(int(r[idcol]))
+    return out
+
+
+def best_of(fn, n: int = 2) -> tuple[float, object]:
+    best, result = float("inf"), None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        result = fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3), result
+
+
+def bench_dir(spark, d: str, scratch: str) -> dict:
+    e = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = e.select("vec_id", dvec.alias("embedding"))
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), dvec.alias("query_vec")
+    )
+    n_vec = corpus.count()
+
+    # ---- brute ground truth
+    t_brute, brute_rows = best_of(
+        lambda: sim.brute_force_topk(corpus, queries, k=K).collect()
+    )
+    gt = rows_to_sets(brute_rows, "query_id", "vec_id")
+
+    # ---- IVF: build once (kmeans + partitioned index), serve pruned
+    sample = min(1.0, 50_000 / n_vec) if n_vec > 50_000 else None
+    idx_path = os.path.join(scratch, "ann_idx", os.path.basename(d))
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    cents = sim.kmeans_fit(corpus, k=IVF_K, n_iter=3, sample_frac=sample)
+    cents = cents.localCheckpoint(eager=True)
+    sim.save_ivf_index(corpus, cents, idx_path)
+    t_ivf_build = round(time.perf_counter() - t0, 3)
+    t_ivf, ivf_rows = best_of(
+        lambda: sim.ivf_topk_indexed(
+            spark, idx_path, cents, queries, k=K, nprobe=NPROBE
+        ).collect()
+    )
+    ivf_recall = recall_at_k(gt, rows_to_sets(ivf_rows, "query_id", "vec_id"))
+    t_ivf16, ivf16_rows = best_of(
+        lambda: sim.ivf_topk_indexed(
+            spark, idx_path, cents, queries, k=K, nprobe=16
+        ).collect()
+    )
+    ivf16_recall = recall_at_k(gt, rows_to_sets(ivf16_rows, "query_id", "vec_id"))
+
+    # ---- PQ: normalize so ADC L2 ranks like cosine, encode columnar
+    nrm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    unit = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / nrm).alias("embedding"),
+    )
+    qnrm = F.sqrt(F.aggregate("query_vec", F.lit(0.0), lambda a, x: a + x * x))
+    unit_q = queries.select(
+        "query_id",
+        F.transform("query_vec", lambda x: x / qnrm).alias("query_vec"),
+    )
+    codes_path = os.path.join(scratch, "ann_idx", os.path.basename(d) + "_pq")
+    shutil.rmtree(codes_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    books = sim.pq_train(unit, m=PQ_M, ksub=PQ_KSUB, n_iter=3, sample_frac=sample)
+    sim.pq_encode_columnar(unit, books).write.mode("overwrite").parquet(codes_path)
+    t_pq_build = round(time.perf_counter() - t0, 3)
+    codes = spark.read.parquet(codes_path)
+    t_pq, pq_rows = best_of(
+        lambda: sim.pq_search_columnar(codes, unit_q, books, k=K).collect()
+    )
+    pq_recall = recall_at_k(gt, rows_to_sets(pq_rows, "query_id", "vec_id"))
+    # the production pattern: ADC shortlist (100 candidates) + exact rerank
+    t_pqrr, pqrr_rows = best_of(
+        lambda: sim.pq_search_rerank(
+            codes, corpus, unit_q, books, k=K, candidates=100
+        ).collect()
+    )
+    pqrr_recall = recall_at_k(gt, rows_to_sets(pqrr_rows, "query_id", "vec_id"))
+
+    return {
+        "dir": d,
+        "n_vectors": n_vec,
+        "brute_search_s": t_brute,
+        "ivf_build_s": t_ivf_build,
+        "ivf_search_s": t_ivf,
+        "ivf_recall_at_10": ivf_recall,
+        "ivf16_search_s": t_ivf16,
+        "ivf16_recall_at_10": ivf16_recall,
+        "pq_build_s": t_pq_build,
+        "pq_search_s": t_pq,
+        "pq_recall_at_10": pq_recall,
+        "pq_rerank_search_s": t_pqrr,
+        "pq_rerank_recall_at_10": pqrr_recall,
+    }
+
+
+def ols_expo(vals: list[float], rows: list[int]) -> float | None:
+    if len(set(rows)) < 2:
+        return None
+    xs = [math.log(r) for r in rows]
+    ys = [math.log(max(v, 1e-3)) for v in vals]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    return round((n * sxy - sx * sy) / (n * sxx - sx * sx), 3)
+
+
+def main() -> None:
+    scratch = os.path.join(REPO, ".scratch")
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        os.path.join(scratch, "sf1"),
+        os.path.join(scratch, "sf3"),
+        os.path.join(scratch, "sf10"),
+        os.path.join(scratch, "sf30"),
+    ]
+    spark = get_spark("bench-ann")
+    points = []
+    for d in dirs:
+        rec = bench_dir(spark, d, scratch)
+        print(json.dumps(rec), flush=True)
+        points.append(rec)
+    rows = [p["n_vectors"] for p in points]
+    result = {
+        "metric": "ann_scale",
+        "k": K,
+        "n_queries": N_QUERIES,
+        "ivf": {"k_lists": IVF_K, "nprobe": NPROBE},
+        "pq": {"m": PQ_M, "ksub": PQ_KSUB, "note": "L2-normalized (ADC ranks like cosine)"},
+        "points": points,
+        "exponent_brute": ols_expo([p["brute_search_s"] for p in points], rows),
+        "exponent_ivf_search": ols_expo([p["ivf_search_s"] for p in points], rows),
+        "exponent_ivf16_search": ols_expo([p["ivf16_search_s"] for p in points], rows),
+        "exponent_pq_search": ols_expo([p["pq_search_s"] for p in points], rows),
+        "exponent_pq_rerank": ols_expo([p["pq_rerank_search_s"] for p in points], rows),
+    }
+    with open(os.path.join(REPO, "BENCH_ANN.json"), "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
