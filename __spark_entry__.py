@@ -88,12 +88,14 @@ _PRIORITY = [
     "q621_luby_mis",
     "q230_hll_distinct",
     "q237_hll_trailing_dau",
-    "q555_bpe_segment",
-    "q556_dau_wau_mau",
     "q557_point_in_polygon",
     "q558_ransac_line",
-    "q559_second_price_auction",
     "q560_vpin",
+    # round-6 batch-19 (the freshest code — driver verification is most
+    # valuable here; the r5 pattern)
+    "q654_dominant_direction",
+    "q655_kcore_peel",
+    "q656_lsh_band_planner",
     "q561_hubness",
     "q562_fairness_audit",
     "q83_lsh_topk",
