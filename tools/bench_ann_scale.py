@@ -77,7 +77,13 @@ def best_of(fn, n: int = 2) -> tuple[float, object]:
 def bench_dir(spark, d: str, scratch: str) -> dict:
     e = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
     dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    corpus = e.select("vec_id", dvec.alias("embedding"))
+    # A zstd embeddings parquet is tiny on disk, so the local scan
+    # collapses to 1-2 input partitions and the expression-heavy
+    # scoring runs single-threaded — a 200k-row point measured 38 min
+    # before this repartition. A cluster-resident corpus has thousands
+    # of partitions; repartitioning to the core count restores that
+    # shape (one shuffle, amortized by best-of-2 anyway).
+    corpus = e.select("vec_id", dvec.alias("embedding")).repartition(32)
     queries = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), dvec.alias("query_vec")
     )
@@ -128,7 +134,7 @@ def bench_dir(spark, d: str, scratch: str) -> dict:
     books = sim.pq_train(unit, m=PQ_M, ksub=PQ_KSUB, n_iter=3, sample_frac=sample)
     sim.pq_encode_columnar(unit, books).write.mode("overwrite").parquet(codes_path)
     t_pq_build = round(time.perf_counter() - t0, 3)
-    codes = spark.read.parquet(codes_path)
+    codes = spark.read.parquet(codes_path).repartition(32)
     t_pq, pq_rows = best_of(
         lambda: sim.pq_search_columnar(codes, unit_q, books, k=K).collect()
     )
@@ -181,10 +187,15 @@ def main() -> None:
     ]
     spark = get_spark("bench-ann")
     points = []
+    out_path = os.path.join(REPO, "BENCH_ANN.json")
     for d in dirs:
         rec = bench_dir(spark, d, scratch)
         print(json.dumps(rec), flush=True)
         points.append(rec)
+        # incremental flush: a killed run keeps its finished points
+        with open(out_path, "w") as f:
+            json.dump({"metric": "ann_scale", "partial": True,
+                       "points": points}, f, indent=1)
     rows = [p["n_vectors"] for p in points]
     result = {
         "metric": "ann_scale",
@@ -199,7 +210,7 @@ def main() -> None:
         "exponent_pq_search": ols_expo([p["pq_search_s"] for p in points], rows),
         "exponent_pq_rerank": ols_expo([p["pq_rerank_search_s"] for p in points], rows),
     }
-    with open(os.path.join(REPO, "BENCH_ANN.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
     print(json.dumps(result))
