@@ -519,6 +519,7 @@ def k_core(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 3,
+    return_edges: bool = False,
 ) -> DataFrame:
     """Bounded-round k-core peeling over an undirected pair graph: each
     round drops every node with degree < k, then every edge touching a
@@ -528,9 +529,13 @@ def k_core(
     connected-components but not a 3-core).
 
     Returns one row per round (round, n_nodes, n_edges) — the peel
-    curve a pipeline owner reads to pick k.  ``max_rounds`` bounds the
-    rounds exactly like the other bounded-round kernels (q619/q621);
-    peeling converges when a round removes nothing.
+    curve a pipeline owner reads to pick k — or, with
+    ``return_edges=True``, the SURVIVING (u, v) edge relation after
+    ``max_rounds`` (already materialized), for composition with
+    downstream graph kernels (core-community resolution, q658).
+    ``max_rounds`` bounds the rounds exactly like the other
+    bounded-round kernels (q619/q621); peeling converges when a round
+    removes nothing.
 
     Scale shape: each round is one degree aggregation plus two
     semi-joins, with the surviving edge relation
@@ -557,14 +562,17 @@ def k_core(
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-        n_nodes = (
-            e.select(F.col("u").alias("n"))
-            .unionByName(e.select(F.col("v").alias("n")))
-            .distinct()
-            .count()
-        )
-        n_edges = e.count()
-        rows.append((r, n_nodes, n_edges))
+        if not return_edges:
+            n_nodes = (
+                e.select(F.col("u").alias("n"))
+                .unionByName(e.select(F.col("v").alias("n")))
+                .distinct()
+                .count()
+            )
+            n_edges = e.count()
+            rows.append((r, n_nodes, n_edges))
+    if return_edges:
+        return e
     spark = pairs.sparkSession
     return spark.createDataFrame(
         [(int(a), int(b), int(c)) for a, b, c in rows],

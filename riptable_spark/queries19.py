@@ -262,3 +262,184 @@ def q656(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ------------------------------------------------------------------ q657
+def _q657_oracle() -> str:
+    from .queries import ORACLES
+
+    return f"""
+    WITH v AS ({ORACLES["q654_dominant_direction"]}),
+    vn AS (SELECT CAST(sum(weight * weight) AS BIGINT) AS v_norm2 FROM v),
+    va AS (SELECT list(weight ORDER BY dim) AS vv FROM v),
+    x AS (
+        SELECT list_transform(embedding::DOUBLE[],
+                              e -> CAST(round(e * 1000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    p AS (
+        SELECT list_reduce(list_transform(q, (e, i) -> e * vv[i]),
+                           (a, b) -> a + b) AS pr,
+               list_reduce(list_transform(q, e -> e * e),
+                           (a, b) -> a + b) AS q2
+        FROM x, va
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum((pr * pr) // 1000000000) AS BIGINT) AS proj_energy_scaled,
+               CAST(sum(q2) AS BIGINT) AS total_energy
+        FROM p
+    )
+    SELECT n_vectors, v_norm2, proj_energy_scaled, total_energy,
+           round(CAST(proj_energy_scaled AS DOUBLE) * 1000000000.0
+                 / (CAST(v_norm2 AS DOUBLE) * CAST(total_energy AS DOUBLE)), 6)
+               AS dominant_share
+    FROM s, vn
+    """
+
+
+@query("q657_abtt_audit", _q657_oracle())
+def q657(spark: SparkSession, sf: str) -> DataFrame:
+    """All-but-the-top audit: the share of the corpus's (uncentered)
+    second-moment energy captured by q654's dominant direction —
+    Rayleigh quotient Σ(q·v)² / (‖v‖²·Σ‖q‖²), the number that tells an
+    embedding-hygiene pipeline whether removing the top component is
+    worth it.  Composes the registered q654 pipeline on BOTH engines
+    (the q652 pattern).  Exactness: every sum is BIGINT (per-row P² is
+    pre-scaled by an exact div 1e9 so corpus totals stay under 2^53 —
+    hash-safe); the one double expression converts three exact-in-
+    double integers in a fixed order."""
+    from .queries import QUERIES
+
+    v = QUERIES["q654_dominant_direction"](spark, sf).localCheckpoint(eager=True)
+    vn = v.agg((F.sum(F.col("weight") * F.col("weight"))).cast("long").alias("v_norm2"))
+    va = v.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "weight"))),
+            lambda s: s["weight"],
+        ).alias("vv")
+    )
+    e = load_table(spark, sf, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    base = e.select(q.alias("__q__"))
+    staged = base.crossJoin(F.broadcast(va)).select(
+        F.aggregate(
+            F.zip_with("__q__", "vv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pr"),
+        F.aggregate(
+            F.col("__q__"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("q2"),
+    )
+    s = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.expr("(pr * pr) div 1000000000")).cast("long").alias("proj_energy_scaled"),
+        F.sum("q2").cast("long").alias("total_energy"),
+    )
+    return s.crossJoin(F.broadcast(vn)).select(
+        "n_vectors",
+        "v_norm2",
+        "proj_energy_scaled",
+        "total_energy",
+        F.round(
+            F.col("proj_energy_scaled").cast("double")
+            * 1000000000.0
+            / (F.col("v_norm2").cast("double") * F.col("total_energy").cast("double")),
+            6,
+        ).alias("dominant_share"),
+    )
+
+
+# ------------------------------------------------------------------ q658
+# q658's planted graph: 20 five-node K5 blocks (cycle + chord families
+# cover all 10 intra-block pairs; every block node has degree 4, so the
+# 3-core keeps whole blocks), chained by degree-2 midpoint bridge nodes
+# (100+blk) that PEEL in round 1 — core-community resolution must
+# produce exactly the 20 per-block cliques, not one giant chained
+# component (non-vacuous at every SF).
+_Q658_GRAPH_SQL = """
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+            SELECT ((doc_id // 5) % 20) * 5 + doc_id % 5 AS a,
+                   ((doc_id // 5) % 20) * 5 + (doc_id % 5 + 1) % 5 AS b
+            FROM documents
+            UNION ALL
+            SELECT ((doc_id // 5) % 20) * 5 + doc_id % 5,
+                   ((doc_id // 5) % 20) * 5 + (doc_id % 5 + 2) % 5
+            FROM documents
+            UNION ALL
+            SELECT ((doc_id // 5) % 20) * 5, 100 + (doc_id // 5) % 20
+            FROM documents
+            UNION ALL
+            SELECT 100 + (doc_id // 5) % 20, (((doc_id // 5) % 20 + 1) % 20) * 5
+            FROM documents
+        ) WHERE a != b
+    """
+
+
+def _q658_oracle() -> str:
+    peel = []
+    for r in (1, 2):
+        peel.append(f"""
+    d{r} AS (
+        SELECT node, count(*) AS c FROM (
+            SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+        ) GROUP BY 1
+    ),
+    k{r} AS (SELECT node FROM d{r} WHERE c >= 3),
+    e{r} AS (
+        SELECT u, v FROM e{r - 1}
+        WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r})
+    )""")
+    body = ",".join(peel)
+    return f"""
+    WITH RECURSIVE e0 AS ({_Q658_GRAPH_SQL}),{body},
+    sym AS (SELECT u, v FROM e2 UNION SELECT v, u FROM e2),
+    walk AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u WHERE w.u != s.v
+    ),
+    comp AS (
+        SELECT node, min(peer) AS component FROM (
+            SELECT u AS node, v AS peer FROM walk UNION ALL SELECT u, u FROM sym
+        ) GROUP BY 1
+    )
+    SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY component
+    """
+
+
+@query("q658_core_communities", _q658_oracle())
+def q658(spark: SparkSession, sf: str) -> DataFrame:
+    """Dup-community resolution on the DENSE core: 2 rounds of 3-core
+    peeling (dedup.k_core return_edges=True) strip hubs-of-loose-
+    matches and pendants, then connected components label what
+    remains — the composition a dedup pipeline runs to find tightly
+    inter-duplicated clusters rather than chains.  Per-community
+    (component = min node id, size); both kernels are the registered
+    bounded-round implementations."""
+    from .operators.dedup import connected_components, k_core
+
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    blk = F.expr("(doc_id div 5) % 20")
+    i = k % 5
+    fam1 = d.select(
+        (blk * 5 + i).alias("id_a"), (blk * 5 + (i + 1) % 5).alias("id_b")
+    )
+    fam2 = d.select(
+        (blk * 5 + i).alias("id_a"), (blk * 5 + (i + 2) % 5).alias("id_b")
+    )
+    br1 = d.select((blk * 5).alias("id_a"), (100 + blk).alias("id_b"))
+    br2 = d.select(
+        (100 + blk).alias("id_a"), (((blk + 1) % 20) * 5).alias("id_b")
+    )
+    pairs = fam1.unionByName(fam2).unionByName(br1).unionByName(br2)
+    core = k_core(pairs, k=3, max_rounds=2, return_edges=True)
+    cc = connected_components(core, id_a="u", id_b="v")
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
