@@ -443,3 +443,94 @@ def q658(spark: SparkSession, sf: str) -> DataFrame:
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+# ------------------------------------------------------------------ q659
+# Three disjoint planted node-spaces with different topologies — a
+# 7-ring (1 cycle), an 11-node double-ring (chords: 12 independent
+# cycles), and a 13-node path (a tree: 0 cycles) — so the cyclomatic
+# profile has real variety at every SF.
+_Q659_GRAPH_SQL = """
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+            SELECT doc_id % 7 AS a, (doc_id % 7 + 1) % 7 AS b FROM documents
+            UNION ALL
+            SELECT 100 + doc_id % 11, 100 + (doc_id % 11 + 1) % 11 FROM documents
+            UNION ALL
+            SELECT 100 + doc_id % 11, 100 + (doc_id % 11 + 3) % 11 FROM documents
+            UNION ALL
+            SELECT 200 + doc_id % 13, 200 + doc_id % 13 + 1 FROM documents
+            WHERE doc_id % 13 < 12
+        ) WHERE a != b
+    """
+
+
+@query(
+    "q659_component_cycles",
+    f"""
+    WITH RECURSIVE e AS ({_Q659_GRAPH_SQL}),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    walk AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u WHERE w.u != s.v
+    ),
+    comp AS (
+        SELECT node, min(peer) AS component FROM (
+            SELECT u AS node, v AS peer FROM walk UNION ALL SELECT u, u FROM sym
+        ) GROUP BY 1
+    ),
+    nodes AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM comp GROUP BY 1
+    ),
+    edges AS (
+        SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges
+        FROM e JOIN comp c ON c.node = e.u GROUP BY 1
+    )
+    SELECT n.component, n.n_nodes, ed.n_edges,
+           ed.n_edges - n.n_nodes + 1 AS n_cycles,
+           ed.n_edges - n.n_nodes + 1 = 0 AS is_tree
+    FROM nodes n JOIN edges ed ON ed.component = n.component
+    """,
+)
+def q659(spark: SparkSession, sf: str) -> DataFrame:
+    """Cyclomatic profile per connected component: cycles = m − n + 1
+    (first Betti number) — the dup-cluster REDUNDANCY metric: a tree
+    component chains on single links (one false positive severs it)
+    while a cycle-rich component is corroborated by independent paths.
+    Composes connected_components with per-component edge counts; the
+    planted spaces (ring / chorded double-ring / path) give cycle
+    counts 1 / 12 / 0 at every SF."""
+    from .operators.dedup import connected_components
+
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    fams = [
+        d.select((k % 7).alias("a"), ((k % 7 + 1) % 7).alias("b")),
+        d.select((100 + k % 11).alias("a"), (100 + (k % 11 + 1) % 11).alias("b")),
+        d.select((100 + k % 11).alias("a"), (100 + (k % 11 + 3) % 11).alias("b")),
+        d.where(k % 13 < 12).select(
+            (200 + k % 13).alias("a"), (200 + k % 13 + 1).alias("b")
+        ),
+    ]
+    g = fams[0]
+    for f_ in fams[1:]:
+        g = g.unionByName(f_)
+    e = (
+        g.where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds CC and the per-component counts
+    )
+    cc = connected_components(e, id_a="u", id_b="v")
+    nodes = cc.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    edges = (
+        e.join(cc.withColumnRenamed("node", "u"), "u")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    cyc = F.col("n_edges") - F.col("n_nodes") + 1
+    return nodes.join(edges, "component").select(
+        "component", "n_nodes", "n_edges",
+        cyc.alias("n_cycles"), (cyc == 0).alias("is_tree"),
+    )
