@@ -580,6 +580,60 @@ def k_core(
     )
 
 
+def k_truss(
+    pairs: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 2,
+) -> DataFrame:
+    """Bounded-round k-truss peeling: each round computes every edge's
+    SUPPORT (the number of triangles it closes) and drops edges with
+    support < k−2 — the EDGE-density sibling of :func:`k_core` (a
+    bridge between two dense dup-communities survives a k-core but has
+    zero triangle support, so the truss severs it; Cohen 2008, public
+    method).  Returns the per-round curve (round, n_edges,
+    n_triangles).
+
+    Scale shape: triangles enumerate via the standard oriented
+    two-path + closing-edge equi-join on (u<v)-directed edges (each
+    triangle counted once); support is one union + hash agg; the edge
+    relation is localCheckpoint(eager=True)-ed per round."""
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for r in range(1, max_rounds + 1):
+        ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = ab.join(bc, "b").join(ac, ["a", "c"])
+        n_tri = tri.count()
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("__sup__"))
+        )
+        e = (
+            e.join(sup, ["u", "v"], "left")
+            .where(F.coalesce(F.col("__sup__"), F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        rows.append((r, e.count(), n_tri))
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in rows],
+        "round bigint, n_edges bigint, n_triangles bigint",
+    )
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

@@ -534,3 +534,68 @@ def q659(spark: SparkSession, sf: str) -> DataFrame:
         "component", "n_nodes", "n_edges",
         cyc.alias("n_cycles"), (cyc == 0).alias("is_tree"),
     )
+
+
+# ------------------------------------------------------------------ q660
+def _q660_oracle() -> str:
+    rounds = []
+    for r in (1, 2):
+        rounds.append(f"""
+    t{r} AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e{r - 1} e1
+        JOIN e{r - 1} e2 ON e2.u = e1.v
+        JOIN e{r - 1} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    s{r} AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+            SELECT a AS u, b AS v FROM t{r}
+            UNION ALL SELECT b, c FROM t{r}
+            UNION ALL SELECT a, c FROM t{r}
+        ) GROUP BY 1, 2
+    ),
+    e{r} AS (
+        SELECT e.u, e.v FROM e{r - 1} e
+        LEFT JOIN s{r} s ON s.u = e.u AND s.v = e.v
+        WHERE coalesce(s.sup, 0) >= 1
+    )""")
+    body = ",".join(rounds)
+    picks = "\n    UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM t{r}) AS n_triangles"""
+        for r in (1, 2)
+    )
+    return f"""
+    WITH e0 AS ({_Q658_GRAPH_SQL}),{body}
+    {picks}
+    """
+
+
+@query("q660_ktruss_peel", _q660_oracle())
+def q660(spark: SparkSession, sf: str) -> DataFrame:
+    """3-truss peel curve on the planted block graph
+    (operators/dedup.k_truss): every edge must close ≥1 triangle to
+    survive — the EDGE-density filter that severs zero-support bridges
+    a k-core keeps (here the degree-2 midpoints already lack support,
+    and every K5 edge closes 3 triangles, so the truss converges in
+    one round — the curve shows it).  Per-round (surviving edges,
+    triangles entering the round)."""
+    from .operators.dedup import k_truss
+
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    blk = F.expr("(doc_id div 5) % 20")
+    i = k % 5
+    fam1 = d.select(
+        (blk * 5 + i).alias("id_a"), (blk * 5 + (i + 1) % 5).alias("id_b")
+    )
+    fam2 = d.select(
+        (blk * 5 + i).alias("id_a"), (blk * 5 + (i + 2) % 5).alias("id_b")
+    )
+    br1 = d.select((blk * 5).alias("id_a"), (100 + blk).alias("id_b"))
+    br2 = d.select(
+        (100 + blk).alias("id_a"), (((blk + 1) % 20) * 5).alias("id_b")
+    )
+    pairs = fam1.unionByName(fam2).unionByName(br1).unionByName(br2)
+    return k_truss(pairs, k=3, max_rounds=2)
