@@ -430,19 +430,72 @@ def connected_components(
         # (LSH, windows, …) re-executes every round
         .localCheckpoint(eager=True)
     )
-    # Checkpointed relations advertise NO stats, so Catalyst would never
-    # broadcast the label side and every round pays full shuffle-join
-    # barriers even on a 31-node graph. The edges are materialized, so
-    # ONE cheap count picks the loop mode: small graphs run broadcast
-    # joins on coalesced partitions (the per-round cost becomes job
-    # scheduling, not 32-task exchanges); big graphs keep the
-    # shuffle-join path that scales to billions of edges.
+    # The edges are materialized, so ONE cheap count picks the mode.
+    # Small graphs (the measured ≤500k-edge regime where every round's
+    # cost is job scheduling, not data) skip the propagation loop
+    # entirely: a single Arrow task runs path-compressed union-find
+    # with min-root union, which IS the min-reachable-id fixed point
+    # the loop converges to — one job instead of rounds × (join + agg +
+    # checkpoint + change-count).  Measured round 6: q350 dbscan
+    # 8.5 s → 2.6 s, q605 percolation 7.9 s → 2.0 s at sf0.1.  Big
+    # graphs keep the shuffle-join loop that scales to billions of
+    # edges (the 100 TB path; 600k-node worst-case chain measured in
+    # SCALE.md).
     small = edges.count() <= 500_000
     if small:
-        edges = edges.coalesce(8)
+        from pyspark.sql.types import StructField, StructType
 
-    def _bcast(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if small else df
+        fields = {f.name: f for f in edges.schema.fields}
+        out_schema = StructType(
+            [fields[c] for c in g]
+            + [
+                StructField("node", fields["src"].dataType),
+                StructField("component", fields["src"].dataType),
+            ]
+        )
+
+        def _union_find(batches):
+            # documented Python exception (tests/test_udf_allowlist.py):
+            # an opaque sequential fixed-point over a measured-small
+            # edge set — Catalyst expressions cannot express transitive
+            # closure without the round loop this path replaces.
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for b in batches:
+                cols = [b[c].tolist() for c in g] + [b["src"].tolist(), b["dst"].tolist()]
+                for row in zip(*cols):
+                    key = row[:-2]
+                    a = (*key, row[-2])
+                    d = (*key, row[-1])
+                    if a not in parent:
+                        parent[a] = a
+                    if d not in parent:
+                        parent[d] = d
+                    ra, rd = find(a), find(d)
+                    if ra == rd:
+                        continue
+                    lo, hi = (ra, rd) if ra <= rd else (rd, ra)
+                    parent[hi] = lo
+            out: dict = {c: [] for c in [*g, "node", "component"]}
+            for key in parent:
+                root = find(key)
+                for i, c in enumerate(g):
+                    out[c].append(key[i])
+                out["node"].append(key[-1])
+                out["component"].append(root[-1])
+            yield pd.DataFrame(out, columns=[*g, "node", "component"])
+
+        return edges.coalesce(1).mapInPandas(_union_find, schema=out_schema)
 
     labels = (
         edges.select(*g, F.col("src").alias("node"))
@@ -452,13 +505,13 @@ def connected_components(
     for _ in range(max_iter):
         # neighbor labels: for each node, the min label among neighbors
         nbr = (
-            edges.join(_bcast(labels.withColumnRenamed("node", "dst")), on=[*g, "dst"])
+            edges.join(labels.withColumnRenamed("node", "dst"), on=[*g, "dst"])
             .groupBy(*g, "src")
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
         new_labels = (
-            labels.join(_bcast(nbr), on=[*g, "node"], how="left")
+            labels.join(nbr, on=[*g, "node"], how="left")
             .select(*g, "node", F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"))
         )
         # small-star PUSH: the node each OLD label points at learns the
@@ -472,14 +525,14 @@ def connected_components(
         push = (
             labels.select(*g, F.col("component").alias("__parent__"), "node")
             .join(
-                _bcast(new_labels.select(*g, "node", F.col("component").alias("__newc__"))),
+                new_labels.select(*g, "node", F.col("component").alias("__newc__")),
                 on=[*g, "node"],
             )
             .groupBy(*g, "__parent__")
             .agg(F.min("__newc__").alias("__push__"))
             .select(*g, F.col("__parent__").alias("node"), "__push__")
         )
-        new_labels = new_labels.join(_bcast(push), on=[*g, "node"], how="left").select(
+        new_labels = new_labels.join(push, on=[*g, "node"], how="left").select(
             *g,
             "node",
             F.least(F.col("component"), F.coalesce(F.col("__push__"), F.col("component"))).alias("component"),
@@ -493,17 +546,15 @@ def connected_components(
         jump = new_labels.select(
             *g, F.col("node").alias("component"), F.col("component").alias("__jump__")
         )
-        new_labels = new_labels.join(_bcast(jump), on=[*g, "component"], how="left").select(
+        new_labels = new_labels.join(jump, on=[*g, "component"], how="left").select(
             *g,
             "node",
             F.coalesce(F.col("__jump__"), F.col("component")).alias("component"),
         )
-        if small:
-            new_labels = new_labels.coalesce(8)
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
         changed = (
             new_labels.alias("n")
-            .join(_bcast(labels.alias("o")), on=[*g, "node"])
+            .join(labels.alias("o"), on=[*g, "node"])
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
@@ -563,21 +614,27 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         if not return_edges:
-            n_nodes = (
-                e.select(F.col("u").alias("n"))
-                .unionByName(e.select(F.col("v").alias("n")))
-                .distinct()
-                .count()
+            # LAZY curve row over the round's already-materialized edge
+            # relation: every edge contributes its two endpoints to the
+            # union, so n_edges = count/2 exactly and n_nodes is one
+            # countDistinct — the whole curve is ONE deferred job at
+            # sink time instead of 2 eager driver count() jobs per
+            # round (round-6 job-count cut; results identical).
+            ends = e.select(F.col("u").alias("n")).unionByName(
+                e.select(F.col("v").alias("n"))
             )
-            n_edges = e.count()
-            rows.append((r, n_nodes, n_edges))
+            rows.append(
+                ends.agg(
+                    F.count_distinct(F.col("n")).cast("long").alias("n_nodes"),
+                    (F.count(F.lit(1)).cast("long") / F.lit(2)).cast("long").alias("n_edges"),
+                ).select(F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges")
+            )
     if return_edges:
         return e
-    spark = pairs.sparkSession
-    return spark.createDataFrame(
-        [(int(a), int(b), int(c)) for a, b, c in rows],
-        "round bigint, n_nodes bigint, n_edges bigint",
-    )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionByName(r_df)
+    return out
 
 
 def k_truss(
@@ -612,13 +669,19 @@ def k_truss(
         bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
         ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
         tri = ab.join(bc, "b").join(ac, ["a", "c"])
-        n_tri = tri.count()
+        # materialize SUPPORT once: the triangle join runs exactly one
+        # time per round (it previously ran twice — once for the eager
+        # n_tri count(), once inside the peel), and Σsupport = 3·n_tri
+        # exactly (each triangle contributes to 3 edges), so the curve
+        # reads n_triangles off the tiny checkpointed support relation
+        # lazily at sink time (round-6 job-count cut; results identical).
         sup = (
             tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
             .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
             .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("__sup__"))
+            .localCheckpoint(eager=True)
         )
         e = (
             e.join(sup, ["u", "v"], "left")
@@ -626,12 +689,16 @@ def k_truss(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        rows.append((r, e.count(), n_tri))
-    spark = pairs.sparkSession
-    return spark.createDataFrame(
-        [(int(a), int(b), int(c)) for a, b, c in rows],
-        "round bigint, n_edges bigint, n_triangles bigint",
-    )
+        n_tri = F.coalesce(F.sum("__sup__"), F.lit(0)).cast("long") / F.lit(3)
+        rows.append(
+            sup.agg(n_tri.cast("long").alias("n_triangles"))
+            .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+            .select(F.lit(r).cast("long").alias("round"), "n_edges", "n_triangles")
+        )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionByName(r_df)
+    return out
 
 
 def dedup_by_components(
@@ -1381,6 +1448,11 @@ def label_propagation(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # iterative-operator discipline (SCALE.md): materialize the edge
+        # relation once — n_iter rounds otherwise re-run the upstream
+        # pair pipeline per round — and truncate the label lineage per
+        # round so plan size (and Catalyst time) stays constant.
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -1402,6 +1474,7 @@ def label_propagation(
                 ).alias("label")
             )
             .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
         )
     return labels
 

@@ -638,7 +638,19 @@ def hits(
     back.  Nodes with no in-links (resp. out-links) hold authority
     (resp. hub) 0.  Returns (node, hub, authority)."""
     src, dst = F.col(src_col), F.col(dst_col)
-    nodes = edges.select(src.alias("node")).union(edges.select(dst.alias("node"))).distinct()
+    # iterative-operator discipline (SCALE.md): materialize the edge and
+    # node relations once and truncate the score lineage per half-step —
+    # without this the final plan nests every previous half-step (hub's
+    # tree contains auth's, which contains the previous hub's, …), so
+    # Catalyst re-optimizes an exponentially growing tree and the
+    # duplicated subtrees re-execute wherever exchange reuse misses.
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hub = nodes.withColumn("hub", F.lit(1.0))
     auth = None
     for _ in range(n_iter):
@@ -652,6 +664,7 @@ def hits(
             nodes.join(a_raw, on="node", how="left")
             .crossJoin(F.broadcast(a_tot))
             .select("node", (F.coalesce(F.col("__a__"), F.lit(0.0)) / F.col("__t__")).alias("authority"))
+            .localCheckpoint(eager=True)
         )
         h_raw = (
             edges.join(auth.withColumnRenamed("node", dst_col), on=dst_col)
@@ -663,6 +676,7 @@ def hits(
             nodes.join(h_raw, on="node", how="left")
             .crossJoin(F.broadcast(h_tot))
             .select("node", (F.coalesce(F.col("__h__"), F.lit(0.0)) / F.col("__t__")).alias("hub"))
+            .localCheckpoint(eager=True)
         )
     return nodes.join(hub, on="node", how="left").join(auth, on="node", how="left")
 

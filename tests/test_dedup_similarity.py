@@ -286,6 +286,36 @@ def test_connected_components_chains(spark):
     assert 10 in kept and 20 in kept and 5 in kept and len(kept) == 25 - 5
 
 
+def test_connected_components_small_graph_single_task_path(spark):
+    """Round-6 optimization contract: a measured-small (≤500k edge)
+    graph resolves in ONE Arrow union-find task — the physical plan
+    carries a MapInPandas node and no iterative join loop — and the
+    labels still equal the min-reachable-id fixed point, including for
+    string node ids and grouped disjoint graphs."""
+    from riptable_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(pairs)
+    assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()
+    comp = {r.node: r.component for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # string ids: min = lexicographic, matching F.min on strings
+    spairs = spark.createDataFrame([("b", "c"), ("c", "a"), ("x", "y")], "id_a string, id_b string")
+    scomp = {r.node: r.component for r in dedup.connected_components(spairs).collect()}
+    assert scomp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    # grouped: same node ids in different groups stay independent
+    gpairs = spark.createDataFrame(
+        [("g1", 1, 2), ("g2", 2, 3)], "grp string, id_a long, id_b long"
+    )
+    gcomp = {
+        (r.grp, r.node): r.component
+        for r in dedup.connected_components(gpairs, group_cols=["grp"]).collect()
+    }
+    assert gcomp == {("g1", 1): 1, ("g1", 2): 1, ("g2", 2): 2, ("g2", 3): 2}
+
+
 def test_pq_train_lossless_when_codebook_covers_subvectors(spark):
     """PQ quantization-error contract: when every subvector comes from a
     pool of ≤ ksub distinct values, trained codebooks reproduce them

@@ -53,6 +53,12 @@ ALLOWED = {
     ("riptable_spark/operators/mining.py", "elo_ratings", "applyInPandas"),
     ("riptable_spark/functions/stats.py", "isotonic_fit", "applyInPandas"),
     # pool-adjacent-violators is an inherently sequential per-group scan.
+    # partition-local union-find over a MEASURED ≤500k-edge graph (one
+    # Arrow task replaces the whole min-label propagation loop; big
+    # graphs keep the pure-Spark shuffle loop). Transitive closure is a
+    # sequential fixed point Catalyst cannot express without the round
+    # loop this path exists to avoid.
+    ("riptable_spark/operators/dedup.py", "connected_components", "mapInPandas"),
     ("riptable_spark/operators/pipeline.py", "pack_sequences_ffd", "applyInPandas"),
     # opaque-bytes parsers (multimodal columns; image/audio libs absent —
     # format headers parsed in numpy, stub decode documented).
