@@ -1256,7 +1256,8 @@ def isotonic_fit(
         pdf[out_col] = fit
         return pdf[cols + [out_col]]
 
-    return df.groupBy(*keys).applyInPandas(scan, schema)
+    from ..operators.apply import spread_groups
+    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(scan, schema)
 
 
 def conformal_interval(

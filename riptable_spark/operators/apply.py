@@ -19,6 +19,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+def spread_groups(df: DataFrame, *keys) -> DataFrame:
+    """Pin a grouped-UDF exchange at shuffle-partitions parallelism.
+
+    AQE's advisory-size partition coalescing sizes post-shuffle
+    partitions by BYTES, but a grouped Python stage's cost scales with
+    GROUP COUNT (per-group Arrow slice + pandas call) — so a
+    small-bytes many-group relation collapses to ONE post-shuffle
+    partition and a single Python worker runs every group serially
+    (measured round 6: a passthrough applyInPandas over 40k rows /
+    1500 groups ran 6.8 s single-task, 1.3 s spread). An explicit
+    repartition(N, keys) is exempt from AQE coalescing, satisfies the
+    groupBy's ClusteredDistribution (no second exchange), and at real
+    scale equals the exchange groupBy would have inserted anyway."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df
+    return df.repartition(n, *keys)
+
+
 _TYPE_MAP = {
     "double": T.DoubleType(),
     "float": T.FloatType(),
@@ -51,7 +71,7 @@ def apply_reduce(
         row[out_col] = [fn(pdf[valcol].to_numpy())]
         return pd.DataFrame(row)
 
-    return df.groupBy(*keys).applyInPandas(reducer, schema=schema)
+    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(reducer, schema=schema)
 
 
 def apply_nonreduce(
@@ -75,13 +95,13 @@ def apply_nonreduce(
         pdf[out_col] = fn(pdf[valcol].to_numpy())
         return pdf
 
-    return df.groupBy(*keys).applyInPandas(transform, schema=schema)
+    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(transform, schema=schema)
 
 
 def apply(df: DataFrame, keys: list[str], fn: Callable, schema) -> DataFrame:
     """Per-group Dataset→Dataset, shape-changing (rt_groupbyops.py:529) —
     the UDTF-like form; ``fn(pdf) -> pdf`` with any row count."""
-    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
 # --- registration API (rt_grouping.py:3273, rt_fastarray.py:6052) ------

@@ -11,6 +11,7 @@ conversions and one divide, so a SQL oracle replays it bit-for-bit.
 
 from __future__ import annotations
 
+from .apply import spread_groups
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -535,7 +536,7 @@ def elo_ratings(
             }
         )
 
-    return matches.groupBy(group_col).applyInPandas(scan, out_schema)
+    return spread_groups(matches, group_col).groupBy(group_col).applyInPandas(scan, out_schema)
 
 
 def abc_classification(

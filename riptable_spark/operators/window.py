@@ -182,6 +182,7 @@ def shift_ungrouped(
     n: int,
     order_cols: list[str],
     block: int = 1 << 20,
+    keep_rowid: bool = False,
 ) -> DataFrame:
     """Ungrouped shift/lead over the WHOLE table without the
     single-partition ``Window.orderBy`` hazard (VERDICT r1 'what's wrong'
@@ -194,6 +195,13 @@ def shift_ungrouped(
     ``cols`` maps output name → source column. n>0 shifts back (lag),
     n<0 forward (lead). Cost: with_rowid's shuffle + one block-keyed
     window + a broadcast join; every stage is parallel across blocks.
+
+    If ``df`` already carries ``__rowid__`` (a previous ungrouped op run
+    with ``keep_rowid=True`` over the SAME order), it is reused — the
+    rowid machinery (an eager approxQuantile pass + rank/offset join)
+    runs once per chain instead of once per op (round-6: q122's two-op
+    chain ran it twice for identical rowids). ``keep_rowid=True``
+    retains the column for exactly that chaining.
     """
     from ..sources.io import with_rowid
 
@@ -202,7 +210,7 @@ def shift_ungrouped(
         for out_name, src in cols.items():
             out = out.withColumn(out_name, F.col(src))
         return out
-    rid = with_rowid(df, *order_cols)
+    rid = df if "__rowid__" in df.columns else with_rowid(df, *order_cols)
     blk = (F.col("__rowid__") / F.lit(block)).cast("long")
     w = Window.partitionBy(blk).orderBy("__rowid__")
     out = rid
@@ -225,14 +233,17 @@ def shift_ungrouped(
         patched = patched.withColumn(
             out_name, F.coalesce(F.col(out_name), F.col(f"__edge_{out_name}__"))
         ).drop(f"__edge_{out_name}__")
-    return patched.drop("__rowid__")
+    return patched if keep_rowid else patched.drop("__rowid__")
 
 
 def diff_ungrouped(
-    df: DataFrame, cols: dict[str, str], n: int, order_cols: list[str], block: int = 1 << 20
+    df: DataFrame, cols: dict[str, str], n: int, order_cols: list[str], block: int = 1 << 20,
+    keep_rowid: bool = False,
 ) -> DataFrame:
-    """Ungrouped diff via the same boundary-exchange rewrite."""
-    shifted = shift_ungrouped(df, {f"__sh_{o}__": s for o, s in cols.items()}, n, order_cols, block)
+    """Ungrouped diff via the same boundary-exchange rewrite (reuses /
+    retains ``__rowid__`` exactly like :func:`shift_ungrouped`)."""
+    shifted = shift_ungrouped(df, {f"__sh_{o}__": s for o, s in cols.items()}, n, order_cols, block,
+                              keep_rowid=keep_rowid)
     for out_name, src in cols.items():
         shifted = shifted.withColumn(out_name, F.col(src) - F.col(f"__sh_{out_name}__")).drop(
             f"__sh_{out_name}__"

@@ -1760,19 +1760,31 @@ def q500(spark: SparkSession, sf: str) -> DataFrame:
     3-gram contamination, md5 split hashing, per-source rollup) replays
     in SQL — the corpus release card a 100 TB curation run prints,
     composing pipeline.curate_corpus + decontaminate end to end."""
-    from .operators.pipeline import curate_corpus, decontaminate
+    from .operators.dedup import dedup_exact
+    from .operators.pipeline import decontaminate, hash_split
     from .operators.text import token_count
 
     d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     raw = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
-    cur = curate_corpus(d, rules=("r_word_count", "r_mean_word_len", "r_alpha"))
-    # gate counts BEFORE dedup: recompute the gate flags (same codepath)
+    # ONE Gopher-flag evaluation shared by the gate count and the
+    # curation chain (round 6: the regex rule battery was evaluated
+    # twice — once inside curate_corpus, once for n_gated — and the
+    # curated relation twice more, once per consumer; the stages below
+    # are exactly curate_corpus's verified operators inlined so the
+    # shared intermediates can be materialized once)
     from .operators import text as tx
 
-    flags = tx.gopher_quality_flags(d)
-    gated = flags.where(
-        F.col("r_word_count") & F.col("r_mean_word_len") & F.col("r_alpha")
+    gated = (
+        tx.gopher_quality_flags(d)
+        .where(F.col("r_word_count") & F.col("r_mean_word_len") & F.col("r_alpha"))
+        .localCheckpoint(eager=True)
     )
+    cur = hash_split(
+        dedup_exact(gated.select(*d.columns), "text", "doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_kind="md5",
+    ).localCheckpoint(eager=True)
     ng = gated.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_gated"))
     bench = d.where((F.col("doc_id") % 101 == 0)).select(
         F.substring("text", 1, 120).alias("text")

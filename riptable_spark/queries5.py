@@ -332,7 +332,10 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     from .operators import window as win
 
     ev = load_table(spark, sf, "events").withColumn("t_us", F.unix_micros("ts"))
-    d = win.diff_ungrouped(ev, {"d1": "value"}, 1, ["t_us", "event_id"])
+    # keep_rowid chains the two ungrouped ops on ONE rowid stamping
+    # (the rowid machinery includes an eager approxQuantile pass; the
+    # order keys are identical and unique, so the rowids are identical)
+    d = win.diff_ungrouped(ev, {"d1": "value"}, 1, ["t_us", "event_id"], keep_rowid=True)
     s = win.shift_ungrouped(d, {"fwd2": "value"}, -2, ["t_us", "event_id"])
     return s.select("event_id", F.round("d1", 4).alias("d1"), F.round("fwd2", 4).alias("fwd2"))
 
