@@ -631,6 +631,10 @@ def k_core(
             )
     if return_edges:
         return e
+    if not rows:  # max_rounds=0: same empty relation the literal form returned
+        return pairs.sparkSession.createDataFrame(
+            [], "round bigint, n_nodes bigint, n_edges bigint"
+        )
     out = rows[0]
     for r_df in rows[1:]:
         out = out.unionByName(r_df)
@@ -694,6 +698,10 @@ def k_truss(
             sup.agg(n_tri.cast("long").alias("n_triangles"))
             .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
             .select(F.lit(r).cast("long").alias("round"), "n_edges", "n_triangles")
+        )
+    if not rows:  # max_rounds=0: same empty relation the literal form returned
+        return pairs.sparkSession.createDataFrame(
+            [], "round bigint, n_edges bigint, n_triangles bigint"
         )
     out = rows[0]
     for r_df in rows[1:]:

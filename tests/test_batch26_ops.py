@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from riptable_spark.operators import similarity as sim
-from riptable_spark.operators.dedup import k_core
+from riptable_spark.operators.dedup import k_core, k_truss
 
 
 def test_k_core_peels_pendant_keeps_triangle(spark):
@@ -26,6 +26,23 @@ def test_k_core_full_peel_empties(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a int, id_b int")
     out = {r["round"]: (r["n_nodes"], r["n_edges"]) for r in k_core(pairs, k=2).collect()}
     assert out[3] == (0, 0)
+
+
+def test_k_core_zero_rounds_empty_curve(spark):
+    # round-6 lazy-curve guard: max_rounds=0 returns an EMPTY curve with
+    # the contract schema (the eager literal form did the same)
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    out = k_core(pairs, k=2, max_rounds=0)
+    assert out.columns == ["round", "n_nodes", "n_edges"]
+    assert out.count() == 0
+
+
+def test_k_truss_zero_rounds_empty_curve(spark):
+    # same round-6 lazy-curve guard for the edge-support sibling
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    out = k_truss(pairs, k=3, max_rounds=0)
+    assert out.columns == ["round", "n_edges", "n_triangles"]
+    assert out.count() == 0
 
 
 def test_dominant_direction_finds_planted_axis(spark):
