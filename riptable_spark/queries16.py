@@ -2551,15 +2551,29 @@ def q620(spark: SparkSession, sf: str) -> DataFrame:
     stability (q615/q617), maximal-matching completion (q619), and
     the percolation robustness drop (q605) — every number composed
     from registered pipelines on BOTH sides."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .queries import QUERIES
 
     # q617 composes q615 internally and already emits the match count —
     # running q615 again here would pay the 3-round GS loop twice.
     # Materialize bp once (1 row) since it feeds both r1 and r2.
-    bp = QUERIES["q617_blocking_pairs"](spark, sf).localCheckpoint(eager=True)
-    mm = QUERIES["q619_maximal_matching"](spark, sf)
-    # 2 rows feeding two filtered consumers (full / hubs_removed)
-    pc = QUERIES["q605_percolation"](spark, sf).localCheckpoint(eager=True)
+    # The three upstream kernels are independent iterative loops whose
+    # per-round jobs are tiny relative to the cluster, so each one
+    # serializes the driver on eager checkpoints/counts while the
+    # executors idle; submitting them from driver threads overlaps the
+    # three loops (Spark's scheduler accepts concurrent jobs per
+    # session) without changing any of their results.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_bp = pool.submit(
+            lambda: QUERIES["q617_blocking_pairs"](spark, sf).localCheckpoint(eager=True)
+        )
+        f_mm = pool.submit(QUERIES["q619_maximal_matching"], spark, sf)
+        # 2 rows feeding two filtered consumers (full / hubs_removed)
+        f_pc = pool.submit(
+            lambda: QUERIES["q605_percolation"](spark, sf).localCheckpoint(eager=True)
+        )
+        bp, mm, pc = f_bp.result(), f_mm.result(), f_pc.result()
     r1 = bp.select(
         F.lit("gale_shapley").alias("kernel"),
         F.lit("n_matched").alias("metric"),
