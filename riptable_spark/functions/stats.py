@@ -1256,8 +1256,8 @@ def isotonic_fit(
         pdf[out_col] = fit
         return pdf[cols + [out_col]]
 
-    from ..operators.apply import spread_groups
-    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(scan, schema)
+    from ..operators.apply import grouped_apply
+    return grouped_apply(df, keys, scan, schema)
 
 
 def conformal_interval(

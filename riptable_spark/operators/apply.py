@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -37,6 +38,99 @@ def spread_groups(df: DataFrame, *keys) -> DataFrame:
     except (TypeError, ValueError):
         return df
     return df.repartition(n, *keys)
+
+
+def _emit(out: pd.DataFrame, out_cols: list[str]) -> pd.DataFrame:
+    """Mirror Spark 4 applyInPandas column matching: by name, exact set
+    (extras and missing columns are errors there too)."""
+    if set(out.columns) != set(out_cols):
+        missing = [c for c in out_cols if c not in out.columns]
+        extra = [c for c in out.columns if c not in out_cols]
+        raise RuntimeError(
+            "[RESULT_COLUMN_NAMES_MISMATCH] Column names of the returned "
+            f"data do not match specified schema. Missing: {missing}. "
+            f"Unexpected: {extra}."
+        )
+    return out[out_cols]
+
+
+def _group_starts(kv: pd.DataFrame) -> np.ndarray:
+    """Row indices where a new key-group starts in a key-sorted frame.
+
+    Consecutive rows are compared at the columns' NATIVE dtypes by
+    slicing (a ``shift()`` would upcast int64 to float64 and collapse
+    64-bit keys that differ only below 2^53 precision — hash-valued
+    keys are real in this codebase). A null key equals a null key
+    (groupBy semantics); row 0 always starts a group."""
+    a = kv.iloc[:-1].reset_index(drop=True)
+    b = kv.iloc[1:].reset_index(drop=True)
+    neq = (b.ne(a) & ~(b.isna() & a.isna())).any(axis=1).to_numpy()
+    return np.concatenate(([0], np.flatnonzero(neq) + 1))
+
+
+def _group_carry_runner(keys: list[str], fn: Callable, out_cols: list[str]):
+    """Partition runner: slice key-sorted Arrow batches into per-group
+    frames, carrying the trailing (possibly batch-spanning) group."""
+
+    def runner(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            starts = _group_starts(pdf[keys])
+            last_start = int(starts[-1])
+            carry = pdf.iloc[last_start:]
+            if last_start == 0:
+                continue  # whole batch is one (still-open) group
+            outs = [
+                fn(pdf.iloc[s:e].reset_index(drop=True))
+                for s, e in zip(starts[:-1], starts[1:])
+            ]
+            out = pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+            if len(out):
+                yield _emit(out, out_cols)
+        if carry is not None and len(carry):
+            out = fn(carry.reset_index(drop=True))
+            if len(out):
+                yield _emit(out, out_cols)
+
+    return runner
+
+
+def grouped_apply(df: DataFrame, keys, fn: Callable, schema) -> DataFrame:
+    """``groupBy(keys).applyInPandas(fn, schema)`` with per-group overhead
+    paid in numpy, not in Spark's grouped-UDF machinery.
+
+    FlatMapGroupsInPandas ships every group as its own Arrow batch and
+    charges a fixed per-group cost (Arrow slice + worker round trip)
+    that dominates small-group workloads (~0.9 ms/group measured round
+    6). This runner instead repartitions by the keys at
+    shuffle-partitions parallelism (the spread_groups lesson: AQE's
+    bytes-based coalescing must not serialize a many-group stage onto
+    one worker), sorts each partition by the keys so groups are
+    contiguous, and runs ONE mapInPandas whose runner slices the
+    ~10k-row Arrow batches at key-change boundaries — carrying the
+    trailing group across batch (and only batch, never partition)
+    boundaries.
+
+    Semantics match applyInPandas exactly: same per-group input rows
+    and columns, same by-name/positional output matching, null keys
+    group together, within-group arrival order is as unspecified as the
+    grouped-UDF path (every kernel that cares sorts internally)."""
+    keys = list(keys)
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        part = df.repartition(n, *keys)
+    except (TypeError, ValueError):
+        part = df.repartition(*keys)
+    part = part.sortWithinPartitions(*keys)
+    struct = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
+    out_cols = [f.name for f in struct.fields]
+    return part.mapInPandas(_group_carry_runner(keys, fn, out_cols), schema=schema)
 
 
 _TYPE_MAP = {
@@ -71,7 +165,7 @@ def apply_reduce(
         row[out_col] = [fn(pdf[valcol].to_numpy())]
         return pd.DataFrame(row)
 
-    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(reducer, schema=schema)
+    return grouped_apply(df, keys, reducer, schema)
 
 
 def apply_nonreduce(
@@ -95,13 +189,13 @@ def apply_nonreduce(
         pdf[out_col] = fn(pdf[valcol].to_numpy())
         return pdf
 
-    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(transform, schema=schema)
+    return grouped_apply(df, keys, transform, schema)
 
 
 def apply(df: DataFrame, keys: list[str], fn: Callable, schema) -> DataFrame:
     """Per-group Dataset→Dataset, shape-changing (rt_groupbyops.py:529) —
     the UDTF-like form; ``fn(pdf) -> pdf`` with any row count."""
-    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(fn, schema=schema)
+    return grouped_apply(df, keys, fn, schema)
 
 
 # --- registration API (rt_grouping.py:3273, rt_fastarray.py:6052) ------

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from .apply import spread_groups
+from .apply import grouped_apply
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -119,7 +119,7 @@ def _run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol: str | 
     work = df
     sort_cols = _as_list(order_col)
     fn = _make_applier(kind, valcol, timecol, rate, out_col, sort_cols)
-    return spread_groups(work, *keys).groupBy(*keys).applyInPandas(fn, schema=out_schema)
+    return grouped_apply(work, keys, fn, out_schema)
 
 
 def ema_decay(df: DataFrame, keys: list[str], valcol: str, timecol: str, rate: float, out_col: str = "ema", order_col: str | None = None, method: str = "auto", block_seconds: float | None = None, filter=None, reset=None) -> DataFrame:
@@ -344,7 +344,7 @@ def _blocked_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol
         pdf["__x_first__"] = x[0] if len(x) else np.nan
         return pdf
 
-    scanned = spread_groups(work, *keys, "__blk__").groupBy(*keys, "__blk__").applyInPandas(scan_block, schema=a_schema)
+    scanned = grouped_apply(work, [*keys, "__blk__"], scan_block, a_schema)
 
     # Phase B: seed recurrence over block summaries (n_blocks rows/key).
     summaries = scanned.groupBy(*keys, "__blk__").agg(
@@ -387,7 +387,7 @@ def _blocked_run(df: DataFrame, keys: list[str], kind: str, valcol: str, timecol
         out["__adj__"] = adjs
         return out
 
-    seeds = spread_groups(summaries, *keys).groupBy(*keys).applyInPandas(seed_blocks, schema=b_schema)
+    seeds = grouped_apply(summaries, keys, seed_blocks, b_schema)
 
     # Phase C: linear correction — exponent ≤ 0, overflow-free.
     joined = scanned.drop("__t_start__").join(seeds, on=[*keys, "__blk__"])
@@ -483,7 +483,7 @@ def holt_linear(
         pdf[f"{out_prefix}_forecast"] = lev + tr
         return pdf
 
-    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(scan, schema)
+    return grouped_apply(df, keys, scan, schema)
 
 
 def ewm_cov(
@@ -601,7 +601,7 @@ def holt_winters(
         return pdf[cols + [f"{out_prefix}_level", f"{out_prefix}_trend",
                            f"{out_prefix}_season", f"{out_prefix}_forecast"]]
 
-    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(scan, schema)
+    return grouped_apply(df, keys, scan, schema)
 
 
 def croston(
@@ -659,7 +659,7 @@ def croston(
              "z": [z], "p": [p], "forecast": [fc]}
         )
 
-    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(scan, out_schema)
+    return grouped_apply(df, keys, scan, out_schema)
 
 
 def dtw_pairs(
@@ -708,7 +708,7 @@ def dtw_pairs(
         )
 
     out_schema = f"{pair_col} string, n_a long, n_b long, dtw long"
-    return spread_groups(df, pair_col).groupBy(pair_col).applyInPandas(scan, out_schema)
+    return grouped_apply(df, [pair_col], scan, out_schema)
 
 
 def viterbi_two_state(
@@ -769,4 +769,4 @@ def viterbi_two_state(
         out["total_cost"] = [total] * n
         return pd.DataFrame(out)
 
-    return spread_groups(df, *keys).groupBy(*keys).applyInPandas(scan, out_schema)
+    return grouped_apply(df, keys, scan, out_schema)

@@ -27,7 +27,7 @@ aggregation), so the exchange carries one row per (key, bucket).
 
 from __future__ import annotations
 
-from .apply import spread_groups
+from .apply import grouped_apply
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -817,7 +817,7 @@ def fifo_pnl(
         pdf["position_after"] = out_pos
         return pdf
 
-    return spread_groups(base, key).groupBy(key).applyInPandas(scan, schema)
+    return grouped_apply(base, [key], scan, schema)
 
 
 def _wac_scan_arrays(ss, ps, qs, pos=0, cost=0, realized=0):
@@ -937,7 +937,7 @@ def wac_pnl(
         pdf["position_after"] = out_pos
         return pdf
 
-    return spread_groups(base, key).groupBy(key).applyInPandas(scan, schema)
+    return grouped_apply(base, [key], scan, schema)
 
 
 def _wac_blocked(base: DataFrame, key: str, order: list[str], schema, block_rows: int | None) -> DataFrame:
@@ -1000,7 +1000,7 @@ def _wac_blocked(base: DataFrame, key: str, order: list[str], schema, block_rows
             cur = cur.join(F.broadcast(seed_df), on=key, how="left").fillna(
                 {c: v for c, v in seed_fields}
             )
-        scanned = spread_groups(cur, key).groupBy(key).applyInPandas(scan_block, scan_schema).persist()
+        scanned = grouped_apply(cur, [key], scan_block, scan_schema).persist()
         outs.append(scanned.select(*out_cols))
         seeds = [
             (r[0], int(r[1]), int(r[2]), int(r[3]))
@@ -1422,7 +1422,7 @@ def lob_match(
             tape, columns=[symbol_col, "buy_id", "sell_id", "price", "qty", "seq"]
         )
 
-    return spread_groups(orders, symbol_col).groupBy(symbol_col).applyInPandas(scan, out_schema)
+    return grouped_apply(orders, [symbol_col], scan, out_schema)
 
 
 def eoq_plan(

@@ -11,7 +11,7 @@ conversions and one divide, so a SQL oracle replays it bit-for-bit.
 
 from __future__ import annotations
 
-from .apply import spread_groups
+from .apply import grouped_apply
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -536,7 +536,7 @@ def elo_ratings(
             }
         )
 
-    return spread_groups(matches, group_col).groupBy(group_col).applyInPandas(scan, out_schema)
+    return grouped_apply(matches, [group_col], scan, out_schema)
 
 
 def abc_classification(

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _base_hash64, shingles
-from .apply import spread_groups
+from .apply import grouped_apply
 
 
 def _hash_bucket(col: Column, buckets: int, hash_kind: str = "xxhash64") -> Column:
@@ -227,7 +227,7 @@ def pack_sequences_ffd(
         pdf["bin"] = bins
         return pdf
 
-    return spread_groups(df, *group_cols).groupBy(*group_cols).applyInPandas(pack, schema=out_schema)
+    return grouped_apply(df, group_cols, pack, out_schema)
 
 
 # ------------------------------------------------------------------

@@ -33,33 +33,21 @@ ALLOWED = {
     # user-facing escape hatches (riptable FastArray.apply / Dataset.apply
     # parity; reference rt_dataset.py apply surface) — Arrow-batched.
     ("riptable_spark/dataset.py", "apply_rows", "mapInPandas"),
-    ("riptable_spark/operators/apply.py", "apply", "applyInPandas"),
-    ("riptable_spark/operators/apply.py", "apply_nonreduce", "applyInPandas"),
-    ("riptable_spark/operators/apply.py", "apply_reduce", "applyInPandas"),
     ("riptable_spark/operators/apply.py", "fa_apply", "mapInPandas"),
-    # per-group sequential recurrences with no closed form / giant-group
-    # blocked fallbacks (codegen closed forms are the default path).
-    ("riptable_spark/operators/ema.py", "_blocked_run", "applyInPandas"),
-    ("riptable_spark/operators/ema.py", "_run", "applyInPandas"),
-    ("riptable_spark/operators/ema.py", "croston", "applyInPandas"),
-    ("riptable_spark/operators/ema.py", "dtw_pairs", "applyInPandas"),
-    ("riptable_spark/operators/ema.py", "holt_linear", "applyInPandas"),
-    ("riptable_spark/operators/ema.py", "holt_winters", "applyInPandas"),
-    ("riptable_spark/operators/ema.py", "viterbi_two_state", "applyInPandas"),
-    ("riptable_spark/operators/finance.py", "_wac_blocked", "applyInPandas"),
-    ("riptable_spark/operators/finance.py", "fifo_pnl", "applyInPandas"),
-    ("riptable_spark/operators/finance.py", "lob_match", "applyInPandas"),
-    ("riptable_spark/operators/finance.py", "wac_pnl", "applyInPandas"),
-    ("riptable_spark/operators/mining.py", "elo_ratings", "applyInPandas"),
-    ("riptable_spark/functions/stats.py", "isotonic_fit", "applyInPandas"),
-    # pool-adjacent-violators is an inherently sequential per-group scan.
+    # grouped_apply is THE grouped-UDF entry point for every per-group
+    # sequential recurrence (ema/finance/apply/isotonic/elo/packing
+    # families — no closed form; codegen fast paths stay the default
+    # where they exist). It replaces groupBy().applyInPandas with one
+    # key-sorted mapInPandas whose runner slices Arrow batches at
+    # key-change boundaries: identical per-group semantics, ~10× less
+    # fixed per-group overhead (round 6, "grouped_apply" optimization).
+    ("riptable_spark/operators/apply.py", "grouped_apply", "mapInPandas"),
     # partition-local union-find over a MEASURED ≤500k-edge graph (one
     # Arrow task replaces the whole min-label propagation loop; big
     # graphs keep the pure-Spark shuffle loop). Transitive closure is a
     # sequential fixed point Catalyst cannot express without the round
     # loop this path exists to avoid.
     ("riptable_spark/operators/dedup.py", "connected_components", "mapInPandas"),
-    ("riptable_spark/operators/pipeline.py", "pack_sequences_ffd", "applyInPandas"),
     # opaque-bytes parsers (multimodal columns; image/audio libs absent —
     # format headers parsed in numpy, stub decode documented).
     ("riptable_spark/operators/multimodal.py", "audio_features", "mapInPandas"),
