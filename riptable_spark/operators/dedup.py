@@ -264,17 +264,42 @@ def simhash_df(
     ex = df.select(F.col(id_col), F.explode(sh).alias("__s__")).select(
         id_col, _base_hash64(F.col("__s__"), hash_kind).alias("__h__")
     )
-    votes = [
-        F.sum(
-            F.when(F.col("__h__").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), bit)) != 0, 1).otherwise(-1)
-        ).alias(f"v{bit}")
-        for bit in range(bits)
-    ]
-    voted = ex.groupBy(id_col).agg(*votes)
+    # Two bit-counters packed per 64-bit sum (bit b in the low 32 bits,
+    # bit b+half in the high 32): halves the aggregate's expression
+    # count, which halves the one-time whole-stage-codegen compile+JIT
+    # cost that dominates a COLD run of this operator (measured round 6:
+    # 60 separate CASE-WHEN sums cost ~14 s of first-run compile at
+    # bits=60; packed, ~5 s). Exact: each field accumulates a plain
+    # 0/1-per-shingle count, so fields cannot interact below 2^31
+    # shingles per document. The sign vote v_b = 2*ones_b - n (same ±1
+    # fold the unpacked form computed).
+    half = (bits + 1) // 2
+    one = F.lit(1).cast("long")
+
+    def bit_of(b: int) -> Column:
+        return F.shiftrightunsigned(F.col("__h__"), b).bitwiseAND(one)
+
+    packed = []
+    for b in range(half):
+        expr = bit_of(b)
+        if b + half < bits:
+            expr = expr.bitwiseOR(F.shiftleft(bit_of(b + half), 32))
+        packed.append(F.sum(expr).alias(f"p{b}"))
+    voted = ex.groupBy(id_col).agg(F.count(one).alias("__n__"), *packed)
+    lo_mask = F.lit((1 << 32) - 1).cast("long")
+
+    def ones(bit: int) -> Column:
+        p = F.col(f"p{bit % half}")
+        return (
+            p.bitwiseAND(lo_mask) if bit < half else F.shiftrightunsigned(p, 32)
+        )
+
     fp = F.lit(0).cast("long")
     for bit in range(bits):
-        mask = F.shiftleft(F.lit(1).cast("long"), bit)
-        fp = fp.bitwiseOR(F.when(F.col(f"v{bit}") > 0, mask).otherwise(F.lit(0).cast("long")))
+        mask = F.shiftleft(one, bit)
+        fp = fp.bitwiseOR(
+            F.when(ones(bit) * 2 > F.col("__n__"), mask).otherwise(F.lit(0).cast("long"))
+        )
     return voted.select(F.col(id_col), fp.alias("__sh__"))
 
 
