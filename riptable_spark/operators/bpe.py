@@ -71,6 +71,11 @@ def bpe_train(
 
         df = df.where(_hash_bucket(F.col(id_col), 10_000, hash_kind) < int(sample_frac * 10_000))
     units = word_counts(df, text_col).select("w", "c", _units_string(F.col("w")).alias("s"))
+    # Materialize the distinct-word relation ONCE: every round's
+    # pair-count collect would otherwise re-execute the full corpus
+    # word-count pass (lineage reaches the parquet scan) — n_merges
+    # corpus passes instead of the one the design promises.
+    units = units.localCheckpoint(eager=True)
     merges: list[dict] = []
     for step in range(1, n_merges + 1):
         top = _pair_counts(units).orderBy(F.col("n").desc(), "pair").limit(1).collect()
