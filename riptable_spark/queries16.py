@@ -309,10 +309,14 @@ def q590(spark: SparkSession, sf: str) -> DataFrame:
 
     lt = QUERIES["q218_last_touch_attribution"](spark, sf)
     us = QUERIES["q273_u_shaped_attribution"](spark, sf)
-    mk = QUERIES["q564_markov_attribution"](spark, sf)
+    # per-channel relations are tiny by construction (one row per
+    # channel) but each is consumed by TWO branches below (total agg +
+    # the final join): eager localCheckpoint runs each upstream
+    # attribution pipeline ONCE instead of twice (the q651/q652 lesson)
+    mk = QUERIES["q564_markov_attribution"](spark, sf).localCheckpoint(eager=True)
     lts = lt.groupBy(F.col("touch_type").alias("channel")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=True)
     ltt = lts.agg(F.sum("n").cast("long").alias("t_lt"))
     def _fold(sort_cols, term):
         return F.aggregate(
@@ -329,7 +333,7 @@ def q590(spark: SparkSession, sf: str) -> DataFrame:
             [F.col("user_id"), F.col("conversion_id"), F.col("touch_id")],
             F.col("credit_bp"),
         ).alias("bp")
-    )
+    ).localCheckpoint(eager=True)
     ust = uss.agg(_fold([F.col("channel")], F.col("bp")).alias("t_us"))
     mkp = mk.agg(
         *[
@@ -1020,7 +1024,10 @@ def q600(spark: SparkSession, sf: str) -> DataFrame:
     from .queries import QUERIES
 
     sk = QUERIES["q597_sketch_scorecard"](spark, sf)
-    lsh = QUERIES["q570_lsh_calibration"](spark, sf)
+    # the calibration relation (~1.2k rows at sf0.1, one per sampled
+    # pair) feeds TWO rate branches below: eager localCheckpoint runs
+    # the q570 pipeline ONCE instead of twice (the q651/q652 lesson)
+    lsh = QUERIES["q570_lsh_calibration"](spark, sf).localCheckpoint(eager=True)
     ens = QUERIES["q589_classifier_ensemble"](spark, sf)
     r1 = sk.select(
         F.concat(F.lit("sketch:"), F.col("sketch")).alias("component"),
