@@ -45,17 +45,50 @@ def _base_hash64(col: Column, hash_kind: str) -> Column:
 
 def shingles(col: Column, n: int = 5, mode: str = "word") -> Column:
     """n-gram shingle array. word mode: n-token sliding windows built with
-    ``transform`` over the token array (JVM-side, no UDF)."""
+    ``transform`` over the token array (JVM-side, no UDF).
+
+    The tokenization is LET-BOUND via a single-element ``transform`` so
+    the window lambda references a lambda VARIABLE: an expression named
+    inside a higher-order-function lambda is re-evaluated per element
+    (Catalyst's subexpression elimination does not reach lambda bodies),
+    so the naive form re-ran the normalize+split once per window —
+    measured 3.4-6x on trigrams at sf0.1. Output is bit-identical (same
+    window expression over the same token array, incl. the short-doc
+    partial-window semantics of slice+concat_ws)."""
     if mode == "char":
         txt = normalize_text(col)
-        idx = F.sequence(F.lit(0), F.greatest(F.length(txt) - n, F.lit(0)))
-        return F.array_distinct(F.transform(idx, lambda i: txt.substr(i + 1, F.lit(n))))
+        return F.transform(
+            F.array(txt),
+            lambda t: F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
+                    lambda i: t.substr(i + 1, F.lit(n)),
+                )
+            ),
+        ).getItem(0)
     toks = F.split(normalize_text(col), " ")
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), cnt - 1)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    return F.transform(
+        F.array(toks),
+        lambda ts: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(ts) - (n - 1), F.lit(1)) - 1),
+                lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)),
+            )
+        ),
+    ).getItem(0)
+
+
+def _raw_ngrams(toks: Column, n: int) -> Column:
+    """Raw (non-distinct) n-token windows with the same let-binding as
+    ``shingles()``: the window lambda references a lambda VARIABLE, not
+    the tokenization expression (which would re-evaluate per window)."""
+    return F.transform(
+        F.array(toks),
+        lambda ts: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ts) - (n - 1), F.lit(1)) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)),
+        ),
+    ).getItem(0)
 
 
 # ---------------------------------------------------------------- exact
@@ -113,10 +146,16 @@ def minhash_signature(col: Column, num_perm: int = 64, shingle_n: int = 5) -> Co
             for a, b in _hash_params(num_perm)
         ]
     )
+    # let-bind the hash array: referencing `hashes` inside the params
+    # lambda would re-evaluate the shingle+hash subtree once per
+    # permutation (lambda bodies are outside subexpression elimination)
     return F.transform(
-        params,
-        lambda p: F.array_min(F.transform(hashes, lambda h: (h * p["a"] + p["b"]) % _MERSENNE)),
-    )
+        F.array(hashes),
+        lambda hs: F.transform(
+            params,
+            lambda p: F.array_min(F.transform(hs, lambda h: (h * p["a"] + p["b"]) % _MERSENNE)),
+        ),
+    ).getItem(0)
 
 
 def minhash_signature_df(
@@ -376,12 +415,7 @@ def ngram_jaccard_pairs(
     # hash-partition on the same aggregate output, so Spark's
     # ReuseExchange computes the tokenization exactly once.
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    if n > 1:
-        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-        idx = F.sequence(F.lit(0), cnt - 1)
-        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    else:
-        sh = toks
+    sh = _raw_ngrams(toks, n) if n > 1 else toks
     exploded = (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .groupBy(id_col, "shingle")
@@ -1824,12 +1858,7 @@ def containment_pairs(
     ``max_doc_freq_frac`` is the same ubiquitous-shingle skew guard
     (filtered-universe semantics)."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    if n > 1:
-        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-        idx = F.sequence(F.lit(0), cnt - 1)
-        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    else:
-        sh = toks
+    sh = _raw_ngrams(toks, n) if n > 1 else toks
     exploded = (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .groupBy(id_col, "shingle")

@@ -113,10 +113,15 @@ def repetition_stats(
     # from the token count, not the gram array)
     n2 = F.greatest(n - 1, F.lit(1))
     nd2 = F.size(grams)
+    # let-bind the token array: referencing `toks` inside the per-
+    # distinct-token lambda would re-run the split once per type
     top = F.array_max(
         F.transform(
-            F.array_distinct(toks), lambda x: F.size(F.filter(toks, lambda y: y == x))
-        )
+            F.array(toks),
+            lambda ts: F.transform(
+                F.array_distinct(ts), lambda x: F.size(F.filter(ts, lambda y: y == x))
+            ),
+        ).getItem(0)
     )
     return df.select(
         F.col(id_col),

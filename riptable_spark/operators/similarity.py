@@ -516,7 +516,11 @@ def _pq_code_expr(sub: Column, codebook_j: list[list[float]]) -> Column:
     array_position of the min (ties → lowest code, matching the oracle's
     ORDER BY dist, code)."""
     cb = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in codebook_j])
-    dists = F.transform(cb, lambda cv: _sq_dist(sub, cv))
+    # let-bind the subvector: referencing `sub` (slice of the cast
+    # vector) inside the lambda would re-evaluate it per centroid
+    dists = F.transform(
+        F.array(sub), lambda s: F.transform(cb, lambda cv: _sq_dist(s, cv))
+    ).getItem(0)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -1179,8 +1183,14 @@ def l2_normalize(
         lambda acc, xi: acc + xi * xi,
     )
     root = F.sqrt(s_int)
+    # let-bind the norm: referencing `root` inside the transform lambda
+    # would re-run the whole-vector integer fold once per COMPONENT
+    # (O(d^2) per row; lambda bodies are outside subexpr elimination)
     unit = F.when(
-        s_int > 0, F.transform(v, lambda x: x.cast("double") * scale / root)
+        s_int > 0,
+        F.transform(
+            F.array(root), lambda r: F.transform(v, lambda x: x.cast("double") * scale / r)
+        ).getItem(0),
     )
     return df.select(
         F.col(id_col), v,

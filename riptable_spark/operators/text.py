@@ -1101,7 +1101,13 @@ def good_turing(
     POPULATED class, silently wrong).  Exactness: r* and the class
     share are single divides of exact BIGINTs — bit-identical
     cross-engine."""
-    toks = _words(F.lower(F.col(text_col)))
+    # bind the token array to a column FIRST (the kneser_ney pattern):
+    # an expression referenced inside a transform lambda is re-evaluated
+    # per window (measured 6x on trigrams at sf0.1)
+    base = df.where(F.col(text_col).isNotNull()).withColumn(
+        "_toks__", _words(F.lower(F.col(text_col)))
+    )
+    toks = F.col("_toks__")
     if ngram > 1:
         # greatest(.., 1): sequence(1, 0) would generate DESCENDING [1, 0];
         # the when() guard below already drops short docs, this keeps the
@@ -1115,8 +1121,7 @@ def good_turing(
     else:
         unit = toks
     counts = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.explode(unit).alias("token"))
+        base.select(F.explode(unit).alias("token"))
         .where(F.length("token") > 0)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("__n__"))
