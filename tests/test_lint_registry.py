@@ -26,6 +26,15 @@ ALLOWED = {
     # rank fusion operates on already-top-k (tiny) relations — the
     # global windows there rank k-row inputs, not the corpus
     "q221_rrf_fusion": "global-window",
+    # epoch_allocation's windows rank the PER-DOMAIN AGGREGATE (one row
+    # per corpus source — ~20 rows; pipeline.py:1029 docstring).  Since
+    # round 6 that aggregate is eagerly localCheckpointed (it feeds the
+    # validation count, two broadcast subtrees and the sink — Opt 10),
+    # and a checkpointed relation surfaces as an RDD scan, so the
+    # linter can no longer SEE the aggregation below the window.  The
+    # input is still aggregate-sized; dedicated oracle + tests cover it.
+    "q651_epoch_allocation": "global-window",
+    "q652_corpus_plan": "global-window",  # composes q651's pipeline
 }
 
 
