@@ -65,41 +65,42 @@ _PRIORITY = [
     "q106_salted_join",
     "q111_apply_rows",
     "q114_lsh_dedup",
-    # --- rotating back half (round 6): all 25 are never-driver-checked
-    # (absent from CORRECTNESS_r01..r05) — the batch-18 tail first (the
-    # freshest code, incl. the two queries whose oracles were touched by
-    # the r5 advice fixes), then the graph-kernel family, sketches,
-    # tokenizer/geometry/market/fairness analytics tail, and the ANN /
-    # streaming reps still unseen — successive CORRECTNESS_r*.json
+    # --- rotating back half (round 7): all 25 are never-driver-checked
+    # (absent from CORRECTNESS_r01..r06) — the batch-20 tail first (the
+    # freshest never-checked code), then representatives of the queries
+    # whose operators round 6 optimized (CC union-find, hits/label_prop
+    # checkpoints, grouped_apply, HOF let-binding, composition
+    # checkpoints — independent driver confirmation of the rewrites),
+    # then sketches and geometry reps — successive CORRECTNESS_r*.json
     # files accumulate driver-side coverage (core reps above stay
-    # pinned; cumulative driver-checked after this round ≥155).
-    "q645_good_turing",
-    "q646_kneser_ney",
-    "q647_vocab_coverage",
-    "q649_containment",
-    "q650_cl_diversity",
-    "q651_epoch_allocation",
-    "q653_packing_efficiency",
-    "q605_percolation",
-    "q301_time_bars",
-    "q615_stable_matching",
-    "q617_blocking_pairs",
-    "q619_maximal_matching",
-    "q621_luby_mis",
-    "q230_hll_distinct",
-    "q237_hll_trailing_dau",
-    "q557_point_in_polygon",
-    "q558_ransac_line",
-    "q560_vpin",
-    # round-6 batch-19 (the freshest code — driver verification is most
-    # valuable here; the r5 pattern)
-    "q654_dominant_direction",
-    "q655_kcore_peel",
-    "q656_lsh_band_planner",
-    "q561_hubness",
-    "q562_fairness_audit",
-    "q83_lsh_topk",
-    "q103_stateful_stream",
+    # pinned; cumulative driver-checked after this round ≥180).
+    "q657_abtt_audit",
+    "q658_core_communities",
+    "q659_component_cycles",
+    "q660_ktruss_peel",
+    # round-6-optimized operators, never driver-checked
+    "q210_hits",
+    "q408_label_propagation",
+    "q422_identity_resolution",
+    "q190_leakage_safe_split",
+    "q256_dedup_keep_best",
+    "q620_kernels_scorecard",
+    "q590_attribution_comparison",
+    "q600_engine_self_audit",
+    "q500_pipeline_scorecard",
+    "q314_l2_normalize",
+    "q207_corpus_overlap",
+    "q275_doc_novelty",
+    "q192_bpe_train",
+    "q87_apply_nonreduce",
+    "q371_isotonic",
+    # sketches / geometry reps still unseen
+    "q233_count_min",
+    "q241_kmv_sketch",
+    "q597_sketch_scorecard",
+    "q628_hll_p_sweep",
+    "q534_geohash_cells",
+    "q347_grid_neighbor_join",
 ]
 
 
