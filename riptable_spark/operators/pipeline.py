@@ -1093,7 +1093,12 @@ def epoch_allocation(
         # broadcast subtrees and the final sink would otherwise each
         # re-execute the entire upstream pipeline — measured 4× on
         # q652's winnow-clean upstream (14.6 s → one q633 execution).
-        base = base.localCheckpoint(eager=True)
+        # mark_aggregated: the checkpoint hides the aggregation from the
+        # plan linter (a checkpointed relation is an RDD scan), so tag
+        # the RDD as aggregate-sized instead of allowlisting consumers.
+        from ..plans.inspect import mark_aggregated
+
+        base = mark_aggregated(base.localCheckpoint(eager=True))
     L = int(weight_scale)
     E = int(max_epochs)
     cap = (F.lit(E) * F.col("available")).cast("long")

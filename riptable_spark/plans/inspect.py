@@ -92,8 +92,39 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple_plan(df))))
 
 
+# Checkpoint provenance (round 7): localCheckpoint truncates a plan to
+# a LogicalRDD scan, hiding any aggregation below it — so a legitimate
+# global window over a checkpointed AGGREGATE looked like a raw-data
+# global window (round 6 flagged q651/q652 and patched it with per-query
+# allowlist entries; this registry replaces them). Operators that
+# checkpoint an aggregate-sized relation tag the materialized RDD id;
+# _has_aggregate_below treats a scan of a tagged RDD as aggregated.
+_AGG_RDD_IDS: set[int] = set()
+
+
+def mark_aggregated(df: DataFrame) -> DataFrame:
+    """Tag a just-checkpointed relation as aggregate-sized for the plan
+    linter. Call ON the DataFrame returned by ``localCheckpoint`` (its
+    analyzed plan must be the RDD scan itself — anything stacked on top
+    hides the RDD id). Returns ``df`` unchanged for chaining."""
+    try:
+        _AGG_RDD_IDS.add(int(df._jdf.queryExecution().analyzed().rdd().id()))
+    except Exception:
+        pass  # not an RDD-backed plan — nothing to tag
+    return df
+
+
 def _has_aggregate_below(node) -> bool:
-    return any("Aggregate" in n.nodeName() for n in _walk_plan(node))
+    for n in _walk_plan(node):
+        if "Aggregate" in n.nodeName():
+            return True
+        if "ExistingRDD" in n.nodeName():
+            try:
+                if int(n.rdd().id()) in _AGG_RDD_IDS:
+                    return True
+            except Exception:
+                pass
+    return False
 
 
 def lint(df: DataFrame) -> list[str]:

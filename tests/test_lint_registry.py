@@ -26,15 +26,11 @@ ALLOWED = {
     # rank fusion operates on already-top-k (tiny) relations — the
     # global windows there rank k-row inputs, not the corpus
     "q221_rrf_fusion": "global-window",
-    # epoch_allocation's windows rank the PER-DOMAIN AGGREGATE (one row
-    # per corpus source — ~20 rows; pipeline.py:1029 docstring).  Since
-    # round 6 that aggregate is eagerly localCheckpointed (it feeds the
-    # validation count, two broadcast subtrees and the sink — Opt 10),
-    # and a checkpointed relation surfaces as an RDD scan, so the
-    # linter can no longer SEE the aggregation below the window.  The
-    # input is still aggregate-sized; dedicated oracle + tests cover it.
-    "q651_epoch_allocation": "global-window",
-    "q652_corpus_plan": "global-window",  # composes q651's pipeline
+    # (q651/q652's round-6 entries removed in round 7: the linter now
+    # tracks checkpoint provenance — epoch_allocation tags its
+    # checkpointed per-domain aggregate via inspect.mark_aggregated, so
+    # the global windows over it are recognized as aggregate-input.
+    # tests/test_lint_provenance.py pins both directions.)
 }
 
 
