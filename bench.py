@@ -55,25 +55,57 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
-    # Secondary (non-anchor) metric: q33's recorded number pays the md5
-    # portable hash that only the DuckDB oracle replay needs; a cluster
-    # runs xxhash64 (JVM intrinsic — no hex/conv detour). Report the
-    # production-path time alongside, without touching the anchor keys.
+    # Secondary (non-anchor) metrics: the md5-tax family's recorded
+    # numbers pay the portable hash that only the DuckDB oracle replay
+    # needs; a cluster runs xxhash64 (JVM intrinsic — no hex/conv
+    # detour). Report the production-path times alongside, without
+    # touching the anchor keys. (q33's twin since r5; q162/q207/q275
+    # twins added in r7 per the r6 verdict — same pipelines, same
+    # parameters, hash_kind='xxhash64'.)
     from pyspark.sql import functions as F  # noqa: E402
 
     from riptable_spark.operators import dedup  # noqa: E402
+    from riptable_spark.operators import pipeline as _pl  # noqa: E402
+    from riptable_spark.operators import text as _tx  # noqa: E402
     from riptable_spark.sources.io import load_table  # noqa: E402
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-        dedup.minhash_lsh_pairs(
+    def _docs():
+        return load_table(spark, sf_dir, "documents")
+
+    def _q33_twin():
+        d = _docs().where(F.col("doc_id") < 200)
+        return dedup.minhash_lsh_pairs(
             d, "text", "doc_id", num_perm=32, bands=8, shingle_n=3,
             hash_kind="xxhash64",
-        ).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    secondary = {"q33_minhash_pairs_xxhash64": round(best, 3)}
+        )
+
+    def _q162_twin():
+        d = _docs()
+        bench_docs = d.where(F.col("doc_id") % 17 == 3).select("text")
+        return _pl.decontaminate_bloom(
+            d, bench_docs, n=3, min_hits=2, hash_kind="xxhash64", m=131072, k=5
+        )
+
+    def _q207_twin():
+        return _tx.corpus_overlap(_docs(), "source", "text", shingle_n=3,
+                                  hash_kind="xxhash64")
+
+    def _q275_twin():
+        return dedup.doc_novelty(_docs(), n=3, hash_kind="xxhash64")
+
+    secondary = {}
+    for sname, builder in (
+        ("q33_minhash_pairs_xxhash64", _q33_twin),
+        ("q162_bloom_decontaminate_xxhash64", _q162_twin),
+        ("q207_corpus_overlap_xxhash64", _q207_twin),
+        ("q275_doc_novelty_xxhash64", _q275_twin),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            builder().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        secondary[sname] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
