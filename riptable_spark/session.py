@@ -71,6 +71,18 @@ def get_spark(app_name: str = "riptable_spark", master: str | None = None) -> Sp
             .config("spark.eventLog.rolling.enabled", "false")
             .config("spark.eventLog.compress", "false")
         )
+    # streaming state store backend: default is Spark's HDFS-backed
+    # in-heap provider (right for the tiny per-key state of the declared
+    # streams); SPARK_GRAFT_STATESTORE=rocksdb switches to the bundled
+    # RocksDB provider, which keeps state off-heap and is the production
+    # choice once per-executor state outgrows the heap. Results are
+    # backend-independent (state-store contents, not semantics).
+    if os.environ.get("SPARK_GRAFT_STATESTORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     env_master = os.environ.get("SPARK_MASTER")
     if master is not None:
         builder = builder.master(master)
