@@ -317,12 +317,33 @@ def shapley_attribution(
     )
 
 
+def _user_item_ratings(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    max_items_per_user: int | None,
+) -> DataFrame:
+    """The (u, i, r) relation both Slope One stages read: distinct
+    (user, item) with the max rating, optionally capped per user."""
+    ur = ratings.groupBy(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).agg(F.max(F.col(rating_col).cast("long")).alias("r"))
+    if max_items_per_user is not None:
+        w = Window.partitionBy("u")
+        ur = ur.withColumn("__nu__", F.count(F.lit(1)).over(w)).where(
+            F.col("__nu__") <= max_items_per_user
+        ).drop("__nu__")
+    return ur
+
+
 def slope_one_deviations(
     ratings: DataFrame,
     user_col: str = "user_id",
     item_col: str = "item",
     rating_col: str = "rating",
     max_items_per_user: int | None = None,
+    ur: DataFrame | None = None,
 ) -> DataFrame:
     """Slope One deviation relation (Lemire & Maclachlan 2005): for every
     ordered item pair (i, j), s_ij = Σ_u (r_ui − r_uj) and n_ij = the
@@ -334,15 +355,13 @@ def slope_one_deviations(
     |items|² pairs) → self-equi-join on user → ONE (i, j) hash agg.
     Both directions are emitted (dev(j,i) = −dev(i,j)) so prediction is
     a single equi-join with no sign bookkeeping.
+
+    ``ur`` lets a caller that already built (u, i, r) (slope_one_predict
+    materializes it once for all four consumers) pass it in instead of
+    re-deriving it from ``ratings``.
     """
-    ur = ratings.groupBy(
-        F.col(user_col).alias("u"), F.col(item_col).alias("i")
-    ).agg(F.max(F.col(rating_col).cast("long")).alias("r"))
-    if max_items_per_user is not None:
-        w = Window.partitionBy("u")
-        ur = ur.withColumn("__nu__", F.count(F.lit(1)).over(w)).where(
-            F.col("__nu__") <= max_items_per_user
-        ).drop("__nu__")
+    if ur is None:
+        ur = _user_item_ratings(ratings, user_col, item_col, rating_col, max_items_per_user)
     a = ur.select("u", F.col("i").alias("item_i"), F.col("r").alias("r_i"))
     b = ur.select("u", F.col("i").alias("item_j"), F.col("r").alias("r_j"))
     return (
@@ -375,12 +394,29 @@ def slope_one_predict(
 
     Plan: the deviation relation (item²-bounded, usually ≪ ratings)
     joins the user's rating list on (i, j) — one equi-join keyed by
-    item pair + one (user, item) hash agg.
+    item pair + one (user, item) hash agg.  The (u, i, r) base is built
+    ONCE and eagerly localCheckpointed: it feeds FOUR consumers (the
+    deviation self-join's two sides, targets, others), and without the
+    materialization each consumer re-runs the full ratings scan +
+    aggregation (measured r7: four parquet scans in q406's plan →
+    one).  NOTE the max_items_per_user asymmetry below is pre-existing
+    and kept: the cap applies to the DEVIATION model only (a capped
+    user still receives predictions from the uncapped join, exactly as
+    before — r7 only de-duplicates the uncapped base computation).
     """
-    devs = slope_one_deviations(ratings, user_col, item_col, rating_col, max_items_per_user)
-    ur = ratings.groupBy(
-        F.col(user_col).alias("u"), F.col(item_col).alias("i")
-    ).agg(F.max(F.col(rating_col).cast("long")).alias("r"))
+    base = _user_item_ratings(ratings, user_col, item_col, rating_col, None)
+    base = base.localCheckpoint(eager=True)
+    if max_items_per_user is not None:
+        w = Window.partitionBy("u")
+        capped = base.withColumn("__nu__", F.count(F.lit(1)).over(w)).where(
+            F.col("__nu__") <= max_items_per_user
+        ).drop("__nu__")
+    else:
+        capped = base
+    devs = slope_one_deviations(
+        ratings, user_col, item_col, rating_col, max_items_per_user, ur=capped
+    )
+    ur = base
     others = ur.select("u", F.col("i").alias("item_j"), F.col("r").alias("r_j"))
     targets = ur.select("u", F.col("i").alias("item_i"), F.col("r").alias("rating"))
     j = targets.join(others, on="u").where(F.col("item_i") != F.col("item_j")).join(

@@ -2517,9 +2517,24 @@ def q619(spark: SparkSession, sf: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint()  # truncate per-round lineage (CC discipline)
         )
-        stats.append((r, sel.count(), e.count()))
-    rows = [(int(r), int(m), int(rem)) for r, m, rem in stats]
-    return spark.createDataFrame(rows, "round bigint, n_matched bigint, n_edges_remaining bigint")
+        # LAZY per-round stats (the q655 discipline): 1-row aggregates
+        # over this round's persisted/checkpointed relations instead of
+        # two eager driver count() jobs per round — the counts execute
+        # together in the single final job, and the query returns a
+        # real lazy plan instead of a driver-collected literal.
+        stats.append(
+            sel.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+            .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges_remaining")))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "n_matched",
+                "n_edges_remaining",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 # ------------------------------------------------------------------ q620
@@ -2695,9 +2710,22 @@ def q621(spark: SparkSession, sf: str) -> DataFrame:
             .join(dead, "node", "left_anti")
             .localCheckpoint()
         )
-        stats.append((r, win.count(), und.count()))
-    rows = [(int(r), int(w), int(u)) for r, w, u in stats]
-    return spark.createDataFrame(rows, "round bigint, n_selected bigint, n_undecided bigint")
+        # LAZY per-round stats (q655/q619 discipline): no eager driver
+        # count() jobs; the 1-row aggregates over the round's persisted
+        # win / checkpointed und run together in the final job.
+        stats.append(
+            win.agg(F.count(F.lit(1)).cast("long").alias("n_selected"))
+            .crossJoin(und.agg(F.count(F.lit(1)).cast("long").alias("n_undecided")))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "n_selected",
+                "n_undecided",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 # ------------------------------------------------------------------ q622
