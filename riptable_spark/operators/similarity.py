@@ -308,10 +308,47 @@ def ivf_search(
     )
 
 
+def _pairwise_small_rows() -> int:
+    """Grouped-Arrow crossover for pairwise_cosine
+    ($SPARK_GRAFT_PAIRWISE_SMALL_ROWS, default 100k).  Below it the
+    all-pairs scoring runs as ONE Arrow task of blocked numpy matmuls
+    (each vector crosses the exchange once, not once per pair; the
+    interpreted HOF fold — ~µs/pair — disappears).  Above it the
+    O(n²) baseline is infeasible on EITHER path (this operator's
+    documented scale path is LSH bucketing first), but the join path
+    is kept as the spread-the-folds fallback."""
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_PAIRWISE_SMALL_ROWS", "100000"))
+    except ValueError:
+        return 100_000
+
+
 def pairwise_cosine(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above threshold (the
     embedding-dedup flavor). Brute-force within — use lsh buckets first at
-    scale; kept exact here as the oracle-checkable baseline."""
+    scale; kept exact here as the oracle-checkable baseline.
+
+    Integer-id inputs under the measured-small crossover score in ONE
+    grouped Arrow task (the q168 _within_cluster_pairs scorer with the
+    whole input as a single cluster, emit_sim=True): bit-identical
+    cos_sim by the same ascending-fold/0.0-seed argument, and the
+    O(n²) interpreted HOF folds of the self-join become blocked numpy
+    matmuls.  One documented domain edge inherited from the scorer:
+    zero-norm vectors DROP (IEEE NaN ≥ thr is false) where the ANSI
+    join path raised DIVIDE_BY_ZERO — no declared query carries zero
+    vectors (tests pin it)."""
+    id_type = embeddings.schema[id_col].dataType
+    if isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) and embeddings.count() <= _pairwise_small_rows():
+        assigned = embeddings.select(
+            F.lit(0).alias("centroid_id"), F.col(id_col), F.col(vec_col)
+        )
+        return _within_cluster_pairs(
+            assigned, id_col, vec_col, threshold, emit_sim=True
+        )
     # double-precision accumulation: float32 dot products can round a
     # near-threshold cosine the other way vs a double-computing oracle
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -958,7 +995,11 @@ def _semdedup_pairs(
 
 
 def _within_cluster_pairs(
-    assigned: DataFrame, id_col: str, vec_col: str, threshold: float
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    emit_sim: bool = False,
 ) -> DataFrame:
     """All (id_a < id_b, cos ≥ threshold) pairs within each centroid's
     cluster, scored in ONE grouped Arrow task per cluster.
@@ -978,27 +1019,40 @@ def _within_cluster_pairs(
     memory is block×|c| doubles. |c|² compute per task is the declared
     SemDeDup cost — size nlist so the largest cluster fits one task's
     budget (the same contract the join path had: an equi-join on
-    centroid_id lands each cluster's pairs in one partition anyway)."""
+    centroid_id lands each cluster's pairs in one partition anyway).
+
+    ``emit_sim=True`` adds the cos_sim double to the output (the value
+    is the same double the column expression produces — identical fold,
+    identical divide), for callers like pairwise_cosine that return the
+    similarity, not just the pair."""
     import numpy as np
     import pandas as pd
 
     from .apply import grouped_apply
 
     id_type = assigned.schema[id_col].dataType
-    out_schema = T.StructType(
-        [T.StructField("id_a", id_type), T.StructField("id_b", id_type)]
-    )
+    fields = [T.StructField("id_a", id_type), T.StructField("id_b", id_type)]
+    if emit_sim:
+        fields.append(T.StructField("cos_sim", T.DoubleType()))
+    out_schema = T.StructType(fields)
     thr = float(threshold)
+
+    def _empty(ids_all):
+        out = {"id_a": ids_all[:0], "id_b": ids_all[:0]}
+        if emit_sim:
+            out["cos_sim"] = []
+        return pd.DataFrame(out)
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
         ids_all = pdf[id_col].to_numpy()
         vecs = pdf[vec_col].tolist()
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": ids_all[:0], "id_b": ids_all[:0]})
+            return _empty(ids_all)
         lens = np.array([len(v) for v in vecs])
         out_a: list = []
         out_b: list = []
+        out_s: list = []
         for d in np.unique(lens):
             sel = np.flatnonzero(lens == d)
             if len(sel) < 2:
@@ -1025,11 +1079,14 @@ def _within_cluster_pairs(
                     if len(ai):
                         out_a.append(ids[ai + s])
                         out_b.append(ids[bi])
+                        if emit_sim:
+                            out_s.append(cos[ai, bi])
         if not out_a:
-            return pd.DataFrame({"id_a": ids_all[:0], "id_b": ids_all[:0]})
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        )
+            return _empty(ids_all)
+        out = {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        if emit_sim:
+            out["cos_sim"] = np.concatenate(out_s)
+        return pd.DataFrame(out)
 
     src = assigned.select("centroid_id", id_col, vec_col)
     return grouped_apply(src, ["centroid_id"], score, out_schema)

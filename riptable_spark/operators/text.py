@@ -906,6 +906,50 @@ def yules_k(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def naive_bayes_train(
+    train: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    materialize: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the multinomial NB model relations: ``counts`` (class,
+    token, count) and ``classes`` (class, token total, prior count,
+    vocab size, N) — every quantity an exact BIGINT.  Both are small
+    (|V|·|C| and |C| rows) and broadcast into scoring.
+
+    ``materialize=True`` eagerly localCheckpoints counts BEFORE deriving
+    classes from it (so the train explode+agg runs exactly once) and
+    then classes — for callers that score the model more than once."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tr = train.where(F.col(text_col).isNotNull())
+    tr_tok = tr.select(
+        F.col(label_col).alias("__cls__"), F.explode(toks).alias("__tok__")
+    )
+    counts = tr_tok.groupBy("__cls__", "__tok__").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt__")
+    )
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
+    cls_stats = counts.groupBy("__cls__").agg(
+        F.sum("__cnt__").cast("long").alias("__tok_c__")
+    )
+    priors = tr.groupBy(F.col(label_col).alias("__cls__")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_c__")
+    )
+    vocab = counts.select("__tok__").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__V__")
+    )
+    n_total = tr.agg(F.count(F.lit(1)).cast("long").alias("__N__"))
+    classes = (
+        cls_stats.join(priors, "__cls__")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_total))
+    )
+    if materialize:
+        classes = classes.localCheckpoint(eager=True)
+    return counts, classes
+
+
 def naive_bayes_classify(
     train: DataFrame,
     test: DataFrame,
@@ -913,6 +957,7 @@ def naive_bayes_classify(
     label_col: str = "lang",
     text_col: str = "text",
     k_tokens: int = 12,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Multinomial Naive Bayes over whitespace unigrams: train per-class
     add-1-smoothed token models on ``train``, score each ``test`` doc's
@@ -930,32 +975,16 @@ def naive_bayes_classify(
     At 100 TB: the model relation is |V|·|C| rows → broadcast to both
     joins; test tokens shuffle once on (doc, class) for the fold; the
     argmax is a 5-row-per-doc window over aggregated input.
-    """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tr = train.where(F.col(text_col).isNotNull())
-    te = test.where(F.col(text_col).isNotNull())
 
-    tr_tok = tr.select(
-        F.col(label_col).alias("__cls__"), F.explode(toks).alias("__tok__")
-    )
-    counts = tr_tok.groupBy("__cls__", "__tok__").agg(
-        F.count(F.lit(1)).cast("long").alias("__cnt__")
-    )
-    cls_stats = counts.groupBy("__cls__").agg(
-        F.sum("__cnt__").cast("long").alias("__tok_c__")
-    )
-    priors = tr.groupBy(F.col(label_col).alias("__cls__")).agg(
-        F.count(F.lit(1)).cast("long").alias("__n_c__")
-    )
-    vocab = counts.select("__tok__").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("__V__")
-    )
-    n_total = tr.agg(F.count(F.lit(1)).cast("long").alias("__N__"))
-    classes = (
-        cls_stats.join(priors, "__cls__")
-        .crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(n_total))
-    )
+    ``model`` (from :func:`naive_bayes_train`) lets a caller score the
+    SAME trained model at several ``k_tokens`` without re-running the
+    training aggregation per setting (q626's grid shape).
+    """
+    if model is None:
+        model = naive_bayes_train(train, label_col, text_col)
+    counts, classes = model
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    te = test.where(F.col(text_col).isNotNull())
 
     te_tok = te.select(
         F.col(id_col).alias("__id__"),

@@ -166,3 +166,43 @@ def test_semantic_dedup_grouped_path_in_plan_for_long_ids(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     out = sim.semantic_dedup(emb, threshold=0.99, centroids=cents)
     assert {r.vec_id for r in out.collect()} == {1, 3}
+
+
+def test_emit_sim_values_bit_identical_to_join_path(spark, clustered):
+    # r7 pairwise_cosine routing: the scorer's emitted cos_sim doubles
+    # must equal the join path's fold-computed doubles EXACTLY (no
+    # tolerance) — pairwise_cosine returns the value, not just the pair
+    want = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in _join_pairs(clustered, 0.0).collect()
+        if r.cos_sim >= 0.5
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in sim._within_cluster_pairs(
+            clustered, "vec_id", "embedding", 0.5, emit_sim=True
+        ).collect()
+    }
+    assert got == want  # dict equality: same pairs AND identical doubles
+
+
+def test_pairwise_cosine_dispatch_parity(spark, clustered):
+    # integer ids take the grouped-Arrow path; result (pairs + exact
+    # cos_sim) must match the join-path fallback (forced via the env
+    # crossover dial) on the same global input
+    import os
+
+    emb = clustered.select("vec_id", "embedding")
+    fast = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in sim.pairwise_cosine(emb, threshold=0.9).collect()
+    }
+    os.environ["SPARK_GRAFT_PAIRWISE_SMALL_ROWS"] = "0"
+    try:
+        slow = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in sim.pairwise_cosine(emb, threshold=0.9).collect()
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_PAIRWISE_SMALL_ROWS"]
+    assert fast == slow and len(fast) > 0
