@@ -10,9 +10,151 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .queries import query
 from .sources.io import load_table
+
+
+def _doubling_closure(wd: DataFrame, kind: str, rounds: int = 5) -> DataFrame:
+    """The (min|max)-plus doubling fixed point of the q601/q611 family
+    in ONE grouped Arrow task (r7; the connected-components small-path
+    discipline).
+
+    Input: an (u, v, w) edge relation that is BOUNDED BY CONSTRUCTION —
+    every consumer builds it as a distinct() over doc_id % {25,30}, so
+    it is ≤ nodes² rows at ANY scale factor (the corpus-sized scan and
+    the distinct aggregation stay in Spark; only the tiny aggregated
+    graph crosses into Python).  The loop this replaces ran `rounds`
+    eager localCheckpoint jobs of cur := merge(cur ∪ cur∘cur); the
+    Python fixed point executes the SAME bounded recurrence over exact
+    integers — identical arithmetic, identical merge, identical round
+    count, so the result relation is equal row-for-row.
+
+    kind='min' replays q601's min-plus (shortest path; compositions
+    with u == w are skipped, as the loop's filter did); kind='max'
+    replays q611/q612's max-plus (longest path on a DAG; no filter,
+    exactly as the loop).  Returns the closure (u, v, len) eagerly
+    localCheckpointed (every consumer reads it ≥ once; one job replaces
+    `rounds`)."""
+    import pandas as pd
+
+    from .operators.apply import grouped_apply
+
+    u_t = wd.schema["u"].dataType
+    v_t = wd.schema["v"].dataType
+    w_t = wd.schema["w"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("u", u_t),
+            T.StructField("v", v_t),
+            T.StructField("len", w_t),
+        ]
+    )
+    better = min if kind == "min" else max
+    skip_self = kind == "min"
+
+    def closure(pdf: pd.DataFrame) -> pd.DataFrame:
+        cur: dict = {}
+        for u, v, w in zip(pdf["u"], pdf["v"], pdf["w"]):
+            key = (int(u), int(v))
+            cur[key] = better(cur[key], int(w)) if key in cur else int(w)
+        for _ in range(rounds):
+            by_src: dict = {}
+            for (a, b), l in cur.items():
+                by_src.setdefault(a, []).append((b, l))
+            nxt = dict(cur)
+            for (a, b), l in cur.items():
+                for c, l2 in by_src.get(b, ()):
+                    if skip_self and a == c:
+                        continue
+                    key = (a, c)
+                    cand = l + l2
+                    nxt[key] = better(nxt[key], cand) if key in nxt else cand
+            cur = nxt
+        items = list(cur.items())
+        return pd.DataFrame(
+            {
+                "u": [k[0] for k, _ in items],
+                "v": [k[1] for k, _ in items],
+                "len": [l for _, l in items],
+            }
+        )
+
+    src = wd.select(F.lit(0).alias("__g__"), "u", "v", "w")
+    out = grouped_apply(src, ["__g__"], closure, out_schema)
+    return out.localCheckpoint(eager=True)
+
+
+def _gale_shapley_rounds(rk: DataFrame, rounds: int = 3) -> DataFrame:
+    """q615's unrolled deferred-acceptance rounds in ONE grouped Arrow
+    task (r7; the _doubling_closure discipline — the market is bounded
+    by construction: agents = doc_id % 20 distinct, so ``rk`` is ≤ 400
+    rows at any SF, aggregated in Spark before it crosses to Python).
+
+    Replays the Spark loop EXACTLY, round for round: an unmatched
+    worker proposes to its (n_prop+1)-ranked firm if one exists; each
+    firm keeps the best of incumbents + proposals by (t_score DESC,
+    w ASC) — all exact integer comparisons; displaced workers rejoin
+    with f = NULL; n_prop increments only on an actual proposal.
+    Returns the (w, f, n_prop) state relation after ``rounds``."""
+    import pandas as pd
+
+    from .operators.apply import grouped_apply
+
+    w_t = rk.schema["w"].dataType
+    f_t = rk.schema["f"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("w", w_t),
+            T.StructField("f", f_t),
+            T.StructField("n_prop", T.IntegerType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rank_map: dict = {}
+        t_map: dict = {}
+        workers: set = set()
+        for w, f, t, r in zip(pdf["w"], pdf["f"], pdf["t_score"], pdf["wrank"]):
+            w, f, t, r = int(w), int(f), int(t), int(r)
+            rank_map[(w, r)] = (f, t)
+            t_map[(w, f)] = t
+            workers.add(w)
+        state = {w: (None, 0) for w in workers}
+        for _ in range(rounds):
+            proposers: set = set()
+            cand: list = []  # (f, t_score, w)
+            for w in workers:
+                f, np_ = state[w]
+                if f is None:
+                    nxt = rank_map.get((w, np_ + 1))
+                    if nxt is not None:
+                        proposers.add(w)
+                        cand.append((nxt[0], nxt[1], w))
+                else:
+                    cand.append((f, t_map[(w, f)], w))
+            best: dict = {}  # f -> (t, w): max t, tie min w
+            for f, t, w in cand:
+                cur = best.get(f)
+                if cur is None or t > cur[0] or (t == cur[0] and w < cur[1]):
+                    best[f] = (t, w)
+            winner_firm = {w: f for f, (_, w) in best.items()}
+            state = {
+                w: (winner_firm.get(w), np_ + (1 if w in proposers else 0))
+                for w, (f, np_) in state.items()
+            }
+        ws = sorted(state)
+        return pd.DataFrame(
+            {
+                "w": pd.array(ws, dtype="Int64"),
+                "f": pd.array([state[w][0] for w in ws], dtype="Int64"),
+                "n_prop": pd.array([state[w][1] for w in ws], dtype="Int32"),
+            }
+        )
+
+    src = rk.select(F.lit(0).alias("__g__"), "w", "f", "t_score", "wrank")
+    return grouped_apply(src, ["__g__"], run, out_schema)
 
 # ------------------------------------------------------------------ q588
 @query(
@@ -1096,22 +1238,12 @@ def q601(spark: SparkSession, sf: str) -> DataFrame:
     ).unionByName(d.select((k % 30).alias("a"), ((k % 30) + 1) % 30).toDF("a", "b"))
     e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    cur = sym.select("u", "v", F.lit(1).alias("d"))
-    for _ in range(5):  # doubling: paths up to 2^5 = 32 > 30
-        right = cur.select(F.col("u").alias("m"), F.col("v").alias("w"), F.col("d").alias("d2"))
-        step = (
-            cur.join(right, cur["v"] == right["m"])
-            .where(F.col("u") != F.col("w"))
-            .select("u", F.col("w").alias("v"), (F.col("d") + F.col("d2")).alias("d"))
-        )
-        cur = (
-            cur.unionByName(step)
-            .groupBy("u", "v")
-            .agg(F.min("d").alias("d"))
-            # truncate per-round lineage (persist keeps the logical plan,
-            # which doubles every round — plan optimization dominates)
-            .localCheckpoint(eager=True)
-        )
+    # min-plus doubling (5 rounds cover 32 hops) in ONE grouped Arrow
+    # task over the bounded post-distinct edge relation (r7 — replaces
+    # 5 eager checkpoint jobs; see _doubling_closure)
+    cur = _doubling_closure(
+        sym.select("u", "v", F.lit(1).alias("w")), "min"
+    ).withColumnRenamed("len", "d")
     return cur.agg(
         F.countDistinct("u").cast("long").alias("n_nodes"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -1154,19 +1286,10 @@ def q602(spark: SparkSession, sf: str) -> DataFrame:
     ).unionByName(d.select((k % 30).alias("a"), ((k % 30) + 1) % 30).toDF("a", "b"))
     e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    cur = sym.select("u", "v", F.lit(1).alias("d"))
-    for _ in range(5):
-        right = cur.select(F.col("u").alias("m"), F.col("v").alias("w"), F.col("d").alias("d2"))
-        step = (
-            cur.join(right, cur["v"] == right["m"])
-            .where(F.col("u") != F.col("w"))
-            .select("u", F.col("w").alias("v"), (F.col("d") + F.col("d2")).alias("d"))
-        )
-        # localCheckpoint, not persist: persist keeps the full logical
-        # lineage, so each doubling round re-optimizes an exponentially
-        # growing plan (measured 60 s at sf0.1, ~1 s after truncation).
-        # On a cluster swap for a reliable checkpoint dir.
-        cur = cur.unionByName(step).groupBy("u", "v").agg(F.min("d").alias("d")).localCheckpoint(eager=True)
+    # min-plus doubling in one grouped Arrow task (r7; _doubling_closure)
+    cur = _doubling_closure(
+        sym.select("u", "v", F.lit(1).alias("w")), "min"
+    ).withColumnRenamed("len", "d")
     return cur.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("n_reachable"),
         F.aggregate(
@@ -1344,19 +1467,10 @@ def q604(spark: SparkSession, sf: str) -> DataFrame:
     ).unionByName(d.select((k % 30).alias("a"), ((k % 30) + 1) % 30).toDF("a", "b"))
     e = base.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")).distinct()
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    cur = sym.select("u", "v", F.lit(1).alias("d"))
-    for _ in range(5):
-        right = cur.select(F.col("u").alias("m"), F.col("v").alias("w"), F.col("d").alias("d2"))
-        step = (
-            cur.join(right, cur["v"] == right["m"])
-            .where(F.col("u") != F.col("w"))
-            .select("u", F.col("w").alias("v"), (F.col("d") + F.col("d2")).alias("d"))
-        )
-        # localCheckpoint, not persist: persist keeps the full logical
-        # lineage, so each doubling round re-optimizes an exponentially
-        # growing plan (measured 60 s at sf0.1, ~1 s after truncation).
-        # On a cluster swap for a reliable checkpoint dir.
-        cur = cur.unionByName(step).groupBy("u", "v").agg(F.min("d").alias("d")).localCheckpoint(eager=True)
+    # min-plus doubling in one grouped Arrow task (r7; _doubling_closure)
+    cur = _doubling_closure(
+        sym.select("u", "v", F.lit(1).alias("w")), "min"
+    ).withColumnRenamed("len", "d")
     pairs = cur.select("u", "v").unionByName(cur.select(F.col("u").alias("u"), F.col("u").alias("v")))
     comp = pairs.groupBy(F.col("v").alias("node")).agg(F.min("u").alias("root"))
     lvl = comp.join(
@@ -1892,16 +2006,8 @@ def q611(spark: SparkSession, sf: str) -> DataFrame:
     wd = e.join(tasks.withColumnRenamed("task", "u"), "u").select(
         "u", "v", F.col("dur").alias("w")
     )
-    cur = wd.select("u", "v", F.col("w").alias("len"))
-    for _ in range(5):  # doubling: path length up to 32 > 25 hops
-        right = cur.select(
-            F.col("u").alias("m"), F.col("v").alias("w2"), F.col("len").alias("l2")
-        )
-        step = cur.join(right, cur["v"] == right["m"]).select(
-            "u", F.col("w2").alias("v"), (F.col("len") + F.col("l2")).alias("len")
-        )
-        # localCheckpoint truncates the per-round plan (see q601 note)
-        cur = cur.unionByName(step).groupBy("u", "v").agg(F.max("len").alias("len")).localCheckpoint(eager=True)
+    # max-plus doubling in one grouped Arrow task (r7; _doubling_closure)
+    cur = _doubling_closure(wd, "max")
     fin = e.select(F.col("v").alias("task")).exceptAll(
         e.select(F.col("u").alias("task"))
     ).distinct()
@@ -1993,16 +2099,8 @@ def q612(spark: SparkSession, sf: str) -> DataFrame:
     wd = e.join(tasks.withColumnRenamed("task", "u"), "u").select(
         "u", "v", F.col("dur").alias("w")
     )
-    cur = wd.select("u", "v", F.col("w").alias("len"))
-    for _ in range(5):
-        right = cur.select(
-            F.col("u").alias("m"), F.col("v").alias("w2"), F.col("len").alias("l2")
-        )
-        step = cur.join(right, cur["v"] == right["m"]).select(
-            "u", F.col("w2").alias("v"), (F.col("len") + F.col("l2")).alias("len")
-        )
-        # localCheckpoint truncates the per-round plan (see q601 note)
-        cur = cur.unionByName(step).groupBy("u", "v").agg(F.max("len").alias("len")).localCheckpoint(eager=True)
+    # max-plus doubling in one grouped Arrow task (r7; _doubling_closure)
+    cur = _doubling_closure(wd, "max")
     inbound = cur.groupBy(F.col("v").alias("task")).agg(F.max("len").alias("in_len"))
     es = tasks.join(inbound, "task", "left").select(
         "task", "dur", F.coalesce(F.col("in_len"), F.lit(0)).alias("es")
@@ -2177,53 +2275,15 @@ def q615(spark: SparkSession, sf: str) -> DataFrame:
         h(F.col("w"), ":", F.col("f")).alias("s_score"),
         h(F.col("f"), ">", F.col("w")).alias("t_score"),
     )
-    # 400-row preference table joined 2×/round for 3 rounds: eager
-    # localCheckpoint scans documents ONCE and truncates the lineage
-    # each round's joins would otherwise re-optimize (persist does
-    # neither — the q604/q611 lesson).
+    # r7: the 3 unrolled rounds (each round: 2 joins + a rank window +
+    # an eager per-round checkpoint over ≤400 rows) run in ONE grouped
+    # Arrow task — see _gale_shapley_rounds for the exact-replay
+    # argument; the ranked preference table stays a Spark relation.
     rk = prefs.withColumn(
         "wrank",
         F.row_number().over(Window.partitionBy("w").orderBy(F.desc("s_score"), "f")),
-    ).localCheckpoint(eager=True)
-    st = agents.select(
-        F.col("a").alias("w"),
-        F.lit(None).cast("long").alias("f"),
-        F.lit(0).alias("n_prop"),
     )
-    for _ in range(3):
-        props = (
-            st.where(F.col("f").isNull())
-            .select("w", "n_prop")
-            .join(rk, ["w"])
-            .where(F.col("wrank") == F.col("n_prop") + 1)
-            .select("w", "f", "t_score")
-        )
-        incumbents = (
-            st.where(F.col("f").isNotNull())
-            .select("w", "f")
-            .join(rk.select("w", "f", "t_score"), ["w", "f"])
-        )
-        cand = props.select("w", "f", "t_score").unionByName(incumbents)
-        win = (
-            cand.withColumn(
-                "b",
-                F.row_number().over(Window.partitionBy("f").orderBy(F.desc("t_score"), "w")),
-            )
-            .where(F.col("b") == 1)
-            .select(F.col("w").alias("ww"), F.col("f").alias("wf"))
-        )
-        pw = props.select(F.col("w").alias("pw")).distinct()
-        st = (
-            st.select("w", "n_prop")
-            .join(pw, st["w"] == pw["pw"], "left")
-            .join(win, st["w"] == win["ww"], "left")
-            .select(
-                "w",
-                F.col("wf").alias("f"),
-                (F.col("n_prop") + F.when(F.col("pw").isNotNull(), 1).otherwise(0)).alias("n_prop"),
-            )
-            .localCheckpoint(eager=True)  # truncate per-round lineage
-        )
+    st = _gale_shapley_rounds(rk, rounds=3)
     return st.select(
         "w", F.col("f").alias("firm"),
         F.col("n_prop").cast("long").alias("n_proposals"),
@@ -2352,7 +2412,12 @@ def q617(spark: SparkSession, sf: str) -> DataFrame:
         h(F.col("w"), ":", F.col("f")).alias("s_score"),
         h(F.col("f"), ">", F.col("w")).alias("t_score"),
     ).localCheckpoint(eager=True)
-    matches = st.where(F.col("matched")).select("w", F.col("firm").alias("f"))
+    # st fans out to FOUR consumers (matches -> wcur/fcur/blocking/nm);
+    # materialize the 20-row match relation once so the GS Arrow task
+    # (lazy since r7) doesn't re-run per consumer
+    matches = st.where(F.col("matched")).select(
+        "w", F.col("firm").alias("f")
+    ).localCheckpoint(eager=True)
     wcur = matches.join(rk, ["w", "f"]).select("w", F.col("s_score").alias("cur_s"))
     fcur = matches.join(rk, ["w", "f"]).select("f", F.col("t_score").alias("cur_t"))
     blocking = (
