@@ -86,6 +86,10 @@ def triangle_count(edges: DataFrame, src: str = "item_a", dst: str = "item_b") -
     e = edges.select(
         F.least(F.col(src), F.col(dst)).alias("a"), F.greatest(F.col(src), F.col(dst)).alias("b")
     ).where(F.col("a") != F.col("b")).distinct()
+    # e fans out FOUR ways (ab/bc/ac/n_edges): materialize the (small —
+    # post-support-filter pair) relation once, or every consumer re-runs
+    # the entire upstream pair pipeline (q263: ~5 lineitem scans -> 1)
+    e = e.localCheckpoint(eager=True)
     ab = e.select(F.col("a"), F.col("b"))
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
@@ -877,6 +881,13 @@ def triple_rules(
         bi = bi.withColumn("__bs__", F.count(F.lit(1)).over(w)).where(
             F.col("__bs__") <= int(max_basket)
         ).drop("__bs__")
+    # bi fans out SEVEN ways (the n_baskets count, e1/e2/e3 in triples,
+    # e1/e2 in pairs, items) — without materialization each consumer
+    # re-runs the distinct + cap window from the fact scan (q538: ~6
+    # lineitem scans in the plan).  One pass + local storage beats seven
+    # shuffled recomputes (guide §5); on a cluster swap for a reliable
+    # checkpoint dir.
+    bi = bi.localCheckpoint(eager=True)
     n_baskets = bi.select("b").distinct().count()
     e1 = bi.select("b", F.col("i").alias("x"))
     e2 = bi.select("b", F.col("i").alias("y"))
@@ -887,6 +898,8 @@ def triple_rules(
         .groupBy("x", "y", "z")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triple"))
         .where(F.col("n_triple") >= int(min_count))
+        # three rotations read this (small, support-filtered) relation
+        .localCheckpoint(eager=True)
     )
     pairs = (
         e1.join(e2, on="b").where(F.col("x") < F.col("y"))
