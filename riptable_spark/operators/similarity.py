@@ -28,6 +28,55 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine_pair_udf():
+    """Vectorized Arrow scorer for a candidate-pair verify stage:
+    cos = dot(va, vb) / (na · nb) with the dot accumulated in the SAME
+    ascending dimension order from the same 0.0 seed as the ``dot`` HOF
+    fold and the (hoisted) norms passed IN as columns — bit-identical
+    doubles (pinned exactly, no tolerance, by
+    tests/test_dedup_similarity.py::test_cosine_pair_udf_bit_identity).
+
+    Marked non-deterministic ON PURPOSE (guide §4.4): the threshold
+    filter over the scored column otherwise duplicates the expression —
+    q114's plan carried the interpreted dot fold TWICE per candidate
+    pair (once pushed into the join condition, once in the output
+    projection). Non-determinism forbids the optimizer from copying or
+    pushing it, yielding exactly one vectorized evaluation.
+
+    zip_with parity: unequal-length or null inputs score NaN, which
+    fails any ``>= threshold`` exactly like the null the column
+    expression produced (one documented edge shared with the q108/q168
+    scorers: a zero norm yields NaN-drop where ANSI division raised)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _score(va, vb, na, nb):  # hint-free: stringified hints break eval-type inference
+        out = np.full(len(va), np.nan)
+        la = va.map(lambda v: -1 if v is None else len(v)).to_numpy()
+        lb = vb.map(lambda v: -1 if v is None else len(v)).to_numpy()
+        nav = pd.to_numeric(na, errors="coerce").to_numpy(dtype=np.float64)
+        nbv = pd.to_numeric(nb, errors="coerce").to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for d in np.unique(la):
+                if d < 0:
+                    continue
+                sel = np.flatnonzero((la == d) & (lb == d))
+                if not len(sel):
+                    continue
+                A = np.array([np.asarray(va.iat[i], dtype=np.float64) for i in sel])
+                B = np.array([np.asarray(vb.iat[i], dtype=np.float64) for i in sel])
+                acc = np.zeros(len(sel))
+                for i in range(int(d)):  # same ascending fold as dot()
+                    acc = acc + A[:, i] * B[:, i]
+                out[sel] = acc / (nav[sel] * nbv[sel])
+        return pd.Series(out)
+
+    # functional form: `from __future__ import annotations` stringifies
+    # hints and breaks decorator-time eval-type inference (house note)
+    return pandas_udf(_score, "double").asNondeterministic()
+
+
 def euclidean(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v))
 
@@ -272,11 +321,32 @@ def lsh_dedup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = base.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("__va__"))
-    vb = base.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("__vb__"))
+    # norms hoisted to ONCE per vector (the pairwise_cosine discipline,
+    # r7): cosine() inline would re-run both interpreted norm folds per
+    # CANDIDATE PAIR — 3 HOF folds/pair instead of 1. Same bits: it is
+    # the identical fold, evaluated on the vector side of the join.
+    vn = base.withColumn("__n__", norm(F.col("__v__")))
+    va = vn.select(
+        F.col("__id__").alias("id_a"), F.col("__v__").alias("__va__"),
+        F.col("__n__").alias("__na__"),
+    )
+    vb = vn.select(
+        F.col("__id__").alias("id_b"), F.col("__v__").alias("__vb__"),
+        F.col("__n__").alias("__nb__"),
+    )
     verified = cand.join(va, on="id_a").join(vb, on="id_b")
+    # Arrow-vectorized verify (guide §4.4): the column-expression form's
+    # interpreted dot fold was evaluated TWICE per pair (filter pushed
+    # into the join + output projection); the non-deterministic pandas
+    # UDF runs ONCE per pair, vectorized, bit-identical (see
+    # _cosine_pair_udf).
+    score = _cosine_pair_udf()
     return verified.select(
-        "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cos_sim")
+        "id_a",
+        "id_b",
+        score(
+            F.col("__va__"), F.col("__vb__"), F.col("__na__"), F.col("__nb__")
+        ).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
 
 

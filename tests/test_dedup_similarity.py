@@ -661,3 +661,39 @@ def test_bm25_ranks_relevant_docs_first(spark):
     # 'spark' appears in 2 docs, 'unrelated' in 1 → rarer term, higher idf
     assert tp[(4, "unrelated")].idf > tp[(1, "spark")].idf
     assert tp[(1, "spark")].tf == 4.0
+
+
+def test_cosine_pair_udf_bit_identity(spark):
+    # r7 q114 verify stage: the Arrow scorer's doubles must equal the
+    # column-expression cosine EXACTLY (no tolerance), including the
+    # hoisted-norm form; unequal-length and null rows must drop like
+    # zip_with's null padding under a threshold filter
+    import random
+
+    from pyspark.sql import functions as F
+
+    from riptable_spark.operators import similarity as sim
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        d = 16
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(d)],
+                     [rng.uniform(-1, 1) for _ in range(d)]))
+    rows.append((300, [1.0, 2.0], [1.0]))      # unequal lengths
+    rows.append((301, None, [1.0, 2.0]))        # null side
+    df = spark.createDataFrame(
+        rows, "pid long, va array<double>, vb array<double>"
+    ).select(
+        "pid", "va", "vb",
+        sim.norm(F.col("va")).alias("na"), sim.norm(F.col("vb")).alias("nb"),
+    )
+    expr = (sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    want = {r.pid: r.c for r in df.select("pid", expr.alias("c")).collect()
+            if r.c is not None}
+    score = sim._cosine_pair_udf()
+    got_rows = df.select(
+        "pid", score(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("c")
+    ).where(F.col("c") >= -2.0).collect()  # NaN fails >= like null
+    got = {r.pid: r.c for r in got_rows}
+    assert got == want  # exact double equality, same surviving rows

@@ -63,6 +63,12 @@ ALLOWED = {
     ("riptable_spark/operators/multimodal.py", "resize_images_raw", "mapInPandas"),
     # Unicode NFC: Spark SQL has no normalizer; DuckDB-parity pandas UDF.
     ("riptable_spark/operators/text.py", "normalize_nfc", "pandas_udf"),
+    # candidate-pair cosine verify (lsh_dedup_pairs): non-deterministic
+    # BY DESIGN (guide §4.4 — stops the optimizer duplicating the score
+    # into the pushed filter; q114's plan evaluated the interpreted dot
+    # fold twice per pair), Arrow-vectorized, bit-identity pinned by
+    # test_cosine_pair_udf_bit_identity.
+    ("riptable_spark/operators/similarity.py", "_cosine_pair_udf", "pandas_udf"),
     # deterministic multimodal fixture synthesis inside query defs
     # (test-data generation, not an operator hot path).
     ("riptable_spark/queries8.py", "q142", "mapInPandas"),
