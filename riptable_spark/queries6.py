@@ -215,9 +215,13 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     from .sources.io import with_rowid
 
     od = with_rowid(load_table(spark, sf, "orders"), "o_orderkey")
-    n = load_table(spark, sf, "orders").count()
-    idx = load_table(spark, sf, "customer").select(
-        "c_custkey", ((F.col("c_custkey") * 7919) % F.lit(n + 1000)).alias("idx")
+    # modulus as a LAZY 1-row broadcast instead of an eager driver
+    # count() (one fewer driver job + orders pass at build; same value)
+    m = load_table(spark, sf, "orders").agg(
+        (F.count(F.lit(1)) + 1000).alias("__m__")
+    )
+    idx = load_table(spark, sf, "customer").crossJoin(F.broadcast(m)).select(
+        "c_custkey", ((F.col("c_custkey") * 7919) % F.col("__m__")).alias("idx")
     )
     out = pos.mbget(od, idx, "idx", ["o_totalprice"])
     return out.select("c_custkey", F.round("o_totalprice", 2).alias("got"))
